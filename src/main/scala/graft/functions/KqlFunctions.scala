@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** KQL scalar-function surface (public KQL semantics; the reference declares KQL at
+  * `/root/reference/README.md:33-34` with Kusto's scalar type system at
+  * `src/store/segment_metadata.rs:131-142`). All of these compile to built-in Catalyst
+  * expressions — codegen'd, null-propagating, pushdown-friendly; no UDFs.
+  */
+object KqlFunctions {
+
+  // --- conditional ---
+  /** KQL `iff(cond, a, b)`. */
+  def iff(cond: Column, a: Column, b: Column): Column = when(cond, a).otherwise(b)
+
+  /** KQL `case(p1, v1, p2, v2, ..., default)`. */
+  def caseOf(pairs: Seq[(Column, Column)], default: Column): Column =
+    pairs.foldRight(default) { case ((p, v), acc) => when(p, v).otherwise(acc) }
+
+  // --- string ---
+  /** KQL `strcat` — concat that treats null as empty string (KQL semantics; Spark
+    * concat returns null on any null input). */
+  def strcat(cols: Column*): Column = concat_ws("", cols: _*)
+
+  /** KQL `has` — term match: the needle appears as a whole token (word-boundary
+    * delimited), unlike `contains` (substring). Case-insensitive like KQL. */
+  def has(haystack: Column, needle: String): Column = {
+    val quoted = java.util.regex.Pattern.quote(needle.toLowerCase)
+    lower(haystack).rlike(s"(^|[^a-z0-9])$quoted($$|[^a-z0-9])")
+  }
+
+  /** KQL `extract(regex, group, text)` (named to avoid clashing with
+    * `functions.extract`). */
+  def extractRegex(regex: String, group: Int, text: Column): Column =
+    regexp_extract(text, regex, group)
+
+  /** KQL `countof(text, search)` — non-overlapping occurrence count. */
+  def countof(text: Column, search: String): Column = {
+    val q = java.util.regex.Pattern.quote(search)
+    (length(text) - length(regexp_replace(text, q, ""))) / search.length
+  }
+
+  // --- datetime ---
+  /** KQL `ago(Δ)` relative to a fixed "now" (deterministic for tests). */
+  def agoFrom(now: Column, seconds: Long): Column =
+    now - expr(s"INTERVAL $seconds SECONDS")
+
+  /** KQL `startofday/startofweek/startofmonth`. */
+  def startofday(c: Column): Column = date_trunc("day", c)
+  def startofweek(c: Column): Column = date_trunc("week", c)
+  def startofmonth(c: Column): Column = date_trunc("month", c)
+
+  // --- dynamic (Kusto `dynamic` ≈ JSON bag; ColumnType::Dynamic in the reference) ---
+  /** KQL `todynamic(s)` / bag field access `d.path` over a JSON string column.
+    * Uses get_json_object (codegen'd); VariantType is the alternative mapping. */
+  def dynamicGet(jsonCol: Column, path: String): Column =
+    get_json_object(jsonCol, s"$$.$path")
+
+  def dynamicGetLong(jsonCol: Column, path: String): Column =
+    dynamicGet(jsonCol, path).cast("long")
+
+  // --- type conversions (KQL to*) ---
+  def tolong(c: Column): Column = c.cast("long")
+  def toint(c: Column): Column = c.cast("int")
+  def todouble(c: Column): Column = c.cast("double")
+  def tostring(c: Column): Column = c.cast("string")
+  def tobool(c: Column): Column = c.cast("boolean")
+  def todecimal(c: Column): Column = c.cast("decimal(38,18)")
+
+  // --- exact-sum helpers ---
+  /** Sum of a 2-decimal monetary double, computed exactly via decimal then returned as
+    * double: deterministic regardless of partitioning/aggregation order — required both
+    * for oracle reproducibility and for stable results at 100 TB where fp summation
+    * order is nondeterministic across executors. */
+  def exactSum2(c: Column): Column = sum(c.cast("decimal(30,2)")).cast("double")
+
+  /** Exact sum of a product of two 2-decimal doubles (scale 4). */
+  def exactSumMul(a: Column, b: Column): Column =
+    sum(a.cast("decimal(30,2)") * b.cast("decimal(30,2)")).cast("double")
+
+  /** Deterministic average of a 2-decimal double (exact decimal sum / count). */
+  def exactAvg2(c: Column): Column = exactSum2(c) / count(c)
+}

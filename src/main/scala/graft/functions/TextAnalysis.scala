@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (the driver's north-star
+  * extensions over the reference's event/text data model). Everything is built from
+  * codegen'd built-in expressions — no UDFs — so at 100 TB these run inside
+  * WholeStageCodegen directly over the parquet scan with full column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space split; deterministic, oracle-matchable). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-boundary token count: splits on whitespace AND letter/digit/
+    * punctuation boundaries, approximating byte-pair tokenizer granularity. */
+  def bpeishTokens(text: Column): Column =
+    split(text, "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Character-class ratios used for quality scoring. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+  def whitespaceCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\s", ""))
+
+  /** Stopword ratio over a fixed English stopword list (public; standard NLP set). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "be", "for", "on", "with", "as", "at", "by", "it", "this")
+
+  def stopwordCount(text: Column): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(stopwords: _*)))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, word diversity and
+    * stopword presence; penalizes punctuation/digit noise. Deterministic arithmetic
+    * (integer counts + fixed-order double ops) so it is reproducible across runs,
+    * partitionings, and engines. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val diversity = distinctTokenCount(text) / greatest(nTok, lit(1.0))
+    val stopRatio = stopwordCount(text) / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(text) / greatest(nChar, lit(1.0))
+    val digitRatio = digitCount(text) / greatest(nChar, lit(1.0))
+    val lengthOk = when(nTok.between(5, 5000), lit(1.0)).otherwise(lit(0.5))
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.35) * diversity + lit(0.25) * least(stopRatio * 4, lit(1.0)) +
+        lit(0.4) * lengthOk - punctRatio - digitRatio))
+  }
+
+  /** Language-ID over a tiny per-language stopword table (n-gram-free heuristic;
+    * argmax of stopword hits). Ties break by language code order for determinism. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "por", "que", "con"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // score per language, pick argmax via greatest over (score, lang) structs
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** Content-defined document fingerprint: polynomial rolling hash of the normalized
+    * token stream (order-sensitive, whitespace-insensitive). aggregate() is a codegen'd
+    * higher-order function — sequential fold, deterministic. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(lower(trim(text))), lit(1125899906842597L),
+      (acc, t) => acc * lit(31L) + crc32(t).cast("long"))
+
+  /** Word k-shingles of the token stream (distinct), the MinHash input unit. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Character n-grams (distinct) for n-gram Jaccard similarity. */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val t = lower(text)
+    array_distinct(
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - n + 1), i => t.substr(i, lit(n))))
+        .otherwise(array(t)))
+  }
+}

@@ -1,0 +1,596 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.kql.Kql._
+import graft.functions.KqlFunctions._
+import graft.sources.Tables
+
+/** One driver-contract query: the Spark plan and (when ANSI-SQL-expressible) the
+  * DuckDB oracle. Column names/aliases match between the two by construction; every
+  * oracle query carries a total ORDER BY so results hash deterministically. Doubles in
+  * outputs are always produced by a deterministic computation (integral sums, exact
+  * decimal sums cast back to double, or single IEEE ops) — never by order-dependent fp
+  * accumulation — so Spark and DuckDB agree bit-for-bit.
+  */
+final case class QueryDef(name: String, fn: (SparkSession, String) => DataFrame,
+                          oracle: Option[String])
+
+/** KQL relational-operator surface (SURVEY.md §2.B) as driver-contract queries. */
+object Queries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact monetary sum: decimal-accumulated, returned as double (deterministic). */
+  private def xsum(c: Column): Column = sum(c.cast("decimal(30,2)")).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- projection family -------------------------------------------------
+    QueryDef("q_project",
+      (s, d) => T(s, d, "lineitem")
+        .where_(col("l_orderkey") % 7 === 0)
+        .project(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .sortBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_orderkey % 7 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_extend",
+      (s, d) => T(s, d, "lineitem")
+        .extend(
+          "revenue" -> (col("l_extendedprice").cast("decimal(30,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(30,2)")).cast("double"),
+          "disc_band" -> iff(col("l_discount") > 0.05, lit("disc"), lit("full")))
+        .project(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("disc_band"))
+        .where_(col("l_orderkey") < 500)
+        .sortBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * CAST((1 - l_discount) AS DECIMAL(30,2)) AS DOUBLE) AS revenue,
+             |  CASE WHEN l_discount > 0.05 THEN 'disc' ELSE 'full' END AS disc_band
+             |FROM lineitem WHERE l_orderkey < 500
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_project_away",
+      (s, d) => T(s, d, "orders")
+        .projectAway("o_orderpriority", "o_orderstatus")
+        .sortBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_project_rename",
+      (s, d) => T(s, d, "orders")
+        .projectRename("price" -> "o_totalprice")
+        .project(col("o_orderkey"), col("price"))
+        .sortBy(col("o_orderkey")),
+      Some("SELECT o_orderkey, o_totalprice AS price FROM orders ORDER BY o_orderkey")),
+
+    // --- filters -----------------------------------------------------------
+    QueryDef("q_where",
+      (s, d) => T(s, d, "lineitem")
+        .where_(col("l_quantity").between(5, 10) &&
+          col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .project(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .sortBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 5 AND 10 AND l_returnflag IN ('A','R')
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_where_string",
+      (s, d) => T(s, d, "events")
+        .where_((col("event_type").startsWith("s") || col("event_type").contains("ck")) &&
+          col("user_id") % 10 === 3)
+        .project(col("event_id"), col("event_type"), col("user_id"))
+        .sortBy(col("event_id")),
+      Some("""SELECT event_id, event_type, user_id FROM events
+             |WHERE (event_type LIKE 's%' OR event_type LIKE '%ck%') AND user_id % 10 = 3
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q_where_regex",
+      (s, d) => T(s, d, "part")
+        .where_(col("p_name").rlike("^[a-c].* (widget|rod)$"))
+        .project(col("p_partkey"), col("p_name"))
+        .sortBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE regexp_matches(p_name, '^[a-c].* (widget|rod)$')
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // --- sort / top / distinct / count ------------------------------------
+    QueryDef("q_top",
+      (s, d) => T(s, d, "orders")
+        .project(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .top(50, col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)),
+
+    QueryDef("q_distinct",
+      (s, d) => T(s, d, "lineitem")
+        .distinctOf(col("l_returnflag"), col("l_linestatus"))
+        .sortBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q_count",
+      (s, d) => T(s, d, "lineitem").summarize(Nil, count(lit(1)).as("cnt")),
+      Some("SELECT COUNT(*) AS cnt FROM lineitem")),
+
+    QueryDef("q_dcount",
+      (s, d) => T(s, d, "orders")
+        .summarize(Nil, countDistinct(col("o_custkey")).as("dcount_cust")),
+      Some("SELECT COUNT(DISTINCT o_custkey) AS dcount_cust FROM orders")),
+
+    // --- summarize (flagship TPC-H Q1 shape) -------------------------------
+    QueryDef("q_summarize",
+      (s, d) => T(s, d, "lineitem")
+        .where_(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .summarize(Seq(col("l_returnflag"), col("l_linestatus")),
+          sum(col("l_quantity")).as("sum_qty"),
+          xsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(30,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(30,2)")).cast("double")
+            .as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (xsum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .sortBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  SUM(l_quantity) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * CAST((1 - l_discount) AS DECIMAL(30,2))) AS DOUBLE) AS sum_disc_price,
+             |  AVG(l_quantity) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // --- bin() time-bucketed aggregation (the canonical meerkat query) -----
+    QueryDef("q_bin_agg",
+      (s, d) => T(s, d, "events")
+        .extend("bin_ts" -> Bin.ts(col("ts"), 21600))
+        .summarize(Seq(col("bin_ts"), col("event_type")),
+          count(lit(1)).as("n"),
+          xsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .sortBy(col("bin_ts"), col("event_type")),
+      Some("""SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (CAST((epoch_us(ts)//1000000)//21600*21600 AS BIGINT)) SECOND AS bin_ts,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+             |  MIN(value) AS min_value, MAX(value) AS max_value
+             |FROM events GROUP BY 1, 2 ORDER BY bin_ts, event_type""".stripMargin)),
+
+    QueryDef("q_countif",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type")),
+          count(lit(1)).as("n"),
+          sum(when(col("value") > 100, 1).otherwise(0)).as("n_high"))
+        .extend("share_high" -> col("n_high").cast("double") / col("n"))
+        .sortBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS share_high
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // --- arg_max (KQL) via deterministic window ----------------------------
+    QueryDef("q_argmax",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))
+        T(s, d, "events")
+          .extend("rn" -> row_number().over(w))
+          .where_(col("rn") === 1)
+          .project(col("event_type"), col("event_id"), col("value"))
+          .sortBy(col("event_type"))
+      },
+      Some("""SELECT event_type, event_id, value FROM (
+             |  SELECT event_type, event_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // --- exact percentiles (integral data ⇒ deterministic interpolation) ---
+    QueryDef("q_percentile",
+      (s, d) => T(s, d, "lineitem")
+        .summarize(Seq(col("l_returnflag")),
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .sortBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --- stdev/variance via explicit exact-moment formula -------------------
+    QueryDef("q_stdev",
+      (s, d) => T(s, d, "lineitem")
+        .summarize(Seq(col("l_returnflag")),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"))
+        .extend("var_samp" -> (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .extend("stdev" -> sqrt(col("var_samp")))
+        .project(col("l_returnflag"), col("n"), col("var_samp"), col("stdev"))
+        .sortBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  (SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*) - 1) AS var_samp,
+             |  sqrt((SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*) - 1)) AS stdev
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // --- make_set (sorted for determinism) ---------------------------------
+    QueryDef("q_make_set",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type")),
+          sort_array(collect_set(col("user_id") % 100)).as("user_buckets"))
+        .sortBy(col("event_type")),
+      Some("""SELECT event_type, list_sort(list(DISTINCT user_id % 100)) AS user_buckets
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // --- rollup -------------------------------------------------------------
+    QueryDef("q_rollup",
+      (s, d) => T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .sortBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // --- join suite ---------------------------------------------------------
+    QueryDef("q_join_inner",
+      (s, d) => T(s, d, "lineitem")
+        .joinKql(T(s, d, "orders").projectRename("l_orderkey" -> "o_orderkey"),
+          Seq("l_orderkey"), "inner")
+        .summarize(Seq(col("o_orderpriority")),
+          count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("rev"))
+        .sortBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef("q_join_left",
+      (s, d) => T(s, d, "part")
+        .joinKql(T(s, d, "lineitem").projectRename("p_partkey" -> "l_partkey"),
+          Seq("p_partkey"), "leftouter")
+        .summarize(Seq(col("p_partkey"), col("p_brand")),
+          count(col("l_orderkey")).as("n_li"))
+        .sortBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_li
+             |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+             |GROUP BY p_partkey, p_brand ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef("q_join_semi",
+      (s, d) => T(s, d, "customer")
+        .joinKql(T(s, d, "orders").where_(col("o_totalprice") > 300000)
+            .projectRename("c_custkey" -> "o_custkey"),
+          Seq("c_custkey"), "leftsemi")
+        .project(col("c_custkey"), col("c_name"))
+        .sortBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_join_anti",
+      (s, d) => T(s, d, "customer")
+        .joinKql(T(s, d, "orders").where_(col("o_totalprice") > 300000)
+            .projectRename("c_custkey" -> "o_custkey"),
+          Seq("c_custkey"), "leftanti")
+        .project(col("c_custkey"), col("c_name"))
+        .sortBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_join_full",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val a = o.where_(col("o_orderstatus") === "F")
+          .summarize(Seq(col("o_custkey")), count(lit(1)).as("n_f"))
+        val b = o.where_(col("o_orderstatus") === "O")
+          .summarize(Seq(col("o_custkey")), count(lit(1)).as("n_o"))
+        a.joinKql(b, Seq("o_custkey"), "fullouter")
+          .extend("n_f" -> coalesce(col("n_f"), lit(0L)),
+            "n_o" -> coalesce(col("n_o"), lit(0L)))
+          .sortBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, COALESCE(n_f, 0) AS n_f, COALESCE(n_o, 0) AS n_o
+             |FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+             |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+             |USING (o_custkey)
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q_join_right",
+      (s, d) => T(s, d, "lineitem")
+        .projectRename("s_suppkey" -> "l_suppkey")
+        .joinKql(T(s, d, "supplier"), Seq("s_suppkey"), "rightouter")
+        .summarize(Seq(col("s_suppkey"), col("s_name")),
+          count(col("l_orderkey")).as("n_li"))
+        .sortBy(col("s_suppkey")),
+      Some("""SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_li
+             |FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef("q_join_innerunique",
+      (s, d) => T(s, d, "orders")
+        .joinKql(T(s, d, "customer").projectRename("o_custkey" -> "c_custkey"),
+          Seq("o_custkey"), "innerunique", tieBreak = Seq(col("o_orderkey")))
+        .project(col("o_custkey"), col("o_orderkey"), col("c_name"))
+        .sortBy(col("o_custkey")),
+      Some("""SELECT o_custkey, o_orderkey, c_name FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+             |  FROM orders) o JOIN customer ON o_custkey = c_custkey
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q_lookup",
+      (s, d) => T(s, d, "lineitem")
+        .projectRename("s_suppkey" -> "l_suppkey")
+        .lookup(T(s, d, "supplier"), Seq("s_suppkey"))
+        .projectRename("n_nationkey" -> "s_nationkey")
+        .lookup(T(s, d, "nation"), Seq("n_nationkey"))
+        .projectRename("r_regionkey" -> "n_regionkey")
+        .lookup(T(s, d, "region"), Seq("r_regionkey"))
+        .summarize(Seq(col("r_name"), col("n_name")),
+          count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("rev"))
+        .sortBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef("q_join_cross",
+      (s, d) => T(s, d, "nation").project(col("n_name"))
+        .crossJoin(T(s, d, "region").project(col("r_name")))
+        .sortBy(col("n_name"), col("r_name")),
+      Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
+             |ORDER BY n_name, r_name""".stripMargin)),
+
+    // --- as-of (time-correlation) ------------------------------------------
+    QueryDef("q_asof",
+      (s, d) => T(s, d, "events")
+        .asOfPrior(Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("event_type") === "signup", col("ts"), "prior_signup_ts")
+        .where_(col("event_type") === "purchase")
+        .project(col("user_id"), col("event_id"), col("ts"), col("prior_signup_ts"))
+        .sortBy(col("event_id")),
+      Some("""SELECT user_id, event_id, ts, prior_signup_ts FROM (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_ts
+             |  FROM events) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // --- set ops ------------------------------------------------------------
+    QueryDef("q_union",
+      (s, d) => {
+        val e = T(s, d, "events")
+        e.where_(col("value") > 400).project(col("event_id"), col("event_type"))
+          .unionKql(e.where_(col("value") < 1).project(col("event_id"), col("value")))
+          .sortBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+             |FROM events WHERE value > 400
+             |UNION ALL
+             |SELECT event_id, CAST(NULL AS VARCHAR) AS event_type, value
+             |FROM events WHERE value < 1
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q_intersect",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        o.where_(col("o_orderstatus") === "F").project(col("o_custkey"))
+          .intersect(o.where_(col("o_orderstatus") === "O").project(col("o_custkey")))
+          .sortBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q_except",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        o.where_(col("o_orderstatus") === "F").project(col("o_custkey"))
+          .except(o.where_(col("o_orderstatus") === "O").project(col("o_custkey")))
+          .sortBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // --- serialized window operators ---------------------------------------
+    QueryDef("q_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        val wq = Window.partitionBy(col("l_orderkey")).orderBy(col("l_quantity"))
+        T(s, d, "lineitem")
+          .where_(col("l_orderkey") < 1000)
+          .extend(
+            "rn" -> row_number().over(w),
+            "prev_qty" -> lag(col("l_quantity"), 1).over(w),
+            "next_qty" -> lead(col("l_quantity"), 1).over(w),
+            "cum_qty" -> sum(col("l_quantity"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            "qty_rank" -> dense_rank().over(wq))
+          .project(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("rn"), col("prev_qty"), col("next_qty"), col("cum_qty"), col("qty_rank"))
+          .sortBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  ROW_NUMBER() OVER w AS rn,
+             |  LAG(l_quantity, 1) OVER w AS prev_qty,
+             |  LEAD(l_quantity, 1) OVER w AS next_qty,
+             |  SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+             |  DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS qty_rank
+             |FROM lineitem WHERE l_orderkey < 1000
+             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_top_nested",
+      (s, d) => T(s, d, "lineitem")
+        .projectRename("p_partkey" -> "l_partkey")
+        .joinKql(T(s, d, "part"), Seq("p_partkey"), "inner")
+        .topNested(col("p_brand"), col("p_partkey"), xsum(col("l_extendedprice")), 3,
+          col("__inner"))
+        .project(col("__outer").as("p_brand"), col("__inner").as("p_partkey"),
+          col("__rank").as("rev"))
+        .sortBy(col("p_brand"), col("rev").desc, col("p_partkey")),
+      Some("""SELECT p_brand, p_partkey, rev FROM (
+             |  SELECT p_brand, p_partkey, rev,
+             |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rn
+             |  FROM (
+             |    SELECT p_brand, p_partkey,
+             |      CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+             |    FROM lineitem JOIN part ON l_partkey = p_partkey
+             |    GROUP BY p_brand, p_partkey))
+             |WHERE rn <= 3 ORDER BY p_brand, rev DESC, p_partkey""".stripMargin)),
+
+    QueryDef("q_session",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .extend("gap" -> (col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w)))
+          .extend("new_session" -> when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+          .summarize(Seq(col("user_id")),
+            sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .sortBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+             |  SELECT user_id,
+             |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+             |  FROM (
+             |    SELECT user_id, epoch_us(ts)/1000000.0 - LAG(epoch_us(ts)/1000000.0, 1) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |    FROM events))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // --- dynamic (JSON) -----------------------------------------------------
+    QueryDef("q_json",
+      (s, d) => T(s, d, "events")
+        .extend("k" -> dynamicGetLong(col("props"), "k"))
+        .summarize(Seq(col("event_type")),
+          sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .sortBy(col("event_type")),
+      Some("""SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q_mv_expand",
+      (s, d) => T(s, d, "documents")
+        .mvExpand(split(col("text"), " "), "word")
+        .summarize(Seq(col("word")), count(lit(1)).as("n"))
+        .top(100, col("n").desc, col("word")),
+      Some("""SELECT word, COUNT(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin)),
+
+    // --- scalar function families ------------------------------------------
+    QueryDef("q_strings",
+      (s, d) => T(s, d, "documents")
+        .project(col("doc_id"),
+          upper(substring(col("text"), 1, 20)).as("head"),
+          length(col("text")).cast("long").as("n"),
+          concat(col("lang"), lit(":"), col("source")).as("tag"),
+          element_at(split(col("text"), " "), 1).as("first_word"),
+          expr("replace(lang, 'e', 'E')").as("lang_repl"),
+          trim(lit("  pad  ")).as("trimmed"))
+        .sortBy(col("doc_id")),
+      Some("""SELECT doc_id, UPPER(SUBSTRING(text, 1, 20)) AS head, LENGTH(text) AS n,
+             |  lang || ':' || source AS tag,
+             |  split_part(text, ' ', 1) AS first_word,
+             |  replace(lang, 'e', 'E') AS lang_repl,
+             |  trim('  pad  ') AS trimmed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q_parse",
+      (s, d) => T(s, d, "part")
+        .project(col("p_partkey"),
+          extractRegex("^([a-z]+) ([a-z]+)$", 1, col("p_name")).as("adjective"),
+          extractRegex("^([a-z]+) ([a-z]+)$", 2, col("p_name")).as("noun"),
+          extractRegex("([0-9]+)", 1, col("p_brand")).cast("int").as("brand_num"))
+        .sortBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1) AS adjective,
+             |  regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2) AS noun,
+             |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef("q_datetime",
+      (s, d) => T(s, d, "events")
+        .project(col("event_id"),
+          year(col("ts")).cast("long").as("y"), month(col("ts")).cast("long").as("m"),
+          dayofmonth(col("ts")).cast("long").as("dom"), hour(col("ts")).cast("long").as("h"),
+          date_trunc("day", col("ts")).as("day_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("ts_plus_1h"),
+          expr("timestampdiff(DAY, TIMESTAMP'2024-01-01', ts)").as("days_since"))
+        .sortBy(col("event_id")),
+      Some("""SELECT event_id, EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS m,
+             |  EXTRACT(DAY FROM ts) AS dom, EXTRACT(HOUR FROM ts) AS h,
+             |  date_trunc('day', ts) AS day_start,
+             |  ts + INTERVAL 1 HOUR AS ts_plus_1h,
+             |  date_diff('day', TIMESTAMP '2024-01-01', ts) AS days_since
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q_math",
+      (s, d) => T(s, d, "lineitem")
+        .where_(col("l_orderkey") < 2000)
+        .project(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          ceil(col("l_extendedprice")).cast("double").as("ceil_p"),
+          floor(col("l_extendedprice")).cast("double").as("floor_p"),
+          sqrt(col("l_quantity")).as("sqrt_q"),
+          signum(col("l_discount") - 0.05).cast("int").as("sign_d"),
+          (col("l_orderkey") % 5).as("mod5"),
+          greatest(col("l_quantity"), col("l_tax") * 100).as("gr"),
+          pow(col("l_quantity"), 2).as("q2"),
+          coalesce(col("l_discount"), lit(0.0)).as("co"))
+        .sortBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_discount - 0.05) AS abs_d,
+             |  CAST(ceil(l_extendedprice) AS DOUBLE) AS ceil_p,
+             |  CAST(floor(l_extendedprice) AS DOUBLE) AS floor_p,
+             |  sqrt(l_quantity) AS sqrt_q,
+             |  CAST(sign(l_discount - 0.05) AS INT) AS sign_d,
+             |  l_orderkey % 5 AS mod5,
+             |  greatest(l_quantity, l_tax * 100) AS gr,
+             |  pow(l_quantity, 2) AS q2,
+             |  COALESCE(l_discount, 0.0) AS co
+             |FROM lineitem WHERE l_orderkey < 2000
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef("q_range",
+      (s, _) => rangeTable(s, 0, 10000, 3).sortBy(col("value")),
+      Some("SELECT range AS value FROM range(0, 10000, 3) ORDER BY value")),
+
+    // --- deterministic keyed dedup (meerkat merge-dedup semantics) ----------
+    QueryDef("q_dedup",
+      (s, d) => Tables.dedupRows(
+          T(s, d, "events").extend("k" -> col("user_id") % 50), Seq("k"))
+        .project(col("k"), col("event_id"))
+        .sortBy(col("k")),
+      Some("""SELECT k, event_id FROM (
+             |  SELECT user_id % 50 AS k, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id % 50 ORDER BY event_id) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY k""".stripMargin)),
+
+    QueryDef("q_distinct_rows",
+      (s, d) => T(s, d, "events").distinct()
+        .summarize(Nil, count(lit(1)).as("n_distinct")),
+      Some("SELECT COUNT(*) AS n_distinct FROM (SELECT DISTINCT * FROM events)"))
+  )
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table sources + meerkat ingest semantics on Spark/Parquet.
+  *
+  * The reference's storage engine (segments, block encodings, block IO —
+  * `/root/reference/src/store/`) is replaced wholesale by Parquet + Spark's vectorized
+  * reader; what we reproduce is its *table semantics*: mandatory `_ts` timestamp and
+  * `_dedup` dedup key (`README.md:15`), append-only time-partitioned segments with
+  * merge-time dedup (`README.md:22,27`), and the merge-of-segment-schemas effective
+  * schema incl. backward-incompatible type evolution (`README.md:14`).
+  */
+object Tables {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one test table from a scale-factor directory. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all tables as temp views (enables the spark.sql surface). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // ------------------------------------------------------------------
+  // Ingest contract (README.md:15): mandatory _ts + _dedup.
+  // ------------------------------------------------------------------
+
+  /** Validate/augment a batch for ingestion: `_ts` must exist and be a timestamp;
+    * `_dedup` (Int32 in the reference) is synthesized from a row hash if absent. */
+  def prepareIngest(df: DataFrame, tsCol: String = "_ts",
+                    dedupCol: String = "_dedup"): DataFrame = {
+    require(df.columns.contains(tsCol), s"ingest requires mandatory timestamp column '$tsCol'")
+    val tsType = df.schema(tsCol).dataType
+    require(tsType == TimestampType || tsType == TimestampNTZType,
+      s"'$tsCol' must be a timestamp, got $tsType")
+    if (df.columns.contains(dedupCol)) df
+    else df.withColumn(dedupCol, hash(df.columns.map(col): _*))
+  }
+
+  /** Append a batch as a time-partitioned segment (day buckets ≈ meerkat's
+    * druid-style time partitioning, README.md:27). Partition pruning on `ts_bucket`
+    * is what keeps 100 TB scans bounded to the queried time range. */
+  def appendSegment(df: DataFrame, path: String, tsCol: String = "_ts"): Unit =
+    prepareIngest(df, tsCol)
+      .withColumn("ts_bucket", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("ts_bucket").parquet(path)
+
+  /** Merge-time dedup (README.md:15,22): rewrite a table keeping one row per
+    * `(_ts, _dedup)` — deterministic representative via total tie-break ordering.
+    * Equivalent to meerkat's segment-merge dedup; run as a compaction job. */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              tsCol: String = "_ts", dedupCol: String = "_dedup"): Unit = {
+    val df = spark.read.parquet(path)
+    dedupRows(df, Seq(tsCol, dedupCol))
+      .write.mode("overwrite").partitionBy("ts_bucket").parquet(outPath)
+  }
+
+  /** Deterministic keyed dedup: one row per key, tie-broken by the full remaining
+    * row ordering (KQL `take_any` made reproducible). */
+  def dedupRows(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rest = df.columns.filterNot(keys.contains).map(col).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(rest: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Effective schema (README.md:14): merge of all segment schemas, tolerating
+  // the same column having different types in different segments.
+  // ------------------------------------------------------------------
+
+  /** Read several "segments" (parquet paths) as one table under the merged effective
+    * schema. Columns missing in a segment become null; columns whose types conflict
+    * across segments are resolved to the widest common type, falling back to string
+    * (parquet mergeSchema alone would fail the read on such conflicts). */
+  def loadMerged(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val dfs = paths.map(spark.read.parquet(_))
+    val merged: Map[String, DataType] = dfs.flatMap(_.schema.fields)
+      .groupBy(_.name).map { case (name, fields) =>
+        name -> fields.map(_.dataType).reduce(widen)
+      }
+    val colOrder = dfs.flatMap(_.schema.fieldNames).distinct
+    dfs.map { d =>
+      val cols = colOrder.map { name =>
+        if (d.columns.contains(name)) col(name).cast(merged(name)).as(name)
+        else lit(null).cast(merged(name)).as(name)
+      }
+      d.select(cols: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Widest common type for backward-incompatible evolution; string is the universal
+    * fallback (Kusto would use `dynamic`/string too). */
+  private[sources] def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+    case (_: DecimalType, DoubleType) | (DoubleType, _: DecimalType) => DoubleType
+    case (dt: DecimalType, IntegerType | LongType) => dt
+    case (IntegerType | LongType, dt: DecimalType) => dt
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case _ => StringType
+  }
+}
