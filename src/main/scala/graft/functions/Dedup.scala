@@ -56,8 +56,14 @@ object Dedup {
                           numHashes: Int = 128, bands: Int = 32,
                           threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
+    // Each stage below is a separate projection ON PURPOSE: tokens → shingles →
+    // signature. Inlining them re-evaluates the upstream expression once per lambda
+    // element AND once per hash seed (64×), which is catastrophically slow — see the
+    // perf contract on TextAnalysis.shinglesOf.
     val sigs = df.select(col(idCol).as("id"),
-        minHashSignature(TextAnalysis.shingles(col(textCol), shingleK), numHashes).as("sig"))
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), TextAnalysis.shinglesOf(col("__toks"), shingleK).as("__sh"))
+      .select(col("id"), minHashSignature(col("__sh"), numHashes).as("sig"))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, rows)))
     val a = sigs.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -100,7 +106,8 @@ object Dedup {
   def simHashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
     val withSig = df.select(col(idCol).as("id"),
-      simHash(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), simHash(col("__toks")).as("sim"))
     val chunks = 4 // 16-bit chunks; dist ≤3 ⇒ at least one chunk identical
     val exploded = withSig.withColumn("chunk_id", explode(array((0 until chunks).map(lit(_)): _*)))
       .withColumn("chunk_key", concat_ws("_", col("chunk_id"),

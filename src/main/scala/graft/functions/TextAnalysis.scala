@@ -83,9 +83,14 @@ object TextAnalysis {
     aggregate(tokens(lower(trim(text))), lit(1125899906842597L),
       (acc, t) => acc * lit(31L) + crc32(t).cast("long"))
 
-  /** Word k-shingles of the token stream (distinct), the MinHash input unit. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(lower(text))
+  /** Word k-shingles over an already-materialized token-array column (distinct), the
+    * MinHash input unit.
+    *
+    * IMPORTANT perf contract: pass an *attribute* (a column materialized by a previous
+    * projection), not a nested split(...) expression — Catalyst inlines expression
+    * arguments into every lambda element evaluation, turning O(n) into O(n²) per row
+    * and blowing past codegen limits (observed: 100× slowdowns in interpreted mode). */
+  def shinglesOf(toks: Column, k: Int = 3): Column = {
     val n = size(toks)
     array_distinct(
       when(n >= k,
@@ -93,6 +98,10 @@ object TextAnalysis {
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
         .otherwise(array(concat_ws(" ", toks))))
   }
+
+  /** Convenience text→shingles (tokenizes inline; fine for small/ad-hoc use — for
+    * pipelines materialize tokens first and call shinglesOf, see perf note there). */
+  def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(lower(text)), k)
 
   /** Character n-grams (distinct) for n-gram Jaccard similarity. */
   def charNgrams(text: Column, n: Int = 3): Column = {

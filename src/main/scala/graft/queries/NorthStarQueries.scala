@@ -119,7 +119,8 @@ object NorthStarQueries {
       (s, d) => {
         // verify MinHash candidates with exact n-gram Jaccard (two-stage pipeline)
         val docs = T(s, d, "documents")
-          .project(col("doc_id"), TA.shingles(col("text"), 3).as("sh"))
+          .project(col("doc_id"), TA.tokens(lower(col("text"))).as("__toks"))
+          .project(col("doc_id"), TA.shinglesOf(col("__toks"), 3).as("sh"))
         val cand = Dedup.minHashNearDupPairs(T(s, d, "documents"), "text", "doc_id",
           numHashes = 64, bands = 16, threshold = 0.3)
         cand.joinKql(docs.project(col("doc_id").as("id_a"), col("sh").as("sh_a")),

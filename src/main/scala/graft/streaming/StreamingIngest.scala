@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest semantics on Structured Streaming.
+  *
+  * The reference ingests events into in-memory columnar buffers flushed on
+  * memory/time thresholds (`/root/reference/README.md:20-21`, buffers at
+  * `src/store/indexing_buffer.rs`), dedupes rows on `(_ts, _dedup)` at segment merge
+  * (`README.md:15,22`), and assumes "low dispersion of event timestamps" for
+  * anti-entropy (`README.md:31`). The Spark mapping: micro-batch triggers ≈ flush
+  * thresholds; `withWatermark` ≈ the low-dispersion bound (late data beyond the
+  * watermark is dropped, keeping dedup/window state finite — the property that makes
+  * continuous ingest viable at 100 TB/day); `dropDuplicates` on the dedup key ≈
+  * merge-time dedup, with state bounded by the watermark.
+  */
+object StreamingIngest {
+
+  /** Watermark-bounded streaming dedup on the (_ts, _dedup)-equivalent key columns:
+    * exactly the reference's resubmission-tolerant ingest (`README.md:22`) — clients
+    * may resend events; duplicates within the lateness bound are dropped, and state
+    * is evicted past the watermark so it never grows unboundedly. */
+  def dedupStream(events: DataFrame, tsCol: String, dedupCol: String,
+                  lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicates(Seq(tsCol, dedupCol))
+
+  /** Tumbling event-time windowed aggregation (the canonical meerkat timeseries read:
+    * bin(ts, Δ) + summarize, continuously maintained). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window_ : String = "1 hour",
+                     lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding-window rates. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    window_ : String = "10 minutes", slide: String = "5 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows per key with an inactivity gap (KQL row_window_session). */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String = "30 minutes",
+                    lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Continuous append to a time-partitioned parquet table (the streaming segment
+    * write path: buffer → flush as time-bucketed files, ≈ segment_writer.rs but via
+    * Parquet + exactly-once file-sink semantics). */
+  def writeTimePartitioned(deduped: DataFrame, path: String, checkpoint: String,
+                           tsCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deduped.withColumn("ts_bucket", date_format(col(tsCol), "yyyy-MM-dd"))
+      .writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .partitionBy("ts_bucket")
+}

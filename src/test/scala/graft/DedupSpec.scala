@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+    (4L, "completely different content about spark query engines and columnar storage"),
+    (5L, "THE  quick brown fox jumps over the lazy dog near the river bank today") // ws/case dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val groups = Dedup.duplicateGroups(docs, "text", "doc_id")
+    val sizes = groups.select("n_dups").as[Long].collect().sorted.toSeq
+    assert(sizes == Seq(1L, 1L, 3L)) // {1,2,5}, {3}, {4}
+    val kept = Dedup.exactDedup(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash-LSH finds near-duplicates but not unrelated docs") {
+    val pairs = Dedup.minHashNearDupPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 5L))) // near-dup caught
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated not paired
+  }
+
+  test("minhash estimated jaccard ≈ 1 for identical docs") {
+    val pairs = Dedup.minHashNearDupPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    val est = pairs.filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs have distance 0, near-dups small distance") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simHash(TextAnalysis.tokens(lower(col("text")))).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val d13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val d14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(d13 < d14, s"near-dup dist $d13 should be < unrelated dist $d14")
+  }
+
+  test("simhash pair mining respects hamming bound") {
+    val pairs = Dedup.simHashNearDupPairs(docs, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._3 <= 8))
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical=1, disjoint=0") {
+    val df = Seq((1L, "abc def ghi"), (2L, "abc def ghi"), (3L, "xyz uvw rst"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("sh"))
+    val a = df.filter(col("doc_id") === 1).select(col("sh").as("sh_a"))
+    val b = df.filter(col("doc_id") === 2).select(col("sh").as("sh_b"))
+    val c = df.filter(col("doc_id") === 3).select(col("sh").as("sh_c"))
+    val j12 = a.crossJoin(b).select(Dedup.ngramJaccard(col("sh_a"), col("sh_b")))
+      .as[Double].head()
+    val j13 = a.crossJoin(c).select(Dedup.ngramJaccard(col("sh_a"), col("sh_c")))
+      .as[Double].head()
+    assert(j12 == 1.0 && j13 == 0.0)
+  }
+
+  test("minhash signature is stable across partitionings (determinism at scale)") {
+    val one = Dedup.minHashSignature(TextAnalysis.shingles(col("text")), 16)
+    val s1 = docs.repartition(1).select(one).collect().map(_.getSeq[Long](0)).toSet
+    val s4 = docs.repartition(4).select(one).collect().map(_.getSeq[Long](0)).toSet
+    assert(s1 == s4)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.kql.Kql._
+import graft.sources.Tables
+
+class KqlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "lv")
+  lazy val right = Seq((1, "x"), (2, "y"), (2, "z"), (4, "w")).toDF("k", "rv")
+
+  test("join kinds produce KQL row counts") {
+    assert(left.joinKql(right, Seq("k"), "inner").count() == 4) // (1a,1b)x(1x)+ (2c)x(2y,2z)
+    assert(left.joinKql(right, Seq("k"), "leftouter").count() == 5)
+    assert(left.joinKql(right, Seq("k"), "rightouter").count() == 5)
+    assert(left.joinKql(right, Seq("k"), "fullouter").count() == 6)
+    assert(left.joinKql(right, Seq("k"), "leftsemi").count() == 3)
+    assert(left.joinKql(right, Seq("k"), "leftanti").count() == 1)
+    assert(left.joinKql(right, Seq("k"), "rightsemi").count() == 3)
+    assert(left.joinKql(right, Seq("k"), "rightanti").count() == 1)
+  }
+
+  test("innerunique dedupes left side deterministically") {
+    val res = left.joinKql(right, Seq("k"), "innerunique", tieBreak = Seq(col("lv")))
+      .orderBy("k", "rv").collect()
+    // k=1 keeps lv=a; k=2 keeps lv=c with two right matches
+    assert(res.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "a", "x"), (2, "c", "y"), (2, "c", "z")))
+  }
+
+  test("unionKql aligns by name and null-fills") {
+    val a = Seq((1, "t")).toDF("id", "s")
+    val b = Seq((2, 3.5)).toDF("id", "v")
+    val u = a.unionKql(b).orderBy("id").collect()
+    assert(u.length == 2)
+    assert(u(0).getString(1) == "t" && u(0).isNullAt(2))
+    assert(u(1).isNullAt(1) && u(1).getDouble(2) == 3.5)
+  }
+
+  test("project family") {
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    assert(df.projectAway("b").columns.toSeq == Seq("a", "c"))
+    assert(df.projectKeep("c", "a").columns.toSeq == Seq("a", "c"))
+    assert(df.projectRename("z" -> "a").columns.contains("z"))
+    assert(df.extend("d" -> (col("a") + col("b"))).select("d").head().getInt(0) == 3)
+  }
+
+  test("top is planned as TakeOrderedAndProject (no global sort at scale)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val plan = li.top(10, col("l_extendedprice").desc).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("bin() buckets timestamps to fixed widths") {
+    val e = Tables.load(spark, sf, "events")
+      .extend("b" -> Bin.ts(col("ts"), 21600))
+    val mins = e.select(minute(col("b"))).distinct().as[Int].collect().toSet
+    assert(mins == Set(0))
+    val hours = e.select(hour(col("b"))).distinct().as[Int].collect().toSet
+    assert(hours.subsetOf(Set(0, 6, 12, 18)))
+  }
+
+  test("makeSeries fills gaps with the fill value") {
+    val df = Seq(
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1.0),
+      ("k1", java.sql.Timestamp.valueOf("2024-01-01 03:20:00"), 2.0),
+      ("k2", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 5.0)
+    ).toDF("k", "ts", "v")
+    val series = df.makeSeries(Seq(col("k")), col("ts"), 3600,
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("s")), Seq(lit(0L), lit(0.0)))
+    // grid 00:00..03:00 = 4 buckets × 2 keys = 8 rows
+    assert(series.count() == 8)
+    val zeroes = series.filter(col("n") === 0).count()
+    assert(zeroes == 5)
+  }
+
+  test("topNested keeps top-n per outer key") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .projectRename("p_partkey" -> "l_partkey")
+      .joinKql(Tables.load(spark, sf, "part"), Seq("p_partkey"), "inner")
+    val tn = li.topNested(col("p_brand"), col("p_partkey"),
+      sum(col("l_quantity")).as("q"), 3, col("__inner"))
+    val maxPerBrand = tn.groupBy("__outer").count().agg(max("count")).head().getLong(0)
+    assert(maxPerBrand <= 3)
+  }
+
+  test("rangeTable generates stepped values") {
+    val r = rangeTable(spark, 0, 10, 3).as[Long].collect().sorted
+    assert(r.toSeq == Seq(0L, 3L, 6L, 9L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.sources.Tables
+import graft.kql.Kql._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b")
+    val cos = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cos(0)) < 1e-12)
+    assert(math.abs(cos(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk ranks the nearest vector first") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val res = Similarity.bruteForceTopK(
+      emb.where_(col("vec_id") < 3).projectRename("query_id" -> "vec_id"),
+      emb.projectRename("corpus_id" -> "vec_id"), k = 5)
+    assert(res.count() == 15)
+    // rank-1 neighbor has the max cosine among the 5
+    val byQ = res.groupBy("query_id")
+      .agg(max(when(col("rank") === 1, col("cosine"))).as("first"),
+        max(col("cosine")).as("best"))
+      .select(col("first") === col("best")).as[Boolean].collect()
+    assert(byQ.forall(identity))
+  }
+
+  test("LSH topk achieves reasonable recall vs brute force") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.where_(col("vec_id") < 10).projectRename("query_id" -> "vec_id")
+    val c = emb.projectRename("corpus_id" -> "vec_id")
+    val exact = Similarity.bruteForceTopK(q, c, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, c, k = 5, dim = 64)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("lsh bucket is deterministic across partitionings") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val b1 = emb.repartition(1)
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b4 = emb.repartition(4)
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b4)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 64, 0.9)
+    val rows = pairs.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(rows.forall(r => r._1 < r._2))
+    assert(rows.forall(_._3 >= 0.9))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prepareIngest enforces mandatory _ts and synthesizes _dedup") {
+    val noTs = Seq((1, "a")).toDF("id", "s")
+    assertThrows[IllegalArgumentException](Tables.prepareIngest(noTs))
+    val ok = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("_ts", "s")
+    val prepared = Tables.prepareIngest(ok)
+    assert(prepared.columns.contains("_dedup"))
+    assert(prepared.schema("_dedup").dataType == IntegerType)
+  }
+
+  test("appendSegment + compact dedups on (_ts, _dedup) like segment merge") {
+    val dir = Files.createTempDirectory("graft_seg").toString
+    val out = Files.createTempDirectory("graft_compact").toString
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a"),
+      (java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 2, "b")
+    ).toDF("_ts", "_dedup", "payload")
+    Tables.appendSegment(batch, dir) // first segment
+    Tables.appendSegment(batch, dir) // client resubmission (dup segment)
+    val raw = spark.read.parquet(dir)
+    assert(raw.count() == 4)
+    assert(raw.columns.contains("ts_bucket")) // time-partitioned layout
+    Tables.compact(spark, dir, out)
+    val compacted = spark.read.parquet(out)
+    assert(compacted.count() == 2)
+  }
+
+  test("dedupRows keeps deterministic representative") {
+    val df = Seq((1, "b"), (1, "a"), (2, "z")).toDF("k", "v")
+    val kept = Tables.dedupRows(df, Seq("k")).orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(kept == Seq((1, "a"), (2, "z")))
+  }
+
+  test("loadMerged widens conflicting column types across segments") {
+    val d1 = Files.createTempDirectory("seg1").toString
+    val d2 = Files.createTempDirectory("seg2").toString
+    Seq((1, 10)).toDF("id", "x").write.mode("overwrite").parquet(d1) // x: int
+    Seq((2L, 2.5, "extra")).toDF("id", "x", "note")
+      .write.mode("overwrite").parquet(d2) // id: long, x: double, new column
+    val merged = Tables.loadMerged(spark, Seq(d1, d2))
+    assert(merged.schema("id").dataType == LongType)
+    assert(merged.schema("x").dataType == DoubleType)
+    assert(merged.count() == 2)
+    // missing column null-filled
+    assert(merged.filter(col("note").isNull).count() == 1)
+  }
+
+  test("widen falls back to string for incompatible types") {
+    assert(Tables.widen(IntegerType, StringType) == StringType)
+    assert(Tables.widen(TimestampType, DoubleType) == StringType)
+    assert(Tables.widen(IntegerType, LongType) == LongType)
+  }
+}
