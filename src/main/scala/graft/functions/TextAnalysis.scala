@@ -76,12 +76,14 @@ object TextAnalysis {
     greatest(scored: _*).getField("lang")
   }
 
-  /** Content-defined document fingerprint: polynomial rolling hash of the normalized
+  /** Content-defined document fingerprint: rotate-xor rolling hash of the normalized
     * token stream (order-sensitive, whitespace-insensitive). aggregate() is a codegen'd
-    * higher-order function — sequential fold, deterministic. */
+    * higher-order function — sequential fold, deterministic. Rotate-xor (not
+    * multiply-add) so the fold never overflows under ANSI arithmetic. */
   def fingerprint(text: Column): Column =
     aggregate(tokens(lower(trim(text))), lit(1125899906842597L),
-      (acc, t) => acc * lit(31L) + crc32(t).cast("long"))
+      (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(crc32(t).cast("long")))
 
   /** Word k-shingles over an already-materialized token-array column (distinct), the
     * MinHash input unit.

@@ -35,10 +35,13 @@ object Queries {
         .where_(col("l_orderkey") % 7 === 0)
         .project(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
-        .sortBy(col("l_orderkey"), col("l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture data: order by every
+        // output column so row order is total up to identical rows (same below).
+        .sortBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |FROM lineitem WHERE l_orderkey % 7 = 0
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
 
     QueryDef("q_extend",
       (s, d) => T(s, d, "lineitem")
@@ -48,12 +51,12 @@ object Queries {
           "disc_band" -> iff(col("l_discount") > 0.05, lit("disc"), lit("full")))
         .project(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("disc_band"))
         .where_(col("l_orderkey") < 500)
-        .sortBy(col("l_orderkey"), col("l_linenumber")),
+        .sortBy(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("disc_band")),
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * CAST((1 - l_discount) AS DECIMAL(30,2)) AS DOUBLE) AS revenue,
              |  CASE WHEN l_discount > 0.05 THEN 'disc' ELSE 'full' END AS disc_band
              |FROM lineitem WHERE l_orderkey < 500
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, revenue, disc_band""".stripMargin)),
 
     QueryDef("q_project_away",
       (s, d) => T(s, d, "orders")
@@ -77,12 +80,13 @@ object Queries {
           col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
         .project(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))
-        .sortBy(col("l_orderkey"), col("l_linenumber")),
+        .sortBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
              |FROM lineitem
              |WHERE l_quantity BETWEEN 5 AND 10 AND l_returnflag IN ('A','R')
              |  AND l_shipdate >= TIMESTAMP '1996-01-01'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin)),
 
     QueryDef("q_where_string",
       (s, d) => T(s, d, "events")
@@ -415,7 +419,11 @@ object Queries {
     // --- serialized window operators ---------------------------------------
     QueryDef("q_window",
       (s, d) => {
-        val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        // intra-partition order must be TOTAL up to identical rows ((l_orderkey,
+        // l_linenumber) is not unique in the fixture): order by every row column.
+        val ord = Seq(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_partkey"), col("l_suppkey"))
+        val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
         val wq = Window.partitionBy(col("l_orderkey")).orderBy(col("l_quantity"))
         T(s, d, "lineitem")
           .where_(col("l_orderkey") < 1000)
@@ -428,18 +436,18 @@ object Queries {
             "qty_rank" -> dense_rank().over(wq))
           .project(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("rn"), col("prev_qty"), col("next_qty"), col("cum_qty"), col("qty_rank"))
-          .sortBy(col("l_orderkey"), col("l_linenumber"))
+          .sortBy(col("l_orderkey"), col("rn"))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
              |  ROW_NUMBER() OVER w AS rn,
              |  LAG(l_quantity, 1) OVER w AS prev_qty,
              |  LEAD(l_quantity, 1) OVER w AS next_qty,
-             |  SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+             |  SUM(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
              |  DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS qty_rank
              |FROM lineitem WHERE l_orderkey < 1000
-             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity,
+             |  l_extendedprice, l_discount, l_tax, l_partkey, l_suppkey)
+             |ORDER BY l_orderkey, rn""".stripMargin)),
 
     QueryDef("q_top_nested",
       (s, d) => T(s, d, "lineitem")

@@ -18,9 +18,22 @@ object Tables {
   val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one test table from a scale-factor directory. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one test table from a scale-factor directory.
+    *
+    * Parquet TIMESTAMP(NANOS) columns (the `events.ts` fixture; the reference's
+    * `Datetime` is 100ns-tick Kusto time, so sub-µs sources are expected) are not
+    * directly readable by Spark — we read them as nanos-since-epoch longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs timestamps, matching
+    * DuckDB's ns→µs truncation so oracle comparisons agree. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // nanosAsLong surfaces ns-timestamps as LongType; normalize the canonical `ts`
+    // ingest column back to a µs timestamp (truncating, like DuckDB's ns→µs read).
+    if (df.columns.contains("ts") && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register all tables as temp views (enables the spark.sql surface). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
