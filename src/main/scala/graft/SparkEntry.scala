@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kql.Kql._
-import graft.queries.{NorthStarQueries, Queries, QueryDef}
+import graft.queries.{KqlTextQueries, NorthStarQueries, Queries, QueryDef}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -16,7 +16,8 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  private lazy val all: Seq[QueryDef] = Queries.defs ++ NorthStarQueries.defs
+  private lazy val all: Seq[QueryDef] =
+    Queries.defs ++ NorthStarQueries.defs ++ KqlTextQueries.defs
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the canonical meerkat
     * shape — events, time filter, merge-dedup on the (_ts, _dedup)-equivalent key,

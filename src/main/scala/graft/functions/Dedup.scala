@@ -43,36 +43,58 @@ object Dedup {
       array_min(transform(shingleSet, s => xxhash64(s, lit(i))))): _*)
 
   /** LSH band keys: split a signature into `bands` bands of `signatureLen/bands` rows
-    * and hash each band. Two docs sharing ≥1 band key become a candidate pair. */
+    * and hash each band to ONE long (64-bit key — the band shuffle carries 8 bytes per
+    * (doc, band), never the signature array). Two docs sharing ≥1 band key become a
+    * candidate pair. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map(b =>
-      concat_ws("_", lit(b), hash(slice(signature, b * rowsPerBand + 1, rowsPerBand)))): _*)
+      xxhash64(lit(b), slice(signature, b * rowsPerBand + 1, rowsPerBand))): _*)
 
-  /** Candidate near-duplicate pairs via MinHash-LSH, verified by signature-estimated
-    * Jaccard ≥ threshold. Pipeline: shingle → signature → explode band keys →
-    * self-equi-join on band key (the ONLY join; shuffles on band key, never all-pairs)
-    * → dedupe pairs → verify. */
-  def minHashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          numHashes: Int = 128, bands: Int = 32,
-                          threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
-    val rows = numHashes / bands
-    // Each stage below is a separate projection ON PURPOSE: tokens → shingles →
-    // signature. Inlining them re-evaluates the upstream expression once per lambda
-    // element AND once per hash seed (64×), which is catastrophically slow — see the
-    // perf contract on TextAnalysis.shinglesOf.
-    val sigs = df.select(col(idCol).as("id"),
+  /** MinHash signature table: `(id, sig)` — the one (and only) pass over the corpus
+    * text. Each stage is a separate projection ON PURPOSE: tokens → shingles →
+    * signature. Inlining them re-evaluates the upstream expression once per lambda
+    * element AND once per hash seed (64×), which is catastrophically slow — see the
+    * perf contract on TextAnalysis.shinglesOf. */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 128, shingleK: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), TextAnalysis.shinglesOf(col("__toks"), shingleK).as("__sh"))
       .select(col("id"), minHashSignature(col("__sh"), numHashes).as("sig"))
-      .withColumn("band", explode(lshBandKeys(col("sig"), bands, rows)))
-    val a = sigs.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+
+  /** Candidate pair ids from a signature table via banded LSH. Only `(band_key, id)`
+    * rides the shuffle (16 bytes/row); pairs are `distinct()`-ed HERE, before any
+    * verification expression ever runs — each surviving pair is verified exactly once
+    * downstream. At 100 TB this is the difference between shuffling 8-byte keys and
+    * shuffling 64-long signature arrays 2×bands times. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val keyed = sigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val a = keyed.select(col("band"), col("id").as("id_a"))
+    val b = keyed.select(col("band"), col("id").as("id_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Signature-estimated Jaccard for verified pairs: re-attach the two signatures to
+    * the (already distinct) candidate ids and compute the match fraction once/pair. */
+  def estJaccard(pairs: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame =
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
           v => v === 1)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= threshold)
+
+  /** Near-duplicate pairs via MinHash-LSH, verified by signature-estimated Jaccard ≥
+    * threshold. The signature table is computed once and persisted; the band self-join
+    * carries ids only; pairs are deduped before the (single) verification pass. */
+  def minHashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          numHashes: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
+    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleK).persist()
+    val pairs = lshCandidatePairs(sigs, bands, numHashes / bands)
+    estJaccard(pairs, sigs, numHashes).filter(col("est_jaccard") >= threshold)
   }
 
   // ------------------------------------------------------------------
@@ -100,23 +122,32 @@ object Dedup {
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: block on k rotations/bit-chunks of the simhash so
-    * pairs within `maxHamming` collide in ≥1 block (pigeonhole over 4 chunks ⇒ catches
-    * all pairs with distance ≤ 3 exactly, plus extras filtered by the verify step). */
+  /** SimHash near-dup candidates: block on `maxHamming + 1` bit-chunks of the simhash
+    * — by pigeonhole, any pair within `maxHamming` differing bits agrees on ≥1 full
+    * chunk, so recall within the bound is exact (no silent loss; chunk count is
+    * DERIVED from the bound, not fixed). The chunk self-join carries ids + one 8-byte
+    * chunk key; signatures are persisted and re-attached only to the distinct pairs. */
   def simHashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
+    require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
+    val sigs = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), simHash(col("__toks")).as("sim"))
-    val chunks = 4 // 16-bit chunks; dist ≤3 ⇒ at least one chunk identical
-    val exploded = withSig.withColumn("chunk_id", explode(array((0 until chunks).map(lit(_)): _*)))
-      .withColumn("chunk_key", concat_ws("_", col("chunk_id"),
-        call_function("shiftrightunsigned", col("sim"), col("chunk_id") * 16)
-          .bitwiseAND(lit(0xffffL))))
-    val a = exploded.select(col("chunk_key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = exploded.select(col("chunk_key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk_key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .persist()
+    val chunks = maxHamming + 1
+    val bounds = (0 to chunks).map(i => i * 64 / chunks)
+    val chunkKeys = (0 until chunks).map { c =>
+      val lo = bounds(c); val w = bounds(c + 1) - lo
+      xxhash64(lit(c), call_function("shiftrightunsigned", col("sim"), lit(lo))
+        .bitwiseAND(lit((1L << w) - 1)))
+    }
+    val keyed = sigs.select(col("id"), explode(array(chunkKeys: _*)).as("ck"))
+    val a = keyed.select(col("ck"), col("id").as("id_a"))
+    val b = keyed.select(col("ck"), col("id").as("id_b"))
+    a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .withColumn("hamming", hammingDistance64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

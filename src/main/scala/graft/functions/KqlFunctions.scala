@@ -60,6 +60,19 @@ object KqlFunctions {
   def dynamicGetLong(jsonCol: Column, path: String): Column =
     dynamicGet(jsonCol, path).cast("long")
 
+  /** KQL `todynamic` → Spark 4 VariantType: the binary dynamic encoding (shredded,
+    * pushdown-capable) rather than per-access JSON string re-parsing — the mapping for
+    * `ColumnType::Dynamic` (`/root/reference/src/store/segment_metadata.rs:135`). */
+  def todynamic(jsonCol: Column): Column = parse_json(jsonCol)
+
+  /** Typed variant path access (`d.path` with a KQL to* conversion applied). */
+  def variantGetLong(v: Column, path: String): Column =
+    variant_get(v, s"$$.$path", "bigint")
+  def variantGetDouble(v: Column, path: String): Column =
+    variant_get(v, s"$$.$path", "double")
+  def variantGetString(v: Column, path: String): Column =
+    variant_get(v, s"$$.$path", "string")
+
   // --- type conversions (KQL to*) ---
   def tolong(c: Column): Column = c.cast("long")
   def toint(c: Column): Column = c.cast("int")

@@ -53,56 +53,84 @@ object Similarity {
     (x.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `numPlanes` projections packed into
-    * a long. Cosine-similar vectors collide with high probability. */
-  def lshBucket(vec: Column, dim: Int, numPlanes: Int = 16, seed: Long = 42L): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      // projection = sum_d vec[d] * plane[p][d]; fixed fold order → deterministic
-      val proj = aggregate(
-        zip_with(vec, array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  /** All `nProj` hyperplane projections of a vector in ONE traversal: zip each vector
+    * element with its per-plane weight row (a constant-folded literal matrix) and
+    * elementwise-sum the contribution arrays. Round-1 computed each projection as an
+    * independent fold — `nProj` passes over the vector per row. */
+  def lshProjections(vec: Column, dim: Int, nProj: Int, seed: Long = 42L): Column = {
+    val dimWeights = array((0 until dim).map(d =>
+      array((0 until nProj).map(p => lit(planeComponent(p, d, seed))): _*)): _*)
+    aggregate(
+      zip_with(vec, dimWeights, (x, w) => transform(w, wp => x.cast("double") * wp)),
+      array_repeat(lit(0.0), nProj),
+      (acc, contrib) => zip_with(acc, contrib, (a, c) => a + c))
   }
 
-  /** IVF-style ANN top-k: bucket corpus and queries by hyperplane LSH (optionally
-    * probing neighbor buckets at Hamming distance 1), then rank within buckets only.
-    * Recall < 1 by construction; the 100 TB path — the join is equi on bucket id. */
+  /** Multi-table sign-LSH keys: `numTables` independent tables of `bitsPerTable` sign
+    * bits each, packed as `(table << bitsPerTable) | bits` — an array of `numTables`
+    * long keys per vector. A pair collides if it lands in the same bucket of ANY
+    * table: recall = 1-(1-p^b)^L for per-plane agreement p, tunable without touching
+    * the join shape (always equi on one 8-byte key).
+    *
+    * IMPORTANT perf contract: `proj` must be a materialized attribute (a column from a
+    * previous projection), not a nested lshProjections(...) expression — Catalyst
+    * inlines expression arguments into every lambda use (numTables × bitsPerTable
+    * re-evaluations otherwise). */
+  def lshTableKeys(proj: Column, numTables: Int, bitsPerTable: Int): Column =
+    array((0 until numTables).map { t =>
+      (0 until bitsPerTable).map { j =>
+        when(element_at(proj, t * bitsPerTable + j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).+(lit(t.toLong << bitsPerTable))
+    }: _*)
+
+  /** ANN top-k via multi-table sign-LSH. Candidate generation is ids-only: vectors
+    * never ride the bucket-key shuffle; the (distinct) candidate ids re-attach their
+    * vectors once and cosine is computed once per pair. Recall < 1 by construction —
+    * the 100 TB path where the brute-force corpus×query scan is too expensive. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-              numPlanes: Int = 12, probeBits: Int = 4,
+              numTables: Int = 16, bitsPerTable: Int = 5,
               queryId: String = "query_id", corpusId: String = "corpus_id",
               vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), dim, numPlanes, seed).as("bucket"))
-    // multi-probe: query also looks in buckets differing in one of the first
-    // `probeBits` planes (flipping a sign bit ⇒ XOR with 2^p)
-    val qb = queries.select(col(queryId), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), dim, numPlanes, seed).as("__b0"))
-    val probes = array((lit(0L) +: (0 until probeBits).map(p => lit(1L << p))): _*)
-    val q = qb.withColumn("bucket", explode(transform(probes, m => col("__b0").bitwiseXOR(m))))
-      .drop("__b0")
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val nProj = numTables * bitsPerTable
+    val cKeys = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+      .withColumn("__proj", lshProjections(col("__cv"), dim, nProj, seed))
+      .select(col(corpusId), explode(lshTableKeys(col("__proj"), numTables, bitsPerTable)).as("bucket"))
+    val qKeys = queries.select(col(queryId), col(vecCol).as("__qv"))
+      .withColumn("__proj", lshProjections(col("__qv"), dim, nProj, seed))
+      .select(col(queryId), explode(lshTableKeys(col("__proj"), numTables, bitsPerTable)).as("bucket"))
+    val cand = cKeys.join(broadcast(qKeys), Seq("bucket"))
       .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId)).distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
+      .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
-    scored.select(col(queryId), col(corpusId), col("cosine")).distinct()
+    scored.select(col(queryId), col(corpusId), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against itself and
-    * keep same-bucket pairs above a cosine threshold (near-dup detection at scale). */
+  /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
+    * ids-only bucket join, distinct pairs, one cosine verification per pair. For
+    * high thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of
+    * tables gives ~exact recall while only same-bucket pairs are ever compared. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                         threshold: Double, numPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), dim, numPlanes, seed).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+                         threshold: Double, numTables: Int = 10, bitsPerTable: Int = 6,
+                         seed: Long = 42L): DataFrame = {
+    val nProj = numTables * bitsPerTable
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keyed = base
+      .withColumn("__proj", lshProjections(col("v"), dim, nProj, seed))
+      .select(col("id"), explode(lshTableKeys(col("__proj"), numTables, bitsPerTable)).as("bucket"))
+    val l = keyed.select(col("bucket"), col("id").as("id_a"))
+    val r = keyed.select(col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine").distinct()
+      .select("id_a", "id_b", "cosine")
   }
 }

@@ -122,18 +122,6 @@ object Kql {
       df.withColumn(as, max(when(matchPred, valueCol)).over(w))
     }
 
-    // ------------------------------------------------------------------
-    // Serialized (ordered-window) operators.
-    // ------------------------------------------------------------------
-
-    /** `T | serialize | extend rn=row_number(), prev=prev(c), next=next(c),
-      * cum=row_cumsum(c)` — all share one window spec ⇒ one shuffle + one sort. */
-    def serializedWindow(partitionBy: Seq[Column], orderBy: Seq[Column])(
-        cols: (String, Window.type => Column)*): DataFrame = {
-      val _ = (partitionBy, orderBy) // spec built by callers via winSpec
-      df
-    }
-
     /** `T | top-nested n1 of k1 by agg1, top-nested n2 of k2 by agg2` (2 levels):
       * per outer key keep top `n` inner keys by `rank`. */
     def topNested(outer: Column, inner: Column, rank: Column, n: Int,
@@ -148,6 +136,26 @@ object Kql {
     /** `mv-expand c` — explode an array column into one row per element. */
     def mvExpand(arrayCol: Column, as: String): DataFrame =
       df.withColumn(as, explode(arrayCol))
+
+    /** `mv-expand with_itemindex=pos c` — explode with the element's position, the
+      * building block for `mv-apply` (per-element subquery, then regroup on the
+      * carried row identity + position order). */
+    def mvExpandPos(arrayCol: Column, posName: String, as: String): DataFrame =
+      df.select(col("*"), posexplode(arrayCol).as(Seq(posName, as)))
+
+    /** `bag_unpack(d)` — star-expand a dynamic (JSON) bag column into top-level
+      * columns. The schema is inferred from the data itself (meerkat's schemaless
+      * ingest: "data types will be inferred at ingestion time",
+      * `/root/reference/README.md:20`); `samplingRatio` bounds the inference pass at
+      * scale (inference reads the JSON column only — full column pruning). */
+    def bagUnpack(jsonCol: String, samplingRatio: Double = 1.0): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val schema = spark.read.option("samplingRatio", samplingRatio.toString)
+        .json(df.select(col(jsonCol)).as[String]).schema
+      df.withColumn("__bag", from_json(col(jsonCol), schema))
+        .select(col("*"), col("__bag.*")).drop("__bag", jsonCol)
+    }
 
     /** `make-series agg default=fill on tsCol step Δ by keys` — regular time grid per
       * key group with zero/const fill. Grid bounds are computed distributively
@@ -167,6 +175,28 @@ object Kql {
       aggNames.zip(fills).foldLeft(joined) { case (d, (name, fill)) =>
         d.withColumn(name, coalesce(col(name), fill))
       }
+    }
+
+    /** `series_fill_linear` — linearly interpolate null gaps in a regular series
+      * (the makeSeries output with null fill): one shuffle on the series keys, two
+      * ordered window passes (previous / next non-null anchor), O(1) state per row.
+      * Edge bins with no anchor on one side take the nearest anchor (KQL edge
+      * behavior for fill_linear). */
+    def seriesFillLinear(keys: Seq[Column], binCol: Column, valueCol: String): DataFrame = {
+      val w = Window.partitionBy(keys: _*).orderBy(binCol)
+      val prevW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nextW = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val v = col(valueCol).cast("double")
+      val binSec = binCol.cast("double")
+      val prevV = last(v, ignoreNulls = true).over(prevW)
+      val prevB = last(when(v.isNotNull, binSec), ignoreNulls = true).over(prevW)
+      val nextV = first(v, ignoreNulls = true).over(nextW)
+      val nextB = first(when(v.isNotNull, binSec), ignoreNulls = true).over(nextW)
+      df.withColumn(valueCol,
+        when(v.isNotNull, v)
+          .when(prevV.isNull, nextV)
+          .when(nextV.isNull, prevV)
+          .otherwise(prevV + (nextV - prevV) * (binSec - prevB) / (nextB - prevB)))
     }
   }
 

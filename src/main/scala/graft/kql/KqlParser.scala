@@ -1,0 +1,510 @@
+package graft.kql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KqlFunctions
+import graft.kql.Kql._
+
+/** KQL text front-end: parses a KQL query string into a Spark DataFrame plan built
+  * from the Kql combinators.
+  *
+  * The reference's loudest declaration is "We plan to use KQL (Kusto Query Language)
+  * as the main query language" (`/root/reference/README.md:33-34`) — no parser exists
+  * in its code, so the grammar here follows public KQL documentation for the tabular
+  * core: `where / project / project-away / project-keep / project-rename / extend /
+  * summarize / sort / top / take / distinct / count / join / lookup / union /
+  * mv-expand`, with scalar expressions (comparison, boolean, arithmetic, string
+  * predicates incl. `has` / `contains` / `startswith` / `matches regex`, `in`,
+  * `between (a .. b)`, function calls, datetime/timespan literals).
+  *
+  * Everything compiles to the same declarative combinators the Scala API uses — the
+  * parse layer adds zero execution machinery, so Catalyst sees the identical plans
+  * (pushdown, pruning, broadcast) as the typed surface.
+  */
+object KqlParser {
+
+  def parse(kql: String, tables: String => DataFrame): DataFrame =
+    new Parser(Lexer.tokenize(kql), tables).parseQuery()
+
+  // ------------------------------------------------------------------
+  // Lexer
+  // ------------------------------------------------------------------
+
+  sealed trait Tok
+  final case class Ident(s: String) extends Tok
+  final case class Num(s: String) extends Tok
+  final case class Str(s: String) extends Tok
+  final case class Punct(s: String) extends Tok
+
+  private object Lexer {
+    private val puncts = Seq("!in", "==", "!=", "<=", ">=", "=~", "..", "|", "(", ")",
+      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]")
+
+    def tokenize(s: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '\'' || c == '"') {
+          val quote = c
+          val sb = new StringBuilder
+          i += 1
+          while (i < s.length && s(i) != quote) {
+            if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i + 1)); i += 2 }
+            else { sb.append(s(i)); i += 1 }
+          }
+          require(i < s.length, s"unterminated string literal in KQL: $s")
+          i += 1
+          out += Str(sb.toString)
+        } else if (c.isDigit) {
+          val start = i
+          while (i < s.length && (s(i).isDigit || s(i) == '.') &&
+            !(s(i) == '.' && i + 1 < s.length && s(i + 1) == '.')) i += 1
+          // timespan suffix: 1h / 30m / 10s / 7d / 100ms
+          if (i < s.length && (s(i) == 'h' || s(i) == 'm' || s(i) == 's' || s(i) == 'd')) {
+            val sufStart = i
+            while (i < s.length && s(i).isLetter) i += 1
+            out += Ident(s.substring(start, i)) // timespan literal token, e.g. "1h"
+            val _ = sufStart
+          } else out += Num(s.substring(start, i))
+        } else if (c.isLetter || c == '_' || c == '$') {
+          val start = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '$')) i += 1
+          var word = s.substring(start, i)
+          // hyphenated operators: project-away, project-rename, project-keep, mv-expand
+          while (i < s.length && s(i) == '-' && i + 1 < s.length && s(i + 1).isLetter) {
+            val start2 = i + 1
+            var j = start2
+            while (j < s.length && s(j).isLetter) j += 1
+            word = word + "-" + s.substring(start2, j)
+            i = j
+          }
+          out += Ident(word)
+        } else {
+          puncts.find(p => s.startsWith(p, i)) match {
+            case Some(p) => out += Punct(p); i += p.length
+            case None => throw new IllegalArgumentException(
+              s"unexpected character '$c' at $i in KQL: $s")
+          }
+        }
+      }
+      out.result()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Parser (recursive descent; Pratt-style precedence for expressions)
+  // ------------------------------------------------------------------
+
+  private final class Parser(toks: Vector[Tok], tables: String => DataFrame) {
+    private var pos = 0
+
+    // Literal values by Column identity: Spark 4's unified Column API doesn't expose
+    // the underlying Literal expression, so functions needing a compile-time value
+    // (regex patterns, in-lists, round scale) record it here when the literal parses.
+    private val litValues = new java.util.IdentityHashMap[Column, Any]()
+    private def litCol(v: Any, c: Column): Column = { litValues.put(c, v); c }
+
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def atIdent(s: String): Boolean = peek.contains(Ident(s))
+    private def atPunct(s: String): Boolean = peek.contains(Punct(s))
+    private def eat(t: Tok): Unit =
+      require(peek.contains(t), s"expected $t at token $pos, got $peek")
+    private def eatPunct(s: String): Unit = { eat(Punct(s)); pos += 1 }
+    private def eatIdent(s: String): Unit = { eat(Ident(s)); pos += 1 }
+    private def ident(): String = next() match {
+      case Ident(s) => s
+      case other => throw new IllegalArgumentException(s"expected identifier, got $other")
+    }
+
+    // ---- query := table ('|' op)* ----
+    def parseQuery(): DataFrame = {
+      var df = tables(ident())
+      while (atPunct("|")) { eatPunct("|"); df = parseOp(df) }
+      require(peek.isEmpty || atPunct(")"), s"trailing tokens at $pos: $peek")
+      df
+    }
+
+    private def parseSubQuery(): DataFrame = {
+      eatPunct("(")
+      val df = parseQuery()
+      eatPunct(")")
+      df
+    }
+
+    private def parseOp(df: DataFrame): DataFrame = ident() match {
+      case "where" | "filter" => df.where_(parseExpr())
+      case "project" => df.project(parseProjList(): _*)
+      case "project-away" => df.projectAway(parseIdentList(): _*)
+      case "project-keep" => df.projectKeep(parseIdentList(): _*)
+      case "project-rename" => df.projectRename(parseRenameList(): _*)
+      case "extend" => df.extend(parseNamedExprList(): _*)
+      case "summarize" =>
+        val aggs = parseNamedAggList()
+        val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
+        df.summarize(by, aggs: _*)
+      case "sort" | "order" => eatIdent("by"); df.sortBy(parseSortList(): _*)
+      case "top" =>
+        val n = parseInt()
+        eatIdent("by")
+        df.top(n, parseSortList(): _*)
+      case "take" | "limit" => df.take_(parseInt())
+      case "sample" => df.sample_(parseNum())
+      case "distinct" =>
+        if (atPunct("*")) { pos += 1; df.distinct() }
+        else df.distinctOf(parseProjList(): _*)
+      case "count" => df.summarize(Nil, count(lit(1)).as("Count"))
+      case "mv-expand" =>
+        val name = ident()
+        df.mvExpand(col(name), name)
+      case "union" =>
+        val other = if (atPunct("(")) parseSubQuery() else tables(ident())
+        df.unionKql(other)
+      case "join" =>
+        var kind = "innerunique" // the KQL default
+        if (atIdent("kind")) { pos += 1; eatPunct("="); kind = ident() }
+        val right = parseSubQuery()
+        eatIdent("on")
+        df.joinKql(right, parseIdentList(), kind)
+      case "lookup" =>
+        val dim = parseSubQuery()
+        eatIdent("on")
+        df.lookup(dim, parseIdentList())
+      case other => throw new IllegalArgumentException(s"unsupported KQL operator: $other")
+    }
+
+    // ---- operator argument lists ----
+    private def parseInt(): Int = next() match {
+      case Num(s) => s.toInt
+      case other => throw new IllegalArgumentException(s"expected integer, got $other")
+    }
+    private def parseNum(): Double = next() match {
+      case Num(s) => s.toDouble
+      case other => throw new IllegalArgumentException(s"expected number, got $other")
+    }
+
+    private def parseIdentList(): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      out += ident()
+      while (atPunct(",")) { pos += 1; out += ident() }
+      out.result()
+    }
+
+    /** `new = old, ...` */
+    private def parseRenameList(): Seq[(String, String)] = {
+      def one(): (String, String) = { val n = ident(); eatPunct("="); (n, ident()) }
+      val out = Seq.newBuilder[(String, String)]
+      out += one()
+      while (atPunct(",")) { pos += 1; out += one() }
+      out.result()
+    }
+
+    /** `name = expr, ...` (extend) */
+    private def parseNamedExprList(): Seq[(String, Column)] = {
+      def one(): (String, Column) = { val n = ident(); eatPunct("="); (n, parseExpr()) }
+      val out = Seq.newBuilder[(String, Column)]
+      out += one()
+      while (atPunct(",")) { pos += 1; out += one() }
+      out.result()
+    }
+
+    /** project list: `expr` or `name = expr` */
+    private def parseProjList(): Seq[Column] = {
+      def one(): Column =
+        if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")
+          && (pos + 2 >= toks.length || toks(pos + 2) != Punct("="))) {
+          val n = ident(); eatPunct("="); parseExpr().as(n)
+        } else parseExpr()
+      val out = Seq.newBuilder[Column]
+      out += one()
+      while (atPunct(",")) { pos += 1; out += one() }
+      out.result()
+    }
+
+    /** summarize agg list: `agg(...)` or `name = agg(...)` with KQL default names. */
+    private def parseNamedAggList(): Seq[Column] = {
+      def one(): Column =
+        if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")) {
+          val n = ident(); eatPunct("="); parseAgg(ident()).as(n)
+        } else {
+          val fname = ident()
+          parseAgg(fname).as(defaultAggName(fname))
+        }
+      val out = Seq.newBuilder[Column]
+      out += one()
+      while (atPunct(",")) { pos += 1; out += one() }
+      out.result()
+    }
+
+    private def defaultAggName(f: String): String = f match {
+      case "count" => "count_"
+      case other => other + "_"
+    }
+
+    private def parseAgg(fname: String): Column = {
+      eatPunct("(")
+      val args = if (atPunct(")")) Nil else {
+        val out = Seq.newBuilder[Column]
+        out += parseExpr()
+        while (atPunct(",")) { pos += 1; out += parseExpr() }
+        out.result()
+      }
+      eatPunct(")")
+      fname match {
+        case "count" => count(lit(1))
+        case "countif" => sum(when(args.head, 1L).otherwise(0L))
+        case "sum" => sum(args.head)
+        case "sumif" => sum(when(args(1), args.head))
+        case "avg" => avg(args.head)
+        case "avgif" => avg(when(args(1), args.head))
+        case "min" => min(args.head)
+        case "minif" => min(when(args(1), args.head))
+        case "max" => max(args.head)
+        case "maxif" => max(when(args(1), args.head))
+        case "dcount" => countDistinct(args.head)
+        case "dcountif" => countDistinct(when(args(1), args.head))
+        case "hll" => approx_count_distinct(args.head)
+        case "percentile" => percentile(args.head, args(1))
+        case "stdev" => stddev_samp(args.head)
+        case "variance" => var_samp(args.head)
+        case "make_set" => sort_array(collect_set(args.head))
+        case "make_list" => collect_list(args.head)
+        case "arg_max" => max_by(args(1), args.head)
+        case "arg_min" => min_by(args(1), args.head)
+        case "take_any" => first(args.head)
+        case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
+      }
+    }
+
+    private def parseSortList(): Seq[Column] = {
+      def one(): Column = {
+        val e = parseExpr()
+        if (atIdent("desc")) { pos += 1; e.desc }
+        else if (atIdent("asc")) { pos += 1; e.asc }
+        else e.asc
+      }
+      val out = Seq.newBuilder[Column]
+      out += one()
+      while (atPunct(",")) { pos += 1; out += one() }
+      out.result()
+    }
+
+    // ---- expressions (precedence climbing) ----
+    private def parseExpr(): Column = parseOr()
+
+    private def parseOr(): Column = {
+      var l = parseAnd()
+      while (atIdent("or")) { pos += 1; l = l || parseAnd() }
+      l
+    }
+
+    private def parseAnd(): Column = {
+      var l = parseNot()
+      while (atIdent("and")) { pos += 1; l = l && parseNot() }
+      l
+    }
+
+    private def parseNot(): Column =
+      if (atIdent("not")) { pos += 1; eatPunct("("); val e = parseExpr(); eatPunct(")"); !e }
+      else parseCmp()
+
+    private def parseCmp(): Column = {
+      val l = parseAdd()
+      peek match {
+        case Some(Punct("==")) => pos += 1; l === parseAdd()
+        case Some(Punct("=~")) => pos += 1; lower(l) === lower(parseAdd())
+        case Some(Punct("!=")) => pos += 1; l =!= parseAdd()
+        case Some(Punct("<")) => pos += 1; l < parseAdd()
+        case Some(Punct("<=")) => pos += 1; l <= parseAdd()
+        case Some(Punct(">")) => pos += 1; l > parseAdd()
+        case Some(Punct(">=")) => pos += 1; l >= parseAdd()
+        case Some(Ident("in")) =>
+          pos += 1; l.isin(parseLitList(): _*)
+        case Some(Punct("!in")) =>
+          pos += 1; !l.isin(parseLitList(): _*)
+        case Some(Ident("between")) =>
+          pos += 1; eatPunct("(")
+          val lo = parseAdd(); eatPunct(".."); val hi = parseAdd()
+          eatPunct(")")
+          l.between(lo, hi)
+        case Some(Ident("contains")) => pos += 1; l.contains(parseAdd())
+        case Some(Ident("startswith")) => pos += 1; l.startsWith(strLit())
+        case Some(Ident("endswith")) => pos += 1; l.endsWith(strLit())
+        case Some(Ident("has")) => pos += 1; KqlFunctions.has(l, strLitS())
+        case Some(Ident("matches")) => pos += 1; eatIdent("regex"); l.rlike(strLitS())
+        case _ => l
+      }
+    }
+
+    private def parseLitList(): Seq[Any] = {
+      def one(): Any = next() match {
+        case Num(s) => if (s.contains('.')) s.toDouble else s.toLong
+        case Str(s) => s
+        case Ident("true") => true
+        case Ident("false") => false
+        case other => throw new IllegalArgumentException(s"expected literal in in-list, got $other")
+      }
+      eatPunct("(")
+      val out = Seq.newBuilder[Any]
+      out += one()
+      while (atPunct(",")) { pos += 1; out += one() }
+      eatPunct(")")
+      out.result()
+    }
+
+    private def strLitS(): String = next() match {
+      case Str(s) => s
+      case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+    }
+    private def strLit(): Column = lit(strLitS())
+
+    private def parseAdd(): Column = {
+      var l = parseMul()
+      var done = false
+      while (!done) peek match {
+        case Some(Punct("+")) => pos += 1; l = l + parseMul()
+        case Some(Punct("-")) => pos += 1; l = l - parseMul()
+        case _ => done = true
+      }
+      l
+    }
+
+    private def parseMul(): Column = {
+      var l = parseUnary()
+      var done = false
+      while (!done) peek match {
+        case Some(Punct("*")) => pos += 1; l = l * parseUnary()
+        case Some(Punct("/")) => pos += 1; l = l / parseUnary()
+        case Some(Punct("%")) => pos += 1; l = l % parseUnary()
+        case _ => done = true
+      }
+      l
+    }
+
+    private def parseUnary(): Column =
+      if (atPunct("-")) { pos += 1; -parsePrimary() } else parsePrimary()
+
+    private def parsePrimary(): Column = next() match {
+      case Num(s) =>
+        val v: Any = if (s.contains('.')) s.toDouble else s.toLong
+        litCol(v, lit(v))
+      case Str(s) => litCol(s, lit(s))
+      case Punct("(") => val e = parseExpr(); eatPunct(")"); e
+      case Ident("true") => lit(true)
+      case Ident("false") => lit(false)
+      case Ident(ts) if isTimespanLit(ts) =>
+        val secs = timespanSeconds(ts)
+        litCol(secs, lit(secs))
+      case Ident("bin") if atPunct("(") => parseBin()
+      case Ident(f) if atPunct("(") => parseScalarCall(f)
+      case Ident(name) => col(name)
+      case other => throw new IllegalArgumentException(s"unexpected token in expression: $other")
+    }
+
+    private def isTimespanLit(s: String): Boolean =
+      s.length > 1 && s.init.forall(_.isDigit) &&
+        (s.last == 'h' || s.last == 'm' || s.last == 's' || s.last == 'd')
+
+    /** Timespan literal → whole seconds (bin() widths etc.). */
+    private def timespanSeconds(s: String): Long = {
+      val n = s.init.toLong
+      s.last match {
+        case 's' => n
+        case 'm' => n * 60
+        case 'h' => n * 3600
+        case 'd' => n * 86400
+      }
+    }
+
+    private def parseScalarCall(f: String): Column = {
+      eatPunct("(")
+      val args = if (atPunct(")")) Nil else {
+        val out = Seq.newBuilder[Column]
+        out += parseExpr()
+        while (atPunct(",")) { pos += 1; out += parseExpr() }
+        out.result()
+      }
+      eatPunct(")")
+      f match {
+        case "strlen" => length(args.head)
+        case "tolower" => lower(args.head)
+        case "toupper" => upper(args.head)
+        // KQL substring is 0-based; Spark's is 1-based
+        case "substring" =>
+          if (args.length == 3) args.head.substr(args(1) + 1, args(2))
+          else args.head.substr(args(1) + 1, length(args.head))
+        case "strcat" => concat_ws("", args: _*)
+        case "split" => split(args.head, java.util.regex.Pattern.quote(litString(args(1))))
+        case "replace_string" => replace(args.head, args(1), args(2))
+        case "trim" => trim(args.head)
+        case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
+        case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
+        case "coalesce" => coalesce(args: _*)
+        case "isnull" => args.head.isNull
+        case "isnotnull" => args.head.isNotNull
+        case "isempty" => args.head.isNull || args.head === ""
+        case "abs" => abs(args.head)
+        case "floor" => floor(args.head)
+        case "ceiling" => ceil(args.head)
+        case "round" => if (args.length == 2) round(args.head, litLong(args(1)).toInt) else round(args.head)
+        case "sqrt" => sqrt(args.head)
+        case "log" => log(args.head)
+        case "log10" => log10(args.head)
+        case "exp" => exp(args.head)
+        case "pow" => pow(args.head, args(1))
+        case "sign" => signum(args.head)
+        case "tostring" => args.head.cast("string")
+        case "toint" => args.head.cast("int")
+        case "tolong" => args.head.cast("long")
+        case "todouble" | "toreal" => args.head.cast("double")
+        case "tobool" => args.head.cast("boolean")
+        case "todecimal" => args.head.cast("decimal(38,18)")
+        case "todatetime" => args.head.cast("timestamp")
+        case "datetime" => args.head.cast("timestamp")
+        case "startofday" => date_trunc("day", args.head)
+        case "startofweek" => date_trunc("week", args.head)
+        case "startofmonth" => date_trunc("month", args.head)
+        case "getyear" => year(args.head)
+        case "getmonth" => month(args.head)
+        case "dayofmonth" => dayofmonth(args.head)
+        case "hourofday" => hour(args.head)
+        case "todynamic" | "parse_json" => KqlFunctions.todynamic(args.head)
+        case other => throw new IllegalArgumentException(s"unsupported scalar function: $other")
+      }
+    }
+
+    /** `bin(value, width)` — width may be a timespan literal (`1h`) → timestamp
+      * binning, or a number → numeric binning (integral width keeps an integral
+      * result, like KQL). Dispatch is decided at parse time from the width token. */
+    private def parseBin(): Column = {
+      eatPunct("(")
+      val v = parseExpr()
+      eatPunct(",")
+      val widthIsTimespan = peek match {
+        case Some(Ident(s)) if isTimespanLit(s) => true
+        case _ => false
+      }
+      val widthIsIntegral = peek match {
+        case Some(Num(s)) if !s.contains('.') => true
+        case _ => false
+      }
+      val w = parseExpr()
+      eatPunct(")")
+      if (widthIsTimespan) Bin.ts(v, litLong(w))
+      else if (widthIsIntegral) (floor(v / w) * w).cast("long")
+      else floor(v / w) * w
+    }
+
+    private def litString(c: Column): String = {
+      require(litValues.containsKey(c), "a literal string argument is required here")
+      litValues.get(c).toString
+    }
+    private def litLong(c: Column): Long = {
+      require(litValues.containsKey(c), "a literal numeric argument is required here")
+      litValues.get(c).asInstanceOf[Number].longValue()
+    }
+  }
+}

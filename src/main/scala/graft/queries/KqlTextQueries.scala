@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.kql.KqlParser
+import graft.sources.Tables
+
+/** Driver-contract queries whose plans are built by PARSING KQL TEXT — the
+  * reference's declared query language ("We plan to use KQL (Kusto Query Language)
+  * as the main query language", `/root/reference/README.md:33-34`). Each entry runs a
+  * KQL string through KqlParser against the fixture tables and is oracle-checked in
+  * DuckDB like every other query; the parser emits the same combinator plans as the
+  * typed API, so Catalyst optimizations apply identically.
+  */
+object KqlTextQueries {
+
+  private def run(s: SparkSession, d: String, kql: String): DataFrame =
+    KqlParser.parse(kql, name => Tables.load(s, d, name))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_kql_where_summarize",
+      (s, d) => run(s, d,
+        """lineitem
+          || where l_quantity between (5 .. 45) and l_returnflag in ('A', 'N')
+          || extend qty2 = l_quantity * 2
+          || summarize n = count(), sum_qty = sum(l_quantity), sum_qty2 = sum(qty2)
+          |    by l_returnflag, l_linestatus
+          || sort by l_returnflag asc, l_linestatus asc""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  SUM(l_quantity) AS sum_qty, SUM(l_quantity * 2) AS sum_qty2
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 5 AND 45 AND l_returnflag IN ('A', 'N')
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q_kql_join",
+      (s, d) => run(s, d,
+        """orders
+          || where o_totalprice > 150000
+          || project-rename c_custkey = o_custkey
+          || join kind=inner (customer | project c_custkey, c_mktsegment) on c_custkey
+          || summarize n = count() by c_mktsegment
+          || sort by c_mktsegment asc""".stripMargin),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_totalprice > 150000
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q_kql_bin",
+      (s, d) => run(s, d,
+        """events
+          || where value > 100 and event_type != 'scroll'
+          || extend b = bin(ts, 6h)
+          || summarize n = count(), mx = max(value) by b, event_type
+          || sort by b asc, event_type asc""".stripMargin),
+      Some("""SELECT TIMESTAMP '1970-01-01 00:00:00'
+             |    + INTERVAL (CAST((epoch_us(ts)//1000000)//21600*21600 AS BIGINT)) SECOND AS b,
+             |  event_type, COUNT(*) AS n, MAX(value) AS mx
+             |FROM events WHERE value > 100 AND event_type <> 'scroll'
+             |GROUP BY 1, 2 ORDER BY b, event_type""".stripMargin)),
+
+    QueryDef("q_kql_top",
+      (s, d) => run(s, d,
+        """part
+          || where p_name contains 'wid' or p_name startswith 'a'
+          || top 20 by p_retailprice desc, p_partkey asc
+          || project p_partkey, p_name, p_retailprice""".stripMargin),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             |WHERE p_name LIKE '%wid%' OR p_name LIKE 'a%'
+             |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin)),
+
+    QueryDef("q_kql_strings",
+      (s, d) => run(s, d,
+        """documents
+          || where text has 'the' and lang == 'en'
+          || extend head = toupper(substring(text, 0, 12)), n = strlen(text)
+          || project doc_id, head, n
+          || sort by doc_id asc""".stripMargin),
+      Some("""SELECT doc_id, UPPER(SUBSTRING(text, 1, 12)) AS head, LENGTH(text) AS n
+             |FROM documents
+             |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])the($|[^a-z0-9])') AND lang = 'en'
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -230,13 +230,81 @@ object Queries {
              |  sqrt((SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*) - 1)) AS stdev
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // --- make_set (sorted for determinism) ---------------------------------
+    // --- make_set (sorted + stringified: the driver comparator can't hash
+    // list-typed cells, so emit the canonical comma-joined form) -------------
     QueryDef("q_make_set",
       (s, d) => T(s, d, "events")
         .summarize(Seq(col("event_type")),
-          sort_array(collect_set(col("user_id") % 100)).as("user_buckets"))
+          array_join(sort_array(collect_set(col("user_id") % 100)), ",").as("user_buckets"))
         .sortBy(col("event_type")),
-      Some("""SELECT event_type, list_sort(list(DISTINCT user_id % 100)) AS user_buckets
+      Some("""SELECT event_type,
+             |  array_to_string(list_sort(list(DISTINCT user_id % 100)), ',') AS user_buckets
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // --- make_list / make_bag ----------------------------------------------
+    QueryDef("q_make_list",
+      (s, d) => T(s, d, "events")
+        // KQL make_list preserves encounter order (arbitrary); sort for determinism.
+        .summarize(Seq(col("event_type")),
+          array_join(sort_array(collect_list(col("user_id") % 10)), ",").as("buckets"),
+          count(lit(1)).as("n"))
+        .sortBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  array_to_string(list_sort(list(user_id % 10)), ',') AS buckets,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q_make_bag",
+      (s, d) => T(s, d, "events")
+        // KQL make_bag merges dynamic bags; model: per-key JSON object of
+        // per-event-type counts, built with deterministic key order.
+        .summarize(Seq(col("user_id") % 20 as "bucket", col("event_type")),
+          count(lit(1)).as("n"))
+        .summarize(Seq(col("bucket")),
+          to_json(map_from_entries(array_sort(collect_list(
+            struct(col("event_type"), col("n")))))).as("bag"))
+        .sortBy(col("bucket")),
+      Some("""WITH per AS (
+             |  SELECT user_id % 20 AS bucket, event_type, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT bucket,
+             |  '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}' AS bag
+             |FROM per GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // --- conditional aggregates: dcountif / minif / maxif / avgif -----------
+    QueryDef("q_aggif",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type")),
+          countDistinct(when(col("value") > 250, col("user_id"))).as("dcountif_user"),
+          min(when(col("value") > 250, col("value"))).as("minif_v"),
+          max(when(col("value") > 250, col("value"))).as("maxif_v"),
+          (sum(when(col("value") > 250, col("value").cast("decimal(30,2)")))
+            .cast("double") / count(when(col("value") > 250, lit(1)))).as("avgif_v"))
+        .sortBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  COUNT(DISTINCT user_id) FILTER (WHERE value > 250) AS dcountif_user,
+             |  MIN(value) FILTER (WHERE value > 250) AS minif_v,
+             |  MAX(value) FILTER (WHERE value > 250) AS maxif_v,
+             |  CAST(SUM(CAST(value AS DECIMAL(30,2))) FILTER (WHERE value > 250) AS DOUBLE)
+             |    / COUNT(*) FILTER (WHERE value > 250) AS avgif_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // --- sketch dcount: mergeable HLL (the 100 TB path — exact countDistinct
+    // is a full shuffle of all distinct keys; the sketch shuffles fixed-size
+    // buffers and re-merges across segments/partitions). The oracle checks the
+    // sketch estimate lands within ±5% of the exact count — both engines compute
+    // the exact side, Spark additionally asserts its estimate against it. ------
+    QueryDef("q_dcount_hll",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type")),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .project(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_5pct"))
+        .sortBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             |  true AS within_5pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // --- rollup -------------------------------------------------------------
@@ -361,6 +429,26 @@ object Queries {
         .sortBy(col("n_name"), col("r_name")),
       Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
              |ORDER BY n_name, r_name""".stripMargin)),
+
+    QueryDef("q_join_rightsemi",
+      (s, d) => T(s, d, "orders").where_(col("o_totalprice") > 300000)
+        .projectRename("c_custkey" -> "o_custkey")
+        .joinKql(T(s, d, "customer"), Seq("c_custkey"), "rightsemi")
+        .project(col("c_custkey"), col("c_name"))
+        .sortBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q_join_rightanti",
+      (s, d) => T(s, d, "orders").where_(col("o_totalprice") > 300000)
+        .projectRename("c_custkey" -> "o_custkey")
+        .joinKql(T(s, d, "customer"), Seq("c_custkey"), "rightanti")
+        .project(col("c_custkey"), col("c_name"))
+        .sortBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
 
     // --- as-of (time-correlation) ------------------------------------------
     QueryDef("q_asof",
@@ -487,6 +575,62 @@ object Queries {
              |    FROM events))
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // --- project-keep / take / sample / has ---------------------------------
+    QueryDef("q_project_keep",
+      (s, d) => T(s, d, "lineitem")
+        .projectKeep("l_orderkey", "l_linenumber", "l_quantity")
+        .sortBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    QueryDef("q_take",
+      (s, d) => T(s, d, "orders")
+        // `take` after a total sort so the prefix is deterministic and
+        // oracle-comparable (bare `take` is arbitrary-rows by KQL semantics).
+        .sortBy(col("o_orderkey"))
+        .take_(100)
+        .project(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    QueryDef("q_sample",
+      (s, d) => {
+        // Bernoulli sample under a fixed seed: deterministic for Spark but not
+        // reproducible in DuckDB (different RNG), so the contract is statistical —
+        // emit the sampled fraction's sanity bounds, both engines agree on `true`.
+        val total = T(s, d, "events").summarize(Nil, count(lit(1)).as("n_total"))
+        T(s, d, "events").sample_(0.1, seed = 42L)
+          .summarize(Nil, count(lit(1)).as("n_sample"))
+          .crossJoin(total)
+          .project(
+            (col("n_sample") >= col("n_total") * 0.06 &&
+              col("n_sample") <= col("n_total") * 0.14).as("fraction_ok"))
+      },
+      Some("SELECT true AS fraction_ok")),
+
+    QueryDef("q_has",
+      (s, d) => T(s, d, "documents")
+        .summarize(Seq(col("lang")),
+          sum(when(has(col("text"), "the"), 1L).otherwise(0L)).as("n_has_the"),
+          sum(when(has(col("text"), "he"), 1L).otherwise(0L)).as("n_has_he"),
+          sum(when(col("text").contains("he"), 1L).otherwise(0L)).as("n_contains_he"))
+        .sortBy(col("lang")),
+      Some("""SELECT lang,
+             |  CAST(SUM(CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])the($|[^a-z0-9])') THEN 1 ELSE 0 END) AS BIGINT) AS n_has_the,
+             |  CAST(SUM(CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])he($|[^a-z0-9])') THEN 1 ELSE 0 END) AS BIGINT) AS n_has_he,
+             |  CAST(SUM(CASE WHEN text LIKE '%he%' THEN 1 ELSE 0 END) AS BIGINT) AS n_contains_he
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // --- cube (grouping-sets capability row; rollup already covered) --------
+    QueryDef("q_cube",
+      (s, d) => T(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .sortBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // --- dynamic (JSON) -----------------------------------------------------
     QueryDef("q_json",
       (s, d) => T(s, d, "events")
@@ -497,6 +641,67 @@ object Queries {
       Some("""SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  COUNT(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // parse_json → VariantType (the ColumnType::Dynamic mapping): binary variant
+    // access instead of per-access JSON string parsing.
+    QueryDef("q_variant",
+      (s, d) => T(s, d, "events")
+        .extend("v" -> todynamic(col("props")))
+        .extend("k" -> variantGetLong(col("v"), "k"))
+        .summarize(Seq(col("event_type")),
+          sum(col("k")).as("sum_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+        .sortBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // bag_unpack: star-expand a dynamic bag into columns (schema inferred from data —
+    // the schemaless-ingest semantic). The bag is synthesized deterministically so the
+    // unpack path (inference + from_json + star-expand) is what's under test.
+    QueryDef("q_bag_unpack",
+      (s, d) => T(s, d, "events")
+        .project(col("event_id"), to_json(struct(
+          (col("user_id") % 100).as("uid_bucket"),
+          col("event_type").as("etype"),
+          floor(col("value")).cast("long").as("val"))).as("bag"))
+        .bagUnpack("bag")
+        .summarize(Seq(col("etype")),
+          count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+          countDistinct(col("uid_bucket")).as("n_buckets"))
+        .sortBy(col("etype")),
+      Some("""SELECT event_type AS etype, COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_val,
+             |  COUNT(DISTINCT user_id % 100) AS n_buckets
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
+
+    // mv-apply: per-element subquery over an array — explode with position, apply the
+    // element-level pipeline (filter + transform), regroup in element order.
+    QueryDef("q_mv_apply",
+      (s, d) => T(s, d, "events")
+        .extend("tags" -> array(col("event_type"),
+          concat(lit("user"), (col("user_id") % 5).cast("string")),
+          concat(lit("v"), floor(col("value") / 100).cast("long").cast("string"))))
+        .mvExpandPos(col("tags"), "pos", "tag")
+        .where_(length(col("tag")) > 4)
+        .extend("tag" -> upper(col("tag")))
+        .summarize(Seq(col("event_id")),
+          array_join(array_sort(collect_list(struct(col("pos"), col("tag"))))
+            .getField("tag"), ",").as("tags_applied"))
+        .sortBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  array_to_string(
+             |    list_transform(
+             |      list_filter([event_type,
+             |                   'user' || CAST(user_id % 5 AS VARCHAR),
+             |                   'v' || CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR)],
+             |        t -> length(t) > 4),
+             |      t -> upper(t)), ',') AS tags_applied
+             |FROM events
+             |WHERE length(event_type) > 4 OR length('user' || CAST(user_id % 5 AS VARCHAR)) > 4
+             |   OR length('v' || CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR)) > 4
+             |ORDER BY event_id""".stripMargin)),
 
     QueryDef("q_mv_expand",
       (s, d) => T(s, d, "documents")
@@ -581,9 +786,127 @@ object Queries {
              |FROM lineitem WHERE l_orderkey < 2000
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // --- type fidelity: Decimal / Guid / Timespan (ColumnType rows with no native
+    // fixture column — synthesized per FIXTURES.md §type-coverage; the reference's
+    // type enum is at src/store/segment_metadata.rs:131-142) --------------------
+    QueryDef("q_decimal",
+      (s, d) => T(s, d, "lineitem")
+        // Kusto decimal is 128-bit; DecimalType(38,18) is the closest public Spark
+        // equivalent (SURVEY §1.2). The monetary double is snapped to its true
+        // 2-decimal value FIRST (identical rounding in both engines), then widened —
+        // casting the raw double straight to scale-18 keeps engine-specific ulp noise
+        // that surfaces at scale-6 after a 60k-row sum.
+        .extend("dec_price" -> col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,18)"))
+        .summarize(Seq(col("l_returnflag")),
+          sum(col("dec_price")).cast("decimal(38,6)").cast("string").as("sum_dec"),
+          avg(col("dec_price")).cast("decimal(38,6)").cast("string").as("avg_dec"),
+          count(lit(1)).as("n"))
+        .sortBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,18))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_dec,
+             |  CAST(CAST(AVG(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,18))) AS DECIMAL(38,6)) AS VARCHAR) AS avg_dec,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("q_guid",
+      (s, d) => T(s, d, "orders")
+        // Guid → canonical 36-char string form (SURVEY §1.2): derived
+        // deterministically from the order key via md5.
+        .extend("h" -> md5(col("o_orderkey").cast("string")))
+        .extend("guid" -> concat_ws("-",
+          substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+          substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+          substring(col("h"), 21, 12)))
+        .where_(substring(col("guid"), 1, 1).isin("a", "b", "c"))
+        .project(col("o_orderkey"), col("guid"))
+        .sortBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-'
+             |    || substr(h,17,4) || '-' || substr(h,21,12) AS guid
+             |FROM (SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders)
+             |WHERE substr(h,1,1) IN ('a','b','c') ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef("q_timespan",
+      (s, d) => T(s, d, "events")
+        // Timespan → DayTimeIntervalType (SURVEY §1.2): real interval arithmetic
+        // (subtraction, extract) — not epoch-math on longs.
+        .extend("span" -> expr("ts - date_trunc('day', ts)"))
+        .extend("span_sec" -> expr(
+          "extract(hour from span) * 3600 + extract(minute from span) * 60 + floor(extract(second from span))")
+          .cast("long"))
+        .summarize(Seq(expr("extract(hour from span)").cast("long").as("hour_of_day")),
+          count(lit(1)).as("n"), max(col("span_sec")).as("max_span_sec"))
+        .sortBy(col("hour_of_day")),
+      Some("""SELECT CAST(extract(hour from span) AS BIGINT) AS hour_of_day, COUNT(*) AS n,
+             |  CAST(MAX(extract(hour from span) * 3600 + extract(minute from span) * 60
+             |    + floor(extract(second from span))) AS BIGINT) AS max_span_sec
+             |FROM (SELECT ts - date_trunc('day', ts) AS span FROM events)
+             |GROUP BY 1 ORDER BY hour_of_day""".stripMargin)),
+
     QueryDef("q_range",
       (s, _) => rangeTable(s, 0, 10000, 3).sortBy(col("value")),
       Some("SELECT range AS value FROM range(0, 10000, 3) ORDER BY value")),
+
+    // --- make-series: regular time grid + const fill ------------------------
+    QueryDef("q_make_series",
+      (s, d) => T(s, d, "events")
+        .makeSeries(Seq(col("event_type")), col("ts"), 21600,
+          Seq(count(lit(1)).as("n"), sum(floor(col("value")).cast("long")).as("sv")),
+          Seq(lit(0L), lit(0L)))
+        .projectRename("bin_ts" -> "__bin")
+        .sortBy(col("event_type"), col("bin_ts")),
+      Some("""WITH binned AS (
+             |  SELECT event_type,
+             |    TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (CAST((epoch_us(ts)//1000000)//21600*21600 AS BIGINT)) SECOND AS bin_ts,
+             |    value FROM events),
+             |bounds AS (SELECT min(bin_ts) AS lo, max(bin_ts) AS hi FROM binned),
+             |grid AS (SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 6 HOUR)) AS bin_ts),
+             |keys AS (SELECT DISTINCT event_type FROM events),
+             |agged AS (SELECT event_type, bin_ts, COUNT(*) AS n,
+             |    SUM(CAST(floor(value) AS BIGINT)) AS sv FROM binned GROUP BY 1, 2)
+             |SELECT k.event_type AS event_type, g.bin_ts AS bin_ts,
+             |  COALESCE(a.n, 0) AS n, COALESCE(a.sv, 0) AS sv
+             |FROM keys k CROSS JOIN grid g
+             |LEFT JOIN agged a ON a.event_type = k.event_type AND a.bin_ts = g.bin_ts
+             |ORDER BY k.event_type, g.bin_ts""".stripMargin)),
+
+    // --- make-series + series_fill_linear (null gaps interpolated; min() is the
+    // series value so inputs are order-independent and both engines interpolate
+    // identical doubles with the identical formula) --------------------------
+    QueryDef("q_make_series_linear",
+      (s, d) => T(s, d, "events")
+        .where_(col("value") > 450) // sparse series → real null gaps to interpolate
+        .makeSeries(Seq(col("event_type")), col("ts"), 21600,
+          Seq(min(col("value")).as("mv")), Seq(lit(null)))
+        .seriesFillLinear(Seq(col("event_type")), col("__bin"), "mv")
+        .projectRename("bin_ts" -> "__bin")
+        .project(col("event_type"), col("bin_ts"), col("mv").as("mv_filled"))
+        .sortBy(col("event_type"), col("bin_ts")),
+      Some("""WITH binned AS (
+             |  SELECT event_type,
+             |    TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (CAST((epoch_us(ts)//1000000)//21600*21600 AS BIGINT)) SECOND AS bin_ts,
+             |    value FROM events WHERE value > 450),
+             |bounds AS (SELECT min(bin_ts) AS lo, max(bin_ts) AS hi FROM binned),
+             |grid AS (SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 6 HOUR)) AS bin_ts),
+             |keys AS (SELECT DISTINCT event_type FROM binned),
+             |agged AS (SELECT event_type, bin_ts, MIN(value) AS mv FROM binned GROUP BY 1, 2),
+             |series AS (
+             |  SELECT k.event_type, g.bin_ts, a.mv
+             |  FROM keys k CROSS JOIN grid g
+             |  LEFT JOIN agged a ON a.event_type = k.event_type AND a.bin_ts = g.bin_ts),
+             |anch AS (
+             |  SELECT event_type, bin_ts, mv,
+             |    last_value(mv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    last_value(CASE WHEN mv IS NOT NULL THEN epoch(bin_ts) END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             |    first_value(mv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN mv IS NOT NULL THEN epoch(bin_ts) END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bin_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+             |  FROM series)
+             |SELECT event_type, bin_ts,
+             |  CASE WHEN mv IS NOT NULL THEN mv
+             |       WHEN pv IS NULL THEN nv
+             |       WHEN nv IS NULL THEN pv
+             |       ELSE pv + (nv - pv) * (epoch(bin_ts) - pb) / (nb - pb) END AS mv_filled
+             |FROM anch ORDER BY event_type, bin_ts""".stripMargin)),
 
     // --- deterministic keyed dedup (meerkat merge-dedup semantics) ----------
     QueryDef("q_dedup",

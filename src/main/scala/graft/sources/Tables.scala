@@ -57,11 +57,24 @@ object Tables {
 
   /** Append a batch as a time-partitioned segment (day buckets ≈ meerkat's
     * druid-style time partitioning, README.md:27). Partition pruning on `ts_bucket`
-    * is what keeps 100 TB scans bounded to the queried time range. */
-  def appendSegment(df: DataFrame, path: String, tsCol: String = "_ts"): Unit =
-    prepareIngest(df, tsCol)
+    * is what keeps 100 TB scans bounded to the queried time range.
+    *
+    * Within each partition rows are sorted by the timestamp, so parquet row-group
+    * min/max stats give BRIN-like block skipping on time predicates (the public
+    * equivalent of the reference's `IndexType::Brin`, segment_metadata.proto:41).
+    * Parquet bloom filters on the requested columns serve `has`/equality term
+    * lookups — the cheap public stand-in for the reserved `IndexType::FullText`
+    * slot (segment_metadata.proto:40). */
+  def appendSegment(df: DataFrame, path: String, tsCol: String = "_ts",
+                    bloomCols: Seq[String] = Nil): Unit = {
+    val writer = prepareIngest(df, tsCol)
       .withColumn("ts_bucket", date_format(col(tsCol), "yyyy-MM-dd"))
-      .write.mode("append").partitionBy("ts_bucket").parquet(path)
+      .sortWithinPartitions(col("ts_bucket"), col(tsCol))
+      .write.mode("append")
+    bloomCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.partitionBy("ts_bucket").parquet(path)
+  }
 
   /** Merge-time dedup (README.md:15,22): rewrite a table keeping one row per
     * `(_ts, _dedup)` — deterministic representative via total tie-break ordering.
@@ -109,7 +122,7 @@ object Tables {
 
   /** Widest common type for backward-incompatible evolution; string is the universal
     * fallback (Kusto would use `dynamic`/string too). */
-  private[sources] def widen(a: DataType, b: DataType): DataType = (a, b) match {
+  private[graft] def widen(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
     case (IntegerType, LongType) | (LongType, IntegerType) => LongType
     case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType

@@ -2,23 +2,29 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: time one named contract query and print its physical plan. */
+/** Dev harness: time named contract queries (comma-separated) against an SF dir.
+  * Uses the noop sink (same methodology as Bench); pass -explain to dump plans. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val explain = args.contains("-explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(s"RUN$i rows=$n t=${(System.nanoTime() - t0) / 1e9}s")
+    graft.Warmup.run(spark)
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (explain) df.explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[$name] run$i t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
     }
     spark.stop()
   }

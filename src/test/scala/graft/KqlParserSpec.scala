@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kql.KqlParser
+
+class KqlParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t: DataFrame = Seq(
+    (1L, "alice", "click", 10.0, "2024-01-01 10:00:00"),
+    (2L, "bob", "view", 25.5, "2024-01-01 11:30:00"),
+    (3L, "alice", "click", 50.0, "2024-01-01 13:00:00"),
+    (4L, "carol", "purchase", 99.0, "2024-01-02 09:00:00"),
+    (5L, "bob", "click", 7.25, "2024-01-02 10:15:00")
+  ).toDF("id", "user", "etype", "v", "ts_s")
+    .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  private def run(kql: String): DataFrame = KqlParser.parse(kql, _ => t)
+
+  test("where with comparison, boolean ops, in, between") {
+    assert(run("t | where v > 10 and etype in ('click', 'view')").count() == 2)
+    assert(run("t | where v between (7 .. 26) or user == 'carol'").count() == 4)
+    assert(run("t | where not (etype == 'click')").count() == 2)
+    assert(run("t | where etype != 'click' and v >= 25.5").count() == 2)
+  }
+
+  test("string predicates: contains / startswith / endswith / has / matches regex") {
+    assert(run("t | where user contains 'li'").count() == 2)
+    assert(run("t | where user startswith 'b'").count() == 2)
+    assert(run("t | where user endswith 'ol'").count() == 1)
+    assert(run("t | where etype has 'click'").count() == 3)
+    assert(run("t | where user matches regex '^[ab]'").count() == 4)
+  }
+
+  test("project, extend, project-rename, project-away round-trip") {
+    val df = run("t | extend vv = v * 2 + 1 | project id, vv | sort by id asc")
+    assert(df.columns.toSeq == Seq("id", "vv"))
+    assert(df.as[(Long, Double)].collect().head == (1L, 21.0))
+    assert(run("t | project-rename uid = id").columns.contains("uid"))
+    assert(!run("t | project-away v, ts").columns.contains("v"))
+  }
+
+  test("summarize with aliases and by keys") {
+    val df = run(
+      "t | summarize n = count(), total = sum(v), du = dcount(user) by etype | sort by etype asc")
+    val rows = df.as[(String, Long, Double, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("click", "purchase", "view"))
+    assert(rows.head == ("click", 3L, 67.25, 2L)) // alice, alice, bob
+  }
+
+  test("summarize countif/avgif/arg_max") {
+    val df = run(
+      "t | summarize big = countif(v > 20), am = arg_max(v, user)")
+    val (big, am) = df.as[(Long, String)].collect().head
+    assert(big == 3L && am == "carol")
+  }
+
+  test("top / take / distinct / count operators") {
+    assert(run("t | top 2 by v desc | project user").as[String].collect().toSeq
+      == Seq("carol", "alice"))
+    assert(run("t | take 3").count() == 3)
+    assert(run("t | distinct etype").count() == 3)
+    assert(run("t | count").as[Long].collect().head == 5L)
+  }
+
+  test("join (default innerunique dedupes left) and explicit kinds") {
+    val kql = "t | project user, v | join kind=inner (t | summarize n = count() by user) on user"
+    assert(run(kql).count() == 5)
+    val iu = run("t | project user | join (t | summarize n = count() by user) on user")
+    assert(iu.count() == 3) // innerunique: left deduped on key
+    assert(run("t | join kind=leftanti (t | where v > 20) on id").count() == 2) // ids 1, 5
+  }
+
+  test("bin with timespan literal buckets timestamps") {
+    val df = run("t | extend b = bin(ts, 1d) | summarize n = count() by b | sort by b asc")
+    assert(df.as[(java.sql.Timestamp, Long)].collect().map(_._2).toSeq == Seq(3L, 2L))
+  }
+
+  test("scalar functions: strlen/toupper/substring/iff/round") {
+    val df = run(
+      "t | extend u = toupper(substring(user, 0, 2)), band = iff(v >= 25, 'hi', 'lo'), r = round(v, 1) | project id, u, band, r | sort by id asc")
+    val rows = df.as[(Long, String, String, Double)].collect()
+    assert(rows.head == (1L, "AL", "lo", 10.0))
+    assert(rows(1) == (2L, "BO", "hi", 25.5))
+  }
+
+  test("union and mv-expand") {
+    assert(run("t | union (t | where v > 20)").count() == 8)
+    val arr = t.withColumn("tags", array(lit("a"), lit("b")))
+    val exploded = KqlParser.parse("t | mv-expand tags", _ => arr)
+    assert(exploded.count() == 10)
+  }
+
+  test("unsupported operator raises a parse error") {
+    assertThrows[IllegalArgumentException](run("t | facet by user"))
+    assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
+  }
+}

@@ -42,15 +42,13 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
-  test("lsh bucket is deterministic across partitionings") {
-    val emb = Tables.load(spark, sf, "embeddings")
-    val b1 = emb.repartition(1)
-      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("b"))
-      .as[(Long, Long)].collect().toMap
-    val b4 = emb.repartition(4)
-      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("b"))
-      .as[(Long, Long)].collect().toMap
-    assert(b1 == b4)
+  test("lsh table keys are deterministic across partitionings") {
+    def keys(parts: Int): Map[Long, Seq[Long]] = Tables.load(spark, sf, "embeddings")
+      .repartition(parts)
+      .select(col("vec_id"), Similarity.lshProjections(col("embedding"), 64, 40).as("__p"))
+      .select(col("vec_id"), Similarity.lshTableKeys(col("__p"), 8, 5).as("k"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(1) == keys(4))
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
