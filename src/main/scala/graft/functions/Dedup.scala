@@ -101,23 +101,28 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash of a token multiset: sign-sum of per-token hash bits. Expressed as
-    * a fold over tokens accumulating 64 counters packed sparsely: implemented via
-    * per-bit aggregate() passes would be O(64·n); instead accumulate into an array of
-    * 64 ints with a single fold. */
-  def simHash(tokensCol: Column): Column = {
-    val counts = aggregate(tokensCol,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-      })
-    aggregate(zip_with(counts, sequence(lit(0), lit(63)),
-      (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+  /** 64-bit SimHash over a PRE-MATERIALIZED per-token hash array (majority vote per
+    * bit). Folding a 64-counter array through the token stream (round 1) allocated a
+    * fresh 64-int array per token per row — an allocation storm that dominated the
+    * bench and GC-taxed every query after it. Per-bit scalar folds over the hash
+    * array do the same adds with zero intermediate arrays.
+    *
+    * Perf contract (as TextAnalysis.shinglesOf): `hashes` must be a materialized
+    * attribute, not a nested transform(...) expression. */
+  def simHashFromHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    val bitCounts = transform(sequence(lit(0), lit(63)),
+      i => aggregate(hashes, lit(0L),
+        (acc, h) => acc + call_function("shiftrightunsigned", h, i).bitwiseAND(lit(1L))))
+    aggregate(zip_with(bitCounts, sequence(lit(0), lit(63)),
+      (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
+
+  /** 64-bit SimHash of a token multiset (convenience wrapper; pipelines should
+    * materialize the hash array first and call simHashFromHashes). */
+  def simHash(tokensCol: Column): Column =
+    simHashFromHashes(transform(tokensCol, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -125,14 +130,25 @@ object Dedup {
   /** SimHash near-dup candidates: block on `maxHamming + 1` bit-chunks of the simhash
     * — by pigeonhole, any pair within `maxHamming` differing bits agrees on ≥1 full
     * chunk, so recall within the bound is exact (no silent loss; chunk count is
-    * DERIVED from the bound, not fixed). The chunk self-join carries ids + one 8-byte
-    * chunk key; signatures are persisted and re-attached only to the distinct pairs. */
+    * DERIVED from the bound, not fixed).
+    *
+    * Unlike MinHash (64-long signature arrays, verify AFTER distinct), the simhash
+    * signature is ONE long and hamming is one xor+popcount — cheaper than the
+    * distinct's own shuffle row. So the 8-byte sig rides the chunk join and pairs are
+    * hamming-filtered BEFORE distinct: on template-heavy corpora whose biased bits
+    * produce giant chunk buckets (observed: one 7-bit chunk bucket holding 45% of a
+    * 5k corpus → 7M+ candidate pairs), this drops the distinct input from millions of
+    * rows to just the true near-dups and removes both re-attach joins. */
   def simHashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
+    // persist() is a MATERIALIZATION BARRIER, not just a cache: without it,
+    // CollapseProject inlines the full simhash expression into every chunk-key
+    // expression below (9× per row, per join side) — observed 396s vs 12s at sf0.1.
     val sigs = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
-      .select(col("id"), simHash(col("__toks")).as("sim"))
+      .select(col("id"), transform(col("__toks"), t => xxhash64(t)).as("__h"))
+      .select(col("id"), simHashFromHashes(col("__h")).as("sim"))
       .persist()
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(i => i * 64 / chunks)
@@ -141,16 +157,13 @@ object Dedup {
       xxhash64(lit(c), call_function("shiftrightunsigned", col("sim"), lit(lo))
         .bitwiseAND(lit((1L << w) - 1)))
     }
-    val keyed = sigs.select(col("id"), explode(array(chunkKeys: _*)).as("ck"))
-    val a = keyed.select(col("ck"), col("id").as("id_a"))
-    val b = keyed.select(col("ck"), col("id").as("id_b"))
+    val keyed = sigs.select(col("id"), col("sim"), explode(array(chunkKeys: _*)).as("ck"))
+    val a = keyed.select(col("ck"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = keyed.select(col("ck"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("ck")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .join(sigs.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .withColumn("hamming", hammingDistance64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** n-gram Jaccard verification for a candidate pair set (post-LSH refinement). */

@@ -54,12 +54,13 @@ object Similarity {
   }
 
   /** All `nProj` hyperplane projections of a vector in ONE traversal: zip each vector
-    * element with its per-plane weight row (a constant-folded literal matrix) and
-    * elementwise-sum the contribution arrays. Round-1 computed each projection as an
-    * independent fold — `nProj` passes over the vector per row. */
+    * element with its per-plane weight row and elementwise-sum the contribution
+    * arrays. The weight matrix ships as a SINGLE typedlit literal node — building it
+    * from dim×nProj nested array() constructors (round-1 shape) put 5000+ nodes into
+    * the expression tree and the optimizer spent a minute per plan walking them. */
   def lshProjections(vec: Column, dim: Int, nProj: Int, seed: Long = 42L): Column = {
-    val dimWeights = array((0 until dim).map(d =>
-      array((0 until nProj).map(p => lit(planeComponent(p, d, seed))): _*)): _*)
+    val dimWeights = typedlit((0 until dim).map(d =>
+      (0 until nProj).map(p => planeComponent(p, d, seed))))
     aggregate(
       zip_with(vec, dimWeights, (x, w) => transform(w, wp => x.cast("double") * wp)),
       array_repeat(lit(0.0), nProj),
@@ -112,24 +113,33 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
-    * ids-only bucket join, distinct pairs, one cosine verification per pair. For
-    * high thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of
-    * tables gives ~exact recall while only same-bucket pairs are ever compared. */
+    * ids-only bucket join, distinct pairs, one verification per pair. For high
+    * thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of tables
+    * gives ~exact recall while only same-bucket pairs are ever compared.
+    *
+    * The prepared table (vector + norm + bucket keys) is computed ONCE and persisted
+    * — both join sides and both re-attach sides read the cache, and verification is
+    * a single dot-product fold per pair (norms precomputed per vector, not 2× per
+    * pair). bitsPerTable=8 keeps buckets selective (collision fraction 2^-8/table):
+    * at round-1's b=6 the verify stage drowned in random-vector collisions. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                         threshold: Double, numTables: Int = 10, bitsPerTable: Int = 6,
+                         threshold: Double, numTables: Int = 10, bitsPerTable: Int = 8,
                          seed: Long = 42L): DataFrame = {
     val nProj = numTables * bitsPerTable
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val keyed = base
+    val prepared = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__norm", norm(col("v")))
       .withColumn("__proj", lshProjections(col("v"), dim, nProj, seed))
-      .select(col("id"), explode(lshTableKeys(col("__proj"), numTables, bitsPerTable)).as("bucket"))
+      .select(col("id"), col("v"), col("__norm"),
+        lshTableKeys(col("__proj"), numTables, bitsPerTable).as("__keys"))
+      .persist()
+    val keyed = prepared.select(col("id"), explode(col("__keys")).as("bucket"))
     val l = keyed.select(col("bucket"), col("id").as("id_a"))
     val r = keyed.select(col("bucket"), col("id").as("id_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("__norm").as("na")), Seq("id_a"))
+      .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("__norm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

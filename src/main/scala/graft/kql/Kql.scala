@@ -122,6 +122,32 @@ object Kql {
       df.withColumn(as, max(when(matchPred, valueCol)).over(w))
     }
 
+    /** As-of JOIN between two tables: for each left row, attach `valueCol` from the
+      * right row with the greatest `rightTs` ≤ the left row's `leftTs` within the same
+      * `keys` group (inclusive match).
+      *
+      * NOT a range join (which Spark plans as a broadcast-nested-loop or a
+      * partition-exploding band join): both sides are tagged and unioned, then ONE
+      * ordered window pass per key group carries the latest right value forward —
+      * one shuffle on the keys, O(1) state per row, no pair blow-up. Right rows with
+      * duplicate (key, ts) must be pre-aggregated by the caller for determinism. */
+    def asOfJoin(right: DataFrame, keys: Seq[String], leftTs: String, rightTs: String,
+                 valueCol: String, as: String): DataFrame = {
+      val leftCols = df.columns
+      val l = df.withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
+        .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      val r = right.select((keys.map(col) :+ col(rightTs).as("__t") :+
+        col(valueCol).as("__v")): _*).withColumn("__side", lit(0))
+      // right rows sort before left rows at equal ts ⇒ inclusive (ts_r <= ts_l) match
+      val merged = l.unionByName(r, allowMissingColumns = true)
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      merged
+        .withColumn(as, last(when(col("__side") === 0, col("__v")), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1)
+        .select(leftCols.map(col) :+ col(as): _*)
+    }
+
     /** `T | top-nested n1 of k1 by agg1, top-nested n2 of k2 by agg2` (2 levels):
       * per outer key keep top `n` inner keys by `rank`. */
     def topNested(outer: Column, inner: Column, rank: Column, n: Int,

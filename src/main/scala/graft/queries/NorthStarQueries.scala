@@ -102,20 +102,51 @@ object NorthStarQueries {
               |    t -> list_contains(${TA.stopwords.mkString("['", "','", "']")}, t))) AS BIGINT) AS n_stop
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // --- language-ID + quality score (heuristic; rows-only checks) ----------
+    // --- language-ID + quality score (heuristics, but deterministic arithmetic —
+    // both fully reproduced in the DuckDB oracle) ----------------------------
     QueryDef("q_langid",
       (s, d) => T(s, d, "documents")
         .extend("predicted" -> TA.languageId(col("text")))
         .summarize(Seq(col("lang"), col("predicted")), count(lit(1)).as("n"))
         .sortBy(col("lang"), col("predicted")),
-      None),
+      Some {
+        val langScore = TA.langStopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+          s"  len(list_filter(t, x -> list_contains(${ws.mkString("['", "','", "']")}, x))) AS s_$l"
+        }.mkString(",\n")
+        val padded = TA.langStopwords.keys.toSeq.sorted.map(l =>
+          s"    lpad(CAST(s_$l AS VARCHAR), 8, '0') || '$l'").mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+           |scores AS (SELECT doc_id, lang,
+           |$langScore
+           |  FROM toks)
+           |SELECT lang, predicted, COUNT(*) AS n FROM (
+           |  SELECT lang, substr(greatest(
+           |$padded), 9, 2) AS predicted
+           |  FROM scores)
+           |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+      }),
 
     QueryDef("q_quality_score",
       (s, d) => T(s, d, "documents")
         .extend("score" -> TA.qualityScore(col("text")))
         .project(col("doc_id"), col("score"))
         .sortBy(col("doc_id")),
-      None),
+      Some(s"""WITH m AS (SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+              |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist,
+              |  CAST(len(list_filter(string_split(lower(text), ' '),
+              |    x -> list_contains(${TA.stopwords.mkString("['", "','", "']")}, x))) AS DOUBLE) AS n_stop,
+              |  CAST(length(text) AS DOUBLE) AS n_chars,
+              |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+              |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+              |  FROM documents)
+              |SELECT doc_id, LEAST(1.0, GREATEST(0.0,
+              |  0.35 * (n_dist / GREATEST(n_tok, 1.0))
+              |  + 0.25 * LEAST(n_stop / GREATEST(n_tok, 1.0) * 4, 1.0)
+              |  + 0.4 * (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+              |  - n_punct / GREATEST(n_chars, 1.0)
+              |  - n_digit / GREATEST(n_chars, 1.0))) AS score
+              |FROM m ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q_fingerprint",
       (s, d) => T(s, d, "documents")
@@ -224,6 +255,26 @@ object NorthStarQueries {
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- streaming correctness: the events table replayed through Structured
+    // Streaming (AvailableNow micro-batches, stateful agg, complete-mode memory
+    // sink) must produce exactly the batch answer — oracle-checked in DuckDB like
+    // every batch query. This is the one row that executes the streaming engine
+    // inside CORRECTNESS rather than only in unit tests. ----------------------
+    QueryDef("q_streaming_bin",
+      (s, d) => {
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .withColumn("bin_ts", graft.kql.Kql.Bin.ts(col("ts"), 21600))
+          .groupBy(col("bin_ts"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(floor(col("value")).cast("long")).as("sv"))
+        graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_streaming_bin_sink", stream)
+          .sortBy(col("bin_ts"), col("event_type"))
+      },
+      Some("""SELECT TIMESTAMP '1970-01-01 00:00:00'
+             |    + INTERVAL (CAST((epoch_us(ts)//1000000)//21600*21600 AS BIGINT)) SECOND AS bin_ts,
+             |  event_type, COUNT(*) AS n, CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
+             |FROM events GROUP BY 1, 2 ORDER BY bin_ts, event_type""".stripMargin)),
 
     // --- centroid stats over embeddings (deterministic per-dim extremes) ----
     QueryDef("q_embedding_stats",

@@ -465,6 +465,53 @@ object Queries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_ts
              |  FROM events) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // --- as-of JOIN between two tables (union-merge formulation; oracle is
+    // DuckDB's native ASOF JOIN) ---------------------------------------------
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val e = T(s, d, "events")
+        // right side pre-aggregated to unique (key, ts) for determinism
+        val clicks = e.where_(col("event_type") === "click")
+          .summarize(Seq(col("user_id"), col("ts")), max(col("value")).as("v"))
+        e.where_(col("event_type") === "purchase")
+          .project(col("user_id"), col("event_id"), col("ts"))
+          .asOfJoin(clicks, Seq("user_id"), "ts", "ts", "v", "last_click_value")
+          .sortBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, MAX(value) AS v FROM events
+             |  WHERE event_type = 'click' GROUP BY 1, 2),
+             |purchases AS (
+             |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id, p.ts, c.v AS last_click_value
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // --- mergeable-sketch dcount: per-day HLL sketches merged to a global
+    // estimate (the 100 TB rollup path: segment-level sketches union without
+    // rescanning; exact count only for the oracle assert) --------------------
+    QueryDef("q_hll_merge",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .summarize(Seq(date_trunc("day", col("ts")).as("day")),
+            hll_sketch_agg(col("user_id")).as("sketch"),
+            countDistinct(col("user_id")).as("exact_daily"))
+        daily.summarize(Nil,
+            hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_est"),
+            sum(col("exact_daily")).as("sum_daily"))
+          .crossJoin(T(s, d, "events")
+            .summarize(Nil, countDistinct(col("user_id")).as("exact_total")))
+          .project(col("exact_total"),
+            (abs(col("merged_est") - col("exact_total")).cast("double") /
+              col("exact_total") <= 0.05).as("merged_within_5pct"),
+            // daily-sum ≥ total: sanity that the merge deduplicates across days
+            (col("sum_daily") >= col("exact_total")).as("daily_sum_geq_total"))
+      },
+      Some("""SELECT COUNT(DISTINCT user_id) AS exact_total,
+             |  true AS merged_within_5pct, true AS daily_sum_geq_total
+             |FROM events""".stripMargin)),
+
     // --- set ops ------------------------------------------------------------
     QueryDef("q_union",
       (s, d) => {

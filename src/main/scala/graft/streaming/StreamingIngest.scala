@@ -60,4 +60,46 @@ object StreamingIngest {
       .writeStream.format("parquet")
       .option("path", path).option("checkpointLocation", checkpoint)
       .partitionBy("ts_bucket")
+
+  /** Open a fixture table as a BOUNDED STREAM (schema from a batch footer read; the
+    * ns-timestamp normalization of Tables.load applied). With
+    * `Trigger.AvailableNow()` this replays the table through the full micro-batch
+    * machinery and stops — the mechanism behind the streaming correctness query. */
+  def loadStream(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                 name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/$name.parquet"
+    // FileStreamSource streams a DIRECTORY; the fixture is one parquet file
+    // (production tables are directories) — bridge via a symlinked dir.
+    val dir = java.nio.file.Paths.get("/tmp/graft_stream",
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_"), name)
+    java.nio.file.Files.createDirectories(dir)
+    val link = dir.resolve(s"$name.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val df = spark.readStream.schema(schema).parquet(dir.toString)
+    if (df.columns.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Run a streaming aggregation over a bounded fixture stream to completion and
+    * return the (static) result: real Structured Streaming execution — micro-batches,
+    * state store, complete-mode memory sink — inside the batch driver contract, so
+    * streaming results are oracle-checked like any other query. Memoized per
+    * (session, sink name): the stream runs once per session. */
+  private val streamCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  def runBoundedAggregation(spark: org.apache.spark.sql.SparkSession, sinkName: String,
+                            agg: DataFrame): DataFrame =
+    streamCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sinkName", {
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).persist()
+    })
 }
