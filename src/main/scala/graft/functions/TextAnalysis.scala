@@ -76,14 +76,17 @@ object TextAnalysis {
     greatest(scored: _*).getField("lang")
   }
 
-  /** Content-defined document fingerprint: rotate-xor rolling hash of the normalized
-    * token stream (order-sensitive, whitespace-insensitive). aggregate() is a codegen'd
-    * higher-order function — sequential fold, deterministic. Rotate-xor (not
-    * multiply-add) so the fold never overflows under ANSI arithmetic. */
+  /** Content-defined document fingerprint: modular polynomial rolling hash of the
+    * normalized token stream (order-sensitive, whitespace-insensitive). Per-token
+    * hash = first 60 bits of md5 reduced mod 2^32; roll = (acc*31 + h) mod 2^40 —
+    * every intermediate stays far below Long.Max, so the fold is exact under ANSI
+    * arithmetic AND reproducible in any engine with md5 + integer ops (the DuckDB
+    * oracle computes it verbatim; rotate/xor formulations are not portable because
+    * SQL engines differ on shift overflow semantics). */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(lower(trim(text))), lit(1125899906842597L),
-      (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
-        .bitwiseXOR(crc32(t).cast("long")))
+    aggregate(tokens(lower(trim(text))), lit(7919L),
+      (acc, t) => (acc * 31 + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 4294967296L)
+        % 1099511627776L)
 
   /** Word k-shingles over an already-materialized token-array column (distinct), the
     * MinHash input unit.

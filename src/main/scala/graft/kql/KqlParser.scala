@@ -101,6 +101,18 @@ object KqlParser {
   private final class Parser(toks: Vector[Tok], tables: String => DataFrame) {
     private var pos = 0
 
+    // `sort by` remembers its keys; a following `serialize` freezes them as the
+    // window order for row_number()/prev()/next()/row_cumsum() in later extends
+    // (KQL's serialized-order semantics). Row functions without serialize throw.
+    private var lastSortKeys: Seq[Column] = Nil
+    private var serializedOrder: Option[Seq[Column]] = None
+
+    private def rowWindow: org.apache.spark.sql.expressions.WindowSpec = {
+      val order = serializedOrder.getOrElse(throw new IllegalArgumentException(
+        "row functions (row_number/prev/next/row_cumsum) require `| sort by ... | serialize`"))
+      org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    }
+
     // Literal values by Column identity: Spark 4's unified Column API doesn't expose
     // the underlying Literal expression, so functions needing a compile-time value
     // (regex patterns, in-lists, round scale) record it here when the literal parses.
@@ -146,7 +158,16 @@ object KqlParser {
         val aggs = parseNamedAggList()
         val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
         df.summarize(by, aggs: _*)
-      case "sort" | "order" => eatIdent("by"); df.sortBy(parseSortList(): _*)
+      case "sort" | "order" =>
+        eatIdent("by")
+        val keys = parseSortList()
+        lastSortKeys = keys
+        df.sortBy(keys: _*)
+      case "serialize" =>
+        require(lastSortKeys.nonEmpty,
+          "`serialize` requires a preceding `sort by` to define the row order")
+        serializedOrder = Some(lastSortKeys)
+        df
       case "top" =>
         val n = parseInt()
         eatIdent("by")
@@ -429,6 +450,13 @@ object KqlParser {
       }
       eatPunct(")")
       f match {
+        // serialized-order row functions (require `| sort by ... | serialize`)
+        case "row_number" => row_number().over(rowWindow)
+        case "prev" => lag(args.head, 1).over(rowWindow)
+        case "next" => lead(args.head, 1).over(rowWindow)
+        case "row_cumsum" => sum(args.head).over(rowWindow.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
         case "strlen" => length(args.head)
         case "tolower" => lower(args.head)
         case "toupper" => upper(args.head)

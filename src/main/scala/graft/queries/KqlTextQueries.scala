@@ -70,6 +70,22 @@ object KqlTextQueries {
              |WHERE p_name LIKE '%wid%' OR p_name LIKE 'a%'
              |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin)),
 
+    QueryDef("q_kql_serialize",
+      (s, d) => run(s, d,
+        """documents
+          || where lang == 'en'
+          || project doc_id, n_chars
+          || sort by doc_id asc
+          || serialize
+          || extend rn = row_number(), prev_chars = prev(n_chars), cum = row_cumsum(n_chars)""".stripMargin),
+      Some("""SELECT doc_id, n_chars,
+             |  ROW_NUMBER() OVER w AS rn,
+             |  LAG(n_chars, 1) OVER w AS prev_chars,
+             |  SUM(n_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |FROM documents WHERE lang = 'en'
+             |WINDOW w AS (ORDER BY doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q_kql_strings",
       (s, d) => run(s, d,
         """documents

@@ -153,7 +153,18 @@ object NorthStarQueries {
         .project(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
         .summarize(Seq(col("fp")), count(lit(1)).as("n"), min(col("doc_id")).as("rep"))
         .sortBy(col("fp")),
-      None),
+      Some("""WITH f AS (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(CAST(7919 AS BIGINT),
+             |      list_transform(string_split(lower(trim(text)), ' '),
+             |        t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |               list_transform(generate_series(1, 15), i ->
+             |                 CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT))),
+             |             (a, d) -> a * 16 + d) % 4294967296)),
+             |    (acc, h) -> (acc * 31 + h) % 1099511627776) AS fp
+             |  FROM documents)
+             |SELECT fp, COUNT(*) AS n, MIN(doc_id) AS rep
+             |FROM f GROUP BY fp ORDER BY fp""".stripMargin)),
 
     // --- near-dedup (sketch-based; rows-only + ScalaTest) -------------------
     QueryDef("q_minhash_pairs",
@@ -275,6 +286,35 @@ object NorthStarQueries {
              |    + INTERVAL (CAST((epoch_us(ts)//1000000)//21600*21600 AS BIGINT)) SECOND AS bin_ts,
              |  event_type, COUNT(*) AS n, CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY bin_ts, event_type""".stripMargin)),
+
+    // --- multimodal plumbing in CORRECTNESS: synthetic binary payloads (sha2-derived,
+    // identical construction in DuckDB), per-partition batch feature extraction, blob
+    // never shuffled. mean_byte = sum/512 is a power-of-two scale → bit-exact across
+    // engines. The decode itself remains the documented stub (no codecs shipped). ---
+    QueryDef("q_multimodal_features",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.withSyntheticPayload(
+          T(s, d, "documents").project(col("doc_id")), "doc_id")
+        graft.multimodal.Multimodal.extractFeatures(s, media, "doc_id").toDF()
+          .project(col("mediaId").as("media_id"), col("kind").as("media_kind"),
+            col("nBytes").as("n_bytes"), col("meanByte").as("mean_byte"),
+            col("frameCount").as("frame_count"))
+          .sortBy(col("media_id"))
+      },
+      Some {
+        val terms = (0 until 16)
+          .map(i => s"sha256(CAST(doc_id AS VARCHAR) || '$i')").mkString(" || ")
+        s"""WITH p AS (SELECT doc_id, $terms AS h FROM documents)
+           |SELECT doc_id AS media_id,
+           |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_kind,
+           |  CAST(length(h) / 2 AS BIGINT) AS n_bytes,
+           |  CAST(list_sum(list_transform(generate_series(1, CAST(length(h) AS INT), 2), i ->
+           |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16
+           |    + strpos('0123456789abcdef', substr(h, i + 1, 1)) - 1)) AS DOUBLE)
+           |    / (length(h) / 2) AS mean_byte,
+           |  CAST(1 + (length(h) / 2) % 16 AS INT) AS frame_count
+           |FROM p ORDER BY media_id""".stripMargin
+      }),
 
     // --- centroid stats over embeddings (deterministic per-dim extremes) ----
     QueryDef("q_embedding_stats",

