@@ -109,15 +109,23 @@ object Dedup {
     *
     * Perf contract (as TextAnalysis.shinglesOf): `hashes` must be a materialized
     * attribute, not a nested transform(...) expression. */
-  def simHashFromHashes(hashes: Column): Column = {
-    val n = size(hashes)
-    val bitCounts = transform(sequence(lit(0), lit(63)),
-      i => aggregate(hashes, lit(0L),
-        (acc, h) => acc + call_function("shiftrightunsigned", h, i).bitwiseAND(lit(1L))))
-    aggregate(zip_with(bitCounts, sequence(lit(0), lit(63)),
-      (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def simHashFromHashes(hashes: Column): Column =
+    if (nativeExprs) call_function(graft.plans.NativeExpressions.simhashName, hashes)
+    else {
+      val n = size(hashes)
+      val bitCounts = transform(sequence(lit(0), lit(63)),
+        i => aggregate(hashes, lit(0L),
+          (acc, h) => acc + call_function("shiftrightunsigned", h, i).bitwiseAND(lit(1L))))
+      aggregate(zip_with(bitCounts, sequence(lit(0), lit(63)),
+        (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseOR(v))
+    }
+
+  /** True when the graft native expressions are registered in the active session. */
+  private def nativeExprs: Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists(graft.plans.NativeExpressions.simhashName)
+    catch { case _: Throwable => false }
 
   /** 64-bit SimHash of a token multiset (convenience wrapper; pipelines should
     * materialize the hash array first and call simHashFromHashes). */

@@ -16,10 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two float-array columns, accumulated left-to-right in
-    * double: sequential fold ⇒ deterministic, codegen'd (higher-order fn, no UDF). */
+  /** True when the graft native expressions are registered in the active session
+    * (spark.sql.extensions=graft.plans.GraftExtensions). */
+  private def nativeExprs: Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists(graft.plans.NativeExpressions.dotName)
+    catch { case _: Throwable => false }
+
+  /** Elementwise dot product of two float-array columns, accumulated left-to-right
+    * in double — identical semantics on both paths: the native codegen'd DotF32
+    * expression when the session has GraftExtensions installed (primitive loop
+    * inside WholeStageCodegen), else the higher-order-function fold (interpreted,
+    * CodegenFallback). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    if (nativeExprs) call_function(graft.plans.NativeExpressions.dotName, a, b)
+    else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -43,29 +54,28 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("rank"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d) in [-1,1]:
-    * derived from a 64-bit avalanche hash of (seed, p, d). */
-  private def planeComponent(p: Int, d: Int, seed: Long): Double = {
-    var x = seed ^ (p.toLong << 32) ^ d.toLong
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33
-    (x.toDouble / Long.MaxValue.toDouble)
-  }
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d) in [-1,1]
+    * (single source of truth shared with the native expression). */
+  private def planeComponent(p: Int, d: Int, seed: Long): Double =
+    graft.plans.NativeExpressions.planeComponent(p, d, seed)
 
   /** All `nProj` hyperplane projections of a vector in ONE traversal: zip each vector
     * element with its per-plane weight row and elementwise-sum the contribution
     * arrays. The weight matrix ships as a SINGLE typedlit literal node — building it
     * from dim×nProj nested array() constructors (round-1 shape) put 5000+ nodes into
     * the expression tree and the optimizer spent a minute per plan walking them. */
-  def lshProjections(vec: Column, dim: Int, nProj: Int, seed: Long = 42L): Column = {
-    val dimWeights = typedlit((0 until dim).map(d =>
-      (0 until nProj).map(p => planeComponent(p, d, seed))))
-    aggregate(
-      zip_with(vec, dimWeights, (x, w) => transform(w, wp => x.cast("double") * wp)),
-      array_repeat(lit(0.0), nProj),
-      (acc, contrib) => zip_with(acc, contrib, (a, c) => a + c))
-  }
+  def lshProjections(vec: Column, dim: Int, nProj: Int, seed: Long = 42L): Column =
+    if (nativeExprs)
+      call_function(graft.plans.NativeExpressions.hyperplanesName,
+        vec, lit(dim), lit(nProj), lit(seed))
+    else {
+      val dimWeights = typedlit((0 until dim).map(d =>
+        (0 until nProj).map(p => planeComponent(p, d, seed))))
+      aggregate(
+        zip_with(vec, dimWeights, (x, w) => transform(w, wp => x.cast("double") * wp)),
+        array_repeat(lit(0.0), nProj),
+        (acc, contrib) => zip_with(acc, contrib, (a, c) => a + c))
+    }
 
   /** Multi-table sign-LSH keys: `numTables` independent tables of `bitsPerTable` sign
     * bits each, packed as `(table << bitsPerTable) | bits` — an array of `numTables`

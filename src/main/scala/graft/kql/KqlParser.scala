@@ -25,7 +25,7 @@ import graft.kql.Kql._
 object KqlParser {
 
   def parse(kql: String, tables: String => DataFrame): DataFrame =
-    new Parser(Lexer.tokenize(kql), tables).parseQuery()
+    new Parser(Lexer.tokenize(kql), tables).parseProgram()
 
   // ------------------------------------------------------------------
   // Lexer
@@ -39,7 +39,7 @@ object KqlParser {
 
   private object Lexer {
     private val puncts = Seq("!in", "==", "!=", "<=", ">=", "=~", "..", "|", "(", ")",
-      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]")
+      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";")
 
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -132,11 +132,28 @@ object KqlParser {
       case other => throw new IllegalArgumentException(s"expected identifier, got $other")
     }
 
+    // `let name = <query>;` bindings (KQL tabular lets); consulted before tables.
+    private val bindings = scala.collection.mutable.Map[String, DataFrame]()
+    private def resolveTable(name: String): DataFrame =
+      bindings.getOrElse(name, tables(name))
+
+    // ---- program := ('let' ident '=' query ';')* query ----
+    def parseProgram(): DataFrame = {
+      while (atIdent("let")) {
+        pos += 1
+        val name = ident()
+        eatPunct("=")
+        bindings(name) = parseQuery()
+        eatPunct(";")
+      }
+      parseQuery()
+    }
+
     // ---- query := table ('|' op)* ----
     def parseQuery(): DataFrame = {
-      var df = tables(ident())
+      var df = resolveTable(ident())
       while (atPunct("|")) { eatPunct("|"); df = parseOp(df) }
-      require(peek.isEmpty || atPunct(")"), s"trailing tokens at $pos: $peek")
+      require(peek.isEmpty || atPunct(")") || atPunct(";"), s"trailing tokens at $pos: $peek")
       df
     }
 
@@ -182,7 +199,7 @@ object KqlParser {
         val name = ident()
         df.mvExpand(col(name), name)
       case "union" =>
-        val other = if (atPunct("(")) parseSubQuery() else tables(ident())
+        val other = if (atPunct("(")) parseSubQuery() else resolveTable(ident())
         df.unionKql(other)
       case "join" =>
         var kind = "innerunique" // the KQL default

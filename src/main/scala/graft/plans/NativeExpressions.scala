@@ -1,0 +1,243 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the similarity/dedup hot loops.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`) are
+  * CodegenFallback — every element step is an interpreted lambda with boxing. These
+  * expressions generate (and interpret, for the fallback path) tight primitive
+  * loops instead, and participate in WholeStageCodegen. They are injected through
+  * the public `SparkSessionExtensions` API (`spark.sql.extensions=
+  * graft.plans.GraftExtensions`); callers fall back to the HOF formulations when
+  * the extension is not installed, so results are identical either way (asserted
+  * in NativeExprSpec).
+  */
+object NativeExpressions {
+  val dotName = "graft_dot_f32"
+  val simhashName = "graft_simhash64"
+  val hyperplanesName = "graft_hyperplanes"
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d) in
+    * [-1,1]: 64-bit avalanche hash of (seed, p, d). Must stay in lockstep with
+    * Similarity.planeComponent (the HOF fallback uses that copy). */
+  def planeComponent(p: Int, d: Int, seed: Long): Double = {
+    var x = seed ^ (p.toLong << 32) ^ d.toLong
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x.toDouble / Long.MaxValue.toDouble
+  }
+}
+
+/** Dot product of two float-array columns accumulated in double, fixed
+  * left-to-right order (deterministic; same order as the HOF fold it replaces).
+  * Null array elements are treated as 0 (fixture embeddings contain none). */
+case class DotF32(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"${NativeExpressions.dotName} expects two array<float> args, got $l / $r")
+  }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$x.isNullAt(i) && !$y.isNullAt(i)) {
+         |    s += ((double) $x.getFloat(i)) * ((double) $y.getFloat(i));
+         |  }
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = NativeExpressions.dotName
+}
+
+/** 64-bit SimHash from a per-token hash array (majority vote per bit; ties → 0,
+  * matching Dedup.simHashFromHashes). One primitive pass with a 64-int counter
+  * array per ROW (not per token — the HOF version's allocation trap). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${NativeExpressions.simhashName} expects array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        m += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > m) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      s"""
+         |int n = $hs.numElements();
+         |int[] counts = new int[64];
+         |int m = 0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$hs.isNullAt(i)) {
+         |    long h = $hs.getLong(i);
+         |    for (int b = 0; b < 64; b++) { counts[b] += (int) ((h >>> b) & 1L); }
+         |    m++;
+         |  }
+         |}
+         |long sig = 0L;
+         |for (int b = 0; b < 64; b++) { if (counts[b] * 2 > m) sig |= (1L << b); }
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = NativeExpressions.simhashName
+}
+
+/** All `nProj` hyperplane projections of a float vector in one generated loop.
+  * The weight matrix is derived from (dim, nProj, seed) on the driver and shipped
+  * to generated code as a reference object (one flat double[]) — no literal trees,
+  * no per-row matrix construction, no interpreted lambdas. Accumulation order is
+  * d-major, identical to the HOF zip/fold fallback in Similarity.lshProjections. */
+case class HyperplaneProjections(child: Expression, dim: Int, nProj: Int, seed: Long)
+  extends UnaryExpression {
+
+  // flat [d * nProj + p] layout; derived, not a constructor arg (case equality stays
+  // on (child, dim, nProj, seed))
+  @transient private lazy val weights: Array[Double] = {
+    val w = new Array[Double](dim * nProj)
+    var d = 0
+    while (d < dim) {
+      var p = 0
+      while (p < nProj) {
+        w(d * nProj + p) = NativeExpressions.planeComponent(p, d, seed)
+        p += 1
+      }
+      d += 1
+    }
+    w
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${NativeExpressions.hyperplanesName} expects array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Double](nProj)
+    var d = 0
+    while (d < n) {
+      if (!v.isNullAt(d)) {
+        val x = v.getFloat(d).toDouble
+        val base = d * nProj
+        var p = 0
+        while (p < nProj) { out(p) += x * weights(base + p); p += 1 }
+      }
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] out = new double[$nProj];
+         |for (int d = 0; d < n; d++) {
+         |  if (!$v.isNullAt(d)) {
+         |    double x = (double) $v.getFloat(d);
+         |    int base = d * $nProj;
+         |    for (int p = 0; p < $nProj; p++) { out[p] += x * $w[base + p]; }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = NativeExpressions.hyperplanesName
+}
+
+/** Session-extension installer: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(NativeExpressions.dotName),
+      new ExpressionInfo(classOf[DotF32].getName, NativeExpressions.dotName),
+      (children: Seq[Expression]) => DotF32(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier(NativeExpressions.simhashName),
+      new ExpressionInfo(classOf[SimHash64].getName, NativeExpressions.simhashName),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    e.injectFunction((
+      FunctionIdentifier(NativeExpressions.hyperplanesName),
+      new ExpressionInfo(classOf[HyperplaneProjections].getName,
+        NativeExpressions.hyperplanesName),
+      (children: Seq[Expression]) => {
+        def litLong(i: Int): Long = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+            v.longValue()
+          case other => throw new IllegalArgumentException(
+            s"${NativeExpressions.hyperplanesName} arg $i must be a literal, got $other")
+        }
+        HyperplaneProjections(children.head, litLong(1).toInt, litLong(2).toInt, litLong(3))
+      }))
+  }
+}

@@ -70,6 +70,22 @@ object KqlTextQueries {
              |WHERE p_name LIKE '%wid%' OR p_name LIKE 'a%'
              |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin)),
 
+    QueryDef("q_kql_let",
+      (s, d) => run(s, d,
+        """let big = orders | where o_totalprice > 200000;
+          |let names = customer | project c_custkey, c_name;
+          |big
+          || project-rename c_custkey = o_custkey
+          || join kind=inner (names) on c_custkey
+          || summarize n = count(), top_price = max(o_totalprice) by c_name
+          || where n >= 2
+          || sort by c_name asc""".stripMargin),
+      Some("""SELECT c_name, COUNT(*) AS n, MAX(o_totalprice) AS top_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_totalprice > 200000
+             |GROUP BY c_name HAVING COUNT(*) >= 2
+             |ORDER BY c_name""".stripMargin)),
+
     QueryDef("q_kql_serialize",
       (s, d) => run(s, d,
         """documents

@@ -104,6 +104,14 @@ class KqlParserSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](run("t | extend rn = row_number()"))
   }
 
+  test("let bindings name subqueries and compose") {
+    val kql =
+      """let hot = t | where v > 20;
+        |let who = t | distinct user;
+        |hot | join kind=inner (who) on user | count""".stripMargin
+    assert(run(kql).as[Long].collect().head == 3L)
+  }
+
   test("unsupported operator raises a parse error") {
     assertThrows[IllegalArgumentException](run("t | facet by user"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{Dedup, TextAnalysis}
+import graft.kql.Kql._
+import graft.sources.Tables
+
+/** Property-based laws — the Spark analogue of the reference's randomized roundtrip
+  * tests (`bitmap_rnd_test`, `io_roundtrip`; SURVEY.md §5): schema-widening algebra,
+  * normalization invariances of the dedup digest, and bin() idempotence, each over
+  * generated inputs (plain ScalaCheck; fixed seeds via default RNG, small bounded
+  * sample counts for the Spark-driving laws). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 50): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val scalarTypes: Gen[DataType] = Gen.oneOf(
+    IntegerType, LongType, DoubleType, FloatType, StringType,
+    TimestampType, DateType, BooleanType, DecimalType(20, 4))
+
+  test("widen is commutative, idempotent, and total over scalar types") {
+    check(Prop.forAll(scalarTypes, scalarTypes) { (a, b) =>
+      Tables.widen(a, a) == a &&
+        Tables.widen(a, b) == Tables.widen(b, a) &&
+        Tables.widen(a, b) != null
+    })
+  }
+
+  test("widen chaining never reintroduces a narrower type past string") {
+    check(Prop.forAll(scalarTypes, scalarTypes, scalarTypes) { (a, b, c) =>
+      val chained = Tables.widen(Tables.widen(a, b), c)
+      chained != StringType || Tables.widen(chained, a) == StringType
+    })
+  }
+
+  test("contentHash is invariant under case and whitespace noise") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val texts = Gen.listOfN(25, Gen.nonEmptyListOf(word).map(_.mkString(" ")))
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val noisy = df.select(col("id"),
+      concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+    val clean = df.select(col("id"), Dedup.contentHash(col("text")).as("h"))
+    val dirty = noisy.select(col("id"), Dedup.contentHash(col("text")).as("h"))
+    assert(clean.join(dirty, Seq("id", "h")).count() == texts.length)
+  }
+
+  test("contentHash separates distinct normalized texts") {
+    val df = (0 until 200).map(i => (i.toLong, s"doc number $i unique")).toDF("id", "text")
+    assert(df.select(Dedup.contentHash(col("text"))).distinct().count() == 200)
+  }
+
+  test("Bin.ts is idempotent and aligns to the step") {
+    val epochs = Gen.listOfN(60, Gen.choose(0L, 4102444800L)) // 1970..2100
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(7L))
+    for (step <- Seq(60L, 3600L, 21600L, 86400L)) {
+      val df = epochs.toDF("e").select(timestamp_seconds(col("e")).as("ts"))
+      val rows = df.select(Bin.ts(col("ts"), step).as("b"))
+        .select(col("b"), Bin.ts(col("b"), step).as("bb"),
+          (unix_timestamp(col("b")) % step).as("m"))
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      assert(rows.forall { case (b, bb, m) => b == bb && m == 0 }, s"step=$step")
+    }
+  }
+
+  test("fingerprint is whitespace-trim invariant but order sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "  alpha beta gamma  "),
+      (3L, "gamma beta alpha")).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("estJaccard stays within [0,1] and is 1 for identical docs") {
+    val docs = (0 until 30).map(i => (i.toLong, s"common prefix words here item $i"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 32)
+    val pairs = sigs.select(col("id").as("id_a")).crossJoin(sigs.select(col("id").as("id_b")))
+      .filter(col("id_a") <= col("id_b"))
+    val est = Dedup.estJaccard(pairs, sigs, 32)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    assert(est.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
+    assert(est.filter { case (a, b, _) => a == b }.forall(_._3 == 1.0))
+  }
+}
