@@ -39,7 +39,7 @@ object KqlParser {
 
   private object Lexer {
     private val puncts = Seq("!in", "==", "!=", "<=", ">=", "=~", "..", "|", "(", ")",
-      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";")
+      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";", ":")
 
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -149,12 +149,69 @@ object KqlParser {
       parseQuery()
     }
 
-    // ---- query := table ('|' op)* ----
+    // ---- query := source ('|' op)*; source := print | datatable | tableRef ----
     def parseQuery(): DataFrame = {
-      var df = resolveTable(ident())
+      var df =
+        if (atIdent("print")) { pos += 1; parsePrint() }
+        else if (atIdent("datatable")) { pos += 1; parseDatatable() }
+        else resolveTable(ident())
       while (atPunct("|")) { eatPunct("|"); df = parseOp(df) }
       require(peek.isEmpty || atPunct(")") || atPunct(";"), s"trailing tokens at $pos: $peek")
       df
+    }
+
+    /** `print name = expr, ...` — single-row expression evaluation. */
+    private def parsePrint(): DataFrame = {
+      val cols = parseNamedExprList().map { case (n, c) => c.as(n) }
+      org.apache.spark.sql.SparkSession.active.range(1).select(cols: _*)
+    }
+
+    private def kqlType(t: String): String = t match {
+      case "string" => "string"
+      case "long" => "long"
+      case "int" => "int"
+      case "real" | "double" => "double"
+      case "bool" | "boolean" => "boolean"
+      case "datetime" => "timestamp"
+      case "decimal" => "decimal(38,18)"
+      case other => throw new IllegalArgumentException(s"unsupported datatable type: $other")
+    }
+
+    /** `datatable(c1:type, c2:type) [v, v, v, v, ...]` — inline literal table
+      * (values listed row-major, like KQL). */
+    private def parseDatatable(): DataFrame = {
+      eatPunct("(")
+      val schema = Seq.newBuilder[(String, String)]
+      def oneCol(): Unit = { val n = ident(); eatPunct(":"); schema += n -> kqlType(ident()) }
+      oneCol()
+      while (atPunct(",")) { pos += 1; oneCol() }
+      eatPunct(")")
+      eatPunct("[")
+      val vals = Seq.newBuilder[Column]
+      def oneVal(): Unit = peek match {
+        case Some(Ident("datetime")) =>
+          pos += 1; eatPunct("("); vals += lit(strLitS()); eatPunct(")")
+        case Some(Punct("-")) => pos += 1; vals += (next() match {
+          case Num(s) => if (s.contains('.')) lit(-s.toDouble) else lit(-s.toLong)
+          case other => throw new IllegalArgumentException(s"expected number after -, got $other")
+        })
+        case Some(Num(s)) => pos += 1; vals += (if (s.contains('.')) lit(s.toDouble) else lit(s.toLong))
+        case Some(Str(s)) => pos += 1; vals += lit(s)
+        case Some(Ident("true")) => pos += 1; vals += lit(true)
+        case Some(Ident("false")) => pos += 1; vals += lit(false)
+        case other => throw new IllegalArgumentException(s"unsupported datatable literal: $other")
+      }
+      if (!atPunct("]")) { oneVal(); while (atPunct(",")) { pos += 1; oneVal() } }
+      eatPunct("]")
+      val fields = schema.result()
+      val flat = vals.result()
+      require(flat.size % fields.size == 0,
+        s"datatable values (${flat.size}) not a multiple of column count (${fields.size})")
+      val rows = flat.grouped(fields.size).map { row =>
+        struct(row.zip(fields).map { case (v, (n, t)) => v.cast(t).as(n) }: _*)
+      }.toSeq
+      org.apache.spark.sql.SparkSession.active.range(1)
+        .select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
     }
 
     private def parseSubQuery(): DataFrame = {
@@ -198,6 +255,34 @@ object KqlParser {
       case "mv-expand" =>
         val name = ident()
         df.mvExpand(col(name), name)
+      case "parse" =>
+        // `parse Col with ['*'] ('lit' Name[:type])...` — literals anchor, names
+        // capture lazily between them (last capture runs to end of string).
+        val src = col(ident())
+        eatIdent("with")
+        val leadingStar = if (atPunct("*")) { pos += 1; true } else false
+        val segs = Seq.newBuilder[Either[String, (String, String)]] // Left=literal
+        var done = false
+        while (!done) peek match {
+          case Some(Str(s)) => pos += 1; segs += Left(s)
+          case Some(Ident(n)) if !Set("and", "or").contains(n) =>
+            pos += 1
+            val t = if (atPunct(":")) { pos += 1; kqlType(ident()) } else "string"
+            segs += Right((n, t))
+          case _ => done = true
+        }
+        val parts = segs.result()
+        require(parts.exists(_.isRight), "parse needs at least one capture name")
+        val names = parts.collect { case Right(nt) => nt }
+        val regex = new StringBuilder(if (leadingStar) "^.*?" else "^")
+        parts.zipWithIndex.foreach {
+          case (Left(s), _) => regex ++= java.util.regex.Pattern.quote(s)
+          case (Right(_), i) =>
+            regex ++= (if (i == parts.size - 1) "(.*)" else "(.*?)")
+        }
+        names.zipWithIndex.foldLeft(df) { case (acc, ((n, t), gi)) =>
+          acc.extend(n -> regexp_extract(src, regex.toString, gi + 1).cast(t))
+        }
       case "union" =>
         val other = if (atPunct("(")) parseSubQuery() else resolveTable(ident())
         df.unionKql(other)

@@ -86,6 +86,29 @@ object KqlTextQueries {
              |GROUP BY c_name HAVING COUNT(*) >= 2
              |ORDER BY c_name""".stripMargin)),
 
+    QueryDef("q_kql_parse",
+      (s, d) => run(s, d,
+        """events
+          || extend line = strcat(event_type, ' id=', tostring(event_id))
+          || parse line with etype ' id=' eid:long
+          || summarize n = count(), mx = max(eid) by etype
+          || sort by etype asc""".stripMargin),
+      Some("""SELECT event_type AS etype, COUNT(*) AS n, MAX(event_id) AS mx
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
+
+    QueryDef("q_kql_datatable",
+      (s, d) => run(s, d,
+        """let weights = datatable(event_type:string, mult:long) [
+          |  'click', 2, 'view', 3, 'purchase', 10];
+          |events
+          || join kind=inner (weights) on event_type
+          || summarize n = count(), weighted = sum(mult) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH weights(event_type, mult) AS (VALUES ('click', 2), ('view', 3), ('purchase', 10))
+             |SELECT e.event_type AS event_type, COUNT(*) AS n, CAST(SUM(mult) AS BIGINT) AS weighted
+             |FROM events e JOIN weights w ON e.event_type = w.event_type
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     QueryDef("q_kql_serialize",
       (s, d) => run(s, d,
         """documents

@@ -267,6 +267,37 @@ object NorthStarQueries {
              |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // --- ingest/compaction correctness: the actual segment WRITE path (mandatory
+    // _ts/_dedup validation, day-bucketed time partitioning, sort-on-write, bloom
+    // filters) run end-to-end — a batch appended twice (client resubmission), then
+    // merge-dedup compacted; counts must match what the oracle derives from the
+    // source table alone. Idempotent: the scratch dir is wiped per invocation. ----
+    QueryDef("q_ingest_compact",
+      (s, d) => {
+        val root = s"/tmp/graft_ingest/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val seg = s"$root/segments"; val compacted = s"$root/compacted"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val batch = T(s, d, "events").where_(col("user_id") < 20)
+          .project(col("ts").as("_ts"), (col("event_id") % 1000).cast("int").as("_dedup"),
+            col("event_type"), col("value"))
+        Tables.appendSegment(batch, seg, bloomCols = Seq("event_type"))
+        Tables.appendSegment(batch, seg, bloomCols = Seq("event_type")) // resubmission
+        Tables.compact(s, seg, compacted)
+        val raw = s.read.parquet(seg)
+        val comp = s.read.parquet(compacted)
+        raw.summarize(Nil, count(lit(1)).as("n_raw"))
+          .crossJoin(comp.summarize(Nil, count(lit(1)).as("n_compacted")))
+          .extend("time_partitioned" ->
+            lit(raw.columns.contains("ts_bucket") && comp.columns.contains("ts_bucket")))
+          .project(col("n_raw"), col("n_compacted"), col("time_partitioned"))
+      },
+      Some("""WITH b AS (SELECT ts, event_id % 1000 AS dd FROM events WHERE user_id < 20)
+             |SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_raw,
+             |  CAST(COUNT(DISTINCT (ts, dd)) AS BIGINT) AS n_compacted,
+             |  true AS time_partitioned
+             |FROM b""".stripMargin)),
+
     // --- streaming correctness: the events table replayed through Structured
     // Streaming (AvailableNow micro-batches, stateful agg, complete-mode memory
     // sink) must produce exactly the batch answer — oracle-checked in DuckDB like

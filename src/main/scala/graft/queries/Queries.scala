@@ -773,6 +773,57 @@ object Queries {
              |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin)),
 
+    // --- array/map (dynamic-array) function family --------------------------
+    QueryDef("q_array_fns",
+      (s, d) => T(s, d, "documents")
+        .extend("toks" -> split(col("text"), " "))
+        .project(col("doc_id"),
+          size(col("toks")).cast("long").as("n"),
+          array_join(slice(col("toks"), 1, 3), " ").as("head3"),
+          array_join(sort_array(array_distinct(slice(col("toks"), 1, 6))), ",").as("first_sorted"),
+          size(array_intersect(slice(col("toks"), 1, 10), slice(col("toks"), 6, 10)))
+            .cast("long").as("n_overlap"),
+          size(array_union(slice(col("toks"), 1, 5), slice(col("toks"), 6, 5)))
+            .cast("long").as("n_union"),
+          size(array_except(slice(col("toks"), 1, 10), slice(col("toks"), 6, 10)))
+            .cast("long").as("n_except"),
+          element_at(col("toks"), -1).as("last_tok"),
+          array_contains(col("toks"), "the").as("has_the"))
+        .sortBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n,
+             |  array_to_string(toks[1:3], ' ') AS head3,
+             |  array_to_string(list_sort(list_distinct(toks[1:6])), ',') AS first_sorted,
+             |  CAST(len(list_distinct(list_filter(toks[1:10], x -> list_contains(toks[6:15], x)))) AS BIGINT) AS n_overlap,
+             |  CAST(len(list_distinct(toks[1:5] || toks[6:10])) AS BIGINT) AS n_union,
+             |  CAST(len(list_distinct(list_filter(toks[1:10], x -> NOT list_contains(toks[6:15], x)))) AS BIGINT) AS n_except,
+             |  toks[-1] AS last_tok,
+             |  list_contains(toks, 'the') AS has_the
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // --- misc scalar coverage: strcat/iff-case/countof/startof*/coalesce ----
+    QueryDef("q_scalar_misc",
+      (s, d) => T(s, d, "events")
+        .project(col("event_id"),
+          strcat(col("event_type"), lit("#"), col("user_id").cast("string")).as("tag"),
+          caseOf(Seq(
+            (col("value") < 100) -> lit("low"),
+            (col("value") < 300) -> lit("mid")), lit("high")).as("band"),
+          countof(col("event_type"), "c").cast("long").as("n_c"),
+          startofweek(col("ts")).as("wk"),
+          startofmonth(col("ts")).as("mo"),
+          coalesce(nullif(col("event_type"), lit("click")), lit("(click)")).as("nz"))
+        .sortBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+             |  CASE WHEN value < 100 THEN 'low' WHEN value < 300 THEN 'mid' ELSE 'high' END AS band,
+             |  CAST((length(event_type) - length(replace(event_type, 'c', ''))) AS BIGINT) AS n_c,
+             |  date_trunc('week', ts) AS wk,
+             |  date_trunc('month', ts) AS mo,
+             |  COALESCE(NULLIF(event_type, 'click'), '(click)') AS nz
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // --- scalar function families ------------------------------------------
     QueryDef("q_strings",
       (s, d) => T(s, d, "documents")

@@ -112,6 +112,31 @@ class KqlParserSpec extends SparkSpec {
     assert(run(kql).as[Long].collect().head == 3L)
   }
 
+  test("print evaluates single-row expressions") {
+    val df = run("print x = 1 + 2, s = toupper('ab')")
+    assert(df.as[(Long, String)].collect().head == (3L, "AB"))
+  }
+
+  test("datatable builds an inline literal table") {
+    val df = run(
+      """datatable(name:string, qty:long, price:real) [
+        |  'apple', 3, 1.5,
+        |  'pear', -2, 0.75
+        |] | where qty > 0 | project name, price""".stripMargin)
+    assert(df.as[(String, Double)].collect().toSeq == Seq(("apple", 1.5)))
+  }
+
+  test("parse operator extracts anchored captures with types") {
+    val logs = Seq("GET /api/users took 42ms", "POST /api/send took 7ms")
+      .toDF("line")
+    val df = KqlParser.parse(
+      "t | parse line with method ' /api/' endpoint ' took ' ms:long 'ms'",
+      _ => logs)
+    val rows = df.select("method", "endpoint", "ms").as[(String, String, Long)]
+      .collect().toSeq.sortBy(_._3)
+    assert(rows == Seq(("POST", "send", 7L), ("GET", "users", 42L)))
+  }
+
   test("unsupported operator raises a parse error") {
     assertThrows[IllegalArgumentException](run("t | facet by user"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
