@@ -298,6 +298,57 @@ object NorthStarQueries {
              |  true AS time_partitioned
              |FROM b""".stripMargin)),
 
+    // --- effective-schema merge in CORRECTNESS: two segments of the same table
+    // written with CONFLICTING schemas (int vs double value column, a column added
+    // later) — the reference's backward-incompatible evolution (`README.md:14`).
+    // loadMerged must resolve to the widest types and null-fill, and the aggregate
+    // over the merged view must reconcile with the oracle's single-source view. ----
+    QueryDef("q_schema_merge",
+      (s, d) => {
+        val root = s"/tmp/graft_schema/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val e = T(s, d, "events")
+        // old segment: value stored as int, no source column
+        e.where_(col("user_id") % 2 === 0)
+          .project(col("event_id"), col("event_type"),
+            floor(col("value")).cast("int").as("value"))
+          .write.parquet(s"$root/seg1")
+        // new segment: value as double, added source column
+        e.where_(col("user_id") % 2 === 1)
+          .project(col("event_id"), col("event_type"),
+            floor(col("value")).cast("double").as("value"), lit("v2").as("source"))
+          .write.parquet(s"$root/seg2")
+        Tables.loadMerged(s, Seq(s"$root/seg1", s"$root/seg2"))
+          .summarize(Seq(col("event_type")),
+            count(lit(1)).as("n"),
+            sum(col("value").cast("long")).as("sum_floor"),
+            count(col("source")).as("n_with_source"))
+          .sortBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+             |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // --- streaming dedup in CORRECTNESS: the events stream unioned with itself
+    // (total client resubmission), watermark-bounded dropDuplicates on
+    // (ts, event_id); the deduped row count must equal the source cardinality. ----
+    QueryDef("q_streaming_dedup",
+      (s, d) => {
+        val in = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .select(col("ts"), col("event_id"), col("event_type"))
+        val resubmitted = in.unionByName(in)
+        val deduped = graft.streaming.StreamingIngest
+          .dedupStream(resubmitted, "ts", "event_id")
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_dedup_sink", deduped)
+          .summarize(Seq(col("event_type")), count(lit(1)).as("n"))
+          .sortBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // --- streaming correctness: the events table replayed through Structured
     // Streaming (AvailableNow micro-batches, stateful agg, complete-mode memory
     // sink) must produce exactly the batch answer — oracle-checked in DuckDB like

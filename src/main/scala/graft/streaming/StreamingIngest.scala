@@ -94,9 +94,19 @@ object StreamingIngest {
 
   def runBoundedAggregation(spark: org.apache.spark.sql.SparkSession, sinkName: String,
                             agg: DataFrame): DataFrame =
+    runBounded(spark, sinkName, agg, "complete")
+
+  /** Append-mode variant for non-aggregating stateful streams (dropDuplicates emits
+    * first-seen rows immediately, so a bounded replay flushes everything). */
+  def runBoundedDedup(spark: org.apache.spark.sql.SparkSession, sinkName: String,
+                      deduped: DataFrame): DataFrame =
+    runBounded(spark, sinkName, deduped, "append")
+
+  private def runBounded(spark: org.apache.spark.sql.SparkSession, sinkName: String,
+                         stream: DataFrame, mode: String): DataFrame =
     streamCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sinkName", {
-      val q = agg.writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete")
+      val q = stream.writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
