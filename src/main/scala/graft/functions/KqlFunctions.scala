@@ -24,11 +24,13 @@ object KqlFunctions {
   def strcat(cols: Column*): Column = concat_ws("", cols: _*)
 
   /** KQL `has` — term match: the needle appears as a whole token (word-boundary
-    * delimited), unlike `contains` (substring). Case-insensitive like KQL. */
-  def has(haystack: Column, needle: String): Column = {
-    val quoted = java.util.regex.Pattern.quote(needle.toLowerCase)
-    lower(haystack).rlike(s"(^|[^a-z0-9])$quoted($$|[^a-z0-9])")
-  }
+    * delimited), unlike `contains` (substring). Case-insensitive like KQL.
+    * Implemented as tokenize-on-non-alphanumeric + array_contains rather than a
+    * boundary regex: the unanchored `(^|[^a-z0-9])term(...)` pattern backtracks at
+    * every character position (measured ~600µs/row on ~550-char docs); one split
+    * plus an array scan is linear. */
+  def has(haystack: Column, needle: String): Column =
+    array_contains(split(lower(haystack), "[^a-z0-9]+"), needle.toLowerCase)
 
   /** KQL `extract(regex, group, text)` (named to avoid clashing with
     * `functions.extract`). */
