@@ -255,6 +255,29 @@ object KqlParser {
       case "mv-expand" =>
         val name = ident()
         df.mvExpand(col(name), name)
+      case "mv-apply" =>
+        // `mv-apply elem = arrayCol on (op | op | ...)` — explode the array, run the
+        // parenthesized sub-pipeline over the element rows (one row per surviving
+        // element; KQL leaves mv-apply output exploded).
+        val elemName = ident()
+        val arrCol = if (atPunct("=")) { pos += 1; ident() } else elemName
+        eatIdent("on")
+        eatPunct("(")
+        var sub = df.mvExpandPos(col(arrCol), "__mv_pos", elemName)
+        sub = parseOp(sub)
+        while (atPunct("|")) { eatPunct("|"); sub = parseOp(sub) }
+        eatPunct(")")
+        if (sub.columns.contains("__mv_pos")) sub.drop("__mv_pos") else sub
+      case "evaluate" =>
+        // plugin surface; `evaluate bag_unpack(col)` is the one we support
+        val fn = ident()
+        eatPunct("(")
+        val arg = ident()
+        eatPunct(")")
+        fn match {
+          case "bag_unpack" => df.bagUnpack(arg)
+          case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
+        }
       case "parse" =>
         // `parse Col with ['*'] ('lit' Name[:type])...` — literals anchor, names
         // capture lazily between them (last capture runs to end of string).

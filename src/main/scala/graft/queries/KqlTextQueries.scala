@@ -109,6 +109,19 @@ object KqlTextQueries {
              |FROM events e JOIN weights w ON e.event_type = w.event_type
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    QueryDef("q_kql_mvapply",
+      (s, d) => run(s, d,
+        """events
+          || extend tags = split(strcat(event_type, ',user', tostring(user_id % 5)), ',')
+          || mv-apply tag = tags on (where strlen(tag) > 4 | extend tag = toupper(tag))
+          || summarize n = count() by tag
+          || sort by tag asc""".stripMargin),
+      Some("""WITH x AS (
+             |  SELECT unnest([event_type, 'user' || CAST(user_id % 5 AS VARCHAR)]) AS tag
+             |  FROM events)
+             |SELECT upper(tag) AS tag, COUNT(*) AS n FROM x
+             |WHERE length(tag) > 4 GROUP BY 1 ORDER BY tag""".stripMargin)),
+
     QueryDef("q_kql_serialize",
       (s, d) => run(s, d,
         """documents

@@ -297,7 +297,9 @@ object Queries {
     QueryDef("q_dcount_hll",
       (s, d) => T(s, d, "events")
         .summarize(Seq(col("event_type")),
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          // rsd 0.01 (HLL++ precision 14): the default 5% rsd leaves zero margin
+          // against the 5% assert — observed breaching it at sf0.1 group sizes
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .project(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /

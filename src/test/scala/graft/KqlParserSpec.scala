@@ -137,6 +137,24 @@ class KqlParserSpec extends SparkSpec {
     assert(rows == Seq(("POST", "send", 7L), ("GET", "users", 42L)))
   }
 
+  test("mv-apply runs a sub-pipeline over exploded elements") {
+    val arr = t.withColumn("tags", array(col("etype"), lit("zz"), lit("aa")))
+    val df = KqlParser.parse(
+      "t | mv-apply tag = tags on (where tag != 'zz' | extend tag = toupper(tag)) | project id, tag",
+      _ => arr)
+    assert(df.count() == 10) // 2 surviving tags per row
+    assert(df.filter(col("tag") === "ZZ").count() == 0)
+    assert(df.filter(col("tag") === "AA").count() == 5)
+  }
+
+  test("evaluate bag_unpack expands a JSON bag to columns") {
+    val bag = t.select(col("id"), to_json(struct(col("user"), col("v"))).as("props"))
+    val df = KqlParser.parse("t | evaluate bag_unpack(props) | project id, user, v",
+      _ => bag)
+    assert(df.columns.toSeq == Seq("id", "user", "v"))
+    assert(df.count() == 5)
+  }
+
   test("unsupported operator raises a parse error") {
     assertThrows[IllegalArgumentException](run("t | facet by user"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
