@@ -1,15 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every driver-contract query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout (also written to
+  * BENCH_LOCAL.json so consumers need not scrape build-tool-prefixed stdout).
   *
   * Methodology: results go to the noop sink (`format("noop")`), which executes the
   * full plan — every projection is materialized, unlike `.count()` which lets
-  * Catalyst prune unreferenced expressions. Each query is executed twice and the
-  * MINIMUM wall time reported (disclosed as "timing":"min_of_2"): this VM sees
-  * noisy-neighbor CPU steal that can inflate a single run of a CPU-bound query by
-  * 10-40×, and min-of-2 measures the engine, not the neighbor. Failures are
-  * recorded per-query in an `errors` map instead of being swallowed. */
+  * Catalyst prune unreferenced expressions. Timing defends against sustained
+  * noisy-neighbor CPU steal: passes are INTERLEAVED (every query runs once, then
+  * the whole suite repeats) so the two samples of a query are minutes apart and
+  * never share one steal window; per-query time is the min across passes, and any
+  * query whose samples disagree by >3x gets a third tie-break sample
+  * (disclosed as "timing":"min_of_2_interleaved+retry"). Failures are recorded
+  * per-query in an `errors` map instead of being swallowed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,21 +26,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Warmup.run(spark)
-    var times = Vector.empty[(String, Double)]
+    val names = SparkEntry.queries.keys.toVector.sorted
+    var samples = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val failed = collection.mutable.Set.empty[String]
+    def runOne(name: String): Unit = if (!failed(name)) {
       try {
-        // fresh DataFrame per run: no AQE stage reuse between the two timings
-        val t = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        times :+= name -> t
+        // fresh DataFrame per run: no AQE stage reuse between timings
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples += name -> (samples(name) :+ (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
+        failed += name
         errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    // two interleaved passes over the whole suite, then a third sample for any
+    // query whose two timings disagree >3x (one of them hit a steal window)
+    (1 to 2).foreach(_ => names.foreach(runOne))
+    names.filter { n =>
+      val s = samples(n); s.size == 2 && s.max > 3.0 * s.min
+    }.foreach(runOne)
+    val times = names.filterNot(failed).map(n => n -> samples(n).min)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -45,8 +55,12 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    // single line, stdout only — the driver parses this
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_interleaved+retry","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    // single line on stdout AND a file the driver/judge can read without
+    // scraping sbt's [info]-prefixed output
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

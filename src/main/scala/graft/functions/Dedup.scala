@@ -35,12 +35,40 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** MinHash signature of a shingle set: for seed i, min over shingles of
-    * xxhash64(shingle, i). Entirely codegen'd array expressions — per-row cost is
-    * O(#shingles × #hashes) with zero shuffle; deterministic (seeded, no RNG). */
-  def minHashSignature(shingleSet: Column, numHashes: Int = 128): Column =
+  /** Portable 60-bit content hash: first 15 hex digits of md5 as an integer.
+    * Reproducible in any engine with md5 + integer ops (the DuckDB oracles compute
+    * it verbatim as `('0x' || substr(md5(x), 1, 15))::BIGINT`) — same trick as
+    * TextAnalysis.fingerprint. xxhash64 would be faster but is not reproducible
+    * outside the JVM, which would leave the sketch pipelines unverifiable. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash universe: 2^31-1 (Mersenne prime). Affine coefficients stay below
+    * 2^31 so every `a*h + b` intermediate fits a 64-bit signed integer — no
+    * overflow in Spark OR in engines that error on overflow (DuckDB). */
+  val MinHashP = 2147483647L
+  def minhashA(i: Int): Long = ((i * 2654435761L + 1013904223L) % (MinHashP - 1)) + 1
+  def minhashB(i: Int): Long = (i * 2246822519L + 3266489917L) % MinHashP
+
+  /** MinHash signature over a PRE-HASHED shingle array (values in [0, MinHashP)):
+    * component i = min over shingles of the affine permutation (a_i*h + b_i) mod p.
+    * Entirely codegen'd array expressions — per-row cost is O(#shingles × #hashes)
+    * with zero shuffle; deterministic (fixed coefficients, no RNG).
+    *
+    * Perf contract (as TextAnalysis.shinglesOf): `hashedShingles` must be a
+    * materialized attribute — inlining the md5 mapping here would re-evaluate it
+    * once per signature component (numHashes×). */
+  def minHashSignatureFromHashes(hashedShingles: Column, numHashes: Int = 128): Column =
     array((0 until numHashes).map(i =>
-      array_min(transform(shingleSet, s => xxhash64(s, lit(i))))): _*)
+      array_min(transform(hashedShingles,
+        h => (h * minhashA(i) + minhashB(i)) % MinHashP))): _*)
+
+  /** Convenience signature straight from shingle strings (fine for small/ad-hoc
+    * use and tests; pipelines must materialize the hashed array first — see
+    * minHashSignatureFromHashes perf contract). */
+  def minHashSignature(shingleSet: Column, numHashes: Int = 128): Column =
+    minHashSignatureFromHashes(
+      transform(shingleSet, s => portableHash60(s) % MinHashP), numHashes)
 
   /** LSH band keys: split a signature into `bands` bands of `signatureLen/bands` rows
     * and hash each band to ONE long (64-bit key — the band shuffle carries 8 bytes per
@@ -60,7 +88,9 @@ object Dedup {
     df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), TextAnalysis.shinglesOf(col("__toks"), shingleK).as("__sh"))
-      .select(col("id"), minHashSignature(col("__sh"), numHashes).as("sig"))
+      .select(col("id"),
+        transform(col("__sh"), s => portableHash60(s) % MinHashP).as("__h"))
+      .select(col("id"), minHashSignatureFromHashes(col("__h"), numHashes).as("sig"))
 
   /** Candidate pair ids from a signature table via banded LSH. Only `(band_key, id)`
     * rides the shuffle (16 bytes/row); pairs are `distinct()`-ed HERE, before any
@@ -112,10 +142,13 @@ object Dedup {
   def simHashFromHashes(hashes: Column): Column =
     if (nativeExprs) call_function(graft.plans.NativeExpressions.simhashName, hashes)
     else {
-      val n = size(hashes)
+      // null parity with the native SimHash64 expression: null elements cast no
+      // vote and the majority denominator counts non-null elements only
+      val n = size(filter(hashes, h => h.isNotNull))
       val bitCounts = transform(sequence(lit(0), lit(63)),
         i => aggregate(hashes, lit(0L),
-          (acc, h) => acc + call_function("shiftrightunsigned", h, i).bitwiseAND(lit(1L))))
+          (acc, h) => acc + coalesce(
+            call_function("shiftrightunsigned", h, i).bitwiseAND(lit(1L)), lit(0L))))
       aggregate(zip_with(bitCounts, sequence(lit(0), lit(63)),
         (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
         lit(0L), (acc, v) => acc.bitwiseOR(v))
@@ -128,9 +161,11 @@ object Dedup {
     catch { case _: Throwable => false }
 
   /** 64-bit SimHash of a token multiset (convenience wrapper; pipelines should
-    * materialize the hash array first and call simHashFromHashes). */
+    * materialize the hash array first and call simHashFromHashes). Token hashes are
+    * the portable 60-bit md5 hash, so bits 60-63 are constant-zero — the effective
+    * width is 60 bits, and the sketch is bit-for-bit reproducible in the oracle. */
   def simHash(tokensCol: Column): Column =
-    simHashFromHashes(transform(tokensCol, t => xxhash64(t)))
+    simHashFromHashes(transform(tokensCol, t => portableHash60(t)))
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -155,7 +190,7 @@ object Dedup {
     // expression below (9× per row, per join side) — observed 396s vs 12s at sf0.1.
     val sigs = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
-      .select(col("id"), transform(col("__toks"), t => xxhash64(t)).as("__h"))
+      .select(col("id"), transform(col("__toks"), t => portableHash60(t)).as("__h"))
       .select(col("id"), simHashFromHashes(col("__h")).as("sim"))
       .persist()
     val chunks = maxHamming + 1

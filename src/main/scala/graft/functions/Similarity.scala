@@ -30,8 +30,11 @@ object Similarity {
     * CodegenFallback). */
   def dot(a: Column, b: Column): Column =
     if (nativeExprs) call_function(graft.plans.NativeExpressions.dotName, a, b)
+    // null parity with the native DotF32 expression: a null element (or the null
+    // padding zip_with adds past the shorter array's end) contributes 0 to the
+    // fold, matching native's skip-null / truncate-to-shorter semantics
     else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+      lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

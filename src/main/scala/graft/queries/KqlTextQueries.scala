@@ -130,10 +130,12 @@ object KqlTextQueries {
           || sort by doc_id asc
           || serialize
           || extend rn = row_number(), prev_chars = prev(n_chars), cum = row_cumsum(n_chars)""".stripMargin),
+      // CAST discipline: DuckDB ROW_NUMBER() is BIGINT (Spark row_number is int32)
+      // and SUM(BIGINT) is HUGEINT; the driver's hash compare is type-sensitive.
       Some("""SELECT doc_id, n_chars,
-             |  ROW_NUMBER() OVER w AS rn,
+             |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
              |  LAG(n_chars, 1) OVER w AS prev_chars,
-             |  SUM(n_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  CAST(SUM(n_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
              |FROM documents WHERE lang = 'en'
              |WINDOW w AS (ORDER BY doc_id)
              |ORDER BY doc_id""".stripMargin)),

@@ -43,6 +43,32 @@ object NorthStarQueries {
     pipeCache.getOrElseUpdate(cacheKey(s, d, "cands"),
       Dedup.lshCandidatePairs(minhashSigs(s, d), MH_BANDS, MH_HASHES / MH_BANDS).persist())
 
+  // --- DuckDB oracle builders for the sketch pipelines -------------------------
+  // These reproduce TextAnalysis.tokens/shinglesOf and Dedup.portableHash60 /
+  // minHashSignatureFromHashes / simHashFromHashes verbatim in SQL, so the sketch
+  // rows get real hash-compared oracles instead of rows-only checks.
+
+  /** tokens → distinct 3-shingles → portable shingle hashes (mod MinHashP). */
+  private val shingleHashCtes: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(generate_series(1, len(t) - 2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
+       |h AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % ${Dedup.MinHashP}) AS h FROM sh)""".stripMargin
+
+  /** The 64 minhash components with the exact affine coefficients Spark uses. */
+  private val mhSigComponents: String =
+    (0 until MH_HASHES).map(i =>
+      s"list_min(list_transform(h, v -> (v * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinHashP}))")
+      .mkString(",\n    ")
+
+  /** Majority-vote simhash as a sum of per-bit terms (bits 60-63 of the 60-bit
+    * portable hash are constant zero, so only shifts up to 59 are emitted). */
+  private val simhashBitSum: String =
+    (0 until 60).map(b =>
+      s"(CASE WHEN 2 * len(list_filter(h, v -> ((v >> $b) & 1) = 1)) > len(h) THEN (1::BIGINT << $b) ELSE 0 END)")
+      .mkString("\n      + ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- text analysis ------------------------------------------------------
@@ -166,18 +192,51 @@ object NorthStarQueries {
              |SELECT fp, COUNT(*) AS n, MIN(doc_id) AS rep
              |FROM f GROUP BY fp ORDER BY fp""".stripMargin)),
 
-    // --- near-dedup (sketch-based; rows-only + ScalaTest) -------------------
+    // --- near-dedup (sketch-based, FULLY oracle-checked) --------------------
+    // Every hash in the sketch pipelines is the portable md5-based hash
+    // (Dedup.portableHash60), so DuckDB reproduces the signatures / simhash bits
+    // verbatim and brute-forces the ground truth over ALL pairs — precision AND
+    // recall are checked, with no planting needed: the fixture corpus itself
+    // contains exactly 25 near-dup pairs at 3-shingle Jaccard >= 0.9 and nothing
+    // else above 0.2 (measured), a gap both thresholds sit inside.
     QueryDef("q_minhash_pairs",
       (s, d) => Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d), MH_HASHES)
         .where_(col("est_jaccard") >= 0.5)
         .sortBy(col("id_a"), col("id_b")),
-      None),
+      // The oracle recomputes the EXACT 64-component signatures (same md5-derived
+      // shingle hashes, same affine coefficients) and estimates Jaccard over all
+      // pairs by brute force; Spark's banded LSH must surface every pair whose
+      // estimate clears the threshold. est = matches/64 is a power-of-two division
+      // of identical integers — bit-exact across engines.
+      Some(s"""$shingleHashCtes,
+              |sig AS (SELECT doc_id, [
+              |    $mhSigComponents] AS sig FROM h)
+              |SELECT id_a, id_b, est AS est_jaccard FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_filter(generate_series(1, $MH_HASHES),
+              |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $MH_HASHES AS est
+              |  FROM sig a, sig b WHERE a.doc_id < b.doc_id)
+              |WHERE est >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q_simhash_pairs",
       (s, d) => Dedup.simHashNearDupPairs(T(s, d, "documents"), "text", "doc_id",
           maxHamming = 8)
+        .project(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .sortBy(col("id_a"), col("id_b")),
-      None),
+      // Full brute-force oracle: DuckDB recomputes the 64-bit simhash (majority
+      // vote over the portable per-token hashes; bits 60-63 are constant zero so
+      // only shifts up to 59 occur — no BIGINT shift overflow) and emits every
+      // pair within hamming <= 8. The Spark pipeline's chunk blocking is
+      // pigeonhole-exact within the bound, so the sets must match exactly.
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              |h AS (SELECT doc_id, list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h FROM toks),
+              |sim AS (SELECT doc_id,
+              |    $simhashBitSum AS sim FROM h)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+              |FROM sim a, sim b
+              |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 8
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("q_ngram_jaccard",
       (s, d) => {
@@ -193,11 +252,21 @@ object NorthStarQueries {
           .joinKql(docs.project(col("doc_id").as("id_b"), col("sh").as("sh_b")),
             Seq("id_b"), "inner")
           .extend("jaccard" -> Dedup.ngramJaccard(col("sh_a"), col("sh_b")))
-          .where_(col("jaccard") >= 0.3)
+          .where_(col("jaccard") >= 0.5)
           .project(col("id_a"), col("id_b"), col("jaccard"))
           .sortBy(col("id_a"), col("id_b"))
       },
-      None),
+      // Exact-Jaccard ground truth over ALL pairs by brute force; Spark computes
+      // it only for LSH candidates, so a recall loss in candidate generation (a
+      // true pair never surfaced) reddens this row. jaccard = |∩|/|∪| of the same
+      // distinct shingle sets — identical integers, identical double division.
+      Some(s"""$shingleHashCtes
+              |SELECT id_a, id_b, j AS jaccard FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+              |      / greatest(len(list_distinct(a.sh || b.sh)), 1) AS j
+              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+              |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     // --- embedding similarity ----------------------------------------------
     QueryDef("q_cosine_topk",

@@ -979,7 +979,7 @@ object Queries {
              |agged AS (SELECT event_type, bin_ts, COUNT(*) AS n,
              |    SUM(CAST(floor(value) AS BIGINT)) AS sv FROM binned GROUP BY 1, 2)
              |SELECT k.event_type AS event_type, g.bin_ts AS bin_ts,
-             |  COALESCE(a.n, 0) AS n, COALESCE(a.sv, 0) AS sv
+             |  COALESCE(a.n, 0) AS n, CAST(COALESCE(a.sv, 0) AS BIGINT) AS sv
              |FROM keys k CROSS JOIN grid g
              |LEFT JOIN agged a ON a.event_type = k.event_type AND a.bin_ts = g.bin_ts
              |ORDER BY k.event_type, g.bin_ts""".stripMargin)),
