@@ -29,8 +29,17 @@ object KqlFunctions {
     * boundary regex: the unanchored `(^|[^a-z0-9])term(...)` pattern backtracks at
     * every character position (measured ~600µs/row on ~550-char docs); one split
     * plus an array scan is linear. */
-  def has(haystack: Column, needle: String): Column =
-    array_contains(split(lower(haystack), "[^a-z0-9]+"), needle.toLowerCase)
+  def has(haystack: Column, needle: String): Column = {
+    val n = needle.toLowerCase
+    if (n.nonEmpty && n.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+      array_contains(split(lower(haystack), "[^a-z0-9]+"), n)
+    else {
+      // needles containing non-alphanumerics (hyphenated terms, phrases) can never
+      // equal a single token — fall back to the boundary regex for those
+      val q = java.util.regex.Pattern.quote(n)
+      lower(haystack).rlike(s"(^|[^a-z0-9])$q($$|[^a-z0-9])")
+    }
+  }
 
   /** KQL `extract(regex, group, text)` (named to avoid clashing with
     * `functions.extract`). */

@@ -159,6 +159,42 @@ object Kql {
         .filter(col("__rn") <= n).drop("__rn")
     }
 
+    /** General N-level `top-nested`: level i keeps, per surviving key prefix
+      * (k1..k(i-1)), the top `n_i` values of `k_i` ranked by `agg_i` (desc, key
+      * tie-break). Output: one row per surviving leaf combination carrying every
+      * level's key and aggregate, like KQL.
+      *
+      * Scale: each level aggregates the (semi-join-pruned) fact table by its key
+      * prefix — partial+final hash agg, one shuffle on the prefix — then ranks the
+      * already-aggregated (small) key table. Level 1's global top-n is a
+      * TakeOrdered over aggregated keys, not a sort of the data; deeper levels
+      * use a window partitioned by the prefix. Selected-prefix sets are top-n
+      * bounded (≤ Π n_i rows) and broadcast. */
+    def topNestedMulti(levels: Seq[(Int, String, Column, String)]): DataFrame = {
+      require(levels.nonEmpty, "top-nested needs at least one level")
+      var selected: DataFrame = null
+      levels.zipWithIndex.foreach { case ((n, key, agg, aggName), i) =>
+        val prefix = levels.take(i).map(_._2)
+        val base =
+          if (selected == null) df
+          else df.join(broadcast(selected.select(prefix.map(col): _*).distinct()),
+            prefix, "left_semi")
+        val grouped = base.groupBy((prefix :+ key).map(col): _*).agg(agg.as(aggName))
+        val topped =
+          if (i == 0) grouped.orderBy(col(aggName).desc, col(key)).limit(n)
+          else {
+            val w = Window.partitionBy(prefix.map(col): _*)
+              .orderBy(col(aggName).desc, col(key))
+            grouped.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= n).drop("__rn")
+          }
+        selected =
+          if (selected == null) topped
+          else topped.join(broadcast(selected), prefix, "inner")
+      }
+      selected.select(levels.flatMap { case (_, k, _, a) => Seq(col(k), col(a)) }: _*)
+    }
+
     /** `mv-expand c` — explode an array column into one row per element. */
     def mvExpand(arrayCol: Column, as: String): DataFrame =
       df.withColumn(as, explode(arrayCol))
@@ -172,13 +208,20 @@ object Kql {
     /** `bag_unpack(d)` — star-expand a dynamic (JSON) bag column into top-level
       * columns. The schema is inferred from the data itself (meerkat's schemaless
       * ingest: "data types will be inferred at ingestion time",
-      * `/root/reference/README.md:20`); `samplingRatio` bounds the inference pass at
-      * scale (inference reads the JSON column only — full column pruning). */
-    def bagUnpack(jsonCol: String, samplingRatio: Double = 1.0): DataFrame = {
+      * `/root/reference/README.md:20`).
+      *
+      * Scale: the plan-build inference job is BOUNDED — it reads at most
+      * `inferLimit` rows of the (pruned) JSON column via a pushed LocalLimit, so
+      * at 100 TB it touches one scan split, never the whole table. `samplingRatio`
+      * further thins the sampled slice. Keys that first appear beyond the sampled
+      * rows are absent from the inferred schema (document-or-raise at ingest, as
+      * with any sampled schema inference). */
+    def bagUnpack(jsonCol: String, samplingRatio: Double = 1.0,
+                  inferLimit: Int = 10000): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
       val schema = spark.read.option("samplingRatio", samplingRatio.toString)
-        .json(df.select(col(jsonCol)).as[String]).schema
+        .json(df.select(col(jsonCol)).limit(inferLimit).as[String]).schema
       df.withColumn("__bag", from_json(col(jsonCol), schema))
         .select(col("*"), col("__bag.*")).drop("__bag", jsonCol)
     }
@@ -224,6 +267,185 @@ object Kql {
           .when(nextV.isNull, prevV)
           .otherwise(prevV + (nextV - prevV) * (binSec - prevB) / (nextB - prevB)))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Serialized row functions, distributed.
+  // ------------------------------------------------------------------
+
+  /** A row-function request over a serialized (totally ordered) table — the KQL
+    * `serialize` surface: row_number / prev / next / row_cumsum / row_rank_dense /
+    * row_window_session. `name` is the output column each request materializes. */
+  sealed trait RowFn { def name: String }
+  final case class RowNumber(name: String) extends RowFn
+  final case class PrevOf(name: String, e: Column) extends RowFn
+  final case class NextOf(name: String, e: Column) extends RowFn
+  final case class CumSumOf(name: String, e: Column) extends RowFn
+  final case class RankDense(name: String, e: Column) extends RowFn
+  /** Sessionization along the serialized order: the session-start timestamp of the
+    * current row; a new session begins when the gap to the previous row exceeds
+    * `idleSeconds`. (KQL's maxDuration bound is inherently sequential — splitting
+    * on it depends on every earlier split — so it is not supported here; idle-gap
+    * sessions match the batch session-window operator.) */
+  final case class WindowSession(name: String, ts: Column, idleSeconds: Long) extends RowFn
+
+  /** Evaluate serialized row functions WITHOUT a single-partition window.
+    *
+    * KQL `serialize` promises a global row order; `Window.orderBy(...)` with no
+    * partition key honors it by sorting the world in ONE task — a 100 TB
+    * non-starter. This is the zipWithIndex shape instead:
+    *
+    *   1. range-partition + sort by the serialized order (partition i holds keys
+    *      ≤ partition i+1's — the global order is partition-contiguous);
+    *   2. per-partition local windows (row number, lag/lead, running sums) over
+    *      `spark_partition_id()`;
+    *   3. a tiny per-partition stats table (one row per partition: counts, sums,
+    *      first/last values) cross-combined by two broadcast self-joins into
+    *      per-partition OFFSETS (rows before, sum before, value carried across
+    *      the boundary);
+    *   4. broadcast-join the offsets back and combine: global fn = local fn +
+    *      partition offset, with first/last-row boundary fixups.
+    *
+    * Every full-data exchange is distributed (range + hash-by-partition-id); the
+    * only single-point work is over the #partitions-row stats table. */
+  def serializedRowFns(df: DataFrame, order: Seq[Column], fns: Seq[RowFn]): DataFrame = {
+    val pid = "__ser_pid"
+    val lrn = "__ser_lrn"
+    import org.apache.spark.sql.SparkSession
+    val _ = SparkSession.active
+    val localW = Window.partitionBy(col(pid)).orderBy(order: _*)
+    val localCumW = localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // 1-2. range layout + local row number and per-fn helper columns
+    var sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .withColumn(pid, spark_partition_id())
+      .withColumn(lrn, row_number().over(localW))
+    fns.foreach {
+      case RankDense(n, e) =>
+        // internal change indicator (null on each partition's first row: its
+        // change-ness depends on the previous partition and resolves via stats)
+        sorted = sorted.withColumn(s"__chg_$n",
+          when(col(lrn) === 1, lit(null).cast("long"))
+            .otherwise((!(e <=> lag(e, 1).over(localW))).cast("long")))
+      case WindowSession(n, ts, idle) =>
+        sorted = sorted.withColumn(s"__newts_$n",
+          when(col(lrn) =!= 1 &&
+            ts.cast("long") - lag(ts.cast("long"), 1).over(localW) > idle, ts))
+      case _ => ()
+    }
+
+    // 3a. per-partition stats (deterministic: value extremes keyed by local row
+    // number, not by `first`/`last` aggregate order)
+    val statAggs = Seq(count(lit(1)).as("__cnt")) ++ fns.flatMap {
+      case CumSumOf(n, e) => Seq(sum(e).as(s"__psum_$n"))
+      case PrevOf(n, e) => Seq(max_by(e, col(lrn)).as(s"__plast_$n"))
+      case NextOf(n, e) => Seq(min_by(e, col(lrn)).as(s"__pfirst_$n"))
+      case RankDense(n, e) => Seq(
+        sum(col(s"__chg_$n")).as(s"__pchg_$n"),
+        min_by(e, col(lrn)).as(s"__rdfirst_$n"),
+        max_by(e, col(lrn)).as(s"__rdlast_$n"))
+      case WindowSession(n, ts, _) => Seq(
+        max_by(col(s"__newts_$n"),
+          when(col(s"__newts_$n").isNotNull, col(lrn))).as(s"__pnew_$n"),
+        min_by(ts, col(lrn)).as(s"__wsfirst_$n"),
+        max_by(ts, col(lrn)).as(s"__wslast_$n"))
+      case RowNumber(_) => Nil
+    }
+    val stats = sorted.groupBy(col(pid)).agg(statAggs.head, statAggs.tail: _*)
+
+    // 3b. first broadcast self-join: neighbours' carried values + row offsets
+    val a = stats.alias("a")
+    val b = stats.alias("b")
+    def lt(c: Column) = when(col(s"b.$pid") < col(s"a.$pid"), c)
+    def gt(c: Column) = when(col(s"b.$pid") > col(s"a.$pid"), c)
+    val join1Aggs = Seq(
+      coalesce(sum(lt(col("b.__cnt"))), lit(0L)).as("__rowoff"),
+      max(lt(col(s"b.$pid"))).isNotNull.as("__haspred")) ++ fns.flatMap {
+      case CumSumOf(n, _) => Seq(sum(lt(col(s"b.__psum_$n"))).as(s"__cumoff_$n"))
+      case PrevOf(n, _) => Seq(
+        max_by(lt(col(s"b.__plast_$n")), lt(col(s"b.$pid"))).as(s"__prevlast_$n"))
+      case NextOf(n, _) => Seq(
+        min_by(gt(col(s"b.__pfirst_$n")), gt(col(s"b.$pid"))).as(s"__nextfirst_$n"))
+      case RankDense(n, _) => Seq(
+        max_by(lt(col(s"b.__rdlast_$n")), lt(col(s"b.$pid"))).as(s"__rdprevlast_$n"))
+      case WindowSession(n, _, _) => Seq(
+        max_by(lt(col(s"b.__wslast_$n")), lt(col(s"b.$pid"))).as(s"__wsprevlast_$n"))
+      case RowNumber(_) => Nil
+    }
+    val aCols = stats.columns.map(c => col(s"a.$c").as(c))
+    val statsB = a.join(broadcast(b), col(s"b.$pid") =!= col(s"a.$pid"), "left_outer")
+      .groupBy(aCols: _*).agg(join1Aggs.head, join1Aggs.tail: _*)
+
+    // per-partition boundary indicators that need the neighbour values
+    var statsC = statsB
+    fns.foreach {
+      case RankDense(n, _) =>
+        // is this partition's FIRST row a value change? (global first row: yes)
+        statsC = statsC.withColumn(s"__rdbound_$n",
+          when(!col("__haspred"), lit(1L))
+            .otherwise((!(col(s"__rdfirst_$n") <=> col(s"__rdprevlast_$n"))).cast("long")))
+      case WindowSession(n, _, idleSec) =>
+        // does this partition's FIRST row start a new session?
+        statsC = statsC.withColumn(s"__wsbound_$n",
+          when(!col("__haspred"), lit(true))
+            .otherwise(col(s"__wsfirst_$n").cast("long") -
+              col(s"__wsprevlast_$n").cast("long") > idleSec))
+        // latest session start visible at the END of this partition, if any
+        statsC = statsC.withColumn(s"__efflast_$n",
+          coalesce(col(s"__pnew_$n"), when(col(s"__wsbound_$n"), col(s"__wsfirst_$n"))))
+      case _ => ()
+    }
+
+    // 3c. second broadcast self-join for offsets that depend on every earlier
+    // partition's OWN boundary status (rank-change totals, carried session start)
+    val needSecond = fns.exists {
+      case _: RankDense | _: WindowSession => true; case _ => false }
+    val offsets = if (!needSecond) statsC else {
+      val a2 = statsC.alias("a")
+      val b2 = statsC.alias("b")
+      def lt2(c: Column) = when(col(s"b.$pid") < col(s"a.$pid"), c)
+      val join2Aggs = fns.flatMap {
+        case RankDense(n, _) => Seq(coalesce(
+          sum(lt2(coalesce(col(s"b.__pchg_$n"), lit(0L)) + col(s"b.__rdbound_$n"))),
+          lit(0L)).as(s"__chgoff_$n"))
+        case WindowSession(n, _, _) => Seq(
+          max_by(lt2(col(s"b.__efflast_$n")),
+            when(col(s"b.$pid") < col(s"a.$pid") && col(s"b.__efflast_$n").isNotNull,
+              col(s"b.$pid"))).as(s"__prevsess_$n"))
+        case _ => Nil
+      }
+      val aCols2 = statsC.columns.map(c => col(s"a.$c").as(c))
+      a2.join(broadcast(b2), col(s"b.$pid") =!= col(s"a.$pid"), "left_outer")
+        .groupBy(aCols2: _*).agg(join2Aggs.head, join2Aggs.tail: _*)
+    }
+
+    // 4. combine local windows with the broadcast offsets
+    var out = sorted.join(broadcast(offsets), Seq(pid))
+    fns.foreach {
+      case RowNumber(n) =>
+        out = out.withColumn(n, (col("__rowoff") + col(lrn)).cast("int"))
+      case PrevOf(n, e) =>
+        out = out.withColumn(n,
+          when(col(lrn) === 1, col(s"__prevlast_$n")).otherwise(lag(e, 1).over(localW)))
+      case NextOf(n, e) =>
+        out = out.withColumn(n,
+          when(col(lrn) === col("__cnt"), col(s"__nextfirst_$n"))
+            .otherwise(lead(e, 1).over(localW)))
+      case CumSumOf(n, e) =>
+        out = out.withColumn(n,
+          coalesce(col(s"__cumoff_$n"), lit(0L)) + sum(e).over(localCumW))
+      case RankDense(n, _) =>
+        out = out.withColumn(n,
+          col(s"__chgoff_$n") + col(s"__rdbound_$n") +
+            coalesce(sum(col(s"__chg_$n")).over(localCumW), lit(0L)))
+      case WindowSession(n, _, _) =>
+        out = out.withColumn(n,
+          coalesce(last(col(s"__newts_$n"), ignoreNulls = true).over(localCumW),
+            when(col(s"__wsbound_$n"), col(s"__wsfirst_$n")),
+            col(s"__prevsess_$n")))
+    }
+    val keep = df.columns ++ fns.map(_.name)
+    out.select(keep.map(col).toIndexedSeq: _*)
   }
 
   /** `range` operator: generate a stepped sequence as a distributed table. */

@@ -102,15 +102,24 @@ object KqlParser {
     private var pos = 0
 
     // `sort by` remembers its keys; a following `serialize` freezes them as the
-    // window order for row_number()/prev()/next()/row_cumsum() in later extends
-    // (KQL's serialized-order semantics). Row functions without serialize throw.
+    // serialized order for row functions (row_number/prev/next/row_cumsum/
+    // row_rank_dense/row_window_session) in later extends. Row functions parse to
+    // PLACEHOLDER columns collected in `rowFnBuffer`; the enclosing `extend`
+    // materializes them via Kql.serializedRowFns — the distributed
+    // (range-partition + offset) evaluation, never a single-partition window.
+    // State is scoped per parseQuery invocation (saved/restored), so a sort
+    // inside a let binding or subquery cannot leak into the outer pipeline.
     private var lastSortKeys: Seq[Column] = Nil
     private var serializedOrder: Option[Seq[Column]] = None
+    private val rowFnBuffer = scala.collection.mutable.ArrayBuffer[RowFn]()
+    private var rowFnCounter = 0
 
-    private def rowWindow: org.apache.spark.sql.expressions.WindowSpec = {
-      val order = serializedOrder.getOrElse(throw new IllegalArgumentException(
-        "row functions (row_number/prev/next/row_cumsum) require `| sort by ... | serialize`"))
-      org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    private def rowFnPlaceholder(mk: String => RowFn): Column = {
+      require(serializedOrder.nonEmpty, "row functions (row_number/prev/next/" +
+        "row_cumsum/row_rank_dense/row_window_session) require `| sort by ... | serialize`")
+      val name = s"__rowfn_$rowFnCounter"; rowFnCounter += 1
+      rowFnBuffer += mk(name)
+      col(name)
     }
 
     // Literal values by Column identity: Spark 4's unified Column API doesn't expose
@@ -149,15 +158,49 @@ object KqlParser {
       parseQuery()
     }
 
-    // ---- query := source ('|' op)*; source := print | datatable | tableRef ----
+    // name of the current pipeline's source table (for `union withsource=`)
+    private var sourceName: String = "source"
+
+    // ---- query := source ('|' op)*;
+    //      source := print | datatable | range | tableRef ----
     def parseQuery(): DataFrame = {
-      var df =
-        if (atIdent("print")) { pos += 1; parsePrint() }
-        else if (atIdent("datatable")) { pos += 1; parseDatatable() }
-        else resolveTable(ident())
-      while (atPunct("|")) { eatPunct("|"); df = parseOp(df) }
-      require(peek.isEmpty || atPunct(")") || atPunct(";"), s"trailing tokens at $pos: $peek")
-      df
+      // scope sort/serialize state to THIS query: a `sort by` inside a let
+      // binding or parenthesized subquery must not enable row functions outside
+      val savedSort = lastSortKeys; val savedSer = serializedOrder
+      val savedSrc = sourceName
+      lastSortKeys = Nil; serializedOrder = None
+      try {
+        var df =
+          if (atIdent("print")) { pos += 1; sourceName = "print"; parsePrint() }
+          else if (atIdent("datatable")) { pos += 1; sourceName = "datatable"; parseDatatable() }
+          else if (atIdent("range") && pos + 1 < toks.length &&
+            toks(pos + 1).isInstanceOf[Ident] && toks.lift(pos + 2).contains(Ident("from"))) {
+            pos += 1; parseRangeSource()
+          }
+          else { val n = ident(); sourceName = n; resolveTable(n) }
+        while (atPunct("|")) {
+          eatPunct("|"); df = parseOp(df)
+          require(rowFnBuffer.isEmpty, "row functions (row_number/prev/next/row_cumsum/" +
+            "row_rank_dense/row_window_session) are only supported inside `extend`")
+        }
+        require(peek.isEmpty || atPunct(")") || atPunct(";"), s"trailing tokens at $pos: $peek")
+        df
+      } finally {
+        lastSortKeys = savedSort; serializedOrder = savedSer; sourceName = savedSrc
+      }
+    }
+
+    /** `range name from lo to hi step s` — stepped sequence source (KQL range is
+      * INCLUSIVE of `hi`; spark.range excludes its end, hence the +1). */
+    private def parseRangeSource(): DataFrame = {
+      val name = ident()
+      sourceName = name
+      eatIdent("from"); val lo = parseLong()
+      eatIdent("to"); val hi = parseLong()
+      eatIdent("step"); val st = parseLong()
+      require(st > 0, s"range step must be positive, got $st")
+      rangeTable(org.apache.spark.sql.SparkSession.active, lo, hi + 1, st)
+        .withColumnRenamed("value", name)
     }
 
     /** `print name = expr, ...` — single-row expression evaluation. */
@@ -227,7 +270,17 @@ object KqlParser {
       case "project-away" => df.projectAway(parseIdentList(): _*)
       case "project-keep" => df.projectKeep(parseIdentList(): _*)
       case "project-rename" => df.projectRename(parseRenameList(): _*)
-      case "extend" => df.extend(parseNamedExprList(): _*)
+      case "extend" =>
+        val exprs = parseNamedExprList()
+        if (rowFnBuffer.isEmpty) df.extend(exprs: _*)
+        else {
+          // materialize the row-function placeholders distributively, apply the
+          // extend expressions over them, then drop the placeholder columns
+          val fns = rowFnBuffer.toSeq
+          rowFnBuffer.clear()
+          serializedRowFns(df, serializedOrder.get, fns)
+            .extend(exprs: _*).drop(fns.map(_.name): _*)
+        }
       case "summarize" =>
         val aggs = parseNamedAggList()
         val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
@@ -253,8 +306,20 @@ object KqlParser {
         else df.distinctOf(parseProjList(): _*)
       case "count" => df.summarize(Nil, count(lit(1)).as("Count"))
       case "mv-expand" =>
-        val name = ident()
-        df.mvExpand(col(name), name)
+        // forms: `mv-expand c` | `mv-expand name = expr` | `mv-expand expr`
+        if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
+          toks(pos + 1) == Punct("=") && toks.lift(pos + 2) != Some(Punct("="))) {
+          val n = ident(); eatPunct("=")
+          df.mvExpand(parseExpr(), n)
+        } else {
+          val mark = pos
+          val e = parseExpr()
+          val name = toks(mark) match {
+            case Ident(n) if pos == mark + 1 => n // bare column keeps its name
+            case _ => "value" // KQL names un-aliased expansion results `value`
+          }
+          df.mvExpand(e, name)
+        }
       case "mv-apply" =>
         // `mv-apply elem = arrayCol on (op | op | ...)` — explode the array, run the
         // parenthesized sub-pipeline over the element rows (one row per surviving
@@ -307,8 +372,24 @@ object KqlParser {
           acc.extend(n -> regexp_extract(src, regex.toString, gi + 1).cast(t))
         }
       case "union" =>
-        val other = if (atPunct("(")) parseSubQuery() else resolveTable(ident())
-        df.unionKql(other)
+        // `union [withsource=Col] T1[, T2, ...]` — operands align by name and
+        // null-fill; withsource labels each row with its source table name
+        var srcCol: Option[String] = None
+        if (atIdent("withsource")) { pos += 1; eatPunct("="); srcCol = Some(ident()) }
+        def operand(i: Int): (String, DataFrame) =
+          if (atPunct("(")) (s"$sourceName$i", parseSubQuery())
+          else { val n = ident(); (n, resolveTable(n)) }
+        val others = Seq.newBuilder[(String, DataFrame)]
+        others += operand(1)
+        var i = 2
+        while (atPunct(",")) { pos += 1; others += operand(i); i += 1 }
+        srcCol match {
+          case None => others.result().foldLeft(df) { case (acc, (_, o)) => acc.unionKql(o) }
+          case Some(c) =>
+            others.result().foldLeft(df.extend(c -> lit(sourceName))) {
+              case (acc, (n, o)) => acc.unionKql(o.extend(c -> lit(n)))
+            }
+        }
       case "join" =>
         var kind = "innerunique" // the KQL default
         if (atIdent("kind")) { pos += 1; eatPunct("="); kind = ident() }
@@ -319,6 +400,50 @@ object KqlParser {
         val dim = parseSubQuery()
         eatIdent("on")
         df.lookup(dim, parseIdentList())
+      case "make-series" =>
+        // `make-series [name =] agg(...) [default = lit], ... on ts step Δ [by keys]`
+        // Emits the regular grid as ROWS (one per key × bin), like the typed
+        // makeSeries combinator; KQL's packed-array form is the rows pivoted.
+        val aggs = Seq.newBuilder[Column]
+        val fills = Seq.newBuilder[Column]
+        def oneSeries(): Unit = {
+          val named =
+            if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
+              toks(pos + 1) == Punct("=")) {
+              val n = ident(); eatPunct("="); parseAgg(ident()).as(n)
+            } else { val f = ident(); parseAgg(f).as(defaultAggName(f)) }
+          aggs += named
+          // KQL's default fill is 0 when `default =` is omitted
+          fills += (if (atIdent("default")) { pos += 1; eatPunct("="); parseExpr() }
+            else lit(0))
+        }
+        oneSeries()
+        while (atPunct(",")) { pos += 1; oneSeries() }
+        eatIdent("on")
+        val tsName = ident()
+        eatIdent("step")
+        val stepSecs = litLong(parseExpr())
+        val keys = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
+        df.makeSeries(keys, col(tsName), stepSecs, aggs.result(), fills.result())
+          .projectRename(tsName -> "__bin")
+      case "top-nested" =>
+        // `top-nested N1 of k1 by [name =] agg1, top-nested N2 of k2 by agg2, ...`
+        val levels = Seq.newBuilder[(Int, String, Column, String)]
+        def oneLevel(): Unit = {
+          val n = parseInt()
+          eatIdent("of")
+          val key = ident()
+          eatIdent("by")
+          val (agg, aggName) =
+            if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
+              toks(pos + 1) == Punct("=")) {
+              val an = ident(); eatPunct("="); (parseAgg(ident()), an)
+            } else { val f = ident(); (parseAgg(f), s"aggregated_$key") }
+          levels += ((n, key, agg, aggName))
+        }
+        oneLevel()
+        while (atPunct(",")) { pos += 1; eatIdent("top-nested"); oneLevel() }
+        df.topNestedMulti(levels.result())
       case other => throw new IllegalArgumentException(s"unsupported KQL operator: $other")
     }
 
@@ -330,6 +455,13 @@ object KqlParser {
     private def parseNum(): Double = next() match {
       case Num(s) => s.toDouble
       case other => throw new IllegalArgumentException(s"expected number, got $other")
+    }
+    private def parseLong(): Long = peek match {
+      case Some(Punct("-")) => pos += 1; -parseLong()
+      case _ => next() match {
+        case Num(s) => s.toLong
+        case other => throw new IllegalArgumentException(s"expected integer, got $other")
+      }
     }
 
     private def parseIdentList(): Seq[String] = {
@@ -413,7 +545,8 @@ object KqlParser {
         case "dcount" => countDistinct(args.head)
         case "dcountif" => countDistinct(when(args(1), args.head))
         case "hll" => approx_count_distinct(args.head)
-        case "percentile" => percentile(args.head, args(1))
+        // KQL percentile takes 0-100; Spark's takes a [0,1] fraction
+        case "percentile" => percentile(args.head, lit(litDouble(args(1)) / 100.0))
         case "stdev" => stddev_samp(args.head)
         case "variance" => var_samp(args.head)
         case "make_set" => sort_array(collect_set(args.head))
@@ -476,10 +609,19 @@ object KqlParser {
           val lo = parseAdd(); eatPunct(".."); val hi = parseAdd()
           eatPunct(")")
           l.between(lo, hi)
-        case Some(Ident("contains")) => pos += 1; l.contains(parseAdd())
-        case Some(Ident("startswith")) => pos += 1; l.startsWith(strLit())
-        case Some(Ident("endswith")) => pos += 1; l.endsWith(strLit())
+        // KQL's bare contains/startswith/endswith are CASE-INSENSITIVE (like =~
+        // and has); the _cs suffix is the case-sensitive form
+        case Some(Ident("contains")) => pos += 1; lower(l).contains(lower(parseAdd()))
+        case Some(Ident("contains_cs")) => pos += 1; l.contains(parseAdd())
+        case Some(Ident("startswith")) => pos += 1; lower(l).startsWith(lower(strLit()))
+        case Some(Ident("startswith_cs")) => pos += 1; l.startsWith(strLit())
+        case Some(Ident("endswith")) => pos += 1; lower(l).endsWith(lower(strLit()))
+        case Some(Ident("endswith_cs")) => pos += 1; l.endsWith(strLit())
         case Some(Ident("has")) => pos += 1; KqlFunctions.has(l, strLitS())
+        case Some(Ident("has_any")) =>
+          pos += 1; parseLitList().map(v => KqlFunctions.has(l, v.toString)).reduce(_ || _)
+        case Some(Ident("has_all")) =>
+          pos += 1; parseLitList().map(v => KqlFunctions.has(l, v.toString)).reduce(_ && _)
         case Some(Ident("matches")) => pos += 1; eatIdent("regex"); l.rlike(strLitS())
         case _ => l
       }
@@ -575,13 +717,17 @@ object KqlParser {
       }
       eatPunct(")")
       f match {
-        // serialized-order row functions (require `| sort by ... | serialize`)
-        case "row_number" => row_number().over(rowWindow)
-        case "prev" => lag(args.head, 1).over(rowWindow)
-        case "next" => lead(args.head, 1).over(rowWindow)
-        case "row_cumsum" => sum(args.head).over(rowWindow.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow))
+        // serialized-order row functions (require `| sort by ... | serialize`;
+        // placeholders materialized distributively by the enclosing extend)
+        case "row_number" => rowFnPlaceholder(RowNumber(_))
+        case "prev" => rowFnPlaceholder(PrevOf(_, args.head))
+        case "next" => rowFnPlaceholder(NextOf(_, args.head))
+        case "row_cumsum" => rowFnPlaceholder(CumSumOf(_, args.head))
+        case "row_rank_dense" => rowFnPlaceholder(RankDense(_, args.head))
+        case "row_window_session" =>
+          // row_window_session(ts, maxDuration, idleTimeout): idle-gap sessions;
+          // the sequential maxDuration bound is not supported (see WindowSession)
+          rowFnPlaceholder(WindowSession(_, args.head, litLong(args(2))))
         case "strlen" => length(args.head)
         case "tolower" => lower(args.head)
         case "toupper" => upper(args.head)
@@ -658,6 +804,10 @@ object KqlParser {
     private def litLong(c: Column): Long = {
       require(litValues.containsKey(c), "a literal numeric argument is required here")
       litValues.get(c).asInstanceOf[Number].longValue()
+    }
+    private def litDouble(c: Column): Double = {
+      require(litValues.containsKey(c), "a literal numeric argument is required here")
+      litValues.get(c).asInstanceOf[Number].doubleValue()
     }
   }
 }

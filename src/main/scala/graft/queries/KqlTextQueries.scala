@@ -140,6 +140,144 @@ object KqlTextQueries {
              |WINDOW w AS (ORDER BY doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- round-3 parser surface: make-series / top-nested / range source /
+    // mv-expand on expressions / has_any / union withsource / serialized rank &
+    // session row functions / percentile scaling -----------------------------
+
+    QueryDef("q_kql_make_series",
+      (s, d) => run(s, d,
+        """events
+          || make-series n = count() default = 0,
+          |    sv = sum(tolong(floor(value))) default = 0
+          |  on ts step 6h by event_type
+          || sort by event_type asc, ts asc""".stripMargin),
+      Some("""WITH binned AS (
+             |  SELECT event_type,
+             |    TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (CAST((epoch_us(ts)//1000000)//21600*21600 AS BIGINT)) SECOND AS ts,
+             |    value FROM events),
+             |bounds AS (SELECT min(ts) AS lo, max(ts) AS hi FROM binned),
+             |grid AS (SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 6 HOUR)) AS ts),
+             |keys AS (SELECT DISTINCT event_type FROM events),
+             |agged AS (SELECT event_type, ts, COUNT(*) AS n,
+             |    SUM(CAST(floor(value) AS BIGINT)) AS sv FROM binned GROUP BY 1, 2)
+             |SELECT k.event_type AS event_type, g.ts AS ts,
+             |  COALESCE(a.n, 0) AS n, CAST(COALESCE(a.sv, 0) AS BIGINT) AS sv
+             |FROM keys k CROSS JOIN grid g
+             |LEFT JOIN agged a ON a.event_type = k.event_type AND a.ts = g.ts
+             |ORDER BY k.event_type, g.ts""".stripMargin)),
+
+    QueryDef("q_kql_top_nested",
+      (s, d) => run(s, d,
+        """events
+          || top-nested 2 of event_type by cnt = count(),
+          |  top-nested 3 of user_id by mx = max(value)
+          || sort by event_type asc, user_id asc""".stripMargin),
+      Some("""WITH l1 AS (
+             |  SELECT event_type, COUNT(*) AS cnt FROM events
+             |  GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 2),
+             |l2 AS (
+             |  SELECT e.event_type, e.user_id, MAX(value) AS mx
+             |  FROM events e JOIN l1 USING (event_type) GROUP BY 1, 2),
+             |l2t AS (
+             |  SELECT event_type, user_id, mx FROM (
+             |    SELECT event_type, user_id, mx, ROW_NUMBER() OVER (
+             |      PARTITION BY event_type ORDER BY mx DESC, user_id) AS rn FROM l2)
+             |  WHERE rn <= 3)
+             |SELECT t.event_type AS event_type, l1.cnt AS cnt, t.user_id AS user_id, t.mx AS mx
+             |FROM l2t t JOIN l1 USING (event_type)
+             |ORDER BY event_type, user_id""".stripMargin)),
+
+    QueryDef("q_kql_range",
+      (s, d) => run(s, d,
+        """range x from 0 to 9999 step 3
+          || where x % 7 == 0
+          || summarize n = count(), sx = sum(x)""".stripMargin),
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(range) AS BIGINT) AS sx
+             |FROM range(0, 10000, 3) WHERE range % 7 = 0""".stripMargin)),
+
+    QueryDef("q_kql_mvexpand_expr",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || mv-expand t = split(strcat(event_type, ',u', tostring(user_id % 3)), ',')
+          || summarize n = count() by t
+          || sort by t asc""".stripMargin),
+      Some("""SELECT t, COUNT(*) AS n FROM (
+             |  SELECT unnest([event_type, 'u' || CAST(user_id % 3 AS VARCHAR)]) AS t
+             |  FROM events WHERE event_id % 500 = 0)
+             |GROUP BY t ORDER BY t""".stripMargin)),
+
+    QueryDef("q_kql_has_any",
+      (s, d) => run(s, d,
+        """documents
+          || where text has_any ('join', 'data-set')
+          || summarize n = count() by lang
+          || sort by lang asc""".stripMargin),
+      // 'data-set' exercises the non-alphanumeric-needle regex fallback of has()
+      Some("""SELECT lang, COUNT(*) AS n FROM documents
+             |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])join($|[^a-z0-9])')
+             |   OR regexp_matches(lower(text), '(^|[^a-z0-9])data-set($|[^a-z0-9])')
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q_kql_union_withsource",
+      (s, d) => run(s, d,
+        """let lows = events | where value < 5 | project id = event_id;
+          |events
+          || where value > 495
+          || project id = event_id
+          || union withsource = src lows
+          || summarize n = count() by src
+          || sort by src asc""".stripMargin),
+      Some("""SELECT src, COUNT(*) AS n FROM (
+             |  SELECT 'events' AS src FROM events WHERE value > 495
+             |  UNION ALL
+             |  SELECT 'lows' AS src FROM events WHERE value < 5)
+             |GROUP BY src ORDER BY src""".stripMargin)),
+
+    // Serialized rank + sessionization + neighbours, all through the DISTRIBUTED
+    // row-function path (range partition + per-partition offsets; no
+    // single-partition window): row_rank_dense counts value changes along the
+    // serialized order (= DENSE_RANK when the term is a leading sort key);
+    // row_window_session starts a new session on idle gaps > 30m.
+    QueryDef("q_kql_rank_session",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 5
+          || project user_id, ts, event_id
+          || sort by user_id asc, ts asc, event_id asc
+          || serialize
+          || extend rn = row_number(), rk = row_rank_dense(user_id),
+          |    sess = row_window_session(ts, 1d, 30m),
+          |    pe = prev(event_id), ne = next(event_id)
+          || sort by user_id asc, ts asc, event_id asc""".stripMargin),
+      Some("""WITH s AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 5),
+             |o AS (SELECT user_id, ts, event_id,
+             |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+             |  DENSE_RANK() OVER (ORDER BY user_id) AS rk,
+             |  LAG(event_id, 1) OVER w AS pe,
+             |  LEAD(event_id, 1) OVER w AS ne,
+             |  CASE WHEN LAG(ts, 1) OVER w IS NULL
+             |         OR epoch_us(ts)//1000000 - epoch_us(LAG(ts, 1) OVER w)//1000000 > 1800
+             |       THEN ts END AS new_ts
+             |  FROM s WINDOW w AS (ORDER BY user_id, ts, event_id))
+             |SELECT user_id, ts, event_id, rn, rk, pe, ne,
+             |  last_value(new_ts IGNORE NULLS) OVER (
+             |    ORDER BY user_id, ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |FROM o ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    QueryDef("q_kql_percentile",
+      (s, d) => run(s, d,
+        """lineitem
+          || summarize p25 = percentile(l_quantity, 25), p50 = percentile(l_quantity, 50),
+          |    p75 = percentile(l_quantity, 75) by l_returnflag
+          || sort by l_returnflag asc""".stripMargin),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("q_kql_strings",
       (s, d) => run(s, d,
         """documents

@@ -32,16 +32,32 @@ object NorthStarQueries {
   private val pipeCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   private def cacheKey(s: SparkSession, d: String, what: String): String =
-    s"$what:${System.identityHashCode(s)}:$d"
+    s"${System.identityHashCode(s)}:$what:$d"
 
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+  /** Cache hygiene: when a NEW session first touches the pipeline cache, every
+    * other session's persisted intermediates are unpersisted and dropped — no
+    * persisted RDD outlives its session's useful life, and the cache stays
+    * bounded across long-lived multi-session processes. */
+  private def evictStale(s: SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(s)}:"
+    pipeCache.keys.filterNot(_.startsWith(prefix)).foreach { k =>
+      pipeCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
+  }
+
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
     pipeCache.getOrElseUpdate(cacheKey(s, d, "sigs"),
       Dedup.minHashSignatures(T(s, d, "documents"), "text", "doc_id",
         numHashes = MH_HASHES, shingleK = 3).persist())
+  }
 
-  private def minhashCands(s: SparkSession, d: String): DataFrame =
+  private def minhashCands(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
     pipeCache.getOrElseUpdate(cacheKey(s, d, "cands"),
       Dedup.lshCandidatePairs(minhashSigs(s, d), MH_BANDS, MH_HASHES / MH_BANDS).persist())
+  }
 
   // --- DuckDB oracle builders for the sketch pipelines -------------------------
   // These reproduce TextAnalysis.tokens/shinglesOf and Dedup.portableHash60 /

@@ -103,7 +103,8 @@ object StreamingIngest {
     runBounded(spark, sinkName, deduped, "append")
 
   private def runBounded(spark: org.apache.spark.sql.SparkSession, sinkName: String,
-                         stream: DataFrame, mode: String): DataFrame =
+                         stream: DataFrame, mode: String): DataFrame = {
+    evictStale(spark)
     streamCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sinkName", {
       val q = stream.writeStream.format("memory").queryName(sinkName)
         .outputMode(mode)
@@ -112,4 +113,17 @@ object StreamingIngest {
       q.awaitTermination()
       spark.table(sinkName).persist()
     })
+  }
+
+  /** Cache hygiene: entries are keyed by session identity; when a NEW session
+    * first runs a stream, every other session's entries are unpersisted and
+    * dropped — persisted results never outlive their session's useful life, and
+    * the cache stays bounded across long-lived multi-session processes. */
+  private def evictStale(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(spark)}:"
+    streamCache.keys.filterNot(_.startsWith(prefix)).foreach { k =>
+      streamCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
+  }
 }

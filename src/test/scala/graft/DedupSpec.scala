@@ -77,4 +77,17 @@ class DedupSpec extends SparkSpec {
     val s4 = docs.repartition(4).select(one).collect().map(_.getSeq[Long](0)).toSet
     assert(s1 == s4)
   }
+
+  test("pipeline caches do not outlive their session (two-session hygiene)") {
+    val fn = SparkEntry.queries("q_minhash_pairs")
+    assert(fn(spark, sf).count() >= 0)
+    val withS1 = spark.sparkContext.getPersistentRDDs.size
+    assert(withS1 > 0, "expected the minhash pipeline to persist intermediates")
+    // a second session triggers eviction of the first session's entries on its
+    // first cache access — persisted RDD count must not accumulate per session
+    val s2 = spark.newSession()
+    assert(fn(s2, sf).count() >= 0)
+    val withS2 = spark.sparkContext.getPersistentRDDs.size
+    assert(withS2 <= withS1, s"persisted RDDs accumulated: $withS1 -> $withS2")
+  }
 }

@@ -89,4 +89,35 @@ class KqlOpsSpec extends SparkSpec {
     val r = rangeTable(spark, 0, 10, 3).as[Long].collect().sorted
     assert(r.toSeq == Seq(0L, 3L, 6L, 9L))
   }
+
+  test("serializedRowFns matches the single-partition window across partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, sf, "events").where_(col("user_id") < 8)
+      .project(col("user_id"), col("ts"), col("event_id"))
+    val order = Seq(col("user_id").asc, col("ts").asc, col("event_id").asc)
+    // ground truth: the naive global window (correct, single-task)
+    val w = Window.orderBy(order: _*)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newTs = when(col("ts").cast("long") -
+      lag(col("ts").cast("long"), 1).over(w) > 900 || lag(col("ts"), 1).over(w).isNull,
+      col("ts"))
+    val expected = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pe", lag(col("event_id"), 1).over(w))
+      .withColumn("ne", lead(col("event_id"), 1).over(w))
+      .withColumn("cs", sum(col("event_id")).over(wc))
+      .withColumn("rk", dense_rank().over(Window.orderBy(col("user_id"))))
+      .withColumn("sess", last(newTs, ignoreNulls = true).over(wc))
+      .orderBy(order: _*).collect().toSeq
+    for (parts <- Seq(1, 3, 17)) {
+      val fns = Seq[RowFn](RowNumber("rn"), PrevOf("pe", col("event_id")),
+        NextOf("ne", col("event_id")), CumSumOf("cs", col("event_id")),
+        RankDense("rk", col("user_id")), WindowSession("sess", col("ts"), 900))
+      val got = serializedRowFns(e.repartition(parts), order, fns)
+        .select(e.columns.map(col).toIndexedSeq ++ Seq(col("rn"), col("pe"), col("ne"),
+          col("cs"), col("rk").cast("int"), col("sess")): _*)
+        .orderBy(order: _*).collect().toSeq
+      assert(got == expected, s"parts=$parts mismatch")
+    }
+  }
 }

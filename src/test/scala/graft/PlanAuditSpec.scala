@@ -58,6 +58,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("serialized row functions never use a single-partition exchange") {
+    // KQL `serialize` promises a global order; the naive Window.orderBy form
+    // sorts the world in one task. The distributed form (range partition +
+    // per-partition offsets) must keep every full-data exchange distributed.
+    for (name <- Seq("q_kql_serialize", "q_kql_rank_session")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"),
+        s"$name has a single-partition exchange:\n$p")
+    }
+  }
+
   test("summarize uses partial (map-side) aggregation") {
     val p = plan("q_summarize")
     // HashAggregate appears twice per agg: partial then final
