@@ -720,6 +720,33 @@ object Queries {
              |  COUNT(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Variant as a STORED column (the real ColumnType::Dynamic storage mapping,
+    // `/root/reference/src/store/segment_metadata.rs:135`): parse_json(props) is
+    // written to parquet through the segment ingest path (Spark's shredded
+    // variant encoding), read back, and queried with variant_get — binary variant
+    // access over data at rest, not per-query JSON re-parsing. Idempotent: the
+    // scratch dir is wiped per invocation.
+    QueryDef("q_variant_stored",
+      (s, d) => {
+        val root = s"/tmp/graft_variant/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val batch = T(s, d, "events").where_(col("user_id") < 50)
+          .project(col("ts").as("_ts"), col("event_id").cast("int").as("_dedup"),
+            col("event_type"), todynamic(col("props")).as("props_v"))
+        Tables.appendSegment(batch, root)
+        s.read.parquet(root)
+          .extend("k" -> variantGetLong(col("props_v"), "k"))
+          .summarize(Seq(col("event_type")),
+            sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+          .sortBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  COUNT(*) AS n
+             |FROM events WHERE user_id < 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // bag_unpack: star-expand a dynamic bag into columns (schema inferred from data —
     // the schemaless-ingest semantic). The bag is synthesized deterministically so the
     // unpack path (inference + from_json + star-expand) is what's under test.

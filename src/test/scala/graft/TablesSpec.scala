@@ -61,4 +61,51 @@ class TablesSpec extends SparkSpec {
     assert(Tables.widen(TimestampType, DoubleType) == StringType)
     assert(Tables.widen(IntegerType, LongType) == LongType)
   }
+
+  test("appendSegment blooms let an equality probe skip row groups") {
+    // The public stand-in for the reference's IndexType::FullText slot
+    // (segment_metadata.proto:40): per-column parquet bloom filters written by
+    // appendSegment. A term probe for a value that is ABSENT but inside the
+    // column's min/max range can only be skipped by the bloom — stats and
+    // dictionary filtering are explicitly disabled below, so any row-group
+    // elimination observed is the bloom read path at work.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.ParquetReadOptions
+    import scala.jdk.CollectionConverters._
+
+    val dir = Files.createTempDirectory("bloomseg").toString
+    val batch = Tables.load(spark, sf, "events")
+      .select(col("ts").as("_ts"), col("event_id").cast("int").as("_dedup"),
+        // high-cardinality term column: min/max stats span the probe value
+        concat(lit("tag_"), lpad(col("event_id").cast("string"), 8, "0")).as("tag"))
+    Tables.appendSegment(batch, dir, bloomCols = Seq("tag"))
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty, "segment produced no parquet files")
+    // absent-but-in-range probe: sorts between tag_00000000 and tag_99999999
+    val probe = FilterApi.eq(FilterApi.binaryColumn("tag"),
+      Binary.fromString("tag_5_not_a_real_event"))
+    def rowGroups(f: java.io.File, filtered: Boolean): Int = {
+      val b = ParquetReadOptions.builder()
+      val opts = (if (filtered)
+        b.withRecordFilter(FilterCompat.get(probe))
+          .useStatsFilter(false).useDictionaryFilter(false)
+          .useColumnIndexFilter(false).useBloomFilter(true)
+      else b).build()
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf), opts)
+      try r.getRowGroups.asScala.size finally r.close()
+    }
+    val total = files.map(rowGroups(_, filtered = false)).sum
+    val surviving = files.map(rowGroups(_, filtered = true)).sum
+    assert(total > 0)
+    assert(surviving == 0,
+      s"bloom probe for an absent term should skip all $total row groups, kept $surviving")
+  }
 }
