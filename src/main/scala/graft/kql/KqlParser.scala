@@ -39,7 +39,7 @@ object KqlParser {
 
   private object Lexer {
     private val puncts = Seq("!in", "==", "!=", "<=", ">=", "=~", "..", "|", "(", ")",
-      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";", ":")
+      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";", ":", "{", "}")
 
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -146,13 +146,47 @@ object KqlParser {
     private def resolveTable(name: String): DataFrame =
       bindings.getOrElse(name, tables(name))
 
-    // ---- program := ('let' ident '=' query ';')* query ----
+    // `let f = (param[:type]) { body };` tabular functions for `T | invoke f()`.
+    // The body is kept as TOKENS and parsed at invoke time with the piped table
+    // bound to the parameter name — KQL's user-defined tabular function surface.
+    private val tabularFns =
+      scala.collection.mutable.Map[String, (String, Vector[Tok])]()
+
+    /** Skip tokens up to (not including) the next `close` at nesting depth 0. */
+    private def skipBalancedUntil(open: String, close: String): Int = {
+      var depth = 0
+      var done = false
+      while (!done) peek match {
+        case Some(Punct(`open`)) => depth += 1; pos += 1
+        case Some(Punct(`close`)) if depth == 0 => done = true
+        case Some(Punct(`close`)) => depth -= 1; pos += 1
+        case Some(_) => pos += 1
+        case None => throw new IllegalArgumentException(
+          s"unbalanced $open$close in KQL function definition")
+      }
+      pos
+    }
+
+    private def parseLetFunction(name: String): Unit = {
+      eatPunct("(")
+      val param = ident()
+      if (atPunct(":")) { pos += 1; skipBalancedUntil("(", ")") } // skip type spec
+      eatPunct(")")
+      eatPunct("{")
+      val start = pos
+      val end = skipBalancedUntil("{", "}")
+      pos += 1 // consume the closing }
+      tabularFns(name) = (param, toks.slice(start, end))
+    }
+
+    // ---- program := ('let' ident '=' (query | lambda) ';')* query ----
     def parseProgram(): DataFrame = {
       while (atIdent("let")) {
         pos += 1
         val name = ident()
         eatPunct("=")
-        bindings(name) = parseQuery()
+        if (atPunct("(")) parseLetFunction(name)
+        else bindings(name) = parseQuery()
         eatPunct(";")
       }
       parseQuery()
@@ -400,6 +434,15 @@ object KqlParser {
         val dim = parseSubQuery()
         eatIdent("on")
         df.lookup(dim, parseIdentList())
+      case "invoke" =>
+        // `T | invoke f()` — apply a let-bound tabular function with T as the
+        // parameter. The body parses in a child parser whose table resolver
+        // binds the parameter name to the piped DataFrame (outer lets visible).
+        val fname = ident()
+        eatPunct("("); eatPunct(")")
+        val (param, body) = tabularFns.getOrElse(fname, throw new
+            IllegalArgumentException(s"unknown tabular function: $fname"))
+        new Parser(body, n => if (n == param) df else resolveTable(n)).parseProgram()
       case "make-series" =>
         // `make-series [name =] agg(...) [default = lit], ... on ts step Δ [by keys]`
         // Emits the regular grid as ROWS (one per key × bin), like the typed

@@ -266,6 +266,19 @@ object KqlTextQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
              |FROM o ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    QueryDef("q_kql_invoke",
+      (s, d) => run(s, d,
+        """let enrich = (src:(value:real)) {
+          |  src | where value > 250 | extend vb = tolong(floor(value / 50)) };
+          |events
+          || invoke enrich()
+          || summarize n = count(), mv = max(vb) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(MAX(CAST(floor(value / 50) AS BIGINT)) AS BIGINT) AS mv
+             |FROM events WHERE value > 250
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QueryDef("q_kql_percentile",
       (s, d) => run(s, d,
         """lineitem

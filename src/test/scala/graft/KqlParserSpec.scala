@@ -159,4 +159,69 @@ class KqlParserSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](run("t | facet by user"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
   }
+
+  test("sort state is scoped per query: a let/subquery sort cannot enable serialize outside") {
+    // the outer pipeline has no sort of its own, so serialize must throw even
+    // though a let binding (parsed first) sorted
+    assertThrows[IllegalArgumentException](run(
+      "let b = t | sort by id asc; t | serialize | extend rn = row_number()"))
+    // ...and a subquery's sort must not leak either
+    assertThrows[IllegalArgumentException](run(
+      "t | union (t | sort by id asc) | serialize | extend rn = row_number()"))
+  }
+
+  test("row functions outside extend are rejected") {
+    // fails either as the explicit buffer check or as an unresolved placeholder
+    // column inside the non-extend operator — never silently mis-evaluates
+    assertThrows[Exception](run(
+      "t | sort by id asc | serialize | where row_number() > 2"))
+  }
+
+  test("case-insensitive string operators with _cs variants") {
+    val up = t.withColumn("user", upper(col("user")))
+    def runUp(kql: String) = KqlParser.parse(kql, _ => up)
+    assert(runUp("t | where user contains 'li'").count() == 2)
+    assert(runUp("t | where user contains_cs 'li'").count() == 0)
+    assert(runUp("t | where user startswith 'b'").count() == 2)
+    assert(runUp("t | where user startswith_cs 'b'").count() == 0)
+    assert(runUp("t | where user endswith 'ol'").count() == 1)
+    assert(runUp("t | where user endswith_cs 'OL'").count() == 1)
+  }
+
+  test("has_any / has_all term matching") {
+    assert(run("t | where etype has_any ('click', 'view')").count() == 4)
+    assert(run("t | where etype has_all ('click', 'view')").count() == 0)
+  }
+
+  test("range source generates an inclusive stepped sequence") {
+    val df = run("range x from 1 to 10 step 3 | summarize n = count(), mx = max(x)")
+    assert(df.as[(Long, Long)].collect().head == (4L, 10L))
+  }
+
+  test("top-nested keeps the top keys per level") {
+    val df = run(
+      "t | top-nested 1 of user by s = count(), top-nested 1 of etype by m = max(v)")
+    // top user by row count: alice/bob tie at 2 → tie-break asc keeps alice;
+    // her top etype by max(v) is click (50.0)
+    val r = df.select("user", "s", "etype", "m").as[(String, Long, String, Double)]
+      .collect().toSeq
+    assert(r == Seq(("alice", 2L, "click", 50.0)))
+  }
+
+  test("invoke applies a let-bound tabular function to the piped table") {
+    val df = run(
+      """let top2 = (src:(v:real)) { src | top 2 by v desc | extend vv = v * 2 };
+        |t | invoke top2() | project user, vv | sort by vv desc""".stripMargin)
+    assert(df.as[(String, Double)].collect().toSeq ==
+      Seq(("carol", 198.0), ("alice", 100.0)))
+  }
+
+  test("union withsource labels rows by source table") {
+    val df = run(
+      """let lows = t | where v < 10 | project id;
+        |t | where v > 50 | project id | union withsource = origin lows
+        || summarize n = count() by origin | sort by origin asc""".stripMargin)
+    assert(df.as[(String, Long)].collect().toSeq ==
+      Seq(("lows", 1L), ("t", 1L)))
+  }
 }

@@ -69,6 +69,46 @@ class NativeExprSpec extends SparkSpec {
       l.contains("graft_dot_f32") && l.trim.startsWith("*(")), plan)
   }
 
+  test("native and HOF fallback agree on null elements and unequal lengths") {
+    // the edge inputs where the two paths could diverge: null elements (native
+    // skips; fallback folds coalesce(·, 0)) and unequal lengths (native
+    // truncates to the shorter array; zip_with pads with nulls → coalesced to 0)
+    val df = Seq(
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](2f, 5f, 4f)),
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](10f)),
+      (Seq[java.lang.Float](null, null), Seq[java.lang.Float](1f, 1f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.Similarity.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0))).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(rows.forall { case (n, h) => n == h }, rows.toSeq.toString)
+    assert(rows.map(_._1).toSeq == Seq(1.0 * 2 + 3 * 4, 10.0, 0.0))
+
+    // simhash: null hashes cast no vote and the majority denominator counts
+    // non-null elements only — both paths
+    val hs = Seq(
+      Seq[java.lang.Long](3L, null, 3L),
+      Seq[java.lang.Long](null, null),
+      Seq[java.lang.Long](1L, 3L, null, 3L)
+    ).toDF("h")
+    val n = size(filter(col("h"), x => x.isNotNull))
+    val bitCounts = transform(sequence(lit(0), lit(63)),
+      i => aggregate(col("h"), lit(0L),
+        (acc, x) => acc + coalesce(
+          call_function("shiftrightunsigned", x, i).bitwiseAND(lit(1L)), lit(0L))))
+    val hof = aggregate(zip_with(bitCounts, sequence(lit(0), lit(63)),
+      (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    val out = hs.select(
+      call_function(NativeExpressions.simhashName, col("h")).as("native"), hof.as("hof"))
+      .as[(Long, Long)].collect()
+    assert(out.forall { case (a, b) => a == b }, out.toSeq.toString)
+    assert(out.map(_._1).toSeq == Seq(3L, 0L, 3L))
+  }
+
   test("empty and null-element arrays evaluate safely") {
     val df = Seq(
       (Array.empty[Float], Array.empty[Float]),
