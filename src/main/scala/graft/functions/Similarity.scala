@@ -125,6 +125,99 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: coarse k-means quantizer + inverted lists.
+  // ------------------------------------------------------------------
+
+  /** Deterministic coarse k-means over the corpus: seeded init (the k vectors
+    * with the lowest xxhash64(id, seed)), a fixed iteration count, and
+    * centroid updates as per-dimension averages. Returns the centroid matrix.
+    *
+    * Scale notes: each iteration is one broadcast-argmax assignment pass plus a
+    * per-(cluster, dim) average — `posexplode` + hash agg, shuffle bounded by
+    * k×dim cells. Only the k×dim centroid MODEL is ever collected to the
+    * driver (bounded, like any trained model); at 100 TB you train on a sample
+    * and assign the full corpus once. Averages are fp sums, so centroids are
+    * deterministic only up to accumulation order — callers must not depend on
+    * exact list boundaries (the probe margin absorbs this). */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nCentroids: Int = 16, iters: Int = 5,
+               seed: Long = 42L): Array[Array[Float]] = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids: Array[Array[Float]] = base
+      .withColumn("__h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("__h"), col("id")).limit(nCentroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("__cid", ivfAssign(col("v"), centroids))
+      val cells = assigned
+        .select(col("__cid"), posexplode(col("v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cid"), col("__pos"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next // clusters with no members keep their previous centroid
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id for a vector: argmax of (v·c - |c|²/2), the euclidean
+    * argmin rewritten as k native dot products (codegen'd; ~k×dim flops/row).
+    * Ties break toward the lower centroid id for determinism. */
+  def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
+    greatest(centroids.zipWithIndex.map { case (c, i) =>
+      val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
+    }: _*).getField("ni") * -1
+
+  /** The nProbe nearest centroid ids for a query vector (array column). */
+  def ivfProbes(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
+    }: _*)
+    transform(slice(sort_array(scored, asc = false), 1, nProbe), s =>
+      s.getField("ni") * -1)
+  }
+
+  /** ANN top-k via IVF inverted lists: corpus vectors are assigned once to
+    * their nearest coarse centroid; each query probes its `nProbe` nearest
+    * centroids and scores ONLY the vectors in those lists — an ids-only
+    * equi-join on the centroid id, then one cosine per surviving pair.
+    *
+    * Complements sign-LSH: IVF adapts to the data's cluster structure (lists
+    * follow density; on clustered corpora nProbe ≪ nCentroids reaches high
+    * recall), while LSH is data-independent. On the structureless fixture
+    * embeddings the planted-pair query (q_cosine_topk_ivf) exercises the
+    * mechanism: a perturbed copy lands in (or probes within margin of) its
+    * original's list and must retrieve it. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              queryId: String = "query_id", corpusId: String = "corpus_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val centroids = ivfTrain(corpus, corpusId, vecCol, dim, nCentroids, iters, seed)
+    val lists = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+      .withColumn("__cid", ivfAssign(col("__cv"), centroids))
+      .select(col(corpusId), col("__cid"))
+    val probes = queries.select(col(queryId), col(vecCol).as("__qv"))
+      .select(col(queryId), explode(ivfProbes(col("__qv"), centroids, nProbe)).as("__cid"))
+    val cand = lists.join(broadcast(probes), Seq("__cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId)).distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
+      .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored.select(col(queryId), col(corpusId), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
     * ids-only bucket join, distinct pairs, one verification per pair. For high
     * thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of tables

@@ -325,6 +325,27 @@ object NorthStarQueries {
       Some("""SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
              |WHERE vec_id < 5 ORDER BY query_id""".stripMargin)),
 
+    // IVF inverted-list ANN (the second scale path beside sign-LSH), mechanism-
+    // checked with planted queries: each query is a perturbed copy of a corpus
+    // vector (+0.02 per component, cosine vs original ≈ 0.997 while the max
+    // natural pair is ≈ 0.51), so the IVF search — probe nearest centroid lists,
+    // score only those lists — must return the original as the top-1 neighbor
+    // for every planted query. A missed probe or broken list join reddens it.
+    QueryDef("q_cosine_topk_ivf",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        Similarity.ivfTopK(queries, corpus, k = 1, dim = EMB_DIM)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // Near-dup detection, oracle-checked: the fixture has no natural near-dups (max
     // pairwise cosine ≈ 0.51), so both engines plant the same deterministic perturbed
     // copies (vec_id+1000000, each component +0.02) and must find exactly those pairs

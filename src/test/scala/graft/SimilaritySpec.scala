@@ -58,4 +58,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r._1 < r._2))
     assert(rows.forall(_._3 >= 0.9))
   }
+
+  test("ivf trains k centroids and retrieves planted near-copies as top-1") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val top1 = Similarity.ivfTopK(queries, corpus, k = 1, dim = 64,
+        nCentroids = 8, nProbe = 3, iters = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+  }
 }
