@@ -198,8 +198,10 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5,
               queryId: String = "query_id", corpusId: String = "corpus_id",
-              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val centroids = ivfTrain(corpus, corpusId, vecCol, dim, nCentroids, iters, seed)
+              vecCol: String = "embedding", seed: Long = 42L,
+              trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfTrain(corpus, corpusId, vecCol, dim, nCentroids, iters, seed))
     val lists = corpus.select(col(corpusId), col(vecCol).as("__cv"))
       .withColumn("__cid", ivfAssign(col("__cv"), centroids))
       .select(col(corpusId), col("__cid"))

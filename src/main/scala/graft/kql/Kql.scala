@@ -307,7 +307,11 @@ object Kql {
     *      partition offset, with first/last-row boundary fixups.
     *
     * Every full-data exchange is distributed (range + hash-by-partition-id); the
-    * only single-point work is over the #partitions-row stats table. */
+    * only single-point work is over the #partitions-row stats table.
+    *
+    * NOTE: the VALUES honor the serialized order, but the output ROW ORDER is
+    * not defined (the pid hash exchange permutes partitions) — like any Spark
+    * transformation, follow with an explicit sort when row order matters. */
   def serializedRowFns(df: DataFrame, order: Seq[Column], fns: Seq[RowFn]): DataFrame = {
     val pid = "__ser_pid"
     val lrn = "__ser_lrn"

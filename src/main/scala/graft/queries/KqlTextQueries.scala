@@ -129,7 +129,8 @@ object KqlTextQueries {
           || project doc_id, n_chars
           || sort by doc_id asc
           || serialize
-          || extend rn = row_number(), prev_chars = prev(n_chars), cum = row_cumsum(n_chars)""".stripMargin),
+          || extend rn = row_number(), prev_chars = prev(n_chars), cum = row_cumsum(n_chars)
+          || sort by doc_id asc""".stripMargin),
       // CAST discipline: DuckDB ROW_NUMBER() is BIGINT (Spark row_number is int32)
       // and SUM(BIGINT) is HUGEINT; the driver's hash compare is type-sensitive.
       Some("""SELECT doc_id, n_chars,
