@@ -489,6 +489,36 @@ object NorthStarQueries {
              |  event_type, COUNT(*) AS n, CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY bin_ts, event_type""".stripMargin)),
 
+    // --- custom-state streaming in CORRECTNESS: flatMapGroupsWithState
+    // sessionization (arbitrary per-key state, not a built-in aggregation)
+    // replayed over the bounded events stream. Sessions close when a LATER
+    // event's idle gap exceeds 30m; each key's trailing session stays open at
+    // end-of-stream, so the oracle emits every session except each user's last.
+    QueryDef("q_streaming_sessions",
+      (s, d) => {
+        val in = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("user_id") < 30)
+        val sess = graft.streaming.StreamingIngest
+          .sessionizeWithState(in, "user_id", "ts", gapSeconds = 1800)
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_sessions_sink", sess.toDF())
+          .sortBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t
+             |    FROM events WHERE user_id < 30),
+             |m AS (SELECT user_id, t,
+             |    CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |s AS (SELECT user_id, t, SUM(nw) OVER (
+             |    PARTITION BY user_id ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+             |g AS (SELECT user_id, sid, MIN(t) AS start_us, MAX(t) AS end_us,
+             |    COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+             |SELECT user_id, start_us, end_us, n_events FROM g
+             |WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+             |ORDER BY user_id, start_us""".stripMargin)),
+
     // --- multimodal plumbing in CORRECTNESS: synthetic binary payloads (sha2-derived,
     // identical construction in DuckDB), per-partition batch feature extraction, blob
     // never shuffled. mean_byte = sum/512 is a power-of-two scale → bit-exact across

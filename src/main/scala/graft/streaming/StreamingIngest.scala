@@ -51,6 +51,54 @@ object StreamingIngest {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Open-session state carried across micro-batches for one key (arbitrary
+    * stateful processing; timestamps as epoch MICROS — `java.sql.Timestamp`
+    * would truncate the fixture's µs precision to millis). */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                                 n_events: Long)
+
+  /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` — the arbitrary
+    * stateful operator the built-in `session_window` aggregation can't express
+    * when per-session outputs need event-level state transitions: one
+    * OpenSession per key, sessions EMITTED the moment a later event's idle gap
+    * closes them, trailing open session held in state.
+    *
+    * State is O(1) per key (start, last, count). Events are buffered + sorted
+    * per (key, micro-batch) before folding — within-batch arrival order is
+    * partition order, not time order; production pipelines bound that buffer
+    * with the watermark. On a bounded replay each key's LAST session never
+    * closes (nothing arrives after it), which the correctness oracle accounts
+    * for exactly. */
+  def sessionizeWithState(events: DataFrame, keyCol: String, tsCol: String,
+                          gapSeconds: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.select(col(keyCol).cast("long").as("k"), unix_micros(col(tsCol)).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val ts = rows.map(_._2).toArray.sorted
+        val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+        var cur = state.getOption
+        ts.foreach { t =>
+          cur match {
+            case None => cur = Some(OpenSession(t, t, 1))
+            case Some(o) if t - o.lastUs <= gapUs =>
+              cur = Some(o.copy(lastUs = t, n = o.n + 1))
+            case Some(o) =>
+              out += ClosedSession(key, o.startUs, o.lastUs, o.n)
+              cur = Some(OpenSession(t, t, 1))
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+      }
+  }
+
   /** Continuous append to a time-partitioned parquet table (the streaming segment
     * write path: buffer → flush as time-bucketed files, ≈ segment_writer.rs but via
     * Parquet + exactly-once file-sink semantics). */

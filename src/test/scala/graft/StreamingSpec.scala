@@ -51,6 +51,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer carries open sessions across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val withUid = mem.toDF().withColumn("user_id", col("event_id") % 2)
+    val sess = StreamingIngest.sessionizeWithState(withUid, "user_id", "ts",
+      gapSeconds = 600)
+    val q = sess.toDF().writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 0 starts a session (2 events, 5 min apart)
+      mem.addData(ev("2024-01-01 10:00:00", 2), ev("2024-01-01 10:05:00", 4))
+      q.processAllAvailable()
+      assert(spark.table("fmgws_out").count() == 0) // still open — nothing emitted
+      // batch 2: a later event far past the gap CLOSES the batch-1 session —
+      // state carried across micro-batches, session spans both batch-1 events
+      mem.addData(ev("2024-01-01 12:00:00", 6))
+      q.processAllAvailable()
+      val rows = spark.table("fmgws_out")
+        .select("user_id", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rows.size == 1, rows.toString)
+      val r = rows.head
+      assert(r._1 == 0L && r._4 == 2L)
+      assert(r._3 - r._2 == 300L * 1000000L) // 10:00 → 10:05
+    } finally q.stop()
+  }
+
   test("session windows split on inactivity gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
