@@ -169,14 +169,14 @@ object Similarity {
     * argmin rewritten as k native dot products (codegen'd; ~k×dim flops/row).
     * Ties break toward the lower centroid id for determinism. */
   def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
-    greatest(centroids.zipWithIndex.map { case (c, i) =>
+    greatest(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
       struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
     }: _*).getField("ni") * -1
 
   /** The nProbe nearest centroid ids for a query vector (array column). */
   def ivfProbes(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
       struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
     }: _*)

@@ -145,7 +145,7 @@ object Kql {
       merged
         .withColumn(as, last(when(col("__side") === 0, col("__v")), ignoreNulls = true).over(w))
         .filter(col("__side") === 1)
-        .select(leftCols.map(col) :+ col(as): _*)
+        .select(leftCols.toIndexedSeq.map(col) :+ col(as): _*)
     }
 
     /** `T | top-nested n1 of k1 by agg1, top-nested n2 of k2 by agg2` (2 levels):
@@ -378,7 +378,7 @@ object Kql {
     }
     val aCols = stats.columns.map(c => col(s"a.$c").as(c))
     val statsB = a.join(broadcast(b), col(s"b.$pid") =!= col(s"a.$pid"), "left_outer")
-      .groupBy(aCols: _*).agg(join1Aggs.head, join1Aggs.tail: _*)
+      .groupBy(aCols.toIndexedSeq: _*).agg(join1Aggs.head, join1Aggs.tail: _*)
 
     // per-partition boundary indicators that need the neighbour values
     var statsC = statsB
@@ -420,7 +420,7 @@ object Kql {
       }
       val aCols2 = statsC.columns.map(c => col(s"a.$c").as(c))
       a2.join(broadcast(b2), col(s"b.$pid") =!= col(s"a.$pid"), "left_outer")
-        .groupBy(aCols2: _*).agg(join2Aggs.head, join2Aggs.tail: _*)
+        .groupBy(aCols2.toIndexedSeq: _*).agg(join2Aggs.head, join2Aggs.tail: _*)
     }
 
     // 4. combine local windows with the broadcast offsets

@@ -107,6 +107,20 @@ object NorthStarQueries {
              |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish subword token counting (tokenizer-granularity estimate): runs of
+    // letters, runs of digits, and every punctuation character as its own token.
+    // Spark splits on the boundary regex (empty artifacts filtered); the oracle
+    // EXTRACTS the same token language — equivalent counts by construction.
+    QueryDef("q_bpe_tokens",
+      (s, d) => T(s, d, "documents")
+        .project(col("doc_id"),
+          size(filter(TA.bpeishTokens(col("text")), t => length(t) > 0))
+            .cast("long").as("n_bpeish"))
+        .sortBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q_token_freq",
       (s, d) => T(s, d, "documents")
         .mvExpand(TA.tokens(lower(col("text"))), "token")

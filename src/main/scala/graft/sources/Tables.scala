@@ -52,7 +52,7 @@ object Tables {
     require(tsType == TimestampType || tsType == TimestampNTZType,
       s"'$tsCol' must be a timestamp, got $tsType")
     if (df.columns.contains(dedupCol)) df
-    else df.withColumn(dedupCol, hash(df.columns.map(col): _*))
+    else df.withColumn(dedupCol, hash(df.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Append a batch as a time-partitioned segment (day buckets ≈ meerkat's
