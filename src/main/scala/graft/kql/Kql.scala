@@ -278,8 +278,12 @@ object Kql {
     * row_window_session. `name` is the output column each request materializes. */
   sealed trait RowFn { def name: String }
   final case class RowNumber(name: String) extends RowFn
-  final case class PrevOf(name: String, e: Column) extends RowFn
-  final case class NextOf(name: String, e: Column) extends RowFn
+  /** prev(e, offset, default): the value of `e` `offset` rows earlier in the
+    * serialized order, `default` (null if absent) before the table's start. */
+  final case class PrevOf(name: String, e: Column, offset: Int = 1,
+                          default: Option[Column] = None) extends RowFn
+  final case class NextOf(name: String, e: Column, offset: Int = 1,
+                          default: Option[Column] = None) extends RowFn
   final case class CumSumOf(name: String, e: Column) extends RowFn
   final case class RankDense(name: String, e: Column) extends RowFn
   /** Sessionization along the serialized order: the session-start timestamp of the
@@ -340,10 +344,18 @@ object Kql {
 
     // 3a. per-partition stats (deterministic: value extremes keyed by local row
     // number, not by `first`/`last` aggregate order)
+    // ordered values of e within the partition (by local row number), as an
+    // array bounded to the first/last `k` elements — the cross-boundary carry
+    // for offset-k prev/next
+    def orderedVals(e: Column): Column =
+      transform(array_sort(collect_list(struct(col(lrn).as("i"), e.as("v")))),
+        s => s.getField("v"))
+    def lastK(arr: Column, k: Int): Column =
+      slice(arr, greatest(size(arr) - k + 1, lit(1)), lit(k))
     val statAggs = Seq(count(lit(1)).as("__cnt")) ++ fns.flatMap {
       case CumSumOf(n, e) => Seq(sum(e).as(s"__psum_$n"))
-      case PrevOf(n, e) => Seq(max_by(e, col(lrn)).as(s"__plast_$n"))
-      case NextOf(n, e) => Seq(min_by(e, col(lrn)).as(s"__pfirst_$n"))
+      case PrevOf(n, e, k, _) => Seq(lastK(orderedVals(e), k).as(s"__ptail_$n"))
+      case NextOf(n, e, k, _) => Seq(slice(orderedVals(e), 1, k).as(s"__phead_$n"))
       case RankDense(n, e) => Seq(
         sum(col(s"__chg_$n")).as(s"__pchg_$n"),
         min_by(e, col(lrn)).as(s"__rdfirst_$n"),
@@ -362,14 +374,21 @@ object Kql {
     val b = stats.alias("b")
     def lt(c: Column) = when(col(s"b.$pid") < col(s"a.$pid"), c)
     def gt(c: Column) = when(col(s"b.$pid") > col(s"a.$pid"), c)
+    // neighbours' carried arrays: per-partition tails (heads) concatenated in
+    // pid order, re-bounded to k — the true last-k/first-k values across any
+    // run of small partitions
+    def catSorted(piece: Column): Column =
+      flatten(transform(array_sort(collect_list(piece)), s => s.getField("t")))
     val join1Aggs = Seq(
       coalesce(sum(lt(col("b.__cnt"))), lit(0L)).as("__rowoff"),
       max(lt(col(s"b.$pid"))).isNotNull.as("__haspred")) ++ fns.flatMap {
       case CumSumOf(n, _) => Seq(sum(lt(col(s"b.__psum_$n"))).as(s"__cumoff_$n"))
-      case PrevOf(n, _) => Seq(
-        max_by(lt(col(s"b.__plast_$n")), lt(col(s"b.$pid"))).as(s"__prevlast_$n"))
-      case NextOf(n, _) => Seq(
-        min_by(gt(col(s"b.__pfirst_$n")), gt(col(s"b.$pid"))).as(s"__nextfirst_$n"))
+      case PrevOf(n, _, k, _) => Seq(
+        lastK(catSorted(lt(struct(col(s"b.$pid").as("p"), col(s"b.__ptail_$n").as("t")))), k)
+          .as(s"__prevtail_$n"))
+      case NextOf(n, _, k, _) => Seq(
+        slice(catSorted(gt(struct(col(s"b.$pid").as("p"), col(s"b.__phead_$n").as("t")))), 1, k)
+          .as(s"__nexthead_$n"))
       case RankDense(n, _) => Seq(
         max_by(lt(col(s"b.__rdlast_$n")), lt(col(s"b.$pid"))).as(s"__rdprevlast_$n"))
       case WindowSession(n, _, _) => Seq(
@@ -428,13 +447,22 @@ object Kql {
     fns.foreach {
       case RowNumber(n) =>
         out = out.withColumn(n, (col("__rowoff") + col(lrn)).cast("int"))
-      case PrevOf(n, e) =>
+      case PrevOf(n, e, k, dflt) =>
+        // row L wants global position (rowoff + L) - k: in-partition when L > k,
+        // else tail element size - (k - L); before the table start → default
+        val tail = col(s"__prevtail_$n")
+        val idx = (size(tail) - (lit(k) - col(lrn))).cast("int")
         out = out.withColumn(n,
-          when(col(lrn) === 1, col(s"__prevlast_$n")).otherwise(lag(e, 1).over(localW)))
-      case NextOf(n, e) =>
+          when(col(lrn) > k, lag(e, k).over(localW))
+            .otherwise(when(idx >= 1, element_at(tail, idx))
+              .otherwise(dflt.getOrElse(lit(null)))))
+      case NextOf(n, e, k, dflt) =>
+        val head = col(s"__nexthead_$n")
+        val idx = (col(lrn) + lit(k) - col("__cnt")).cast("int")
         out = out.withColumn(n,
-          when(col(lrn) === col("__cnt"), col(s"__nextfirst_$n"))
-            .otherwise(lead(e, 1).over(localW)))
+          when(col(lrn) + lit(k) <= col("__cnt"), lead(e, k).over(localW))
+            .otherwise(when(idx <= size(head), element_at(head, idx))
+              .otherwise(dflt.getOrElse(lit(null)))))
       case CumSumOf(n, e) =>
         out = out.withColumn(n,
           coalesce(col(s"__cumoff_$n"), lit(0L)) + sum(e).over(localCumW))

@@ -763,8 +763,10 @@ object KqlParser {
         // serialized-order row functions (require `| sort by ... | serialize`;
         // placeholders materialized distributively by the enclosing extend)
         case "row_number" => rowFnPlaceholder(RowNumber(_))
-        case "prev" => rowFnPlaceholder(PrevOf(_, args.head))
-        case "next" => rowFnPlaceholder(NextOf(_, args.head))
+        case "prev" => rowFnPlaceholder(PrevOf(_, args.head,
+          if (args.length > 1) litLong(args(1)).toInt else 1, args.lift(2)))
+        case "next" => rowFnPlaceholder(NextOf(_, args.head,
+          if (args.length > 1) litLong(args(1)).toInt else 1, args.lift(2)))
         case "row_cumsum" => rowFnPlaceholder(CumSumOf(_, args.head))
         case "row_rank_dense" => rowFnPlaceholder(RankDense(_, args.head))
         case "row_window_session" =>

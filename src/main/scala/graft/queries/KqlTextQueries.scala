@@ -280,6 +280,25 @@ object KqlTextQueries {
              |FROM events WHERE value > 250
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // offset/default forms of prev/next through the distributed boundary-carry
+    // path (offset 3 spans partition boundaries at the verify partition count)
+    QueryDef("q_kql_prev_offset",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 5
+          || project user_id, ts, event_id
+          || sort by user_id asc, ts asc, event_id asc
+          || serialize
+          || extend p3 = prev(event_id, 3), p3d = prev(event_id, 3, 0), n2 = next(event_id, 2)
+          || sort by user_id asc, ts asc, event_id asc""".stripMargin),
+      Some("""SELECT user_id, ts, event_id,
+             |  LAG(event_id, 3) OVER w AS p3,
+             |  LAG(event_id, 3, 0) OVER w AS p3d,
+             |  LEAD(event_id, 2) OVER w AS n2
+             |FROM events WHERE user_id < 5
+             |WINDOW w AS (ORDER BY user_id, ts, event_id)
+             |ORDER BY user_id, ts, event_id""".stripMargin)),
+
     QueryDef("q_kql_percentile",
       (s, d) => run(s, d,
         """lineitem

@@ -105,17 +105,22 @@ class KqlOpsSpec extends SparkSpec {
       .withColumn("rn", row_number().over(w))
       .withColumn("pe", lag(col("event_id"), 1).over(w))
       .withColumn("ne", lead(col("event_id"), 1).over(w))
+      .withColumn("pe7", lag(col("event_id"), 7, -1L).over(w))
+      .withColumn("ne5", lead(col("event_id"), 5).over(w))
       .withColumn("cs", sum(col("event_id")).over(wc))
       .withColumn("rk", dense_rank().over(Window.orderBy(col("user_id"))))
       .withColumn("sess", last(newTs, ignoreNulls = true).over(wc))
       .orderBy(order: _*).collect().toSeq
     for (parts <- Seq(1, 3, 17)) {
       val fns = Seq[RowFn](RowNumber("rn"), PrevOf("pe", col("event_id")),
-        NextOf("ne", col("event_id")), CumSumOf("cs", col("event_id")),
+        NextOf("ne", col("event_id")),
+        PrevOf("pe7", col("event_id"), 7, Some(lit(-1L))),
+        NextOf("ne5", col("event_id"), 5),
+        CumSumOf("cs", col("event_id")),
         RankDense("rk", col("user_id")), WindowSession("sess", col("ts"), 900))
       val got = serializedRowFns(e.repartition(parts), order, fns)
         .select(e.columns.map(col).toIndexedSeq ++ Seq(col("rn"), col("pe"), col("ne"),
-          col("cs"), col("rk").cast("int"), col("sess")): _*)
+          col("pe7"), col("ne5"), col("cs"), col("rk").cast("int"), col("sess")): _*)
         .orderBy(order: _*).collect().toSeq
       assert(got == expected, s"parts=$parts mismatch")
     }
