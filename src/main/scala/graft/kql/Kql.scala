@@ -286,6 +286,9 @@ object Kql {
                           default: Option[Column] = None) extends RowFn
   final case class CumSumOf(name: String, e: Column) extends RowFn
   final case class RankDense(name: String, e: Column) extends RowFn
+  /** row_rank_min: the global row number of the first row of the current run of
+    * equal `e` values (KQL min-rank; = RANK() when `e` is a leading sort key). */
+  final case class RankMin(name: String, e: Column) extends RowFn
   /** Sessionization along the serialized order: the session-start timestamp of the
     * current row; a new session begins when the gap to the previous row exceeds
     * `idleSeconds`. (KQL's maxDuration bound is inherently sequential — splitting
@@ -335,6 +338,10 @@ object Kql {
         sorted = sorted.withColumn(s"__chg_$n",
           when(col(lrn) === 1, lit(null).cast("long"))
             .otherwise((!(e <=> lag(e, 1).over(localW))).cast("long")))
+      case RankMin(n, e) =>
+        sorted = sorted.withColumn(s"__chg_$n",
+          when(col(lrn) === 1, lit(null).cast("long"))
+            .otherwise((!(e <=> lag(e, 1).over(localW))).cast("long")))
       case WindowSession(n, ts, idle) =>
         sorted = sorted.withColumn(s"__newts_$n",
           when(col(lrn) =!= 1 &&
@@ -360,6 +367,10 @@ object Kql {
         sum(col(s"__chg_$n")).as(s"__pchg_$n"),
         min_by(e, col(lrn)).as(s"__rdfirst_$n"),
         max_by(e, col(lrn)).as(s"__rdlast_$n"))
+      case RankMin(n, e) => Seq(
+        max(when(col(s"__chg_$n") === 1, col(lrn))).as(s"__lastchg_$n"),
+        min_by(e, col(lrn)).as(s"__rmfirst_$n"),
+        max_by(e, col(lrn)).as(s"__rmlast_$n"))
       case WindowSession(n, ts, _) => Seq(
         max_by(col(s"__newts_$n"),
           when(col(s"__newts_$n").isNotNull, col(lrn))).as(s"__pnew_$n"),
@@ -391,6 +402,8 @@ object Kql {
           .as(s"__nexthead_$n"))
       case RankDense(n, _) => Seq(
         max_by(lt(col(s"b.__rdlast_$n")), lt(col(s"b.$pid"))).as(s"__rdprevlast_$n"))
+      case RankMin(n, _) => Seq(
+        max_by(lt(col(s"b.__rmlast_$n")), lt(col(s"b.$pid"))).as(s"__rmprevlast_$n"))
       case WindowSession(n, _, _) => Seq(
         max_by(lt(col(s"b.__wslast_$n")), lt(col(s"b.$pid"))).as(s"__wsprevlast_$n"))
       case RowNumber(_) => Nil
@@ -407,6 +420,10 @@ object Kql {
         statsC = statsC.withColumn(s"__rdbound_$n",
           when(!col("__haspred"), lit(1L))
             .otherwise((!(col(s"__rdfirst_$n") <=> col(s"__rdprevlast_$n"))).cast("long")))
+      case RankMin(n, _) =>
+        statsC = statsC.withColumn(s"__rmbound_$n",
+          when(!col("__haspred"), lit(1L))
+            .otherwise((!(col(s"__rmfirst_$n") <=> col(s"__rmprevlast_$n"))).cast("long")))
       case WindowSession(n, _, idleSec) =>
         // does this partition's FIRST row start a new session?
         statsC = statsC.withColumn(s"__wsbound_$n",
@@ -422,7 +439,7 @@ object Kql {
     // 3c. second broadcast self-join for offsets that depend on every earlier
     // partition's OWN boundary status (rank-change totals, carried session start)
     val needSecond = fns.exists {
-      case _: RankDense | _: WindowSession => true; case _ => false }
+      case _: RankDense | _: RankMin | _: WindowSession => true; case _ => false }
     val offsets = if (!needSecond) statsC else {
       val a2 = statsC.alias("a")
       val b2 = statsC.alias("b")
@@ -431,6 +448,11 @@ object Kql {
         case RankDense(n, _) => Seq(coalesce(
           sum(lt2(coalesce(col(s"b.__pchg_$n"), lit(0L)) + col(s"b.__rdbound_$n"))),
           lit(0L)).as(s"__chgoff_$n"))
+        case RankMin(n, _) => Seq(
+          // latest change GLOBAL position among predecessors: positions grow
+          // with pid, so a plain max over the non-null contributions suffices
+          max(lt2(col(s"b.__rowoff") + coalesce(col(s"b.__lastchg_$n"),
+            when(col(s"b.__rmbound_$n") === 1, lit(1L))))).as(s"__prevrank_$n"))
         case WindowSession(n, _, _) => Seq(
           max_by(lt2(col(s"b.__efflast_$n")),
             when(col(s"b.$pid") < col(s"a.$pid") && col(s"b.__efflast_$n").isNotNull,
@@ -470,6 +492,15 @@ object Kql {
         out = out.withColumn(n,
           col(s"__chgoff_$n") + col(s"__rdbound_$n") +
             coalesce(sum(col(s"__chg_$n")).over(localCumW), lit(0L)))
+      case RankMin(n, _) =>
+        // global row number of the current run's first row: the latest change
+        // in this partition, else this partition's (changed) first row, else
+        // the latest change carried from predecessors
+        out = out.withColumn(n, coalesce(
+          col("__rowoff") +
+            last(when(col(s"__chg_$n") === 1, col(lrn)), ignoreNulls = true).over(localCumW),
+          when(col(s"__rmbound_$n") === 1, col("__rowoff") + 1),
+          col(s"__prevrank_$n")))
       case WindowSession(n, _, _) =>
         out = out.withColumn(n,
           coalesce(last(col(s"__newts_$n"), ignoreNulls = true).over(localCumW),

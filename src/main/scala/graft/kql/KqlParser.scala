@@ -769,6 +769,7 @@ object KqlParser {
           if (args.length > 1) litLong(args(1)).toInt else 1, args.lift(2)))
         case "row_cumsum" => rowFnPlaceholder(CumSumOf(_, args.head))
         case "row_rank_dense" => rowFnPlaceholder(RankDense(_, args.head))
+        case "row_rank_min" => rowFnPlaceholder(RankMin(_, args.head))
         case "row_window_session" =>
           // row_window_session(ts, maxDuration, idleTimeout): idle-gap sessions;
           // the sequential maxDuration bound is not supported (see WindowSession)

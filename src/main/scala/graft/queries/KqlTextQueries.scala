@@ -248,6 +248,7 @@ object KqlTextQueries {
           || sort by user_id asc, ts asc, event_id asc
           || serialize
           || extend rn = row_number(), rk = row_rank_dense(user_id),
+          |    rkm = row_rank_min(user_id),
           |    sess = row_window_session(ts, 1d, 30m),
           |    pe = prev(event_id), ne = next(event_id)
           || sort by user_id asc, ts asc, event_id asc""".stripMargin),
@@ -255,13 +256,14 @@ object KqlTextQueries {
              |o AS (SELECT user_id, ts, event_id,
              |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
              |  DENSE_RANK() OVER (ORDER BY user_id) AS rk,
+             |  RANK() OVER (ORDER BY user_id) AS rkm,
              |  LAG(event_id, 1) OVER w AS pe,
              |  LEAD(event_id, 1) OVER w AS ne,
              |  CASE WHEN LAG(ts, 1) OVER w IS NULL
              |         OR epoch_us(ts)//1000000 - epoch_us(LAG(ts, 1) OVER w)//1000000 > 1800
              |       THEN ts END AS new_ts
              |  FROM s WINDOW w AS (ORDER BY user_id, ts, event_id))
-             |SELECT user_id, ts, event_id, rn, rk, pe, ne,
+             |SELECT user_id, ts, event_id, rn, rk, rkm, pe, ne,
              |  last_value(new_ts IGNORE NULLS) OVER (
              |    ORDER BY user_id, ts, event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess

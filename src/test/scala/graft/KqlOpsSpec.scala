@@ -109,6 +109,7 @@ class KqlOpsSpec extends SparkSpec {
       .withColumn("ne5", lead(col("event_id"), 5).over(w))
       .withColumn("cs", sum(col("event_id")).over(wc))
       .withColumn("rk", dense_rank().over(Window.orderBy(col("user_id"))))
+      .withColumn("rkm", rank().over(Window.orderBy(col("user_id"))))
       .withColumn("sess", last(newTs, ignoreNulls = true).over(wc))
       .orderBy(order: _*).collect().toSeq
     for (parts <- Seq(1, 3, 17)) {
@@ -117,10 +118,12 @@ class KqlOpsSpec extends SparkSpec {
         PrevOf("pe7", col("event_id"), 7, Some(lit(-1L))),
         NextOf("ne5", col("event_id"), 5),
         CumSumOf("cs", col("event_id")),
-        RankDense("rk", col("user_id")), WindowSession("sess", col("ts"), 900))
+        RankDense("rk", col("user_id")), RankMin("rkm", col("user_id")),
+        WindowSession("sess", col("ts"), 900))
       val got = serializedRowFns(e.repartition(parts), order, fns)
         .select(e.columns.map(col).toIndexedSeq ++ Seq(col("rn"), col("pe"), col("ne"),
-          col("pe7"), col("ne5"), col("cs"), col("rk").cast("int"), col("sess")): _*)
+          col("pe7"), col("ne5"), col("cs"), col("rk").cast("int"),
+          col("rkm").cast("int"), col("sess")): _*)
         .orderBy(order: _*).collect().toSeq
       assert(got == expected, s"parts=$parts mismatch")
     }
