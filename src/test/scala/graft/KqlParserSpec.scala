@@ -208,6 +208,20 @@ class KqlParserSpec extends SparkSpec {
     assert(r == Seq(("alice", 2L, "click", 50.0)))
   }
 
+  test("top-nested composes beyond two levels") {
+    val df = run(
+      """t | top-nested 2 of user by s = count(),
+        |  top-nested 1 of etype by m = max(v),
+        |  top-nested 1 of id by mi = min(id)""".stripMargin)
+    assert(df.columns.toSeq == Seq("user", "s", "etype", "m", "id", "mi"))
+    // users alice+bob (count 2, tie-break asc); per user the top etype by
+    // max(v); then the top id ranked by its aggregate DESC (alice's click
+    // rows are ids 1 and 3 → min(id)-per-id desc keeps id 3)
+    val rows = df.select("user", "etype", "id").as[(String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(rows == Seq(("alice", "click", 3L), ("bob", "view", 2L)))
+  }
+
   test("invoke applies a let-bound tabular function to the piped table") {
     val df = run(
       """let top2 = (src:(v:real)) { src | top 2 by v desc | extend vv = v * 2 };

@@ -80,6 +80,39 @@ class PropertySpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("serializedRowFns equals the global window on random keyed data") {
+    // randomized law for the distributed serialize machinery: duplicate-heavy
+    // keys (tie runs for the ranks), null values (prev/cumsum null handling),
+    // and a random partition count — always equal to the naive global window
+    import org.apache.spark.sql.expressions.Window
+    val rows = Gen.listOfN(120, for {
+      k <- Gen.choose(0, 6)       // heavy duplicates → rank tie runs
+      v <- Gen.option(Gen.choose(-50L, 50L))
+      id <- Gen.choose(0L, 100000L)
+    } yield (k, v, id))
+    check(Prop.forAll(rows, Gen.choose(1, 9)) { (data, parts) =>
+      val df = data.toDF("k", "v", "id").dropDuplicates("k", "id")
+      val order = Seq(col("k").asc, col("id").asc)
+      val w = Window.orderBy(order: _*)
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("p2", lag(col("v"), 2, 999L).over(w))
+        .withColumn("cs", sum(col("v")).over(wc))
+        .withColumn("rk", dense_rank().over(Window.orderBy(col("k"))).cast("long"))
+        .withColumn("rkm", rank().over(Window.orderBy(col("k"))).cast("long"))
+        .orderBy(order: _*).collect().toSeq
+      val got = serializedRowFns(df.repartition(parts), order, Seq[RowFn](
+          RowNumber("rn"), PrevOf("p2", col("v"), 2, Some(lit(999L))),
+          CumSumOf("cs", col("v")), RankDense("rk", col("k")),
+          RankMin("rkm", col("k"))))
+        .select(col("k"), col("v"), col("id"), col("rn"), col("p2"), col("cs"),
+          col("rk"), col("rkm"))
+        .orderBy(order: _*).collect().toSeq
+      got == expected
+    }, n = 12)
+  }
+
   test("estJaccard stays within [0,1] and is 1 for identical docs") {
     val docs = (0 until 30).map(i => (i.toLong, s"common prefix words here item $i"))
       .toDF("doc_id", "text")
