@@ -243,6 +243,22 @@ object KqlParser {
       org.apache.spark.sql.SparkSession.active.range(1).select(cols: _*)
     }
 
+    /** Spark type → Kusto scalar-type name (getschema vocabulary). */
+    private def kqlTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case StringType => "string"
+        case LongType => "long"
+        case IntegerType | ShortType | ByteType => "int"
+        case DoubleType | FloatType => "real"
+        case BooleanType => "bool"
+        case TimestampType | TimestampNTZType | DateType => "datetime"
+        case _: DecimalType => "decimal"
+        case DayTimeIntervalType(_, _) => "timespan"
+        case _ => "dynamic" // arrays, maps, structs, variant
+      }
+    }
+
     private def kqlType(t: String): String = t match {
       case "string" => "string"
       case "long" => "long"
@@ -434,6 +450,47 @@ object KqlParser {
         val dim = parseSubQuery()
         eatIdent("on")
         df.lookup(dim, parseIdentList())
+      case "parse-kv" =>
+        // `parse-kv Col as (k1:type, k2:type) with (pair_delimiter=',',
+        // kv_delimiter='=')` — extract typed values from a key=value string
+        val src = col(ident())
+        eatIdent("as")
+        eatPunct("(")
+        val fields = Seq.newBuilder[(String, String)]
+        def oneField(): Unit = {
+          val n = ident()
+          val t = if (atPunct(":")) { pos += 1; kqlType(ident()) } else "string"
+          fields += n -> t
+        }
+        oneField()
+        while (atPunct(",")) { pos += 1; oneField() }
+        eatPunct(")")
+        var pairDelim = ","; var kvDelim = "="
+        if (atIdent("with")) {
+          pos += 1; eatPunct("(")
+          def oneOpt(): Unit = ident() match {
+            case "pair_delimiter" => eatPunct("="); pairDelim = strLitS()
+            case "kv_delimiter" => eatPunct("="); kvDelim = strLitS()
+            case o => throw new IllegalArgumentException(s"unsupported parse-kv option: $o")
+          }
+          oneOpt()
+          while (atPunct(",")) { pos += 1; oneOpt() }
+          eatPunct(")")
+        }
+        val q = java.util.regex.Pattern.quote _
+        val kvMap = str_to_map(src, lit(q(pairDelim)), lit(q(kvDelim)))
+        fields.result().foldLeft(df) { case (acc, (n, t)) =>
+          acc.extend(n -> element_at(kvMap, n).cast(t))
+        }
+      case "getschema" =>
+        // `T | getschema` — the table's effective schema as rows, with types
+        // reported in Kusto's scalar-type vocabulary
+        val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+          struct(lit(f.name).as("ColumnName"), lit(i).as("ColumnOrdinal"),
+            lit(kqlTypeName(f.dataType)).as("ColumnType"))
+        }.toIndexedSeq
+        org.apache.spark.sql.SparkSession.active.range(1)
+          .select(explode(array(rows: _*)).as("__s")).select(col("__s.*"))
       case "invoke" =>
         // `T | invoke f()` — apply a let-bound tabular function with T as the
         // parameter. The body parses in a child parser whose table resolver
@@ -817,6 +874,43 @@ object KqlParser {
         case "dayofmonth" => dayofmonth(args.head)
         case "hourofday" => hour(args.head)
         case "todynamic" | "parse_json" => KqlFunctions.todynamic(args.head)
+        // string
+        case "indexof" => instr(args.head, litString(args(1))) - 1 // KQL: 0-based, -1 absent
+        case "countof" => KqlFunctions.countof(args.head, litString(args(1)))
+        case "strcat_delim" => concat_ws(litString(args.head), args.tail: _*)
+        case "strrep" => repeat(args.head, litLong(args(1)).toInt)
+        case "reverse" => reverse(args.head)
+        case "tohex" => lower(hex(args.head))
+        // scalar comparison / conditional
+        case "max_of" => greatest(args: _*)
+        case "min_of" => least(args: _*)
+        case "case" =>
+          // case(p1, v1, p2, v2, ..., default)
+          require(args.length >= 3 && args.length % 2 == 1,
+            "case() needs predicate/value pairs plus a default")
+          KqlFunctions.caseOf(args.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq,
+            args.last)
+        case "isnan" => isnan(args.head)
+        // numeric binning anchored at a fixed point
+        case "bin_at" =>
+          floor((args.head - args(2)) / args(1)) * args(1) + args(2)
+        // datetime
+        case "dayofweek" =>
+          // KQL: days since Sunday (timespan); emitted as whole days 0-6
+          (dayofweek(args.head) - 1).cast("long")
+        case "endofday" =>
+          // last representable µs of the day (the fixture's tick is µs)
+          timestamp_micros(unix_micros(date_trunc("day", args.head)) + 86399999999L)
+        case "datetime_diff" =>
+          val unit = litString(args.head) match {
+            case "second" => 1L; case "minute" => 60L; case "hour" => 3600L
+            case "day" => 86400L
+            case u => throw new IllegalArgumentException(s"unsupported datetime_diff unit: $u")
+          }
+          // KQL: datetime_diff(part, later, earlier)
+          floor((unix_micros(args(1)) - unix_micros(args(2))) / 1000000.0 / unit).cast("long")
+        // dynamic/array
+        case "array_length" => size(args.head).cast("long")
         case other => throw new IllegalArgumentException(s"unsupported scalar function: $other")
       }
     }

@@ -313,6 +313,58 @@ object KqlTextQueries {
              |  quantile_cont(l_quantity, 0.75) AS p75
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    QueryDef("q_kql_scalar_misc2",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 100 == 0
+          || extend s = strcat_delim('-', event_type, tostring(user_id % 10)),
+          |    ix = indexof(event_type, 'c'),
+          |    co = tolong(countof(event_type, 'c')),
+          |    rv = reverse(event_type),
+          |    rep = strrep('ab', 3),
+          |    mx = max_of(value, 250.0, todouble(user_id)),
+          |    cs = case(value < 100, 'low', value < 300, 'mid', 'high'),
+          |    ba = bin_at(value, 50.0, 25.0),
+          |    dw = dayofweek(ts),
+          |    dd = datetime_diff('day', ts, datetime('2024-01-01')),
+          |    hx = tohex(event_id)
+          || project event_id, s, ix, co, rv, rep, mx, cs, ba, dw, dd, hx
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  event_type || '-' || CAST(user_id % 10 AS VARCHAR) AS s,
+             |  CAST(strpos(event_type, 'c') - 1 AS INT) AS ix,
+             |  CAST(length(event_type) - length(replace(event_type, 'c', '')) AS BIGINT) AS co,
+             |  reverse(event_type) AS rv,
+             |  repeat('ab', 3) AS rep,
+             |  greatest(value, 250.0, CAST(user_id AS DOUBLE)) AS mx,
+             |  CASE WHEN value < 100 THEN 'low' WHEN value < 300 THEN 'mid'
+             |       ELSE 'high' END AS cs,
+             |  floor((value - 25.0) / 50.0) * 50.0 + 25.0 AS ba,
+             |  CAST(dayofweek(ts) AS BIGINT) AS dw,
+             |  CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+             |    / 1000000.0 / 86400) AS BIGINT) AS dd,
+             |  lower(to_hex(event_id)) AS hx
+             |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
+
+    QueryDef("q_kql_parse_kv",
+      (s, d) => run(s, d,
+        """events
+          || extend kvs = strcat('a=', tostring(event_id % 7), ';b=', event_type)
+          || parse-kv kvs as (a:long, b:string) with (pair_delimiter=';', kv_delimiter='=')
+          || summarize n = count(), sa = sum(a) by b
+          || sort by b asc""".stripMargin),
+      Some("""SELECT event_type AS b, COUNT(*) AS n,
+             |  CAST(SUM(event_id % 7) AS BIGINT) AS sa
+             |FROM events GROUP BY 1 ORDER BY b""".stripMargin)),
+
+    QueryDef("q_kql_getschema",
+      (s, d) => run(s, d, "events | getschema | sort by ColumnOrdinal asc"),
+      Some("""SELECT * FROM (VALUES
+             |  ('event_id', 0, 'long'), ('ts', 1, 'datetime'), ('user_id', 2, 'long'),
+             |  ('event_type', 3, 'string'), ('value', 4, 'real'), ('props', 5, 'string'))
+             |AS t(ColumnName, ColumnOrdinal, ColumnType)
+             |ORDER BY ColumnOrdinal""".stripMargin)),
+
     QueryDef("q_kql_strings",
       (s, d) => run(s, d,
         """documents
