@@ -215,7 +215,8 @@ object KqlParser {
         while (atPunct("|")) {
           eatPunct("|"); df = parseOp(df)
           require(rowFnBuffer.isEmpty, "row functions (row_number/prev/next/row_cumsum/" +
-            "row_rank_dense/row_window_session) are only supported inside `extend`")
+            "row_rank_dense/row_rank_min/row_window_session) are only supported in " +
+            "`extend`, `project`, and `where`")
         }
         require(peek.isEmpty || atPunct(")") || atPunct(";"), s"trailing tokens at $pos: $peek")
         df
@@ -314,23 +315,31 @@ object KqlParser {
       df
     }
 
+    /** Materialize any row-function placeholders parsed by `body`, then apply
+      * `use` over them and drop the placeholder columns that survive. */
+    private def withRowFns(df: DataFrame)(body: => DataFrame => DataFrame): DataFrame = {
+      val f = body // parses; may fill rowFnBuffer
+      if (rowFnBuffer.isEmpty) f(df)
+      else {
+        val fns = rowFnBuffer.toSeq
+        rowFnBuffer.clear()
+        val materialized = serializedRowFns(df, serializedOrder.get, fns)
+        val outDf = f(materialized)
+        outDf.drop(fns.map(_.name).filter(outDf.columns.contains): _*)
+      }
+    }
+
     private def parseOp(df: DataFrame): DataFrame = ident() match {
-      case "where" | "filter" => df.where_(parseExpr())
-      case "project" => df.project(parseProjList(): _*)
+      case "where" | "filter" =>
+        withRowFns(df) { val p = parseExpr(); _.where_(p) }
+      case "project" =>
+        withRowFns(df) { val cols = parseProjList(); _.project(cols: _*) }
       case "project-away" => df.projectAway(parseIdentList(): _*)
       case "project-keep" => df.projectKeep(parseIdentList(): _*)
       case "project-rename" => df.projectRename(parseRenameList(): _*)
       case "extend" =>
-        val exprs = parseNamedExprList()
-        if (rowFnBuffer.isEmpty) df.extend(exprs: _*)
-        else {
-          // materialize the row-function placeholders distributively, apply the
-          // extend expressions over them, then drop the placeholder columns
-          val fns = rowFnBuffer.toSeq
-          rowFnBuffer.clear()
-          serializedRowFns(df, serializedOrder.get, fns)
-            .extend(exprs: _*).drop(fns.map(_.name): _*)
-        }
+        // row-function placeholders materialize distributively underneath
+        withRowFns(df) { val exprs = parseNamedExprList(); _.extend(exprs: _*) }
       case "summarize" =>
         val aggs = parseNamedAggList()
         val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil

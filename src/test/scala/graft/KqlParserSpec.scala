@@ -170,11 +170,19 @@ class KqlParserSpec extends SparkSpec {
       "t | union (t | sort by id asc) | serialize | extend rn = row_number()"))
   }
 
-  test("row functions outside extend are rejected") {
+  test("row functions work in where and project after serialize") {
+    assert(run("t | sort by id asc | serialize | where row_number() > 2").count() == 3)
+    val df = run(
+      "t | sort by id asc | serialize | project id, rn = row_number(), pv = prev(v)")
+    assert(df.columns.toSeq == Seq("id", "rn", "pv"))
+    assert(df.orderBy("id").select("rn").as[Int].collect().toSeq == (1 to 5))
+  }
+
+  test("row functions in unsupported operators are rejected") {
     // fails either as the explicit buffer check or as an unresolved placeholder
-    // column inside the non-extend operator — never silently mis-evaluates
+    // column — never silently mis-evaluates
     assertThrows[Exception](run(
-      "t | sort by id asc | serialize | where row_number() > 2"))
+      "t | sort by id asc | serialize | summarize m = max(row_number())"))
   }
 
   test("case-insensitive string operators with _cs variants") {
