@@ -65,15 +65,21 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // fresh local names: several DotF32 instances can land in ONE codegen
+      // stage (cosine = three dots) and fixed names would collide, failing
+      // janino compilation and silently dropping the stage to interpretation
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$x.isNullAt(i) && !$y.isNullAt(i)) {
-         |    s += ((double) $x.getFloat(i)) * ((double) $y.getFloat(i));
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
          |  }
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -119,20 +125,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
+      // fresh locals — see DotF32.doGenCode (fixed names collide when multiple
+      // instances share a codegen stage)
+      val n = ctx.freshName("shN"); val counts = ctx.freshName("shCounts")
+      val m = ctx.freshName("shM"); val i = ctx.freshName("shI")
+      val h = ctx.freshName("shH"); val b = ctx.freshName("shB")
+      val sig = ctx.freshName("shSig")
       s"""
-         |int n = $hs.numElements();
-         |int[] counts = new int[64];
-         |int m = 0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$hs.isNullAt(i)) {
-         |    long h = $hs.getLong(i);
-         |    for (int b = 0; b < 64; b++) { counts[b] += (int) ((h >>> b) & 1L); }
-         |    m++;
+         |int $n = $hs.numElements();
+         |int[] $counts = new int[64];
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$hs.isNullAt($i)) {
+         |    long $h = $hs.getLong($i);
+         |    for (int $b = 0; $b < 64; $b++) { $counts[$b] += (int) (($h >>> $b) & 1L); }
+         |    $m++;
          |  }
          |}
-         |long sig = 0L;
-         |for (int b = 0; b < 64; b++) { if (counts[b] * 2 > m) sig |= (1L << b); }
-         |${ev.value} = sig;
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] * 2 > $m) $sig |= (1L << $b); }
+         |${ev.value} = $sig;
        """.stripMargin
     })
 
@@ -192,18 +204,22 @@ case class HyperplaneProjections(child: Expression, dim: Int, nProj: Int, seed: 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("weights", weights, "double[]")
+    // fresh locals — see DotF32.doGenCode
+    val n = ctx.freshName("hpN"); val out = ctx.freshName("hpOut")
+    val d = ctx.freshName("hpD"); val x = ctx.freshName("hpX")
+    val base = ctx.freshName("hpBase"); val p = ctx.freshName("hpP")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |int n = java.lang.Math.min($v.numElements(), $dim);
-         |double[] out = new double[$nProj];
-         |for (int d = 0; d < n; d++) {
-         |  if (!$v.isNullAt(d)) {
-         |    double x = (double) $v.getFloat(d);
-         |    int base = d * $nProj;
-         |    for (int p = 0; p < $nProj; p++) { out[p] += x * $w[base + p]; }
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $out = new double[$nProj];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  if (!$v.isNullAt($d)) {
+         |    double $x = (double) $v.getFloat($d);
+         |    int $base = $d * $nProj;
+         |    for (int $p = 0; $p < $nProj; $p++) { $out[$p] += $x * $w[$base + $p]; }
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }
