@@ -47,6 +47,19 @@ object Bench {
     names.filter { n =>
       val s = samples(n); s.size == 2 && s.max > 3.0 * s.min
     }.foreach(runOne)
+    // the >3x tie-break never fires when BOTH samples sat inside one sustained
+    // steal window (round-3 driver run: q_ngram_jaccard 244s in both passes,
+    // 2.4s re-measured). Absolute defense: any query whose min is still
+    // implausibly slow gets up to two fresh samples HERE, minutes after its
+    // earlier ones, when the steal window has likely moved on.
+    (1 to 2).foreach { _ =>
+      val mins = names.filterNot(failed).map(n => samples(n).min).sorted
+      if (mins.nonEmpty) {
+        val median = mins(mins.size / 2)
+        val slowCut = math.max(5.0, 5.0 * median)
+        names.filterNot(failed).filter(n => samples(n).min > slowCut).foreach(runOne)
+      }
+    }
     val times = names.filterNot(failed).map(n => n -> samples(n).min)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -56,11 +69,17 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_interleaved+retry","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
-    // single line on stdout AND a file the driver/judge can read without
-    // scraping sbt's [info]-prefixed output
-    println(json)
+    // Full per-query map goes to a FILE; stdout gets a COMPACT line. The
+    // driver captures only the last 2000 bytes of stdout (BENCH_r03 "tail"),
+    // so the full 115-query line can never survive — the compact line (total +
+    // the slowest queries, 3-decimal) fits inside that window with room for
+    // the build tool's trailing success line.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = times.sortBy(-_._2).take(20)
+      .map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${times.size},"timing":"min_of_2_interleaved+retry","queries":$slowest,"queries_file":"BENCH_LOCAL.json","errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(compact)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -291,10 +291,17 @@ object Kql {
   final case class RankMin(name: String, e: Column) extends RowFn
   /** Sessionization along the serialized order: the session-start timestamp of the
     * current row; a new session begins when the gap to the previous row exceeds
-    * `idleSeconds`. (KQL's maxDuration bound is inherently sequential — splitting
-    * on it depends on every earlier split — so it is not supported here; idle-gap
-    * sessions match the batch session-window operator.) */
-  final case class WindowSession(name: String, ts: Column, idleSeconds: Long) extends RowFn
+    * `idleSeconds`, or — when `maxDurationSeconds` is set — when the row is more
+    * than that far past the current window's start. The maxDuration restart chain
+    * is sequential, but each restart depends only on timestamps INSIDE one
+    * idle-gap session, so it is computed as a per-session fold over the distinct
+    * event times (emitting only the restart points) and joined back — no
+    * single-partition pass over the data. One idle session = one fold group, so
+    * a corpus whose idle gap never triggers concentrates its chain on one task;
+    * with a maxDuration bound that group's OUTPUT stays small (restart points
+    * only), which keeps even that degenerate case cheap. */
+  final case class WindowSession(name: String, ts: Column, idleSeconds: Long,
+                                 maxDurationSeconds: Option[Long] = None) extends RowFn
 
   /** Evaluate serialized row functions WITHOUT a single-partition window.
     *
@@ -342,7 +349,7 @@ object Kql {
         sorted = sorted.withColumn(s"__chg_$n",
           when(col(lrn) === 1, lit(null).cast("long"))
             .otherwise((!(e <=> lag(e, 1).over(localW))).cast("long")))
-      case WindowSession(n, ts, idle) =>
+      case WindowSession(n, ts, idle, _) =>
         sorted = sorted.withColumn(s"__newts_$n",
           when(col(lrn) =!= 1 &&
             ts.cast("long") - lag(ts.cast("long"), 1).over(localW) > idle, ts))
@@ -371,7 +378,7 @@ object Kql {
         max(when(col(s"__chg_$n") === 1, col(lrn))).as(s"__lastchg_$n"),
         min_by(e, col(lrn)).as(s"__rmfirst_$n"),
         max_by(e, col(lrn)).as(s"__rmlast_$n"))
-      case WindowSession(n, ts, _) => Seq(
+      case WindowSession(n, ts, _, _) => Seq(
         max_by(col(s"__newts_$n"),
           when(col(s"__newts_$n").isNotNull, col(lrn))).as(s"__pnew_$n"),
         min_by(ts, col(lrn)).as(s"__wsfirst_$n"),
@@ -404,7 +411,7 @@ object Kql {
         max_by(lt(col(s"b.__rdlast_$n")), lt(col(s"b.$pid"))).as(s"__rdprevlast_$n"))
       case RankMin(n, _) => Seq(
         max_by(lt(col(s"b.__rmlast_$n")), lt(col(s"b.$pid"))).as(s"__rmprevlast_$n"))
-      case WindowSession(n, _, _) => Seq(
+      case WindowSession(n, _, _, _) => Seq(
         max_by(lt(col(s"b.__wslast_$n")), lt(col(s"b.$pid"))).as(s"__wsprevlast_$n"))
       case RowNumber(_) => Nil
     }
@@ -424,7 +431,7 @@ object Kql {
         statsC = statsC.withColumn(s"__rmbound_$n",
           when(!col("__haspred"), lit(1L))
             .otherwise((!(col(s"__rmfirst_$n") <=> col(s"__rmprevlast_$n"))).cast("long")))
-      case WindowSession(n, _, idleSec) =>
+      case WindowSession(n, _, idleSec, _) =>
         // does this partition's FIRST row start a new session?
         statsC = statsC.withColumn(s"__wsbound_$n",
           when(!col("__haspred"), lit(true))
@@ -453,7 +460,7 @@ object Kql {
           // with pid, so a plain max over the non-null contributions suffices
           max(lt2(col(s"b.__rowoff") + coalesce(col(s"b.__lastchg_$n"),
             when(col(s"b.__rmbound_$n") === 1, lit(1L))))).as(s"__prevrank_$n"))
-        case WindowSession(n, _, _) => Seq(
+        case WindowSession(n, _, _, _) => Seq(
           max_by(lt2(col(s"b.__efflast_$n")),
             when(col(s"b.$pid") < col(s"a.$pid") && col(s"b.__efflast_$n").isNotNull,
               col(s"b.$pid"))).as(s"__prevsess_$n"))
@@ -501,14 +508,57 @@ object Kql {
             last(when(col(s"__chg_$n") === 1, col(lrn)), ignoreNulls = true).over(localCumW),
           when(col(s"__rmbound_$n") === 1, col("__rowoff") + 1),
           col(s"__prevrank_$n")))
-      case WindowSession(n, _, _) =>
+      case WindowSession(n, _, _, _) =>
         out = out.withColumn(n,
           coalesce(last(col(s"__newts_$n"), ignoreNulls = true).over(localCumW),
             when(col(s"__wsbound_$n"), col(s"__wsfirst_$n")),
             col(s"__prevsess_$n")))
     }
     val keep = df.columns ++ fns.map(_.name)
-    out.select(keep.map(col).toIndexedSeq: _*)
+    val selected = out.select(keep.map(col).toIndexedSeq: _*)
+    // maxDuration refinement: restart chains are per-idle-session, so each is a
+    // fold over that session's distinct event times joined back by (session, ts)
+    fns.foldLeft(selected) {
+      case (acc, WindowSession(n, ts, _, Some(maxDur))) =>
+        refineSessionMaxDuration(acc, n, ts, maxDur)
+      case (acc, _) => acc
+    }
+  }
+
+  /** Split idle-gap sessions further at KQL `row_window_session` maxDuration
+    * boundaries: within one idle session starting at t0, a new window starts at
+    * the first event time more than `maxDurSec` past the current window start —
+    * a sequential chain, but one that only reads that session's timestamps.
+    * Computed distributively: fold each session's sorted distinct times to its
+    * restart points (output = restarts only, tiny even for a degenerate
+    * all-one-session corpus), then each row takes the latest restart ≤ its ts. */
+  private def refineSessionMaxDuration(df: DataFrame, n: String, ts: Column,
+                                       maxDurSec: Long): DataFrame = {
+    val maxDurUs = maxDurSec * 1000000L
+    val restarts = df.groupBy(col(n).as("__mds_sess"))
+      .agg(array_sort(collect_set(unix_micros(ts))).as("__mds_t"))
+      .select(col("__mds_sess"), explode(aggregate(
+        col("__mds_t"),
+        struct(lit(null).cast("long").as("cur"), array().cast("array<bigint>").as("st")),
+        (acc, t) => {
+          val cur = acc.getField("cur")
+          val isNew = cur.isNull || (t - cur) > maxDurUs
+          struct(when(isNew, t).otherwise(cur).as("cur"),
+            when(isNew, concat(acc.getField("st"), array(t)))
+              .otherwise(acc.getField("st")).as("st"))
+        },
+        acc => acc.getField("st"))).as("__mds_restart"))
+    // latest restart at-or-before each distinct (session, ts); restart lists are
+    // short (one entry per maxDuration rollover) so the theta-join stays small
+    val mapping = df.select(col(n).as("__mds_sess"), unix_micros(ts).as("__mds_t")).distinct()
+      .join(restarts.withColumnRenamed("__mds_sess", "__mds_sess2"),
+        col("__mds_sess") === col("__mds_sess2") && col("__mds_restart") <= col("__mds_t"))
+      .groupBy(col("__mds_sess"), col("__mds_t"))
+      .agg(timestamp_micros(max(col("__mds_restart"))).as("__mds_start"))
+    df.join(mapping,
+        df(n) === mapping("__mds_sess") && unix_micros(ts) === mapping("__mds_t"), "left")
+      .withColumn(n, coalesce(col("__mds_start"), df(n)))
+      .drop("__mds_sess", "__mds_t", "__mds_start")
   }
 
   /** `range` operator: generate a stepped sequence as a distributed table. */

@@ -98,7 +98,8 @@ object KqlParser {
   // Parser (recursive descent; Pratt-style precedence for expressions)
   // ------------------------------------------------------------------
 
-  private final class Parser(toks: Vector[Tok], tables: String => DataFrame) {
+  private final class Parser(toks: Vector[Tok], tables: String => DataFrame,
+                             scalarBindings: Map[String, Column] = Map.empty) {
     private var pos = 0
 
     // `sort by` remembers its keys; a following `serialize` freezes them as the
@@ -167,16 +168,40 @@ object KqlParser {
       pos
     }
 
+    /** Skip a parameter's type spec: tokens up to the next ',' or ')' at paren
+      * depth 0 (type specs like `(*)` or `(a:long, b:string)` nest parens). */
+    private def skipTypeSpec(): Unit = {
+      var depth = 0
+      var done = false
+      while (!done) peek match {
+        case Some(Punct("(")) => depth += 1; pos += 1
+        case Some(Punct(")")) if depth == 0 => done = true
+        case Some(Punct(")")) => depth -= 1; pos += 1
+        case Some(Punct(",")) if depth == 0 => done = true
+        case Some(_) => pos += 1
+        case None => throw new IllegalArgumentException(
+          "unbalanced () in KQL function parameter list")
+      }
+    }
+
     private def parseLetFunction(name: String): Unit = {
       eatPunct("(")
-      val param = ident()
-      if (atPunct(":")) { pos += 1; skipBalancedUntil("(", ")") } // skip type spec
+      // first parameter is the tabular one (bound to the piped table at invoke
+      // time); any further parameters are SCALAR and bound to the invoke args
+      val params = Vector.newBuilder[String]
+      params += ident()
+      if (atPunct(":")) { pos += 1; skipTypeSpec() }
+      while (atPunct(",")) {
+        pos += 1
+        params += ident()
+        if (atPunct(":")) { pos += 1; skipTypeSpec() }
+      }
       eatPunct(")")
       eatPunct("{")
       val start = pos
       val end = skipBalancedUntil("{", "}")
       pos += 1 // consume the closing }
-      tabularFns(name) = (param, toks.slice(start, end))
+      tabularFns(name) = (params.result(), toks.slice(start, end))
     }
 
     // ---- program := ('let' ident '=' (query | lambda) ';')* query ----
@@ -257,6 +282,23 @@ object KqlParser {
         case _: DecimalType => "decimal"
         case DayTimeIntervalType(_, _) => "timespan"
         case _ => "dynamic" // arrays, maps, structs, variant
+      }
+    }
+
+    /** Kusto getschema's DataType column: the .NET type name backing each
+      * scalar type (bool is System.SByte in Kusto's model). */
+    private def kqlDataTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case StringType => "System.String"
+        case LongType => "System.Int64"
+        case IntegerType | ShortType | ByteType => "System.Int32"
+        case DoubleType | FloatType => "System.Double"
+        case BooleanType => "System.SByte"
+        case TimestampType | TimestampNTZType | DateType => "System.DateTime"
+        case _: DecimalType => "System.Data.SqlTypes.SqlDecimal"
+        case DayTimeIntervalType(_, _) => "System.TimeSpan"
+        case _ => "System.Object"
       }
     }
 
@@ -496,19 +538,35 @@ object KqlParser {
         // reported in Kusto's scalar-type vocabulary
         val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
           struct(lit(f.name).as("ColumnName"), lit(i).as("ColumnOrdinal"),
+            lit(kqlDataTypeName(f.dataType)).as("DataType"),
             lit(kqlTypeName(f.dataType)).as("ColumnType"))
         }.toIndexedSeq
         org.apache.spark.sql.SparkSession.active.range(1)
           .select(explode(array(rows: _*)).as("__s")).select(col("__s.*"))
       case "invoke" =>
-        // `T | invoke f()` — apply a let-bound tabular function with T as the
-        // parameter. The body parses in a child parser whose table resolver
-        // binds the parameter name to the piped DataFrame (outer lets visible).
+        // `T | invoke f(args...)` — apply a let-bound tabular function with T
+        // bound to the FIRST (tabular) parameter and the invoke arguments bound
+        // to the remaining SCALAR parameters. The body parses in a child parser
+        // whose table resolver binds the tabular parameter to the piped
+        // DataFrame (outer lets stay visible) and whose expression scope
+        // substitutes the scalar parameters.
         val fname = ident()
-        eatPunct("("); eatPunct(")")
-        val (param, body) = tabularFns.getOrElse(fname, throw new
+        eatPunct("(")
+        val invokeArgs = if (atPunct(")")) Nil else {
+          val out = Seq.newBuilder[Column]
+          out += parseExpr()
+          while (atPunct(",")) { pos += 1; out += parseExpr() }
+          out.result()
+        }
+        eatPunct(")")
+        val (params, body) = tabularFns.getOrElse(fname, throw new
             IllegalArgumentException(s"unknown tabular function: $fname"))
-        new Parser(body, n => if (n == param) df else resolveTable(n)).parseProgram()
+        if (invokeArgs.length != params.length - 1)
+          throw new IllegalArgumentException(
+            s"$fname expects ${params.length - 1} scalar argument(s) after the " +
+              s"piped table, got ${invokeArgs.length}")
+        new Parser(body, n => if (n == params.head) df else resolveTable(n),
+          params.tail.zip(invokeArgs).toMap).parseProgram()
       case "make-series" =>
         // `make-series [name =] agg(...) [default = lit], ... on ts step Δ [by keys]`
         // Emits the regular grid as ROWS (one per key × bin), like the typed
@@ -728,12 +786,20 @@ object KqlParser {
         case Some(Ident("endswith_cs")) => pos += 1; l.endsWith(strLit())
         case Some(Ident("has")) => pos += 1; KqlFunctions.has(l, strLitS())
         case Some(Ident("has_any")) =>
-          pos += 1; parseLitList().map(v => KqlFunctions.has(l, v.toString)).reduce(_ || _)
+          pos += 1; parseLitList().map(v => KqlFunctions.has(l, termString(v))).reduce(_ || _)
         case Some(Ident("has_all")) =>
-          pos += 1; parseLitList().map(v => KqlFunctions.has(l, v.toString)).reduce(_ && _)
+          pos += 1; parseLitList().map(v => KqlFunctions.has(l, termString(v))).reduce(_ && _)
         case Some(Ident("matches")) => pos += 1; eatIdent("regex"); l.rlike(strLitS())
         case _ => l
       }
+    }
+
+    /** Literal → text term for `has_any`/`has_all`: an integral Double renders
+      * without the trailing `.0` (Double.toString would yield "42.0", a term
+      * that never matches the token "42" in text). */
+    private def termString(v: Any): String = v match {
+      case d: Double if d.isWhole && math.abs(d) < 1e15 => d.toLong.toString
+      case other => other.toString
     }
 
     private def parseLitList(): Seq[Any] = {
@@ -797,7 +863,7 @@ object KqlParser {
         litCol(secs, lit(secs))
       case Ident("bin") if atPunct("(") => parseBin()
       case Ident(f) if atPunct("(") => parseScalarCall(f)
-      case Ident(name) => col(name)
+      case Ident(name) => scalarBindings.getOrElse(name, col(name))
       case other => throw new IllegalArgumentException(s"unexpected token in expression: $other")
     }
 
@@ -837,9 +903,10 @@ object KqlParser {
         case "row_rank_dense" => rowFnPlaceholder(RankDense(_, args.head))
         case "row_rank_min" => rowFnPlaceholder(RankMin(_, args.head))
         case "row_window_session" =>
-          // row_window_session(ts, maxDuration, idleTimeout): idle-gap sessions;
-          // the sequential maxDuration bound is not supported (see WindowSession)
-          rowFnPlaceholder(WindowSession(_, args.head, litLong(args(2))))
+          // row_window_session(ts, maxDuration, idleTimeout): idle-gap sessions,
+          // split further at maxDuration rollovers (see WindowSession)
+          rowFnPlaceholder(WindowSession(_, args.head, litLong(args(2)),
+            Some(litLong(args(1)))))
         case "strlen" => length(args.head)
         case "tolower" => lower(args.head)
         case "toupper" => upper(args.head)
@@ -911,13 +978,35 @@ object KqlParser {
           // last representable µs of the day (the fixture's tick is µs)
           timestamp_micros(unix_micros(date_trunc("day", args.head)) + 86399999999L)
         case "datetime_diff" =>
-          val unit = litString(args.head) match {
-            case "second" => 1L; case "minute" => 60L; case "hour" => 3600L
-            case "day" => 86400L
+          // KQL: datetime_diff(part, later, earlier) counts PERIOD-BOUNDARY
+          // crossings, not whole elapsed units (Jan-2 00:00:01 minus
+          // Jan-1 23:59:59 is 1 day): diff the boundary-truncated operands.
+          val part = litString(args.head)
+          val later = args(1); val earlier = args(2)
+          def truncDiff(unitSec: Long): Column =
+            ((unix_micros(date_trunc(part, later)) -
+              unix_micros(date_trunc(part, earlier))) / lit(unitSec * 1000000L))
+              .cast("long")
+          part match {
+            case "second" => truncDiff(1L)
+            case "minute" => truncDiff(60L)
+            case "hour"   => truncDiff(3600L)
+            case "day"    => truncDiff(86400L)
+            case "week" =>
+              // Kusto weeks roll at Sunday 00:00; epoch day 0 (1970-01-01) is
+              // a Thursday, so day d falls in week floor((d + 4) / 7)
+              def wk(c: Column) =
+                floor((floor(unix_micros(c) / 86400000000.0) + 4) / 7.0).cast("long")
+              wk(later) - wk(earlier)
+            case "month" =>
+              ((year(later) * 12 + month(later)) -
+                (year(earlier) * 12 + month(earlier))).cast("long")
+            case "quarter" =>
+              ((year(later) * 4 + quarter(later)) -
+                (year(earlier) * 4 + quarter(earlier))).cast("long")
+            case "year" => (year(later) - year(earlier)).cast("long")
             case u => throw new IllegalArgumentException(s"unsupported datetime_diff unit: $u")
           }
-          // KQL: datetime_diff(part, later, earlier)
-          floor((unix_micros(args(1)) - unix_micros(args(2))) / 1000000.0 / unit).cast("long")
         // dynamic/array
         case "array_length" => size(args.head).cast("long")
         case other => throw new IllegalArgumentException(s"unsupported scalar function: $other")

@@ -276,7 +276,13 @@ object NorthStarQueries {
         // verify the SHARED MinHash candidate set with exact n-gram Jaccard: the
         // shingle sets are recomputed only for the (few) candidate pair ids, and the
         // candidate pipeline itself is the persisted one q_minhash_pairs uses.
+        // The semi-join against the candidate ids comes FIRST, so the interpreted
+        // shingle HOF runs over only the candidate docs, not the whole corpus
+        // (the ids side is tiny and broadcasts; one corpus scan, no wide shuffle).
+        val candIds = minhashCands(s, d).select(col("id_a").as("doc_id"))
+          .union(minhashCands(s, d).select(col("id_b").as("doc_id"))).distinct()
         val docs = T(s, d, "documents")
+          .join(broadcast(candIds), Seq("doc_id"), "leftsemi")
           .project(col("doc_id"), TA.tokens(lower(col("text"))).as("__toks"))
           .project(col("doc_id"), TA.shinglesOf(col("__toks"), 3).as("sh"))
         minhashCands(s, d)
