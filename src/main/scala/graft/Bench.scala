@@ -41,23 +41,38 @@ object Bench {
         errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    // Retries are opportunistic RE-measurement of queries that already hold
+    // valid samples: a transient failure here must keep those samples and must
+    // not fail the bench (runOne would discard them and exit(1)).
+    def retryOne(name: String): Unit = if (!failed(name) && samples(name).nonEmpty) {
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples += name -> (samples(name) :+ (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => () }
+    }
     // two interleaved passes over the whole suite, then a third sample for any
     // query whose two timings disagree >3x (one of them hit a steal window)
     (1 to 2).foreach(_ => names.foreach(runOne))
     names.filter { n =>
       val s = samples(n); s.size == 2 && s.max > 3.0 * s.min
-    }.foreach(runOne)
+    }.foreach(retryOne)
     // the >3x tie-break never fires when BOTH samples sat inside one sustained
     // steal window (round-3 driver run: q_ngram_jaccard 244s in both passes,
     // 2.4s re-measured). Absolute defense: any query whose min is still
     // implausibly slow gets up to two fresh samples HERE, minutes after its
-    // earlier ones, when the steal window has likely moved on.
+    // earlier ones, when the steal window has likely moved on — UNLESS a retry
+    // already confirmed the magnitude (latest sample within 1.5x of the min):
+    // genuinely heavy queries should not pay extra full executions every run.
     (1 to 2).foreach { _ =>
       val mins = names.filterNot(failed).map(n => samples(n).min).sorted
       if (mins.nonEmpty) {
         val median = mins(mins.size / 2)
         val slowCut = math.max(5.0, 5.0 * median)
-        names.filterNot(failed).filter(n => samples(n).min > slowCut).foreach(runOne)
+        names.filterNot(failed).filter { n =>
+          val s = samples(n)
+          s.min > slowCut && !(s.size >= 3 && s.last <= s.min * 1.5)
+        }.foreach(retryOne)
       }
     }
     val times = names.filterNot(failed).map(n => n -> samples(n).min)

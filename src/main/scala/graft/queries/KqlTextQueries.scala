@@ -341,8 +341,8 @@ object KqlTextQueries {
              |       ELSE 'high' END AS cs,
              |  floor((value - 25.0) / 50.0) * 50.0 + 25.0 AS ba,
              |  CAST(dayofweek(ts) AS BIGINT) AS dw,
-             |  CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
-             |    / 1000000.0 / 86400) AS BIGINT) AS dd,
+             |  CAST(date_diff('day', date_trunc('day', TIMESTAMP '2024-01-01'),
+             |    date_trunc('day', ts)) AS BIGINT) AS dd,
              |  lower(to_hex(event_id)) AS hx
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
@@ -359,11 +359,95 @@ object KqlTextQueries {
 
     QueryDef("q_kql_getschema",
       (s, d) => run(s, d, "events | getschema | sort by ColumnOrdinal asc"),
+      // 4-column form matching Kusto: DataType is the backing .NET type name,
+      // ColumnType the KQL scalar-type vocabulary
       Some("""SELECT * FROM (VALUES
-             |  ('event_id', 0, 'long'), ('ts', 1, 'datetime'), ('user_id', 2, 'long'),
-             |  ('event_type', 3, 'string'), ('value', 4, 'real'), ('props', 5, 'string'))
-             |AS t(ColumnName, ColumnOrdinal, ColumnType)
+             |  ('event_id', 0, 'System.Int64', 'long'),
+             |  ('ts', 1, 'System.DateTime', 'datetime'),
+             |  ('user_id', 2, 'System.Int64', 'long'),
+             |  ('event_type', 3, 'System.String', 'string'),
+             |  ('value', 4, 'System.Double', 'real'),
+             |  ('props', 5, 'System.String', 'string'))
+             |AS t(ColumnName, ColumnOrdinal, DataType, ColumnType)
              |ORDER BY ColumnOrdinal""".stripMargin)),
+
+    // --- round-5 parser surface: scalar lets / multi-arg invoke / search /
+    // row_window_session maxDuration rollover --------------------------------
+
+    QueryDef("q_kql_let_scalar",
+      (s, d) => run(s, d,
+        """let lo = 250;
+          |let hi = lo * 2 - 100;
+          |events
+          || where value > lo and value <= hi
+          || summarize n = count(), mn = min(value), mx = max(value) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx
+             |FROM events WHERE value > 250 AND value <= 400
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q_kql_invoke_args",
+      (s, d) => run(s, d,
+        """let f = (src:(value:real), lo:real, mult:long) {
+          |  src | where value > lo | extend vm = tolong(floor(value * mult)) };
+          |events
+          || invoke f(250.0, 3)
+          || summarize n = count(), sv = sum(vm) by event_type
+          || sort by event_type asc""".stripMargin),
+      // vm is floored to long before summing: exact integer accumulation, no
+      // order-dependent fp sums (see QueryDef scaladoc)
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor(value * 3) AS BIGINT)) AS BIGINT) AS sv
+             |FROM events WHERE value > 250.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q_kql_search",
+      (s, d) => run(s, d,
+        """documents
+          || search 'pipeline'
+          || summarize n = count() by lang
+          || sort by lang asc""".stripMargin),
+      // search X ≡ where * has X: the term probe ORs over every string column
+      // (text, lang, source) of the documents table
+      Some("""SELECT lang, COUNT(*) AS n FROM documents
+             |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])pipeline($|[^a-z0-9])')
+             |   OR regexp_matches(lower(lang), '(^|[^a-z0-9])pipeline($|[^a-z0-9])')
+             |   OR regexp_matches(lower(source), '(^|[^a-z0-9])pipeline($|[^a-z0-9])')
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // maxDuration rollover with a tight 2h bound on a hand-picked fixture: one
+    // 4.5h idle-dense run (30m spacing, never > the 30m idle gap) must split at
+    // the first event more than 2h past the window start (02:30), and a later
+    // 90m gap starts a fresh idle session. Oracle = hand-computed VALUES.
+    QueryDef("q_kql_session_maxdur",
+      (s, d) => run(s, d,
+        """datatable(ts:datetime) [
+          |  datetime('2024-01-01 00:00:00'), datetime('2024-01-01 00:30:00'),
+          |  datetime('2024-01-01 01:00:00'), datetime('2024-01-01 01:30:00'),
+          |  datetime('2024-01-01 02:00:00'), datetime('2024-01-01 02:30:00'),
+          |  datetime('2024-01-01 03:00:00'), datetime('2024-01-01 03:30:00'),
+          |  datetime('2024-01-01 04:00:00'), datetime('2024-01-01 04:30:00'),
+          |  datetime('2024-01-01 06:00:00'), datetime('2024-01-01 06:20:00'),
+          |  datetime('2024-01-01 06:40:00')]
+          || sort by ts asc
+          || serialize
+          || extend sess = row_window_session(ts, 2h, 30m)
+          || sort by ts asc""".stripMargin),
+      Some("""SELECT * FROM (VALUES
+             |  (TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00'),
+             |  (TIMESTAMP '2024-01-01 00:30:00', TIMESTAMP '2024-01-01 00:00:00'),
+             |  (TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 00:00:00'),
+             |  (TIMESTAMP '2024-01-01 01:30:00', TIMESTAMP '2024-01-01 00:00:00'),
+             |  (TIMESTAMP '2024-01-01 02:00:00', TIMESTAMP '2024-01-01 00:00:00'),
+             |  (TIMESTAMP '2024-01-01 02:30:00', TIMESTAMP '2024-01-01 02:30:00'),
+             |  (TIMESTAMP '2024-01-01 03:00:00', TIMESTAMP '2024-01-01 02:30:00'),
+             |  (TIMESTAMP '2024-01-01 03:30:00', TIMESTAMP '2024-01-01 02:30:00'),
+             |  (TIMESTAMP '2024-01-01 04:00:00', TIMESTAMP '2024-01-01 02:30:00'),
+             |  (TIMESTAMP '2024-01-01 04:30:00', TIMESTAMP '2024-01-01 02:30:00'),
+             |  (TIMESTAMP '2024-01-01 06:00:00', TIMESTAMP '2024-01-01 06:00:00'),
+             |  (TIMESTAMP '2024-01-01 06:20:00', TIMESTAMP '2024-01-01 06:00:00'),
+             |  (TIMESTAMP '2024-01-01 06:40:00', TIMESTAMP '2024-01-01 06:00:00'))
+             |AS t(ts, sess) ORDER BY ts""".stripMargin)),
 
     QueryDef("q_kql_strings",
       (s, d) => run(s, d,

@@ -128,4 +128,27 @@ class KqlOpsSpec extends SparkSpec {
       assert(got == expected, s"parts=$parts mismatch")
     }
   }
+
+  test("q_kql_rank_session fixture: no idle session spans 1d, so maxDuration is inert") {
+    // q_kql_rank_session calls row_window_session(ts, 1d, 30m) and its DuckDB
+    // oracle models ONLY the idle-gap logic. That is sound iff no 30m-dense run
+    // in the fixture lasts longer than 1d — proven here against the driver's
+    // correctness fixture (sf0.01; falls back to the local test sf if absent).
+    import org.apache.spark.sql.expressions.Window
+    val dir =
+      if (new java.io.File("/root/testdata/sf0.01/events.parquet").exists())
+        "/root/testdata/sf0.01"
+      else sf
+    val e = Tables.load(spark, dir, "events").where(col("user_id") < 5)
+    val w = Window.orderBy(col("user_id"), col("ts"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newTs = when(lag(col("ts"), 1).over(w).isNull ||
+      col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w) > 1800, col("ts"))
+    val maxSpanSec = e
+      .withColumn("sess", last(newTs, ignoreNulls = true).over(wc))
+      .select(max(col("ts").cast("long") - col("sess").cast("long")))
+      .as[Long].head()
+    assert(maxSpanSec < 86400, s"an idle session spans ${maxSpanSec}s >= 1d: " +
+      "the q_kql_rank_session oracle no longer models the engine")
+  }
 }

@@ -156,7 +156,7 @@ class KqlParserSpec extends SparkSpec {
   }
 
   test("unsupported operator raises a parse error") {
-    assertThrows[IllegalArgumentException](run("t | facet by user"))
+    assertThrows[IllegalArgumentException](run("t | fork (where v > 1) (count)"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
   }
 
@@ -236,6 +236,56 @@ class KqlParserSpec extends SparkSpec {
         |t | invoke top2() | project user, vv | sort by vv desc""".stripMargin)
     assert(df.as[(String, Double)].collect().toSeq ==
       Seq(("carol", 198.0), ("alice", 100.0)))
+  }
+
+  test("scalar let bindings substitute constants, compose, and coexist with tabular lets") {
+    val df = run(
+      """let lo = 10;
+        |let hi = lo * 5;
+        |let hot = t | where v > lo and v < hi;
+        |hot | summarize n = count(), mx = max(v)""".stripMargin)
+    // v ∈ {10.0, 25.5, 50.0, 99.0, 7.25}; 10 < v < 50 keeps only 25.5
+    assert(df.as[(Long, Double)].collect().head == (1L, 25.5))
+  }
+
+  test("scalar let does not shadow a bare tabular alias") {
+    // `let alias = t;` must stay a TABULAR binding (bare ident), not a scalar
+    val df = run("let alias = t; alias | count")
+    assert(df.as[Long].collect().head == 5L)
+  }
+
+  test("invoke with scalar arguments binds trailing parameters") {
+    val df = run(
+      """let f = (src:(v:real), lo:real, m:long) { src | where v > lo | extend vm = v * m };
+        |t | invoke f(20.0, 2) | summarize n = count(), s = sum(vm)""".stripMargin)
+    assert(df.as[(Long, Double)].collect().head == (3L, 349.0)) // (25.5+50+99)*2
+  }
+
+  test("invoke arity mismatch raises a parse error") {
+    assertThrows[IllegalArgumentException](run(
+      "let f = (src:(v:real), lo:real) { src | where v > lo }; t | invoke f()"))
+  }
+
+  test("search filters by term across every string column") {
+    assert(run("t | search 'alice'").count() == 2) // matches user column
+    assert(run("t | search 'click'").count() == 3) // matches etype column
+    assert(run("t | search 'ali'").count() == 0) // term match, not substring
+    assert(run("t | search 'ALICE'").count() == 2) // case-insensitive
+  }
+
+  test("row_window_session splits at the maxDuration rollover") {
+    // 30m-spaced run (never exceeds the 30m idle gap? 30m gaps are NOT > 30m)
+    // spanning 4.5h with a 2h maxDuration: windows restart at the first event
+    // MORE than 2h past the window start
+    val times = (0 to 9).map(i => s"2024-01-01 0${i / 2}:${if (i % 2 == 0) "00" else "30"}:00")
+    val src = times.toDF("ts_s").withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val df = KqlParser.parse(
+      "t | sort by ts asc | serialize | extend w = row_window_session(ts, 2h, 30m)",
+      _ => src)
+    val starts = df.orderBy("ts").select("w").as[java.sql.Timestamp]
+      .collect().map(_.toString).toSeq
+    assert(starts.take(5).forall(_ == "2024-01-01 00:00:00.0"))
+    assert(starts.drop(5).forall(_ == "2024-01-01 02:30:00.0"))
   }
 
   test("union withsource labels rows by source table") {
