@@ -514,69 +514,73 @@ object Kql {
             when(col(s"__wsbound_$n"), col(s"__wsfirst_$n")),
             col(s"__prevsess_$n")))
     }
-    val keep = df.columns ++ fns.map(_.name)
-    val selected = out.select(keep.map(col).toIndexedSeq: _*)
-    // maxDuration refinement: restart chains are per-idle-session, so each is a
-    // fold over that session's distinct event times joined back by (session, ts).
-    // The refinement reads its input THREE times (restart fold, distinct
-    // mapping, final join) — persist so the range-partition + offset-join
-    // pipeline above is computed once, not three times; Spark's ContextCleaner
-    // unpersists the block once the plan is unreferenced.
+    // maxDuration refinement: restart chains are per-idle-session folds over
+    // that session's rows IN SERIALIZED ORDER (Kusto walks rows, not sorted
+    // values — they differ when ts is non-monotonic inside a session, e.g. at a
+    // `sort by user, ts` user boundary where ts jumps backward). Thread the
+    // global row number through as the fold/join key. The refinement reads its
+    // input THREE times (restart fold, row mapping, final join) — persist so
+    // the range-partition + offset-join pipeline above is computed once, not
+    // three times; Spark's ContextCleaner unpersists once unreferenced.
     val needsRefine = fns.exists {
       case WindowSession(_, _, _, Some(_)) => true; case _ => false
     }
+    val grn = "__mds_grn"
+    if (needsRefine) out = out.withColumn(grn, col("__rowoff") + col(lrn))
+    val keep = df.columns ++ fns.map(_.name) ++ (if (needsRefine) Seq(grn) else Nil)
+    val selected = out.select(keep.map(col).toIndexedSeq: _*)
     val base =
       if (needsRefine)
         selected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else selected
-    fns.foldLeft(base) {
+    val refined = fns.foldLeft(base) {
       case (acc, WindowSession(n, ts, _, Some(maxDur))) =>
-        refineSessionMaxDuration(acc, n, ts, maxDur)
+        refineSessionMaxDuration(acc, n, ts, maxDur, grn)
       case (acc, _) => acc
     }
+    if (needsRefine) refined.drop(grn) else refined
   }
 
   /** Split idle-gap sessions further at KQL `row_window_session` maxDuration
-    * boundaries: within one idle session starting at t0, a new window starts at
-    * the first event time more than `maxDurSec` past the current window start —
-    * a sequential chain, but one that only reads that session's timestamps.
-    * Computed distributively: fold each session's sorted distinct times to its
-    * restart points (output = restarts only, tiny even for a degenerate
-    * all-one-session corpus), then each row takes the latest restart ≤ its ts.
-    *
-    * ASSUMPTION (shared with the idle-gap lag logic): `ts` is monotonically
-    * non-decreasing along the serialized order within each idle session. The
-    * chain folds over value-sorted distinct times, while Kusto walks rows in
-    * serialized order — the two agree exactly when ts ascends in that order
-    * (the only order under which idle-gap sessionization is meaningful). A
-    * `sort by k, ts desc | serialize` pipeline would diverge from Kusto here. */
+    * boundaries: walking the session's rows in SERIALIZED order, a new window
+    * starts at the first row whose ts is more than `maxDurSec` past the current
+    * window's start — a sequential chain, but one that only reads that
+    * session's rows. Computed distributively: fold each session's rows (sorted
+    * by the global row number `rn`, i.e. the serialized order — NOT by ts
+    * value, which diverges from Kusto's row walk when ts is non-monotonic
+    * inside a session) down to its restart points (output = restarts only, tiny
+    * even for a degenerate all-one-session corpus), then each row takes the
+    * restart with the greatest row number ≤ its own. Kusto never restarts on a
+    * backward ts jump (ts - start < 0 is not > maxDur), and neither does this. */
   private def refineSessionMaxDuration(df: DataFrame, n: String, ts: Column,
-                                       maxDurSec: Long): DataFrame = {
+                                       maxDurSec: Long, rn: String): DataFrame = {
     val maxDurUs = maxDurSec * 1000000L
     val restarts = df.groupBy(col(n).as("__mds_sess"))
-      .agg(array_sort(collect_set(unix_micros(ts))).as("__mds_t"))
+      .agg(array_sort(collect_list(struct(col(rn).as("i"), unix_micros(ts).as("t"))))
+        .as("__mds_rows"))
       .select(col("__mds_sess"), explode(aggregate(
-        col("__mds_t"),
-        struct(lit(null).cast("long").as("cur"), array().cast("array<bigint>").as("st")),
-        (acc, t) => {
+        col("__mds_rows"),
+        struct(lit(null).cast("long").as("cur"),
+          array().cast("array<struct<i:bigint,t:bigint>>").as("st")),
+        (acc, r) => {
           val cur = acc.getField("cur")
-          val isNew = cur.isNull || (t - cur) > maxDurUs
-          struct(when(isNew, t).otherwise(cur).as("cur"),
-            when(isNew, concat(acc.getField("st"), array(t)))
+          val isNew = cur.isNull || (r.getField("t") - cur) > maxDurUs
+          struct(when(isNew, r.getField("t")).otherwise(cur).as("cur"),
+            when(isNew, concat(acc.getField("st"), array(r)))
               .otherwise(acc.getField("st")).as("st"))
         },
         acc => acc.getField("st"))).as("__mds_restart"))
-    // latest restart at-or-before each distinct (session, ts); restart lists are
+    // restart with the greatest row number ≤ each row's own; restart lists are
     // short (one entry per maxDuration rollover) so the theta-join stays small
-    val mapping = df.select(col(n).as("__mds_sess"), unix_micros(ts).as("__mds_t")).distinct()
+    val mapping = df.select(col(n).as("__mds_sess"), col(rn).as("__mds_i"))
       .join(restarts.withColumnRenamed("__mds_sess", "__mds_sess2"),
-        col("__mds_sess") === col("__mds_sess2") && col("__mds_restart") <= col("__mds_t"))
-      .groupBy(col("__mds_sess"), col("__mds_t"))
-      .agg(timestamp_micros(max(col("__mds_restart"))).as("__mds_start"))
-    df.join(mapping,
-        df(n) === mapping("__mds_sess") && unix_micros(ts) === mapping("__mds_t"), "left")
+        col("__mds_sess") === col("__mds_sess2") &&
+          col("__mds_restart").getField("i") <= col("__mds_i"))
+      .groupBy(col("__mds_i"))
+      .agg(timestamp_micros(max(col("__mds_restart")).getField("t")).as("__mds_start"))
+    df.join(mapping, df(rn) === mapping("__mds_i"), "left")
       .withColumn(n, coalesce(col("__mds_start"), df(n)))
-      .drop("__mds_sess", "__mds_t", "__mds_start")
+      .drop("__mds_i", "__mds_start")
   }
 
   /** `range` operator: generate a stepped sequence as a distributed table. */
