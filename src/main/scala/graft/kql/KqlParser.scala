@@ -430,6 +430,36 @@ object KqlParser {
           new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
             n => if (n == "__p") part else resolveTable(n)).parseProgram()
         }.reduce(_ unionKql _)
+      case "fork" =>
+        // `T | fork [name=](sub1) [name=](sub2) ...` — Kusto runs every
+        // sub-pipeline over the SAME input rows and emits one table per leg;
+        // the single-result driver contract folds the legs into one table with
+        // a `fork_leg` label column, aligned by name with null-fill (the same
+        // adaptation `union withsource=` and `facet` use). Each leg is an
+        // independent distributed plan; Spark's shared-scan reuse applies when
+        // legs read the same source columns. Unnamed legs get Kusto's
+        // Result_N auto-names.
+        val legs = Seq.newBuilder[(String, DataFrame)]
+        var li = 0
+        def atNamedLeg: Boolean = (pos + 1 < toks.length) && (toks(pos) match {
+          case Ident(_) => toks(pos + 1) == Punct("="); case _ => false
+        })
+        while (atPunct("(") || atNamedLeg) {
+          li += 1
+          val name = if (atNamedLeg) { val n = ident(); eatPunct("="); n }
+                     else s"Result_$li"
+          eatPunct("(")
+          val bstart = pos
+          val bend = skipBalancedUntil("(", ")")
+          pos += 1 // consume the closing )
+          val body = toks.slice(bstart, bend)
+          legs += name -> new Parser(Vector(Ident("__f"), Punct("|")) ++ body,
+            n => if (n == "__f") df else resolveTable(n)).parseProgram()
+        }
+        val built = legs.result()
+        require(built.nonEmpty, "fork: expected at least one (sub-pipeline) leg")
+        built.map { case (n, leg) => leg.extend("fork_leg" -> lit(n)) }
+          .reduce(_ unionKql _)
       case "search" =>
         // `T | search [kind=...] 'term'` — Kusto's `search X` ≡ `where * has X`:
         // a term match across every string column of the source. Public
@@ -801,7 +831,10 @@ object KqlParser {
         val e = parseExpr()
         if (atIdent("desc")) { pos += 1; e.desc }
         else if (atIdent("asc")) { pos += 1; e.asc }
-        else e.asc
+        // Kusto's default sort direction is DESCENDING (`sort by x` ≡
+        // `sort by x desc`); Spark's desc = desc_nulls_last matches Kusto's
+        // null placement for desc
+        else e.desc
       }
       val out = Seq.newBuilder[Column]
       out += one()

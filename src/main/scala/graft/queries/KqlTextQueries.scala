@@ -459,6 +459,56 @@ object KqlTextQueries {
       Some("""SELECT doc_id, UPPER(SUBSTRING(text, 1, 12)) AS head, LENGTH(text) AS n
              |FROM documents
              |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])the($|[^a-z0-9])') AND lang = 'en'
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- round-6 parser surface: facet / partition / fork -------------------
+
+    // `facet by c1, c2` emits one value-frequency table per column; the
+    // single-result contract folds them into (facet_column, value, count_)
+    QueryDef("q_kql_facet",
+      (s, d) => run(s, d,
+        """events
+          || where value > 250
+          || facet by event_type, user_id
+          || sort by facet_column asc, value asc""".stripMargin),
+      Some("""SELECT facet_column, facet_value AS value, count_ FROM (
+             |  SELECT 'event_type' AS facet_column, CAST(event_type AS VARCHAR) AS facet_value,
+             |         COUNT(*) AS count_
+             |  FROM events WHERE events.value > 250 GROUP BY event_type
+             |  UNION ALL
+             |  SELECT 'user_id', CAST(user_id AS VARCHAR), COUNT(*)
+             |  FROM events WHERE events.value > 250 GROUP BY user_id)
+             |ORDER BY facet_column, value""".stripMargin)),
+
+    // `partition by key ( sub )` runs the sub-pipeline once per key value
+    // (Kusto legacy strategy, ≤64 partitions); per-key top-3 is the canonical
+    // use. Boundary values are tie-free in the fixture (checked), so the
+    // row_number cut is deterministic.
+    QueryDef("q_kql_partition",
+      (s, d) => run(s, d,
+        """events
+          || partition by event_type ( top 3 by value )
+          || sort by event_type asc, value desc""".stripMargin),
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn
+             |  FROM events)
+             |WHERE rn <= 3 ORDER BY event_type, value DESC""".stripMargin)),
+
+    // `fork legA=(...) legB=(...)` runs every leg over the same input; legs
+    // with DIFFERENT output schemas align by name and null-fill, labeled by
+    // fork_leg — exercising the multi-output adaptation end to end
+    QueryDef("q_kql_fork",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 50
+          || fork hi=(where value > 450 | summarize n = count() by event_type)
+          |       lo=(where value < 50 | summarize mv = max(value) by event_type)
+          || sort by fork_leg asc, event_type asc""".stripMargin),
+      Some("""SELECT event_type, COUNT(*) AS n, 'hi' AS fork_leg, CAST(NULL AS DOUBLE) AS mv
+             |FROM events WHERE user_id < 50 AND value > 450 GROUP BY event_type
+             |UNION ALL
+             |SELECT event_type, CAST(NULL AS BIGINT), 'lo', MAX(value)
+             |FROM events WHERE user_id < 50 AND value < 50 GROUP BY event_type
+             |ORDER BY fork_leg, event_type""".stripMargin))
   )
 }

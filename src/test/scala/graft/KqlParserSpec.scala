@@ -156,7 +156,7 @@ class KqlParserSpec extends SparkSpec {
   }
 
   test("unsupported operator raises a parse error") {
-    assertThrows[IllegalArgumentException](run("t | fork (where v > 1) (count)"))
+    assertThrows[IllegalArgumentException](run("t | render timechart"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
   }
 
@@ -295,5 +295,46 @@ class KqlParserSpec extends SparkSpec {
         || summarize n = count() by origin | sort by origin asc""".stripMargin)
     assert(df.as[(String, Long)].collect().toSeq ==
       Seq(("lows", 1L), ("t", 1L)))
+  }
+
+  test("facet by folds per-column value frequencies into one table") {
+    val df = run("t | facet by etype, user | sort by facet_column asc, value asc")
+    assert(df.columns.toSeq == Seq("facet_column", "value", "count_"))
+    val rows = df.as[(String, String, Long)].collect().toSeq
+    assert(rows.contains(("etype", "click", 3L)))
+    assert(rows.contains(("user", "alice", 2L)))
+    assert(rows.count(_._1 == "etype") == 3 && rows.count(_._1 == "user") == 3)
+  }
+
+  test("partition by runs the sub-pipeline once per key value") {
+    val df = run("t | partition by user ( top 1 by v ) | sort by user asc")
+    // per-user max of v (Kusto default sort direction for top is desc)
+    assert(df.select("user", "v").as[(String, Double)].collect().toSeq ==
+      Seq(("alice", 50.0), ("bob", 25.5), ("carol", 99.0)))
+  }
+
+  test("partition by rejects over 64 distinct keys") {
+    val wide = spark.range(100).selectExpr("id", "cast(id as string) as k")
+    val e = intercept[IllegalArgumentException] {
+      KqlParser.parse("w | partition by k ( take 1 )", _ => wide).collect()
+    }
+    assert(e.getMessage.contains("64"))
+  }
+
+  test("fork runs each leg over the same input, aligned by name with null-fill") {
+    val df = run(
+      """t | fork hi=(where v > 20 | summarize n = count() by etype)
+        |     (where v < 10 | summarize mv = max(v) by etype)
+        || sort by fork_leg asc, etype asc""".stripMargin)
+    val rows = df.select("fork_leg", "etype", "n", "mv")
+      .as[(String, String, Option[Long], Option[Double])].collect().toSeq
+    assert(rows.contains(("hi", "click", Some(1L), None)))
+    assert(rows.contains(("hi", "purchase", Some(1L), None)))
+    assert(rows.contains(("Result_2", "click", None, Some(7.25))))
+  }
+
+  test("sort by defaults to Kusto's descending direction") {
+    val ids = run("t | sort by v | project id").as[Long].collect().toSeq
+    assert(ids == Seq(4L, 3L, 2L, 1L, 5L))
   }
 }
