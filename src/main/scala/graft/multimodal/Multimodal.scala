@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this container): a
-  * deterministic fake "decoder" derives pixel statistics from the byte stream. The
-  * Spark-side plumbing is real and is what matters at 100 TB: binary payloads stay
-  * columnar in parquet, metadata is queryable without touching payload bytes (column
-  * pruning skips the blob column entirely), batch-shaped per-partition processing is
-  * the Scala analogue of Python's `mapInPandas`, and payload-heavy shuffles are avoided
-  * by extracting features first and shuffling only the small feature columns.
+  * The decode step is REAL (pure-JVM codecs in [[Codecs]]: PNG chunk walk + zlib
+  * inflate + scanline unfilter, RIFF/WAVE PCM16 parse, and a length-prefixed frame
+  * container for video). The Spark-side shape is what matters at 100 TB: binary
+  * payloads stay columnar in parquet, metadata is queryable without touching payload
+  * bytes (column pruning skips the blob column entirely), decode runs batch-shaped
+  * per partition (the Scala analogue of Python's `mapInPandas`), and payload-heavy
+  * shuffles are avoided by extracting small feature rows first.
   */
 object Multimodal {
 
@@ -20,48 +20,104 @@ object Multimodal {
     * (kind, width, height, n_bytes) prune parquet row groups without reading blobs. */
   case class MediaMeta(kind: String, width: Int, height: Int, nBytes: Long)
 
+  /** Decoded per-payload features: `kind` is DETECTED from the payload's magic
+    * bytes, not read from metadata. meanVal = mean pixel (image/video first
+    * frame), mean PCM sample (audio), or mean raw byte (unknown format).
+    * frameCount = 1 (image), sample count (audio), container frames (video). */
   case class MediaFeature(mediaId: Long, kind: String, nBytes: Long,
-                          meanByte: Double, frameCount: Int)
+                          width: Int, height: Int, meanVal: Double, frameCount: Int)
 
-  /** Attach a synthetic binary payload to a table (test fixture: derives a
-    * deterministic blob from an id column; real pipelines read blobs from parquet). */
+  /** Deterministic synthetic payloads with closed-form content: the pixel /
+    * sample values are simple arithmetic in (id, index), so an external oracle
+    * can verify the full encode→decode round trip without a codec of its own. */
+  object SyntheticMedia {
+    def imageDims(id: Long): (Int, Int) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+
+    def imagePixels(id: Long, frame: Int): Array[Byte] = {
+      val (w, h) = imageDims(id)
+      Array.tabulate(w * h)(i => ((id * 31 + frame * 17 + i.toLong * 7) % 251).toByte)
+    }
+
+    def audioSamples(id: Long): Array[Short] = {
+      val n = (64 + id % 64).toInt
+      Array.tabulate(n)(i => ((id * 13 + i.toLong * 5) % 2003 - 1001).toShort)
+    }
+
+    def videoFrameCount(id: Long): Int = (1 + id % 5).toInt
+
+    /** id % 3: 0 → PNG image, 1 → WAV audio, 2 → GVF0 video of PNG frames. */
+    def payload(id: Long): Array[Byte] = (id % 3) match {
+      case 0 =>
+        val (w, h) = imageDims(id)
+        Codecs.encodePng(w, h, imagePixels(id, 0))
+      case 1 => Codecs.encodeWav(8000, audioSamples(id))
+      case _ =>
+        val (w, h) = imageDims(id)
+        val frames = (0 until videoFrameCount(id)).map(f =>
+          Codecs.encodePng(w, h, imagePixels(id, f)))
+        Codecs.encodeVideo(frames)
+    }
+  }
+
+  /** Attach a real synthetic media payload to a table (test fixture: derives a
+    * deterministic PNG/WAV/GVF0 blob from an id column; real pipelines read
+    * blobs from parquet). The UDF is fixture-generation only — the query path
+    * itself never uses UDFs. */
   def withSyntheticPayload(df: DataFrame, idCol: String): DataFrame = {
-    // deterministic pseudo-payload: repeated sha2 of the id, ~1 KiB
-    val hexes = (0 until 16).map(i => sha2(concat(col(idCol).cast("string"), lit(i)), 256))
-    df.withColumn("payload", to_binary(concat(hexes: _*), lit("hex")))
+    val gen = udf((id: Long) => SyntheticMedia.payload(id))
+    df.withColumn("payload", gen(col(idCol).cast("long")))
       .withColumn("media_kind",
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col(idCol) % 3 + 1).cast("int")))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
   }
 
-  /** STUB decode: a real implementation would decode image bytes per partition batch
-    * (the `???` seam below is where a JNI/codec call goes). The fake derives
-    * deterministic "pixel stats" from bytes so the pipeline shape is testable. */
-  def decodeStub(bytes: Array[Byte]): (Double, Int) = {
-    // ??? — real codec goes here; deterministic fake follows.
-    if (bytes == null || bytes.isEmpty) (0.0, 0)
+  private def meanUnsigned(bytes: Array[Byte]): Double =
+    if (bytes.isEmpty) 0.0
     else {
-      var s = 0L
-      var i = 0
+      var s = 0L; var i = 0
       while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
-      (s.toDouble / bytes.length, 1 + (bytes.length % 16))
+      s.toDouble / bytes.length
     }
-  }
+
+  final case class MediaDecoded(kind: String, width: Int, height: Int,
+                                meanVal: Double, frameCount: Int)
+
+  /** REAL decode, routed by magic bytes; unknown formats degrade to raw byte
+    * stats instead of failing the batch. */
+  def decode(bytes: Array[Byte]): MediaDecoded =
+    if (bytes == null || bytes.isEmpty) MediaDecoded("empty", 0, 0, 0.0, 0)
+    else if (Codecs.isPng(bytes)) {
+      val img = Codecs.decodePng(bytes)
+      MediaDecoded("image", img.width, img.height, meanUnsigned(img.pixels), 1)
+    } else if (Codecs.isWav(bytes)) {
+      val wav = Codecs.decodeWav(bytes)
+      val mean =
+        if (wav.samples.isEmpty) 0.0
+        else wav.samples.foldLeft(0L)(_ + _).toDouble / wav.samples.length
+      MediaDecoded("audio", 0, 0, mean, wav.samples.length)
+    } else if (Codecs.isVideo(bytes)) {
+      val frames = Codecs.decodeVideoFrames(bytes)
+      if (frames.isEmpty) MediaDecoded("video", 0, 0, 0.0, 0)
+      else {
+        val first = Codecs.decodePng(frames.head)
+        MediaDecoded("video", first.width, first.height,
+          meanUnsigned(first.pixels), frames.length)
+      }
+    } else MediaDecoded("unknown", 0, 0, meanUnsigned(bytes), 0)
 
   /** Batch feature extraction over the binary column: per-partition imperative loop
     * (mapPartitions ≈ mapInPandas batches), emitting ONLY small feature rows — the
     * blob never crosses a shuffle boundary. */
   def extractFeatures(spark: SparkSession, media: DataFrame, idCol: String): Dataset[MediaFeature] = {
     import spark.implicits._
-    media.select(col(idCol).cast("long").as("media_id"), col("media_kind"),
-        col("payload"))
-      .as[(Long, String, Array[Byte])]
+    media.select(col(idCol).cast("long").as("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, kind, payload) =>
-          val (meanByte, frames) = decodeStub(payload)
-          MediaFeature(id, kind, if (payload == null) 0L else payload.length.toLong,
-            meanByte, frames)
+        rows.map { case (id, payload) =>
+          val d = decode(payload)
+          MediaFeature(id, d.kind, if (payload == null) 0L else payload.length.toLong,
+            d.width, d.height, d.meanVal, d.frameCount)
         }
       }
   }

@@ -539,34 +539,43 @@ object NorthStarQueries {
              |WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)
              |ORDER BY user_id, start_us""".stripMargin)),
 
-    // --- multimodal plumbing in CORRECTNESS: synthetic binary payloads (sha2-derived,
-    // identical construction in DuckDB), per-partition batch feature extraction, blob
-    // never shuffled. mean_byte = sum/512 is a power-of-two scale → bit-exact across
-    // engines. The decode itself remains the documented stub (no codecs shipped). ---
+    // --- multimodal REAL decode in CORRECTNESS: the fixture encodes genuine
+    // PNG / WAV / GVF0-video payloads whose pixel/sample content is closed-form
+    // arithmetic in (id, index); the engine decodes them back (zlib inflate +
+    // PNG unfilter, RIFF walk) per partition batch, blob never shuffled. The
+    // oracle recomputes the expected stats from the closed form — so a green
+    // row proves the whole encode→decode round trip. Integer-valued sums →
+    // the mean division is bit-exact across engines. n_bytes (deflate output
+    // size, not closed-form) is asserted in MultimodalSpec instead. ---
     QueryDef("q_multimodal_features",
       (s, d) => {
         val media = graft.multimodal.Multimodal.withSyntheticPayload(
           T(s, d, "documents").project(col("doc_id")), "doc_id")
         graft.multimodal.Multimodal.extractFeatures(s, media, "doc_id").toDF()
           .project(col("mediaId").as("media_id"), col("kind").as("media_kind"),
-            col("nBytes").as("n_bytes"), col("meanByte").as("mean_byte"),
+            col("width"), col("height"), col("meanVal").as("mean_val"),
             col("frameCount").as("frame_count"))
           .sortBy(col("media_id"))
       },
-      Some {
-        val terms = (0 until 16)
-          .map(i => s"sha256(CAST(doc_id AS VARCHAR) || '$i')").mkString(" || ")
-        s"""WITH p AS (SELECT doc_id, $terms AS h FROM documents)
-           |SELECT doc_id AS media_id,
-           |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_kind,
-           |  CAST(length(h) / 2 AS BIGINT) AS n_bytes,
-           |  CAST(list_sum(list_transform(generate_series(1, CAST(length(h) AS INT), 2), i ->
-           |    (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16
-           |    + strpos('0123456789abcdef', substr(h, i + 1, 1)) - 1)) AS DOUBLE)
-           |    / (length(h) / 2) AS mean_byte,
-           |  CAST(1 + (length(h) / 2) % 16 AS INT) AS frame_count
-           |FROM p ORDER BY media_id""".stripMargin
-      }),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_kind,
+          |  CASE WHEN doc_id % 3 = 1 THEN 0
+          |       ELSE CAST(8 + doc_id % 9 AS INT) END AS width,
+          |  CASE WHEN doc_id % 3 = 1 THEN 0
+          |       ELSE CAST(8 + doc_id % 7 AS INT) END AS height,
+          |  CASE WHEN doc_id % 3 = 1
+          |    THEN CAST(list_sum(list_transform(range(0, 64 + doc_id % 64),
+          |           i -> (doc_id * 13 + i * 5) % 2003 - 1001)) AS DOUBLE)
+          |         / (64 + doc_id % 64)
+          |    ELSE CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (8 + doc_id % 7)),
+          |           i -> (doc_id * 31 + i * 7) % 251)) AS DOUBLE)
+          |         / ((8 + doc_id % 9) * (8 + doc_id % 7))
+          |  END AS mean_val,
+          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1
+          |       WHEN 1 THEN CAST(64 + doc_id % 64 AS INT)
+          |       ELSE CAST(1 + doc_id % 5 AS INT) END AS frame_count
+          |FROM documents ORDER BY media_id""".stripMargin)),
 
     // --- centroid stats over embeddings (deterministic per-dim extremes) ----
     QueryDef("q_embedding_stats",
