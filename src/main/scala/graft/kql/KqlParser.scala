@@ -99,7 +99,8 @@ object KqlParser {
   // ------------------------------------------------------------------
 
   private final class Parser(toks: Vector[Tok], tables: String => DataFrame,
-                             scalarBindings: Map[String, Column] = Map.empty) {
+                             scalarBindings: Map[String, Column] = Map.empty,
+                             partitionKey: Option[String] = None) {
     private var pos = 0
 
     // `sort by` remembers its keys; a following `serialize` freezes them as the
@@ -214,6 +215,16 @@ object KqlParser {
         val name = ident()
         eatPunct("=")
         if (atPunct("(")) parseLetFunction(name)
+        else if (atIdent("materialize") && toks.lift(pos + 1).contains(Punct("("))) {
+          // `let x = materialize(T | ...);` — evaluate the bound pipeline once
+          // and reuse: persist() is the Spark materialization barrier (also
+          // defeats CollapseProject re-inlining); ContextCleaner unpersists
+          // when the plan goes unreferenced.
+          pos += 2
+          bindings(name) = parseQuery()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          eatPunct(")")
+        }
         else if (!parseLetScalar(name)) bindings(name) = parseQuery()
         eatPunct(";")
       }
@@ -390,7 +401,54 @@ object KqlParser {
       }
     }
 
-    private def parseOp(df: DataFrame): DataFrame = ident() match {
+    /** Operators that act row-by-row (or only reorder rows): inside a
+      * `partition hint.strategy=shuffle` body they commute with the per-key
+      * split and run unchanged on the whole table. */
+    private val rowLocalOps = Set("where", "filter", "extend", "project",
+      "project-away", "project-keep", "project-rename", "parse", "parse-kv",
+      "search", "sort", "order")
+
+    private def parseOp(df: DataFrame): DataFrame = {
+      val op = ident()
+      partitionKey match {
+        case Some(k) if !rowLocalOps(op) => parseShufflePartitionOp(df, op, k)
+        case _ => parseStdOp(df, op)
+      }
+    }
+
+    /** Per-key rewrite for `partition hint.strategy=shuffle by key ( ... )` —
+      * the 100 TB path: instead of one plan per key value (legacy strategy,
+      * capped at 64), the sub-pipeline is rewritten into ONE distributed plan
+      * where the key rides the shuffle. `summarize` groups by (key ∪ by) —
+      * Kusto drops the key from the subtable output unless the by-list names
+      * it, and so does this; `top` becomes a per-key window row_number cut
+      * (one hash exchange on the key, per-partition heaps, no driver
+      * involvement). Row-local operators pass through unchanged. */
+    private def parseShufflePartitionOp(df: DataFrame, op: String, key: String): DataFrame =
+      op match {
+        case "summarize" =>
+          val aggs = parseNamedAggList()
+          val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
+          val keyInBy = by.exists(_.toString == key)
+          val groups = if (keyInBy) by else col(key) +: by
+          val out = df.summarize(groups, aggs: _*)
+          if (keyInBy) out else out.projectAway(key)
+        case "top" =>
+          val n = parseInt()
+          eatIdent("by")
+          val keys = parseSortList()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key)).orderBy(keys: _*)
+          df.extend("__pt_rn" -> row_number().over(w))
+            .where_(col("__pt_rn") <= n).projectAway("__pt_rn")
+        case "count" =>
+          df.summarize(Seq(col(key)), count(lit(1)).as("Count")).projectAway(key)
+        case other => throw new IllegalArgumentException(
+          s"operator '$other' is not supported inside partition " +
+            "hint.strategy=shuffle (supported: row-local operators, summarize, top, count)")
+      }
+
+    private def parseStdOp(df: DataFrame, op: String): DataFrame = op match {
       case "where" | "filter" =>
         withRowFns(df) { val p = parseExpr(); _.where_(p) }
       case "facet" =>
@@ -409,11 +467,28 @@ object KqlParser {
               col("count_"))
         }.reduce(_ unionKql _)
       case "partition" =>
-        // `T | partition by key ( sub-pipeline )` — Kusto's legacy partition
-        // operator: the sub-pipeline runs once per distinct key value, results
-        // unioned. Kusto caps this mode at 64 partitions — enforced here, which
-        // bounds the driver-side key collect() (a bounded model, like the IVF
-        // centroid pull); each per-key subquery is a fully distributed plan.
+        // `T | partition [hint.strategy=...] by key ( sub-pipeline )` — the
+        // sub-pipeline runs once per distinct key value, results unioned.
+        //
+        //   - hint.strategy=shuffle (THE 100 TB PATH): no key enumeration at
+        //     all — the body is rewritten into one distributed plan where the
+        //     key rides the shuffle (summarize gains the key as a grouping
+        //     column, top becomes a per-key window cut). Unbounded key
+        //     cardinality, one exchange, no driver involvement.
+        //   - legacy/native (default, matching Kusto): one subquery per key,
+        //     capped at 64 partitions — enforced here, which bounds the
+        //     driver-side key collect() (a bounded model, like the IVF
+        //     centroid pull); each per-key subquery is a fully distributed
+        //     plan, and arbitrary operators are allowed in the body.
+        var strategy = "legacy"
+        while (atIdent("hint")) {
+          pos += 1; eatPunct(".")
+          ident() match {
+            case "strategy" => eatPunct("="); strategy = ident()
+            case other => // hint.shufflekey= / hint.materialized= etc.: accept and ignore
+              eatPunct("="); val _ = (other, next())
+          }
+        }
         eatIdent("by")
         val pkey = ident()
         eatPunct("(")
@@ -421,15 +496,21 @@ object KqlParser {
         val bend = skipBalancedUntil("(", ")")
         pos += 1 // consume the closing )
         val body = toks.slice(bstart, bend)
-        val keys = df.select(col(pkey)).distinct().limit(65).collect().map(_.get(0))
-        require(keys.length <= 64,
-          s"partition by $pkey: over 64 distinct values (Kusto native-strategy cap)")
-        if (keys.isEmpty) df.limit(0)
-        else keys.toSeq.map { v =>
-          val part = df.where_(col(pkey) <=> lit(v))
+        if (strategy == "shuffle")
           new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
-            n => if (n == "__p") part else resolveTable(n)).parseProgram()
-        }.reduce(_ unionKql _)
+            n => if (n == "__p") df else resolveTable(n),
+            partitionKey = Some(pkey)).parseProgram()
+        else {
+          val keys = df.select(col(pkey)).distinct().limit(65).collect().map(_.get(0))
+          require(keys.length <= 64,
+            s"partition by $pkey: over 64 distinct values (Kusto native-strategy cap)")
+          if (keys.isEmpty) df.limit(0)
+          else keys.toSeq.map { v =>
+            val part = df.where_(col(pkey) <=> lit(v))
+            new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
+              n => if (n == "__p") part else resolveTable(n)).parseProgram()
+          }.reduce(_ unionKql _)
+        }
       case "fork" =>
         // `T | fork [name=](sub1) [name=](sub2) ...` — Kusto runs every
         // sub-pipeline over the SAME input rows and emits one table per leg;
@@ -503,6 +584,34 @@ object KqlParser {
         df.top(n, parseSortList(): _*)
       case "take" | "limit" => df.take_(parseInt())
       case "sample" => df.sample_(parseNum())
+      case "top-hitters" =>
+        // `top-hitters N of Col [by SumCol]` — Kusto's approximate heavy
+        // hitters. Implemented EXACTLY (partial+final hash agg, then a
+        // TakeOrdered top-N): at any scale the aggregate output is one row per
+        // distinct value, so the exact plan is already the scale path and the
+        // approximation would buy nothing. Output column names match Kusto's
+        // approximate_count_/approximate_sum_ vocabulary.
+        val n = parseInt()
+        eatIdent("of")
+        val c = ident()
+        val (aggC, aggName) =
+          if (atIdent("by")) {
+            pos += 1; val s = ident()
+            (sum(col(s)), s"approximate_sum_$s")
+          } else (count(lit(1)), s"approximate_count_$c")
+        df.summarize(Seq(col(c)), aggC.as(aggName)).top(n, col(aggName).desc)
+      case "sample-distinct" =>
+        // `sample-distinct N of Col` — Kusto returns N arbitrary distinct
+        // values; this engine makes the choice DETERMINISTIC (portable
+        // md5-prefix order, reproducible in any oracle) the same way `sample`
+        // documents its seeded determinism deviation.
+        val n = parseInt()
+        eatIdent("of")
+        val c = ident()
+        df.distinctOf(col(c))
+          .sortBy(conv(substring(md5(col(c).cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
+          .take_(n)
       case "distinct" =>
         if (atPunct("*")) { pos += 1; df.distinct() }
         else df.distinctOf(parseProjList(): _*)
@@ -536,13 +645,41 @@ object KqlParser {
         eatPunct(")")
         if (sub.columns.contains("__mv_pos")) sub.drop("__mv_pos") else sub
       case "evaluate" =>
-        // plugin surface; `evaluate bag_unpack(col)` is the one we support
+        // plugin surface: bag_unpack and pivot
         val fn = ident()
         eatPunct("(")
-        val arg = ident()
-        eatPunct(")")
         fn match {
-          case "bag_unpack" => df.bagUnpack(arg)
+          case "bag_unpack" =>
+            val arg = ident(); eatPunct(")")
+            df.bagUnpack(arg)
+          case "pivot" =>
+            // `evaluate pivot(pivotCol [, agg(col)])` — unique pivot-column
+            // values become columns; remaining columns (minus the aggregate
+            // input) group. Maps to Spark's native groupBy().pivot(): the
+            // distinct pivot values are collected once (sorted, bounded by
+            // spark.sql.pivotMaxValues) and the aggregate is a single
+            // partial+final pass — the same two-phase shape Kusto's plugin
+            // uses.
+            val pc = ident()
+            var aggFn = "count"; var aggArg: Option[String] = None
+            if (atPunct(",")) {
+              pos += 1; aggFn = ident(); eatPunct("(")
+              if (!atPunct(")")) aggArg = Some(ident())
+              eatPunct(")")
+            }
+            eatPunct(")")
+            val aggC = (aggFn, aggArg) match {
+              case ("count", None) => count(lit(1))
+              case ("sum", Some(a)) => sum(col(a))
+              case ("avg", Some(a)) => avg(col(a))
+              case ("min", Some(a)) => min(col(a))
+              case ("max", Some(a)) => max(col(a))
+              case ("dcount", Some(a)) => countDistinct(col(a))
+              case other => throw new IllegalArgumentException(
+                s"unsupported pivot aggregate: $other")
+            }
+            val groups = df.columns.filterNot(c => c == pc || aggArg.contains(c))
+            df.groupBy(groups.map(col).toIndexedSeq: _*).pivot(pc).agg(aggC)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "parse" =>

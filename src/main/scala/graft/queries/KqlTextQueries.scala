@@ -494,6 +494,88 @@ object KqlTextQueries {
              |  FROM events)
              |WHERE rn <= 3 ORDER BY event_type, value DESC""".stripMargin)),
 
+    // `partition hint.strategy=shuffle` — the 100 TB strategy: no key
+    // enumeration, the body rewrites into ONE distributed plan with the key
+    // riding the shuffle (summarize gains the key as a grouping column)
+    QueryDef("q_kql_partition_shuffle",
+      (s, d) => run(s, d,
+        """events
+          || partition hint.strategy=shuffle by event_type (
+          |    summarize n = count(), mx = max(value) by event_type, b = bin(value, 100.0) )
+          || sort by event_type asc, b asc""".stripMargin),
+      Some("""SELECT event_type, floor(value / 100.0) * 100.0 AS b,
+             |  COUNT(*) AS n, MAX(value) AS mx
+             |FROM events GROUP BY event_type, b
+             |ORDER BY event_type, b""".stripMargin)),
+
+    // per-key top-3 under the shuffle strategy: one hash exchange + window
+    // cut, same result set as the legacy per-key loop (q_kql_partition)
+    QueryDef("q_kql_partition_top",
+      (s, d) => run(s, d,
+        """events
+          || partition hint.strategy=shuffle by event_type ( top 3 by value )
+          || sort by event_type asc, value desc""".stripMargin),
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn
+             |  FROM events)
+             |WHERE rn <= 3 ORDER BY event_type, value DESC""".stripMargin)),
+
+    // exact heavy hitters through the Kusto top-hitters surface (tie-free at
+    // rank N in the fixture: counts 2017/2014/2006 vs 1982 next)
+    QueryDef("q_kql_top_hitters",
+      (s, d) => run(s, d,
+        """events
+          || top-hitters 3 of event_type
+          || sort by approximate_count_event_type desc""".stripMargin),
+      Some("""SELECT event_type, COUNT(*) AS approximate_count_event_type
+             |FROM events GROUP BY event_type
+             |ORDER BY approximate_count_event_type DESC LIMIT 3""".stripMargin)),
+
+    QueryDef("q_kql_sample_distinct",
+      (s, d) => run(s, d,
+        """events
+          || sample-distinct 3 of event_type
+          || sort by event_type asc""".stripMargin),
+      // deterministic portable-hash choice (md5-prefix order), reproduced
+      // verbatim in DuckDB — same trick as the minhash/simhash oracles
+      Some("""SELECT event_type FROM (
+             |  SELECT event_type FROM (SELECT DISTINCT event_type FROM events)
+             |  ORDER BY ('0x' || substr(md5(event_type), 1, 15))::BIGINT LIMIT 3)
+             |ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q_kql_pivot",
+      (s, d) => run(s, d,
+        """events
+          || extend v = tolong(floor(value))
+          || project user_id, event_type, v
+          || evaluate pivot(event_type, sum(v))
+          || sort by user_id asc""".stripMargin),
+      // missing (user, type) combinations are NULL on both sides (SUM over an
+      // empty CASE set), matching Spark's pivot cells
+      Some("""SELECT user_id,
+             |  SUM(CASE WHEN event_type = 'click' THEN CAST(floor(value) AS BIGINT) END) AS click,
+             |  SUM(CASE WHEN event_type = 'error' THEN CAST(floor(value) AS BIGINT) END) AS error,
+             |  SUM(CASE WHEN event_type = 'purchase' THEN CAST(floor(value) AS BIGINT) END) AS purchase,
+             |  SUM(CASE WHEN event_type = 'signup' THEN CAST(floor(value) AS BIGINT) END) AS signup,
+             |  SUM(CASE WHEN event_type = 'view' THEN CAST(floor(value) AS BIGINT) END) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // materialize(): the bound pipeline is persisted and reused — both union
+    // branches read the one materialized aggregate
+    QueryDef("q_kql_materialize",
+      (s, d) => run(s, d,
+        """let m = materialize(events
+          |  | where value > 300 | summarize n = count() by event_type);
+          |m
+          || union (m | project event_type, n)
+          || summarize total = sum(n) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH m AS (SELECT event_type, COUNT(*) AS n FROM events
+             |          WHERE value > 300 GROUP BY event_type)
+             |SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM (
+             |  SELECT * FROM m UNION ALL SELECT * FROM m)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // `fork legA=(...) legB=(...)` runs every leg over the same input; legs
     // with DIFFERENT output schemas align by name and null-fill, labeled by
     // fork_leg — exercising the multi-output adaptation end to end

@@ -313,6 +313,34 @@ class KqlParserSpec extends SparkSpec {
       Seq(("alice", 50.0), ("bob", 25.5), ("carol", 99.0)))
   }
 
+  test("partition hint.strategy=shuffle rewrites to one distributed plan") {
+    val legacy = run("t | partition by user ( top 1 by v ) | sort by user asc")
+    val shuffle = run(
+      "t | partition hint.strategy=shuffle by user ( top 1 by v ) | sort by user asc")
+    assert(shuffle.collect().toSeq == legacy.collect().toSeq)
+    // the rewrite is one plan with the key riding the shuffle — no per-key
+    // plan union, no driver key enumeration
+    assert(!shuffle.queryExecution.executedPlan.toString.contains("Union"))
+  }
+
+  test("shuffle-strategy summarize drops the key unless the by-list names it") {
+    val dropped = run(
+      "t | partition hint.strategy=shuffle by user ( summarize n = count() by etype )")
+    assert(dropped.columns.toSeq == Seq("etype", "n"))
+    // per-(user, etype) counts with the key projected away — etype repeats
+    // across users: alice 2 clicks, bob 1 click + 1 view, carol 1 purchase
+    val rows = dropped.as[(String, Long)].collect().toSeq.sorted
+    assert(rows == Seq(("click", 1L), ("click", 2L), ("purchase", 1L), ("view", 1L)))
+    val kept = run(
+      "t | partition hint.strategy=shuffle by user ( summarize n = count() by user )")
+    assert(kept.columns.toSeq == Seq("user", "n"))
+  }
+
+  test("shuffle strategy rejects operators that cannot ride the key") {
+    assertThrows[IllegalArgumentException](run(
+      "t | partition hint.strategy=shuffle by user ( take 2 )"))
+  }
+
   test("partition by rejects over 64 distinct keys") {
     val wide = spark.range(100).selectExpr("id", "cast(id as string) as k")
     val e = intercept[IllegalArgumentException] {
@@ -331,6 +359,38 @@ class KqlParserSpec extends SparkSpec {
     assert(rows.contains(("hi", "click", Some(1L), None)))
     assert(rows.contains(("hi", "purchase", Some(1L), None)))
     assert(rows.contains(("Result_2", "click", None, Some(7.25))))
+  }
+
+  test("top-hitters ranks by exact frequency / sum") {
+    val byCount = run("t | top-hitters 1 of etype")
+    assert(byCount.columns.toSeq == Seq("etype", "approximate_count_etype"))
+    assert(byCount.as[(String, Long)].collect().toSeq == Seq(("click", 3L)))
+    val bySum = run("t | top-hitters 1 of user by v")
+    assert(bySum.columns.toSeq == Seq("user", "approximate_sum_v"))
+    assert(bySum.as[(String, Double)].collect().head == (("carol", 99.0)))
+  }
+
+  test("sample-distinct returns N deterministic distinct values") {
+    val a = run("t | sample-distinct 2 of user").as[String].collect().toSet
+    val b = run("t | sample-distinct 2 of user").as[String].collect().toSet
+    assert(a == b && a.size == 2)
+    assert(a.subsetOf(Set("alice", "bob", "carol")))
+  }
+
+  test("evaluate pivot turns unique values into columns") {
+    val df = run("t | project user, etype | evaluate pivot(etype) | sort by user asc")
+    assert(df.columns.toSeq == Seq("user", "click", "purchase", "view"))
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("alice", "bob", "carol"))
+    assert(rows(0).getLong(1) == 2L) // alice: 2 clicks
+    assert(rows(2).isNullAt(1)) // carol never clicked → null cell
+  }
+
+  test("let materialize() binds a persisted table") {
+    val df = run(
+      """let m = materialize(t | where v > 20 | project id);
+        |m | union m | summarize n = count()""".stripMargin)
+    assert(df.as[Long].collect().head == 6L) // 3 rows, twice
   }
 
   test("sort by defaults to Kusto's descending direction") {
