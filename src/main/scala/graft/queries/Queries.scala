@@ -1074,6 +1074,19 @@ object Queries {
     QueryDef("q_distinct_rows",
       (s, d) => T(s, d, "events").distinct()
         .summarize(Nil, count(lit(1)).as("n_distinct")),
-      Some("SELECT COUNT(*) AS n_distinct FROM (SELECT DISTINCT * FROM events)"))
+      Some("SELECT COUNT(*) AS n_distinct FROM (SELECT DISTINCT * FROM events)")),
+
+    // --- shard-by-hash ingest routing (README.md:8) --------------------------
+    // Per-shard row/user counts after consistent-hash sharding. The shard id is
+    // the portable md5-based hash (NOT Spark Murmur3), so the oracle reproduces
+    // the exact routing: any engine agrees on which shard a key lives in.
+    QueryDef("q_shard_hash",
+      (s, d) => Tables.shardByHash(T(s, d, "events"), "user_id", 8)
+        .summarize(Seq(col("_shard").as("shard")),
+          count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+        .sortBy(col("shard")),
+      Some("""SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+             |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+             |FROM events GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

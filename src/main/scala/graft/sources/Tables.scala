@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,6 +75,28 @@ object Tables {
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }.partitionBy("ts_bucket").parquet(path)
   }
+
+  // ------------------------------------------------------------------
+  // Shard-by-hash ingest (README.md:8): the reference consistently hashes each
+  // ingested row to a shard/node. On Spark the shard IS the shuffle partition.
+  // ------------------------------------------------------------------
+
+  /** Stable shard id from a key: first 15 hex digits of md5 as a non-negative
+    * 60-bit integer, mod `numShards`. Deliberately NOT Spark's Murmur3 `hash()`
+    * — md5 is engine-portable (any node, any engine, any restart maps a key to
+    * the same shard; the DuckDB oracles reproduce it verbatim), which is what
+    * "consistent" sharding means in the reference's design. */
+  def shardId(key: Column, numShards: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(numShards.toLong))
+
+  /** Route rows to `numShards` shards by key hash. `repartition(n, col)`
+    * hash-distributes the _shard values over n shuffle partitions, so each
+    * shard's rows land together (one write task per shard at scale; shards >>
+    * cores still work, several shards per partition). */
+  def shardByHash(df: DataFrame, key: String, numShards: Int): DataFrame =
+    df.withColumn("_shard", shardId(col(key), numShards))
+      .repartition(numShards, col("_shard"))
 
   /** Merge-time dedup (README.md:15,22): rewrite a table keeping one row per
     * `(_ts, _dedup)` — deterministic representative via total tie-break ordering.

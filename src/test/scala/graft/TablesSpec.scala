@@ -108,4 +108,24 @@ class TablesSpec extends SparkSpec {
     assert(surviving == 0,
       s"bloom probe for an absent term should skip all $total row groups, kept $surviving")
   }
+
+  test("shardByHash routes each key to exactly one shard, co-located per partition") {
+    val df = (0 until 1000).map(i => (i.toLong % 97, i)).toDF("key", "v")
+    val sharded = Tables.shardByHash(df, "key", 8)
+    // deterministic: a key always lands on the same shard
+    val perKey = sharded.groupBy("key")
+      .agg(countDistinct(col("_shard")).as("nsh"))
+      .agg(max("nsh")).as[Long].head()
+    assert(perKey == 1L)
+    // every shard's rows are co-located: a shard never spans partitions
+    assert(sharded.rdd.getNumPartitions == 8)
+    val spans = sharded
+      .withColumn("pid", spark_partition_id())
+      .groupBy("_shard").agg(countDistinct(col("pid")).as("np"))
+      .agg(max("np")).as[Long].head()
+    assert(spans == 1L)
+    // all 8 shards used and reasonably balanced over 97 keys
+    val sizes = sharded.groupBy("_shard").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == (0L until 8L).toSet, s"shards used: ${sizes.keySet}")
+  }
 }
