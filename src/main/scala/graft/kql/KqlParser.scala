@@ -578,6 +578,32 @@ object KqlParser {
           "`serialize` requires a preceding `sort by` to define the row order")
         serializedOrder = Some(lastSortKeys)
         df
+      case "scan" =>
+        // `T | scan [with_match_id=m] with (step s1: pred; step s2: pred; ...)`
+        // — ONE global state machine over the serialized order (Kusto scan
+        // without `declare`: sequences are not keyed to an entity). Distributed
+        // via per-partition transition tables over the finite state space
+        // (Scan.scanSerialized). `declare (...)` state variables unsupported.
+        require(lastSortKeys.nonEmpty,
+          "`scan` requires a preceding `sort by` to define the row order")
+        var matchId: Option[String] = None
+        if (atIdent("with_match_id")) { pos += 1; eatPunct("="); matchId = Some(ident()) }
+        eatIdent("with")
+        eatPunct("(")
+        val steps = Vector.newBuilder[(String, Column)]
+        while (!atPunct(")")) {
+          eatIdent("step")
+          val name = ident()
+          eatPunct(":")
+          steps += name -> parseExpr()
+          if (atPunct(";")) eatPunct(";")
+        }
+        eatPunct(")")
+        val scanned = Scan.scanSerialized(df, lastSortKeys, steps.result())
+        matchId match {
+          case Some(m) => scanned.drop("match_step").withColumnRenamed("match_id", m)
+          case None => scanned.drop("match_step", "match_id")
+        }
       case "top" =>
         val n = parseInt()
         eatIdent("by")

@@ -461,6 +461,49 @@ object KqlTextQueries {
              |WHERE regexp_matches(lower(text), '(^|[^a-z0-9])the($|[^a-z0-9])') AND lang = 'en'
              |ORDER BY doc_id""".stripMargin)),
 
+    // KQL `scan` — ONE state machine over the global serialized order (no
+    // entity key: sequences legitimately cross user boundaries, exactly
+    // Kusto's no-declare semantics). Engine = Scan.scanSerialized (distributed
+    // two-pass transition-table fold); oracle = linear recursive CTE replaying
+    // the same machine over the global row numbering.
+    QueryDef("q_kql_scan",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 10
+          || project user_id, ts, event_id, event_type
+          || sort by user_id asc, ts asc, event_id asc
+          || scan with_match_id=m with (
+          |    step s1: event_type == 'view';
+          |    step s2: event_type == 'click';
+          |    step s3: event_type == 'purchase';
+          |  )
+          || sort by user_id asc, ts asc, event_id asc""".stripMargin),
+      Some("""WITH RECURSIVE r AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    ROW_NUMBER() OVER (ORDER BY user_id, ts, event_id) AS rn
+             |  FROM events WHERE user_id < 10),
+             |walk AS (
+             |  SELECT user_id, rn, ts, event_id, event_type,
+             |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS st_out,
+             |    CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT) AS seq,
+             |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS st_next
+             |  FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT user_id, rn, ts, event_id, event_type, st_out,
+             |    seq + CASE WHEN st_out = 1 THEN 1 ELSE 0 END AS seq,
+             |    CASE WHEN st_out = 3 THEN 0 WHEN st_out > 0 THEN st_out ELSE st_prev END AS st_next
+             |  FROM (
+             |    SELECT e.user_id, e.rn, e.ts, e.event_id, e.event_type, w.seq, w.st_next AS st_prev,
+             |      CASE WHEN w.st_next = 0 AND e.event_type = 'view' THEN 1
+             |           WHEN w.st_next = 1 AND e.event_type = 'click' THEN 2
+             |           WHEN w.st_next = 2 AND e.event_type = 'purchase' THEN 3
+             |           WHEN e.event_type = 'view' THEN 1
+             |           ELSE 0 END AS st_out
+             |    FROM r e JOIN walk w ON e.rn = w.rn + 1))
+             |SELECT user_id, ts, event_id, event_type, seq AS m
+             |FROM walk WHERE st_out > 0
+             |ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // --- round-6 parser surface: facet / partition / fork -------------------
 
     // `facet by c1, c2` emits one value-frequency table per column; the

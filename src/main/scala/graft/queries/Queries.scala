@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.kql.Kql._
+import graft.kql.Scan
 import graft.functions.KqlFunctions._
 import graft.sources.Tables
 
@@ -32,6 +33,35 @@ object Queries {
     * must be the READ + variant_get path, not parquet-write churn on every
     * invocation (the bench was timing the write: ~37s at sf0.1). */
   private val variantSegCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Shared recursive-CTE prefix for the q_scan_funnel* oracles: per-user linear
+    * recursion over row numbers replaying Scan.scanSequence's state machine
+    * (st_next = step the active sequence last matched, 0 = idle; st_out = step
+    * this row matched, 0 = not participating; seq = per-user sequence id). */
+  private val scanFunnelWalk: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE user_id < 40),
+      |walk AS (
+      |  SELECT user_id, rn, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS st_out,
+      |    CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT) AS seq,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS st_next
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT user_id, rn, ts, event_id, event_type, st_out,
+      |    seq + CASE WHEN st_out = 1 THEN 1 ELSE 0 END AS seq,
+      |    CASE WHEN st_out = 3 THEN 0 WHEN st_out > 0 THEN st_out ELSE st_prev END AS st_next
+      |  FROM (
+      |    SELECT e.user_id, e.rn, e.ts, e.event_id, e.event_type, w.seq, w.st_next AS st_prev,
+      |      CASE WHEN w.st_next = 0 AND e.event_type = 'view' THEN 1
+      |           WHEN w.st_next = 1 AND e.event_type = 'click' THEN 2
+      |           WHEN w.st_next = 2 AND e.event_type = 'purchase' THEN 3
+      |           WHEN e.event_type = 'view' THEN 1
+      |           ELSE 0 END AS st_out
+      |    FROM r e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1))
+      |""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -629,6 +659,43 @@ object Queries {
              |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
              |    FROM events))
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // --- scan operator (sequence / funnel state machine) --------------------
+    // view→click→purchase funnel per user. The oracle replays the exact state
+    // machine as a linear recursive CTE (state at row n = f(state at n-1)):
+    // advance-next-step has priority, else a step-1 row restarts, completion
+    // resets to idle. Output = participating rows with step + per-key seq id.
+    QueryDef("q_scan_funnel",
+      (s, d) => Scan.scanSequence(
+          T(s, d, "events").where_(col("user_id") < 40)
+            .project(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")),
+          Seq("s_view" -> (col("event_type") === "view"),
+            "s_click" -> (col("event_type") === "click"),
+            "s_buy" -> (col("event_type") === "purchase")))
+        .sortBy(col("user_id"), col("ts"), col("event_id")),
+      Some(scanFunnelWalk +
+        """SELECT user_id, ts, event_id, event_type,
+          |  CAST(st_out AS INT) AS match_step, seq AS match_seq
+          |FROM walk WHERE st_out > 0
+          |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    QueryDef("q_scan_funnel_complete",
+      (s, d) => Scan.scanSequence(
+          T(s, d, "events").where_(col("user_id") < 40)
+            .project(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")),
+          Seq("s_view" -> (col("event_type") === "view"),
+            "s_click" -> (col("event_type") === "click"),
+            "s_buy" -> (col("event_type") === "purchase")),
+          completedOnly = true)
+        .summarize(Seq(col("user_id")),
+          countDistinct(col("match_seq")).as("n_funnels"))
+        .sortBy(col("user_id")),
+      Some(scanFunnelWalk +
+        """SELECT user_id, COUNT(*) AS n_funnels
+          |FROM walk WHERE st_out = 3
+          |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // --- project-keep / take / sample / has ---------------------------------
     QueryDef("q_project_keep",
