@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** KQL series_* function family over packed series arrays (the dynamic-array
+  * representation KQL's make-series emits; our row-oriented makeSeries output
+  * packs into one with sort_array(collect_list(...))).
+  *
+  * All of these are Catalyst higher-order functions evaluated inside codegen —
+  * one pass over the array per element for the O(n) ones, O(n·w) for the FIR
+  * convolution with a w-tap filter. They are scalar per-row functions: a table
+  * of a billion series applies them with zero shuffles.
+  *
+  * Determinism: accumulating sums left-to-right in doubles is exact while the
+  * inputs are integral (counts) and totals stay below 2^53; variance uses the
+  * textbook (Σx² − (Σx)²/n)/(n−1) with the exact same expression shape as the
+  * DuckDB oracles so both engines execute identical IEEE op sequences.
+  */
+object SeriesFunctions {
+
+  private def dsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (a, x) => a + x.cast("double"))
+
+  /** KQL `series_stats_dynamic`: struct(min, min_idx, max, max_idx, avg,
+    * variance, stdev); idx fields are the 0-based FIRST position (KQL
+    * semantics). Null-free input expected (make-series fills first). */
+  def seriesStats(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    val sum = dsum(arr)
+    val sumsq = aggregate(arr, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val variance = (sumsq - sum * sum / n) / (n - lit(1.0))
+    struct(
+      array_min(arr).as("min"),
+      (array_position(arr, array_min(arr)) - 1).as("min_idx"),
+      array_max(arr).as("max"),
+      (array_position(arr, array_max(arr)) - 1).as("max_idx"),
+      (sum / n).as("avg"),
+      variance.as("variance"),
+      sqrt(variance).as("stdev"))
+  }
+
+  /** Trailing moving sum with partial head windows: out[i] = Σ arr[i-w+1..i]. */
+  def seriesMovingSum(arr: Column, w: Int): Column =
+    transform(arr, (_, i) =>
+      aggregate(slice(arr, greatest(i - w + 2, lit(1)), least(i + 1, lit(w))),
+        lit(0.0), (a, x) => a + x.cast("double")))
+
+  /** Trailing moving average; partial head windows divide by their true size. */
+  def seriesMovingAvg(arr: Column, w: Int): Column =
+    transform(arr, (_, i) =>
+      aggregate(slice(arr, greatest(i - w + 2, lit(1)), least(i + 1, lit(w))),
+        lit(0.0), (a, x) => a + x.cast("double")) / least(i + 1, lit(w)))
+
+  /** KQL `series_fir` (trailing form): y[i] = Σ_j coef[j]·x[i−j], with partial
+    * head windows (terms before the series start are dropped). `normalize`
+    * divides the coefficients by their sum (Kusto's default for all-positive
+    * filters, turning a ones-filter into a moving average). */
+  def seriesFir(arr: Column, coefs: Seq[Double], normalize: Boolean = false): Column = {
+    val s = coefs.sum
+    val cs = if (normalize) coefs.map(_ / s) else coefs
+    val coefArr = array(cs.map(lit): _*)
+    transform(arr, (_, i) =>
+      aggregate(sequence(lit(0), least(lit(cs.size - 1), i)), lit(0.0),
+        (a, j) => a + element_at(coefArr, j + 1) *
+          element_at(arr, i - j + 1).cast("double")))
+  }
+
+  /** Tukey-fence outlier flags: +1 above q3+1.5·iqr, −1 below q1−1.5·iqr, else
+    * 0 (KQL series_outliers returns graded scores; this emits the sign — the
+    * deterministic contract both engines reproduce exactly). Quartiles are
+    * index-based on the sorted series: q(p) = sorted[ceil(p·n)] (1-based). */
+  def seriesOutliers(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val n = size(arr)
+    def q(p: Double): Column =
+      element_at(sorted, greatest(ceil(lit(p) * n), lit(1)).cast("int")).cast("double")
+    val q1 = q(0.25)
+    val q3 = q(0.75)
+    val iqr = q3 - q1
+    val hi = q3 + lit(1.5) * iqr
+    val lo = q1 - lit(1.5) * iqr
+    transform(arr, x =>
+      when(x.cast("double") > hi, 1).when(x.cast("double") < lo, -1).otherwise(0))
+  }
+}

@@ -3,7 +3,7 @@ package graft.kql
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.KqlFunctions
+import graft.functions.{KqlFunctions, SeriesFunctions}
 import graft.kql.Kql._
 
 /** KQL text front-end: parses a KQL query string into a Spark DataFrame plan built
@@ -1115,7 +1115,29 @@ object KqlParser {
     }
 
     private def parseUnary(): Column =
-      if (atPunct("-")) { pos += 1; -parsePrimary() } else parsePrimary()
+      if (atPunct("-")) { pos += 1; -parsePostfix(parsePrimary()) }
+      else parsePostfix(parsePrimary())
+
+    /** Postfix access on dynamic/struct/array values: `x.field` (bag/struct
+      * member) and `x[i]` (KQL 0-based array index / bag key — Spark's getItem
+      * is 0-based for arrays too, so indices map verbatim). */
+    private def parsePostfix(c0: Column): Column = {
+      var c = c0
+      var done = false
+      while (!done) peek match {
+        case Some(Punct(".")) if pos + 1 < toks.length &&
+            toks(pos + 1).isInstanceOf[Ident] =>
+          pos += 1; c = c.getField(ident())
+        case Some(Punct("[")) =>
+          pos += 1
+          val i = parseExpr()
+          eatPunct("]")
+          c = if (litValues.containsKey(i)) c.getItem(litValues.get(i))
+              else element_at(c, i + 1)
+        case _ => done = true
+      }
+      c
+    }
 
     private def parsePrimary(): Column = next() match {
       case Num(s) =>
@@ -1129,6 +1151,8 @@ object KqlParser {
         val secs = timespanSeconds(ts)
         litCol(secs, lit(secs))
       case Ident("bin") if atPunct("(") => parseBin()
+      case Ident("dynamic") if atPunct("(") => parseDynamic()
+      case Ident("series_fir") if atPunct("(") => parseSeriesFir()
       case Ident(f) if atPunct("(") => parseScalarCall(f)
       case Ident(name) =>
         letScalars.getOrElse(name, scalarBindings.getOrElse(name, col(name)))
@@ -1277,8 +1301,68 @@ object KqlParser {
           }
         // dynamic/array
         case "array_length" => size(args.head).cast("long")
+        case "pack_array" => array(args: _*)
+        case "array_concat" => concat(args: _*)
+        case "array_slice" =>
+          // KQL array_slice(arr, start, end): 0-based inclusive bounds
+          slice(args.head, args(1).cast("int") + 1,
+            (args(2) - args(1) + 1).cast("int"))
+        case "array_index_of" =>
+          (array_position(args.head, args(1)) - 1).cast("long") // 0-based, -1 absent
+        case "set_union" => array_sort(args.reduceLeft(array_union))
+        case "set_intersect" => array_sort(args.reduceLeft(array_intersect))
+        case "set_difference" => array_sort(args.reduceLeft(array_except))
+        case "zip" => arrays_zip(args: _*)
+        // series functions (series_fir parses separately: literal filter taps)
+        case "series_stats_dynamic" => SeriesFunctions.seriesStats(args.head)
+        case "series_moving_avg" =>
+          SeriesFunctions.seriesMovingAvg(args.head, litLong(args(1)).toInt)
+        case "series_moving_sum" =>
+          SeriesFunctions.seriesMovingSum(args.head, litLong(args(1)).toInt)
+        case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
         case other => throw new IllegalArgumentException(s"unsupported scalar function: $other")
       }
+    }
+
+    /** `dynamic([v1, v2, ...])` — array literal (the subset of KQL dynamic
+      * literals the series/array functions consume; property bags go through
+      * parse_json on a string literal instead). */
+    private def parseDynamic(): Column = {
+      eatPunct("(")
+      eatPunct("[")
+      val vals = Seq.newBuilder[Column]
+      if (!atPunct("]")) {
+        vals += parseExpr()
+        while (atPunct(",")) { pos += 1; vals += parseExpr() }
+      }
+      eatPunct("]")
+      eatPunct(")")
+      array(vals.result(): _*)
+    }
+
+    /** `series_fir(arr, dynamic([c0, c1, ...]) [, normalize])` — the filter taps
+      * must be numeric literals (they parameterize the generated convolution). */
+    private def parseSeriesFir(): Column = {
+      eatPunct("(")
+      val arr = parseExpr()
+      eatPunct(",")
+      eatIdent("dynamic"); eatPunct("("); eatPunct("[")
+      val coefs = Seq.newBuilder[Double]
+      def num(): Double = { val c = parseExpr(); litDouble(c) }
+      coefs += num()
+      while (atPunct(",")) { pos += 1; coefs += num() }
+      eatPunct("]"); eatPunct(")")
+      val normalize = if (atPunct(",")) {
+        pos += 1
+        next() match {
+          case Ident("true") => true
+          case Ident("false") => false
+          case other => throw new IllegalArgumentException(
+            s"series_fir normalize flag must be true/false, got $other")
+        }
+      } else false
+      eatPunct(")")
+      graft.functions.SeriesFunctions.seriesFir(arr, coefs.result(), normalize)
     }
 
     /** `bin(value, width)` — width may be a timespan literal (`1h`) → timestamp

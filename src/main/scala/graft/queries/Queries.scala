@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.kql.Kql._
 import graft.kql.Scan
 import graft.functions.KqlFunctions._
+import graft.functions.SeriesFunctions
 import graft.sources.Tables
 
 /** One driver-contract query: the Spark plan and (when ANSI-SQL-expressible) the
@@ -1126,6 +1127,104 @@ object Queries {
              |       WHEN nv IS NULL THEN pv
              |       ELSE pv + (nv - pv) * (epoch(bin_ts) - pb) / (nb - pb) END AS mv_filled
              |FROM anch ORDER BY event_type, bin_ts""".stripMargin)),
+
+    // --- series_* function family over packed series arrays -----------------
+    // Daily event-count series per event_type, packed in bin order. Counts are
+    // integral, so double sums are exact in any accumulation order; avg and
+    // variance mirror the oracle's exact expression shape (see SeriesFunctions).
+    QueryDef("q_series_stats",
+      (s, d) => {
+        val packed = T(s, d, "events")
+          .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+            count(lit(1)).as("c"))
+          .groupBy(col("event_type"))
+          .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+            x => x.getField("c").cast("double")).as("sr"))
+        packed
+          .withColumn("st", SeriesFunctions.seriesStats(col("sr")))
+          .select(col("event_type"), size(col("sr")).as("n_bins"),
+            col("st.min").as("mn"), col("st.min_idx").as("mn_idx"),
+            col("st.max").as("mx"), col("st.max_idx").as("mx_idx"),
+            col("st.avg").as("avg_c"), col("st.variance").as("var_c"))
+          .sortBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd,
+             |    CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |st AS (
+             |  SELECT event_type, COUNT(*) AS n, MIN(c) AS mn, MAX(c) AS mx,
+             |    SUM(c) AS sm, SUM(c * c) AS sq
+             |  FROM idx GROUP BY 1)
+             |SELECT s.event_type, CAST(s.n AS INT) AS n_bins, s.mn AS mn,
+             |  (SELECT MIN(i) FROM idx WHERE idx.event_type = s.event_type AND c = s.mn) AS mn_idx,
+             |  s.mx AS mx,
+             |  (SELECT MIN(i) FROM idx WHERE idx.event_type = s.event_type AND c = s.mx) AS mx_idx,
+             |  s.sm / s.n AS avg_c,
+             |  (s.sq - s.sm * s.sm / s.n) / (s.n - 1) AS var_c
+             |FROM st s ORDER BY s.event_type""".stripMargin)),
+
+    // trailing 7-bin moving sum (series_fir with unit taps): integral values →
+    // bit-exact; list output stringified (list columns crash the comparator)
+    QueryDef("q_series_fir",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .select(col("event_type"),
+          array_join(transform(SeriesFunctions.seriesMovingSum(col("sr"), 7),
+            x => x.cast("long").cast("string")), ";").as("ms7"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |mv AS (
+             |  SELECT event_type, dd, CAST(SUM(c) OVER (
+             |    PARTITION BY event_type ORDER BY dd
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+             |  FROM daily)
+             |SELECT event_type,
+             |  STRING_AGG(CAST(m AS VARCHAR), ';' ORDER BY dd) AS ms7
+             |FROM mv GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Tukey-fence outlier flags over per-user daily activity (users 1 and 2
+    // have genuine spikes in the fixture); quartiles are index-based on the
+    // sorted series in BOTH engines, fences are exact binary arithmetic
+    QueryDef("q_series_outliers",
+      (s, d) => T(s, d, "events")
+        .where_(col("user_id") < 5)
+        .summarize(Seq(col("user_id"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .select(col("user_id"),
+          array_join(transform(SeriesFunctions.seriesOutliers(col("sr")),
+            x => x.cast("string")), ";").as("flags"))
+        .sortBy(col("user_id")),
+      Some("""WITH daily AS (
+             |  SELECT user_id, date_trunc('day', ts) AS dd,
+             |    CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+             |packed AS (
+             |  SELECT user_id, LIST(c ORDER BY dd) AS sr FROM daily GROUP BY 1),
+             |fences AS (
+             |  SELECT user_id, sr,
+             |    list_sort(sr)[GREATEST(1, CAST(CEIL(0.25 * len(sr)) AS INT))] AS q1,
+             |    list_sort(sr)[GREATEST(1, CAST(CEIL(0.75 * len(sr)) AS INT))] AS q3
+             |  FROM packed)
+             |SELECT user_id,
+             |  array_to_string(list_transform(sr, x -> CAST(
+             |    CASE WHEN x > q3 + 1.5 * (q3 - q1) THEN 1
+             |         WHEN x < q1 - 1.5 * (q3 - q1) THEN -1
+             |         ELSE 0 END AS VARCHAR)), ';') AS flags
+             |FROM fences ORDER BY user_id""".stripMargin)),
 
     // --- deterministic keyed dedup (meerkat merge-dedup semantics) ----------
     QueryDef("q_dedup",

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SeriesFunctions._
+import graft.kql.KqlParser
+
+class SeriesFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(Tuple1(Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0)))
+    .toDF("s")
+
+  test("series_stats: extremes, first-index, avg, variance") {
+    val r = df.select(seriesStats($"s").as("st")).select("st.*")
+      .as[(Double, Long, Double, Long, Double, Double, Double)].head()
+    assert(r._1 == 1.0 && r._2 == 1L) // min 1 first at idx 1 (0-based)
+    assert(r._3 == 9.0 && r._4 == 5L)
+    assert(r._5 == 23.0 / 6)
+    // var = (sumsq - sum^2/n)/(n-1); sum=23 sumsq=133
+    assert(math.abs(r._6 - (133.0 - 23.0 * 23.0 / 6) / 5) < 1e-12)
+    assert(math.abs(r._7 - math.sqrt(r._6)) < 1e-12)
+  }
+
+  test("moving sum/avg: trailing windows with partial heads") {
+    val (ms, ma) = df.select(
+        seriesMovingSum($"s", 3).as("ms"), seriesMovingAvg($"s", 3).as("ma"))
+      .as[(Seq[Double], Seq[Double])].head() match { case (a, b) => (a, b) }
+    assert(ms == Seq(3.0, 4.0, 8.0, 6.0, 10.0, 15.0))
+    assert(ma == Seq(3.0, 2.0, 8.0 / 3, 2.0, 10.0 / 3, 5.0))
+  }
+
+  test("series_fir: convolution with literal taps; normalize = moving average") {
+    val got = df.select(seriesFir($"s", Seq(1.0, 1.0, 1.0), normalize = true).as("f"))
+      .as[Seq[Double]].head()
+    // normalized ones-filter ≈ moving SUM / 3 (head windows also divide by 3:
+    // dropped taps contribute zero, unlike seriesMovingAvg's true-size divisor;
+    // tolerance: Σ x·(1/3) accumulates differently than (Σ x)/3)
+    val want = Seq(1.0, 4.0 / 3, 8.0 / 3, 2.0, 10.0 / 3, 5.0)
+    assert(got.size == want.size && got.zip(want).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    val weighted = df.select(seriesFir($"s", Seq(2.0, 0.0)).as("f"))
+      .as[Seq[Double]].head()
+    assert(weighted == Seq(6.0, 2.0, 8.0, 2.0, 10.0, 18.0))
+  }
+
+  test("series_outliers: tukey fence signs") {
+    val flags = Seq(Tuple1(Seq(1.0, 2.0, 2.0, 3.0, 2.0, 2.0, 3.0, 100.0, -50.0)))
+      .toDF("s").select(seriesOutliers($"s").as("o")).as[Seq[Int]].head()
+    assert(flags == Seq(0, 0, 0, 0, 0, 0, 0, 1, -1))
+  }
+
+  test("parser surface: dynamic literal, pack_array, series fns, set ops") {
+    val t = Seq((1, 7.0), (2, 1.0)).toDF("id", "v")
+    val got = KqlParser.parse(
+      """t
+        || extend s = pack_array(v, 2.0, 3.0)
+        || extend ms = series_moving_sum(s, 2),
+        |    st = series_stats_dynamic(s),
+        |    fir = series_fir(s, dynamic([1, 1]), false),
+        |    u = set_union(pack_array(1, 2), dynamic([2, 3]))
+        || project id, ms, avg_ = st.avg, fir, u
+        || sort by id asc""".stripMargin, _ => t)
+      .as[(Int, Seq[Double], Double, Seq[Double], Seq[Long])].collect().toSeq
+    assert(got == Seq(
+      (1, Seq(7.0, 9.0, 5.0), 4.0, Seq(7.0, 9.0, 5.0), Seq(1L, 2L, 3L)),
+      (2, Seq(1.0, 3.0, 5.0), 2.0, Seq(1.0, 3.0, 5.0), Seq(1L, 2L, 3L))))
+  }
+}
