@@ -1235,8 +1235,33 @@ object KqlParser {
         case "todatetime" => args.head.cast("timestamp")
         case "datetime" => args.head.cast("timestamp")
         case "startofday" => date_trunc("day", args.head)
-        case "startofweek" => date_trunc("week", args.head)
+        case "startofweek" =>
+          // KQL weeks start on SUNDAY; Spark's date_trunc('week') is Monday-based
+          date_trunc("day", date_sub(args.head, (dayofweek(args.head) - 1)))
         case "startofmonth" => date_trunc("month", args.head)
+        case "startofyear" => date_trunc("year", args.head)
+        case "endofmonth" =>
+          timestamp_micros(unix_micros(
+            timestamp_add("MONTH", lit(1), date_trunc("month", args.head))) - 1)
+        case "endofyear" =>
+          timestamp_micros(unix_micros(
+            timestamp_add("YEAR", lit(1), date_trunc("year", args.head))) - 1)
+        case "now" => current_timestamp()
+        case "ago" => // ago(5m) — timespan literal arg arrives as whole seconds
+          timestamp_micros(unix_micros(current_timestamp()) -
+            args.head.cast("long") * 1000000L)
+        case "datetime_add" =>
+          val unit = litString(args.head) match {
+            case "year" => "YEAR"; case "quarter" => "QUARTER"
+            case "month" => "MONTH"; case "week" => "WEEK"; case "day" => "DAY"
+            case "hour" => "HOUR"; case "minute" => "MINUTE"; case "second" => "SECOND"
+            case u => throw new IllegalArgumentException(s"unsupported datetime_add unit: $u")
+          }
+          timestamp_add(unit, args(1), args(2))
+        case "format_datetime" =>
+          // KQL .NET-style pattern → JVM pattern (the shared subset is
+          // literal-identical: yyyy MM dd HH mm ss); KQL 'tt' (AM/PM) → 'a'
+          date_format(args.head, litString(args(1)).replace("tt", "a"))
         case "getyear" => year(args.head)
         case "getmonth" => month(args.head)
         case "dayofmonth" => dayofmonth(args.head)
@@ -1249,6 +1274,51 @@ object KqlParser {
         case "strrep" => repeat(args.head, litLong(args(1)).toInt)
         case "reverse" => reverse(args.head)
         case "tohex" => lower(hex(args.head))
+        case "strcmp" =>
+          when(args.head < args(1), -1).when(args.head > args(1), 1).otherwise(0)
+        case "translate" =>
+          // KQL translate(from, to, source); Spark translate(src, from, to)
+          translate(args(2), litString(args.head), litString(args(1)))
+        case "extract_all" =>
+          // KQL extract_all(regex, source) — all matches (of group 1 if the
+          // pattern has a group, else the whole match)
+          val pat = litString(args.head)
+          val grp = if (java.util.regex.Pattern.compile(pat).matcher("").groupCount() > 0) 1 else 0
+          regexp_extract_all(args(1), lit(pat), lit(grp))
+        case "base64_encode_tostring" => base64(args.head.cast("binary"))
+        case "base64_decode_tostring" => unbase64(args.head).cast("string")
+        case "url_encode" | "url_encode_component" =>
+          call_function("url_encode", args.head)
+        case "url_decode" => call_function("url_decode", args.head)
+        case "parse_version" =>
+          // canonical comparable form: up to 4 dot-parts, each scaled 1e8
+          val parts = split(args.head, "\\.")
+          aggregate(sequence(lit(0), lit(3)), lit(0).cast("decimal(38,0)"),
+            (acc, i) => acc * 100000000L +
+              coalesce(try_element_at(parts, i + 1).cast("decimal(38,0)"), lit(0)))
+        case "hash" => // engine-portable content hash (md5-based 60-bit; the
+          // same portable trick as Dedup.contentHash — NOT xxhash64, whose
+          // values are engine-specific)
+          val h = conv(substring(md5(args.head.cast("string")), 1, 15), 16, 10).cast("long")
+          if (args.length > 1) pmod(h, args(1)) else h
+        case "binary_and" => args.head.bitwiseAND(args(1))
+        case "binary_or" => args.head.bitwiseOR(args(1))
+        case "binary_xor" => args.head.bitwiseXOR(args(1))
+        case "binary_shift_left" => shiftleft(args.head, litLong(args(1)).toInt)
+        case "binary_shift_right" => shiftright(args.head, litLong(args(1)).toInt)
+        case "binary_not" => bitwise_not(args.head)
+        case "gettype" => typeof(args.head)
+        case "isfinite" => !isnan(args.head) && args.head =!= Double.PositiveInfinity &&
+          args.head =!= Double.NegativeInfinity
+        case "isinf" => args.head === Double.PositiveInfinity ||
+          args.head === Double.NegativeInfinity
+        case "pi" => lit(math.Pi)
+        case "sin" => sin(args.head)
+        case "cos" => cos(args.head)
+        case "tan" => tan(args.head)
+        case "atan2" => atan2(args.head, args(1))
+        case "degrees" => degrees(args.head)
+        case "radians" => radians(args.head)
         // scalar comparison / conditional
         case "max_of" => greatest(args: _*)
         case "min_of" => least(args: _*)
@@ -1313,6 +1383,23 @@ object KqlParser {
         case "set_intersect" => array_sort(args.reduceLeft(array_intersect))
         case "set_difference" => array_sort(args.reduceLeft(array_except))
         case "zip" => arrays_zip(args: _*)
+        case "array_reverse" => reverse(args.head)
+        case "array_sort_asc" => array_sort(args.head)
+        case "array_sort_desc" => reverse(array_sort(args.head))
+        case "array_rotate_left" =>
+          val k = args(1).cast("int") % size(args.head)
+          concat(slice(args.head, k + 1, size(args.head) - k),
+            slice(args.head, lit(1), k))
+        case "array_rotate_right" =>
+          val k = args(1).cast("int") % size(args.head)
+          concat(slice(args.head, size(args.head) - k + 1, k),
+            slice(args.head, lit(1), size(args.head) - k))
+        case "bag_pack" =>
+          // bag_pack(k1, v1, k2, v2, ...) → dynamic property bag (map)
+          map(args: _*)
+        case "bag_keys" => array_sort(map_keys(args.head))
+        case "strcat_array" =>
+          array_join(transform(args.head, _.cast("string")), litString(args(1)))
         // series functions (series_fir parses separately: literal filter taps)
         case "series_stats_dynamic" => SeriesFunctions.seriesStats(args.head)
         case "series_moving_avg" =>

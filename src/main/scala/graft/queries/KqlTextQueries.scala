@@ -346,6 +346,51 @@ object KqlTextQueries {
              |  lower(to_hex(event_id)) AS hx
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
+    // round-6 scalar surface: datetime add/boundaries, .NET-style formatting,
+    // string codecs, portable hash, bitwise ops, version parsing, array rotate
+    QueryDef("q_kql_scalar_misc3",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || project event_id, ts
+          || extend som = startofmonth(ts), eom = endofmonth(ts),
+          |    da = datetime_add('day', 3, ts),
+          |    fd = format_datetime(ts, 'yyyy-MM-dd HH:mm:ss'),
+          |    sc = strcmp(tostring(event_id % 3), '1'),
+          |    tr = translate('0123456789', 'abcdefghij', tostring(event_id)),
+          |    b64 = base64_encode_tostring(tostring(event_id % 100)),
+          |    rt = base64_decode_tostring(base64_encode_tostring(tostring(event_id % 100))),
+          |    pv = tostring(parse_version(strcat(tostring(event_id % 7), '.2.1'))),
+          |    h = hash(tostring(event_id), 64),
+          |    ba = binary_and(event_id, 255), bx = binary_xor(event_id, 129),
+          |    bsl = binary_shift_left(event_id % 16, 2),
+          |    rot = strcat_array(array_rotate_left(pack_array(1, 2, 3, event_id % 5), 1), ';')
+          || extend ea = strcat_array(extract_all('([a-z]+)', tr), '|')
+          || project-away ts
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  date_trunc('month', ts) AS som,
+             |  date_trunc('month', ts) + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND AS eom,
+             |  ts + INTERVAL 3 DAY AS da,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS fd,
+             |  CASE WHEN CAST(event_id % 3 AS VARCHAR) < '1' THEN -1
+             |       WHEN CAST(event_id % 3 AS VARCHAR) > '1' THEN 1 ELSE 0 END AS sc,
+             |  translate(CAST(event_id AS VARCHAR), '0123456789', 'abcdefghij') AS tr,
+             |  base64(encode(CAST(event_id % 100 AS VARCHAR))) AS b64,
+             |  CAST(event_id % 100 AS VARCHAR) AS rt,
+             |  CAST(CAST(event_id % 7 AS HUGEINT) * 1000000000000000000000000
+             |    + 20000000000000000 + 100000000 AS VARCHAR) AS pv,
+             |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS h,
+             |  event_id & 255 AS ba,
+             |  xor(event_id, 129) AS bx,
+             |  (event_id % 16) << 2 AS bsl,
+             |  CAST(2 AS VARCHAR) || ';' || CAST(3 AS VARCHAR) || ';'
+             |    || CAST(event_id % 5 AS VARCHAR) || ';' || CAST(1 AS VARCHAR) AS rot,
+             |  array_to_string(regexp_extract_all(
+             |    translate(CAST(event_id AS VARCHAR), '0123456789', 'abcdefghij'),
+             |    '([a-z]+)', 1), '|') AS ea
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
     QueryDef("q_kql_parse_kv",
       (s, d) => run(s, d,
         """events

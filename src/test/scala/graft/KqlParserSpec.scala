@@ -397,4 +397,44 @@ class KqlParserSpec extends SparkSpec {
     val ids = run("t | sort by v | project id").as[Long].collect().toSeq
     assert(ids == Seq(4L, 3L, 2L, 1L, 5L))
   }
+
+  test("round-6 scalar surface: arrays, bags, bitwise, datetime boundaries") {
+    val r = run(
+      """t
+        || where id == 1
+        || extend a = pack_array(3, 1, 2)
+        || extend sl = strcat_array(array_slice(a, 1, 2), ';'),
+        |    ix = array_index_of(a, 2),
+        |    rr = strcat_array(array_rotate_right(a, 1), ';'),
+        |    sd = strcat_array(array_sort_desc(a), ';'),
+        |    bg = tostring(bag_pack('k', 7)['k']),
+        |    bn = binary_not(0),
+        |    fin = isfinite(1.0), inf = isinf(pow(10.0, 400)),
+        |    sow = startofweek(datetime('2024-01-10')),
+        |    eoy = getyear(endofyear(datetime('2024-03-05'))),
+        |    ue = url_encode('a b&c'), gt = gettype(id)
+        || extend ud = url_decode(ue)
+        || project sl, ix, rr, sd, bg, bn, fin, inf, sow, eoy, ue, ud, gt""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "1;2")
+    assert(r.getLong(1) == 2L)
+    assert(r.getString(2) == "2;3;1")
+    assert(r.getString(3) == "3;2;1")
+    assert(r.getString(4) == "7")
+    assert(r.getLong(5) == -1L) // ~0; int literal lexes as long
+    assert(r.getBoolean(6) && r.getBoolean(7))
+    // 2024-01-10 is a Wednesday → KQL week starts Sunday 2024-01-07
+    assert(r.getTimestamp(8).toString.startsWith("2024-01-07"))
+    assert(r.getInt(9) == 2024)
+    assert(r.getString(10) == "a+b%26c" || r.getString(10) == "a%20b%26c")
+    assert(r.getString(11) == "a b&c")
+    assert(r.getString(12) == "bigint")
+  }
+
+  test("now/ago are current and ordered") {
+    val r = run("t | take 1 | extend n = now(), a = ago(5m) | project n, a")
+      .collect().head
+    assert(r.getTimestamp(0).after(r.getTimestamp(1)))
+    assert(math.abs(r.getTimestamp(0).getTime - System.currentTimeMillis()) < 60000)
+  }
 }
