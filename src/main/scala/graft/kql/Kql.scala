@@ -170,9 +170,11 @@ object Kql {
       * TakeOrdered over aggregated keys, not a sort of the data; deeper levels
       * use a window partitioned by the prefix. Selected-prefix sets are top-n
       * bounded (≤ Π n_i rows) and broadcast. */
-    def topNestedMulti(levels: Seq[(Int, String, Column, String)]): DataFrame = {
+    def topNestedMulti(levels: Seq[(Int, String, Column, String)],
+                       othersLabel: Option[String] = None): DataFrame = {
       require(levels.nonEmpty, "top-nested needs at least one level")
       var selected: DataFrame = null
+      val last = levels.size - 1
       levels.zipWithIndex.foreach { case ((n, key, agg, aggName), i) =>
         val prefix = levels.take(i).map(_._2)
         val base =
@@ -180,7 +182,7 @@ object Kql {
           else df.join(broadcast(selected.select(prefix.map(col): _*).distinct()),
             prefix, "left_semi")
         val grouped = base.groupBy((prefix :+ key).map(col): _*).agg(agg.as(aggName))
-        val topped =
+        var topped =
           if (i == 0) grouped.orderBy(col(aggName).desc, col(key)).limit(n)
           else {
             val w = Window.partitionBy(prefix.map(col): _*)
@@ -188,6 +190,20 @@ object Kql {
             grouped.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") <= n).drop("__rn")
           }
+        // `with others = label` (final level): one extra row per surviving
+        // prefix aggregating the RAW rows outside the top keys — exact for any
+        // aggregate (no re-aggregation of partial results). The anti-join's
+        // right side is the top-n-bounded key set, always broadcastable.
+        if (i == last && othersLabel.isDefined) {
+          val keyCols = (prefix :+ key).map(col)
+          val others = base
+            .join(broadcast(topped.select(keyCols: _*)), prefix :+ key, "left_anti")
+            .groupBy(prefix.map(col): _*).agg(agg.as(aggName))
+            .withColumn(key, lit(othersLabel.get))
+          topped = topped.withColumn(key, col(key).cast("string"))
+            .unionByName(others.select(topped.columns.map(col).toIndexedSeq: _*)
+              .withColumn(key, col(key).cast("string")))
+        }
         selected =
           if (selected == null) topped
           else topped.join(broadcast(selected), prefix, "inner")
@@ -198,6 +214,15 @@ object Kql {
     /** `mv-expand c` — explode an array column into one row per element. */
     def mvExpand(arrayCol: Column, as: String): DataFrame =
       df.withColumn(as, explode(arrayCol))
+
+    /** `mv-expand with_itemindex=idx c` — explode with the element's 0-based
+      * position (posexplode; same Generator machinery, still codegen-adjacent).
+      * Like mv-expand of a bare column, the expanded name REPLACES an existing
+      * column of that name. */
+    def mvExpandIndexed(arrayCol: Column, as: String, idx: String): DataFrame = {
+      val keep = df.columns.filterNot(_ == as).map(col).toIndexedSeq
+      df.select(keep :+ posexplode(arrayCol).as(Seq(idx, as)): _*)
+    }
 
     /** `mv-expand with_itemindex=pos c` — explode with the element's position, the
       * building block for `mv-apply` (per-element subquery, then regroup on the

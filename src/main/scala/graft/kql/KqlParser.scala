@@ -643,11 +643,19 @@ object KqlParser {
         else df.distinctOf(parseProjList(): _*)
       case "count" => df.summarize(Nil, count(lit(1)).as("Count"))
       case "mv-expand" =>
-        // forms: `mv-expand c` | `mv-expand name = expr` | `mv-expand expr`
+        // forms: `mv-expand [with_itemindex=idx] c` | `name = expr` | `expr`
+        val itemIdx: Option[String] =
+          if (atIdent("with_itemindex")) {
+            pos += 1; eatPunct("="); Some(ident())
+          } else None
+        def expand(e: Column, n: String): DataFrame = itemIdx match {
+          case Some(ix) => df.mvExpandIndexed(e, n, ix)
+          case None => df.mvExpand(e, n)
+        }
         if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
           toks(pos + 1) == Punct("=") && toks.lift(pos + 2) != Some(Punct("="))) {
           val n = ident(); eatPunct("=")
-          df.mvExpand(parseExpr(), n)
+          expand(parseExpr(), n)
         } else {
           val mark = pos
           val e = parseExpr()
@@ -655,7 +663,7 @@ object KqlParser {
             case Ident(n) if pos == mark + 1 => n // bare column keeps its name
             case _ => "value" // KQL names un-aliased expansion results `value`
           }
-          df.mvExpand(e, name)
+          expand(e, name)
         }
       case "mv-apply" =>
         // `mv-apply elem = arrayCol on (op | op | ...)` — explode the array, run the
@@ -858,8 +866,11 @@ object KqlParser {
         df.makeSeries(keys, col(tsName), stepSecs, aggs.result(), fills.result())
           .projectRename(tsName -> "__bin")
       case "top-nested" =>
-        // `top-nested N1 of k1 by [name =] agg1, top-nested N2 of k2 by agg2, ...`
+        // `top-nested N1 of k1 by [name =] agg1, top-nested N2 of k2 by agg2, ...
+        //  [with others = 'label']` — others supported on the FINAL level: one
+        // extra row per surviving prefix aggregating the non-top keys
         val levels = Seq.newBuilder[(Int, String, Column, String)]
+        var others: Option[String] = None
         def oneLevel(): Unit = {
           val n = parseInt()
           eatIdent("of")
@@ -871,10 +882,17 @@ object KqlParser {
               val an = ident(); eatPunct("="); (parseAgg(ident()), an)
             } else { val f = ident(); (parseAgg(f), s"aggregated_$key") }
           levels += ((n, key, agg, aggName))
+          if (atIdent("with")) {
+            pos += 1; eatIdent("others"); eatPunct("=")
+            others = Some(strLitS())
+          }
         }
         oneLevel()
-        while (atPunct(",")) { pos += 1; eatIdent("top-nested"); oneLevel() }
-        df.topNestedMulti(levels.result())
+        while (atPunct(",")) {
+          require(others.isEmpty, "`with others` is supported on the final top-nested level only")
+          pos += 1; eatIdent("top-nested"); oneLevel()
+        }
+        df.topNestedMulti(levels.result(), others)
       case other => throw new IllegalArgumentException(s"unsupported KQL operator: $other")
     }
 

@@ -346,6 +346,45 @@ object KqlTextQueries {
              |  lower(to_hex(event_id)) AS hx
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
+    // mv-expand with the element's 0-based index (posexplode)
+    QueryDef("q_kql_mvexpand_idx",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 1000 == 0
+          || project event_id
+          || extend a = pack_array(tostring(event_id % 3), 'x', 'y')
+          || mv-expand with_itemindex=i a
+          || project event_id, i, a
+          || sort by event_id asc, i asc""".stripMargin),
+      Some("""SELECT event_id, i,
+             |  CASE i WHEN 0 THEN CAST(event_id % 3 AS VARCHAR)
+             |         WHEN 1 THEN 'x' ELSE 'y' END AS a
+             |FROM events, (VALUES (0), (1), (2)) t(i)
+             |WHERE event_id % 1000 = 0 ORDER BY event_id, i""".stripMargin)),
+
+    // top-nested with an 'others' bucket: top 3 types + one row aggregating
+    // the rest over the RAW rows (exact for any aggregate)
+    QueryDef("q_kql_top_nested_others",
+      (s, d) => run(s, d,
+        """events
+          || top-nested 3 of event_type by s = sum(tolong(floor(value))) with others = 'Other'
+          || sort by s desc, event_type asc""".stripMargin),
+      Some("""WITH agged AS (
+             |  SELECT event_type, CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS s
+             |  FROM events GROUP BY 1),
+             |ranked AS (
+             |  SELECT event_type, s,
+             |    ROW_NUMBER() OVER (ORDER BY s DESC, event_type) AS rn
+             |  FROM agged),
+             |top3 AS (SELECT event_type, s FROM ranked WHERE rn <= 3),
+             |rest AS (
+             |  SELECT 'Other' AS event_type,
+             |    CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS s
+             |  FROM events WHERE event_type NOT IN (SELECT event_type FROM top3))
+             |SELECT event_type, s FROM top3
+             |UNION ALL SELECT event_type, s FROM rest
+             |ORDER BY s DESC, event_type""".stripMargin)),
+
     // round-6 scalar surface: datetime add/boundaries, .NET-style formatting,
     // string codecs, portable hash, bitwise ops, version parsing, array rotate
     QueryDef("q_kql_scalar_misc3",

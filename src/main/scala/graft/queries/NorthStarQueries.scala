@@ -552,6 +552,61 @@ object NorthStarQueries {
              |WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)
              |ORDER BY user_id, start_us""".stripMargin)),
 
+    // --- streaming sliding windows in CORRECTNESS: 6h windows sliding every
+    // 3h → each event lands in exactly two windows; the oracle generates the
+    // same two shifted tumbling bins per event. --------------------------------
+    QueryDef("q_streaming_sliding",
+      (s, d) => {
+        val in = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+        val agg = graft.streaming.StreamingIngest
+          .slidingCounts(in, "ts", "event_type", "6 hours", "3 hours")
+          .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_streaming_sliding_sink", agg)
+          .sortBy(col("ws"), col("event_type"))
+      },
+      Some("""WITH w AS (
+             |  SELECT event_type, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST(epoch_us(ts)//1000000//10800*10800 AS BIGINT)) SECOND AS ws
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST(epoch_us(ts)//1000000//10800*10800 - 10800 AS BIGINT)) SECOND
+             |  FROM events)
+             |SELECT ws, event_type, COUNT(*) AS n FROM w
+             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // --- streaming session windows in CORRECTNESS: Spark's built-in
+    // session_window (30m inactivity gap) per user over the bounded replay;
+    // complete-mode sink flushes every session including each user's trailing
+    // one, so the oracle is plain batch gap-sessionization (end = last + gap).
+    QueryDef("q_streaming_session_win",
+      (s, d) => {
+        val in = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("user_id") < 30)
+        val agg = graft.streaming.StreamingIngest
+          .sessionCounts(in, "ts", "user_id", "30 minutes")
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n"))
+        graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_streaming_session_win_sink", agg)
+          .sortBy(col("user_id"), col("start_us"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t
+             |    FROM events WHERE user_id < 30),
+             |m AS (SELECT user_id, t,
+             |    CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+             |s AS (SELECT user_id, t, SUM(nw) OVER (
+             |    PARTITION BY user_id ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+             |SELECT user_id, MIN(t) AS start_us, MAX(t) + 1800000000 AS end_us,
+             |  COUNT(*) AS n
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
     // --- multimodal REAL decode in CORRECTNESS: the fixture encodes genuine
     // PNG / WAV / GVF0-video payloads whose pixel/sample content is closed-form
     // arithmetic in (id, index); the engine decodes them back (zlib inflate +
