@@ -765,10 +765,32 @@ object KqlParser {
         }
       case "join" =>
         var kind = "innerunique" // the KQL default
-        if (atIdent("kind")) { pos += 1; eatPunct("="); kind = ident() }
+        var strategy = ""
+        var done = false
+        while (!done) {
+          if (atIdent("kind")) { pos += 1; eatPunct("="); kind = ident() }
+          else if (atIdent("hint")) {
+            // hint.strategy=broadcast|shuffle — physical hints, semantics
+            // unchanged. broadcast marks the RIGHT side (the KQL idiom: small
+            // side piped in); shuffle adds an explicit repartition on the keys
+            // (Kusto's hint.shufflekey analogue). Unknown hints are ignored.
+            pos += 1; eatPunct(".")
+            ident() match {
+              case "strategy" => eatPunct("="); strategy = ident()
+              case _ => eatPunct("="); val _ = next()
+            }
+          } else done = true
+        }
         val right = parseSubQuery()
         eatIdent("on")
-        df.joinKql(right, parseIdentList(), kind)
+        val keys = parseIdentList()
+        strategy match {
+          case "broadcast" => df.joinKql(broadcast(right), keys, kind)
+          case "shuffle" =>
+            df.repartition(keys.map(col): _*)
+              .joinKql(right.repartition(keys.map(col): _*), keys, kind)
+          case _ => df.joinKql(right, keys, kind)
+        }
       case "lookup" =>
         val dim = parseSubQuery()
         eatIdent("on")
@@ -1003,6 +1025,10 @@ object KqlParser {
         case "arg_max" => max_by(args(1), args.head)
         case "arg_min" => min_by(args(1), args.head)
         case "take_any" => first(args.head)
+        case "binary_all_and" => bit_and(args.head)
+        case "binary_all_or" => bit_or(args.head)
+        case "binary_all_xor" => bit_xor(args.head)
+        case "count_distinctif" => countDistinct(when(args(1), args.head))
         case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
       }
     }

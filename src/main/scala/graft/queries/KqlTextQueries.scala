@@ -346,6 +346,37 @@ object KqlTextQueries {
              |  lower(to_hex(event_id)) AS hx
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
+    // join physical hints: broadcast the piped-in (small, pre-aggregated)
+    // side — semantics identical to the unhinted join
+    QueryDef("q_kql_join_hints",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 50
+          || join hint.strategy=broadcast kind=inner (
+          |    events | summarize mx = max(value) by event_type) on event_type
+          || summarize n = count(), m = max(mx) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT e.event_type, COUNT(*) AS n, MAX(a.mx) AS m
+             |FROM (SELECT * FROM events WHERE user_id < 50) e
+             |JOIN (SELECT event_type, MAX(value) AS mx FROM events GROUP BY 1) a
+             |  ON e.event_type = a.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // bitwise aggregates + conditional distinct count
+    QueryDef("q_kql_agg_binary",
+      (s, d) => run(s, d,
+        """events
+          || extend b = binary_and(event_id, 1023)
+          || summarize ba = binary_all_and(b), bo = binary_all_or(b),
+          |    bx = binary_all_xor(b),
+          |    dc = count_distinctif(event_type, value > 250) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type,
+             |  bit_and(event_id & 1023) AS ba, bit_or(event_id & 1023) AS bo,
+             |  bit_xor(event_id & 1023) AS bx,
+             |  COUNT(DISTINCT CASE WHEN value > 250 THEN event_type END) AS dc
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // mv-expand with the element's 0-based index (posexplode)
     QueryDef("q_kql_mvexpand_idx",
       (s, d) => run(s, d,

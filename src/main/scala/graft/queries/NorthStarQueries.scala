@@ -25,6 +25,10 @@ object NorthStarQueries {
     * (session, sfDir) — probes are the measured path, the build is amortized
     * cold-start exactly like a real index. */
   private val ftxCache = scala.collection.concurrent.TrieMap[String, String]()
+  private val streamSinkCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Read a written-table directory (vs T(), which reads fixture tables). */
+  private def T2(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
   private def fulltextIdx(s: SparkSession, d: String): String =
     ftxCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
       val path = s"/tmp/graft_ftx/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
@@ -606,6 +610,36 @@ object NorthStarQueries {
              |SELECT user_id, MIN(t) AS start_us, MAX(t) + 1800000000 AS end_us,
              |  COUNT(*) AS n
              |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
+    // --- streaming time-partitioned parquet sink in CORRECTNESS: the bounded
+    // stream is written through the real file sink (exactly-once, day-bucket
+    // partitioned — the streaming segment-write path), then the written table
+    // is read back and aggregated. Write-once per (session, sfDir).
+    QueryDef("q_streaming_sink",
+      (s, d) => {
+        val root = streamSinkCache.getOrElseUpdate(
+          s"${System.identityHashCode(s)}:$d", {
+            val base = s"/tmp/graft_stream_sink/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+            val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(base), true)
+            val in = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+              .where(col("user_id") < 20)
+              .select(col("ts"), col("event_id"), col("event_type"))
+            val q = graft.streaming.StreamingIngest
+              .writeTimePartitioned(in, s"$base/data", s"$base/chk", "ts")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            s"$base/data"
+          })
+        T2(s, root)
+          .summarize(Seq(col("ts_bucket").cast("string").as("ts_bucket")),
+            count(lit(1)).as("n"))
+          .sortBy(col("ts_bucket"))
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS ts_bucket, COUNT(*) AS n
+             |FROM events WHERE user_id < 20
+             |GROUP BY 1 ORDER BY ts_bucket""".stripMargin)),
 
     // --- multimodal REAL decode in CORRECTNESS: the fixture encodes genuine
     // PNG / WAV / GVF0-video payloads whose pixel/sample content is closed-form

@@ -431,6 +431,39 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getString(12) == "bigint")
   }
 
+  test("join hint.strategy=broadcast plans a broadcast join") {
+    val df = run(
+      """t
+        || join hint.strategy=broadcast kind=inner (
+        |    t | summarize mx = max(v) by user) on user""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join:\n$plan")
+  }
+
+  test("mv-expand with_itemindex replaces the column and numbers elements") {
+    val rows = run(
+      """t
+        || where id == 1
+        || extend a = pack_array('p', 'q')
+        || mv-expand with_itemindex=i a
+        || project i, a""".stripMargin)
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((0, "p"), (1, "q")))
+  }
+
+  test("top-nested with others buckets the non-top keys exactly") {
+    val rows = run(
+      "t | top-nested 1 of user by s = sum(v) with others = 'REST'")
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    // carol: 99; others = alice (10+50) + bob (25.5+7.25) = 92.75
+    assert(rows == Seq(("REST", 92.75), ("carol", 99.0)))
+    // restriction: others on a non-final level is rejected
+    assertThrows[IllegalArgumentException](run(
+      """t | top-nested 1 of user by sum(v) with others = 'X',
+        |  top-nested 1 of etype by sum(v)""".stripMargin))
+  }
+
   test("now/ago are current and ordered") {
     val r = run("t | take 1 | extend n = now(), a = ago(5m) | project n, a")
       .collect().head
