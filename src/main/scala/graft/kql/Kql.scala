@@ -106,6 +106,34 @@ object Kql {
       case other_ => throw new IllegalArgumentException(s"unknown join kind: $other_")
     }
 
+    /** KQL `join ... on $left.a == $right.b` — equi-join on differently-named
+      * keys. Still a key-equality condition, so Catalyst plans the same
+      * hash/sort-merge/broadcast physicals as the name-based form. For kinds
+      * that output both sides, colliding right column names get a `1` suffix
+      * (Kusto's duplicate-name rule); semi/anti kinds output one side and
+      * need no renaming. */
+    def joinKqlOn(other: DataFrame, pairs: Seq[(String, String)],
+                  kind: String): DataFrame = {
+      def cond(r: DataFrame, rename: String => String) =
+        pairs.map { case (l, r0) => df(l) === r(rename(r0)) }.reduce(_ && _)
+      val collisions = other.columns.filter(df.columns.contains).toSet
+      def renamed = collisions.foldLeft(other)((d, c) => d.withColumnRenamed(c, c + "1"))
+      def rn(c: String) = if (collisions.contains(c)) c + "1" else c
+      kind match {
+        case "inner"      => df.join(renamed, cond(renamed, rn), "inner")
+        case "leftouter"  => df.join(renamed, cond(renamed, rn), "left_outer")
+        case "rightouter" => df.join(renamed, cond(renamed, rn), "right_outer")
+        case "fullouter"  => df.join(renamed, cond(renamed, rn), "full_outer")
+        case "leftsemi"   => df.join(other, cond(other, identity), "left_semi")
+        case "leftanti"   => df.join(other, cond(other, identity), "left_anti")
+        case "rightsemi"  => other.join(df, cond(other, identity), "left_semi")
+        case "rightanti"  => other.join(df, cond(other, identity), "left_anti")
+        case "innerunique" =>
+          df.dropDuplicates(pairs.map(_._1)).join(renamed, cond(renamed, rn), "inner")
+        case other_ => throw new IllegalArgumentException(s"unknown join kind: $other_")
+      }
+    }
+
     /** `T | lookup D on key` — dimension enrichment. The dimension side is broadcast
       * explicitly: at 100 TB the fact table must never shuffle for a lookup. */
     def lookup(dim: DataFrame, keys: Seq[String]): DataFrame =

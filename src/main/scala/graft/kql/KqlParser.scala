@@ -783,13 +783,28 @@ object KqlParser {
         }
         val right = parseSubQuery()
         eatIdent("on")
-        val keys = parseIdentList()
-        strategy match {
-          case "broadcast" => df.joinKql(broadcast(right), keys, kind)
+        // `on k1, k2` (shared names) and/or `$left.a == $right.b` terms
+        val keys = Seq.newBuilder[String]
+        val pairs = Seq.newBuilder[(String, String)]
+        def onTerm(): Unit =
+          if (atIdent("$left")) {
+            pos += 1; eatPunct(".")
+            val l = ident()
+            eatPunct("==")
+            eatIdent("$right"); eatPunct(".")
+            pairs += l -> ident()
+          } else keys += ident()
+        onTerm()
+        while (atPunct(",")) { pos += 1; onTerm() }
+        val allPairs = keys.result().map(k => k -> k) ++ pairs.result()
+        val thetaForm = pairs.result().nonEmpty
+        val r2 = if (strategy == "broadcast") broadcast(right) else right
+        if (thetaForm) df.joinKqlOn(r2, allPairs, kind)
+        else strategy match {
           case "shuffle" =>
-            df.repartition(keys.map(col): _*)
-              .joinKql(right.repartition(keys.map(col): _*), keys, kind)
-          case _ => df.joinKql(right, keys, kind)
+            df.repartition(keys.result().map(col): _*)
+              .joinKql(right.repartition(keys.result().map(col): _*), keys.result(), kind)
+          case _ => df.joinKql(r2, keys.result(), kind)
         }
       case "lookup" =>
         val dim = parseSubQuery()
@@ -1195,6 +1210,14 @@ object KqlParser {
         val secs = timespanSeconds(ts)
         litCol(secs, lit(secs))
       case Ident("bin") if atPunct("(") => parseBin()
+      case Ident("toscalar") if atPunct("(") =>
+        // toscalar(T | ...): first column of the first row as a literal —
+        // a bounded driver-side collect of exactly ONE value (like Kusto,
+        // which materializes the subquery result at plan time)
+        val sub = parseSubQuery()
+        val row = sub.limit(1).collect()
+        val v: Any = if (row.isEmpty || row.head.isNullAt(0)) null else row.head.get(0)
+        litCol(v, lit(v))
       case Ident("dynamic") if atPunct("(") => parseDynamic()
       case Ident("series_fir") if atPunct("(") => parseSeriesFir()
       case Ident(f) if atPunct("(") => parseScalarCall(f)

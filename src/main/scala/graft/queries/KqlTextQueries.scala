@@ -346,6 +346,31 @@ object KqlTextQueries {
              |  lower(to_hex(event_id)) AS hx
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
+    // theta-form join keys: $left.a == $right.b (differently-named equi-keys)
+    QueryDef("q_kql_join_theta",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 30
+          || project user_id, value
+          || join kind=inner (nation | project n_nationkey, n_name)
+          |    on $left.user_id == $right.n_nationkey
+          || summarize n = count(), mn = min(n_name) by user_id
+          || sort by user_id asc""".stripMargin),
+      Some("""SELECT e.user_id, COUNT(*) AS n, MIN(nt.n_name) AS mn
+             |FROM events e JOIN nation nt ON e.user_id = nt.n_nationkey
+             |WHERE e.user_id < 30
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
+    // toscalar(): plan-time scalar subquery (bounded one-value collect)
+    QueryDef("q_kql_toscalar",
+      (s, d) => run(s, d,
+        """let hi = toscalar(events | summarize max(value));
+          |events
+          || where value > hi * 0.999
+          || summarize n = count(), m = max(value)""".stripMargin),
+      Some("""SELECT COUNT(*) AS n, MAX(value) AS m FROM events
+             |WHERE value > (SELECT MAX(value) FROM events) * 0.999""".stripMargin)),
+
     // join physical hints: broadcast the piped-in (small, pre-aggregated)
     // side — semantics identical to the unhinted join
     QueryDef("q_kql_join_hints",

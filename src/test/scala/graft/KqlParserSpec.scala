@@ -464,6 +464,23 @@ class KqlParserSpec extends SparkSpec {
         |  top-nested 1 of etype by sum(v)""".stripMargin))
   }
 
+  test("theta-form join: differently-named keys, collision rename, semi kinds") {
+    val dim = Seq(("alice", 1), ("bob", 2)).toDF("name", "v")
+    dim.createOrReplaceTempView("__theta_dim")
+    def run2(kql: String): DataFrame =
+      KqlParser.parse(kql, n => if (n == "dim") dim else t)
+    // inner with a colliding right column name (v → v1)
+    val inner = run2(
+      "t | join kind=inner (dim) on $left.user == $right.name | project user, v, v1")
+    assert(inner.columns.toSeq == Seq("user", "v", "v1"))
+    assert(inner.count() == 4) // alice×2 + bob×2
+    // rightanti keeps right rows with no left match — none here; rightsemi both
+    assert(run2("t | join kind=rightanti (dim) on $left.user == $right.name").count() == 0)
+    val semi = run2("t | join kind=rightsemi (dim) on $left.user == $right.name")
+    assert(semi.columns.toSeq == Seq("name", "v"))
+    assert(semi.count() == 2)
+  }
+
   test("now/ago are current and ordered") {
     val r = run("t | take 1 | extend n = now(), a = ago(5m) | project n, a")
       .collect().head

@@ -94,6 +94,40 @@ class ScanSpec extends SparkSpec {
       (2L, 2, 3L), (2L, 3, 4L), (2L, 5, 4L), (2L, 6, 4L)))
   }
 
+  test("randomized: distributed scans equal the in-memory reference machine") {
+    // reference fold: same advance > restart > pass semantics, sequential
+    def reference(rows: Seq[(Long, Int, String)], k: Int)
+    : Seq[(Long, Int, Int, Long)] = {
+      val stepOf = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+      rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        var st = 0
+        var seq = 0L
+        rs.sortBy(_._2).flatMap { case (_, t, e) =>
+          val m = stepOf.get(e)
+          val adv = m.contains(st) && st < k
+          if (adv || m.contains(0)) {
+            val emitted = if (adv && st > 0) st + 1 else { seq += 1; 1 }
+            st = if (emitted == k) 0 else emitted
+            Some((u, t, emitted, seq))
+          } else { None }
+        }
+      }
+    }
+    val rnd = new scala.util.Random(1234)
+    val kinds = Vector("view", "click", "purchase", "error", "signup")
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 400).map { i =>
+        (rnd.nextInt(7).toLong, i, kinds(rnd.nextInt(kinds.size)))
+      }
+      val df = rows.toDF("user", "t", "etype").repartition(5)
+      val got = Scan.scanSequence(df, Seq("user"), Seq(col("t")), steps)
+        .select("user", "t", "match_step", "match_seq")
+        .as[(Long, Int, Int, Long)].collect().sorted.toSeq
+      val want = reference(rows, 3).sorted
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
+
   test("single-step scan marks every matching row as its own completed match") {
     val got = Scan.scanSequence(events, Seq("user"), Seq(col("t")),
         Seq("v" -> (col("etype") === "view")), completedOnly = true)
