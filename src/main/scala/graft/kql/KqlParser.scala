@@ -262,6 +262,7 @@ object KqlParser {
         var df =
           if (atIdent("print")) { pos += 1; sourceName = "print"; parsePrint() }
           else if (atIdent("datatable")) { pos += 1; sourceName = "datatable"; parseDatatable() }
+          else if (atIdent("externaldata")) { pos += 1; sourceName = "externaldata"; parseExternalData() }
           else if (atIdent("range") && pos + 1 < toks.length &&
             toks(pos + 1).isInstanceOf[Ident] && toks.lift(pos + 2).contains(Ident("from"))) {
             pos += 1; parseRangeSource()
@@ -291,6 +292,45 @@ object KqlParser {
       require(st > 0, s"range step must be positive, got $st")
       rangeTable(org.apache.spark.sql.SparkSession.active, lo, hi + 1, st)
         .withColumnRenamed("value", name)
+    }
+
+    /** `externaldata (c1:type, ...) ['path'] with (format='csv'|'json'|'parquet'
+      * [, ignoreFirstRecord=true])` — external file source with an explicit
+      * schema. Local/mounted paths only (no egress in this environment; on a
+      * cluster the same API takes any Hadoop-visible URI). */
+    private def parseExternalData(): DataFrame = {
+      eatPunct("(")
+      val schema = Seq.newBuilder[(String, String)]
+      def oneCol(): Unit = { val n = ident(); eatPunct(":"); schema += n -> kqlType(ident()) }
+      oneCol()
+      while (atPunct(",")) { pos += 1; oneCol() }
+      eatPunct(")")
+      eatPunct("[")
+      val path = strLitS()
+      eatPunct("]")
+      var format = "csv"
+      var header = false
+      if (atIdent("with")) {
+        pos += 1; eatPunct("(")
+        def opt(): Unit = ident() match {
+          case "format" => eatPunct("="); format = strLitS()
+          case "ignoreFirstRecord" => eatPunct("=")
+            header = next() == Ident("true")
+          case _ => eatPunct("="); val _ = next()
+        }
+        opt()
+        while (atPunct(",")) { pos += 1; opt() }
+        eatPunct(")")
+      }
+      val ddl = schema.result().map { case (n, t) => s"`$n` $t" }.mkString(", ")
+      val reader = org.apache.spark.sql.SparkSession.active.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      format match {
+        case "csv" => reader.option("header", header).csv(path)
+        case "json" | "multijson" => reader.json(path)
+        case "parquet" => reader.parquet(path)
+        case other => throw new IllegalArgumentException(s"unsupported externaldata format: $other")
+      }
     }
 
     /** `print name = expr, ...` — single-row expression evaluation. */
@@ -560,6 +600,11 @@ object KqlParser {
         withRowFns(df) { val cols = parseProjList(); _.project(cols: _*) }
       case "project-away" => df.projectAway(parseIdentList(): _*)
       case "project-keep" => df.projectKeep(parseIdentList(): _*)
+      case "project-reorder" =>
+        // named columns first (in the given order), the rest keep their order
+        val front = parseIdentList()
+        val rest = df.columns.filterNot(front.contains)
+        df.select((front ++ rest).map(col).toIndexedSeq: _*)
       case "project-rename" => df.projectRename(parseRenameList(): _*)
       case "extend" =>
         // row-function placeholders materialize distributively underneath
@@ -745,10 +790,17 @@ object KqlParser {
           acc.extend(n -> regexp_extract(src, regex.toString, gi + 1).cast(t))
         }
       case "union" =>
-        // `union [withsource=Col] T1[, T2, ...]` — operands align by name and
-        // null-fill; withsource labels each row with its source table name
+        // `union [kind=outer|inner] [withsource=Col] T1[, T2, ...]` — operands
+        // align by name; kind=outer (default) null-fills missing columns,
+        // kind=inner keeps only columns common to ALL operands
         var srcCol: Option[String] = None
-        if (atIdent("withsource")) { pos += 1; eatPunct("="); srcCol = Some(ident()) }
+        var ukind = "outer"
+        var uDone = false
+        while (!uDone) {
+          if (atIdent("withsource")) { pos += 1; eatPunct("="); srcCol = Some(ident()) }
+          else if (atIdent("kind")) { pos += 1; eatPunct("="); ukind = ident() }
+          else uDone = true
+        }
         def operand(i: Int): (String, DataFrame) =
           if (atPunct("(")) (s"$sourceName$i", parseSubQuery())
           else { val n = ident(); (n, resolveTable(n)) }
@@ -756,12 +808,18 @@ object KqlParser {
         others += operand(1)
         var i = 2
         while (atPunct(",")) { pos += 1; others += operand(i); i += 1 }
+        val operands = (sourceName, df) +: others.result()
+        val pruned =
+          if (ukind != "inner") operands
+          else {
+            val common = operands.map(_._2.columns.toSet).reduce(_ intersect _)
+            val order = df.columns.filter(common)
+            operands.map { case (n, o) => (n, o.select(order.map(col).toIndexedSeq: _*)) }
+          }
         srcCol match {
-          case None => others.result().foldLeft(df) { case (acc, (_, o)) => acc.unionKql(o) }
+          case None => pruned.map(_._2).reduceLeft(_ unionKql _)
           case Some(c) =>
-            others.result().foldLeft(df.extend(c -> lit(sourceName))) {
-              case (acc, (n, o)) => acc.unionKql(o.extend(c -> lit(n)))
-            }
+            pruned.map { case (n, o) => o.extend(c -> lit(n)) }.reduceLeft(_ unionKql _)
         }
       case "join" =>
         var kind = "innerunique" // the KQL default

@@ -17,6 +17,24 @@ object KqlTextQueries {
   private def run(s: SparkSession, d: String, kql: String): DataFrame =
     KqlParser.parse(kql, name => Tables.load(s, d, name))
 
+  /** CSV dump of an events subset for the externaldata row — written once per
+    * (session, sfDir); the timed body is the externaldata READ. */
+  private val externCsvCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def externCsv(s: SparkSession, d: String): String =
+    externCsvCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val path = s"/tmp/graft_extern/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      import org.apache.spark.sql.functions._
+      Tables.load(s, d, "events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value")).cast("long").as("v"))
+        .coalesce(1)
+        .write.option("header", true).csv(path)
+      path
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q_kql_where_summarize",
@@ -345,6 +363,34 @@ object KqlTextQueries {
              |    date_trunc('day', ts)) AS BIGINT) AS dd,
              |  lower(to_hex(event_id)) AS hx
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
+
+    // externaldata source: explicit-schema CSV read (written once from the
+    // fixture; the oracle re-derives the same rows from the source table)
+    QueryDef("q_kql_externaldata",
+      (s, d) => run(s, d,
+        s"""externaldata (event_id:long, event_type:string, v:long)
+           |  ['${externCsv(s, d)}'] with (format='csv', ignoreFirstRecord=true)
+           || summarize n = count(), sv = sum(v) by event_type
+           || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sv
+             |FROM events WHERE event_id % 20 = 0
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // union kind=inner (common columns only) + project-reorder
+    QueryDef("q_kql_union_inner",
+      (s, d) => run(s, d,
+        """events
+          || project event_id, event_type, value
+          || union kind=inner (events | project event_type, value, user_id)
+          || summarize n = count(), sv = sum(tolong(floor(value))) by event_type
+          || project-reorder n, event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT COUNT(*) AS n, event_type,
+             |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sv
+             |FROM (SELECT event_type, value FROM events
+             |      UNION ALL SELECT event_type, value FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // theta-form join keys: $left.a == $right.b (differently-named equi-keys)
     QueryDef("q_kql_join_theta",
