@@ -31,7 +31,7 @@ object SeriesFunctions {
     val sumsq = aggregate(arr, lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double"))
     val variance = (sumsq - sum * sum / n) / (n - lit(1.0))
-    struct(
+    val stats = struct(
       array_min(arr).as("min"),
       (array_position(arr, array_min(arr)) - 1).as("min_idx"),
       array_max(arr).as("max"),
@@ -39,6 +39,8 @@ object SeriesFunctions {
       (sum / n).as("avg"),
       variance.as("variance"),
       sqrt(variance).as("stdev"))
+    // empty/null input → null struct (ANSI: array_position(arr, null) throws)
+    when(coalesce(size(arr), lit(0)) > 0, stats)
   }
 
   /** Trailing moving sum with partial head windows: out[i] = Σ arr[i-w+1..i]. */
@@ -75,7 +77,9 @@ object SeriesFunctions {
     val sorted = array_sort(arr)
     val n = size(arr)
     def q(p: Double): Column =
-      element_at(sorted, greatest(ceil(lit(p) * n), lit(1)).cast("int")).cast("double")
+      // try_element_at: an empty series must yield an empty flag array, not an
+      // ANSI out-of-bounds error from the quartile probe
+      try_element_at(sorted, greatest(ceil(lit(p) * n), lit(1)).cast("int")).cast("double")
     val q1 = q(0.25)
     val q3 = q(0.75)
     val iqr = q3 - q1

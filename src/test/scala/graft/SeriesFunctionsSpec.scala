@@ -49,6 +49,18 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(flags == Seq(0, 0, 0, 0, 0, 0, 0, 1, -1))
   }
 
+  test("empty series: stats null, outliers/moving/fir empty — never ANSI errors") {
+    val e = Seq(Tuple1(Seq.empty[Double])).toDF("s")
+    val r = e.select(
+      seriesStats($"s").as("st"),
+      seriesOutliers($"s").as("o"),
+      seriesMovingSum($"s", 3).as("ms"),
+      seriesFir($"s", Seq(1.0, 1.0)).as("f")).collect().head
+    assert(r.isNullAt(0))
+    assert(r.getSeq[Int](1).isEmpty && r.getSeq[Double](2).isEmpty &&
+      r.getSeq[Double](3).isEmpty)
+  }
+
   test("parser surface: dynamic literal, pack_array, series fns, set ops") {
     val t = Seq((1, 7.0), (2, 1.0)).toDF("id", "v")
     val got = KqlParser.parse(
