@@ -623,6 +623,18 @@ object KqlParser {
           "`serialize` requires a preceding `sort by` to define the row order")
         serializedOrder = Some(lastSortKeys)
         df
+      case "as" =>
+        // `T | as name` — bind the pipeline-so-far to a name usable later in
+        // the same query (join/union/invoke operands), KQL's mid-pipeline alias
+        if (atIdent("hint")) { // hint.materialized=true → persist the binding
+          pos += 1; eatPunct(".")
+          val h = ident(); eatPunct("=")
+          val v = next()
+          if (h == "materialized" && v == Ident("true"))
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        bindings(ident()) = df
+        df
       case "scan" =>
         // `T | scan [with_match_id=m] with (step s1: pred; step s2: pred; ...)`
         // — ONE global state machine over the serialized order (Kusto scan
@@ -865,9 +877,17 @@ object KqlParser {
           case _ => df.joinKql(r2, keys.result(), kind)
         }
       case "lookup" =>
+        // `lookup [kind=leftouter|inner] (dim) on keys` — broadcast enrichment
+        var lkind = "leftouter"
+        if (atIdent("kind")) { pos += 1; eatPunct("="); lkind = ident() }
         val dim = parseSubQuery()
         eatIdent("on")
-        df.lookup(dim, parseIdentList())
+        val lkeys = parseIdentList()
+        lkind match {
+          case "leftouter" => df.lookup(dim, lkeys)
+          case "inner" => df.join(broadcast(dim), lkeys, "inner")
+          case other => throw new IllegalArgumentException(s"unsupported lookup kind: $other")
+        }
       case "parse-kv" =>
         // `parse-kv Col as (k1:type, k2:type) with (pair_delimiter=',',
         // kv_delimiter='=')` — extract typed values from a key=value string

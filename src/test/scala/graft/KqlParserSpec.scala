@@ -481,6 +481,26 @@ class KqlParserSpec extends SparkSpec {
     assert(semi.count() == 2)
   }
 
+  test("as binds the pipeline mid-stream for later operands") {
+    val n = run(
+      """t | where v > 20 | as big
+        || union big
+        || summarize n = count()""".stripMargin).as[Long].collect().head
+    assert(n == 6L) // 3 rows > 20, twice
+  }
+
+  test("lookup kind=inner drops unmatched fact rows") {
+    val dim = Seq(("alice", "A")).toDF("user", "grp")
+    val got = KqlParser.parse(
+      "t | lookup kind=inner (dim) on user | project id, grp",
+      n => if (n == "dim") dim else t)
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "A"), (3L, "A")))
+    val outer = KqlParser.parse(
+      "t | lookup (dim) on user | summarize n = count()",
+      n => if (n == "dim") dim else t)
+    assert(outer.as[Long].collect().head == 5L)
+  }
+
   test("now/ago are current and ordered") {
     val r = run("t | take 1 | extend n = now(), a = ago(5m) | project n, a")
       .collect().head
