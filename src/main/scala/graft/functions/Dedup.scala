@@ -213,4 +213,49 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** Connected components over near-dup candidate pairs — the clustering tail
+    * of a corpus-dedup pipeline (pairs → clusters → keep one doc per cluster).
+    * Iterative min-label propagation: each round every node takes the minimum
+    * label among itself and its neighbours; converges in O(component diameter)
+    * rounds (near-dup clusters are tight — typically 1-3).
+    *
+    * Scale posture: each round is one equi-join on the edge list + one
+    * aggregation — all distributed, labels never leave the cluster; the driver
+    * only orchestrates the loop and runs an `isEmpty` convergence probe.
+    * `localCheckpoint` truncates the per-round lineage so plan depth stays
+    * constant. Output: (id, cluster) for EVERY node (singletons label
+    * themselves); cluster = the component's minimum id. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          nodes: DataFrame, idCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("src"), col("cluster")), "src")
+        .groupBy(col("dst").as("id")).agg(min("cluster").as("__ncluster"))
+      val updated = labels
+        .join(prop, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("cluster", "__old"), "id")
+        .filter(col("cluster") =!= col("__old"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

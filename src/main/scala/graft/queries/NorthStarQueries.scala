@@ -79,6 +79,37 @@ object NorthStarQueries {
       Dedup.lshCandidatePairs(minhashSigs(s, d), MH_BANDS, MH_HASHES / MH_BANDS).persist())
   }
 
+  /** Near-dup cluster labels (connected components over the est≥0.5 MinHash
+    * pairs), computed once per (session, sfDir) — iterative, so both cluster
+    * rows reuse one converged result. */
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
+    pipeCache.getOrElseUpdate(cacheKey(s, d, "cclabels"), {
+      val pairs = Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d), MH_HASHES)
+        .where_(col("est_jaccard") >= 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b",
+        T(s, d, "documents"), "doc_id").persist()
+    })
+  }
+
+  /** Shared closure oracle: the exact-signature pair set (≥32 of 64 components
+    * equal ⇔ est ≥ 0.5) + recursive min-reachable-id labels per document. */
+  private def ccOracleCtes: String =
+    s"""WITH RECURSIVE ${shingleHashCtes.stripPrefix("WITH ")},
+       |sig AS (SELECT doc_id, [
+       |    $mhSigComponents] AS sig FROM h),
+       |cpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a, sig b WHERE a.doc_id < b.doc_id
+       |    AND len(list_filter(generate_series(1, $MH_HASHES), i -> a.sig[i] = b.sig[i]))
+       |        >= ${MH_HASHES / 2}),
+       |cedges AS (SELECT id_a AS src, id_b AS dst FROM cpairs
+       |  UNION ALL SELECT id_b, id_a FROM cpairs),
+       |reach AS (SELECT doc_id AS id, doc_id AS src FROM documents
+       |  UNION SELECT e.dst, r.src FROM reach r JOIN cedges e ON e.src = r.id),
+       |clabels AS (SELECT id, MIN(src) AS cluster FROM reach GROUP BY id)
+       |""".stripMargin
+
   // --- DuckDB oracle builders for the sketch pipelines -------------------------
   // These reproduce TextAnalysis.tokens/shinglesOf and Dedup.portableHash60 /
   // minHashSignatureFromHashes / simHashFromHashes verbatim in SQL, so the sketch
@@ -267,6 +298,27 @@ object NorthStarQueries {
               |      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $MH_HASHES AS est
               |  FROM sig a, sig b WHERE a.doc_id < b.doc_id)
               |WHERE est >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- near-dup CLUSTERING: connected components over the minhash pairs,
+    // then keep-one-per-cluster — the dedup-pipeline tail. Oracle replays the
+    // closure as a recursive min-reachable-id CTE over the exact-signature
+    // pair set, so cluster assignments are hash-compared, not just counted.
+    QueryDef("q_near_dedup_clusters",
+      (s, d) => ccLabels(s, d)
+        .summarize(Seq(col("cluster")), count(lit(1)).as("sz"))
+        .where_(col("sz") > 1)
+        .sortBy(col("cluster")),
+      Some(ccOracleCtes +
+        """SELECT cluster, COUNT(*) AS sz FROM clabels
+          |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY cluster""".stripMargin)),
+
+    QueryDef("q_near_dedup_keep",
+      (s, d) => ccLabels(s, d)
+        .summarize(Nil, countDistinct(col("cluster")).as("n_kept"),
+          count(lit(1)).as("n_docs")),
+      Some(ccOracleCtes +
+        """SELECT COUNT(DISTINCT cluster) AS n_kept, COUNT(*) AS n_docs
+          |FROM clabels""".stripMargin)),
 
     QueryDef("q_simhash_pairs",
       (s, d) => Dedup.simHashNearDupPairs(T(s, d, "documents"), "text", "doc_id",

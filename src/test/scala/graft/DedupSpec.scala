@@ -78,6 +78,18 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s4)
   }
 
+  test("connectedComponents: chains merge, singletons self-label, min wins") {
+    import org.apache.spark.sql.functions.col
+    // components: {1,2,3,4} (a chain), {10,11}, {20} (singleton, no edges)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val labels = graft.functions.Dedup
+      .connectedComponents(pairs, "id_a", "id_b", nodes, "doc_id")
+      .orderBy(col("id")).as[(Long, Long)].collect().toSeq
+    assert(labels == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("pipeline caches do not outlive their session (two-session hygiene)") {
     val fn = SparkEntry.queries("q_minhash_pairs")
     assert(fn(spark, sf).count() >= 0)
