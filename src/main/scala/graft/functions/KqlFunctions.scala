@@ -41,6 +41,27 @@ object KqlFunctions {
     }
   }
 
+  /** Case-SENSITIVE `has_cs`: term match preserving case. */
+  def hasCs(haystack: Column, needle: String): Column =
+    if (needle.nonEmpty && needle.forall(_.isLetterOrDigit) &&
+        needle.forall(c => c < 128))
+      array_contains(split(haystack, "[^a-zA-Z0-9]+"), needle)
+    else {
+      val q = java.util.regex.Pattern.quote(needle)
+      haystack.rlike(s"(^|[^a-zA-Z0-9])$q($$|[^a-zA-Z0-9])")
+    }
+
+  /** `hasprefix` / `hassuffix`: a term starting (ending) with the fragment,
+    * case-insensitive like the bare `has`. */
+  def hasPrefix(haystack: Column, prefix: String): Column = {
+    val q = java.util.regex.Pattern.quote(prefix.toLowerCase)
+    lower(haystack).rlike(s"(^|[^a-z0-9])$q")
+  }
+  def hasSuffix(haystack: Column, suffix: String): Column = {
+    val q = java.util.regex.Pattern.quote(suffix.toLowerCase)
+    lower(haystack).rlike(s"$q($$|[^a-z0-9])")
+  }
+
   /** KQL `extract(regex, group, text)` (named to avoid clashing with
     * `functions.extract`). */
   def extractRegex(regex: String, group: Int, text: Column): Column =

@@ -38,8 +38,12 @@ object KqlParser {
   final case class Punct(s: String) extends Tok
 
   private object Lexer {
-    private val puncts = Seq("!in", "==", "!=", "<=", ">=", "=~", "..", "|", "(", ")",
-      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";", ":", "{", "}")
+    private val puncts = Seq(
+      // longest-first within each '!'-family so "!hasprefix" never lexes as "!has"
+      "!hasprefix", "!hassuffix", "!has", "!contains", "!startswith", "!endswith",
+      "!between", "!in", "!~", "!=",
+      "==", "<=", ">=", "=~", "..", "|", "(", ")",
+      ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";", ":", "{", "}", "~")
 
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -1008,6 +1012,13 @@ object KqlParser {
           pos += 1; eatIdent("top-nested"); oneLevel()
         }
         df.topNestedMulti(levels.result(), others)
+      case "render" =>
+        // `| render timechart [with (...)]` — a visualization DIRECTIVE, not a
+        // transformation: accept and ignore (tables render upstream), skipping
+        // the chart kind and any with(...) options
+        ident()
+        if (atIdent("with")) { pos += 1; eatPunct("("); skipBalancedUntil("(", ")"); pos += 1 }
+        df
       case other => throw new IllegalArgumentException(s"unsupported KQL operator: $other")
     }
 
@@ -1115,6 +1126,9 @@ object KqlParser {
         case "variance" => var_samp(args.head)
         case "make_set" => sort_array(collect_set(args.head))
         case "make_list" => collect_list(args.head)
+        // *_if forms: collect_* skip nulls, so when(pred, x) filters exactly
+        case "make_set_if" => sort_array(collect_set(when(args(1), args.head)))
+        case "make_list_if" => collect_list(when(args(1), args.head))
         case "arg_max" => max_by(args(1), args.head)
         case "arg_min" => min_by(args(1), args.head)
         case "take_any" => first(args.head)
@@ -1172,9 +1186,18 @@ object KqlParser {
         case Some(Punct(">")) => pos += 1; l > parseAdd()
         case Some(Punct(">=")) => pos += 1; l >= parseAdd()
         case Some(Ident("in")) =>
-          pos += 1; l.isin(parseLitList(): _*)
+          pos += 1
+          if (atPunct("~")) { // `in~`: case-insensitive membership
+            pos += 1
+            lower(l).isin(parseLitList().map(v => termString(v).toLowerCase): _*)
+          } else l.isin(parseLitList(): _*)
         case Some(Punct("!in")) =>
-          pos += 1; !l.isin(parseLitList(): _*)
+          pos += 1
+          if (atPunct("~")) {
+            pos += 1
+            !lower(l).isin(parseLitList().map(v => termString(v).toLowerCase): _*)
+          } else !l.isin(parseLitList(): _*)
+        case Some(Punct("!~")) => pos += 1; lower(l) =!= lower(parseAdd())
         case Some(Ident("between")) =>
           pos += 1; eatPunct("(")
           val lo = parseAdd(); eatPunct(".."); val hi = parseAdd()
@@ -1189,11 +1212,26 @@ object KqlParser {
         case Some(Ident("endswith")) => pos += 1; lower(l).endsWith(lower(strLit()))
         case Some(Ident("endswith_cs")) => pos += 1; l.endsWith(strLit())
         case Some(Ident("has")) => pos += 1; KqlFunctions.has(l, strLitS())
+        case Some(Ident("has_cs")) => pos += 1; KqlFunctions.hasCs(l, strLitS())
+        case Some(Ident("hasprefix")) => pos += 1; KqlFunctions.hasPrefix(l, strLitS())
+        case Some(Ident("hassuffix")) => pos += 1; KqlFunctions.hasSuffix(l, strLitS())
         case Some(Ident("has_any")) =>
           pos += 1; parseLitList().map(v => KqlFunctions.has(l, termString(v))).reduce(_ || _)
         case Some(Ident("has_all")) =>
           pos += 1; parseLitList().map(v => KqlFunctions.has(l, termString(v))).reduce(_ && _)
         case Some(Ident("matches")) => pos += 1; eatIdent("regex"); l.rlike(strLitS())
+        // negated predicate forms (lexed as single '!'-prefixed idents)
+        case Some(Punct("!has")) => pos += 1; !KqlFunctions.has(l, strLitS())
+        case Some(Punct("!hasprefix")) => pos += 1; !KqlFunctions.hasPrefix(l, strLitS())
+        case Some(Punct("!hassuffix")) => pos += 1; !KqlFunctions.hasSuffix(l, strLitS())
+        case Some(Punct("!contains")) => pos += 1; !lower(l).contains(lower(parseAdd()))
+        case Some(Punct("!startswith")) => pos += 1; !lower(l).startsWith(lower(strLit()))
+        case Some(Punct("!endswith")) => pos += 1; !lower(l).endsWith(lower(strLit()))
+        case Some(Punct("!between")) =>
+          pos += 1; eatPunct("(")
+          val lo = parseAdd(); eatPunct(".."); val hi = parseAdd()
+          eatPunct(")")
+          !l.between(lo, hi)
         case _ => l
       }
     }

@@ -407,6 +407,25 @@ object KqlTextQueries {
              |WHERE e.user_id < 30
              |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
 
+    // negated / case-variant predicate forms
+    QueryDef("q_kql_where_negated",
+      (s, d) => run(s, d,
+        """events
+          || where event_type !in ('error', 'signup') and event_type !contains 'IEW'
+          |    and value !between (100.0 .. 400.0) and event_type !endswith 'ASE'
+          |    and event_type hasprefix 'CLI' and event_type !~ 'CLACK'
+          || summarize n = count() by event_type
+          || render barchart
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |WHERE event_type NOT IN ('error', 'signup')
+             |  AND NOT contains(lower(event_type), 'iew')
+             |  AND NOT (value BETWEEN 100.0 AND 400.0)
+             |  AND NOT (lower(event_type) LIKE '%ase')
+             |  AND regexp_matches(lower(event_type), '(^|[^a-z0-9])cli')
+             |  AND lower(event_type) <> 'clack'
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // toscalar(): plan-time scalar subquery (bounded one-value collect)
     QueryDef("q_kql_toscalar",
       (s, d) => run(s, d,

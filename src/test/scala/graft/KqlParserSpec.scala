@@ -156,7 +156,7 @@ class KqlParserSpec extends SparkSpec {
   }
 
   test("unsupported operator raises a parse error") {
-    assertThrows[IllegalArgumentException](run("t | render timechart"))
+    assertThrows[IllegalArgumentException](run("t | reduce by user"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
   }
 
@@ -499,6 +499,34 @@ class KqlParserSpec extends SparkSpec {
       "t | lookup (dim) on user | summarize n = count()",
       n => if (n == "dim") dim else t)
     assert(outer.as[Long].collect().head == 5L)
+  }
+
+  test("negated / case-variant predicates and render directive") {
+    def ids(kql: String): Seq[Long] =
+      run(s"t | where $kql | project id | sort by id asc").as[Long].collect().toSeq
+    assert(ids("etype !contains 'LICK'") == Seq(2L, 4L))
+    assert(ids("etype !startswith 'C'") == Seq(2L, 4L))
+    assert(ids("etype !endswith 'ICK'") == Seq(2L, 4L))
+    assert(ids("v !between (10.0 .. 60.0)") == Seq(4L, 5L))
+    assert(ids("etype in~ ('CLICK', 'View')") == Seq(1L, 2L, 3L, 5L))
+    assert(ids("etype !in~ ('CLICK', 'View')") == Seq(4L))
+    assert(ids("etype !~ 'CLICK'") == Seq(2L, 4L))
+    assert(ids("user !has 'ALICE'") == Seq(2L, 4L, 5L))
+    assert(ids("user hasprefix 'AL'") == Seq(1L, 3L))
+    assert(ids("user hassuffix 'ROL'") == Seq(4L))
+    assert(ids("user has_cs 'alice'") == Seq(1L, 3L))
+    assert(ids("user has_cs 'Alice'") == Seq())
+    // render is accepted and ignored
+    assert(run("t | summarize n = count() by etype | render barchart with (title='x') | count")
+      .as[Long].collect().head == 3L)
+  }
+
+  test("make_list_if / make_set_if collect only matching rows") {
+    val r = run(
+      """t | summarize l = make_list_if(id, v > 20), s = make_set_if(user, v > 20)""")
+      .as[(Seq[Long], Seq[String])].collect().head
+    assert(r._1.sorted == Seq(2L, 3L, 4L))
+    assert(r._2 == Seq("alice", "bob", "carol"))
   }
 
   test("now/ago are current and ordered") {
