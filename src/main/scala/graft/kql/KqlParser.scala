@@ -475,7 +475,7 @@ object KqlParser {
           val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
           val keyInBy = by.exists(_.toString == key)
           val groups = if (keyInBy) by else col(key) +: by
-          val out = df.summarize(groups, aggs: _*)
+          val out = expandArgStar(df.summarize(groups, aggs: _*), aggs)
           if (keyInBy) out else out.projectAway(key)
         case "top" =>
           val n = parseInt()
@@ -616,7 +616,7 @@ object KqlParser {
       case "summarize" =>
         val aggs = parseNamedAggList()
         val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
-        df.summarize(by, aggs: _*)
+        expandArgStar(df.summarize(by, aggs: _*), aggs)
       case "sort" | "order" =>
         eatIdent("by")
         val keys = parseSortList()
@@ -1079,17 +1079,39 @@ object KqlParser {
 
     /** summarize agg list: `agg(...)` or `name = agg(...)` with KQL default names. */
     private def parseNamedAggList(): Seq[Column] = {
-      def one(): Column =
-        if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")) {
-          val n = ident(); eatPunct("="); parseAgg(ident()).as(n)
-        } else {
-          val fname = ident()
-          parseAgg(fname).as(defaultAggName(fname))
-        }
+      def one(): Column = {
+        lastAggWasStar = false
+        val (c, n) =
+          if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")) {
+            val n = ident(); eatPunct("="); (parseAgg(ident()), n)
+          } else {
+            val fname = ident()
+            (parseAgg(fname), defaultAggName(fname))
+          }
+        if (lastAggWasStar) argStarAggs += n
+        c.as(n)
+      }
       val out = Seq.newBuilder[Column]
       out += one()
       while (atPunct(",")) { pos += 1; out += one() }
       out.result()
+    }
+
+    /** Expand any arg_max/arg_min(x, *) struct columns produced by this
+      * summarize: the winning row's fields replace the struct, minus fields
+      * that duplicate a group-key output column. */
+    private def expandArgStar(out: DataFrame, aggs: Seq[Column]): DataFrame = {
+      val starNames = out.columns.filter(argStarAggs.contains)
+      if (starNames.isEmpty) return out
+      argStarAggs --= starNames
+      starNames.foldLeft(out) { (d, n) =>
+        val others = d.columns.filterNot(_ == n)
+        val fields = d.schema(n).dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+          .filterNot(others.contains)
+        d.select(others.map(col).toIndexedSeq ++
+          fields.map(f => col(s"$n.$f").as(f)): _*)
+      }
     }
 
     private def defaultAggName(f: String): String = f match {
@@ -1097,8 +1119,29 @@ object KqlParser {
       case other => other + "_"
     }
 
+    // arg_max(x, *) / arg_min(x, *): the agg evaluates to the whole winning row
+    // as a struct; the enclosing summarize expands it (minus group keys). The
+    // flag is set by parseAgg and harvested by parseNamedAggList.
+    private var lastAggWasStar = false
+    private val argStarAggs = scala.collection.mutable.Set[String]()
+
     private def parseAgg(fname: String): Column = {
       eatPunct("(")
+      if ((fname == "arg_max" || fname == "arg_min") && {
+        // lookahead: first arg, then ", *"
+        val save = pos
+        val probe = try { val _ = parseExpr(); atPunct(",") &&
+          toks.lift(pos + 1).contains(Punct("*")) } catch { case _: Throwable => false }
+        pos = save
+        probe
+      }) {
+        val order = parseExpr()
+        eatPunct(","); eatPunct("*")
+        eatPunct(")")
+        lastAggWasStar = true
+        return if (fname == "arg_max") max_by(struct(col("*")), order)
+               else min_by(struct(col("*")), order)
+      }
       val args = if (atPunct(")")) Nil else {
         val out = Seq.newBuilder[Column]
         out += parseExpr()

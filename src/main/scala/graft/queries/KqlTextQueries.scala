@@ -407,6 +407,20 @@ object KqlTextQueries {
              |WHERE e.user_id < 30
              |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
 
+    // arg_max(x, *): the whole winning row per group (expanded, keys deduped)
+    QueryDef("q_kql_arg_max_star",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 50 == 0
+          || summarize arg_max(event_id, *) by event_type
+          || project event_type, event_id, user_id, value
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type, event_id, user_id, value FROM (
+             |  SELECT event_type, event_id, user_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id DESC) AS rn
+             |  FROM events WHERE event_id % 50 = 0)
+             |WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // negated / case-variant predicate forms
     QueryDef("q_kql_where_negated",
       (s, d) => run(s, d,

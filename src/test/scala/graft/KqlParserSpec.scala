@@ -521,6 +521,17 @@ class KqlParserSpec extends SparkSpec {
       .as[Long].collect().head == 3L)
   }
 
+  test("arg_max(x, *) expands the whole winning row per group") {
+    val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
+    assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
+    val rows = df.select("etype", "id").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("click", 3L), ("purchase", 4L), ("view", 2L)))
+    // named form + arg_min
+    val named = run("t | summarize w = arg_min(v, *) | project id, user")
+      .as[(Long, String)].collect().head
+    assert(named == ((5L, "bob")))
+  }
+
   test("make_list_if / make_set_if collect only matching rows") {
     val r = run(
       """t | summarize l = make_list_if(id, v > 20), s = make_set_if(user, v > 20)""")
