@@ -1080,7 +1080,7 @@ object KqlParser {
     /** summarize agg list: `agg(...)` or `name = agg(...)` with KQL default names. */
     private def parseNamedAggList(): Seq[Column] = {
       def one(): Column = {
-        lastAggWasStar = false
+        lastAggExpands = false
         val (c, n) =
           if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")) {
             val n = ident(); eatPunct("="); (parseAgg(ident()), n)
@@ -1088,7 +1088,7 @@ object KqlParser {
             val fname = ident()
             (parseAgg(fname), defaultAggName(fname))
           }
-        if (lastAggWasStar) argStarAggs += n
+        if (lastAggExpands) expandAggs += n
         c.as(n)
       }
       val out = Seq.newBuilder[Column]
@@ -1101,9 +1101,9 @@ object KqlParser {
       * summarize: the winning row's fields replace the struct, minus fields
       * that duplicate a group-key output column. */
     private def expandArgStar(out: DataFrame, aggs: Seq[Column]): DataFrame = {
-      val starNames = out.columns.filter(argStarAggs.contains)
+      val starNames = out.columns.filter(expandAggs.contains)
       if (starNames.isEmpty) return out
-      argStarAggs --= starNames
+      expandAggs --= starNames
       starNames.foldLeft(out) { (d, n) =>
         val others = d.columns.filterNot(_ == n)
         val fields = d.schema(n).dataType
@@ -1122,8 +1122,8 @@ object KqlParser {
     // arg_max(x, *) / arg_min(x, *): the agg evaluates to the whole winning row
     // as a struct; the enclosing summarize expands it (minus group keys). The
     // flag is set by parseAgg and harvested by parseNamedAggList.
-    private var lastAggWasStar = false
-    private val argStarAggs = scala.collection.mutable.Set[String]()
+    private var lastAggExpands = false
+    private val expandAggs = scala.collection.mutable.Set[String]()
 
     private def parseAgg(fname: String): Column = {
       eatPunct("(")
@@ -1138,7 +1138,7 @@ object KqlParser {
         val order = parseExpr()
         eatPunct(","); eatPunct("*")
         eatPunct(")")
-        lastAggWasStar = true
+        lastAggExpands = true
         return if (fname == "arg_max") max_by(struct(col("*")), order)
                else min_by(struct(col("*")), order)
       }
@@ -1165,6 +1165,16 @@ object KqlParser {
         case "hll" => approx_count_distinct(args.head)
         // KQL percentile takes 0-100; Spark's takes a [0,1] fraction
         case "percentile" => percentile(args.head, lit(litDouble(args(1)) / 100.0))
+        case "percentiles" =>
+          // multi-output: expands to percentile_<col>_<p> columns (Kusto names)
+          val base = args.head
+          val baseName = base.toString.replaceAll("[^A-Za-z0-9_]", "")
+          val ps = args.tail.map(litDouble)
+          lastAggExpands = true
+          struct(ps.map { p =>
+            val suffix = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
+            percentile(base, lit(p / 100.0)).as(s"percentile_${baseName}_$suffix")
+          }: _*)
         case "stdev" => stddev_samp(args.head)
         case "variance" => var_samp(args.head)
         case "make_set" => sort_array(collect_set(args.head))
@@ -1637,20 +1647,40 @@ object KqlParser {
       }
     }
 
-    /** `dynamic([v1, v2, ...])` — array literal (the subset of KQL dynamic
-      * literals the series/array functions consume; property bags go through
-      * parse_json on a string literal instead). */
+    /** `dynamic([v1, v2, ...])` array literal or `dynamic({'k': v, ...})`
+      * property-bag literal (→ map; access via `.k` / `['k']` postfix). */
     private def parseDynamic(): Column = {
       eatPunct("(")
-      eatPunct("[")
-      val vals = Seq.newBuilder[Column]
-      if (!atPunct("]")) {
-        vals += parseExpr()
-        while (atPunct(",")) { pos += 1; vals += parseExpr() }
+      val out = if (atPunct("{")) {
+        pos += 1
+        val kvs = Seq.newBuilder[Column]
+        def pair(): Unit = {
+          val k = next() match {
+            case Str(s) => s
+            case Ident(s) => s
+            case other => throw new IllegalArgumentException(s"expected bag key, got $other")
+          }
+          eatPunct(":")
+          kvs += lit(k)
+          // values stringify (map<string,string>): heterogeneous KQL bags have
+          // no single Spark value type — typed bags go through parse_json
+          kvs += parseExpr().cast("string")
+        }
+        if (!atPunct("}")) { pair(); while (atPunct(",")) { pos += 1; pair() } }
+        eatPunct("}")
+        map(kvs.result(): _*)
+      } else {
+        eatPunct("[")
+        val vals = Seq.newBuilder[Column]
+        if (!atPunct("]")) {
+          vals += parseExpr()
+          while (atPunct(",")) { pos += 1; vals += parseExpr() }
+        }
+        eatPunct("]")
+        array(vals.result(): _*)
       }
-      eatPunct("]")
       eatPunct(")")
-      array(vals.result(): _*)
+      out
     }
 
     /** `series_fir(arr, dynamic([c0, c1, ...]) [, normalize])` — the filter taps

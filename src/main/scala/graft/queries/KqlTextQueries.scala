@@ -331,6 +331,18 @@ object KqlTextQueries {
              |  quantile_cont(l_quantity, 0.75) AS p75
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // percentiles(): one agg call expanding to Kusto-named columns
+    QueryDef("q_kql_percentiles_multi",
+      (s, d) => run(s, d,
+        """lineitem
+          || summarize percentiles(l_quantity, 25, 50, 75) by l_returnflag
+          || sort by l_returnflag asc""".stripMargin),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS percentile_l_quantity_25,
+             |  quantile_cont(l_quantity, 0.5) AS percentile_l_quantity_50,
+             |  quantile_cont(l_quantity, 0.75) AS percentile_l_quantity_75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("q_kql_scalar_misc2",
       (s, d) => run(s, d,
         """events

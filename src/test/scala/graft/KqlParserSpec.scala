@@ -532,6 +532,17 @@ class KqlParserSpec extends SparkSpec {
     assert(named == ((5L, "bob")))
   }
 
+  test("percentiles() expands to Kusto-named columns; dynamic bag literal") {
+    val df = run("t | summarize percentiles(v, 25, 50, 99.9)")
+    assert(df.columns.toSeq ==
+      Seq("percentile_v_25", "percentile_v_50", "percentile_v_99_9"))
+    val p = run("t | summarize p = percentiles(v, 50) by etype | sort by etype asc")
+    assert(p.columns.toSeq == Seq("etype", "percentile_v_50"))
+    val bag = run("t | take 1 | extend b = dynamic({'k': 7, 'z': 'x'}) " +
+      "| project kv = b.k, zv = b['z']").collect().head
+    assert(bag.get(0).toString == "7" && bag.get(1).toString == "x")
+  }
+
   test("make_list_if / make_set_if collect only matching rows") {
     val r = run(
       """t | summarize l = make_list_if(id, v > 20), s = make_set_if(user, v > 20)""")
