@@ -337,7 +337,14 @@ object Kql {
                           default: Option[Column] = None) extends RowFn
   final case class NextOf(name: String, e: Column, offset: Int = 1,
                           default: Option[Column] = None) extends RowFn
-  final case class CumSumOf(name: String, e: Column) extends RowFn
+  /** row_cumsum(term [, restart]): running sum along the serialized order; a
+    * row whose `restart` predicate is true resets the accumulation BEFORE
+    * adding itself (Kusto semantics). The restart form stays distributed: each
+    * row subtracts the global prefix sum as of just before its most recent
+    * restart, computed from per-partition local anchors plus a carry composed
+    * over the (tiny) per-partition stats table. */
+  final case class CumSumOf(name: String, e: Column,
+                            restart: Option[Column] = None) extends RowFn
   final case class RankDense(name: String, e: Column) extends RowFn
   /** row_rank_min: the global row number of the first row of the current run of
     * equal `e` values (KQL min-rank; = RANK() when `e` is a leading sort key). */
@@ -406,6 +413,13 @@ object Kql {
         sorted = sorted.withColumn(s"__newts_$n",
           when(col(lrn) =!= 1 &&
             ts.cast("long") - lag(ts.cast("long"), 1).over(localW) > idle, ts))
+      case CumSumOf(n, e, Some(r)) =>
+        // local prefix sum, and the local prefix sum as of just BEFORE the most
+        // recent local restart (a restart row resets before adding itself)
+        sorted = sorted
+          .withColumn(s"__ls_$n", sum(e).over(localCumW))
+          .withColumn(s"__lb_$n",
+            last(when(r, col(s"__ls_$n") - e), ignoreNulls = true).over(localCumW))
       case _ => ()
     }
 
@@ -420,7 +434,11 @@ object Kql {
     def lastK(arr: Column, k: Int): Column =
       slice(arr, greatest(size(arr) - k + 1, lit(1)), lit(k))
     val statAggs = Seq(count(lit(1)).as("__cnt")) ++ fns.flatMap {
-      case CumSumOf(n, e) => Seq(sum(e).as(s"__psum_$n"))
+      case CumSumOf(n, e, restart) =>
+        sum(e).as(s"__psum_$n") +: (if (restart.isEmpty) Nil else Seq(
+          // local B at the partition's END (null if this partition never restarts)
+          max_by(col(s"__lb_$n"),
+            when(col(s"__lb_$n").isNotNull, col(lrn))).as(s"__plb_$n")))
       case PrevOf(n, e, k, _) => Seq(lastK(orderedVals(e), k).as(s"__ptail_$n"))
       case NextOf(n, e, k, _) => Seq(slice(orderedVals(e), 1, k).as(s"__phead_$n"))
       case RankDense(n, e) => Seq(
@@ -453,7 +471,7 @@ object Kql {
     val join1Aggs = Seq(
       coalesce(sum(lt(col("b.__cnt"))), lit(0L)).as("__rowoff"),
       max(lt(col(s"b.$pid"))).isNotNull.as("__haspred")) ++ fns.flatMap {
-      case CumSumOf(n, _) => Seq(sum(lt(col(s"b.__psum_$n"))).as(s"__cumoff_$n"))
+      case CumSumOf(n, _, _) => Seq(sum(lt(col(s"b.__psum_$n"))).as(s"__cumoff_$n"))
       case PrevOf(n, _, k, _) => Seq(
         lastK(catSorted(lt(struct(col(s"b.$pid").as("p"), col(s"b.__ptail_$n").as("t")))), k)
           .as(s"__prevtail_$n"))
@@ -499,7 +517,9 @@ object Kql {
     // 3c. second broadcast self-join for offsets that depend on every earlier
     // partition's OWN boundary status (rank-change totals, carried session start)
     val needSecond = fns.exists {
-      case _: RankDense | _: RankMin | _: WindowSession => true; case _ => false }
+      case _: RankDense | _: RankMin | _: WindowSession => true
+      case CumSumOf(_, _, Some(_)) => true
+      case _ => false }
     val offsets = if (!needSecond) statsC else {
       val a2 = statsC.alias("a")
       val b2 = statsC.alias("b")
@@ -517,6 +537,12 @@ object Kql {
           max_by(lt2(col(s"b.__efflast_$n")),
             when(col(s"b.$pid") < col(s"a.$pid") && col(s"b.__efflast_$n").isNotNull,
               col(s"b.$pid"))).as(s"__prevsess_$n"))
+        case CumSumOf(n, _, Some(_)) => Seq(
+          // global B carried from the LATEST predecessor partition containing a
+          // restart: its local anchor plus its own prefix-sum offset
+          max_by(lt2(col(s"b.__plb_$n") + coalesce(col(s"b.__cumoff_$n"), lit(0L))),
+            when(col(s"b.$pid") < col(s"a.$pid") && col(s"b.__plb_$n").isNotNull,
+              col(s"b.$pid"))).as(s"__carryb_$n"))
         case _ => Nil
       }
       val aCols2 = statsC.columns.map(c => col(s"a.$c").as(c))
@@ -545,9 +571,17 @@ object Kql {
           when(col(lrn) + lit(k) <= col("__cnt"), lead(e, k).over(localW))
             .otherwise(when(idx <= size(head), element_at(head, idx))
               .otherwise(dflt.getOrElse(lit(null)))))
-      case CumSumOf(n, e) =>
-        out = out.withColumn(n,
-          coalesce(col(s"__cumoff_$n"), lit(0L)) + sum(e).over(localCumW))
+      case CumSumOf(n, e, restart) =>
+        val globalS = coalesce(col(s"__cumoff_$n"), lit(0L)) + sum(e).over(localCumW)
+        out = restart match {
+          case None => out.withColumn(n, globalS)
+          case Some(_) =>
+            // subtract the global prefix sum as of just before the most recent
+            // restart: local anchor if this partition restarted, else the carry
+            val localB = coalesce(col(s"__cumoff_$n"), lit(0L)) + col(s"__lb_$n")
+            out.withColumn(n,
+              globalS - coalesce(localB, col(s"__carryb_$n"), lit(0L)))
+        }
       case RankDense(n, _) =>
         out = out.withColumn(n,
           col(s"__chgoff_$n") + col(s"__rdbound_$n") +

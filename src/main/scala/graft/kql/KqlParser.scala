@@ -614,6 +614,12 @@ object KqlParser {
         // row-function placeholders materialize distributively underneath
         withRowFns(df) { val exprs = parseNamedExprList(); _.extend(exprs: _*) }
       case "summarize" =>
+        // hint.shufflekey= / hint.strategy= / hint.num_partitions=: physical
+        // hints with no Spark analogue needed (Catalyst/AQE pick the shuffle);
+        // accepted and ignored so real-world queries parse
+        while (atIdent("hint")) {
+          pos += 1; eatPunct("."); ident(); eatPunct("="); val _ = next()
+        }
         val aggs = parseNamedAggList()
         val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
         expandArgStar(df.summarize(by, aggs: _*), aggs)
@@ -1427,7 +1433,7 @@ object KqlParser {
           if (args.length > 1) litLong(args(1)).toInt else 1, args.lift(2)))
         case "next" => rowFnPlaceholder(NextOf(_, args.head,
           if (args.length > 1) litLong(args(1)).toInt else 1, args.lift(2)))
-        case "row_cumsum" => rowFnPlaceholder(CumSumOf(_, args.head))
+        case "row_cumsum" => rowFnPlaceholder(CumSumOf(_, args.head, args.lift(1)))
         case "row_rank_dense" => rowFnPlaceholder(RankDense(_, args.head))
         case "row_rank_min" => rowFnPlaceholder(RankMin(_, args.head))
         case "row_window_session" =>

@@ -287,6 +287,29 @@ object KqlTextQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
              |FROM o ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // row_cumsum with a restart predicate (reset BEFORE adding the row), still
+    // through the distributed range-partition + carry-composition path
+    QueryDef("q_kql_cumsum_restart",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 5
+          || project user_id, ts, event_id
+          || sort by user_id asc, ts asc, event_id asc
+          || serialize
+          || extend cs = row_cumsum(event_id % 100, event_id % 7 == 0)
+          || sort by user_id asc, ts asc, event_id asc""".stripMargin),
+      Some("""WITH s AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 5),
+             |m AS (SELECT user_id, ts, event_id,
+             |  SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) OVER (
+             |    ORDER BY user_id, ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+             |  FROM s)
+             |SELECT user_id, ts, event_id,
+             |  CAST(SUM(event_id % 100) OVER (PARTITION BY seg
+             |    ORDER BY user_id, ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+             |FROM m ORDER BY user_id, ts, event_id""".stripMargin)),
+
     QueryDef("q_kql_invoke",
       (s, d) => run(s, d,
         """let enrich = (src:(value:real)) {

@@ -129,6 +129,31 @@ class KqlOpsSpec extends SparkSpec {
     }
   }
 
+  test("row_cumsum with restart matches the segment-window reference across partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, sf, "events").where_(col("user_id") < 8)
+      .project(col("user_id"), col("ts"), col("event_id"))
+    val order = Seq(col("user_id").asc, col("ts").asc, col("event_id").asc)
+    val restart = col("event_id") % 5 === 0
+    // reference: segment id = running count of restarts, then cumsum per segment
+    val w = Window.orderBy(order: _*)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = e
+      .withColumn("__seg", sum(when(restart, 1L).otherwise(0L)).over(wc))
+      .withColumn("cs", sum(col("event_id")).over(
+        Window.partitionBy(col("__seg")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__seg")
+      .orderBy(order: _*).collect().toSeq
+    for (parts <- Seq(1, 3, 17)) {
+      val got = serializedRowFns(e.repartition(parts), order,
+          Seq[RowFn](CumSumOf("cs", col("event_id"), Some(restart))))
+        .select(e.columns.map(col).toIndexedSeq :+ col("cs"): _*)
+        .orderBy(order: _*).collect().toSeq
+      assert(got == expected, s"parts=$parts mismatch")
+    }
+  }
+
   test("q_kql_rank_session fixture: no idle session spans 1d, so maxDuration is inert") {
     // q_kql_rank_session calls row_window_session(ts, 1d, 30m) and its DuckDB
     // oracle models ONLY the idle-gap logic. That is sound iff no 30m-dense run

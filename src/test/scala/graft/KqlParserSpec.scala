@@ -543,6 +543,12 @@ class KqlParserSpec extends SparkSpec {
     assert(bag.get(0).toString == "7" && bag.get(1).toString == "x")
   }
 
+  test("summarize accepts and ignores physical hints") {
+    val n = run("t | summarize hint.shufflekey=user hint.strategy=shuffle n = count() by user")
+      .count()
+    assert(n == 3L)
+  }
+
   test("make_list_if / make_set_if collect only matching rows") {
     val r = run(
       """t | summarize l = make_list_if(id, v > 20), s = make_set_if(user, v > 20)""")
