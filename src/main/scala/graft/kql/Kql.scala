@@ -239,9 +239,20 @@ object Kql {
       selected.select(levels.flatMap { case (_, k, _, a) => Seq(col(k), col(a)) }: _*)
     }
 
-    /** `mv-expand c` — explode an array column into one row per element. */
-    def mvExpand(arrayCol: Column, as: String): DataFrame =
-      df.withColumn(as, explode(arrayCol))
+    /** `mv-expand c` — explode an array column into one row per element.
+      * A BAG (map) column expands to one row per property carried as
+      * `<name>_key` / `<name>_value` columns (Kusto emits single-entry bags;
+      * the flat pair is the relational equivalent, documented deviation). */
+    def mvExpand(arrayCol: Column, as: String): DataFrame = {
+      val isMap =
+        try df.select(arrayCol).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.MapType]
+        catch { case _: Throwable => false }
+      if (isMap)
+        df.select(col("*"), explode(arrayCol).as(Seq(s"${as}_key", s"${as}_value")))
+          .drop(as)
+      else df.withColumn(as, explode(arrayCol))
+    }
 
     /** `mv-expand with_itemindex=idx c` — explode with the element's 0-based
       * position (posexplode; same Generator machinery, still codegen-adjacent).

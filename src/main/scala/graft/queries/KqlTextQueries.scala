@@ -516,6 +516,22 @@ object KqlTextQueries {
              |  COUNT(DISTINCT CASE WHEN value > 250 THEN event_type END) AS dc
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // mv-expand over a BAG: one row per property as key/value columns
+    QueryDef("q_kql_mvexpand_bag",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 200 == 0
+          || project event_id
+          || extend b = bag_pack('a', event_id % 3, 'b', event_id % 7)
+          || mv-expand b
+          || summarize n = count(), sv = sum(tolong(b_value)) by b_key
+          || sort by b_key asc""".stripMargin),
+      Some("""SELECT b_key, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM (
+             |  SELECT 'a' AS b_key, event_id % 3 AS v FROM events WHERE event_id % 200 = 0
+             |  UNION ALL
+             |  SELECT 'b' AS b_key, event_id % 7 AS v FROM events WHERE event_id % 200 = 0)
+             |GROUP BY 1 ORDER BY b_key""".stripMargin)),
+
     // mv-expand with the element's 0-based index (posexplode)
     QueryDef("q_kql_mvexpand_idx",
       (s, d) => run(s, d,

@@ -108,6 +108,11 @@ class KqlOpsSpec extends SparkSpec {
       .withColumn("pe7", lag(col("event_id"), 7, -1L).over(w))
       .withColumn("ne5", lead(col("event_id"), 5).over(w))
       .withColumn("cs", sum(col("event_id")).over(wc))
+      .withColumn("__seg", sum(when(col("event_id") % 5 === 0, 1L).otherwise(0L)).over(wc))
+      .withColumn("csr", sum(col("event_id")).over(
+        Window.partitionBy(col("__seg")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__seg")
       .withColumn("rk", dense_rank().over(Window.orderBy(col("user_id"))))
       .withColumn("rkm", rank().over(Window.orderBy(col("user_id"))))
       .withColumn("sess", last(newTs, ignoreNulls = true).over(wc))
@@ -118,11 +123,12 @@ class KqlOpsSpec extends SparkSpec {
         PrevOf("pe7", col("event_id"), 7, Some(lit(-1L))),
         NextOf("ne5", col("event_id"), 5),
         CumSumOf("cs", col("event_id")),
+        CumSumOf("csr", col("event_id"), Some(col("event_id") % 5 === 0)),
         RankDense("rk", col("user_id")), RankMin("rkm", col("user_id")),
         WindowSession("sess", col("ts"), 900))
       val got = serializedRowFns(e.repartition(parts), order, fns)
         .select(e.columns.map(col).toIndexedSeq ++ Seq(col("rn"), col("pe"), col("ne"),
-          col("pe7"), col("ne5"), col("cs"), col("rk").cast("int"),
+          col("pe7"), col("ne5"), col("cs"), col("csr"), col("rk").cast("int"),
           col("rkm").cast("int"), col("sess")): _*)
         .orderBy(order: _*).collect().toSeq
       assert(got == expected, s"parts=$parts mismatch")

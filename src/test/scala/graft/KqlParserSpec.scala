@@ -549,6 +549,17 @@ class KqlParserSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("mv-expand over a bag yields one row per property as key/value columns") {
+    val rows = run(
+      """t | where id == 1
+        || extend b = bag_pack('x', 1, 'y', 2)
+        || mv-expand b
+        || project b_key, b_value
+        || sort by b_key asc""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("x", "1"), ("y", "2")))
+  }
+
   test("make_list_if / make_set_if collect only matching rows") {
     val r = run(
       """t | summarize l = make_list_if(id, v > 20), s = make_set_if(user, v > 20)""")
