@@ -98,6 +98,17 @@ object Tables {
     df.withColumn("_shard", shardId(col(key), numShards))
       .repartition(numShards, col("_shard"))
 
+  /** Bucketed write: persist a table pre-hash-distributed (and per-file sorted)
+    * on a join/agg key, so every later equi-join or aggregation on that key
+    * plans with NO shuffle exchange — the co-located-join layout for dimension
+    * and fact tables that are joined constantly at 100 TB. The bucket count is
+    * part of the table contract (both sides of an exchange-free join must
+    * agree). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+
   /** Merge-time dedup (README.md:15,22): rewrite a table keeping one row per
     * `(_ts, _dedup)` — deterministic representative via total tie-break ordering.
     * Equivalent to meerkat's segment-merge dedup; run as a compaction job. */

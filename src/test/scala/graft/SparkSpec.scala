@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // bucketed-table tests: keep the metastore/warehouse out of the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=/tmp/graft_test_metastore;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
