@@ -1505,9 +1505,19 @@ object KqlParser {
           // literal-identical: yyyy MM dd HH mm ss); KQL 'tt' (AM/PM) → 'a'
           date_format(args.head, litString(args(1)).replace("tt", "a"))
         case "getyear" => year(args.head)
-        case "getmonth" => month(args.head)
+        case "getmonth" | "monthofyear" => month(args.head)
         case "dayofmonth" => dayofmonth(args.head)
+        case "dayofyear" => dayofyear(args.head)
+        case "week_of_year" => weekofyear(args.head) // ISO 8601, like Kusto
         case "hourofday" => hour(args.head)
+        case "unixtime_seconds_todatetime" =>
+          timestamp_seconds(args.head.cast("long"))
+        case "unixtime_milliseconds_todatetime" =>
+          timestamp_millis(args.head.cast("long"))
+        case "unixtime_microseconds_todatetime" =>
+          timestamp_micros(args.head.cast("long"))
+        case "unixtime_nanoseconds_todatetime" =>
+          timestamp_micros((args.head.cast("long") / 1000L).cast("long"))
         case "todynamic" | "parse_json" => KqlFunctions.todynamic(args.head)
         // string
         case "indexof" => instr(args.head, litString(args(1))) - 1 // KQL: 0-based, -1 absent

@@ -571,6 +571,27 @@ object KqlTextQueries {
              |UNION ALL SELECT event_type, s FROM rest
              |ORDER BY s DESC, event_type""".stripMargin)),
 
+    // calendar parts + epoch-to-datetime conversions
+    QueryDef("q_kql_datetime_fns",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || project event_id, ts
+          || extend doy = dayofyear(ts), woy = week_of_year(ts), moy = monthofyear(ts),
+          |    us = unixtime_seconds_todatetime(event_id * 100),
+          |    um = unixtime_milliseconds_todatetime(event_id * 100000),
+          |    uu = unixtime_microseconds_todatetime(event_id * 100000000)
+          || project-away ts
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  CAST(dayofyear(ts) AS INT) AS doy,
+             |  CAST(weekofyear(ts) AS INT) AS woy,
+             |  CAST(month(ts) AS INT) AS moy,
+             |  make_timestamp(event_id * 100000000) AS us,
+             |  make_timestamp(event_id * 100000000) AS um,
+             |  make_timestamp(event_id * 100000000) AS uu
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
     // round-6 scalar surface: datetime add/boundaries, .NET-style formatting,
     // string codecs, portable hash, bitwise ops, version parsing, array rotate
     QueryDef("q_kql_scalar_misc3",
