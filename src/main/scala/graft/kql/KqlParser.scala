@@ -1449,7 +1449,11 @@ object KqlParser {
           if (args.length == 3) args.head.substr(args(1) + 1, args(2))
           else args.head.substr(args(1) + 1, length(args.head))
         case "strcat" => concat_ws("", args: _*)
-        case "split" => split(args.head, java.util.regex.Pattern.quote(litString(args(1))))
+        case "split" =>
+          // split(s, delim [, index]): with index, the single element (null OOB)
+          val parts = split(args.head, java.util.regex.Pattern.quote(litString(args(1))))
+          if (args.length > 2) try_element_at(parts, args(2).cast("int") + 1)
+          else parts
         case "replace_string" => replace(args.head, args(1), args(2))
         case "trim" => trim(args.head)
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
@@ -1521,7 +1525,22 @@ object KqlParser {
         case "todynamic" | "parse_json" => KqlFunctions.todynamic(args.head)
         // string
         case "indexof" => instr(args.head, litString(args(1))) - 1 // KQL: 0-based, -1 absent
-        case "countof" => KqlFunctions.countof(args.head, litString(args(1)))
+        case "countof" =>
+          // countof(s, term [, 'normal'|'regex'])
+          if (args.length > 2 && litString(args(2)) == "regex")
+            size(regexp_extract_all(args.head, lit(litString(args(1))), lit(0))).cast("long")
+          else KqlFunctions.countof(args.head, litString(args(1)))
+        case "extractjson" | "extract_json" =>
+          // extractjson(jsonPath, doc): KQL path order (path first)
+          get_json_object(args(1), litString(args.head))
+        case "parse_url" =>
+          // dynamic bag with the Kusto property names (string values)
+          map(
+            lit("Scheme"), call_function("parse_url", args.head, lit("PROTOCOL")),
+            lit("Host"), call_function("parse_url", args.head, lit("HOST")),
+            lit("Port"), coalesce(call_function("parse_url", args.head, lit("PORT")), lit("")),
+            lit("Path"), call_function("parse_url", args.head, lit("PATH")),
+            lit("Query String"), coalesce(call_function("parse_url", args.head, lit("QUERY")), lit("")))
         case "strcat_delim" => concat_ws(litString(args.head), args.tail: _*)
         case "strrep" => repeat(args.head, litLong(args(1)).toInt)
         case "reverse" => reverse(args.head)

@@ -571,6 +571,28 @@ object KqlTextQueries {
              |UNION ALL SELECT event_type, s FROM rest
              |ORDER BY s DESC, event_type""".stripMargin)),
 
+    // JSON path extraction, indexed split, regex countof, URL parsing
+    QueryDef("q_kql_scalar_misc4",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || project event_id, props
+          || extend k = tolong(extractjson('$.k', props)),
+          |    p1 = split(tostring(event_id), '0', 0),
+          |    nz = countof(tostring(event_id), '0+', 'regex'),
+          |    u = parse_url(strcat('https://h', tostring(event_id % 10),
+          |          '.example.com/p/', tostring(event_id), '?x=1'))
+          || extend host = tostring(u.Host), path = tostring(u['Path'])
+          || project event_id, k, p1, nz, host, path
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  string_split(CAST(event_id AS VARCHAR), '0')[1] AS p1,
+             |  CAST(len(regexp_extract_all(CAST(event_id AS VARCHAR), '0+', 0)) AS BIGINT) AS nz,
+             |  'h' || CAST(event_id % 10 AS VARCHAR) || '.example.com' AS host,
+             |  '/p/' || CAST(event_id AS VARCHAR) AS path
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
     // calendar parts + epoch-to-datetime conversions
     QueryDef("q_kql_datetime_fns",
       (s, d) => run(s, d,
