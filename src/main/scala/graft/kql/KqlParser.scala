@@ -746,13 +746,29 @@ object KqlParser {
         eatPunct(")")
         if (sub.columns.contains("__mv_pos")) sub.drop("__mv_pos") else sub
       case "evaluate" =>
-        // plugin surface: bag_unpack and pivot
+        // plugin surface: bag_unpack, pivot, narrow
         val fn = ident()
         eatPunct("(")
         fn match {
           case "bag_unpack" =>
             val arg = ident(); eatPunct(")")
             df.bagUnpack(arg)
+          case "narrow" =>
+            // evaluate narrow(): (Row, Column, Value-as-string) triples. Row
+            // ordinals come from the distributed serialized row numbering, so
+            // a preceding `sort by ... | serialize` is required (Kusto's
+            // narrow over an unordered table has undefined Row values).
+            eatPunct(")")
+            require(serializedOrder.nonEmpty,
+              "`evaluate narrow()` requires `| sort by ... | serialize` for stable Row ordinals")
+            val srcCols = df.columns
+            val numbered = serializedRowFns(df, serializedOrder.get,
+              Seq(RowNumber("Row")))
+            numbered.select(col("Row"),
+              explode(array(srcCols.map(c =>
+                struct(lit(c).as("Column"), col(c).cast("string").as("Value"))
+              ).toIndexedSeq: _*)).as("__nrw"))
+              .select(col("Row"), col("__nrw.Column"), col("__nrw.Value"))
           case "pivot" =>
             // `evaluate pivot(pivotCol [, agg(col)])` — unique pivot-column
             // values become columns; remaining columns (minus the aggregate

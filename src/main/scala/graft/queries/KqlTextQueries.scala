@@ -571,6 +571,26 @@ object KqlTextQueries {
              |UNION ALL SELECT event_type, s FROM rest
              |ORDER BY s DESC, event_type""".stripMargin)),
 
+    // evaluate narrow(): row/column/value unpivot over the serialized order
+    QueryDef("q_kql_narrow",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 2000 == 0
+          || project event_id, event_type
+          || sort by event_id asc
+          || serialize
+          || evaluate narrow()
+          || sort by Row asc, Column asc""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT event_id, event_type,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS INT) AS r
+             |  FROM events WHERE event_id % 2000 = 0)
+             |SELECT r AS "Row", c AS "Column", v AS "Value" FROM (
+             |  SELECT r, 'event_id' AS c, CAST(event_id AS VARCHAR) AS v FROM s
+             |  UNION ALL
+             |  SELECT r, 'event_type' AS c, event_type AS v FROM s)
+             |ORDER BY "Row", "Column"""".stripMargin)),
+
     // JSON path extraction, indexed split, regex countof, URL parsing
     QueryDef("q_kql_scalar_misc4",
       (s, d) => run(s, d,
