@@ -1290,6 +1290,14 @@ object KqlParser {
         case Some(Ident("has_cs")) => pos += 1; KqlFunctions.hasCs(l, strLitS())
         case Some(Ident("hasprefix")) => pos += 1; KqlFunctions.hasPrefix(l, strLitS())
         case Some(Ident("hassuffix")) => pos += 1; KqlFunctions.hasSuffix(l, strLitS())
+        case Some(Ident("hasprefix_cs")) =>
+          pos += 1
+          val q = java.util.regex.Pattern.quote(strLitS())
+          l.rlike(s"(^|[^a-zA-Z0-9])$q")
+        case Some(Ident("hassuffix_cs")) =>
+          pos += 1
+          val q = java.util.regex.Pattern.quote(strLitS())
+          l.rlike(s"$q($$|[^a-zA-Z0-9])")
         case Some(Ident("has_any")) =>
           pos += 1; parseLitList().map(v => KqlFunctions.has(l, termString(v))).reduce(_ || _)
         case Some(Ident("has_all")) =>

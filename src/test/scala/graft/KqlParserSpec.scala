@@ -516,6 +516,9 @@ class KqlParserSpec extends SparkSpec {
     assert(ids("user hassuffix 'ROL'") == Seq(4L))
     assert(ids("user has_cs 'alice'") == Seq(1L, 3L))
     assert(ids("user has_cs 'Alice'") == Seq())
+    assert(ids("user hasprefix_cs 'al'") == Seq(1L, 3L))
+    assert(ids("user hasprefix_cs 'Al'") == Seq())
+    assert(ids("user hassuffix_cs 'rol'") == Seq(4L))
     // render is accepted and ignored
     assert(run("t | summarize n = count() by etype | render barchart with (title='x') | count")
       .as[Long].collect().head == 3L)

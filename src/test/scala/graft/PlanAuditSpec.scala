@@ -11,6 +11,13 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
 
+  test("every driver query carries a DuckDB oracle (no rows-only checks)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
+
   test("q_where pushes its filters into the parquet scan") {
     val p = plan("q_where")
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
