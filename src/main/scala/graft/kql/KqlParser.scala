@@ -1479,7 +1479,18 @@ object KqlParser {
           if (args.length > 2) try_element_at(parts, args(2).cast("int") + 1)
           else parts
         case "replace_string" => replace(args.head, args(1), args(2))
-        case "trim" => trim(args.head)
+        case "replace_regex" => regexp_replace(args.head, litString(args(1)), litString(args(2)))
+        case "trim" =>
+          // KQL trim(regex, source) strips leading+trailing matches; the
+          // 1-arg whitespace form is kept as a convenience
+          if (args.length == 2) {
+            val re = litString(args.head)
+            regexp_replace(args(1), s"^(?:$re)+|(?:$re)+$$", "")
+          } else trim(args.head)
+        case "trim_start" =>
+          regexp_replace(args(1), s"^(?:${litString(args.head)})+", "")
+        case "trim_end" =>
+          regexp_replace(args(1), s"(?:${litString(args.head)})+$$", "")
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)

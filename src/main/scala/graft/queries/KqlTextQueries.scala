@@ -601,16 +601,21 @@ object KqlTextQueries {
           |    p1 = split(tostring(event_id), '0', 0),
           |    nz = countof(tostring(event_id), '0+', 'regex'),
           |    u = parse_url(strcat('https://h', tostring(event_id % 10),
-          |          '.example.com/p/', tostring(event_id), '?x=1'))
+          |          '.example.com/p/', tostring(event_id), '?x=1')),
+          |    tr2 = trim('0', strcat('00', tostring(event_id % 9), '00')),
+          |    rr = replace_regex(tostring(event_id), '[05]', '_')
           || extend host = tostring(u.Host), path = tostring(u['Path'])
-          || project event_id, k, p1, nz, host, path
+          || project event_id, k, p1, nz, host, path, tr2, rr
           || sort by event_id asc""".stripMargin),
       Some("""SELECT event_id,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              |  string_split(CAST(event_id AS VARCHAR), '0')[1] AS p1,
              |  CAST(len(regexp_extract_all(CAST(event_id AS VARCHAR), '0+', 0)) AS BIGINT) AS nz,
              |  'h' || CAST(event_id % 10 AS VARCHAR) || '.example.com' AS host,
-             |  '/p/' || CAST(event_id AS VARCHAR) AS path
+             |  '/p/' || CAST(event_id AS VARCHAR) AS path,
+             |  regexp_replace('00' || CAST(event_id % 9 AS VARCHAR) || '00',
+             |    '^(?:0)+|(?:0)+$', '', 'g') AS tr2,
+             |  regexp_replace(CAST(event_id AS VARCHAR), '[05]', '_', 'g') AS rr
              |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
 
     // calendar parts + epoch-to-datetime conversions
