@@ -69,6 +69,46 @@ object SeriesFunctions {
           element_at(arr, i - j + 1).cast("double")))
   }
 
+  /** KQL `series_decompose(series, period)` → struct of four same-length
+    * arrays (baseline, seasonal, trend, residual). Deterministic contract
+    * (documented deviations from Kusto's least-squares/auto-period variant —
+    * the decomposition SHAPE matches, the smoother is simpler and exactly
+    * oracle-replayable):
+    *   - `period` is explicit (no autocorrelation period detection);
+    *   - trend    = trailing moving average over `period` taps (partial head
+    *                windows divide by their true size) — integral inputs sum
+    *                exactly in doubles, then one IEEE division;
+    *   - seasonal = per-phase LOWER MEDIAN of the detrended series
+    *                (sorted[ceil(n/2)], 1-based — the same index-based
+    *                quantile contract as seriesOutliers);
+    *   - baseline = trend + seasonal; residual = x − baseline (exact same
+    *                association replayed by the SQL oracle).
+    * All four components are Catalyst HOFs — zero shuffles, O(n·p) per row.
+    * A phase with no occupants (series shorter than the period) yields null
+    * seasonal/baseline/residual entries rather than erroring. */
+  def seriesDecompose(arr: Column, period: Int): Column = {
+    require(period > 0, s"series_decompose period must be positive, got $period")
+    val trend = seriesMovingAvg(arr, period)
+    val detrended = zip_with(arr, trend, (x, t) => x.cast("double") - t)
+    // p-entry lookup table: phase → lower median of detrended[i] with i≡phase
+    val phaseMedians = transform(sequence(lit(0), lit(period - 1)), q => {
+      val ph = array_sort(filter(detrended, (_, i) => pmod(i, lit(period)) === q))
+      try_element_at(ph, greatest(ceil(size(ph) * 0.5), lit(1)).cast("int"))
+    })
+    val seasonal = transform(arr, (_, i) =>
+      element_at(phaseMedians, pmod(i, lit(period)) + 1))
+    val baseline = zip_with(trend, seasonal, (t, sc) => t + sc)
+    val residual = zip_with(arr, baseline, (x, b) => x.cast("double") - b)
+    struct(baseline.as("baseline"), seasonal.as("seasonal"),
+      trend.as("trend"), residual.as("residual"))
+  }
+
+  /** KQL `series_decompose_anomalies(series, period)`: Tukey-fence flags over
+    * the decomposition residual — +1 high outlier, −1 low, 0 normal (the same
+    * graded-score→sign contract as seriesOutliers). */
+  def seriesDecomposeAnomalies(arr: Column, period: Int): Column =
+    seriesOutliers(seriesDecompose(arr, period).getField("residual"))
+
   /** Tukey-fence outlier flags: +1 above q3+1.5·iqr, −1 below q1−1.5·iqr, else
     * 0 (KQL series_outliers returns graded scores; this emits the sign — the
     * deterministic contract both engines reproduce exactly). Quartiles are

@@ -1264,13 +1264,22 @@ object KqlParser {
           pos += 1
           if (atPunct("~")) { // `in~`: case-insensitive membership
             pos += 1
-            lower(l).isin(parseLitList().map(v => termString(v).toLowerCase): _*)
+            val lits = parseLitList()
+            // case folding applies to string operands only; Kusto treats
+            // in~ over non-strings as plain `in` (lower(cast) of a numeric
+            // column renders "42.0" and would never match the literal "42")
+            if (lits.forall(_.isInstanceOf[String]))
+              lower(l).isin(lits.map(v => termString(v).toLowerCase): _*)
+            else l.isin(lits: _*)
           } else l.isin(parseLitList(): _*)
         case Some(Punct("!in")) =>
           pos += 1
           if (atPunct("~")) {
             pos += 1
-            !lower(l).isin(parseLitList().map(v => termString(v).toLowerCase): _*)
+            val lits = parseLitList()
+            if (lits.forall(_.isInstanceOf[String]))
+              !lower(l).isin(lits.map(v => termString(v).toLowerCase): _*)
+            else !l.isin(lits: _*)
           } else !l.isin(parseLitList(): _*)
         case Some(Punct("!~")) => pos += 1; lower(l) =!= lower(parseAdd())
         case Some(Ident("between")) =>
@@ -1474,12 +1483,21 @@ object KqlParser {
           else args.head.substr(args(1) + 1, length(args.head))
         case "strcat" => concat_ws("", args: _*)
         case "split" =>
-          // split(s, delim [, index]): with index, the single element (null OOB)
+          // split(s, delim [, index]): Kusto returns a dynamic ARRAY in the
+          // indexed form too — one element, or empty when the index is OOB
           val parts = split(args.head, java.util.regex.Pattern.quote(litString(args(1))))
-          if (args.length > 2) try_element_at(parts, args(2).cast("int") + 1)
-          else parts
+          if (args.length > 2) {
+            val e = try_element_at(parts, args(2).cast("int") + 1)
+            when(e.isNull, array().cast("array<string>")).otherwise(array(e))
+          } else parts
         case "replace_string" => replace(args.head, args(1), args(2))
-        case "replace_regex" => regexp_replace(args.head, litString(args(1)), litString(args(2)))
+        case "replace_regex" =>
+          // Kusto rewrite syntax uses \1 capture refs; Java's Matcher uses $1
+          // (and treats bare $ as special) — translate at plan time
+          val rewrite = litString(args(2))
+            .replace("$", "\\$")
+            .replaceAll("""\\(\d)""", """\$$1""")
+          regexp_replace(args.head, litString(args(1)), rewrite)
         case "trim" =>
           // KQL trim(regex, source) strips leading+trailing matches; the
           // 1-arg whitespace form is kept as a convenience
@@ -1693,13 +1711,17 @@ object KqlParser {
         case "array_sort_asc" => array_sort(args.head)
         case "array_sort_desc" => reverse(array_sort(args.head))
         case "array_rotate_left" =>
-          val k = args(1).cast("int") % size(args.head)
-          concat(slice(args.head, k + 1, size(args.head) - k),
-            slice(args.head, lit(1), k))
+          // pmod: negative counts rotate the other way (Kusto semantics);
+          // the size==0 guard avoids ANSI divide-by-zero on empty arrays
+          val n = size(args.head)
+          val k = pmod(args(1).cast("int"), n)
+          when(n === 0, args.head).otherwise(
+            concat(slice(args.head, k + 1, n - k), slice(args.head, lit(1), k)))
         case "array_rotate_right" =>
-          val k = args(1).cast("int") % size(args.head)
-          concat(slice(args.head, size(args.head) - k + 1, k),
-            slice(args.head, lit(1), size(args.head) - k))
+          val n = size(args.head)
+          val k = pmod(args(1).cast("int"), n)
+          when(n === 0, args.head).otherwise(
+            concat(slice(args.head, n - k + 1, k), slice(args.head, lit(1), n - k)))
         case "bag_pack" =>
           // bag_pack(k1, v1, k2, v2, ...) → dynamic property bag (map)
           map(args: _*)
@@ -1713,6 +1735,10 @@ object KqlParser {
         case "series_moving_sum" =>
           SeriesFunctions.seriesMovingSum(args.head, litLong(args(1)).toInt)
         case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
+        case "series_decompose" =>
+          SeriesFunctions.seriesDecompose(args.head, litLong(args(1)).toInt)
+        case "series_decompose_anomalies" =>
+          SeriesFunctions.seriesDecomposeAnomalies(args.head, litLong(args(1)).toInt)
         case other => throw new IllegalArgumentException(s"unsupported scalar function: $other")
       }
     }

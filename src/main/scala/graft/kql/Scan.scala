@@ -166,6 +166,12 @@ object Scan {
         else None
       }
     }
-    df.sparkSession.createDataFrame(out, schema)
+    // Materialize pass 2 now (participating rows only — typically a small
+    // fraction of the input) so the full-width input cache can be released
+    // immediately; otherwise every scan in a long-lived session leaks its
+    // persisted partitions until the RDD is GC'd.
+    val result = df.sparkSession.createDataFrame(out, schema).localCheckpoint()
+    rdd.unpersist(blocking = false)
+    result
   }
 }

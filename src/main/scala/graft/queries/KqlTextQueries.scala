@@ -598,7 +598,7 @@ object KqlTextQueries {
           || where event_id % 500 == 0
           || project event_id, props
           || extend k = tolong(extractjson('$.k', props)),
-          |    p1 = split(tostring(event_id), '0', 0),
+          |    p1 = strcat_array(split(tostring(event_id), '0', 0), '|'),
           |    nz = countof(tostring(event_id), '0+', 'regex'),
           |    u = parse_url(strcat('https://h', tostring(event_id % 10),
           |          '.example.com/p/', tostring(event_id), '?x=1')),
@@ -933,12 +933,14 @@ object KqlTextQueries {
           || sort by user_id asc""".stripMargin),
       // missing (user, type) combinations are NULL on both sides (SUM over an
       // empty CASE set), matching Spark's pivot cells
+      // CAST each outer SUM: DuckDB SUM(BIGINT) is HUGEINT, which fails the
+      // driver's type-sensitive hash even when cell values match
       Some("""SELECT user_id,
-             |  SUM(CASE WHEN event_type = 'click' THEN CAST(floor(value) AS BIGINT) END) AS click,
-             |  SUM(CASE WHEN event_type = 'error' THEN CAST(floor(value) AS BIGINT) END) AS error,
-             |  SUM(CASE WHEN event_type = 'purchase' THEN CAST(floor(value) AS BIGINT) END) AS purchase,
-             |  SUM(CASE WHEN event_type = 'signup' THEN CAST(floor(value) AS BIGINT) END) AS signup,
-             |  SUM(CASE WHEN event_type = 'view' THEN CAST(floor(value) AS BIGINT) END) AS view
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(floor(value) AS BIGINT) END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(floor(value) AS BIGINT) END) AS BIGINT) AS error,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(floor(value) AS BIGINT) END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(floor(value) AS BIGINT) END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(floor(value) AS BIGINT) END) AS BIGINT) AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // materialize(): the bound pipeline is persisted and reused — both union

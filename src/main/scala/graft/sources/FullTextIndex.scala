@@ -51,19 +51,48 @@ object FullTextIndex {
       .parquet(path)
   }
 
-  /** Candidate doc ids for a term set. `matchAll=false` → any term (OR),
-    * `matchAll=true` → docs containing every term (AND via count-distinct over
-    * the per-doc distinct postings). Returns a 1-column ("doc_id") DataFrame. */
+  /** A probe string reduced to the index's term alphabet: lowercase
+    * alphanumeric runs — the exact tokenization `terms()` indexed. A raw
+    * probe like "foo-bar" can never match a posting verbatim, so it is
+    * split into its constituent terms here (and a multi-term probe means
+    * ALL of its terms, mirroring the linear `has`-every-token scan). */
+  private def probeTerms(q: String): Seq[String] =
+    q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq.distinct
+
+  /** Candidate doc ids for a probe set. `matchAll=false` → any probe (OR),
+    * `matchAll=true` → docs matching every probe (AND via count-distinct over
+    * the per-doc distinct postings). A probe that tokenizes to several terms
+    * requires all of them regardless of mode. Returns a 1-column ("doc_id")
+    * DataFrame. */
   def lookup(spark: SparkSession, indexPath: String, query: Seq[String],
              matchAll: Boolean = false): DataFrame = {
+    val probes = query.map(probeTerms).filter(_.nonEmpty).distinct
+    require(probes.nonEmpty, s"no indexable terms in probes: $query")
+    val allTerms = probes.flatten.distinct
     val idx = spark.read.parquet(indexPath)
-      .filter(col("term").isin(query.map(_.toLowerCase): _*))
+      .filter(col("term").isin(allTerms: _*))
     if (matchAll)
+      // every probe must hold → one combined AND over the union of terms
       idx.groupBy("doc_id").agg(countDistinct(col("term")).as("__nt"))
-        .filter(col("__nt") === query.map(_.toLowerCase).distinct.size)
+        .filter(col("__nt") === allTerms.size)
         .select("doc_id")
-    else idx.select("doc_id").distinct()
+    else {
+      val (single, multi) = probes.partition(_.lengthCompare(1) == 0)
+      val orPart =
+        if (single.isEmpty) Nil
+        else Seq(idx.filter(col("term").isin(single.flatten: _*))
+          .select("doc_id"))
+      (orPart ++ multi.map(andProbe(idx, _))).reduce(_ union _).distinct()
+    }
   }
+
+  /** Docs containing every term of one probe, evaluated over the already
+    * term-filtered posting slice. */
+  private def andProbe(idx: DataFrame, terms: Seq[String]): DataFrame =
+    idx.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("__nt"))
+      .filter(col("__nt") === terms.size)
+      .select("doc_id")
 
   /** Indexed search: rows of `docs` matching the term query — the posting-list
     * replacement for the linear `search` scan. The semi-join keeps everything

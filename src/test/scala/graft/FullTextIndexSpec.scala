@@ -41,6 +41,22 @@ class FullTextIndexSpec extends SparkSpec {
     assert(dup.toSeq == Seq(2L, 4L, 5L))
   }
 
+  test("punctuated / multi-word probes tokenize through the index alphabet") {
+    // "Quick-Thinking" → terms {quick, thinking}: both must hold (doc 2 only);
+    // a raw probe would match nothing (postings are alphanumeric runs)
+    val hyphen = FullTextIndex.search(spark, idxPath, docs, "doc_id",
+      Seq("Quick-Thinking")).select("doc_id").as[Long].collect().sorted
+    assert(hyphen.toSeq == Seq(2L))
+    // OR mode mixes a single-term probe with a multi-term probe
+    val mixed = FullTextIndex.search(spark, idxPath, docs, "doc_id",
+      Seq("lazy dog", "fox")).select("doc_id").as[Long].collect().sorted
+    assert(mixed.toSeq == Seq(1L, 2L, 5L))
+    // matchAll over a punctuated probe = all of its terms
+    val all = FullTextIndex.search(spark, idxPath, docs, "doc_id",
+      Seq("fox; dog"), matchAll = true).select("doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(2L, 5L))
+  }
+
   test("term probe is pushed into the posting-table scan; no corpus regex") {
     val plan = FullTextIndex.search(spark, idxPath, docs, "doc_id", Seq("fox"))
       .queryExecution.executedPlan.toString

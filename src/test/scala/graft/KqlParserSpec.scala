@@ -524,6 +524,32 @@ class KqlParserSpec extends SparkSpec {
       .as[Long].collect().head == 3L)
   }
 
+  test("advice fixes: negative rotate, indexed split array, \\N capture refs, numeric in~") {
+    val r = run(
+      """t
+        || where id == 1
+        || extend a = pack_array(1, 2, 3, 4)
+        || extend rl = strcat_array(array_rotate_left(a, -1), ';'),
+        |    rr = strcat_array(array_rotate_right(a, -1), ';'),
+        |    sp = split('a,b,c', ',', 1),
+        |    spo = split('a,b,c', ',', 9),
+        |    rx = replace_regex('ab12cd', '([a-z]+)(\\d+)', '\\2-\\1')
+        || extend spn = array_length(sp), spon = array_length(spo),
+        |    sps = tostring(sp[0])
+        || project rl, rr, spn, sps, spon, rx""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "4;1;2;3") // rotate_left(-1) == rotate_right(1)
+    assert(r.getString(1) == "2;3;4;1")
+    assert(r.getLong(2) == 1L && r.getString(3) == "b") // indexed split → 1-elem array
+    assert(r.getLong(4) == 0L) // OOB index → empty array
+    assert(r.getString(5) == "12-abcd")
+    // numeric in~ degrades to plain in (no lower(cast) mangling)
+    assert(run("t | where id in~ (1, 3) | project id | sort by id asc")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    assert(run("t | where id !in~ (1, 3) | project id | sort by id asc")
+      .as[Long].collect().toSeq == Seq(2L, 4L, 5L))
+  }
+
   test("arg_max(x, *) expands the whole winning row per group") {
     val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
