@@ -1231,6 +1231,104 @@ object Queries {
              |         ELSE 0 END AS VARCHAR)), ';') AS flags
              |FROM fences ORDER BY user_id""".stripMargin)),
 
+    // --- series_decompose: trend + seasonality + residual over daily series --
+    // Deterministic contract (see SeriesFunctions.seriesDecompose): trailing
+    // 7-tap moving-average trend (exact integer sums / one IEEE division),
+    // per-phase lower-median seasonality over the detrended series, residual
+    // with the exact association c − (trend + seasonal) replayed by the oracle.
+    // Unpacked to one row per (event_type, bin index) so doubles compare as
+    // doubles (list columns crash the comparator; strings would reformat).
+    QueryDef("q_series_decompose",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .withColumn("dec", SeriesFunctions.seriesDecompose(col("sr"), 7))
+        .withColumn("tr", col("dec.trend"))
+        .withColumn("se", col("dec.seasonal"))
+        .withColumn("re", col("dec.residual"))
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("sr"), col("tr"), col("se"), col("re"))))
+        .select(col("event_type"), col("pos").cast("int").as("i"),
+          col("col.sr").as("c"), col("col.tr").as("trend"),
+          col("col.se").as("seasonal"), col("col.re").as("resid"))
+        .sortBy(col("event_type"), col("i")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, dd, c,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) AS INT) - 1 AS i
+             |  FROM daily),
+             |tr AS (
+             |  SELECT event_type, dd, i, CAST(c AS DOUBLE) AS c,
+             |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dd
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |      / LEAST(i + 1, 7) AS trend
+             |  FROM idx),
+             |det AS (SELECT *, c - trend AS d, i % 7 AS ph FROM tr),
+             |med AS (
+             |  SELECT event_type, ph,
+             |    list_sort(list(d))[GREATEST(1, CAST(CEIL(0.5 * len(list(d))) AS INT))] AS seasonal
+             |  FROM det GROUP BY 1, 2)
+             |SELECT det.event_type AS event_type, det.i AS i, det.c AS c,
+             |  det.trend AS trend, med.seasonal AS seasonal,
+             |  det.c - (det.trend + med.seasonal) AS resid
+             |FROM det JOIN med ON det.event_type = med.event_type AND det.ph = med.ph
+             |ORDER BY det.event_type, det.i""".stripMargin)),
+
+    // series_decompose_anomalies: Tukey-fence flags over the decomposition
+    // residual — integer flags, so the packed-list output stringifies safely
+    QueryDef("q_series_anomalies",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .select(col("event_type"),
+          array_join(transform(
+            SeriesFunctions.seriesDecomposeAnomalies(col("sr"), 7),
+            x => x.cast("string")), ";").as("flags"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, dd, c,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) AS INT) - 1 AS i
+             |  FROM daily),
+             |tr AS (
+             |  SELECT event_type, dd, i, CAST(c AS DOUBLE) AS c,
+             |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dd
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |      / LEAST(i + 1, 7) AS trend
+             |  FROM idx),
+             |det AS (SELECT *, c - trend AS d, i % 7 AS ph FROM tr),
+             |med AS (
+             |  SELECT event_type, ph,
+             |    list_sort(list(d))[GREATEST(1, CAST(CEIL(0.5 * len(list(d))) AS INT))] AS seasonal
+             |  FROM det GROUP BY 1, 2),
+             |comp AS (
+             |  SELECT det.event_type, det.i,
+             |    det.c - (det.trend + med.seasonal) AS resid
+             |  FROM det JOIN med ON det.event_type = med.event_type AND det.ph = med.ph),
+             |packed AS (
+             |  SELECT event_type, LIST(resid ORDER BY i) AS sr FROM comp GROUP BY 1),
+             |fences AS (
+             |  SELECT event_type, sr,
+             |    list_sort(sr)[GREATEST(1, CAST(CEIL(0.25 * len(sr)) AS INT))] AS q1,
+             |    list_sort(sr)[GREATEST(1, CAST(CEIL(0.75 * len(sr)) AS INT))] AS q3
+             |  FROM packed)
+             |SELECT event_type,
+             |  array_to_string(list_transform(sr, x -> CAST(
+             |    CASE WHEN x > q3 + 1.5 * (q3 - q1) THEN 1
+             |         WHEN x < q1 - 1.5 * (q3 - q1) THEN -1
+             |         ELSE 0 END AS VARCHAR)), ';') AS flags
+             |FROM fences ORDER BY event_type""".stripMargin)),
+
     // --- deterministic keyed dedup (meerkat merge-dedup semantics) ----------
     QueryDef("q_dedup",
       (s, d) => Tables.dedupRows(

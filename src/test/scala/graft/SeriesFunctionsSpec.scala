@@ -61,6 +61,35 @@ class SeriesFunctionsSpec extends SparkSpec {
       r.getSeq[Double](3).isEmpty)
   }
 
+  test("series_decompose: components reconstruct, seasonality captured, flags fire") {
+    // two exact periods of a pure seasonal pattern riding a flat level
+    val s = Seq(Tuple1(Seq(10.0, 20.0, 30.0, 10.0, 20.0, 30.0)))
+      .toDF("s").select(seriesDecompose($"s", 3).as("d")).collect().head
+      .getStruct(0)
+    val Seq(baseline, seasonal, trend, residual) =
+      (0 to 3).map(s.getSeq[Double](_))
+    // identity: x == baseline + residual and baseline == trend + seasonal
+    val x = Seq(10.0, 20.0, 30.0, 10.0, 20.0, 30.0)
+    x.indices.foreach { i =>
+      assert(math.abs(baseline(i) + residual(i) - x(i)) < 1e-12)
+      assert(math.abs(trend(i) + seasonal(i) - baseline(i)) < 1e-12)
+    }
+    // phases repeat with period 3
+    assert(seasonal(0) == seasonal(3) && seasonal(1) == seasonal(4) &&
+      seasonal(2) == seasonal(5))
+    // anomalies: a huge spike on an otherwise repeating pattern flags +1
+    val flags = Seq(Tuple1(Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0, 10.0, 20.0,
+        10.0, 500.0, 10.0, 20.0)))
+      .toDF("s").select(seriesDecomposeAnomalies($"s", 2).as("f"))
+      .as[Seq[Int]].head()
+    assert(flags(9) == 1)
+    assert(flags.count(_ != 0) <= 3, s"spike should dominate: $flags")
+    // degenerate: series shorter than the period yields nulls, not errors
+    val short = Seq(Tuple1(Seq(1.0, 2.0)))
+      .toDF("s").select(seriesDecompose($"s", 5).as("d")).collect().head
+    assert(short.getStruct(0).getSeq[Any](1).size == 2)
+  }
+
   test("parser surface: dynamic literal, pack_array, series fns, set ops") {
     val t = Seq((1, 7.0), (2, 1.0)).toDF("id", "v")
     val got = KqlParser.parse(
