@@ -271,6 +271,15 @@ object KqlParser {
             toks(pos + 1).isInstanceOf[Ident] && toks.lift(pos + 2).contains(Ident("from"))) {
             pos += 1; parseRangeSource()
           }
+          else if (atIdent("search") && (toks.lift(pos + 1) match {
+            case Some(Ident("in")) | Some(Ident("kind")) => true
+            case Some(Str(_)) => true
+            case _ => false
+          })) { pos += 1; sourceName = "search"; parseSearchSource() }
+          else if (atIdent("find") && (toks.lift(pos + 1) match {
+            case Some(Ident("in")) | Some(Ident("where")) => true
+            case _ => false
+          })) { pos += 1; sourceName = "find"; parseFindSource() }
           else { val n = ident(); sourceName = n; resolveTable(n) }
         while (atPunct("|")) {
           eatPunct("|"); df = parseOp(df)
@@ -283,6 +292,84 @@ object KqlParser {
       } finally {
         lastSortKeys = savedSort; serializedOrder = savedSer; sourceName = savedSrc
       }
+    }
+
+    /** `[kind=default|case_sensitive]` after `search` → true when the probe
+      * must be case-sensitive. */
+    private def parseSearchKind(): Boolean =
+      if (atIdent("kind")) {
+        pos += 1; eatPunct("=")
+        ident() match {
+          case "case_sensitive" => true
+          case "default" => false
+          case other =>
+            throw new IllegalArgumentException(s"search: unsupported kind=$other")
+        }
+      } else false
+
+    /** `search X` ≡ `where * has X`: term-match ORed over every string column. */
+    private def searchFilter(df: DataFrame, term: String, cs: Boolean): DataFrame = {
+      val strCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(f => col(f.name))
+      require(strCols.nonEmpty, "search: source has no string columns")
+      df.where_(strCols.map(c =>
+        if (cs) KqlFunctions.hasCs(c, term) else KqlFunctions.has(c, term))
+        .reduce(_ || _))
+    }
+
+    /** Program-initial `search [kind=...] in (T1, ..., Tn) 'term'` — the
+      * cross-table search form: each table is probed over ITS OWN string
+      * columns (the filter stays per-leg, under the union, so column pruning
+      * and pushdown apply per table), labeled with its source name, and the
+      * legs union by name with null-fill — the same align+label machinery as
+      * `union withsource=`. Deviation: the label column is `source_` (Kusto
+      * uses `$table`, which our identifier grammar cannot reference), and the
+      * table list is mandatory (we have no global table registry to default
+      * to). */
+    private def parseSearchSource(): DataFrame = {
+      val cs = parseSearchKind()
+      require(atIdent("in"),
+        "search as a query source requires an explicit table list: search in (T1, T2, ...) 'term'")
+      val tables = parseTableNameList()
+      val term = strLitS()
+      tables.map { n =>
+        searchFilter(resolveTable(n), term, cs).extend("source_" -> lit(n))
+      }.reduce(_ unionKql _)
+    }
+
+    /** Program-initial `find in (T1, ..., Tn) where <pred> [project c1, ...]`:
+      * rows from any listed table satisfying the predicate. The tables are
+      * aligned by name with null-fill FIRST (a column absent from a table is
+      * null there — Kusto's documented missing-column semantics), labeled with
+      * `source_`, then filtered; Catalyst pushes the filter back under the
+      * union into each leg. */
+    private def parseFindSource(): DataFrame = {
+      require(atIdent("in"),
+        "find requires an explicit table list: find in (T1, T2, ...) where ...")
+      val tables = parseTableNameList()
+      val aligned = tables.map { n =>
+        resolveTable(n).extend("source_" -> lit(n))
+      }.reduce(_ unionKql _)
+      eatIdent("where")
+      val filtered = aligned.where_(parseExpr())
+      if (atIdent("project")) {
+        pos += 1
+        val cols = parseIdentList()
+        filtered.project((cols :+ "source_").distinct.map(col): _*)
+      } else filtered
+    }
+
+    private def parseTableNameList(): Seq[String] = {
+      pos += 1 // consume `in`
+      eatPunct("(")
+      val ns = Seq.newBuilder[String]
+      ns += ident()
+      while (atPunct(",")) { pos += 1; ns += ident() }
+      eatPunct(")")
+      val out = ns.result()
+      require(out.nonEmpty, "expected at least one table name")
+      out
     }
 
     /** `range name from lo to hi step s` — stepped sequence source (KQL range is
@@ -591,15 +678,10 @@ object KqlParser {
         // stand-in for the reference's reserved full-text index slot
         // (`/root/reference/src/store/segment_metadata.proto:38-43`): a posting
         // list / bloom probe would accelerate this same predicate unchanged.
-        // `kind=` is accepted and ignored — `has` is already case-insensitive,
-        // and the fixture terms are ASCII (case_sensitive would need has_cs).
-        if (atIdent("kind")) { pos += 1; eatPunct("="); ident() }
-        val term = strLitS()
-        val strCols = df.schema.fields
-          .filter(_.dataType == org.apache.spark.sql.types.StringType)
-          .map(f => col(f.name))
-        require(strCols.nonEmpty, "search: source has no string columns")
-        df.where_(strCols.map(c => KqlFunctions.has(c, term)).reduce(_ || _))
+        // `kind=case_sensitive` switches the probe to has_cs; the default (and
+        // `kind=default`) keeps `has`'s case-insensitive term match.
+        val cs = parseSearchKind()
+        searchFilter(df, strLitS(), cs)
       case "project" =>
         withRowFns(df) { val cols = parseProjList(); _.project(cols: _*) }
       case "project-away" => df.projectAway(parseIdentList(): _*)

@@ -753,6 +753,82 @@ object KqlTextQueries {
              |   OR regexp_matches(lower(source), '(^|[^a-z0-9])pipeline($|[^a-z0-9])')
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // cross-table search: each table probed over its own string columns under
+    // the union (filter per leg → pushdown per table), labeled with source_.
+    // 'data' lives only in documents.text and 'click' only in
+    // events.event_type, so both legs contribute rows through one probe each.
+    QueryDef("q_kql_search_multi",
+      (s, d) => run(s, d,
+        """search in (events, documents) 'click'
+          || summarize n = count() by source_
+          || join kind=fullouter (
+          |    search in (events, documents) 'data'
+          |    | summarize n_data = count() by source_) on source_
+          || project source_, n, n_data
+          || sort by source_ asc""".stripMargin),
+      Some("""WITH clickp AS (
+             |  SELECT 'events' AS source_ FROM events
+             |  WHERE regexp_matches(lower(event_type), '(^|[^a-z0-9])click($|[^a-z0-9])')
+             |     OR regexp_matches(lower(props), '(^|[^a-z0-9])click($|[^a-z0-9])')
+             |  UNION ALL
+             |  SELECT 'documents' AS source_ FROM documents
+             |  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])click($|[^a-z0-9])')
+             |     OR regexp_matches(lower(lang), '(^|[^a-z0-9])click($|[^a-z0-9])')
+             |     OR regexp_matches(lower(source), '(^|[^a-z0-9])click($|[^a-z0-9])')),
+             |datap AS (
+             |  SELECT 'events' AS source_ FROM events
+             |  WHERE regexp_matches(lower(event_type), '(^|[^a-z0-9])data($|[^a-z0-9])')
+             |     OR regexp_matches(lower(props), '(^|[^a-z0-9])data($|[^a-z0-9])')
+             |  UNION ALL
+             |  SELECT 'documents' AS source_ FROM documents
+             |  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data($|[^a-z0-9])')
+             |     OR regexp_matches(lower(lang), '(^|[^a-z0-9])data($|[^a-z0-9])')
+             |     OR regexp_matches(lower(source), '(^|[^a-z0-9])data($|[^a-z0-9])')),
+             |a AS (SELECT source_, COUNT(*) AS n FROM clickp GROUP BY 1),
+             |b AS (SELECT source_, COUNT(*) AS n_data FROM datap GROUP BY 1)
+             |SELECT COALESCE(a.source_, b.source_) AS source_, a.n, b.n_data
+             |FROM a FULL OUTER JOIN b ON a.source_ = b.source_
+             |ORDER BY source_""".stripMargin)),
+
+    // search kind=case_sensitive: the probe term exists only in lowercase in
+    // the fixture, so the case-sensitive count is 0 while the default
+    // (case-insensitive) count is the full click population — kind changes
+    // the answer
+    QueryDef("q_kql_search_cs",
+      (s, d) => run(s, d,
+        """let ci = toscalar(events | search 'CLICK' | summarize count());
+          |events
+          || search kind=case_sensitive 'CLICK'
+          || summarize n_cs = count()
+          || extend n_ci = ci""".stripMargin),
+      Some("""SELECT COUNT(*) FILTER (WHERE
+             |    regexp_matches(event_type, '(^|[^a-zA-Z0-9])CLICK($|[^a-zA-Z0-9])')
+             |    OR regexp_matches(props, '(^|[^a-zA-Z0-9])CLICK($|[^a-zA-Z0-9])')) AS n_cs,
+             |  COUNT(*) FILTER (WHERE
+             |    regexp_matches(lower(event_type), '(^|[^a-z0-9])click($|[^a-z0-9])')
+             |    OR regexp_matches(lower(props), '(^|[^a-z0-9])click($|[^a-z0-9])')) AS n_ci
+             |FROM events""".stripMargin)),
+
+    // find: union-align the tables with null-fill, then one predicate over the
+    // combined schema (a column missing from a table is null there); project
+    // keeps source_ so every row names its origin table
+    QueryDef("q_kql_find",
+      (s, d) => run(s, d,
+        """find in (events, documents)
+          |  where value > 489 or n_chars > 540
+          |  project source_, event_id, doc_id
+          || summarize n = count(), ne = dcount(event_id), nd = dcount(doc_id) by source_
+          || sort by source_ asc""".stripMargin),
+      Some("""WITH f AS (
+             |  SELECT 'events' AS source_, event_id, NULL AS doc_id FROM events
+             |  WHERE value > 489
+             |  UNION ALL
+             |  SELECT 'documents' AS source_, NULL AS event_id, doc_id FROM documents
+             |  WHERE n_chars > 540)
+             |SELECT source_, COUNT(*) AS n, COUNT(DISTINCT event_id) AS ne,
+             |  COUNT(DISTINCT doc_id) AS nd
+             |FROM f GROUP BY source_ ORDER BY source_""".stripMargin)),
+
     // maxDuration rollover with a tight 2h bound on a hand-picked fixture: one
     // 4.5h idle-dense run (30m spacing, never > the 30m idle gap) must split at
     // the first event more than 2h past the window start (02:30), and a later

@@ -550,6 +550,29 @@ class KqlParserSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L, 4L, 5L))
   }
 
+  test("search kind=case_sensitive changes the answer; search-in and find union tables") {
+    val u = Seq((10L, "gamma", "X"), (11L, "DELTA", "Y"))
+      .toDF("uid", "word", "tag")
+    def both(n: String): DataFrame = n match {
+      case "u" => u case _ => t
+    }
+    // case-insensitive finds both spellings; case-sensitive only the exact one
+    assert(KqlParser.parse("u | search 'delta'", both).count() == 1)
+    assert(KqlParser.parse("u | search kind=case_sensitive 'delta'", both).count() == 0)
+    assert(KqlParser.parse("u | search kind=case_sensitive 'DELTA'", both).count() == 1)
+    // cross-table search: per-table probes, source_ labels, null-fill union
+    val multi = KqlParser.parse(
+      "search in (t, u) 'alice' | project source_, id, uid", both)
+    assert(multi.columns.toSeq == Seq("source_", "id", "uid"))
+    val rows = multi.collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(rows == Set(("t", 1L, null), ("t", 3L, null)))
+    // find: predicate over the aligned union; missing columns are null
+    val found = KqlParser.parse(
+      "find in (t, u) where v > 50 or uid > 10 | project source_, id, uid",
+      both).collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(found == Set(("t", 4L, null), ("u", null, 11L)))
+  }
+
   test("arg_max(x, *) expands the whole winning row per group") {
     val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
