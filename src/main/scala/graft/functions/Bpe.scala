@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: a REAL greedy-merge BPE (classic Sennrich
+  * et al. 2016 algorithm, public), replacing the earlier regex
+  * boundary-split approximation (TextAnalysis.bpeishTokens) for the
+  * north-star text-analysis surface.
+  *
+  * Split of labor:
+  *   - `train` — the merge-table learner: iteratively count adjacent symbol
+  *     pairs over a word-frequency table and merge the most frequent pair.
+  *     Deterministic: ties break on (count desc, pair lexicographic asc).
+  *   - `trainFromCorpus` — the 100 TB path: word frequencies come from one
+  *     distributed groupBy over the corpus; only the BOUNDED top-`vocabSize`
+  *     (word, count) rows reach the driver (the same bounded-model pattern
+  *     as the IVF centroids), and the merge loop runs on that sample.
+  *   - `tokensExpr` — the encoder as a pure codegen'd expression: each word
+  *     becomes a unit-separator-wrapped char string ("␟a␟␟b␟…"), each merge
+  *     rule is ONE literal `replace` ("␟a␟␟b␟" → "␟ab␟"), applied in rank
+  *     order. String replace is left-to-right non-overlapping in Spark and
+  *     DuckDB alike, which is exactly BPE's within-rule merge order, so the
+  *     SQL oracle replays the identical chain verbatim. No UDF, no shuffle:
+  *     a scan-side transform at any scale.
+  *
+  * Deviations from production BPE (documented): symbols are characters (no
+  * byte fallback, no end-of-word marker) and the application is one pass per
+  * rule in rank order rather than priority-queue re-scanning — both engines
+  * and the trainer share this exact contract, so results are reproducible.
+  */
+object Bpe {
+
+  /** Unit separator — wraps every symbol; stripped from input text first so
+    * adversarial input cannot forge symbol boundaries. */
+  val Sep = "\u001F"
+
+  /** One left-to-right non-overlapping merge pass (the trainer's mirror of
+    * what `replace` does to the wrapped string form). */
+  def mergePass(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Learn `numMerges` merge rules from a word-frequency table. */
+  def train(wordFreq: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] = wordFreq
+      .filter(_._1.nonEmpty)
+      .groupMapReduce(w => w._1.split("").toVector)(_._2)(_ + _)
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 1 to numMerges if !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          mergePass(syms, best._1, best._2)
+        }(_._2)(_ + _)
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed training: ONE corpus pass for word counts, bounded top-V
+    * sample to the driver, local merge loop. Tie-break on (count desc, word
+    * asc) so the sample is deterministic under any partitioning. */
+  def trainFromCorpus(docs: DataFrame, textCol: String, vocabSize: Int,
+                      numMerges: Int): Seq[(String, String)] = {
+    val freq = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(vocabSize)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    train(freq, numMerges)
+  }
+
+  /** The embedded default merge table: trained (by `train`, at object init —
+    * the trainer really runs) on a fixed public-English word-frequency
+    * sample. A FIXED sample, not the corpus, because the driver's oracle SQL
+    * is static: both engines must replay one known merge chain. The corpus-
+    * trained path is exercised by `trainFromCorpus`'s spec. */
+  val defaultSample: Map[String, Long] = Map(
+    "the" -> 500L, "table" -> 320L, "value" -> 300L, "query" -> 280L,
+    "scan" -> 260L, "part" -> 240L, "order" -> 230L, "window" -> 220L,
+    "stream" -> 210L, "batch" -> 200L, "filter" -> 190L, "merge" -> 180L,
+    "group" -> 170L, "join" -> 160L, "sort" -> 150L, "line" -> 140L,
+    "hash" -> 130L, "fast" -> 120L, "slow" -> 110L, "column" -> 100L,
+    "customer" -> 90L, "agg" -> 80L, "key" -> 70L, "row" -> 60L,
+    "small" -> 50L, "big" -> 40L, "data" -> 30L, "spark" -> 20L)
+
+  val defaultMerges: Seq[(String, String)] = train(defaultSample, 40)
+
+  /** Wrapped-string form of one word: "␟c1␟␟c2␟…␟cn␟". Spark's empty-regex
+    * split leaves a trailing "" (Java split with limit -1); DuckDB's does
+    * not — strip it so both engines wrap identical symbol lists. */
+  private def wrapped(word: Column): Column =
+    concat(lit(Sep), array_join(array_remove(split(word, ""), ""), Sep + Sep), lit(Sep))
+
+  /** Encode one word column into its BPE token array by replaying the merge
+    * chain as literal string replaces (codegen'd; zero shuffle). */
+  def encodeWord(word: Column, merges: Seq[(String, String)] = defaultMerges): Column = {
+    val merged = merges.foldLeft(wrapped(word)) { case (s, (a, b)) =>
+      replace(s, lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
+    }
+    split(regexp_replace(merged, s"^$Sep|$Sep$$", ""), Sep + Sep)
+  }
+
+  /** Document text → flattened BPE token stream: whitespace words, each
+    * encoded independently. Input `Sep` chars are stripped (boundary-forgery
+    * guard); empty words dropped. */
+  def tokensExpr(text: Column, merges: Seq[(String, String)] = defaultMerges): Column =
+    flatten(transform(
+      filter(split(replace(lower(text), lit(Sep), lit("")), "\\s+"), w => length(w) > 0),
+      w => encodeWord(w, merges)))
+
+  /** The identical encode chain as DuckDB SQL over a word expression —
+    * generated from the SAME merge table the Spark expression uses, so the
+    * oracle replays it verbatim. */
+  def encodeWordSql(wordExpr: String, merges: Seq[(String, String)] = defaultMerges): String = {
+    val sep = "chr(31)"
+    val wrappedSql =
+      s"$sep || array_to_string(string_split($wordExpr, ''), $sep || $sep) || $sep"
+    val chain = merges.foldLeft(wrappedSql) { case (s, (a, b)) =>
+      s"replace($s, $sep || '$a' || $sep || $sep || '$b' || $sep, $sep || '${a + b}' || $sep)"
+    }
+    s"string_split(regexp_replace($chain, '^\\x1f|\\x1f$$', '', 'g'), $sep || $sep)"
+  }
+}
