@@ -331,6 +331,34 @@ object Kql {
           .when(nextV.isNull, prevV)
           .otherwise(prevV + (nextV - prevV) * (binSec - prevB) / (nextB - prevB)))
     }
+
+    /** `T | evaluate basket(threshold, c1, ..., ck)` — frequent-attribute-
+      * combination mining (KQL basket plugin): every non-empty subset of the
+      * given attributes whose (value-specific) combination covers at least
+      * `threshold` of the rows, wildcard positions null. One `cube` pass
+      * computes ALL 2^k−1 subset aggregations with partial+final hash aggs —
+      * a single shuffle regardless of k; the total for the percent column is
+      * the cube's own grand-total row, broadcast back (single-row cross
+      * join), so the fact table is scanned once and nothing collects.
+      * Deviations (documented): attributes are explicit (Kusto baskets every
+      * column, binning numerics) and no SegmentId ordinal is emitted.
+      * `autocluster` parses to the same mining with Kusto's default 0.05
+      * support — its size-weight segment scoring is approximated by the
+      * support threshold. */
+    def basket(cols: Seq[String], threshold: Double): DataFrame = {
+      require(cols.nonEmpty, "basket requires at least one attribute column")
+      val k = cols.size
+      val allWild = (1 << k) - 1
+      val cubed = df.cube(cols.map(col): _*)
+        .agg(count(lit(1)).as("count_"), grouping_id().as("__gid"))
+      val total = cubed.filter(col("__gid") === allWild)
+        .select(col("count_").as("__total"))
+      cubed.filter(col("__gid") =!= allWild)
+        .crossJoin(broadcast(total))
+        .filter(col("count_") >= lit(threshold) * col("__total"))
+        .withColumn("percent", col("count_") * lit(100.0) / col("__total"))
+        .drop("__gid", "__total")
+    }
   }
 
   // ------------------------------------------------------------------

@@ -879,6 +879,19 @@ object KqlParser {
             }
             val groups = df.columns.filterNot(c => c == pc || aggArg.contains(c))
             df.groupBy(groups.map(col).toIndexedSeq: _*).pivot(pc).agg(aggC)
+          case "basket" | "autocluster" =>
+            // `evaluate basket(threshold, c1, ..., ck)` / `evaluate
+            // autocluster(c1, ..., ck)` — frequent attribute combinations
+            // (see Kql.basket for semantics + deviations). autocluster takes
+            // Kusto's default 0.05 support.
+            val threshold =
+              if (fn == "basket") { val t = parseNum(); eatPunct(","); t }
+              else 0.05
+            val cs = Seq.newBuilder[String]
+            cs += ident()
+            while (atPunct(",")) { pos += 1; cs += ident() }
+            eatPunct(")")
+            df.basket(cs.result(), threshold)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "parse" =>

@@ -753,6 +753,52 @@ object KqlTextQueries {
              |   OR regexp_matches(lower(source), '(^|[^a-z0-9])pipeline($|[^a-z0-9])')
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // evaluate autocluster/basket: frequent attribute combinations via one
+    // cube pass; the grand-total row funds the percent column (broadcast
+    // single-row join, no second corpus scan). autocluster = basket at
+    // Kusto's default 0.05 support (see Kql.basket scaladoc for deviations)
+    QueryDef("q_kql_autocluster",
+      (s, d) => run(s, d,
+        """events
+          || extend band = strcat('b', tostring(user_id % 3))
+          || evaluate autocluster(event_type, band)
+          || sort by count_ desc, event_type asc, band asc""".stripMargin),
+      Some("""WITH base AS (
+             |  SELECT event_type, 'b' || CAST(user_id % 3 AS VARCHAR) AS band FROM events),
+             |c AS (
+             |  SELECT event_type, band, COUNT(*) AS count_,
+             |    GROUPING(event_type) AS g1, GROUPING(band) AS g2
+             |  FROM base GROUP BY CUBE(event_type, band)),
+             |tot AS (SELECT count_ AS total FROM c WHERE g1 = 1 AND g2 = 1)
+             |SELECT c.event_type AS event_type, c.band AS band, c.count_ AS count_,
+             |  c.count_ * 100.0 / tot.total AS percent
+             |FROM c, tot
+             |WHERE NOT (g1 = 1 AND g2 = 1) AND c.count_ >= 0.05 * tot.total
+             |ORDER BY count_ DESC, event_type NULLS FIRST, band NULLS FIRST""".stripMargin)),
+
+    // basket with an explicit (higher) threshold over three attributes —
+    // exercises the 2^3−1 subset lattice and the value-combination pruning
+    QueryDef("q_kql_basket",
+      (s, d) => run(s, d,
+        """events
+          || extend band = strcat('b', tostring(user_id % 4)),
+          |    big = iff(value > 250, 'hi', 'lo')
+          || evaluate basket(0.12, event_type, band, big)
+          || sort by count_ desc, event_type asc, band asc, big asc""".stripMargin),
+      Some("""WITH base AS (
+             |  SELECT event_type, 'b' || CAST(user_id % 4 AS VARCHAR) AS band,
+             |    CASE WHEN value > 250 THEN 'hi' ELSE 'lo' END AS big FROM events),
+             |c AS (
+             |  SELECT event_type, band, big, COUNT(*) AS count_,
+             |    GROUPING(event_type) AS g1, GROUPING(band) AS g2, GROUPING(big) AS g3
+             |  FROM base GROUP BY CUBE(event_type, band, big)),
+             |tot AS (SELECT count_ AS total FROM c WHERE g1 = 1 AND g2 = 1 AND g3 = 1)
+             |SELECT c.event_type AS event_type, c.band AS band, c.big AS big,
+             |  c.count_ AS count_, c.count_ * 100.0 / tot.total AS percent
+             |FROM c, tot
+             |WHERE NOT (g1 = 1 AND g2 = 1 AND g3 = 1) AND c.count_ >= 0.12 * tot.total
+             |ORDER BY count_ DESC, event_type NULLS FIRST, band NULLS FIRST, big NULLS FIRST""".stripMargin)),
+
     // cross-table search: each table probed over its own string columns under
     // the union (filter per leg → pushdown per table), labeled with source_.
     // 'data' lives only in documents.text and 'click' only in

@@ -573,6 +573,22 @@ class KqlParserSpec extends SparkSpec {
     assert(found == Set(("t", 4L, null), ("u", null, 11L)))
   }
 
+  test("evaluate basket mines frequent attribute combinations with wildcards") {
+    // 5 rows: click appears 3× (60% ≥ 50%), alice 2× (40% < 50%),
+    // (click, alice) 2× (40% < 50%) — only single-attribute click survives,
+    // plus every ≥50% band
+    val seg = run(
+      "t | evaluate basket(0.5, etype, user) | sort by count_ desc, etype asc, user asc")
+      .select("etype", "user", "count_")
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2))).toSeq
+    assert(seg == Seq(("click", null, 3L)))
+    // autocluster = basket at the 0.05 default: every present combination
+    val auto = run("t | evaluate autocluster(etype) | sort by count_ desc, etype asc")
+    assert(auto.columns.toSeq == Seq("etype", "count_", "percent"))
+    val rows = auto.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("click", 3L, 60.0), ("purchase", 1L, 20.0), ("view", 1L, 20.0)))
+  }
+
   test("arg_max(x, *) expands the whole winning row per group") {
     val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
