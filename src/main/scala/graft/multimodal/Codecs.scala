@@ -222,6 +222,86 @@ object Codecs {
     WavAudio(sampleRate, channels, bits, samples)
   }
 
+  // --------------------------------------------------------------- JPEG ----
+
+  /** Frame-header metadata from a JPEG's SOF marker (ITU-T T.81 §B.2.2). */
+  final case class JpegMeta(width: Int, height: Int, components: Int,
+                            precision: Int, progressive: Boolean)
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff
+
+  /** Marker walk to the first SOF0–SOF15 frame header (skipping the
+    * non-frame C4/C8/CC markers), returning dimensions without entropy
+    * decode — the standard way to read JPEG metadata cheaply; the walk
+    * handles fill bytes, standalone markers, and variable-length segments. */
+  def decodeJpegMeta(bytes: Array[Byte]): JpegMeta = {
+    require(isJpeg(bytes), "not a JPEG: bad SOI signature")
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff, f"bad JPEG marker alignment at $pos")
+      var marker = bytes(pos + 1) & 0xff
+      while (marker == 0xff && pos + 2 < bytes.length) { // fill bytes
+        pos += 1; marker = bytes(pos + 1) & 0xff
+      }
+      if (marker == 0xd9) // EOI before any SOF
+        throw new IllegalArgumentException("JPEG has no SOF frame header")
+      else if ((marker >= 0xd0 && marker <= 0xd8) || marker == 0x01) pos += 2 // standalone
+      else {
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        require(len >= 2 && pos + 2 + len <= bytes.length, s"truncated JPEG segment at $pos")
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          require(len >= 8, "SOF segment too short")
+          val precision = bytes(pos + 4) & 0xff
+          val height = ((bytes(pos + 5) & 0xff) << 8) | (bytes(pos + 6) & 0xff)
+          val width = ((bytes(pos + 7) & 0xff) << 8) | (bytes(pos + 8) & 0xff)
+          val comps = bytes(pos + 9) & 0xff
+          return JpegMeta(width, height, comps, precision, progressive = marker == 0xc2)
+        }
+        if (marker == 0xda) // SOS: entropy data follows, no SOF seen
+          throw new IllegalArgumentException("JPEG has no SOF before scan data")
+        pos += 2 + len
+      }
+    }
+    throw new IllegalArgumentException("truncated JPEG: no SOF marker found")
+  }
+
+  /** Structurally-valid JFIF fixture: SOI, APP0, COM, DQT, SOF0 carrying the
+    * given dimensions, SOS with a token scan payload, EOI. The entropy data
+    * is NOT a real encoded image (fixture for the metadata path — full
+    * baseline huffman+DCT decode is out of scope); every marker segment is
+    * spec-shaped so the SOF walk exercises real skipping. */
+  def encodeJpegFixture(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff)
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      out.write(payload)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)) // APP0: v1.2, no density, no thumb
+    marker(0xfe, "graft fixture".getBytes("US-ASCII")) // COM
+    marker(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(16)) // DQT: table 0, flat
+    val sof = ByteBuffer.allocate(15)
+      .put(8.toByte) // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(3.toByte) // components
+      .put(Array[Byte](1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) // id, sampling, quant
+      .array()
+    marker(0xc0, sof) // SOF0 baseline
+    marker(0xda, Array[Byte](3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS header
+    out.write(Array[Byte](0x12, 0x34, 0x56)) // token entropy bytes (not decoded)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ------------------------------------------------- video container ----
 
   private val VideoMagic = "GVF0".getBytes("US-ASCII")

@@ -45,17 +45,21 @@ object Multimodal {
 
     def videoFrameCount(id: Long): Int = (1 + id % 5).toInt
 
-    /** id % 3: 0 → PNG image, 1 → WAV audio, 2 → GVF0 video of PNG frames. */
-    def payload(id: Long): Array[Byte] = (id % 3) match {
+    /** id % 4: 0 → PNG image, 1 → WAV audio, 2 → GVF0 video of PNG frames,
+      * 3 → JPEG (metadata fixture: real marker structure, token scan data). */
+    def payload(id: Long): Array[Byte] = (id % 4) match {
       case 0 =>
         val (w, h) = imageDims(id)
         Codecs.encodePng(w, h, imagePixels(id, 0))
       case 1 => Codecs.encodeWav(8000, audioSamples(id))
-      case _ =>
+      case 2 =>
         val (w, h) = imageDims(id)
         val frames = (0 until videoFrameCount(id)).map(f =>
           Codecs.encodePng(w, h, imagePixels(id, f)))
         Codecs.encodeVideo(frames)
+      case _ =>
+        val (w, h) = imageDims(id)
+        Codecs.encodeJpegFixture(w, h)
     }
   }
 
@@ -67,8 +71,8 @@ object Multimodal {
     val gen = udf((id: Long) => SyntheticMedia.payload(id))
     df.withColumn("payload", gen(col(idCol).cast("long")))
       .withColumn("media_kind",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col(idCol) % 3 + 1).cast("int")))
+        element_at(array(lit("image"), lit("audio"), lit("video"), lit("jpeg")),
+          (col(idCol) % 4 + 1).cast("int")))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
   }
 
@@ -84,10 +88,14 @@ object Multimodal {
                                 meanVal: Double, frameCount: Int)
 
   /** REAL decode, routed by magic bytes; unknown formats degrade to raw byte
-    * stats instead of failing the batch. */
+    * stats instead of failing the batch. JPEG decode is metadata-only (SOF
+    * dimension walk — no entropy decode), so meanVal is 0 for jpeg. */
   def decode(bytes: Array[Byte]): MediaDecoded =
     if (bytes == null || bytes.isEmpty) MediaDecoded("empty", 0, 0, 0.0, 0)
-    else if (Codecs.isPng(bytes)) {
+    else if (Codecs.isJpeg(bytes)) {
+      val m = Codecs.decodeJpegMeta(bytes)
+      MediaDecoded("jpeg", m.width, m.height, 0.0, 1)
+    } else if (Codecs.isPng(bytes)) {
       val img = Codecs.decodePng(bytes)
       MediaDecoded("image", img.width, img.height, meanUnsigned(img.pixels), 1)
     } else if (Codecs.isWav(bytes)) {

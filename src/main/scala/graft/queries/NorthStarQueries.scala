@@ -736,23 +736,27 @@ object NorthStarQueries {
             col("frameCount").as("frame_count"))
           .sortBy(col("media_id"))
       },
+      // id % 4 routing: 0 PNG / 1 WAV / 2 GVF0 / 3 JPEG (metadata-only decode
+      // → mean_val 0, one frame; dimensions come from the real SOF walk)
       Some(
         """SELECT doc_id AS media_id,
-          |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_kind,
-          |  CASE WHEN doc_id % 3 = 1 THEN 0
+          |  (['image','audio','video','jpeg'])[CAST(doc_id % 4 + 1 AS INT)] AS media_kind,
+          |  CASE WHEN doc_id % 4 = 1 THEN 0
           |       ELSE CAST(8 + doc_id % 9 AS INT) END AS width,
-          |  CASE WHEN doc_id % 3 = 1 THEN 0
+          |  CASE WHEN doc_id % 4 = 1 THEN 0
           |       ELSE CAST(8 + doc_id % 7 AS INT) END AS height,
-          |  CASE WHEN doc_id % 3 = 1
+          |  CASE WHEN doc_id % 4 = 1
           |    THEN CAST(list_sum(list_transform(range(0, 64 + doc_id % 64),
           |           i -> (doc_id * 13 + i * 5) % 2003 - 1001)) AS DOUBLE)
           |         / (64 + doc_id % 64)
+          |  WHEN doc_id % 4 = 3 THEN 0.0
           |    ELSE CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (8 + doc_id % 7)),
           |           i -> (doc_id * 31 + i * 7) % 251)) AS DOUBLE)
           |         / ((8 + doc_id % 9) * (8 + doc_id % 7))
           |  END AS mean_val,
-          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1
+          |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1
           |       WHEN 1 THEN CAST(64 + doc_id % 64 AS INT)
+          |       WHEN 3 THEN 1
           |       ELSE CAST(1 + doc_id % 5 AS INT) END AS frame_count
           |FROM documents ORDER BY media_id""".stripMargin)),
 

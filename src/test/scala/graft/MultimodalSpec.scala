@@ -13,7 +13,7 @@ class MultimodalSpec extends SparkSpec {
     val schema = media.schema
     assert(schema("payload").dataType.typeName == "binary")
     assert(media.filter(col("n_bytes") <= 0).count() == 0)
-    assert(media.select("media_kind").distinct().count() == 3)
+    assert(media.select("media_kind").distinct().count() == 4)
   }
 
   test("feature extraction is deterministic and never shuffles payloads") {
@@ -39,7 +39,7 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.mediaId -> f).toMap
     (0L until 30L).foreach { id =>
       val f = feats(id)
-      (id % 3) match {
+      (id % 4) match {
         case 0 => // PNG image
           val (w, h) = Multimodal.SyntheticMedia.imageDims(id)
           val px = Multimodal.SyntheticMedia.imagePixels(id, 0)
@@ -51,6 +51,10 @@ class MultimodalSpec extends SparkSpec {
           val mean = s.map(_.toLong).sum.toDouble / s.length
           assert(f.frameCount == s.length)
           assert(f.meanVal == mean)
+        case 3 => // JPEG: metadata-only decode (real SOF walk)
+          val (w, h) = Multimodal.SyntheticMedia.imageDims(id)
+          assert((f.kind, f.width, f.height, f.meanVal, f.frameCount) ==
+            ("jpeg", w, h, 0.0, 1))
         case _ => // video container of PNG frames
           val (w, h) = Multimodal.SyntheticMedia.imageDims(id)
           assert((f.width, f.height) == (w, h))
@@ -148,6 +152,28 @@ class MultimodalSpec extends SparkSpec {
     assert(back.size == 4)
     assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
     assert(Codecs.decodePng(back(2)).pixels(0) == 80.toByte)
+  }
+
+  test("JPEG SOF walk: dims from the fixture, marker skipping, progressive, errors") {
+    val m = Codecs.decodeJpegMeta(Codecs.encodeJpegFixture(641, 479))
+    assert((m.width, m.height, m.components, m.precision, m.progressive) ==
+      (641, 479, 3, 8, false))
+    // hand-built stream: SOI, APP1 (skipped), fill byte, SOF2 progressive
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte))
+    out.write(Array[Byte](0xff.toByte, 0xe1.toByte, 0, 4, 7, 7)) // APP1 len=4
+    out.write(0xff) // fill byte before next marker
+    out.write(Array[Byte](0xff.toByte, 0xc2.toByte, 0, 11, 8, 1, 0, 0, 2, 1,
+      0x11, 0, 0)) // SOF2: 2x256 image, 1 component
+    val p = Codecs.decodeJpegMeta(out.toByteArray)
+    assert((p.width, p.height, p.components, p.progressive) == (2, 256, 1, true))
+    // DHT (C4) must NOT be taken for a frame header
+    val dht = new java.io.ByteArrayOutputStream()
+    dht.write(Array[Byte](0xff.toByte, 0xd8.toByte))
+    dht.write(Array[Byte](0xff.toByte, 0xc4.toByte, 0, 4, 0, 0))
+    dht.write(Array[Byte](0xff.toByte, 0xd9.toByte))
+    intercept[IllegalArgumentException](Codecs.decodeJpegMeta(dht.toByteArray))
+    intercept[IllegalArgumentException](Codecs.decodeJpegMeta(Array[Byte](1, 2, 3)))
   }
 
   test("decoders reject malformed input; unknown formats degrade to byte stats") {
