@@ -116,6 +116,42 @@ object SeriesFunctions {
     }}}}}}
   }
 
+  /** KQL `series_fit_line(series)` → struct(slope, intercept, rsquare,
+    * variance, line_fit): closed-form least squares against x = 0..n−1.
+    * Σx and Σx² use the exact closed forms n(n−1)/2 and n(n−1)(2n−1)/6; Σy
+    * and Σxy accumulate left-to-right (exact for integral series below
+    * 2^53), then slope/intercept are single IEEE divisions — the oracle
+    * replays the identical operand order. rsquare/variance fold residual
+    * squares in series order (deterministic; matched by a list-ordered
+    * oracle fold where used). */
+  def seriesFitLine(arr: Column): Column =
+    bound(arr) { a =>
+      val n = size(a).cast("double")
+      val sx = n * (n - 1) / 2
+      val sxx = n * (n - 1) * (n * 2 - 1) / 6
+      val sy = dsum(a)
+      val sxy = aggregate(transform(a, (x, i) => i.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      bound(struct(
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope"))) { s0 =>
+        val slope = s0.getField("slope")
+        bound(struct(((sy - slope * sx) / n).as("intercept"))) { s1 =>
+          val intercept = s1.getField("intercept")
+          val mean = sy / n
+          val ssTot = aggregate(a, lit(0.0),
+            (acc, y) => acc + (y.cast("double") - mean) * (y.cast("double") - mean))
+          val ssRes = aggregate(
+            transform(a, (y, i) =>
+              y.cast("double") - (slope * i.cast("double") + intercept)),
+            lit(0.0), (acc, r) => acc + r * r)
+          struct(slope.as("slope"), intercept.as("intercept"),
+            when(ssTot === 0, lit(1.0)).otherwise(lit(1.0) - ssRes / ssTot).as("rsquare"),
+            (ssRes / n).as("variance"),
+            transform(a, (_, i) => slope * i.cast("double") + intercept).as("line_fit"))
+        }
+      }
+    }
+
   /** KQL `series_decompose_anomalies(series, period)`: Tukey-fence flags over
     * the decomposition residual — +1 high outlier, −1 low, 0 normal (the same
     * graded-score→sign contract as seriesOutliers). */

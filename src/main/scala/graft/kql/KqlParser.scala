@@ -1830,6 +1830,7 @@ object KqlParser {
         case "series_moving_sum" =>
           SeriesFunctions.seriesMovingSum(args.head, litLong(args(1)).toInt)
         case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
+        case "series_fit_line" => SeriesFunctions.seriesFitLine(args.head)
         case "series_decompose" =>
           SeriesFunctions.seriesDecompose(args.head, litLong(args(1)).toInt)
         case "series_decompose_anomalies" =>

@@ -1279,6 +1279,40 @@ object Queries {
              |FROM det JOIN med ON det.event_type = med.event_type AND det.ph = med.ph
              |ORDER BY det.event_type, det.i""".stripMargin)),
 
+    // series_fit_line: closed-form least squares per daily series. Only the
+    // exactly-deterministic outputs (slope/intercept from exact integer
+    // sums + single IEEE divisions) are driver-compared; rsquare/variance/
+    // line_fit are unit-tested (their residual folds are order-sensitive
+    // doubles, not oracle-portable)
+    QueryDef("q_series_fit_line",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .withColumn("fit", SeriesFunctions.seriesFitLine(col("sr")))
+        .select(col("event_type"), size(col("sr")).as("n_bins"),
+          col("fit.slope").as("slope"), col("fit.intercept").as("intercept"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |s AS (
+             |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(c) AS DOUBLE) AS sy, CAST(SUM(i * c) AS DOUBLE) AS sxy
+             |  FROM idx GROUP BY 1)
+             |SELECT event_type, CAST(n AS INT) AS n_bins,
+             |  (n * sxy - (n * (n - 1) / 2) * sy)
+             |    / (n * (n * (n - 1) * (2 * n - 1) / 6) - (n * (n - 1) / 2) * (n * (n - 1) / 2)) AS slope,
+             |  (sy - ((n * sxy - (n * (n - 1) / 2) * sy)
+             |    / (n * (n * (n - 1) * (2 * n - 1) / 6) - (n * (n - 1) / 2) * (n * (n - 1) / 2))) * (n * (n - 1) / 2)) / n AS intercept
+             |FROM s ORDER BY event_type""".stripMargin)),
+
     // series_decompose_anomalies: Tukey-fence flags over the decomposition
     // residual — integer flags, so the packed-list output stringifies safely
     QueryDef("q_series_anomalies",

@@ -90,6 +90,30 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(short.getStruct(0).getSeq[Any](1).size == 2)
   }
 
+  test("series_fit_line: exact fit, noisy fit, degenerate cases") {
+    // perfectly linear series: slope/intercept exact, rsquare 1, variance 0
+    val exact = Seq(Tuple1(Seq(3.0, 5.0, 7.0, 9.0, 11.0)))
+      .toDF("s").select(seriesFitLine($"s").as("f")).collect().head.getStruct(0)
+    assert(exact.getDouble(0) == 2.0 && exact.getDouble(1) == 3.0)
+    assert(exact.getDouble(2) == 1.0 && exact.getDouble(3) == 0.0)
+    assert(exact.getSeq[Double](4) == Seq(3.0, 5.0, 7.0, 9.0, 11.0))
+    // noisy upward trend: positive slope, 0 < rsquare < 1
+    val noisy = Seq(Tuple1(Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0)))
+      .toDF("s").select(seriesFitLine($"s").as("f")).collect().head.getStruct(0)
+    assert(noisy.getDouble(0) > 0.5)
+    assert(noisy.getDouble(2) > 0.5 && noisy.getDouble(2) < 1.0)
+    // constant series: slope 0 and rsquare 1 by the ssTot==0 convention
+    val const = Seq(Tuple1(Seq(4.0, 4.0, 4.0)))
+      .toDF("s").select(seriesFitLine($"s").as("f")).collect().head.getStruct(0)
+    assert(const.getDouble(0) == 0.0 && const.getDouble(1) == 4.0 &&
+      const.getDouble(2) == 1.0)
+    // parser wiring
+    val viaKql = KqlParser.parse(
+      "t | extend f = series_fit_line(pack_array(3.0, 5.0, 7.0)) | project sl = f.slope",
+      _ => Seq(Tuple1(1)).toDF("id")).as[Double].collect().head
+    assert(viaKql == 2.0)
+  }
+
   test("parser surface: dynamic literal, pack_array, series fns, set ops") {
     val t = Seq((1, 7.0), (2, 1.0)).toDF("id", "v")
     val got = KqlParser.parse(
