@@ -1610,6 +1610,7 @@ object KqlParser {
         case "isnull" => args.head.isNull
         case "isnotnull" => args.head.isNotNull
         case "isempty" => args.head.isNull || args.head === ""
+        case "isnotempty" => args.head.isNotNull && args.head =!= ""
         case "abs" => abs(args.head)
         case "floor" => floor(args.head)
         case "ceiling" => ceil(args.head)
@@ -1617,6 +1618,9 @@ object KqlParser {
         case "sqrt" => sqrt(args.head)
         case "log" => log(args.head)
         case "log10" => log10(args.head)
+        case "log2" => log2(args.head)
+        case "exp2" => pow(lit(2.0), args.head)
+        case "exp10" => pow(lit(10.0), args.head)
         case "exp" => exp(args.head)
         case "pow" => pow(args.head, args(1))
         case "sign" => signum(args.head)
@@ -1791,6 +1795,56 @@ object KqlParser {
         // dynamic/array
         case "array_length" => size(args.head).cast("long")
         case "pack_array" => array(args: _*)
+        case "repeat" => array_repeat(args.head, args(1).cast("int"))
+        case "range" =>
+          // scalar range(start, stop, step) → inclusive stepped array (the
+          // tabular `range x from a to b step s` source parses separately)
+          sequence(args.head, args(1), if (args.length > 2) args(2) else lit(1))
+        case "array_shift_left" | "array_shift_right" =>
+          // shift left by n (negative → right; array_shift_right negates),
+          // vacated slots take the optional fill (default null) — Kusto
+          // semantics. The If guard keeps ANSI element_at off out-of-range
+          // indices.
+          val nIn = args(1).cast("int")
+          val n = if (f == "array_shift_right") -nIn else nIn
+          val fill = if (args.length > 2) args(2) else lit(null)
+          val arr = args.head
+          transform(arr, (_, i) =>
+            when(i + n >= 0 && i + n < size(arr), element_at(arr, i + n + 1))
+              .otherwise(fill))
+        case "array_iff" =>
+          // element-wise conditional over three same-length arrays; length
+          // mismatches yield null elements (try_element_at), like Kusto
+          transform(args.head, (c, i) =>
+            when(c, try_element_at(args(1), i + 1))
+              .otherwise(try_element_at(args(2), i + 1)))
+        case "series_add" | "series_subtract" | "series_multiply" | "series_divide" =>
+          zip_with(args.head, args(1), (x, y) => {
+            val (a, b) = (x.cast("double"), y.cast("double"))
+            f match {
+              case "series_add" => a + b
+              case "series_subtract" => a - b
+              case "series_multiply" => a * b
+              case _ =>
+                // Kusto dynamic division is IEEE (±Infinity / NaN on zero
+                // divisors); ANSI Spark raises instead, so spell it out
+                when(b === 0.0,
+                  when(a > 0, lit(Double.PositiveInfinity))
+                    .when(a < 0, lit(Double.NegativeInfinity))
+                    .otherwise(lit(Double.NaN)))
+                  .otherwise(a / b)
+            }
+          })
+        case "series_greater" | "series_less" | "series_greater_equals" |
+             "series_less_equals" | "series_equals" | "series_not_equals" =>
+          zip_with(args.head, args(1), (x, y) => f match {
+            case "series_greater" => x > y
+            case "series_less" => x < y
+            case "series_greater_equals" => x >= y
+            case "series_less_equals" => x <= y
+            case "series_equals" => x === y
+            case _ => x =!= y
+          })
         case "array_concat" => concat(args: _*)
         case "array_slice" =>
           // KQL array_slice(arr, start, end): 0-based inclusive bounds

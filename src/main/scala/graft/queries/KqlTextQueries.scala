@@ -618,6 +618,44 @@ object KqlTextQueries {
              |  regexp_replace(CAST(event_id AS VARCHAR), '[05]', '_', 'g') AS rr
              |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
 
+    // round-7 scalar surface: array shifts with fill, element-wise series
+    // arithmetic/comparison, scalar range/repeat, isnotempty (log2/exp2 are
+    // unit-tested — transcendental bit-parity across engines is not a
+    // contract worth risking in the hash compare)
+    QueryDef("q_kql_scalar_misc5",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend a = pack_array(event_id % 7, event_id % 5, event_id % 3),
+          |    b = pack_array(event_id % 3, event_id % 5, event_id % 7)
+          || extend sl = strcat_array(array_shift_left(a, 1, -1), ';'),
+          |    sad = strcat_array(series_add(a, b), ';'),
+          |    smu = strcat_array(series_multiply(a, b), ';'),
+          |    sge = strcat_array(series_greater_equals(a, b), ';'),
+          |    rng = strcat_array(range(1, 1 + event_id % 4, 1), ';'),
+          |    rep = strcat_array(repeat(event_id % 3, 2), ';'),
+          |    ne = isnotempty(props)
+          || project event_id, sl, sad, smu, sge, rng, rep, ne
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH x AS (
+             |  SELECT event_id, props,
+             |    [event_id % 7, event_id % 5, event_id % 3] AS a,
+             |    [event_id % 3, event_id % 5, event_id % 7] AS b
+             |  FROM events WHERE event_id % 500 = 0)
+             |SELECT event_id,
+             |  CAST(a[2] AS VARCHAR) || ';' || CAST(a[3] AS VARCHAR) || ';-1' AS sl,
+             |  array_to_string(list_transform([1, 2, 3],
+             |    i -> CAST(CAST(a[i] + b[i] AS DOUBLE) AS VARCHAR)), ';') AS sad,
+             |  array_to_string(list_transform([1, 2, 3],
+             |    i -> CAST(CAST(a[i] * b[i] AS DOUBLE) AS VARCHAR)), ';') AS smu,
+             |  array_to_string(list_transform([1, 2, 3],
+             |    i -> CAST(a[i] >= b[i] AS VARCHAR)), ';') AS sge,
+             |  array_to_string(list_transform(generate_series(1, CAST(1 + event_id % 4 AS INT), 1),
+             |    v -> CAST(v AS VARCHAR)), ';') AS rng,
+             |  CAST(event_id % 3 AS VARCHAR) || ';' || CAST(event_id % 3 AS VARCHAR) AS rep,
+             |  props IS NOT NULL AND props <> '' AS ne
+             |FROM x ORDER BY event_id""".stripMargin)),
+
     // calendar parts + epoch-to-datetime conversions
     QueryDef("q_kql_datetime_fns",
       (s, d) => run(s, d,

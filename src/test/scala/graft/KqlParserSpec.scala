@@ -589,6 +589,37 @@ class KqlParserSpec extends SparkSpec {
     assert(rows == Seq(("click", 3L, 60.0), ("purchase", 1L, 20.0), ("view", 1L, 20.0)))
   }
 
+  test("round-7 scalar surface: shifts, element-wise series math, range/repeat") {
+    val r = run(
+      """t
+        || where id == 1
+        || extend a = pack_array(1, 2, 3), b = pack_array(3, 2, 1)
+        || extend sl = strcat_array(array_shift_left(a, 1, 0), ';'),
+        |    sr = strcat_array(array_shift_right(a, 1), ';'),
+        |    srn = strcat_array(array_shift_left(a, -1, 9), ';'),
+        |    ai = strcat_array(array_iff(pack_array(true, false, true), a, b), ';'),
+        |    sad = strcat_array(series_add(a, b), ';'),
+        |    sdv = strcat_array(series_divide(a, pack_array(2, 0, 2)), ';'),
+        |    sgt = strcat_array(series_greater(a, b), ';'),
+        |    rng = strcat_array(range(2, 8, 3), ';'),
+        |    rep = strcat_array(repeat(7, 3), ';'),
+        |    l2 = log2(8.0), e2 = exp2(5.0),
+        |    ne = isnotempty('x'), ne2 = isnotempty('')
+        || project sl, sr, srn, ai, sad, sdv, sgt, rng, rep, l2, e2, ne, ne2""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "2;3;0")
+    assert(r.getString(1) == "1;2") // null fill: strcat_array drops nulls
+    assert(r.getString(2) == "9;1;2") // negative left shift = right shift
+    assert(r.getString(3) == "1;2;3") // iff picks a,b,a = 1,2,3
+    assert(r.getString(4) == "4.0;4.0;4.0")
+    assert(r.getString(5) == "0.5;Infinity;1.5")
+    assert(r.getString(6) == "false;false;true")
+    assert(r.getString(7) == "2;5;8")
+    assert(r.getString(8) == "7;7;7")
+    assert(r.getDouble(9) == 3.0 && r.getDouble(10) == 32.0)
+    assert(r.getBoolean(11) && !r.getBoolean(12))
+  }
+
   test("arg_max(x, *) expands the whole winning row per group") {
     val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))

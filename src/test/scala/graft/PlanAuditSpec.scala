@@ -39,7 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     // metadata aggregation over a table with a payload column: after column
     // pruning the payload expression tree must not feed the aggregate
     val q = media.groupBy(col("media_kind")).count()
-    assert(q.count() == 3) // executes without materializing payload per-row results
+    assert(q.count() == 4) // executes without materializing payload per-row results
   }
 
   test("lookup plans dimension joins as broadcasts") {
