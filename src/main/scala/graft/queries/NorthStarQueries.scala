@@ -603,6 +603,38 @@ object NorthStarQueries {
              |  event_type, COUNT(*) AS n, CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY bin_ts, event_type""".stripMargin)),
 
+    // --- stream-stream interval join in CORRECTNESS: views joined to the
+    // same user's purchases within the following hour (funnel attribution),
+    // both sides watermarked so join state is evictable; the bounded replay
+    // fits one micro-batch, so the result equals the batch interval join the
+    // oracle computes. Aggregation happens on the (static) sink output. ------
+    QueryDef("q_streaming_join",
+      (s, d) => {
+        val views = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+        val purchases = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+        val joined = graft.streaming.StreamingIngest.intervalJoin(
+          views, purchases, "v_user", "p_user", "v_ts", "p_ts", "1 hour")
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_join_sink", joined)
+          .summarize(Seq((col("v_user") % 10).as("bucket")),
+            count(lit(1)).as("n"), countDistinct(col("v_id")).as("nv"),
+            countDistinct(col("p_id")).as("np"))
+          .sortBy(col("bucket"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+             |SELECT v.user_id % 10 AS bucket, COUNT(*) AS n,
+             |  COUNT(DISTINCT v.event_id) AS nv, COUNT(DISTINCT p.event_id) AS np
+             |FROM v JOIN p ON v.user_id = p.user_id
+             |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // --- custom-state streaming in CORRECTNESS: flatMapGroupsWithState
     // sessionization (arbitrary per-key state, not a built-in aggregation)
     // replayed over the bounded events stream. Sessions close when a LATER

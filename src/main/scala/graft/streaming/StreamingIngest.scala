@@ -99,6 +99,24 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-stream INTERVAL JOIN: rows of `left` matched to rows of `right`
+    * with the same key whose event time falls in [lTs, lTs + within]. Both
+    * sides carry watermarks and the join condition bounds event time on each
+    * side, which is exactly what lets Structured Streaming evict join state:
+    * a left row older than watermark − within can never match again and is
+    * dropped. State is O(rows inside the within-window per key) — bounded at
+    * any scale, the streaming analogue of the batch as-of/window join. Column
+    * names must be pre-disambiguated by the caller (v-prefixed / p-prefixed). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   lTs: String, rTs: String, within: String,
+                   lateness: String = "10 minutes"): DataFrame =
+    left.withWatermark(lTs, lateness)
+      .join(right.withWatermark(rTs, lateness),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rTs >= $lTs AND $rTs <= $lTs + INTERVAL $within"),
+        "inner")
+
   /** Continuous append to a time-partitioned parquet table (the streaming segment
     * write path: buffer → flush as time-bucketed files, ≈ segment_writer.rs but via
     * Parquet + exactly-once file-sink semantics). */
