@@ -113,6 +113,61 @@ object KqlFunctions {
   def tobool(c: Column): Column = c.cast("boolean")
   def todecimal(c: Column): Column = c.cast("decimal(38,18)")
 
+  // --- IPv4 family (exact integer arithmetic; oracle-replayable) ---
+
+  /** Zero the host bits below a /bits prefix: v − (v mod 2^(32−bits)).
+    * Pure integer ops (pow(2,k) is exact in a double for k ≤ 32, then cast),
+    * so both engines compute identical longs. */
+  private def ipMask(v: Column, bits: Column): Column = {
+    val p2 = pow(lit(2.0), (lit(32) - bits).cast("double")).cast("long")
+    v - pmod(v, p2)
+  }
+
+  /** KQL `parse_ipv4`: dotted-quad string → long, with an optional `/prefix`
+    * suffix whose mask is applied (Kusto semantics); malformed input → null. */
+  def parseIpv4(c: Column): Column = {
+    val halves = split(c, "/")
+    val bits = when(size(halves) > 1, element_at(halves, 2).cast("int"))
+      .otherwise(lit(32))
+    val p = split(element_at(halves, 1), "\\.")
+    def oct(i: Int): Column = element_at(p, i + 1).cast("long")
+    val raw = ((oct(0) * 256 + oct(1)) * 256 + oct(2)) * 256 + oct(3)
+    val valid = size(p) === 4 && bits.between(0, 32) &&
+      (0 until 4).map(i => oct(i).isNotNull && oct(i).between(0, 255))
+        .reduce(_ && _)
+    when(valid, ipMask(raw, bits))
+  }
+
+  /** KQL `format_ipv4`: numeric (or numeric-string) address → dotted quad. */
+  def formatIpv4(c: Column): Column = {
+    val v = c.cast("long")
+    concat_ws(".",
+      shiftright(v, 24).bitwiseAND(lit(255L)).cast("string"),
+      shiftright(v, 16).bitwiseAND(lit(255L)).cast("string"),
+      shiftright(v, 8).bitwiseAND(lit(255L)).cast("string"),
+      v.bitwiseAND(lit(255L)).cast("string"))
+  }
+
+  /** KQL `ipv4_is_private`: RFC1918 ranges (10/8, 172.16/12, 192.168/16). */
+  def ipv4IsPrivate(c: Column): Column = {
+    val v = parseIpv4(c)
+    when(v.isNotNull,
+      v.between(167772160L, 184549375L) ||     // 10.0.0.0   – 10.255.255.255
+        v.between(2886729728L, 2887778303L) || // 172.16.0.0 – 172.31.255.255
+        v.between(3232235520L, 3232301055L))   // 192.168.0.0 – 192.168.255.255
+  }
+
+  /** KQL `ipv4_is_in_range(ip, range)`: the ip with the range's prefix mask
+    * applied equals the range's base address. */
+  def ipv4IsInRange(ip: Column, range: Column): Column = {
+    val halves = split(range, "/")
+    val bits = when(size(halves) > 1, element_at(halves, 2).cast("int"))
+      .otherwise(lit(32))
+    val base = parseIpv4(range)
+    val v = parseIpv4(ip)
+    when(v.isNotNull && base.isNotNull, ipMask(v, bits) === base)
+  }
+
   // --- exact-sum helpers ---
   /** Sum of a 2-decimal monetary double, computed exactly via decimal then returned as
     * double: deterministic regardless of partitioning/aggregation order — required both

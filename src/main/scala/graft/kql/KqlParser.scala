@@ -1638,12 +1638,24 @@ object KqlParser {
           date_trunc("day", date_sub(args.head, (dayofweek(args.head) - 1)))
         case "startofmonth" => date_trunc("month", args.head)
         case "startofyear" => date_trunc("year", args.head)
+        case "startofquarter" => date_trunc("quarter", args.head)
+        case "endofquarter" =>
+          timestamp_micros(unix_micros(
+            timestamp_add("QUARTER", lit(1), date_trunc("quarter", args.head))) - 1)
+        case "endofweek" =>
+          // KQL weeks end Saturday 23:59:59.999999 (Sunday start)
+          timestamp_micros(unix_micros(timestamp_add("DAY", lit(7),
+            date_trunc("day", date_sub(args.head, dayofweek(args.head) - 1)))) - 1)
         case "endofmonth" =>
           timestamp_micros(unix_micros(
             timestamp_add("MONTH", lit(1), date_trunc("month", args.head))) - 1)
         case "endofyear" =>
           timestamp_micros(unix_micros(
             timestamp_add("YEAR", lit(1), date_trunc("year", args.head))) - 1)
+        case "parse_ipv4" => KqlFunctions.parseIpv4(args.head)
+        case "format_ipv4" => KqlFunctions.formatIpv4(args.head)
+        case "ipv4_is_private" => KqlFunctions.ipv4IsPrivate(args.head)
+        case "ipv4_is_in_range" => KqlFunctions.ipv4IsInRange(args.head, args(1))
         case "now" => current_timestamp()
         case "ago" => // ago(5m) — timespan literal arg arrives as whole seconds
           timestamp_micros(unix_micros(current_timestamp()) -

@@ -656,6 +656,39 @@ object KqlTextQueries {
              |  props IS NOT NULL AND props <> '' AS ne
              |FROM x ORDER BY event_id""".stripMargin)),
 
+    // ipv4 family: parse (with prefix mask) / format / private / in-range —
+    // all exact integer arithmetic, replayed verbatim by the oracle
+    QueryDef("q_kql_ipv4",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend o1 = iff(event_id % 3 == 0, 10, toint(172 + event_id % 2 * 31)),
+          |    o2 = toint(event_id % 256), o3 = toint(event_id % 251), o4 = toint(event_id % 239)
+          || extend ip = strcat(tostring(o1), '.', tostring(o2), '.', tostring(o3), '.', tostring(o4))
+          || extend v = parse_ipv4(ip), v24 = parse_ipv4(strcat(ip, '/24')),
+          |    rt = format_ipv4(parse_ipv4(ip)),
+          |    priv = ipv4_is_private(ip),
+          |    inr = ipv4_is_in_range(ip, '10.0.0.0/8')
+          || project event_id, ip, v, v24, rt, priv, inr
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH x AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 3 = 0 THEN 10 ELSE 172 + event_id % 2 * 31 END AS o1,
+             |    event_id % 256 AS o2, event_id % 251 AS o3, event_id % 239 AS o4
+             |  FROM events WHERE event_id % 500 = 0),
+             |y AS (
+             |  SELECT event_id,
+             |    CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+             |      CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip,
+             |    CAST(((o1 * 256 + o2) * 256 + o3) * 256 + o4 AS BIGINT) AS v
+             |  FROM x)
+             |SELECT event_id, ip, v, CAST(v - v % 256 AS BIGINT) AS v24, ip AS rt,
+             |  (v BETWEEN 167772160 AND 184549375)
+             |    OR (v BETWEEN 2886729728 AND 2887778303)
+             |    OR (v BETWEEN 3232235520 AND 3232301055) AS priv,
+             |  v - v % 16777216 = 167772160 AS inr
+             |FROM y ORDER BY event_id""".stripMargin)),
+
     // calendar parts + epoch-to-datetime conversions
     QueryDef("q_kql_datetime_fns",
       (s, d) => run(s, d,

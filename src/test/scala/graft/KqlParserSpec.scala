@@ -620,6 +620,34 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getBoolean(11) && !r.getBoolean(12))
   }
 
+  test("ipv4 family: parse/format round trip, masks, private ranges, boundaries") {
+    val r = run(
+      """t
+        || where id == 1
+        || extend p = parse_ipv4('192.168.1.1'),
+        |    pm = parse_ipv4('192.168.1.77/24'),
+        |    bad = parse_ipv4('300.1.2.3'),
+        |    f = format_ipv4(3232235777),
+        |    quarter_end = endofquarter(datetime('2024-02-10')),
+        |    week_end = endofweek(datetime('2024-01-10')),
+        |    priv1 = ipv4_is_private('10.1.2.3'), priv2 = ipv4_is_private('172.31.0.1'),
+        |    priv3 = ipv4_is_private('172.32.0.1'), priv4 = ipv4_is_private('8.8.8.8'),
+        |    in1 = ipv4_is_in_range('10.0.5.9', '10.0.0.0/16'),
+        |    in2 = ipv4_is_in_range('10.1.5.9', '10.0.0.0/16'),
+        |    in3 = ipv4_is_in_range('10.0.5.9', '10.0.5.9')
+        || project p, pm, bad, f, quarter_end, week_end, priv1, priv2, priv3, priv4, in1, in2, in3""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 3232235777L)
+    assert(r.getLong(1) == 3232235776L) // /24 zeroes the host octet
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "192.168.1.1")
+    assert(r.getTimestamp(4).toString.startsWith("2024-03-31 23:59:59"))
+    // 2024-01-10 is a Wednesday; KQL week ends Saturday 2024-01-13
+    assert(r.getTimestamp(5).toString.startsWith("2024-01-13 23:59:59"))
+    assert(r.getBoolean(6) && r.getBoolean(7) && !r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getBoolean(10) && !r.getBoolean(11) && r.getBoolean(12))
+  }
+
   test("arg_max(x, *) expands the whole winning row per group") {
     val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
