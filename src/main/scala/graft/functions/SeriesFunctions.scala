@@ -152,6 +152,27 @@ object SeriesFunctions {
       }
     }
 
+  /** KQL `series_pearson_correlation(a, b)`: exact closed-form Pearson r.
+    * All five sums accumulate left-to-right (exact for integral-valued
+    * series below 2^53); the final expression is a fixed operand-order
+    * IEEE chain the SQL oracle replays verbatim. */
+  def seriesPearson(aIn: Column, bIn: Column): Column =
+    bound(aIn) { a =>
+      bound(bIn) { b =>
+        val n = size(a).cast("double")
+        val sa = dsum(a)
+        val sb = dsum(b)
+        val sab = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        val saa = aggregate(a, lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        val sbb = aggregate(b, lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+        (n * sab - sa * sb) /
+          (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+      }
+    }
+
   /** KQL `series_decompose_anomalies(series, period)`: Tukey-fence flags over
     * the decomposition residual — +1 high outlier, −1 low, 0 normal (the same
     * graded-score→sign contract as seriesOutliers). */

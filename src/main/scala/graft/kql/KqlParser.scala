@@ -1897,6 +1897,8 @@ object KqlParser {
           SeriesFunctions.seriesMovingSum(args.head, litLong(args(1)).toInt)
         case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
         case "series_fit_line" => SeriesFunctions.seriesFitLine(args.head)
+        case "series_pearson_correlation" =>
+          SeriesFunctions.seriesPearson(args.head, args(1))
         case "series_decompose" =>
           SeriesFunctions.seriesDecompose(args.head, litLong(args(1)).toInt)
         case "series_decompose_anomalies" =>

