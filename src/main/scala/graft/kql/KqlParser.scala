@@ -894,9 +894,11 @@ object KqlParser {
             df.basket(cs.result(), threshold)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
-      case "parse" =>
+      case "parse" | "parse-where" =>
         // `parse Col with ['*'] ('lit' Name[:type])...` — literals anchor, names
         // capture lazily between them (last capture runs to end of string).
+        // parse-where additionally DROPS rows the pattern does not match
+        // (plain parse keeps them with empty/null captures, like Kusto).
         val src = col(ident())
         eatIdent("with")
         val leadingStar = if (atPunct("*")) { pos += 1; true } else false
@@ -919,9 +921,13 @@ object KqlParser {
           case (Right(_), i) =>
             regex ++= (if (i == parts.size - 1) "(.*)" else "(.*?)")
         }
-        names.zipWithIndex.foldLeft(df) { case (acc, ((n, t), gi)) =>
-          acc.extend(n -> regexp_extract(src, regex.toString, gi + 1).cast(t))
+        // try_cast: a non-matching row extracts "" — Kusto leaves the typed
+        // capture null there, while an ANSI cast would throw
+        val extracted = names.zipWithIndex.foldLeft(df) { case (acc, ((n, t), gi)) =>
+          acc.extend(n -> regexp_extract(src, regex.toString, gi + 1).try_cast(t))
         }
+        if (op == "parse-where") extracted.where_(src.rlike(regex.toString))
+        else extracted
       case "union" =>
         // `union [kind=outer|inner] [withsource=Col] T1[, T2, ...]` — operands
         // align by name; kind=outer (default) null-fills missing columns,

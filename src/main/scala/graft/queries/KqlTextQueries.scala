@@ -114,6 +114,19 @@ object KqlTextQueries {
       Some("""SELECT event_type AS etype, COUNT(*) AS n, MAX(event_id) AS mx
              |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
 
+    // parse-where: rows the pattern does not match are dropped (only every
+    // third event carries the ' id=' suffix the pattern anchors on)
+    QueryDef("q_kql_parse_where",
+      (s, d) => run(s, d,
+        """events
+          || extend line = iff(event_id % 3 == 0,
+          |    strcat(event_type, ' id=', tostring(event_id)), event_type)
+          || parse-where line with etype ' id=' eid:long
+          || summarize n = count(), mx = max(eid) by etype
+          || sort by etype asc""".stripMargin),
+      Some("""SELECT event_type AS etype, COUNT(*) AS n, MAX(event_id) AS mx
+             |FROM events WHERE event_id % 3 = 0 GROUP BY 1 ORDER BY etype""".stripMargin)),
+
     QueryDef("q_kql_datatable",
       (s, d) => run(s, d,
         """let weights = datatable(event_type:string, mult:long) [

@@ -648,6 +648,20 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getBoolean(10) && !r.getBoolean(11) && r.getBoolean(12))
   }
 
+  test("parse-where drops non-matching rows; parse keeps them") {
+    def lined = run(
+      "t | extend line = iff(id % 2 == 1, strcat('u=', user, ';v=', tostring(id)), user)")
+    val kept = KqlParser.parse(
+      "x | parse line with 'u=' pu ';v=' pv:long | project id, pu, pv | sort by id asc",
+      _ => lined)
+    assert(kept.count() == 5) // plain parse keeps non-matching rows
+    val filtered = KqlParser.parse(
+      "x | parse-where line with 'u=' pu ';v=' pv:long | project id, pu, pv | sort by id asc",
+      _ => lined)
+    val rows = filtered.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "alice", 1L), (3L, "alice", 3L), (5L, "bob", 5L)))
+  }
+
   test("arg_max(x, *) expands the whole winning row per group") {
     val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
