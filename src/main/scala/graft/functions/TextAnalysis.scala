@@ -88,6 +88,37 @@ object TextAnalysis {
       (acc, t) => (acc * 31 + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 4294967296L)
         % 1099511627776L)
 
+  /** PII redaction for training-data pipelines: email addresses, US-style
+    * phone numbers, SSN-shaped ids, IPv4 addresses, and 13–19-digit card-like
+    * number runs are replaced with typed placeholder tags, applied in one
+    * fixed order (email first: phone/number patterns must not eat pieces of
+    * an address). Pure regexp_replace chain — codegen'd, zero shuffle, and
+    * the same five regexes replay verbatim in the SQL oracle. Pattern set is
+    * deliberately conservative/public (regex-only PII scrubbing is a
+    * best-effort pre-filter, not a guarantee — the standard caveat). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\+?1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b" -> "<PHONE>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{13,19}\\b" -> "<CARDNUM>")
+
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of redactions by kind — the audit signal a scrubbing pipeline
+    * reports per document. */
+  def piiCounts(text: Column): Column = {
+    val redacted = redactPii(text)
+    struct(piiPatterns.map { case (_, tag) =>
+      ((length(redacted) - length(regexp_replace(redacted,
+        java.util.regex.Pattern.quote(tag), ""))) / tag.length)
+        .cast("int").as(tag.stripPrefix("<").stripSuffix(">").toLowerCase)
+    }: _*)
+  }
+
   /** Word k-shingles over an already-materialized token-array column (distinct), the
     * MinHash input unit.
     *

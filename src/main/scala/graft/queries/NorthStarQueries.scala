@@ -194,6 +194,53 @@ object NorthStarQueries {
               |SELECT tok, COUNT(*) AS n FROM toks
               |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin)),
 
+    // PII redaction: typed placeholder scrubbing (email/phone/SSN/IP/card)
+    // as one fixed-order regexp_replace chain, with per-kind audit counts;
+    // the oracle replays the same five regexes + tag counting verbatim.
+    // PII is synthesized onto event rows (the fixture corpus has none).
+    QueryDef("q_pii_redact",
+      (s, d) => T(s, d, "events")
+        .where_(col("event_id") % 500 === 0)
+        .extend("line" -> concat(
+          lit("contact user"), col("user_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("event_id") % 1000).cast("string"), 3, "0"),
+          lit("-"),
+          lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.0.0."), (col("event_id") % 200).cast("string"),
+          lit(" card 4111111111111111 ssn 123-45-6789 done")))
+        .extend("red" -> TA.redactPii(col("line")),
+          "pc" -> TA.piiCounts(col("line")))
+        .project(col("event_id"), col("red"),
+          col("pc.email").as("n_email"), col("pc.phone").as("n_phone"),
+          col("pc.ssn").as("n_ssn"), col("pc.ip").as("n_ip"),
+          col("pc.cardnum").as("n_card"))
+        .sortBy(col("event_id")),
+      Some("""WITH x AS (
+             |  SELECT event_id,
+             |    'contact user' || CAST(user_id AS VARCHAR) || '@example.com or 555-' ||
+             |    lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             |    lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+             |    ' ip 10.0.0.' || CAST(event_id % 200 AS VARCHAR) ||
+             |    ' card 4111111111111111 ssn 123-45-6789 done' AS line
+             |  FROM events WHERE event_id % 500 = 0),
+             |r AS (
+             |  SELECT event_id,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(line,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+             |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             |      '\b[0-9]{13,19}\b', '<CARDNUM>', 'g') AS red
+             |  FROM x)
+             |SELECT event_id, red,
+             |  CAST((length(red) - length(replace(red, '<EMAIL>', ''))) // 7 AS INT) AS n_email,
+             |  CAST((length(red) - length(replace(red, '<PHONE>', ''))) // 7 AS INT) AS n_phone,
+             |  CAST((length(red) - length(replace(red, '<SSN>', ''))) // 5 AS INT) AS n_ssn,
+             |  CAST((length(red) - length(replace(red, '<IP>', ''))) // 4 AS INT) AS n_ip,
+             |  CAST((length(red) - length(replace(red, '<CARDNUM>', ''))) // 9 AS INT) AS n_card
+             |FROM r ORDER BY event_id""".stripMargin)),
+
     QueryDef("q_token_freq",
       (s, d) => T(s, d, "documents")
         .mvExpand(TA.tokens(lower(col("text"))), "token")
