@@ -43,6 +43,8 @@ object KqlParser {
       "!hasprefix", "!hassuffix", "!has", "!contains", "!startswith", "!endswith",
       "!between", "!in", "!~", "!=",
       "==", "<=", ">=", "=~", "..", "|", "(", ")",
+      // graph pattern arrows before the single-char '-' they would shadow
+      "-->", "-[", "]->",
       ",", "=", "<", ">", "+", "-", "*", "/", "%", ".", "[", "]", ";", ":", "{", "}", "~")
 
     def tokenize(s: String): Vector[Tok] = {
@@ -116,6 +118,10 @@ object KqlParser {
     // State is scoped per parseQuery invocation (saved/restored), so a sort
     // inside a let binding or subquery cannot leak into the outer pipeline.
     private var lastSortKeys: Seq[Column] = Nil
+
+    // `make-graph` binds the edge table (df, srcCol, dstCol) consumed by a
+    // following `graph-match` in the same pipeline
+    private var graphEdges: Option[(DataFrame, String, String)] = None
     private var serializedOrder: Option[Seq[Column]] = None
     private val rowFnBuffer = scala.collection.mutable.ArrayBuffer[RowFn]()
     private var rowFnCounter = 0
@@ -928,6 +934,74 @@ object KqlParser {
         }
         if (op == "parse-where") extracted.where_(src.rlike(regex.toString))
         else extracted
+      case "make-graph" =>
+        // `T | make-graph SrcCol --> DstCol` — bind T as the edge table of a
+        // directed graph (remaining columns are edge attributes) for a
+        // following `graph-match`. Deviations from full Kusto make-graph
+        // (documented): no `with ... on` node-table clause (node properties
+        // join on afterwards if needed) and the graph lives only inside this
+        // pipeline.
+        val srcC = ident()
+        eatPunct("-->")
+        val dstC = ident()
+        require(df.columns.contains(srcC) && df.columns.contains(dstC),
+          s"make-graph: source/target columns $srcC/$dstC must exist")
+        graphEdges = Some((df, srcC, dstC))
+        df
+      case "graph-match" =>
+        // `| graph-match (a)-[e1]->(b)-[e2]->(c) [where pred] [project ...]`
+        // — fixed-length path patterns over the bound edge table. Each hop is
+        // the edge table re-aliased (src→nodeᵢ, dst→nodeᵢ₊₁, attributes
+        // packed into the edge variable as a struct, so `e1.attr` works), and
+        // hops chain with equi-joins on the shared node variables — the
+        // standard relational lowering of fixed-length graph patterns: ONE
+        // shuffle per hop on the node key at scale, no iteration. A repeated
+        // node variable closes a cycle (extra equality filter). Deviations:
+        // fixed-length patterns only (no variable-length `*1..3` repetition),
+        // nodes are bare ids.
+        val (edges, srcC, dstC) = graphEdges.getOrElse(throw new IllegalArgumentException(
+          "graph-match requires a preceding make-graph in the same pipeline"))
+        val attrCols = edges.columns.filterNot(c => c == srcC || c == dstC).toSeq
+        eatPunct("(")
+        val nodeVars = Seq.newBuilder[String]
+        val edgeVars = Seq.newBuilder[String]
+        nodeVars += ident(); eatPunct(")")
+        while (atPunct("-[")) {
+          pos += 1
+          edgeVars += ident()
+          eatPunct("]->"); eatPunct("(")
+          nodeVars += ident(); eatPunct(")")
+        }
+        val ns = nodeVars.result()
+        val es = edgeVars.result()
+        require(es.nonEmpty, "graph-match: pattern needs at least one edge")
+        require(es.distinct.size == es.size, "graph-match: edge variables must be distinct")
+        def attrStruct: Column =
+          if (attrCols.isEmpty) lit(null) else struct(attrCols.map(col): _*)
+        val seen = scala.collection.mutable.Set(ns.head)
+        def hop(i: Int, dstName: String): DataFrame =
+          edges.select(col(srcC).as(ns(i)), col(dstC).as(dstName),
+            attrStruct.as(es(i)))
+        var g = {
+          val dn = if (seen.add(ns(1))) ns(1) else s"__gm_cycle_1"
+          val h = hop(0, dn)
+          if (dn == ns(1)) h
+          else h.filter(col(dn) === col(ns(1))).drop(dn) // degenerate (a)->(a) self-loop
+        }
+        for (i <- 1 until es.size) {
+          val dn = if (seen.add(ns(i + 1))) ns(i + 1) else s"__gm_cycle_${i + 1}"
+          var joined = g.join(hop(i, dn), ns(i))
+          if (dn != ns(i + 1)) // cycle closure: repeated node variable
+            joined = joined.filter(col(dn) === col(ns(i + 1))).drop(dn)
+          g = joined
+        }
+        if (atIdent("where")) { pos += 1; g = g.where_(parseExpr()) }
+        if (atIdent("project")) {
+          pos += 1
+          val cols = parseProjList()
+          g = g.project(cols: _*)
+        }
+        g
       case "union" =>
         // `union [kind=outer|inner] [withsource=Col] T1[, T2, ...]` — operands
         // align by name; kind=outer (default) null-fills missing columns,

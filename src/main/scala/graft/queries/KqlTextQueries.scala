@@ -837,6 +837,37 @@ object KqlTextQueries {
              |   OR regexp_matches(lower(source), '(^|[^a-z0-9])pipeline($|[^a-z0-9])')
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // make-graph / graph-match: event-type transition graph (edges = each
+    // user's consecutive event pairs under the global serialized order),
+    // then a 2-hop path pattern view→?→purchase. Each hop is one equi-join
+    // on the node key — the relational lowering that scales as two shuffles.
+    QueryDef("q_kql_graph_match",
+      (s, d) => run(s, d,
+        """events
+          || sort by user_id asc, ts asc, event_id asc
+          || serialize
+          || extend pu = prev(user_id), pt = prev(event_type)
+          || where pu == user_id
+          || summarize w = count() by u = pt, v = event_type
+          || make-graph u --> v
+          || graph-match (a)-[e1]->(b)-[e2]->(c)
+          |  where a == 'view' and c == 'purchase'
+          |  project b, w1 = e1.w, w2 = e2.w
+          || summarize n_paths = count(), total = sum(w1 * w2) by b
+          || sort by b asc""".stripMargin),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type,
+             |    LAG(user_id) OVER w AS pu, LAG(event_type) OVER w AS pt
+             |  FROM events WINDOW w AS (ORDER BY user_id, ts, event_id)),
+             |g AS (
+             |  SELECT pt AS u, event_type AS v, COUNT(*) AS w
+             |  FROM ordered WHERE pu = user_id GROUP BY 1, 2)
+             |SELECT e1.v AS b, COUNT(*) AS n_paths,
+             |  CAST(SUM(e1.w * e2.w) AS BIGINT) AS total
+             |FROM g e1 JOIN g e2 ON e1.v = e2.u
+             |WHERE e1.u = 'view' AND e2.v = 'purchase'
+             |GROUP BY 1 ORDER BY b""".stripMargin)),
+
     // evaluate autocluster/basket: frequent attribute combinations via one
     // cube pass; the grand-total row funds the percent column (broadcast
     // single-row join, no second corpus scan). autocluster = basket at

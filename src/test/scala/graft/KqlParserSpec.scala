@@ -662,6 +662,30 @@ class KqlParserSpec extends SparkSpec {
     assert(rows == Seq((1L, "alice", 1L), (3L, "alice", 3L), (5L, "bob", 5L)))
   }
 
+  test("make-graph / graph-match: hops, edge attrs, where/project, cycles") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("a", "c", 3L), ("c", "a", 4L))
+      .toDF("u", "v", "w")
+    def g(kql: String) = KqlParser.parse(kql, _ => edges)
+    val paths = g(
+      """e | make-graph u --> v
+        || graph-match (x)-[e1]->(y)-[e2]->(z)
+        |  where z == 'c'
+        |  project x, y, z, w1 = e1.w, w2 = e2.w
+        || sort by w1 asc""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(paths == Seq(("a", "b", "c", 1L, 2L), ("c", "a", "c", 4L, 3L)))
+    // repeated node variable closes a 2-cycle
+    val cycles = g(
+      """e | make-graph u --> v
+        || graph-match (x)-[e1]->(y)-[e2]->(x) project x, y
+        || sort by x asc""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cycles == Seq(("a", "c"), ("c", "a")))
+    // graph-match without make-graph errors clearly
+    intercept[IllegalArgumentException](g("e | graph-match (x)-[e1]->(y) project x"))
+  }
+
   test("arg_max(x, *) expands the whole winning row per group") {
     val df = run("t | summarize arg_max(v, *) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
