@@ -946,7 +946,12 @@ object KqlParser {
         val dstC = ident()
         require(df.columns.contains(srcC) && df.columns.contains(dstC),
           s"make-graph: source/target columns $srcC/$dstC must exist")
-        graphEdges = Some((df, srcC, dstC))
+        // persist: every hop of a following graph-match re-scans the edge
+        // table (a var-length pattern scans it lo+..+hi times); caching the
+        // bound edges computes the derivation once — the same persist-and-
+        // let-ContextCleaner-reap contract as `materialize()` above
+        graphEdges = Some((df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), srcC, dstC))
         df
       case "graph-match" =>
         // `| graph-match (a)-[e1]->(b)-[e2]->(c) [where pred] [project ...]`
@@ -964,37 +969,77 @@ object KqlParser {
         val attrCols = edges.columns.filterNot(c => c == srcC || c == dstC).toSeq
         eatPunct("(")
         val nodeVars = Seq.newBuilder[String]
-        val edgeVars = Seq.newBuilder[String]
+        // per edge: (variable name, lo, hi) — lo==hi==1 for a plain edge;
+        // `-[e*1..3]->` is a bounded variable-length edge
+        val edgeSpecs = Seq.newBuilder[(String, Int, Int, Boolean)]
         nodeVars += ident(); eatPunct(")")
         while (atPunct("-[")) {
           pos += 1
-          edgeVars += ident()
+          val ev = ident()
+          val (lo, hi, varLen) =
+            if (atPunct("*")) {
+              pos += 1
+              val l = parseLong().toInt; eatPunct(".."); val h = parseLong().toInt
+              require(l >= 1 && h >= l && h <= 8,
+                s"graph-match: variable-length bounds must satisfy 1 <= lo <= hi <= 8, got $l..$h")
+              (l, h, true)
+            } else (1, 1, false)
+          edgeSpecs += ((ev, lo, hi, varLen))
           eatPunct("]->"); eatPunct("(")
           nodeVars += ident(); eatPunct(")")
         }
         val ns = nodeVars.result()
-        val es = edgeVars.result()
+        val es = edgeSpecs.result()
         require(es.nonEmpty, "graph-match: pattern needs at least one edge")
-        require(es.distinct.size == es.size, "graph-match: edge variables must be distinct")
+        require(es.map(_._1).distinct.size == es.size,
+          "graph-match: edge variables must be distinct")
         def attrStruct: Column =
           if (attrCols.isEmpty) lit(null) else struct(attrCols.map(col): _*)
-        val seen = scala.collection.mutable.Set(ns.head)
-        def hop(i: Int, dstName: String): DataFrame =
-          edges.select(col(srcC).as(ns(i)), col(dstC).as(dstName),
-            attrStruct.as(es(i)))
-        var g = {
-          val dn = if (seen.add(ns(1))) ns(1) else s"__gm_cycle_1"
-          val h = hop(0, dn)
-          if (dn == ns(1)) h
-          else h.filter(col(dn) === col(ns(1))).drop(dn) // degenerate (a)->(a) self-loop
+        // one fixed-length expansion of the pattern: a variable-length edge of
+        // chosen length L contributes L physical hops through anonymous
+        // intermediate nodes; its edge variable binds the ARRAY of traversed
+        // edge structs (so e.g. array_length(e) is the path length)
+        def expand(lengths: Seq[Int]): DataFrame = {
+          val seen = scala.collection.mutable.Set(ns.head)
+          var g: DataFrame = null
+          var left = ns.head
+          es.indices.foreach { i =>
+            val (ev, _, _, varLen) = es(i)
+            val l = lengths(i)
+            val segEdges = Seq.newBuilder[String]
+            (0 until l).foreach { k =>
+              val isLast = k == l - 1
+              val target = if (isLast) ns(i + 1) else s"__gm_v${i}_$k"
+              val dn = if (isLast && !seen.add(target)) s"__gm_cycle_${i + 1}" else target
+              val eName = if (l == 1) ev else s"__gm_e${i}_$k"
+              segEdges += eName
+              val h = edges.select(col(srcC).as(left), col(dstC).as(dn),
+                attrStruct.as(eName))
+              var joined = if (g == null) h else g.join(h, left)
+              if (dn != target) // cycle closure on a repeated node variable
+                joined = joined.filter(col(dn) === col(target)).drop(dn)
+              g = joined
+              left = target
+            }
+            if (varLen) { // variable-length edge binds the ARRAY of edges
+              val names = segEdges.result()
+              if (l > 1)
+                g = g.withColumn(ev, array(names.map(col): _*)).drop(names: _*)
+              else g = g.withColumn(ev, array(col(ev)))
+            } // plain edge: the scalar struct stays as-is (e.attr access)
+          }
+          g
         }
-        for (i <- 1 until es.size) {
-          val dn = if (seen.add(ns(i + 1))) ns(i + 1) else s"__gm_cycle_${i + 1}"
-          var joined = g.join(hop(i, dn), ns(i))
-          if (dn != ns(i + 1)) // cycle closure: repeated node variable
-            joined = joined.filter(col(dn) === col(ns(i + 1))).drop(dn)
-          g = joined
-        }
+        // cartesian product of the per-edge length choices (bounded: each
+        // range is ≤8 wide and patterns are short); fixed-length patterns
+        // expand to exactly one term, variable-length ones union their terms
+        // by name — each term is an independent join chain, so the union is
+        // just more partitions, not more shuffle rounds
+        val lengthChoices = es.map { case (_, lo, hi, _) => lo to hi }
+          .foldLeft(Seq(Seq.empty[Int])) { (acc, r) =>
+            acc.flatMap(prefix => r.map(prefix :+ _))
+          }
+        var g = lengthChoices.map(expand).reduce(_ unionKql _)
         if (atIdent("where")) { pos += 1; g = g.where_(parseExpr()) }
         if (atIdent("project")) {
           pos += 1

@@ -868,6 +868,44 @@ object KqlTextQueries {
              |WHERE e1.u = 'view' AND e2.v = 'purchase'
              |GROUP BY 1 ORDER BY b""".stripMargin)),
 
+    // variable-length graph paths: view-to-purchase reachability in 1..3
+    // hops over the transition graph; the bounded range expands to three
+    // independent join chains unioned by name, and the edge variable binds
+    // the traversed edge array (array_length = path length)
+    QueryDef("q_kql_graph_varlen",
+      (s, d) => run(s, d,
+        """events
+          || sort by user_id asc, ts asc, event_id asc
+          || serialize
+          || extend pu = prev(user_id), pt = prev(event_type)
+          || where pu == user_id
+          || summarize w = count() by u = pt, v = event_type
+          || make-graph u --> v
+          || graph-match (a)-[p*1..3]->(c)
+          |  where a == 'view' and c == 'purchase'
+          |  project hops = array_length(p)
+          || summarize n_paths = count() by hops
+          || sort by hops asc""".stripMargin),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type,
+             |    LAG(user_id) OVER w AS pu, LAG(event_type) OVER w AS pt
+             |  FROM events WINDOW w AS (ORDER BY user_id, ts, event_id)),
+             |g AS (
+             |  SELECT pt AS u, event_type AS v
+             |  FROM ordered WHERE pu = user_id GROUP BY pt, event_type),
+             |p AS (
+             |  SELECT CAST(1 AS BIGINT) AS hops FROM g
+             |  WHERE u = 'view' AND v = 'purchase'
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT) FROM g a JOIN g b ON a.v = b.u
+             |  WHERE a.u = 'view' AND b.v = 'purchase'
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT) FROM g a JOIN g b ON a.v = b.u
+             |    JOIN g c ON b.v = c.u
+             |  WHERE a.u = 'view' AND c.v = 'purchase')
+             |SELECT hops, COUNT(*) AS n_paths FROM p
+             |GROUP BY hops ORDER BY hops""".stripMargin)),
+
     // evaluate autocluster/basket: frequent attribute combinations via one
     // cube pass; the grand-total row funds the percent column (broadcast
     // single-row join, no second corpus scan). autocluster = basket at

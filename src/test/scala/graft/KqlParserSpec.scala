@@ -684,6 +684,15 @@ class KqlParserSpec extends SparkSpec {
     assert(cycles == Seq(("a", "c"), ("c", "a")))
     // graph-match without make-graph errors clearly
     intercept[IllegalArgumentException](g("e | graph-match (x)-[e1]->(y) project x"))
+    // variable-length edge: paths of 1..2 hops from a to c, edge var = array
+    val vl = g(
+      """e | make-graph u --> v
+        || graph-match (x)-[p*1..2]->(z)
+        |  where x == 'a' and z == 'c'
+        |  project hops = array_length(p)
+        || sort by hops asc""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(vl == Seq(1L, 2L)) // a->c direct, a->b->c
   }
 
   test("arg_max(x, *) expands the whole winning row per group") {
