@@ -152,6 +152,30 @@ object SeriesFunctions {
       }
     }
 
+  /** KQL `series_fill_const(series, value)`: nulls → the constant. */
+  def seriesFillConst(arr: Column, value: Column): Column =
+    transform(arr, x => coalesce(x, value))
+
+  /** KQL `series_fill_forward`: each null takes the nearest preceding
+    * non-null value (leading nulls stay null). O(n) fold building the
+    * output array left-to-right with O(1) carried state. */
+  def seriesFillForward(arr: Column): Column =
+    bound(arr) { a =>
+      aggregate(a,
+        struct(array().cast("array<double>").as("out"),
+          lit(null).cast("double").as("carry")),
+        (acc, x) => {
+          val v = coalesce(x.cast("double"), acc.getField("carry"))
+          struct(concat(acc.getField("out"), array(v)).as("out"), v.as("carry"))
+        },
+        acc => acc.getField("out"))
+    }
+
+  /** KQL `series_fill_backward`: nearest FOLLOWING non-null (trailing nulls
+    * stay null) — the forward fill over the reversed series, reversed back. */
+  def seriesFillBackward(arr: Column): Column =
+    reverse(seriesFillForward(reverse(arr)))
+
   /** KQL `series_pearson_correlation(a, b)`: exact closed-form Pearson r.
     * All five sums accumulate left-to-right (exact for integral-valued
     * series below 2^53); the final expression is a fixed operand-order

@@ -585,7 +585,17 @@ object KqlParser {
             "hint.strategy=shuffle (supported: row-local operators, summarize, top, count)")
       }
 
-    private def parseStdOp(df: DataFrame, op: String): DataFrame = op match {
+    // input columns of the operator currently being parsed — consulted by
+    // column_ifexists(), which resolves at parse time against the operator
+    // input (Kusto semantics)
+    private var curCols: Set[String] = Set.empty
+
+    private def parseStdOp(df: DataFrame, op: String): DataFrame = {
+      curCols = df.columns.toSet
+      parseStdOpBody(df, op)
+    }
+
+    private def parseStdOpBody(df: DataFrame, op: String): DataFrame = op match {
       case "where" | "filter" =>
         withRowFns(df) { val p = parseExpr(); _.where_(p) }
       case "facet" =>
@@ -1648,6 +1658,18 @@ object KqlParser {
         litCol(v, lit(v))
       case Ident("dynamic") if atPunct("(") => parseDynamic()
       case Ident("series_fir") if atPunct("(") => parseSeriesFir()
+      case Ident("column_ifexists") if atPunct("(") =>
+        // column_ifexists('name', default) — the column when the operator
+        // input has it, else the default expression (resolved at parse time)
+        pos += 1
+        val name = peek match {
+          case Some(Str(s)) => pos += 1; s
+          case _ => ident()
+        }
+        eatPunct(",")
+        val dflt = parseExpr()
+        eatPunct(")")
+        if (curCols(name)) col(name) else dflt
       case Ident(f) if atPunct("(") => parseScalarCall(f)
       case Ident(name) =>
         letScalars.getOrElse(name, scalarBindings.getOrElse(name, col(name)))
@@ -2012,6 +2034,16 @@ object KqlParser {
           // bag_pack(k1, v1, k2, v2, ...) → dynamic property bag (map)
           map(args: _*)
         case "bag_keys" => array_sort(map_keys(args.head))
+        case "bag_merge" =>
+          // Kusto keeps the FIRST bag's value on key collisions; Spark's
+          // map_concat errors on duplicates, so collisions are filtered out
+          // of the later bags explicitly
+          args.reduceLeft { (acc, nxt) =>
+            map_concat(acc, map_filter(nxt, (k, _) => !map_contains_key(acc, k)))
+          }
+        case "bag_remove_keys" =>
+          map_filter(args.head, (k, _) => !array_contains(args(1), k))
+        case "bag_has_key" => map_contains_key(args.head, args(1))
         case "strcat_array" =>
           array_join(transform(args.head, _.cast("string")), litString(args(1)))
         // series functions (series_fir parses separately: literal filter taps)
@@ -2022,6 +2054,10 @@ object KqlParser {
           SeriesFunctions.seriesMovingSum(args.head, litLong(args(1)).toInt)
         case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
         case "series_fit_line" => SeriesFunctions.seriesFitLine(args.head)
+        case "series_fill_const" =>
+          SeriesFunctions.seriesFillConst(args.head, args(1))
+        case "series_fill_forward" => SeriesFunctions.seriesFillForward(args.head)
+        case "series_fill_backward" => SeriesFunctions.seriesFillBackward(args.head)
         case "series_pearson_correlation" =>
           SeriesFunctions.seriesPearson(args.head, args(1))
         case "series_decompose" =>

@@ -702,6 +702,28 @@ object KqlTextQueries {
              |  v - v % 16777216 = 167772160 AS inr
              |FROM y ORDER BY event_id""".stripMargin)),
 
+    // property-bag surgery + parse-time column_ifexists resolution
+    QueryDef("q_kql_bag_ops",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend b1 = bag_pack('a', event_id % 5, 'b', event_id % 3),
+          |    b2 = bag_pack('b', 99, 'c', event_id % 7)
+          || extend m = bag_merge(b1, b2)
+          || extend ra = bag_remove_keys(m, pack_array('a'))
+          || project event_id,
+          |    mb = tolong(m['b']), mc = tolong(m['c']),
+          |    rkeys = strcat_array(bag_keys(ra), ';'),
+          |    hk = bag_has_key(m, 'c'), hk2 = bag_has_key(m, 'z'),
+          |    cie = column_ifexists('value', -1.0),
+          |    cie2 = column_ifexists('no_such_column', -1.0)
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  event_id % 3 AS mb, event_id % 7 AS mc,
+             |  'b;c' AS rkeys, TRUE AS hk, FALSE AS hk2,
+             |  value AS cie, -1.0 AS cie2
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
     // calendar parts + epoch-to-datetime conversions
     QueryDef("q_kql_datetime_fns",
       (s, d) => run(s, d,

@@ -1313,6 +1313,47 @@ object Queries {
              |    / (n * (n * (n - 1) * (2 * n - 1) / 6) - (n * (n - 1) / 2) * (n * (n - 1) / 2))) * (n * (n - 1) / 2)) / n AS intercept
              |FROM s ORDER BY event_type""".stripMargin)),
 
+    // series fill family over a sparse packed series (value > 150 keeps ~5%
+    // of rows, so many day-bins are empty): forward/backward nearest-anchor
+    // fill + const fill, unpacked to rows so doubles compare as doubles
+    QueryDef("q_series_fill",
+      (s, d) => T(s, d, "events")
+        .where_(col("value") > 150)
+        .makeSeries(Seq(col("event_type")), col("ts"), 86400,
+          Seq(min(col("value")).as("mv")), Seq(lit(null)))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("__bin"), col("mv")))),
+          x => x.getField("mv").cast("double")).as("sr"))
+        .withColumn("fw", SeriesFunctions.seriesFillForward(col("sr")))
+        .withColumn("bw", SeriesFunctions.seriesFillBackward(col("sr")))
+        .withColumn("ct", SeriesFunctions.seriesFillConst(col("sr"), lit(-1.0)))
+        .select(col("event_type"), posexplode(arrays_zip(col("sr"), col("fw"),
+          col("bw"), col("ct"))))
+        .select(col("event_type"), col("pos").cast("int").as("i"),
+          col("col.sr").as("mv"), col("col.fw").as("fwd"),
+          col("col.bw").as("bwd"), col("col.ct").as("cst"))
+        .sortBy(col("event_type"), col("i")),
+      Some("""WITH binned AS (
+             |  SELECT event_type,
+             |    TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (CAST((epoch_us(ts)//1000000)//86400*86400 AS BIGINT)) SECOND AS bin_ts,
+             |    value FROM events WHERE value > 150),
+             |bounds AS (SELECT min(bin_ts) AS lo, max(bin_ts) AS hi FROM binned),
+             |grid AS (SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 DAY)) AS bin_ts),
+             |keys AS (SELECT DISTINCT event_type FROM binned),
+             |agged AS (SELECT event_type, bin_ts, MIN(value) AS mv FROM binned GROUP BY 1, 2),
+             |series AS (
+             |  SELECT k.event_type, g.bin_ts, a.mv
+             |  FROM keys k CROSS JOIN grid g
+             |  LEFT JOIN agged a ON a.event_type = k.event_type AND a.bin_ts = g.bin_ts)
+             |SELECT event_type,
+             |  CAST(ROW_NUMBER() OVER w - 1 AS INT) AS i, mv,
+             |  last_value(mv IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd,
+             |  first_value(mv IGNORE NULLS) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bwd,
+             |  COALESCE(mv, -1.0) AS cst
+             |FROM series
+             |WINDOW w AS (PARTITION BY event_type ORDER BY bin_ts)
+             |ORDER BY event_type, i""".stripMargin)),
+
     // series_pearson_correlation between each event type's daily count series
     // and its daily distinct-user series — exact sums, fixed-order IEEE chain
     QueryDef("q_series_pearson",

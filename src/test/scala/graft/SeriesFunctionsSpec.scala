@@ -129,6 +129,20 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(math.abs(viaKql - 1.0) < 1e-12)
   }
 
+  test("series fill family: const, forward, backward") {
+    val df = Seq(Tuple1(Seq[java.lang.Double](null, 1.0, null, null, 4.0, null)))
+      .toDF("s")
+    val const = df.select(seriesFillConst($"s", lit(0.0))).as[Seq[Double]].collect().head
+    assert(const == Seq(0.0, 1.0, 0.0, 0.0, 4.0, 0.0))
+    val fwd = df.select(seriesFillForward($"s")).collect().head.getSeq[Any](0)
+    assert(fwd == Seq(null, 1.0, 1.0, 1.0, 4.0, 4.0))
+    val bwd = df.select(seriesFillBackward($"s")).collect().head.getSeq[Any](0)
+    assert(bwd == Seq(1.0, 1.0, 4.0, 4.0, 4.0, null))
+    // empty input stays empty
+    assert(Seq(Tuple1(Seq.empty[Double])).toDF("s")
+      .select(seriesFillForward($"s")).as[Seq[Double]].collect().head.isEmpty)
+  }
+
   test("parser surface: dynamic literal, pack_array, series fns, set ops") {
     val t = Seq((1, 7.0), (2, 1.0)).toDF("id", "v")
     val got = KqlParser.parse(
