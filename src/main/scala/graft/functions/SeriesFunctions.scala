@@ -197,6 +197,52 @@ object SeriesFunctions {
       }
     }
 
+  /** KQL `series_periods_detect(series, min_period, max_period, num_periods)`
+    * → struct(periods, scores): the `num_periods` candidate lags with the
+    * highest lag-L Pearson autocorrelation r(x[0..n−L), x[L..n)), ties broken
+    * by the smaller period. Deterministic contract (documented deviation:
+    * Kusto scores via periodogram energy; this scores via the ACF — the same
+    * "which periods repeat" answer with an exactly oracle-replayable
+    * arithmetic chain): integral series sum exactly in doubles, the Pearson
+    * chain is a fixed operand-order IEEE sequence, and degenerate lags
+    * (overlap < 2 points or zero variance on either side) score 0 rather
+    * than NaN. O(n · (max−min)) Catalyst HOFs per row — zero shuffles. */
+  def seriesPeriodsDetect(arr: Column, minPeriod: Int, maxPeriod: Int,
+      numPeriods: Int): Column = {
+    require(0 < minPeriod && minPeriod <= maxPeriod,
+      s"series_periods_detect needs 0 < min <= max, got $minPeriod..$maxPeriod")
+    bound(arr) { a =>
+      val n = size(a)
+      bound(transform(sequence(lit(minPeriod), lit(maxPeriod)), l => {
+        val m = greatest(n - l, lit(0))
+        val x = slice(a, lit(1), m)
+        val y = slice(a, l + 1, m)
+        val md = m.cast("double")
+        val sa = dsum(x)
+        val sb = dsum(y)
+        val sab = aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        val saa = aggregate(x, lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))
+        val sbb = aggregate(y, lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))
+        val den = sqrt(md * saa - sa * sa) * sqrt(md * sbb - sb * sb)
+        val score = when(m < 2 || den === 0, lit(0.0))
+          .otherwise((md * sab - sa * sb) / den)
+        struct(l.as("period"), score.as("score"))
+      })) { cands =>
+        bound(slice(array_sort(cands, (p, q) =>
+          when(p.getField("score") > q.getField("score"), -1)
+            .when(p.getField("score") < q.getField("score"), 1)
+            .otherwise(p.getField("period") - q.getField("period"))),
+          1, numPeriods)) { top =>
+          struct(transform(top, _.getField("period")).as("periods"),
+            transform(top, _.getField("score")).as("scores"))
+        }
+      }
+    }
+  }
+
   /** KQL `series_decompose_anomalies(series, period)`: Tukey-fence flags over
     * the decomposition residual — +1 high outlier, −1 low, 0 normal (the same
     * graded-score→sign contract as seriesOutliers). */

@@ -2064,6 +2064,9 @@ object KqlParser {
           SeriesFunctions.seriesDecompose(args.head, litLong(args(1)).toInt)
         case "series_decompose_anomalies" =>
           SeriesFunctions.seriesDecomposeAnomalies(args.head, litLong(args(1)).toInt)
+        case "series_periods_detect" =>
+          SeriesFunctions.seriesPeriodsDetect(args.head, litLong(args(1)).toInt,
+            litLong(args(2)).toInt, litLong(args(3)).toInt)
         case other => throw new IllegalArgumentException(s"unsupported scalar function: $other")
       }
     }

@@ -1383,6 +1383,59 @@ object Queries {
              |  (n * sab - sa * sb) / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)) AS r
              |FROM s ORDER BY event_type""".stripMargin)),
 
+    // series_periods_detect: top-2 periods by lag-L autocorrelation over each
+    // event type's daily count series — exact integral sums, fixed-order IEEE
+    // Pearson chain, tie-break on the smaller period (both engines rank the
+    // identical score doubles, so the argmax agrees bit-for-bit)
+    QueryDef("q_series_periods",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .select(col("event_type"),
+          SeriesFunctions.seriesPeriodsDetect(col("sr"), 2, 10, 2).as("pd"))
+        .select(col("event_type"),
+          element_at(col("pd.periods"), 1).as("p1"),
+          element_at(col("pd.scores"), 1).as("s1"),
+          element_at(col("pd.periods"), 2).as("p2"),
+          element_at(col("pd.scores"), 2).as("s2"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |lags AS (SELECT unnest(generate_series(2, 10)) AS l),
+             |acf AS (
+             |  SELECT x.event_type, l.l,
+             |    CAST(COUNT(*) AS DOUBLE) AS m,
+             |    CAST(SUM(x.c) AS DOUBLE) AS sa, CAST(SUM(y.c) AS DOUBLE) AS sb,
+             |    CAST(SUM(x.c * y.c) AS DOUBLE) AS sab,
+             |    CAST(SUM(x.c * x.c) AS DOUBLE) AS saa, CAST(SUM(y.c * y.c) AS DOUBLE) AS sbb
+             |  FROM lags l CROSS JOIN idx x JOIN idx y
+             |    ON x.event_type = y.event_type AND y.i = x.i + l.l
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT event_type, l,
+             |    CASE WHEN m < 2 OR (sqrt(m * saa - sa * sa) * sqrt(m * sbb - sb * sb)) = 0
+             |      THEN 0.0
+             |      ELSE (m * sab - sa * sb) / (sqrt(m * saa - sa * sa) * sqrt(m * sbb - sb * sb))
+             |    END AS score
+             |  FROM acf),
+             |ranked AS (
+             |  SELECT event_type, l, score,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, l ASC) AS rn
+             |  FROM scored)
+             |SELECT event_type,
+             |  MAX(CASE WHEN rn = 1 THEN CAST(l AS INT) END) AS p1,
+             |  MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+             |  MAX(CASE WHEN rn = 2 THEN CAST(l AS INT) END) AS p2,
+             |  MAX(CASE WHEN rn = 2 THEN score END) AS s2
+             |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // series_decompose_anomalies: Tukey-fence flags over the decomposition
     // residual — integer flags, so the packed-list output stringifies safely
     QueryDef("q_series_anomalies",

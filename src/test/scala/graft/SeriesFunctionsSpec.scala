@@ -143,6 +143,29 @@ class SeriesFunctionsSpec extends SparkSpec {
       .select(seriesFillForward($"s")).as[Seq[Double]].collect().head.isEmpty)
   }
 
+  test("series_periods_detect finds the planted period") {
+    // period-4 signal with a small linear trend so lag 4 strictly beats lag 8
+    val sig = (0 until 24).map(i => Seq(1.0, 9.0, 3.0, 5.0)(i % 4) + i * 0.01)
+    val df = Seq(Tuple1(sig)).toDF("s")
+    val row = df.select(seriesPeriodsDetect($"s", 2, 10, 3).as("pd"))
+      .select($"pd.periods", $"pd.scores").collect().head
+    val periods = row.getSeq[Int](0)
+    val scores = row.getSeq[Double](1)
+    assert(periods.head == 4, s"expected 4 first, got $periods")
+    assert(periods.take(2).toSet == Set(4, 8))
+    assert(scores.head > 0.999)
+    // degenerate inputs: constant series scores 0 everywhere, never NaN
+    val const = Seq(Tuple1(Seq.fill(12)(5.0))).toDF("s")
+      .select(seriesPeriodsDetect($"s", 2, 4, 2).as("pd"))
+      .select($"pd.scores").as[Seq[Double]].collect().head
+    assert(const == Seq(0.0, 0.0))
+    // series shorter than min lag: all lags degenerate, still no error
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("s")
+      .select(seriesPeriodsDetect($"s", 5, 6, 1).as("pd"))
+      .select($"pd.scores").as[Seq[Double]].collect().head
+    assert(short == Seq(0.0))
+  }
+
   test("parser surface: dynamic literal, pack_array, series fns, set ops") {
     val t = Seq((1, 7.0), (2, 1.0)).toDF("id", "v")
     val got = KqlParser.parse(
