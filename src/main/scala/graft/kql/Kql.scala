@@ -359,6 +359,39 @@ object Kql {
         .withColumn("percent", col("count_") * lit(100.0) / col("__total"))
         .drop("__gid", "__total")
     }
+
+    /** `T | evaluate diffpatterns(split, 'a', 'b', c1, ..., ck)` — KQL's
+      * diffpatterns plugin: attribute-value combinations whose frequency
+      * differs between the two row splits. Rows are restricted to the two
+      * split values, then ONE cube pass computes CountA/CountB for all
+      * 2^k−1 attribute subsets (conditional sums — partial+final hash agg,
+      * single shuffle); the cube's own grand-total row supplies the per-side
+      * totals for the percent columns (broadcast single-row join, no second
+      * scan). A combination is kept when it covers at least `threshold` of
+      * EITHER side (Kusto's default 0.05). Deviations (documented, same
+      * contract as basket): attributes are explicit rather than auto-chosen,
+      * and no SegmentId ordinal is emitted. */
+    def diffPatterns(split: String, valA: String, valB: String,
+        cols: Seq[String], threshold: Double = 0.05): DataFrame = {
+      require(cols.nonEmpty, "diffpatterns requires at least one attribute column")
+      val s = col(split).cast("string")
+      val allWild = (1 << cols.size) - 1
+      val cubed = df.filter(s.isin(valA, valB))
+        .cube(cols.map(col): _*)
+        .agg(sum(when(s === valA, 1L).otherwise(0L)).as("count_a"),
+          sum(when(s === valB, 1L).otherwise(0L)).as("count_b"),
+          grouping_id().as("__gid"))
+      val total = cubed.filter(col("__gid") === allWild)
+        .select(col("count_a").as("__ta"), col("count_b").as("__tb"))
+      cubed.filter(col("__gid") =!= allWild)
+        .crossJoin(broadcast(total))
+        .filter(col("count_a") >= lit(threshold) * col("__ta") ||
+          col("count_b") >= lit(threshold) * col("__tb"))
+        .withColumn("percent_a", col("count_a") * lit(100.0) / col("__ta"))
+        .withColumn("percent_b", col("count_b") * lit(100.0) / col("__tb"))
+        .withColumn("percent_diff_ab", col("percent_a") - col("percent_b"))
+        .drop("__gid", "__ta", "__tb")
+    }
   }
 
   // ------------------------------------------------------------------

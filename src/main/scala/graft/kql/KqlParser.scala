@@ -908,6 +908,19 @@ object KqlParser {
             while (atPunct(",")) { pos += 1; cs += ident() }
             eatPunct(")")
             df.basket(cs.result(), threshold)
+          case "diffpatterns" =>
+            // `evaluate diffpatterns(split, 'a', 'b', c1, ..., ck)` —
+            // attribute combinations whose frequency differs between the two
+            // row splits (see Kql.diffPatterns for semantics + deviations).
+            val split = ident()
+            eatPunct(",")
+            val valA = strLitS()
+            eatPunct(",")
+            val valB = strLitS()
+            val cs = Seq.newBuilder[String]
+            while (atPunct(",")) { pos += 1; cs += ident() }
+            eatPunct(")")
+            df.diffPatterns(split, valA, valB, cs.result())
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "parse" | "parse-where" =>

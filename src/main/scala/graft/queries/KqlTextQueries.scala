@@ -974,6 +974,40 @@ object KqlTextQueries {
              |WHERE NOT (g1 = 1 AND g2 = 1 AND g3 = 1) AND c.count_ >= 0.12 * tot.total
              |ORDER BY count_ DESC, event_type NULLS FIRST, band NULLS FIRST, big NULLS FIRST""".stripMargin)),
 
+    // evaluate diffpatterns: attribute combinations whose frequency differs
+    // between two row splits — one cube pass computes both sides' counts as
+    // conditional sums; the cube's grand-total row funds the percent columns
+    // (broadcast single-row join). Oracle CASTs each SUM (DuckDB HUGEINT) and
+    // forces the 0.05 threshold to DOUBLE so both engines compare the same
+    // IEEE product at the support boundary.
+    QueryDef("q_kql_diffpatterns",
+      (s, d) => run(s, d,
+        """events
+          || extend band = strcat('b', tostring(user_id % 3)),
+          |    big = iff(value > 250, 'hi', 'lo')
+          || evaluate diffpatterns(big, 'hi', 'lo', event_type, band)
+          || sort by event_type asc, band asc""".stripMargin),
+      Some("""WITH base AS (
+             |  SELECT event_type, 'b' || CAST(user_id % 3 AS VARCHAR) AS band,
+             |    CASE WHEN value > 250 THEN 'hi' ELSE 'lo' END AS big FROM events),
+             |c AS (
+             |  SELECT event_type, band,
+             |    CAST(SUM(CASE WHEN big = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+             |    CAST(SUM(CASE WHEN big = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS count_b,
+             |    GROUPING(event_type) AS g1, GROUPING(band) AS g2
+             |  FROM base GROUP BY CUBE(event_type, band)),
+             |tot AS (SELECT count_a AS ta, count_b AS tb FROM c WHERE g1 = 1 AND g2 = 1)
+             |SELECT c.event_type AS event_type, c.band AS band,
+             |  c.count_a AS count_a, c.count_b AS count_b,
+             |  c.count_a * 100.0 / tot.ta AS percent_a,
+             |  c.count_b * 100.0 / tot.tb AS percent_b,
+             |  c.count_a * 100.0 / tot.ta - c.count_b * 100.0 / tot.tb AS percent_diff_ab
+             |FROM c, tot
+             |WHERE NOT (g1 = 1 AND g2 = 1)
+             |  AND (c.count_a >= CAST(0.05 AS DOUBLE) * tot.ta
+             |    OR c.count_b >= CAST(0.05 AS DOUBLE) * tot.tb)
+             |ORDER BY event_type NULLS FIRST, band NULLS FIRST""".stripMargin)),
+
     // cross-table search: each table probed over its own string columns under
     // the union (filter per leg → pushdown per table), labeled with source_.
     // 'data' lives only in documents.text and 'click' only in
