@@ -392,6 +392,82 @@ object Kql {
         .withColumn("percent_diff_ab", col("percent_a") - col("percent_b"))
         .drop("__gid", "__ta", "__tb")
     }
+
+    /** `T | evaluate activity_counts_metrics(id, ts, start, end, step)` —
+      * KQL's activity-counts plugin: per time bin, total events (`count_`),
+      * distinct actors (`dcount`), first-ever-seen actors (`new_dcount`) and
+      * the running distinct total (`aggregated_dcount`). Two hash aggs over
+      * the fact table (by bin, by id) — both partial+final, one shuffle each;
+      * the cumulative sum runs over the AGGREGATED per-bin rows, whose count
+      * is bounded by (end−start)/step (a query constant, not data-sized), so
+      * the unpartitioned window is safe at any corpus scale. Bins with no
+      * rows are omitted (Kusto emits them only when materialize_to_default).
+      * Deviations: per-dimension splits are not supported; bins align to the
+      * epoch grid (`bin()`), not `bin_at(start)` — pass an aligned start. */
+    def activityCountsMetrics(idCol: String, tsCol: String, start: Column,
+        end: Column, stepSeconds: Long): DataFrame = {
+      val binned = df.filter(col(tsCol) >= start && col(tsCol) < end)
+        .select(col(idCol).as("__id"), Bin.ts(col(tsCol), stepSeconds).as("__bin"))
+      val perBin = binned.groupBy("__bin")
+        .agg(count(lit(1)).as("count_"), countDistinct(col("__id")).as("dcount"))
+      val newPerBin = binned.groupBy("__id").agg(min(col("__bin")).as("__fb"))
+        .groupBy(col("__fb").as("__bin")).agg(count(lit(1)).as("new_dcount"))
+      val w = Window.orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBin.join(newPerBin, Seq("__bin"), "left_outer")
+        .na.fill(0L, Seq("new_dcount"))
+        .withColumn("aggregated_dcount", sum(col("new_dcount")).over(w))
+        .withColumnRenamed("__bin", tsCol)
+    }
+
+    /** `T | evaluate sliding_window_counts(id, ts, lookback, step, start,
+      * end)` — events and distinct actors inside a lookback window ending at
+      * each bin. Each event row contributes to the lookback/step windows that
+      * can see it: a 2-column (id, bin) projection is exploded forward by
+      * that fixed factor, then ONE hash agg groups by window — shuffle
+      * carries only (id, window) pairs, never source rows, and the blow-up
+      * factor is a query constant (e.g. 7 for 7d/1d). Windows with no
+      * contributing events are omitted. */
+    def slidingWindowCounts(idCol: String, tsCol: String, lookbackSeconds: Long,
+        stepSeconds: Long, start: Column, end: Column): DataFrame = {
+      require(lookbackSeconds % stepSeconds == 0 && lookbackSeconds >= stepSeconds,
+        "sliding_window_counts lookback must be a positive multiple of step")
+      val binned = df.filter(col(tsCol) >= start && col(tsCol) < end)
+        .select(col(idCol).as("__id"), Bin.ts(col(tsCol), stepSeconds).as("__bin"))
+      val contrib = binned.withColumn("__win", explode(sequence(col("__bin"),
+          col("__bin") + expr(s"INTERVAL ${lookbackSeconds - stepSeconds} SECONDS"),
+          expr(s"INTERVAL $stepSeconds SECONDS"))))
+        .filter(col("__win") < end)
+      contrib.groupBy(col("__win").as(tsCol))
+        .agg(count(lit(1)).as("count_"), countDistinct(col("__id")).as("dcount"))
+    }
+
+    /** `T | evaluate activity_engagement(id, ts, innerWindow, outerWindow)` —
+      * engagement ratio (e.g. DAU/WAU): distinct actors in each inner bin vs
+      * distinct actors in the outer window ending at that bin. The corpus is
+      * reduced to DISTINCT (id, inner-bin) pairs first (one agg), so the
+      * outer-window explode (factor outer/inner) runs over the deduplicated
+      * pair set, not raw events. Rows emit only for bins with inner activity
+      * (inner join), matching engaged-bin semantics. */
+    def activityEngagement(idCol: String, tsCol: String, innerSeconds: Long,
+        outerSeconds: Long): DataFrame = {
+      require(outerSeconds % innerSeconds == 0 && outerSeconds >= innerSeconds,
+        "activity_engagement outer window must be a positive multiple of the inner window")
+      val pairs = df
+        .select(col(idCol).as("__id"), Bin.ts(col(tsCol), innerSeconds).as("__bin"))
+        .distinct()
+      val inner = pairs.groupBy("__bin")
+        .agg(count(lit(1)).as("dcount_activities_inner"))
+      val outer = pairs.withColumn("__win", explode(sequence(col("__bin"),
+          col("__bin") + expr(s"INTERVAL ${outerSeconds - innerSeconds} SECONDS"),
+          expr(s"INTERVAL $innerSeconds SECONDS"))))
+        .groupBy(col("__win").as("__bin"))
+        .agg(countDistinct(col("__id")).as("dcount_activities_outer"))
+      inner.join(outer, Seq("__bin"))
+        .withColumn("activity_ratio", col("dcount_activities_inner").cast("double") /
+          col("dcount_activities_outer"))
+        .withColumnRenamed("__bin", tsCol)
+    }
   }
 
   // ------------------------------------------------------------------

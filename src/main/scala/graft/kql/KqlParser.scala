@@ -921,6 +921,37 @@ object KqlParser {
             while (atPunct(",")) { pos += 1; cs += ident() }
             eatPunct(")")
             df.diffPatterns(split, valA, valB, cs.result())
+          case "activity_counts_metrics" =>
+            // `evaluate activity_counts_metrics(id, ts, start, end, step)` —
+            // per-bin count / dcount / new_dcount / aggregated_dcount (see
+            // Kql.activityCountsMetrics for semantics + deviations).
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr(); eatPunct(",")
+            val step = litLong(parseExpr())
+            eatPunct(")")
+            df.activityCountsMetrics(id, tsN, start, end, step)
+          case "sliding_window_counts" =>
+            // `evaluate sliding_window_counts(id, ts, lookback, step, start,
+            // end)` — count/dcount in a lookback window ending at each bin.
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val lookback = litLong(parseExpr()); eatPunct(",")
+            val step = litLong(parseExpr()); eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr()
+            eatPunct(")")
+            df.slidingWindowCounts(id, tsN, lookback, step, start, end)
+          case "activity_engagement" =>
+            // `evaluate activity_engagement(id, ts, inner, outer)` — inner-
+            // vs outer-window distinct-actor ratio (DAU/WAU style).
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val innerW = litLong(parseExpr()); eatPunct(",")
+            val outerW = litLong(parseExpr())
+            eatPunct(")")
+            df.activityEngagement(id, tsN, innerW, outerW)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "parse" | "parse-where" =>

@@ -1008,6 +1008,81 @@ object KqlTextQueries {
              |    OR c.count_b >= CAST(0.05 AS DOUBLE) * tot.tb)
              |ORDER BY event_type NULLS FIRST, band NULLS FIRST""".stripMargin)),
 
+    // evaluate activity_counts_metrics: per-day event count, distinct actors,
+    // first-seen actors, and running distinct total. Two hash aggs over the
+    // fact table; the cumulative window runs over per-bin rows only (bounded
+    // by the date range). Oracle CASTs the running SUM (DuckDB HUGEINT).
+    QueryDef("q_kql_activity_counts",
+      (s, d) => run(s, d,
+        """events
+          || evaluate activity_counts_metrics(user_id, ts,
+          |    datetime('2024-01-01'), datetime('2024-01-31'), 1d)
+          || sort by ts asc""".stripMargin),
+      Some("""WITH b AS (
+             |  SELECT user_id, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//86400*86400 AS BIGINT)) SECOND AS bin
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+             |perbin AS (
+             |  SELECT bin, COUNT(*) AS count_, COUNT(DISTINCT user_id) AS dcount
+             |  FROM b GROUP BY bin),
+             |firstseen AS (SELECT user_id, MIN(bin) AS fb FROM b GROUP BY user_id),
+             |newb AS (SELECT fb AS bin, COUNT(*) AS new_dcount FROM firstseen GROUP BY fb)
+             |SELECT p.bin AS ts, p.count_ AS count_, p.dcount AS dcount,
+             |  COALESCE(n.new_dcount, 0) AS new_dcount,
+             |  CAST(SUM(COALESCE(n.new_dcount, 0)) OVER (ORDER BY p.bin) AS BIGINT)
+             |    AS aggregated_dcount
+             |FROM perbin p LEFT JOIN newb n ON p.bin = n.bin
+             |ORDER BY ts""".stripMargin)),
+
+    // evaluate sliding_window_counts: events + distinct actors in a 7d window
+    // ending at each day. Engine explodes (id, bin) pairs forward by the
+    // fixed lookback/step factor; oracle states the same windows as a
+    // range-join over generated day bins.
+    QueryDef("q_kql_sliding_window",
+      (s, d) => run(s, d,
+        """events
+          || evaluate sliding_window_counts(user_id, ts, 7d, 1d,
+          |    datetime('2024-01-01'), datetime('2024-01-31'))
+          || sort by ts asc""".stripMargin),
+      Some("""WITH e AS (
+             |  SELECT user_id, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//86400*86400 AS BIGINT)) SECOND AS bin
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+             |wins AS (SELECT range AS wbin FROM range(
+             |  TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)),
+             |j AS (
+             |  SELECT w.wbin, e.user_id FROM wins w JOIN e
+             |  ON e.bin <= w.wbin AND e.bin > w.wbin - INTERVAL 7 DAY)
+             |SELECT wbin AS ts, COUNT(*) AS count_, COUNT(DISTINCT user_id) AS dcount
+             |FROM j GROUP BY wbin ORDER BY ts""".stripMargin)),
+
+    // evaluate activity_engagement: DAU/WAU ratio — distinct actors per day
+    // vs distinct actors in the 7d window ending that day, over the
+    // deduplicated (id, day) pair set.
+    QueryDef("q_kql_engagement",
+      (s, d) => run(s, d,
+        """events
+          || evaluate activity_engagement(user_id, ts, 1d, 7d)
+          || sort by ts asc""".stripMargin),
+      Some("""WITH p AS (
+             |  SELECT DISTINCT user_id, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//86400*86400 AS BIGINT)) SECOND AS bin
+             |  FROM events),
+             |inner_ AS (
+             |  SELECT bin, COUNT(*) AS di FROM p GROUP BY bin),
+             |outer_ AS (
+             |  SELECT i.bin AS bin, COUNT(DISTINCT p2.user_id) AS do_
+             |  FROM inner_ i JOIN p p2
+             |  ON p2.bin <= i.bin AND p2.bin > i.bin - INTERVAL 7 DAY
+             |  GROUP BY i.bin)
+             |SELECT i.bin AS ts, i.di AS dcount_activities_inner,
+             |  o.do_ AS dcount_activities_outer,
+             |  CAST(i.di AS DOUBLE) / o.do_ AS activity_ratio
+             |FROM inner_ i JOIN outer_ o ON i.bin = o.bin
+             |ORDER BY ts""".stripMargin)),
+
     // cross-table search: each table probed over its own string columns under
     // the union (filter per leg → pushdown per table), labeled with source_.
     // 'data' lives only in documents.text and 'click' only in
