@@ -921,6 +921,37 @@ object KqlParser {
             while (atPunct(",")) { pos += 1; cs += ident() }
             eatPunct(")")
             df.diffPatterns(split, valA, valB, cs.result())
+          case "dcount_intersect" =>
+            // `evaluate dcount_intersect(h1, h2[, h3])` over hll_sketch()
+            // columns: s0 = |A|, s1 = |A∩B|, s2 = |A∩B∩C| by inclusion-
+            // exclusion over sketch UNIONS (the only operation HLL supports
+            // exactly) — per-row scalar work on already-aggregated rows, no
+            // extra pass over the corpus. Estimates are clamped at 0 (an
+            // intersection cannot be negative; union estimates can
+            // overshoot at scale).
+            val cs = Seq.newBuilder[String]
+            cs += ident()
+            while (atPunct(",")) { pos += 1; cs += ident() }
+            eatPunct(")")
+            val hs = cs.result()
+            require(hs.size >= 2 && hs.size <= 3,
+              "dcount_intersect supports 2 or 3 hll_sketch columns")
+            def est(c: Column) = hll_sketch_estimate(c)
+            val u2 = est(hll_union(col(hs(0)), col(hs(1))))
+            val s0 = est(col(hs(0)))
+            val s1 = greatest(lit(0L), est(col(hs(0))) + est(col(hs(1))) - u2)
+            val withS = df.withColumn("s0", s0).withColumn("s1", s1)
+            val out =
+              if (hs.size == 2) withS
+              else {
+                val a = col(hs(0)); val b = col(hs(1)); val c = col(hs(2))
+                val s2 = greatest(lit(0L),
+                  est(a) + est(b) + est(c) -
+                    est(hll_union(a, b)) - est(hll_union(a, c)) - est(hll_union(b, c)) +
+                    est(hll_union(hll_union(a, b), c)))
+                withS.withColumn("s2", s2)
+              }
+            out.drop(hs: _*)
           case "activity_counts_metrics" =>
             // `evaluate activity_counts_metrics(id, ts, start, end, step)` —
             // per-bin count / dcount / new_dcount / aggregated_dcount (see
@@ -954,6 +985,23 @@ object KqlParser {
             df.activityEngagement(id, tsN, innerW, outerW)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
+      case "reduce" =>
+        // `T | reduce by Expr [with threshold=x]` — group strings into
+        // generalized patterns: Pattern / Count / Representative. One hash
+        // agg (partial+final) on the derived pattern key. Deviation
+        // (documented): Kusto's reduce is a fuzzy similarity clustering; this
+        // engine generalizes deterministically (digit runs → `*`), so equal
+        // inputs always land in the same pattern and the output is
+        // oracle-reproducible. The threshold is accepted and ignored.
+        eatIdent("by")
+        val e = parseExpr()
+        if (atIdent("with")) {
+          pos += 1; eatIdent("threshold"); eatPunct("="); parseNum()
+        }
+        df.select(regexp_replace(e.cast("string"), "[0-9]+", "*").as("Pattern"),
+            e.cast("string").as("__v"))
+          .groupBy("Pattern")
+          .agg(count(lit(1)).as("Count"), min(col("__v")).as("Representative"))
       case "parse" | "parse-where" =>
         // `parse Col with ['*'] ('lit' Name[:type])...` — literals anchor, names
         // capture lazily between them (last capture runs to end of string).
@@ -1459,6 +1507,10 @@ object KqlParser {
         case "dcount" => countDistinct(args.head)
         case "dcountif" => countDistinct(when(args(1), args.head))
         case "hll" => approx_count_distinct(args.head)
+        // mergeable DataSketches sketch (binary) — feeds hll_merge columns
+        // and `evaluate dcount_intersect`; `hll` above keeps its historical
+        // direct-estimate mapping (documented deviation)
+        case "hll_sketch" => hll_sketch_agg(args.head)
         // KQL percentile takes 0-100; Spark's takes a [0,1] fraction
         case "percentile" => percentile(args.head, lit(litDouble(args(1)) / 100.0))
         case "percentiles" =>
@@ -1688,6 +1740,9 @@ object KqlParser {
       case Punct("(") => val e = parseExpr(); eatPunct(")"); e
       case Ident("true") => lit(true)
       case Ident("false") => lit(false)
+      // bare null literal (covers Kusto's typed nulls via long(null) etc.,
+      // which cast it on the way out)
+      case Ident("null") => lit(null)
       case Ident(ts) if isTimespanLit(ts) =>
         val secs = timespanSeconds(ts)
         litCol(secs, lit(secs))
@@ -1816,9 +1871,9 @@ object KqlParser {
         case "pow" => pow(args.head, args(1))
         case "sign" => signum(args.head)
         case "tostring" => args.head.cast("string")
-        case "toint" => args.head.cast("int")
-        case "tolong" => args.head.cast("long")
-        case "todouble" | "toreal" => args.head.cast("double")
+        case "toint" | "int" => args.head.cast("int")
+        case "tolong" | "long" => args.head.cast("long")
+        case "todouble" | "toreal" | "real" | "double" => args.head.cast("double")
         case "tobool" => args.head.cast("boolean")
         case "todecimal" => args.head.cast("decimal(38,18)")
         case "todatetime" => args.head.cast("timestamp")

@@ -1083,6 +1083,41 @@ object KqlTextQueries {
              |FROM inner_ i JOIN outer_ o ON i.bin = o.bin
              |ORDER BY ts""".stripMargin)),
 
+    // reduce by: deterministic pattern clustering (digit runs → `*`) — one
+    // hash agg on the derived pattern; Representative is the binary-min
+    // member (stable in both engines).
+    QueryDef("q_kql_reduce",
+      (s, d) => run(s, d,
+        """events
+          || reduce by strcat(event_type, ':', props)
+          || sort by Count desc, Pattern asc""".stripMargin),
+      Some("""WITH v AS (SELECT event_type || ':' || props AS s FROM events)
+             |SELECT regexp_replace(s, '[0-9]+', '*', 'g') AS "Pattern",
+             |  COUNT(*) AS "Count", MIN(s) AS "Representative"
+             |FROM v GROUP BY 1 ORDER BY "Count" DESC, "Pattern" ASC""".stripMargin)),
+
+    // evaluate dcount_intersect over hll_sketch() columns: per event_type,
+    // actors with a high-value row (s0) and actors with BOTH a high- and a
+    // low-value row (s1) — inclusion-exclusion over sketch unions. Exact at
+    // this cardinality (DataSketches sparse mode), so the oracle states the
+    // exact set arithmetic.
+    QueryDef("q_kql_dcount_intersect",
+      (s, d) => run(s, d,
+        """events
+          || summarize h1 = hll_sketch(iff(value > 250.0, user_id, long(null))),
+          |    h2 = hll_sketch(iff(value <= 250.0, user_id, long(null))) by event_type
+          || evaluate dcount_intersect(h1, h2)
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH g AS (
+             |  SELECT event_type, user_id,
+             |    MAX(CASE WHEN value > 250.0 THEN 1 ELSE 0 END) AS ha,
+             |    MAX(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) AS hb
+             |  FROM events GROUP BY event_type, user_id)
+             |SELECT event_type,
+             |  COUNT(CASE WHEN ha = 1 THEN 1 END) AS s0,
+             |  COUNT(CASE WHEN ha = 1 AND hb = 1 THEN 1 END) AS s1
+             |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // cross-table search: each table probed over its own string columns under
     // the union (filter per leg → pushdown per table), labeled with source_.
     // 'data' lives only in documents.text and 'click' only in
