@@ -1995,6 +1995,15 @@ object KqlParser {
           args.head === Double.NegativeInfinity
         case "pi" => lit(math.Pi)
         case "sin" => sin(args.head)
+        case "geo_distance_2points" =>
+          // haversine on the mean-radius sphere (R = 6371 km). Deviation
+          // (documented): Kusto computes the WGS84 geodesic; the spherical
+          // approximation is within 0.5% and keeps the expression a pure
+          // codegen'd arithmetic chain.
+          geoDistance(args(0), args(1), args(2), args(3))
+        case "geo_point_in_circle" =>
+          // geo_point_in_circle(lon, lat, centerLon, centerLat, radius_m)
+          geoDistance(args(0), args(1), args(2), args(3)) <= args(4).cast("double")
         case "cos" => cos(args.head)
         case "tan" => tan(args.head)
         case "atan2" => atan2(args.head, args(1))
@@ -2251,6 +2260,18 @@ object KqlParser {
       if (widthIsTimespan) Bin.ts(v, litLong(w))
       else if (widthIsIntegral) (floor(v / w) * w).cast("long")
       else floor(v / w) * w
+    }
+
+    /** Spherical haversine distance in meters; the asin argument is clamped
+      * at 1 (antipodal rounding can push sqrt(a) a ulp past 1 → NaN). */
+    private def geoDistance(lon1c: Column, lat1c: Column, lon2c: Column,
+        lat2c: Column): Column = {
+      val lon1 = lon1c.cast("double"); val lat1 = lat1c.cast("double")
+      val lon2 = lon2c.cast("double"); val lat2 = lat2c.cast("double")
+      val sdlat = sin(radians(lat2 - lat1) / 2)
+      val sdlon = sin(radians(lon2 - lon1) / 2)
+      val a = sdlat * sdlat + cos(radians(lat1)) * cos(radians(lat2)) * sdlon * sdlon
+      lit(12742000.0) * asin(least(lit(1.0), sqrt(a)))
     }
 
     private def litString(c: Column): String = {

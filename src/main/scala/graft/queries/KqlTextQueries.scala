@@ -1118,6 +1118,40 @@ object KqlTextQueries {
              |  COUNT(CASE WHEN ha = 1 AND hb = 1 THEN 1 END) AS s1
              |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // geo scalar family: haversine distance + point-in-circle, synthesized
+    // coordinates. Both sides state the identical arithmetic chain; the
+    // round(d, 1) absorbs cross-engine libm last-ulp differences in
+    // sin/cos/asin (sqrt is IEEE-exact in both).
+    QueryDef("q_kql_geo",
+      (s, d) => run(s, d,
+        """events
+          || extend lon1 = todouble(event_id % 350) - 175.0 + 0.25,
+          |    lat1 = todouble(event_id % 170) - 85.0 + 0.25,
+          |    lon2 = todouble(user_id % 350) - 175.0 + 0.25,
+          |    lat2 = todouble(user_id % 170) - 85.0 + 0.25
+          || extend d = round(geo_distance_2points(lon1, lat1, lon2, lat2), 1),
+          |    inc = geo_point_in_circle(lon1, lat1, 0.0, 0.0, 5000000.0)
+          || project event_id, d, inc
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (
+             |  SELECT event_id,
+             |    CAST(event_id % 350 AS DOUBLE) - 175.0 + 0.25 AS lon1,
+             |    CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat1,
+             |    CAST(user_id % 350 AS DOUBLE) - 175.0 + 0.25 AS lon2,
+             |    CAST(user_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat2
+             |  FROM events)
+             |SELECT event_id,
+             |  ROUND(12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |    SIN(RADIANS(lat2 - lat1) / 2) * SIN(RADIANS(lat2 - lat1) / 2) +
+             |    COS(RADIANS(lat1)) * COS(RADIANS(lat2)) *
+             |    SIN(RADIANS(lon2 - lon1) / 2) * SIN(RADIANS(lon2 - lon1) / 2)))), 1) AS d,
+             |  12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |    SIN(RADIANS(0.0 - lat1) / 2) * SIN(RADIANS(0.0 - lat1) / 2) +
+             |    COS(RADIANS(lat1)) * COS(RADIANS(0.0)) *
+             |    SIN(RADIANS(0.0 - lon1) / 2) * SIN(RADIANS(0.0 - lon1) / 2))))
+             |    <= 5000000.0 AS inc
+             |FROM b ORDER BY event_id""".stripMargin)),
+
     // cross-table search: each table probed over its own string columns under
     // the union (filter per leg → pushdown per table), labeled with source_.
     // 'data' lives only in documents.text and 'click' only in
