@@ -152,6 +152,84 @@ object SeriesFunctions {
       }
     }
 
+  /** KQL `series_fit_2lines(series)`: the single split k (1 ≤ k < n) that
+    * minimizes the summed residual sum-of-squares of independent least-squares
+    * lines over [0,k) and [k,n) → struct(split_idx, rsquare, variance,
+    * rvariance, left/right slope+intercept). O(n²) HOF arithmetic per series —
+    * n is the series grid length (a query constant set by time-range/step),
+    * so cost is independent of corpus size and the whole thing runs inside
+    * codegen with zero shuffles. Segment fits use LOCAL x = 0..m−1 (RSS is
+    * translation-invariant; right-segment intercept is relative to the split
+    * — documented deviation from Kusto's packed line_fit output). Σy, Σxy,
+    * Σy² are exact for integral series; every downstream op is a fixed-order
+    * IEEE chain the oracle replays verbatim, so even rsquare/rvariance
+    * driver-compare exactly. Ties in rss pick the smallest k on both sides. */
+  def seriesFit2Lines(arr: Column): Column = bound(arr) { a =>
+    // per-segment least-squares stats on local x; m≤1 → degenerate fit
+    def fit(seg: Column): Column = bound(seg) { s =>
+      val m = size(s).cast("double")
+      val sy = dsum(s)
+      val sxy = aggregate(transform(s, (v, i) => i.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val syy = aggregate(s, lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))
+      val sx = m * (m - 1) / 2
+      val sxx = m * (m - 1) * (m * 2 - 1) / 6
+      // ANSI: the m==1 denominator is 0 — keep the division in the untaken
+      // CaseWhen branch (the m<=1 outputs below never read this slope)
+      val denom = m * sxx - sx * sx
+      bound(struct(when(denom === 0, lit(0.0))
+            .otherwise((m * sxy - sx * sy) / denom).as("slope"),
+          sy.as("sy"), sxy.as("sxy"), syy.as("syy"), m.as("m"), sx.as("sx"))) { b0 =>
+        val slope = b0.getField("slope")
+        bound(struct(((b0.getField("sy") - slope * b0.getField("sx")) /
+            b0.getField("m")).as("intercept"))) { b1 =>
+          val intercept = b1.getField("intercept")
+          val m_ = b0.getField("m")
+          struct(
+            when(m_ <= 1, lit(0.0)).otherwise(slope).as("slope"),
+            when(m_ <= 1, b0.getField("sy")).otherwise(intercept).as("intercept"),
+            when(m_ <= 1, lit(0.0))
+              .otherwise((b0.getField("syy") - intercept * b0.getField("sy")) -
+                slope * b0.getField("sxy")).as("rss"))
+        }
+      }
+    }
+    val n = size(a)
+    val cands = transform(sequence(lit(1), n - 1), k =>
+      bound(struct(fit(slice(a, lit(1), k)).getField("rss").as("rl"),
+          fit(slice(a, k + 1, n - k)).getField("rss").as("rr"))) { lr =>
+        struct(k.as("k"), (lr.getField("rl") + lr.getField("rr")).as("rss"))
+      })
+    val best = aggregate(slice(cands, lit(2), greatest(n - 2, lit(0))),
+      element_at(cands, 1),
+      (acc, c) => when(c.getField("rss") < acc.getField("rss"), c).otherwise(acc))
+    val out = bound(best) { b =>
+      val k = b.getField("k")
+      bound(struct(fit(slice(a, lit(1), k)).as("l"),
+          fit(slice(a, k + 1, n - k)).as("r"))) { lr =>
+        val nD = n.cast("double")
+        val sy = dsum(a)
+        val syy = aggregate(a, lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))
+        bound(struct((syy - (sy * sy) / nD).as("sstot"))) { t =>
+          val ssTot = t.getField("sstot")
+          val rss = b.getField("rss")
+          struct(
+            k.cast("long").as("split_idx"),
+            when(ssTot === 0, lit(1.0)).otherwise(lit(1.0) - rss / ssTot).as("rsquare"),
+            (ssTot / nD).as("variance"),
+            (rss / nD).as("rvariance"),
+            lr.getField("l").getField("slope").as("left_slope"),
+            lr.getField("l").getField("intercept").as("left_intercept"),
+            lr.getField("r").getField("slope").as("right_slope"),
+            lr.getField("r").getField("intercept").as("right_intercept"))
+        }
+      }
+    }
+    when(coalesce(size(arr), lit(0)) >= 2, out)
+  }
+
   /** KQL `series_fill_const(series, value)`: nulls → the constant. */
   def seriesFillConst(arr: Column, value: Column): Column =
     transform(arr, x => coalesce(x, value))

@@ -2162,6 +2162,7 @@ object KqlParser {
           SeriesFunctions.seriesMovingSum(args.head, litLong(args(1)).toInt)
         case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
         case "series_fit_line" => SeriesFunctions.seriesFitLine(args.head)
+        case "series_fit_2lines" => SeriesFunctions.seriesFit2Lines(args.head)
         case "series_fill_const" =>
           SeriesFunctions.seriesFillConst(args.head, args(1))
         case "series_fill_forward" => SeriesFunctions.seriesFillForward(args.head)

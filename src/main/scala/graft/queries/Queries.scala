@@ -1313,6 +1313,79 @@ object Queries {
              |    / (n * (n * (n - 1) * (2 * n - 1) / 6) - (n * (n - 1) / 2) * (n * (n - 1) / 2))) * (n * (n - 1) / 2)) / n AS intercept
              |FROM s ORDER BY event_type""".stripMargin)),
 
+    // series_fit_2lines: argmin-over-splits double line fit per daily series.
+    // Every Σ input is an exact integer (daily counts), and both engines run
+    // the identical fixed-order IEEE chain per split candidate, so rss values
+    // are bit-equal and the argmin (ties → smallest k) agrees — rsquare /
+    // variance / rvariance driver-compare exactly, unlike the single-line
+    // fit whose residual fold is order-sensitive.
+    QueryDef("q_series_fit_2lines",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .withColumn("fit", SeriesFunctions.seriesFit2Lines(col("sr")))
+        .select(col("event_type"),
+          col("fit.split_idx").as("split_idx"),
+          col("fit.rsquare").as("rsquare"),
+          col("fit.variance").as("variance"),
+          col("fit.rvariance").as("rvariance"),
+          col("fit.left_slope").as("left_slope"),
+          col("fit.left_intercept").as("left_intercept"),
+          col("fit.right_slope").as("right_slope"),
+          col("fit.right_intercept").as("right_intercept"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |tot AS (
+             |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(c) AS DOUBLE) AS sy, CAST(SUM(c * c) AS DOUBLE) AS syy
+             |  FROM idx GROUP BY 1),
+             |ks AS (SELECT event_type, n, sy, syy,
+             |  unnest(range(1, CAST(n AS BIGINT))) AS k FROM tot),
+             |seg AS (
+             |  SELECT x.event_type, x.k, MAX(x.n) AS n, MAX(x.sy) AS sy,
+             |    MAX(x.syy) AS syy,
+             |    CAST(SUM(CASE WHEN i.i < x.k THEN i.c END) AS DOUBLE) AS syl,
+             |    CAST(SUM(CASE WHEN i.i < x.k THEN i.i * i.c END) AS DOUBLE) AS sxyl,
+             |    CAST(SUM(CASE WHEN i.i < x.k THEN i.c * i.c END) AS DOUBLE) AS syyl,
+             |    CAST(SUM(CASE WHEN i.i >= x.k THEN i.c END) AS DOUBLE) AS syr,
+             |    CAST(SUM(CASE WHEN i.i >= x.k THEN (i.i - x.k) * i.c END) AS DOUBLE) AS sxyr,
+             |    CAST(SUM(CASE WHEN i.i >= x.k THEN i.c * i.c END) AS DOUBLE) AS syyr
+             |  FROM ks x JOIN idx i ON i.event_type = x.event_type
+             |  GROUP BY 1, 2),
+             |f1 AS (SELECT *, CAST(k AS DOUBLE) AS ml, n - CAST(k AS DOUBLE) AS mr FROM seg),
+             |f2 AS (SELECT *,
+             |  ml * (ml - 1) / 2 AS sxl, ml * (ml - 1) * (ml * 2 - 1) / 6 AS sxxl,
+             |  mr * (mr - 1) / 2 AS sxr, mr * (mr - 1) * (mr * 2 - 1) / 6 AS sxxr FROM f1),
+             |f3 AS (SELECT *,
+             |  (ml * sxyl - sxl * syl) / (ml * sxxl - sxl * sxl) AS sll,
+             |  (mr * sxyr - sxr * syr) / (mr * sxxr - sxr * sxr) AS slr FROM f2),
+             |f4 AS (SELECT *, (syl - sll * sxl) / ml AS il, (syr - slr * sxr) / mr AS ir FROM f3),
+             |f5 AS (SELECT *,
+             |  CASE WHEN ml <= 1 THEN 0.0 ELSE (syyl - il * syl) - sll * sxyl END
+             |    + CASE WHEN mr <= 1 THEN 0.0 ELSE (syyr - ir * syr) - slr * sxyr END AS rss
+             |  FROM f4),
+             |best AS (SELECT * FROM f5
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rss ASC, k ASC) = 1)
+             |SELECT event_type, CAST(k AS BIGINT) AS split_idx,
+             |  CASE WHEN (syy - (sy * sy) / n) = 0 THEN 1.0
+             |    ELSE 1.0 - rss / (syy - (sy * sy) / n) END AS rsquare,
+             |  (syy - (sy * sy) / n) / n AS variance,
+             |  rss / n AS rvariance,
+             |  CASE WHEN ml <= 1 THEN 0.0 ELSE sll END AS left_slope,
+             |  CASE WHEN ml <= 1 THEN syl ELSE il END AS left_intercept,
+             |  CASE WHEN mr <= 1 THEN 0.0 ELSE slr END AS right_slope,
+             |  CASE WHEN mr <= 1 THEN syr ELSE ir END AS right_intercept
+             |FROM best ORDER BY event_type""".stripMargin)),
+
     // series fill family over a sparse packed series (value > 150 keeps ~5%
     // of rows, so many day-bins are empty): forward/backward nearest-anchor
     // fill + const fill, unpacked to rows so doubles compare as doubles
