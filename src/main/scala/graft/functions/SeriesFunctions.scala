@@ -230,6 +230,26 @@ object SeriesFunctions {
     when(coalesce(size(arr), lit(0)) >= 2, out)
   }
 
+  /** KQL `series_seasonal(series, period)`: per-phase mean repeated across
+    * the series — seasonal[i] = mean{ series[j] : j ≡ i (mod period) }.
+    * O(n·p) HOF arithmetic, zero shuffles; sums fold left-to-right (exact
+    * for integral inputs). Deviation (documented): Kusto's period=-1
+    * auto-detection is served by series_periods_detect — here the period is
+    * explicit. */
+  def seriesSeasonal(arr: Column, period: Int): Column = bound(arr) { a =>
+    bound(transform(sequence(lit(0), lit(period - 1)), ph => {
+      val s = aggregate(transform(a, (v, i) =>
+        when(i % period === ph, v.cast("double")).otherwise(lit(0.0))),
+        lit(0.0), (acc, v) => acc + v)
+      val c = aggregate(transform(a, (_, i) =>
+        when(i % period === ph, lit(1.0)).otherwise(lit(0.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(c === 0, lit(0.0)).otherwise(s / c)
+    })) { phases =>
+      transform(a, (_, i) => element_at(phases, (i % period) + 1))
+    }
+  }
+
   /** KQL `series_fill_const(series, value)`: nulls → the constant. */
   def seriesFillConst(arr: Column, value: Column): Column =
     transform(arr, x => coalesce(x, value))

@@ -2102,6 +2102,25 @@ object KqlParser {
                   .otherwise(a / b)
             }
           })
+        case "series_abs" => transform(args.head, v => abs(v.cast("double")))
+        case "series_sign" => transform(args.head, v => signum(v.cast("double")))
+        // floor/ceil return long in Spark; Kusto dynamic numbers stay real
+        case "series_floor" =>
+          transform(args.head, v => floor(v.cast("double")).cast("double"))
+        case "series_ceiling" =>
+          transform(args.head, v => ceil(v.cast("double")).cast("double"))
+        case "series_round" =>
+          transform(args.head, v => round(v.cast("double")).cast("double"))
+        case "series_exp" => transform(args.head, v => exp(v.cast("double")))
+        case "series_log" => transform(args.head, v => log(v.cast("double")))
+        case "series_sin" => transform(args.head, v => sin(v.cast("double")))
+        case "series_cos" => transform(args.head, v => cos(v.cast("double")))
+        case "series_tan" => transform(args.head, v => tan(v.cast("double")))
+        case "series_pow" => // scalar exponents via repeat(x, array_length(s))
+          zip_with(args.head, args(1),
+            (x, y) => pow(x.cast("double"), y.cast("double")))
+        case "series_seasonal" =>
+          SeriesFunctions.seriesSeasonal(args.head, litLong(args(1)).toInt)
         case "series_greater" | "series_less" | "series_greater_equals" |
              "series_less_equals" | "series_equals" | "series_not_equals" =>
           zip_with(args.head, args(1), (x, y) => f match {

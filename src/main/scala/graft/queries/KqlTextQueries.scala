@@ -1152,6 +1152,36 @@ object KqlTextQueries {
              |    <= 5000000.0 AS inc
              |FROM b ORDER BY event_id""".stripMargin)),
 
+    // element-wise series family + series_seasonal over a dynamic literal —
+    // exact-arithmetic members only (abs/sign/floor/ceiling/round/pow-square
+    // and per-phase means of exact halves); the libm members (exp/log/trig)
+    // are unit-tested instead, their unrounded doubles aren't hash-portable.
+    QueryDef("q_kql_series_elementwise",
+      (s, d) => run(s, d,
+        """print d = dynamic([-2.5, -0.5, 0.0, 1.5, 252.25])
+          || extend a = series_abs(d), g = series_sign(d), f = series_floor(d),
+          |    c = series_ceiling(d), r = series_round(d), se = series_seasonal(d, 2),
+          |    p = series_pow(d, repeat(2.0, array_length(d)))
+          || project a0 = todouble(a[0]), g0 = todouble(g[0]), g3 = todouble(g[3]),
+          |    f0 = todouble(f[0]), c0 = todouble(c[0]), r0 = todouble(r[0]),
+          |    r1 = todouble(r[1]), s0 = todouble(se[0]), s1 = todouble(se[1]),
+          |    s2 = todouble(se[2]), p4 = todouble(p[4])""".stripMargin),
+      Some("""WITH v AS (SELECT i, CAST(x AS DOUBLE) AS x FROM (VALUES
+             |    (0, -2.5), (1, -0.5), (2, 0.0), (3, 1.5), (4, 252.25)) t(i, x)),
+             |ph AS (SELECT i % 2 AS p, SUM(x) / COUNT(*) AS m FROM v GROUP BY 1)
+             |SELECT
+             |  (SELECT ABS(x) FROM v WHERE i = 0) AS a0,
+             |  (SELECT CAST(SIGN(x) AS DOUBLE) FROM v WHERE i = 0) AS g0,
+             |  (SELECT CAST(SIGN(x) AS DOUBLE) FROM v WHERE i = 3) AS g3,
+             |  (SELECT FLOOR(x) FROM v WHERE i = 0) AS f0,
+             |  (SELECT CEIL(x) FROM v WHERE i = 0) AS c0,
+             |  (SELECT ROUND(x) FROM v WHERE i = 0) AS r0,
+             |  (SELECT ROUND(x) FROM v WHERE i = 1) AS r1,
+             |  (SELECT m FROM ph WHERE p = 0) AS s0,
+             |  (SELECT m FROM ph WHERE p = 1) AS s1,
+             |  (SELECT m FROM ph WHERE p = 0) AS s2,
+             |  (SELECT POWER(x, 2.0) FROM v WHERE i = 4) AS p4""".stripMargin)),
+
     // cross-table search: each table probed over its own string columns under
     // the union (filter per leg → pushdown per table), labeled with source_.
     // 'data' lives only in documents.text and 'click' only in

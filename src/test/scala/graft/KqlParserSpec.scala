@@ -620,6 +620,37 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getBoolean(11) && !r.getBoolean(12))
   }
 
+  test("element-wise series family: libm members, seasonal, pow") {
+    val r = run(
+      """t
+        || where id == 1
+        || extend a = pack_array(1.0, 4.0, 9.0, 16.0)
+        || extend ex = series_exp(pack_array(0.0, 1.0)),
+        |    lg = series_log(a),
+        |    sn = series_sin(pack_array(0.0)),
+        |    cs = series_cos(pack_array(0.0)),
+        |    tn = series_tan(pack_array(0.0)),
+        |    ab = series_abs(pack_array(-3.5, 2.0)),
+        |    sg = series_sign(pack_array(-3.5, 0.0, 2.0)),
+        |    pw = series_pow(a, repeat(0.5, array_length(a))),
+        |    se = series_seasonal(pack_array(1.0, 10.0, 3.0, 20.0), 2)
+        || project e0 = todouble(ex[0]), e1 = todouble(ex[1]),
+        |    l0 = todouble(lg[0]), s0 = todouble(sn[0]), c0 = todouble(cs[0]),
+        |    t0 = todouble(tn[0]), a0 = todouble(ab[0]), g0 = todouble(sg[0]),
+        |    g1 = todouble(sg[1]), p1 = todouble(pw[1]), p3 = todouble(pw[3]),
+        |    m0 = todouble(se[0]), m1 = todouble(se[1]), m2 = todouble(se[2])""".stripMargin)
+      .collect().head
+    // codegen'd exp can differ from scala.math.exp by 1 ulp — tolerance, not
+    // equality (the same reason these members stay out of driver oracle rows)
+    assert(r.getDouble(0) == 1.0 && math.abs(r.getDouble(1) - math.exp(1.0)) < 1e-14)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0)
+    assert(r.getDouble(6) == 3.5)
+    assert(r.getDouble(7) == -1.0 && r.getDouble(8) == 0.0)
+    assert(r.getDouble(9) == 2.0 && r.getDouble(10) == 4.0) // sqrt via pow 0.5
+    assert(r.getDouble(11) == 2.0 && r.getDouble(12) == 15.0 && r.getDouble(13) == 2.0)
+  }
+
   test("ipv4 family: parse/format round trip, masks, private ranges, boundaries") {
     val r = run(
       """t
