@@ -468,6 +468,96 @@ object Kql {
           col("dcount_activities_outer"))
         .withColumnRenamed("__bin", tsCol)
     }
+
+    /** `T | evaluate new_activity_metrics(id, ts, start, end, window)` —
+      * period-over-period retention: per window bin, distinct actors
+      * (`dcount`), first-ever-seen (`new_dcount`), actors also active in the
+      * PREVIOUS bin (`returning_dcount`), previous-bin actors who did not
+      * come back (`lost_dcount`), and retention/churn rates against the
+      * previous bin's population. Everything is equi-joins of the distinct
+      * (id, bin) pair set against itself shifted by one window — partial+
+      * final aggs, no windows over data-sized rows. Bins with no current
+      * activity are omitted (a fully-churned bin has no anchor row);
+      * rates are 0.0 when there is no previous bin. Bins align to the epoch
+      * grid (deviation from Kusto's bin_at(start), as documented for
+      * activity_counts_metrics). */
+    def newActivityMetrics(idCol: String, tsCol: String, start: Column,
+        end: Column, stepSeconds: Long): DataFrame = {
+      val step = expr(s"INTERVAL $stepSeconds SECONDS")
+      val pairs = df.filter(col(tsCol) >= start && col(tsCol) < end)
+        .select(col(idCol).as("__id"), Bin.ts(col(tsCol), stepSeconds).as("__bin"))
+        .distinct()
+      val perBin = pairs.groupBy("__bin").agg(count(lit(1)).as("dcount"))
+      val newPerBin = pairs.groupBy("__id").agg(min(col("__bin")).as("__fb"))
+        .groupBy(col("__fb").as("__bin")).agg(count(lit(1)).as("new_dcount"))
+      val shifted = pairs.select(col("__id"), (col("__bin") + step).as("__bin"))
+      val ret = pairs.join(shifted, Seq("__id", "__bin"))
+        .groupBy("__bin").agg(count(lit(1)).as("returning_dcount"))
+      val lost = shifted.join(pairs, Seq("__id", "__bin"), "left_anti")
+        .groupBy("__bin").agg(count(lit(1)).as("lost_dcount"))
+      val prev = perBin.select((col("__bin") + step).as("__bin"),
+        col("dcount").as("__prev"))
+      perBin.join(newPerBin, Seq("__bin"), "left_outer")
+        .join(ret, Seq("__bin"), "left_outer")
+        .join(lost, Seq("__bin"), "left_outer")
+        .join(prev, Seq("__bin"), "left_outer")
+        .na.fill(0L, Seq("new_dcount", "returning_dcount", "lost_dcount"))
+        .withColumn("retention_rate",
+          when(coalesce(col("__prev"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("returning_dcount").cast("double") / col("__prev")))
+        .withColumn("churn_rate",
+          when(coalesce(col("__prev"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("lost_dcount").cast("double") / col("__prev")))
+        .drop("__prev")
+        .withColumnRenamed("__bin", tsCol)
+    }
+
+    /** `T | evaluate sequence_detect(ts, stepWindow, spanWindow, s1, …, sk,
+      * id)` — per-actor ordered sequence detection: one output row per
+      * occurrence of step 1 whose chain completes, each subsequent step
+      * matched GREEDILY (earliest row strictly after the previous step,
+      * within stepWindow) and the whole chain within spanWindow. Output
+      * columns are the step names, holding each step's timestamp.
+      *
+      * Execution: k−1 passes; each unions the surviving chain heads with the
+      * next step's candidate rows and takes, per actor in one ordered window
+      * (ts asc, candidates-before-heads on ties → strictly-after semantics),
+      * the first FOLLOWING candidate timestamp — one shuffle on the actor key
+      * per step, O(1) state per row, no self-join blow-up. Deviation
+      * (documented): overlapping chains may share later-step rows (each step-1
+      * occurrence is matched independently, which is also how the oracle
+      * states it). */
+    def sequenceDetect(tsCol: String, idCol: String, stepNames: Seq[String],
+        maxStepSeconds: Long, maxSpanSeconds: Long): DataFrame = {
+      require(stepNames.size >= 2, "sequence_detect needs at least two steps")
+      val stepIv = expr(s"INTERVAL $maxStepSeconds SECONDS")
+      var heads = df.filter(col(stepNames.head))
+        .select(col(idCol).as("__id"), col(tsCol).as(stepNames.head))
+      for (i <- 1 until stepNames.size) {
+        val prevN = stepNames(i - 1)
+        val curN = stepNames(i)
+        val carried = heads.columns.filter(_ != "__id").toSeq
+        val headsF = heads
+          .withColumn("__cts", col(prevN)).withColumn("__flag", lit(0))
+        val candsF = carried.foldLeft(
+            df.filter(col(curN)).select(col(idCol).as("__id"),
+              col(tsCol).as("__cts"), lit(1).as("__flag"))) {
+          (d, c) => d.withColumn(c, lit(null).cast("timestamp"))
+        }.select(headsF.columns.map(col).toIndexedSeq: _*)
+        val w = Window.partitionBy("__id")
+          .orderBy(col("__cts").asc, col("__flag").desc)
+          .rowsBetween(1, Window.unboundedFollowing)
+        heads = headsF.unionByName(candsF)
+          .withColumn(curN,
+            first(when(col("__flag") === 1, col("__cts")), ignoreNulls = true).over(w))
+          .filter(col("__flag") === 0 && col(curN).isNotNull &&
+            col(curN) <= col(prevN) + stepIv)
+          .select((col("__id") +: stepNames.take(i + 1).map(col)).toIndexedSeq: _*)
+      }
+      heads.filter(col(stepNames.last) <=
+          col(stepNames.head) + expr(s"INTERVAL $maxSpanSeconds SECONDS"))
+        .withColumnRenamed("__id", idCol)
+    }
   }
 
   // ------------------------------------------------------------------

@@ -983,6 +983,30 @@ object KqlParser {
             val outerW = litLong(parseExpr())
             eatPunct(")")
             df.activityEngagement(id, tsN, innerW, outerW)
+          case "new_activity_metrics" =>
+            // `evaluate new_activity_metrics(id, ts, start, end, window)` —
+            // period-over-period retention (see Kql.newActivityMetrics).
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr(); eatPunct(",")
+            val win = litLong(parseExpr())
+            eatPunct(")")
+            df.newActivityMetrics(id, tsN, start, end, win)
+          case "sequence_detect" =>
+            // `evaluate sequence_detect(ts, stepWindow, spanWindow, s1, …,
+            // sk, id)` — ordered per-actor sequence chains (see
+            // Kql.sequenceDetect). The trailing ident is the actor id.
+            val tsN = ident(); eatPunct(",")
+            val stepW = litLong(parseExpr()); eatPunct(",")
+            val spanW = litLong(parseExpr())
+            val names = Seq.newBuilder[String]
+            while (atPunct(",")) { pos += 1; names += ident() }
+            eatPunct(")")
+            val all = names.result()
+            require(all.size >= 3,
+              "sequence_detect needs at least two step columns and the id column")
+            df.sequenceDetect(tsN, all.last, all.dropRight(1), stepW, spanW)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "reduce" =>

@@ -1182,6 +1182,77 @@ object KqlTextQueries {
              |  (SELECT m FROM ph WHERE p = 0) AS s2,
              |  (SELECT POWER(x, 2.0) FROM v WHERE i = 4) AS p4""".stripMargin)),
 
+    // evaluate new_activity_metrics: weekly retention — per epoch-aligned 7d
+    // bin, actors, first-seen, returning (also active previous bin), lost
+    // (previous-bin actors who didn't return), and rates vs the previous
+    // bin's population. All equi-joins of the distinct pair set against its
+    // one-window shift.
+    QueryDef("q_kql_new_activity",
+      (s, d) => run(s, d,
+        """events
+          || evaluate new_activity_metrics(user_id, ts,
+          |    datetime('2024-01-01'), datetime('2024-01-31'), 7d)
+          || sort by ts asc""".stripMargin),
+      Some("""WITH p AS (
+             |  SELECT DISTINCT user_id, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//604800*604800 AS BIGINT)) SECOND AS bin
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+             |perbin AS (SELECT bin, COUNT(*) AS dcount FROM p GROUP BY 1),
+             |fs AS (SELECT user_id, MIN(bin) AS fb FROM p GROUP BY 1),
+             |newb AS (SELECT fb AS bin, COUNT(*) AS new_dcount FROM fs GROUP BY 1),
+             |ret AS (
+             |  SELECT a.bin, COUNT(*) AS returning FROM p a JOIN p b
+             |  ON b.user_id = a.user_id AND b.bin = a.bin - INTERVAL 7 DAY
+             |  GROUP BY 1),
+             |lost AS (
+             |  SELECT b.bin + INTERVAL 7 DAY AS bin, COUNT(*) AS lost FROM p b
+             |  LEFT JOIN p a ON a.user_id = b.user_id AND a.bin = b.bin + INTERVAL 7 DAY
+             |  WHERE a.user_id IS NULL GROUP BY 1),
+             |prev AS (SELECT bin + INTERVAL 7 DAY AS bin, dcount AS prev_dcount FROM perbin)
+             |SELECT pb.bin AS ts, pb.dcount AS dcount,
+             |  COALESCE(n.new_dcount, 0) AS new_dcount,
+             |  COALESCE(r.returning, 0) AS returning_dcount,
+             |  COALESCE(l.lost, 0) AS lost_dcount,
+             |  CASE WHEN COALESCE(pv.prev_dcount, 0) = 0 THEN 0.0
+             |    ELSE CAST(COALESCE(r.returning, 0) AS DOUBLE) / pv.prev_dcount END
+             |    AS retention_rate,
+             |  CASE WHEN COALESCE(pv.prev_dcount, 0) = 0 THEN 0.0
+             |    ELSE CAST(COALESCE(l.lost, 0) AS DOUBLE) / pv.prev_dcount END
+             |    AS churn_rate
+             |FROM perbin pb LEFT JOIN newb n USING (bin) LEFT JOIN ret r USING (bin)
+             |  LEFT JOIN lost l USING (bin) LEFT JOIN prev pv USING (bin)
+             |ORDER BY ts""".stripMargin)),
+
+    // evaluate sequence_detect: greedy view→click→purchase chains per user —
+    // each step the EARLIEST row strictly after the previous step within 12h,
+    // whole chain within 24h. The oracle states the same greedy chain as
+    // nested MIN-joins.
+    QueryDef("q_kql_sequence_detect",
+      (s, d) => run(s, d,
+        """events
+          || extend s1 = event_type == 'view', s2 = event_type == 'click',
+          |    s3 = event_type == 'purchase'
+          || evaluate sequence_detect(ts, 12h, 24h, s1, s2, s3, user_id)
+          || sort by user_id asc, s1 asc, s2 asc, s3 asc""".stripMargin),
+      Some("""WITH h1 AS (
+             |  SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+             |h2 AS (
+             |  SELECT h1.user_id, t1, MIN(e2.ts) AS t2
+             |  FROM h1 JOIN events e2 ON e2.user_id = h1.user_id
+             |    AND e2.event_type = 'click'
+             |    AND e2.ts > h1.t1 AND e2.ts <= h1.t1 + INTERVAL 12 HOUR
+             |  GROUP BY 1, 2),
+             |h3 AS (
+             |  SELECT h2.user_id, t1, t2, MIN(e3.ts) AS t3
+             |  FROM h2 JOIN events e3 ON e3.user_id = h2.user_id
+             |    AND e3.event_type = 'purchase'
+             |    AND e3.ts > h2.t2 AND e3.ts <= h2.t2 + INTERVAL 12 HOUR
+             |  GROUP BY 1, 2, 3)
+             |SELECT user_id, t1 AS s1, t2 AS s2, t3 AS s3 FROM h3
+             |WHERE t3 <= t1 + INTERVAL 24 HOUR
+             |ORDER BY user_id, s1, s2, s3""".stripMargin)),
+
     // cross-table search: each table probed over its own string columns under
     // the union (filter per leg → pushdown per table), labeled with source_.
     // 'data' lives only in documents.text and 'click' only in
