@@ -558,6 +558,60 @@ object Kql {
           col(stepNames.head) + expr(s"INTERVAL $maxSpanSeconds SECONDS"))
         .withColumnRenamed("__id", idCol)
     }
+
+    /** `T | evaluate funnel_sequence(id, ts, start, end, stepWindow, state,
+      * dynamic(['a','b','c']))` — who funnels through the given state
+      * sequence, and from/to where: detects greedy per-actor chains of the
+      * states (sequence_detect machinery, earliest-strictly-after within
+      * stepWindow per step), then for each completed chain finds the state
+      * immediately BEFORE the chain start and immediately AFTER the chain end
+      * (two ordered window passes over a union of chains and raw rows — one
+      * shuffle on the actor key each, no self-joins), and returns
+      * `prev × next → dcount` of distinct actors (nulls = chain at the
+      * history edge). Kusto's plugin emits the same prev/next distribution. */
+    def funnelSequence(idCol: String, tsCol: String, stateCol: String,
+        start: Column, end: Column, maxStepSeconds: Long,
+        states: Seq[String]): DataFrame = {
+      require(states.size >= 2, "funnel_sequence needs at least two states")
+      val base = df.filter(col(tsCol) >= start && col(tsCol) < end)
+        .select(col(idCol).as("__fid"), col(tsCol).as("__fts"),
+          col(stateCol).cast("string").as("__fst"))
+      val stepNames = states.indices.map(i => s"__fs$i")
+      val flagged = stepNames.zip(states).foldLeft(base) {
+        case (d, (n, v)) => d.withColumn(n, col("__fst") === v)
+      }
+      // span = stepWindow·(k−1) is implied by the per-step windows
+      val chains = flagged.sequenceDetect("__fts", "__fid", stepNames,
+        maxStepSeconds, maxStepSeconds * (states.size - 1))
+      val rows = base.select(col("__fid"), col("__fts").as("__cts"),
+        col("__fst"), lit(1).as("__flag"))
+      def boundaryPass(ch: DataFrame, anchor: String, outName: String,
+          before: Boolean): DataFrame = {
+        val chF = ch.withColumn("__cts", col(anchor)).withColumn("__flag", lit(0))
+          .withColumn("__fst", lit(null).cast("string"))
+        val rowsF = ch.columns.filter(c => c != "__fid")
+          .foldLeft(rows)((d, c) =>
+            if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("timestamp")))
+          .select(chF.columns.map(col).toIndexedSeq: _*)
+        // tie order keeps same-ts raw rows OUT of the frame: strictly
+        // before/after the anchor row
+        val ord = if (before) Seq(col("__cts").asc, col("__flag").asc)
+                  else Seq(col("__cts").asc, col("__flag").desc)
+        val w = Window.partitionBy("__fid").orderBy(ord: _*)
+        val picked =
+          if (before) last(when(col("__flag") === 1, col("__fst")), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+          else first(when(col("__flag") === 1, col("__fst")), ignoreNulls = true)
+            .over(w.rowsBetween(1, Window.unboundedFollowing))
+        chF.unionByName(rowsF).withColumn(outName, picked)
+          .filter(col("__flag") === 0)
+          .drop("__cts", "__flag", "__fst")
+      }
+      val withPrev = boundaryPass(chains, stepNames.head, "prev", before = true)
+      val withNext = boundaryPass(withPrev, stepNames.last, "next", before = false)
+      withNext.groupBy(col("prev"), col("next"))
+        .agg(countDistinct(col("__fid")).as("dcount"))
+    }
   }
 
   // ------------------------------------------------------------------
