@@ -23,6 +23,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // The suite compiles ~190 distinct plans per interleaved pass; the
+      // default 100-entry codegen cache is fully evicted between a query's two
+      // samples, so every sample re-pays Janino compilation (~1s on a 25-row
+      // broadcast join). A real long-lived driver serving this many distinct
+      // queries would be sized the same way.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Warmup.run(spark)

@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000") // ~190 distinct plans; see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Warmup.run(spark)

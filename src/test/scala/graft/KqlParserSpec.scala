@@ -156,8 +156,14 @@ class KqlParserSpec extends SparkSpec {
   }
 
   test("unsupported operator raises a parse error") {
-    assertThrows[IllegalArgumentException](run("t | reduce by user"))
+    assertThrows[IllegalArgumentException](run("t | no_such_operator user"))
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
+  }
+
+  test("reduce by groups values into patterns") {
+    val df = run("t | reduce by user")
+    assert(df.columns.toSeq.take(2) == Seq("Pattern", "Count"))
+    assert(df.count() > 0)
   }
 
   test("sort state is scoped per query: a let/subquery sort cannot enable serialize outside") {
