@@ -116,6 +116,39 @@ object SeriesFunctions {
     }}}}}}
   }
 
+  /** KQL `series_decompose_forecast(series, points)` → baseline array of
+    * length n+points: a linear trend (the seriesFitLine closed form — exact
+    * integer sums, single IEEE divisions) extrapolated past the series end,
+    * plus the per-phase LOWER-MEDIAN seasonal of the linearly-detrended
+    * series repeated cyclically into the forecast horizon. Deviation
+    * (documented): Kusto's forecast reuses its STL-style decomposition; this
+    * engine uses the deterministic linear-trend + phase-median contract
+    * shared with seriesDecompose/seriesFitLine, so every element is a
+    * fixed-order IEEE chain over exact integer inputs that a SQL oracle
+    * replays bit-for-bit. Zero shuffles, O(n·p) per row inside codegen. */
+  def seriesDecomposeForecast(arr: Column, points: Int, period: Int): Column = {
+    require(period > 0, s"series_decompose_forecast period must be positive, got $period")
+    require(points >= 0, s"series_decompose_forecast points must be >= 0, got $points")
+    val p = lit(period)
+    bound(arr) { x =>
+    bound(seriesFitLine(x)) { fit =>
+    bound(struct(fit.getField("slope").as("m"), fit.getField("intercept").as("b"))) { mb =>
+    val slope = mb.getField("m")
+    val intercept = mb.getField("b")
+    // linear detrend with the exact association the oracle replays:
+    // d[i] = x[i] − (slope·i + intercept)
+    bound(transform(x, (v, i) =>
+      v.cast("double") - (slope * i.cast("double") + intercept))) { d =>
+    // p-entry phase table: lower median of detrended values at i ≡ phase
+    bound(transform(sequence(lit(0), lit(period - 1)), q => {
+      val ph = array_sort(filter(d, (_, i) => pmod(i, p) === q))
+      try_element_at(ph, greatest(ceil(size(ph) * 0.5), lit(1)).cast("int"))
+    })) { pm =>
+      transform(sequence(lit(0), size(x) + lit(points) - 1),
+        i => (slope * i.cast("double") + intercept) + element_at(pm, pmod(i, p) + 1))
+    }}}}}
+  }
+
   /** KQL `series_fit_line(series)` → struct(slope, intercept, rsquare,
     * variance, line_fit): closed-form least squares against x = 0..n−1.
     * Σx and Σx² use the exact closed forms n(n−1)/2 and n(n−1)(2n−1)/6; Σy

@@ -589,9 +589,13 @@ object KqlParser {
     // column_ifexists(), which resolves at parse time against the operator
     // input (Kusto semantics)
     private var curCols: Set[String] = Set.empty
+    // same, in schema order — consulted by pack_all() (bag keys keep the
+    // operator input's column order, like Kusto)
+    private var curColsSeq: Seq[String] = Nil
 
     private def parseStdOp(df: DataFrame, op: String): DataFrame = {
       curCols = df.columns.toSet
+      curColsSeq = df.columns.toSeq
       parseStdOpBody(df, op)
     }
 
@@ -2184,6 +2188,25 @@ object KqlParser {
         case "bag_pack" =>
           // bag_pack(k1, v1, k2, v2, ...) → dynamic property bag (map)
           map(args: _*)
+        case "pack_all" =>
+          // pack_all() → bag of ALL input columns (inverse of bag_unpack).
+          // Values stringify (map<string,string>) — the same heterogeneous-
+          // bag convention as dynamic({...}) literals; Kusto keeps typed
+          // values (documented deviation).
+          map(curColsSeq.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+        case "totimespan" =>
+          // timespan = whole seconds (engine convention, timespanSeconds).
+          // Accepts [d.]hh:mm:ss strings at runtime, timespan literals
+          // (already seconds), and numeric seconds; malformed → null (the
+          // same try-semantics as Kusto's totimespan).
+          val s0 = args.head.cast("string")
+          val re = "^(?:(\\d+)\\.)?(\\d{1,2}):(\\d{1,2}):(\\d{1,2})$"
+          when(s0.rlike(re),
+            coalesce(regexp_extract(s0, re, 1).try_cast("long"), lit(0L)) * 86400 +
+              regexp_extract(s0, re, 2).cast("long") * 3600 +
+              regexp_extract(s0, re, 3).cast("long") * 60 +
+              regexp_extract(s0, re, 4).cast("long"))
+            .otherwise(s0.try_cast("long"))
         case "bag_keys" => array_sort(map_keys(args.head))
         case "bag_merge" =>
           // Kusto keeps the FIRST bag's value on key collisions; Spark's
@@ -2216,6 +2239,9 @@ object KqlParser {
           SeriesFunctions.seriesDecompose(args.head, litLong(args(1)).toInt)
         case "series_decompose_anomalies" =>
           SeriesFunctions.seriesDecomposeAnomalies(args.head, litLong(args(1)).toInt)
+        case "series_decompose_forecast" =>
+          SeriesFunctions.seriesDecomposeForecast(args.head,
+            litLong(args(1)).toInt, litLong(args(2)).toInt)
         case "series_periods_detect" =>
           SeriesFunctions.seriesPeriodsDetect(args.head, litLong(args(1)).toInt,
             litLong(args(2)).toInt, litLong(args(3)).toInt)

@@ -669,6 +669,34 @@ object KqlTextQueries {
              |  props IS NOT NULL AND props <> '' AS ne
              |FROM x ORDER BY event_id""".stripMargin)),
 
+    // pack_all (bag of all input columns, inverse of bag_unpack) and
+    // totimespan ([d.]hh:mm:ss strings / timespan literals / numeric seconds
+    // / malformed → null) — engine timespan convention is whole seconds
+    QueryDef("q_kql_scalar_misc6",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || project event_id, event_type, user_id
+          || extend b = pack_all()
+          || extend ks = strcat_array(bag_keys(b), ';'),
+          |    et2 = tostring(b['event_type']),
+          |    t1 = totimespan('02:30:00'),
+          |    t2 = totimespan(strcat(tostring(event_id % 3), ':00:30')),
+          |    t3 = totimespan(1h),
+          |    t4 = totimespan('bogus'),
+          |    t5 = totimespan('3.01:02:03')
+          || project event_id, ks, et2, t1, t2, t3, t4, t5
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  'event_id;event_type;user_id' AS ks,
+             |  event_type AS et2,
+             |  CAST(9000 AS BIGINT) AS t1,
+             |  (event_id % 3) * 3600 + 30 AS t2,
+             |  CAST(3600 AS BIGINT) AS t3,
+             |  CAST(NULL AS BIGINT) AS t4,
+             |  CAST(3 * 86400 + 3723 AS BIGINT) AS t5
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
     // ipv4 family: parse (with prefix mask) / format / private / in-range —
     // all exact integer arithmetic, replayed verbatim by the oracle
     QueryDef("q_kql_ipv4",

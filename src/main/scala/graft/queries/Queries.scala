@@ -1231,6 +1231,61 @@ object Queries {
              |         ELSE 0 END AS VARCHAR)), ';') AS flags
              |FROM fences ORDER BY user_id""".stripMargin)),
 
+    // series_decompose_forecast: linear-trend + phase-median baseline
+    // extrapolated 7 points past each daily series' end. Deterministic
+    // contract (SeriesFunctions.seriesDecomposeForecast): the oracle replays
+    // the exact IEEE chain — fit-line slope/intercept from exact integer
+    // sums, linear detrend d[i] = c − (slope·i + intercept), per-phase lower
+    // median, then (slope·i + intercept) + seasonal over the extended grid.
+    QueryDef("q_series_forecast",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .select(col("event_type"),
+          posexplode(SeriesFunctions.seriesDecomposeForecast(col("sr"), 7, 7)))
+        .select(col("event_type"), col("pos").cast("int").as("i"),
+          col("col").as("fc"))
+        .sortBy(col("event_type"), col("i")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |s AS (
+             |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(c) AS DOUBLE) AS sy, CAST(SUM(i * c) AS DOUBLE) AS sxy
+             |  FROM idx GROUP BY 1),
+             |fit AS (
+             |  SELECT event_type, n, sy,
+             |    (n * sxy - (n * (n - 1) / 2) * sy)
+             |      / (n * (n * (n - 1) * (2 * n - 1) / 6) - (n * (n - 1) / 2) * (n * (n - 1) / 2)) AS slope
+             |  FROM s),
+             |fit2 AS (
+             |  SELECT event_type, n, slope,
+             |    (sy - slope * (n * (n - 1) / 2)) / n AS intercept FROM fit),
+             |det AS (
+             |  SELECT idx.event_type, idx.i,
+             |    CAST(idx.c AS DOUBLE) - (f.slope * idx.i + f.intercept) AS d,
+             |    idx.i % 7 AS ph
+             |  FROM idx JOIN fit2 f ON idx.event_type = f.event_type),
+             |med AS (
+             |  SELECT event_type, ph,
+             |    list_sort(list(d))[GREATEST(1, CAST(CEIL(0.5 * len(list(d))) AS INT))] AS seasonal
+             |  FROM det GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT event_type, n, slope, intercept,
+             |    UNNEST(range(0, CAST(n AS BIGINT) + 7)) AS i
+             |  FROM fit2)
+             |SELECT g.event_type, CAST(g.i AS INT) AS i,
+             |  (g.slope * g.i + g.intercept) + m.seasonal AS fc
+             |FROM grid g JOIN med m ON g.event_type = m.event_type AND g.i % 7 = m.ph
+             |ORDER BY g.event_type, i""".stripMargin)),
+
     // --- series_decompose: trend + seasonality + residual over daily series --
     // Deterministic contract (see SeriesFunctions.seriesDecompose): trailing
     // 7-tap moving-average trend (exact integer sums / one IEEE division),
