@@ -512,6 +512,75 @@ object Kql {
         .withColumnRenamed("__bin", tsCol)
     }
 
+    /** `T | evaluate active_users_count(id, ts, lookback, step, minPeriods,
+      * start, end)` — per step bin, the distinct actors with activity in at
+      * least `minPeriods` DISTINCT step-periods inside the lookback window
+      * ending at that bin. The corpus reduces to distinct (id, period-bin)
+      * pairs first (one agg); each pair then contributes to the
+      * lookback/step windows that can see it (a constant blow-up factor,
+      * e.g. 7 for 7d/1d), and one hash agg per (window, id) counts periods
+      * before the ≥ minPeriods filter and the final per-window count —
+      * shuffles carry only (id, bin) pairs, never source rows. Windows with
+      * no qualifying actors are omitted. Bins align to the epoch grid
+      * (deviation, as documented for activity_counts_metrics). */
+    def activeUsersCount(idCol: String, tsCol: String, lookbackSeconds: Long,
+        stepSeconds: Long, minPeriods: Int, start: Column, end: Column): DataFrame = {
+      require(lookbackSeconds % stepSeconds == 0 && lookbackSeconds >= stepSeconds,
+        "active_users_count lookback must be a positive multiple of step")
+      val pairs = df.filter(col(tsCol) >= start && col(tsCol) < end)
+        .select(col(idCol).as("__id"), Bin.ts(col(tsCol), stepSeconds).as("__bin"))
+        .distinct()
+      val contrib = pairs.withColumn("__win", explode(sequence(col("__bin"),
+          col("__bin") + expr(s"INTERVAL ${lookbackSeconds - stepSeconds} SECONDS"),
+          expr(s"INTERVAL $stepSeconds SECONDS"))))
+        .filter(col("__win") < end)
+      contrib.groupBy(col("__win"), col("__id"))
+        .agg(count(lit(1)).as("__np"))
+        .filter(col("__np") >= minPeriods)
+        .groupBy(col("__win").as(tsCol))
+        .agg(count(lit(1)).as("dcount"))
+    }
+
+    /** `T | evaluate session_count(id, ts, start, end, bin, lookback)` —
+      * session starts per bin, where a session starts at an event with no
+      * same-actor activity in the preceding `lookback` seconds (the same
+      * idle-gap contract as the sessionization operators). Execution: one
+      * window pass partitioned BY ACTOR (a lag over ts — never an
+      * unpartitioned window), then a partial+final count per bin. Deviation
+      * (documented): emits the session-START bin, not Kusto's per-bin
+      * active-session rollup; bins align to the epoch grid. */
+    def sessionCount(idCol: String, tsCol: String, start: Column, end: Column,
+        binSeconds: Long, lookbackSeconds: Long): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col(tsCol))
+      df.filter(col(tsCol) >= start && col(tsCol) < end)
+        .withColumn("__prev", lag(col(tsCol), 1).over(w))
+        .filter(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") > lookbackSeconds)
+        .groupBy(Bin.ts(col(tsCol), binSeconds).as(tsCol))
+        .agg(count(lit(1)).as("count_"))
+    }
+
+    /** `T | evaluate rolling_percentile(value, p, ts, step, binsPerWindow)`
+      * — per step bin, the exact p-th percentile of `value` over the last
+      * `binsPerWindow` bins (current bin inclusive). Each (value, bin) row
+      * is exploded forward by the constant binsPerWindow factor, then ONE
+      * exact interpolating percentile agg per window (the same contract as
+      * the summarize percentile, deterministic on integral data) — the
+      * shuffle carries (window, value) pairs and the blow-up is a query
+      * constant. Windows emit only where a source bin contributes. */
+    def rollingPercentile(valueCol: String, p: Double, tsCol: String,
+        stepSeconds: Long, binsPerWindow: Int): DataFrame = {
+      require(binsPerWindow >= 1, "rolling_percentile needs binsPerWindow >= 1")
+      val binned = df.select(col(valueCol).as("__v"),
+        Bin.ts(col(tsCol), stepSeconds).as("__bin"))
+      val contrib = binned.withColumn("__win", explode(sequence(col("__bin"),
+          col("__bin") + expr(s"INTERVAL ${(binsPerWindow - 1) * stepSeconds} SECONDS"),
+          expr(s"INTERVAL $stepSeconds SECONDS"))))
+      contrib.groupBy(col("__win").as(tsCol))
+        .agg(percentile(col("__v"), lit(p / 100.0))
+          .as(s"percentile_${valueCol}_${p.toInt}"))
+    }
+
     /** `T | evaluate sequence_detect(ts, stepWindow, spanWindow, s1, …, sk,
       * id)` — per-actor ordered sequence detection: one output row per
       * occurrence of step 1 whose chain completes, each subsequent step

@@ -997,6 +997,40 @@ object KqlParser {
             val win = litLong(parseExpr())
             eatPunct(")")
             df.newActivityMetrics(id, tsN, start, end, win)
+          case "active_users_count" =>
+            // `evaluate active_users_count(id, ts, lookback, step,
+            // minPeriods, start, end)` — actors active in ≥ minPeriods
+            // distinct periods of the lookback window ending at each bin.
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val lookback = litLong(parseExpr()); eatPunct(",")
+            val step = litLong(parseExpr()); eatPunct(",")
+            val minP = litLong(parseExpr()).toInt; eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr()
+            eatPunct(")")
+            df.activeUsersCount(id, tsN, lookback, step, minP, start, end)
+          case "session_count" =>
+            // `evaluate session_count(id, ts, start, end, bin, lookback)` —
+            // idle-gap session starts per bin (see Kql.sessionCount).
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr(); eatPunct(",")
+            val binW = litLong(parseExpr()); eatPunct(",")
+            val lookback = litLong(parseExpr())
+            eatPunct(")")
+            df.sessionCount(id, tsN, start, end, binW, lookback)
+          case "rolling_percentile" =>
+            // `evaluate rolling_percentile(value, p, ts, step, bins)` —
+            // exact p-th percentile over the trailing `bins` step-bins.
+            val v = ident(); eatPunct(",")
+            val p = litDouble(parseExpr()); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val step = litLong(parseExpr()); eatPunct(",")
+            val bins = litLong(parseExpr()).toInt
+            eatPunct(")")
+            df.rollingPercentile(v, p, tsN, step, bins)
           case "sequence_detect" =>
             // `evaluate sequence_detect(ts, stepWindow, spanWindow, s1, …,
             // sk, id)` — ordered per-actor sequence chains (see

@@ -1111,6 +1111,76 @@ object KqlTextQueries {
              |FROM inner_ i JOIN outer_ o ON i.bin = o.bin
              |ORDER BY ts""".stripMargin)),
 
+    // evaluate active_users_count: actors with ≥3 distinct active days in
+    // the 7d window ending at each day. Engine explodes the distinct
+    // (id, day) pair set forward by the constant lookback/step factor; the
+    // oracle states the same windows as a range-join over generated bins.
+    QueryDef("q_kql_active_users",
+      (s, d) => run(s, d,
+        """events
+          || evaluate active_users_count(user_id, ts, 7d, 1d, 3,
+          |    datetime('2024-01-01'), datetime('2024-01-31'))
+          || sort by ts asc""".stripMargin),
+      Some("""WITH p AS (
+             |  SELECT DISTINCT user_id, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//86400*86400 AS BIGINT)) SECOND AS bin
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+             |wins AS (SELECT range AS wbin FROM range(
+             |  TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)),
+             |j AS (
+             |  SELECT w.wbin, p.user_id, COUNT(*) AS np
+             |  FROM wins w JOIN p ON p.bin <= w.wbin AND p.bin > w.wbin - INTERVAL 7 DAY
+             |  GROUP BY 1, 2)
+             |SELECT wbin AS ts, COUNT(*) AS dcount
+             |FROM j WHERE np >= 3 GROUP BY wbin ORDER BY ts""".stripMargin)),
+
+    // evaluate session_count: idle-gap (1h) session STARTS per day — one
+    // actor-partitioned lag pass, then a per-bin count (see Kql.sessionCount
+    // for the documented deviation from Kusto's active-session rollup).
+    QueryDef("q_kql_session_count",
+      (s, d) => run(s, d,
+        """events
+          || where user_id < 50
+          || evaluate session_count(user_id, ts,
+          |    datetime('2024-01-01'), datetime('2024-01-31'), 1d, 1h)
+          || sort by ts asc""".stripMargin),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+             |    AND user_id < 50),
+             |l AS (
+             |  SELECT ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+             |  FROM e),
+             |st AS (
+             |  SELECT ts FROM l
+             |  WHERE pts IS NULL OR epoch_us(ts)//1000000 - epoch_us(pts)//1000000 > 3600)
+             |SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//86400*86400 AS BIGINT)) SECOND AS ts,
+             |  COUNT(*) AS count_
+             |FROM st GROUP BY 1 ORDER BY ts""".stripMargin)),
+
+    // evaluate rolling_percentile: exact median of an integral value over
+    // the trailing 7 day-bins — engine explodes (value, bin) forward by the
+    // constant window factor; both engines interpolate identically
+    // (quantile_cont contract) on integral data.
+    QueryDef("q_kql_rolling_pct",
+      (s, d) => run(s, d,
+        """events
+          || extend v = event_id % 100
+          || evaluate rolling_percentile(v, 50, ts, 1d, 7)
+          || sort by ts asc""".stripMargin),
+      Some("""WITH e AS (
+             |  SELECT CAST(event_id % 100 AS BIGINT) AS v,
+             |    TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//86400*86400 AS BIGINT)) SECOND AS bin
+             |  FROM events),
+             |j AS (
+             |  SELECT e.bin + ks.k * INTERVAL 1 DAY AS wbin, e.v
+             |  FROM e CROSS JOIN (SELECT UNNEST(range(0, 7)) AS k) ks)
+             |SELECT wbin AS ts, quantile_cont(v, 0.5) AS percentile_v_50
+             |FROM j GROUP BY wbin ORDER BY ts""".stripMargin)),
+
     // reduce by: deterministic pattern clustering (digit runs → `*`) — one
     // hash agg on the derived pattern; Representative is the binary-min
     // member (stable in both engines).
