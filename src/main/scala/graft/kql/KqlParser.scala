@@ -2066,6 +2066,14 @@ object KqlParser {
         case "geo_point_in_circle" =>
           // geo_point_in_circle(lon, lat, centerLon, centerLat, radius_m)
           geoDistance(args(0), args(1), args(2), args(3)) <= args(4).cast("double")
+        case "geo_point_to_geohash" =>
+          val p = if (args.length > 2) litLong(args(2)).toInt else 5
+          require(p >= 1 && p <= 10,
+            s"geo_point_to_geohash precision must be 1..10, got $p")
+          geoHashEncode(args(0), args(1), p)
+        case "geo_geohash_to_central_point" => geoHashDecode(args.head)
+        case "geo_point_in_polygon" =>
+          geoPointInPolygon(args(0), args(1), args(2))
         case "cos" => cos(args.head)
         case "tan" => tan(args.head)
         case "atan2" => atan2(args.head, args(1))
@@ -2376,6 +2384,94 @@ object KqlParser {
       val sdlon = sin(radians(lon2 - lon1) / 2)
       val a = sdlat * sdlat + cos(radians(lat1)) * cos(radians(lat2)) * sdlon * sdlon
       lit(12742000.0) * asin(least(lit(1.0), sqrt(a)))
+    }
+
+    private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    /** Base-32 geohash (lon bit first, the public geohash contract) from
+      * exact bit interleaving. Precision is a LITERAL 1..10 (≤50 bits), so
+      * every intermediate integer is exactly representable in a double and
+      * the whole chain — scale, floor, power-of-two divides — is
+      * bit-replayable by an integer-arithmetic SQL oracle. Geohash-prefix
+      * equality is the bucketed spatial join at scale: equi-join on a short
+      * string key, the same pattern as the LSH band keys. */
+    private def geoHashEncode(lngC: Column, latC: Column, p: Int): Column = {
+      val totalBits = 5 * p
+      val lonBits = (totalBits + 1) / 2
+      val latBits = totalBits / 2
+      def idx(v: Column, offset: Double, span: Double, bits: Int): Column = {
+        val scaled = floor((v.cast("double") + offset) / span * math.pow(2, bits))
+        least(greatest(scaled, lit(0.0)), lit(math.pow(2, bits) - 1)).cast("long")
+      }
+      val lo = idx(lngC, 180.0, 360.0, lonBits)
+      val la = idx(latC, 90.0, 180.0, latBits)
+      // global bit i (MSB-first): even → lon bit i/2, odd → lat bit (i−1)/2;
+      // bit extraction via exact double scaling (values < 2^25)
+      def bit(i: Int): Column = {
+        val (src, bits, j) = if (i % 2 == 0) (lo, lonBits, i / 2) else (la, latBits, (i - 1) / 2)
+        pmod(floor(src.cast("double") / lit(math.pow(2, bits - 1 - j))).cast("long"), lit(2L))
+      }
+      val alpha = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+      val chars = (0 until p).map { k =>
+        val v = (0 until 5).map(m => bit(5 * k + m) * lit(1L << (4 - m)))
+          .reduce(_ + _)
+        element_at(alpha, v.cast("int") + 1)
+      }
+      concat(chars: _*)
+    }
+
+    /** `geo_geohash_to_central_point(gh)` → struct(lng, lat) of the cell
+      * center, any precision (per-character arithmetic keeps every integer
+      * far below 2^53). The scale factors are built by exact doubling, not
+      * libm pow, so both engines agree bit-for-bit. */
+    private def geoHashDecode(gh: Column): Column = {
+      val cmap = map(GeohashAlphabet.zipWithIndex.flatMap {
+        case (c, i) => Seq(lit(c.toString), lit(i))
+      }: _*)
+      val pw5 = array(lit(16), lit(8), lit(4), lit(2), lit(1))
+      element_at(transform(array(gh), g => {
+        val cv = transform(split(g, ""), c => element_at(cmap, c))
+        val n = size(cv)
+        val lonBits = ((n * 5 + 1) / lit(2)).cast("int")
+        val latBits = n * 5 - lonBits
+        // global bit i = bit (4 − i%5) of char i/5
+        def bit(i: Column): Column =
+          pmod((element_at(cv, (i / 5).cast("int") + 1) /
+            element_at(pw5, pmod(i, lit(5)).cast("int") + 1)).cast("int"), lit(2)).cast("long")
+        def unravel(bits: Column, phase: Int): Column =
+          aggregate(sequence(lit(0), bits - 1), lit(0L),
+            (acc, j) => acc * 2 + bit(j * 2 + phase))
+        def scale(bits: Column): Column =
+          aggregate(sequence(lit(1), bits), lit(1L), (acc, _) => acc * 2)
+        val lonC = (unravel(lonBits, 0).cast("double") + 0.5) /
+          scale(lonBits).cast("double") * 360.0 - 180.0
+        val latC = (unravel(latBits, 1).cast("double") + 0.5) /
+          scale(latBits).cast("double") * 180.0 - 90.0
+        struct(lonC.as("lng"), latC.as("lat"))
+      }), 1)
+    }
+
+    /** `geo_point_in_polygon(lng, lat, ring)` — ray cast over the closed
+      * ring (array of [lng, lat] vertices, last edge wraps to the first):
+      * inside ⇔ odd crossing parity. Pure +−×/ IEEE arithmetic in a fixed
+      * order — no libm — so the oracle's identical chain is bit-equal and
+      * the comparison can never flip across engines. Horizontal edges make
+      * the guard false before the ±Inf division is used. Deviation
+      * (documented): takes a bare vertex ring, not Kusto's GeoJSON bag. */
+    private def geoPointInPolygon(x0: Column, y0: Column, ring: Column): Column = {
+      val x = x0.cast("double"); val y = y0.cast("double")
+      val n = size(ring)
+      val crossings = aggregate(sequence(lit(0), n - 1), lit(0),
+        (acc, i) => {
+          val a = element_at(ring, i + 1)
+          val b = element_at(ring, pmod(i + 1, n) + 1)
+          val xi = element_at(a, 1).cast("double"); val yi = element_at(a, 2).cast("double")
+          val xj = element_at(b, 1).cast("double"); val yj = element_at(b, 2).cast("double")
+          val crosses = ((yi > y) =!= (yj > y)) &&
+            (x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+          acc + when(crosses, 1).otherwise(0)
+        })
+      pmod(crossings, lit(2)) === 1
     }
 
     private def litString(c: Column): String = {

