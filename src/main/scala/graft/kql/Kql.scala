@@ -393,6 +393,38 @@ object Kql {
         .drop("__gid", "__ta", "__tb")
     }
 
+    /** `T | evaluate diffpatterns_text(textCol, split, 'a', 'b'[,
+      * threshold])` — tokens whose row-presence frequency differs between
+      * two row splits. Tokenization is lowercase + split on non-alphanumeric
+      * runs, DISTINCT per row (presence, not term frequency); one explode +
+      * one hash agg of conditional sums per token, with the two split totals
+      * funded by a broadcast single-row agg — the shuffle carries (token,
+      * count) pairs, never documents. Deviation (documented): Kusto mines
+      * wildcard token PATTERNS; this engine contrasts single-token presence
+      * (the deterministic, oracle-replayable core of the same signal). */
+    def diffPatternsText(textCol: String, splitCol: String, valA: String,
+        valB: String, threshold: Double = 0.05): DataFrame = {
+      val s = col(splitCol).cast("string")
+      val inSplit = df.filter(s.isin(valA, valB))
+      val toks = inSplit
+        .select(s.as("__s"),
+          explode(array_distinct(split(lower(col(textCol)), "[^a-z0-9]+"))).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy("token")
+        .agg(sum(when(col("__s") === valA, 1L).otherwise(0L)).as("count_a"),
+          sum(when(col("__s") === valB, 1L).otherwise(0L)).as("count_b"))
+      val total = inSplit.groupBy()
+        .agg(sum(when(s === valA, 1L).otherwise(0L)).as("__ta"),
+          sum(when(s === valB, 1L).otherwise(0L)).as("__tb"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("count_a") >= lit(threshold) * col("__ta") ||
+          col("count_b") >= lit(threshold) * col("__tb"))
+        .withColumn("percent_a", col("count_a") * lit(100.0) / col("__ta"))
+        .withColumn("percent_b", col("count_b") * lit(100.0) / col("__tb"))
+        .withColumn("percent_diff_ab", col("percent_a") - col("percent_b"))
+        .drop("__ta", "__tb")
+    }
+
     /** `T | evaluate activity_counts_metrics(id, ts, start, end, step)` —
       * KQL's activity-counts plugin: per time bin, total events (`count_`),
       * distinct actors (`dcount`), first-ever-seen actors (`new_dcount`) and
@@ -600,8 +632,12 @@ object Kql {
         maxStepSeconds: Long, maxSpanSeconds: Long): DataFrame = {
       require(stepNames.size >= 2, "sequence_detect needs at least two steps")
       val stepIv = expr(s"INTERVAL $maxStepSeconds SECONDS")
+      // distinct: two step-1 events sharing (actor, ts) are ONE chain head —
+      // per-occurrence semantics are stated per distinct timestamp, matching
+      // the oracle's per-(actor, t1) grouping
       var heads = df.filter(col(stepNames.head))
         .select(col(idCol).as("__id"), col(tsCol).as(stepNames.head))
+        .distinct()
       for (i <- 1 until stepNames.size) {
         val prevN = stepNames(i - 1)
         val curN = stepNames(i)

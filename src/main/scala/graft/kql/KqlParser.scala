@@ -925,6 +925,20 @@ object KqlParser {
             while (atPunct(",")) { pos += 1; cs += ident() }
             eatPunct(")")
             df.diffPatterns(split, valA, valB, cs.result())
+          case "diffpatterns_text" =>
+            // `evaluate diffpatterns_text(textCol, split, 'a', 'b'[, t])` —
+            // per-token presence contrast between two row splits (see
+            // Kql.diffPatternsText for semantics + deviations).
+            val textC = ident()
+            eatPunct(",")
+            val split = ident()
+            eatPunct(",")
+            val valA = strLitS()
+            eatPunct(",")
+            val valB = strLitS()
+            val threshold = if (atPunct(",")) { pos += 1; parseNum() } else 0.05
+            eatPunct(")")
+            df.diffPatternsText(textC, split, valA, valB, threshold)
           case "dcount_intersect" =>
             // `evaluate dcount_intersect(h1, h2[, h3])` over hll_sketch()
             // columns: s0 = |A|, s1 = |A∩B|, s2 = |A∩B∩C| by inclusion-

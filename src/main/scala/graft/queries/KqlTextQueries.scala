@@ -976,7 +976,7 @@ object KqlTextQueries {
              |SELECT c.event_type AS event_type, c.band AS band, c.count_ AS count_,
              |  c.count_ * 100.0 / tot.total AS percent
              |FROM c, tot
-             |WHERE NOT (g1 = 1 AND g2 = 1) AND c.count_ >= 0.05 * tot.total
+             |WHERE NOT (g1 = 1 AND g2 = 1) AND c.count_ >= CAST(0.05 AS DOUBLE) * tot.total
              |ORDER BY count_ DESC, event_type NULLS FIRST, band NULLS FIRST""".stripMargin)),
 
     // basket with an explicit (higher) threshold over three attributes —
@@ -999,7 +999,7 @@ object KqlTextQueries {
              |SELECT c.event_type AS event_type, c.band AS band, c.big AS big,
              |  c.count_ AS count_, c.count_ * 100.0 / tot.total AS percent
              |FROM c, tot
-             |WHERE NOT (g1 = 1 AND g2 = 1 AND g3 = 1) AND c.count_ >= 0.12 * tot.total
+             |WHERE NOT (g1 = 1 AND g2 = 1 AND g3 = 1) AND c.count_ >= CAST(0.12 AS DOUBLE) * tot.total
              |ORDER BY count_ DESC, event_type NULLS FIRST, band NULLS FIRST, big NULLS FIRST""".stripMargin)),
 
     // evaluate diffpatterns: attribute combinations whose frequency differs
@@ -1035,6 +1035,40 @@ object KqlTextQueries {
              |  AND (c.count_a >= CAST(0.05 AS DOUBLE) * tot.ta
              |    OR c.count_b >= CAST(0.05 AS DOUBLE) * tot.tb)
              |ORDER BY event_type NULLS FIRST, band NULLS FIRST""".stripMargin)),
+
+    // evaluate diffpatterns_text: per-token row-presence contrast between
+    // two document splits (lang en vs es) — explode distinct tokens, one
+    // conditional-sum hash agg, broadcast one-row totals; the oracle CASTs
+    // the threshold to DOUBLE so both engines compare the same IEEE product
+    // at the support boundary (the diffpatterns convention).
+    QueryDef("q_kql_diffpatterns_text",
+      (s, d) => run(s, d,
+        """documents
+          || evaluate diffpatterns_text(text, lang, 'en', 'es', 0.2)
+          || sort by token asc""".stripMargin),
+      Some("""WITH d AS (
+             |  SELECT lang, text FROM documents WHERE lang IN ('en', 'es')),
+             |toks AS (
+             |  SELECT lang, UNNEST(list_distinct(list_filter(
+             |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS token
+             |  FROM d),
+             |c AS (
+             |  SELECT token,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+             |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS count_b
+             |  FROM toks GROUP BY token),
+             |tot AS (
+             |  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+             |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+             |  FROM d)
+             |SELECT c.token AS token, c.count_a AS count_a, c.count_b AS count_b,
+             |  c.count_a * 100.0 / tot.ta AS percent_a,
+             |  c.count_b * 100.0 / tot.tb AS percent_b,
+             |  c.count_a * 100.0 / tot.ta - c.count_b * 100.0 / tot.tb AS percent_diff_ab
+             |FROM c, tot
+             |WHERE c.count_a >= CAST(0.2 AS DOUBLE) * tot.ta
+             |   OR c.count_b >= CAST(0.2 AS DOUBLE) * tot.tb
+             |ORDER BY token""".stripMargin)),
 
     // evaluate activity_counts_metrics: per-day event count, distinct actors,
     // first-seen actors, and running distinct total. Two hash aggs over the
