@@ -118,7 +118,7 @@ object KqlFunctions {
   /** Zero the host bits below a /bits prefix: v − (v mod 2^(32−bits)).
     * Pure integer ops (pow(2,k) is exact in a double for k ≤ 32, then cast),
     * so both engines compute identical longs. */
-  private def ipMask(v: Column, bits: Column): Column = {
+  private[graft] def ipMask(v: Column, bits: Column): Column = {
     val p2 = pow(lit(2.0), (lit(32) - bits).cast("double")).cast("long")
     v - pmod(v, p2)
   }

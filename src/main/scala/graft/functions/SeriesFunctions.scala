@@ -32,6 +32,29 @@ object SeriesFunctions {
   private def bound(v: Column)(f: Column => Column): Column =
     element_at(transform(array(v), f), 1)
 
+  /** KQL `series_sum`: Σ arrᵢ as a double (left-to-right fold — exact while
+    * the elements are integral and the total stays below 2^53). */
+  def seriesSum(arr: Column): Column = dsum(arr)
+
+  /** KQL `series_product`: Π arrᵢ as a double. */
+  def seriesProduct(arr: Column): Column =
+    aggregate(arr, lit(1.0), (a, x) => a * x.cast("double"))
+
+  /** KQL `series_dot_product`: Σ aᵢ·bᵢ — one zip_with + fold, zero-shuffle. */
+  def seriesDotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** KQL `series_magnitude`: √Σ aᵢ². */
+  def seriesMagnitude(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** KQL `series_cosine_similarity`: dot/(‖a‖·‖b‖) — the exact expression
+    * shape `Σab / (√Σa² · √Σb²)` so the oracle replays the same IEEE ops. */
+  def seriesCosine(a: Column, b: Column): Column =
+    seriesDotProduct(a, b) / (seriesMagnitude(a) * seriesMagnitude(b))
+
   /** KQL `series_stats_dynamic`: struct(min, min_idx, max, max_idx, avg,
     * variance, stdev); idx fields are the 0-based FIRST position (KQL
     * semantics). Null-free input expected (make-series fills first). */

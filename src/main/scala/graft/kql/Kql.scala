@@ -694,14 +694,20 @@ object Kql {
           before: Boolean): DataFrame = {
         val chF = ch.withColumn("__cts", col(anchor)).withColumn("__flag", lit(0))
           .withColumn("__fst", lit(null).cast("string"))
+        // null-fill with each chain column's ACTUAL type (step columns are
+        // timestamps, but the second pass also carries the string `prev`)
+        val chTypes = chF.schema.map(f => f.name -> f.dataType).toMap
         val rowsF = ch.columns.filter(c => c != "__fid")
           .foldLeft(rows)((d, c) =>
-            if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("timestamp")))
+            if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(chTypes(c))))
           .select(chF.columns.map(col).toIndexedSeq: _*)
         // tie order keeps same-ts raw rows OUT of the frame: strictly
-        // before/after the anchor row
-        val ord = if (before) Seq(col("__cts").asc, col("__flag").asc)
-                  else Seq(col("__cts").asc, col("__flag").desc)
+        // before/after the anchor row. The trailing __fst key makes the
+        // pick deterministic when two raw rows share a timestamp (before →
+        // max state at the latest prior ts, after → min state at the
+        // earliest following ts), so the oracle can state the same rule.
+        val ord = if (before) Seq(col("__cts").asc, col("__flag").asc, col("__fst").asc)
+                  else Seq(col("__cts").asc, col("__flag").desc, col("__fst").asc)
         val w = Window.partitionBy("__fid").orderBy(ord: _*)
         val picked =
           if (before) last(when(col("__flag") === 1, col("__fst")), ignoreNulls = true)
@@ -716,6 +722,51 @@ object Kql {
       val withNext = boundaryPass(withPrev, stepNames.last, "next", before = false)
       withNext.groupBy(col("prev"), col("next"))
         .agg(countDistinct(col("__fid")).as("dcount"))
+    }
+
+    /** `T | evaluate ipv4_lookup(RangeTable, ipCol, networkCol
+      * [, return_unmatched])` — enrich each row with the LONGEST-prefix CIDR
+      * range containing its IPv4 address.
+      *
+      * Execution (the bucketed range-join pattern, like the LSH bands): the
+      * DISTINCT prefix lengths in the range table are collected (bounded —
+      * ≤ 33 exist), each fact row emits one masked-address candidate key per
+      * length, and candidates equi-join the (length, network) pairs — a
+      * broadcast hash join on 8-byte keys, never an interval cross-join. The
+      * longest match per row wins (ties: smallest network, a documented
+      * deterministic rule). `return_unmatched=true` keeps unmatched rows with
+      * null range columns (left join on a synthetic row id). */
+    def ipv4Lookup(ranges: DataFrame, ipCol: String, netCol: String,
+        returnUnmatched: Boolean = false): DataFrame = {
+      import graft.functions.KqlFunctions
+      val lenOf = when(size(split(col(netCol), "/")) > 1,
+        element_at(split(col(netCol), "/"), 2).cast("int")).otherwise(lit(32))
+      val lk = ranges
+        .withColumn("__len", lenOf)
+        .withColumn("__base", KqlFunctions.parseIpv4(col(netCol)))
+        .filter(col("__base").isNotNull)
+      val lens: Seq[Int] = lk.select("__len").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted // bounded: at most 33 values
+      require(lens.nonEmpty, "ipv4_lookup: range table has no valid networks")
+      val withId = df.withColumn("__rid", monotonically_increasing_id())
+        .withColumn("__ip", KqlFunctions.parseIpv4(col(ipCol)))
+      val cand = withId
+        .withColumn("__len", explode(array(lens.map(lit): _*)))
+        .withColumn("__key", KqlFunctions.ipMask(col("__ip"), col("__len")))
+      val hit = cand.join(broadcast(lk), Seq("__len"))
+        .filter(col("__key") === col("__base"))
+      val w = Window.partitionBy("__rid")
+        .orderBy(col("__len").desc, col("__base").asc)
+      val best = hit.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__len", "__key", "__base", "__ip", "__rn")
+      if (!returnUnmatched) best.drop("__rid")
+      else {
+        val extraCols = ranges.columns.toSeq
+        withId.drop("__ip").join(
+          best.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
+          Seq("__rid"), "left").drop("__rid")
+      }
     }
   }
 

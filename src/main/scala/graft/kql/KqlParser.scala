@@ -1059,6 +1059,44 @@ object KqlParser {
             require(all.size >= 3,
               "sequence_detect needs at least two step columns and the id column")
             df.sequenceDetect(tsN, all.last, all.dropRight(1), stepW, spanW)
+          case "ipv4_lookup" =>
+            // `evaluate ipv4_lookup(RangeTable, ipCol, networkCol
+            // [, return_unmatched [= true|false]])` — longest-prefix CIDR
+            // enrichment (see Kql.ipv4Lookup).
+            val ranges = resolveTable(ident()); eatPunct(",")
+            val ipCol = ident(); eatPunct(",")
+            val netCol = ident()
+            val unmatched = if (atPunct(",")) {
+              pos += 1
+              val flag = ident() match {
+                case "return_unmatched" =>
+                  if (atPunct("=")) { pos += 1; ident() } else "true"
+                case "true" => "true"
+                case "false" => "false"
+                case other => throw new IllegalArgumentException(
+                  s"ipv4_lookup: unexpected argument $other")
+              }
+              flag == "true"
+            } else false
+            eatPunct(")")
+            df.ipv4Lookup(ranges, ipCol, netCol, unmatched)
+          case "funnel_sequence" =>
+            // `evaluate funnel_sequence(id, ts, start, end, stepWindow,
+            // state, dynamic(['a','b','c']))` — prev/next state distribution
+            // around completed state chains (see Kql.funnelSequence).
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr(); eatPunct(",")
+            val stepW = litLong(parseExpr()); eatPunct(",")
+            val stateCol = ident(); eatPunct(",")
+            eatIdent("dynamic"); eatPunct("("); eatPunct("[")
+            val states = Seq.newBuilder[String]
+            states += litString(parseExpr())
+            while (atPunct(",")) { pos += 1; states += litString(parseExpr()) }
+            eatPunct("]"); eatPunct(")")
+            eatPunct(")")
+            df.funnelSequence(id, tsN, stateCol, start, end, stepW, states.result())
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "reduce" =>
@@ -2301,6 +2339,46 @@ object KqlParser {
         case "series_periods_detect" =>
           SeriesFunctions.seriesPeriodsDetect(args.head, litLong(args(1)).toInt,
             litLong(args(2)).toInt, litLong(args(3)).toInt)
+        case "series_sum" => SeriesFunctions.seriesSum(args.head)
+        case "series_product" => SeriesFunctions.seriesProduct(args.head)
+        case "series_dot_product" =>
+          SeriesFunctions.seriesDotProduct(args.head, args(1))
+        case "series_magnitude" => SeriesFunctions.seriesMagnitude(args.head)
+        case "series_cosine_similarity" =>
+          SeriesFunctions.seriesCosine(args.head, args(1))
+        case "bitset_count_ones" => bit_count(args.head.cast("long")).cast("long")
+        case "totitle" => initcap(args.head.cast("string"))
+        case "hash_md5" => md5(args.head.cast("string").cast("binary"))
+        case "hash_sha1" => sha1(args.head.cast("string").cast("binary"))
+        case "hash_sha256" => sha2(args.head.cast("string").cast("binary"), 256)
+        case "format_bytes" =>
+          // format_bytes(size [, precision]) — binary units, largest power of
+          // 1024 with value ≥ 1 (Kusto's unit ladder), threshold CASEs instead
+          // of log() so the unit choice is exact integer arithmetic
+          val v = args.head.cast("double")
+          val prec = if (args.size > 1) litLong(args(1)).toInt else 0
+          // fold smallest→largest so the LARGEST matching unit is the
+          // outermost when() and wins
+          val ladder = Seq("KB" -> 1, "MB" -> 2, "GB" -> 3, "TB" -> 4,
+            "PB" -> 5, "EB" -> 6)
+          val base = concat(format_string(s"%.${prec}f", v), lit(" Bytes"))
+          ladder.foldLeft(base) { case (acc, (unit, pow)) =>
+            val scale = math.pow(1024.0, pow)
+            when(abs(v) >= scale,
+              concat(format_string(s"%.${prec}f", v / scale), lit(" " + unit)))
+              .otherwise(acc)
+          }
+        case "format_timespan" =>
+          // format_timespan(t) — canonical [d.]hh:mm:ss over whole-second
+          // timespans (engine convention); negative timespans keep the sign
+          val t = args.head.cast("long")
+          val a = abs(t)
+          val hms = format_string("%02d:%02d:%02d",
+            (pmod(a, lit(86400L)) / 3600).cast("long"),
+            (pmod(a, lit(3600L)) / 60).cast("long"), pmod(a, lit(60L)))
+          val withDays = when(a >= 86400L,
+            concat((a / 86400L).cast("long").cast("string"), lit("."), hms)).otherwise(hms)
+          when(t < 0, concat(lit("-"), withDays)).otherwise(withDays)
         case other => throw new IllegalArgumentException(s"unsupported scalar function: $other")
       }
     }

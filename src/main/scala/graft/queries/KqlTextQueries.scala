@@ -697,6 +697,74 @@ object KqlTextQueries {
              |  CAST(3 * 86400 + 3723 AS BIGINT) AS t5
              |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
 
+    // scalar surface r8: format_bytes (threshold CASEs; scaled values divide
+    // by powers of two, so every printed decimal is a finite binary fraction
+    // — no round-half ties between Java's and C's %f), format_timespan
+    // ([d.]hh:mm:ss over whole-second timespans), bitset_count_ones, totitle,
+    // hash_md5 / hash_sha256 (lower-hex in both engines)
+    QueryDef("q_kql_scalar_misc7",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend fb1 = format_bytes(toint(1023)),
+          |    fb2 = format_bytes(event_id * 3072),
+          |    fb3 = format_bytes(event_id * 5242880, 2),
+          |    ft1 = format_timespan(event_id * 97 + 3),
+          |    ft2 = format_timespan(totimespan('1.01:01:01') * -1),
+          |    bc = bitset_count_ones(event_id),
+          |    tt = totitle(strcat(event_type, ' hELLO')),
+          |    h1 = hash_md5(event_type),
+          |    h2 = hash_sha256(event_type)
+          || project event_id, fb1, fb2, fb3, ft1, ft2, bc, tt, h1, h2
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  '1023 Bytes' AS fb1,
+             |  CASE WHEN event_id * 3072 >= 1048576
+             |    THEN printf('%.0f MB', event_id * 3072 / 1048576.0)
+             |    WHEN event_id * 3072 >= 1024
+             |    THEN printf('%.0f KB', event_id * 3072 / 1024.0)
+             |    ELSE printf('%.0f Bytes', CAST(event_id * 3072 AS DOUBLE)) END AS fb2,
+             |  CASE WHEN event_id * 5242880 >= 1073741824
+             |    THEN printf('%.2f GB', event_id * 5242880 / 1073741824.0)
+             |    WHEN event_id * 5242880 >= 1048576
+             |    THEN printf('%.2f MB', event_id * 5242880 / 1048576.0)
+             |    ELSE printf('%.2f Bytes', CAST(event_id * 5242880 AS DOUBLE)) END AS fb3,
+             |  CASE WHEN event_id * 97 + 3 >= 86400 THEN
+             |    printf('%d.%02d:%02d:%02d', (event_id * 97 + 3) // 86400,
+             |      (event_id * 97 + 3) % 86400 // 3600,
+             |      (event_id * 97 + 3) % 3600 // 60, (event_id * 97 + 3) % 60)
+             |  ELSE printf('%02d:%02d:%02d', (event_id * 97 + 3) // 3600,
+             |    (event_id * 97 + 3) % 3600 // 60, (event_id * 97 + 3) % 60) END AS ft1,
+             |  '-1.01:01:01' AS ft2,
+             |  CAST(bit_count(event_id) AS BIGINT) AS bc,
+             |  upper(event_type[1]) || lower(event_type[2:]) || ' Hello' AS tt,
+             |  md5(event_type) AS h1,
+             |  sha256(event_type) AS h2
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
+    // series vector scalars: dot product / magnitude / cosine / sum / product
+    // over packed series — zip_with + fold HOFs, zero shuffle; integral-double
+    // inputs keep every sum exact, and cosine states the identical
+    // `Σab/(√Σa²·√Σb²)` op sequence in both engines
+    QueryDef("q_kql_series_vector",
+      (s, d) => run(s, d,
+        """print a = dynamic([1.0, 2.0, 3.0, 4.0]), b = dynamic([2.0, -1.0, 0.5, 3.0])
+          || project dot = series_dot_product(a, b),
+          |    maga = series_magnitude(a),
+          |    cosab = series_cosine_similarity(a, b),
+          |    suma = series_sum(a),
+          |    prodb = series_product(b)""".stripMargin),
+      Some("""WITH ab AS (SELECT CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b
+             |  FROM (VALUES (1.0, 2.0), (2.0, -1.0), (3.0, 0.5), (4.0, 3.0)) t(a, b))
+             |SELECT
+             |  (SELECT SUM(a * b) FROM ab) AS dot,
+             |  SQRT((SELECT SUM(a * a) FROM ab)) AS maga,
+             |  (SELECT SUM(a * b) FROM ab) /
+             |    (SQRT((SELECT SUM(a * a) FROM ab)) * SQRT((SELECT SUM(b * b) FROM ab)))
+             |    AS cosab,
+             |  (SELECT SUM(a) FROM ab) AS suma,
+             |  (SELECT PRODUCT(b) FROM ab) AS prodb""".stripMargin)),
+
     // ipv4 family: parse (with prefix mask) / format / private / in-range —
     // all exact integer arithmetic, replayed verbatim by the oracle
     QueryDef("q_kql_ipv4",
@@ -729,6 +797,59 @@ object KqlTextQueries {
              |    OR (v BETWEEN 3232235520 AND 3232301055) AS priv,
              |  v - v % 16777216 = 167772160 AS inr
              |FROM y ORDER BY event_id""".stripMargin)),
+
+    // evaluate ipv4_lookup: longest-prefix CIDR enrichment — distinct prefix
+    // lengths collected (bounded ≤33), one masked candidate key per length,
+    // broadcast equi-join on (length, network), longest match wins
+    // (tie-break: smallest network). return_unmatched=true keeps misses with
+    // null range columns. The 10/8-vs-10.128/9 overlap exercises the
+    // longest-prefix rule; second octets 16–31 hit 172.16/12, the rest miss.
+    QueryDef("q_kql_ipv4_lookup",
+      (s, d) => run(s, d,
+        """let ranges = datatable(network:string, tag:string) [
+          |  '10.0.0.0/8', 'ten',
+          |  '10.128.0.0/9', 'ten-upper',
+          |  '172.16.0.0/12', 'rfc1918-172',
+          |  '192.168.0.0/16', 'home',
+          |  '203.0.113.64/26', 'testnet'
+          |];
+          |events
+          || where event_id % 100 == 0
+          || extend o1 = iff(event_id % 3 == 0, 10, 172),
+          |    o2 = toint(event_id % 256), o3 = toint(event_id % 251),
+          |    o4 = toint(event_id % 239)
+          || extend ip = strcat(tostring(o1), '.', tostring(o2), '.',
+          |    tostring(o3), '.', tostring(o4))
+          || evaluate ipv4_lookup(ranges, ip, network, return_unmatched = true)
+          || project event_id, ip, network, tag
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH x AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 3 = 0 THEN 10 ELSE 172 END AS o1,
+             |    event_id % 256 AS o2, event_id % 251 AS o3, event_id % 239 AS o4
+             |  FROM events WHERE event_id % 100 = 0),
+             |y AS (
+             |  SELECT event_id,
+             |    CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+             |      CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip,
+             |    CAST(((o1 * 256 + o2) * 256 + o3) * 256 + o4 AS BIGINT) AS ipint
+             |  FROM x),
+             |lk(network, len, base, tag) AS (VALUES
+             |  ('10.0.0.0/8', 8, 167772160, 'ten'),
+             |  ('10.128.0.0/9', 9, 176160768, 'ten-upper'),
+             |  ('172.16.0.0/12', 12, 2886729728, 'rfc1918-172'),
+             |  ('192.168.0.0/16', 16, 3232235520, 'home'),
+             |  ('203.0.113.64/26', 26, 3405803840, 'testnet')),
+             |m AS (
+             |  SELECT y.event_id, l.network, l.tag,
+             |    ROW_NUMBER() OVER (PARTITION BY y.event_id
+             |      ORDER BY l.len DESC, l.base ASC) AS rn
+             |  FROM y JOIN lk l
+             |    ON (y.ipint // (CAST(1 AS BIGINT) << (32 - l.len)))
+             |       * (CAST(1 AS BIGINT) << (32 - l.len)) = l.base)
+             |SELECT y.event_id, y.ip, m.network, m.tag
+             |FROM y LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+             |ORDER BY event_id""".stripMargin)),
 
     // property-bag surgery + parse-time column_ifexists resolution
     QueryDef("q_kql_bag_ops",
@@ -1413,6 +1534,38 @@ object KqlTextQueries {
              |FROM perbin pb LEFT JOIN newb n USING (bin) LEFT JOIN ret r USING (bin)
              |  LEFT JOIN lost l USING (bin) LEFT JOIN prev pv USING (bin)
              |ORDER BY ts""".stripMargin)),
+
+    // evaluate funnel_sequence: who funnels through view→click, and from/to
+    // which state — greedy chains (sequence_detect machinery), then the state
+    // immediately before the chain start / after the chain end via one ordered
+    // window pass each (deterministic tie-break: latest-prior picks the max
+    // state, earliest-next the min). Oracle states the same boundaries as
+    // correlated order-by-limit-1 lookups.
+    QueryDef("q_kql_funnel_sequence",
+      (s, d) => run(s, d,
+        """events
+          || evaluate funnel_sequence(user_id, ts, datetime('2024-01-05'),
+          |    datetime('2024-01-25'), 12h, event_type, dynamic(['view','click']))
+          || sort by prev asc, next asc""".stripMargin),
+      Some("""WITH base AS (
+             |  SELECT user_id, ts, event_type FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'),
+             |h1 AS (SELECT DISTINCT user_id, ts AS t1 FROM base WHERE event_type = 'view'),
+             |ch AS (
+             |  SELECT h1.user_id, t1, MIN(e.ts) AS t2
+             |  FROM h1 JOIN base e ON e.user_id = h1.user_id AND e.event_type = 'click'
+             |    AND e.ts > h1.t1 AND e.ts <= h1.t1 + INTERVAL 12 HOUR
+             |  GROUP BY 1, 2),
+             |b AS (
+             |  SELECT ch.user_id,
+             |    (SELECT e.event_type FROM base e WHERE e.user_id = ch.user_id
+             |     AND e.ts < ch.t1 ORDER BY e.ts DESC, e.event_type DESC LIMIT 1) AS prev,
+             |    (SELECT e.event_type FROM base e WHERE e.user_id = ch.user_id
+             |     AND e.ts > ch.t2 ORDER BY e.ts ASC, e.event_type ASC LIMIT 1) AS next
+             |  FROM ch)
+             |SELECT prev, next, COUNT(DISTINCT user_id) AS dcount
+             |FROM b GROUP BY 1, 2
+             |ORDER BY prev ASC NULLS FIRST, next ASC NULLS FIRST""".stripMargin)),
 
     // evaluate sequence_detect: greedy view→click→purchase chains per user —
     // each step the EARLIEST row strictly after the previous step within 12h,
