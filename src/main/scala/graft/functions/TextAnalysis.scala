@@ -139,6 +139,56 @@ object TextAnalysis {
     * pipelines materialize tokens first and call shinglesOf, see perf note there). */
   def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(lower(text)), k)
 
+  // --- repetition metrics (Gopher-style quality filters over token streams) ---
+
+  /** Multiplicity of the most frequent element of a SORTED array: one
+    * aggregate pass with (prev, run, best) state — the mode's count with no
+    * shuffle and no explode, so a billion-document table computes it
+    * scan-side. */
+  private def maxRunCount(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Adjacent token bigrams, NON-distinct (repetition metrics need
+    * multiplicity; the distinct shinglesOf is the dedup/MinHash unit). */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition filter signals per document:
+    * dup_token_fraction (1 − distinct/total), top_token_fraction (mode
+    * multiplicity / total), top_bigram_fraction, dup_bigram_fraction.
+    * Training-data pipelines drop documents above thresholds on these. All
+    * ratios are exact-integer divisions evaluated once per row — same IEEE
+    * result in the DuckDB oracle. Pass a MATERIALIZED token array attribute
+    * (see shinglesOf's perf contract). */
+  def repetitionMetrics(toks: Column): Column = {
+    val n = size(toks)
+    val nd = size(array_distinct(toks))
+    val bg = bigramsOf(toks)
+    val nb = size(bg)
+    val nbd = size(array_distinct(bg))
+    struct(
+      n.cast("long").as("n_tokens"),
+      ((n - nd).cast("double") / greatest(n, lit(1)).cast("double"))
+        .as("dup_token_fraction"),
+      (maxRunCount(array_sort(toks)).cast("double") /
+        greatest(n, lit(1)).cast("double")).as("top_token_fraction"),
+      (maxRunCount(array_sort(bg)).cast("double") /
+        greatest(nb, lit(1)).cast("double")).as("top_bigram_fraction"),
+      ((nb - nbd).cast("double") / greatest(nb, lit(1)).cast("double"))
+        .as("dup_bigram_fraction"))
+  }
+
   /** Character n-grams (distinct) for n-gram Jaccard similarity. */
   def charNgrams(text: Column, n: Int = 3): Column = {
     val t = lower(text)

@@ -1263,6 +1263,61 @@ object KqlParser {
           g = g.project(cols: _*)
         }
         g
+      case "graph-shortest-paths" =>
+        // `| graph-shortest-paths (a)-[p*1..H]->(b) [where pred] [project …]`
+        // — per reachable (a,b) pair with a ≠ b, the MINIMUM-hop path within
+        // H hops over the bound edge table. Level-synchronous BFS: each level
+        // is ONE equi-join of the frontier against the edge table on the
+        // frontier's endpoint, an anti-join against the reached set (a pair
+        // found at level h is never re-expanded), and a per-pair min — so the
+        // work per level is frontier-size-bound, never all-paths enumeration;
+        // each level's frontier persists (ContextCleaner reaps, the
+        // materialize() contract). The path variable binds the NODE-ID array
+        // of the lexicographically-smallest shortest path (deterministic:
+        // the per-level min over extensions of lex-min prefixes is the
+        // global lex-min — shortest paths have shortest prefixes).
+        // Deviations (documented): `p` is the node array, not edge structs
+        // (array_length(p) − 1 = hops); self-pairs a == b are excluded;
+        // endpoint predicates apply after the search.
+        val (spEdges, spSrc, spDst) = graphEdges.getOrElse(throw new IllegalArgumentException(
+          "graph-shortest-paths requires a preceding make-graph in the same pipeline"))
+        eatPunct("(")
+        val spA = ident(); eatPunct(")")
+        eatPunct("-[")
+        val spP = ident()
+        eatPunct("*")
+        val spLo = parseLong().toInt; eatPunct(".."); val spHi = parseLong().toInt
+        require(spLo == 1 && spHi >= 1 && spHi <= 8,
+          s"graph-shortest-paths: bounds must satisfy 1 = lo <= hi <= 8, got $spLo..$spHi")
+        eatPunct("]->"); eatPunct("(")
+        val spB = ident(); eatPunct(")")
+        val e1 = spEdges.select(col(spSrc).as(spA), col(spDst).as(spB),
+            array(col(spSrc), col(spDst)).as("__path"))
+          .filter(col(spA) =!= col(spB))
+        var reached = e1.groupBy(spA, spB).agg(min(col("__path")).as("__path"))
+        var frontier = reached
+        (2 to spHi).foreach { _ =>
+          val stepped = frontier.join(
+              spEdges.select(col(spSrc).as("__hop_s"), col(spDst).as("__hop_d")),
+              col(spB) === col("__hop_s"))
+            .filter(col("__hop_d") =!= col(spA))
+            .select(col(spA), col("__hop_d").as(spB),
+              concat(col("__path"), array(col("__hop_d"))).as("__path"))
+          val fresh = stepped
+            .join(reached.select(spA, spB), Seq(spA, spB), "left_anti")
+            .groupBy(spA, spB).agg(min(col("__path")).as("__path"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          reached = reached.unionByName(fresh)
+          frontier = fresh
+        }
+        var gsp = reached.withColumnRenamed("__path", spP)
+        if (atIdent("where")) { pos += 1; gsp = gsp.where_(parseExpr()) }
+        if (atIdent("project")) {
+          pos += 1
+          val cols = parseProjList()
+          gsp = gsp.project(cols: _*)
+        }
+        gsp
       case "union" =>
         // `union [kind=outer|inner] [withsource=Col] T1[, T2, ...]` — operands
         // align by name; kind=outer (default) null-fills missing columns,

@@ -1077,6 +1077,42 @@ object KqlTextQueries {
              |SELECT hops, COUNT(*) AS n_paths FROM p
              |GROUP BY hops ORDER BY hops""".stripMargin)),
 
+    // graph-shortest-paths: min-hop distances from node 0 over a sparse
+    // 25-node / 2-out-degree arithmetic graph (nontrivial diameters), BFS by
+    // frontier equi-joins with pair-level pruning; the path variable binds
+    // the lexicographically-smallest shortest path's node array. The oracle
+    // enumerates all simple paths <=4 hops recursively and takes the same
+    // (min len, min path).
+    QueryDef("q_kql_graph_shortest",
+      (s, d) => run(s, d,
+        """nation
+          || project u = n_nationkey
+          || extend v = (u * 7 + 3) % 25
+          || union (nation | project u = n_nationkey | extend v = (u * 11 + 5) % 25)
+          || make-graph u --> v
+          || graph-shortest-paths (a)-[p*1..4]->(b)
+          |  where a == 0
+          |  project b, hops = tolong(array_length(p)) - 1, path = strcat_array(p, '>')
+          || sort by b asc""".stripMargin),
+      Some("""WITH RECURSIVE g AS (
+             |  SELECT n_nationkey AS u, (n_nationkey * 7 + 3) % 25 AS v FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey, (n_nationkey * 11 + 5) % 25 FROM nation),
+             |r(a, b, len, path) AS (
+             |  SELECT u, v, 1, [u, v] FROM g WHERE u <> v
+             |  UNION ALL
+             |  SELECT r.a, e.v, r.len + 1, list_append(r.path, e.v)
+             |  FROM r JOIN g e ON e.u = r.b
+             |  WHERE r.len < 4 AND e.v <> r.a AND NOT list_contains(r.path, e.v)),
+             |m AS (SELECT a, b, MIN(len) AS minlen FROM r WHERE a = 0 GROUP BY 1, 2),
+             |best AS (
+             |  SELECT r.a, r.b, m.minlen AS len, MIN(r.path) AS path
+             |  FROM r JOIN m ON r.a = m.a AND r.b = m.b AND r.len = m.minlen
+             |  GROUP BY 1, 2, 3)
+             |SELECT b, CAST(len AS BIGINT) AS hops,
+             |  array_to_string(path, '>') AS path
+             |FROM best ORDER BY b""".stripMargin)),
+
     // evaluate autocluster/basket: frequent attribute combinations via one
     // cube pass; the grand-total row funds the percent column (broadcast
     // single-row join, no second corpus scan). autocluster = basket at

@@ -327,6 +327,80 @@ object NorthStarQueries {
               |  - n_digit / GREATEST(n_chars, 1.0))) AS score
               |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition filters: per-document duplicate-token /
+    // top-token / top-bigram / duplicate-bigram fractions — the drop signals
+    // of a training-data quality pass. Mode multiplicities come from one
+    // sorted-array run-length pass per row (no explode, no shuffle); the
+    // oracle recomputes them with unnest+group+max.
+    QueryDef("q_repetition",
+      (s, d) => T(s, d, "documents")
+        .project(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .extend("m" -> TA.repetitionMetrics(col("toks")))
+        .project(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+          col("m.dup_token_fraction").as("dup_token_fraction"),
+          col("m.top_token_fraction").as("top_token_fraction"),
+          col("m.top_bigram_fraction").as("top_bigram_fraction"),
+          col("m.dup_bigram_fraction").as("dup_bigram_fraction"))
+        .sortBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |tok AS (SELECT doc_id, u.x FROM t, UNNEST(l) AS u(x)),
+             |tc AS (SELECT doc_id, MAX(c) AS topc FROM (
+             |  SELECT doc_id, x, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+             |bg AS (SELECT doc_id,
+             |  list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]) AS b
+             |  FROM t),
+             |bgu AS (SELECT doc_id, u.x FROM bg, UNNEST(b) AS u(x)),
+             |bc AS (SELECT doc_id, MAX(c) AS topb FROM (
+             |  SELECT doc_id, x, COUNT(*) AS c FROM bgu GROUP BY 1, 2) GROUP BY 1)
+             |SELECT t.doc_id,
+             |  CAST(len(l) AS BIGINT) AS n_tokens,
+             |  CAST(len(l) - len(list_distinct(l)) AS DOUBLE) /
+             |    CAST(GREATEST(len(l), 1) AS DOUBLE) AS dup_token_fraction,
+             |  CAST(tc.topc AS DOUBLE) / CAST(GREATEST(len(l), 1) AS DOUBLE)
+             |    AS top_token_fraction,
+             |  CAST(bc.topb AS DOUBLE) / CAST(GREATEST(len(b), 1) AS DOUBLE)
+             |    AS top_bigram_fraction,
+             |  CAST(len(b) - len(list_distinct(b)) AS DOUBLE) /
+             |    CAST(GREATEST(len(b), 1) AS DOUBLE) AS dup_bigram_fraction
+             |FROM t JOIN tc USING (doc_id) JOIN bg USING (doc_id)
+             |  JOIN bc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination check: distinct token-trigram overlap between
+    // each document and a probe set of benchmark phrases. A bounded probe set
+    // compiles to a literal array — array_intersect per row, zero shuffles,
+    // scan-side at any corpus size; a corpus-scale probe set would flip to
+    // the explode + broadcast-join form of the full-text index instead.
+    QueryDef("q_contamination",
+      (s, d) => {
+        val probes = Seq("table value part", "fast spark a", "key agg row",
+          "batch window spark", "data column agg", "zz absent phrase")
+        val probeArr = array(probes.map(lit): _*)
+        T(s, d, "documents")
+          .project(col("doc_id"), TA.tokens(col("text")).as("toks"))
+          .project(col("doc_id"), TA.shinglesOf(col("toks"), 3).as("sh"))
+          .project(col("doc_id"),
+            size(array_intersect(col("sh"), probeArr)).cast("long").as("hits"),
+            (size(array_intersect(col("sh"), probeArr)).cast("double") /
+              greatest(size(col("sh")), lit(1)).cast("double")).as("frac"))
+          .where_(col("hits") > 0)
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, len(l) - 1),
+             |    i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS s
+             |  FROM t),
+             |c AS (SELECT doc_id,
+             |    len(list_intersect(s, ['table value part', 'fast spark a',
+             |      'key agg row', 'batch window spark', 'data column agg',
+             |      'zz absent phrase'])) AS hits,
+             |    len(s) AS n
+             |  FROM sh)
+             |SELECT doc_id, CAST(hits AS BIGINT) AS hits,
+             |  CAST(hits AS DOUBLE) / CAST(GREATEST(n, 1) AS DOUBLE) AS frac
+             |FROM c WHERE hits > 0 ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q_fingerprint",
       (s, d) => T(s, d, "documents")
         .project(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
@@ -681,6 +755,51 @@ object NorthStarQueries {
              |FROM v JOIN p ON v.user_id = p.user_id
              |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Stream-STATIC enrichment: the events stream joined to the customer
+    // dimension (broadcast, stateless — no watermark, no state store), then
+    // batch-summarized per market segment. The streaming surface every
+    // dimension-decorated event pipeline needs; at scale the static side is
+    // a broadcast hash map per executor, the stream never shuffles.
+    QueryDef("q_streaming_enrich",
+      (s, d) => {
+        val ev = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("value"))
+        val dim = T(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+        val enriched = graft.streaming.StreamingIngest
+          .enrichStream(ev, dim, Seq("user_id"))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_enrich_sink", enriched)
+          .summarize(Seq(col("segment")), count(lit(1)).as("n"),
+            min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+          .sortBy(col("segment"))
+      },
+      Some("""SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+             |  MIN(e.value) AS min_v, MAX(e.value) AS max_v
+             |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // dropDuplicatesWithinWatermark: key-only streaming dedup whose state
+    // evicts at the watermark (dropDuplicates(ts,key) keeps key state
+    // forever). Each event is replayed twice (explode-duplicated); the dedup
+    // must emit each event_id exactly once, so the summarized counts equal
+    // the batch per-type cardinalities.
+    QueryDef("q_streaming_dedup_within",
+      (s, d) => {
+        val doubled = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .withColumn("copy", explode(array(lit(1), lit(2))))
+          .drop("copy")
+        val deduped = graft.streaming.StreamingIngest
+          .dedupWithinWatermark(doubled, "ts", Seq("event_id"))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_dedup_within_sink", deduped)
+          .summarize(Seq(col("event_type")), count(lit(1)).as("n"))
+          .sortBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT event_id) AS n FROM events
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // --- custom-state streaming in CORRECTNESS: flatMapGroupsWithState
     // sessionization (arbitrary per-key state, not a built-in aggregation)

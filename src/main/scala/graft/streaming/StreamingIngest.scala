@@ -117,6 +117,24 @@ object StreamingIngest {
           s"$rTs >= $lTs AND $rTs <= $lTs + INTERVAL $within"),
         "inner")
 
+  /** Stream-STATIC join: continuous enrichment of a stream against a batch
+    * dimension table. The static side is broadcast into every task — there is
+    * NO streaming join state at all (unlike stream-stream joins), so this is
+    * the way to decorate a 100 TB/day event stream with dimension attributes:
+    * per-batch hash lookups, zero state store, no watermark requirement. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Key-only streaming dedup via `dropDuplicatesWithinWatermark`: unlike
+    * `dropDuplicates(ts, key)` (exact-key state forever), state for a key is
+    * evicted once the watermark passes its FIRST-SEEN event time — the
+    * at-least-once-ingest dedup whose state is bounded by the lateness window
+    * even when the same logical key recurs forever in the stream. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                           lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Continuous append to a time-partitioned parquet table (the streaming segment
     * write path: buffer → flush as time-bucketed files, ≈ segment_writer.rs but via
     * Parquet + exactly-once file-sink semantics). */

@@ -160,6 +160,16 @@ class KqlParserSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](run("t | where v ?? 3"))
   }
 
+  test("format_bytes picks the largest matching unit; format_timespan signs") {
+    val df = run("""t | where id == 1 | project
+      b0 = format_bytes(512), b1 = format_bytes(1536000),
+      b2 = format_bytes(2684354560, 2),
+      t0 = format_timespan(3723), t1 = format_timespan(90061),
+      t2 = format_timespan(totimespan('01:00:30') * -1)""")
+    val r = df.as[(String, String, String, String, String, String)].collect().head
+    assert(r == (("512 Bytes", "1 MB", "2.50 GB", "01:02:03", "1.01:01:01", "-01:00:30")))
+  }
+
   test("reduce by groups values into patterns") {
     val df = run("t | reduce by user")
     assert(df.columns.toSeq.take(2) == Seq("Pattern", "Count"))
