@@ -1692,6 +1692,31 @@ object KqlParser {
             val suffix = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
             percentile(base, lit(p / 100.0)).as(s"percentile_${baseName}_$suffix")
           }: _*)
+        case "percentilew" =>
+          // percentilew(x, w, p) — EXACT weighted percentile: the smallest x
+          // whose cumulative weight, in x-ascending order, reaches p% of the
+          // group's total weight. collect-sort-scan per group (group state =
+          // the group's pairs; for billion-row groups pre-aggregate per
+          // distinct x first). Integral weights keep every comparison exact.
+          val pw = litDouble(args(2)) / 100.0
+          val pairs = sort_array(collect_list(struct(
+            args.head.cast("double").as("x"), args(1).cast("long").as("w"))))
+          val total = aggregate(pairs, lit(0L), (a, e) => a + e.getField("w"))
+          val target = total.cast("double") * lit(pw)
+          // target is itself an aggregate-HOF over pairs: bind it as a lambda
+          // VARIABLE — an expression referenced inside a HOF lambda body is
+          // re-evaluated per element (the SeriesFunctions.bound lesson;
+          // unbound this scan is O(n²) per group)
+          element_at(transform(array(target), t =>
+            aggregate(pairs,
+              struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
+              (st, e) => {
+                val cum = st.getField("cum") + e.getField("w")
+                val v = when(st.getField("v").isNotNull, st.getField("v"))
+                  .otherwise(when(cum.cast("double") >= t, e.getField("x")))
+                struct(cum.as("cum"), v.as("v"))
+              },
+              st => st.getField("v"))), 1)
         case "stdev" => stddev_samp(args.head)
         case "variance" => var_samp(args.head)
         case "make_set" => sort_array(collect_set(args.head))
@@ -2137,6 +2162,28 @@ object KqlParser {
           regexp_extract_all(args(1), lit(pat), lit(grp))
         case "base64_encode_tostring" => base64(args.head.cast("binary"))
         case "base64_decode_tostring" => unbase64(args.head).cast("string")
+        case "base64_decode_toarray" =>
+          // bytes as a long array via the hex round-trip (both engines print
+          // uppercase hex, so the digit arithmetic is replayable)
+          val h = hex(unbase64(args.head.cast("string")))
+          transform(sequence(lit(1), (length(h) / 2).cast("int")),
+            i => conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+        case "parse_path" =>
+          // Kusto parse_path subset (no Scheme/RootPath/ADS, documented):
+          // DirectoryPath / DirectoryName / Filename / Extension as a string
+          // bag; separators / and \ both recognized
+          val p0 = args.head.cast("string")
+          map(
+            lit("DirectoryPath"), regexp_extract(p0, "^(.*)[/\\\\][^/\\\\]*$", 1),
+            lit("DirectoryName"), regexp_extract(p0, "([^/\\\\]+)[/\\\\][^/\\\\]*$", 1),
+            lit("Filename"), regexp_extract(p0, "([^/\\\\]*)$", 1),
+            lit("Extension"), regexp_extract(p0, "\\.([^./\\\\]*)$", 1))
+        case "parse_urlquery" =>
+          // query-parameter bag; accepts a bare query string or a full URL
+          // (everything through '?' is stripped). Kusto nests this under
+          // "Query Parameters" — flattened here (documented deviation).
+          val q0 = regexp_replace(args.head.cast("string"), "^[^?]*\\?", "")
+          str_to_map(q0, lit("&"), lit("="))
         case "url_encode" | "url_encode_component" =>
           call_function("url_encode", args.head)
         case "url_decode" => call_function("url_decode", args.head)

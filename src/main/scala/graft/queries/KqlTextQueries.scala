@@ -742,6 +742,57 @@ object KqlTextQueries {
              |  sha256(event_type) AS h2
              |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
 
+    // scalar surface r8b: parse_path bag (dir path/name, filename, extension),
+    // parse_urlquery bag, base64_decode_toarray (byte values via the
+    // uppercase-hex round trip both engines print identically)
+    QueryDef("q_kql_scalar_misc8",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend path = strcat('/data/', event_type, '/f', tostring(event_id), '.parquet')
+          || extend pp = parse_path(path),
+          |    uq = parse_urlquery(strcat('https://host.example/p?id=',
+          |      tostring(event_id), '&t=', event_type, '&z=1')),
+          |    b = base64_decode_toarray(base64_encode_tostring(event_type))
+          || project event_id,
+          |    dp = tostring(pp['DirectoryPath']), dn = tostring(pp['DirectoryName']),
+          |    fn = tostring(pp['Filename']), ext = tostring(pp['Extension']),
+          |    qid = tostring(uq['id']), qt = tostring(uq['t']),
+          |    blen = tolong(array_length(b)), b0 = tolong(b[0])
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  '/data/' || event_type AS dp,
+             |  event_type AS dn,
+             |  'f' || CAST(event_id AS VARCHAR) || '.parquet' AS fn,
+             |  'parquet' AS ext,
+             |  CAST(event_id AS VARCHAR) AS qid,
+             |  event_type AS qt,
+             |  CAST(length(event_type) AS BIGINT) AS blen,
+             |  CAST(ascii(event_type) AS BIGINT) AS b0
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
+    // percentilew: exact weighted percentile — smallest x whose cumulative
+    // weight in x-ascending order reaches p% of total weight; the oracle
+    // states the same rule with a window cumsum
+    QueryDef("q_kql_percentilew",
+      (s, d) => run(s, d,
+        """events
+          || extend w = event_id % 7 + 1
+          || summarize p50 = percentilew(value, w, 50),
+          |    p90 = percentilew(value, w, 90) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH b AS (
+             |  SELECT event_type, value AS x, event_id % 7 + 1 AS w FROM events),
+             |t AS (SELECT event_type, SUM(w) AS tot FROM b GROUP BY 1),
+             |c AS (SELECT event_type, x, SUM(w) OVER (PARTITION BY event_type
+             |    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum FROM b)
+             |SELECT c.event_type,
+             |  MIN(x) FILTER (WHERE cum >= tot * 0.5) AS p50,
+             |  MIN(x) FILTER (WHERE cum >= tot * 0.9) AS p90
+             |FROM c JOIN t USING (event_type)
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // series vector scalars: dot product / magnitude / cosine / sum / product
     // over packed series — zip_with + fold HOFs, zero shuffle; integral-double
     // inputs keep every sum exact, and cosine states the identical
