@@ -220,6 +220,90 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) ANN: per-subspace codebooks + ADC scan.
+  // ------------------------------------------------------------------
+
+  /** Train M per-subspace PQ codebooks (ksub centroids over each dim/M-wide
+    * slice) — M independent deterministic k-means runs over sliced vectors.
+    * The model is M·ksub·(dim/M) floats, driver-bounded like any trained
+    * model; at 100 TB you train on a sample and encode the corpus once. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int = 8, ksub: Int = 16, iters: Int = 5,
+              seed: Long = 42L): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, "pq: dim must divide evenly into m subspaces")
+    val dsub = dim / m
+    (0 until m).map { mi =>
+      val sub = corpus.select(col(idCol).as("id"),
+        slice(col(vecCol), mi * dsub + 1, dsub).as("v"))
+      ivfTrain(sub, "id", "v", dsub, ksub, iters, seed + mi)
+    }.toArray
+  }
+
+  /** Encode a vector to its M-id PQ code (nearest codebook entry per
+    * subspace) — the 256-byte float vector becomes M small ints: the
+    * memory-compression step that lets a 100 TB corpus's index live in RAM. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]], dim: Int): Column = {
+    val m = codebooks.length
+    val dsub = dim / m
+    array((0 until m).map { mi =>
+      ivfAssign(slice(vec, mi * dsub + 1, dsub), codebooks(mi))
+    }: _*)
+  }
+
+  /** ANN top-k via PQ asymmetric distance (ADC) + exact re-rank: the corpus
+    * is encoded ONCE to M-id codes; each query precomputes its M×ksub
+    * lookup table of subspace partial dots, scores every code with M table
+    * lookups (zip_with + fold — no float vector is read in the scan), takes
+    * a `shortlist` of ADC candidates, and re-ranks ONLY the shortlist with
+    * exact cosines. Approximation error lives only inside the shortlist
+    * boundary — the final scores are exact. Queries broadcast; the corpus
+    * side touches full vectors for shortlist rows only. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, shortlist: Int = 32, iters: Int = 5,
+             queryId: String = "query_id", corpusId: String = "corpus_id",
+             vecCol: String = "embedding", seed: Long = 42L,
+             trained: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val books = trained.getOrElse(
+      pqTrain(corpus, corpusId, vecCol, dim, m, ksub, iters, seed))
+    val dsub = dim / m
+    val norm2Tab: Seq[Seq[Double]] = books.toIndexedSeq.map(_.toIndexedSeq.map(
+      c => c.map(x => x.toDouble * x.toDouble).sum))
+    val encoded = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+      .withColumn("__code", pqEncode(col("__cv"), books, dim))
+      .withColumn("__xn2", aggregate(
+        zip_with(col("__code"), typedlit(norm2Tab), (cm, nt) => element_at(nt, cm + 1)),
+        lit(0.0), (a, x) => a + x))
+      .select(col(corpusId), col("__code"), col("__xn2"))
+    val lutCol = array((0 until m).map { mi =>
+      array((0 until ksub).map { c =>
+        dot(slice(col("__qv"), mi * dsub + 1, dsub), typedlit(books(mi)(c).toSeq))
+      }: _*)
+    }: _*)
+    val q2 = queries.select(col(queryId), col(vecCol).as("__qv"))
+      .withColumn("__lut", lutCol)
+      .withColumn("__qn", norm(col("__qv")))
+      .select(col(queryId), col("__lut"), col("__qn"))
+    val adc = aggregate(
+      zip_with(col("__code"), col("__lut"), (cm, lm) => element_at(lm, cm + 1)),
+      lit(0.0), (a, x) => a + x)
+    val wAdc = Window.partitionBy(col(queryId))
+      .orderBy(col("__adc").desc, col(corpusId))
+    val short = encoded.crossJoin(broadcast(q2))
+      .withColumn("__adc", adc / (col("__qn") * sqrt(col("__xn2"))))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= shortlist)
+      .select(col(queryId), col(corpusId))
+    val scored = short
+      .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
+      .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored.select(col(queryId), col(corpusId), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
     * ids-only bucket join, distinct pairs, one verification per pair. For high
     * thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of tables

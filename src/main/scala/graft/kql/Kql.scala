@@ -724,6 +724,40 @@ object Kql {
         .agg(countDistinct(col("__fid")).as("dcount"))
     }
 
+    /** `T | evaluate funnel_sequence_completion(id, ts, start, end, state,
+      * dynamic(['s1',…,'sk']), dynamic([w1,…,wm]))` — funnel completion per
+      * time budget: for every window wⱼ and sequence prefix s1..sᵢ, the
+      * distinct actors whose greedy chain (sequence_detect machinery,
+      * step-and-span window wⱼ) completes the prefix. Output: (duration,
+      * step_idx, step, dcount) — m·k bounded aggregate rows. Deviation from
+      * Kusto (documented): no timeline binning; the per-window completion
+      * table is the funnel itself. */
+    def funnelSequenceCompletion(idCol: String, tsCol: String, stateCol: String,
+        start: Column, end: Column, states: Seq[String],
+        windows: Seq[Long]): DataFrame = {
+      require(states.size >= 2, "funnel_sequence_completion needs >= 2 states")
+      require(windows.nonEmpty, "funnel_sequence_completion needs >= 1 window")
+      val base = df.filter(col(tsCol) >= start && col(tsCol) < end)
+        .select(col(idCol).as("__fid"), col(tsCol).as("__fts"),
+          col(stateCol).cast("string").as("__fst"))
+      val stepNames = states.indices.map(i => s"__fs$i")
+      val flagged = stepNames.zip(states).foldLeft(base) {
+        case (d, (n, v)) => d.withColumn(n, col("__fst") === v)
+      }
+      val parts = for (w <- windows; i <- states.indices) yield {
+        val counted =
+          if (i == 0)
+            flagged.filter(col(stepNames.head))
+              .agg(countDistinct(col("__fid")).as("dcount"))
+          else
+            flagged.sequenceDetect("__fts", "__fid", stepNames.take(i + 1), w, w)
+              .agg(countDistinct(col("__fid")).as("dcount"))
+        counted.select(lit(w).as("duration"), lit(i.toLong).as("step_idx"),
+          lit(states(i)).as("step"), col("dcount"))
+      }
+      parts.reduce(_ unionByName _)
+    }
+
     /** `T | evaluate ipv4_lookup(RangeTable, ipCol, networkCol
       * [, return_unmatched])` — enrich each row with the LONGEST-prefix CIDR
       * range containing its IPv4 address.

@@ -1080,6 +1080,28 @@ object KqlParser {
             } else false
             eatPunct(")")
             df.ipv4Lookup(ranges, ipCol, netCol, unmatched)
+          case "funnel_sequence_completion" =>
+            // `evaluate funnel_sequence_completion(id, ts, start, end, state,
+            // dynamic(['s1',…]), dynamic([w1,…]))` — per-window prefix
+            // completion funnel (see Kql.funnelSequenceCompletion).
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr(); eatPunct(",")
+            val stateCol = ident(); eatPunct(",")
+            eatIdent("dynamic"); eatPunct("("); eatPunct("[")
+            val states = Seq.newBuilder[String]
+            states += litString(parseExpr())
+            while (atPunct(",")) { pos += 1; states += litString(parseExpr()) }
+            eatPunct("]"); eatPunct(")"); eatPunct(",")
+            eatIdent("dynamic"); eatPunct("("); eatPunct("[")
+            val wins = Seq.newBuilder[Long]
+            wins += litLong(parseExpr())
+            while (atPunct(",")) { pos += 1; wins += litLong(parseExpr()) }
+            eatPunct("]"); eatPunct(")")
+            eatPunct(")")
+            df.funnelSequenceCompletion(id, tsN, stateCol, start, end,
+              states.result(), wins.result())
           case "funnel_sequence" =>
             // `evaluate funnel_sequence(id, ts, start, end, stepWindow,
             // state, dynamic(['a','b','c']))` — prev/next state distribution

@@ -1654,6 +1654,56 @@ object KqlTextQueries {
              |FROM b GROUP BY 1, 2
              |ORDER BY prev ASC NULLS FIRST, next ASC NULLS FIRST""".stripMargin)),
 
+    // evaluate funnel_sequence_completion: per-window prefix-completion
+    // funnel — distinct actors completing view / view→click /
+    // view→click→purchase within 8h and within 48h (greedy chains, step-and-
+    // span window = the budget). Oracle restates the chains as nested
+    // MIN-joins per window.
+    QueryDef("q_kql_funnel_completion",
+      (s, d) => run(s, d,
+        """events
+          || evaluate funnel_sequence_completion(user_id, ts,
+          |    datetime('2024-01-03'), datetime('2024-01-28'), event_type,
+          |    dynamic(['view', 'click', 'purchase']), dynamic([8h, 48h]))
+          || sort by duration asc, step_idx asc""".stripMargin),
+      Some("""WITH base AS (
+             |  SELECT user_id, ts, event_type FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-28'),
+             |h1 AS (SELECT DISTINCT user_id, ts AS t1 FROM base WHERE event_type = 'view'),
+             |h2_a AS (
+             |  SELECT h1.user_id, t1, MIN(e.ts) AS t2
+             |  FROM h1 JOIN base e ON e.user_id = h1.user_id AND e.event_type = 'click'
+             |    AND e.ts > t1 AND e.ts <= t1 + INTERVAL 8 HOUR GROUP BY 1, 2),
+             |h3_a AS (
+             |  SELECT h2_a.user_id, t1, t2, MIN(e.ts) AS t3
+             |  FROM h2_a JOIN base e ON e.user_id = h2_a.user_id
+             |    AND e.event_type = 'purchase'
+             |    AND e.ts > t2 AND e.ts <= t2 + INTERVAL 8 HOUR GROUP BY 1, 2, 3),
+             |h2_b AS (
+             |  SELECT h1.user_id, t1, MIN(e.ts) AS t2
+             |  FROM h1 JOIN base e ON e.user_id = h1.user_id AND e.event_type = 'click'
+             |    AND e.ts > t1 AND e.ts <= t1 + INTERVAL 48 HOUR GROUP BY 1, 2),
+             |h3_b AS (
+             |  SELECT h2_b.user_id, t1, t2, MIN(e.ts) AS t3
+             |  FROM h2_b JOIN base e ON e.user_id = h2_b.user_id
+             |    AND e.event_type = 'purchase'
+             |    AND e.ts > t2 AND e.ts <= t2 + INTERVAL 48 HOUR GROUP BY 1, 2, 3),
+             |sel AS (
+             |  SELECT 28800 AS duration, 0 AS step_idx, 'view' AS step,
+             |    COUNT(DISTINCT user_id) AS dcount FROM h1
+             |  UNION ALL SELECT 28800, 1, 'click', COUNT(DISTINCT user_id)
+             |    FROM h2_a WHERE t2 <= t1 + INTERVAL 8 HOUR
+             |  UNION ALL SELECT 28800, 2, 'purchase', COUNT(DISTINCT user_id)
+             |    FROM h3_a WHERE t3 <= t1 + INTERVAL 8 HOUR
+             |  UNION ALL SELECT 172800, 0, 'view', COUNT(DISTINCT user_id) FROM h1
+             |  UNION ALL SELECT 172800, 1, 'click', COUNT(DISTINCT user_id)
+             |    FROM h2_b WHERE t2 <= t1 + INTERVAL 48 HOUR
+             |  UNION ALL SELECT 172800, 2, 'purchase', COUNT(DISTINCT user_id)
+             |    FROM h3_b WHERE t3 <= t1 + INTERVAL 48 HOUR)
+             |SELECT CAST(duration AS BIGINT) AS duration,
+             |  CAST(step_idx AS BIGINT) AS step_idx, step, dcount
+             |FROM sel ORDER BY duration, step_idx""".stripMargin)),
+
     // evaluate sequence_detect: greedy view→click→purchase chains per user —
     // each step the EARLIEST row strictly after the previous step within 12h,
     // whole chain within 24h. The oracle states the same greedy chain as

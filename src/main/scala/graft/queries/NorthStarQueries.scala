@@ -49,6 +49,8 @@ object NorthStarQueries {
   private val pipeCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private val ivfModelCache =
     scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
+  private val pqModelCache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]()
 
   private def cacheKey(s: SparkSession, d: String, what: String): String =
     s"${System.identityHashCode(s)}:$what:$d"
@@ -64,6 +66,7 @@ object NorthStarQueries {
         try df.unpersist(blocking = false) catch { case _: Throwable => () })
     }
     ivfModelCache.keys.filterNot(_.startsWith(prefix)).foreach(ivfModelCache.remove)
+    pqModelCache.keys.filterNot(_.startsWith(prefix)).foreach(pqModelCache.remove)
   }
 
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
@@ -588,6 +591,31 @@ object NorthStarQueries {
           Similarity.ivfTrain(corpus, "corpus_id", "embedding", EMB_DIM))
         Similarity.ivfTopK(queries, corpus, k = 1, dim = EMB_DIM,
           trained = Some(centroids))
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
+    // PQ (product-quantization) ANN, mechanism-checked like IVF: planted
+    // perturbed-copy queries (true cosine ≈ 0.997 vs ≈ 0.51 natural max) must
+    // come back as top-1 through the full PQ pipeline — encode corpus to 8
+    // subspace codes, ADC-score every code via the query's lookup table,
+    // shortlist 32, exact re-rank. A broken codebook, LUT, or shortlist
+    // boundary reddens the row.
+    QueryDef("q_cosine_topk_pq",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        evictStale(s)
+        val books = pqModelCache.getOrElseUpdate(cacheKey(s, d, "pq"),
+          Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
+        Similarity.pqTopK(queries, corpus, k = 1, dim = EMB_DIM,
+          trained = Some(books))
           .project(col("query_id"),
             (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
           .sortBy(col("query_id"))
