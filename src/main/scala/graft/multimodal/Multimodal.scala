@@ -130,6 +130,41 @@ object Multimodal {
       }
   }
 
+  /** Per-frame audio features: one row per fixed-length PCM frame. */
+  final case class AudioFrame(media_id: Long, frame_idx: Long, n_samples: Long,
+                              zc: Long, sumsq: Long)
+
+  /** Frame-level audio analysis over the binary column: REAL WAV decode per
+    * partition, then per `frameLen`-sample frame the zero-crossing count
+    * (s[i]·s[i−1] < 0, within-frame only) and energy as the EXACT integer
+    * sum of squares — all-integer outputs, so the oracle replays them
+    * bit-for-bit. Same shape as extractFeatures: the blob is read once in a
+    * partition-local loop and only small feature rows ever shuffle. */
+  def audioFrameFeatures(spark: SparkSession, media: DataFrame, idCol: String,
+                         frameLen: Int = 16): Dataset[AudioFrame] = {
+    import spark.implicits._
+    media.filter(col("media_kind") === "audio")
+      .select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val s = Codecs.decodeWav(payload).samples
+          (0 until s.length by frameLen).map { st =>
+            val en = math.min(st + frameLen, s.length)
+            var zc = 0L
+            var sq = 0L
+            var i = st
+            while (i < en) {
+              sq += s(i).toLong * s(i)
+              if (i > st && s(i).toInt * s(i - 1) < 0) zc += 1
+              i += 1
+            }
+            AudioFrame(id, (st / frameLen).toLong, (en - st).toLong, zc, sq)
+          }
+        }
+      }
+  }
+
   /** Frame sampling plan for video-kind payloads: metadata-only (never decodes),
     * selecting every k-th frame index — demonstrates pruned, pushdown-friendly
     * planning over multimodal tables. */

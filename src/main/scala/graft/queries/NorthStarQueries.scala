@@ -986,6 +986,34 @@ object NorthStarQueries {
           |       ELSE CAST(1 + doc_id % 5 AS INT) END AS frame_count
           |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Frame-level audio features through the REAL WAV decode: per-16-sample
+    // frame, zero-crossing count and exact integer energy. The synthetic
+    // samples have closed form ((id·13 + i·5) % 2003 − 1001), so the oracle
+    // replays frames arithmetically without a codec — all-integer outputs,
+    // bit-exact.
+    QueryDef("q_audio_frames",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.withSyntheticPayload(
+          T(s, d, "documents").project(col("doc_id")), "doc_id")
+        graft.multimodal.Multimodal.audioFrameFeatures(s, media, "doc_id").toDF()
+          .sortBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH au AS (
+             |  SELECT doc_id AS id, 64 + doc_id % 64 AS n FROM documents
+             |  WHERE doc_id % 4 = 1),
+             |sm AS (
+             |  SELECT id, i, (id * 13 + i * 5) % 2003 - 1001 AS v
+             |  FROM au, UNNEST(range(n)) t(i)),
+             |fr AS (
+             |  SELECT id, i, v, i // 16 AS frame_idx,
+             |    LAG(v) OVER (PARTITION BY id ORDER BY i) AS pv
+             |  FROM sm)
+             |SELECT id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |  COUNT(*) AS n_samples,
+             |  CAST(COUNT(*) FILTER (WHERE i % 16 > 0 AND v * pv < 0) AS BIGINT) AS zc,
+             |  CAST(SUM(v * v) AS BIGINT) AS sumsq
+             |FROM fr GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin)),
+
     // --- full-text inverted index (posting lists; IndexType::FullText) ------
     // Index build is write-once / probe-many: memoized per (session, sfDir) à la
     // the variant segment, so the timed body is the PROBE path (term pushdown
