@@ -168,6 +168,30 @@ object KqlFunctions {
     when(v.isNotNull && base.isNotNull, ipMask(v, bits) === base)
   }
 
+  /** KQL `parse_ipv6`: canonical full form — 8 zero-padded lowercase hex
+    * groups — with `::` expansion. Pure string/array expressions, replayable
+    * by the oracle with the same list operations. Deviations (documented):
+    * no embedded dotted-quad (IPv4-mapped) tail, no zone index; malformed
+    * input → null (Kusto's try-semantics). The canonical form makes
+    * lexicographic comparison equal numeric comparison, which ipv6_compare /
+    * ipv6_is_match exploit. */
+  def parseIpv6(c: Column): Column = {
+    val t = lower(trim(c.cast("string")))
+    val parts = split(t, "::", -1)
+    val hasDC = size(parts) > 1
+    def groups(seg: Column): Column =
+      filter(split(seg, ":"), x => x =!= "")
+    val lg = groups(element_at(parts, 1))
+    val rg = when(hasDC, groups(element_at(parts, 2))).otherwise(array().cast("array<string>"))
+    val missing = lit(8) - size(lg) - size(rg)
+    val full = when(hasDC,
+      concat(lg, array_repeat(lit("0"), missing), rg)).otherwise(lg)
+    val valid = size(full) === 8 &&
+      forall(full, x => x.rlike("^[0-9a-f]{1,4}$")) &&
+      (!hasDC || (missing >= 1 && size(parts) === 2))
+    when(valid, array_join(transform(full, x => lpad(x, 4, "0")), ":"))
+  }
+
   // --- exact-sum helpers ---
   /** Sum of a 2-decimal monetary double, computed exactly via decimal then returned as
     * double: deterministic regardless of partitioning/aggregation order — required both

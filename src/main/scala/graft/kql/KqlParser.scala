@@ -1350,6 +1350,11 @@ object KqlParser {
         while (!uDone) {
           if (atIdent("withsource")) { pos += 1; eatPunct("="); srcCol = Some(ident()) }
           else if (atIdent("kind")) { pos += 1; eatPunct("="); ukind = ident() }
+          else if (atIdent("isfuzzy")) {
+            // accepted-and-ignored: every named operand must resolve here
+            // (no cluster-remote tables to be fuzzy about)
+            pos += 1; eatPunct("="); ident()
+          }
           else uDone = true
         }
         def operand(i: Int): (String, DataFrame) =
@@ -1749,6 +1754,7 @@ object KqlParser {
         case "arg_max" => max_by(args(1), args.head)
         case "arg_min" => min_by(args(1), args.head)
         case "take_any" => first(args.head)
+        case "take_anyif" => first(when(args(1), args.head), ignoreNulls = true)
         case "binary_all_and" => bit_and(args.head)
         case "binary_all_or" => bit_or(args.head)
         case "binary_all_xor" => bit_xor(args.head)
@@ -2118,6 +2124,42 @@ object KqlParser {
         case "format_ipv4" => KqlFunctions.formatIpv4(args.head)
         case "ipv4_is_private" => KqlFunctions.ipv4IsPrivate(args.head)
         case "ipv4_is_in_range" => KqlFunctions.ipv4IsInRange(args.head, args(1))
+        case "format_ipv4_mask" =>
+          // format_ipv4_mask(ip, prefix) → "a.b.c.d/prefix" with host bits zeroed
+          val bits = args(1).cast("int")
+          concat(KqlFunctions.formatIpv4(
+              KqlFunctions.ipMask(KqlFunctions.parseIpv4(args.head), bits)),
+            lit("/"), bits.cast("string"))
+        case "ipv4_netmask_suffix" =>
+          // the /prefix of a range string, 32 when absent
+          val halves = split(args.head.cast("string"), "/")
+          when(size(halves) > 1, element_at(halves, 2).cast("int"))
+            .otherwise(lit(32)).cast("long")
+        case "parse_ipv6" => KqlFunctions.parseIpv6(args.head)
+        case "ipv6_compare" =>
+          // canonical zero-padded hex compares lexicographically = numerically
+          val a = KqlFunctions.parseIpv6(args.head)
+          val b = KqlFunctions.parseIpv6(args(1))
+          when(a.isNull || b.isNull, lit(null).cast("long"))
+            .otherwise(when(a < b, -1L).when(a > b, 1L).otherwise(0L))
+        case "ipv6_is_match" =>
+          // ipv6_is_match(a, b, prefixBits) — literal prefix; compares the
+          // leading prefixBits of the canonical forms (whole nibbles plus a
+          // masked partial nibble)
+          val pfx = if (args.size > 2) litLong(args(2)).toInt else 128
+          require(pfx >= 0 && pfx <= 128, s"ipv6_is_match: prefix 0..128, got $pfx")
+          val na = translate(KqlFunctions.parseIpv6(args.head), ":", "")
+          val nb = translate(KqlFunctions.parseIpv6(args(1)), ":", "")
+          val fullN = pfx / 4
+          val rem = pfx % 4
+          val wholeEq = na.substr(1, fullN) === nb.substr(1, fullN)
+          val partEq = if (rem == 0) lit(true) else {
+            def nib(c: Column) = shiftright(
+              conv(c.substr(fullN + 1, 1), 16, 10).cast("int"), 4 - rem)
+            nib(na) === nib(nb)
+          }
+          when(na.isNull || nb.isNull, lit(null).cast("boolean"))
+            .otherwise(wholeEq && partEq)
         case "now" => current_timestamp()
         case "ago" => // ago(5m) — timespan literal arg arrives as whole seconds
           timestamp_micros(unix_micros(current_timestamp()) -
@@ -2384,6 +2426,33 @@ object KqlParser {
             (args(2) - args(1) + 1).cast("int"))
         case "array_index_of" =>
           (array_position(args.head, args(1)) - 1).cast("long") // 0-based, -1 absent
+        case "jaccard_index" =>
+          // |a ∩ b| / |a ∪ b| over the distinct element sets
+          (size(array_intersect(args.head, args(1))).cast("double") /
+            greatest(size(array_union(args.head, args(1))), lit(1)).cast("double"))
+        case "array_split" =>
+          // array_split(arr, i) / array_split(arr, dynamic([i1, i2, …])) —
+          // split before each 0-based index (negative = from the end, like
+          // Kusto); indices must be literals (they shape the output)
+          val arr = args.head
+          val n = size(arr)
+          def clamp(i: Column): Column =
+            greatest(lit(0), least(n, when(i < 0, n + i).otherwise(i)))
+          // a scalar split index arrives as a tracked numeric literal; a
+          // dynamic([...]) literal array does not register in litValues
+          val splitAtArray = !(litValues.containsKey(args(1)) &&
+            litValues.get(args(1)).isInstanceOf[Number])
+          if (!splitAtArray) {
+            val c = clamp(args(1).cast("int"))
+            array(slice(arr, lit(1), c), slice(arr, c + 1, n - c))
+          } else {
+            // bounds = 0 ++ clamped indices ++ n; segment k = [b(k), b(k+1))
+            val bounds = concat(array(lit(0)),
+              transform(args(1), i => clamp(i.cast("int"))), array(n))
+            transform(sequence(lit(1), size(bounds) - 1), k =>
+              slice(arr, element_at(bounds, k) + 1,
+                greatest(element_at(bounds, k + 1) - element_at(bounds, k), lit(0))))
+          }
         case "set_union" => array_sort(args.reduceLeft(array_union))
         case "set_intersect" => array_sort(args.reduceLeft(array_intersect))
         case "set_difference" => array_sort(args.reduceLeft(array_except))

@@ -771,6 +771,63 @@ object KqlTextQueries {
              |  CAST(ascii(event_type) AS BIGINT) AS b0
              |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
 
+    // scalar surface r8c: jaccard_index, array_split (scalar and index-array
+    // forms), format_ipv4_mask, ipv4_netmask_suffix; union isfuzzy= is
+    // accepted-and-ignored elsewhere
+    QueryDef("q_kql_scalar_misc9",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend a1 = pack_array(1, 2, 3, 4, 5), a2 = pack_array(4, 5, 6)
+          || extend j = jaccard_index(a1, a2),
+          |    sp = array_split(a1, 2),
+          |    sp2 = array_split(a1, dynamic([1, 3])),
+          |    fm = format_ipv4_mask(strcat('10.', tostring(event_id % 200), '.7.33'), 24),
+          |    sfx = ipv4_netmask_suffix(iff(event_id % 3 == 0, '10.0.0.0/12', '10.1.2.3'))
+          || project event_id, j,
+          |    s0 = strcat_array(sp[0], ','), s1 = strcat_array(sp[1], ','),
+          |    t0 = strcat_array(sp2[0], ','), t1 = strcat_array(sp2[1], ','),
+          |    t2 = strcat_array(sp2[2], ','), fm, sfx
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  CAST(2 AS DOUBLE) / CAST(6 AS DOUBLE) AS j,
+             |  '1,2' AS s0, '3,4,5' AS s1,
+             |  '1' AS t0, '2,3' AS t1, '4,5' AS t2,
+             |  '10.' || CAST(event_id % 200 AS VARCHAR) || '.7.0/24' AS fm,
+             |  CAST(CASE WHEN event_id % 3 = 0 THEN 12 ELSE 32 END AS BIGINT) AS sfx
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
+    // ipv6 family: parse_ipv6 canonical expansion (:: fill, zero-padded
+    // lowercase groups), ipv6_compare on canonical forms, ipv6_is_match with
+    // a 64-bit prefix. The oracle replays the same expansion with list
+    // operations; group strings are compared as given (no dotted-quad tail —
+    // documented deviation).
+    QueryDef("q_kql_ipv6",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend g3 = tostring(event_id % 16), g8 = tostring(event_id % 8)
+          || extend h1 = strcat('2001:db8:', g3, '::', g8),
+          |    h2 = strcat('2001:0db8:', g3, ':0000:0000:0000:0000:', g8)
+          || extend p1 = parse_ipv6(h1), p2 = parse_ipv6(h2),
+          |    cmp = ipv6_compare(h1, h2),
+          |    cmp2 = ipv6_compare(h1, '2001:db8:0::'),
+          |    m64 = ipv6_is_match(h1,
+          |      strcat('2001:db8:', tostring(event_id % 32), '::ffff'), 64),
+          |    bad = parse_ipv6('not:an:address')
+          || project event_id, p1, p2, cmp, cmp2, m64, bad
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  '2001:0db8:' || lpad(CAST(event_id % 16 AS VARCHAR), 4, '0') ||
+             |    ':0000:0000:0000:0000:' || lpad(CAST(event_id % 8 AS VARCHAR), 4, '0') AS p1,
+             |  '2001:0db8:' || lpad(CAST(event_id % 16 AS VARCHAR), 4, '0') ||
+             |    ':0000:0000:0000:0000:' || lpad(CAST(event_id % 8 AS VARCHAR), 4, '0') AS p2,
+             |  CAST(0 AS BIGINT) AS cmp,
+             |  CAST(CASE WHEN event_id % 16 = 0 THEN 0 ELSE 1 END AS BIGINT) AS cmp2,
+             |  event_id % 32 = event_id % 16 AS m64,
+             |  CAST(NULL AS VARCHAR) AS bad
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
     // percentilew: exact weighted percentile — smallest x whose cumulative
     // weight in x-ascending order reaches p% of total weight; the oracle
     // states the same rule with a window cumsum

@@ -81,4 +81,27 @@ class PlanAuditSpec extends SparkSpec {
     // HashAggregate appears twice per agg: partial then final
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
+
+  test("ipv4_lookup is a broadcast hash join on masked keys (no range cross-join)") {
+    val p = plan("q_kql_ipv4_lookup")
+    assert(p.contains("BroadcastHashJoin"), s"range table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "CIDR match degenerated to a cross join")
+  }
+
+  test("graph-shortest-paths BFS stays on equi-joins (no nested-loop expansion)") {
+    val p = plan("q_kql_graph_shortest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"BFS plan fell off the equi-join path:\n$p")
+  }
+
+  test("repetition metrics and contamination are scan-side (no hash-partition exchange)") {
+    // per-row HOF passes: the ONLY exchange allowed is the output sort's
+    // range partitioning — a hashpartitioning exchange would mean the text
+    // was shuffled to compute a per-row metric
+    for (name <- Seq("q_repetition", "q_contamination")) {
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning"),
+        s"$name shuffles on a hash key:\n$p")
+    }
+  }
 }
