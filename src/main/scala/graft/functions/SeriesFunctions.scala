@@ -55,6 +55,29 @@ object SeriesFunctions {
   def seriesCosine(a: Column, b: Column): Column =
     seriesDotProduct(a, b) / (seriesMagnitude(a) * seriesMagnitude(b))
 
+  /** KQL `series_iir(arr, b, a)`: recursive (infinite-impulse-response)
+    * filter — y[i] = (Σⱼ b[j]·x[i−j] − Σₖ₌₁ a[k]·y[i−k]) / a[0], out-of-range
+    * terms dropped. One sequential fold per row (state = the y prefix);
+    * O(n·taps) work, zero shuffles. With dyadic-rational taps (0.5, 0.25…)
+    * over integral series every output is an exact double, so the oracle's
+    * recursive CTE reproduces it bit-for-bit regardless of op order. */
+  def seriesIir(arr: Column, b: Seq[Double], a: Seq[Double]): Column = {
+    require(a.nonEmpty && a.head != 0.0, "series_iir: a[0] must be non-zero")
+    bound(arr) { x =>
+      aggregate(x, array().cast("array<double>"), (ys, _) => {
+        val i = size(ys) // 0-based index of the output being produced
+        val acc = b.zipWithIndex.foldLeft(lit(0.0)) { case (s, (bj, j)) =>
+          s + when(i >= j, element_at(x, i - j + 1).cast("double") * bj)
+            .otherwise(lit(0.0))
+        }
+        val sub = a.zipWithIndex.drop(1).foldLeft(lit(0.0)) { case (s, (ak, k)) =>
+          s + when(i >= k, element_at(ys, i - k + 1) * ak).otherwise(lit(0.0))
+        }
+        concat(ys, array((acc - sub) / a.head))
+      })
+    }
+  }
+
   /** KQL `series_stats_dynamic`: struct(min, min_idx, max, max_idx, avg,
     * variance, stdev); idx fields are the 0-based FIRST position (KQL
     * semantics). Null-free input expected (make-series fills first). */

@@ -1979,6 +1979,7 @@ object KqlParser {
         litCol(v, lit(v))
       case Ident("dynamic") if atPunct("(") => parseDynamic()
       case Ident("series_fir") if atPunct("(") => parseSeriesFir()
+      case Ident("series_iir") if atPunct("(") => parseSeriesIir()
       case Ident("column_ifexists") if atPunct("(") =>
         // column_ifexists('name', default) — the column when the operator
         // input has it, else the default expression (resolved at parse time)
@@ -2635,6 +2636,31 @@ object KqlParser {
       } else false
       eatPunct(")")
       graft.functions.SeriesFunctions.seriesFir(arr, coefs.result(), normalize)
+    }
+
+    /** `series_iir(arr, dynamic([b…]), dynamic([a…]))` — literal filter taps
+      * (they parameterize the generated recursion; a[0] must be non-zero). */
+    private def parseSeriesIir(): Column = {
+      eatPunct("(")
+      val arr = parseExpr()
+      def tap(): Double = {
+        // parseExpr folds `-0.5` into a non-literal Column; read the sign here
+        val neg = atPunct("-"); if (neg) pos += 1
+        val v = litDouble(parseExpr())
+        if (neg) -v else v
+      }
+      def taps(): Seq[Double] = {
+        eatPunct(","); eatIdent("dynamic"); eatPunct("("); eatPunct("[")
+        val out = Seq.newBuilder[Double]
+        out += tap()
+        while (atPunct(",")) { pos += 1; out += tap() }
+        eatPunct("]"); eatPunct(")")
+        out.result()
+      }
+      val b = taps()
+      val a = taps()
+      eatPunct(")")
+      graft.functions.SeriesFunctions.seriesIir(arr, b, a)
     }
 
     /** `bin(value, width)` — width may be a timespan literal (`1h`) → timestamp

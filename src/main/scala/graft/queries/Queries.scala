@@ -1198,6 +1198,41 @@ object Queries {
              |  STRING_AGG(CAST(m AS VARCHAR), ';' ORDER BY dd) AS ms7
              |FROM mv GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // IIR recursive filter over daily counts: y[i] = (0.25x[i] + 0.5x[i−1] +
+    // 0.5y[i−1]) — dyadic taps over integral counts keep every output an
+    // EXACT double (no rounding anywhere at this depth), so the recursive-CTE
+    // oracle reproduces the filter bit-for-bit
+    QueryDef("q_series_iir",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .select(col("event_type"),
+          posexplode(SeriesFunctions.seriesIir(col("sr"),
+            Seq(0.25, 0.5), Seq(1.0, -0.5))).as(Seq("i", "y")))
+        .select(col("event_type"), col("i").cast("long").as("i"), col("y"))
+        .sortBy(col("event_type"), col("i")),
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd,
+             |    CAST(COUNT(*) AS DOUBLE) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |r(event_type, i, y) AS (
+             |  SELECT event_type, i, (0.25 * c) / 1.0 FROM idx WHERE i = 0
+             |  UNION ALL
+             |  SELECT n.event_type, n.i,
+             |    ((0.25 * n.c + 0.5 * p.c) - (-0.5) * r.y) / 1.0
+             |  FROM r
+             |  JOIN idx n ON n.event_type = r.event_type AND n.i = r.i + 1
+             |  JOIN idx p ON p.event_type = r.event_type AND p.i = r.i)
+             |SELECT event_type, CAST(i AS BIGINT) AS i, y FROM r
+             |ORDER BY event_type, i""".stripMargin)),
+
     // Tukey-fence outlier flags over per-user daily activity (users 1 and 2
     // have genuine spikes in the fixture); quartiles are index-based on the
     // sorted series in BOTH engines, fences are exact binary arithmetic

@@ -667,6 +667,20 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getDouble(11) == 2.0 && r.getDouble(12) == 15.0 && r.getDouble(13) == 2.0)
   }
 
+  test("series_iir: recursive filter matches the hand-unrolled recursion") {
+    // y[0]=0.25*1, y[1]=0.25*2+0.5*1+0.5*y[0], y[2]=0.25*4+0.5*2+0.5*y[1] —
+    // dyadic taps over integral inputs: every output exact in double
+    val r = run(
+      """t
+        || where id == 1
+        || extend y = series_iir(pack_array(1.0, 2.0, 4.0), dynamic([0.25, 0.5]), dynamic([1.0, -0.5]))
+        || project y0 = todouble(y[0]), y1 = todouble(y[1]), y2 = todouble(y[2])""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 0.25)
+    assert(r.getDouble(1) == 0.25 * 2 + 0.5 * 1 + 0.5 * 0.25)      // 1.125
+    assert(r.getDouble(2) == 0.25 * 4 + 0.5 * 2 + 0.5 * 1.125)     // 2.5625
+  }
+
   test("ipv4 family: parse/format round trip, masks, private ranges, boundaries") {
     val r = run(
       """t
