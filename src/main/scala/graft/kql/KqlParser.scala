@@ -1759,6 +1759,25 @@ object KqlParser {
         case "binary_all_or" => bit_or(args.head)
         case "binary_all_xor" => bit_xor(args.head)
         case "count_distinctif" => countDistinct(when(args(1), args.head))
+        case "count_distinct" => countDistinct(args.head)
+        // rsd 0.01 (not Spark's 0.05 default): HLL++ stays in exact sparse
+        // mode far longer — the q_dcount_hll convention
+        case "hll_if" => approx_count_distinct(when(args(1), args.head), 0.01)
+        // population / filtered variance family — composed from exact sums
+        // (n, Σx, Σx²) instead of Spark's builtin stddev_pop: the builtin's
+        // incremental M2 merge is partition-order-sensitive in float, so it
+        // can't hash-match a DuckDB oracle; sums of integral-valued doubles
+        // are exact in any order and still aggregate partially map-side
+        case "variancep" | "stdevp" =>
+          val xd = args.head.cast("double")
+          val n = count(xd).cast("double")
+          val v = (sum(xd * xd) - sum(xd) * sum(xd) / n) / n
+          if (fname == "stdevp") sqrt(v) else v
+        case "varianceif" | "stdevif" =>
+          val xd = when(args(1), args.head).cast("double")
+          val n = count(xd).cast("double")
+          val v = (sum(xd * xd) - sum(xd) * sum(xd) / n) / (n - 1)
+          if (fname == "stdevif") sqrt(v) else v
         case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
       }
     }
@@ -2216,6 +2235,47 @@ object KqlParser {
         case "tohex" => lower(hex(args.head))
         case "strcmp" =>
           when(args.head < args(1), -1).when(args.head > args(1), 1).otherwise(0)
+        case "string_size" => octet_length(args.head).cast("long") // UTF-8 bytes
+        case "unicode_codepoints_from_string" =>
+          // per-char codepoints; BMP contract (same as Bpe): UTF-16 code units
+          transform(filter(split(args.head, ""), c => c =!= ""),
+            c => ascii(c).cast("long"))
+        case "unicode_codepoints_to_string" =>
+          concat_ws("", transform(args.head, c => call_function("char", c.cast("long"))))
+        case "set_has_element" => array_contains(args.head, args(1))
+        case "has_any_index" =>
+          // 0-based index of the first term the source `has` (token match,
+          // alphanumeric terms — the tokenizing fast path of `has`), -1 none
+          val hits = transform(args(1), t =>
+            array_contains(split(lower(args.head), "[^a-z0-9]+"), lower(t)))
+          coalesce(array_position(hits, lit(true)) - 1, lit(-1L))
+        case "indexof_regex" =>
+          // 0-based offset of the first regex match; regexp_instr is 1-based
+          // with 0 = no match, so a plain shift gives KQL's -1 sentinel
+          call_function("regexp_instr", args.head, args(1)).cast("long") - 1
+        case "parse_csv" =>
+          // RFC-4180-ish single-record split: quoted cells may hold commas
+          // and doubled quotes; one linear regex pass, no UDF
+          val matches = regexp_extract_all(args.head,
+            lit("(?:^|,)(\"(?:[^\"]|\"\")*\"|[^,]*)"), lit(1))
+          transform(matches, f =>
+            when(f.startsWith("\"") && f.endsWith("\"") && length(f) >= 2,
+              regexp_replace(f.substr(lit(2), length(f) - 2), "\"\"", "\""))
+              .otherwise(f))
+        case "base64_encode_fromarray" =>
+          // byte array → base64 via the same uppercase-hex round trip as the
+          // decode direction (exact byte fidelity, no charset dependence)
+          base64(unhex(concat_ws("",
+            transform(args.head, b => lpad(hex(b.cast("long")), 2, "0")))))
+        case "datetime_part" =>
+          // Kusto part names are a superset of Spark's date_part fields;
+          // normalize the common ones (WeekOfYear → WEEK)
+          val part = litString(args.head).toUpperCase match {
+            case "WEEKOFYEAR" | "WEEK_OF_YEAR" => "WEEK"
+            case "DAYOFYEAR" => "DOY"
+            case p => p
+          }
+          call_function("date_part", lit(part), args(1)).cast("long")
         case "translate" =>
           // KQL translate(from, to, source); Spark translate(src, from, to)
           translate(args(2), litString(args.head), litString(args(1)))
@@ -2473,7 +2533,7 @@ object KqlParser {
           val k = pmod(args(1).cast("int"), n)
           when(n === 0, args.head).otherwise(
             concat(slice(args.head, n - k + 1, k), slice(args.head, lit(1), n - k)))
-        case "bag_pack" =>
+        case "bag_pack" | "pack" => // `pack` is the legacy Kusto alias
           // bag_pack(k1, v1, k2, v2, ...) → dynamic property bag (map)
           map(args: _*)
         case "pack_all" =>

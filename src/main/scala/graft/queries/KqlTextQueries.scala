@@ -828,6 +828,77 @@ object KqlTextQueries {
              |  CAST(NULL AS VARCHAR) AS bad
              |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
 
+    // scalar surface r8d: string_size (UTF-8 bytes), unicode codepoint
+    // round trip (BMP contract), set_has_element, has_any_index (token
+    // match), indexof_regex (regexp_instr shift), parse_csv (RFC-4180-ish
+    // quoted cells), base64_encode_fromarray (hex round trip),
+    // datetime_part, legacy pack() alias
+    QueryDef("q_kql_scalar_misc10",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend ss = string_size(event_type),
+          |    cps = strcat_array(unicode_codepoints_from_string(event_type), ';'),
+          |    rt = unicode_codepoints_to_string(unicode_codepoints_from_string(event_type)),
+          |    she = set_has_element(pack_array('view', 'click'), event_type),
+          |    hai = has_any_index(strcat(event_type, ' done'), dynamic(['click', 'view'])),
+          |    ir = indexof_regex(event_type, 'r+'),
+          |    csv = strcat_array(parse_csv('a,"b,""x"",c",last'), '|'),
+          |    b64 = base64_encode_fromarray(pack_array(77, 97, 255)),
+          |    dp = datetime_part('Month', ts),
+          |    pk = tostring(pack('k', event_type)['k'])
+          || project event_id, ss, cps, rt, she, hai, ir, csv, b64, dp, pk
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  CAST(strlen(event_type) AS BIGINT) AS ss,
+             |  array_to_string(list_transform(string_split(event_type, ''),
+             |    c -> unicode(c)), ';') AS cps,
+             |  event_type AS rt,
+             |  event_type IN ('view', 'click') AS she,
+             |  CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+             |    ELSE -1 END AS BIGINT) AS hai,
+             |  CAST(CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
+             |    ELSE -1 END AS BIGINT) AS ir,
+             |  'a|b,"x",c|last' AS csv,
+             |  'TWH/' AS b64,
+             |  CAST(date_part('month', ts) AS BIGINT) AS dp,
+             |  event_type AS pk
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
+    // variance/stdev family completion: population + filtered forms composed
+    // from exact sums (n, Σx, Σx²) — order-independent over integral-valued
+    // doubles, so the oracle's identical formula is bit-exact; still a
+    // partial+final hash aggregate (the sums combine map-side). hll_if is
+    // sketched at cardinality 64 where HLL++'s linear-counting estimate
+    // (n + n²/2m) rounds to the true count (at 150 it is 151 — deterministic
+    // estimator bias, not noise)
+    QueryDef("q_kql_agg_stats",
+      (s, d) => run(s, d,
+        """events
+          || summarize vp = variancep(user_id), sp = stdevp(user_id),
+          |    vi = varianceif(user_id, event_id % 2 == 0),
+          |    si = stdevif(user_id, event_id % 2 == 0),
+          |    cd = count_distinct(user_id),
+          |    hi = hll_if(user_id % 64, event_id % 2 == 0) by event_type
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_type,
+             |    CAST(user_id AS DOUBLE) AS u,
+             |    CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS DOUBLE) END AS uf,
+             |    CASE WHEN event_id % 2 = 0 THEN user_id END AS ufi
+             |  FROM events)
+             |SELECT event_type,
+             |  (SUM(u*u) - SUM(u)*SUM(u)/CAST(COUNT(u) AS DOUBLE))
+             |    / CAST(COUNT(u) AS DOUBLE) AS vp,
+             |  sqrt((SUM(u*u) - SUM(u)*SUM(u)/CAST(COUNT(u) AS DOUBLE))
+             |    / CAST(COUNT(u) AS DOUBLE)) AS sp,
+             |  (SUM(uf*uf) - SUM(uf)*SUM(uf)/CAST(COUNT(uf) AS DOUBLE))
+             |    / (CAST(COUNT(uf) AS DOUBLE) - 1) AS vi,
+             |  sqrt((SUM(uf*uf) - SUM(uf)*SUM(uf)/CAST(COUNT(uf) AS DOUBLE))
+             |    / (CAST(COUNT(uf) AS DOUBLE) - 1)) AS si,
+             |  CAST(COUNT(DISTINCT u) AS BIGINT) AS cd,
+             |  CAST(COUNT(DISTINCT ufi % 64) AS BIGINT) AS hi
+             |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // percentilew: exact weighted percentile — smallest x whose cumulative
     // weight in x-ascending order reaches p% of total weight; the oracle
     // states the same rule with a window cumsum
