@@ -1778,6 +1778,13 @@ object KqlParser {
           val n = count(xd).cast("double")
           val v = (sum(xd * xd) - sum(xd) * sum(xd) / n) / (n - 1)
           if (fname == "stdevif") sqrt(v) else v
+        // tdigest(x, lo, hi, nbins): deterministic histogram sketch (explicit
+        // binning instead of Kusto's adaptive centroids — QuantileSketch doc)
+        case "tdigest" =>
+          graft.functions.QuantileSketch.tdigest(args.head,
+            litLong(args(1)), litLong(args(2)), litLong(args(3)).toInt)
+        case "tdigest_merge" | "merge_tdigest" =>
+          graft.functions.QuantileSketch.tdigestMerge(args.head)
         case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
       }
     }
@@ -2235,6 +2242,8 @@ object KqlParser {
         case "tohex" => lower(hex(args.head))
         case "strcmp" =>
           when(args.head < args(1), -1).when(args.head > args(1), 1).otherwise(0)
+        case "percentile_tdigest" =>
+          graft.functions.QuantileSketch.percentileTdigest(args.head, litLong(args(1)))
         case "string_size" => octet_length(args.head).cast("long") // UTF-8 bytes
         case "unicode_codepoints_from_string" =>
           // per-char codepoints; BMP contract (same as Bpe): UTF-16 code units

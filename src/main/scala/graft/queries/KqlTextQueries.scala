@@ -899,6 +899,48 @@ object KqlTextQueries {
              |  CAST(COUNT(DISTINCT ufi % 64) AS BIGINT) AS hi
              |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // tdigest family: deterministic histogram sketch (struct(lo, hi, counts),
+    // QuantileSketch.scala). Unit-width buckets over integral l_quantity →
+    // estimates are EXACT values, so the oracle replays the sketch's
+    // nearest-rank-ceil rule directly on value counts
+    QueryDef("q_kql_tdigest",
+      (s, d) => run(s, d,
+        """lineitem
+          || summarize td = tdigest(l_quantity, 1, 51, 50) by l_returnflag
+          || project l_returnflag, p50 = percentile_tdigest(td, 50),
+          |    p95 = percentile_tdigest(td, 95)
+          || sort by l_returnflag asc""".stripMargin),
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             |    COUNT(*) AS n FROM lineitem GROUP BY 1, 2),
+             |x AS (SELECT l_returnflag, q,
+             |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY q) AS cm,
+             |    SUM(n) OVER (PARTITION BY l_returnflag) AS tot FROM c)
+             |SELECT l_returnflag,
+             |  CAST(MIN(CASE WHEN cm >= (tot*50+99)//100 THEN q END) AS DOUBLE) AS p50,
+             |  CAST(MIN(CASE WHEN cm >= (tot*95+99)//100 THEN q END) AS DOUBLE) AS p95
+             |FROM x GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // two-level rollup: per-(flag, status) sketches merged to a global one —
+    // the pre-aggregated-percentile pattern that makes stored sketches pay
+    // off at 100 TB (the merge touches GROUPS, never rows)
+    QueryDef("q_kql_tdigest_merge",
+      (s, d) => run(s, d,
+        """lineitem
+          || summarize td = tdigest(l_quantity, 1, 51, 50) by l_returnflag, l_linestatus
+          || summarize m = tdigest_merge(td)
+          || project p25 = percentile_tdigest(m, 25), p50 = percentile_tdigest(m, 50),
+          |    p90 = percentile_tdigest(m, 90), p99 = percentile_tdigest(m, 99)""".stripMargin),
+      Some("""WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n
+             |    FROM lineitem GROUP BY 1),
+             |x AS (SELECT q, SUM(n) OVER (ORDER BY q) AS cm,
+             |    SUM(n) OVER () AS tot FROM c)
+             |SELECT
+             |  CAST(MIN(CASE WHEN cm >= (tot*25+99)//100 THEN q END) AS DOUBLE) AS p25,
+             |  CAST(MIN(CASE WHEN cm >= (tot*50+99)//100 THEN q END) AS DOUBLE) AS p50,
+             |  CAST(MIN(CASE WHEN cm >= (tot*90+99)//100 THEN q END) AS DOUBLE) AS p90,
+             |  CAST(MIN(CASE WHEN cm >= (tot*99+99)//100 THEN q END) AS DOUBLE) AS p99
+             |FROM x""".stripMargin)),
+
     // percentilew: exact weighted percentile — smallest x whose cumulative
     // weight in x-ascending order reaches p% of total weight; the oracle
     // states the same rule with a window cumsum

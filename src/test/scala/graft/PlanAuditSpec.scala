@@ -82,6 +82,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("tdigest sketch builds as a partial+final hash aggregate (no collect)") {
+    val p = plan("q_kql_tdigest")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("CollectLimit"), s"sketch build collects:\n$p")
+  }
+
   test("ipv4_lookup is a broadcast hash join on masked keys (no range cross-join)") {
     val p = plan("q_kql_ipv4_lookup")
     assert(p.contains("BroadcastHashJoin"), s"range table not broadcast:\n$p")
