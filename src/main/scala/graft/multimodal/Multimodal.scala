@@ -165,6 +165,43 @@ object Multimodal {
       }
   }
 
+  final case class ImageHash(media_id: Long, kind: String, ahash: String, dhash: String)
+
+  /** Perceptual image hashes through the REAL PNG decode — the image-dedup
+    * primitive for multimodal training corpora (bucket on the hash, or
+    * hamming-verify within LSH-style bands, exactly like SimHash for text).
+    *
+    * Exact-integer variants so an external oracle can replay them:
+    *   - aHash: 8×8 grid SAMPLE at (⌊r·h/8⌋, ⌊c·w/8⌋) (point sample, not area
+    *     interpolation — deterministic under any dims), bit = 64·v ≥ Σv.
+    *   - dHash: 8×9 grid, bit = left < right neighbor per row.
+    * Emitted as 64-char bit strings (msb-first row-major) — join keys hash
+    * the same as a packed int64 and never fight BIGINT sign conventions.
+    * Image kinds only (PNG, first video frame); the blob stays in the
+    * partition-local loop, only 128 bytes of hash per row ever shuffle. */
+  def imagePerceptualHashes(spark: SparkSession, media: DataFrame, idCol: String): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.filter(col("media_kind").isin("image", "video"))
+      .select(col(idCol).cast("long").as("id"), col("media_kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload) =>
+          val img =
+            if (Codecs.isPng(payload)) Codecs.decodePng(payload)
+            else Codecs.decodePng(Codecs.decodeVideoFrames(payload).head)
+          val w = img.width; val h = img.height
+          def px(y: Int, x: Int): Int = img.pixels(y * w + x) & 0xff
+          val a = Array.tabulate(64)(k => px(k / 8 * h / 8, k % 8 * w / 8))
+          val sum = a.map(_.toLong).sum
+          val ahash = a.map(v => if (64L * v >= sum) '1' else '0').mkString
+          val d = Array.tabulate(8, 9)((r, c) => px(r * h / 8, c * w / 9))
+          val dhash = (for (r <- 0 until 8; c <- 0 until 8)
+            yield if (d(r)(c) < d(r)(c + 1)) '1' else '0').mkString
+          ImageHash(id, kind, ahash, dhash)
+        }
+      }
+  }
+
   /** Frame sampling plan for video-kind payloads: metadata-only (never decodes),
     * selecting every k-th frame index — demonstrates pruned, pushdown-friendly
     * planning over multimodal tables. */

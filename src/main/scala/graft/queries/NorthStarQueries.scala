@@ -1014,6 +1014,68 @@ object NorthStarQueries {
              |  CAST(SUM(v * v) AS BIGINT) AS sumsq
              |FROM fr GROUP BY 1, 2 ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // Perceptual image hashes (aHash point-sample / dHash gradient) through
+    // the REAL PNG decode — image-level near-dup keys for multimodal corpora.
+    // Exact-integer sampling conventions (Multimodal.imagePerceptualHashes),
+    // so the oracle replays both 64-bit hashes from the closed-form pixels.
+    QueryDef("q_image_phash",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.withSyntheticPayload(
+          T(s, d, "documents").project(col("doc_id")), "doc_id")
+        graft.multimodal.Multimodal.imagePerceptualHashes(s, media, "doc_id")
+          .toDF().sortBy(col("media_id"))
+      },
+      Some("""WITH im AS (SELECT doc_id AS id,
+             |    CASE WHEN doc_id % 4 = 0 THEN 'image' ELSE 'video' END AS kind,
+             |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+             |  FROM documents WHERE doc_id % 4 IN (0, 2)),
+             |ga AS (SELECT id, k,
+             |    (id * 31 + (((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 7) % 251 AS v
+             |  FROM im, UNNEST(range(64)) t(k)),
+             |sa AS (SELECT id, SUM(v) AS sm FROM ga GROUP BY id),
+             |ah AS (SELECT ga.id,
+             |    string_agg(CASE WHEN 64 * v >= sm THEN '1' ELSE '0' END, ''
+             |      ORDER BY k) AS ahash
+             |  FROM ga JOIN sa ON sa.id = ga.id GROUP BY ga.id),
+             |gd AS (SELECT id, r, c,
+             |    (id * 31 + ((r * h // 8) * w + (c * w // 9)) * 7) % 251 AS v
+             |  FROM im, UNNEST(range(8)) t1(r), UNNEST(range(9)) t2(c)),
+             |dh AS (SELECT l.id,
+             |    string_agg(CASE WHEN l.v < rr.v THEN '1' ELSE '0' END, ''
+             |      ORDER BY l.r * 8 + l.c) AS dhash
+             |  FROM gd l JOIN gd rr ON rr.id = l.id AND rr.r = l.r AND rr.c = l.c + 1
+             |  WHERE l.c < 8 GROUP BY l.id)
+             |SELECT im.id AS media_id, im.kind, ah.ahash, dh.dhash
+             |FROM im JOIN ah ON ah.id = im.id JOIN dh ON dh.id = im.id
+             |ORDER BY media_id""".stripMargin)),
+
+    // Deterministic stratified sampling (Sampling.stratified): k hash-first
+    // docs per language — reproducible corpus curation (same sample on every
+    // run/engine/cluster size, unlike rand()); md5 ranking is portable so
+    // the oracle draws the identical sample
+    QueryDef("q_stratified_sample",
+      (s, d) => graft.functions.Sampling.stratified(
+          T(s, d, "documents"), col("lang"), col("doc_id"), 10)
+        .project(col("doc_id"), col("lang"))
+        .sortBy(col("lang"), col("doc_id")),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents) WHERE rk <= 10
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // Rate-based deterministic sample (Sampling.byRate): pure scan-side
+    // hash-threshold filter, no shuffle — first-2-hex-digits < pct*256/100;
+    // fixed-width lowercase hex compares lexicographically = numerically
+    QueryDef("q_sample_rate",
+      (s, d) => graft.functions.Sampling.byRate(
+          T(s, d, "documents"), col("doc_id"), 25)
+        .summarize(Seq(col("lang")), count(lit(1)).as("n"))
+        .sortBy(col("lang")),
+      Some("""SELECT lang, COUNT(*) AS n FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // --- full-text inverted index (posting lists; IndexType::FullText) ------
     // Index build is write-once / probe-many: memoized per (session, sfDir) à la
     // the variant segment, so the timed body is the PROBE path (term pushdown
