@@ -168,6 +168,29 @@ object KqlFunctions {
     when(v.isNotNull && base.isNotNull, ipMask(v, bits) === base)
   }
 
+  /** The `/prefix` suffix of an ipv4 string, 32 when absent. */
+  private def ipv4Suffix(c: Column): Column = {
+    val halves = split(c, "/")
+    when(size(halves) > 1, element_at(halves, 2).cast("int")).otherwise(lit(32))
+  }
+
+  /** KQL `ipv4_compare(a, b [, prefix])` → −1/0/1 under the EFFECTIVE prefix:
+    * the smallest of both operands' `/suffix`es and the optional argument
+    * (Kusto's combination rule). parseIpv4 already applies each operand's own
+    * suffix; re-masking with the (≤) effective prefix composes exactly. */
+  def ipv4Compare(a: Column, b: Column, extra: Column): Column = {
+    val eff = least(ipv4Suffix(a), ipv4Suffix(b), extra.cast("int"))
+    val va = ipMask(parseIpv4(a), eff)
+    val vb = ipMask(parseIpv4(b), eff)
+    when(va.isNotNull && vb.isNotNull,
+      when(va < vb, -1L).when(va > vb, 1L).otherwise(0L))
+  }
+
+  /** KQL `ipv4_is_match`: masked equality under the same effective prefix;
+    * null (not false) on malformed input, like the rest of the family. */
+  def ipv4IsMatch(a: Column, b: Column, extra: Column): Column =
+    ipv4Compare(a, b, extra) === 0L
+
   /** KQL `parse_ipv6`: canonical full form — 8 zero-padded lowercase hex
     * groups — with `::` expansion. Pure string/array expressions, replayable
     * by the oracle with the same list operations. Deviations (documented):

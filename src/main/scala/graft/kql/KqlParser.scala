@@ -251,8 +251,23 @@ object KqlParser {
       try {
         val e = parseExpr()
         val bareIdent = pos == save + 1 &&
-          (toks(save) match { case Ident(n) => !letScalars.contains(n); case _ => false })
-        if (atPunct(";") && !bareIdent) { letScalars(name) = e; true }
+          (toks(save) match {
+            // a lone timespan literal (12h) lexes as an Ident but IS a scalar
+            case Ident(n) => !letScalars.contains(n) && !isTimespanLit(n)
+            case _ => false
+          })
+        if (atPunct(";") && !bareIdent) {
+          letScalars(name) = e
+          // `let query_bin_auto_size = <literal>;` arms bin_auto() — the
+          // let-bound literal replaces Kusto's `set query_bin_auto_size`
+          // query property (documented deviation)
+          if (name == "query_bin_auto_size") autoBinSize = toks(save) match {
+            case Ident(s) if isTimespanLit(s) => Some((timespanSeconds(s), true))
+            case Num(s) if !s.contains('.') => Some((s.toLong, false))
+            case _ => None
+          }
+          true
+        }
         else { pos = save; false }
       } catch { case _: Exception => pos = save; false }
     }
@@ -1659,6 +1674,10 @@ object KqlParser {
       case other => other + "_"
     }
 
+    // bin_auto() width armed by `let query_bin_auto_size = <literal>;`
+    // (value, isTimespan) — see parseLetScalar
+    private var autoBinSize: Option[(Long, Boolean)] = None
+
     // arg_max(x, *) / arg_min(x, *): the agg evaluates to the whole winning row
     // as a struct; the enclosing summarize expands it (minus group keys). The
     // flag is set by parseAgg and harvested by parseNamedAggList.
@@ -1720,30 +1739,42 @@ object KqlParser {
             percentile(base, lit(p / 100.0)).as(s"percentile_${baseName}_$suffix")
           }: _*)
         case "percentilew" =>
-          // percentilew(x, w, p) — EXACT weighted percentile: the smallest x
-          // whose cumulative weight, in x-ascending order, reaches p% of the
-          // group's total weight. collect-sort-scan per group (group state =
-          // the group's pairs; for billion-row groups pre-aggregate per
-          // distinct x first). Integral weights keep every comparison exact.
-          val pw = litDouble(args(2)) / 100.0
-          val pairs = sort_array(collect_list(struct(
-            args.head.cast("double").as("x"), args(1).cast("long").as("w"))))
-          val total = aggregate(pairs, lit(0L), (a, e) => a + e.getField("w"))
-          val target = total.cast("double") * lit(pw)
-          // target is itself an aggregate-HOF over pairs: bind it as a lambda
-          // VARIABLE — an expression referenced inside a HOF lambda body is
-          // re-evaluated per element (the SeriesFunctions.bound lesson;
-          // unbound this scan is O(n²) per group)
-          element_at(transform(array(target), t =>
-            aggregate(pairs,
-              struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
-              (st, e) => {
-                val cum = st.getField("cum") + e.getField("w")
-                val v = when(st.getField("v").isNotNull, st.getField("v"))
-                  .otherwise(when(cum.cast("double") >= t, e.getField("x")))
-                struct(cum.as("cum"), v.as("v"))
-              },
-              st => st.getField("v"))), 1)
+          weightedPercentile(args.head, args(1), litDouble(args(2)) / 100.0)
+        case "percentilesw" =>
+          // percentilesw(x, w, p1, p2, ...): multi-output weighted form —
+          // expands to percentilew_<col>_<p> columns like percentiles
+          val base = args.head
+          val baseName = base.toString.replaceAll("[^A-Za-z0-9_]", "")
+          lastAggExpands = true
+          struct(args.drop(2).map(litDouble).map { p =>
+            val suffix = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
+            weightedPercentile(base, args(1), p / 100.0)
+              .as(s"percentilew_${baseName}_$suffix")
+          }: _*)
+        case "make_bag" | "make_bag_if" =>
+          // merge dynamic bags (map<string,string>, the pack_all convention).
+          // Kusto leaves the collision winner unspecified; folding the SORTED
+          // entry list first-wins makes the result deterministic and the
+          // oracle replayable (documented deviation)
+          val m = if (fname == "make_bag_if") when(args(1), args.head) else args.head
+          val entries = sort_array(flatten(collect_list(map_entries(m))))
+          aggregate(entries, map().cast("map<string,string>"), (acc, e) =>
+            when(map_contains_key(acc, e.getField("key")), acc)
+              .otherwise(map_concat(acc, map(e.getField("key"), e.getField("value")))))
+        case "covariance" | "covariancep" | "covarianceif" | "covariancepif" =>
+          // exact-sums form like variancep: Σxy, Σx, Σy aggregate partially
+          // map-side and are order-insensitive for integral-valued doubles,
+          // so the oracle chain hash-matches. Rows with EITHER side null are
+          // skipped (pair gating), matching Kusto and the SQL-standard covar.
+          val (xc, yc) =
+            if (fname.endsWith("if")) (when(args(2), args.head), when(args(2), args(1)))
+            else (args.head, args(1))
+          val both = xc.isNotNull && yc.isNotNull
+          val x = when(both, xc).cast("double"); val y = when(both, yc).cast("double")
+          val n = count(x).cast("double")
+          val cov = sum(x * y) - sum(x) * sum(y) / n
+          if (fname == "covariancep" || fname == "covariancepif") cov / n
+          else cov / (n - 1)
         case "stdev" => stddev_samp(args.head)
         case "variance" => var_samp(args.head)
         case "make_set" => sort_array(collect_set(args.head))
@@ -1787,6 +1818,32 @@ object KqlParser {
           graft.functions.QuantileSketch.tdigestMerge(args.head)
         case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
       }
+    }
+
+    /** percentilew/percentilesw body — EXACT weighted percentile: the
+      * smallest x whose cumulative weight, in x-ascending order, reaches p of
+      * the group's total weight. collect-sort-scan per group (group state =
+      * the group's pairs; for billion-row groups pre-aggregate per distinct x
+      * first). Integral weights keep every comparison exact. */
+    private def weightedPercentile(xc: Column, wc: Column, pw: Double): Column = {
+      val pairs = sort_array(collect_list(struct(
+        xc.cast("double").as("x"), wc.cast("long").as("w"))))
+      val total = aggregate(pairs, lit(0L), (a, e) => a + e.getField("w"))
+      val target = total.cast("double") * lit(pw)
+      // target is itself an aggregate-HOF over pairs: bind it as a lambda
+      // VARIABLE — an expression referenced inside a HOF lambda body is
+      // re-evaluated per element (the SeriesFunctions.bound lesson;
+      // unbound this scan is O(n²) per group)
+      element_at(transform(array(target), t =>
+        aggregate(pairs,
+          struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
+          (st, e) => {
+            val cum = st.getField("cum") + e.getField("w")
+            val v = when(st.getField("v").isNotNull, st.getField("v"))
+              .otherwise(when(cum.cast("double") >= t, e.getField("x")))
+            struct(cum.as("cum"), v.as("v"))
+          },
+          st => st.getField("v"))), 1)
     }
 
     private def parseSortList(): Seq[Column] = {
@@ -1995,6 +2052,15 @@ object KqlParser {
         val secs = timespanSeconds(ts)
         litCol(secs, lit(secs))
       case Ident("bin") if atPunct("(") => parseBin()
+      case Ident("bin_auto") if atPunct("(") =>
+        // bin_auto(x): bin at the let-bound query_bin_auto_size (timespan →
+        // time binning, integer → numeric binning); default 1h unset
+        eatPunct("("); val v = parseExpr(); eatPunct(")")
+        autoBinSize match {
+          case Some((w, false)) => (floor(v / w) * w).cast("long")
+          case Some((w, true))  => Bin.ts(v, w)
+          case None             => Bin.ts(v, 3600L)
+        }
       case Ident("toscalar") if atPunct("(") =>
         // toscalar(T | ...): first column of the first row as a literal —
         // a bounded driver-side collect of exactly ONE value (like Kusto,
@@ -2081,6 +2147,25 @@ object KqlParser {
             when(e.isNull, array().cast("array<string>")).otherwise(array(e))
           } else parts
         case "replace_string" => replace(args.head, args(1), args(2))
+        case "replace_strings" =>
+          // replace_strings(text, lookups, rewrites): fold the zipped pairs
+          // IN ORDER over the text (later pairs see earlier rewrites, the
+          // Kusto contract); array args are ordinary columns, not parse-time
+          // literals, so the fold stays fully distributed
+          aggregate(
+            zip_with(args(1), args(2), (f, t) => struct(f.as("f"), t.as("t"))),
+            args.head.cast("string"),
+            (acc, p) => replace(acc, p.getField("f"), p.getField("t")))
+        case "regex_quote" =>
+          // escape each regex metacharacter with a backslash (RE2/Java agree
+          // on this escape set, so the oracle's regexp_replace replays it)
+          regexp_replace(args.head, "([.*+?^$(){}\\[\\]|\\\\/])", "\\\\$1")
+        case "estimate_data_size" =>
+          // engine-neutral estimate (documented deviation from Kusto's
+          // type-table): Σ per non-null column of octet_length(tostring(v))+1
+          args.map(a =>
+            when(a.isNotNull, octet_length(a.cast("string")) + 1).otherwise(0))
+            .reduce(_ + _)
         case "replace_regex" =>
           // Kusto rewrite syntax uses \1 capture refs; Java's Matcher uses $1
           // (and treats bare $ as special) — translate at plan time
@@ -2151,6 +2236,10 @@ object KqlParser {
         case "format_ipv4" => KqlFunctions.formatIpv4(args.head)
         case "ipv4_is_private" => KqlFunctions.ipv4IsPrivate(args.head)
         case "ipv4_is_in_range" => KqlFunctions.ipv4IsInRange(args.head, args(1))
+        case "ipv4_compare" => KqlFunctions.ipv4Compare(args.head, args(1),
+          if (args.length > 2) args(2) else lit(32))
+        case "ipv4_is_match" => KqlFunctions.ipv4IsMatch(args.head, args(1),
+          if (args.length > 2) args(2) else lit(32))
         case "format_ipv4_mask" =>
           // format_ipv4_mask(ip, prefix) → "a.b.c.d/prefix" with host bits zeroed
           val bits = args(1).cast("int")

@@ -899,6 +899,102 @@ object KqlTextQueries {
              |  CAST(COUNT(DISTINCT ufi % 64) AS BIGINT) AS hi
              |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ipv4_compare / ipv4_is_match under the effective (min-of-suffixes+arg)
+    // prefix, replace_strings ordered fold, regex_quote, estimate_data_size —
+    // the oracle replays the same mask arithmetic on the reconstructed int32
+    QueryDef("q_kql_scalar_misc11",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend o1 = event_id % 256, o2 = user_id % 256
+          || extend ipa = strcat('10.', tostring(o1), '.', tostring(o2), '.7')
+          || extend c9 = ipv4_compare(ipa, '10.128.0.0/9'),
+          |    m16 = ipv4_is_match(ipa, strcat('10.', tostring(o1), '.0.0/16')),
+          |    c24 = ipv4_compare(ipa, strcat('10.', tostring(o1), '.', tostring(o2), '.200'), 24),
+          |    cex = ipv4_compare(ipa, '10.100.0.7'),
+          |    rs = replace_strings(event_type, dynamic(['e', 'c']), dynamic(['3', 'k'])),
+          |    rq = regex_quote(strcat(event_type, '.v*')),
+          |    sz = tolong(estimate_data_size(event_type, event_id))
+          || project event_id, c9, m16, c24, cex, rs, rq, sz
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_id, event_type AS et,
+             |    event_id % 256 AS o1, user_id % 256 AS o2,
+             |    10*16777216 + (event_id % 256)*65536 + (user_id % 256)*256 + 7 AS va
+             |  FROM events WHERE event_id % 500 = 0)
+             |SELECT event_id,
+             |  CAST(CASE WHEN (va - va % 8388608) < 176160768 THEN -1
+             |            WHEN (va - va % 8388608) > 176160768 THEN 1
+             |            ELSE 0 END AS BIGINT) AS c9,
+             |  (va - va % 65536) = (167772160 + o1*65536) AS m16,
+             |  CAST(CASE WHEN (va - va % 256) < (167772160 + o1*65536 + o2*256) THEN -1
+             |            WHEN (va - va % 256) > (167772160 + o1*65536 + o2*256) THEN 1
+             |            ELSE 0 END AS BIGINT) AS c24,
+             |  CAST(CASE WHEN va < 174325767 THEN -1 WHEN va > 174325767 THEN 1
+             |            ELSE 0 END AS BIGINT) AS cex,
+             |  replace(replace(et, 'e', '3'), 'c', 'k') AS rs,
+             |  regexp_replace(et || '.v*', '([.*+?^$(){}\[\]|\\/])', '\\\1', 'g') AS rq,
+             |  CAST(strlen(et) + 1 + strlen(CAST(event_id AS VARCHAR)) + 1 AS BIGINT) AS sz
+             |FROM b ORDER BY event_id""".stripMargin)),
+
+    // bin_auto (let-armed width), covariance family over exact sums,
+    // percentilesw multi-output exact weighted percentiles, make_bag with the
+    // deterministic sorted-first-wins merge (stringified for the compare)
+    QueryDef("q_kql_agg_misc",
+      (s, d) => run(s, d,
+        """let query_bin_auto_size = 12h;
+          |events
+          || extend b = bin_auto(ts),
+          |    bag = bag_pack('t', event_type, 'u', tostring(user_id % 7))
+          || summarize cov = covariance(floor(value), user_id % 100),
+          |    covp = covariancep(floor(value), user_id % 100),
+          |    covi = covarianceif(floor(value), user_id % 100, event_id % 2 == 0),
+          |    covpi = covariancepif(floor(value), user_id % 100, event_id % 2 == 0),
+          |    pq = percentilesw(value, 1 + user_id % 5, 25, 75),
+          |    mb = make_bag(bag)
+          |  by b
+          || extend mbs = tostring(mb)
+          || project b, cov, covp, covi, covpi,
+          |    percentilew_value_25, percentilew_value_75, mbs
+          || sort by b asc""".stripMargin),
+      Some("""WITH base AS (
+             |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+             |      + INTERVAL (CAST((epoch_us(ts)//1000000)//43200*43200 AS BIGINT)) SECOND AS b,
+             |    CAST(FLOOR(value) AS DOUBLE) AS x,
+             |    CAST(user_id % 100 AS DOUBLE) AS y,
+             |    CASE WHEN event_id % 2 = 0 THEN CAST(FLOOR(value) AS DOUBLE) END AS xi,
+             |    CASE WHEN event_id % 2 = 0 THEN CAST(user_id % 100 AS DOUBLE) END AS yi,
+             |    CAST(value AS DOUBLE) AS v, CAST(1 + user_id % 5 AS BIGINT) AS w,
+             |    event_type, user_id FROM events),
+             |agg AS (
+             |  SELECT b,
+             |    (SUM(x*y) - SUM(x)*SUM(y)/CAST(COUNT(x) AS DOUBLE))
+             |      / (CAST(COUNT(x) AS DOUBLE) - 1) AS cov,
+             |    (SUM(x*y) - SUM(x)*SUM(y)/CAST(COUNT(x) AS DOUBLE))
+             |      / CAST(COUNT(x) AS DOUBLE) AS covp,
+             |    (SUM(xi*yi) - SUM(xi)*SUM(yi)/CAST(COUNT(xi) AS DOUBLE))
+             |      / (CAST(COUNT(xi) AS DOUBLE) - 1) AS covi,
+             |    (SUM(xi*yi) - SUM(xi)*SUM(yi)/CAST(COUNT(xi) AS DOUBLE))
+             |      / CAST(COUNT(xi) AS DOUBLE) AS covpi,
+             |    '{t -> ' || MIN(event_type) || ', u -> '
+             |      || CAST(MIN(user_id % 7) AS VARCHAR) || '}' AS mbs
+             |  FROM base GROUP BY b),
+             |cum AS (
+             |  SELECT b, v,
+             |    SUM(w) OVER (PARTITION BY b ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cw,
+             |    SUM(w) OVER (PARTITION BY b) AS tw
+             |  FROM base),
+             |pct AS (
+             |  SELECT b,
+             |    MIN(v) FILTER (WHERE CAST(cw AS DOUBLE) >= 0.25 * CAST(tw AS DOUBLE))
+             |      AS percentilew_value_25,
+             |    MIN(v) FILTER (WHERE CAST(cw AS DOUBLE) >= 0.75 * CAST(tw AS DOUBLE))
+             |      AS percentilew_value_75
+             |  FROM cum GROUP BY b)
+             |SELECT agg.b, cov, covp, covi, covpi,
+             |  percentilew_value_25, percentilew_value_75, mbs
+             |FROM agg JOIN pct ON agg.b = pct.b ORDER BY agg.b""".stripMargin)),
+
     // tdigest family: deterministic histogram sketch (struct(lo, hi, counts),
     // QuantileSketch.scala). Unit-width buckets over integral l_quantity →
     // estimates are EXACT values, so the oracle replays the sketch's

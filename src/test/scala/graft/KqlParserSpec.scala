@@ -803,6 +803,50 @@ class KqlParserSpec extends SparkSpec {
     assert(r._2 == Seq("alice", "bob", "carol"))
   }
 
+  test("ipv4_compare/is_match, replace_strings, regex_quote, estimate_data_size") {
+    val r = run(
+      """t | where id == 1
+        || extend c = ipv4_compare('10.1.2.7', '10.128.0.0/9'),
+        |    c2 = ipv4_compare('10.200.2.7', '10.128.0.0/9'),
+        |    m = ipv4_is_match('10.1.2.3', '10.1.200.200', 16),
+        |    rs = replace_strings('banana', dynamic(['a', 'n']), dynamic(['o', 'p'])),
+        |    rq = regex_quote('a.b*c'),
+        |    sz = estimate_data_size(user, id)
+        || project c, c2, m, rs, rq, sz""".stripMargin).collect().head
+    assert(r.getLong(0) == -1L && r.getLong(1) == 0L && r.getBoolean(2))
+    assert(r.getString(3) == "bopopo")   // a→o first, THEN n→p over the result
+    assert(r.getString(4) == "a\\.b\\*c")
+    assert(r.getInt(5) == 8)             // "alice"+1 + "1"+1
+  }
+
+  test("bin_auto uses the let-bound query_bin_auto_size") {
+    val bs = run("let query_bin_auto_size = 10; t | extend b = bin_auto(id * 7) | project b | sort by b asc")
+      .as[Long].collect().toSeq
+    assert(bs == Seq(0L, 10L, 20L, 20L, 30L))
+  }
+
+  test("covariance family matches the closed form cov(x, 2x) = 2·var(x)") {
+    val r = run(
+      """t | summarize c = covariance(id, id * 2), cp = covariancep(id, id * 2),
+        |    ci = covarianceif(id, id * 2, id <= 3),
+        |    cpi = covariancepif(id, id * 2, id <= 3)""".stripMargin)
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(r == ((5.0, 4.0, 2.0, 4.0 / 3.0)))
+  }
+
+  test("make_bag merges bags deterministically (sorted first-wins)") {
+    val m = run("t | extend bag = bag_pack(user, etype) | summarize mb = make_bag(bag)")
+      .collect().head.getMap[String, String](0)
+    assert(m == Map("alice" -> "click", "bob" -> "click", "carol" -> "purchase"))
+  }
+
+  test("percentilesw expands to exact weighted percentiles") {
+    val df = run("t | summarize p = percentilesw(v, toint(id), 50, 100)")
+    assert(df.columns.toSeq == Seq("percentilew_v_50", "percentilew_v_100"))
+    val r = df.as[(Double, Double)].collect().head
+    assert(r == ((25.5, 99.0)))   // weights 1..5 by id, total 15, target 7.5
+  }
+
   test("now/ago are current and ordered") {
     val r = run("t | take 1 | extend n = now(), a = ago(5m) | project n, a")
       .collect().head
