@@ -255,5 +255,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneProjections(children.head, litLong(1).toInt, litLong(2).toInt, litLong(3))
       }))
+    // zlib/gzip base64 codec scalars (CodecExpressions.scala)
+    CodecExpressions.names.foreach { case (kql, regName) =>
+      val method = kql match {
+        case "zlib_compress_to_base64_string" => "zlibCompress"
+        case "zlib_decompress_from_base64_string" => "zlibDecompress"
+        case "gzip_compress_to_base64_string" => "gzipCompress"
+        case "gzip_decompress_from_base64_string" => "gzipDecompress"
+      }
+      e.injectFunction((
+        FunctionIdentifier(regName),
+        new ExpressionInfo(classOf[CodecExpr].getName, regName),
+        (children: Seq[Expression]) => CodecExpr(children.head, method)))
+    }
   }
 }

@@ -995,6 +995,28 @@ object KqlTextQueries {
              |  percentilew_value_25, percentilew_value_75, mbs
              |FROM agg JOIN pct ON agg.b = pct.b ORDER BY agg.b""".stripMargin)),
 
+    // zlib/gzip codec scalars (native CodecExpr): roundtrip identity over row
+    // data plus fixed Python-zlib/gzip-generated literals — decompressors
+    // verify compressors without trusting either implementation; malformed
+    // input yields the empty string (the Kusto contract)
+    QueryDef("q_kql_codecs",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 1000 == 0
+          || extend zr = zlib_decompress_from_base64_string(zlib_compress_to_base64_string(event_type)),
+          |    gr = gzip_decompress_from_base64_string(gzip_compress_to_base64_string(strcat(event_type, '#', tostring(event_id)))),
+          |    zlit = zlib_decompress_from_base64_string('eJwryUhVKCzNTM5WSCrKL89TSMuvUMgqzS0oVsgvSy1SMDRWyEmsqlRIyU8vBgBbjA+Q'),
+          |    glit = gzip_decompress_from_base64_string('H4sIAAAAAAACA0svSkwrUUivyixQKEtNLskvslIwMDQyNjE1M7ewBADTxICUHQAAAA=='),
+          |    bad = strcat('[', zlib_decompress_from_base64_string('AAAA'), gzip_decompress_from_base64_string('not-base64!'), ']')
+          || project event_id, zr, gr, zlit, glit, bad
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id, event_type AS zr,
+             |  event_type || '#' || CAST(event_id AS VARCHAR) AS gr,
+             |  'the quick brown fox jumps over 13 lazy dogs' AS zlit,
+             |  'graft gzip vector: 0123456789' AS glit,
+             |  '[]' AS bad
+             |FROM events WHERE event_id % 1000 = 0 ORDER BY event_id""".stripMargin)),
+
     // tdigest family: deterministic histogram sketch (struct(lo, hi, counts),
     // QuantileSketch.scala). Unit-width buckets over integral l_quantity →
     // estimates are EXACT values, so the oracle replays the sketch's

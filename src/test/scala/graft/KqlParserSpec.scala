@@ -847,6 +847,20 @@ class KqlParserSpec extends SparkSpec {
     assert(r == ((25.5, 99.0)))   // weights 1..5 by id, total 15, target 7.5
   }
 
+  test("zlib/gzip codec scalars roundtrip; malformed input yields empty string") {
+    val r = run(
+      """t | where id == 2
+        || extend z = zlib_decompress_from_base64_string(zlib_compress_to_base64_string(strcat(user, '/', etype))),
+        |    g = gzip_decompress_from_base64_string(gzip_compress_to_base64_string(user)),
+        |    zl = zlib_decompress_from_base64_string('eJwryUhVKCzNTM5WSCrKL89TSMuvUMgqzS0oVsgvSy1SMDRWyEmsqlRIyU8vBgBbjA+Q'),
+        |    bz = zlib_decompress_from_base64_string('AAAA'),
+        |    bg = gzip_decompress_from_base64_string('%%%')
+        || project z, g, zl, bz, bg""".stripMargin).collect().head
+    assert(r.getString(0) == "bob/view" && r.getString(1) == "bob")
+    assert(r.getString(2) == "the quick brown fox jumps over 13 lazy dogs")
+    assert(r.getString(3) == "" && r.getString(4) == "")
+  }
+
   test("now/ago are current and ordered") {
     val r = run("t | take 1 | extend n = now(), a = ago(5m) | project n, a")
       .collect().head
