@@ -32,6 +32,12 @@ object Tables {
     // ingest column back to a µs timestamp (truncating, like DuckDB's ns→µs read).
     if (df.columns.contains("ts") && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // µs-precision fixtures carry no UTC flag and surface as TIMESTAMP_NTZ;
+    // normalize to the session-zone (UTC) instant type so downstream epoch
+    // arithmetic (`cast(ts as long)`, legal only on TIMESTAMP) keeps working
+    // and the wall-clock values match DuckDB's naive read.
+    else if (df.columns.contains("ts") && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

@@ -166,6 +166,11 @@ object StreamingIngest {
     if (df.columns.contains("ts") &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // µs fixtures surface as TIMESTAMP_NTZ, which watermarks reject — normalize
+    // to the session-zone instant type, mirroring Tables.load.
+    else if (df.columns.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
