@@ -76,4 +76,34 @@ object QuantileSketch {
           coalesce(st.getField("idx"), size(c) - 1).cast("double") *
             (td.getField("hi") - td.getField("lo")) / size(c))), 1)
   }
+
+  /** Scalar: rank of `v` in the sketch as a percentage [0,100] — the share of
+    * values in buckets at or below v's bucket. Exact (not approximate) when
+    * the data is integral and the buckets unit-width, so the oracle can
+    * restate it as `100.0 * count(x <= v) / count(*)`. */
+  def rankTdigest(td: Column, v: Column): Column = cumPct(td, v, inclusive = true)
+
+  /** Scalar: percentage of values strictly below v's bucket (the Kusto
+    * percentrank_tdigest counterpart; same exactness contract as rank). */
+  def percentrankTdigest(td: Column, v: Column): Column = cumPct(td, v, inclusive = false)
+
+  private def cumPct(td: Column, v: Column, inclusive: Boolean): Column = {
+    val c = td.getField("c")
+    val lo = td.getField("lo"); val hi = td.getField("hi")
+    val b = size(c)
+    val bkt = greatest(lit(0), least(b - 1,
+      floor((v.cast("double") - lo) * b / (hi - lo)).cast("int")))
+    val total = aggregate(c, lit(0L), _ + _)
+    // bind the bucket index as a lambda variable (the HOF re-evaluation rule)
+    element_at(transform(array(bkt), k =>
+      aggregate(c, struct(lit(0L).as("cum"), lit(0).as("i")),
+        (st, cnt) => struct(
+          (st.getField("cum") +
+            when(if (inclusive) st.getField("i") <= k else st.getField("i") < k, cnt)
+              .otherwise(lit(0L))).as("cum"),
+          (st.getField("i") + 1).as("i")),
+        // 100.0 * long is an exact integral double; one correctly-rounded
+        // division — replayable bit-for-bit by the oracle
+        st => (lit(100.0) * st.getField("cum")) / total)), 1)
+  }
 }

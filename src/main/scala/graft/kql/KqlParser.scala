@@ -1738,6 +1738,13 @@ object KqlParser {
             val suffix = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
             percentile(base, lit(p / 100.0)).as(s"percentile_${baseName}_$suffix")
           }: _*)
+        case "percentiles_array" =>
+          // single dynamic column of the requested percentiles, in order
+          array(args.tail.map(p =>
+            percentile(args.head, lit(litDouble(p) / 100.0))): _*)
+        case "percentilesw_array" =>
+          array(args.drop(2).map(p =>
+            weightedPercentile(args.head, args(1), litDouble(p) / 100.0)): _*)
         case "percentilew" =>
           weightedPercentile(args.head, args(1), litDouble(args(2)) / 100.0)
         case "percentilesw" =>
@@ -2296,7 +2303,7 @@ object KqlParser {
         case "getmonth" | "monthofyear" => month(args.head)
         case "dayofmonth" => dayofmonth(args.head)
         case "dayofyear" => dayofyear(args.head)
-        case "week_of_year" => weekofyear(args.head) // ISO 8601, like Kusto
+        case "week_of_year" | "weekofyear" => weekofyear(args.head) // ISO 8601, like Kusto
         case "hourofday" => hour(args.head)
         case "unixtime_seconds_todatetime" =>
           timestamp_seconds(args.head.cast("long"))
@@ -2458,9 +2465,46 @@ object KqlParser {
           geoPointInPolygon(args(0), args(1), args(2))
         case "cos" => cos(args.head)
         case "tan" => tan(args.head)
+        case "acos" => acos(args.head)
+        case "asin" => asin(args.head)
+        case "atan" => atan(args.head)
+        case "cot" => lit(1.0) / tan(args.head)
         case "atan2" => atan2(args.head, args(1))
         case "degrees" => degrees(args.head)
         case "radians" => radians(args.head)
+        case "not" => !args.head.cast("boolean")
+        case "gamma" => graft.functions.Units.gamma(args.head)
+        case "loggamma" => graft.functions.Units.loggamma(args.head)
+        // unit conversions: value * factor(from) / factor(to), factors
+        // resolved at plan time from the literal unit names (Units.scala)
+        case "convert_length" =>
+          graft.functions.Units.convert(args.head, litString(args(1)),
+            litString(args(2)), graft.functions.Units.length, "length")
+        case "convert_mass" =>
+          graft.functions.Units.convert(args.head, litString(args(1)),
+            litString(args(2)), graft.functions.Units.mass, "mass")
+        case "convert_angle" =>
+          graft.functions.Units.convert(args.head, litString(args(1)),
+            litString(args(2)), graft.functions.Units.angle, "angle")
+        case "convert_speed" =>
+          graft.functions.Units.convert(args.head, litString(args(1)),
+            litString(args(2)), graft.functions.Units.speed, "speed")
+        case "convert_energy" =>
+          graft.functions.Units.convert(args.head, litString(args(1)),
+            litString(args(2)), graft.functions.Units.energy, "energy")
+        case "convert_force" =>
+          graft.functions.Units.convert(args.head, litString(args(1)),
+            litString(args(2)), graft.functions.Units.force, "force")
+        case "convert_volume" =>
+          graft.functions.Units.convert(args.head, litString(args(1)),
+            litString(args(2)), graft.functions.Units.volume, "volume")
+        case "convert_temperature" =>
+          graft.functions.Units.convertTemperature(args.head,
+            litString(args(1)), litString(args(2)))
+        case "rank_tdigest" =>
+          graft.functions.QuantileSketch.rankTdigest(args.head, args(1))
+        case "percentrank_tdigest" =>
+          graft.functions.QuantileSketch.percentrankTdigest(args.head, args(1))
         // scalar comparison / conditional
         case "max_of" => greatest(args: _*)
         case "min_of" => least(args: _*)

@@ -2318,6 +2318,89 @@ object KqlTextQueries {
              |UNION ALL
              |SELECT event_type, CAST(NULL AS BIGINT), 'lo', MAX(value)
              |FROM events WHERE user_id < 50 AND value < 50 GROUP BY event_type
-             |ORDER BY fork_leg, event_type""".stripMargin))
+             |ORDER BY fork_leg, event_type""".stripMargin)),
+
+    // convert_* unit family: every conversion is `value * factor(from) /
+    // factor(to)` (temperature: the affine Kelvin route) — the oracle replays
+    // the identical operation chain, so the doubles hash-match bit-for-bit
+    QueryDef("q_kql_convert",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend ft = convert_length(value, 'Meter', 'Foot'),
+          |    mi = convert_length(value, 'Mile', 'Meter'),
+          |    lb = convert_mass(value, 'Kilogram', 'Pound'),
+          |    rad = convert_angle(value, 'Degree', 'Radian'),
+          |    mps = convert_speed(value, 'KilometerPerHour', 'MeterPerSecond'),
+          |    jl = convert_energy(value, 'Kilocalorie', 'Joule'),
+          |    nw = convert_force(value, 'PoundForce', 'Newton'),
+          |    cbm = convert_volume(value, 'Liter', 'CubicMeter'),
+          |    fh = convert_temperature(value, 'Celsius', 'Fahrenheit')
+          || project event_id, ft, mi, lb, rad, mps, jl, nw, cbm, fh
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  (value * 1.0) / 0.3048 AS ft,
+             |  (value * 1609.344) / 1.0 AS mi,
+             |  (value * 1.0) / 0.45359237 AS lb,
+             |  (value * (pi() / 180)) / 1.0 AS rad,
+             |  (value * (1000.0 / 3600)) / 1.0 AS mps,
+             |  (value * 4184.0) / 1.0 AS jl,
+             |  (value * 4.4482216152605) / 1.0 AS nw,
+             |  (value * 0.001) / 1.0 AS cbm,
+             |  ((value + 273.15) - 273.15) * 9.0 / 5.0 + 32.0 AS fh
+             |FROM events WHERE event_id % 500 = 0 ORDER BY event_id""".stripMargin)),
+
+    // rank_tdigest / percentrank_tdigest over the deterministic histogram
+    // sketch: unit-width buckets over integral l_quantity make both EXACT, so
+    // the oracle restates them as value-count shares
+    QueryDef("q_kql_tdigest_rank",
+      (s, d) => run(s, d,
+        """lineitem
+          || summarize td = tdigest(l_quantity, 1, 51, 50) by l_returnflag
+          || project l_returnflag, r25 = rank_tdigest(td, 25),
+          |    pr25 = percentrank_tdigest(td, 25), r50 = rank_tdigest(td, 50)
+          || sort by l_returnflag asc""".stripMargin),
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             |    COUNT(*) AS n FROM lineitem GROUP BY 1, 2),
+             |a AS (SELECT l_returnflag, SUM(n) AS tot,
+             |    SUM(CASE WHEN q <= 25 THEN n ELSE 0 END) AS le25,
+             |    SUM(CASE WHEN q < 25 THEN n ELSE 0 END) AS lt25,
+             |    SUM(CASE WHEN q <= 50 THEN n ELSE 0 END) AS le50
+             |  FROM c GROUP BY 1)
+             |SELECT l_returnflag, (100.0 * le25) / tot AS r25,
+             |  (100.0 * lt25) / tot AS pr25, (100.0 * le50) / tot AS r50
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
+    // percentiles_array / percentilesw_array: single dynamic output column
+    // (stringified for the driver compare); exact interpolating percentile +
+    // exact weighted percentile, same contracts as their scalar forms
+    QueryDef("q_kql_percentiles_array",
+      (s, d) => run(s, d,
+        """events
+          || extend fv = floor(value)
+          || summarize pa = percentiles_array(fv, 25, 50, 75),
+          |    pw = percentilesw_array(fv, event_id % 7 + 1, 50, 90)
+          |  by event_type
+          || extend pas = strcat_array(pa, ';'), pws = strcat_array(pw, ';')
+          || project event_type, pas, pws
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_type, floor(value) AS fv,
+             |    event_id % 7 + 1 AS w FROM events),
+             |t AS (SELECT event_type, SUM(w) AS tot FROM b GROUP BY 1),
+             |cw AS (SELECT event_type, fv, SUM(w) OVER (PARTITION BY event_type
+             |    ORDER BY fv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum FROM b),
+             |wp AS (SELECT cw.event_type,
+             |    MIN(fv) FILTER (WHERE cum >= tot * 0.5) AS w50,
+             |    MIN(fv) FILTER (WHERE cum >= tot * 0.9) AS w90
+             |  FROM cw JOIN t USING (event_type) GROUP BY 1),
+             |pa AS (SELECT event_type,
+             |    quantile_cont(fv, 0.25) AS p25, quantile_cont(fv, 0.5) AS p50,
+             |    quantile_cont(fv, 0.75) AS p75 FROM b GROUP BY 1)
+             |SELECT pa.event_type,
+             |  CAST(p25 AS VARCHAR) || ';' || CAST(p50 AS VARCHAR) || ';' ||
+             |    CAST(p75 AS VARCHAR) AS pas,
+             |  CAST(w50 AS VARCHAR) || ';' || CAST(w90 AS VARCHAR) AS pws
+             |FROM pa JOIN wp USING (event_type) ORDER BY pa.event_type""".stripMargin))
   )
 }

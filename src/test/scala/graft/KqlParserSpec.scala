@@ -867,4 +867,61 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getTimestamp(0).after(r.getTimestamp(1)))
     assert(math.abs(r.getTimestamp(0).getTime - System.currentTimeMillis()) < 60000)
   }
+
+  test("inverse trig, cot, not(), gamma/loggamma (transcendental parity)") {
+    val r = run(
+      """t | take 1
+        || extend ac = acos(0.5), as0 = asin(1.0), at = atan(1.0), ct = cot(1.0),
+        |    nb = not(true), g5 = gamma(5), gh = gamma(0.5), gn = gamma(-0.5),
+        |    lg10 = loggamma(10), lgs = loggamma(0.25)
+        || project ac, as0, at, ct, nb, g5, gh, gn, lg10, lgs""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - math.acos(0.5)) < 1e-14)
+    assert(math.abs(r.getDouble(1) - math.Pi / 2) < 1e-14)
+    assert(math.abs(r.getDouble(2) - math.Pi / 4) < 1e-14)
+    assert(math.abs(r.getDouble(3) - 1.0 / math.tan(1.0)) < 1e-14)
+    assert(!r.getBoolean(4))
+    assert(math.abs(r.getDouble(5) - 24.0) < 1e-10)                  // Γ(5) = 4!
+    assert(math.abs(r.getDouble(6) - math.sqrt(math.Pi)) < 1e-12)    // Γ(1/2) = √π
+    assert(math.abs(r.getDouble(7) - (-2.0 * math.sqrt(math.Pi))) < 1e-11) // Γ(-1/2)
+    assert(math.abs(r.getDouble(8) - math.log(362880.0)) < 1e-10)    // ln 9!
+    assert(math.abs(r.getDouble(9) - 1.2880225246980774) < 1e-10)    // ln Γ(1/4)
+  }
+
+  test("convert_* families: exact factors, affine temperature, unknown unit throws") {
+    val r = run(
+      """t | take 1
+        || extend m = convert_length(2.0, 'Mile', 'Kilometer'),
+        |    kg = convert_mass(32.0, 'Ounce', 'Kilogram'),
+        |    c = convert_temperature(212.0, 'Fahrenheit', 'Celsius'),
+        |    kn = convert_speed(1.0, 'Knot', 'MeterPerSecond'),
+        |    gr = convert_angle(200.0, 'Gradian', 'Revolution')
+        || project m, kg, c, kn, gr""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 3.218688) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.90718474) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 100.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1852.0 / 3600) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
+    assertThrows[IllegalArgumentException](
+      run("t | extend x = convert_length(1.0, 'Parsec', 'Meter')"))
+  }
+
+  test("rank_tdigest / percentrank_tdigest are exact on unit buckets") {
+    val r = run(
+      """t | summarize td = tdigest(id, 1, 6, 5)
+        || project r3 = rank_tdigest(td, 3), pr3 = percentrank_tdigest(td, 3),
+        |    r5 = rank_tdigest(td, 5)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 60.0)   // ids 1..5: 3 of 5 ≤ 3
+    assert(r.getDouble(1) == 40.0)   // 2 of 5 < 3
+    assert(r.getDouble(2) == 100.0)
+  }
+
+  test("percentiles_array / percentilesw_array return ordered dynamic arrays") {
+    val r = run(
+      """t | summarize pa = percentiles_array(v, 0, 100),
+        |    pw = percentilesw_array(v, 1, 100)""".stripMargin).collect().head
+    assert(r.getSeq[Double](0) == Seq(7.25, 99.0))
+    assert(r.getSeq[Double](1) == Seq(99.0))
+  }
 }
