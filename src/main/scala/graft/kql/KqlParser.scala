@@ -122,6 +122,9 @@ object KqlParser {
     // `make-graph` binds the edge table (df, srcCol, dstCol) consumed by a
     // following `graph-match` in the same pipeline
     private var graphEdges: Option[(DataFrame, String, String)] = None
+    // `graph-mark-components` binds the labeled node table consumed by a
+    // following `graph-to-table nodes`
+    private var graphMarked: Option[DataFrame] = None
     private var serializedOrder: Option[Seq[Column]] = None
     private val rowFnBuffer = scala.collection.mutable.ArrayBuffer[RowFn]()
     private var rowFnCounter = 0
@@ -1355,6 +1358,54 @@ object KqlParser {
           gsp = gsp.project(cols: _*)
         }
         gsp
+      case "graph-mark-components" =>
+        // `| graph-mark-components [kind=weak] [with_component_id=Cid]` —
+        // label every node of the bound graph with its WEAK component.
+        // Lowered onto the dedup clustering machinery
+        // (Dedup.connectedComponents): per round one equi-join on the edge
+        // list + one min-agg, O(component diameter) rounds, labels never
+        // leave the cluster. Deviations (documented): kind=strong is
+        // rejected (distributed SCC is out of scope); the component id is
+        // the component's MINIMUM node id — deterministic and oracle-
+        // replayable, unlike an opaque hash.
+        val (gmEdges, gmSrc, gmDst) = graphEdges.getOrElse(
+          throw new IllegalArgumentException(
+            "graph-mark-components requires a preceding make-graph in the same pipeline"))
+        var cid = "ComponentId"
+        while (atIdent("kind") || atIdent("with_component_id")) {
+          if (atIdent("kind")) {
+            pos += 1; eatPunct("="); val k = ident()
+            require(k == "weak",
+              s"graph-mark-components: only kind=weak is supported, got kind=$k")
+          } else { pos += 1; eatPunct("="); cid = ident() }
+        }
+        val gmNodes = gmEdges.select(col(gmSrc).as("__n"))
+          .union(gmEdges.select(col(gmDst).as("__n")))
+        val gmLabels = graft.functions.Dedup.connectedComponents(
+            gmEdges.select(col(gmSrc), col(gmDst)), gmSrc, gmDst, gmNodes, "__n")
+          .select(col("id").as("node"), col("cluster").as(cid))
+        graphMarked = Some(gmLabels)
+        gmLabels
+      case "graph-to-table" =>
+        // `| graph-to-table nodes|edges` — materialize the bound graph:
+        // nodes = distinct endpoints (with component labels when a
+        // graph-mark-components ran), edges = the bound edge table.
+        ident() match {
+          case "nodes" => graphMarked.getOrElse {
+            val (gtE, gtS, gtD) = graphEdges.getOrElse(
+              throw new IllegalArgumentException(
+                "graph-to-table requires a preceding make-graph in the same pipeline"))
+            gtE.select(col(gtS).as("node"))
+              .union(gtE.select(col(gtD).as("node"))).distinct()
+          }
+          case "edges" =>
+            val (gtE, _, _) = graphEdges.getOrElse(
+              throw new IllegalArgumentException(
+                "graph-to-table requires a preceding make-graph in the same pipeline"))
+            gtE
+          case other => throw new IllegalArgumentException(
+            s"graph-to-table: expected nodes or edges, got $other")
+        }
       case "union" =>
         // `union [kind=outer|inner] [withsource=Col] T1[, T2, ...]` — operands
         // align by name; kind=outer (default) null-fills missing columns,

@@ -2401,6 +2401,30 @@ object KqlTextQueries {
              |  CAST(p25 AS VARCHAR) || ';' || CAST(p50 AS VARCHAR) || ';' ||
              |    CAST(p75 AS VARCHAR) AS pas,
              |  CAST(w50 AS VARCHAR) || ';' || CAST(w90 AS VARCHAR) AS pws
-             |FROM pa JOIN wp USING (event_type) ORDER BY pa.event_type""".stripMargin))
+             |FROM pa JOIN wp USING (event_type) ORDER BY pa.event_type""".stripMargin)),
+
+    // graph-mark-components + graph-to-table nodes: weak components of the
+    // multiplicative-orbit graph u -> 4u mod 25 (five components of sizes
+    // 1/2/2/10/10), labeled by min node id via the distributed min-label
+    // propagation; the oracle recomputes reach-labels with a recursive CTE
+    QueryDef("q_kql_graph_components",
+      (s, d) => run(s, d,
+        """nation
+          || project u = n_nationkey
+          || extend v = (u * 4) % 25
+          || make-graph u --> v
+          || graph-mark-components with_component_id=cid
+          || graph-to-table nodes
+          || sort by node asc""".stripMargin),
+      Some("""WITH RECURSIVE g AS (
+             |  SELECT n_nationkey AS u, (n_nationkey * 4) % 25 AS v FROM nation),
+             |e AS (SELECT u, v FROM g UNION SELECT v, u FROM g),
+             |n AS (SELECT DISTINCT u AS node FROM e),
+             |r AS (
+             |  SELECT node, node AS lbl FROM n
+             |  UNION
+             |  SELECT e.v AS node, r.lbl FROM r JOIN e ON r.node = e.u)
+             |SELECT node, MIN(lbl) AS cid FROM r GROUP BY node
+             |ORDER BY node""".stripMargin))
   )
 }

@@ -917,6 +917,25 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getDouble(2) == 100.0)
   }
 
+  test("graph-mark-components labels weak components; graph-to-table emits both views") {
+    // two components: {1,2,3} (1->2->3) and {4,5} (4->5)
+    val nodes = run(
+      """t | where id <= 4 | extend dst = iff(id == 3, 1, id + 1)
+        || make-graph id --> dst
+        || graph-mark-components with_component_id=cid
+        || graph-to-table nodes
+        || sort by node asc""".stripMargin).collect()
+    assert(nodes.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+    val edges = run(
+      """t | where id <= 2 | project id | extend dst = id + 1
+        || make-graph id --> dst
+        || graph-to-table edges""".stripMargin)
+    assert(edges.columns.toSeq == Seq("id", "dst") && edges.count() == 2)
+    assertThrows[IllegalArgumentException](
+      run("t | make-graph id --> v | graph-mark-components kind=strong"))
+  }
+
   test("percentiles_array / percentilesw_array return ordered dynamic arrays") {
     val r = run(
       """t | summarize pa = percentiles_array(v, 0, 100),
