@@ -197,4 +197,30 @@ object TextAnalysis {
         transform(sequence(lit(1), length(t) - n + 1), i => t.substr(i, lit(n))))
         .otherwise(array(t)))
   }
+
+  /** Canonicalize a URL for dedup keying — the standard crawl-pipeline
+    * normalization (RFC 3986 §6 syntax-based normalization plus the usual
+    * tracking-parameter scrub):
+    *   1. drop the fragment;
+    *   2. lowercase scheme://authority;
+    *   3. drop default ports (:80 http, :443 https);
+    *   4. drop tracking params (utm_*, gclid, fbclid), sort the survivors;
+    *   5. strip trailing slashes from the path.
+    * Pure regex + array-HOF chain: codegen'd, zero shuffle, deterministic —
+    * two syntactic variants of one resource map to one dedup key. */
+  def urlNormalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val auth = regexp_replace(
+      regexp_replace(prefix, "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    val full = concat(auth, rest)
+    val path = regexp_replace(regexp_extract(full, "^([^?]*)", 1), "/+$", "")
+    val q = regexp_extract(full, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"),
+      p => !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid)=") && p =!= "")
+    val qs = array_join(sort_array(params), "&")
+    when(q === "" || qs === "", path).otherwise(concat(path, lit("?"), qs))
+  }
 }

@@ -2473,6 +2473,8 @@ object KqlParser {
         case "url_encode" | "url_encode_component" =>
           call_function("url_encode", args.head)
         case "url_decode" => call_function("url_decode", args.head)
+        // crawl-pipeline URL canonicalization (not Kusto; TextAnalysis.scala)
+        case "url_normalize" => graft.functions.TextAnalysis.urlNormalize(args.head)
         case "parse_version" =>
           // canonical comparable form: up to 4 dot-parts, each scaled 1e8
           val parts = split(args.head, "\\.")

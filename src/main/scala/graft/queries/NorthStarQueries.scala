@@ -1115,6 +1115,34 @@ object NorthStarQueries {
       Some("""SELECT label, COUNT(*) AS n,
              |  MAX(CAST(embedding[1] AS DOUBLE)) AS max_d0,
              |  MIN(CAST(embedding[1] AS DOUBLE)) AS min_d0
-             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin))
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // --- URL-canonicalization dedup (crawl-pipeline key) --------------------
+    // Synthetic URL variants (mixed-case host, default port, tracking params,
+    // fragments, trailing slash) collapse to one canonical key per
+    // (source, doc_id%50) — the oracle states the expected canonical form
+    // directly since the variants are constructed in-query
+    QueryDef("q_url_dedup",
+      (s, d) => {
+        val urls = T(s, d, "documents")
+          .extend("url" -> concat(
+            lit("HTTP://ExAmple.COM:80/docs/"), col("source"), lit("/"),
+            (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 4 === 0, "?utm_source=feed&b=2&a=1#top")
+              .when(col("doc_id") % 4 === 1, "/")
+              .when(col("doc_id") % 4 === 2, "?b=2&a=1")
+              .otherwise("#sec")))
+        urls.extend("url_norm" -> TA.urlNormalize(col("url")))
+          .summarize(Seq(col("url_norm")),
+            count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+          .sortBy(col("url_norm"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    'http://example.com/docs/' || source || '/' ||
+             |    CAST(doc_id % 50 AS VARCHAR) ||
+             |    CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS u
+             |  FROM documents)
+             |SELECT u AS url_norm, COUNT(*) AS n, MIN(doc_id) AS keep
+             |FROM b GROUP BY 1 ORDER BY url_norm""".stripMargin))
   )
 }

@@ -90,6 +90,22 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("urlNormalize: case, ports, tracking params, fragments, trailing slash") {
+    import graft.functions.TextAnalysis
+    val in = Seq(
+      "HTTP://ExAmple.COM:80/A/b/?utm_source=x&b=2&a=1#frag",
+      "http://example.com/A/b?a=1&b=2",
+      "HTTPS://Host.io:443/",
+      "https://host.io",
+      "http://h.co/p?utm_campaign=z&gclid=123&fbclid=9",
+      "http://h.co/p").toDF("u")
+      .select(TextAnalysis.urlNormalize(col("u")).as("n")).as[String].collect()
+    assert(in(0) == "http://example.com/A/b?a=1&b=2") // path case preserved
+    assert(in(0) == in(1))
+    assert(in(2) == "https://host.io" && in(2) == in(3))
+    assert(in(4) == "http://h.co/p" && in(4) == in(5))
+  }
+
   test("pipeline caches do not outlive their session (two-session hygiene)") {
     val fn = SparkEntry.queries("q_minhash_pairs")
     assert(fn(spark, sf).count() >= 0)
