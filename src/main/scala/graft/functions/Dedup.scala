@@ -242,16 +242,24 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("__ncluster"))
-      val updated = labels
+      val stepped = labels
         .join(prop, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("__ncluster"), col("cluster"))).as("cluster"))
+      // pointer jumping: label(i) ← label(label(i)). Labels are node ids, so
+      // one extra equi-join per round halves the remaining component
+      // diameter — O(log d) rounds instead of O(d), which is what bounds the
+      // round count (and its per-round job overhead) on long chains.
+      val updated = stepped
+        .join(stepped.select(col("id").as("__lid"), col("cluster").as("__lcl")),
+          col("cluster") === col("__lid"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__lcl"), col("cluster"))).as("cluster"),
+          (least(col("cluster"), coalesce(col("__lcl"), col("cluster")))
+            =!= col("__old")).as("__chg"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("cluster", "__old"), "id")
-        .filter(col("cluster") =!= col("__old"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("__chg")).isEmpty
+      labels = updated.drop("__chg")
       iter += 1
     }
     edges.unpersist(blocking = false)
