@@ -784,6 +784,50 @@ object NorthStarQueries {
              |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join: unmatched left rows emit with
+    // nulls only once the watermark proves no match can still arrive. The
+    // GLOBAL watermark is the MINIMUM across both input streams (each
+    // ms-truncated max event time − lateness) — a lagging side holds back
+    // outer-row emission for the whole join, so unmatched views whose match
+    // window reaches past min(maxViewTs, maxPurchaseTs) − 10 min stay
+    // suppressed at stream end. The oracle replays exactly that eviction
+    // rule; state-boundedness is the same argument as the inner form's.
+    QueryDef("q_streaming_join_outer",
+      (s, d) => {
+        val views = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("v_id"))
+        val purchases = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+        val joined = graft.streaming.StreamingIngest.intervalJoin(
+          views, purchases, "v_user", "p_user", "v_ts", "p_ts", "1 hour",
+          joinType = "left_outer")
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_join_outer_sink", joined)
+          .summarize(Seq((col("v_user") % 10).as("bucket")),
+            count(lit(1)).as("n"), count(col("p_id")).as("matched"),
+            sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("unmatched"))
+          .sortBy(col("bucket"))
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+             |wm AS (SELECT LEAST(
+             |    (SELECT date_trunc('millisecond', MAX(ts)) FROM v),
+             |    (SELECT date_trunc('millisecond', MAX(ts)) FROM p))
+             |    - INTERVAL 10 MINUTE AS w),
+             |j AS (SELECT v.user_id AS vu, v.ts AS vts, p.event_id AS pid
+             |  FROM v LEFT JOIN p ON v.user_id = p.user_id
+             |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR),
+             |f AS (SELECT j.* FROM j, wm
+             |  WHERE pid IS NOT NULL OR vts + INTERVAL 1 HOUR < w)
+             |SELECT vu % 10 AS bucket, COUNT(*) AS n,
+             |  CAST(COUNT(pid) AS BIGINT) AS matched,
+             |  CAST(COUNT(*) FILTER (WHERE pid IS NULL) AS BIGINT) AS unmatched
+             |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every

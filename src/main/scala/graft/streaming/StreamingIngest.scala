@@ -110,12 +110,13 @@ object StreamingIngest {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    lTs: String, rTs: String, within: String,
-                   lateness: String = "10 minutes"): DataFrame =
+                   lateness: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame =
     left.withWatermark(lTs, lateness)
       .join(right.withWatermark(rTs, lateness),
         expr(s"$leftKey = $rightKey AND " +
           s"$rTs >= $lTs AND $rTs <= $lTs + INTERVAL $within"),
-        "inner")
+        joinType)
 
   /** Stream-STATIC join: continuous enrichment of a stream against a batch
     * dimension table. The static side is broadcast into every task — there is
