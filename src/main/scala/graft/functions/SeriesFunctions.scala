@@ -231,6 +231,49 @@ object SeriesFunctions {
       }
     }
 
+  /** KQL `series_fit_poly(series[, degree])`, degree 1 or 2, x = 0..n−1 →
+    * coefficient array HIGHEST degree first ([a2, a1, a0] / [a1, a0]).
+    * Least squares solved in closed form: Cramer's rule over the 3×3 normal
+    * matrix of power sums S₀..S₄ (closed-form polynomials in n, all exactly
+    * divisible before their single division) and moments T₀..T₂ (one fold).
+    * With integral-valued inputs every determinant term is an exact integral
+    * double, so the three final divisions are the ONLY rounding steps — the
+    * SQL oracle replays the same formulas and hash-matches. Deviation
+    * (documented): Kusto supports arbitrary degree and custom x; this engine
+    * bounds degree at 2 (the common trend shapes) and fixes the unit grid. */
+  def seriesFitPoly(arr: Column, degree: Int = 1): Column = {
+    require(degree == 1 || degree == 2,
+      s"series_fit_poly: degree must be 1 or 2, got $degree")
+    if (degree == 1) bound(seriesFitLine(arr)) { f =>
+      array(f.getField("slope"), f.getField("intercept"))
+    } else bound(arr) { x =>
+      val n = size(x).cast("double")
+      val s1 = n * (n - 1) / 2
+      val s2 = n * (n - 1) * (n * 2 - 1) / 6
+      val s3 = s1 * s1
+      val s4 = n * (n - 1) * (n * 2 - 1) * (n * n * 3 - n * 3 - 1) / 30
+      bound(aggregate(x,
+        struct(lit(0.0).as("t0"), lit(0.0).as("t1"),
+          lit(0.0).as("t2"), lit(0.0).as("i")),
+        (st, v) => struct(
+          (st.getField("t0") + v.cast("double")).as("t0"),
+          (st.getField("t1") + st.getField("i") * v.cast("double")).as("t1"),
+          (st.getField("t2") + st.getField("i") * st.getField("i") * v.cast("double")).as("t2"),
+          (st.getField("i") + 1).as("i")))) { m =>
+        val t0 = m.getField("t0"); val t1 = m.getField("t1"); val t2 = m.getField("t2")
+        val det = n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+          s2 * (s1 * s3 - s2 * s2)
+        val det0 = t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) +
+          s2 * (t1 * s3 - s2 * t2)
+        val det1 = n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) +
+          s2 * (s1 * t2 - t1 * s2)
+        val det2 = n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) +
+          t0 * (s1 * s3 - s2 * s2)
+        array(det2 / det, det1 / det, det0 / det)
+      }
+    }
+  }
+
   /** KQL `series_fit_2lines(series)`: the single split k (1 ≤ k < n) that
     * minimizes the summed residual sum-of-squares of independent least-squares
     * lines over [0,k) and [k,n) → struct(split_idx, rsquare, variance,

@@ -2777,6 +2777,9 @@ object KqlParser {
         case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
         case "series_fit_line" => SeriesFunctions.seriesFitLine(args.head)
         case "series_fit_2lines" => SeriesFunctions.seriesFit2Lines(args.head)
+        case "series_fit_poly" =>
+          SeriesFunctions.seriesFitPoly(args.head,
+            if (args.length > 1) litLong(args(1)).toInt else 1)
         case "series_fill_const" =>
           SeriesFunctions.seriesFillConst(args.head, args(1))
         case "series_fill_forward" => SeriesFunctions.seriesFillForward(args.head)

@@ -1403,6 +1403,53 @@ object Queries {
              |    / (n * (n * (n - 1) * (2 * n - 1) / 6) - (n * (n - 1) / 2) * (n * (n - 1) / 2))) * (n * (n - 1) / 2)) / n AS intercept
              |FROM s ORDER BY event_type""".stripMargin)),
 
+    // series_fit_poly degree 2: Cramer's rule over exact power sums S0..S4
+    // (closed forms in n, exactly divisible) and moments T0..T2 (integral
+    // daily counts) — determinant terms are exact integral doubles, so the
+    // three final divisions are the only rounding and the oracle replays the
+    // identical formulas
+    QueryDef("q_series_fit_poly",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .withColumn("co", SeriesFunctions.seriesFitPoly(col("sr"), 2))
+        .select(col("event_type"), element_at(col("co"), 1).as("a2"),
+          element_at(col("co"), 2).as("a1"), element_at(col("co"), 3).as("a0"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |s AS (
+             |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(c) AS DOUBLE) AS t0, CAST(SUM(i * c) AS DOUBLE) AS t1,
+             |    CAST(SUM(i * i * c) AS DOUBLE) AS t2
+             |  FROM idx GROUP BY 1),
+             |k AS (SELECT event_type, n, t0, t1, t2,
+             |    n * (n - 1) / 2 AS s1,
+             |    n * (n - 1) * (n * 2 - 1) / 6 AS s2,
+             |    (n * (n - 1) / 2) * (n * (n - 1) / 2) AS s3,
+             |    n * (n - 1) * (n * 2 - 1) * (n * n * 3 - n * 3 - 1) / 30 AS s4
+             |  FROM s),
+             |dets AS (SELECT event_type,
+             |    n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+             |      + s2 * (s1 * s3 - s2 * s2) AS det,
+             |    t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2)
+             |      + s2 * (t1 * s3 - s2 * t2) AS det0,
+             |    n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2)
+             |      + s2 * (s1 * t2 - t1 * s2) AS det1,
+             |    n * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2)
+             |      + t0 * (s1 * s3 - s2 * s2) AS det2
+             |  FROM k)
+             |SELECT event_type, det2 / det AS a2, det1 / det AS a1, det0 / det AS a0
+             |FROM dets ORDER BY event_type""".stripMargin)),
+
     // series_fit_2lines: argmin-over-splits double line fit per daily series.
     // Every Σ input is an exact integer (daily counts), and both engines run
     // the identical fixed-order IEEE chain per split candidate, so rss values

@@ -182,4 +182,22 @@ class SeriesFunctionsSpec extends SparkSpec {
       (1, Seq(7.0, 9.0, 5.0), 4.0, Seq(7.0, 9.0, 5.0), Seq(1L, 2L, 3L)),
       (2, Seq(1.0, 3.0, 5.0), 2.0, Seq(1.0, 3.0, 5.0), Seq(1L, 2L, 3L))))
   }
+
+  test("series_fit_poly: exact quadratic recovered; degree 1 matches fit_line") {
+    import graft.functions.SeriesFunctions
+    // y = 2x² + 3x + 1 on x = 0..5
+    val ys = (0 to 5).map(x => 2.0 * x * x + 3 * x + 1)
+    val df = Seq(Tuple1(ys)).toDF("sr")
+      .select(SeriesFunctions.seriesFitPoly(col("sr"), 2).as("co"),
+        SeriesFunctions.seriesFitPoly(col("sr"), 1).as("lin"),
+        SeriesFunctions.seriesFitLine(col("sr")).as("fl"))
+    val r = df.collect().head
+    val co = r.getSeq[Double](0)
+    assert(math.abs(co(0) - 2.0) < 1e-9 && math.abs(co(1) - 3.0) < 1e-9 &&
+      math.abs(co(2) - 1.0) < 1e-9)
+    val lin = r.getSeq[Double](1)
+    val fl = r.getStruct(2)
+    assert(lin(0) == fl.getDouble(fl.fieldIndex("slope")) &&
+      lin(1) == fl.getDouble(fl.fieldIndex("intercept")))
+  }
 }
