@@ -1161,6 +1161,42 @@ object NorthStarQueries {
              |  MIN(CAST(embedding[1] AS DOUBLE)) AS min_d0
              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // --- character-bigram LM rarity score (corpus-trained quality signal) ---
+    // Train: one corpus pass counts every char bigram; bigrams seen >= 50
+    // times are "common" (the model — a few hundred rows, broadcast). Score:
+    // per-doc fraction of bigram OCCURRENCES outside the common set — the
+    // cheap stand-in for LM-perplexity quality filtering. All-integer counts
+    // + one final division; the oracle replays the identical construction.
+    QueryDef("q_lm_bigram_score",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .where(length(col("t")) >= 2)
+        val bg = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
+        val common = bg.groupBy("b").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 50).select(col("b"), lit(1).as("__hit"))
+        bg.join(broadcast(common), Seq("b"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("rare"))
+          .select(col("doc_id"), col("total"), col("rare"),
+            ((lit(100.0) * col("rare")) / col("total")).as("oov_pct"))
+          .where(col("doc_id") % 5 === 0)
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents
+             |    WHERE length(lower(text)) >= 2),
+             |bg AS (SELECT doc_id, substr(t, CAST(i AS INT), 2) AS b
+             |  FROM docs, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)),
+             |common AS (SELECT b FROM bg GROUP BY b HAVING COUNT(*) >= 50),
+             |sc AS (SELECT bg.doc_id, COUNT(*) AS total,
+             |    COUNT(*) FILTER (WHERE common.b IS NULL) AS rare
+             |  FROM bg LEFT JOIN common USING (b) GROUP BY bg.doc_id)
+             |SELECT doc_id, total, rare, (100.0 * rare) / total AS oov_pct
+             |FROM sc WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin))
+
+    ,
     // --- URL-canonicalization dedup (crawl-pipeline key) --------------------
     // Synthetic URL variants (mixed-case host, default port, tracking params,
     // fragments, trailing slash) collapse to one canonical key per
