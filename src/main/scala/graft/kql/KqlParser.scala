@@ -1840,6 +1840,11 @@ object KqlParser {
         // *_if forms: collect_* skip nulls, so when(pred, x) filters exactly
         case "make_set_if" => sort_array(collect_set(when(args(1), args.head)))
         case "make_list_if" => collect_list(when(args(1), args.head))
+        // collect_list drops nulls; boxing each value in a struct preserves
+        // them (structs are never null here), then unbox — the Kusto
+        // with-nulls contract
+        case "make_list_with_nulls" =>
+          transform(collect_list(struct(args.head.as("v"))), s => s.getField("v"))
         case "arg_max" => max_by(args(1), args.head)
         case "arg_min" => min_by(args(1), args.head)
         case "take_any" => first(args.head)
@@ -2475,6 +2480,12 @@ object KqlParser {
         case "url_decode" => call_function("url_decode", args.head)
         // crawl-pipeline URL canonicalization (not Kusto; TextAnalysis.scala)
         case "url_normalize" => graft.functions.TextAnalysis.urlNormalize(args.head)
+        case "isascii" => !args.head.rlike("[^\\x00-\\x7F]") && args.head.isNotNull
+        case "toguid" =>
+          // canonical 8-4-4-4-12 hex form, lowercased; anything else → null
+          when(args.head.rlike(
+            "^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"),
+            lower(args.head))
         case "parse_version" =>
           // canonical comparable form: up to 4 dot-parts, each scaled 1e8
           val parts = split(args.head, "\\.")

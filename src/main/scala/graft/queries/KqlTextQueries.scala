@@ -2403,6 +2403,35 @@ object KqlTextQueries {
              |  CAST(w50 AS VARCHAR) || ';' || CAST(w90 AS VARCHAR) AS pws
              |FROM pa JOIN wp USING (event_type) ORDER BY pa.event_type""".stripMargin)),
 
+    // isascii / toguid (canonical-form parse, lowercase, else null) /
+    // make_list_with_nulls (null-preserving collect vs make_list's dropping)
+    QueryDef("q_kql_scalar_misc12",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 100 == 0
+          || extend g = iff(event_id % 200 == 0,
+          |    'DEADBEEF-1234-4abc-8DEF-000000000001', 'nope')
+          || extend tg = toguid(g), ia = isascii(event_type),
+          |    na = isascii(strcat(event_type, 'é'))
+          || summarize n = count(), n_guid = countif(isnotnull(tg)),
+          |    ia_t = countif(ia), na_t = countif(na), mg = max(tg),
+          |    nl = make_list_with_nulls(iff(value > 250, null, event_id)),
+          |    l = make_list(iff(value > 250, null, event_id))
+          |  by event_type
+          || extend n_with = tolong(array_length(nl)), n_without = tolong(array_length(l))
+          || project event_type, n, n_guid, ia_t, na_t, mg, n_with, n_without
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(COUNT(*) FILTER (WHERE event_id % 200 = 0) AS BIGINT) AS n_guid,
+             |  CAST(COUNT(*) AS BIGINT) AS ia_t,
+             |  CAST(0 AS BIGINT) AS na_t,
+             |  CASE WHEN COUNT(*) FILTER (WHERE event_id % 200 = 0) > 0
+             |    THEN 'deadbeef-1234-4abc-8def-000000000001' END AS mg,
+             |  CAST(COUNT(*) AS BIGINT) AS n_with,
+             |  CAST(COUNT(*) FILTER (WHERE value <= 250) AS BIGINT) AS n_without
+             |FROM events WHERE event_id % 100 = 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // graph-mark-components + graph-to-table nodes: weak components of the
     // multiplicative-orbit graph u -> 4u mod 25 (five components of sizes
     // 1/2/2/10/10), labeled by min node id via the distributed min-label
