@@ -1172,16 +1172,25 @@ object NorthStarQueries {
         val docs = T(s, d, "documents")
           .select(col("doc_id"), lower(col("text")).as("t"))
           .where(length(col("t")) >= 2)
+        // pre-aggregate to (doc, bigram, count) and persist: the raw
+        // occurrence stream is exploded and shuffled exactly ONCE; both
+        // consumers below (model build + scoring join) read the cached
+        // aggregate (persist-and-let-ContextCleaner-reap, the materialize()
+        // contract). Totals fall out of length(t) — no third pass.
         val bg = docs.select(col("doc_id"),
-          explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
-        val common = bg.groupBy("b").agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 50).select(col("b"), lit(1).as("__hit"))
-        bg.join(broadcast(common), Seq("b"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("total"),
-            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("rare"))
-          .select(col("doc_id"), col("total"), col("rare"),
-            ((lit(100.0) * col("rare")) / col("total")).as("oov_pct"))
+            explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val common = bg.groupBy("b").agg(sum("c").as("tc"))
+          .filter(col("tc") >= 50).select("b")
+        val commonHits = bg.join(broadcast(common), Seq("b"))
+          .groupBy("doc_id").agg(sum("c").as("hits"))
+        docs.select(col("doc_id"), (length(col("t")) - 1).cast("long").as("total"))
+          .join(commonHits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("total"),
+            (col("total") - coalesce(col("hits"), lit(0L))).as("rare"),
+            ((lit(100.0) * (col("total") - coalesce(col("hits"), lit(0L))))
+              / col("total")).as("oov_pct"))
           .where(col("doc_id") % 5 === 0)
           .sortBy(col("doc_id"))
       },
