@@ -1206,6 +1206,48 @@ object NorthStarQueries {
              |FROM sc WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin))
 
     ,
+    // --- TF-IDF keyword extraction (top-3 per doc) --------------------------
+    // tf per (doc, token) in one pass (persisted — document-frequency model
+    // and scoring join both read it); score = tf/df is a single IEEE division
+    // so the ranking is engine-portable, ties broken by token; top-3 selected
+    // with a per-doc window and pivoted into ordered columns (no
+    // collect_list ordering dependence)
+    QueryDef("q_tfidf_keywords",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = T(s, d, "documents")
+          .select(col("doc_id"), explode(TA.tokens(lower(col("text")))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok").asc)
+        tf.join(broadcast(dfreq), Seq("tok"))
+          .select(col("doc_id"), col("tok"),
+            (col("tf").cast("double") / col("df")).as("score"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .groupBy("doc_id")
+          .agg(max(when(col("rn") === 1, col("tok"))).as("k1"),
+            max(when(col("rn") === 2, col("tok"))).as("k2"),
+            max(when(col("rn") === 3, col("tok"))).as("k3"))
+          .where(col("doc_id") % 7 === 0)
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT doc_id, tok, CAST(tf AS DOUBLE) / df AS score
+             |  FROM tf JOIN df USING (tok)),
+             |r AS (SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, tok) AS rn FROM sc)
+             |SELECT doc_id,
+             |  MAX(CASE WHEN rn = 1 THEN tok END) AS k1,
+             |  MAX(CASE WHEN rn = 2 THEN tok END) AS k2,
+             |  MAX(CASE WHEN rn = 3 THEN tok END) AS k3
+             |FROM r WHERE rn <= 3 AND doc_id % 7 = 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --- URL-canonicalization dedup (crawl-pipeline key) --------------------
     // Synthetic URL variants (mixed-case host, default port, tracking params,
     // fragments, trailing slash) collapse to one canonical key per
