@@ -2471,9 +2471,11 @@ object KqlParser {
           val q0 = regexp_replace(args.head.cast("string"), "^[^?]*\\?", "")
           str_to_map(q0, lit("&"), lit("="))
         case "zlib_compress_to_base64_string" | "zlib_decompress_from_base64_string"
-           | "gzip_compress_to_base64_string" | "gzip_decompress_from_base64_string" =>
+           | "gzip_compress_to_base64_string" | "gzip_decompress_from_base64_string"
+           | "punycode_from_string" | "punycode_to_string" =>
           // native codec expressions (CodecExpressions.scala), registered by
-          // GraftExtensions — per-row java.util.zip work, codegen-friendly
+          // GraftExtensions — per-row java.util.zip / RFC 3492 work,
+          // codegen-friendly
           call_function(graft.plans.CodecExpressions.names(f), args.head.cast("string"))
         case "url_encode" | "url_encode_component" =>
           call_function("url_encode", args.head)

@@ -28,7 +28,9 @@ object CodecExpressions {
     "zlib_compress_to_base64_string" -> "graft_zlib_compress_b64",
     "zlib_decompress_from_base64_string" -> "graft_zlib_decompress_b64",
     "gzip_compress_to_base64_string" -> "graft_gzip_compress_b64",
-    "gzip_decompress_from_base64_string" -> "graft_gzip_decompress_b64")
+    "gzip_decompress_from_base64_string" -> "graft_gzip_decompress_b64",
+    "punycode_from_string" -> "graft_punycode_encode",
+    "punycode_to_string" -> "graft_punycode_decode")
 
   // ---- static helpers (also the codegen call targets) ----
 
@@ -65,6 +67,99 @@ object CodecExpressions {
     UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(out.toByteArray))
   }
 
+  // ---- punycode (RFC 3492, implemented from the public spec) ----
+  // Kusto pair: punycode_from_string ENCODES (plain → punycode),
+  // punycode_to_string DECODES. Raw-label semantics (no xn-- / domain
+  // splitting — that is the *_domain_* variant). Malformed input → empty
+  // string, the Kusto error convention shared with the codecs above.
+
+  private final val PBase = 36; private final val PTmin = 1; private final val PTmax = 26
+  private final val PSkew = 38; private final val PDamp = 700
+  private final val PInitBias = 72; private final val PInitN = 128
+
+  private def punyAdapt(d0: Int, numPoints: Int, first: Boolean): Int = {
+    var delta = if (first) d0 / PDamp else d0 / 2
+    delta += delta / numPoints
+    var k = 0
+    while (delta > ((PBase - PTmin) * PTmax) / 2) { delta /= PBase - PTmin; k += PBase }
+    k + (((PBase - PTmin + 1) * delta) / (delta + PSkew))
+  }
+
+  private def punyDigitChar(d: Int): Char =
+    if (d < 26) ('a' + d).toChar else ('0' + d - 26).toChar
+
+  private def punyCharDigit(c: Char): Int =
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c >= 'A' && c <= 'Z') c - 'A'
+    else if (c >= '0' && c <= '9') c - '0' + 26
+    else -1
+
+  def punyEncode(s: UTF8String): UTF8String = try {
+    val input = s.toString.codePoints().toArray
+    val sb = new StringBuilder
+    input.iterator.filter(_ < 128).foreach(c => sb.append(c.toChar))
+    val basicCount = sb.length
+    if (basicCount > 0) sb.append('-')
+    var handled = basicCount
+    var n = PInitN; var delta = 0; var bias = PInitBias
+    while (handled < input.length) {
+      val m = input.iterator.filter(_ >= n).min
+      delta = Math.addExact(delta, Math.multiplyExact(m - n, handled + 1))
+      n = m
+      input.foreach { c =>
+        if (c < n) delta = Math.addExact(delta, 1)
+        else if (c == n) {
+          var q = delta
+          var k = PBase
+          var done = false
+          while (!done) {
+            val t = if (k <= bias) PTmin else if (k >= bias + PTmax) PTmax else k - bias
+            if (q < t) { sb.append(punyDigitChar(q)); done = true }
+            else {
+              sb.append(punyDigitChar(t + ((q - t) % (PBase - t))))
+              q = (q - t) / (PBase - t); k += PBase
+            }
+          }
+          bias = punyAdapt(delta, handled + 1, handled == basicCount)
+          delta = 0; handled += 1
+        }
+      }
+      delta += 1; n += 1
+    }
+    UTF8String.fromString(sb.toString)
+  } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
+
+  def punyDecode(s: UTF8String): UTF8String = try {
+    val in = s.toString
+    val lastDelim = in.lastIndexOf('-')
+    val basic = if (lastDelim > 0) in.substring(0, lastDelim) else ""
+    require(basic.forall(_ < 128))
+    val buf = scala.collection.mutable.ArrayBuffer[Int](basic.map(_.toInt): _*)
+    var i = 0; var n = PInitN; var bias = PInitBias
+    var pos = if (lastDelim > 0) lastDelim + 1 else 0
+    while (pos < in.length) {
+      val oldi = i
+      var w = 1; var k = PBase
+      var done = false
+      while (!done) {
+        require(pos < in.length, "truncated punycode")
+        val d = punyCharDigit(in.charAt(pos)); pos += 1
+        require(d >= 0, "bad punycode digit")
+        i = Math.addExact(i, Math.multiplyExact(d, w))
+        val t = if (k <= bias) PTmin else if (k >= bias + PTmax) PTmax else k - bias
+        if (d < t) done = true
+        else { w = Math.multiplyExact(w, PBase - t); k += PBase }
+      }
+      bias = punyAdapt(i - oldi, buf.length + 1, oldi == 0)
+      n = Math.addExact(n, i / (buf.length + 1))
+      i %= buf.length + 1
+      require(Character.isValidCodePoint(n))
+      buf.insert(i, n)
+      i += 1
+    }
+    UTF8String.fromString(new String(buf.toArray, 0, buf.length))
+  } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
+
   def gzipDecompress(s: UTF8String): UTF8String = try {
     val bytes = java.util.Base64.getDecoder.decode(s.toString)
     val gz = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -92,6 +187,8 @@ case class CodecExpr(child: Expression, method: String) extends UnaryExpression 
     case "zlibDecompress" => CodecExpressions.zlibDecompress
     case "gzipCompress" => CodecExpressions.gzipCompress
     case "gzipDecompress" => CodecExpressions.gzipDecompress
+    case "punyEncode" => CodecExpressions.punyEncode
+    case "punyDecode" => CodecExpressions.punyDecode
   }
 
   override protected def nullSafeEval(input: Any): Any =

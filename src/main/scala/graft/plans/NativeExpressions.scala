@@ -262,6 +262,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case "zlib_decompress_from_base64_string" => "zlibDecompress"
         case "gzip_compress_to_base64_string" => "gzipCompress"
         case "gzip_decompress_from_base64_string" => "gzipDecompress"
+        case "punycode_from_string" => "punyEncode"
+        case "punycode_to_string" => "punyDecode"
       }
       e.injectFunction((
         FunctionIdentifier(regName),

@@ -1007,14 +1007,20 @@ object KqlTextQueries {
           |    gr = gzip_decompress_from_base64_string(gzip_compress_to_base64_string(strcat(event_type, '#', tostring(event_id)))),
           |    zlit = zlib_decompress_from_base64_string('eJwryUhVKCzNTM5WSCrKL89TSMuvUMgqzS0oVsgvSy1SMDRWyEmsqlRIyU8vBgBbjA+Q'),
           |    glit = gzip_decompress_from_base64_string('H4sIAAAAAAACA0svSkwrUUivyixQKEtNLskvslIwMDQyNjE1M7ewBADTxICUHQAAAA=='),
-          |    bad = strcat('[', zlib_decompress_from_base64_string('AAAA'), gzip_decompress_from_base64_string('not-base64!'), ']')
-          || project event_id, zr, gr, zlit, glit, bad
+          |    bad = strcat('[', zlib_decompress_from_base64_string('AAAA'), gzip_decompress_from_base64_string('not-base64!'), ']'),
+          |    pe = punycode_from_string('bücher'),
+          |    pr = punycode_to_string(punycode_from_string(strcat(event_type, 'ü', tostring(event_id)))),
+          |    pbad = strcat('<', punycode_to_string('!!!'), '>')
+          || project event_id, zr, gr, zlit, glit, bad, pe, pr, pbad
           || sort by event_id asc""".stripMargin),
       Some("""SELECT event_id, event_type AS zr,
              |  event_type || '#' || CAST(event_id AS VARCHAR) AS gr,
              |  'the quick brown fox jumps over 13 lazy dogs' AS zlit,
              |  'graft gzip vector: 0123456789' AS glit,
-             |  '[]' AS bad
+             |  '[]' AS bad,
+             |  'bcher-kva' AS pe,
+             |  event_type || 'ü' || CAST(event_id AS VARCHAR) AS pr,
+             |  '<>' AS pbad
              |FROM events WHERE event_id % 1000 = 0 ORDER BY event_id""".stripMargin)),
 
     // tdigest family: deterministic histogram sketch (struct(lo, hi, counts),

@@ -861,6 +861,22 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getString(3) == "" && r.getString(4) == "")
   }
 
+  test("punycode: RFC 3492 vectors, roundtrip, all-ascii, malformed") {
+    val r = run(
+      """t | where id == 1
+        || extend a = punycode_from_string('bücher'), b = punycode_from_string('München'),
+        |    c = punycode_to_string('Mnchen-3ya'), d = punycode_from_string('abc'),
+        |    e = punycode_to_string(punycode_from_string('ü東京x')),
+        |    f = punycode_to_string('!!!')
+        || project a, b, c, d, e, f""".stripMargin).collect().head
+    assert(r.getString(0) == "bcher-kva")
+    assert(r.getString(1) == "Mnchen-3ya")
+    assert(r.getString(2) == "München")
+    assert(r.getString(3) == "abc-")
+    assert(r.getString(4) == "ü東京x")
+    assert(r.getString(5) == "")
+  }
+
   test("now/ago are current and ordered") {
     val r = run("t | take 1 | extend n = now(), a = ago(5m) | project n, a")
       .collect().head
