@@ -290,18 +290,33 @@ object Kql {
         .select(col("*"), col("__bag.*")).drop("__bag", jsonCol)
     }
 
-    /** `make-series agg default=fill on tsCol step Δ by keys` — regular time grid per
-      * key group with zero/const fill. Grid bounds are computed distributively
-      * (min/max aggregation, broadcast back), never collected per-row. */
+    /** `make-series agg default=fill on tsCol [from f to t] step Δ by keys` —
+      * regular time grid per key group with zero/const fill. Without explicit
+      * bounds the grid spans the data's [min, max] bins, computed
+      * distributively (min/max aggregation, broadcast back), never collected
+      * per-row; with `from`/`to` the grid is [bin(f), bin(t − 1µs)] and rows
+      * outside [f, t) are excluded first (bins stay epoch-aligned — the
+      * engine-wide bin convention; Kusto aligns at `f`, documented
+      * deviation). */
     def makeSeries(keys: Seq[Column], tsCol: Column, stepSeconds: Long,
-                   aggs: Seq[Column], fills: Seq[Column]): DataFrame = {
-      val binned = df.withColumn("__bin", Bin.ts(tsCol, stepSeconds))
+                   aggs: Seq[Column], fills: Seq[Column],
+                   fromTo: Option[(Column, Column)] = None): DataFrame = {
+      val base = fromTo.map { case (f, t) =>
+        df.filter(tsCol >= f && tsCol < t)
+      }.getOrElse(df)
+      val binned = base.withColumn("__bin", Bin.ts(tsCol, stepSeconds))
       val agged = binned.groupBy((keys :+ col("__bin")): _*).agg(aggs.head, aggs.tail: _*)
-      // global [min,max] grid — single-row dimension, broadcast-joined to key groups
-      val bounds = binned.agg(min(col("__bin")).as("__lo"), max(col("__bin")).as("__hi"))
+      // grid bounds: explicit range (no data scan) or global [min,max]
+      val bounds = fromTo match {
+        case Some((f, t)) => df.sparkSession.range(1).select(
+          Bin.ts(f, stepSeconds).as("__lo"),
+          Bin.ts(timestamp_micros(unix_micros(t) - 1), stepSeconds).as("__hi"))
+        case None =>
+          binned.agg(min(col("__bin")).as("__lo"), max(col("__bin")).as("__hi"))
+      }
       val grid = bounds.select(explode(sequence(col("__lo"), col("__hi"),
         expr(s"INTERVAL $stepSeconds SECONDS"))).as("__bin"))
-      val keyRows = df.select(keys: _*).distinct()
+      val keyRows = base.select(keys: _*).distinct()
       val full = keyRows.crossJoin(broadcast(grid))
       val aggNames = agged.columns.drop(keys.size + 1)
       val joined = full.join(agged, full.columns.toSeq, "left_outer")

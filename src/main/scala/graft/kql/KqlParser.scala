@@ -88,6 +88,18 @@ object KqlParser {
             i = j
           }
           out += Ident(word)
+          // Kusto UNQUOTED datetime literal — `datetime(2024-01-05 12:30:00)`
+          // would otherwise lex as subtraction. Capture the raw text to the
+          // closing paren as a string literal when it starts with a digit;
+          // quoted forms and column arguments lex normally.
+          if (word == "datetime" && i < s.length && s(i) == '(') {
+            val close = s.indexOf(')', i)
+            val inner = if (close > 0) s.substring(i + 1, close).trim else ""
+            if (close > 0 && inner.nonEmpty && inner.head.isDigit) {
+              out += Punct("("); out += Str(inner); out += Punct(")")
+              i = close + 1
+            }
+          }
         } else {
           puncts.find(p => s.startsWith(p, i)) match {
             case Some(p) => out += Punct(p); i += p.length
@@ -1585,10 +1597,15 @@ object KqlParser {
         while (atPunct(",")) { pos += 1; oneSeries() }
         eatIdent("on")
         val tsName = ident()
+        val msFromTo = if (atIdent("from")) {
+          pos += 1
+          val f = parseExpr(); eatIdent("to"); val t = parseExpr()
+          Some((f, t))
+        } else None
         eatIdent("step")
         val stepSecs = litLong(parseExpr())
         val keys = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
-        df.makeSeries(keys, col(tsName), stepSecs, aggs.result(), fills.result())
+        df.makeSeries(keys, col(tsName), stepSecs, aggs.result(), fills.result(), msFromTo)
           .projectRename(tsName -> "__bin")
       case "top-nested" =>
         // `top-nested N1 of k1 by [name =] agg1, top-nested N2 of k2 by agg2, ...

@@ -198,6 +198,31 @@ object KqlTextQueries {
              |LEFT JOIN agged a ON a.event_type = k.event_type AND a.ts = g.ts
              |ORDER BY k.event_type, g.ts""".stripMargin)),
 
+    // make-series with an explicit `from .. to ..` range: the grid is fixed
+    // by the bounds (bins epoch-aligned, rows outside [from, to) excluded),
+    // so empty edge bins appear with their default fill even when no data
+    // reaches them
+    QueryDef("q_kql_make_series_range",
+      (s, d) => run(s, d,
+        """events
+          || make-series n = count() default = 0,
+          |    sv = sum(tolong(floor(value))) default = 0
+          |  on ts from datetime(2024-01-05) to datetime(2024-01-12) step 1d
+          |  by event_type
+          || sort by event_type asc, ts asc""".stripMargin),
+      Some("""WITH grid AS (SELECT unnest(generate_series(
+             |    TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-11', INTERVAL 1 DAY)) AS ts),
+             |f AS (SELECT event_type, date_trunc('day', ts) AS ts, value FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'),
+             |keys AS (SELECT DISTINCT event_type FROM f),
+             |agged AS (SELECT event_type, ts, COUNT(*) AS n,
+             |    SUM(CAST(floor(value) AS BIGINT)) AS sv FROM f GROUP BY 1, 2)
+             |SELECT k.event_type AS event_type, g.ts AS ts,
+             |  COALESCE(a.n, 0) AS n, CAST(COALESCE(a.sv, 0) AS BIGINT) AS sv
+             |FROM keys k CROSS JOIN grid g
+             |LEFT JOIN agged a ON a.event_type = k.event_type AND a.ts = g.ts
+             |ORDER BY k.event_type, g.ts""".stripMargin)),
+
     QueryDef("q_kql_top_nested",
       (s, d) => run(s, d,
         """events
