@@ -2546,6 +2546,9 @@ object KqlParser {
         case "geo_geohash_to_central_point" => geoHashDecode(args.head)
         case "geo_point_in_polygon" =>
           geoPointInPolygon(args(0), args(1), args(2))
+        case "geo_line_length" => geoLineLength(args.head)
+        case "geo_distance_point_to_line" =>
+          geoPointToLine(args(0), args(1), args(2))
         case "cos" => cos(args.head)
         case "tan" => tan(args.head)
         case "acos" => acos(args.head)
@@ -2988,6 +2991,41 @@ object KqlParser {
       val sdlon = sin(radians(lon2 - lon1) / 2)
       val a = sdlat * sdlat + cos(radians(lat1)) * cos(radians(lat2)) * sdlon * sdlon
       lit(12742000.0) * asin(least(lit(1.0), sqrt(a)))
+    }
+
+    /** Σ haversine over consecutive vertices of a [[lng,lat],…] line. */
+    private def geoLineLength(line: Column): Column =
+      aggregate(sequence(lit(0), size(line) - 2), lit(0.0), (acc, i) => {
+        val a = element_at(line, i + 1); val b = element_at(line, i + 2)
+        acc + geoDistance(element_at(a, 1), element_at(a, 2),
+          element_at(b, 1), element_at(b, 2))
+      })
+
+    /** Min distance from a point to a [[lng,lat],…] polyline, meters.
+      * Deviation (documented): Kusto computes the geodesic; this uses the
+      * equirectangular projection centered at the query point (x scaled by
+      * cos(lat)), exact planar point-segment distance, then the mean-radius
+      * arc conversion — within ~0.5% at sub-degree extents, a fixed IEEE
+      * chain the oracle can replay. */
+    private def geoPointToLine(lngC: Column, latC: Column, line: Column): Column = {
+      val px = lngC.cast("double"); val py = latC.cast("double")
+      val cosl = cos(radians(py))
+      val minDeg = aggregate(sequence(lit(0), size(line) - 2),
+        lit(Double.PositiveInfinity), (acc, i) => {
+          val a = element_at(line, i + 1); val b = element_at(line, i + 2)
+          val x1 = (element_at(a, 1).cast("double") - px) * cosl
+          val y1 = element_at(a, 2).cast("double") - py
+          val x2 = (element_at(b, 1).cast("double") - px) * cosl
+          val y2 = element_at(b, 2).cast("double") - py
+          val dx = x2 - x1; val dy = y2 - y1
+          val len2 = dx * dx + dy * dy
+          val t = when(len2 > 0,
+            greatest(lit(0.0), least(lit(1.0), -(x1 * dx + y1 * dy) / len2)))
+            .otherwise(lit(0.0))
+          val cx = x1 + t * dx; val cy = y1 + t * dy
+          least(acc, sqrt(cx * cx + cy * cy))
+        })
+      minDeg * lit(math.Pi / 180 * 6371000.0)
     }
 
     private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"

@@ -2434,6 +2434,69 @@ object KqlTextQueries {
              |  CAST(w50 AS VARCHAR) || ';' || CAST(w90 AS VARCHAR) AS pws
              |FROM pa JOIN wp USING (event_type) ORDER BY pa.event_type""".stripMargin)),
 
+    // geo_line_length (Σ haversine over vertices) and
+    // geo_distance_point_to_line (equirectangular point-segment minimum,
+    // documented deviation from the geodesic) — both rounded to 0.1 m so
+    // libm ulp differences cannot flip the compare (the q_kql_geo precedent)
+    QueryDef("q_kql_geo_line",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 20 == 0
+          || extend lon1 = todouble(event_id % 350) - 175.0 + 0.25,
+          |    lat1 = todouble(event_id % 170) - 85.0 + 0.25
+          || extend ln = pack_array(pack_array(0.0, 0.0), pack_array(10.0, 0.0),
+          |    pack_array(10.0, 10.0))
+          || extend len = round(geo_line_length(ln), 1),
+          |    dpl = round(geo_distance_point_to_line(lon1, lat1, ln), 1)
+          || project event_id, len, dpl
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (
+             |  SELECT event_id,
+             |    CAST(event_id % 350 AS DOUBLE) - 175.0 + 0.25 AS lon1,
+             |    CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat1
+             |  FROM events WHERE event_id % 20 = 0),
+             |seg AS (
+             |  SELECT event_id, lon1, lat1, COS(RADIANS(lat1)) AS cosl FROM b),
+             |pd AS (
+             |  SELECT event_id, lon1, lat1,
+             |    (0.0 - lon1) * cosl AS s1x1, 0.0 - lat1 AS s1y1,
+             |    (10.0 - lon1) * cosl AS s1x2, 0.0 - lat1 AS s1y2,
+             |    (10.0 - lon1) * cosl AS s2x1, 0.0 - lat1 AS s2y1,
+             |    (10.0 - lon1) * cosl AS s2x2, 10.0 - lat1 AS s2y2
+             |  FROM seg),
+             |t AS (
+             |  SELECT event_id,
+             |    s1x1 + GREATEST(0.0, LEAST(1.0,
+             |      -(s1x1*(s1x2-s1x1) + s1y1*(s1y2-s1y1))
+             |        / ((s1x2-s1x1)*(s1x2-s1x1) + (s1y2-s1y1)*(s1y2-s1y1))))
+             |      * (s1x2-s1x1) AS c1x,
+             |    s1y1 + GREATEST(0.0, LEAST(1.0,
+             |      -(s1x1*(s1x2-s1x1) + s1y1*(s1y2-s1y1))
+             |        / ((s1x2-s1x1)*(s1x2-s1x1) + (s1y2-s1y1)*(s1y2-s1y1))))
+             |      * (s1y2-s1y1) AS c1y,
+             |    s2x1 + GREATEST(0.0, LEAST(1.0,
+             |      -(s2x1*(s2x2-s2x1) + s2y1*(s2y2-s2y1))
+             |        / ((s2x2-s2x1)*(s2x2-s2x1) + (s2y2-s2y1)*(s2y2-s2y1))))
+             |      * (s2x2-s2x1) AS c2x,
+             |    s2y1 + GREATEST(0.0, LEAST(1.0,
+             |      -(s2x1*(s2x2-s2x1) + s2y1*(s2y2-s2y1))
+             |        / ((s2x2-s2x1)*(s2x2-s2x1) + (s2y2-s2y1)*(s2y2-s2y1))))
+             |      * (s2y2-s2y1) AS c2y
+             |  FROM pd)
+             |SELECT event_id,
+             |  ROUND(
+             |    12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |      SIN(RADIANS(0.0)/2)*SIN(RADIANS(0.0)/2)
+             |      + COS(RADIANS(0.0))*COS(RADIANS(0.0))
+             |        *SIN(RADIANS(10.0)/2)*SIN(RADIANS(10.0)/2)))) +
+             |    12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |      SIN(RADIANS(10.0)/2)*SIN(RADIANS(10.0)/2)
+             |      + COS(RADIANS(0.0))*COS(RADIANS(10.0))
+             |        *SIN(RADIANS(0.0)/2)*SIN(RADIANS(0.0)/2)))), 1) AS len,
+             |  ROUND(LEAST(SQRT(c1x*c1x + c1y*c1y), SQRT(c2x*c2x + c2y*c2y))
+             |    * (PI() / 180 * 6371000.0), 1) AS dpl
+             |FROM t ORDER BY event_id""".stripMargin)),
+
     // isascii / toguid (canonical-form parse, lowercase, else null) /
     // make_list_with_nulls (null-preserving collect vs make_list's dropping)
     QueryDef("q_kql_scalar_misc12",
