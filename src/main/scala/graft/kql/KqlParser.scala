@@ -1929,12 +1929,30 @@ object KqlParser {
     private def parseSortList(): Seq[Column] = {
       def one(): Column = {
         val e = parseExpr()
-        if (atIdent("desc")) { pos += 1; e.desc }
-        else if (atIdent("asc")) { pos += 1; e.asc }
         // Kusto's default sort direction is DESCENDING (`sort by x` ≡
-        // `sort by x desc`); Spark's desc = desc_nulls_last matches Kusto's
-        // null placement for desc
-        else e.desc
+        // `sort by x desc`); Spark's defaults (asc = nulls first, desc =
+        // nulls last) match Kusto's null placement, and an explicit
+        // `nulls first|last` overrides it
+        val dir = if (atIdent("desc")) { pos += 1; "desc" }
+          else if (atIdent("asc")) { pos += 1; "asc" }
+          else "desc"
+        val nullsPos = if (atIdent("nulls")) {
+          pos += 1
+          ident() match {
+            case "first" => Some(true)
+            case "last" => Some(false)
+            case o => throw new IllegalArgumentException(
+              s"sort: expected nulls first|last, got nulls $o")
+          }
+        } else None
+        (dir, nullsPos) match {
+          case ("asc", Some(true)) => e.asc_nulls_first
+          case ("asc", Some(false)) => e.asc_nulls_last
+          case ("asc", None) => e.asc
+          case (_, Some(true)) => e.desc_nulls_first
+          case (_, Some(false)) => e.desc_nulls_last
+          case _ => e.desc
+        }
       }
       val out = Seq.newBuilder[Column]
       out += one()

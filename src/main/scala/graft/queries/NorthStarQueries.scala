@@ -271,6 +271,42 @@ object NorthStarQueries {
              |    ORDER BY doc_id) AS rn
              |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware dedup: within each exact-duplicate cluster keep the doc
+    // the QUALITY model ranks best (tie → min doc_id) — the usual corpus
+    // policy (keep the best copy, not the first) composed from the dedup key
+    // and the quality score; one window over the hash-partitioned clusters
+    QueryDef("q_exact_dedup_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("content_hash"))
+          .orderBy(TA.qualityScore(col("text")).desc, col("doc_id").asc)
+        T(s, d, "documents")
+          .extend("content_hash" -> md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .project(col("doc_id"), col("lang"), col("source"))
+          .sortBy(col("doc_id"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, lang, source,
+              |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+              |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+              |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dist,
+              |  CAST(len(list_filter(string_split(lower(text), ' '),
+              |    x -> list_contains(${TA.stopwords.mkString("['", "','", "']")}, x))) AS DOUBLE) AS n_stop,
+              |  CAST(length(text) AS DOUBLE) AS n_chars,
+              |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+              |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+              |  FROM documents),
+              |sc AS (SELECT doc_id, lang, source, h, LEAST(1.0, GREATEST(0.0,
+              |  0.35 * (n_dist / GREATEST(n_tok, 1.0))
+              |  + 0.25 * LEAST(n_stop / GREATEST(n_tok, 1.0) * 4, 1.0)
+              |  + 0.4 * (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.5 END)
+              |  - n_punct / GREATEST(n_chars, 1.0)
+              |  - n_digit / GREATEST(n_chars, 1.0))) AS score FROM m)
+              |SELECT doc_id, lang, source FROM (
+              |  SELECT doc_id, lang, source, ROW_NUMBER() OVER (
+              |    PARTITION BY h ORDER BY score DESC, doc_id) AS rn FROM sc)
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // --- quality scoring (deterministic arithmetic, oracle-matched) ---------
     QueryDef("q_quality",
       (s, d) => T(s, d, "documents")

@@ -861,6 +861,21 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getString(3) == "" && r.getString(4) == "")
   }
 
+  test("sort by ... nulls first/last overrides the default placement") {
+    val ascFirst = run(
+      "t | extend v2 = iff(id == 2, null, v) | sort by v2 asc nulls first | project id")
+      .as[Long].collect()
+    assert(ascFirst.head == 2L)
+    val ascLast = run(
+      "t | extend v2 = iff(id == 2, null, v) | sort by v2 asc nulls last | project id")
+      .as[Long].collect()
+    assert(ascLast.last == 2L)
+    val descFirst = run(
+      "t | extend v2 = iff(id == 2, null, v) | sort by v2 desc nulls first | project id")
+      .as[Long].collect()
+    assert(descFirst.head == 2L)
+  }
+
   test("punycode: RFC 3492 vectors, roundtrip, all-ascii, malformed") {
     val r = run(
       """t | where id == 1
