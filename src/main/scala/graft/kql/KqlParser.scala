@@ -1754,6 +1754,14 @@ object KqlParser {
 
     private def parseAgg(fname: String): Column = {
       eatPunct("(")
+      // take_any(*): any whole row — deterministic min-by-row (Kusto leaves
+      // the winner unspecified; picking the struct-minimum row makes the
+      // result replayable, the innerunique/make_bag determinism convention)
+      if (fname == "take_any" && atPunct("*")) {
+        pos += 1; eatPunct(")")
+        lastAggExpands = true
+        return min(struct(col("*")))
+      }
       if ((fname == "arg_max" || fname == "arg_min") && {
         // lookahead: first arg, then ", *"
         val save = pos

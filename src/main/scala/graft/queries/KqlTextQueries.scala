@@ -494,6 +494,22 @@ object KqlTextQueries {
              |  FROM events WHERE event_id % 50 = 0)
              |WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    // take_any(*): deterministic min-by-row-tuple (documented deviation from
+    // Kusto's unspecified winner) — ties impossible since event_id leads the
+    // tuple, so the oracle is a plain min-event_id window
+    QueryDef("q_kql_take_any_star",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 50 == 0
+          || summarize take_any(*) by event_type
+          || project event_type, event_id, user_id, value
+          || sort by event_type asc""".stripMargin),
+      Some("""SELECT event_type, event_id, user_id, value FROM (
+             |  SELECT event_type, event_id, user_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+             |  FROM events WHERE event_id % 50 = 0)
+             |WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // negated / case-variant predicate forms
     QueryDef("q_kql_where_negated",
       (s, d) => run(s, d,

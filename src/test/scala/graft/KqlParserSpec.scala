@@ -767,6 +767,13 @@ class KqlParserSpec extends SparkSpec {
     assert(named == ((5L, "bob")))
   }
 
+  test("take_any(*) expands a deterministic whole row per group") {
+    val df = run("t | summarize take_any(*) by etype | sort by etype asc")
+    assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
+    val rows = df.select("etype", "id").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("click", 1L), ("purchase", 4L), ("view", 2L)))
+  }
+
   test("percentiles() expands to Kusto-named columns; dynamic bag literal") {
     val df = run("t | summarize percentiles(v, 25, 50, 99.9)")
     assert(df.columns.toSeq ==
