@@ -2778,8 +2778,28 @@ object KqlParser {
         case "set_difference" => array_sort(args.reduceLeft(array_except))
         case "zip" => arrays_zip(args: _*)
         case "array_reverse" => reverse(args.head)
-        case "array_sort_asc" => array_sort(args.head)
-        case "array_sort_desc" => reverse(array_sort(args.head))
+        case "array_sort_asc" | "array_sort_desc" =>
+          // multi-array form: companion arrays reorder by the FIRST array's
+          // sort order (ties keep original position — sort_array on the
+          // (key, index, companions…) struct is lexicographic, like Kusto).
+          // Single-array calls keep the plain codegen'd array_sort.
+          if (args.length == 1) {
+            if (f == "array_sort_asc") array_sort(args.head)
+            else reverse(array_sort(args.head))
+          } else {
+            val zipped = zip_with(args.head,
+              sequence(lit(0), size(args.head) - 1), (v, i) => struct(
+                (struct(v.as("k"), i.as("i")).as("k") +: args.tail.zipWithIndex.map {
+                  case (a, j) => element_at(a, i + 1).as(s"c$j")
+                }): _*))
+            val sorted0 = array_sort(zipped)
+            val sorted = if (f == "array_sort_asc") sorted0 else reverse(sorted0)
+            // returns an array-of-arrays bag: [sorted key, companions…]
+            // stringify via element access; Kusto returns a dynamic of arrays
+            array((transform(sorted, s => s.getField("k").getField("k")) +:
+              args.tail.indices.map(j =>
+                transform(sorted, s => s.getField(s"c$j")))): _*)
+          }
         case "array_rotate_left" =>
           // pmod: negative counts rotate the other way (Kusto semantics);
           // the size==0 guard avoids ANSI divide-by-zero on empty arrays

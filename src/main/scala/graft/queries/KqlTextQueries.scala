@@ -2542,6 +2542,30 @@ object KqlTextQueries {
              |FROM events WHERE event_id % 100 = 0
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // multi-array array_sort_asc: companion arrays reorder by the key
+    // array's order (stable on ties via the original index) — the oracle
+    // replays the same lexicographic struct sort
+    QueryDef("q_kql_scalar_misc13",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 500 == 0
+          || extend k = pack_array(event_id % 7, event_id % 5, event_id % 3),
+          |    c = pack_array(1, 2, 3)
+          || extend srt = array_sort_asc(k, c)
+          || extend ks = strcat_array(srt[0], ';'), cs = strcat_array(srt[1], ';')
+          || project event_id, ks, cs
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_id,
+             |    [event_id % 7, event_id % 5, event_id % 3] AS k,
+             |    [1, 2, 3] AS c
+             |  FROM events WHERE event_id % 500 = 0),
+             |z AS (SELECT event_id, list_sort(list_transform(range(1, 4),
+             |    i -> {'k': k[i], 'i': i, 'c': c[i]})) AS s FROM b)
+             |SELECT event_id,
+             |  array_to_string(list_transform(s, x -> CAST(x.k AS VARCHAR)), ';') AS ks,
+             |  array_to_string(list_transform(s, x -> CAST(x.c AS VARCHAR)), ';') AS cs
+             |FROM z ORDER BY event_id""".stripMargin)),
+
     // graph-mark-components + graph-to-table nodes: weak components of the
     // multiplicative-orbit graph u -> 4u mod 25 (five components of sizes
     // 1/2/2/10/10), labeled by min node id via the distributed min-label

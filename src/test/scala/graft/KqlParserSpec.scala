@@ -767,6 +767,16 @@ class KqlParserSpec extends SparkSpec {
     assert(named == ((5L, "bob")))
   }
 
+  test("array_sort_asc/desc multi-array form reorders companions by the key order") {
+    val r = run(
+      """t | take 1
+        || extend k = pack_array(3, 1, 2), c = pack_array(30, 10, 20)
+        || extend s = array_sort_asc(k, c), d = array_sort_desc(k, c)
+        || project s, d""".stripMargin).collect().head
+    assert(r.getSeq[Seq[Long]](0) == Seq(Seq(1L, 2L, 3L), Seq(10L, 20L, 30L)))
+    assert(r.getSeq[Seq[Long]](1) == Seq(Seq(3L, 2L, 1L), Seq(30L, 20L, 10L)))
+  }
+
   test("take_any(*) expands a deterministic whole row per group") {
     val df = run("t | summarize take_any(*) by etype | sort by etype asc")
     assert(df.columns.toSeq == Seq("etype", "id", "user", "v", "ts"))
