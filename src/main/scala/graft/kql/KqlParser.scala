@@ -2414,7 +2414,16 @@ object KqlParser {
           timestamp_micros((args.head.cast("long") / 1000L).cast("long"))
         case "todynamic" | "parse_json" => KqlFunctions.todynamic(args.head)
         // string
-        case "indexof" => instr(args.head, litString(args(1))) - 1 // KQL: 0-based, -1 absent
+        case "indexof" =>
+          // indexof(s, sub [, start]) — 0-based, -1 absent; start is a
+          // literal offset (the common Kusto form)
+          if (args.length == 2) instr(args.head, litString(args(1))) - 1
+          else {
+            val st0 = litLong(args(2)).toInt
+            require(st0 >= 0, s"indexof: start must be non-negative, got $st0")
+            val found = locate(litString(args(1)), args.head, st0 + 1)
+            when(found > 0, (found - 1).cast("long")).otherwise(lit(-1L))
+          }
         case "countof" =>
           // countof(s, term [, 'normal'|'regex'])
           if (args.length > 2 && litString(args(2)) == "regex")
@@ -2745,7 +2754,16 @@ object KqlParser {
           slice(args.head, args(1).cast("int") + 1,
             (args(2) - args(1) + 1).cast("int"))
         case "array_index_of" =>
-          (array_position(args.head, args(1)) - 1).cast("long") // 0-based, -1 absent
+          // array_index_of(arr, v [, start]) — 0-based, -1 absent
+          if (args.length == 2)
+            (array_position(args.head, args(1)) - 1).cast("long")
+          else {
+            val st = greatest(lit(0), args(2).cast("int"))
+            val sub = slice(args.head, st + 1,
+              greatest(size(args.head) - st, lit(0)))
+            val p = array_position(sub, args(1))
+            when(p > 0, (p - 1 + st).cast("long")).otherwise(lit(-1L))
+          }
         case "jaccard_index" =>
           // |a ∩ b| / |a ∪ b| over the distinct element sets
           (size(array_intersect(args.head, args(1))).cast("double") /

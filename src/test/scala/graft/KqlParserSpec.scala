@@ -767,6 +767,20 @@ class KqlParserSpec extends SparkSpec {
     assert(named == ((5L, "bob")))
   }
 
+  test("indexof / array_index_of with start offsets") {
+    val r = run(
+      """t | take 1
+        || extend a = indexof('abcabc', 'b'), b = indexof('abcabc', 'b', 2),
+        |    c = indexof('abcabc', 'z', 1),
+        |    d = array_index_of(pack_array(5, 7, 5), 5),
+        |    e = array_index_of(pack_array(5, 7, 5), 5, 1),
+        |    f = array_index_of(pack_array(5, 7, 5), 9, 1)
+        || project a, b, c, d, e, f""".stripMargin).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == -1L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 2L && r.getLong(5) == -1L)
+    assert(r.getAs[Number](0).longValue == 1L)
+  }
+
   test("array_sort_asc/desc multi-array form reorders companions by the key order") {
     val r = run(
       """t | take 1
