@@ -1169,10 +1169,21 @@ object KqlParser {
           .groupBy("Pattern")
           .agg(count(lit(1)).as("Count"), min(col("__v")).as("Representative"))
       case "parse" | "parse-where" =>
-        // `parse Col with ['*'] ('lit' Name[:type])...` — literals anchor, names
-        // capture lazily between them (last capture runs to end of string).
-        // parse-where additionally DROPS rows the pattern does not match
-        // (plain parse keeps them with empty/null captures, like Kusto).
+        // `parse [kind=simple|relaxed|regex [flags=…]] Col with ['*']
+        // ('lit' Name[:type])...` — literals anchor, names capture lazily
+        // between them (last capture runs to end of string). kind=regex
+        // treats literal segments as RAW regex (parenthesize alternations);
+        // kind=relaxed equals simple here because typed captures already
+        // try_cast (Kusto's relaxed semantics). parse-where additionally
+        // DROPS rows the pattern does not match (plain parse keeps them with
+        // empty/null captures, like Kusto).
+        var pkind = "simple"
+        if (atIdent("kind")) {
+          pos += 1; eatPunct("="); pkind = ident()
+          require(Set("simple", "relaxed", "regex")(pkind),
+            s"parse: unsupported kind=$pkind")
+          if (atIdent("flags")) { pos += 1; eatPunct("="); val _ = next() }
+        }
         val src = col(ident())
         eatIdent("with")
         val leadingStar = if (atPunct("*")) { pos += 1; true } else false
@@ -1191,7 +1202,12 @@ object KqlParser {
         val names = parts.collect { case Right(nt) => nt }
         val regex = new StringBuilder(if (leadingStar) "^.*?" else "^")
         parts.zipWithIndex.foreach {
-          case (Left(s), _) => regex ++= java.util.regex.Pattern.quote(s)
+          case (Left(s), _) =>
+            // kind=regex: user groups become non-capturing so the capture
+            // indices stay aligned with the Name segments
+            regex ++= (if (pkind == "regex")
+              s.replaceAll("(?<!\\\\)\\((?!\\?)", "(?:")
+            else java.util.regex.Pattern.quote(s))
           case (Right(_), i) =>
             regex ++= (if (i == parts.size - 1) "(.*)" else "(.*?)")
         }
@@ -1802,6 +1818,9 @@ object KqlParser {
         // and `evaluate dcount_intersect`; `hll` above keeps its historical
         // direct-estimate mapping (documented deviation)
         case "hll_sketch" => hll_sketch_agg(args.head)
+        // merge stored sketches (two-level rollup: sketch per fine group,
+        // union per coarse group — the merge touches GROUPS, never rows)
+        case "hll_merge" => hll_union_agg(args.head)
         // KQL percentile takes 0-100; Spark's takes a [0,1] fraction
         case "percentile" => percentile(args.head, lit(litDouble(args(1)) / 100.0))
         case "percentiles" =>
@@ -2535,6 +2554,8 @@ object KqlParser {
         // crawl-pipeline URL canonicalization (not Kusto; TextAnalysis.scala)
         case "url_normalize" => graft.functions.TextAnalysis.urlNormalize(args.head)
         case "isascii" => !args.head.rlike("[^\\x00-\\x7F]") && args.head.isNotNull
+        // distinct-count readout of a stored/merged hll sketch
+        case "dcount_hll" => hll_sketch_estimate(args.head)
         case "toguid" =>
           // canonical 8-4-4-4-12 hex form, lowercased; anything else → null
           when(args.head.rlike(

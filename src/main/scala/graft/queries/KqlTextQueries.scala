@@ -2542,6 +2542,29 @@ object KqlTextQueries {
              |FROM events WHERE event_id % 100 = 0
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // hll_sketch / hll_merge / dcount_hll through KQL text: per-day sketches
+    // union per type WITHOUT rescanning rows (the stored-sketch rollup path);
+    // the oracle asserts the estimate lands within 5% of exact and that the
+    // merge deduplicates across days (q_hll_merge's contract, text surface)
+    QueryDef("q_kql_hll_rollup",
+      (s, d) => run(s, d,
+        """events
+          || summarize h = hll_sketch(user_id), ex = dcount(user_id)
+          |  by event_type, b = bin(ts, 1d)
+          || summarize hm = hll_merge(h), sd = sum(ex) by event_type
+          || extend est = tolong(dcount_hll(hm))
+          || join kind=inner (events | summarize tot = dcount(user_id) by event_type)
+          |  on event_type
+          || project event_type, ok = abs(est - tot) * 100 <= tot * 5, geq = sd >= tot
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH t AS (SELECT event_type, COUNT(DISTINCT user_id) AS tot
+             |  FROM events GROUP BY 1),
+             |dd AS (SELECT event_type, date_trunc('day', ts) AS b,
+             |    COUNT(DISTINCT user_id) AS ex FROM events GROUP BY 1, 2),
+             |sb AS (SELECT event_type, SUM(ex) AS sd FROM dd GROUP BY 1)
+             |SELECT t.event_type, true AS ok, sd >= tot AS geq
+             |FROM t JOIN sb USING (event_type) ORDER BY event_type""".stripMargin)),
+
     // multi-array array_sort_asc: companion arrays reorder by the key
     // array's order (stable on ties via the original index) — the oracle
     // replays the same lexicographic struct sort

@@ -767,6 +767,20 @@ class KqlParserSpec extends SparkSpec {
     assert(named == ((5L, "bob")))
   }
 
+  test("parse kind=regex treats literals as raw regex with aligned captures") {
+    val df = run(
+      """t | extend s = strcat('k', tostring(id), '#x')
+        || parse kind=regex s with '(k|q)' n:long '#' rest
+        || project id, n, rest | sort by id asc""".stripMargin)
+    val rows = df.as[(Long, Long, String)].collect()
+    assert(rows.forall { case (id, n, rest) => n == id && rest == "x" })
+    // kind=simple quotes the same literal, so nothing matches
+    val simple = run(
+      """t | extend s = strcat('k', tostring(id), '#x')
+        || parse-where s with '(k|q)' n:long '#' rest""".stripMargin)
+    assert(simple.count() == 0)
+  }
+
   test("indexof / array_index_of with start offsets") {
     val r = run(
       """t | take 1
