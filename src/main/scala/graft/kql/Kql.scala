@@ -198,12 +198,13 @@ object Kql {
       * TakeOrdered over aggregated keys, not a sort of the data; deeper levels
       * use a window partitioned by the prefix. Selected-prefix sets are top-n
       * bounded (≤ Π n_i rows) and broadcast. */
-    def topNestedMulti(levels: Seq[(Int, String, Column, String)],
+    def topNestedMulti(levels: Seq[(Int, String, Column, String, Boolean)],
                        othersLabel: Option[String] = None): DataFrame = {
       require(levels.nonEmpty, "top-nested needs at least one level")
       var selected: DataFrame = null
       val last = levels.size - 1
-      levels.zipWithIndex.foreach { case ((n, key, agg, aggName), i) =>
+      levels.zipWithIndex.foreach { case ((n, key, agg, aggName, asc), i) =>
+        def rankOrder = if (asc) col(aggName).asc else col(aggName).desc
         val prefix = levels.take(i).map(_._2)
         val base =
           if (selected == null) df
@@ -211,10 +212,10 @@ object Kql {
             prefix, "left_semi")
         val grouped = base.groupBy((prefix :+ key).map(col): _*).agg(agg.as(aggName))
         var topped =
-          if (i == 0) grouped.orderBy(col(aggName).desc, col(key)).limit(n)
+          if (i == 0) grouped.orderBy(rankOrder, col(key)).limit(n)
           else {
             val w = Window.partitionBy(prefix.map(col): _*)
-              .orderBy(col(aggName).desc, col(key))
+              .orderBy(rankOrder, col(key))
             grouped.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") <= n).drop("__rn")
           }
@@ -236,7 +237,7 @@ object Kql {
           if (selected == null) topped
           else topped.join(broadcast(selected), prefix, "inner")
       }
-      selected.select(levels.flatMap { case (_, k, _, a) => Seq(col(k), col(a)) }: _*)
+      selected.select(levels.flatMap { case (_, k, _, a, _) => Seq(col(k), col(a)) }: _*)
     }
 
     /** `mv-expand c` — explode an array column into one row per element.

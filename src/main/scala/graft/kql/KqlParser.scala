@@ -1627,7 +1627,7 @@ object KqlParser {
         // `top-nested N1 of k1 by [name =] agg1, top-nested N2 of k2 by agg2, ...
         //  [with others = 'label']` — others supported on the FINAL level: one
         // extra row per surviving prefix aggregating the non-top keys
-        val levels = Seq.newBuilder[(Int, String, Column, String)]
+        val levels = Seq.newBuilder[(Int, String, Column, String, Boolean)]
         var others: Option[String] = None
         def oneLevel(): Unit = {
           val n = parseInt()
@@ -1639,7 +1639,11 @@ object KqlParser {
               toks(pos + 1) == Punct("=")) {
               val an = ident(); eatPunct("="); (parseAgg(ident()), an)
             } else { val f = ident(); (parseAgg(f), s"aggregated_$key") }
-          levels += ((n, key, agg, aggName))
+          // optional rank direction (Kusto: asc selects the BOTTOM keys)
+          val asc = if (atIdent("asc")) { pos += 1; true }
+            else if (atIdent("desc")) { pos += 1; false }
+            else false
+          levels += ((n, key, agg, aggName, asc))
           if (atIdent("with")) {
             pos += 1; eatIdent("others"); eatPunct("=")
             others = Some(strLitS())

@@ -767,6 +767,15 @@ class KqlParserSpec extends SparkSpec {
     assert(named == ((5L, "bob")))
   }
 
+  test("top-nested asc selects the bottom keys") {
+    val bottom = run("t | top-nested 1 of etype by s = sum(v) asc")
+      .select("etype").as[String].collect().toSeq
+    assert(bottom == Seq("view")) // sums: click 67.25, purchase 99, view 25.5
+    val top = run("t | top-nested 1 of etype by s = sum(v)")
+      .select("etype").as[String].collect().toSeq
+    assert(top == Seq("purchase"))
+  }
+
   test("parse kind=regex treats literals as raw regex with aligned captures") {
     val df = run(
       """t | extend s = strcat('k', tostring(id), '#x')
