@@ -916,6 +916,10 @@ object KqlParser {
               if (!atPunct(")")) aggArg = Some(ident())
               eatPunct(")")
             }
+            // optional trailing columns restrict the GROUP set (Kusto's
+            // pivot(pc, agg(x), col1, col2, …) form)
+            val pivotGroups = Seq.newBuilder[String]
+            while (atPunct(",")) { pos += 1; pivotGroups += ident() }
             eatPunct(")")
             val aggC = (aggFn, aggArg) match {
               case ("count", None) => count(lit(1))
@@ -927,8 +931,11 @@ object KqlParser {
               case other => throw new IllegalArgumentException(
                 s"unsupported pivot aggregate: $other")
             }
-            val groups = df.columns.filterNot(c => c == pc || aggArg.contains(c))
-            df.groupBy(groups.map(col).toIndexedSeq: _*).pivot(pc).agg(aggC)
+            val explicitGroups = pivotGroups.result()
+            val groups =
+              if (explicitGroups.nonEmpty) explicitGroups
+              else df.columns.filterNot(c => c == pc || aggArg.contains(c)).toSeq
+            df.groupBy(groups.map(col): _*).pivot(pc).agg(aggC)
           case "basket" | "autocluster" =>
             // `evaluate basket(threshold, c1, ..., ck)` / `evaluate
             // autocluster(c1, ..., ck)` — frequent attribute combinations

@@ -767,6 +767,13 @@ class KqlParserSpec extends SparkSpec {
     assert(named == ((5L, "bob")))
   }
 
+  test("pivot with an explicit group-column list restricts the group set") {
+    val df = run("t | evaluate pivot(etype, sum(v), user) | sort by user asc")
+    assert(df.columns.toSeq == Seq("user", "click", "purchase", "view"))
+    val alice = df.filter(col("user") === "alice").collect().head
+    assert(alice.getDouble(1) == 60.0 && alice.isNullAt(2) && alice.isNullAt(3))
+  }
+
   test("top-nested asc selects the bottom keys") {
     val bottom = run("t | top-nested 1 of etype by s = sum(v) asc")
       .select("etype").as[String].collect().toSeq
