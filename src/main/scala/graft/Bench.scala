@@ -7,12 +7,14 @@ import org.apache.spark.sql.SparkSession
   * Methodology: results go to the noop sink (`format("noop")`), which executes the
   * full plan — every projection is materialized, unlike `.count()` which lets
   * Catalyst prune unreferenced expressions. Timing defends against sustained
-  * noisy-neighbor CPU steal: passes are INTERLEAVED (every query runs once, then
-  * the whole suite repeats) so the two samples of a query are minutes apart and
-  * never share one steal window; per-query time is the min across passes, and any
-  * query whose samples disagree by >3x gets a third tie-break sample
-  * (disclosed as "timing":"min_of_2_interleaved+retry"). Failures are recorded
-  * per-query in an `errors` map instead of being swallowed. */
+  * noisy-neighbor CPU steal AND against suite-position bias: three INTERLEAVED
+  * passes (every query runs once, then the whole suite repeats), each pass
+  * rotated by a third of the suite so a query's samples are minutes apart,
+  * never share one steal window, and never all land at a pass boundary;
+  * per-query time is the min across passes, and any query whose min lacks a
+  * corroborating sample within 2x gets a tie-break sample (disclosed as
+  * "timing":"min_of_3_rotated+retry"). Failures are recorded per-query in an
+  * `errors` map instead of being swallowed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,11 +59,30 @@ object Bench {
         samples += name -> (samples(name) :+ (System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => () }
     }
-    // two interleaved passes over the whole suite, then a third sample for any
-    // query whose two timings disagree >3x (one of them hit a steal window)
-    (1 to 2).foreach(_ => names.foreach(runOne))
+    // Three interleaved passes over the whole suite, each pass ROTATED by a
+    // third of the suite so no query ever samples twice at the same suite
+    // position. Round-8 lesson (driver run vs builder run, judge-diffed): the
+    // queries that "regressed >2x with unchanged code" were exactly suite
+    // positions 1-8 — with sorted-order passes, an early-alphabet query takes
+    // BOTH its samples at a pass boundary (cold JIT right after warmup; the
+    // previous pass's GC debt), so min-of-2 cannot shed the boundary penalty
+    // (~3x, measured: isolated run1 1.9s vs run2/3 0.5s). Rotation decorrelates
+    // sample position from query name; the GC barrier between passes stops a
+    // pass from billing its garbage to the next pass's first queries.
+    val third = math.max(1, names.size / 3)
+    (0 until 3).foreach { p =>
+      val rotated = names.drop(p * third) ++ names.take(p * third)
+      rotated.foreach(runOne)
+      System.gc()
+    }
+    // Tie-break: the min is trusted when a second sample lands within 2x of
+    // it. With rotated passes one boundary-inflated sample per query is
+    // EXPECTED, so keying the retry on max/min would re-run most of the suite;
+    // keying it on the two best samples re-runs only queries whose min is
+    // uncorroborated (a lone fast outlier, or every sample pressured).
     names.filter { n =>
-      val s = samples(n); s.size == 2 && s.max > 3.0 * s.min
+      val s = samples(n).sorted
+      s.size >= 2 && s(1) > 2.0 * s(0)
     }.foreach(retryOne)
     // the >3x tie-break never fires when BOTH samples sat inside one sustained
     // steal window (round-3 driver run: q_ngram_jaccard 244s in both passes,
@@ -77,7 +98,7 @@ object Bench {
         val slowCut = math.max(5.0, 5.0 * median)
         names.filterNot(failed).filter { n =>
           val s = samples(n)
-          s.min > slowCut && !(s.size >= 3 && s.last <= s.min * 1.5)
+          s.min > slowCut && !(s.size >= 4 && s.last <= s.min * 1.5)
         }.foreach(retryOne)
       }
     }
@@ -89,7 +110,7 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_interleaved+retry","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_3_rotated+retry","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     // Full per-query map goes to a FILE; stdout gets a COMPACT line. The
     // driver captures only the last 2000 bytes of stdout (BENCH_r03 "tail"),
     // so the full 115-query line can never survive — the compact line (total +
@@ -99,7 +120,7 @@ object Bench {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = times.sortBy(-_._2).take(20)
       .map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${times.size},"timing":"min_of_2_interleaved+retry","queries":$slowest,"queries_file":"BENCH_LOCAL.json","errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${times.size},"timing":"min_of_3_rotated+retry","queries":$slowest,"queries_file":"BENCH_LOCAL.json","errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     println(compact)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",").toSeq
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val sfDir = if (args.length > 1 && !args(1).startsWith("-")) args(1) else "/root/testdata/sf0.001"
     val explain = args.contains("-explain")
+    val runs = args.collectFirst { case a if a.startsWith("-n") => a.drop(2).toInt }.getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +23,7 @@ object Profile {
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       if (explain) df.explain("formatted")
-      (1 to 2).foreach { i =>
+      (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"[$name] run$i t=${(System.nanoTime() - t0) / 1e9}%.2fs")
