@@ -106,10 +106,14 @@ object SeriesFunctions {
         lit(0.0), (a, x) => a + x.cast("double")))
 
   /** Trailing moving average; partial head windows divide by their true size. */
-  def seriesMovingAvg(arr: Column, w: Int): Column =
+  def seriesMovingAvg(arr: Column, w: Int): Column = seriesMovingAvg(arr, lit(w))
+
+  /** Column-window form (same arithmetic: exact sum, one IEEE division) so the
+    * window can come from per-row period detection (`series_decompose(x, -1)`). */
+  def seriesMovingAvg(arr: Column, w: Column): Column =
     transform(arr, (_, i) =>
-      aggregate(slice(arr, greatest(i - w + 2, lit(1)), least(i + 1, lit(w))),
-        lit(0.0), (a, x) => a + x.cast("double")) / least(i + 1, lit(w)))
+      aggregate(slice(arr, greatest(i - w + 2, lit(1)), least(i + 1, w)),
+        lit(0.0), (a, x) => a + x.cast("double")) / least(i + 1, w))
 
   /** KQL `series_fir` (trailing form): y[i] = Σ_j coef[j]·x[i−j], with partial
     * head windows (terms before the series start are dropped). `normalize`
@@ -130,7 +134,8 @@ object SeriesFunctions {
     * (documented deviations from Kusto's least-squares/auto-period variant —
     * the decomposition SHAPE matches, the smoother is simpler and exactly
     * oracle-replayable):
-    *   - `period` is explicit (no autocorrelation period detection);
+    *   - `period = -1` auto-detects via [[seriesAutoPeriod]] (top ACF lag,
+    *     Kusto's 0.7 seasonality cutoff, fallback period 1);
     *   - trend    = trailing moving average over `period` taps (partial head
     *                windows divide by their true size) — integral inputs sum
     *                exactly in doubles, then one IEEE division;
@@ -143,15 +148,22 @@ object SeriesFunctions {
     * A phase with no occupants (series shorter than the period) yields null
     * seasonal/baseline/residual entries rather than erroring. */
   def seriesDecompose(arr: Column, period: Int): Column = {
-    require(period > 0, s"series_decompose period must be positive, got $period")
-    val p = lit(period)
+    require(period == -1 || period > 0,
+      s"series_decompose period must be positive or -1 (auto), got $period")
+    if (period == -1) seriesDecomposeAuto(arr) else seriesDecompose(arr, lit(period))
+  }
+
+  /** Column-period form of [[seriesDecompose]] — identical arithmetic with the
+    * period supplied per row (used by the `-1` auto-period path). */
+  def seriesDecompose(arr: Column, periodCol: Column): Column = {
     // every intermediate is bound exactly once (see `bound`) — the chain is
     // O(n·p) end to end instead of re-deriving the whole prefix per element
     bound(arr) { x =>
-    bound(seriesMovingAvg(x, period)) { t =>
+    bound(periodCol.cast("int")) { p =>
+    bound(seriesMovingAvg(x, p)) { t =>
     bound(zip_with(x, t, (a, b) => a.cast("double") - b)) { d =>
     // p-entry lookup table: phase → lower median of detrended[i] with i≡phase
-    bound(transform(sequence(lit(0), lit(period - 1)), q => {
+    bound(transform(sequence(lit(0), p - 1), q => {
       val ph = array_sort(filter(d, (_, i) => pmod(i, p) === q))
       try_element_at(ph, greatest(ceil(size(ph) * 0.5), lit(1)).cast("int"))
     })) { pm =>
@@ -159,8 +171,54 @@ object SeriesFunctions {
     bound(zip_with(t, se, (a, b) => a + b)) { b =>
       struct(b.as("baseline"), se.as("seasonal"), t.as("trend"),
         zip_with(x, b, (xx, bb) => xx.cast("double") - bb).as("residual"))
-    }}}}}}
+    }}}}}}}
   }
+
+  /** Auto-period detection for the KQL `-1` period argument: the lag in
+    * [2, min(⌊n/2⌋, 365)] with the highest lag-L Pearson autocorrelation (the
+    * exact scoring chain of [[seriesPeriodsDetect]]; ties → smaller lag). A
+    * top score below `threshold` (Kusto's documented 0.7 seasonality cutoff)
+    * means "no seasonality detected" and falls back to period 1, which
+    * degenerates the decomposition to baseline = x (trend window 1, zero
+    * seasonal medians, zero residual) — deterministic and oracle-replayable.
+    * Integral inputs keep every ACF sum exact, so the score ranking is
+    * bit-identical across engines. O(n·⌊n/2⌋) HOFs per row, zero shuffles. */
+  def seriesAutoPeriod(arr: Column, threshold: Double = 0.7): Column =
+    bound(arr) { a =>
+      val n = size(a)
+      bound(transform(sequence(lit(2), greatest(lit(2),
+          least(floor(n / 2).cast("int"), lit(365)))), l => {
+        val m = greatest(n - l, lit(0))
+        val x = slice(a, lit(1), m)
+        val y = slice(a, l + 1, m)
+        val md = m.cast("double")
+        val sa = dsum(x)
+        val sb = dsum(y)
+        val sab = aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        val saa = aggregate(x, lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))
+        val sbb = aggregate(y, lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))
+        val den = sqrt(md * saa - sa * sa) * sqrt(md * sbb - sb * sb)
+        val score = when(m < 2 || den === 0, lit(0.0))
+          .otherwise((md * sab - sa * sb) / den)
+        struct(l.as("period"), score.as("score"))
+      })) { cands =>
+        bound(element_at(array_sort(cands, (p, q) =>
+          when(p.getField("score") > q.getField("score"), -1)
+            .when(p.getField("score") < q.getField("score"), 1)
+            .otherwise(p.getField("period") - q.getField("period"))), 1)) { top =>
+          when(top.isNotNull && top.getField("score") >= threshold,
+            top.getField("period").cast("int")).otherwise(lit(1))
+        }
+      }
+    }
+
+  /** KQL `series_decompose(x, -1)` / `series_decompose(x)`: decomposition with
+    * the period auto-detected per row by [[seriesAutoPeriod]]. */
+  def seriesDecomposeAuto(arr: Column): Column =
+    bound(arr) { x => seriesDecompose(x, seriesAutoPeriod(x)) }
 
   /** KQL `series_decompose_forecast(series, points)` → baseline array of
     * length n+points: a linear trend (the seriesFitLine closed form — exact
@@ -173,10 +231,18 @@ object SeriesFunctions {
     * fixed-order IEEE chain over exact integer inputs that a SQL oracle
     * replays bit-for-bit. Zero shuffles, O(n·p) per row inside codegen. */
   def seriesDecomposeForecast(arr: Column, points: Int, period: Int): Column = {
-    require(period > 0, s"series_decompose_forecast period must be positive, got $period")
+    require(period == -1 || period > 0,
+      s"series_decompose_forecast period must be positive or -1 (auto), got $period")
     require(points >= 0, s"series_decompose_forecast points must be >= 0, got $points")
-    val p = lit(period)
+    if (period == -1)
+      bound(arr) { x => seriesDecomposeForecast(x, points, seriesAutoPeriod(x)) }
+    else seriesDecomposeForecast(arr, points, lit(period))
+  }
+
+  /** Column-period form of [[seriesDecomposeForecast]] (auto-period path). */
+  def seriesDecomposeForecast(arr: Column, points: Int, periodCol: Column): Column = {
     bound(arr) { x =>
+    bound(periodCol.cast("int")) { p =>
     bound(seriesFitLine(x)) { fit =>
     bound(struct(fit.getField("slope").as("m"), fit.getField("intercept").as("b"))) { mb =>
     val slope = mb.getField("m")
@@ -186,13 +252,13 @@ object SeriesFunctions {
     bound(transform(x, (v, i) =>
       v.cast("double") - (slope * i.cast("double") + intercept))) { d =>
     // p-entry phase table: lower median of detrended values at i ≡ phase
-    bound(transform(sequence(lit(0), lit(period - 1)), q => {
+    bound(transform(sequence(lit(0), p - 1), q => {
       val ph = array_sort(filter(d, (_, i) => pmod(i, p) === q))
       try_element_at(ph, greatest(ceil(size(ph) * 0.5), lit(1)).cast("int"))
     })) { pm =>
       transform(sequence(lit(0), size(x) + lit(points) - 1),
         i => (slope * i.cast("double") + intercept) + element_at(pm, pmod(i, p) + 1))
-    }}}}}
+    }}}}}}
   }
 
   /** KQL `series_fit_line(series)` → struct(slope, intercept, rsquare,
@@ -468,6 +534,10 @@ object SeriesFunctions {
     * graded-score→sign contract as seriesOutliers). */
   def seriesDecomposeAnomalies(arr: Column, period: Int): Column =
     bound(seriesDecompose(arr, period).getField("residual"))(seriesOutliers)
+
+  /** `series_decompose_anomalies(x, -1)` auto-period form. */
+  def seriesDecomposeAnomalies(arr: Column, periodCol: Column): Column =
+    bound(seriesDecompose(arr, periodCol).getField("residual"))(seriesOutliers)
 
   /** Tukey-fence outlier flags: +1 above q3+1.5·iqr, −1 below q1−1.5·iqr, else
     * 0 (KQL series_outliers returns graded scores; this emits the sign — the

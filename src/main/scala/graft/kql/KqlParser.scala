@@ -2915,13 +2915,16 @@ object KqlParser {
         case "series_fill_backward" => SeriesFunctions.seriesFillBackward(args.head)
         case "series_pearson_correlation" =>
           SeriesFunctions.seriesPearson(args.head, args(1))
-        case "series_decompose" =>
-          SeriesFunctions.seriesDecompose(args.head, litLong(args(1)).toInt)
+        case "series_decompose" => // 1-arg / period=-1 → Kusto auto-period
+          SeriesFunctions.seriesDecompose(args.head,
+            if (args.length > 1) litLong(args(1)).toInt else -1)
         case "series_decompose_anomalies" =>
-          SeriesFunctions.seriesDecomposeAnomalies(args.head, litLong(args(1)).toInt)
-        case "series_decompose_forecast" =>
+          SeriesFunctions.seriesDecomposeAnomalies(args.head,
+            if (args.length > 1) litLong(args(1)).toInt else -1)
+        case "series_decompose_forecast" => // (x, points[, period=-1])
           SeriesFunctions.seriesDecomposeForecast(args.head,
-            litLong(args(1)).toInt, litLong(args(2)).toInt)
+            litLong(args(1)).toInt,
+            if (args.length > 2) litLong(args(2)).toInt else -1)
         case "series_periods_detect" =>
           SeriesFunctions.seriesPeriodsDetect(args.head, litLong(args(1)).toInt,
             litLong(args(2)).toInt, litLong(args(3)).toInt)

@@ -1369,6 +1369,94 @@ object Queries {
              |FROM det JOIN med ON det.event_type = med.event_type AND det.ph = med.ph
              |ORDER BY det.event_type, det.i""".stripMargin)),
 
+    // --- series_decompose(x, -1): Kusto's AUTO-period default ---------------
+    // The fixture's daily counts have no real seasonality (top ACF ~0.43), so
+    // the test series embeds one deterministically: c·(1 + i mod 7) for three
+    // event types (the detector must find lag 7 — or its strongest multiple —
+    // by exact-integer ACF, identically ranked on both engines), raw counts
+    // for the rest (top score < 0.7 → Kusto's seasonality cutoff → fallback
+    // period 1, which degenerates to baseline = x / residual 0). The oracle
+    // replays detection AND decomposition: ACF argmax per group, then the
+    // dynamic-period trend via a range self-join (exact integral window sums,
+    // one IEEE division), phase lower-medians, residual.
+    QueryDef("q_series_decompose_auto",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c")).as("cr"))
+        .withColumn("sr", transform(col("cr"), (v, i) =>
+          when(col("event_type").isin("click", "view", "error"),
+            (v * (lit(1) + pmod(i, lit(7)))).cast("double"))
+            .otherwise(v.cast("double"))))
+        .withColumn("p", SeriesFunctions.seriesAutoPeriod(col("sr")))
+        .withColumn("dec", SeriesFunctions.seriesDecompose(col("sr"), col("p")))
+        .select(col("event_type"), col("p"),
+          posexplode(arrays_zip(col("sr"), col("dec.trend").as("tr"),
+            col("dec.seasonal").as("se"), col("dec.residual").as("re"))))
+        .select(col("event_type"), col("p"), col("pos").cast("int").as("i"),
+          col("col.sr").as("c"), col("col.tr").as("trend"),
+          col("col.se").as("seasonal"), col("col.re").as("resid"))
+        .sortBy(col("event_type"), col("i")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, dd, c,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) AS INT) - 1 AS i
+             |  FROM daily),
+             |ser AS (
+             |  SELECT event_type, i, CAST(CASE
+             |    WHEN event_type IN ('click','view','error') THEN c * (1 + i % 7)
+             |    ELSE c END AS DOUBLE) AS c
+             |  FROM idx),
+             |cnt AS (SELECT event_type, COUNT(*) AS n FROM ser GROUP BY 1),
+             |lags AS (
+             |  SELECT event_type,
+             |    unnest(generate_series(2, GREATEST(2, LEAST(CAST(FLOOR(n/2) AS INT), 365)))) AS l
+             |  FROM cnt),
+             |acf AS (
+             |  SELECT x.event_type, l.l,
+             |    CAST(COUNT(*) AS DOUBLE) AS m,
+             |    CAST(SUM(x.c) AS DOUBLE) AS sa, CAST(SUM(y.c) AS DOUBLE) AS sb,
+             |    CAST(SUM(x.c * y.c) AS DOUBLE) AS sab,
+             |    CAST(SUM(x.c * x.c) AS DOUBLE) AS saa, CAST(SUM(y.c * y.c) AS DOUBLE) AS sbb
+             |  FROM lags l JOIN ser x ON x.event_type = l.event_type
+             |  JOIN ser y ON y.event_type = x.event_type AND y.i = x.i + l.l
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT event_type, l,
+             |    CASE WHEN m < 2 OR (sqrt(m * saa - sa * sa) * sqrt(m * sbb - sb * sb)) = 0
+             |      THEN 0.0
+             |      ELSE (m * sab - sa * sb) / (sqrt(m * saa - sa * sa) * sqrt(m * sbb - sb * sb))
+             |    END AS score
+             |  FROM acf),
+             |ranked AS (
+             |  SELECT event_type, l, score,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, l ASC) AS rn
+             |  FROM scored),
+             |per AS (
+             |  SELECT event_type, CASE WHEN score >= 0.7 THEN CAST(l AS INT) ELSE 1 END AS p
+             |  FROM ranked WHERE rn = 1),
+             |tr AS (
+             |  SELECT a.event_type, a.i, a.c, p.p,
+             |    SUM(b.c) / LEAST(a.i + 1, p.p) AS trend
+             |  FROM ser a JOIN per p ON a.event_type = p.event_type
+             |  JOIN ser b ON b.event_type = a.event_type
+             |    AND b.i BETWEEN a.i - p.p + 1 AND a.i
+             |  GROUP BY a.event_type, a.i, a.c, p.p),
+             |det AS (SELECT *, c - trend AS d, i % p AS ph FROM tr),
+             |med AS (
+             |  SELECT event_type, ph,
+             |    list_sort(list(d))[GREATEST(1, CAST(CEIL(0.5 * len(list(d))) AS INT))] AS seasonal
+             |  FROM det GROUP BY 1, 2)
+             |SELECT det.event_type AS event_type, det.p AS p, det.i AS i, det.c AS c,
+             |  det.trend AS trend, med.seasonal AS seasonal,
+             |  det.c - (det.trend + med.seasonal) AS resid
+             |FROM det JOIN med ON det.event_type = med.event_type AND det.ph = med.ph
+             |ORDER BY det.event_type, det.i""".stripMargin)),
+
     // series_fit_line: closed-form least squares per daily series. Only the
     // exactly-deterministic outputs (slope/intercept from exact integer
     // sums + single IEEE divisions) are driver-compared; rsquare/variance/

@@ -90,6 +90,31 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(short.getStruct(0).getSeq[Any](1).size == 2)
   }
 
+  test("series_decompose auto-period (-1): detects the lag, falls back below cutoff") {
+    // strong period-3 signal over 5 cycles → detector must return 3
+    val periodic = Seq.fill(5)(Seq(10.0, 200.0, 30.0)).flatten
+    val p = Seq(Tuple1(periodic)).toDF("s")
+      .select(seriesAutoPeriod($"s").as("p")).as[Int].head()
+    assert(p == 3, s"expected detected period 3, got $p")
+    // -1 routes decompose through the detector: phases repeat with period 3
+    val d = Seq(Tuple1(periodic)).toDF("s")
+      .select(seriesDecompose($"s", -1).as("d")).collect().head.getStruct(0)
+    val seasonal = d.getSeq[Double](1)
+    assert(seasonal(0) == seasonal(3) && seasonal(1) == seasonal(4))
+    // aperiodic ramp: every ACF lag < 0.7 is impossible (a ramp autocorrelates),
+    // so use a short alternating+noise-free fallback case instead: constant
+    // series has zero variance at every lag → score 0 → fallback period 1,
+    // which degenerates to baseline = x, residual = 0
+    val const = Seq(Tuple1(Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0)))
+      .toDF("s").select(seriesDecompose($"s", -1).as("d")).collect().head.getStruct(0)
+    assert(const.getSeq[Double](3).forall(_ == 0.0)) // residual
+    assert(const.getSeq[Double](0) == Seq.fill(6)(5.0)) // baseline = x
+    // empty input survives (period 1 fallback, empty components)
+    val empty = Seq(Tuple1(Seq.empty[Double])).toDF("s")
+      .select(seriesDecompose($"s", -1).as("d")).collect().head.getStruct(0)
+    assert(empty.getSeq[Any](0).isEmpty)
+  }
+
   test("series_fit_line: exact fit, noisy fit, degenerate cases") {
     // perfectly linear series: slope/intercept exact, rsquare 1, variance 0
     val exact = Seq(Tuple1(Seq(3.0, 5.0, 7.0, 9.0, 11.0)))
