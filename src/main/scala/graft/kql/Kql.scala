@@ -240,10 +240,20 @@ object Kql {
       selected.select(levels.flatMap { case (_, k, _, a, _) => Seq(col(k), col(a)) }: _*)
     }
 
+    /** A dynamic (variant) column holding a JSON array explodes like an array:
+      * normalize to `array<variant>` (null for non-array variants, so those
+      * rows drop — Kusto mv-expands a non-array dynamic to nothing too). */
+    private def expandable(c: Column): Column = {
+      val dt = try Some(df.select(c).schema.head.dataType)
+               catch { case _: Throwable => None }
+      if (dt.exists(_.typeName == "variant")) c.try_cast("array<variant>") else c
+    }
+
     /** `mv-expand c` — explode an array column into one row per element.
       * A BAG (map) column expands to one row per property carried as
       * `<name>_key` / `<name>_value` columns (Kusto emits single-entry bags;
-      * the flat pair is the relational equivalent, documented deviation). */
+      * the flat pair is the relational equivalent, documented deviation).
+      * A dynamic (variant) JSON array explodes to variant elements. */
     def mvExpand(arrayCol: Column, as: String): DataFrame = {
       val isMap =
         try df.select(arrayCol).schema.head.dataType
@@ -252,7 +262,7 @@ object Kql {
       if (isMap)
         df.select(col("*"), explode(arrayCol).as(Seq(s"${as}_key", s"${as}_value")))
           .drop(as)
-      else df.withColumn(as, explode(arrayCol))
+      else df.withColumn(as, explode(expandable(arrayCol)))
     }
 
     /** `mv-expand with_itemindex=idx c` — explode with the element's 0-based
@@ -261,14 +271,14 @@ object Kql {
       * column of that name. */
     def mvExpandIndexed(arrayCol: Column, as: String, idx: String): DataFrame = {
       val keep = df.columns.filterNot(_ == as).map(col).toIndexedSeq
-      df.select(keep :+ posexplode(arrayCol).as(Seq(idx, as)): _*)
+      df.select(keep :+ posexplode(expandable(arrayCol)).as(Seq(idx, as)): _*)
     }
 
     /** `mv-expand with_itemindex=pos c` — explode with the element's position, the
       * building block for `mv-apply` (per-element subquery, then regroup on the
       * carried row identity + position order). */
     def mvExpandPos(arrayCol: Column, posName: String, as: String): DataFrame =
-      df.select(col("*"), posexplode(arrayCol).as(Seq(posName, as)))
+      df.select(col("*"), posexplode(expandable(arrayCol)).as(Seq(posName, as)))
 
     /** `bag_unpack(d)` — star-expand a dynamic (JSON) bag column into top-level
       * columns. The schema is inferred from the data itself (meerkat's schemaless

@@ -842,14 +842,28 @@ object KqlParser {
         else df.distinctOf(parseProjList(): _*)
       case "count" => df.summarize(Nil, count(lit(1)).as("Count"))
       case "mv-expand" =>
-        // forms: `mv-expand [with_itemindex=idx] c` | `name = expr` | `expr`
+        // forms: `mv-expand [with_itemindex=idx] c | name = expr | expr`,
+        // each optionally followed by `to typeof(<kql-type>)` (typed
+        // expansion: the exploded element is try_cast per Kusto's relaxed
+        // conversion — a non-convertible element becomes null, not an error)
         val itemIdx: Option[String] =
           if (atIdent("with_itemindex")) {
             pos += 1; eatPunct("="); Some(ident())
           } else None
-        def expand(e: Column, n: String): DataFrame = itemIdx match {
-          case Some(ix) => df.mvExpandIndexed(e, n, ix)
-          case None => df.mvExpand(e, n)
+        def expand(e: Column, n: String): DataFrame = {
+          val out = itemIdx match {
+            case Some(ix) => df.mvExpandIndexed(e, n, ix)
+            case None => df.mvExpand(e, n)
+          }
+          if (atIdent("to")) {
+            pos += 1; eatIdent("typeof"); eatPunct("(")
+            val t = kqlType(ident()); eatPunct(")")
+            // elements exploded from a dynamic column surface as variant:
+            // go through string for the cast variant→T that Spark lacks
+            out.withColumn(n,
+              (if (out.schema(n).dataType.typeName == "variant")
+                 col(n).cast("string") else col(n)).try_cast(t))
+          } else out
         }
         if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
           toks(pos + 1) == Punct("=") && toks.lift(pos + 2) != Some(Punct("="))) {

@@ -602,6 +602,25 @@ object KqlTextQueries {
              |FROM events, (VALUES (0), (1), (2)) t(i)
              |WHERE event_id % 1000 = 0 ORDER BY event_id, i""".stripMargin)),
 
+    // mv-expand ... to typeof(long): typed expansion — each element is
+    // try_cast (Kusto's relaxed conversion), so the non-numeric element
+    // becomes a typed null instead of erroring the row
+    QueryDef("q_kql_mvexpand_typed",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 1000 == 0
+          || project event_id
+          || extend a = pack_array(tostring(event_id % 5), '7', 'oops')
+          || mv-expand a to typeof(long)
+          || project event_id, a
+          || sort by event_id asc, a asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  CASE k WHEN 0 THEN CAST(event_id % 5 AS BIGINT)
+             |         WHEN 1 THEN CAST(7 AS BIGINT) ELSE NULL END AS a
+             |FROM events, (VALUES (0), (1), (2)) t(k)
+             |WHERE event_id % 1000 = 0
+             |ORDER BY event_id, a NULLS FIRST""".stripMargin)),
+
     // top-nested with an 'others' bucket: top 3 types + one row aggregating
     // the rest over the RAW rows (exact for any aggregate)
     QueryDef("q_kql_top_nested_others",

@@ -468,6 +468,36 @@ class KqlParserSpec extends SparkSpec {
     assert(rows == Seq((0, "p"), (1, "q")))
   }
 
+  test("mv-expand to typeof() casts elements, nulling non-convertible ones") {
+    val rows = run(
+      """t
+        || where id == 1
+        || extend a = pack_array('3', 'oops', '11')
+        || mv-expand a to typeof(long)
+        || project a""".stripMargin)
+      .as[Option[Long]].collect().toSeq
+    assert(rows.sorted == Seq(None, Some(3L), Some(11L)).sorted)
+    assert(rows.toSet == Set(None, Some(3L), Some(11L)))
+    // dynamic (variant) elements: parse_json array expands typed too
+    val dyn = run(
+      """t
+        || where id == 1
+        || extend d = parse_json('[1, "x", 3]')
+        || mv-expand d to typeof(long)
+        || project d""".stripMargin)
+      .as[Option[Long]].collect().toSeq
+    assert(dyn.toSet == Set(None, Some(1L), Some(3L)))
+    // composes with with_itemindex and the aliased form
+    val idx = run(
+      """t
+        || where id == 1
+        || extend a = pack_array('5', '6')
+        || mv-expand with_itemindex=i v2 = a to typeof(int)
+        || project i, v2""".stripMargin)
+      .as[(Int, Int)].collect().sortBy(_._1).toSeq
+    assert(idx == Seq((0, 5), (1, 6)))
+  }
+
   test("top-nested with others buckets the non-top keys exactly") {
     val rows = run(
       "t | top-nested 1 of user by s = sum(v) with others = 'REST'")
