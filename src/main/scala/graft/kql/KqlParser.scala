@@ -316,6 +316,11 @@ object KqlParser {
             case Some(Ident("in")) | Some(Ident("where")) => true
             case _ => false
           })) { pos += 1; sourceName = "find"; parseFindSource() }
+          else if ((atIdent("database") || atIdent("cluster")) &&
+            toks.lift(pos + 1).contains(Punct("("))) {
+            val (qn, t) = parseQualifiedTable()
+            sourceName = qn; t
+          }
           else { val n = ident(); sourceName = n; resolveTable(n) }
         while (atPunct("|")) {
           eatPunct("|"); df = parseOp(df)
@@ -552,6 +557,25 @@ object KqlParser {
       val df = parseQuery()
       eatPunct(")")
       df
+    }
+
+    /** `database("db").Table` / `cluster("c").database("db").Table` — meerkat
+      * tables live in named databases (ref: segment metadata carries
+      * `database_name`, `/root/reference/src/store/segment_metadata.proto:73-82`;
+      * README.md:13). Resolution delegates to the table resolver under the
+      * conventional qualified name `db::Table` (see Tables.resolver). The
+      * cluster qualifier is accepted and ignored — single engine, documented
+      * like render/hints. */
+    private def parseQualifiedTable(): (String, DataFrame) = {
+      if (atIdent("cluster")) {
+        pos += 1; eatPunct("("); strLitS(); eatPunct(")"); eatPunct(".")
+        require(atIdent("database"),
+          "cluster(...) must be followed by .database(...).Table")
+      }
+      eatIdent("database"); eatPunct("(")
+      val db = strLitS(); eatPunct(")"); eatPunct(".")
+      val t = ident()
+      (s"$db::$t", resolveTable(s"$db::$t"))
     }
 
     /** Materialize any row-function placeholders parsed by `body`, then apply

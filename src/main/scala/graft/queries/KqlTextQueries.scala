@@ -15,7 +15,11 @@ import graft.sources.Tables
 object KqlTextQueries {
 
   private def run(s: SparkSession, d: String, kql: String): DataFrame =
-    KqlParser.parse(kql, name => Tables.load(s, d, name))
+    KqlParser.parse(kql, Tables.resolver(s, d,
+      // two registered database namespaces for the database("db").Table
+      // surface; in the fixture store both map to the sfDir (see
+      // Tables.resolver — logical namespaces over one store)
+      databases = Map("sales" -> d, "crm" -> d)))
 
   /** CSV dump of an events subset for the externaldata row — written once per
     * (session, sfDir); the timed body is the externaldata READ. */
@@ -64,6 +68,23 @@ object KqlTextQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_totalprice > 150000
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // database("db").Table qualified references (meerkat's named-database
+    // namespace): join across two registered databases; the cluster(...)
+    // qualifier parses and is ignored (single engine, documented)
+    QueryDef("q_kql_database",
+      (s, d) => run(s, d,
+        """database('sales').orders
+          || where o_orderkey % 500 == 0
+          || project o_orderkey, o_custkey
+          || join kind=inner (cluster('local').database('crm').customer
+          |    | project c_custkey, c_name) on $left.o_custkey == $right.c_custkey
+          || project o_orderkey, c_name
+          || sort by o_orderkey asc""".stripMargin),
+      Some("""SELECT o_orderkey, c_name
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderkey % 500 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef("q_kql_bin",
       (s, d) => run(s, d,

@@ -45,6 +45,24 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Table resolver with meerkat's database namespace (tables live in *named
+    * databases* — `/root/reference/README.md:13`; segment metadata carries
+    * `database_name`, `src/store/segment_metadata.proto:73-82`). A database is
+    * a directory of parquet tables, addressed from KQL as
+    * `database("db").Table` (the parser hands over the conventional qualified
+    * name `db::Table`). Unqualified names resolve against `sfDir`, the
+    * default database. In the fixture harness registered databases may share
+    * the default path (logical namespaces over one store); at scale each maps
+    * to its own storage root. Unknown databases fail loudly. */
+  def resolver(spark: SparkSession, sfDir: String,
+      databases: Map[String, String] = Map.empty): String => DataFrame = name =>
+    name.split("::", 2) match {
+      case Array(db, t) => load(spark, databases.getOrElse(db,
+        throw new IllegalArgumentException(s"unknown database '$db' " +
+          s"(registered: ${databases.keys.toSeq.sorted.mkString(", ")})")), t)
+      case _ => load(spark, sfDir, name)
+    }
+
   // ------------------------------------------------------------------
   // Ingest contract (README.md:15): mandatory _ts + _dedup.
   // ------------------------------------------------------------------

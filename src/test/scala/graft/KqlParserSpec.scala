@@ -92,6 +92,26 @@ class KqlParserSpec extends SparkSpec {
     assert(exploded.count() == 10)
   }
 
+  test("database('db').Table resolves via the db::table convention") {
+    val seen = scala.collection.mutable.Buffer[String]()
+    val resolver: String => org.apache.spark.sql.DataFrame =
+      n => { seen += n; t }
+    assert(KqlParser.parse("database('crm').t | where v > 20", resolver).count() == 3)
+    assert(seen.toSeq == Seq("crm::t"))
+    // cluster qualifier is accepted and ignored; database still required
+    seen.clear()
+    KqlParser.parse("cluster('c').database('crm').t | count", resolver).collect()
+    assert(seen.toSeq == Seq("crm::t"))
+    assertThrows[IllegalArgumentException](
+      KqlParser.parse("cluster('c').t | count", resolver))
+    // joins take qualified tables on the right side (subquery source position)
+    seen.clear()
+    KqlParser.parse(
+      "t | join kind=inner (database('sales').t | project id, v2 = v) on id",
+      resolver).collect()
+    assert(seen.toSeq == Seq("t", "sales::t"))
+  }
+
   test("serialize enables row functions over the sorted order") {
     val df = run(
       "t | sort by id asc | serialize | extend rn = row_number(), p = prev(v), c = row_cumsum(v) | project id, rn, p, c")
