@@ -570,6 +570,22 @@ object Kql {
         .withColumnRenamed("__bin", tsCol)
     }
 
+    /** `T | evaluate activity_metrics(id, ts, start, end, window)` — the base
+      * member of the activity family: per window bin, distinct actors
+      * (`dcount_values`), first-ever-seen actors (`dcount_newvalues`), and
+      * retention/churn rates against the previous bin's population. Kusto's
+      * plugin pair shares the definition with new_activity_metrics; this is
+      * the canonical-name readout of [[newActivityMetrics]] — same
+      * distributed shape (equi-joins over the distinct (id, bin) pair set,
+      * partial+final aggs, no data-sized windows) and the same documented
+      * deviations (epoch-grid bins, empty bins omitted). */
+    def activityMetrics(idCol: String, tsCol: String, start: Column,
+        end: Column, stepSeconds: Long): DataFrame =
+      newActivityMetrics(idCol, tsCol, start, end, stepSeconds)
+        .select(col(tsCol), col("dcount").as("dcount_values"),
+          col("new_dcount").as("dcount_newvalues"),
+          col("retention_rate"), col("churn_rate"))
+
     /** `T | evaluate active_users_count(id, ts, lookback, step, minPeriods,
       * start, end)` — per step bin, the distinct actors with activity in at
       * least `minPeriods` DISTINCT step-periods inside the lookback window

@@ -1076,6 +1076,16 @@ object KqlParser {
             val outerW = litLong(parseExpr())
             eatPunct(")")
             df.activityEngagement(id, tsN, innerW, outerW)
+          case "activity_metrics" =>
+            // `evaluate activity_metrics(id, ts, start, end, window)` — the
+            // canonical activity plugin (see Kql.activityMetrics).
+            val id = ident(); eatPunct(",")
+            val tsN = ident(); eatPunct(",")
+            val start = parseExpr(); eatPunct(",")
+            val end = parseExpr(); eatPunct(",")
+            val win = litLong(parseExpr())
+            eatPunct(")")
+            df.activityMetrics(id, tsN, start, end, win)
           case "new_activity_metrics" =>
             // `evaluate new_activity_metrics(id, ts, start, end, window)` —
             // period-over-period retention (see Kql.newActivityMetrics).

@@ -1960,6 +1960,44 @@ object KqlTextQueries {
     // (previous-bin actors who didn't return), and rates vs the previous
     // bin's population. All equi-joins of the distinct pair set against its
     // one-window shift.
+    // activity_metrics: the canonical activity plugin — dcount/new-dcount per
+    // window plus retention/churn vs the previous window's population (same
+    // machinery as new_activity_metrics, canonical column names)
+    QueryDef("q_kql_activity_metrics",
+      (s, d) => run(s, d,
+        """events
+          || evaluate activity_metrics(user_id, ts,
+          |    datetime('2024-01-01'), datetime('2024-01-31'), 3d)
+          || sort by ts asc""".stripMargin),
+      Some("""WITH p AS (
+             |  SELECT DISTINCT user_id, TIMESTAMP '1970-01-01 00:00:00' + INTERVAL
+             |    (CAST((epoch_us(ts)//1000000)//259200*259200 AS BIGINT)) SECOND AS bin
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
+             |perbin AS (SELECT bin, COUNT(*) AS dcount FROM p GROUP BY 1),
+             |fs AS (SELECT user_id, MIN(bin) AS fb FROM p GROUP BY 1),
+             |newb AS (SELECT fb AS bin, COUNT(*) AS new_dcount FROM fs GROUP BY 1),
+             |ret AS (
+             |  SELECT a.bin, COUNT(*) AS returning FROM p a JOIN p b
+             |  ON b.user_id = a.user_id AND b.bin = a.bin - INTERVAL 3 DAY
+             |  GROUP BY 1),
+             |lost AS (
+             |  SELECT b.bin + INTERVAL 3 DAY AS bin, COUNT(*) AS lost FROM p b
+             |  LEFT JOIN p a ON a.user_id = b.user_id AND a.bin = b.bin + INTERVAL 3 DAY
+             |  WHERE a.user_id IS NULL GROUP BY 1),
+             |prev AS (SELECT bin + INTERVAL 3 DAY AS bin, dcount AS prev_dcount FROM perbin)
+             |SELECT pb.bin AS ts, pb.dcount AS dcount_values,
+             |  COALESCE(n.new_dcount, 0) AS dcount_newvalues,
+             |  CASE WHEN COALESCE(pv.prev_dcount, 0) = 0 THEN 0.0
+             |    ELSE CAST(COALESCE(r.returning, 0) AS DOUBLE) / pv.prev_dcount END
+             |    AS retention_rate,
+             |  CASE WHEN COALESCE(pv.prev_dcount, 0) = 0 THEN 0.0
+             |    ELSE CAST(COALESCE(l.lost, 0) AS DOUBLE) / pv.prev_dcount END
+             |    AS churn_rate
+             |FROM perbin pb LEFT JOIN newb n USING (bin) LEFT JOIN ret r USING (bin)
+             |  LEFT JOIN lost l USING (bin) LEFT JOIN prev pv USING (bin)
+             |ORDER BY ts""".stripMargin)),
+
     QueryDef("q_kql_new_activity",
       (s, d) => run(s, d,
         """events
