@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Sketch-path heavy hitters: a SpaceSaving frequent-items aggregate
+  * (Metwally, Agrawal, El Abbadi — "Efficient Computation of Frequent and
+  * Top-k Elements in Data Streams", ICDT 2005) behind Kusto's `top-hitters`
+  * plugin (reference KQL surface: `/root/reference/README.md:33-34`).
+  *
+  * Why a sketch when the exact plan is also distributive: at 100 TB a
+  * high-cardinality column (url, user agent, token) makes the exact
+  * `groupBy(value).count` shuffle one row PER DISTINCT VALUE — billions of
+  * rows through the exchange just to read off a top-10. The sketch path
+  * bounds state to `capacity` counters per partition, ships one tiny map per
+  * partition, and touches the full data only with a broadcast semi-join on
+  * the surviving candidates.
+  *
+  * Determinism contract (the engine-wide requirement): per-partition reduce
+  * is SpaceSaving with a total-order tie-break (evict the (count, key)-min),
+  * deterministic given partition row order; the MERGE of partition states is
+  * EXACT map addition — commutative and associative, so the merged state is
+  * independent of task completion order (at most partitions×capacity
+  * entries, kilobytes even at 1000 executors). Candidate counts are then
+  * made EXACT by one verify pass (broadcast the ≤capacity candidates,
+  * map-side partial agg), so the emitted top-N rows equal the exact oracle
+  * whenever the true top-N survive the sketch — guaranteed for any value
+  * with frequency > n/capacity (the SpaceSaving error bound). */
+object FrequentItems {
+
+  /** SpaceSaving partial state / exact-addition merge (see object doc).
+    * `finish` emits the candidate map; ranking happens after the exact
+    * verify pass, not on sketch estimates. */
+  final class SpaceSavingAgg(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(capacity > 0, "space_saving: capacity must be positive")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      b.get(v) match {
+        case Some(c) => b.updated(v, c + 1L)
+        case None if b.size < capacity => b.updated(v, 1L)
+        case None => // evict the (count, key)-min; new item inherits its count
+          val (mk, mc) = b.minBy { case (k, c) => (c, k) }
+          b - mk + (v -> (mc + 1L))
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      // exact addition, NO truncation here: keeps the merge commutative and
+      // associative (order-independent) at a bounded partitions×capacity size
+      b.foldLeft(a) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  /** `top-hitters hint.strategy=sketch N of value` — sketch candidates, then
+    * exact counts for candidates only (broadcast semi-join; the shuffle after
+    * the map-side partial agg carries ≤capacity rows per partition). Output
+    * matches Kusto's `approximate_count_<col>` vocabulary and, when every
+    * true top-N value has frequency > n/capacity, the exact plan's rows. */
+  def topHittersApprox(df: DataFrame, valueCol: String, n: Int,
+      capacity: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("__v"))
+    val sketch = vals.as[String]
+      .select(new SpaceSavingAgg(capacity).toColumn).toDF("m")
+    val cands = sketch.select(explode(map_keys(col("m"))).as("__v"))
+    vals.join(broadcast(cands), "__v")
+      .groupBy("__v").agg(count(lit(1)).as(s"approximate_count_$valueCol"))
+      .orderBy(col(s"approximate_count_$valueCol").desc, col("__v").asc)
+      .limit(n)
+      .withColumnRenamed("__v", valueCol)
+  }
+}

@@ -834,12 +834,22 @@ object KqlParser {
       case "take" | "limit" => df.take_(parseInt())
       case "sample" => df.sample_(parseNum())
       case "top-hitters" =>
-        // `top-hitters N of Col [by SumCol]` — Kusto's approximate heavy
-        // hitters. Implemented EXACTLY (partial+final hash agg, then a
-        // TakeOrdered top-N): at any scale the aggregate output is one row per
-        // distinct value, so the exact plan is already the scale path and the
-        // approximation would buy nothing. Output column names match Kusto's
-        // approximate_count_/approximate_sum_ vocabulary.
+        // `top-hitters [hint.strategy=sketch] N of Col [by SumCol]` — Kusto's
+        // approximate heavy hitters. Default form is EXACT (partial+final
+        // hash agg, then a TakeOrdered top-N) and stays the oracle;
+        // hint.strategy=sketch switches the count form to the SpaceSaving
+        // candidates + exact-verify path (FrequentItems.topHittersApprox) —
+        // bounded state per partition, for columns whose distinct cardinality
+        // makes the exact agg's shuffle the bottleneck. Output column names
+        // match Kusto's approximate_count_/approximate_sum_ vocabulary.
+        var sketchy = false
+        while (atIdent("hint")) {
+          pos += 1; eatPunct(".")
+          ident() match {
+            case "strategy" => eatPunct("="); sketchy = ident() == "sketch"
+            case _ => eatPunct("="); val _ = next()
+          }
+        }
         val n = parseInt()
         eatIdent("of")
         val c = ident()
@@ -848,7 +858,9 @@ object KqlParser {
             pos += 1; val s = ident()
             (sum(col(s)), s"approximate_sum_$s")
           } else (count(lit(1)), s"approximate_count_$c")
-        df.summarize(Seq(col(c)), aggC.as(aggName)).top(n, col(aggName).desc)
+        if (sketchy && aggName.startsWith("approximate_count_"))
+          graft.functions.FrequentItems.topHittersApprox(df, c, n)
+        else df.summarize(Seq(col(c)), aggC.as(aggName)).top(n, col(aggName).desc)
       case "sample-distinct" =>
         // `sample-distinct N of Col` — Kusto returns N arbitrary distinct
         // values; this engine makes the choice DETERMINISTIC (portable

@@ -2381,6 +2381,23 @@ object KqlTextQueries {
              |FROM events GROUP BY event_type
              |ORDER BY approximate_count_event_type DESC LIMIT 3""".stripMargin)),
 
+    // top-hitters sketch path: SpaceSaving candidate generation (bounded
+    // per-partition state) + exact verify over the ≤capacity candidates —
+    // the 100 TB shape for high-cardinality columns. The fixture's token
+    // column is Zipf-ish, so the true top-10 all clear the n/capacity
+    // frequency bound and the emitted rows equal the exact oracle.
+    QueryDef("q_kql_top_hitters_approx",
+      (s, d) => run(s, d,
+        """documents
+          || project token = split(tolower(text), ' ')
+          || mv-expand token
+          || top-hitters hint.strategy=sketch 10 of token
+          || sort by approximate_count_token desc, token asc""".stripMargin),
+      Some("""SELECT token, COUNT(*) AS approximate_count_token FROM (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY approximate_count_token DESC, token
+             |LIMIT 10""".stripMargin)),
+
     QueryDef("q_kql_sample_distinct",
       (s, d) => run(s, d,
         """events

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.FrequentItems
+import graft.functions.FrequentItems.SpaceSavingAgg
+import org.apache.spark.sql.functions._
+
+class FrequentItemsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SpaceSaving reduce: bounded state, deterministic (count,key)-min eviction") {
+    val agg = new SpaceSavingAgg(2)
+    val st = Seq("a", "b", "c", "a").foldLeft(agg.zero)(agg.reduce)
+    // a:1, b:1 fill capacity; c evicts the (1,"a") min and inherits → c:2;
+    // a evicts the (1,"b") min → a:2
+    assert(st == Map("c" -> 2L, "a" -> 2L))
+    assert(st.size <= 2)
+    // overestimate-only: every kept counter ≥ the item's true count
+    val trueCounts = Map("a" -> 2L, "b" -> 1L, "c" -> 1L)
+    st.foreach { case (k, c) => assert(c >= trueCounts(k)) }
+  }
+
+  test("SpaceSaving merge is exact addition — commutative, no truncation") {
+    val agg = new SpaceSavingAgg(2)
+    val a = Map("x" -> 5L, "y" -> 3L)
+    val b = Map("y" -> 2L, "z" -> 7L)
+    val ab = agg.merge(a, b)
+    assert(ab == Map("x" -> 5L, "y" -> 5L, "z" -> 7L))
+    assert(ab == agg.merge(b, a))
+  }
+
+  test("topHittersApprox matches the exact top-N on skewed data at lossy capacity") {
+    // Zipf-ish: value i appears ceil(600/i) times for i in 1..40 → 40 distinct,
+    // capacity 8 is genuinely lossy, the top 3 clear the n/capacity bound
+    val rows = (1 to 40).flatMap(i => Seq.fill(600 / i + 1)(f"v$i%02d"))
+    val df = rows.toDF("k")
+    val approx = FrequentItems.topHittersApprox(df, "k", 3, capacity = 8)
+      .as[(String, Long)].collect().toSeq
+    val exact = df.groupBy("k").count()
+      .orderBy(col("count").desc, col("k").asc).limit(3)
+      .as[(String, Long)].collect().toSeq
+    assert(approx == exact, s"approx $approx != exact $exact")
+  }
+}

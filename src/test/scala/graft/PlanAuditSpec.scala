@@ -53,6 +53,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top not planned as partial top-k:\n$p")
   }
 
+  test("top-hitters sketch path: single-pass partial+final sketch, broadcast verify") {
+    val p = plan("q_kql_top_hitters_approx")
+    // the SpaceSaving Aggregator plans as an object aggregate with a partial
+    // (per-partition) and a final (merge) stage — one pass over the data,
+    // bounded state through the exchange
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"sketch aggregate missing:\n$p")
+    assert(p.contains("partial_spacesaving") || p.contains("SpaceSaving") ||
+      p.contains("spacesavingagg"), s"SpaceSaving aggregate not in plan:\n$p")
+    // candidate verify joins via broadcast, never a shuffle of the corpus keys
+    assert(p.contains("BroadcastHashJoin"), s"verify pass did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"verify pass shuffled the corpus:\n$p")
+  }
+
   test("no cartesian product sneaks into any contract query") {
     // Queries that intentionally cross-join a broadcast-small side plan as
     // BroadcastNestedLoopJoin, which is fine; a CartesianProduct exec (both sides
