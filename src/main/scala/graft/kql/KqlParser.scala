@@ -552,6 +552,35 @@ object KqlParser {
         .select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
     }
 
+    /** `parse kind=regex`: rewrite user CAPTURING groups `(` to non-capturing
+      * `(?:` so capture indices stay aligned with the Name segments. A small
+      * scanner tracking escape and character-class state — a lookaround
+      * replace would also rewrite `(` inside classes (`[(]` → `[(?:]`, which
+      * changes the class) and miss groups after an escaped backslash `\\(`. */
+    private def nonCapturing(s: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      var inClass = false
+      var classStart = -1 // position after `[` / `[^` where `]` is literal
+      while (i < s.length) {
+        val c = s.charAt(i)
+        c match {
+          case '\\' if i + 1 < s.length => // escaped char: copy verbatim
+            out += c += s.charAt(i + 1); i += 1
+          case '[' if !inClass =>
+            inClass = true
+            classStart = i + (if (i + 1 < s.length && s.charAt(i + 1) == '^') 2 else 1)
+            out += c
+          case ']' if inClass && i > classStart => inClass = false; out += c
+          case '(' if !inClass &&
+            !(i + 1 < s.length && s.charAt(i + 1) == '?') => out ++= "(?:"
+          case _ => out += c
+        }
+        i += 1
+      }
+      out.toString
+    }
+
     private def parseSubQuery(): DataFrame = {
       eatPunct("(")
       val df = parseQuery()
@@ -1245,11 +1274,27 @@ object KqlParser {
         // DROPS rows the pattern does not match (plain parse keeps them with
         // empty/null captures, like Kusto).
         var pkind = "simple"
+        var pflags = ""
         if (atIdent("kind")) {
           pos += 1; eatPunct("="); pkind = ident()
           require(Set("simple", "relaxed", "regex")(pkind),
             s"parse: unsupported kind=$pkind")
-          if (atIdent("flags")) { pos += 1; eatPunct("="); val _ = next() }
+          if (atIdent("flags")) {
+            pos += 1; eatPunct("=")
+            // Kusto regex flags change match semantics — map the supported
+            // ones to an inline group, REJECT the rest (silently ignoring a
+            // flag would return wrong captures with no error)
+            val raw = next() match {
+              case Ident(s) => s
+              case Str(s) => s
+              case t => throw new IllegalArgumentException(s"parse: bad flags token $t")
+            }
+            raw.foreach { f =>
+              require("ismx".contains(f), s"parse: unsupported regex flag '$f' " +
+                "(supported: i=case-insensitive, s=dotall, m=multiline, x=comments)")
+            }
+            pflags = raw
+          }
         }
         val src = col(ident())
         eatIdent("with")
@@ -1267,13 +1312,14 @@ object KqlParser {
         val parts = segs.result()
         require(parts.exists(_.isRight), "parse needs at least one capture name")
         val names = parts.collect { case Right(nt) => nt }
-        val regex = new StringBuilder(if (leadingStar) "^.*?" else "^")
+        val regex = new StringBuilder(
+          (if (pflags.nonEmpty) s"(?$pflags)" else "") +
+            (if (leadingStar) "^.*?" else "^"))
         parts.zipWithIndex.foreach {
           case (Left(s), _) =>
             // kind=regex: user groups become non-capturing so the capture
             // indices stay aligned with the Name segments
-            regex ++= (if (pkind == "regex")
-              s.replaceAll("(?<!\\\\)\\((?!\\?)", "(?:")
+            regex ++= (if (pkind == "regex") nonCapturing(s)
             else java.util.regex.Pattern.quote(s))
           case (Right(_), i) =>
             regex ++= (if (i == parts.size - 1) "(.*)" else "(.*?)")
@@ -2846,11 +2892,15 @@ object KqlParser {
           slice(args.head, args(1).cast("int") + 1,
             (args(2) - args(1) + 1).cast("int"))
         case "array_index_of" =>
-          // array_index_of(arr, v [, start]) — 0-based, -1 absent
+          // array_index_of(arr, v [, start]) — 0-based, -1 absent. A negative
+          // start is an offset from the END of the array (Kusto semantics:
+          // start=-3 searches the last three elements), clamped at 0
           if (args.length == 2)
             (array_position(args.head, args(1)) - 1).cast("long")
           else {
-            val st = greatest(lit(0), args(2).cast("int"))
+            val s0 = args(2).cast("int")
+            val st = greatest(lit(0),
+              when(s0 < 0, size(args.head) + s0).otherwise(s0))
             val sub = slice(args.head, st + 1,
               greatest(size(args.head) - st, lit(0)))
             val p = array_position(sub, args(1))
@@ -2890,20 +2940,41 @@ object KqlParser {
         case "array_reverse" => reverse(args.head)
         case "array_sort_asc" | "array_sort_desc" =>
           // multi-array form: companion arrays reorder by the FIRST array's
-          // sort order (ties keep original position — sort_array on the
-          // (key, index, companions…) struct is lexicographic, like Kusto).
-          // Single-array calls keep the plain codegen'd array_sort.
+          // sort order (ties keep original position — the (key, index) struct
+          // sorts lexicographically, like Kusto). Descending sorts use an
+          // explicit comparator rather than reverse(asc): reversing would
+          // also reverse ties (breaking the original-position contract) and
+          // put null keys first, while Kusto keeps nulls LAST by default for
+          // both directions. Single-array asc keeps the plain codegen'd
+          // array_sort (nulls last already).
+          def descCmp(kv: Column => Column, ki: Column => Column)
+              (a: Column, b: Column): Column = {
+            val (av, bv) = (kv(a), kv(b))
+            when(av.isNull && bv.isNull, ki(a) - ki(b))
+              .when(av.isNull, lit(1)).when(bv.isNull, lit(-1)) // nulls last
+              .when(av > bv, lit(-1)).when(av < bv, lit(1))
+              .otherwise(ki(a) - ki(b)).cast("int") // stable: index asc
+          }
           if (args.length == 1) {
             if (f == "array_sort_asc") array_sort(args.head)
-            else reverse(array_sort(args.head))
+            else {
+              val z = zip_with(args.head, sequence(lit(0), size(args.head) - 1),
+                (v, i) => struct(v.as("k"), i.as("i")))
+              // ≤1 element: already sorted (and sequence(0, n-1) needs n ≥ 1)
+              when(size(args.head) <= 1, args.head).otherwise(
+                transform(array_sort(z,
+                  descCmp(_.getField("k"), _.getField("i"))), _.getField("k")))
+            }
           } else {
             val zipped = zip_with(args.head,
               sequence(lit(0), size(args.head) - 1), (v, i) => struct(
                 (struct(v.as("k"), i.as("i")).as("k") +: args.tail.zipWithIndex.map {
                   case (a, j) => element_at(a, i + 1).as(s"c$j")
                 }): _*))
-            val sorted0 = array_sort(zipped)
-            val sorted = if (f == "array_sort_asc") sorted0 else reverse(sorted0)
+            val sorted =
+              if (f == "array_sort_asc") array_sort(zipped)
+              else array_sort(zipped, descCmp(_.getField("k").getField("k"),
+                _.getField("k").getField("i")))
             // returns an array-of-arrays bag: [sorted key, companions…]
             // stringify via element access; Kusto returns a dynamic of arrays
             array((transform(sorted, s => s.getField("k").getField("k")) +:

@@ -131,12 +131,15 @@ object CodecExpressions {
 
   def punyDecode(s: UTF8String): UTF8String = try {
     val in = s.toString
+    // RFC 3492 3.1: the basic string is everything before the LAST delimiter;
+    // a delimiter at position 0 means an EMPTY basic string (input "-abc"
+    // decodes the extended body "abc"), only a wholly-absent delimiter does
     val lastDelim = in.lastIndexOf('-')
-    val basic = if (lastDelim > 0) in.substring(0, lastDelim) else ""
+    val basic = if (lastDelim >= 0) in.substring(0, lastDelim) else ""
     require(basic.forall(_ < 128))
     val buf = scala.collection.mutable.ArrayBuffer[Int](basic.map(_.toInt): _*)
     var i = 0; var n = PInitN; var bias = PInitBias
-    var pos = if (lastDelim > 0) lastDelim + 1 else 0
+    var pos = if (lastDelim >= 0) lastDelim + 1 else 0
     while (pos < in.length) {
       val oldi = i
       var w = 1; var k = PBase

@@ -854,11 +854,16 @@ class KqlParserSpec extends SparkSpec {
         |    c = indexof('abcabc', 'z', 1),
         |    d = array_index_of(pack_array(5, 7, 5), 5),
         |    e = array_index_of(pack_array(5, 7, 5), 5, 1),
-        |    f = array_index_of(pack_array(5, 7, 5), 9, 1)
-        || project a, b, c, d, e, f""".stripMargin).collect().head
+        |    f = array_index_of(pack_array(5, 7, 5), 9, 1),
+        |    g = array_index_of(pack_array(5, 7, 5), 5, -2),
+        |    h = array_index_of(pack_array(5, 7, 5), 5, -9)
+        || project a, b, c, d, e, f, g, h""".stripMargin).collect().head
     assert(r.getLong(1) == 4L && r.getLong(2) == -1L)
     assert(r.getLong(3) == 0L && r.getLong(4) == 2L && r.getLong(5) == -1L)
     assert(r.getAs[Number](0).longValue == 1L)
+    // negative start = offset from the END (Kusto): -2 searches the last two
+    // elements; a before-the-start offset clamps to 0 (whole array)
+    assert(r.getLong(6) == 2L && r.getLong(7) == 0L)
   }
 
   test("array_sort_asc/desc multi-array form reorders companions by the key order") {
@@ -869,6 +874,38 @@ class KqlParserSpec extends SparkSpec {
         || project s, d""".stripMargin).collect().head
     assert(r.getSeq[Seq[Long]](0) == Seq(Seq(1L, 2L, 3L), Seq(10L, 20L, 30L)))
     assert(r.getSeq[Seq[Long]](1) == Seq(Seq(3L, 2L, 1L), Seq(30L, 20L, 10L)))
+  }
+
+  test("array_sort_desc: ties keep original position, nulls last") {
+    val r = run(
+      """t | take 1
+        || extend k = pack_array(2, 1, 2), c = pack_array(20, 10, 21)
+        || extend d = array_sort_desc(k, c),
+        |    sn = array_sort_desc(dynamic([4, null, 9])),
+        |    s1 = array_sort_desc(pack_array(7)),
+        |    s3 = array_sort_desc(pack_array(1, 3, 2))
+        || project d, sn, s1, s3""".stripMargin).collect().head
+    // tied keys (2, 2) keep original order → companions 20 then 21 (a
+    // reverse(asc) would have swapped them)
+    assert(r.getSeq[Seq[Long]](0) == Seq(Seq(2L, 2L, 1L), Seq(20L, 21L, 10L)))
+    // null keys sort LAST in desc (Kusto default), not first
+    assert(r.getSeq[Any](1) == Seq(9L, 4L, null))
+    assert(r.getSeq[Long](2) == Seq(7L))
+    assert(r.getSeq[Long](3) == Seq(3L, 2L, 1L))
+  }
+
+  test("parse kind=regex flags= maps i/s inline and rejects unknown flags") {
+    val r = run(
+      """t | where id == 1
+        || extend s = strcat('K(', tostring(id))
+        || parse kind=regex flags=i s with '(k|q)[(]' n:long
+        || project n""".stripMargin).collect().head
+    // flags=i matches the upper-case K; the char-class '[(]' must stay a
+    // class (the old lookaround rewrite turned it into '[(?:]') and the
+    // user alternation group '(k|q)' must become non-capturing
+    assert(r.getLong(0) == 1L)
+    assertThrows[IllegalArgumentException](run(
+      "t | parse kind=regex flags=U s with '(k)' n:long"))
   }
 
   test("take_any(*) expands a deterministic whole row per group") {
@@ -993,14 +1030,18 @@ class KqlParserSpec extends SparkSpec {
         || extend a = punycode_from_string('bücher'), b = punycode_from_string('München'),
         |    c = punycode_to_string('Mnchen-3ya'), d = punycode_from_string('abc'),
         |    e = punycode_to_string(punycode_from_string('ü東京x')),
-        |    f = punycode_to_string('!!!')
-        || project a, b, c, d, e, f""".stripMargin).collect().head
+        |    f = punycode_to_string('!!!'),
+        |    g = punycode_to_string('-tda'), h = punycode_to_string('tda')
+        || project a, b, c, d, e, f, g, h""".stripMargin).collect().head
     assert(r.getString(0) == "bcher-kva")
     assert(r.getString(1) == "Mnchen-3ya")
     assert(r.getString(2) == "München")
     assert(r.getString(3) == "abc-")
     assert(r.getString(4) == "ü東京x")
     assert(r.getString(5) == "")
+    // RFC 3492 delimiter rule: a LEADING delimiter marks an empty basic
+    // string — '-tda' and 'tda' both decode the extended-only body
+    assert(r.getString(6) == "ü" && r.getString(7) == "ü")
   }
 
   test("now/ago are current and ordered") {
