@@ -805,9 +805,15 @@ object KqlParser {
         while (atIdent("hint")) {
           pos += 1; eatPunct("."); ident(); eatPunct("="); val _ = next()
         }
-        val aggs = parseNamedAggList()
-        val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
-        expandArgStar(df.summarize(by, aggs: _*), aggs)
+        // bare `summarize by a, b` — group keys only (distinct over the keys)
+        if (atIdent("by")) {
+          pos += 1
+          df.select(parseProjList(): _*).distinct()
+        } else {
+          val aggs = parseNamedAggList()
+          val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
+          expandArgStar(df.summarize(by, aggs: _*), aggs)
+        }
       case "sort" | "order" =>
         eatIdent("by")
         val keys = parseSortList()

@@ -980,6 +980,50 @@ object KqlTextQueries {
              |  CAST(COUNT(DISTINCT ufi % 64) AS BIGINT) AS hi
              |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Expand-free form of the same aggregate shape: mixing count_distinct with
+    // plain aggregates in one summarize makes Catalyst plan an Expand (one
+    // duplicated row per distinct group — 3× the shuffle volume at 100 TB for
+    // this query). The scale-lean rewrite computes each distinct count as its
+    // own pre-distinct sub-aggregation (partial+final on the (group, value)
+    // pair, which map-side combine collapses) and joins the small per-group
+    // results back. Same answers, no Expand — asserted in PlanAuditSpec.
+    QueryDef("q_kql_agg_stats_lean",
+      (s, d) => run(s, d,
+        """let base = events
+          |  | summarize vp = variancep(user_id), sp = stdevp(user_id),
+          |      vi = varianceif(user_id, event_id % 2 == 0),
+          |      si = stdevif(user_id, event_id % 2 == 0) by event_type;
+          |let cds = events
+          |  | summarize by event_type, user_id
+          |  | summarize cd = count() by event_type;
+          |let his = events
+          |  | where event_id % 2 == 0
+          |  | extend k = user_id % 64
+          |  | summarize by event_type, k
+          |  | summarize hi = count() by event_type;
+          |base
+          || join kind=inner (cds) on event_type
+          || join kind=inner (his) on event_type
+          || project event_type, vp, sp, vi, si, cd, hi
+          || sort by event_type asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_type,
+             |    CAST(user_id AS DOUBLE) AS u,
+             |    CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS DOUBLE) END AS uf,
+             |    CASE WHEN event_id % 2 = 0 THEN user_id END AS ufi
+             |  FROM events)
+             |SELECT event_type,
+             |  (SUM(u*u) - SUM(u)*SUM(u)/CAST(COUNT(u) AS DOUBLE))
+             |    / CAST(COUNT(u) AS DOUBLE) AS vp,
+             |  sqrt((SUM(u*u) - SUM(u)*SUM(u)/CAST(COUNT(u) AS DOUBLE))
+             |    / CAST(COUNT(u) AS DOUBLE)) AS sp,
+             |  (SUM(uf*uf) - SUM(uf)*SUM(uf)/CAST(COUNT(uf) AS DOUBLE))
+             |    / (CAST(COUNT(uf) AS DOUBLE) - 1) AS vi,
+             |  sqrt((SUM(uf*uf) - SUM(uf)*SUM(uf)/CAST(COUNT(uf) AS DOUBLE))
+             |    / (CAST(COUNT(uf) AS DOUBLE) - 1)) AS si,
+             |  CAST(COUNT(DISTINCT u) AS BIGINT) AS cd,
+             |  CAST(COUNT(DISTINCT ufi % 64) AS BIGINT) AS hi
+             |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ipv4_compare / ipv4_is_match under the effective (min-of-suffixes+arg)
     // prefix, replace_strings ordered fold, regex_quote, estimate_data_size —
     // the oracle replays the same mask arithmetic on the reconstructed int32

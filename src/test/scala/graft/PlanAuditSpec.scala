@@ -124,4 +124,18 @@ class PlanAuditSpec extends SparkSpec {
         s"$name shuffles on a hash key:\n$p")
     }
   }
+
+  test("agg_stats lean rewrite eliminates the multi-distinct Expand") {
+    // Mixing count_distinct + plain aggregates in one summarize forces an
+    // Expand (row multiplication per distinct group, ~3× shuffle volume at
+    // scale). The _lean form computes each distinct count as its own
+    // pre-distinct sub-aggregation joined back — same results, no Expand.
+    // (Spark 4.x already avoids Expand for the single-distinct case via the
+    // 3-stage partial-distinct rewrite, but that still shuffles the full
+    // non-distinct aggregate state per (group, value) pair; the lean form's
+    // sub-aggregations shuffle only (group, value) keys.)
+    val lean = plan("q_kql_agg_stats_lean")
+    assert(!lean.contains("Expand"), s"lean rewrite still plans an Expand:\n$lean")
+    assert(!lean.contains("distinct "), s"lean rewrite still carries a distinct aggregate:\n$lean")
+  }
 }
