@@ -168,6 +168,55 @@ object KqlFunctions {
     when(v.isNotNull && base.isNotNull, ipMask(v, bits) === base)
   }
 
+  /** Properly-delimited IPv4 tokens of a text (the `has_ipv4` family's notion
+    * of "appears in the text": the address must be bounded by non-word,
+    * non-dot delimiters, and every octet must be 0–255). */
+  def ipv4Tokens(text: Column): Column = {
+    val cands = regexp_extract_all(text,
+      lit("(?<![\\w.])((?:\\d{1,3}\\.){3}\\d{1,3})(?![\\w.])"), lit(1))
+    filter(cands, t => parseIpv4(t).isNotNull)
+  }
+
+  /** KQL `has_ipv4(text, ip)` — the exact (valid) address appears delimited. */
+  def hasIpv4(text: Column, ip: Column): Column =
+    parseIpv4(ip).isNotNull && array_contains(ipv4Tokens(text), ip)
+
+  /** KQL `has_ipv4_prefix(text, prefix)` — a valid delimited address starting
+    * with the textual prefix (Kusto's prefix ends at an octet boundary by
+    * convention: "12.13.") appears. */
+  def hasIpv4Prefix(text: Column, prefix: Column): Column =
+    exists(ipv4Tokens(text), t => t.startsWith(prefix))
+
+  /** KQL `ipv4_range_to_cidr_list(start, end)` — minimal CIDR cover of the
+    * inclusive address range, as "a.b.c.d/p" strings. The classic greedy
+    * walk (largest aligned block that fits the remainder) expressed as a
+    * bounded 64-step functional fold — a range never needs more than 64
+    * CIDRs (≤2 per prefix length), and each step is pure integer/double
+    * arithmetic, so the whole thing stays inside WholeStageCodegen. */
+  def ipv4RangeToCidrList(startIp: Column, endIp: Column): Column = {
+    val s = parseIpv4(startIp)
+    val e = parseIpv4(endIp)
+    val stepped = aggregate(
+      sequence(lit(1), lit(64)),
+      struct(s.as("cur"), array().cast("array<string>").as("out")),
+      (acc, _) => {
+        val cur = acc.getField("cur")
+        val span = e - cur + 1L
+        // largest aligned block at cur: cur & -cur (cur = 0 → whole space)
+        val align = when(cur === 0L, lit(4294967296L)).otherwise(cur.bitwiseAND(-cur))
+        // largest power of two ≤ span: +0.5 keeps floor() exact at powers of 2
+        // (pow-of-2 doubles are exact well past 2^32)
+        val fit = pow(lit(2.0), floor(log(2.0, span.cast("double") + 0.5))).cast("long")
+        val size = least(align, fit)
+        val prefix = lit(32) - floor(log(2.0, size.cast("double") + 0.5)).cast("int")
+        when(cur > e, acc).otherwise(
+          struct((cur + size).as("cur"),
+            concat(acc.getField("out"),
+              array(concat_ws("/", formatIpv4(cur), prefix.cast("string")))).as("out")))
+      })
+    when(s.isNotNull && e.isNotNull && s <= e, stepped.getField("out"))
+  }
+
   /** The `/prefix` suffix of an ipv4 string, 32 when absent. */
   private def ipv4Suffix(c: Column): Column = {
     val halves = split(c, "/")

@@ -2499,6 +2499,18 @@ object KqlParser {
           val halves = split(args.head.cast("string"), "/")
           when(size(halves) > 1, element_at(halves, 2).cast("int"))
             .otherwise(lit(32)).cast("long")
+        case "has_ipv4" =>
+          KqlFunctions.hasIpv4(args.head.cast("string"), args(1).cast("string"))
+        case "has_ipv4_prefix" =>
+          KqlFunctions.hasIpv4Prefix(args.head.cast("string"), args(1).cast("string"))
+        case "has_any_ipv4" =>
+          args.tail.map(ip => KqlFunctions.hasIpv4(args.head.cast("string"),
+            ip.cast("string"))).reduce(_ || _)
+        case "has_any_ipv4_prefix" =>
+          args.tail.map(p => KqlFunctions.hasIpv4Prefix(args.head.cast("string"),
+            p.cast("string"))).reduce(_ || _)
+        case "ipv4_range_to_cidr_list" =>
+          KqlFunctions.ipv4RangeToCidrList(args.head.cast("string"), args(1).cast("string"))
         case "parse_ipv6" => KqlFunctions.parseIpv6(args.head)
         case "ipv6_compare" =>
           // canonical zero-padded hex compares lexicographically = numerically
@@ -2695,6 +2707,14 @@ object KqlParser {
           // values are engine-specific)
           val h = conv(substring(md5(args.head.cast("string")), 1, 15), 16, 10).cast("long")
           if (args.length > 1) pmod(h, args(1)) else h
+        case "hash_many" | "hash_combine" =>
+          // hash_many: one hash over all the values; hash_combine: combiner
+          // over already-computed hash values. Both use the same portable
+          // md5-60-bit definition as `hash` (deviation documented: Kusto's
+          // exact combiner is engine-internal; ours is replayable anywhere)
+          // on the '|'-joined string forms, so the oracle replays them.
+          conv(substring(md5(concat_ws("|", args.map(_.cast("string")): _*)), 1, 15),
+            16, 10).cast("long")
         case "binary_and" => args.head.bitwiseAND(args(1))
         case "binary_or" => args.head.bitwiseOR(args(1))
         case "binary_xor" => args.head.bitwiseXOR(args(1))
@@ -2740,6 +2760,13 @@ object KqlParser {
         case "not" => !args.head.cast("boolean")
         case "gamma" => graft.functions.Units.gamma(args.head)
         case "loggamma" => graft.functions.Units.loggamma(args.head)
+        // statistical special functions — native codegen'd kernels
+        // (StatExpressions.scala: Lanczos lgamma, Lentz continued fractions)
+        case "erf" | "erfc" =>
+          call_function(graft.plans.StatExpressions.names(f), args.head.cast("double"))
+        case "beta_cdf" | "beta_pdf" | "beta_inv" =>
+          call_function(graft.plans.StatExpressions.names(f),
+            args(0).cast("double"), args(1).cast("double"), args(2).cast("double"))
         // unit conversions: value * factor(from) / factor(to), factors
         // resolved at plan time from the literal unit names (Units.scala)
         case "convert_length" =>
@@ -3032,6 +3059,21 @@ object KqlParser {
         case "bag_remove_keys" =>
           map_filter(args.head, (k, _) => !array_contains(args(1), k))
         case "bag_has_key" => map_contains_key(args.head, args(1))
+        case "bag_set_key" =>
+          // replace-or-insert: drop any existing entry for the key, then
+          // concat the new single-entry map (value cast to the bag's string
+          // value type)
+          map_concat(
+            map_filter(args.head, (k, _) => k =!= args(1).cast("string")),
+            map_from_arrays(array(args(1).cast("string")),
+              array(args(2).cast("string"))))
+        case "treepath" =>
+          // enumerate the bag's paths in Kusto's ['key'] form. Bags here are
+          // depth-1 string maps (the parse-kv / bag_pack convention), so the
+          // path set is the sorted key list (deviation documented: no nested
+          // recursion — nested JSON stays a variant, not a bag)
+          transform(array_sort(map_keys(args.head)),
+            k => concat(lit("['"), k, lit("']")))
         case "strcat_array" =>
           array_join(transform(args.head, _.cast("string")), litString(args(1)))
         // series functions (series_fir parses separately: literal filter taps)

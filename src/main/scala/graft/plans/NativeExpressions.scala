@@ -270,5 +270,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CodecExpr].getName, regName),
         (children: Seq[Expression]) => CodecExpr(children.head, method)))
     }
+    // statistical special functions (StatExpressions.scala)
+    StatExpressions.names.foreach { case (kql, regName) =>
+      e.injectFunction((
+        FunctionIdentifier(regName),
+        new ExpressionInfo(classOf[StatExpr3].getName, regName),
+        (children: Seq[Expression]) => kql match {
+          case "erf" => StatExpr1(children.head, "erf")
+          case "erfc" => StatExpr1(children.head, "erfc")
+          case "beta_cdf" => StatExpr3(children(0), children(1), children(2), "betaCdf")
+          case "beta_pdf" => StatExpr3(children(0), children(1), children(2), "betaPdf")
+          case "beta_inv" => StatExpr3(children(0), children(1), children(2), "betaInv")
+          case "t_cdf" => StatExpr3(children(0), children(1), children(1), "tCdf2")
+        }))
+    }
   }
 }

@@ -2750,6 +2750,104 @@ object KqlTextQueries {
              |  UNION
              |  SELECT e.v AS node, r.lbl FROM r JOIN e ON r.node = e.u)
              |SELECT node, MIN(lbl) AS cid FROM r GROUP BY node
-             |ORDER BY node""".stripMargin))
+             |ORDER BY node""".stripMargin)),
+
+    // erf/erfc + the beta family (native Lentz/Lanczos kernels,
+    // StatExpressions.scala). Oracle literals are independently computed
+    // (Python math.erf / closed-form integer-parameter incomplete beta /
+    // 90-step bisection inverse); every value sits >1e-11 from its 7-decimal
+    // rounding boundary, so any implementation accurate to ~1e-12 rounds
+    // identically — this checks real numeric agreement, not just determinism
+    QueryDef("q_kql_stat_fns",
+      (s, d) => run(s, d,
+        """datatable(x: real, a: real, b: real) [
+          |  0.1401, 2, 3, 0.2302, 3, 2, 0.3203, 2, 5, 0.4104, 4, 3,
+          |  0.5005, 3, 4, 0.5906, 5, 2, 0.6807, 2, 2, 0.7708, 4, 4]
+          || extend e1 = round(erf(x), 7), e2 = round(erfc(2.0 * x), 7),
+          |    bc = round(beta_cdf(x, a, b), 7), bp = round(beta_pdf(x, a, b), 7),
+          |    bi = round(beta_inv(x, a, b), 7)
+          || project x, e1, e2, bc, bp, bi
+          || sort by x asc""".stripMargin),
+      Some("""SELECT CAST(x AS DOUBLE) AS x, CAST(e1 AS DOUBLE) AS e1,
+             |  CAST(e2 AS DOUBLE) AS e2, CAST(bc AS DOUBLE) AS bc,
+             |  CAST(bp AS DOUBLE) AS bp, CAST(bi AS DOUBLE) AS bi
+             |FROM (VALUES
+             |  (0.1401, 0.1570577, 0.6919113, 0.0969248, 1.2431264, 0.1724787),
+             |  (0.2302, 0.2552366, 0.5149794, 0.0403706, 0.4895193, 0.4414628),
+             |  (0.3203, 0.3494315, 0.3649649, 0.6225928, 2.0509132, 0.1900909),
+             |  (0.4104, 0.4383505, 0.2457287, 0.1938866, 1.4417443, 0.5344730),
+             |  (0.5005, 0.5209392, 0.1568845, 0.6571870, 1.8731213, 0.4216495),
+             |  (0.5906, 0.5964143, 0.0948266, 0.2189473, 1.4943174, 0.7735575),
+             |  (0.6807, 0.6642794, 0.0541905, 0.7592494, 1.3040851, 0.6229445),
+             |  (0.7708, 0.7243203, 0.0292462, 0.9470592, 0.7719639, 0.6327659))
+             |AS t(x, e1, e2, bc, bp, bi) ORDER BY x""".stripMargin)),
+
+    // hash_many / hash_combine on the engine-portable md5-60-bit definition
+    // (deviation documented at the dispatch site: Kusto's combiner is
+    // engine-internal); the oracle replays the same md5 arithmetic
+    QueryDef("q_kql_hash_fns",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 400 == 0
+          || extend hm = hash_many(event_type, user_id % 10),
+          |    hc = hash_combine(hash(event_type), hash(user_id % 10)),
+          |    hp = hash(event_type, 100)
+          || project event_id, hm, hc, hp
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_id,
+             |    CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT) AS h1,
+             |    CAST(('0x' || substr(md5(CAST(user_id % 10 AS VARCHAR)), 1, 15)) AS BIGINT) AS h2,
+             |    event_type, user_id FROM events WHERE event_id % 400 = 0)
+             |SELECT event_id,
+             |  CAST(('0x' || substr(md5(event_type || '|' || CAST(user_id % 10 AS VARCHAR)), 1, 15)) AS BIGINT) AS hm,
+             |  CAST(('0x' || substr(md5(CAST(h1 AS VARCHAR) || '|' || CAST(h2 AS VARCHAR)), 1, 15)) AS BIGINT) AS hc,
+             |  h1 % 100 AS hp
+             |FROM b ORDER BY event_id""".stripMargin)),
+
+    // bag_set_key (replace + insert) and treepath over depth-1 bags
+    QueryDef("q_kql_bag_fns2",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 400 == 0
+          || extend bag = bag_pack('k1', tostring(event_id % 5), 'k2', event_type)
+          || extend bag2 = bag_set_key(bag_set_key(bag, 'k2', 'x'), 'k3', tostring(user_id % 3))
+          || extend paths = strcat_array(treepath(bag2), '|'),
+          |    keys2 = strcat_array(bag_keys(bag2), ','),
+          |    v1 = tostring(bag2['k1']), v2 = tostring(bag2['k2']),
+          |    hk = bag_has_key(bag2, 'k3')
+          || project event_id, paths, keys2, v1, v2, hk
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  '[''k1'']|[''k2'']|[''k3'']' AS paths,
+             |  'k1,k2,k3' AS keys2,
+             |  CAST(event_id % 5 AS VARCHAR) AS v1,
+             |  'x' AS v2,
+             |  TRUE AS hk
+             |FROM events WHERE event_id % 400 = 0 ORDER BY event_id""".stripMargin)),
+
+    // has_ipv4 family (delimited-token extraction + octet validation) and
+    // ipv4_range_to_cidr_list (greedy minimal cover, bounded 64-step fold).
+    // The 999-octet address must NOT count as present; the fixed-range cover
+    // literal is validated against Python ipaddress.summarize_address_range
+    QueryDef("q_kql_ipv4_text",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 400 == 0
+          || extend o1 = event_id % 250, o2 = user_id % 200
+          || extend txt = strcat('conn from 10.', tostring(o1), '.', tostring(o2),
+          |    '.999 and 192.168.', tostring(o1), '.', tostring(o2), ' ok')
+          || extend h1 = has_ipv4(txt, strcat('192.168.', tostring(o1), '.', tostring(o2))),
+          |    h2 = has_ipv4(txt, strcat('10.', tostring(o1), '.', tostring(o2), '.999')),
+          |    hp = has_ipv4_prefix(txt, '192.168.'),
+          |    ha = has_any_ipv4(txt, '1.2.3.4', strcat('192.168.', tostring(o1), '.', tostring(o2))),
+          |    cl = strcat_array(ipv4_range_to_cidr_list('10.0.0.5', '10.0.0.20'), ','),
+          |    cl2 = strcat_array(ipv4_range_to_cidr_list(
+          |      strcat('10.', tostring(o1), '.0.0'), strcat('10.', tostring(o1), '.0.255')), ',')
+          || project event_id, h1, h2, hp, ha, cl, cl2
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id, TRUE AS h1, FALSE AS h2, TRUE AS hp, TRUE AS ha,
+             |  '10.0.0.5/32,10.0.0.6/31,10.0.0.8/29,10.0.0.16/30,10.0.0.20/32' AS cl,
+             |  '10.' || CAST(event_id % 250 AS VARCHAR) || '.0.0/24' AS cl2
+             |FROM events WHERE event_id % 400 = 0 ORDER BY event_id""".stripMargin))
   )
 }
