@@ -1061,6 +1061,27 @@ object KqlParser {
             val threshold = if (atPunct(",")) { pos += 1; parseNum() } else 0.05
             eatPunct(")")
             df.diffPatternsText(textC, split, valA, valB, threshold)
+          case "welch_test" =>
+            // `evaluate welch_test(m1, v1, c1, m2, v2, c2)`: Welch's unequal-
+            // variance t-test over per-row summary statistics (the Kusto
+            // plugin contract — the table already carries each group's mean/
+            // variance/count, typically from a preceding summarize). Appends
+            // `pvalue`. Pure per-row scalar arithmetic + the native t-CDF
+            // kernel (StatExpressions.tCdf via Welch–Satterthwaite df) — no
+            // extra pass, no shuffle.
+            val cs = (0 until 6).map { i =>
+              if (i > 0) eatPunct(","); col(ident()).cast("double")
+            }
+            eatPunct(")")
+            val Seq(m1, v1, c1, m2, v2, c2) = cs
+            val se1 = v1 / c1
+            val se2 = v2 / c2
+            val tStat = (m1 - m2) / sqrt(se1 + se2)
+            val dfW = org.apache.spark.sql.functions.pow(se1 + se2, 2) /
+              (org.apache.spark.sql.functions.pow(se1, 2) / (c1 - 1) +
+                org.apache.spark.sql.functions.pow(se2, 2) / (c2 - 1))
+            df.withColumn("pvalue",
+              lit(2.0) * (lit(1.0) - call_function("graft_t_cdf", abs(tStat), dfW, dfW)))
           case "dcount_intersect" =>
             // `evaluate dcount_intersect(h1, h2[, h3])` over hll_sketch()
             // columns: s0 = |A|, s1 = |A∩B|, s2 = |A∩B∩C| by inclusion-

@@ -2848,6 +2848,27 @@ object KqlTextQueries {
       Some("""SELECT event_id, TRUE AS h1, FALSE AS h2, TRUE AS hp, TRUE AS ha,
              |  '10.0.0.5/32,10.0.0.6/31,10.0.0.8/29,10.0.0.16/30,10.0.0.20/32' AS cl,
              |  '10.' || CAST(event_id % 250 AS VARCHAR) || '.0.0/24' AS cl2
-             |FROM events WHERE event_id % 400 = 0 ORDER BY event_id""".stripMargin))
+             |FROM events WHERE event_id % 400 = 0 ORDER BY event_id""".stripMargin)),
+
+    // evaluate welch_test: Welch's unequal-variance t-test over per-row
+    // summary stats. Oracle p-values are computed INDEPENDENTLY of the
+    // engine's continued-fraction t-CDF — Simpson integration of the t
+    // density (400k panels) — and every value sits >1e-9 from its 6-decimal
+    // rounding boundary, so agreement means numeric correctness
+    QueryDef("q_kql_welch_test",
+      (s, d) => run(s, d,
+        """datatable(id: long, m1: real, v1: real, c1: long, m2: real, v2: real, c2: long) [
+          |  1, 10.0, 4.0, 30, 11.2, 5.5, 28,
+          |  2, 5.0, 1.0, 50, 5.1, 1.4, 45,
+          |  3, 100.0, 25.0, 12, 96.5, 16.0, 20,
+          |  4, 0.5, 0.09, 80, 0.52, 0.11, 75,
+          |  5, 7.0, 2.0, 10, 9.5, 3.0, 9]
+          || evaluate welch_test(m1, v1, c1, m2, v2, c2)
+          || project id, p = round(pvalue, 6)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(p AS DOUBLE) AS p FROM (VALUES
+             |  (1, 0.041438), (2, 0.659356), (3, 0.052935),
+             |  (4, 0.694983), (5, 0.003618))
+             |AS t(id, p) ORDER BY id""".stripMargin))
   )
 }
