@@ -655,6 +655,41 @@ object Kql {
           .as(s"percentile_${valueCol}_${p.toInt}"))
     }
 
+    /** `T | evaluate rows_near(cond, numRows[, rowsAfter])` over a serialized
+      * order — keep every row within `numRows` rows BEFORE or `rowsAfter`
+      * rows AFTER any row satisfying `cond` (Kusto's context-rows plugin;
+      * `rowsAfter` defaults to `numRows`).
+      *
+      * Execution: global row indexes come from the distributed serialized
+      * numbering (serializedRowFns — no single-partition exchange), then
+      * anchor rows are bucketed on `floor(idx / w)` with
+      * `w = numRows + rowsAfter + 1` so each anchor's span covers at most two
+      * buckets; the output is ONE hash LEFT SEMI equi-join on the bucket key
+      * with the range check as a residual — never a broadcast requirement,
+      * never a nested-loop join, and the semi form dedups rows matched by
+      * several anchors for free. Anchors shuffle at ≤2 rows each; the data
+      * side shuffles once on an 8-byte key. Scale-safe at any anchor count. */
+    def rowsNear(order: Seq[Column], cond: Column, numRows: Int,
+        rowsAfter: Int): DataFrame = {
+      require(numRows >= 0 && rowsAfter >= 0,
+        "rows_near needs non-negative row distances")
+      val idx = "__rn_idx"
+      val withIdx = serializedRowFns(df, order, Seq(RowNumber(idx)))
+      val w = numRows.toLong + rowsAfter.toLong + 1L
+      val anchors = withIdx.filter(cond)
+        .select(col(idx).as("__rn_a"))
+        .withColumn("__rn_b", explode(array(
+          floor((col("__rn_a") - numRows) / w),
+          floor((col("__rn_a") + rowsAfter) / w))))
+        .select(col("__rn_b"), col("__rn_a")).distinct()
+      withIdx.join(anchors,
+          floor(col(idx) / w) === col("__rn_b") &&
+            col(idx) >= col("__rn_a") - numRows &&
+            col(idx) <= col("__rn_a") + rowsAfter,
+          "left_semi")
+        .drop(idx)
+    }
+
     /** `T | evaluate sequence_detect(ts, stepWindow, spanWindow, s1, …, sk,
       * id)` — per-actor ordered sequence detection: one output row per
       * occurrence of step 1 whose chain completes, each subsequent step

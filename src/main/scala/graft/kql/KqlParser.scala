@@ -321,6 +321,10 @@ object KqlParser {
             val (qn, t) = parseQualifiedTable()
             sourceName = qn; t
           }
+          else if (atIdent("union")) {
+            // program-initial `union [modifiers] T1[, T2, ...] | ...`
+            pos += 1; sourceName = "union"; parseUnionOp(None)
+          }
           else { val n = ident(); sourceName = n; resolveTable(n) }
         while (atPunct("|")) {
           eatPunct("|"); df = parseOp(df)
@@ -377,6 +381,70 @@ object KqlParser {
       tables.map { n =>
         searchFilter(resolveTable(n), term, cs).extend("source_" -> lit(n))
       }.reduce(_ unionKql _)
+    }
+
+    /** `union [kind=outer|inner] [withsource=Col] T1[, T2, ...]` — operands
+      * align by name; kind=outer (default) null-fills missing columns,
+      * kind=inner keeps only columns common to ALL operands. Serves both the
+      * tabular operator (`first` = the piped input) and the program-initial
+      * source form `union T1, T2 | ...` (`first` = None). An operand is a
+      * subquery, a table name, or a WILDCARD table pattern (`union ev*` /
+      * `union *ion` — Kusto's multi-table union form); patterns expand
+      * against the engine catalog (Tables.tableNames, the single-store
+      * namespace) plus any let-bound tables, sorted for a deterministic
+      * operand order, and an unmatched pattern fails loudly. */
+    private def parseUnionOp(first: Option[(String, DataFrame)]): DataFrame = {
+      var srcCol: Option[String] = None
+      var ukind = "outer"
+      var uDone = false
+      while (!uDone) {
+        if (atIdent("withsource")) { pos += 1; eatPunct("="); srcCol = Some(ident()) }
+        else if (atIdent("kind")) { pos += 1; eatPunct("="); ukind = ident() }
+        else if (atIdent("isfuzzy")) {
+          // accepted-and-ignored: every named operand must resolve here
+          // (no cluster-remote tables to be fuzzy about)
+          pos += 1; eatPunct("="); ident()
+        }
+        else uDone = true
+      }
+      def operand(i: Int): Seq[(String, DataFrame)] =
+        if (atPunct("(")) (s"$sourceName$i", parseSubQuery()) :: Nil
+        else {
+          var pat = if (atPunct("*")) "" else ident()
+          var wild = false
+          while (atPunct("*")) {
+            pos += 1; wild = true; pat += "*"
+            if (pos < toks.length && toks(pos).isInstanceOf[Ident]) pat += ident()
+          }
+          if (!wild) Seq((pat, resolveTable(pat)))
+          else {
+            val re = pat.split("\\*", -1).map(java.util.regex.Pattern.quote)
+              .mkString(".*")
+            val catalog =
+              (graft.sources.Tables.tableNames ++ bindings.keys).distinct.sorted
+            val hits = catalog.filter(_.matches(re))
+            require(hits.nonEmpty, s"union: pattern '$pat' matches no table " +
+              s"(catalog: ${catalog.mkString(", ")})")
+            hits.map(n => (n, resolveTable(n)))
+          }
+        }
+      val others = Seq.newBuilder[(String, DataFrame)]
+      others ++= operand(1)
+      var i = 2
+      while (atPunct(",")) { pos += 1; others ++= operand(i); i += 1 }
+      val operands = first.toSeq ++ others.result()
+      val pruned =
+        if (ukind != "inner") operands
+        else {
+          val common = operands.map(_._2.columns.toSet).reduce(_ intersect _)
+          val order = operands.head._2.columns.filter(common)
+          operands.map { case (n, o) => (n, o.select(order.map(col).toIndexedSeq: _*)) }
+        }
+      srcCol match {
+        case None => pruned.map(_._2).reduceLeft(_ unionKql _)
+        case Some(c) =>
+          pruned.map { case (n, o) => o.extend(c -> lit(n)) }.reduceLeft(_ unionKql _)
+      }
     }
 
     /** Program-initial `find in (T1, ..., Tn) where <pred> [project c1, ...]`:
@@ -986,6 +1054,19 @@ object KqlParser {
                 struct(lit(c).as("Column"), col(c).cast("string").as("Value"))
               ).toIndexedSeq: _*)).as("__nrw"))
               .select(col("Row"), col("__nrw.Column"), col("__nrw.Value"))
+          case "rows_near" =>
+            // `evaluate rows_near(cond, numRows[, rowsAfter])` — context rows
+            // around condition matches over the serialized order (see
+            // Kql.rowsNear: distributed row numbering + bucketed hash semi
+            // equi-join, no broadcast, no nested loop).
+            require(serializedOrder.nonEmpty,
+              "`evaluate rows_near(...)` requires `| sort by ... | serialize`")
+            val cond = parseExpr()
+            eatPunct(",")
+            val n = parseNum().toInt
+            val after = if (atPunct(",")) { pos += 1; parseNum().toInt } else n
+            eatPunct(")")
+            df.rowsNear(serializedOrder.get, cond, n, after)
           case "pivot" =>
             // `evaluate pivot(pivotCol [, agg(col)])` — unique pivot-column
             // values become columns; remaining columns (minus the aggregate
@@ -1574,43 +1655,7 @@ object KqlParser {
           case other => throw new IllegalArgumentException(
             s"graph-to-table: expected nodes or edges, got $other")
         }
-      case "union" =>
-        // `union [kind=outer|inner] [withsource=Col] T1[, T2, ...]` — operands
-        // align by name; kind=outer (default) null-fills missing columns,
-        // kind=inner keeps only columns common to ALL operands
-        var srcCol: Option[String] = None
-        var ukind = "outer"
-        var uDone = false
-        while (!uDone) {
-          if (atIdent("withsource")) { pos += 1; eatPunct("="); srcCol = Some(ident()) }
-          else if (atIdent("kind")) { pos += 1; eatPunct("="); ukind = ident() }
-          else if (atIdent("isfuzzy")) {
-            // accepted-and-ignored: every named operand must resolve here
-            // (no cluster-remote tables to be fuzzy about)
-            pos += 1; eatPunct("="); ident()
-          }
-          else uDone = true
-        }
-        def operand(i: Int): (String, DataFrame) =
-          if (atPunct("(")) (s"$sourceName$i", parseSubQuery())
-          else { val n = ident(); (n, resolveTable(n)) }
-        val others = Seq.newBuilder[(String, DataFrame)]
-        others += operand(1)
-        var i = 2
-        while (atPunct(",")) { pos += 1; others += operand(i); i += 1 }
-        val operands = (sourceName, df) +: others.result()
-        val pruned =
-          if (ukind != "inner") operands
-          else {
-            val common = operands.map(_._2.columns.toSet).reduce(_ intersect _)
-            val order = df.columns.filter(common)
-            operands.map { case (n, o) => (n, o.select(order.map(col).toIndexedSeq: _*)) }
-          }
-        srcCol match {
-          case None => pruned.map(_._2).reduceLeft(_ unionKql _)
-          case Some(c) =>
-            pruned.map { case (n, o) => o.extend(c -> lit(n)) }.reduceLeft(_ unionKql _)
-        }
+      case "union" => parseUnionOp(Some((sourceName, df)))
       case "join" =>
         var kind = "innerunique" // the KQL default
         var strategy = ""

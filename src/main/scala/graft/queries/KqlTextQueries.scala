@@ -2869,6 +2869,38 @@ object KqlTextQueries {
       Some("""SELECT CAST(id AS BIGINT) AS id, CAST(p AS DOUBLE) AS p FROM (VALUES
              |  (1, 0.041438), (2, 0.659356), (3, 0.052935),
              |  (4, 0.694983), (5, 0.003618))
-             |AS t(id, p) ORDER BY id""".stripMargin))
+             |AS t(id, p) ORDER BY id""".stripMargin)),
+
+    // evaluate rows_near: context rows around condition matches over the
+    // serialized order (2 before, 3 after). Distributed row numbering +
+    // bucketed hash SEMI equi-join (Kql.rowsNear) — no broadcast requirement,
+    // no nested loop; the oracle replays the row-window EXISTS directly
+    QueryDef("q_kql_rows_near",
+      (s, d) => run(s, d,
+        """events
+          || project event_id, event_type, value
+          || sort by event_id asc
+          || serialize
+          || evaluate rows_near(event_type == 'purchase' and value > 990, 2, 3)
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH t AS (SELECT event_id, event_type, value,
+             |    row_number() OVER (ORDER BY event_id) AS idx FROM events),
+             |a AS (SELECT idx FROM t WHERE event_type = 'purchase' AND value > 990)
+             |SELECT event_id, event_type, value FROM t
+             |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
+             |ORDER BY event_id""".stripMargin)),
+
+    // program-initial union with WILDCARD table patterns: `*ion` expands
+    // against the engine catalog (region + nation), sorted for deterministic
+    // operand order; columns align by name with null-fill
+    QueryDef("q_kql_union_wild",
+      (s, d) => run(s, d,
+        """union withsource=src *ion
+          || summarize n = count() by src
+          || sort by src asc""".stripMargin),
+      Some("""SELECT src, n FROM (
+             |  SELECT 'nation' AS src, COUNT(*) AS n FROM nation
+             |  UNION ALL SELECT 'region' AS src, COUNT(*) AS n FROM region) u
+             |ORDER BY src""".stripMargin))
   )
 }

@@ -1126,4 +1126,36 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getSeq[Double](0) == Seq(7.25, 99.0))
     assert(r.getSeq[Double](1) == Seq(99.0))
   }
+
+  test("evaluate rows_near keeps the window around each anchor, deduped") {
+    // anchor = id 4 (purchase); 1 before + 1 after => ids 3, 4, 5
+    val r = run(
+      """t | sort by id asc | serialize
+        || evaluate rows_near(etype == 'purchase', 1)
+        || sort by id asc""".stripMargin)
+    assert(r.select("id").as[Long].collect().toSeq == Seq(3L, 4L, 5L))
+    // asymmetric window: 0 before, 2 after => ids 4, 5 (clipped at the end)
+    val r2 = run(
+      """t | sort by id asc | serialize
+        || evaluate rows_near(etype == 'purchase', 0, 2)
+        || sort by id asc""".stripMargin)
+    assert(r2.select("id").as[Long].collect().toSeq == Seq(4L, 5L))
+    // overlapping anchors (every click) emit each row at most once
+    val r3 = run(
+      """t | sort by id asc | serialize
+        || evaluate rows_near(etype == 'click', 2, 2)""".stripMargin)
+    assert(r3.count() == 5)
+    // serialized order is mandatory
+    assertThrows[IllegalArgumentException](
+      run("t | evaluate rows_near(etype == 'click', 1)"))
+  }
+
+  test("union wildcard patterns expand against the catalog; no match fails") {
+    // 'par*' expands to the part table only; t has disjoint columns => null-fill
+    val u = KqlParser.parse("union withsource=src t, nat*",
+      n => if (n == "t") t else graft.sources.Tables.resolver(spark, sf)(n))
+    assert(u.columns.contains("src"))
+    assertThrows[IllegalArgumentException](
+      KqlParser.parse("union zzz*", _ => t))
+  }
 }
