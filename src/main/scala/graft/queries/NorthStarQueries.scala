@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kql.Kql._
@@ -1310,6 +1310,59 @@ object NorthStarQueries {
              |    CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS u
              |  FROM documents)
              |SELECT u AS url_norm, COUNT(*) AS n, MIN(doc_id) AS keep
-             |FROM b GROUP BY 1 ORDER BY url_norm""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY url_norm""".stripMargin)),
+
+    // --- sketch-prefiltered exact pipelines ---------------------------------
+    // Cross-shard membership via BUCKETED Bloom filters (Sketches.bloomAgg):
+    // shard A reduces to one ~1 KB filter per hash bucket; shard B probes by
+    // bucket EQUI-join (never broadcast-required, never a re-scan of A), and
+    // because a Bloom filter has no false negatives the exact left-semi
+    // verify join only sees candidates — the output is EXACT and the oracle
+    // states the plain membership semantics. This is the 100 TB shape for
+    // "which keys in today's shard already exist in the corpus".
+    QueryDef("q_bloom_membership",
+      (s, d) => {
+        import graft.functions.Sketches
+        val o = T(s, d, "orders").select(col("o_custkey"), col("o_orderkey"))
+        val a = o.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey").as("k"))
+        val b = o.filter(col("o_orderkey") % 2 === 1).select(col("o_custkey").as("k"))
+          .distinct()
+        def bkt(c: Column) = pmod(xxhash64(c), lit(32L))
+        val blooms = a.groupBy(bkt(col("k")).as("bkt"))
+          .agg(Sketches.bloomAgg(col("k"), 8192, 3).as("bf"))
+        val cand = b.withColumn("bkt", bkt(col("k"))).join(blooms, "bkt")
+          .where(Sketches.bloomContains(col("bf"), col("k"), 3))
+          .select(col("k"))
+        cand.join(a.distinct(), Seq("k"), "left_semi")
+          .select(col("k").as("o_custkey")).sortBy(col("o_custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey FROM orders b
+             |WHERE o_orderkey % 2 = 1 AND EXISTS (
+             |  SELECT 1 FROM orders a
+             |  WHERE a.o_orderkey % 2 = 0 AND a.o_custkey = b.o_custkey)
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Heavy hitters via a count-min sketch pre-filter (Sketches.cmsAgg): the
+    // corpus reduces to one d×w counter array in a single partial+final
+    // aggregate; since CMS never under-counts, thresholding the ESTIMATE
+    // keeps every truly-frequent key, and the exact count+HAVING verify pass
+    // restores exactness — the sketch bounds the candidate set, the exact
+    // aggregate proves it. Oracle states the plain exact semantics.
+    QueryDef("q_cms_heavy_hitters",
+      (s, d) => {
+        import graft.functions.Sketches
+        val ev = T(s, d, "events").select(col("user_id"))
+        val cms = ev.agg(Sketches.cmsAgg(col("user_id"), 128, 3).as("cms"))
+        val cand = ev.distinct()
+          .crossJoin(broadcast(cms))
+          .where(Sketches.cmsEstimate(col("cms"), col("user_id"), 128, 3) >= 75L)
+          .select(col("user_id"))
+        ev.join(cand, Seq("user_id"), "left_semi")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .where(col("n") >= 75).sortBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n FROM events
+             |GROUP BY user_id HAVING COUNT(*) >= 75
+             |ORDER BY user_id""".stripMargin))
   )
 }
