@@ -2814,6 +2814,10 @@ object KqlParser {
         case "geo_line_length" => geoLineLength(args.head)
         case "geo_distance_point_to_line" =>
           geoPointToLine(args(0), args(1), args(2))
+        case "geo_polygon_area" => geoPolygonArea(args.head)
+        // perimeter of a closed ring = Σ haversine over consecutive vertices
+        case "geo_polygon_perimeter" => geoLineLength(args.head)
+        case "geo_polygon_centroid" => geoPolygonCentroid(args.head)
         case "cos" => cos(args.head)
         case "tan" => tan(args.head)
         case "acos" => acos(args.head)
@@ -3344,6 +3348,45 @@ object KqlParser {
         acc + geoDistance(element_at(a, 1), element_at(a, 2),
           element_at(b, 1), element_at(b, 2))
       })
+
+    /** Spherical-excess polygon area (m²) over a closed [[lng,lat],…] ring —
+      * the standard edge-sum form Σ Δλ·(2 + sin φ₁ + sin φ₂)·R²/2 on the
+      * mean-radius sphere. Deviation (documented): Kusto computes the WGS84
+      * ellipsoid area; the spherical form is within ~0.5% and stays a pure
+      * replayable IEEE chain. Holes are not supported (ring only). */
+    private def geoPolygonArea(ring: Column): Column = {
+      val e = aggregate(sequence(lit(0), size(ring) - 2), lit(0.0), (acc, i) => {
+        val a = element_at(ring, i + 1); val b = element_at(ring, i + 2)
+        acc + radians(element_at(b, 1).cast("double") -
+            element_at(a, 1).cast("double")) *
+          (lit(2.0) + sin(radians(element_at(a, 2).cast("double"))) +
+            sin(radians(element_at(b, 2).cast("double"))))
+      })
+      abs(e) * lit(6371000.0 * 6371000.0 / 2.0)
+    }
+
+    /** Planar shoelace centroid of a closed [[lng,lat],…] ring as
+      * [lng, lat]. Deviation (documented): Kusto computes the spherical
+      * centroid; the planar form is exact in lng/lat space and agrees to
+      * ~1e-5 deg at sub-degree extents — and being pure +,*,/ arithmetic it
+      * replays bit-for-bit in any IEEE engine. */
+    private def geoPolygonCentroid(ring: Column): Column =
+      aggregate(sequence(lit(0), size(ring) - 2),
+        struct(lit(0.0).as("a"), lit(0.0).as("cx"), lit(0.0).as("cy")),
+        (acc, i) => {
+          val p = element_at(ring, i + 1); val q = element_at(ring, i + 2)
+          val x1 = element_at(p, 1).cast("double")
+          val y1 = element_at(p, 2).cast("double")
+          val x2 = element_at(q, 1).cast("double")
+          val y2 = element_at(q, 2).cast("double")
+          val cr = x1 * y2 - x2 * y1
+          struct((acc.getField("a") + cr).as("a"),
+            (acc.getField("cx") + (x1 + x2) * cr).as("cx"),
+            (acc.getField("cy") + (y1 + y2) * cr).as("cy"))
+        },
+        // Cx = Σ(x1+x2)·cr / (6·A) with A = Σcr/2 → Σ(x1+x2)·cr / (3·Σcr)
+        acc => array(acc.getField("cx") / (lit(3.0) * acc.getField("a")),
+          acc.getField("cy") / (lit(3.0) * acc.getField("a"))))
 
     /** Min distance from a point to a [[lng,lat],…] polyline, meters.
       * Deviation (documented): Kusto computes the geodesic; this uses the

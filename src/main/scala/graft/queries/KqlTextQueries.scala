@@ -2890,6 +2890,64 @@ object KqlTextQueries {
              |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
              |ORDER BY event_id""".stripMargin)),
 
+    // geo_polygon_area (spherical-excess edge sum, documented deviation from
+    // the WGS84 ellipsoid), geo_polygon_perimeter (Σ haversine over the closed
+    // ring), geo_polygon_centroid (planar shoelace, [lng,lat]) over a
+    // trapezoid ring built per row; the oracle replays each edge's exact IEEE
+    // chain longhand, rounded (0.1 m / 6 dp) per the q_kql_geo precedent
+    QueryDef("q_kql_geo_polygon",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 40 == 0
+          || extend x = todouble(event_id % 300) - 150.0,
+          |    y = todouble(event_id % 120) - 60.5
+          || extend ring = pack_array(pack_array(x, y), pack_array(x + 1.0, y),
+          |    pack_array(x + 1.0, y + 1.0), pack_array(x, y + 2.0), pack_array(x, y))
+          || extend area_km2 = round(geo_polygon_area(ring) / 1000000.0, 2),
+          |    per_km = round(geo_polygon_perimeter(ring) / 1000.0, 4),
+          |    c = geo_polygon_centroid(ring)
+          || project event_id, area_km2, per_km,
+          |    clng = round(todouble(c[0]), 6), clat = round(todouble(c[1]), 6)
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_id,
+             |    CAST(event_id % 300 AS DOUBLE) - 150.0 AS x,
+             |    CAST(event_id % 120 AS DOUBLE) - 60.5 AS y
+             |  FROM events WHERE event_id % 40 = 0),
+             |d AS (SELECT event_id, x, y,
+             |  12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |    SIN(RADIANS(y - y)/2)*SIN(RADIANS(y - y)/2) +
+             |    COS(RADIANS(y))*COS(RADIANS(y))*
+             |      SIN(RADIANS((x+1.0) - x)/2)*SIN(RADIANS((x+1.0) - x)/2)))) AS d1,
+             |  12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |    SIN(RADIANS((y+1.0) - y)/2)*SIN(RADIANS((y+1.0) - y)/2) +
+             |    COS(RADIANS(y))*COS(RADIANS(y+1.0))*
+             |      SIN(RADIANS((x+1.0) - (x+1.0))/2)*SIN(RADIANS((x+1.0) - (x+1.0))/2)))) AS d2,
+             |  12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |    SIN(RADIANS((y+2.0) - (y+1.0))/2)*SIN(RADIANS((y+2.0) - (y+1.0))/2) +
+             |    COS(RADIANS(y+1.0))*COS(RADIANS(y+2.0))*
+             |      SIN(RADIANS(x - (x+1.0))/2)*SIN(RADIANS(x - (x+1.0))/2)))) AS d3,
+             |  12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |    SIN(RADIANS(y - (y+2.0))/2)*SIN(RADIANS(y - (y+2.0))/2) +
+             |    COS(RADIANS(y+2.0))*COS(RADIANS(y))*
+             |      SIN(RADIANS(x - x)/2)*SIN(RADIANS(x - x)/2)))) AS d4,
+             |  RADIANS((x+1.0) - x)*(2.0 + SIN(RADIANS(y)) + SIN(RADIANS(y)))
+             |    + RADIANS((x+1.0) - (x+1.0))*(2.0 + SIN(RADIANS(y)) + SIN(RADIANS(y+1.0)))
+             |    + RADIANS(x - (x+1.0))*(2.0 + SIN(RADIANS(y+1.0)) + SIN(RADIANS(y+2.0)))
+             |    + RADIANS(x - x)*(2.0 + SIN(RADIANS(y+2.0)) + SIN(RADIANS(y))) AS e,
+             |  x*y - (x+1.0)*y AS cr1,
+             |  (x+1.0)*(y+1.0) - (x+1.0)*y AS cr2,
+             |  (x+1.0)*(y+2.0) - x*(y+1.0) AS cr3,
+             |  x*y - x*(y+2.0) AS cr4
+             |  FROM b)
+             |SELECT event_id,
+             |  ROUND(ABS(e) * (6371000.0*6371000.0/2.0) / 1000000.0, 2) AS area_km2,
+             |  ROUND((d1 + d2 + d3 + d4) / 1000.0, 4) AS per_km,
+             |  ROUND(((x+(x+1.0))*cr1 + ((x+1.0)+(x+1.0))*cr2 + ((x+1.0)+x)*cr3
+             |    + (x+x)*cr4) / (3.0*(cr1+cr2+cr3+cr4)), 6) AS clng,
+             |  ROUND(((y+y)*cr1 + (y+(y+1.0))*cr2 + ((y+1.0)+(y+2.0))*cr3
+             |    + ((y+2.0)+y)*cr4) / (3.0*(cr1+cr2+cr3+cr4)), 6) AS clat
+             |FROM d ORDER BY event_id""".stripMargin)),
+
     // program-initial union with WILDCARD table patterns: `*ion` expands
     // against the engine catalog (region + nation), sorted for deterministic
     // operand order; columns align by name with null-fill

@@ -1150,6 +1150,21 @@ class KqlParserSpec extends SparkSpec {
       run("t | evaluate rows_near(etype == 'click', 1)"))
   }
 
+  test("geo_polygon area/perimeter/centroid invariants on a unit square") {
+    val r = run(
+      """t | take 1
+        || extend ring = pack_array(pack_array(0.0, 0.0), pack_array(1.0, 0.0),
+        |    pack_array(1.0, 1.0), pack_array(0.0, 1.0), pack_array(0.0, 0.0))
+        || project a = geo_polygon_area(ring), p = geo_polygon_perimeter(ring),
+        |    cx = todouble(geo_polygon_centroid(ring)[0]),
+        |    cy = todouble(geo_polygon_centroid(ring)[1])""".stripMargin)
+      .as[(Double, Double, Double, Double)].collect().head
+    // 1°×1° at the equator ≈ 111.19 km per side
+    assert(math.abs(r._1 / 1e6 - 12364.0) < 10.0, s"area ${r._1 / 1e6} km2")
+    assert(math.abs(r._2 - 4 * 111194.9) < 200.0, s"perimeter ${r._2}")
+    assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
+  }
+
   test("union wildcard patterns expand against the catalog; no match fails") {
     // 'par*' expands to the part table only; t has disjoint columns => null-fill
     val u = KqlParser.parse("union withsource=src t, nat*",
