@@ -2749,6 +2749,13 @@ object KqlParser {
           // GraftExtensions — per-row java.util.zip / RFC 3492 work,
           // codegen-friendly
           call_function(graft.plans.CodecExpressions.names(f), args.head.cast("string"))
+        case "parse_xml" =>
+          // XML → dynamic: the native codec expression produces the canonical
+          // JSON mapping (CodecExpressions.xmlToJson — Kusto's element/
+          // attribute/#text contract), then try_parse_json lifts it to a
+          // variant; malformed XML → empty string → null (Kusto's contract)
+          try_parse_json(call_function(
+            graft.plans.CodecExpressions.names(f), args.head.cast("string")))
         case "url_encode" | "url_encode_component" =>
           call_function("url_encode", args.head)
         case "url_decode" => call_function("url_decode", args.head)

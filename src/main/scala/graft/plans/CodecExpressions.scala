@@ -30,7 +30,8 @@ object CodecExpressions {
     "gzip_compress_to_base64_string" -> "graft_gzip_compress_b64",
     "gzip_decompress_from_base64_string" -> "graft_gzip_decompress_b64",
     "punycode_from_string" -> "graft_punycode_encode",
-    "punycode_to_string" -> "graft_punycode_decode")
+    "punycode_to_string" -> "graft_punycode_decode",
+    "parse_xml" -> "graft_xml_to_json")
 
   // ---- static helpers (also the codegen call targets) ----
 
@@ -172,6 +173,203 @@ object CodecExpressions {
     while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
     UTF8String.fromBytes(out.toByteArray)
   } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
+
+  // ---- parse_xml: minimal well-formed XML → canonical JSON --------------
+  // Hand-rolled non-validating parser (no DTD resolution, no external
+  // entities — deliberate, for determinism and safety). Mapping (the public
+  // Kusto parse_xml contract): an element with neither attributes nor child
+  // elements becomes its trimmed text (or null when empty); otherwise an
+  // object with "@attr" entries in document order, child entries in
+  // first-appearance order (repeated names become arrays in document
+  // order), and a trailing "#text" for non-empty mixed text. Leaf values
+  // stay JSON strings (documented deviation: Kusto coerces numeric-looking
+  // text on access). Malformed input → EMPTY string (the codec-family error
+  // convention; the parse_xml dispatch wraps with try_parse_json, so the
+  // observable KQL result is Kusto's null).
+
+  def xmlToJson(s: UTF8String): UTF8String = try {
+    val r = XmlLite.toJson(s.toString)
+    if (r == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(r)
+  } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
+
+  private object XmlLite {
+    import scala.collection.mutable.ArrayBuffer
+
+    private final class Elem(val name: String) {
+      val attrs = ArrayBuffer[(String, String)]()
+      val children = ArrayBuffer[Elem]()
+      val text = new java.lang.StringBuilder
+    }
+
+    def toJson(xml: String): String = {
+      val p = new P(xml)
+      p.skipProlog()
+      p.ws()
+      if (p.atEnd || p.cur != '<') return null
+      val root = p.element()
+      p.skipMisc(); p.ws()
+      if (!p.atEnd) null
+      else "{" + jstr(root.name) + ":" + value(root) + "}"
+    }
+
+    private def value(e: Elem): String = {
+      val t = e.text.toString.trim
+      if (e.attrs.isEmpty && e.children.isEmpty) {
+        if (t.isEmpty) "null" else jstr(t)
+      } else {
+        val parts = ArrayBuffer[String]()
+        e.attrs.foreach { case (k, v) => parts += jstr("@" + k) + ":" + jstr(v) }
+        val grouped = new java.util.LinkedHashMap[String, ArrayBuffer[Elem]]()
+        e.children.foreach { c =>
+          grouped.computeIfAbsent(c.name, _ => ArrayBuffer[Elem]()) += c
+        }
+        grouped.forEach { (k, cs) =>
+          parts += jstr(k) + ":" + (if (cs.size == 1) value(cs.head)
+            else cs.map(value).mkString("[", ",", "]"))
+        }
+        if (t.nonEmpty) parts += jstr("#text") + ":" + jstr(t)
+        parts.mkString("{", ",", "}")
+      }
+    }
+
+    private def jstr(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 2)
+      sb.append('"')
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+
+    private final class P(s: String) {
+      var i = 0
+      def atEnd: Boolean = i >= s.length
+      def cur: Char = s.charAt(i)
+      def fail(): Nothing = throw new IllegalArgumentException("malformed xml")
+      def ws(): Unit =
+        while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+      def startsWith(p: String): Boolean = s.regionMatches(i, p, 0, p.length)
+      def skipUntil(p: String): Unit = {
+        val j = s.indexOf(p, i); if (j < 0) fail(); i = j + p.length
+      }
+      def skipMisc(): Unit = {
+        var go = true
+        while (go) {
+          ws()
+          if (startsWith("<?")) skipUntil("?>")
+          else if (startsWith("<!--")) skipUntil("-->")
+          else go = false
+        }
+      }
+      def skipProlog(): Unit = {
+        if (i < s.length && s.charAt(i) == '\uFEFF') i += 1
+        skipMisc()
+        if (startsWith("<!DOCTYPE")) { skipDoctype(); skipMisc() }
+      }
+      // internal subsets nest in [...]; skip to the '>' at bracket depth 0
+      private def skipDoctype(): Unit = {
+        var depth = 0
+        while (i < s.length) {
+          val c = s.charAt(i); i += 1
+          if (c == '[') depth += 1
+          else if (c == ']') depth -= 1
+          else if (c == '>' && depth == 0) return
+        }
+        fail()
+      }
+      def name(): String = {
+        val st = i
+        if (i < s.length && (Character.isLetter(cur) || cur == '_' || cur == ':')) i += 1
+        else fail()
+        while (i < s.length && (Character.isLetterOrDigit(cur) ||
+          "._-:".indexOf(cur.toInt) >= 0)) i += 1
+        s.substring(st, i)
+      }
+      def decode(t: String): String = if (t.indexOf('&') < 0) t else {
+        val sb = new java.lang.StringBuilder(t.length)
+        var j = 0
+        while (j < t.length) {
+          val c = t.charAt(j)
+          if (c == '&') {
+            val sc = t.indexOf(';', j)
+            if (sc < 0) fail()
+            t.substring(j + 1, sc) match {
+              case "amp" => sb.append('&')
+              case "lt" => sb.append('<')
+              case "gt" => sb.append('>')
+              case "quot" => sb.append('"')
+              case "apos" => sb.append('\'')
+              case e if e.length > 2 && (e.charAt(0) == '#') &&
+                  (e.charAt(1) == 'x' || e.charAt(1) == 'X') =>
+                sb.appendCodePoint(Integer.parseInt(e.substring(2), 16))
+              case e if e.nonEmpty && e.charAt(0) == '#' =>
+                sb.appendCodePoint(Integer.parseInt(e.substring(1)))
+              case _ => fail()
+            }
+            j = sc + 1
+          } else { sb.append(c); j += 1 }
+        }
+        sb.toString
+      }
+      private def attrValue(): String = {
+        val q = cur
+        if (q != '"' && q != '\'') fail()
+        i += 1
+        val end = s.indexOf(q, i); if (end < 0) fail()
+        val v = decode(s.substring(i, end)); i = end + 1; v
+      }
+      def element(): Elem = {
+        if (cur != '<') fail()
+        i += 1
+        val e = new Elem(name())
+        var closed = false
+        var done = false
+        while (!done) {
+          ws()
+          if (atEnd) fail()
+          else if (startsWith("/>")) { i += 2; closed = true; done = true }
+          else if (cur == '>') { i += 1; done = true }
+          else {
+            val an = name(); ws()
+            if (atEnd || cur != '=') fail()
+            i += 1; ws()
+            e.attrs += ((an, attrValue()))
+          }
+        }
+        if (!closed) content(e)
+        e
+      }
+      private def content(e: Elem): Unit = {
+        while (true) {
+          val lt = s.indexOf('<', i)
+          if (lt < 0) fail()
+          if (lt > i) { e.text.append(decode(s.substring(i, lt))); i = lt }
+          if (startsWith("</")) {
+            i += 2
+            val n = name(); ws()
+            if (atEnd || cur != '>') fail()
+            i += 1
+            if (n != e.name) fail()
+            return
+          }
+          else if (startsWith("<!--")) skipUntil("-->")
+          else if (startsWith("<![CDATA[")) {
+            i += 9
+            val end = s.indexOf("]]>", i); if (end < 0) fail()
+            e.text.append(s.substring(i, end)); i = end + 3
+          }
+          else if (startsWith("<?")) skipUntil("?>")
+          else e.children += element()
+        }
+      }
+    }
+  }
 }
 
 /** String→string codec expression; `method` is the CodecExpressions helper
@@ -192,6 +390,7 @@ case class CodecExpr(child: Expression, method: String) extends UnaryExpression 
     case "gzipDecompress" => CodecExpressions.gzipDecompress
     case "punyEncode" => CodecExpressions.punyEncode
     case "punyDecode" => CodecExpressions.punyDecode
+    case "xmlToJson" => CodecExpressions.xmlToJson
   }
 
   override protected def nullSafeEval(input: Any): Any =

@@ -264,6 +264,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case "gzip_decompress_from_base64_string" => "gzipDecompress"
         case "punycode_from_string" => "punyEncode"
         case "punycode_to_string" => "punyDecode"
+        case "parse_xml" => "xmlToJson"
       }
       e.injectFunction((
         FunctionIdentifier(regName),

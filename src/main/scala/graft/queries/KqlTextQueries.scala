@@ -2890,6 +2890,28 @@ object KqlTextQueries {
              |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
              |ORDER BY event_id""".stripMargin)),
 
+    // parse_xml: XML → dynamic via the native XmlLite codec (canonical
+    // Kusto element/@attr/#text mapping, CodecExpressions.xmlToJson) lifted
+    // by try_parse_json; whole-variant tostring prints SORTED keys, so the
+    // oracle literals are the mapping re-sorted; malformed XML → null
+    QueryDef("q_kql_parse_xml",
+      (s, d) => run(s, d,
+        """datatable(id: long, x: string) [
+          |  1, '<conf><a>1</a><a>2</a><b attr="v">t</b></conf>',
+          |  2, '<?xml version="1.0"?><conf status="ok"><a>seven</a><empty/></conf>',
+          |  3, '<conf><m>hello &amp; &lt;world&gt;</m></conf>',
+          |  4, '<conf><r><![CDATA[raw <stuff> ]]>tail</r><!-- note --></conf>',
+          |  5, '<conf><a>x</a']
+          || extend d = parse_xml(x)
+          || project id, ok = iff(isnull(d), 0, 1), j = tostring(d)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(ok AS INT) AS ok, j FROM (VALUES
+             |  (1, 1, '{"conf":{"a":["1","2"],"b":{"#text":"t","@attr":"v"}}}'),
+             |  (2, 1, '{"conf":{"@status":"ok","a":"seven","empty":null}}'),
+             |  (3, 1, '{"conf":{"m":"hello & <world>"}}'),
+             |  (4, 1, '{"conf":{"r":"raw <stuff> tail"}}'),
+             |  (5, 0, NULL)) AS t(id, ok, j) ORDER BY id""".stripMargin)),
+
     // geo_polygon_area (spherical-excess edge sum, documented deviation from
     // the WGS84 ellipsoid), geo_polygon_perimeter (Σ haversine over the closed
     // ring), geo_polygon_centroid (planar shoelace, [lng,lat]) over a

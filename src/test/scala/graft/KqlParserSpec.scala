@@ -1165,6 +1165,24 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("parse_xml: elements, attrs, arrays, entities, CDATA; malformed → null") {
+    // tostring(variant) prints objects with SORTED keys — the expected
+    // literals below are the canonical mapping re-sorted ("#text" < "@attr")
+    val r = run(
+      """t | take 1 | project
+        |  j1 = tostring(parse_xml('<c><a>1</a><a>2</a><b at="v">t</b></c>')),
+        |  j2 = tostring(parse_xml('<?xml version="1.0"?><c s="ok"><e/></c>')),
+        |  j3 = tostring(parse_xml('<m>hi &amp; &#65;</m>')),
+        |  j4 = tostring(parse_xml('<r><![CDATA[raw <x> ]]>tail<!-- c --></r>')),
+        |  j5 = tostring(parse_xml('<c><a>x</a'))""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == """{"c":{"a":["1","2"],"b":{"#text":"t","@at":"v"}}}""")
+    assert(r.getString(1) == """{"c":{"@s":"ok","e":null}}""")
+    assert(r.getString(2) == """{"m":"hi & A"}""")
+    assert(r.getString(3) == """{"r":"raw <x> tail"}""")
+    assert(r.isNullAt(4))
+  }
+
   test("union wildcard patterns expand against the catalog; no match fails") {
     // 'par*' expands to the part table only; t has disjoint columns => null-fill
     val u = KqlParser.parse("union withsource=src t, nat*",
