@@ -2816,6 +2816,20 @@ object KqlParser {
             s"geo_point_to_geohash precision must be 1..10, got $p")
           geoHashEncode(args(0), args(1), p)
         case "geo_geohash_to_central_point" => geoHashDecode(args.head)
+        case "geo_point_to_s2cell" =>
+          // real S2 (public spec: quadratic face projection + Hilbert cell
+          // ids, S2Expressions.scala). Level must be a literal, like the
+          // geohash precision; Kusto's default level is 11.
+          val lvl = if (args.length > 2) litLong(args(2)).toInt else 11
+          require(lvl >= 0 && lvl <= 30,
+            s"geo_point_to_s2cell level must be 0..30, got $lvl")
+          call_function("graft_s2_cell",
+            args(0).cast("double"), args(1).cast("double"), lit(lvl))
+        case "geo_s2cell_to_central_point" =>
+          // deviation (documented): returns [lng, lat] (the ring/point array
+          // convention used across the geo family) instead of GeoJSON
+          array(call_function("graft_s2_center_lng", args.head.cast("string")),
+            call_function("graft_s2_center_lat", args.head.cast("string")))
         case "geo_point_in_polygon" =>
           geoPointInPolygon(args(0), args(1), args(2))
         case "geo_line_length" => geoLineLength(args.head)

@@ -271,6 +271,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CodecExpr].getName, regName),
         (children: Seq[Expression]) => CodecExpr(children.head, method)))
     }
+    // S2 cell scalars (S2Expressions.scala)
+    e.injectFunction((
+      FunctionIdentifier("graft_s2_cell"),
+      new ExpressionInfo(classOf[S2CellExpr].getName, "graft_s2_cell"),
+      (children: Seq[Expression]) => S2CellExpr(children(0), children(1), children(2))))
+    Seq("lng", "lat").foreach { coord =>
+      e.injectFunction((
+        FunctionIdentifier(s"graft_s2_center_$coord"),
+        new ExpressionInfo(classOf[S2CenterExpr].getName, s"graft_s2_center_$coord"),
+        (children: Seq[Expression]) => S2CenterExpr(children.head, coord)))
+    }
     // statistical special functions (StatExpressions.scala)
     StatExpressions.names.foreach { case (kql, regName) =>
       e.injectFunction((

@@ -1,0 +1,237 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2 cell scalars (`geo_point_to_s2cell` / `geo_s2cell_to_central_point`;
+  * reference KQL surface `/root/reference/README.md:33-34`) implemented from
+  * the PUBLIC S2 geometry spec: cube-face projection (quadratic ST), Hilbert
+  * curve cell ids (lookup-table traversal, 4 bits per step), and the
+  * canonical hex token form (trailing zeros stripped, "X" for id 0).
+  *
+  * Like geohash, S2 tokens are hierarchical: a level-k cell's id is a prefix
+  * of its descendants' ids, so equality joins on `geo_point_to_s2cell(lng,
+  * lat, k)` give distributed spatial bucketing — the scale path for
+  * proximity joins (bucket equi-join on an ≤16-char key; no pairwise
+  * distance pass, no broadcast requirement). The Hilbert ordering keeps
+  * spatially adjacent cells numerically adjacent, so sorted/ranged storage
+  * on the token clusters nearby points into the same row groups.
+  *
+  * Determinism: integer bit arithmetic throughout; the only doubles are the
+  * trig projections (fixed IEEE chains). All math is from the published
+  * algorithm — no library dependency.
+  */
+object S2Expressions {
+
+  val names: Map[String, String] = Map(
+    "s2_cell" -> "graft_s2_cell",
+    "s2_center_lng" -> "graft_s2_center_lng",
+    "s2_center_lat" -> "graft_s2_center_lat")
+
+  private final val MaxLevel = 30
+  private final val PosBits = 2 * MaxLevel + 1 // 61
+  private final val SwapMask = 1
+  private final val InvertMask = 2
+
+  // Hilbert sub-cell orders (public S2 constants)
+  private[graft] val PosToIJ: Array[Array[Int]] = Array(
+    Array(0, 1, 3, 2), Array(0, 2, 3, 1), Array(3, 2, 0, 1), Array(3, 1, 0, 2))
+  private[graft] val PosToOrientation: Array[Int] =
+    Array(SwapMask, 0, 0, InvertMask | SwapMask)
+
+  // 4-bit lookup tables: (ij << 2 | orientation) → (pos << 2 | orientation)
+  private val LookupPos = new Array[Int](1 << 10)
+  private val LookupIj = new Array[Int](1 << 10)
+  private def initLookup(level: Int, i: Int, j: Int, origOrientation: Int,
+      pos: Int, orientation: Int): Unit = {
+    if (level == 4) {
+      val ij = (i << 4) + j
+      LookupPos((ij << 2) + origOrientation) = (pos << 2) + orientation
+      LookupIj((pos << 2) + origOrientation) = (ij << 2) + orientation
+    } else {
+      val r = PosToIJ(orientation)
+      var idx = 0
+      while (idx < 4) {
+        initLookup(level + 1, (i << 1) + (r(idx) >> 1), (j << 1) + (r(idx) & 1),
+          origOrientation, (pos << 2) + idx, orientation ^ PosToOrientation(idx))
+        idx += 1
+      }
+    }
+  }
+  locally {
+    var o = 0
+    while (o < 4) { initLookup(0, 0, 0, o, 0, o); o += 1 }
+  }
+
+  // ---- face projection -------------------------------------------------
+
+  /** (face, u, v) of a unit-sphere direction. */
+  private def xyzToFaceUV(x: Double, y: Double, z: Double): (Int, Double, Double) = {
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    var face = if (ax > ay) { if (ax > az) 0 else 2 } else { if (ay > az) 1 else 2 }
+    val major = face match { case 0 => x; case 1 => y; case _ => z }
+    if (major < 0) face += 3
+    val (u, v) = face match {
+      case 0 => (y / x, z / x)
+      case 1 => (-x / y, z / y)
+      case 2 => (-x / z, -y / z)
+      case 3 => (z / x, y / x)
+      case 4 => (z / y, -x / y)
+      case _ => (-y / z, -x / z)
+    }
+    (face, u, v)
+  }
+
+  private def faceUVtoXYZ(face: Int, u: Double, v: Double): (Double, Double, Double) =
+    face match {
+      case 0 => (1, u, v)
+      case 1 => (-u, 1, v)
+      case 2 => (-u, -v, 1)
+      case 3 => (-1, -v, -u)
+      case 4 => (v, -1, -u)
+      case _ => (v, u, -1)
+    }
+
+  /** Quadratic UV↔ST projection (the S2 default). */
+  private def uvToST(u: Double): Double =
+    if (u >= 0) 0.5 * math.sqrt(1.0 + 3.0 * u) else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+  private def stToUV(s: Double): Double =
+    if (s >= 0.5) (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    else (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+  private def stToIJ(s: Double): Int =
+    math.max(0, math.min((1 << MaxLevel) - 1, math.floor(s * (1 << MaxLevel)).toInt))
+
+  // ---- cell ids --------------------------------------------------------
+
+  /** Leaf (level 30) cell id from face + leaf-grid (i, j) — the table-driven
+    * Hilbert traversal, 4 bits per step. */
+  private[graft] def fromFaceIJ(face: Int, i: Int, j: Int): Long = {
+    var n = face.toLong << (PosBits - 1)
+    var bits = face & SwapMask
+    var k = 7
+    while (k >= 0) {
+      bits += ((i >> (k * 4)) & 15) << 6
+      bits += ((j >> (k * 4)) & 15) << 2
+      bits = LookupPos(bits)
+      n |= (bits >> 2).toLong << (k * 8)
+      bits &= (SwapMask | InvertMask)
+      k -= 1
+    }
+    n * 2 + 1
+  }
+
+  private def toFaceIJ(id: Long): (Int, Int, Int) = {
+    val face = (id >>> PosBits).toInt
+    var bits = face & SwapMask
+    var i = 0; var j = 0
+    var k = 7
+    while (k >= 0) {
+      val nbits = if (k == 7) MaxLevel - 7 * 4 else 4
+      bits += ((id >>> (k * 8 + 1)) & ((1 << (2 * nbits)) - 1)).toInt << 2
+      bits = LookupIj(bits)
+      i += (bits >> 6) << (k * 4)
+      j += ((bits >> 2) & 15) << (k * 4)
+      bits &= (SwapMask | InvertMask)
+      k -= 1
+    }
+    (face, i, j)
+  }
+
+  private def lsbForLevel(level: Int): Long = 1L << (2 * (MaxLevel - level))
+
+  private[graft] def parentAtLevel(id: Long, level: Int): Long = {
+    val nl = lsbForLevel(level)
+    (id & -nl) | nl
+  }
+
+  /** Canonical token: 16-digit hex with trailing zeros stripped; "X" for 0. */
+  private[graft] def token(id: Long): String = {
+    if (id == 0) return "X"
+    val h = f"$id%016x"
+    var end = h.length
+    while (end > 1 && h.charAt(end - 1) == '0') end -= 1
+    h.substring(0, end)
+  }
+
+  private[graft] def idFromToken(t: String): Long = {
+    require(t.nonEmpty && t.length <= 16, "bad s2 token")
+    if (t == "X" || t == "x") return 0L
+    java.lang.Long.parseUnsignedLong(t + "0" * (16 - t.length), 16)
+  }
+
+  // ---- public scalar entry points --------------------------------------
+
+  private[graft] def leafFromLngLat(lngDeg: Double, latDeg: Double): Long = {
+    val phi = math.toRadians(latDeg); val theta = math.toRadians(lngDeg)
+    val cosphi = math.cos(phi)
+    val (face, u, v) =
+      xyzToFaceUV(cosphi * math.cos(theta), cosphi * math.sin(theta), math.sin(phi))
+    fromFaceIJ(face, stToIJ(uvToST(u)), stToIJ(uvToST(v)))
+  }
+
+  def cellToken(lng: Double, lat: Double, level: Int): UTF8String =
+    UTF8String.fromString(token(parentAtLevel(leafFromLngLat(lng, lat), level)))
+
+  /** Cell center in (lng, lat) degrees — the exact si/ti midpoint readout
+    * from the published GetCenterSiTi rule. Malformed tokens → NaN. */
+  private[graft] def centerLngLat(t: String): (Double, Double) = try {
+    val id = idFromToken(t)
+    require(id != 0, "zero id has no center")
+    val (face, i, j) = toFaceIJ(id)
+    val delta =
+      if ((id & 1) != 0) 1L
+      else if (((i.toLong ^ (id >>> 2)) & 1L) != 0) 2L else 0L
+    val si = 2L * i + delta
+    val ti = 2L * j + delta
+    val scale = 1.0 / (1L << (MaxLevel + 1)).toDouble
+    val u = stToUV(si * scale); val v = stToUV(ti * scale)
+    val (x, y, z) = faceUVtoXYZ(face, u, v)
+    (math.toDegrees(math.atan2(y, x)),
+      math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
+  } catch { case _: Exception => (Double.NaN, Double.NaN) }
+
+  def centerLng(t: UTF8String): Double = centerLngLat(t.toString)._1
+  def centerLat(t: UTF8String): Double = centerLngLat(t.toString)._2
+}
+
+/** geo_point_to_s2cell(lng, lat, level-literal) → token. */
+case class S2CellExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == DoubleType && second.dataType == DoubleType &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("expected (double, double, int)")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(lng: Any, lat: Any, lvl: Any): Any =
+    S2Expressions.cellToken(lng.asInstanceOf[Double], lat.asInstanceOf[Double],
+      lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.plans.S2Expressions.cellToken($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "graft_s2_cell"
+}
+
+/** geo_s2cell_to_central_point coordinate readout (lng or lat). */
+case class S2CenterExpr(child: Expression, coord: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    if (coord == "lng") S2Expressions.centerLng(t) else S2Expressions.centerLat(t)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.S2Expressions.center${if (coord == "lng") "Lng" else "Lat"}($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = s"graft_s2_center_$coord"
+}

@@ -2890,6 +2890,40 @@ object KqlTextQueries {
              |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
              |ORDER BY event_id""".stripMargin)),
 
+    // geo_point_to_s2cell / geo_s2cell_to_central_point (real S2: quadratic
+    // face projection + Hilbert cell ids, S2Expressions.scala). The oracle
+    // literals are HAND-DERIVED from the public spec, not replayed from the
+    // engine: level-1 ids are face<<61 | pos<<59 | 1<<58 with pos from the
+    // published sub-cell orders, and the "14" center is the exact closed form
+    // u = v = 5/12 → (atan(5/12), atan(5/13)) in degrees. Deeper levels are
+    // proven in S2Spec by an independent recursive Hilbert traversal.
+    QueryDef("q_kql_s2cell",
+      (s, d) => run(s, d,
+        """datatable(id: long, lng: real, lat: real) [
+          |  1, 0.0, 0.0,
+          |  2, 10.0, 10.0,
+          |  3, -10.0, 5.0,
+          |  4, -10.0, -5.0,
+          |  5, 10.0, -5.0,
+          |  6, 95.0, 0.0,
+          |  7, 180.0, 0.0]
+          || extend tok = geo_point_to_s2cell(lng, lat, 1),
+          |    c = geo_s2cell_to_central_point(geo_point_to_s2cell(lng, lat, 1))
+          || project id, tok,
+          |    clng = round(todouble(c[0]), 6), clat = round(todouble(c[1]), 6)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, tok,
+             |  CAST(clng AS DOUBLE) AS clng, CAST(clat AS DOUBLE) AS clat
+             |FROM (VALUES
+             |  (1, '14', 22.619865, 21.037511),
+             |  (2, '14', 22.619865, 21.037511),
+             |  (3, '0c', -22.619865, 21.037511),
+             |  (4, '04', -22.619865, -21.037511),
+             |  (5, '1c', 22.619865, -21.037511),
+             |  (6, '34', 112.619865, 21.037511),
+             |  (7, '6c', 157.380135, -21.037511)) AS t(id, tok, clng, clat)
+             |ORDER BY id""".stripMargin)),
+
     // parse_xml: XML → dynamic via the native XmlLite codec (canonical
     // Kusto element/@attr/#text mapping, CodecExpressions.xmlToJson) lifted
     // by try_parse_json; whole-variant tostring prints SORTED keys, so the

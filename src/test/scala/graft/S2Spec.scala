@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kql.KqlParser
+import graft.plans.S2Expressions
+
+/** S2 cell correctness: the fast lookup-table Hilbert traversal is checked
+  * against an INDEPENDENT slow recursive traversal built directly from the
+  * published sub-cell order constants; face/level-0 and level-1 tokens are
+  * checked against hand-derived spec values; center readout must re-encode
+  * to the same cell. */
+class S2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t: DataFrame = Seq(1).toDF("one")
+  private def run(kql: String): DataFrame = KqlParser.parse(kql, _ => t)
+
+  // duplicated on purpose: the test must not share the impl's lookup tables
+  private val posToIJ = Array(
+    Array(0, 1, 3, 2), Array(0, 2, 3, 1), Array(3, 2, 0, 1), Array(3, 1, 0, 2))
+  private val posToOrient = Array(1, 0, 0, 3)
+  private def slowId(face: Int, i: Int, j: Int): Long = {
+    var orientation = face & 1
+    var pos = 0L
+    var level = 29
+    while (level >= 0) {
+      val ij = (((i >> level) & 1) << 1) | ((j >> level) & 1)
+      val index = posToIJ(orientation).indexOf(ij)
+      pos = (pos << 2) | index
+      orientation ^= posToOrient(index)
+      level -= 1
+    }
+    (((face.toLong << 60) | pos) << 1) | 1L
+  }
+
+  test("fromFaceIJ matches an independent recursive Hilbert traversal") {
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val f = rnd.nextInt(6)
+      val i = rnd.nextInt(1 << 30); val j = rnd.nextInt(1 << 30)
+      assert(S2Expressions.fromFaceIJ(f, i, j) == slowId(f, i, j), s"($f,$i,$j)")
+    }
+  }
+
+  test("face-center points land on the six level-0 cells") {
+    val cases = Seq((0.0, 0.0, "1"), (90.0, 0.0, "3"), (0.0, 90.0, "5"),
+      (180.0, 0.0, "7"), (-90.0, 0.0, "9"), (0.0, -90.0, "b"))
+    cases.foreach { case (lng, lat, tok) =>
+      val id = S2Expressions.parentAtLevel(S2Expressions.leafFromLngLat(lng, lat), 0)
+      assert(S2Expressions.token(id) == tok, s"($lng,$lat)")
+    }
+  }
+
+  test("level-1 tokens match hand-derived values; KQL dispatch works") {
+    // derived by hand from the spec (face<<61 | pos<<59 | 1<<58):
+    // (0,0) s=t=0.5 → child (1,1), face-0 order (0,1,3,2) → pos 2 → "14"
+    val r = run(
+      """t | project a = geo_point_to_s2cell(0.0, 0.0, 1),
+        |  b = geo_point_to_s2cell(10.0, 10.0, 1),
+        |  c = geo_point_to_s2cell(-10.0, 5.0, 1),
+        |  d = geo_point_to_s2cell(-10.0, -5.0, 1),
+        |  e = geo_point_to_s2cell(10.0, -5.0, 1),
+        |  f = geo_point_to_s2cell(95.0, 0.0, 1)""".stripMargin)
+      .collect().head
+    assert((0 to 5).map(r.getString) == Seq("14", "14", "0c", "04", "1c", "34"))
+  }
+
+  test("cell center re-encodes to the same cell at every level") {
+    val pts = for (lng <- -170 to 170 by 37; lat <- -80 to 80 by 23)
+      yield (lng.toDouble + 0.37, lat.toDouble - 0.21)
+    for ((lng, lat) <- pts; level <- Seq(2, 5, 11, 20, 30)) {
+      val id = S2Expressions.parentAtLevel(
+        S2Expressions.leafFromLngLat(lng, lat), level)
+      val tok = S2Expressions.token(id)
+      val (clng, clat) = S2Expressions.centerLngLat(tok)
+      val rid = S2Expressions.parentAtLevel(
+        S2Expressions.leafFromLngLat(clng, clat), level)
+      assert(rid == id, s"center drifted out of cell: ($lng,$lat) level $level")
+      if (level == 30) {
+        assert(math.abs(clng - lng) < 1e-3 && math.abs(clat - lat) < 1e-3,
+          s"leaf center too far: ($lng,$lat) vs ($clng,$clat)")
+      }
+    }
+  }
+
+  test("token encode/decode round-trips; malformed center is NaN") {
+    val id = S2Expressions.parentAtLevel(S2Expressions.leafFromLngLat(12.3, 45.6), 11)
+    assert(S2Expressions.idFromToken(S2Expressions.token(id)) == id)
+    assert(S2Expressions.token(0L) == "X")
+    assert(S2Expressions.centerLngLat("zzz")._1.isNaN)
+    val c = run("t | project p = geo_s2cell_to_central_point(geo_point_to_s2cell(12.3, 45.6, 11))")
+      .collect().head.getSeq[Double](0)
+    assert(math.abs(c.head - 12.3) < 0.1 && math.abs(c(1) - 45.6) < 0.1)
+  }
+}
