@@ -879,6 +879,67 @@ object Kql {
           Seq("__rid"), "left").drop("__rid")
       }
     }
+
+    /** `T | evaluate ipv6_lookup(RangeTable, ipCol, netCol[, return_unmatched])`
+      * — the ipv4_lookup shape lifted to 128 bits: addresses canonicalize to
+      * 32 hex digits (KqlFunctions.parseIpv6, colon-stripped) where prefix
+      * masking is whole hex digits plus one bit-masked boundary digit — pure
+      * string/integer arithmetic, no 128-bit numerics needed. The range table
+      * contributes one masked-key equi-join PER DISTINCT prefix length
+      * (bounded ≤129, collected once like ipv4's ≤33); candidates broadcast-
+      * hash-join on (length, masked key) and the longest prefix per row wins
+      * (ties: smallest network). Never an interval or cross join. */
+    def ipv6Lookup(ranges: DataFrame, ipCol: String, netCol: String,
+        returnUnmatched: Boolean = false): DataFrame = {
+      import graft.functions.KqlFunctions
+      def hex32(c: Column): Column = translate(KqlFunctions.parseIpv6(c), ":", "")
+      def maskAt(h: Column, len: Int): Column = {
+        val full = len / 4; val rem = len % 4
+        val head = substring(h, 1, full)
+        if (rem == 0) rpad(head, 32, "0")
+        else {
+          val d = conv(substring(h, full + 1, 1), 16, 10).cast("int")
+          val m = d.bitwiseAND(lit(~((1 << (4 - rem)) - 1) & 0xF))
+          rpad(concat(head, lower(conv(m.cast("string"), 10, 16))), 32, "0")
+        }
+      }
+      val lenOf = when(size(split(col(netCol), "/")) > 1,
+        element_at(split(col(netCol), "/"), 2).cast("int")).otherwise(lit(128))
+      val lk0 = ranges
+        .withColumn("__len", lenOf)
+        .withColumn("__net6", hex32(element_at(split(col(netCol), "/"), 1)))
+        .filter(col("__net6").isNotNull && col("__len").between(0, 128))
+      val lens: Seq[Int] = lk0.select("__len").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted // bounded: at most 129 values
+      require(lens.nonEmpty, "ipv6_lookup: range table has no valid networks")
+      // align each network base to its own prefix (defensive, like Kusto)
+      val lk = lk0.withColumn("__base",
+        lens.foldLeft(lit(null).cast("string")) { (acc, l) =>
+          when(col("__len") === l, maskAt(col("__net6"), l)).otherwise(acc)
+        }).drop("__net6")
+      val withId = df.withColumn("__rid", monotonically_increasing_id())
+        .withColumn("__ip6", hex32(col(ipCol)))
+      val cand = withId
+        .withColumn("__len", explode(array(lens.map(lit): _*)))
+        .withColumn("__key",
+          lens.foldLeft(lit(null).cast("string")) { (acc, l) =>
+            when(col("__len") === l, maskAt(col("__ip6"), l)).otherwise(acc)
+          })
+      val hit = cand.join(broadcast(lk), Seq("__len"))
+        .filter(col("__key") === col("__base"))
+      val w = Window.partitionBy("__rid")
+        .orderBy(col("__len").desc, col("__base").asc)
+      val best = hit.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__len", "__key", "__base", "__ip6", "__rn")
+      if (!returnUnmatched) best.drop("__rid")
+      else {
+        val extraCols = ranges.columns.toSeq
+        withId.drop("__ip6").join(
+          best.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
+          Seq("__rid"), "left").drop("__rid")
+      }
+    }
   }
 
   // ------------------------------------------------------------------

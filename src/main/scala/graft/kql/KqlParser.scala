@@ -1314,6 +1314,27 @@ object KqlParser {
             } else false
             eatPunct(")")
             df.ipv4Lookup(ranges, ipCol, netCol, unmatched)
+          case "ipv6_lookup" =>
+            // `evaluate ipv6_lookup(RangeTable, ipCol, networkCol
+            // [, return_unmatched [= true|false]])` — longest-prefix CIDR
+            // enrichment over canonical 128-bit addresses (see Kql.ipv6Lookup).
+            val ranges = resolveTable(ident()); eatPunct(",")
+            val ipCol = ident(); eatPunct(",")
+            val netCol = ident()
+            val unmatched = if (atPunct(",")) {
+              pos += 1
+              val flag = ident() match {
+                case "return_unmatched" =>
+                  if (atPunct("=")) { pos += 1; ident() } else "true"
+                case "true" => "true"
+                case "false" => "false"
+                case other => throw new IllegalArgumentException(
+                  s"ipv6_lookup: unexpected argument $other")
+              }
+              flag == "true"
+            } else false
+            eatPunct(")")
+            df.ipv6Lookup(ranges, ipCol, netCol, unmatched)
           case "funnel_sequence_completion" =>
             // `evaluate funnel_sequence_completion(id, ts, start, end, state,
             // dynamic(['s1',…]), dynamic([w1,…]))` — per-window prefix

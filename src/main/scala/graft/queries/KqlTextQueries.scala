@@ -2890,6 +2890,41 @@ object KqlTextQueries {
              |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
              |ORDER BY event_id""".stripMargin)),
 
+    // evaluate ipv6_lookup: longest-prefix CIDR enrichment over canonical
+    // 128-bit addresses (Kql.ipv6Lookup — per-prefix-length masked equi-
+    // joins like ipv4_lookup, hex-digit masking instead of 128-bit ints).
+    // The oracle derives each row's longest-prefix winner by hand from the
+    // event_id branch: ab42 → /48, ab99 → /40, cd10 → /32
+    QueryDef("q_kql_ipv6_lookup",
+      (s, d) => run(s, d,
+        """let ranges6 = datatable(network:string, tag:string) [
+          |  '2001:db8::/32', 'docnet',
+          |  '2001:db8:ab00::/40', 'abblock',
+          |  '2001:db8:ab42::/48', 'ab42net',
+          |  'fe80::/10', 'linklocal'
+          |];
+          |events
+          || where event_id % 100 == 0
+          || extend g = case(event_id % 3 == 0, 'ab42',
+          |    event_id % 3 == 1, 'ab99', 'cd10')
+          || extend ip = strcat('2001:db8:', g, '::', tostring(event_id % 97))
+          || evaluate ipv6_lookup(ranges6, ip, network)
+          || project event_id, ip, network, tag
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH x AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 3 = 0 THEN 'ab42'
+             |         WHEN event_id % 3 = 1 THEN 'ab99' ELSE 'cd10' END AS g
+             |  FROM events WHERE event_id % 100 = 0)
+             |SELECT event_id,
+             |  '2001:db8:' || g || '::' || CAST(event_id % 97 AS VARCHAR) AS ip,
+             |  CASE WHEN g = 'ab42' THEN '2001:db8:ab42::/48'
+             |       WHEN g = 'ab99' THEN '2001:db8:ab00::/40'
+             |       ELSE '2001:db8::/32' END AS network,
+             |  CASE WHEN g = 'ab42' THEN 'ab42net'
+             |       WHEN g = 'ab99' THEN 'abblock' ELSE 'docnet' END AS tag
+             |FROM x ORDER BY event_id""".stripMargin)),
+
     // geo_point_to_s2cell / geo_s2cell_to_central_point (real S2: quadratic
     // face projection + Hilbert cell ids, S2Expressions.scala). The oracle
     // literals are HAND-DERIVED from the public spec, not replayed from the

@@ -1165,6 +1165,27 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("ipv6_lookup masks at non-nibble boundaries and picks longest prefix") {
+    // /41 = 10 full hex digits + 1 bit: 0x4 (0100) and 0x7 (0111) share the
+    // top bit (0), 0xc (1100) does not
+    val probe = Seq("2001:db8:ab7f::1", "2001:db8:abc0::1", "2001:db8:ab42::9")
+      .toDF("ip") // built eagerly: initializes the session before parse
+    val r = KqlParser.parse(
+      """let r6 = datatable(network:string, tag:string) [
+        |  '2001:db8:ab42::/41', 'narrow',
+        |  '2001:db8::/32', 'wide'
+        |];
+        |probe
+        || evaluate ipv6_lookup(r6, ip, network)
+        || project ip, tag
+        || sort by ip asc""".stripMargin,
+      _ => probe)
+    assert(r.as[(String, String)].collect().toSeq == Seq(
+      ("2001:db8:ab42::9", "narrow"),
+      ("2001:db8:ab7f::1", "narrow"),
+      ("2001:db8:abc0::1", "wide")))
+  }
+
   test("parse_xml: elements, attrs, arrays, entities, CDATA; malformed → null") {
     // tostring(variant) prints objects with SORTED keys — the expected
     // literals below are the canonical mapping re-sorted ("#text" < "@attr")
