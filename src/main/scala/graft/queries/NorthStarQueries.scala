@@ -1363,6 +1363,65 @@ object NorthStarQueries {
       },
       Some("""SELECT user_id, COUNT(*) AS n FROM events
              |GROUP BY user_id HAVING COUNT(*) >= 75
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // --- corpus distribution diagnostics ------------------------------------
+    // Token-distribution drift between two corpus splits as EXACT total
+    // variation distance: TV = Σ|na·tb − nb·ta| / (2·ta·tb) computed in
+    // integer arithmetic (one tokenize pass + one per-token aggregate +
+    // a broadcast totals join), so the metric is bit-replayable — no
+    // KL/log fp-ordering hazards. At corpus scale the integer products
+    // need decimal widening (ta·tb beyond 2^63); the shape is unchanged.
+    QueryDef("q_dist_drift",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+          .where(col("token") =!= "")
+        val perTok = toks.groupBy("token").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("na"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nb"))
+        val tot = perTok.agg(sum("na").as("ta"), sum("nb").as("tb"))
+        perTok.crossJoin(broadcast(tot))
+          .agg(sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("num"),
+            first(col("ta")).as("ta"), first(col("tb")).as("tb"))
+          .select(col("num"), col("ta"), col("tb"),
+            round(col("num") / (lit(2.0) * col("ta") * col("tb")), 6).as("tv"))
+      },
+      Some("""WITH t AS (SELECT lang,
+             |    unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |p AS (SELECT token,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS na,
+             |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nb
+             |  FROM t WHERE token <> '' GROUP BY token),
+             |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+             |    CAST(SUM(nb) AS BIGINT) AS tb FROM p)
+             |SELECT CAST(SUM(ABS(na * tb - nb * ta)) AS BIGINT) AS num,
+             |  MIN(ta) AS ta, MIN(tb) AS tb,
+             |  ROUND(CAST(SUM(ABS(na * tb - nb * ta)) AS DOUBLE)
+             |    / (2.0 * MIN(ta) * MIN(tb)), 6) AS tv
+             |FROM p, tot""".stripMargin)),
+
+    // Temperature-based mixture weights (the LLM data-mixing rule
+    // w_i ∝ n_i^α, α = 0.5): exact per-source counts, IEEE-exact sqrt
+    // (correctly rounded by the standard — same bits in any engine),
+    // 6-dp snap to decimal for an order-independent normalizer sum
+    QueryDef("q_mixture_weights",
+      (s, d) => {
+        val n = T(s, d, "documents").groupBy("source").agg(count(lit(1)).as("n"))
+        val sroot = n.withColumn("s",
+          round(sqrt(col("n")), 6).cast("decimal(28,6)"))
+        val tot = sroot.agg(sum("s").as("t"))
+        sroot.crossJoin(broadcast(tot))
+          .select(col("source"), col("n"),
+            round(col("s").cast("double") / col("t").cast("double"), 6).as("w"))
+          .sortBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+             |s AS (SELECT source, n,
+             |    CAST(ROUND(SQRT(n), 6) AS DECIMAL(28,6)) AS sr FROM c),
+             |t AS (SELECT SUM(sr) AS tt FROM s)
+             |SELECT source, n,
+             |  ROUND(CAST(sr AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS w
+             |FROM s, t ORDER BY source""".stripMargin))
   )
 }
