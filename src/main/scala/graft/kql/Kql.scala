@@ -292,13 +292,15 @@ object Kql {
       * rows are absent from the inferred schema (document-or-raise at ingest, as
       * with any sampled schema inference). */
     def bagUnpack(jsonCol: String, samplingRatio: Double = 1.0,
-                  inferLimit: Int = 10000): DataFrame = {
+                  inferLimit: Int = 10000, prefix: String = ""): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
       val schema = spark.read.option("samplingRatio", samplingRatio.toString)
         .json(df.select(col(jsonCol)).limit(inferLimit).as[String]).schema
+      val unpacked = schema.fieldNames.toSeq.map(f =>
+        col(s"__bag.`$f`").as(prefix + f))
       df.withColumn("__bag", from_json(col(jsonCol), schema))
-        .select(col("*"), col("__bag.*")).drop("__bag", jsonCol)
+        .select(col("*") +: unpacked: _*).drop("__bag", jsonCol)
     }
 
     /** `make-series agg default=fill on tsCol [from f to t] step Δ by keys` —

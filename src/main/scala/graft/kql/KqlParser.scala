@@ -1036,8 +1036,12 @@ object KqlParser {
         eatPunct("(")
         fn match {
           case "bag_unpack" =>
-            val arg = ident(); eatPunct(")")
-            df.bagUnpack(arg)
+            // `evaluate bag_unpack(col [, 'prefix'])` — Kusto's column-name
+            // prefix form prepends the literal to every unpacked column
+            val arg = ident()
+            val prefix = if (atPunct(",")) { pos += 1; strLitS() } else ""
+            eatPunct(")")
+            df.bagUnpack(arg, prefix = prefix)
           case "narrow" =>
             // evaluate narrow(): (Row, Column, Value-as-string) triples. Row
             // ordinals come from the distributed serialized row numbering, so
@@ -2765,7 +2769,8 @@ object KqlParser {
           str_to_map(q0, lit("&"), lit("="))
         case "zlib_compress_to_base64_string" | "zlib_decompress_from_base64_string"
            | "gzip_compress_to_base64_string" | "gzip_decompress_from_base64_string"
-           | "punycode_from_string" | "punycode_to_string" =>
+           | "punycode_from_string" | "punycode_to_string"
+           | "text_normalize_nfc" | "text_normalize_nfkc" =>
           // native codec expressions (CodecExpressions.scala), registered by
           // GraftExtensions — per-row java.util.zip / RFC 3492 work,
           // codegen-friendly

@@ -31,7 +31,20 @@ object CodecExpressions {
     "gzip_decompress_from_base64_string" -> "graft_gzip_decompress_b64",
     "punycode_from_string" -> "graft_punycode_encode",
     "punycode_to_string" -> "graft_punycode_decode",
-    "parse_xml" -> "graft_xml_to_json")
+    "parse_xml" -> "graft_xml_to_json",
+    "text_normalize_nfc" -> "graft_nfc",
+    "text_normalize_nfkc" -> "graft_nfkc")
+
+  /** Unicode normalization (engine extension, like url_normalize — not Kusto
+    * surface): NFC for canonical composition parity across sources, NFKC for
+    * the compatibility fold (ligatures/width/circled forms) LLM text
+    * pipelines apply before tokenization. java.text.Normalizer implements
+    * the published UAX #15 algorithm — deterministic for a fixed Unicode
+    * version. */
+  def nfcNormalize(s: UTF8String): UTF8String = UTF8String.fromString(
+    java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  def nfkcNormalize(s: UTF8String): UTF8String = UTF8String.fromString(
+    java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFKC))
 
   // ---- static helpers (also the codegen call targets) ----
 
@@ -391,6 +404,8 @@ case class CodecExpr(child: Expression, method: String) extends UnaryExpression 
     case "punyEncode" => CodecExpressions.punyEncode
     case "punyDecode" => CodecExpressions.punyDecode
     case "xmlToJson" => CodecExpressions.xmlToJson
+    case "nfcNormalize" => CodecExpressions.nfcNormalize
+    case "nfkcNormalize" => CodecExpressions.nfkcNormalize
   }
 
   override protected def nullSafeEval(input: Any): Any =

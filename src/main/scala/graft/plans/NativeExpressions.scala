@@ -265,6 +265,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case "punycode_from_string" => "punyEncode"
         case "punycode_to_string" => "punyDecode"
         case "parse_xml" => "xmlToJson"
+        case "text_normalize_nfc" => "nfcNormalize"
+        case "text_normalize_nfkc" => "nfkcNormalize"
       }
       e.injectFunction((
         FunctionIdentifier(regName),

@@ -1365,6 +1365,86 @@ object NorthStarQueries {
              |GROUP BY user_id HAVING COUNT(*) >= 75
              |ORDER BY user_id""".stripMargin)),
 
+    // n-gram CONTAINMENT (asymmetric near-dup: |A∩B|/|A| — catches a doc
+    // embedded inside a larger one, which symmetric Jaccard under-scores).
+    // Exhaustive via the distributed-safe shape: shingle explode + equi-join
+    // intersection counts, with ubiquitous shingles (df > 50) dropped first —
+    // the standard stop-shingle bound that keeps the self-join from going
+    // quadratic on common trigrams (documented metric deviation: numerator
+    // counts rare shared shingles only; denominators are the full sets)
+    QueryDef("q_ngram_containment",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .project(col("doc_id"),
+            TA.shinglesOf(TA.tokens(lower(col("text"))), 3).as("sh"))
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df").between(2, 50)).select("s")
+        val exf = ex.join(keep, Seq("s"), "left_semi")
+        val inter = exf.as("a")
+          .join(exf.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("c"))
+        val lens = docs.select(col("doc_id"), size(col("sh")).as("l"))
+        inter
+          .join(lens.select(col("doc_id").as("id_a"), col("l").as("la")), "id_a")
+          .join(lens.select(col("doc_id").as("id_b"), col("l").as("lb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (col("c").cast("double") / col("la")).as("c_ab"),
+            (col("c").cast("double") / col("lb")).as("c_ba"))
+          .where(greatest(col("c_ab"), col("c_ba")) >= 0.5)
+          .sortBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(generate_series(1, len(t) - 2),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
+             |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+             |keep AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 50),
+             |exf AS (SELECT doc_id, s FROM ex WHERE s IN (SELECT s FROM keep)),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+             |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |lens AS (SELECT doc_id, len(sh) AS l FROM sh)
+             |SELECT id_a, id_b, c_ab, c_ba FROM (
+             |  SELECT id_a, id_b, CAST(c AS DOUBLE) / la.l AS c_ab,
+             |    CAST(c AS DOUBLE) / lb.l AS c_ba
+             |  FROM inter JOIN lens la ON la.doc_id = id_a
+             |    JOIN lens lb ON lb.doc_id = id_b)
+             |WHERE GREATEST(c_ab, c_ba) >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Unicode NFC normalization (graft_nfc, the UAX #15 canonical
+    // composition via java.text.Normalizer — the pre-tokenization cleanup an
+    // LLM corpus applies so "é" and "e +  ́" dedup/tokenize identically);
+    // DuckDB's nfc_normalize is the independent oracle. NFKC (compatibility
+    // fold) ships alongside, unit-proven on published vectors.
+    QueryDef("q_unicode_nfc",
+      (s, d) => {
+        // decomposed on purpose: e + U+0301 combining acute, A + U+030A ring
+        val raw = concat(lit("Cafe\u0301 "), col("source"), lit(" A\u030Ab"))
+        T(s, d, "documents").where(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), raw.as("raw"),
+            call_function("graft_nfc", raw).as("norm"))
+          .withColumn("changed", (col("raw") =!= col("norm")).cast("int"))
+          .withColumn("len_raw", length(col("raw")))
+          .withColumn("len_norm", length(col("norm")))
+          .sortBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  'Cafe' || chr(769) || ' ' || source || ' A' || chr(778) || 'b' AS raw,
+             |  nfc_normalize('Cafe' || chr(769) || ' ' || source || ' A'
+             |    || chr(778) || 'b') AS norm,
+             |  CASE WHEN 'Cafe' || chr(769) || ' ' || source || ' A' || chr(778) || 'b'
+             |    <> nfc_normalize('Cafe' || chr(769) || ' ' || source || ' A'
+             |      || chr(778) || 'b') THEN 1 ELSE 0 END AS changed,
+             |  length('Cafe' || chr(769) || ' ' || source || ' A' || chr(778) || 'b') AS len_raw,
+             |  length(nfc_normalize('Cafe' || chr(769) || ' ' || source || ' A'
+             |    || chr(778) || 'b')) AS len_norm
+             |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin)),
+
     // --- corpus distribution diagnostics ------------------------------------
     // Token-distribution drift between two corpus splits as EXACT total
     // variation distance: TV = Σ|na·tb − nb·ta| / (2·ta·tb) computed in

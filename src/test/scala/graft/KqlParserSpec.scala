@@ -1165,6 +1165,23 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("text_normalize_nfc/nfkc published vectors; bag_unpack column prefix") {
+    val kql = "t | take 1 | project a = text_normalize_nfc('Cafe\u0301'), " +
+      "b = text_normalize_nfkc('\uFB01 \u2460 \uFB00'), " +
+      "c = strlen(text_normalize_nfc('A\u030A'))"
+    val r = run(kql).collect().head
+    assert(r.getString(0) == "Caf\u00E9")       // NFC composes e + U+0301
+    assert(r.getString(1) == "fi 1 ff")          // NFKC folds fi-lig, circled-1, ff-lig
+    assert(r.getAs[Number](2).intValue == 1)     // A + U+030A composes to one char
+    val b = run(
+      """t | take 2 | extend j = strcat('{"k1":', tostring(id), ',"k2":"x"}')
+        || project j
+        || evaluate bag_unpack(j, 'p_')
+        || sort by p_k1 asc""".stripMargin)
+    assert(b.columns.toSeq == Seq("p_k1", "p_k2"))
+    assert(b.count() == 2)
+  }
+
   test("ipv6_lookup masks at non-nibble boundaries and picks longest prefix") {
     // /41 = 10 full hex digits + 1 bit: 0x4 (0100) and 0x7 (0111) share the
     // top bit (0), 0xc (1100) does not
