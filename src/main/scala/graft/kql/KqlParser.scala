@@ -2551,26 +2551,28 @@ object KqlParser {
         case "todecimal" => args.head.cast("decimal(38,18)")
         case "todatetime" => args.head.cast("timestamp")
         case "datetime" => args.head.cast("timestamp")
-        case "startofday" => date_trunc("day", args.head)
-        case "startofweek" =>
-          // KQL weeks start on SUNDAY; Spark's date_trunc('week') is Monday-based
-          date_trunc("day", date_sub(args.head, (dayofweek(args.head) - 1)))
-        case "startofmonth" => date_trunc("month", args.head)
-        case "startofyear" => date_trunc("year", args.head)
-        case "startofquarter" => date_trunc("quarter", args.head)
-        case "endofquarter" =>
-          timestamp_micros(unix_micros(
-            timestamp_add("QUARTER", lit(1), date_trunc("quarter", args.head))) - 1)
-        case "endofweek" =>
-          // KQL weeks end Saturday 23:59:59.999999 (Sunday start)
-          timestamp_micros(unix_micros(timestamp_add("DAY", lit(7),
-            date_trunc("day", date_sub(args.head, dayofweek(args.head) - 1)))) - 1)
-        case "endofmonth" =>
-          timestamp_micros(unix_micros(
-            timestamp_add("MONTH", lit(1), date_trunc("month", args.head))) - 1)
-        case "endofyear" =>
-          timestamp_micros(unix_micros(
-            timestamp_add("YEAR", lit(1), date_trunc("year", args.head))) - 1)
+        case "startofday" | "startofweek" | "startofmonth" | "startofquarter"
+           | "startofyear" | "endofweek" | "endofmonth" | "endofquarter"
+           | "endofyear" =>
+          // unified startof*/endof* with Kusto's optional OFFSET argument:
+          // startofX(t, n) = start of the period n periods after t's period;
+          // endofX(t, n) = last µs of that period. KQL weeks start on SUNDAY
+          // (Spark's date_trunc('week') is Monday-based, hence the day form).
+          val isEnd = f.startsWith("endof")
+          val unit = f.stripPrefix("startof").stripPrefix("endof")
+          val start0 = unit match {
+            case "week" =>
+              date_trunc("day", date_sub(args.head, dayofweek(args.head) - 1))
+            case u => date_trunc(u, args.head)
+          }
+          val off = if (args.length > 1) args(1).cast("int") else lit(0)
+          def shift(extra: Int): Column = unit match {
+            case "week" => timestamp_add("DAY", off * 7 + lit(extra * 7), start0)
+            case "day" => timestamp_add("DAY", off + lit(extra), start0)
+            case u => timestamp_add(u.toUpperCase, off + lit(extra), start0)
+          }
+          if (!isEnd) shift(0)
+          else timestamp_micros(unix_micros(shift(1)) - 1)
         case "parse_ipv4" => KqlFunctions.parseIpv4(args.head)
         case "format_ipv4" => KqlFunctions.formatIpv4(args.head)
         case "ipv4_is_private" => KqlFunctions.ipv4IsPrivate(args.head)
@@ -2770,6 +2772,7 @@ object KqlParser {
         case "zlib_compress_to_base64_string" | "zlib_decompress_from_base64_string"
            | "gzip_compress_to_base64_string" | "gzip_decompress_from_base64_string"
            | "punycode_from_string" | "punycode_to_string"
+           | "punycode_domain_from_string" | "punycode_domain_to_string"
            | "text_normalize_nfc" | "text_normalize_nfkc" =>
           // native codec expressions (CodecExpressions.scala), registered by
           // GraftExtensions — per-row java.util.zip / RFC 3492 work,
@@ -2932,8 +2935,11 @@ object KqlParser {
           // KQL: days since Sunday (timespan); emitted as whole days 0-6
           (dayofweek(args.head) - 1).cast("long")
         case "endofday" =>
-          // last representable µs of the day (the fixture's tick is µs)
-          timestamp_micros(unix_micros(date_trunc("day", args.head)) + 86399999999L)
+          // last representable µs of the day (the fixture's tick is µs);
+          // optional offset shifts by whole days first
+          val eodOff = if (args.length > 1) args(1).cast("int") else lit(0)
+          timestamp_micros(unix_micros(timestamp_add("DAY", eodOff,
+            date_trunc("day", args.head))) + 86399999999L)
         case "datetime_diff" =>
           // KQL: datetime_diff(part, later, earlier) counts PERIOD-BOUNDARY
           // crossings, not whole elapsed units (Jan-2 00:00:01 minus

@@ -33,7 +33,9 @@ object CodecExpressions {
     "punycode_to_string" -> "graft_punycode_decode",
     "parse_xml" -> "graft_xml_to_json",
     "text_normalize_nfc" -> "graft_nfc",
-    "text_normalize_nfkc" -> "graft_nfkc")
+    "text_normalize_nfkc" -> "graft_nfkc",
+    "punycode_domain_from_string" -> "graft_punycode_domain_encode",
+    "punycode_domain_to_string" -> "graft_punycode_domain_decode")
 
   /** Unicode normalization (engine extension, like url_normalize — not Kusto
     * surface): NFC for canonical composition parity across sources, NFKC for
@@ -176,6 +178,30 @@ object CodecExpressions {
     }
     UTF8String.fromString(new String(buf.toArray, 0, buf.length))
   } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
+
+  // ---- punycode DOMAIN variants: per-label xn-- handling ----------------
+  // Labels split on '.', each encoded (non-ASCII → "xn--" + RFC 3492) or
+  // decoded (xn-- prefix stripped) independently; any bad label → empty
+  // string for the whole result (the codec-family error convention).
+
+  private def mapLabels(s: UTF8String, f: String => String): UTF8String = try {
+    UTF8String.fromString(s.toString.split("\\.", -1).map(f).mkString("."))
+  } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
+
+  def punyDomainEncode(s: UTF8String): UTF8String = mapLabels(s, l =>
+    if (l.forall(_ < 128)) l
+    else {
+      val enc = punyEncode(UTF8String.fromString(l)).toString
+      require(enc.nonEmpty, "bad label")
+      "xn--" + enc
+    })
+
+  def punyDomainDecode(s: UTF8String): UTF8String = mapLabels(s, l =>
+    if (l.toLowerCase.startsWith("xn--")) {
+      val dec = punyDecode(UTF8String.fromString(l.substring(4))).toString
+      require(dec.nonEmpty, "bad label")
+      dec
+    } else l)
 
   def gzipDecompress(s: UTF8String): UTF8String = try {
     val bytes = java.util.Base64.getDecoder.decode(s.toString)
@@ -406,6 +432,8 @@ case class CodecExpr(child: Expression, method: String) extends UnaryExpression 
     case "xmlToJson" => CodecExpressions.xmlToJson
     case "nfcNormalize" => CodecExpressions.nfcNormalize
     case "nfkcNormalize" => CodecExpressions.nfkcNormalize
+    case "punyDomainEncode" => CodecExpressions.punyDomainEncode
+    case "punyDomainDecode" => CodecExpressions.punyDomainDecode
   }
 
   override protected def nullSafeEval(input: Any): Any =

@@ -267,6 +267,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case "parse_xml" => "xmlToJson"
         case "text_normalize_nfc" => "nfcNormalize"
         case "text_normalize_nfkc" => "nfkcNormalize"
+        case "punycode_domain_from_string" => "punyDomainEncode"
+        case "punycode_domain_to_string" => "punyDomainDecode"
       }
       e.injectFunction((
         FunctionIdentifier(regName),

@@ -2890,6 +2890,39 @@ object KqlTextQueries {
              |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
              |ORDER BY event_id""".stripMargin)),
 
+    // startof*/endof* optional OFFSET argument (Kusto's n-periods-away form)
+    // + punycode_domain encode/decode over per-label xn-- handling; the
+    // domain vectors are published IDNA examples, not engine replays
+    QueryDef("q_kql_datetime_offsets",
+      (s, d) => run(s, d,
+        """datatable(id: long, ts: string) [
+          |  1, '2024-03-15 13:22:11',
+          |  2, '2024-12-31 00:00:00',
+          |  3, '2024-01-01 05:00:00']
+          || extend t = todatetime(ts)
+          || project id, a = startofday(t, 2), b = endofmonth(t, 1),
+          |    c = startofweek(t, -1), d = startofyear(t, 1),
+          |    e = endofquarter(t, 2),
+          |    pd = punycode_domain_from_string(strcat('bücher.d', tostring(id), '.example')),
+          |    pu = punycode_domain_to_string('xn--mnchen-3ya.de')
+          || sort by id asc""".stripMargin),
+      Some("""SELECT id, a, b, c, d, e, pd, pu FROM (
+             |  SELECT id, CAST(ts AS TIMESTAMP) AS t,
+             |    date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 2 DAY AS a,
+             |    date_trunc('month', CAST(ts AS TIMESTAMP)) + INTERVAL 2 MONTH
+             |      - INTERVAL 1 MICROSECOND AS b,
+             |    date_trunc('day', CAST(ts AS TIMESTAMP))
+             |      - to_days(CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT))
+             |      - INTERVAL 7 DAY AS c,
+             |    date_trunc('year', CAST(ts AS TIMESTAMP)) + INTERVAL 1 YEAR AS d,
+             |    date_trunc('quarter', CAST(ts AS TIMESTAMP)) + INTERVAL 9 MONTH
+             |      - INTERVAL 1 MICROSECOND AS e,
+             |    'xn--bcher-kva.d' || CAST(id AS VARCHAR) || '.example' AS pd,
+             |    'münchen.de' AS pu
+             |  FROM (VALUES (1, '2024-03-15 13:22:11'),
+             |    (2, '2024-12-31 00:00:00'),
+             |    (3, '2024-01-01 05:00:00')) AS v(id, ts)) ORDER BY id""".stripMargin)),
+
     // evaluate ipv6_lookup: longest-prefix CIDR enrichment over canonical
     // 128-bit addresses (Kql.ipv6Lookup — per-prefix-length masked equi-
     // joins like ipv4_lookup, hex-digit masking instead of 128-bit ints).

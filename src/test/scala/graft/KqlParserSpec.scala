@@ -1165,6 +1165,22 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("startof*/endof* offset argument; punycode domain variants") {
+    val r = run(
+      "t | take 1 | project " +
+        "a = tostring(startofday(datetime('2024-03-15 13:22:11'), 2)), " +
+        "b = tostring(endofmonth(datetime('2024-01-10'), 1)), " +
+        "c = tostring(startofweek(datetime('2024-03-15'), -1)), " +
+        "d = punycode_domain_from_string('m\u00FCnchen.example.com'), " +
+        "e = punycode_domain_to_string('xn--mnchen-3ya.example.com')")
+      .collect().head
+    assert(r.getString(0) == "2024-03-17 00:00:00")
+    assert(r.getString(1) == "2024-02-29 23:59:59.999999")
+    assert(r.getString(2) == "2024-03-03 00:00:00") // week starts Sunday
+    assert(r.getString(3) == "xn--mnchen-3ya.example.com") // published IDNA vector
+    assert(r.getString(4) == "m\u00FCnchen.example.com")
+  }
+
   test("text_normalize_nfc/nfkc published vectors; bag_unpack column prefix") {
     val kql = "t | take 1 | project a = text_normalize_nfc('Cafe\u0301'), " +
       "b = text_normalize_nfkc('\uFB01 \u2460 \uFB00'), " +
