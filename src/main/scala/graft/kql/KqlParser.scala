@@ -863,6 +863,30 @@ object KqlParser {
         val rest = df.columns.filterNot(front.contains)
         df.select((front ++ rest).map(col).toIndexedSeq: _*)
       case "project-rename" => df.projectRename(parseRenameList(): _*)
+      case "extend" if atPunct("(") =>
+        // tuple-assign: `extend (a, b) = <struct-expr>` — Kusto's multi-value
+        // function form (series_fft and friends). Field i of the resolved
+        // struct binds to the i-th name; resolution uses the analyzed schema
+        // so ANY struct-valued expression works.
+        pos += 1
+        val tNames = Seq.newBuilder[String]
+        tNames += ident()
+        while (atPunct(",")) { pos += 1; tNames += ident() }
+        eatPunct(")")
+        eatPunct("=")
+        val tExpr = parseExpr()
+        val ns = tNames.result()
+        val tmp = df.withColumn("__tuple", tExpr)
+        val fields = tmp.schema("__tuple").dataType match {
+          case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq
+          case other => throw new IllegalArgumentException(
+            s"tuple extend needs a struct-valued expression, got $other")
+        }
+        require(ns.size <= fields.size,
+          s"tuple extend: ${ns.size} names but the value has ${fields.size} fields")
+        ns.zip(fields).foldLeft(tmp) { case (d, (n, fld)) =>
+          d.withColumn(n, col(s"__tuple.`$fld`"))
+        }.drop("__tuple")
       case "extend" =>
         // row-function placeholders materialize distributively underneath
         withRowFns(df) { val exprs = parseNamedExprList(); _.extend(exprs: _*) }
@@ -2864,6 +2888,12 @@ object KqlParser {
         case "geo_line_length" => geoLineLength(args.head)
         case "geo_distance_point_to_line" =>
           geoPointToLine(args(0), args(1), args(2))
+        case "series_fft" | "series_ifft" =>
+          // struct(re, im) result — bind with `extend (fr, fi) = series_fft(x)`
+          val imArg = if (args.length > 1) args(1).cast("array<double>")
+            else array().cast("array<double>")
+          call_function(if (f == "series_fft") "graft_series_fft"
+            else "graft_series_ifft", args.head.cast("array<double>"), imArg)
         case "geo_polygon_area" => geoPolygonArea(args.head)
         // perimeter of a closed ring = Σ haversine over consecutive vertices
         case "geo_polygon_perimeter" => geoLineLength(args.head)

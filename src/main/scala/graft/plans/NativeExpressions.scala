@@ -275,6 +275,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CodecExpr].getName, regName),
         (children: Seq[Expression]) => CodecExpr(children.head, method)))
     }
+    // series_fft / series_ifft (FftExpressions.scala)
+    Seq(("graft_series_fft", false), ("graft_series_ifft", true)).foreach {
+      case (name, inv) =>
+        e.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[FftExpr].getName, name),
+          (children: Seq[Expression]) => FftExpr(children(0), children(1), inv)))
+    }
     // S2 cell scalars (S2Expressions.scala)
     e.injectFunction((
       FunctionIdentifier("graft_s2_cell"),

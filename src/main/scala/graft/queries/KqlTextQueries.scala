@@ -2890,6 +2890,28 @@ object KqlTextQueries {
              |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
              |ORDER BY event_id""".stripMargin)),
 
+    // series_fft / series_ifft (radix-2 Cooley-Tukey, FftExpressions.scala)
+    // bound via tuple extend. Oracle literals are HAND-COMPUTED DFT values:
+    // cos(2πk/4) over N=8 → real spikes N/2=4 at bins 2/6; sin(2πk/4) over
+    // N=4 → imaginary ∓2 at bins 1/3; inverse round-trips to the input.
+    // Expected-zero bins go through abs() so a -0.0 can't split the compare.
+    QueryDef("q_kql_series_fft",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1]
+          || extend x8 = pack_array(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0),
+          |    x4 = pack_array(0.0, 1.0, 0.0, -1.0)
+          || extend (f8r, f8i) = series_fft(x8)
+          || extend (f4r, f4i) = series_fft(x4)
+          || extend (rr, ri) = series_ifft(f8r, f8i)
+          || project id, a = round(todouble(f8r[2]), 6), b = round(todouble(f8r[6]), 6),
+          |    c = round(abs(todouble(f8r[0])), 6), dd = round(todouble(f4i[1]), 6),
+          |    e = round(todouble(f4i[3]), 6), g = round(abs(todouble(rr[2]) + 1.0), 6),
+          |    h = round(abs(todouble(ri[5])), 6)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(1 AS BIGINT) AS id, 4.0 AS a, 4.0 AS b, 0.0 AS c,
+             |  -2.0 AS dd, 2.0 AS e, 0.0 AS g, 0.0 AS h
+             |ORDER BY id""".stripMargin)),
+
     // startof*/endof* optional OFFSET argument (Kusto's n-periods-away form)
     // + punycode_domain encode/decode over per-label xn-- handling; the
     // domain vectors are published IDNA examples, not engine replays

@@ -1165,6 +1165,37 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("series_fft/ifft spikes match hand-computed DFT; tuple extend binds") {
+    val r = run(
+      """t | take 1
+        || extend x = pack_array(1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0)
+        || extend (fr, fi) = series_fft(x)
+        || extend (rr, ri) = series_ifft(fr, fi)
+        || project f2 = round(todouble(fr[2]), 6), f6 = round(todouble(fr[6]), 6),
+        |    f0 = round(abs(todouble(fr[0])), 6), i2 = round(abs(todouble(fi[2])), 6),
+        |    rt = round(abs(todouble(rr[0]) - 1.0), 9), ri0 = round(abs(todouble(ri[0])), 9)""".stripMargin)
+      .collect().head
+    // cos(2πk/4) over N=8 → real spikes N/2 = 4 at bins 2 and 6, 0 elsewhere
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+    // sin(2πk/4) over N=4 → imaginary spikes ∓2 at bins 1 and 3
+    val s = run(
+      """t | take 1
+        || extend x = pack_array(0.0, 1.0, 0.0, -1.0)
+        || extend (fr, fi) = series_fft(x)
+        || project a = round(todouble(fi[1]), 6), b = round(todouble(fi[3]), 6)""".stripMargin)
+      .collect().head
+    assert(s.getDouble(0) == -2.0 && s.getDouble(1) == 2.0)
+    // zero-padding: length 3 pads to 4; bin 0 = the plain sum
+    val p = run(
+      """t | take 1
+        || extend (fr, fi) = series_fft(pack_array(1.0, 2.0, 3.0))
+        || project n = array_length(fr), s0 = round(todouble(fr[0]), 6)""".stripMargin)
+      .collect().head
+    assert(p.getAs[Number](0).intValue == 4 && p.getDouble(1) == 6.0)
+  }
+
   test("startof*/endof* offset argument; punycode domain variants") {
     val r = run(
       "t | take 1 | project " +
