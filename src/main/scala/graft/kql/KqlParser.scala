@@ -2869,6 +2869,10 @@ object KqlParser {
             s"geo_point_to_geohash precision must be 1..10, got $p")
           geoHashEncode(args(0), args(1), p)
         case "geo_geohash_to_central_point" => geoHashDecode(args.head)
+        case "geo_geohash_neighbors" =>
+          // native index-space ±1 offsets, bit-compatible with the encode
+          // chain (GeoHashExpressions.scala) — the spatial-join key expander
+          call_function("graft_geohash_neighbors", args.head.cast("string"))
         case "geo_point_to_s2cell" =>
           // real S2 (public spec: quadratic face projection + Hilbert cell
           // ids, S2Expressions.scala). Level must be a literal, like the

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `geo_geohash_neighbors` (reference KQL surface `README.md:33-34`): the 8
+  * adjacent cells of a geohash, computed in INDEX space — deinterleave the
+  * base-32 token to integer (lng, lat) grid indexes, offset ±1 (longitude
+  * wraps, latitude clamps at the poles), re-interleave. This is bit-for-bit
+  * the same integer-grid contract as the column-chain geo_point_to_geohash
+  * (KqlParser.geoHashEncode), so a neighbor token always equals the token an
+  * in-cell point would encode to. Output order is row-major (dLat, dLng) in
+  * {-1,0,1}² minus the origin; pole-clipped cells are omitted.
+  *
+  * Neighbors are what make geohash bucketing a COMPLETE spatial join: probe
+  * rows expand to home + 8 neighbor keys and equi-join build rows on their
+  * home key — every pair within one cell dimension is covered, exactly.
+  */
+object GeoHashExpressions {
+
+  private val Alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def neighbors(tokU: UTF8String): GenericArrayData = {
+    val tok = tokU.toString
+    val p = tok.length
+    require(p >= 1 && p <= 10, s"geohash precision 1..10, got $p")
+    val bits = 5 * p
+    val lngBits = (bits + 1) / 2
+    val latBits = bits / 2
+    var z = 0L
+    tok.foreach { ch =>
+      val v = Alphabet.indexOf(ch.toLower)
+      require(v >= 0, s"bad geohash char '$ch'")
+      z = (z << 5) | v
+    }
+    var loi = 0L; var lai = 0L
+    var k = 0
+    while (k < bits) {
+      val b = (z >>> (bits - 1 - k)) & 1L
+      if (k % 2 == 0) loi = (loi << 1) | b else lai = (lai << 1) | b
+      k += 1
+    }
+    val lngMax = 1L << lngBits
+    val latMax = 1L << latBits
+    val out = Vector.newBuilder[UTF8String]
+    var di = -1
+    while (di <= 1) {
+      var dj = -1
+      while (dj <= 1) {
+        if (!(di == 0 && dj == 0)) {
+          val la = lai + di
+          if (la >= 0 && la < latMax) {
+            val lo = ((loi + dj) % lngMax + lngMax) % lngMax
+            out += UTF8String.fromString(encodeIj(lo, la, lngBits, latBits, p))
+          }
+        }
+        dj += 1
+      }
+      di += 1
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  private def encodeIj(loi: Long, lai: Long, lngBits: Int, latBits: Int,
+      p: Int): String = {
+    val bits = lngBits + latBits
+    var z = 0L
+    var li = lngBits - 1
+    var ai = latBits - 1
+    var k = 0
+    while (k < bits) {
+      val b = if (k % 2 == 0) { val v = (loi >>> li) & 1L; li -= 1; v }
+        else { val v = (lai >>> ai) & 1L; ai -= 1; v }
+      z = (z << 1) | b
+      k += 1
+    }
+    val sb = new java.lang.StringBuilder(p)
+    var c = p - 1
+    while (c >= 0) {
+      sb.append(Alphabet.charAt(((z >>> (5 * c)) & 31L).toInt))
+      c -= 1
+    }
+    sb.toString
+  }
+}
+
+case class GeohashNeighborsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GeoHashExpressions.neighbors(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GeoHashExpressions.neighbors($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_geohash_neighbors"
+}

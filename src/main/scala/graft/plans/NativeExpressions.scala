@@ -275,6 +275,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CodecExpr].getName, regName),
         (children: Seq[Expression]) => CodecExpr(children.head, method)))
     }
+    // geo_geohash_neighbors (GeoHashExpressions.scala)
+    e.injectFunction((
+      FunctionIdentifier("graft_geohash_neighbors"),
+      new ExpressionInfo(classOf[GeohashNeighborsExpr].getName,
+        "graft_geohash_neighbors"),
+      (children: Seq[Expression]) => GeohashNeighborsExpr(children.head)))
     // series_fft / series_ifft (FftExpressions.scala)
     Seq(("graft_series_fft", false), ("graft_series_ifft", true)).foreach {
       case (name, inv) =>

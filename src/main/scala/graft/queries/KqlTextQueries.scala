@@ -2890,6 +2890,83 @@ object KqlTextQueries {
              |WHERE EXISTS (SELECT 1 FROM a WHERE t.idx BETWEEN a.idx - 2 AND a.idx + 3)
              |ORDER BY event_id""".stripMargin)),
 
+    // geo_geohash_neighbors: ±1 index-space offsets, bit-compatible with the
+    // encode chain; the oracle replays the same integer deinterleave/offset/
+    // re-interleave in SQL (the q_kql_geohash grid-math precedent)
+    QueryDef("q_kql_geohash_neighbors",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 40 == 0
+          || extend lon1 = todouble(event_id % 350) - 175.0 + 0.25,
+          |    lat1 = todouble(event_id % 170) - 85.0 + 0.25
+          || extend gh = geo_point_to_geohash(lon1, lat1, 4)
+          || project event_id, nb = strcat_array(geo_geohash_neighbors(gh), ';')
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH b AS (SELECT event_id,
+             |    CAST(event_id % 350 AS DOUBLE) - 175.0 + 0.25 AS lon1,
+             |    CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat1
+             |  FROM events WHERE event_id % 40 = 0),
+             |i AS (SELECT event_id,
+             |    LEAST(GREATEST(CAST(FLOOR((lon1 + 180.0) / 360.0 * 1024.0) AS BIGINT), 0), 1023) AS loi,
+             |    LEAST(GREATEST(CAST(FLOOR((lat1 + 90.0) / 180.0 * 1024.0) AS BIGINT), 0), 1023) AS lai
+             |  FROM b),
+             |off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+             |    (1,-1),(1,0),(1,1)) o(di, dj)),
+             |n AS (SELECT event_id, di, dj, lai + di AS la,
+             |    ((loi + dj) % 1024 + 1024) % 1024 AS lo
+             |  FROM i CROSS JOIN off WHERE lai + di BETWEEN 0 AND 1023),
+             |z AS (SELECT event_id, di, dj,
+             |    list_sum(list_transform(range(0, 10), j ->
+             |      (((lo >> CAST(9 - j AS INT)) & 1) << CAST(19 - 2*j AS INT)) +
+             |      (((la >> CAST(9 - j AS INT)) & 1) << CAST(18 - 2*j AS INT)))) AS zz
+             |  FROM n),
+             |tok AS (SELECT event_id, di, dj,
+             |    array_to_string(list_transform(range(0, 4), k ->
+             |      substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             |        CAST(((zz >> CAST((3 - k) * 5 AS INT)) & 31) AS INT) + 1, 1)), '') AS t
+             |  FROM z)
+             |SELECT event_id, array_to_string(list(t ORDER BY di, dj), ';') AS nb
+             |FROM tok GROUP BY event_id ORDER BY event_id""".stripMargin)),
+
+    // EXACT distributed spatial join: points bucket to their precision-4
+    // geohash; probe rows expand to home + 8 neighbor keys (one bucket
+    // equi-join, never a distance cross-join) and the haversine filter keeps
+    // pairs ≤ 10 km. Complete because 10 km < one cell dimension at p=4
+    // (≥19.5 km), so any qualifying pair is at most one cell apart. The
+    // oracle is the plain all-pairs distance join — if bucketing missed a
+    // pair, this row reddens.
+    QueryDef("q_kql_spatial_join",
+      (s, d) => run(s, d,
+        """let pts = events
+          || where event_id % 17 == 0
+          || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
+          |    lng = -73.5 + todouble(event_id % 89) / 60.0
+          || extend gh = geo_point_to_geohash(lng, lat, 4)
+          || project event_id, lat, lng, gh;
+          |pts
+          || extend ks = array_concat(pack_array(gh), geo_geohash_neighbors(gh))
+          || mv-expand k = ks to typeof(string)
+          || project a_id = event_id, a_lat = lat, a_lng = lng, k
+          || join kind=inner (pts
+          |    | project b_id = event_id, b_lat = lat, b_lng = lng, k = gh) on k
+          || where a_id < b_id
+          || extend dm = round(geo_distance_2points(a_lng, a_lat, b_lng, b_lat), 1)
+          || where dm <= 10000.0
+          || project a_id, b_id, dm
+          || sort by a_id asc, b_id asc""".stripMargin),
+      Some("""WITH p AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 17 = 0),
+             |j AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
+             |    ROUND(12742000.0 * ASIN(LEAST(1.0, SQRT(
+             |      SIN(RADIANS(b.lat - a.lat)/2)*SIN(RADIANS(b.lat - a.lat)/2) +
+             |      COS(RADIANS(a.lat))*COS(RADIANS(b.lat))*
+             |        SIN(RADIANS(b.lng - a.lng)/2)*SIN(RADIANS(b.lng - a.lng)/2)))), 1) AS dm
+             |  FROM p a JOIN p b ON a.event_id < b.event_id)
+             |SELECT a_id, b_id, dm FROM j WHERE dm <= 10000.0
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // series_fft / series_ifft (radix-2 Cooley-Tukey, FftExpressions.scala)
     // bound via tuple extend. Oracle literals are HAND-COMPUTED DFT values:
     // cos(2πk/4) over N=8 → real spikes N/2=4 at bins 2/6; sin(2πk/4) over

@@ -1165,6 +1165,19 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("geo_geohash_neighbors matches the public adjacency map") {
+    // cell 'u' (lat 45..90, lng 0..45) is on the north edge: 5 neighbors,
+    // row-major (dLat, dLng) order → sw, s, se, w, e = e, s, t, g, v
+    val r = run(
+      "t | take 1 | project n = strcat_array(geo_geohash_neighbors('u'), ';')")
+      .collect().head
+    assert(r.getString(0) == "e;s;t;g;v")
+    val n2 = run(
+      "t | take 1 | project n = array_length(geo_geohash_neighbors('gbsuv'))")
+      .collect().head
+    assert(n2.getAs[Number](0).intValue == 8)
+  }
+
   test("series_fft/ifft spikes match hand-computed DFT; tuple extend binds") {
     val r = run(
       """t | take 1
