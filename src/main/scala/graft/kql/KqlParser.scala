@@ -2887,6 +2887,10 @@ object KqlParser {
           // convention used across the geo family) instead of GeoJSON
           array(call_function("graft_s2_center_lng", args.head.cast("string")),
             call_function("graft_s2_center_lat", args.head.cast("string")))
+        case "geo_s2cell_neighbors" =>
+          // same-level neighbors via the published AppendAllNeighbors +
+          // cross-face FromFaceIJWrap (S2Expressions.scala)
+          call_function("graft_s2_neighbors", args.head.cast("string"))
         case "geo_point_in_polygon" =>
           geoPointInPolygon(args(0), args(1), args(2))
         case "geo_line_length" => geoLineLength(args.head)

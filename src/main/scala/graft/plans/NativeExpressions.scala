@@ -300,6 +300,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[S2CenterExpr].getName, s"graft_s2_center_$coord"),
         (children: Seq[Expression]) => S2CenterExpr(children.head, coord)))
     }
+    e.injectFunction((
+      FunctionIdentifier("graft_s2_neighbors"),
+      new ExpressionInfo(classOf[S2NeighborsExpr].getName, "graft_s2_neighbors"),
+      (children: Seq[Expression]) => S2NeighborsExpr(children.head)))
     // statistical special functions (StatExpressions.scala)
     StatExpressions.names.foreach { case (kql, regName) =>
       e.injectFunction((

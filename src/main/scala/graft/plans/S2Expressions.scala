@@ -163,6 +163,70 @@ object S2Expressions {
     java.lang.Long.parseUnsignedLong(t + "0" * (16 - t.length), 16)
   }
 
+  // ---- neighbors (published AppendAllNeighbors + FromFaceIJWrap) -------
+
+  private def levelOf(id: Long): Int =
+    MaxLevel - (java.lang.Long.numberOfTrailingZeros(id) >> 1)
+
+  /** FromFaceIJ tolerating out-of-range ij: wraps across the cube edge via
+    * the LINEAR uv mapping (the published FromFaceIJWrap — linear is exact
+    * here because the wrap only ever moves one step past an edge). */
+  private def fromFaceIJWrap(face: Int, i: Int, j: Int): Long = {
+    val max = 1 << MaxLevel
+    val ic = math.max(-1, math.min(max, i))
+    val jc = math.max(-1, math.min(max, j))
+    val scale = 1.0 / max
+    val limit = 1.0 + 2.2204460492503131e-16
+    val u = math.max(-limit, math.min(limit, scale * (2.0 * (ic - max / 2) + 1.0)))
+    val v = math.max(-limit, math.min(limit, scale * (2.0 * (jc - max / 2) + 1.0)))
+    val (x, y, z) = faceUVtoXYZ(face, u, v)
+    val (f2, u2, v2) = xyzToFaceUV(x, y, z)
+    fromFaceIJ(f2, stToIJ(0.5 * (u2 + 1)), stToIJ(0.5 * (v2 + 1)))
+  }
+
+  private def fromFaceIJSame(face: Int, i: Int, j: Int, same: Boolean): Long =
+    if (same) fromFaceIJ(face, i, j) else fromFaceIJWrap(face, i, j)
+
+  /** All neighbors of the cell at its own level (8 in the interior, fewer
+    * only at cube corners after dedup), in the published append order,
+    * deduped preserving first appearance. */
+  private[graft] def allNeighbors(id: Long): Seq[Long] = {
+    val level = levelOf(id)
+    val size = 1 << (MaxLevel - level)
+    val max = 1 << MaxLevel
+    val (face, i0, j0) = toFaceIJ(id)
+    val i = i0 & -size
+    val j = j0 & -size
+    val out = Vector.newBuilder[Long]
+    var k = -size
+    var done = false
+    while (!done) {
+      val sameFace =
+        if (k < 0) j + k >= 0
+        else if (k >= size) j + k < max
+        else {
+          out += parentAtLevel(
+            fromFaceIJSame(face, i + k, j - size, j - size >= 0), level)
+          out += parentAtLevel(
+            fromFaceIJSame(face, i + k, j + size, j + size < max), level)
+          true
+        }
+      out += parentAtLevel(
+        fromFaceIJSame(face, i - size, j + k, sameFace && i - size >= 0), level)
+      out += parentAtLevel(
+        fromFaceIJSame(face, i + size, j + k, sameFace && i + size < max), level)
+      if (k >= size) done = true else k += size
+    }
+    out.result().distinct.filterNot(_ == id)
+  }
+
+  def neighborTokens(t: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val id = idFromToken(t.toString)
+    require(id != 0, "zero id has no neighbors")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      allNeighbors(id).map(n => UTF8String.fromString(token(n))).toArray[Any])
+  }
+
   // ---- public scalar entry points --------------------------------------
 
   private[graft] def leafFromLngLat(lngDeg: Double, latDeg: Double): Long = {
@@ -215,6 +279,23 @@ case class S2CellExpr(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
   override def prettyName: String = "graft_s2_cell"
+}
+
+/** geo_s2cell_neighbors(token) → array of same-level neighbor tokens. */
+case class S2NeighborsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    S2Expressions.neighborTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.S2Expressions.neighborTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_s2_neighbors"
 }
 
 /** geo_s2cell_to_central_point coordinate readout (lng or lat). */

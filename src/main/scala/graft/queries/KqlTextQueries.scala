@@ -3091,6 +3091,31 @@ object KqlTextQueries {
              |  (7, '6c', 157.380135, -21.037511)) AS t(id, tok, clng, clat)
              |ORDER BY id""".stripMargin)),
 
+    // geo_s2cell_neighbors: hand-derived oracle — a level-0 face cell's
+    // neighbors are exactly the four non-opposite faces (cube topology), and
+    // "14" (face-0 child (1,1)) touches a cube VERTEX — three faces meet
+    // there, so it has 7 distinct neighbors, of which exactly its three
+    // in-face siblings are 04/0c/1c (derived by hand earlier in this file)
+    QueryDef("q_kql_s2_neighbors",
+      (s, d) => run(s, d,
+        """datatable(id: long, tok: string) [
+          |  1, '1', 2, '3', 3, '5', 4, '7', 5, '9', 6, 'b', 7, '14']
+          || extend nb = geo_s2cell_neighbors(tok)
+          || project id, n = array_length(nb),
+          |    sorted = iff(id <= 6, strcat_array(array_sort_asc(nb), ';'), ''),
+          |    inface = array_length(set_intersect(nb, pack_array('04', '0c', '1c')))
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(n AS INT) AS n, sorted,
+             |  CAST(inface AS INT) AS inface FROM (VALUES
+             |  (1, 4, '3;5;9;b', 0),
+             |  (2, 4, '1;5;7;b', 0),
+             |  (3, 4, '1;3;7;9', 0),
+             |  (4, 4, '3;5;9;b', 0),
+             |  (5, 4, '1;5;7;b', 0),
+             |  (6, 4, '1;3;7;9', 0),
+             |  (7, 7, '', 3)) AS t(id, n, sorted, inface)
+             |ORDER BY id""".stripMargin)),
+
     // parse_xml: XML → dynamic via the native XmlLite codec (canonical
     // Kusto element/@attr/#text mapping, CodecExpressions.xmlToJson) lifted
     // by try_parse_json; whole-variant tostring prints SORTED keys, so the

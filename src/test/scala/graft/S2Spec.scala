@@ -84,6 +84,32 @@ class S2Spec extends SparkSpec {
     }
   }
 
+  test("s2 neighbors: face adjacency, symmetry, center containment") {
+    // level 0: a face's neighbors are the four non-opposite faces
+    val faceTok = Map(0 -> "1", 1 -> "3", 2 -> "5", 3 -> "7", 4 -> "9", 5 -> "b")
+    (0 until 6).foreach { f =>
+      val nb = run(s"t | take 1 | project n = geo_s2cell_neighbors('${faceTok(f)}')")
+        .collect().head.getSeq[String](0).toSet
+      val expect = (0 until 6).filterNot(g => g == f || g == (f + 3) % 6)
+        .map(faceTok).toSet
+      assert(nb == expect, s"face $f")
+    }
+    // interior + cross-face cells: 8 neighbors; symmetry a∈N(b) ⟺ b∈N(a);
+    // each neighbor's center re-encodes to that neighbor
+    for ((lng, lat, lvl) <- Seq((12.3, 45.6, 11), (44.9, 0.1, 5), (0.0, 89.0, 7))) {
+      val id = S2Expressions.parentAtLevel(S2Expressions.leafFromLngLat(lng, lat), lvl)
+      val nbrs = S2Expressions.allNeighbors(id)
+      assert(nbrs.size == 8, s"($lng,$lat,$lvl): ${nbrs.size}")
+      nbrs.foreach { n =>
+        assert(S2Expressions.allNeighbors(n).contains(id), "asymmetric neighbors")
+        val (clng, clat) = S2Expressions.centerLngLat(S2Expressions.token(n))
+        val re = S2Expressions.parentAtLevel(
+          S2Expressions.leafFromLngLat(clng, clat), lvl)
+        assert(re == n, "neighbor center re-encodes elsewhere")
+      }
+    }
+  }
+
   test("token encode/decode round-trips; malformed center is NaN") {
     val id = S2Expressions.parentAtLevel(S2Expressions.leafFromLngLat(12.3, 45.6), 11)
     assert(S2Expressions.idFromToken(S2Expressions.token(id)) == id)
