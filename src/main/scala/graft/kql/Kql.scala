@@ -265,6 +265,25 @@ object Kql {
       else df.withColumn(as, explode(expandable(arrayCol)))
     }
 
+    /** `mv-expand c1, c2, ...` — PARALLEL multi-column expansion: the arrays
+      * zip element-wise to the longest length with null padding (Kusto's
+      * multi-column contract), then ONE explode of the zipped struct array.
+      * Expanded names replace existing columns. */
+    def mvExpandZip(items: Seq[(String, Column)],
+        itemIdx: Option[String]): DataFrame = {
+      val zipped = arrays_zip(items.map { case (n, e) => expandable(e).as(n) }: _*)
+      val keep = df.columns.filterNot(c => items.exists(_._1 == c))
+        .map(col).toIndexedSeq
+      val exploded = itemIdx match {
+        case Some(ix) =>
+          df.select(keep :+ posexplode(zipped).as(Seq(ix, "__mvz")): _*)
+        case None => df.select(keep :+ explode(zipped).as("__mvz"): _*)
+      }
+      items.foldLeft(exploded) { case (d, (n, _)) =>
+        d.withColumn(n, col("__mvz").getField(n))
+      }.drop("__mvz")
+    }
+
     /** `mv-expand with_itemindex=idx c` — explode with the element's 0-based
       * position (posexplode; same Generator machinery, still codegen-adjacent).
       * Like mv-expand of a bare column, the expanded name REPLACES an existing

@@ -325,6 +325,13 @@ object KqlParser {
             // program-initial `union [modifiers] T1[, T2, ...] | ...`
             pos += 1; sourceName = "union"; parseUnionOp(None)
           }
+          else if (atIdent("table") && toks.lift(pos + 1).contains(Punct("("))) {
+            // `table('name')` — the dynamic table reference; the name must be
+            // a literal (a data-dependent table name has no static plan)
+            pos += 1; eatPunct("(")
+            val n = strLitS(); eatPunct(")")
+            sourceName = n; resolveTable(n)
+          }
           else { val n = ident(); sourceName = n; resolveTable(n) }
         while (atPunct("|")) {
           eatPunct("|"); df = parseOp(df)
@@ -1013,33 +1020,51 @@ object KqlParser {
           if (atIdent("with_itemindex")) {
             pos += 1; eatPunct("="); Some(ident())
           } else None
-        def expand(e: Column, n: String): DataFrame = {
+        def typedCast(out: DataFrame, n: String, t: String): DataFrame =
+          // elements exploded from a dynamic column surface as variant:
+          // go through string for the cast variant→T that Spark lacks
+          out.withColumn(n,
+            (if (out.schema(n).dataType.typeName == "variant")
+               col(n).cast("string") else col(n)).try_cast(t))
+        def oneItem(): (String, Column, Option[String]) = {
+          val (n, e) =
+            if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
+              toks(pos + 1) == Punct("=") && toks.lift(pos + 2) != Some(Punct("="))) {
+              val n = ident(); eatPunct("="); (n, parseExpr())
+            } else {
+              val mark = pos
+              val e = parseExpr()
+              val name = toks(mark) match {
+                case Ident(n) if pos == mark + 1 => n // bare column keeps its name
+                case _ => "value" // KQL names un-aliased results `value`
+              }
+              (name, e)
+            }
+          val t = if (atIdent("to")) {
+            pos += 1; eatIdent("typeof"); eatPunct("(")
+            val tt = kqlType(ident()); eatPunct(")"); Some(tt)
+          } else None
+          (n, e, t)
+        }
+        val mvItems = Seq.newBuilder[(String, Column, Option[String])]
+        mvItems += oneItem()
+        while (atPunct(",")) { pos += 1; mvItems += oneItem() }
+        val itemsR = mvItems.result()
+        if (itemsR.size == 1) {
+          val (n, e, t) = itemsR.head
           val out = itemIdx match {
             case Some(ix) => df.mvExpandIndexed(e, n, ix)
             case None => df.mvExpand(e, n)
           }
-          if (atIdent("to")) {
-            pos += 1; eatIdent("typeof"); eatPunct("(")
-            val t = kqlType(ident()); eatPunct(")")
-            // elements exploded from a dynamic column surface as variant:
-            // go through string for the cast variant→T that Spark lacks
-            out.withColumn(n,
-              (if (out.schema(n).dataType.typeName == "variant")
-                 col(n).cast("string") else col(n)).try_cast(t))
-          } else out
-        }
-        if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
-          toks(pos + 1) == Punct("=") && toks.lift(pos + 2) != Some(Punct("="))) {
-          val n = ident(); eatPunct("=")
-          expand(parseExpr(), n)
+          t.fold(out)(typedCast(out, n, _))
         } else {
-          val mark = pos
-          val e = parseExpr()
-          val name = toks(mark) match {
-            case Ident(n) if pos == mark + 1 => n // bare column keeps its name
-            case _ => "value" // KQL names un-aliased expansion results `value`
+          // multi-column form: PARALLEL zip expansion to the longest array,
+          // shorter arrays null-padded (Kql.mvExpandZip)
+          val out = df.mvExpandZip(itemsR.map(i => (i._1, i._2)), itemIdx)
+          itemsR.foldLeft(out) {
+            case (d, (n, _, Some(t))) => typedCast(d, n, t)
+            case (d, _) => d
           }
-          expand(e, name)
         }
       case "mv-apply" =>
         // `mv-apply elem = arrayCol on (op | op | ...)` — explode the array, run the
@@ -2480,7 +2505,16 @@ object KqlParser {
       f match {
         // serialized-order row functions (require `| sort by ... | serialize`;
         // placeholders materialized distributively by the enclosing extend)
-        case "row_number" => rowFnPlaceholder(RowNumber(_))
+        case "row_number" if args.isEmpty => rowFnPlaceholder(RowNumber(_))
+        case "row_number" =>
+          // row_number(startingIndex [, restart]): the restart form reuses the
+          // distributed restart-cumsum machinery (rank = running count of rows
+          // since the last restart, which resets BEFORE counting itself)
+          val start = args.head.cast("long")
+          val base =
+            if (args.length > 1) rowFnPlaceholder(CumSumOf(_, lit(1L), Some(args(1))))
+            else rowFnPlaceholder(RowNumber(_))
+          base + start - lit(1L)
         case "prev" => rowFnPlaceholder(PrevOf(_, args.head,
           if (args.length > 1) litLong(args(1)).toInt else 1, args.lift(2)))
         case "next" => rowFnPlaceholder(NextOf(_, args.head,
@@ -2771,6 +2805,33 @@ object KqlParser {
           regexp_extract_all(args(1), lit(pat), lit(grp))
         case "base64_encode_tostring" => base64(args.head.cast("binary"))
         case "base64_decode_tostring" => unbase64(args.head).cast("string")
+        case "base64_decode_toguid" =>
+          // 16 decoded bytes → canonical lowercase 8-4-4-4-12; else null
+          val gb = unbase64(args.head)
+          val ghx = lower(hex(gb))
+          when(length(gb) === 16, concat_ws("-",
+            substring(ghx, 1, 8), substring(ghx, 9, 4), substring(ghx, 13, 4),
+            substring(ghx, 17, 4), substring(ghx, 21, 12)))
+        case "make_datetime" =>
+          // make_datetime(y, mo, d [, h, mi, s]) — s may be fractional
+          require(args.length == 3 || args.length == 6,
+            "make_datetime takes (y, mo, d) or (y, mo, d, h, mi, s)")
+          val a6 = if (args.length == 6) args
+            else args ++ Seq(lit(0), lit(0), lit(0))
+          make_timestamp(a6(0), a6(1), a6(2), a6(3), a6(4), a6(5).cast("double"))
+        case "make_timespan" =>
+          // make_timespan(h, m) | (h, m, s) | (d, h, m, s) → seconds (the
+          // engine-wide timespan convention)
+          val secs = args.length match {
+            case 2 => args(0) * 3600 + args(1) * 60
+            case 3 => args(0) * 3600 + args(1) * 60 + args(2)
+            case 4 => args(0) * 86400 + args(1) * 3600 + args(2) * 60 + args(3)
+            case n => throw new IllegalArgumentException(
+              s"make_timespan takes 2-4 arguments, got $n")
+          }
+          secs.cast("long")
+        case "current_database" => lit("default") // single-store engine
+        case "current_cluster_endpoint" => lit("local")
         case "base64_decode_toarray" =>
           // bytes as a long array via the hex round-trip (both engines print
           // uppercase hex, so the digit arithmetic is replayable)

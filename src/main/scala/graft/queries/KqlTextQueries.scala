@@ -3091,6 +3091,52 @@ object KqlTextQueries {
              |  (7, '6c', 157.380135, -21.037511)) AS t(id, tok, clng, clat)
              |ORDER BY id""".stripMargin)),
 
+    // multi-column mv-expand: parallel zip expansion with null padding
+    // (Kusto's multi-column contract), typed per item
+    QueryDef("q_kql_mvexpand_multi",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1, 2]
+          || extend a = pack_array(id, id + 1, id + 2),
+          |    b = pack_array(id * 10, id * 20)
+          || mv-expand x = a to typeof(long), y = b to typeof(long)
+          || project id, x, y
+          || sort by id asc, x asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(x AS BIGINT) AS x,
+             |  CAST(y AS BIGINT) AS y FROM (VALUES
+             |  (1, 1, 10), (1, 2, 20), (1, 3, NULL),
+             |  (2, 2, 20), (2, 3, 40), (2, 4, NULL)) AS t(id, x, y)
+             |ORDER BY id, x""".stripMargin)),
+
+    // make_datetime / make_timespan / base64_decode_toguid /
+    // current_database / row_number(start, restart) — the restart form rides
+    // the distributed restart-cumsum machinery
+    QueryDef("q_kql_scalar_misc14",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 2000 == 0
+          || sort by event_id asc
+          || serialize
+          || extend rn = row_number(100, event_id % 6000 == 0)
+          || project event_id, rn,
+          |    md = make_datetime(2024, 3, 15, 10, 30, 15),
+          |    md3 = make_datetime(2020, 1, 2),
+          |    ts1 = make_timespan(1, 2, 3, 4), ts2 = make_timespan(2, 30),
+          |    g = base64_decode_toguid('ABEiM0RVZneImaq7zN3u/w=='),
+          |    cdb = current_database()
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  99 + ROW_NUMBER() OVER (PARTITION BY grp ORDER BY event_id) AS rn,
+             |  TIMESTAMP '2024-03-15 10:30:15' AS md,
+             |  TIMESTAMP '2020-01-02 00:00:00' AS md3,
+             |  CAST(93784 AS BIGINT) AS ts1, CAST(9000 AS BIGINT) AS ts2,
+             |  '00112233-4455-6677-8899-aabbccddeeff' AS g,
+             |  'default' AS cdb
+             |FROM (SELECT event_id,
+             |    SUM(CASE WHEN event_id % 6000 = 0 THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY event_id) AS grp
+             |  FROM events WHERE event_id % 2000 = 0)
+             |ORDER BY event_id""".stripMargin)),
+
     // geo_s2cell_neighbors: hand-derived oracle — a level-0 face cell's
     // neighbors are exactly the four non-opposite faces (cube topology), and
     // "14" (face-0 child (1,1)) touches a cube VERTEX — three faces meet

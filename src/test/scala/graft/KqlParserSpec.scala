@@ -1165,6 +1165,38 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("multi-column mv-expand zips with null padding; typed casts apply") {
+    val r = run(
+      """t | take 1
+        || extend a = pack_array(1, 2, 3), b = pack_array('x', 'y')
+        || mv-expand a to typeof(long), b to typeof(string)
+        || project a, b""".stripMargin)
+      .collect().map(x => (x.get(0), x.get(1))).toSeq
+    assert(r == Seq((1L, "x"), (2L, "y"), (3L, null)))
+  }
+
+  test("row_number(start[, restart]); make_datetime/timespan; table(); misc") {
+    val rn = run(
+      """t | sort by id asc | serialize
+        || extend r = row_number(10), rr = row_number(1, etype == 'click')
+        || project id, r, rr | sort by id asc""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rn.map(_._2) == Seq(10L, 11L, 12L, 13L, 14L))
+    // etypes by id: click view click purchase click → restart at each click
+    assert(rn.map(_._3) == Seq(1L, 2L, 1L, 2L, 1L))
+    val m = run(
+      "t | take 1 | project md = tostring(make_datetime(2024, 3, 15, 10, 30, 15)), " +
+        "ts1 = make_timespan(1, 2, 3, 4), ts2 = make_timespan(2, 30), " +
+        "g = base64_decode_toguid('ABEiM0RVZneImaq7zN3u/w=='), " +
+        "cdb = current_database()").collect().head
+    assert(m.getString(0) == "2024-03-15 10:30:15")
+    assert(m.getLong(1) == 93784L && m.getLong(2) == 9000L)
+    assert(m.getString(3) == "00112233-4455-6677-8899-aabbccddeeff")
+    assert(m.getString(4) == "default")
+    assert(KqlParser.parse("table('t') | count", _ => t)
+      .collect().head.getLong(0) == 5L)
+  }
+
   test("geo_geohash_neighbors matches the public adjacency map") {
     // cell 'u' (lat 45..90, lng 0..45) is on the north edge: 5 neighbors,
     // row-major (dLat, dLng) order → sw, s, se, w, e = e, s, t, g, v
