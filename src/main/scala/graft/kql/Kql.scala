@@ -322,6 +322,22 @@ object Kql {
         .select(col("*") +: unpacked: _*).drop("__bag", jsonCol)
     }
 
+    /** `evaluate bag_unpack(d) : (a: long, b: string)` — Kusto's OutputSchema
+      * clause: the declared schema replaces inference, so there is NO extra
+      * corpus scan (the inference path reads up to inferLimit rows first) and
+      * the output is deterministic regardless of which bags appear — the
+      * form to prefer at 100 TB. */
+    def bagUnpackTyped(jsonCol: String, fields: Seq[(String, String)],
+        prefix: String = ""): DataFrame = {
+      import org.apache.spark.sql.types.StructType
+      val ddl = fields.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+      val schema = StructType.fromDDL(ddl)
+      val unpacked = fields.map { case (n, _) =>
+        col(s"__bag.`$n`").as(prefix + n) }
+      df.withColumn("__bag", from_json(col(jsonCol), schema))
+        .select(col("*") +: unpacked: _*).drop("__bag", jsonCol)
+    }
+
     /** `make-series agg default=fill on tsCol [from f to t] step Δ by keys` —
       * regular time grid per key group with zero/const fill. Without explicit
       * bounds the grid spans the data's [min, max] bins, computed

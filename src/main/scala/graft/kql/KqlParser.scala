@@ -1085,12 +1085,23 @@ object KqlParser {
         eatPunct("(")
         fn match {
           case "bag_unpack" =>
-            // `evaluate bag_unpack(col [, 'prefix'])` — Kusto's column-name
-            // prefix form prepends the literal to every unpacked column
+            // `evaluate bag_unpack(col [, 'prefix']) [: (a: long, ...)]` —
+            // Kusto's column-name prefix and OutputSchema forms; a declared
+            // schema skips the inference scan entirely
             val arg = ident()
             val prefix = if (atPunct(",")) { pos += 1; strLitS() } else ""
             eatPunct(")")
-            df.bagUnpack(arg, prefix = prefix)
+            if (atPunct(":")) {
+              pos += 1; eatPunct("(")
+              val fs = Seq.newBuilder[(String, String)]
+              def oneF(): Unit = {
+                val n = ident(); eatPunct(":"); fs += ((n, kqlType(ident())))
+              }
+              oneF()
+              while (atPunct(",")) { pos += 1; oneF() }
+              eatPunct(")")
+              df.bagUnpackTyped(arg, fs.result(), prefix)
+            } else df.bagUnpack(arg, prefix = prefix)
           case "narrow" =>
             // evaluate narrow(): (Row, Column, Value-as-string) triples. Row
             // ordinals come from the distributed serialized row numbering, so
@@ -2832,6 +2843,12 @@ object KqlParser {
           secs.cast("long")
         case "current_database" => lit("default") // single-store engine
         case "current_cluster_endpoint" => lit("local")
+        case "datetime_utc_to_local" =>
+          // IANA-zone wall-clock of a UTC instant (JVM tzdata — same rule
+          // source as the oracle's; zones must be literal for a static plan)
+          from_utc_timestamp(args.head, litString(args(1)))
+        case "datetime_local_to_utc" =>
+          to_utc_timestamp(args.head, litString(args(1)))
         case "base64_decode_toarray" =>
           // bytes as a long array via the hex round-trip (both engines print
           // uppercase hex, so the digit arithmetic is replayable)

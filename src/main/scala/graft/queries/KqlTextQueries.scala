@@ -3091,6 +3091,43 @@ object KqlTextQueries {
              |  (7, '6c', 157.380135, -21.037511)) AS t(id, tok, clng, clat)
              |ORDER BY id""".stripMargin)),
 
+    // bag_unpack OutputSchema clause: declared types, no inference scan
+    // (the 100 TB form — inference reads the corpus once more)
+    QueryDef("q_kql_bag_unpack_schema",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1, 2]
+          || extend j = strcat('{"a":', tostring(id), ',"b":"v', tostring(id),
+          |    '","extra":true}')
+          || project j
+          || evaluate bag_unpack(j, 'p_') : (a: long, b: string)
+          || sort by p_a asc""".stripMargin),
+      Some("""SELECT CAST(a AS BIGINT) AS p_a, b AS p_b FROM (VALUES
+             |  (1, 'v1'), (2, 'v2')) AS t(a, b) ORDER BY p_a""".stripMargin)),
+
+    // datetime_utc_to_local / datetime_local_to_utc over IANA zones (JVM
+    // tzdata vs DuckDB's ICU rules — identical for these stable 2024 dates,
+    // incl. the America/New_York spring-forward boundary at 07:00 UTC)
+    QueryDef("q_kql_tz",
+      (s, d) => run(s, d,
+        """datatable(id: long, ts: string) [
+          |  1, '2024-01-15 12:00:00',
+          |  2, '2024-07-15 12:00:00',
+          |  3, '2024-03-10 06:59:00',
+          |  4, '2024-03-10 07:00:00']
+          || extend t = todatetime(ts)
+          || project id, ny = datetime_utc_to_local(t, 'America/New_York'),
+          |    tokyo = datetime_utc_to_local(t, 'Asia/Tokyo'),
+          |    back = datetime_local_to_utc(
+          |      datetime_utc_to_local(t, 'Europe/Paris'), 'Europe/Paris')
+          || sort by id asc""".stripMargin),
+      Some("""SELECT id,
+             |  timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP))) AS ny,
+             |  timezone('Asia/Tokyo', timezone('UTC', CAST(ts AS TIMESTAMP))) AS tokyo,
+             |  CAST(ts AS TIMESTAMP) AS back
+             |FROM (VALUES (1, '2024-01-15 12:00:00'), (2, '2024-07-15 12:00:00'),
+             |  (3, '2024-03-10 06:59:00'), (4, '2024-03-10 07:00:00')) AS v(id, ts)
+             |ORDER BY id""".stripMargin)),
+
     // multi-column mv-expand: parallel zip expansion with null padding
     // (Kusto's multi-column contract), typed per item
     QueryDef("q_kql_mvexpand_multi",
