@@ -1459,6 +1459,68 @@ object NorthStarQueries {
              |    || chr(778) || 'b')) AS len_norm
              |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin)),
 
+    // --- training-data shaping ----------------------------------------------
+    // Overlapping document chunking (size 200, overlap 50 chars — the
+    // retrieval/window-prep primitive): chunk count is the closed form
+    // max(1, ceil((len − overlap)/(size − overlap))), chunks materialize as
+    // an explode over a sequence — scan-side, no shuffle, and the chunk
+    // CONTENT is checked via md5 so the oracle proves byte-identical slices
+    QueryDef("q_doc_chunks",
+      (s, d) => {
+        val size = 200; val overlap = 50; val step = size - overlap
+        val docs = T(s, d, "documents").where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        docs
+          .withColumn("nch", greatest(lit(1),
+            ceil((col("len") - overlap).cast("double") / step).cast("int")))
+          .withColumn("ci", explode(sequence(lit(0), col("nch") - 1)))
+          .select(col("doc_id"), col("ci"),
+            (col("ci") * step).as("start0"),
+            length(substr(col("text"), col("ci") * step + 1, lit(size))).as("clen"),
+            md5(substr(col("text"), col("ci") * step + 1, lit(size))).as("chash"))
+          .sortBy(col("doc_id"), col("ci"))
+      },
+      Some("""WITH b AS (SELECT doc_id, text, LENGTH(text) AS len,
+             |    GREATEST(1, CAST(CEIL(CAST(LENGTH(text) - 50 AS DOUBLE) / 150)
+             |      AS INT)) AS nch
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |c AS (SELECT doc_id, text, CAST(ci AS INT) AS ci FROM b,
+             |  LATERAL unnest(generate_series(0, nch - 1)) AS u(ci))
+             |SELECT doc_id, ci, ci * 150 AS start0,
+             |  LENGTH(substr(text, ci * 150 + 1, 200)) AS clen,
+             |  md5(substr(text, ci * 150 + 1, 200)) AS chash
+             |FROM c ORDER BY doc_id, ci""".stripMargin)),
+
+    // Sequential sequence packing (group docs into ~4096-token training
+    // bins): bin id = floor(inclusive-cumulative-tokens / 4096) along the
+    // doc_id order, computed by the DISTRIBUTED restart-free cumsum
+    // (serializedRowFns — range partition + per-partition offsets, no
+    // single-partition window). Documented deviation from first-fit: a doc
+    // lands in the bin of its cumulative END, so bins hold ≤4096 tokens
+    // plus at most one straddling doc — the standard streaming packing.
+    QueryDef("q_seq_packing",
+      (s, d) => {
+        import graft.kql.Kql
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).as("tok"))
+        val cum = Kql.serializedRowFns(docs, Seq(col("doc_id")),
+          Seq(Kql.CumSumOf("cum", col("tok"))))
+        cum.withColumn("bin", floor((col("cum") - 1) / 4096L))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .sortBy(col("bin"))
+      },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, tok,
+             |    SUM(tok) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+             |SELECT CAST(FLOOR((cum - 1) / 4096) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // --- corpus distribution diagnostics ------------------------------------
     // Token-distribution drift between two corpus splits as EXACT total
     // variation distance: TV = Σ|na·tb − nb·ta| / (2·ta·tb) computed in
