@@ -1460,6 +1460,54 @@ object NorthStarQueries {
              |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin)),
 
     // --- training-data shaping ----------------------------------------------
+    // Line-level boilerplate removal (the C4/Gopher cleanup: drop lines that
+    // repeat across ≥20 documents — footers, nav chrome). Lines are
+    // constructed deterministically (10-token groups + a per-source footer,
+    // the URL-dedup synthetic-fixture precedent); the high-df line set is a
+    // small broadcast array and each doc is rebuilt ORDER-PRESERVING with a
+    // filter HOF — one explode pass for counting, zero per-doc shuffles, and
+    // the cleaned content is md5-proven byte-identical to the oracle's
+    QueryDef("q_line_boilerplate",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        val withLines = docs.select(col("doc_id"),
+          concat(
+            transform(sequence(lit(0), floor((size(col("toks")) - 1) / 10.0).cast("int")),
+              i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))),
+            array(concat(lit("subscribe to "), col("source")))).as("lines"))
+        val ln = withLines.select(col("doc_id"), explode(col("lines")).as("line"))
+        val boiler = ln.groupBy(lower(trim(col("line"))).as("norm"))
+          .agg(countDistinct(col("doc_id")).as("df")).where(col("df") >= 20)
+        val bl = boiler.agg(sort_array(collect_list(col("norm"))).as("bl"))
+        withLines.crossJoin(broadcast(bl))
+          .select(col("doc_id"), size(col("lines")).as("n_lines"),
+            filter(col("lines"),
+              x => !array_contains(col("bl"), lower(trim(x)))).as("cleaned"))
+          .select(col("doc_id"), col("n_lines"), size(col("cleaned")).as("n_kept"),
+            (col("n_lines") - size(col("cleaned"))).as("n_removed"),
+            md5(array_join(col("cleaned"), " | ")).as("chash"))
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |l AS (SELECT doc_id, list_append(
+             |    list_transform(generate_series(0, (len(toks) - 1) // 10),
+             |      i -> array_to_string(toks[i*10+1 : i*10+10], ' ')),
+             |    'subscribe to ' || source) AS lines FROM t),
+             |e AS (SELECT doc_id, unnest(lines) AS line FROM l),
+             |b AS (SELECT lower(trim(line)) AS norm FROM e
+             |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 20),
+             |bl AS (SELECT list(norm ORDER BY norm) AS bl FROM b),
+             |c AS (SELECT doc_id, len(lines) AS n_lines,
+             |    list_filter(lines,
+             |      x -> NOT list_contains(bl.bl, lower(trim(x)))) AS cleaned
+             |  FROM l, bl)
+             |SELECT doc_id, n_lines, len(cleaned) AS n_kept,
+             |  n_lines - len(cleaned) AS n_removed,
+             |  md5(array_to_string(cleaned, ' | ')) AS chash
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Overlapping document chunking (size 200, overlap 50 chars — the
     // retrieval/window-prep primitive): chunk count is the closed form
     // max(1, ceil((len − overlap)/(size − overlap))), chunks materialize as
