@@ -134,6 +134,8 @@ object KqlParser {
     // `make-graph` binds the edge table (df, srcCol, dstCol) consumed by a
     // following `graph-match` in the same pipeline
     private var graphEdges: Option[(DataFrame, String, String)] = None
+    // `make-graph ... with Nodes on id` node table (table, id column)
+    private var graphNodes: Option[(DataFrame, String)] = None
     // `graph-mark-components` binds the labeled node table consumed by a
     // following `graph-to-table nodes`
     private var graphMarked: Option[DataFrame] = None
@@ -1525,17 +1527,27 @@ object KqlParser {
         if (op == "parse-where") extracted.where_(src.rlike(regex.toString))
         else extracted
       case "make-graph" =>
-        // `T | make-graph SrcCol --> DstCol` — bind T as the edge table of a
-        // directed graph (remaining columns are edge attributes) for a
-        // following `graph-match`. Deviations from full Kusto make-graph
-        // (documented): no `with ... on` node-table clause (node properties
-        // join on afterwards if needed) and the graph lives only inside this
-        // pipeline.
+        // `T | make-graph SrcCol --> DstCol [with Nodes on idCol]` — bind T
+        // as the edge table of a directed graph (remaining columns are edge
+        // attributes) for a following `graph-match`; the optional node table
+        // makes each matched node variable a STRUCT of its node-row
+        // properties (`a.label` access, Kusto's node-property surface).
+        // Deviation (documented): the graph lives only inside this pipeline.
         val srcC = ident()
         eatPunct("-->")
         val dstC = ident()
         require(df.columns.contains(srcC) && df.columns.contains(dstC),
           s"make-graph: source/target columns $srcC/$dstC must exist")
+        graphNodes =
+          if (atIdent("with")) {
+            pos += 1
+            val nt = resolveTable(ident())
+            eatIdent("on")
+            val nid = ident()
+            require(nt.columns.contains(nid),
+              s"make-graph: node id column $nid must exist in the node table")
+            Some((nt, nid))
+          } else None
         // persist: every hop of a following graph-match re-scans the edge
         // table (a var-length pattern scans it lo+..+hi times); caching the
         // bound edges computes the derivation once — the same persist-and-
@@ -1551,9 +1563,9 @@ object KqlParser {
         // hops chain with equi-joins on the shared node variables — the
         // standard relational lowering of fixed-length graph patterns: ONE
         // shuffle per hop on the node key at scale, no iteration. A repeated
-        // node variable closes a cycle (extra equality filter). Deviations:
-        // fixed-length patterns only (no variable-length `*1..3` repetition),
-        // nodes are bare ids.
+        // node variable closes a cycle (extra equality filter). Node
+        // variables are bare ids unless make-graph bound a node table (then
+        // each becomes its node-row struct after the pattern expands).
         val (edges, srcC, dstC) = graphEdges.getOrElse(throw new IllegalArgumentException(
           "graph-match requires a preceding make-graph in the same pipeline"))
         val attrCols = edges.columns.filterNot(c => c == srcC || c == dstC).toSeq
@@ -1630,6 +1642,19 @@ object KqlParser {
             acc.flatMap(prefix => r.map(prefix :+ _))
           }
         var g = lengthChoices.map(expand).reduce(_ unionKql _)
+        // node-table enrichment: each node variable becomes the struct of
+        // its node row (broadcast dimension join per variable — node tables
+        // are the small side; unmatched ids keep a null-field struct)
+        graphNodes.foreach { case (nt, nid) =>
+          val props = nt.columns.toSeq
+          ns.distinct.foreach { v =>
+            val keyed = nt.select(struct(props.map(col): _*).as(s"__np_$v"),
+              col(nid).as(s"__nk_$v"))
+            g = g.join(broadcast(keyed), col(v) === col(s"__nk_$v"), "left")
+              .drop(s"__nk_$v")
+              .withColumn(v, col(s"__np_$v")).drop(s"__np_$v")
+          }
+        }
         if (atIdent("where")) { pos += 1; g = g.where_(parseExpr()) }
         if (atIdent("project")) {
           pos += 1

@@ -3091,6 +3091,24 @@ object KqlTextQueries {
              |  (7, '6c', 157.380135, -21.037511)) AS t(id, tok, clng, clat)
              |ORDER BY id""".stripMargin)),
 
+    // make-graph `with Nodes on id`: node variables become property structs
+    // (Kusto's node-property surface); one broadcast dimension join per
+    // distinct node variable after the pattern expands
+    QueryDef("q_kql_graph_nodes",
+      (s, d) => run(s, d,
+        """let ge = datatable(src: long, dst: long, w: long) [
+          |  1, 2, 10, 2, 3, 20, 3, 1, 30, 2, 4, 40];
+          |let gn = datatable(id: long, label: string) [
+          |  1, 'a', 2, 'b', 3, 'c', 4, 'd'];
+          |ge
+          || make-graph src --> dst with gn on id
+          || graph-match (x)-[e]->(y)
+          || project xl = tostring(x.label), yl = tostring(y.label), w = e.w
+          || sort by xl asc, yl asc""".stripMargin),
+      Some("""SELECT xl, yl, CAST(w AS BIGINT) AS w FROM (VALUES
+             |  ('a', 'b', 10), ('b', 'c', 20), ('b', 'd', 40), ('c', 'a', 30))
+             |AS t(xl, yl, w) ORDER BY xl, yl""".stripMargin)),
+
     // bag_unpack OutputSchema clause: declared types, no inference scan
     // (the 100 TB form — inference reads the corpus once more)
     QueryDef("q_kql_bag_unpack_schema",
