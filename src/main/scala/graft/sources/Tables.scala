@@ -100,6 +100,47 @@ object Tables {
     }.partitionBy("ts_bucket").parquet(path)
   }
 
+  /** Z-order (Morton) clustered write: interleave the bit representations of
+    * TWO numeric columns and range-partition + sort files by the z-value, so
+    * parquet row-group/file min-max stats stay tight on BOTH columns — the
+    * multi-dimensional generalization of the reference's BRIN posture
+    * (`segment_metadata.proto:41`): two-sided predicates on either column
+    * prune files without committing to bucketing's single fixed key.
+    *
+    * Columns normalize to `bits`-bit grid indexes over their [min, max]
+    * range (one bounded stats pass — 4 scalars to the driver, documented);
+    * the interleave is a pure integer HOF fold, and the final projection
+    * drops the key so the stored schema is unchanged. */
+  def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
+      bits: Int = 16, partitions: Int = 32): Unit = {
+    require(bits >= 1 && bits <= 30, "zorder: bits in [1,30]")
+    val stats = df.agg(
+      min(col(c1)).cast("double").as("n1"), max(col(c1)).cast("double").as("x1"),
+      min(col(c2)).cast("double").as("n2"), max(col(c2)).cast("double").as("x2"))
+      .collect().head
+    val (n1, x1, n2, x2) = (stats.getDouble(0), stats.getDouble(1),
+      stats.getDouble(2), stats.getDouble(3))
+    val scale = (1L << bits) - 1
+    def grid(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(scale), greatest(lit(0L),
+        floor((col(c).cast("double") - lo) / (hi - lo) * scale).cast("long")))
+    val zi = grid(c1, n1, x1)
+    val zj = grid(c2, n2, x2)
+    // interleave: OR_i ((i1>>i)&1) << 2i  |  ((i2>>i)&1) << (2i+1)
+    val zCol = aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
+      acc.bitwiseOR(
+        call_function("shiftleft",
+          call_function("shiftright", zi, i).bitwiseAND(lit(1L)), i * 2))
+        .bitwiseOR(call_function("shiftleft",
+          call_function("shiftright", zj, i).bitwiseAND(lit(1L)), i * 2 + 1)))
+    df.withColumn("__z", zCol)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   // ------------------------------------------------------------------
   // Shard-by-hash ingest (README.md:8): the reference consistently hashes each
   // ingested row to a shard/node. On Spark the shard IS the shuffle partition.
