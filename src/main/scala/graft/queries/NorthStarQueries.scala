@@ -788,6 +788,30 @@ object NorthStarQueries {
              |  event_type, COUNT(*) AS n, CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
              |FROM events GROUP BY 1, 2 ORDER BY bin_ts, event_type""".stripMargin)),
 
+    // --- streaming × sketch composition: windowed distinct users via the
+    // MERGEABLE HLL sketch aggregate under real micro-batch execution — the
+    // shape that survives 100 TB streams (per-batch partial sketches merge
+    // in state; no distinct-set blowup). lgK 14 makes the estimate exact at
+    // fixture cardinalities (the q_dcount_hll margin convention), so the
+    // oracle states plain COUNT(DISTINCT). -----------------------------------
+    QueryDef("q_streaming_hll",
+      (s, d) => {
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .withColumn("bin_ts", graft.kql.Kql.Bin.ts(col("ts"), 43200))
+          .groupBy(col("bin_ts"))
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+            count(lit(1)).as("n"))
+        graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_streaming_hll_sink", stream)
+          .select(col("bin_ts"), col("n"),
+            hll_sketch_estimate(col("sk")).as("du"))
+          .sortBy(col("bin_ts"))
+      },
+      Some("""SELECT TIMESTAMP '1970-01-01 00:00:00'
+             |    + INTERVAL (CAST((epoch_us(ts)//1000000)//43200*43200 AS BIGINT)) SECOND AS bin_ts,
+             |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS du
+             |FROM events GROUP BY 1 ORDER BY bin_ts""".stripMargin)),
+
     // --- stream-stream interval join in CORRECTNESS: views joined to the
     // same user's purchases within the following hour (funnel attribution),
     // both sides watermarked so join state is evictable; the bounded replay
