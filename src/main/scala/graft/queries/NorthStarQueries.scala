@@ -126,6 +126,22 @@ object NorthStarQueries {
        |    ELSE [array_to_string(t, ' ')] END) AS sh FROM toks),
        |h AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % ${Dedup.MinHashP}) AS h FROM sh)""".stripMargin
 
+  /** Shared ahash replay CTEs (synthetic pixels → 8×8 box means → mean
+    * threshold bits) for the q_image_phash / q_image_neardup oracles. */
+  private val imAhashCtes: String =
+    """WITH im AS (SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'image' ELSE 'video' END AS kind,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id % 4 IN (0, 2)),
+      |ga AS (SELECT id, k,
+      |    (id * 31 + (((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 7) % 251 AS v
+      |  FROM im, UNNEST(range(64)) t(k)),
+      |sa AS (SELECT id, SUM(v) AS sm FROM ga GROUP BY id),
+      |ah AS (SELECT ga.id,
+      |    string_agg(CASE WHEN 64 * v >= sm THEN '1' ELSE '0' END, ''
+      |      ORDER BY k) AS ahash
+      |  FROM ga JOIN sa ON sa.id = ga.id GROUP BY ga.id)""".stripMargin
+
   /** The 64 minhash components with the exact affine coefficients Spark uses. */
   private val mhSigComponents: String =
     (0 until MH_HASHES).map(i =>
@@ -1129,18 +1145,7 @@ object NorthStarQueries {
         graft.multimodal.Multimodal.imagePerceptualHashes(s, media, "doc_id")
           .toDF().sortBy(col("media_id"))
       },
-      Some("""WITH im AS (SELECT doc_id AS id,
-             |    CASE WHEN doc_id % 4 = 0 THEN 'image' ELSE 'video' END AS kind,
-             |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
-             |  FROM documents WHERE doc_id % 4 IN (0, 2)),
-             |ga AS (SELECT id, k,
-             |    (id * 31 + (((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 7) % 251 AS v
-             |  FROM im, UNNEST(range(64)) t(k)),
-             |sa AS (SELECT id, SUM(v) AS sm FROM ga GROUP BY id),
-             |ah AS (SELECT ga.id,
-             |    string_agg(CASE WHEN 64 * v >= sm THEN '1' ELSE '0' END, ''
-             |      ORDER BY k) AS ahash
-             |  FROM ga JOIN sa ON sa.id = ga.id GROUP BY ga.id),
+      Some(s"""$imAhashCtes,
              |gd AS (SELECT id, r, c,
              |    (id * 31 + ((r * h // 8) * w + (c * w // 9)) * 7) % 251 AS v
              |  FROM im, UNNEST(range(8)) t1(r), UNNEST(range(9)) t2(c)),
@@ -1152,6 +1157,44 @@ object NorthStarQueries {
              |SELECT im.id AS media_id, im.kind, ah.ahash, dh.dhash
              |FROM im JOIN ah ON ah.id = im.id JOIN dh ON dh.id = im.id
              |ORDER BY media_id""".stripMargin)),
+
+    // Image near-dup PAIRS: the hamming-bucket join the phash row documents
+    // as the scale path, implemented — 64-bit ahash split into 8 chunks of
+    // 8 bits; pigeonhole guarantees any pair at hamming ≤ 6 shares a clean
+    // chunk, so candidates come from ONE (chunkIdx, chunk) equi-join (never
+    // all-pairs) and the exact hamming verify runs on candidates only. The
+    // oracle is the brute-force all-pairs distance over the independently
+    // replayed hashes — a bucketing recall loss reddens the row.
+    QueryDef("q_image_neardup",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.withSyntheticPayload(
+          T(s, d, "documents").project(col("doc_id")), "doc_id")
+        val hashes = graft.multimodal.Multimodal
+          .imagePerceptualHashes(s, media, "doc_id").toDF()
+          .select(col("media_id"), col("ahash"))
+        val ck = hashes.withColumn("ci", explode(sequence(lit(0), lit(7))))
+          .withColumn("chunk", substr(col("ahash"), col("ci") * 8 + 1, lit(8)))
+        val cand = ck.as("a").join(ck.as("b"),
+            col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+            col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+          .distinct()
+        val ham = aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
+          acc + when(substr(col("ha"), i, lit(1)) =!= substr(col("hb"), i, lit(1)),
+            1).otherwise(0))
+        cand.withColumn("ham", ham).where(col("ham") <= 6)
+          .select(col("id_a"), col("id_b"), col("ham"))
+          .sortBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""$imAhashCtes,
+             |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(len(list_filter(range(64),
+             |      i -> substr(a.ahash, CAST(i + 1 AS INT), 1)
+             |        <> substr(b.ahash, CAST(i + 1 AS INT), 1))) AS INT) AS ham
+             |  FROM ah a JOIN ah b ON a.id < b.id)
+             |SELECT id_a, id_b, ham FROM pr WHERE ham <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // Deterministic stratified sampling (Sampling.stratified): k hash-first
     // docs per language — reproducible corpus curation (same sample on every
