@@ -235,8 +235,18 @@ object KqlParser {
       tabularFns(name) = (params.result(), toks.slice(start, end))
     }
 
-    // ---- program := ('let' ident '=' (scalar | query | lambda) ';')* query ----
+    // ---- program := ('set' ...;)* ('let' ident '=' (scalar | query | lambda) ';')* query ----
     def parseProgram(): DataFrame = {
+      // `set option [= value];` request properties (notruncation,
+      // truncationmaxsize, query_take_max_records, ...) — accepted and
+      // ignored: Spark has no result-truncation layer to configure, and
+      // honoring the statement form lets real-world exported queries run
+      while (atIdent("set")) {
+        pos += 1
+        ident()
+        if (atPunct("=")) { pos += 1; next() }
+        eatPunct(";")
+      }
       while (atIdent("let")) {
         pos += 1
         val name = ident()

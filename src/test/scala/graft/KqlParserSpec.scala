@@ -1165,6 +1165,11 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("set statements parse and are ignored") {
+    assert(run("set notruncation; set truncationmaxsize = 1048576; t | count")
+      .collect().head.getLong(0) == 5L)
+  }
+
   test("multi-column mv-expand zips with null padding; typed casts apply") {
     val r = run(
       """t | take 1
