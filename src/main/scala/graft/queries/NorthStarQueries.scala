@@ -1158,13 +1158,16 @@ object NorthStarQueries {
              |FROM im JOIN ah ON ah.id = im.id JOIN dh ON dh.id = im.id
              |ORDER BY media_id""".stripMargin)),
 
-    // Image near-dup PAIRS: the hamming-bucket join the phash row documents
-    // as the scale path, implemented — 64-bit ahash split into 8 chunks of
-    // 8 bits; pigeonhole guarantees any pair at hamming ≤ 6 shares a clean
-    // chunk, so candidates come from ONE (chunkIdx, chunk) equi-join (never
-    // all-pairs) and the exact hamming verify runs on candidates only. The
-    // oracle is the brute-force all-pairs distance over the independently
-    // replayed hashes — a bucketing recall loss reddens the row.
+    // Image near-dup: the hamming-bucket join the phash row documents as the
+    // scale path, implemented in the two-tier corpus form — EXACT duplicates
+    // collapse to hash groups first (linear; pair output over exact groups
+    // is inherently quadratic, clusters are the scale-sane shape), then
+    // near-dup pairs are found among DISTINCT hashes only: 8×8-bit chunks,
+    // pigeonhole guarantees any pair at hamming ≤ 6 shares a clean chunk, so
+    // candidates come from ONE (chunkIdx, chunk) equi-join — never
+    // all-pairs, and the candidate universe is hash-cardinality-bound, not
+    // image-count-bound. Exact hamming verifies candidates; the brute-force
+    // oracle over independently replayed hashes proves zero recall loss.
     QueryDef("q_image_neardup",
       (s, d) => {
         val media = graft.multimodal.Multimodal.withSyntheticPayload(
@@ -1172,29 +1175,43 @@ object NorthStarQueries {
         val hashes = graft.multimodal.Multimodal
           .imagePerceptualHashes(s, media, "doc_id").toDF()
           .select(col("media_id"), col("ahash"))
-        val ck = hashes.withColumn("ci", explode(sequence(lit(0), lit(7))))
+        // bit-string → two packed 32-bit longs ONCE per distinct hash, so the
+        // candidate-verify hamming is codegen'd xor+popcount, not a per-pair
+        // 64-step string scan (the 140s → seconds lesson at sf0.1)
+        val groups = hashes.groupBy(col("ahash"))
+          .agg(count(lit(1)).as("n"), min(col("media_id")).as("rep"))
+          .withColumn("h1", conv(substr(col("ahash"), lit(1), lit(32)), 2, 10)
+            .cast("long"))
+          .withColumn("h2", conv(substr(col("ahash"), lit(33), lit(32)), 2, 10)
+            .cast("long"))
+        val ck = groups.withColumn("ci", explode(sequence(lit(0), lit(7))))
           .withColumn("chunk", substr(col("ahash"), col("ci") * 8 + 1, lit(8)))
         val cand = ck.as("a").join(ck.as("b"),
             col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
-              col("a.media_id") < col("b.media_id"))
-          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-            col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+              col("a.ahash") < col("b.ahash"))
+          .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"),
+            col("a.h1").as("x1"), col("a.h2").as("x2"),
+            col("b.h1").as("y1"), col("b.h2").as("y2"))
           .distinct()
-        val ham = aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
-          acc + when(substr(col("ha"), i, lit(1)) =!= substr(col("hb"), i, lit(1)),
-            1).otherwise(0))
+        val ham = bit_count(col("x1").bitwiseXOR(col("y1"))) +
+          bit_count(col("x2").bitwiseXOR(col("y2")))
         cand.withColumn("ham", ham).where(col("ham") <= 6)
-          .select(col("id_a"), col("id_b"), col("ham"))
-          .sortBy(col("id_a"), col("id_b"))
+          .select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"), col("ham"))
+          .sortBy(col("rep_a"), col("rep_b"))
       },
       Some(s"""$imAhashCtes,
-             |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             |g AS (SELECT ahash, COUNT(*) AS n, MIN(id) AS rep
+             |  FROM ah GROUP BY ahash),
+             |pr AS (SELECT a.rep AS rep_a, b.rep AS rep_b,
+             |    a.n AS n_a, b.n AS n_b,
              |    CAST(len(list_filter(range(64),
              |      i -> substr(a.ahash, CAST(i + 1 AS INT), 1)
              |        <> substr(b.ahash, CAST(i + 1 AS INT), 1))) AS INT) AS ham
-             |  FROM ah a JOIN ah b ON a.id < b.id)
-             |SELECT id_a, id_b, ham FROM pr WHERE ham <= 6
-             |ORDER BY id_a, id_b""".stripMargin)),
+             |  FROM g a JOIN g b ON a.ahash < b.ahash)
+             |SELECT rep_a, rep_b, CAST(n_a AS BIGINT) AS n_a,
+             |  CAST(n_b AS BIGINT) AS n_b, ham
+             |FROM pr WHERE ham <= 6 ORDER BY rep_a, rep_b""".stripMargin)),
 
     // Deterministic stratified sampling (Sampling.stratified): k hash-first
     // docs per language — reproducible corpus curation (same sample on every
@@ -1396,7 +1413,7 @@ object NorthStarQueries {
           .distinct()
         def bkt(c: Column) = pmod(xxhash64(c), lit(32L))
         val blooms = a.groupBy(bkt(col("k")).as("bkt"))
-          .agg(Sketches.bloomAgg(col("k"), 8192, 3).as("bf"))
+          .agg(Sketches.bloomAgg(col("k"), 4096, 3).as("bf"))
         val cand = b.withColumn("bkt", bkt(col("k"))).join(blooms, "bkt")
           .where(Sketches.bloomContains(col("bf"), col("k"), 3))
           .select(col("k"))
@@ -1419,10 +1436,10 @@ object NorthStarQueries {
       (s, d) => {
         import graft.functions.Sketches
         val ev = T(s, d, "events").select(col("user_id"))
-        val cms = ev.agg(Sketches.cmsAgg(col("user_id"), 128, 3).as("cms"))
+        val cms = ev.agg(Sketches.cmsAgg(col("user_id"), 64, 3).as("cms"))
         val cand = ev.distinct()
           .crossJoin(broadcast(cms))
-          .where(Sketches.cmsEstimate(col("cms"), col("user_id"), 128, 3) >= 75L)
+          .where(Sketches.cmsEstimate(col("cms"), col("user_id"), 64, 3) >= 75L)
           .select(col("user_id"))
         ev.join(cand, Seq("user_id"), "left_semi")
           .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
