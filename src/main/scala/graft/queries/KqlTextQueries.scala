@@ -2938,7 +2938,7 @@ object KqlTextQueries {
     QueryDef("q_kql_spatial_join",
       (s, d) => run(s, d,
         """let pts = events
-          || where event_id % 17 == 0
+          || where event_id % 29 == 0
           || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
           |    lng = -73.5 + todouble(event_id % 89) / 60.0
           || extend gh = geo_point_to_geohash(lng, lat, 4)
@@ -2957,7 +2957,7 @@ object KqlTextQueries {
       Some("""WITH p AS (SELECT event_id,
              |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
              |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
-             |  FROM events WHERE event_id % 17 = 0),
+             |  FROM events WHERE event_id % 29 = 0),
              |j AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
              |    ROUND(12742000.0 * ASIN(LEAST(1.0, SQRT(
              |      SIN(RADIANS(b.lat - a.lat)/2)*SIN(RADIANS(b.lat - a.lat)/2) +
