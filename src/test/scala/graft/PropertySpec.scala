@@ -124,4 +124,48 @@ class PropertySpec extends SparkSpec {
     assert(est.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
     assert(est.filter { case (a, b, _) => a == b }.forall(_._3 == 1.0))
   }
+
+  test("fast FFT matches a direct O(n²) DFT on random complex inputs") {
+    import graft.plans.FftExpressions
+    val rnd = new scala.util.Random(13)
+    for (n <- Seq(4, 8, 16, 64); _ <- 0 until 5) {
+      val re = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+      val im = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+      val fr = re.clone(); val fi = im.clone()
+      FftExpressions.transform(fr, fi, inverse = false)
+      // independent direct DFT: X_m = Σ_k x_k e^{-2πi km/n}
+      (0 until n).foreach { m =>
+        var sr = 0.0; var si = 0.0
+        (0 until n).foreach { k =>
+          val a = -2.0 * math.Pi * k * m / n
+          sr += re(k) * math.cos(a) - im(k) * math.sin(a)
+          si += re(k) * math.sin(a) + im(k) * math.cos(a)
+        }
+        assert(math.abs(fr(m) - sr) < 1e-8 * (1 + math.abs(sr)) + 1e-8,
+          s"re mismatch n=$n m=$m: ${fr(m)} vs $sr")
+        assert(math.abs(fi(m) - si) < 1e-8 * (1 + math.abs(si)) + 1e-8,
+          s"im mismatch n=$n m=$m: ${fi(m)} vs $si")
+      }
+      // inverse round-trip
+      FftExpressions.transform(fr, fi, inverse = true)
+      (0 until n).foreach { k =>
+        assert(math.abs(fr(k) - re(k)) < 1e-9 && math.abs(fi(k) - im(k)) < 1e-9)
+      }
+    }
+  }
+
+  test("S2 parent levels are consistent along the hierarchy") {
+    import graft.plans.S2Expressions
+    val rnd = new scala.util.Random(29)
+    (0 until 100).foreach { _ =>
+      val lng = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 170 - 85
+      val leaf = S2Expressions.leafFromLngLat(lng, lat)
+      val l1 = rnd.nextInt(29); val l2 = l1 + 1 + rnd.nextInt(30 - l1 - 1)
+      // coarse parent of a finer parent == coarse parent of the leaf
+      assert(S2Expressions.parentAtLevel(
+        S2Expressions.parentAtLevel(leaf, l2), l1) ==
+        S2Expressions.parentAtLevel(leaf, l1), s"($lng,$lat) $l1/$l2")
+    }
+  }
 }
