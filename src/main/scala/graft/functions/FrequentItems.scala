@@ -65,7 +65,10 @@ object FrequentItems {
       capacity: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // nulls are ignored (Kusto's top-hitters contract) — and MUST be: a null
+    // key entering the sketch would NPE the (count, key) eviction order
     val vals = df.select(col(valueCol).cast("string").as("__v"))
+      .where(col("__v").isNotNull)
     val sketch = vals.as[String]
       .select(new SpaceSavingAgg(capacity).toColumn).toDF("m")
     val cands = sketch.select(explode(map_keys(col("m"))).as("__v"))

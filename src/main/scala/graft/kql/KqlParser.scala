@@ -1032,12 +1032,20 @@ object KqlParser {
           if (atIdent("with_itemindex")) {
             pos += 1; eatPunct("="); Some(ident())
           } else None
-        def typedCast(out: DataFrame, n: String, t: String): DataFrame =
+        def typedCast(out: DataFrame, n: String, t: String): DataFrame = {
+          // a bag (map) column expands to <n>_key/<n>_value — the typed
+          // clause casts the VALUE (Kusto's typed bag expansion)
+          val target =
+            if (out.columns.contains(n)) n
+            else if (out.columns.contains(s"${n}_value")) s"${n}_value"
+            else throw new IllegalArgumentException(
+              s"mv-expand to typeof: no expanded column '$n' to cast")
           // elements exploded from a dynamic column surface as variant:
           // go through string for the cast variant→T that Spark lacks
-          out.withColumn(n,
-            (if (out.schema(n).dataType.typeName == "variant")
-               col(n).cast("string") else col(n)).try_cast(t))
+          out.withColumn(target,
+            (if (out.schema(target).dataType.typeName == "variant")
+               col(target).cast("string") else col(target)).try_cast(t))
+        }
         def oneItem(): (String, Column, Option[String]) = {
           val (n, e) =
             if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
@@ -2700,12 +2708,20 @@ object KqlParser {
           KqlFunctions.hasIpv4(args.head.cast("string"), args(1).cast("string"))
         case "has_ipv4_prefix" =>
           KqlFunctions.hasIpv4Prefix(args.head.cast("string"), args(1).cast("string"))
-        case "has_any_ipv4" =>
-          args.tail.map(ip => KqlFunctions.hasIpv4(args.head.cast("string"),
-            ip.cast("string"))).reduce(_ || _)
-        case "has_any_ipv4_prefix" =>
-          args.tail.map(p => KqlFunctions.hasIpv4Prefix(args.head.cast("string"),
-            p.cast("string"))).reduce(_ || _)
+        case "has_any_ipv4" | "has_any_ipv4_prefix" =>
+          // accepts both variadic scalars and Kusto's dynamic(['a','b'])
+          // array form (elements recovered from the literal registry)
+          val ipFn: (Column, Column) => Column =
+            if (f == "has_any_ipv4") KqlFunctions.hasIpv4
+            else KqlFunctions.hasIpv4Prefix
+          val ipTerms = args.tail.flatMap { a =>
+            litValues.get(a) match {
+              case s: Seq[_] => s.asInstanceOf[Seq[Column]]
+              case _ => Seq(a)
+            }
+          }
+          ipTerms.map(ip => ipFn(args.head.cast("string"), ip.cast("string")))
+            .reduce(_ || _)
         case "ipv4_range_to_cidr_list" =>
           KqlFunctions.ipv4RangeToCidrList(args.head.cast("string"), args(1).cast("string"))
         case "parse_ipv6" => KqlFunctions.parseIpv6(args.head)
@@ -2950,9 +2966,15 @@ object KqlParser {
           // hash_many: one hash over all the values; hash_combine: combiner
           // over already-computed hash values. Both use the same portable
           // md5-60-bit definition as `hash` (deviation documented: Kusto's
-          // exact combiner is engine-internal; ours is replayable anywhere)
-          // on the '|'-joined string forms, so the oracle replays them.
-          conv(substring(md5(concat_ws("|", args.map(_.cast("string")): _*)), 1, 15),
+          // exact combiner is engine-internal; ours is replayable anywhere).
+          // Terms are LENGTH-PREFIXED before joining so distinct tuples can
+          // never collide via separator characters inside a value
+          // (hash_many('a|b','c') ≠ hash_many('a','b|c')).
+          val encoded = args.map { a =>
+            val s = a.cast("string")
+            concat(length(s).cast("string"), lit(":"), s)
+          }
+          conv(substring(md5(concat_ws("|", encoded: _*)), 1, 15),
             16, 10).cast("long")
         case "binary_and" => args.head.bitwiseAND(args(1))
         case "binary_or" => args.head.bitwiseOR(args(1))
@@ -2997,9 +3019,9 @@ object KqlParser {
             args(0).cast("double"), args(1).cast("double"), lit(lvl))
         case "geo_s2cell_to_central_point" =>
           // deviation (documented): returns [lng, lat] (the ring/point array
-          // convention used across the geo family) instead of GeoJSON
-          array(call_function("graft_s2_center_lng", args.head.cast("string")),
-            call_function("graft_s2_center_lat", args.head.cast("string")))
+          // convention used across the geo family) instead of GeoJSON;
+          // single expression = ONE token decode per row
+          call_function("graft_s2_center_point", args.head.cast("string"))
         case "geo_s2cell_neighbors" =>
           // same-level neighbors via the published AppendAllNeighbors +
           // cross-face FromFaceIJWrap (S2Expressions.scala)
@@ -3455,7 +3477,10 @@ object KqlParser {
           while (atPunct(",")) { pos += 1; vals += parseExpr() }
         }
         eatPunct("]")
-        array(vals.result(): _*)
+        // register the element list so variadic dispatch sites (has_any_ipv4
+        // family) can accept Kusto's dynamic-array argument form
+        val elems = vals.result()
+        litCol(elems, array(elems: _*))
       }
       eatPunct(")")
       out

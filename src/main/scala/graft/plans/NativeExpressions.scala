@@ -301,6 +301,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => S2CenterExpr(children.head, coord)))
     }
     e.injectFunction((
+      FunctionIdentifier("graft_s2_center_point"),
+      new ExpressionInfo(classOf[S2CenterPointExpr].getName, "graft_s2_center_point"),
+      (children: Seq[Expression]) => S2CenterPointExpr(children.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_s2_neighbors"),
       new ExpressionInfo(classOf[S2NeighborsExpr].getName, "graft_s2_neighbors"),
       (children: Seq[Expression]) => S2NeighborsExpr(children.head)))

@@ -260,6 +260,14 @@ object S2Expressions {
 
   def centerLng(t: UTF8String): Double = centerLngLat(t.toString)._1
   def centerLat(t: UTF8String): Double = centerLngLat(t.toString)._2
+
+  /** Both coordinates in ONE decode (the geo_s2cell_to_central_point path —
+    * per-coordinate expressions would run the token parse + Hilbert decode +
+    * trig chain twice per row). */
+  def centerPoint(t: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val (lng, lat) = centerLngLat(t.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](lng, lat))
+  }
 }
 
 /** geo_point_to_s2cell(lng, lat, level-literal) → token. */
@@ -279,6 +287,23 @@ case class S2CellExpr(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
   override def prettyName: String = "graft_s2_cell"
+}
+
+/** geo_s2cell_to_central_point(token) → [lng, lat], one decode per row. */
+case class S2CenterPointExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    S2Expressions.centerPoint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.S2Expressions.centerPoint($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_s2_center_point"
 }
 
 /** geo_s2cell_neighbors(token) → array of same-level neighbor tokens. */

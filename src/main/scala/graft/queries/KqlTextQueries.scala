@@ -1003,8 +1003,8 @@ object KqlTextQueries {
           |  | summarize hi = count() by event_type;
           |base
           || join kind=inner (cds) on event_type
-          || join kind=inner (his) on event_type
-          || project event_type, vp, sp, vi, si, cd, hi
+          || join kind=leftouter (his) on event_type
+          || project event_type, vp, sp, vi, si, cd, hi = coalesce(hi, 0)
           || sort by event_type asc""".stripMargin),
       Some("""WITH b AS (SELECT event_type,
              |    CAST(user_id AS DOUBLE) AS u,
@@ -2783,8 +2783,8 @@ object KqlTextQueries {
              |AS t(x, e1, e2, bc, bp, bi) ORDER BY x""".stripMargin)),
 
     // hash_many / hash_combine on the engine-portable md5-60-bit definition
-    // (deviation documented at the dispatch site: Kusto's combiner is
-    // engine-internal); the oracle replays the same md5 arithmetic
+    // over LENGTH-PREFIXED terms (no separator-collision class; deviation
+    // documented at the dispatch site); the oracle replays the arithmetic
     QueryDef("q_kql_hash_fns",
       (s, d) => run(s, d,
         """events
@@ -2799,8 +2799,15 @@ object KqlTextQueries {
              |    CAST(('0x' || substr(md5(CAST(user_id % 10 AS VARCHAR)), 1, 15)) AS BIGINT) AS h2,
              |    event_type, user_id FROM events WHERE event_id % 400 = 0)
              |SELECT event_id,
-             |  CAST(('0x' || substr(md5(event_type || '|' || CAST(user_id % 10 AS VARCHAR)), 1, 15)) AS BIGINT) AS hm,
-             |  CAST(('0x' || substr(md5(CAST(h1 AS VARCHAR) || '|' || CAST(h2 AS VARCHAR)), 1, 15)) AS BIGINT) AS hc,
+             |  CAST(('0x' || substr(md5(
+             |    CAST(LENGTH(event_type) AS VARCHAR) || ':' || event_type || '|' ||
+             |    CAST(LENGTH(CAST(user_id % 10 AS VARCHAR)) AS VARCHAR) || ':' ||
+             |      CAST(user_id % 10 AS VARCHAR)), 1, 15)) AS BIGINT) AS hm,
+             |  CAST(('0x' || substr(md5(
+             |    CAST(LENGTH(CAST(h1 AS VARCHAR)) AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)
+             |    || '|' ||
+             |    CAST(LENGTH(CAST(h2 AS VARCHAR)) AS VARCHAR) || ':' || CAST(h2 AS VARCHAR)),
+             |    1, 15)) AS BIGINT) AS hc,
              |  h1 % 100 AS hp
              |FROM b ORDER BY event_id""".stripMargin)),
 

@@ -118,6 +118,12 @@ object Tables {
       min(col(c1)).cast("double").as("n1"), max(col(c1)).cast("double").as("x1"),
       min(col(c2)).cast("double").as("n2"), max(col(c2)).cast("double").as("x2"))
       .collect().head
+    if (stats.anyNull) {
+      // empty input or an all-null key column: no clustering is possible —
+      // write as-is rather than NPE on the missing extrema
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (n1, x1, n2, x2) = (stats.getDouble(0), stats.getDouble(1),
       stats.getDouble(2), stats.getDouble(3))
     val scale = (1L << bits) - 1

@@ -40,4 +40,14 @@ class FrequentItemsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(approx == exact, s"approx $approx != exact $exact")
   }
+
+  test("topHittersApprox ignores nulls past the eviction capacity") {
+    // nulls + more distinct keys than capacity: the null key must never
+    // enter the sketch (a null in the (count, key) eviction order NPEs)
+    val df = ((0 until 400).map(i => s"k${i % 40}") ++ Seq.fill(50)(null))
+      .toDF("k")
+    val top = FrequentItems.topHittersApprox(df, "k", 5, capacity = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(top.size == 5 && top.forall(_._1 != null))
+  }
 }

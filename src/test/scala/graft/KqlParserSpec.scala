@@ -1165,6 +1165,22 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("review fixes: dynamic-array has_any_ipv4, bag typed expand, hash_many") {
+    val r = run(
+      "t | take 1 | project " +
+        "a = has_any_ipv4('x 10.0.0.1 y', dynamic(['10.0.0.1', '9.9.9.9'])), " +
+        "b = has_any_ipv4('x 8.8.8.8 y', dynamic(['10.0.0.1'])), " +
+        "c = hash_many('a|b', 'c') != hash_many('a', 'b|c')").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2), "length-prefixing must separate tuple boundaries")
+    // typed mv-expand of a bag casts the VALUE column instead of crashing
+    val m = run(
+      """t | take 1 | extend b = bag_pack('k', id)
+        || mv-expand b to typeof(string)
+        || project b_key, b_value""".stripMargin).collect().head
+    assert(m.getString(0) == "k" && m.getString(1) == "1")
+  }
+
   test("set statements parse and are ignored") {
     assert(run("set notruncation; set truncationmaxsize = 1048576; t | count")
       .collect().head.getLong(0) == 5L)

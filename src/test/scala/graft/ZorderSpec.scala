@@ -39,4 +39,11 @@ class ZorderSpec extends SparkSpec {
     // row count integrity
     assert(spark.read.parquet(zpath).count() == li.count())
   }
+
+  test("z-order write of an empty input does not NPE") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).where(col("l_orderkey") < 0)
+    Tables.zorderWrite(li, "/tmp/graft_zorder/empty", "l_orderkey", "l_partkey")
+    assert(spark.read.parquet("/tmp/graft_zorder/empty").count() == 0)
+  }
 }
