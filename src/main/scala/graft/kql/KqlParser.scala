@@ -2410,17 +2410,31 @@ object KqlParser {
     }
 
     private def parseLitList(): Seq[Any] = {
-      def one(): Any = next() match {
+      def scalar(): Any = next() match {
         case Num(s) => if (s.contains('.')) s.toDouble else s.toLong
         case Str(s) => s
         case Ident("true") => true
         case Ident("false") => false
         case other => throw new IllegalArgumentException(s"expected literal in in-list, got $other")
       }
+      // an item is a scalar literal or a dynamic([...]) literal array whose
+      // elements SPLICE into the list (Kusto's `x in (dynamic([...]))` /
+      // `has_any (dynamic([...]))` forms)
+      def one(): Seq[Any] =
+        if (atIdent("dynamic") && toks.lift(pos + 1).contains(Punct("("))) {
+          pos += 1; eatPunct("("); eatPunct("[")
+          val vs = Seq.newBuilder[Any]
+          if (!atPunct("]")) {
+            vs += scalar()
+            while (atPunct(",")) { pos += 1; vs += scalar() }
+          }
+          eatPunct("]"); eatPunct(")")
+          vs.result()
+        } else Seq(scalar())
       eatPunct("(")
       val out = Seq.newBuilder[Any]
-      out += one()
-      while (atPunct(",")) { pos += 1; out += one() }
+      out ++= one()
+      while (atPunct(",")) { pos += 1; out ++= one() }
       eatPunct(")")
       out.result()
     }

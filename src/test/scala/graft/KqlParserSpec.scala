@@ -1165,6 +1165,13 @@ class KqlParserSpec extends SparkSpec {
     assert(math.abs(r._3 - 0.5) < 1e-9 && math.abs(r._4 - 0.5) < 1e-9)
   }
 
+  test("has_any / in accept spliced dynamic([...]) literal arrays") {
+    assert(run("t | where etype has_any (dynamic(['view', 'purchase']))")
+      .count() == 2)
+    assert(run("t | where user in (dynamic(['alice', 'bob']), 'carol')")
+      .count() == 5)
+  }
+
   test("review fixes: dynamic-array has_any_ipv4, bag typed expand, hash_many") {
     val r = run(
       "t | take 1 | project " +
