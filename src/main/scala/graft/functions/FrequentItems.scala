@@ -32,27 +32,35 @@ object FrequentItems {
 
   /** SpaceSaving partial state / exact-addition merge (see object doc).
     * `finish` emits the candidate map; ranking happens after the exact
-    * verify pass, not on sketch estimates. */
+    * verify pass, not on sketch estimates. The buffer is a MUTABLE hash map
+    * updated in place — ObjectHashAggregate keeps it deserialized between
+    * rows, so the common hit/insert path is O(1) with no per-row copy of
+    * the counter table (eviction stays O(capacity), rare under skew). */
   final class SpaceSavingAgg(capacity: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+        Map[String, Long]] {
     require(capacity > 0, "space_saving: capacity must be positive")
-    def zero: Map[String, Long] = Map.empty
-    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+    def zero: Buf = scala.collection.mutable.HashMap.empty
+    def reduce(b: Buf, v: String): Buf = {
       b.get(v) match {
-        case Some(c) => b.updated(v, c + 1L)
-        case None if b.size < capacity => b.updated(v, 1L)
+        case Some(c) => b.update(v, c + 1L)
+        case None if b.size < capacity => b.update(v, 1L)
         case None => // evict the (count, key)-min; new item inherits its count
           val (mk, mc) = b.minBy { case (k, c) => (c, k) }
-          b - mk + (v -> (mc + 1L))
+          b.remove(mk)
+          b.update(v, mc + 1L)
       }
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b
+    }
+    def merge(a: Buf, b: Buf): Buf = {
       // exact addition, NO truncation here: keeps the merge commutative and
       // associative (order-independent) at a bounded partitions×capacity size
-      b.foldLeft(a) { case (acc, (k, c)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + c)
-      }
-    def finish(r: Map[String, Long]): Map[String, Long] = r
-    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+      b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+      a
+    }
+    def finish(r: Buf): Map[String, Long] = r.toMap
+    def bufferEncoder: Encoder[Buf] = org.apache.spark.sql.Encoders.kryo[Buf]
     def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
   }
 

@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Mergeable membership / frequency sketches for corpus-scale pipelines:
@@ -27,23 +29,47 @@ object Sketches {
   private def bitOf(h: Column): Column =
     call_function("shiftleft", lit(1L), h.bitwiseAND(lit(63L)).cast("int"))
 
+  /** Typed partial state for the Bloom build: a long-array bitset mutated
+    * in place per row, element-wise OR on merge. The buffer is ONE object
+    * per partition per group (ObjectHashAggregate keeps it deserialized
+    * between rows), so plan/codegen size is O(1) in sketch width — a 2^17+
+    * bit filter costs the plan exactly one aggregate expression, not
+    * mBits/64 of them. Bit POSITIONS are computed on the SQL side
+    * (xxhash64), so build and probe share one hash definition. */
+  final class BitsetOrAgg(words: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(b: Array[Long], positions: Seq[Long]): Array[Long] = {
+      if (positions != null) {
+        var i = 0
+        while (i < positions.length) {
+          val p = positions(i)
+          b((p >>> 6).toInt) |= (1L << (p & 63L))
+          i += 1
+        }
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    def finish(r: Array[Long]): Seq[Long] = r.toIndexedSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   /** Aggregate: Bloom filter of `key` as array<long> of `mBits/64` words,
     * `k` hash functions (xxhash64 seeded by function index — deterministic
-    * and portable). Null keys are skipped. Word `j` is the bit-or of every
-    * row's contribution to that word — k conditional terms per word, all
-    * inside one partial+final hash aggregate. */
+    * and portable). Null keys are skipped. One partial+final OBJECT hash
+    * aggregate over a long-array buffer — sketch width never inflates the
+    * plan, so KB-to-MB-scale filters are safe. */
   def bloomAgg(key: Column, mBits: Int, k: Int): Column = {
     require(mBits > 0 && mBits % 64 == 0, "bloom: mBits must be a positive multiple of 64")
     require(k >= 1 && k <= 8, "bloom: k in [1,8]")
-    val W = mBits / 64
-    val hs = (0 until k).map(i => pmod(xxhash64(lit(i), key), lit(mBits.toLong)))
-    val words = (0 until W).map { j =>
-      val contrib = hs.map(h =>
-        when(shiftright(h, 6) === j, bitOf(h)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _)
-      bit_or(when(key.isNotNull, contrib).otherwise(lit(0L)))
-    }
-    array(words: _*)
+    val positions = when(key.isNotNull, array(
+      (0 until k).map(i => pmod(xxhash64(lit(i), key), lit(mBits.toLong))): _*))
+    udaf(new BitsetOrAgg(mBits / 64), ExpressionEncoder[Seq[Long]]())
+      .apply(positions)
   }
 
   /** Scalar: membership probe — true iff all k bits are set. `k` must match
@@ -68,17 +94,38 @@ object Sketches {
       (acc, b) => zip_with(acc, b, _ bitwiseOR _))
   }
 
+  /** Typed partial state for the count-min build: a long-array counter
+    * grid mutated in place, element-wise ADD on merge (same O(1)-plan-size
+    * posture as [[BitsetOrAgg]]). Input is (counter positions, weight). */
+  final class CounterAddAgg(counters: Int)
+      extends Aggregator[(Seq[Long], Long), Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](counters)
+    def reduce(b: Array[Long], in: (Seq[Long], Long)): Array[Long] = {
+      if (in != null && in._1 != null) {
+        var i = 0
+        while (i < in._1.length) { b(in._1(i).toInt) += in._2; i += 1 }
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    def finish(r: Array[Long]): Seq[Long] = r.toIndexedSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   /** Aggregate: count-min sketch of `key` (optionally weighted) as
     * array<long> of d×w counters laid out row-major; row i uses
-    * xxhash64(seed 100+i). Each counter is one conditional sum — the whole
-    * sketch is a single partial+final hash aggregate. */
+    * xxhash64(seed 100+i). One partial+final object hash aggregate over a
+    * long-array buffer — w and d never inflate the plan. */
   def cmsAgg(key: Column, w: Int, d: Int, weight: Column = lit(1L)): Column = {
     require(w > 0 && d >= 1 && d <= 8, "cms: w > 0, d in [1,8]")
-    array((0 until d).flatMap { i =>
-      val h = pmod(xxhash64(lit(100 + i), key), lit(w.toLong)).cast("int")
-      (0 until w).map(j =>
-        sum(when(key.isNotNull && (h === j), weight).otherwise(lit(0L))))
-    }: _*)
+    val positions = when(key.isNotNull, array((0 until d).map { i =>
+      lit(i.toLong * w) + pmod(xxhash64(lit(100 + i), key), lit(w.toLong))
+    }: _*))
+    udaf(new CounterAddAgg(w * d), ExpressionEncoder[(Seq[Long], Long)]())
+      .apply(positions, coalesce(weight.cast("long"), lit(0L)))
   }
 
   /** Scalar: frequency estimate — min over rows of the hashed counter.

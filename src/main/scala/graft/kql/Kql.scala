@@ -271,7 +271,20 @@ object Kql {
       * Expanded names replace existing columns. */
     def mvExpandZip(items: Seq[(String, Column)],
         itemIdx: Option[String]): DataFrame = {
-      val zipped = arrays_zip(items.map { case (n, e) => expandable(e).as(n) }: _*)
+      // arrays_zip returns NULL (dropping the whole row) if ANY operand is
+      // null; Kusto pads a null operand with nulls against the longest
+      // array, so coalesce each operand to a typed empty array first.
+      val zipped = arrays_zip(items.map { case (n, e) =>
+        val ex = expandable(e)
+        val dt = try Some(df.select(ex).schema.head.dataType)
+                 catch { case _: Throwable => None }
+        val padded = dt match {
+          case Some(at: org.apache.spark.sql.types.ArrayType) =>
+            coalesce(ex, array().cast(at))
+          case _ => ex
+        }
+        padded.as(n)
+      }: _*)
       val keep = df.columns.filterNot(c => items.exists(_._1 == c))
         .map(col).toIndexedSeq
       val exploded = itemIdx match {

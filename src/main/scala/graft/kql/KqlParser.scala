@@ -165,6 +165,23 @@ object KqlParser {
       require(peek.contains(t), s"expected $t at token $pos, got $peek")
     private def eatPunct(s: String): Unit = { eat(Punct(s)); pos += 1 }
     private def eatIdent(s: String): Unit = { eat(Ident(s)); pos += 1 }
+    /** Lookahead (no consumption) for the tuple-assign shape
+      * `( ident [, ident]* ) =` — anything else (e.g. a legal parenthesized
+      * extend expression `extend (x + 1)`) must fall through to the normal
+      * named-expression list. */
+    private def tupleAssignAhead: Boolean = {
+      var i = pos + 1 // past '('
+      def at(t: Tok) = i < toks.length && toks(i) == t
+      def isIdent = i < toks.length && toks(i).isInstanceOf[Ident]
+      if (!isIdent) return false
+      i += 1
+      while (at(Punct(","))) {
+        i += 1
+        if (!isIdent) return false
+        i += 1
+      }
+      at(Punct(")")) && { i += 1; at(Punct("=")) }
+    }
     private def ident(): String = next() match {
       case Ident(s) => s
       case other => throw new IllegalArgumentException(s"expected identifier, got $other")
@@ -882,7 +899,7 @@ object KqlParser {
         val rest = df.columns.filterNot(front.contains)
         df.select((front ++ rest).map(col).toIndexedSeq: _*)
       case "project-rename" => df.projectRename(parseRenameList(): _*)
-      case "extend" if atPunct("(") =>
+      case "extend" if atPunct("(") && tupleAssignAhead =>
         // tuple-assign: `extend (a, b) = <struct-expr>` — Kusto's multi-value
         // function form (series_fft and friends). Field i of the resolved
         // struct binds to the i-th name; resolution uses the analyzed schema
@@ -2011,9 +2028,16 @@ object KqlParser {
       out.result()
     }
 
-    /** `name = expr, ...` (extend) */
+    /** `name = expr, ...` (extend); a bare expression (no `name =`) gets a
+      * Kusto-style auto name `Column<N>`. */
     private def parseNamedExprList(): Seq[(String, Column)] = {
-      def one(): (String, Column) = { val n = ident(); eatPunct("="); (n, parseExpr()) }
+      var auto = 0
+      def one(): (String, Column) =
+        if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] &&
+            toks(pos + 1) == Punct("=") &&
+            (pos + 2 >= toks.length || toks(pos + 2) != Punct("="))) {
+          val n = ident(); eatPunct("="); (n, parseExpr())
+        } else { auto += 1; (s"Column$auto", parseExpr()) }
       val out = Seq.newBuilder[(String, Column)]
       out += one()
       while (atPunct(",")) { pos += 1; out += one() }
@@ -2882,11 +2906,15 @@ object KqlParser {
         case "base64_encode_tostring" => base64(args.head.cast("binary"))
         case "base64_decode_tostring" => unbase64(args.head).cast("string")
         case "base64_decode_toguid" =>
-          // 16 decoded bytes → canonical lowercase 8-4-4-4-12; else null
+          // 16 decoded bytes → canonical lowercase 8-4-4-4-12; else null.
+          // .NET/Kusto Guid layout: the first three groups are little-endian
+          // (bytes 0-3, 4-5 and 6-7 reversed), the last two are big-endian.
           val gb = unbase64(args.head)
           val ghx = lower(hex(gb))
+          def bytes(idx: Int*): Column =
+            concat(idx.map(i => substring(ghx, i * 2 + 1, 2)): _*)
           when(length(gb) === 16, concat_ws("-",
-            substring(ghx, 1, 8), substring(ghx, 9, 4), substring(ghx, 13, 4),
+            bytes(3, 2, 1, 0), bytes(5, 4), bytes(7, 6),
             substring(ghx, 17, 4), substring(ghx, 21, 12)))
         case "make_datetime" =>
           // make_datetime(y, mo, d [, h, mi, s]) — s may be fractional
@@ -3465,6 +3493,10 @@ object KqlParser {
       * property-bag literal (→ map; access via `.k` / `['k']` postfix). */
     private def parseDynamic(): Column = {
       eatPunct("(")
+      if (atIdent("null")) { // `dynamic(null)` — the typed null literal
+        pos += 1; eatPunct(")")
+        return lit(null).cast("array<string>")
+      }
       val out = if (atPunct("{")) {
         pos += 1
         val kvs = Seq.newBuilder[Column]

@@ -3191,7 +3191,7 @@ object KqlTextQueries {
              |  TIMESTAMP '2024-03-15 10:30:15' AS md,
              |  TIMESTAMP '2020-01-02 00:00:00' AS md3,
              |  CAST(93784 AS BIGINT) AS ts1, CAST(9000 AS BIGINT) AS ts2,
-             |  '00112233-4455-6677-8899-aabbccddeeff' AS g,
+             |  '33221100-5544-7766-8899-aabbccddeeff' AS g,
              |  'default' AS cdb
              |FROM (SELECT event_id,
              |    SUM(CASE WHEN event_id % 6000 = 0 THEN 1 ELSE 0 END)

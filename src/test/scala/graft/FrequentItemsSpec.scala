@@ -21,11 +21,10 @@ class FrequentItemsSpec extends SparkSpec {
 
   test("SpaceSaving merge is exact addition — commutative, no truncation") {
     val agg = new SpaceSavingAgg(2)
-    val a = Map("x" -> 5L, "y" -> 3L)
-    val b = Map("y" -> 2L, "z" -> 7L)
-    val ab = agg.merge(a, b)
-    assert(ab == Map("x" -> 5L, "y" -> 5L, "z" -> 7L))
-    assert(ab == agg.merge(b, a))
+    def buf(kv: (String, Long)*) = scala.collection.mutable.HashMap(kv: _*)
+    val ab = agg.merge(buf("x" -> 5L, "y" -> 3L), buf("y" -> 2L, "z" -> 7L))
+    assert(ab == buf("x" -> 5L, "y" -> 5L, "z" -> 7L))
+    assert(ab == agg.merge(buf("y" -> 2L, "z" -> 7L), buf("x" -> 5L, "y" -> 3L)))
   }
 
   test("topHittersApprox matches the exact top-N on skewed data at lossy capacity") {

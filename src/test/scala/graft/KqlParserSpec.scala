@@ -1201,6 +1201,21 @@ class KqlParserSpec extends SparkSpec {
         || project a, b""".stripMargin)
       .collect().map(x => (x.get(0), x.get(1))).toSeq
     assert(r == Seq((1L, "x"), (2L, "y"), (3L, null)))
+    // a NULL operand pads with nulls instead of annihilating the row
+    val n = run(
+      """t | take 1
+        || extend a = pack_array(1, 2), b = iff(1 == 2, pack_array('x'), dynamic(null))
+        || mv-expand a, b
+        || project a, b""".stripMargin)
+      .collect().map(x => (x.get(0), x.get(1))).toSeq
+    assert(n.size == 2 && n.map(_._2).forall(_ == null),
+      s"null operand must pad, got $n")
+  }
+
+  test("parenthesized extend expression still parses (no tuple-path capture)") {
+    val r = run("t | take 1 | extend y = (id + 1), (id * 2) | project y")
+      .collect().head
+    assert(r.getLong(0) == 2L)
   }
 
   test("row_number(start[, restart]); make_datetime/timespan; table(); misc") {
@@ -1219,7 +1234,8 @@ class KqlParserSpec extends SparkSpec {
         "cdb = current_database()").collect().head
     assert(m.getString(0) == "2024-03-15 10:30:15")
     assert(m.getLong(1) == 93784L && m.getLong(2) == 9000L)
-    assert(m.getString(3) == "00112233-4455-6677-8899-aabbccddeeff")
+    // .NET mixed-endian: bytes 0-3, 4-5, 6-7 reversed in the first groups
+    assert(m.getString(3) == "33221100-5544-7766-8899-aabbccddeeff")
     assert(m.getString(4) == "default")
     assert(KqlParser.parse("table('t') | count", _ => t)
       .collect().head.getLong(0) == 5L)

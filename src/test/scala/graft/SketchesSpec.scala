@@ -49,6 +49,25 @@ class SketchesSpec extends SparkSpec {
     assert(est.values.forall(_ == 30L))
   }
 
+  test("sketch width does not inflate the plan: 2^17-bit bloom builds, one partial+final object aggregate") {
+    // With per-word column aggregates this would be 2048 aggregate
+    // expressions and a codegen blowup; the long-array buffer makes width
+    // free. Smoke the build AND assert the plan shape.
+    val wide = keyDf.agg(Sketches.bloomAgg(col("k"), 1 << 17, 3).as("bf"))
+    assert(wide.as[Array[Long]].head().length == (1 << 17) / 64)
+    val p = wide.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"expected object aggregate:\n$p")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      s"expected exactly partial+final aggregate stages:\n$p")
+    // no false negatives at full width either
+    val misses = keyDf.crossJoin(broadcast(wide))
+      .where(!Sketches.bloomContains(col("bf"), col("k"), 3)).count()
+    assert(misses == 0)
+    // and a wide CMS (d*w = 3*2^15 counters) builds the same way
+    val wideCms = keyDf.agg(Sketches.cmsAgg(col("k"), 1 << 15, 3).as("cms"))
+    assert(wideCms.as[Array[Long]].head().length == 3 * (1 << 15))
+  }
+
   test("cms: merged shard sketches add exactly") {
     val rows = Seq.tabulate(600)(i => i % 20).toDF("k")
     val shards = rows.withColumn("s", col("k") % 3)
