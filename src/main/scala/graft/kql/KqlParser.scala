@@ -3064,6 +3064,16 @@ object KqlParser {
           // convention used across the geo family) instead of GeoJSON;
           // single expression = ONE token decode per row
           call_function("graft_s2_center_point", args.head.cast("string"))
+        case "geo_polygon_to_s2cells" =>
+          // COMPLETE covering (S2Expressions.coverRing): region-grow over
+          // same-level neighbors keeping padded-box-intersecting cells —
+          // the bucketed points×polygons join key (deviation, documented:
+          // takes a bare vertex ring like the rest of the geo family, and
+          // emits a fixed-level covering, not Kusto's multi-level one —
+          // fixed-level is what an equi-join needs)
+          val coverLvl = if (args.length > 1) args(1).cast("int") else lit(11)
+          call_function("graft_s2_cover",
+            args.head.cast("array<array<double>>"), coverLvl)
         case "geo_s2cell_neighbors" =>
           // same-level neighbors via the published AppendAllNeighbors +
           // cross-face FromFaceIJWrap (S2Expressions.scala)

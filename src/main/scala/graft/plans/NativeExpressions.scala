@@ -308,6 +308,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_s2_neighbors"),
       new ExpressionInfo(classOf[S2NeighborsExpr].getName, "graft_s2_neighbors"),
       (children: Seq[Expression]) => S2NeighborsExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_s2_cover"),
+      new ExpressionInfo(classOf[S2CoverExpr].getName, "graft_s2_cover"),
+      (children: Seq[Expression]) => S2CoverExpr(children(0), children(1))))
     // statistical special functions (StatExpressions.scala)
     StatExpressions.names.foreach { case (kql, regName) =>
       e.injectFunction((

@@ -227,6 +227,160 @@ object S2Expressions {
       allNeighbors(id).map(n => UTF8String.fromString(token(n))).toArray[Any])
   }
 
+  // ---- polygon covering (geo_polygon_to_s2cells) -----------------------
+
+  /** Conservative lng/lat box of a cell: 4 corners + 4 edge midpoints
+    * through the exact ST→UV→sphere chain, padded 25% per side (the
+    * projected cell edge can bulge past the 8-point hull; padding only ADDS
+    * covering cells, never loses one — the exact point-in-polygon residual
+    * prunes the extras). Antimeridian-spanning boxes widen to the full lng
+    * range (conservative). */
+  private def cellLngLatBoxes(id: Long): Seq[(Double, Double, Double, Double)] = {
+    val level = levelOf(id)
+    val size = 1 << (MaxLevel - level)
+    val (face, i, j) = toFaceIJ(id)
+    val i0 = (i & -size).toDouble; val j0 = (j & -size).toDouble
+    val max = (1L << MaxLevel).toDouble
+    val offs = Array((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0),
+      (0.5, 0.0), (0.5, 1.0), (0.0, 0.5), (1.0, 0.5))
+    val lngs = new Array[Double](offs.length)
+    var y0 = Double.MaxValue; var y1 = -Double.MaxValue
+    var k = 0
+    offs.foreach { case (di, dj) =>
+      val u = stToUV((i0 + di * size) / max)
+      val v = stToUV((j0 + dj * size) / max)
+      val (x, y, z) = faceUVtoXYZ(face, u, v)
+      lngs(k) = math.toDegrees(math.atan2(y, x)); k += 1
+      val lat = math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y)))
+      y0 = math.min(y0, lat); y1 = math.max(y1, lat)
+    }
+    val py = 0.25 * (y1 - y0) + 1e-9
+    val by0 = y0 - py; val by1 = y1 + py
+    def padded(x0: Double, x1: Double): (Double, Double) = {
+      val px = 0.25 * (x1 - x0) + 1e-9
+      (x0 - px, x1 + px)
+    }
+    if (lngs.max - lngs.min <= 180.0) {
+      val (x0, x1) = padded(lngs.min, lngs.max)
+      Seq((x0, by0, x1, by1))
+    } else {
+      // antimeridian-crossing cell: re-anchor lngs to [0,360) and split the
+      // compact interval back into at most two [-180,180] boxes
+      val sh = lngs.map(l => if (l < 0) l + 360.0 else l)
+      if (sh.max - sh.min > 180.0) // pole cell — genuinely all longitudes
+        Seq((-180.0, by0, 180.0, by1))
+      else {
+        val (x0, x1) = padded(sh.min, sh.max)
+        if (x1 <= 180.0) Seq((x0, by0, x1, by1))
+        else if (x0 >= 180.0) Seq((x0 - 360.0, by0, x1 - 360.0, by1))
+        else Seq((x0, by0, 180.0, by1), (-180.0, by0, x1 - 360.0, by1))
+      }
+    }
+  }
+
+  /** Ray cast — the same fixed-order IEEE chain as the SQL-side
+    * geo_point_in_polygon, so covering and residual agree on boundaries. */
+  private def rayCast(x: Double, y: Double, xs: Array[Double], ys: Array[Double]): Boolean = {
+    var c = false; var i = 0; val n = xs.length
+    while (i < n) {
+      val j2 = if (i + 1 == n) 0 else i + 1
+      val yi = ys(i); val yj = ys(j2)
+      if ((yi > y) != (yj > y) &&
+          x < (xs(j2) - xs(i)) * (y - yi) / (yj - yi) + xs(i)) c = !c
+      i += 1
+    }
+    c
+  }
+
+  /** Segment intersection with ≤0 orientation products — touching counts
+    * as crossing (over-inclusive is safe for a covering). */
+  private def segsCross(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def o(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      math.signum((qx - px) * (ry - py) - (qy - py) * (rx - px))
+    val o1 = o(ax, ay, bx, by, cx, cy); val o2 = o(ax, ay, bx, by, dx, dy)
+    val o3 = o(cx, cy, dx, dy, ax, ay); val o4 = o(cx, cy, dx, dy, bx, by)
+    o1 * o2 <= 0 && o3 * o4 <= 0 &&
+      math.max(math.min(ax, bx), math.min(cx, dx)) <=
+        math.min(math.max(ax, bx), math.max(cx, dx)) + 1e-12 &&
+      math.max(math.min(ay, by), math.min(cy, dy)) <=
+        math.min(math.max(ay, by), math.max(cy, dy)) + 1e-12
+  }
+
+  /** COMPLETE covering of a [[lng,lat],…] ring at `level`: region-grow from
+    * the vertex cells over same-level neighbors, keeping every cell whose
+    * padded lng/lat box intersects the polygon (vertex-in-box ∨
+    * box-corner-in-polygon ∨ edge crossing). Completeness: the padded box
+    * CONTAINS the cell, so a cell truly meeting the polygon always tests
+    * true, and intersecting cells of a connected polygon are connected
+    * under 8-neighbor adjacency — BFS from the boundary reaches them all.
+    * Capped at 8192 cells (use a coarser level past that; Kusto's coverer
+    * has the same kind of budget). */
+  private[graft] def coverRing(xs: Array[Double], ys: Array[Double], level: Int): Seq[Long] = {
+    require(level >= 0 && level <= MaxLevel, s"bad s2 level $level")
+    require(xs.length >= 3, "polygon needs >= 3 vertices")
+    val minX = xs.min; val maxX = xs.max; val minY = ys.min; val maxY = ys.max
+    def boxIntersects(bx0: Double, by0: Double, bx1: Double, by1: Double): Boolean = {
+      if (bx1 < minX || bx0 > maxX || by1 < minY || by0 > maxY) return false
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) >= bx0 && xs(i) <= bx1 && ys(i) >= by0 && ys(i) <= by1) return true
+        i += 1
+      }
+      val corners = Array((bx0, by0), (bx1, by0), (bx1, by1), (bx0, by1))
+      if (corners.exists { case (cx, cy) => rayCast(cx, cy, xs, ys) }) return true
+      val boxEdges = Array((bx0, by0, bx1, by0), (bx1, by0, bx1, by1),
+        (bx1, by1, bx0, by1), (bx0, by1, bx0, by0))
+      i = 0
+      while (i < xs.length) {
+        val j2 = if (i + 1 == xs.length) 0 else i + 1
+        if (boxEdges.exists { case (ax, ay, bx, by) =>
+          segsCross(xs(i), ys(i), xs(j2), ys(j2), ax, ay, bx, by) }) return true
+        i += 1
+      }
+      false
+    }
+    def cellIntersects(id: Long): Boolean =
+      cellLngLatBoxes(id).exists { case (bx0, by0, bx1, by1) =>
+        boxIntersects(bx0, by0, bx1, by1) }
+    val seeds = xs.indices
+      .map(i => parentAtLevel(leafFromLngLat(xs(i), ys(i)), level)).distinct
+    val visited = scala.collection.mutable.HashSet[Long](seeds: _*)
+    val queue = scala.collection.mutable.Queue[Long](seeds: _*)
+    val out = Vector.newBuilder[Long]
+    var count = 0
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      if (cellIntersects(c)) {
+        out += c; count += 1
+        require(count <= 8192,
+          s"geo_polygon_to_s2cells: covering exceeds 8192 cells at level $level")
+        allNeighbors(c).foreach(nb => if (visited.add(nb)) queue.enqueue(nb))
+      }
+    }
+    out.result().sorted
+  }
+
+  def coverTokens(ring: org.apache.spark.sql.catalyst.util.ArrayData,
+      level: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nAll = ring.numElements()
+    // ignore an explicit closing vertex — the ray cast / edge walk wrap
+    val n = if (nAll > 1 && {
+      val a = ring.getArray(0); val b = ring.getArray(nAll - 1)
+      a.getDouble(0) == b.getDouble(0) && a.getDouble(1) == b.getDouble(1)
+    }) nAll - 1 else nAll
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val p = ring.getArray(i)
+      xs(i) = p.getDouble(0); ys(i) = p.getDouble(1)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      coverRing(xs, ys, level).map(c => UTF8String.fromString(token(c))).toArray[Any])
+  }
+
   // ---- public scalar entry points --------------------------------------
 
   private[graft] def leafFromLngLat(lngDeg: Double, latDeg: Double): Long = {
@@ -321,6 +475,30 @@ case class S2NeighborsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_s2_neighbors"
+}
+
+/** geo_polygon_to_s2cells(ring, level) → sorted array of covering tokens. */
+case class S2CoverExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(DoubleType, _), _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected (array<array<double>>, int), got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(ring: Any, lvl: Any): Any =
+    S2Expressions.coverTokens(
+      ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, l) =>
+      s"graft.plans.S2Expressions.coverTokens($r, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_s2_cover"
 }
 
 /** geo_s2cell_to_central_point coordinate readout (lng or lat). */

@@ -3315,6 +3315,87 @@ object KqlTextQueries {
       Some("""SELECT src, n FROM (
              |  SELECT 'nation' AS src, COUNT(*) AS n FROM nation
              |  UNION ALL SELECT 'region' AS src, COUNT(*) AS n FROM region) u
-             |ORDER BY src""".stripMargin))
+             |ORDER BY src""".stripMargin)),
+
+    // geo_polygon_to_s2cells (S2Expressions.coverRing): HAND-DERIVED
+    // face-level coverings (face tokens 1/3/5/7/9/b are spec constants;
+    // a triangle straddling lng=45 meets exactly faces 0 and 1), plus the
+    // structural covering guarantee at a working level — every vertex's own
+    // cell is in the covering (set_difference empty)
+    QueryDef("q_kql_polygon_cells",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1, 2, 3, 4]
+          || extend poly = case(
+          |    id == 1, pack_array(pack_array(9.0, 9.0), pack_array(11.0, 9.0),
+          |      pack_array(10.0, 11.0)),
+          |    id == 2, pack_array(pack_array(99.0, 9.0), pack_array(101.0, 9.0),
+          |      pack_array(100.0, 11.0)),
+          |    id == 3, pack_array(pack_array(43.0, -1.0), pack_array(47.0, -1.0),
+          |      pack_array(45.0, 2.0)),
+          |    pack_array(pack_array(-73.3, 40.2), pack_array(-72.8, 40.2),
+          |      pack_array(-73.05, 40.9)))
+          || extend cells = geo_polygon_to_s2cells(poly, iff(id <= 3, 0, 8))
+          || extend vcells = iff(id <= 3, pack_array(
+          |    geo_point_to_s2cell(todouble(poly[0][0]), todouble(poly[0][1]), 0),
+          |    geo_point_to_s2cell(todouble(poly[1][0]), todouble(poly[1][1]), 0),
+          |    geo_point_to_s2cell(todouble(poly[2][0]), todouble(poly[2][1]), 0)),
+          |  pack_array(
+          |    geo_point_to_s2cell(todouble(poly[0][0]), todouble(poly[0][1]), 8),
+          |    geo_point_to_s2cell(todouble(poly[1][0]), todouble(poly[1][1]), 8),
+          |    geo_point_to_s2cell(todouble(poly[2][0]), todouble(poly[2][1]), 8)))
+          || project id, toks = iff(id <= 3, strcat_array(cells, ';'), ''),
+          |    covers_vertices = iff(array_length(set_difference(vcells, cells)) == 0, 1, 0)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, toks, CAST(cv AS INT) AS covers_vertices
+             |FROM (VALUES (1, '1', 1), (2, '3', 1), (3, '1;3', 1), (4, '', 1))
+             |  AS t(id, toks, cv) ORDER BY id""".stripMargin)),
+
+    // Bucketed points×polygons containment join: polygons expand to their
+    // fixed-level S2 covering, points key to their OWN cell — ONE equi-join
+    // on the cell token + the exact ray-cast residual. Complete because the
+    // covering is complete (S2Spec probe) and each point lives in exactly
+    // one cell, so no pair can be missed and none can duplicate. The oracle
+    // is the all-pairs ray cast (edge-table parity count, identical IEEE
+    // chain) — if the covering dropped a cell, rows here redden.
+    QueryDef("q_kql_polygon_join",
+      (s, d) => run(s, d,
+        """let polys = datatable(pid: long) [1, 2, 3]
+          || extend poly = case(
+          |    pid == 1, pack_array(pack_array(-73.3, 40.2), pack_array(-72.8, 40.2),
+          |      pack_array(-73.05, 40.9)),
+          |    pid == 2, pack_array(pack_array(-72.7, 40.5), pack_array(-72.3, 40.5),
+          |      pack_array(-72.3, 41.0), pack_array(-72.7, 41.0)),
+          |    pack_array(pack_array(-73.45, 41.1), pack_array(-73.15, 40.5),
+          |      pack_array(-72.85, 41.1), pack_array(-73.15, 40.85)));
+          |let pts = events
+          || where event_id % 23 == 0
+          || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
+          |    lng = -73.5 + todouble(event_id % 89) / 60.0
+          || project event_id, lat, lng;
+          |polys
+          || mv-expand cell = geo_polygon_to_s2cells(poly, 9) to typeof(string)
+          || join kind=inner (pts
+          |    | extend cell = geo_point_to_s2cell(lng, lat, 9)) on cell
+          || where geo_point_in_polygon(lng, lat, poly)
+          || project pid, event_id
+          || sort by pid asc, event_id asc""".stripMargin),
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 23 = 0),
+             |edges(pid, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.3, 40.2, -72.8, 40.2), (1, -72.8, 40.2, -73.05, 40.9),
+             |  (1, -73.05, 40.9, -73.3, 40.2),
+             |  (2, -72.7, 40.5, -72.3, 40.5), (2, -72.3, 40.5, -72.3, 41.0),
+             |  (2, -72.3, 41.0, -72.7, 41.0), (2, -72.7, 41.0, -72.7, 40.5),
+             |  (3, -73.45, 41.1, -73.15, 40.5), (3, -73.15, 40.5, -72.85, 41.1),
+             |  (3, -72.85, 41.1, -73.15, 40.85), (3, -73.15, 40.85, -73.45, 41.1))
+             |SELECT CAST(e.pid AS BIGINT) AS pid, p.event_id
+             |FROM (SELECT DISTINCT pid FROM edges) e, pts p
+             |WHERE (SELECT COUNT(*) FROM edges g WHERE g.pid = e.pid
+             |    AND ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |    AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |  ) % 2 = 1
+             |ORDER BY pid, event_id""".stripMargin))
   )
 }

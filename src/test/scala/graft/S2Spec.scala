@@ -110,6 +110,51 @@ class S2Spec extends SparkSpec {
     }
   }
 
+  test("polygon covering: face-level hand-derived cells; completeness probe") {
+    def cover(pts: Seq[(Double, Double)], lvl: Int): Seq[String] = {
+      val xs = pts.map(_._1).toArray; val ys = pts.map(_._2).toArray
+      S2Expressions.coverRing(xs, ys, lvl).map(S2Expressions.token)
+    }
+    // tiny triangle near the face-0 center → exactly the face-0 cell "1"
+    assert(cover(Seq((9.0, 9.0), (11.0, 9.0), (10.0, 11.0)), 0) == Seq("1"))
+    // straddling the face-0/face-1 boundary (lng 45) → faces 0 and 1
+    assert(cover(Seq((43.0, -1.0), (47.0, -1.0), (45.0, 2.0)), 0) == Seq("1", "3"))
+    // COMPLETENESS: every deterministic sample point inside the polygon
+    // keys to a cell present in the covering (the property the bucketed
+    // points×polygons join rests on)
+    val poly = Seq((-73.4, 40.2), (-72.7, 40.35), (-72.9, 41.1), (-73.3, 40.9))
+    for (lvl <- Seq(8, 10, 12)) {
+      val cov = cover(poly, lvl).toSet
+      assert(cov.nonEmpty)
+      val xs = poly.map(_._1).toArray; val ys = poly.map(_._2).toArray
+      var inside = 0
+      for (gx <- 0 until 60; gy <- 0 until 60) {
+        val x = -73.5 + gx * 0.015; val y = 40.1 + gy * 0.02
+        // the private rayCast mirrors geo_point_in_polygon; re-derive here
+        var c = false; var i = 0
+        while (i < xs.length) {
+          val j2 = (i + 1) % xs.length
+          if ((ys(i) > y) != (ys(j2) > y) &&
+              x < (xs(j2) - xs(i)) * (y - ys(i)) / (ys(j2) - ys(i)) + xs(i)) c = !c
+          i += 1
+        }
+        if (c) {
+          inside += 1
+          val tok = S2Expressions.token(S2Expressions.parentAtLevel(
+            S2Expressions.leafFromLngLat(x, y), lvl))
+          assert(cov.contains(tok), s"lvl $lvl misses cell $tok of ($x,$y)")
+        }
+      }
+      assert(inside > 500, s"probe grid degenerate: $inside inside")
+    }
+    // KQL dispatch + closed-ring tolerance
+    val k = run(
+      """t | project c = strcat_array(geo_polygon_to_s2cells(pack_array(
+        |  pack_array(9.0, 9.0), pack_array(11.0, 9.0), pack_array(10.0, 11.0),
+        |  pack_array(9.0, 9.0)), 0), ';')""".stripMargin).collect().head
+    assert(k.getString(0) == "1")
+  }
+
   test("token encode/decode round-trips; malformed center is NaN") {
     val id = S2Expressions.parentAtLevel(S2Expressions.leafFromLngLat(12.3, 45.6), 11)
     assert(S2Expressions.idFromToken(S2Expressions.token(id)) == id)
