@@ -939,8 +939,9 @@ object KqlParser {
           df.select(parseProjList(): _*).distinct()
         } else {
           val aggs = parseNamedAggList()
+          val meta = lastAggListMeta
           val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
-          expandArgStar(df.summarize(by, aggs: _*), aggs)
+          expandArgStar(leanOrPlainSummarize(df, by, aggs, meta), aggs)
         }
       case "sort" | "order" =>
         eatIdent("by")
@@ -2059,8 +2060,10 @@ object KqlParser {
 
     /** summarize agg list: `agg(...)` or `name = agg(...)` with KQL default names. */
     private def parseNamedAggList(): Seq[Column] = {
+      val metaOut = Seq.newBuilder[(String, Option[Column])]
       def one(): Column = {
         lastAggExpands = false
+        lastAggDistinctKey = None
         val (c, n) =
           if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")) {
             val n = ident(); eatPunct("="); (parseAgg(ident()), n)
@@ -2069,12 +2072,56 @@ object KqlParser {
             (parseAgg(fname), defaultAggName(fname))
           }
         if (lastAggExpands) expandAggs += n
+        metaOut += ((n, lastAggDistinctKey))
         c.as(n)
       }
       val out = Seq.newBuilder[Column]
       out += one()
       while (atPunct(",")) { pos += 1; out += one() }
+      lastAggListMeta = metaOut.result()
       out.result()
+    }
+
+    // per-aggregate metadata harvested by the lean multi-distinct rewrite:
+    // (output name, Some(distinct key expr) for exact-distinct aggregates)
+    private var lastAggDistinctKey: Option[Column] = None
+    private var lastAggListMeta: Seq[(String, Option[Column])] = Nil
+
+    /** Default summarize planning. When EXACT distinct aggregates mix with
+      * other aggregates (or ≥2 distincts appear), Catalyst's plans carry
+      * every plain partial buffer through a (group, value)-grained shuffle —
+      * or an Expand that multiplies shuffle volume per distinct. The lean
+      * form (proven by q_kql_agg_stats_lean, ~5× at sf0.1) computes each
+      * distinct count as its own pre-distinct sub-aggregation — the
+      * (group, value) pairs collapse map-side — and null-safe-joins the tiny
+      * per-group results back onto the plain-aggregate base. Sketch
+      * aggregates (hll/hll_if) stay in the base untouched: the user chose
+      * approximate, the rewrite must not silently upgrade the cost. */
+    private def leanOrPlainSummarize(df: DataFrame, by: Seq[Column],
+        aggs: Seq[Column], meta: Seq[(String, Option[Column])]): DataFrame = {
+      val dks = meta.collect { case (n, Some(k)) => (n, k) }
+      val byNames = if (by.isEmpty) Nil else df.select(by: _*).columns.toSeq
+      val applicable = by.nonEmpty && dks.nonEmpty &&
+        (meta.size > dks.size || dks.size >= 2) &&
+        byNames.distinct.size == byNames.size && meta.size == aggs.size
+      if (!applicable) return df.summarize(by, aggs: _*)
+      val plainAggs = aggs.zip(meta).collect { case (a, (_, None)) => a }
+      val base =
+        if (plainAggs.nonEmpty) df.groupBy(by: _*).agg(plainAggs.head, plainAggs.tail: _*)
+        else df.select(by: _*).distinct()
+      val joined = dks.foldLeft(base) { case (acc, (n, key)) =>
+        val sub = df.select(by :+ key.as("__graft_dk"): _*)
+          .where(col("__graft_dk").isNotNull).distinct()
+          .groupBy(byNames.map(col): _*).agg(count(lit(1)).as(n))
+        val l = acc.alias("__l"); val r = sub.alias("__r")
+        val cond = byNames.map(c => col(s"__l.`$c`") <=> col(s"__r.`$c`"))
+          .reduce(_ && _)
+        l.join(r, cond, "left_outer")
+          .select(acc.columns.map(c => col(s"__l.`$c`")).toIndexedSeq :+
+            coalesce(col(s"__r.`$n`"), lit(0L)).as(n): _*)
+      }
+      // contract column order: group keys, then aggregates in written order
+      joined.select(byNames.map(col) ++ meta.map { case (n, _) => col(s"`$n`") }: _*)
     }
 
     /** Expand any arg_max/arg_min(x, *) struct columns produced by this
@@ -2152,8 +2199,11 @@ object KqlParser {
         case "minif" => min(when(args(1), args.head))
         case "max" => max(args.head)
         case "maxif" => max(when(args(1), args.head))
-        case "dcount" => countDistinct(args.head)
-        case "dcountif" => countDistinct(when(args(1), args.head))
+        case "dcount" =>
+          lastAggDistinctKey = Some(args.head); countDistinct(args.head)
+        case "dcountif" =>
+          val k = when(args(1), args.head)
+          lastAggDistinctKey = Some(k); countDistinct(k)
         case "hll" => approx_count_distinct(args.head)
         // mergeable DataSketches sketch (binary) — feeds hll_merge columns
         // and `evaluate dcount_intersect`; `hll` above keeps its historical
@@ -2237,8 +2287,11 @@ object KqlParser {
         case "binary_all_and" => bit_and(args.head)
         case "binary_all_or" => bit_or(args.head)
         case "binary_all_xor" => bit_xor(args.head)
-        case "count_distinctif" => countDistinct(when(args(1), args.head))
-        case "count_distinct" => countDistinct(args.head)
+        case "count_distinctif" =>
+          val k = when(args(1), args.head)
+          lastAggDistinctKey = Some(k); countDistinct(k)
+        case "count_distinct" =>
+          lastAggDistinctKey = Some(args.head); countDistinct(args.head)
         // rsd 0.01 (not Spark's 0.05 default): HLL++ stays in exact sparse
         // mode far longer — the q_dcount_hll convention
         case "hll_if" => approx_count_distinct(when(args(1), args.head), 0.01)

@@ -67,6 +67,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"verify pass shuffled the corpus:\n$p")
   }
 
+  test("multi-distinct summarize plans lean: no Expand, pre-distinct sub-agg joined back") {
+    val p = plan("q_kql_agg_stats")
+    assert(!p.contains("Expand"), s"distinct rewrite left an Expand:\n$p")
+    // the exact-distinct aggregate is its own sub-aggregation joined back on
+    // the group keys (tiny per-group sides → broadcast)
+    assert(p.contains("BroadcastHashJoin"), s"lean rewrite did not join back:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"per-group join shuffled:\n$p")
+  }
+
   test("no cartesian product sneaks into any contract query") {
     // Queries that intentionally cross-join a broadcast-small side plan as
     // BroadcastNestedLoopJoin, which is fine; a CartesianProduct exec (both sides
