@@ -3131,6 +3131,21 @@ object KqlParser {
           // same-level neighbors via the published AppendAllNeighbors +
           // cross-face FromFaceIJWrap (S2Expressions.scala)
           call_function("graft_s2_neighbors", args.head.cast("string"))
+        case "geo_point_to_h3cell" =>
+          // H3-style aperture-7 hex cells (H3Expressions.scala — published
+          // framework; base-cell enumeration is a DOCUMENTED deviation from
+          // libh3, see the object doc). Resolution literal like the geohash
+          // precision; Kusto's default resolution is 9.
+          val h3res = if (args.length > 2) litLong(args(2)).toInt else 9
+          require(h3res >= 0 && h3res <= 15,
+            s"geo_point_to_h3cell resolution must be 0..15, got $h3res")
+          call_function("graft_h3_cell",
+            args(0).cast("double"), args(1).cast("double"), lit(h3res))
+        case "geo_h3cell_to_central_point" =>
+          // deviation (documented): [lng, lat] array like the geo family
+          call_function("graft_h3_center_point", args.head.cast("string"))
+        case "geo_h3cell_neighbors" =>
+          call_function("graft_h3_neighbors", args.head.cast("string"))
         case "geo_point_in_polygon" =>
           geoPointInPolygon(args(0), args(1), args(2))
         case "geo_line_length" => geoLineLength(args.head)

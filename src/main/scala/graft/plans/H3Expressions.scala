@@ -169,16 +169,19 @@ object H3Expressions {
   private def ijkSub(a: (Int, Int, Int), b: (Int, Int, Int)): (Int, Int, Int) =
     ijkNormalize(a._1 - b._1, a._2 - b._2, a._3 - b._3)
 
-  /** Published up-aperture-7 (exact rational rounding), Class II / III. */
+  /** Published up-aperture-7 (exact rational rounding). Derivation: in
+    * axial (i, j) coordinates downAp7 is the matrix [[3, −1], [1, 2]]
+    * (det 7) and downAp7r is [[2, 1], [−1, 3]]; each up is the rounded
+    * inverse of its down. */
   private def upAp7(i0: Int, j0: Int, k0: Int): (Int, Int, Int) = {
-    val i = i0 - k0; val j = j0 - k0
-    ijkNormalize(math.round((3 * i - j) / 7.0).toInt,
-      math.round((i + 2 * j) / 7.0).toInt, 0)
-  }
-  private def upAp7r(i0: Int, j0: Int, k0: Int): (Int, Int, Int) = {
     val i = i0 - k0; val j = j0 - k0
     ijkNormalize(math.round((2 * i + j) / 7.0).toInt,
       math.round((3 * j - i) / 7.0).toInt, 0)
+  }
+  private def upAp7r(i0: Int, j0: Int, k0: Int): (Int, Int, Int) = {
+    val i = i0 - k0; val j = j0 - k0
+    ijkNormalize(math.round((3 * i - j) / 7.0).toInt,
+      math.round((i + 2 * j) / 7.0).toInt, 0)
   }
 
   // ---- point ↔ face plane ---------------------------------------------
@@ -301,6 +304,12 @@ object H3Expressions {
     (overage, digits)
   }
 
+  /** None when the res-0 overage exceeds the unit ring (the cell is not
+    * representable on this face — a far-out lattice candidate near a seam;
+    * the canonical encode skips it and the owning face's copy wins). */
+  private def ijkToDigitsOpt(ijkRes: (Int, Int, Int), res: Int): Option[(Int, Array[Int])] =
+    try Some(ijkToDigits(ijkRes, res)) catch { case _: IllegalArgumentException => None }
+
   private def digitsToIjk(overage: Int, digits: Array[Int]): (Int, Int, Int) = {
     var cur = UnitVecs(overage)
     var r = 1
@@ -314,13 +323,65 @@ object H3Expressions {
     cur
   }
 
+  /** Angular circumradius of a res-r hexagon (for candidate-face pruning). */
+  private def hexAngle(res: Int): Double =
+    math.atan(res0R / math.pow(math.sqrt(7.0), res))
+
+  /** CANONICAL cell of a point: the nearest hex center across every
+    * candidate face's lattice (the Voronoi partition of the union of the 20
+    * face lattices — globally well-defined, no face-ownership seams; cells
+    * near a seam are hexes clipped by the neighboring lattice, documented).
+    * Candidate faces are those within the best face's angle plus two hex
+    * radii; within a face the planar round plus its 6-ring guards the
+    * gnomonic planar-vs-sphere metric skew. Deterministic: strict < with
+    * face-then-ring order breaks exact ties. */
+  private def canonicalCell(p: (Double, Double, Double), res: Int): Long = {
+    var bestD = Double.MaxValue
+    var bestFaceId = -1
+    var bestPacked = 0L
+    val bd = {
+      var f = 0; var m = -2.0
+      while (f < 20) { val d = dot(p, faceCenter(f)); if (d > m) m = d; f += 1 }
+      m
+    }
+    val maxAngle = math.acos(math.max(-1.0, math.min(1.0, bd))) +
+      2.0 * hexAngle(res) + 0.09
+    // clamp to 60°: the nearest lattice center is never on a face tilted
+    // further than that (gnomonic blow-up guard)
+    val cosMin = math.max(math.cos(math.min(math.Pi, maxAngle)), 0.5)
+    var f = 0
+    while (f < 20) {
+      if (dot(p, faceCenter(f)) >= cosMin) {
+        val ijk0 = pointToIjk(p, f, res)
+        var d = 0
+        while (d < 7) {
+          val u = UnitVecs(d)
+          val c = ijkNormalize(ijk0._1 + u._1, ijk0._2 + u._2, ijk0._3 + u._3)
+          val (gx, gy) = ijkToHex2d(c._1, c._2, c._3)
+          val cp = fromFaceGrid(f, res, gx, gy)
+          val dx = cp._1 - p._1; val dy = cp._2 - p._2; val dz = cp._3 - p._3
+          val dist = dx * dx + dy * dy + dz * dz
+          // a cell is canonical on ONE face only: the one that owns its
+          // center. Near-seam cells are representable on two faces' lattices
+          // (at res 0 the overage ring lands almost exactly on the adjacent
+          // face's center) — without this filter the Voronoi tie between the
+          // near-duplicate centers would fall arbitrarily.
+          if (dist < bestD && bestFace(cp) == f)
+            ijkToDigitsOpt(c, res).foreach { case (ov, digits) =>
+              bestD = dist; bestFaceId = f; bestPacked = pack(res, f, ov, digits)
+            }
+          d += 1
+        }
+      }
+      f += 1
+    }
+    require(bestFaceId >= 0, "no representable cell candidate (unreachable)")
+    bestPacked
+  }
+
   def encode(lngDeg: Double, latDeg: Double, res: Int): Long = {
     require(res >= 0 && res <= MaxRes, s"h3 resolution must be 0..15, got $res")
-    val p = lngLatToXyz(lngDeg, latDeg)
-    val f = bestFace(p)
-    val ijk = pointToIjk(p, f, res)
-    val (ov, digits) = ijkToDigits(ijk, res)
-    pack(res, f, ov, digits)
+    canonicalCell(lngLatToXyz(lngDeg, latDeg), res)
   }
 
   def centerLngLat(v: Long): (Double, Double) = {
@@ -340,18 +401,18 @@ object H3Expressions {
     (1 to 6).map { d =>
       val n = ijkAdd(ijk, UnitVecs(d))
       val (gx, gy) = ijkToHex2d(n._1, n._2, n._3)
-      val p = fromFaceGrid(base, res, gx, gy)
-      val f2 = bestFace(p)
-      if (f2 == base) {
-        val (ov2, d2) = ijkToDigits(n, res)
-        pack(res, base, ov2, d2)
-      } else { // seam hop: canonical re-encode on the winning face
-        val ijk2 = pointToIjk(p, f2, res)
-        val (ov2, d2) = ijkToDigits(ijk2, res)
-        pack(res, f2, ov2, d2)
-      }
+      // the neighbor position re-encodes CANONICALLY through 3D, so rings
+      // near a face seam step onto the winning lattice
+      canonicalCell(fromFaceGrid(base, res, gx, gy), res)
     }.distinct.filterNot(_ == v)
   }
+
+  // test hooks (H3Spec proves the published aperture-7 identity directly)
+  private[graft] def testDownAp7(i: Int, j: Int, k: Int) = downAp7(i, j, k)
+  private[graft] def testDownAp7r(i: Int, j: Int, k: Int) = downAp7r(i, j, k)
+  private[graft] def testUpAp7(i: Int, j: Int, k: Int) = upAp7(i, j, k)
+  private[graft] def testUpAp7r(i: Int, j: Int, k: Int) = upAp7r(i, j, k)
+  private[graft] def testNormalize(i: Int, j: Int, k: Int) = ijkNormalize(i, j, k)
 
   // ---- UTF8String entry points for codegen -----------------------------
 

@@ -312,6 +312,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_s2_cover"),
       new ExpressionInfo(classOf[S2CoverExpr].getName, "graft_s2_cover"),
       (children: Seq[Expression]) => S2CoverExpr(children(0), children(1))))
+    // H3-style hex cells (H3Expressions.scala)
+    e.injectFunction((
+      FunctionIdentifier("graft_h3_cell"),
+      new ExpressionInfo(classOf[H3CellExpr].getName, "graft_h3_cell"),
+      (children: Seq[Expression]) => H3CellExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_h3_center_point"),
+      new ExpressionInfo(classOf[H3CenterExpr].getName, "graft_h3_center_point"),
+      (children: Seq[Expression]) => H3CenterExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_h3_neighbors"),
+      new ExpressionInfo(classOf[H3NeighborsExpr].getName, "graft_h3_neighbors"),
+      (children: Seq[Expression]) => H3NeighborsExpr(children.head)))
     // statistical special functions (StatExpressions.scala)
     StatExpressions.names.foreach { case (kql, regName) =>
       e.injectFunction((

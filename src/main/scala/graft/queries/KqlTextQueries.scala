@@ -3396,6 +3396,37 @@ object KqlTextQueries {
              |    AND ((g.y1 > p.lat) <> (g.y2 > p.lat))
              |    AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
              |  ) % 2 = 1
-             |ORDER BY pid, event_id""".stripMargin))
+             |ORDER BY pid, event_id""".stripMargin)),
+
+    // H3-style hex cells (H3Expressions.scala — published aperture-7
+    // framework; base-cell enumeration is a DOCUMENTED deviation from
+    // libh3, whose 122-cell table is unpublishable-offline data). Oracle
+    // literals are HAND-DERIVED: the golden-ratio icosahedron's lexicographic
+    // face enumeration puts (10°,10°) on face 16 = vertices {(1,φ,0),
+    // (φ,0,1),(φ,0,−1)} and its antipode on face 19, and the published bit
+    // layout makes the res-0 token (1<<59)|(face<<45)|0x1FFFFFFFFFFF —
+    // independently re-derived in H3Spec and in the row comment's python
+    // construction. Structural columns prove center-re-encode identity, the
+    // 6-ring, and the bucket-key adjacency contract at res 5.
+    QueryDef("q_kql_h3cell",
+      (s, d) => run(s, d,
+        """datatable(id: long, lng: real, lat: real) [
+          |  1, 10.0, 10.0, 2, -170.0, -10.0]
+          || extend c0 = geo_point_to_h3cell(lng, lat, 0),
+          |    c5 = geo_point_to_h3cell(lng, lat, 5)
+          || extend ctr = geo_h3cell_to_central_point(c5)
+          || extend re = geo_point_to_h3cell(todouble(ctr[0]), todouble(ctr[1]), 5)
+          || extend nb = geo_h3cell_neighbors(c5),
+          |    cq = geo_point_to_h3cell(lng + 0.02, lat, 5)
+          || project id, c0, len5 = strlen(c5),
+          |    stable = iff(re == c5, 1, 0),
+          |    nbn = array_length(nb),
+          |    near = iff(cq == c5 or set_has_element(nb, cq), 1, 0)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, c0, CAST(15 AS BIGINT) AS len5,
+             |  CAST(1 AS INT) AS stable, CAST(6 AS BIGINT) AS nbn,
+             |  CAST(1 AS INT) AS near
+             |FROM (VALUES (1, '8021fffffffffff'), (2, '8027fffffffffff'))
+             |  AS t(id, c0) ORDER BY id""".stripMargin))
   )
 }
