@@ -68,6 +68,15 @@ object KqlParser {
           val start = i
           while (i < s.length && (s(i).isDigit || s(i) == '.') &&
             !(s(i) == '.' && i + 1 < s.length && s(i + 1) == '.')) i += 1
+          // scientific notation: 1e5 / 2.5E-4 / 1e+9
+          if (i < s.length && (s(i) == 'e' || s(i) == 'E') && {
+            val j = if (i + 1 < s.length && (s(i + 1) == '+' || s(i + 1) == '-')) i + 2 else i + 1
+            j < s.length && s(j).isDigit
+          }) {
+            i += 1
+            if (s(i) == '+' || s(i) == '-') i += 1
+            while (i < s.length && s(i).isDigit) i += 1
+          }
           // timespan suffix: 1h / 30m / 10s / 7d / 100ms
           if (i < s.length && (s(i) == 'h' || s(i) == 'm' || s(i) == 's' || s(i) == 'd')) {
             val sufStart = i
@@ -1140,6 +1149,13 @@ object KqlParser {
               eatPunct(")")
               df.bagUnpackTyped(arg, fs.result(), prefix)
             } else df.bagUnpack(arg, prefix = prefix)
+          case "preview" =>
+            // `evaluate preview(N)` — the first N rows. Deviation
+            // (documented): Kusto's plugin emits a second total-count table;
+            // the single-table form is the usable Spark shape.
+            val n = parseInt()
+            eatPunct(")")
+            df.limit(n)
           case "narrow" =>
             // evaluate narrow(): (Row, Column, Value-as-string) triples. Row
             // ordinals come from the distributed serialized row numbering, so
@@ -2729,6 +2745,23 @@ object KqlParser {
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)
+        case "isutf8" =>
+          // valid iff the UTF-8 decode→re-encode round-trips the bytes;
+          // string inputs cast to their UTF-8 bytes (valid by construction),
+          // binary inputs are genuinely validated; null → false
+          val ub = args.head.cast("binary")
+          ub.isNotNull &&
+            call_function("encode", call_function("decode", ub, lit("UTF-8")),
+              lit("UTF-8")) === ub
+        case "new_guid" =>
+          // deviation (documented): a DETERMINISTIC per-row GUID (md5 of the
+          // partition-monotonic row id) instead of Kusto's random v4 — the
+          // engine-wide replayability convention; note the stream depends on
+          // the partition layout, so persist it at ingest if stability across
+          // re-partitioning matters
+          val gh = md5(monotonically_increasing_id().cast("string"))
+          concat_ws("-", substring(gh, 1, 8), substring(gh, 9, 4),
+            substring(gh, 13, 4), substring(gh, 17, 4), substring(gh, 21, 12))
         case "isnull" => args.head.isNull
         case "isnotnull" => args.head.isNotNull
         case "isempty" => args.head.isNull || args.head === ""
@@ -3146,6 +3179,18 @@ object KqlParser {
           call_function("graft_h3_center_point", args.head.cast("string"))
         case "geo_h3cell_neighbors" =>
           call_function("graft_h3_neighbors", args.head.cast("string"))
+        case "geo_intersection_2polygons" | "geo_union_2polygons" =>
+          // Greiner–Hormann clipping (PolygonClipExpressions.scala) over the
+          // geo family's bare vertex rings; deviations documented there
+          call_function(
+            if (f == "geo_intersection_2polygons") "graft_polygon_intersection"
+            else "graft_polygon_union",
+            args(0).cast("array<array<double>>"), args(1).cast("array<array<double>>"))
+        case "geo_line_simplify" =>
+          // Ramer–Douglas–Peucker, meters tolerance (default 10 m like Kusto)
+          val tol = if (args.length > 1) args(1).cast("double") else lit(10.0)
+          call_function("graft_line_simplify",
+            args.head.cast("array<array<double>>"), tol)
         case "geo_point_in_polygon" =>
           geoPointInPolygon(args(0), args(1), args(2))
         case "geo_line_length" => geoLineLength(args.head)

@@ -325,6 +325,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_h3_neighbors"),
       new ExpressionInfo(classOf[H3NeighborsExpr].getName, "graft_h3_neighbors"),
       (children: Seq[Expression]) => H3NeighborsExpr(children.head)))
+    // polygon boolean ops + polyline simplify (PolygonClipExpressions.scala)
+    e.injectFunction((
+      FunctionIdentifier("graft_polygon_intersection"),
+      new ExpressionInfo(classOf[PolygonBoolExpr].getName, "graft_polygon_intersection"),
+      (children: Seq[Expression]) => PolygonBoolExpr(children(0), children(1), union = false)))
+    e.injectFunction((
+      FunctionIdentifier("graft_polygon_union"),
+      new ExpressionInfo(classOf[PolygonBoolExpr].getName, "graft_polygon_union"),
+      (children: Seq[Expression]) => PolygonBoolExpr(children(0), children(1), union = true)))
+    e.injectFunction((
+      FunctionIdentifier("graft_line_simplify"),
+      new ExpressionInfo(classOf[LineSimplifyExpr].getName, "graft_line_simplify"),
+      (children: Seq[Expression]) => LineSimplifyExpr(children(0), children(1))))
     // statistical special functions (StatExpressions.scala)
     StatExpressions.names.foreach { case (kql, regName) =>
       e.injectFunction((

@@ -1,0 +1,277 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Polygon boolean ops and polyline simplification
+  * (`geo_intersection_2polygons` / `geo_union_2polygons` /
+  * `geo_line_simplify`; reference KQL surface README.md:33-34), from the
+  * published algorithms: Greiner–Hormann clipping (the linked-vertex
+  * variant of Weiler–Atherton) and Ramer–Douglas–Peucker simplification.
+  *
+  * Deviations (documented): rings in/out are the bare [[lng,lat],…] vertex
+  * form used across the geo family (not GeoJSON bags); clipping is planar
+  * in lng/lat space (the geo_point_in_polygon / centroid convention —
+  * exact IEEE arithmetic, sub-degree extents); when a boolean result is
+  * disconnected or has holes, the largest-|area| ring is returned (Kusto
+  * emits a MultiPolygon); inputs are assumed simple polygons in general
+  * position (shared-vertex degeneracies follow the tie behavior of the
+  * segment-intersection test). The result ring is canonicalized: oriented
+  * counter-clockwise and rotated to start at the lexicographically
+  * smallest vertex, so results are replayable constants for the oracle. */
+object PolygonClip {
+
+  private final class Vtx(val x: Double, val y: Double) {
+    var next: Vtx = _
+    var prev: Vtx = _
+    var intersect = false
+    var entry = false
+    var neighbor: Vtx = _
+    var processed = false
+  }
+
+  private def readRing(a: ArrayData): Array[(Double, Double)] = {
+    val nAll = a.numElements()
+    require(nAll >= 3, "polygon needs >= 3 vertices")
+    val n = {
+      val p0 = a.getArray(0); val pl = a.getArray(nAll - 1)
+      if (nAll > 1 && p0.getDouble(0) == pl.getDouble(0) &&
+        p0.getDouble(1) == pl.getDouble(1)) nAll - 1 else nAll
+    }
+    Array.tabulate(n) { i =>
+      val p = a.getArray(i); (p.getDouble(0), p.getDouble(1))
+    }
+  }
+
+  private def rayCast(x: Double, y: Double, ring: Array[(Double, Double)]): Boolean = {
+    var c = false; var i = 0; val n = ring.length
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      val (xi, yi) = ring(i); val (xj, yj) = ring(j)
+      if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi) c = !c
+      i += 1
+    }
+    c
+  }
+
+  /** Circular list with intersection vertices of the other ring spliced in
+    * (sorted by the parameter along each original edge). Returns the list
+    * head and the count of intersections found. */
+  private def buildLists(s: Array[(Double, Double)], c: Array[(Double, Double)])
+      : (Vtx, Vtx, Int) = {
+    // per original edge, the (alpha, vertex) intersections to splice
+    val sIns = Array.fill(s.length)(List.empty[(Double, Vtx)])
+    val cIns = Array.fill(c.length)(List.empty[(Double, Vtx)])
+    var count = 0
+    var i = 0
+    while (i < s.length) {
+      val (x1, y1) = s(i); val (x2, y2) = s((i + 1) % s.length)
+      var j = 0
+      while (j < c.length) {
+        val (x3, y3) = c(j); val (x4, y4) = c((j + 1) % c.length)
+        val den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        if (den != 0.0) {
+          val t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / den
+          val u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / den
+          if (t > 0 && t < 1 && u > 0 && u < 1) {
+            val ix = x1 + t * (x2 - x1); val iy = y1 + t * (y2 - y1)
+            val vs = new Vtx(ix, iy); val vc = new Vtx(ix, iy)
+            vs.intersect = true; vc.intersect = true
+            vs.neighbor = vc; vc.neighbor = vs
+            sIns(i) = (t, vs) :: sIns(i)
+            cIns(j) = (u, vc) :: cIns(j)
+            count += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    def link(ring: Array[(Double, Double)], ins: Array[List[(Double, Vtx)]]): Vtx = {
+      val all = ring.indices.flatMap { i =>
+        new Vtx(ring(i)._1, ring(i)._2) +: ins(i).sortBy(_._1).map(_._2)
+      }
+      all.indices.foreach { i =>
+        all(i).next = all((i + 1) % all.length)
+        all(i).prev = all((i - 1 + all.length) % all.length)
+      }
+      all.head
+    }
+    (link(s, sIns), link(c, cIns), count)
+  }
+
+  /** Alternate entry/exit flags along a list; `firstInside` is whether the
+    * list's first vertex lies inside the OTHER polygon. */
+  private def markEntries(head: Vtx, firstInside: Boolean): Unit = {
+    var entry = !firstInside // next intersection enters iff we start outside
+    var v = head
+    do {
+      if (v.intersect) { v.entry = entry; entry = !entry }
+      v = v.next
+    } while (v ne head)
+  }
+
+  private def shoelace(ring: Seq[(Double, Double)]): Double = {
+    var a = 0.0; var i = 0; val n = ring.length
+    while (i < n) {
+      val j = if (i + 1 == n) 0 else i + 1
+      a += ring(i)._1 * ring(j)._2 - ring(j)._1 * ring(i)._2
+      i += 1
+    }
+    a / 2.0
+  }
+
+  /** Canonical form: CCW orientation, rotated to start at the smallest
+    * (x, y) vertex, duplicate-free. */
+  private def canonical(ring: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val dedup = ring.zipWithIndex.filter { case (p, i) =>
+      p != ring((i + 1) % ring.length) }.map(_._1)
+    if (dedup.length < 3) return Nil
+    val ccw = if (shoelace(dedup) < 0) dedup.reverse else dedup
+    val start = ccw.indices.minBy(i => ccw(i))
+    ccw.drop(start) ++ ccw.take(start)
+  }
+
+  /** Greiner–Hormann traversal. `union = false` → intersection. */
+  private def clip(sArr: ArrayData, cArr: ArrayData, union: Boolean): Seq[Seq[(Double, Double)]] = {
+    val s = readRing(sArr); val c = readRing(cArr)
+    val (sHead, cHead, n) = buildLists(s, c)
+    if (n == 0) {
+      // containment / disjoint cases
+      val sInC = rayCast(s(0)._1, s(0)._2, c)
+      val cInS = rayCast(c(0)._1, c(0)._2, s)
+      return (union, sInC, cInS) match {
+        case (false, true, _) => Seq(s.toSeq) // S ⊂ C → S
+        case (false, _, true) => Seq(c.toSeq) // C ⊂ S → C
+        case (false, _, _)    => Nil          // disjoint
+        case (true, true, _)  => Seq(c.toSeq) // S ⊂ C → C
+        case (true, _, true)  => Seq(s.toSeq)
+        case (true, _, _)     => Nil          // disconnected union (documented)
+      }
+    }
+    markEntries(sHead, firstInside = rayCast(s(0)._1, s(0)._2, c) != union)
+    markEntries(cHead, firstInside = rayCast(c(0)._1, c(0)._2, s) != union)
+    val polys = Seq.newBuilder[Seq[(Double, Double)]]
+    var guard = 0
+    def nextUnprocessed(): Vtx = {
+      var v = sHead
+      do { if (v.intersect && !v.processed) return v; v = v.next } while (v ne sHead)
+      null
+    }
+    var start = nextUnprocessed()
+    while (start != null && guard < 10000) {
+      val poly = Seq.newBuilder[(Double, Double)]
+      var cur = start
+      do {
+        cur.processed = true; cur.neighbor.processed = true
+        if (cur.entry) {
+          do { cur = cur.next; poly += ((cur.x, cur.y)); guard += 1 }
+          while (!cur.intersect && guard < 10000)
+        } else {
+          do { cur = cur.prev; poly += ((cur.x, cur.y)); guard += 1 }
+          while (!cur.intersect && guard < 10000)
+        }
+        cur = cur.neighbor
+      } while ((cur ne start) && !cur.processed && guard < 10000)
+      polys += poly.result()
+      start = nextUnprocessed()
+    }
+    polys.result()
+  }
+
+  private def toArrayData(ring: Seq[(Double, Double)]): GenericArrayData =
+    new GenericArrayData(ring.map { case (x, y) =>
+      new GenericArrayData(Array[Any](x, y)) }.toArray[Any])
+
+  /** Entry point: largest-|area| canonical ring, or null when empty. */
+  def boolOp(s: ArrayData, c: ArrayData, union: Boolean): GenericArrayData = {
+    val rings = clip(s, c, union).map(canonical).filter(_.nonEmpty)
+    if (rings.isEmpty) null
+    else toArrayData(rings.maxBy(r => math.abs(shoelace(r))))
+  }
+
+  /** Ramer–Douglas–Peucker with a meters tolerance (equirectangular local
+    * projection anchored at each segment's start — the geoPointToLine
+    * convention). Endpoints always kept. */
+  def simplify(lineArr: ArrayData, tolMeters: Double): GenericArrayData = {
+    val n = lineArr.numElements()
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val p = lineArr.getArray(i); xs(i) = p.getDouble(0); ys(i) = p.getDouble(1)
+      i += 1
+    }
+    if (n < 3) return toArrayData(xs.indices.map(i => (xs(i), ys(i))))
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    val tolDeg = tolMeters / 111320.0
+    def rdp(a: Int, b: Int): Unit = {
+      if (b <= a + 1) return
+      val cosl = math.cos(math.toRadians(ys(a)))
+      val ax = 0.0; val ay = 0.0
+      val bx = (xs(b) - xs(a)) * cosl; val by = ys(b) - ys(a)
+      val len = math.hypot(bx - ax, by - ay)
+      var worst = -1.0; var wi = -1
+      var i = a + 1
+      while (i < b) {
+        val px = (xs(i) - xs(a)) * cosl; val py = ys(i) - ys(a)
+        val d =
+          if (len == 0.0) math.hypot(px, py)
+          else math.abs((bx - ax) * (ay - py) - (ax - px) * (by - ay)) / len
+        if (d > worst) { worst = d; wi = i }
+        i += 1
+      }
+      if (worst > tolDeg) { keep(wi) = true; rdp(a, wi); rdp(wi, b) }
+    }
+    rdp(0, n - 1)
+    toArrayData(xs.indices.filter(keep).map(i => (xs(i), ys(i))))
+  }
+}
+
+/** geo_intersection_2polygons / geo_union_2polygons (ring, ring) → ring. */
+case class PolygonBoolExpr(left: Expression, right: Expression, union: Boolean)
+    extends BinaryExpression {
+  private def ringType(dt: DataType): Boolean = dt match {
+    case ArrayType(ArrayType(DoubleType, _), _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ringType(left.dataType) && ringType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("expected two array<array<double>> rings")
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PolygonClip.boolOp(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], union)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.PolygonClip.boolOp($a, $b, $union)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String =
+    if (union) "graft_polygon_union" else "graft_polygon_intersection"
+}
+
+/** geo_line_simplify(line, tolerance_meters) → line. */
+case class LineSimplifyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(DoubleType, _), _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected (array<array<double>>, double), got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override protected def nullSafeEval(a: Any, t: Any): Any =
+    PolygonClip.simplify(a.asInstanceOf[ArrayData], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, t) => s"graft.plans.PolygonClip.simplify($a, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_line_simplify"
+}

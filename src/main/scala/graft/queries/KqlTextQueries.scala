@@ -3427,6 +3427,64 @@ object KqlTextQueries {
              |  CAST(1 AS INT) AS stable, CAST(6 AS BIGINT) AS nbn,
              |  CAST(1 AS INT) AS near
              |FROM (VALUES (1, '8021fffffffffff'), (2, '8027fffffffffff'))
-             |  AS t(id, c0) ORDER BY id""".stripMargin))
+             |  AS t(id, c0) ORDER BY id""".stripMargin)),
+
+    // geo_intersection_2polygons / geo_union_2polygons (Greiner–Hormann,
+    // PolygonClipExpressions.scala) + geo_line_simplify (RDP). Closed-form
+    // fixtures, hand-computed: [0,4]×[0,3] ∩ [2,6]×[1,5] = [2,4]×[1,3]
+    // (4 vertices, canonical CCW from (2,1)); the union is the 8-vertex
+    // rectilinear boundary with (6,1) at canonical position 3; the x+y≤4
+    // triangle clipped by [1,5]² is the (1,1)(3,1)(1,3) triangle; RDP at
+    // 100 m drops an 11 m wiggle to the 2 endpoints.
+    QueryDef("q_kql_geo_bool",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1]
+          || extend a = pack_array(pack_array(0.0, 0.0), pack_array(4.0, 0.0),
+          |      pack_array(4.0, 3.0), pack_array(0.0, 3.0)),
+          |    b = pack_array(pack_array(2.0, 1.0), pack_array(6.0, 1.0),
+          |      pack_array(6.0, 5.0), pack_array(2.0, 5.0)),
+          |    tr = pack_array(pack_array(0.0, 0.0), pack_array(4.0, 0.0),
+          |      pack_array(0.0, 4.0)),
+          |    cl = pack_array(pack_array(1.0, 1.0), pack_array(5.0, 1.0),
+          |      pack_array(5.0, 5.0), pack_array(1.0, 5.0))
+          || extend ix = geo_intersection_2polygons(a, b),
+          |    un = geo_union_2polygons(a, b),
+          |    tc = geo_intersection_2polygons(tr, cl),
+          |    ln = geo_line_simplify(pack_array(pack_array(0.0, 0.0),
+          |      pack_array(1.0, 0.0001), pack_array(2.0, 0.0), pack_array(4.0, 0.0)), 100.0)
+          || project id, ni = array_length(ix), nu = array_length(un),
+          |    nt = array_length(tc),
+          |    i0x = todouble(ix[0][0]), i0y = todouble(ix[0][1]),
+          |    i2x = todouble(ix[2][0]),
+          |    u0x = todouble(un[0][0]), u3x = todouble(un[3][0]),
+          |    u3y = todouble(un[3][1]),
+          |    t2x = todouble(tc[2][0]), t2y = todouble(tc[2][1]),
+          |    nl = array_length(ln), lex = todouble(ln[1][0])
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(1 AS BIGINT) AS id, CAST(4 AS BIGINT) AS ni,
+             |  CAST(8 AS BIGINT) AS nu, CAST(3 AS BIGINT) AS nt,
+             |  2.0 AS i0x, 1.0 AS i0y, 4.0 AS i2x,
+             |  0.0 AS u0x, 6.0 AS u3x, 1.0 AS u3y,
+             |  1.0 AS t2x, 3.0 AS t2y,
+             |  CAST(2 AS BIGINT) AS nl, 4.0 AS lex
+             |ORDER BY id""".stripMargin)),
+
+    // isutf8 (decode→re-encode round-trip validation), new_guid
+    // (DETERMINISTIC stream — documented deviation from Kusto's random v4;
+    // structure + distinctness are the testable contract), evaluate
+    // preview(N) (single-table deviation)
+    QueryDef("q_kql_scalar_misc15",
+      (s, d) => run(s, d,
+        """let p = events | evaluate preview(5) | summarize pn = count();
+          |events
+          || where event_id % 1000 == 0
+          || extend g = new_guid()
+          || summarize n = count(), ng = count_distinct(g),
+          |    okfmt = countif(g matches regex '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'),
+          |    u = countif(isutf8(event_type)), u0 = countif(isutf8(''))
+          || extend pn = toscalar(p)""".stripMargin),
+      Some("""SELECT COUNT(*) AS n, COUNT(*) AS ng, COUNT(*) AS okfmt,
+             |  COUNT(*) AS u, COUNT(*) AS u0, CAST(5 AS BIGINT) AS pn
+             |FROM events WHERE event_id % 1000 = 0""".stripMargin))
   )
 }
