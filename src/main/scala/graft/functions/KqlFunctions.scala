@@ -264,6 +264,61 @@ object KqlFunctions {
     when(valid, array_join(transform(full, x => lpad(x, 4, "0")), ":"))
   }
 
+  /** KQL `parse_user_agent(ua, 'browser'|'os'|both)` — compact rule-based
+    * family + version detection over the common tokens (Edge/Opera/Chrome/
+    * Firefox/Safari/IE; Windows/macOS/iOS/Android/Linux), built as a typed
+    * nested struct (dot-accessible). Deviation (documented): Kusto embeds the
+    * full uap-core regex corpus (thousands of published data rules); this
+    * covers the mainstream families and reports Family/MajorVersion/
+    * MinorVersion, with 'Other' for the long tail. */
+  def parseUserAgent(ua0: Column, wantBrowser: Boolean, wantOs: Boolean): Column = {
+    val ua = ua0.cast("string")
+    def ver(pat: String, grp: Int): Column = regexp_extract(ua, pat, grp)
+    val structs = Seq.newBuilder[Column]
+    if (wantBrowser) {
+      // order matters: Edge/Opera carry Chrome tokens, Chrome carries Safari
+      val fam = when(ua.contains("Edg"), "Edge")
+        .when(ua.contains("OPR/") || ua.contains("Opera"), "Opera")
+        .when(ua.contains("Chrome/"), "Chrome")
+        .when(ua.contains("Firefox/"), "Firefox")
+        .when(ua.contains("Version/") && ua.contains("Safari/"), "Safari")
+        .when(ua.contains("MSIE ") || ua.contains("Trident/"), "IE")
+        .otherwise("Other")
+      val v = when(fam === "Edge", ver("Edga?e?/([0-9]+)\\.([0-9]+)?", 1))
+        .when(fam === "Opera", coalesce(ver("OPR/([0-9]+)", 1), ver("Opera[ /]([0-9]+)", 1)))
+        .when(fam === "Chrome", ver("Chrome/([0-9]+)", 1))
+        .when(fam === "Firefox", ver("Firefox/([0-9]+)", 1))
+        .when(fam === "Safari", ver("Version/([0-9]+)", 1))
+        .when(fam === "IE", coalesce(ver("MSIE ([0-9]+)", 1), ver("rv:([0-9]+)", 1)))
+        .otherwise(lit(""))
+      val vm = when(fam === "Edge", ver("Edga?e?/[0-9]+\\.([0-9]+)", 1))
+        .when(fam === "Chrome", ver("Chrome/[0-9]+\\.([0-9]+)", 1))
+        .when(fam === "Firefox", ver("Firefox/[0-9]+\\.([0-9]+)", 1))
+        .when(fam === "Safari", ver("Version/[0-9]+\\.([0-9]+)", 1))
+        .otherwise(lit(""))
+      structs += struct(fam.as("Family"), coalesce(v, lit("")).as("MajorVersion"),
+        coalesce(vm, lit("")).as("MinorVersion")).as("Browser")
+    }
+    if (wantOs) {
+      val fam = when(ua.contains("Windows Phone"), "Windows Phone")
+        .when(ua.contains("Windows NT"), "Windows")
+        .when(ua.contains("iPhone") || ua.contains("iPad"), "iOS")
+        .when(ua.contains("Mac OS X"), "Mac OS X")
+        .when(ua.contains("Android"), "Android")
+        .when(ua.contains("CrOS"), "Chrome OS")
+        .when(ua.contains("Linux"), "Linux")
+        .otherwise("Other")
+      val v = when(fam === "Windows", ver("Windows NT ([0-9]+)", 1))
+        .when(fam === "iOS", ver("OS ([0-9]+)_", 1))
+        .when(fam === "Mac OS X", ver("Mac OS X ([0-9]+)[._]", 1))
+        .when(fam === "Android", ver("Android ([0-9]+)", 1))
+        .otherwise(lit(""))
+      structs += struct(fam.as("Family"),
+        coalesce(v, lit("")).as("MajorVersion")).as("OperatingSystem")
+    }
+    struct(structs.result(): _*)
+  }
+
   // --- exact-sum helpers ---
   /** Sum of a 2-decimal monetary double, computed exactly via decimal then returned as
     * double: deterministic regardless of partitioning/aggregation order — required both

@@ -2745,6 +2745,72 @@ object KqlParser {
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)
+        case "rand" =>
+          // deviation (documented): DETERMINISTIC stream (xxhash64 of the
+          // partition-monotonic row id, normalized) instead of Kusto's
+          // random — the new_guid replayability convention
+          val r01 = pmod(xxhash64(monotonically_increasing_id()), lit(1000000000L))
+            .cast("double") / lit(1.0e9)
+          if (args.isEmpty) r01 else floor(r01 * args.head.cast("double")).cast("long")
+        case "repeat" =>
+          // repeat(value, count) → array (negative count → empty, Kusto)
+          array_repeat(args.head, greatest(args(1).cast("int"), lit(0)))
+        case "dynamic_to_json" =>
+          // canonical JSON text of a dynamic (map/array/struct)
+          to_json(args.head)
+        case "parse_ipv6_mask" =>
+          // canonical form with bits past the literal prefix zeroed — the
+          // ipv6_lookup hex-digit masking, re-coloned
+          val pfxM = litLong(args(1)).toInt
+          require(pfxM >= 0 && pfxM <= 128, s"parse_ipv6_mask: prefix 0..128, got $pfxM")
+          val hx = translate(graft.functions.KqlFunctions.parseIpv6(args.head), ":", "")
+          val fullM = pfxM / 4; val remM = pfxM % 4
+          val masked =
+            if (remM == 0) rpad(substring(hx, 1, fullM), 32, "0")
+            else {
+              val dg = conv(substring(hx, fullM + 1, 1), 16, 10).cast("int")
+              val mm = dg.bitwiseAND(lit(~((1 << (4 - remM)) - 1) & 0xF))
+              rpad(concat(substring(hx, 1, fullM),
+                lower(conv(mm.cast("string"), 10, 16))), 32, "0")
+            }
+          when(hx.isNotNull, concat_ws(":",
+            (0 until 8).map(i => substring(masked, i * 4 + 1, 4)): _*))
+        case "assert" =>
+          // assert(cond, message) — true or fails the query (Kusto semantics)
+          when(args.head, lit(true)).otherwise(
+            call_function("raise_error", if (args.length > 1) args(1) else lit("assert failed"))
+              .cast("boolean"))
+        case "current_principal" =>
+          // no auth subsystem (documented): a fixed engine principal
+          lit("graftuser@graft")
+        case "cursor_current" => lit("0")
+        case "ingestion_time" =>
+          // the ingest contract's mandatory _ts column (Tables.scala); the
+          // fixture tables carry it as `ts`
+          col(if (curColsSeq.contains("_ts")) "_ts" else "ts")
+        case "extent_id" =>
+          // Spark's extent analogue is the input file; GUID-formatted md5 of
+          // its path (documented mapping)
+          val fh = md5(call_function("input_file_name"))
+          concat_ws("-", substring(fh, 1, 8), substring(fh, 9, 4),
+            substring(fh, 13, 4), substring(fh, 17, 4), substring(fh, 21, 12))
+        case "parse_user_agent" =>
+          // compact mainstream-family detection (KqlFunctions.parseUserAgent;
+          // deviation from the uap-core data corpus documented there).
+          // Accepts 'browser' / 'os' / a dynamic list of both.
+          val want: Seq[String] = args.drop(1).flatMap { a =>
+            if (!litValues.containsKey(a)) Nil
+            else litValues.get(a) match {
+              case s: String => Seq(s)
+              case cols: Seq[_] => cols.collect { // spliced dynamic([...]) list
+                case c: Column if litValues.containsKey(c) => litValues.get(c).toString
+              }
+              case other => Seq(other.toString)
+            }
+          }
+          val wantSet = if (want.isEmpty) Set("browser") else want.map(_.toLowerCase).toSet
+          graft.functions.KqlFunctions.parseUserAgent(args.head,
+            wantSet.contains("browser"), wantSet.contains("os"))
         case "isutf8" =>
           // valid iff the UTF-8 decode→re-encode round-trips the bytes;
           // string inputs cast to their UTF-8 bytes (valid by construction),
@@ -3191,6 +3257,26 @@ object KqlParser {
           val tol = if (args.length > 1) args(1).cast("double") else lit(10.0)
           call_function("graft_line_simplify",
             args.head.cast("array<array<double>>"), tol)
+        case "geo_intersects_2polygons" =>
+          // boolean form of the clipper: a non-null intersection ring
+          call_function("graft_polygon_intersection",
+            args(0).cast("array<array<double>>"),
+            args(1).cast("array<array<double>>")).isNotNull
+        case "geo_intersects_line_with_polygon" =>
+          call_function("graft_geo_line_in_poly",
+            args(0).cast("array<array<double>>"), args(1).cast("array<array<double>>"))
+        case "geo_line_densify" | "geo_polygon_densify" =>
+          // planar linear interpolation (documented; Kusto densifies along
+          // the geodesic) to a meters spacing, default 100 m
+          val dtol = if (args.length > 1) args(1).cast("double") else lit(100.0)
+          call_function(
+            if (f == "geo_line_densify") "graft_geo_densify_line"
+            else "graft_geo_densify_ring",
+            args.head.cast("array<array<double>>"), dtol)
+        case "geo_simplify_polygons_array" =>
+          val stol = if (args.length > 1) args(1).cast("double") else lit(10.0)
+          call_function("graft_geo_simplify_rings",
+            args.head.cast("array<array<array<double>>>"), stol)
         case "geo_point_in_polygon" =>
           geoPointInPolygon(args(0), args(1), args(2))
         case "geo_line_length" => geoLineLength(args.head)
@@ -3487,7 +3573,7 @@ object KqlParser {
           val k = pmod(args(1).cast("int"), n)
           when(n === 0, args.head).otherwise(
             concat(slice(args.head, n - k + 1, k), slice(args.head, lit(1), n - k)))
-        case "bag_pack" | "pack" => // `pack` is the legacy Kusto alias
+        case "bag_pack" | "pack" | "pack_dictionary" => // legacy Kusto aliases
           // bag_pack(k1, v1, k2, v2, ...) → dynamic property bag (map)
           map(args: _*)
         case "pack_all" =>

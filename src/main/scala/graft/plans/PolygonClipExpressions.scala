@@ -193,6 +193,102 @@ object PolygonClip {
     else toArrayData(rings.maxBy(r => math.abs(shoelace(r))))
   }
 
+  /** geo_intersects_line_with_polygon: any vertex inside, or any segment
+    * crossing any polygon edge (planar, general position). */
+  def lineIntersectsPolygon(lineArr: ArrayData, ringArr: ArrayData): Boolean = {
+    val ring = readRing(ringArr)
+    val n = lineArr.numElements()
+    var i = 0
+    while (i < n) {
+      val p = lineArr.getArray(i)
+      if (rayCast(p.getDouble(0), p.getDouble(1), ring)) return true
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val a = lineArr.getArray(i); val b = lineArr.getArray(i + 1)
+      var j = 0
+      while (j < ring.length) {
+        val (x3, y3) = ring(j); val (x4, y4) = ring((j + 1) % ring.length)
+        val x1 = a.getDouble(0); val y1 = a.getDouble(1)
+        val x2 = b.getDouble(0); val y2 = b.getDouble(1)
+        val den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        if (den != 0.0) {
+          val t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / den
+          val u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / den
+          if (t >= 0 && t <= 1 && u >= 0 && u <= 1) return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** geo_line_densify / geo_polygon_densify: linear interpolation in lng/lat
+    * (planar, documented) so consecutive vertices are ≤ tolerance apart.
+    * `close = true` also densifies the wrap edge of a ring. */
+  def densify(lineArr: ArrayData, tolMeters: Double, close: Boolean): GenericArrayData = {
+    require(tolMeters > 0, "densify tolerance must be positive")
+    val n = lineArr.numElements()
+    val out = Seq.newBuilder[(Double, Double)]
+    val edges = if (close) n else n - 1
+    var i = 0
+    while (i < edges) {
+      val a = lineArr.getArray(i); val b = lineArr.getArray((i + 1) % n)
+      val x1 = a.getDouble(0); val y1 = a.getDouble(1)
+      val x2 = b.getDouble(0); val y2 = b.getDouble(1)
+      out += ((x1, y1))
+      val cosl = math.cos(math.toRadians(y1))
+      val meters = math.hypot((x2 - x1) * cosl, y2 - y1) * 111320.0
+      val steps = math.ceil(meters / tolMeters).toInt
+      var k = 1
+      while (k < steps) {
+        val f = k.toDouble / steps
+        out += ((x1 + f * (x2 - x1), y1 + f * (y2 - y1)))
+        k += 1
+      }
+      i += 1
+    }
+    if (!close && n > 0) {
+      val last = lineArr.getArray(n - 1)
+      out += ((last.getDouble(0), last.getDouble(1)))
+    }
+    toArrayData(out.result())
+  }
+
+  /** geo_simplify_polygons_array: RDP each ring, anchored at vertex 0 and
+    * the vertex farthest from it (the standard closed-ring split). */
+  def simplifyRings(polysArr: ArrayData, tolMeters: Double): GenericArrayData = {
+    val out = (0 until polysArr.numElements()).map { p =>
+      val ringArr = polysArr.getArray(p)
+      val ring = readRing(ringArr)
+      if (ring.length <= 4) toArrayData(ring.toSeq)
+      else {
+        val (x0, y0) = ring(0)
+        val far = ring.indices.maxBy { i =>
+          val (x, y) = ring(i); (x - x0) * (x - x0) + (y - y0) * (y - y0)
+        }
+        // two open chains: 0..far and far..n..0 (wrapped), each simplified
+        val chain1 = ring.slice(0, far + 1)
+        val chain2 = ring.drop(far) :+ ring(0)
+        val s1 = simplifyChain(chain1, tolMeters)
+        val s2 = simplifyChain(chain2, tolMeters)
+        toArrayData(s1 ++ s2.drop(1).dropRight(1))
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private def simplifyChain(pts: Array[(Double, Double)], tolMeters: Double): Seq[(Double, Double)] = {
+    val arr = new GenericArrayData(pts.map { case (x, y) =>
+      new GenericArrayData(Array[Any](x, y)) }.toArray[Any])
+    val s = simplify(arr, tolMeters)
+    (0 until s.numElements()).map { i =>
+      val p = s.getArray(i); (p.getDouble(0), p.getDouble(1))
+    }
+  }
+
   /** Ramer–Douglas–Peucker with a meters tolerance (equirectangular local
     * projection anchored at each segment's start — the geoPointToLine
     * convention). Endpoints always kept. */
@@ -254,6 +350,44 @@ case class PolygonBoolExpr(left: Expression, right: Expression, union: Boolean)
     copy(left = l, right = r)
   override def prettyName: String =
     if (union) "graft_polygon_union" else "graft_polygon_intersection"
+}
+
+/** Two-arg geo helpers dispatched by method name:
+  * line_in_poly(line, ring) → bool; densify_line/densify_ring(line, tol) →
+  * line; simplify_rings(rings, tol) → rings. */
+case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array, got $other")
+  }
+  override def dataType: DataType = fn match {
+    case "line_in_poly" => org.apache.spark.sql.types.BooleanType
+    case "simplify_rings" => ArrayType(
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
+      containsNull = false)
+    case _ => ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = fn match {
+    case "line_in_poly" =>
+      PolygonClip.lineIntersectsPolygon(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "densify_line" =>
+      PolygonClip.densify(a.asInstanceOf[ArrayData], b.asInstanceOf[Double], close = false)
+    case "densify_ring" =>
+      PolygonClip.densify(a.asInstanceOf[ArrayData], b.asInstanceOf[Double], close = true)
+    case "simplify_rings" =>
+      PolygonClip.simplifyRings(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => fn match {
+      case "line_in_poly" => s"graft.plans.PolygonClip.lineIntersectsPolygon($a, $b)"
+      case "densify_line" => s"graft.plans.PolygonClip.densify($a, $b, false)"
+      case "densify_ring" => s"graft.plans.PolygonClip.densify($a, $b, true)"
+      case "simplify_rings" => s"graft.plans.PolygonClip.simplifyRings($a, $b)"
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = s"graft_geo_$fn"
 }
 
 /** geo_line_simplify(line, tolerance_meters) → line. */

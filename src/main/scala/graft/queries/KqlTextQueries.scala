@@ -3485,6 +3485,86 @@ object KqlTextQueries {
           || extend pn = toscalar(p)""".stripMargin),
       Some("""SELECT COUNT(*) AS n, COUNT(*) AS ng, COUNT(*) AS okfmt,
              |  COUNT(*) AS u, COUNT(*) AS u0, CAST(5 AS BIGINT) AS pn
-             |FROM events WHERE event_id % 1000 = 0""".stripMargin))
+             |FROM events WHERE event_id % 1000 = 0""".stripMargin)),
+
+    // scalar batch 16: parse_user_agent (compact mainstream families —
+    // documented deviation from the uap-core data corpus), deterministic
+    // rand()/rand(N) bounds, repeat, pack_dictionary, dynamic_to_json,
+    // parse_ipv6_mask (hand-masked oracle literal), assert,
+    // current_principal/cursor_current constants, ingestion_time == ts on
+    // the ingest contract, extent_id GUID shape
+    QueryDef("q_kql_scalar_misc16",
+      (s, d) => run(s, d,
+        """let ev = events
+          || where event_id % 2000 == 0
+          || extend xok = iff(ingestion_time() == ts
+          |      and extent_id() matches regex '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$', 1, 0)
+          || summarize okn = sum(xok), tot = count()
+          || project ok = iff(okn == tot and tot > 0, 1, 0);
+          |datatable(id: long, ua: string) [
+          |  1, 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36',
+          |  2, 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15',
+          |  3, 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91',
+          |  4, 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0']
+          || extend b = parse_user_agent(ua, 'browser'), o = parse_user_agent(ua, 'os')
+          || extend r = rand(), ri = rand(10)
+          || project id,
+          |    bf = tostring(b.Browser.Family), bv = tostring(b.Browser.MajorVersion),
+          |    osf = tostring(o.OperatingSystem.Family),
+          |    rok = iff(r >= 0.0 and r < 1.0, 1, 0),
+          |    riok = iff(ri >= 0 and ri < 10, 1, 0),
+          |    rep = strcat_array(repeat(7, 3), ','),
+          |    pd = tostring(pack_dictionary('k', 'v')['k']),
+          |    dj = dynamic_to_json(pack_array(1, 2)),
+          |    i6 = parse_ipv6_mask('2001:0db8:85a3:0000:0000:8a2e:0370:7334', 36),
+          |    asrt = iff(assert(1 == 1, 'ok'), 1, 0),
+          |    cp = current_principal(), cc = cursor_current(),
+          |    itok = toscalar(ev)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, bf, bv, osf,
+             |  CAST(1 AS INT) AS rok, CAST(1 AS INT) AS riok,
+             |  '7,7,7' AS rep, 'v' AS pd, '[1,2]' AS dj,
+             |  '2001:0db8:8000:0000:0000:0000:0000:0000' AS i6,
+             |  CAST(1 AS INT) AS asrt, 'graftuser@graft' AS cp, '0' AS cc,
+             |  CAST(1 AS INT) AS itok
+             |FROM (VALUES
+             |  (1, 'Chrome', '120', 'Windows'),
+             |  (2, 'Safari', '17', 'Mac OS X'),
+             |  (3, 'Edge', '120', 'Windows'),
+             |  (4, 'Firefox', '115', 'Linux')) AS t(id, bf, bv, osf)
+             |ORDER BY id""".stripMargin)),
+
+    // geo batch: intersects predicates (clipper-derived + segment tests),
+    // planar densify (count is closed-form: ceil(edge_m/tol) segments),
+    // simplify_polygons_array ring RDP
+    QueryDef("q_kql_geo_bool2",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1]
+          || extend a = pack_array(pack_array(0.0, 0.0), pack_array(4.0, 0.0),
+          |      pack_array(4.0, 3.0), pack_array(0.0, 3.0)),
+          |    b = pack_array(pack_array(2.0, 1.0), pack_array(6.0, 1.0),
+          |      pack_array(6.0, 5.0), pack_array(2.0, 5.0)),
+          |    far = pack_array(pack_array(10.0, 10.0), pack_array(11.0, 10.0),
+          |      pack_array(11.0, 11.0)),
+          |    ln = pack_array(pack_array(-1.0, 1.0), pack_array(5.0, 1.0)),
+          |    lout = pack_array(pack_array(-1.0, 5.0), pack_array(5.0, 5.0))
+          || project id,
+          |    i1 = iff(geo_intersects_2polygons(a, b), 1, 0),
+          |    i2 = iff(geo_intersects_2polygons(a, far), 1, 0),
+          |    l1 = iff(geo_intersects_line_with_polygon(ln, a), 1, 0),
+          |    l2 = iff(geo_intersects_line_with_polygon(lout, a), 1, 0),
+          |    nd = array_length(geo_line_densify(pack_array(pack_array(0.0, 0.0),
+          |      pack_array(0.0, 1.0)), 55660.0)),
+          |    np = array_length(geo_polygon_densify(pack_array(pack_array(0.0, 0.0),
+          |      pack_array(0.0, 1.0), pack_array(0.001, 1.0)), 55660.0)),
+          |    ns = array_length(geo_simplify_polygons_array(pack_array(
+          |      pack_array(pack_array(0.0, 0.0), pack_array(2.0, 0.00001),
+          |        pack_array(4.0, 0.0), pack_array(4.0, 3.0), pack_array(0.0, 3.0))), 100.0)[0])
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(1 AS BIGINT) AS id, CAST(1 AS INT) AS i1,
+             |  CAST(0 AS INT) AS i2, CAST(1 AS INT) AS l1, CAST(0 AS INT) AS l2,
+             |  CAST(3 AS BIGINT) AS nd, CAST(6 AS BIGINT) AS np,
+             |  CAST(4 AS BIGINT) AS ns
+             |ORDER BY id""".stripMargin))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kql.Kql._
-import graft.functions.{Bpe, Dedup, Similarity, TextAnalysis => TA}
+import graft.functions.{Bm25, Bpe, Dedup, Similarity, TextAnalysis => TA}
 import graft.sources.{FullTextIndex, Tables}
 
 /** LLM-training-data-pipeline operators (the driver's north-star extensions):
@@ -1710,6 +1710,35 @@ object NorthStarQueries {
              |t AS (SELECT SUM(sr) AS tt FROM s)
              |SELECT source, n,
              |  ROUND(CAST(sr AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS w
-             |FROM s, t ORDER BY source""".stripMargin))
+             |FROM s, t ORDER BY source""".stripMargin)),
+
+    // BM25 ranked retrieval (Bm25.scala — the ranking companion to the
+    // posting-list index; published Robertson plus-one IDF form). Scores
+    // compared exactly (6 dp kills lib-level ln ULP skew) on a doc_id
+    // subset, which avoids the top-k boundary-tie hazard while proving the
+    // full scoring chain; the oracle replays tf/df/avgdl/IDF longhand.
+    QueryDef("q_bm25",
+      (s, d) => Bm25.score(T(s, d, "documents"), "doc_id", "text",
+          "the data model and language")
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .sortBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t.term FROM documents,
+             |    LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+             |  WHERE t.term <> ''),
+             |lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+             |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(CAST(len AS DOUBLE)) AS avgdl FROM lens),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             |  WHERE term IN ('the', 'data', 'model', 'and', 'language')
+             |  GROUP BY doc_id, term),
+             |dfv AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |scored AS (SELECT tf.doc_id,
+             |    ln(1.0 + (c.n - dfv.df + 0.5) / (dfv.df + 0.5)) *
+             |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / c.avgdl)) AS s
+             |  FROM tf JOIN dfv USING (term) JOIN lens USING (doc_id), corpus c)
+             |SELECT doc_id, ROUND(SUM(s), 6) AS score FROM scored
+             |WHERE doc_id % 7 = 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
