@@ -2477,6 +2477,12 @@ object KqlParser {
           pos += 1; parseLitList().map(v => KqlFunctions.has(l, termString(v))).reduce(_ || _)
         case Some(Ident("has_all")) =>
           pos += 1; parseLitList().map(v => KqlFunctions.has(l, termString(v))).reduce(_ && _)
+        case Some(Ident("has_any_prefix")) =>
+          pos += 1
+          parseLitList().map(v => KqlFunctions.hasPrefix(l, termString(v))).reduce(_ || _)
+        case Some(Ident("has_all_prefix")) =>
+          pos += 1
+          parseLitList().map(v => KqlFunctions.hasPrefix(l, termString(v))).reduce(_ && _)
         case Some(Ident("matches")) => pos += 1; eatIdent("regex"); l.rlike(strLitS())
         // negated predicate forms (lexed as single '!'-prefixed idents)
         case Some(Punct("!has")) => pos += 1; !KqlFunctions.has(l, strLitS())
@@ -2745,6 +2751,22 @@ object KqlParser {
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)
+        case "array_sum" =>
+          // nulls skipped (Kusto); double accumulator, the array-fn convention
+          aggregate(filter(args.head, x => x.isNotNull), lit(0.0),
+            (a, x) => a + x.cast("double"))
+        case "array_avg" =>
+          val nn = filter(args.head, x => x.isNotNull)
+          when(size(nn) > 0,
+            aggregate(nn, lit(0.0), (a, x) => a + x.cast("double")) / size(nn))
+        case "base64_encode_fromguid" =>
+          // inverse of base64_decode_toguid: un-dash, restore the .NET
+          // mixed-endian byte order (groups 1-3 byte-reversed), hex → base64
+          val gh = lower(regexp_replace(args.head.cast("string"), lit("-"), lit("")))
+          def gbytes(idx: Int*): Column =
+            concat(idx.map(i => substring(gh, i * 2 + 1, 2)): _*)
+          when(length(gh) === 32, base64(unhex(concat(
+            gbytes(3, 2, 1, 0), gbytes(5, 4), gbytes(7, 6), substring(gh, 17, 16)))))
         case "rand" =>
           // deviation (documented): DETERMINISTIC stream (xxhash64 of the
           // partition-monotonic row id, normalized) instead of Kusto's

@@ -3519,14 +3519,21 @@ object KqlTextQueries {
           |    i6 = parse_ipv6_mask('2001:0db8:85a3:0000:0000:8a2e:0370:7334', 36),
           |    asrt = iff(assert(1 == 1, 'ok'), 1, 0),
           |    cp = current_principal(), cc = cursor_current(),
-          |    itok = toscalar(ev)
+          |    itok = toscalar(ev),
+          |    asum = array_sum(pack_array(1, 2, 3)),
+          |    aavg = array_avg(pack_array(2.0, 4.0)),
+          |    b64g = base64_encode_fromguid('33221100-5544-7766-8899-aabbccddeeff'),
+          |    hap = iff('www.example.com' has_any_prefix ('exa', 'zzz'), 1, 0),
+          |    hap2 = iff('www.example.com' has_all_prefix ('exa', 'ww'), 1, 0)
           || sort by id asc""".stripMargin),
       Some("""SELECT CAST(id AS BIGINT) AS id, bf, bv, osf,
              |  CAST(1 AS INT) AS rok, CAST(1 AS INT) AS riok,
              |  '7,7,7' AS rep, 'v' AS pd, '[1,2]' AS dj,
              |  '2001:0db8:8000:0000:0000:0000:0000:0000' AS i6,
              |  CAST(1 AS INT) AS asrt, 'graftuser@graft' AS cp, '0' AS cc,
-             |  CAST(1 AS INT) AS itok
+             |  CAST(1 AS INT) AS itok, 6.0 AS asum, 3.0 AS aavg,
+             |  'ABEiM0RVZneImaq7zN3u/w==' AS b64g,
+             |  CAST(1 AS INT) AS hap, CAST(1 AS INT) AS hap2
              |FROM (VALUES
              |  (1, 'Chrome', '120', 'Windows'),
              |  (2, 'Safari', '17', 'Mac OS X'),
