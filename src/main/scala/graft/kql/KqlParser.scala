@@ -53,6 +53,10 @@ object KqlParser {
       while (i < s.length) {
         val c = s(i)
         if (c.isWhitespace) i += 1
+        else if (c == '/' && i + 1 < s.length && s(i + 1) == '/') {
+          // KQL line comment: skip to end of line
+          while (i < s.length && s(i) != '\n') i += 1
+        }
         else if (c == '\'' || c == '"') {
           val quote = c
           val sb = new StringBuilder

@@ -1188,6 +1188,15 @@ class KqlParserSpec extends SparkSpec {
     assert(m.getString(0) == "k" && m.getString(1) == "1")
   }
 
+  test("line comments are stripped (exported-query compatibility)") {
+    val r = run(
+      """// leading comment
+        |t // trailing comment
+        || where id > 1 // another
+        || count""".stripMargin)
+    assert(r.collect().head.getLong(0) == 4L)
+  }
+
   test("set statements parse and are ignored") {
     assert(run("set notruncation; set truncationmaxsize = 1048576; t | count")
       .collect().head.getLong(0) == 5L)
