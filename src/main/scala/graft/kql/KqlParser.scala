@@ -2755,6 +2755,17 @@ object KqlParser {
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)
+        case "ai_embed_text" =>
+          // Kusto's text-embedding plugin surface with the ai model STUBBED
+          // (this container has no model/egress — the multimodal convention):
+          // a DETERMINISTIC fake embedding derived from md5 of the text, so
+          // the Spark-side plumbing (schema array<double>, codegen scalar
+          // chain, downstream ANN joins) is real and oracle-replayable. Each
+          // of the 8 dims reads 4 md5 hex digits → [−0.5, 0.5).
+          val th = md5(args.head.cast("string"))
+          array((0 until 8).map { i =>
+            conv(substring(th, i * 4 + 1, 4), 16, 10).cast("double") / 65536.0 - 0.5
+          }: _*)
         case "array_sum" =>
           // nulls skipped (Kusto); double accumulator, the array-fn convention
           aggregate(filter(args.head, x => x.isNotNull), lit(0.0),

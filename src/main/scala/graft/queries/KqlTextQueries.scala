@@ -3572,6 +3572,47 @@ object KqlTextQueries {
              |  CAST(0 AS INT) AS i2, CAST(1 AS INT) AS l1, CAST(0 AS INT) AS l2,
              |  CAST(3 AS BIGINT) AS nd, CAST(6 AS BIGINT) AS np,
              |  CAST(4 AS BIGINT) AS ns
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // ai_embed_text: Kusto's embedding-plugin surface with the model STUBBED
+    // deterministically (md5-derived 8-dim vector — no model/egress in this
+    // container; the multimodal convention), so the REAL parts — schema,
+    // scalar chain, downstream cosine ANN — are exercised and the oracle
+    // replays the identical IEEE chain longhand (md5 hex → ints → dims →
+    // left-folded dot/magnitudes; query-vector literals computed at build
+    // time from the same md5). The RAG retrieval shape end-to-end.
+    {
+      val qhex = java.security.MessageDigest.getInstance("MD5")
+        .digest("large language models".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val qv = (0 until 8).map(i =>
+        Integer.parseInt(qhex.substring(i * 4, (i + 1) * 4), 16) / 65536.0 - 0.5)
+      val magQ = math.sqrt(qv.map(x => x * x).sum)
+      def hex4(off: Int): String = (0 until 4).map { k =>
+        s"(strpos('0123456789abcdef', substr(h, ${off + k}, 1)) - 1) * ${Seq(4096, 256, 16, 1)(k)}"
+      }.mkString("(", " + ", ")")
+      val eDims = (0 until 8).map(i =>
+        s"(${hex4(i * 4 + 1)} / 65536.0 - 0.5) AS e$i").mkString(",\n    ")
+      val dot = (0 until 8).map(i => s"e$i * (${qv(i)})").mkString(" + ")
+      val magE = "sqrt(" + (0 until 8).map(i => s"e$i * e$i").mkString(" + ") + ")"
+      QueryDef("q_kql_ai_embed",
+        (s, d) => run(s, d,
+          """documents
+            || where doc_id % 11 == 0
+            || extend e = ai_embed_text(text)
+            || extend cs = round(series_cosine_similarity(e,
+            |    ai_embed_text('large language models')), 6)
+            || project doc_id, e0 = round(todouble(e[0]), 6), cs
+            || sort by doc_id asc""".stripMargin),
+        Some(
+          s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents
+             |  WHERE doc_id % 11 = 0),
+             |e AS (SELECT doc_id,
+             |    $eDims
+             |  FROM b)
+             |SELECT doc_id, ROUND(e0, 6) AS e0,
+             |  ROUND(($dot) / ($magE * $magQ), 6) AS cs
+             |FROM e ORDER BY doc_id""".stripMargin))
+    }
   )
 }
