@@ -2303,7 +2303,8 @@ object KqlParser {
         case "arg_max" => max_by(args(1), args.head)
         case "arg_min" => min_by(args(1), args.head)
         case "take_any" => first(args.head)
-        case "take_anyif" => first(when(args(1), args.head), ignoreNulls = true)
+        case "take_anyif" | "anyif" => // anyif = the deprecated Kusto alias
+          first(when(args(1), args.head), ignoreNulls = true)
         case "binary_all_and" => bit_and(args.head)
         case "binary_all_or" => bit_or(args.head)
         case "binary_all_xor" => bit_xor(args.head)

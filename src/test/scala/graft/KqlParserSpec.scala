@@ -1221,6 +1221,18 @@ class KqlParserSpec extends SparkSpec {
       s"null operand must pad, got $n")
   }
 
+  test("multi-column mv-expand pads a null VARIANT operand") {
+    val r = run(
+      """t | take 1
+        || extend a = parse_json('[1, 2]'),
+        |    b = iff(1 == 2, parse_json('[9]'), parse_json('3'))
+        || mv-expand a to typeof(long), b
+        || project a, bn = isnull(b)""".stripMargin)
+      .collect().map(x => (x.get(0), x.get(1))).toSeq
+    assert(r.map(_._1) == Seq(1L, 2L), s"got $r")
+    assert(r.map(_._2) == Seq(true, true), "non-array variant must pad as null")
+  }
+
   test("parenthesized extend expression still parses (no tuple-path capture)") {
     val r = run("t | take 1 | extend y = (id + 1), (id * 2) | project y")
       .collect().head

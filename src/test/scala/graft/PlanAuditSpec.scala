@@ -67,6 +67,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"verify pass shuffled the corpus:\n$p")
   }
 
+  test("points-x-polygons containment join: one broadcast equi-join, no cartesian") {
+    val p = plan("q_kql_polygon_join")
+    assert(p.contains("BroadcastHashJoin"), s"covering side did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"containment fell back to a product join:\n$p")
+  }
+
+  test("bm25: term filter lands pre-aggregation, df side broadcasts") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scoring produced a product join:\n$p")
+  }
+
   test("multi-distinct summarize plans lean: no Expand, pre-distinct sub-agg joined back") {
     val p = plan("q_kql_agg_stats")
     assert(!p.contains("Expand"), s"distinct rewrite left an Expand:\n$p")
