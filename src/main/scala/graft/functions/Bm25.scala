@@ -35,10 +35,14 @@ object Bm25 {
     val toks = docs.select(col(idCol).as("__id"),
       termsWithCounts(col(textCol)).as("__ts"))
       .select(col("__id"), size(col("__ts")).as("__len"), explode(col("__ts")).as("__t"))
-    // corpus scalars: N and avgdl (one tiny agg; two numbers)
-    val lens = toks.groupBy("__id").agg(first(col("__len")).as("__len"))
-    val Array(nDocs, avgdl) = lens.agg(count(lit(1)).cast("double"),
-      avg(col("__len")).cast("double")).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    // corpus scalars N and avgdl as a ONE-ROW broadcast side — no driver
+    // action inside the plan builder, everything stays lazy. (doc lengths
+    // come from a column-pruned length scan, no second explode.)
+    val lens = docs.select(col(idCol).as("__id"),
+        size(termsWithCounts(col(textCol))).as("__len"))
+      .where(col("__len") > 0)
+    val corpus = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__len")).cast("double").as("__avgdl"))
     // the query-term filter lands BEFORE any shuffle: only |q| terms survive
     val qf = toks.where(col("__t").isInCollection(qTerms))
     val tf = qf.groupBy("__id", "__t")
@@ -46,10 +50,11 @@ object Bm25 {
     // df per query term: ≤|q| rows, broadcast back
     val dfTbl = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val scored = tf.join(broadcast(dfTbl), "__t")
+      .crossJoin(broadcast(corpus))
       .withColumn("__idf",
-        log(lit(1.0) + (lit(nDocs) - col("__df") + 0.5) / (col("__df") + 0.5)))
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
       .withColumn("__s", col("__idf") * col("__tf") * (lit(k1) + 1.0) /
-        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / lit(avgdl))))
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / col("__avgdl"))))
     scored.groupBy("__id").agg(sum(col("__s")).as("score"))
       .withColumnRenamed("__id", idCol)
   }

@@ -273,7 +273,12 @@ object KqlFunctions {
     * MinorVersion, with 'Other' for the long tail. */
   def parseUserAgent(ua0: Column, wantBrowser: Boolean, wantOs: Boolean): Column = {
     val ua = ua0.cast("string")
-    def ver(pat: String, grp: Int): Column = regexp_extract(ua, pat, grp)
+    // regexp_extract yields '' (never null) on no-match — nullify so
+    // coalesce fallback chains actually fall through
+    def ver(pat: String, grp: Int): Column = {
+      val v = regexp_extract(ua, pat, grp)
+      when(v =!= "", v)
+    }
     val structs = Seq.newBuilder[Column]
     if (wantBrowser) {
       // order matters: Edge/Opera carry Chrome tokens, Chrome carries Safari
@@ -284,14 +289,16 @@ object KqlFunctions {
         .when(ua.contains("Version/") && ua.contains("Safari/"), "Safari")
         .when(ua.contains("MSIE ") || ua.contains("Trident/"), "IE")
         .otherwise("Other")
-      val v = when(fam === "Edge", ver("Edga?e?/([0-9]+)\\.([0-9]+)?", 1))
+      // Edg/ (desktop), Edge/ (legacy), EdgA/ (Android), EdgiOS/ — one token
+      // family: Edg followed by letters
+      val v = when(fam === "Edge", ver("Edg[A-Za-z]*/([0-9]+)", 1))
         .when(fam === "Opera", coalesce(ver("OPR/([0-9]+)", 1), ver("Opera[ /]([0-9]+)", 1)))
         .when(fam === "Chrome", ver("Chrome/([0-9]+)", 1))
         .when(fam === "Firefox", ver("Firefox/([0-9]+)", 1))
         .when(fam === "Safari", ver("Version/([0-9]+)", 1))
         .when(fam === "IE", coalesce(ver("MSIE ([0-9]+)", 1), ver("rv:([0-9]+)", 1)))
         .otherwise(lit(""))
-      val vm = when(fam === "Edge", ver("Edga?e?/[0-9]+\\.([0-9]+)", 1))
+      val vm = when(fam === "Edge", ver("Edg[A-Za-z]*/[0-9]+\\.([0-9]+)", 1))
         .when(fam === "Chrome", ver("Chrome/[0-9]+\\.([0-9]+)", 1))
         .when(fam === "Firefox", ver("Firefox/[0-9]+\\.([0-9]+)", 1))
         .when(fam === "Safari", ver("Version/[0-9]+\\.([0-9]+)", 1))

@@ -124,8 +124,13 @@ object Sketches {
     val positions = when(key.isNotNull, array((0 until d).map { i =>
       lit(i.toLong * w) + pmod(xxhash64(lit(100 + i), key), lit(w.toLong))
     }: _*))
+    // counters are longs; a fractional weight must FAIL loudly, not truncate
+    val wd = weight.cast("double")
+    val wLong = when(wd === floor(wd), wd.cast("long")).otherwise(
+      call_function("raise_error",
+        lit("cms: weights must be integral (long counters)")).cast("long"))
     udaf(new CounterAddAgg(w * d), ExpressionEncoder[(Seq[Long], Long)]())
-      .apply(positions, coalesce(weight.cast("long"), lit(0L)))
+      .apply(positions, coalesce(wLong, lit(0L)))
   }
 
   /** Scalar: frequency estimate — min over rows of the hashed counter.

@@ -243,10 +243,16 @@ object Kql {
     /** A dynamic (variant) column holding a JSON array explodes like an array:
       * normalize to `array<variant>` (null for non-array variants, so those
       * rows drop — Kusto mv-expands a non-array dynamic to nothing too). */
-    private def expandable(c: Column): Column = {
+    private def expandable(c: Column): Column = expandableTyped(c)._1
+    /** One analysis pass: the expandable form plus its RESULT type (so
+      * multi-column zip padding doesn't re-analyze per operand). */
+    private def expandableTyped(c: Column): (Column, Option[org.apache.spark.sql.types.DataType]) = {
       val dt = try Some(df.select(c).schema.head.dataType)
-               catch { case _: Throwable => None }
-      if (dt.exists(_.typeName == "variant")) c.try_cast("array<variant>") else c
+               catch { case scala.util.control.NonFatal(_) => None }
+      if (dt.exists(_.typeName == "variant"))
+        (c.try_cast("array<variant>"), Some(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.VariantType)))
+      else (c, dt)
     }
 
     /** `mv-expand c` — explode an array column into one row per element.
@@ -275,9 +281,7 @@ object Kql {
       // null; Kusto pads a null operand with nulls against the longest
       // array, so coalesce each operand to a typed empty array first.
       val zipped = arrays_zip(items.map { case (n, e) =>
-        val ex = expandable(e)
-        val dt = try Some(df.select(ex).schema.head.dataType)
-                 catch { case _: Throwable => None }
+        val (ex, dt) = expandableTyped(e)
         val padded = dt match {
           case Some(at: org.apache.spark.sql.types.ArrayType) =>
             coalesce(ex, array().cast(at))

@@ -2198,6 +2198,7 @@ object KqlParser {
         eatPunct(","); eatPunct("*")
         eatPunct(")")
         lastAggExpands = true
+        lastAggDistinctKey = None // the order expr may have nested a sub-parse
         return if (fname == "arg_max") max_by(struct(col("*")), order)
                else min_by(struct(col("*")), order)
       }
@@ -2208,6 +2209,10 @@ object KqlParser {
         out.result()
       }
       eatPunct(")")
+      // argument sub-parses (toscalar/invoke sub-queries) may have passed
+      // through a NESTED distinct aggregate and left its key here — only
+      // THIS aggregate's own case below may classify it as distinct
+      lastAggDistinctKey = None
       fname match {
         case "count" => count(lit(1))
         case "countif" => sum(when(args.head, 1L).otherwise(0L))
@@ -2837,8 +2842,9 @@ object KqlParser {
           // deviation from the uap-core data corpus documented there).
           // Accepts 'browser' / 'os' / a dynamic list of both.
           val want: Seq[String] = args.drop(1).flatMap { a =>
-            if (!litValues.containsKey(a)) Nil
-            else litValues.get(a) match {
+            require(litValues.containsKey(a),
+              "parse_user_agent: selectors must be literal ('browser'/'os' or a dynamic list of them)")
+            litValues.get(a) match {
               case s: String => Seq(s)
               case cols: Seq[_] => cols.collect { // spliced dynamic([...]) list
                 case c: Column if litValues.containsKey(c) => litValues.get(c).toString
@@ -2847,6 +2853,9 @@ object KqlParser {
             }
           }
           val wantSet = if (want.isEmpty) Set("browser") else want.map(_.toLowerCase).toSet
+          val unknown = wantSet -- Set("browser", "os")
+          require(unknown.isEmpty,
+            s"parse_user_agent: unsupported selector(s) ${unknown.mkString(", ")} (browser/os)")
           graft.functions.KqlFunctions.parseUserAgent(args.head,
             wantSet.contains("browser"), wantSet.contains("os"))
         case "isutf8" =>

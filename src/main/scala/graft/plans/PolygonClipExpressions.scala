@@ -179,6 +179,9 @@ object PolygonClip {
       polys += poly.result()
       start = nextUnprocessed()
     }
+    // a blown budget must FAIL, not emit a silently truncated ring
+    require(guard < 10000,
+      "polygon clip: traversal budget exceeded (simplify the inputs — e.g. geo_line_simplify — before boolean ops)")
     polys.result()
   }
 

@@ -362,6 +362,10 @@ object S2Expressions {
     out.result().sorted
   }
 
+  /** Null (Kusto's invalid-input posture) when the covering exceeds the
+    * 8192-cell budget for the level, or the ring spans >180° of longitude
+    * (antimeridian-crossing rings are not supported — documented; split the
+    * polygon at ±180 first). Malformed rings still throw. */
   def coverTokens(ring: org.apache.spark.sql.catalyst.util.ArrayData,
       level: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val nAll = ring.numElements()
@@ -377,8 +381,12 @@ object S2Expressions {
       xs(i) = p.getDouble(0); ys(i) = p.getDouble(1)
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    if (xs.length >= 3 && xs.max - xs.min > 180.0) return null
+    try new org.apache.spark.sql.catalyst.util.GenericArrayData(
       coverRing(xs, ys, level).map(c => UTF8String.fromString(token(c))).toArray[Any])
+    catch {
+      case e: IllegalArgumentException if e.getMessage.contains("8192") => null
+    }
   }
 
   // ---- public scalar entry points --------------------------------------
@@ -489,6 +497,7 @@ case class S2CoverExpr(left: Expression, right: Expression)
   }
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // null on budget/antimeridian rings
   override protected def nullSafeEval(ring: Any, lvl: Any): Any =
     S2Expressions.coverTokens(
       ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],

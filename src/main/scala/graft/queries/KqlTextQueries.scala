@@ -3505,7 +3505,9 @@ object KqlTextQueries {
           |  1, 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36',
           |  2, 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15',
           |  3, 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91',
-          |  4, 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0']
+          |  4, 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0',
+          |  5, 'Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko',
+          |  6, 'Mozilla/5.0 (Linux; Android 10; SM-G973F) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Mobile Safari/537.36 EdgA/117.0.2045.53']
           || extend b = parse_user_agent(ua, 'browser'), o = parse_user_agent(ua, 'os')
           || extend r = rand(), ri = rand(10)
           || project id,
@@ -3538,7 +3540,9 @@ object KqlTextQueries {
              |  (1, 'Chrome', '120', 'Windows'),
              |  (2, 'Safari', '17', 'Mac OS X'),
              |  (3, 'Edge', '120', 'Windows'),
-             |  (4, 'Firefox', '115', 'Linux')) AS t(id, bf, bv, osf)
+             |  (4, 'Firefox', '115', 'Linux'),
+             |  (5, 'IE', '11', 'Windows'),
+             |  (6, 'Edge', '117', 'Android')) AS t(id, bf, bv, osf)
              |ORDER BY id""".stripMargin)),
 
     // geo batch: intersects predicates (clipper-derived + segment tests),

@@ -1221,6 +1221,19 @@ class KqlParserSpec extends SparkSpec {
       s"null operand must pad, got $n")
   }
 
+  test("nested sub-parse distinct key does not leak into the outer aggregate (lean rewrite)") {
+    // the toscalar sub-query contains a dcount — its distinct key must NOT
+    // reclassify the outer countif as a distinct aggregate
+    val r = run(
+      """t | summarize n = countif(id > toscalar(t | summarize dcount(etype))),
+        |    s = sum(id) by etype
+        || sort by etype asc""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    // dcount(etype) over t = 3 (click, purchase, view); ids 4,5 exceed it
+    assert(r.map(_._2).sum == 2, s"countif leaked: $r")
+    assert(r.map(_._3).sum == 15L)
+  }
+
   test("multi-column mv-expand pads a null VARIANT operand") {
     val r = run(
       """t | take 1
