@@ -828,6 +828,47 @@ object NorthStarQueries {
              |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS du
              |FROM events GROUP BY 1 ORDER BY bin_ts""".stripMargin)),
 
+    // --- streaming windowed top-hitters: the SpaceSaving sketch as a
+    // STREAMING state aggregate (mergeable partial maps through the state
+    // store), per 12h window. Tracked key cardinality (user_id % 40) is
+    // below the sketch capacity 64, so no eviction can occur and every
+    // counter is EXACT by construction — the oracle's per-window top-3 is
+    // deterministic; the lossy-eviction path is property-tested in
+    // FrequentItemsSpec. 100 TB posture: bounded state per window
+    // (capacity entries), no per-key shuffle of the raw stream past the
+    // partial sketches. ------
+    QueryDef("q_streaming_tophitters",
+      (s, d) => {
+        val ss = udaf(new graft.functions.FrequentItems.SpaceSavingAgg(64),
+          org.apache.spark.sql.Encoders.STRING)
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .withColumn("bin_ts", graft.kql.Kql.Bin.ts(col("ts"), 43200))
+          .groupBy(col("bin_ts"))
+          .agg(ss((col("user_id") % 40).cast("string")).as("m"))
+        val sunk = graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_streaming_tophitters_sink", stream)
+        // cast the sketch's string key BEFORE the rank window — the
+        // count-tie break must be numeric, not lexicographic
+        val counts = sunk.select(col("bin_ts"),
+          explode(col("m")).as(Seq("us", "c")))
+          .select(col("bin_ts"), col("us").cast("long").as("u"), col("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bin_ts").orderBy(col("c").desc, col("u").asc)
+        counts.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("bin_ts"), col("rk"), col("u"), col("c"))
+          .sortBy(col("bin_ts"), col("rk"))
+      },
+      Some("""WITH b AS (SELECT TIMESTAMP '1970-01-01 00:00:00'
+             |    + INTERVAL (CAST((epoch_us(ts)//1000000)//43200*43200 AS BIGINT)) SECOND AS bin_ts,
+             |    user_id % 40 AS u FROM events),
+             |c AS (SELECT bin_ts, u, COUNT(*) AS c FROM b GROUP BY bin_ts, u),
+             |r AS (SELECT bin_ts, u, c,
+             |    ROW_NUMBER() OVER (PARTITION BY bin_ts ORDER BY c DESC, u ASC) AS rk
+             |  FROM c)
+             |SELECT bin_ts, CAST(rk AS INT) AS rk, u, c FROM r WHERE rk <= 3
+             |ORDER BY bin_ts, rk""".stripMargin)),
+
     // --- stream-stream interval join in CORRECTNESS: views joined to the
     // same user's purchases within the following hour (funnel attribution),
     // both sides watermarked so join state is evictable; the bounded replay
