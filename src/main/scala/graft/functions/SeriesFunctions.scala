@@ -462,6 +462,44 @@ object SeriesFunctions {
   def seriesFillBackward(arr: Column): Column =
     reverse(seriesFillForward(reverse(arr)))
 
+  /** Forward fill carrying (value, index) pairs — the anchor array for
+    * linear interpolation. O(n) fold, O(1) carried state. */
+  private def fillAnchors(x: Column): Column =
+    aggregate(
+      zip_with(x, sequence(lit(0), size(x) - 1), (v, i) =>
+        when(v.isNotNull, struct(v.cast("double").as("v"), i.as("i")))),
+      struct(array().cast("array<struct<v:double,i:int>>").as("out"),
+        lit(null).cast("struct<v:double,i:int>").as("carry")),
+      (acc, p) => {
+        val cur = coalesce(p, acc.getField("carry"))
+        struct(concat(acc.getField("out"), array(cur)).as("out"), cur.as("carry"))
+      },
+      acc => acc.getField("out"))
+
+  /** KQL `series_fill_linear`: null runs interpolate linearly between the
+    * nearest non-null neighbors over the INDEX axis (the Kusto contract);
+    * leading/trailing runs take the nearest non-null (constant edges, the
+    * Kusto default). Two O(n) anchor folds + one O(n) transform. */
+  def seriesFillLinear(arr: Column): Column = bound(arr) { a =>
+    val n = size(a)
+    val fwd = fillAnchors(a)
+    val bwd = reverse(fillAnchors(reverse(a)))
+    zip_with(zip_with(a, fwd, (x, p) => struct(x.cast("double").as("x"), p.as("p"))),
+      zip_with(bwd, sequence(lit(0), n - 1), (q, i) => struct(q.as("q"), i.as("i"))),
+      (l, r) => {
+        val x = l.getField("x"); val p = l.getField("p")
+        val q = r.getField("q"); val i = r.getField("i").cast("double")
+        val pv = p.getField("v"); val pi = p.getField("i").cast("double")
+        val qv = q.getField("v")
+        // the reversed-frame anchor index maps back to n-1-i
+        val qi = (n - 1).cast("double") - q.getField("i").cast("double")
+        when(x.isNotNull, x)
+          .when(p.isNull, qv)  // leading run → next value
+          .when(q.isNull, pv)  // trailing run → previous value
+          .otherwise(pv + (qv - pv) * (i - pi) / (qi - pi))
+      })
+  }
+
   /** KQL `series_pearson_correlation(a, b)`: exact closed-form Pearson r.
     * All five sums accumulate left-to-right (exact for integral-valued
     * series below 2^53); the final expression is a fixed operand-order

@@ -3672,6 +3672,8 @@ object KqlParser {
           array_join(transform(args.head, _.cast("string")), litString(args(1)))
         // series functions (series_fir parses separately: literal filter taps)
         case "series_stats_dynamic" => SeriesFunctions.seriesStats(args.head)
+        // multi-value form: bind with tuple extend `(mn, mni, ...) = series_stats(x)`
+        case "series_stats" => SeriesFunctions.seriesStats(args.head)
         case "series_moving_avg" =>
           SeriesFunctions.seriesMovingAvg(args.head, litLong(args(1)).toInt)
         case "series_moving_sum" =>
@@ -3679,6 +3681,10 @@ object KqlParser {
         case "series_outliers" => SeriesFunctions.seriesOutliers(args.head)
         case "series_fit_line" => SeriesFunctions.seriesFitLine(args.head)
         case "series_fit_2lines" => SeriesFunctions.seriesFit2Lines(args.head)
+        // *_dynamic forms: same struct payload (struct-as-bag, the engine's
+        // dynamic convention); field access via postfix `.slope` etc
+        case "series_fit_line_dynamic" => SeriesFunctions.seriesFitLine(args.head)
+        case "series_fit_2lines_dynamic" => SeriesFunctions.seriesFit2Lines(args.head)
         case "series_fit_poly" =>
           SeriesFunctions.seriesFitPoly(args.head,
             if (args.length > 1) litLong(args(1)).toInt else 1)
@@ -3686,6 +3692,7 @@ object KqlParser {
           SeriesFunctions.seriesFillConst(args.head, args(1))
         case "series_fill_forward" => SeriesFunctions.seriesFillForward(args.head)
         case "series_fill_backward" => SeriesFunctions.seriesFillBackward(args.head)
+        case "series_fill_linear" => SeriesFunctions.seriesFillLinear(args.head)
         case "series_pearson_correlation" =>
           SeriesFunctions.seriesPearson(args.head, args(1))
         case "series_decompose" => // 1-arg / period=-1 → Kusto auto-period

@@ -3578,6 +3578,32 @@ object KqlTextQueries {
              |  CAST(4 AS BIGINT) AS ns
              |ORDER BY id""".stripMargin)),
 
+    // series_fill_linear (scalar array form: index-axis interpolation with
+    // constant edges) + series_stats / fit-dynamic multi-value forms bound
+    // via tuple extend. HAND-COMPUTED oracle: [1,∅,∅,7,∅,3] → [1,3,5,7,5,3]
+    // (gaps interpolate by index; 7+(3−7)·1/2 = 5), [∅,4,∅] → [4,4,4]
+    // (edge runs take the nearest value); fit_line of [1,3,5,7] has slope 2,
+    // intercept 1, rsquare 1 exactly.
+    QueryDef("q_kql_series_fill_linear",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1]
+          || extend a = pack_array(1.0, real(null), real(null), 7.0, real(null), 3.0),
+          |    b = pack_array(real(null), 4.0, real(null))
+          || extend fa = series_fill_linear(a), fb = series_fill_linear(b)
+          || extend (mn, mni, mx, mxi, av) = series_stats(fa)
+          || extend fl = series_fit_line_dynamic(pack_array(1.0, 3.0, 5.0, 7.0))
+          || project id, sa = strcat_array(fa, ';'), sb = strcat_array(fb, ';'),
+          |    mn, mx = round(mx, 1), av = round(av, 6),
+          |    slope = round(todouble(fl.slope), 6),
+          |    icpt = round(todouble(fl.intercept), 6),
+          |    r2 = round(todouble(fl.rsquare), 6)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(1 AS BIGINT) AS id,
+             |  '1.0;3.0;5.0;7.0;5.0;3.0' AS sa, '4.0;4.0;4.0' AS sb,
+             |  1.0 AS mn, 7.0 AS mx, 4.0 AS av,
+             |  2.0 AS slope, 1.0 AS icpt, 1.0 AS r2
+             |ORDER BY id""".stripMargin)),
+
     // ai_embed_text: Kusto's embedding-plugin surface with the model STUBBED
     // deterministically (md5-derived 8-dim vector — no model/egress in this
     // container; the multimodal convention), so the REAL parts — schema,
