@@ -3292,6 +3292,21 @@ object KqlParser {
           call_function("graft_h3_center_point", args.head.cast("string"))
         case "geo_h3cell_neighbors" =>
           call_function("graft_h3_neighbors", args.head.cast("string"))
+        case "geo_h3cell_level" =>
+          // res field of the index: hex token → bits 55-52
+          shiftright(conv(args.head.cast("string"), 16, 10).cast("long"), 52)
+            .bitwiseAND(lit(0xFL)).cast("int")
+        case "geo_h3cell_parent" =>
+          // default: one level coarser (the Kusto contract)
+          val pres =
+            if (args.length > 1) args(1).cast("int")
+            else (shiftright(conv(args.head.cast("string"), 16, 10).cast("long"), 52)
+              .bitwiseAND(lit(0xFL)).cast("int") - 1)
+          call_function("graft_h3_parent", args.head.cast("string"), pres)
+        case "geo_h3cell_children" =>
+          call_function("graft_h3_children", args.head.cast("string"))
+        case "geo_h3cell_rings" =>
+          call_function("graft_h3_rings", args.head.cast("string"), args(1).cast("int"))
         case "geo_intersection_2polygons" | "geo_union_2polygons" =>
           // Greiner–Hormann clipping (PolygonClipExpressions.scala) over the
           // geo family's bare vertex rings; deviations documented there

@@ -407,6 +407,54 @@ object H3Expressions {
     }.distinct.filterNot(_ == v)
   }
 
+  /** Resolution of a cell (the index's res field). */
+  def level(v: Long): Int = {
+    val (res, _, _, _) = unpack(v); res
+  }
+
+  /** Ancestor at `res` levels coarser — by construction the digit path of a
+    * cell EXTENDS its parent's (the up-walk defines the digits), so the
+    * parent is the digit-path prefix with the same face and overage. */
+  def parent(v: Long, targetRes: Int): Long = {
+    val (res, base, ov, digits) = unpack(v)
+    require(targetRes >= 0 && targetRes <= res,
+      s"h3 parent resolution $targetRes out of range for a res-$res cell")
+    pack(targetRes, base, ov, digits.take(targetRes))
+  }
+
+  /** The 7 aperture-7 children: digit-path extensions 0..6. */
+  def children(v: Long): Seq[Long] = {
+    val (res, base, ov, digits) = unpack(v)
+    require(res < MaxRes, s"res-$res cell has no finer children")
+    (0 to 6).map(d => pack(res + 1, base, ov, digits :+ d))
+  }
+
+  /** Distance rings 0..n: ring 0 is the cell, ring k the cells first
+    * reached at BFS depth k over the 6-neighbor adjacency (6k cells per
+    * ring for interior hexes). */
+  def rings(v: Long, n: Int): Seq[Seq[Long]] = {
+    require(n >= 0 && n <= 16, s"h3 rings: n must be 0..16, got $n")
+    val seen = scala.collection.mutable.HashSet(v)
+    var frontier = Seq(v)
+    Seq(Seq(v)) ++ (1 to n).map { _ =>
+      val next = frontier.flatMap(neighbors).distinct.filter(seen.add)
+      frontier = next
+      next
+    }
+  }
+
+  def parentToken(t: UTF8String, res: Int): UTF8String =
+    UTF8String.fromString(token(parent(fromToken(t.toString), res)))
+
+  def childrenTokens(t: UTF8String): GenericArrayData =
+    new GenericArrayData(children(fromToken(t.toString))
+      .map(c => UTF8String.fromString(token(c))).toArray[Any])
+
+  def ringsTokens(t: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(rings(fromToken(t.toString), n).map { ring =>
+      new GenericArrayData(ring.map(c => UTF8String.fromString(token(c))).toArray[Any])
+    }.toArray[Any])
+
   // test hooks (H3Spec proves the published aperture-7 identity directly)
   private[graft] def testDownAp7(i: Int, j: Int, k: Int) = downAp7(i, j, k)
   private[graft] def testDownAp7r(i: Int, j: Int, k: Int) = downAp7r(i, j, k)
@@ -465,6 +513,59 @@ case class H3CenterExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_h3_center_point"
+}
+
+/** geo_h3cell_parent(token, res) → ancestor token (digit-path prefix). */
+case class H3ParentExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("expected (string, int)")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any, r: Any): Any =
+    H3Expressions.parentToken(t.asInstanceOf[UTF8String], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, r) => s"graft.plans.H3Expressions.parentToken($t, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_h3_parent"
+}
+
+/** geo_h3cell_children(token) → the 7 digit-path extensions. */
+case class H3ChildrenExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    H3Expressions.childrenTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.H3Expressions.childrenTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_h3_children"
+}
+
+/** geo_h3cell_rings(token, n) → array of distance rings (array of arrays). */
+case class H3RingsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("expected (string, int)")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false),
+    containsNull = false)
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    H3Expressions.ringsTokens(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.plans.H3Expressions.ringsTokens($t, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_h3_rings"
 }
 
 /** geo_h3cell_neighbors(token) → array of adjacent-cell tokens. */

@@ -325,6 +325,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_h3_neighbors"),
       new ExpressionInfo(classOf[H3NeighborsExpr].getName, "graft_h3_neighbors"),
       (children: Seq[Expression]) => H3NeighborsExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_h3_parent"),
+      new ExpressionInfo(classOf[H3ParentExpr].getName, "graft_h3_parent"),
+      (children: Seq[Expression]) => H3ParentExpr(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_h3_children"),
+      new ExpressionInfo(classOf[H3ChildrenExpr].getName, "graft_h3_children"),
+      (children: Seq[Expression]) => H3ChildrenExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_h3_rings"),
+      new ExpressionInfo(classOf[H3RingsExpr].getName, "graft_h3_rings"),
+      (children: Seq[Expression]) => H3RingsExpr(children(0), children(1))))
     // polygon boolean ops + polyline simplify (PolygonClipExpressions.scala)
     e.injectFunction((
       FunctionIdentifier("graft_polygon_intersection"),

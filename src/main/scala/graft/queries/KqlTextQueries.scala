@@ -3417,15 +3417,22 @@ object KqlTextQueries {
           || extend ctr = geo_h3cell_to_central_point(c5)
           || extend re = geo_point_to_h3cell(todouble(ctr[0]), todouble(ctr[1]), 5)
           || extend nb = geo_h3cell_neighbors(c5),
-          |    cq = geo_point_to_h3cell(lng + 0.02, lat, 5)
+          |    cq = geo_point_to_h3cell(lng + 0.02, lat, 5),
+          |    kids = geo_h3cell_children(c5)
           || project id, c0, len5 = strlen(c5),
           |    stable = iff(re == c5, 1, 0),
           |    nbn = array_length(nb),
-          |    near = iff(cq == c5 or set_has_element(nb, cq), 1, 0)
+          |    near = iff(cq == c5 or set_has_element(nb, cq), 1, 0),
+          |    nk = array_length(kids),
+          |    pok = iff(geo_h3cell_parent(tostring(kids[0])) == c5, 1, 0),
+          |    lv = geo_h3cell_level(c5),
+          |    r2 = array_length(geo_h3cell_rings(c5, 2)[2])
           || sort by id asc""".stripMargin),
       Some("""SELECT CAST(id AS BIGINT) AS id, c0, CAST(15 AS BIGINT) AS len5,
              |  CAST(1 AS INT) AS stable, CAST(6 AS BIGINT) AS nbn,
-             |  CAST(1 AS INT) AS near
+             |  CAST(1 AS INT) AS near, CAST(7 AS BIGINT) AS nk,
+             |  CAST(1 AS INT) AS pok, CAST(5 AS INT) AS lv,
+             |  CAST(12 AS BIGINT) AS r2
              |FROM (VALUES (1, '8021fffffffffff'), (2, '8027fffffffffff'))
              |  AS t(id, c0) ORDER BY id""".stripMargin)),
 

@@ -121,6 +121,24 @@ class H3Spec extends SparkSpec {
     assert(checked > 250, s"probe degenerate: only $checked conclusive")
   }
 
+  test("hierarchy: children are digit-path extensions, parent inverts, rings are 1/6/12") {
+    val id = H3Expressions.encode(12.3, 45.6, 7)
+    val kids = H3Expressions.children(id)
+    assert(kids.size == 7 && kids.distinct.size == 7)
+    kids.foreach { k =>
+      assert(H3Expressions.parent(k, 7) == id, "parent must invert children")
+      assert(H3Expressions.level(k) == 8)
+    }
+    // a parent cell is itself canonical: its center re-encodes to it
+    val p5 = H3Expressions.parent(id, 5)
+    val (plng, plat) = H3Expressions.centerLngLat(p5)
+    assert(H3Expressions.encode(plng, plat, 5) == p5)
+    // interior k-rings: 1, 6, 12 cells (6k per ring), disjoint
+    val rs = H3Expressions.rings(id, 2)
+    assert(rs.map(_.size) == Seq(1, 6, 12), s"ring sizes ${rs.map(_.size)}")
+    assert(rs.flatten.distinct.size == 19)
+  }
+
   test("KQL dispatch: cell, central point, neighbors") {
     val r = run(
       """t | project c = geo_point_to_h3cell(12.3, 45.6, 7)
