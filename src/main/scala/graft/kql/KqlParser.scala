@@ -3339,6 +3339,15 @@ object KqlParser {
           val stol = if (args.length > 1) args(1).cast("double") else lit(10.0)
           call_function("graft_geo_simplify_rings",
             args.head.cast("array<array<array<double>>>"), stol)
+        case "geo_union_polygons_array" =>
+          // left fold of the pairwise Greiner–Hormann union; null once a
+          // step disconnects (documented largest-ring/null deviations)
+          call_function("graft_geo_union_rings",
+            args.head.cast("array<array<array<double>>>"), lit(0.0))
+        case "geo_intersection_line_with_polygon" =>
+          // the inside parts of the polyline as a multiline (array of lines)
+          call_function("graft_geo_clip_line",
+            args(0).cast("array<array<double>>"), args(1).cast("array<array<double>>"))
         case "geo_point_in_polygon" =>
           geoPointInPolygon(args(0), args(1), args(2))
         case "geo_line_length" => geoLineLength(args.head)

@@ -350,7 +350,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_line_simplify"),
       new ExpressionInfo(classOf[LineSimplifyExpr].getName, "graft_line_simplify"),
       (children: Seq[Expression]) => LineSimplifyExpr(children(0), children(1))))
-    Seq("line_in_poly", "densify_line", "densify_ring", "simplify_rings").foreach { fn =>
+    Seq("line_in_poly", "densify_line", "densify_ring", "simplify_rings",
+        "union_rings", "clip_line").foreach { fn =>
       e.injectFunction((
         FunctionIdentifier(s"graft_geo_$fn"),
         new ExpressionInfo(classOf[GeoPolyFnExpr].getName, s"graft_geo_$fn"),

@@ -196,6 +196,81 @@ object PolygonClip {
     else toArrayData(rings.maxBy(r => math.abs(shoelace(r))))
   }
 
+  /** geo_union_polygons_array: left fold of the pairwise union; null as
+    * soon as a step disconnects (the boolOp contract). A single ring
+    * passes through canonicalized. */
+  def unionRings(polysArr: ArrayData): GenericArrayData = {
+    val n = polysArr.numElements()
+    require(n >= 1, "geo_union_polygons_array: empty array")
+    if (n == 1)
+      return toArrayData(canonical(readRing(polysArr.getArray(0)).toSeq))
+    var acc: ArrayData = polysArr.getArray(0)
+    var i = 1
+    while (i < n && acc != null) {
+      acc = boolOp(acc, polysArr.getArray(i), union = true)
+      i += 1
+    }
+    acc match {
+      case null => null
+      case g: GenericArrayData => g
+      case other => toArrayData(readRing(other).toSeq) // defensive copy path
+    }
+  }
+
+  /** geo_intersection_line_with_polygon: the parts of the polyline inside
+    * the ring, as a MULTILINE (array of [lng,lat] lines — the bare-ring
+    * deviation of Kusto's MultiLineString). Per segment: split at every
+    * ring-edge crossing parameter, keep the pieces whose midpoint ray-casts
+    * inside; contiguous pieces merge. Null when nothing is inside. */
+  def clipLine(lineArr: ArrayData, ringArr: ArrayData): GenericArrayData = {
+    val ring = readRing(ringArr)
+    val n = lineArr.numElements()
+    val lines = Seq.newBuilder[Seq[(Double, Double)]]
+    var cur = List.empty[(Double, Double)] // reversed accumulation
+    def flush(): Unit = {
+      if (cur.length >= 2) lines += cur.reverse
+      cur = Nil
+    }
+    var i = 0
+    while (i < n - 1) {
+      val a = lineArr.getArray(i); val b = lineArr.getArray(i + 1)
+      val x1 = a.getDouble(0); val y1 = a.getDouble(1)
+      val x2 = b.getDouble(0); val y2 = b.getDouble(1)
+      val ts = Seq.newBuilder[Double]
+      ts += 0.0; ts += 1.0
+      var j = 0
+      while (j < ring.length) {
+        val (x3, y3) = ring(j); val (x4, y4) = ring((j + 1) % ring.length)
+        val den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        if (den != 0.0) {
+          val t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / den
+          val u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / den
+          if (t > 0 && t < 1 && u >= 0 && u <= 1) ts += t
+        }
+        j += 1
+      }
+      val sorted = ts.result().distinct.sorted
+      var k = 0
+      while (k < sorted.length - 1) {
+        val t0 = sorted(k); val t1 = sorted(k + 1)
+        val tm = (t0 + t1) / 2
+        val inside = rayCast(x1 + tm * (x2 - x1), y1 + tm * (y2 - y1), ring)
+        val p0 = (x1 + t0 * (x2 - x1), y1 + t0 * (y2 - y1))
+        val p1 = (x1 + t1 * (x2 - x1), y1 + t1 * (y2 - y1))
+        if (inside) {
+          if (cur.isEmpty || cur.head != p0) { flush(); cur = List(p0) }
+          cur = p1 :: cur
+        } else flush()
+        k += 1
+      }
+      i += 1
+    }
+    flush()
+    val out = lines.result()
+    if (out.isEmpty) null
+    else new GenericArrayData(out.map(toArrayData).toArray[Any])
+  }
+
   /** geo_intersects_line_with_polygon: any vertex inside, or any segment
     * crossing any polygon edge (planar, general position). */
   def lineIntersectsPolygon(lineArr: ArrayData, ringArr: ArrayData): Boolean = {
@@ -366,11 +441,12 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
   }
   override def dataType: DataType = fn match {
     case "line_in_poly" => org.apache.spark.sql.types.BooleanType
-    case "simplify_rings" => ArrayType(
+    case "simplify_rings" | "clip_line" => ArrayType(
       ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
       containsNull = false)
     case _ => ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   }
+  override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = fn match {
     case "line_in_poly" =>
       PolygonClip.lineIntersectsPolygon(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -380,6 +456,10 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       PolygonClip.densify(a.asInstanceOf[ArrayData], b.asInstanceOf[Double], close = true)
     case "simplify_rings" =>
       PolygonClip.simplifyRings(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+    case "union_rings" =>
+      PolygonClip.unionRings(a.asInstanceOf[ArrayData]) // right arg unused
+    case "clip_line" =>
+      PolygonClip.clipLine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => fn match {
@@ -387,6 +467,8 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       case "densify_line" => s"graft.plans.PolygonClip.densify($a, $b, false)"
       case "densify_ring" => s"graft.plans.PolygonClip.densify($a, $b, true)"
       case "simplify_rings" => s"graft.plans.PolygonClip.simplifyRings($a, $b)"
+      case "union_rings" => s"graft.plans.PolygonClip.unionRings($a)"
+      case "clip_line" => s"graft.plans.PolygonClip.clipLine($a, $b)"
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -3577,12 +3577,23 @@ object KqlTextQueries {
           |      pack_array(0.0, 1.0), pack_array(0.001, 1.0)), 55660.0)),
           |    ns = array_length(geo_simplify_polygons_array(pack_array(
           |      pack_array(pack_array(0.0, 0.0), pack_array(2.0, 0.00001),
-          |        pack_array(4.0, 0.0), pack_array(4.0, 3.0), pack_array(0.0, 3.0))), 100.0)[0])
+          |        pack_array(4.0, 0.0), pack_array(4.0, 3.0), pack_array(0.0, 3.0))), 100.0)[0]),
+          |    u3 = geo_union_polygons_array(pack_array(a, b,
+          |      pack_array(pack_array(5.0, 4.0), pack_array(8.0, 4.0),
+          |        pack_array(8.0, 6.0), pack_array(5.0, 6.0)))),
+          |    cl = geo_intersection_line_with_polygon(ln, a)
+          || project id, i1, i2, l1, l2, nd, np, ns,
+          |    nu3 = array_length(u3),
+          |    v4x = todouble(u3[4][0]), v4y = todouble(u3[4][1]),
+          |    ncl = array_length(cl),
+          |    c0x = todouble(cl[0][0][0]), c1x = todouble(cl[0][1][0])
           || sort by id asc""".stripMargin),
       Some("""SELECT CAST(1 AS BIGINT) AS id, CAST(1 AS INT) AS i1,
              |  CAST(0 AS INT) AS i2, CAST(1 AS INT) AS l1, CAST(0 AS INT) AS l2,
              |  CAST(3 AS BIGINT) AS nd, CAST(6 AS BIGINT) AS np,
-             |  CAST(4 AS BIGINT) AS ns
+             |  CAST(4 AS BIGINT) AS ns,
+             |  CAST(12 AS BIGINT) AS nu3, 6.0 AS v4x, 4.0 AS v4y,
+             |  CAST(1 AS BIGINT) AS ncl, 0.0 AS c0x, 4.0 AS c1x
              |ORDER BY id""".stripMargin)),
 
     // series_fill_linear (scalar array form: index-axis interpolation with

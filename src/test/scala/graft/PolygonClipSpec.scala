@@ -68,6 +68,41 @@ class PolygonClipSpec extends SparkSpec {
       ringSeq(s"geo_union_2polygons($r2, $r1)"))
   }
 
+  test("geo_union_polygons_array folds unions; area of 3-rect chain is exact") {
+    val r3 = ringOf((5, 4), (8, 4), (8, 6), (5, 6))
+    val u = ringSeq(s"geo_union_polygons_array(pack_array($r1, $r2, $r3))")
+    assert(u.nonEmpty && u.head == ((0.0, 0.0)))
+    val area = u.indices.map { i =>
+      val j = (i + 1) % u.length
+      u(i)._1 * u(j)._2 - u(j)._1 * u(i)._2
+    }.sum / 2.0
+    assert(math.abs(area - 29.0) < 1e-12, s"area $area, ring $u") // 12+16-4+6-1
+    assert(u.length == 12, s"got ${u.length}: $u")
+    // disconnected chain → null
+    assert(ringSeq(s"geo_union_polygons_array(pack_array($r1, $rFar))").isEmpty)
+    // single ring passes through canonical
+    assert(ringSeq(s"geo_union_polygons_array(pack_array($r1))") ==
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0)))
+  }
+
+  test("geo_intersection_line_with_polygon clips to the inside multiline") {
+    def multi(kql: String): Seq[Seq[(Double, Double)]] = {
+      val r = run(s"t | project r = $kql").collect().head
+      if (r.isNullAt(0)) Nil
+      else r.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+        .map(_.map(p => (p(0), p(1))).toSeq).toSeq
+    }
+    val ln = "pack_array(pack_array(-1.0, 1.0), pack_array(5.0, 1.0))"
+    assert(multi(s"geo_intersection_line_with_polygon($ln, $r1)") ==
+      Seq(Seq((0.0, 1.0), (4.0, 1.0))))
+    val lout = "pack_array(pack_array(-1.0, 5.0), pack_array(5.0, 5.0))"
+    assert(multi(s"geo_intersection_line_with_polygon($lout, $r1)").isEmpty)
+    // in-out-in across the triangle: two pieces
+    val zig = "pack_array(pack_array(0.5, 0.5), pack_array(4.5, 0.5))"
+    val tri2 = multi(s"geo_intersection_line_with_polygon($zig, $tri)")
+    assert(tri2.size == 1 && tri2.head.head == ((0.5, 0.5)), s"got $tri2")
+  }
+
   test("geo_line_simplify: drops sub-tolerance wiggle, keeps real corners, keeps endpoints") {
     val wiggly = ringOf((0, 0), (1, 0.0001), (2, 0), (2.5, -0.0001), (4, 0))
     assert(ringSeq(s"geo_line_simplify($wiggly, 100.0)") == Seq((0.0, 0.0), (4.0, 0.0)))
