@@ -37,10 +37,11 @@ object Bm25 {
       .select(col("__id"), size(col("__ts")).as("__len"), explode(col("__ts")).as("__t"))
     // corpus scalars N and avgdl as a ONE-ROW broadcast side — no driver
     // action inside the plan builder, everything stays lazy. (doc lengths
-    // come from a column-pruned length scan, no second explode.)
+    // come from a column-pruned length scan, no second explode.) N and
+    // avgdl are over the FULL corpus — empty/non-alphanumeric docs count,
+    // with length 0, per the standard BM25 definition.
     val lens = docs.select(col(idCol).as("__id"),
-        size(termsWithCounts(col(textCol))).as("__len"))
-      .where(col("__len") > 0)
+      size(termsWithCounts(col(textCol))).as("__len"))
     val corpus = lens.agg(count(lit(1)).cast("double").as("__n"),
       avg(col("__len")).cast("double").as("__avgdl"))
     // the query-term filter lands BEFORE any shuffle: only |q| terms survive

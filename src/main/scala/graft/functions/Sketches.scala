@@ -124,13 +124,15 @@ object Sketches {
     val positions = when(key.isNotNull, array((0 until d).map { i =>
       lit(i.toLong * w) + pmod(xxhash64(lit(100 + i), key), lit(w.toLong))
     }: _*))
-    // counters are longs; a fractional weight must FAIL loudly, not truncate
+    // counters are longs; a fractional weight must FAIL loudly, not
+    // truncate — but a NULL weight contributes 0, it is not an error
     val wd = weight.cast("double")
-    val wLong = when(wd === floor(wd), wd.cast("long")).otherwise(
-      call_function("raise_error",
+    val wLong = when(wd.isNull, lit(0L))
+      .when(wd === floor(wd), wd.cast("long"))
+      .otherwise(call_function("raise_error",
         lit("cms: weights must be integral (long counters)")).cast("long"))
     udaf(new CounterAddAgg(w * d), ExpressionEncoder[(Seq[Long], Long)]())
-      .apply(positions, coalesce(wLong, lit(0L)))
+      .apply(positions, wLong)
   }
 
   /** Scalar: frequency estimate — min over rows of the hashed counter.

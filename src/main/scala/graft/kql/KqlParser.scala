@@ -2121,9 +2121,15 @@ object KqlParser {
         aggs: Seq[Column], meta: Seq[(String, Option[Column])]): DataFrame = {
       val dks = meta.collect { case (n, Some(k)) => (n, k) }
       val byNames = if (by.isEmpty) Nil else df.select(by: _*).columns.toSeq
+      // the rewrite joins sub-aggregations back by NAME, so every output
+      // name (group keys AND aggregates) must be unambiguous and safe to
+      // quote; otherwise fall back to the plain Catalyst plan
+      val allNames = byNames ++ meta.map(_._1)
+      val namesSafe = allNames.distinct.size == allNames.size &&
+        allNames.forall(n => !n.contains(".") && !n.contains("`"))
       val applicable = by.nonEmpty && dks.nonEmpty &&
         (meta.size > dks.size || dks.size >= 2) &&
-        byNames.distinct.size == byNames.size && meta.size == aggs.size
+        namesSafe && meta.size == aggs.size
       if (!applicable) return df.summarize(by, aggs: _*)
       val plainAggs = aggs.zip(meta).collect { case (a, (_, None)) => a }
       val base =
@@ -2141,7 +2147,8 @@ object KqlParser {
             coalesce(col(s"__r.`$n`"), lit(0L)).as(n): _*)
       }
       // contract column order: group keys, then aggregates in written order
-      joined.select(byNames.map(col) ++ meta.map { case (n, _) => col(s"`$n`") }: _*)
+      joined.select(byNames.map(c => col(s"`$c`")) ++
+        meta.map { case (n, _) => col(s"`$n`") }: _*)
     }
 
     /** Expand any arg_max/arg_min(x, *) struct columns produced by this
@@ -3273,6 +3280,21 @@ object KqlParser {
           val coverLvl = if (args.length > 1) args(1).cast("int") else lit(11)
           call_function("graft_s2_cover",
             args.head.cast("array<array<double>>"), coverLvl)
+        case "geo_line_to_s2cells" =>
+          // line analogue of the polygon covering (S2Expressions
+          // .coverPolyline): the bucket-key producer for route×points joins
+          val lineLvl = if (args.length > 1) args(1).cast("int") else lit(11)
+          call_function("graft_s2_cover_line",
+            args.head.cast("array<array<double>>"), lineLvl)
+        case "geo_s2cell_to_polygon" =>
+          // cell boundary as the repo's bare vertex ring (deviation from
+          // Kusto's GeoJSON dynamic, documented at S2Expressions.cellPolygon)
+          call_function("graft_s2_cell_polygon", args.head.cast("string"))
+        case "geo_geohash_to_polygon" =>
+          call_function("graft_geohash_polygon", args.head.cast("string"))
+        case "geo_h3cell_to_polygon" =>
+          // Voronoi-dual hexagon boundary (H3Expressions.cellPolygon)
+          call_function("graft_h3_cell_polygon", args.head.cast("string"))
         case "geo_s2cell_neighbors" =>
           // same-level neighbors via the published AppendAllNeighbors +
           // cross-face FromFaceIJWrap (S2Expressions.scala)

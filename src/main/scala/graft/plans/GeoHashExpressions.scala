@@ -85,6 +85,70 @@ object GeoHashExpressions {
     }
     sb.toString
   }
+
+  /** geo_geohash_to_polygon: the cell's exact lng/lat bounding box as the
+    * geo family's bare 4-vertex CCW ring (deviation from Kusto's GeoJSON
+    * dynamic — documented, the repo-wide ring convention). Bit-compatible
+    * with the encode chain: the box corners are the integer grid cell's
+    * edges, so every point encoding to the token lies inside (half-open on
+    * the max edges). Malformed tokens → null. */
+  def cellPolygon(tokU: UTF8String): GenericArrayData = {
+    try {
+      val tok = tokU.toString
+      val p = tok.length
+      require(p >= 1 && p <= 10, s"geohash precision 1..10, got $p")
+      val bits = 5 * p
+      val lngBits = (bits + 1) / 2
+      val latBits = bits / 2
+      var z = 0L
+      tok.foreach { ch =>
+        val v = Alphabet.indexOf(ch.toLower)
+        require(v >= 0, s"bad geohash char '$ch'")
+        z = (z << 5) | v
+      }
+      var loi = 0L; var lai = 0L
+      var k = 0
+      while (k < bits) {
+        val b = (z >>> (bits - 1 - k)) & 1L
+        if (k % 2 == 0) loi = (loi << 1) | b else lai = (lai << 1) | b
+        k += 1
+      }
+      val lngMax = (1L << lngBits).toDouble
+      val latMax = (1L << latBits).toDouble
+      val x0 = loi / lngMax * 360.0 - 180.0
+      val x1 = (loi + 1) / lngMax * 360.0 - 180.0
+      val y0 = lai / latMax * 180.0 - 90.0
+      val y1 = (lai + 1) / latMax * 180.0 - 90.0
+      def pt(x: Double, y: Double) = new GenericArrayData(Array[Any](x, y))
+      new GenericArrayData(Array[Any](pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1)))
+    } catch { case _: Exception => null }
+  }
+}
+
+/** geo_geohash_to_polygon(token) → the cell's bbox vertex ring. */
+case class GeohashPolygonExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+  override def dataType: DataType = ArrayType(
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    GeoHashExpressions.cellPolygon(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.GeoHashExpressions.cellPolygon($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_geohash_polygon"
 }
 
 case class GeohashNeighborsExpr(child: Expression) extends UnaryExpression {

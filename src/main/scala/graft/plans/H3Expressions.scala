@@ -443,17 +443,23 @@ object H3Expressions {
     }
   }
 
+  // SQL entry points follow Kusto's invalid-geo-input contract: a bad
+  // token or out-of-range resolution yields NULL, never a failed query
+  // (the same posture as centerPoint's NaN). May return null.
   def parentToken(t: UTF8String, res: Int): UTF8String =
-    UTF8String.fromString(token(parent(fromToken(t.toString), res)))
+    try UTF8String.fromString(token(parent(fromToken(t.toString), res)))
+    catch { case _: Exception => null }
 
   def childrenTokens(t: UTF8String): GenericArrayData =
-    new GenericArrayData(children(fromToken(t.toString))
+    try new GenericArrayData(children(fromToken(t.toString))
       .map(c => UTF8String.fromString(token(c))).toArray[Any])
+    catch { case _: Exception => null }
 
   def ringsTokens(t: UTF8String, n: Int): GenericArrayData =
-    new GenericArrayData(rings(fromToken(t.toString), n).map { ring =>
+    try new GenericArrayData(rings(fromToken(t.toString), n).map { ring =>
       new GenericArrayData(ring.map(c => UTF8String.fromString(token(c))).toArray[Any])
     }.toArray[Any])
+    catch { case _: Exception => null }
 
   // test hooks (H3Spec proves the published aperture-7 identity directly)
   private[graft] def testDownAp7(i: Int, j: Int, k: Int) = downAp7(i, j, k)
@@ -475,8 +481,50 @@ object H3Expressions {
   }
 
   def neighborTokens(t: UTF8String): GenericArrayData =
-    new GenericArrayData(neighbors(fromToken(t.toString))
+    try new GenericArrayData(neighbors(fromToken(t.toString))
       .map(n => UTF8String.fromString(token(n))).toArray[Any])
+    catch { case _: Exception => null }
+
+  /** geo_h3cell_to_polygon: the hexagon boundary as the geo family's bare
+    * vertex ring. Computed as the VORONOI DUAL of the cell lattice — each
+    * boundary vertex is the spherical circumcenter-approximation (normalized
+    * chord midpoint) of the cell's center with two azimuth-consecutive
+    * neighbor centers; this is exact for the ideal hex lattice the aperture-7
+    * framework defines and needs no per-vertex table (deviation from libh3's
+    * tabulated boundaries — documented at the object header alongside the
+    * base-cell note). 5 or 6 vertices (pentagon-like seam cells have 5
+    * neighbors). Sorted CCW by azimuth from the center. Bad tokens → null. */
+  def cellPolygon(t: UTF8String): GenericArrayData = {
+    try {
+      val v = fromToken(t.toString)
+      val (clng, clat) = centerLngLat(v)
+      def toXyz(lng: Double, lat: Double): (Double, Double, Double) = {
+        val phi = math.toRadians(lat); val th = math.toRadians(lng)
+        (math.cos(phi) * math.cos(th), math.cos(phi) * math.sin(th), math.sin(phi))
+      }
+      val c = toXyz(clng, clat)
+      val nbs = neighbors(v).map { n =>
+        val (lng, lat) = centerLngLat(n); (lng, lat)
+      }
+      require(nbs.size >= 3, s"cell has ${nbs.size} neighbors, need >= 3")
+      // order neighbors CCW by local azimuth around the center
+      val cosc = math.cos(math.toRadians(clat))
+      val ordered = nbs.sortBy { case (lng, lat) =>
+        math.atan2(lat - clat, (lng - clng) * cosc)
+      }
+      val verts = ordered.indices.map { i =>
+        val a = toXyz(ordered(i)._1, ordered(i)._2)
+        val b = toXyz(ordered((i + 1) % ordered.size)._1, ordered((i + 1) % ordered.size)._2)
+        val sx = c._1 + a._1 + b._1; val sy = c._2 + a._2 + b._2
+        val sz = c._3 + a._3 + b._3
+        val norm = math.sqrt(sx * sx + sy * sy + sz * sz)
+        new GenericArrayData(Array[Any](
+          math.toDegrees(math.atan2(sy / norm, sx / norm)),
+          math.toDegrees(math.asin(sz / norm))))
+      }
+      new GenericArrayData(verts.toArray[Any])
+    } catch { case _: Exception => null }
+  }
 }
 
 /** geo_point_to_h3cell(lng, lat, res) → 15-hex-digit token. */
@@ -525,8 +573,11 @@ case class H3ParentExpr(left: Expression, right: Expression)
   override def dataType: DataType = StringType
   override protected def nullSafeEval(t: Any, r: Any): Any =
     H3Expressions.parentToken(t.asInstanceOf[UTF8String], r.asInstanceOf[Int])
+  override def nullable: Boolean = true
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, r) => s"graft.plans.H3Expressions.parentToken($t, $r)")
+    nullSafeCodeGen(ctx, ev, (t, r) => s"""
+      ${ev.value} = graft.plans.H3Expressions.parentToken($t, $r);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "graft_h3_parent"
@@ -542,8 +593,11 @@ case class H3ChildrenExpr(child: Expression) extends UnaryExpression {
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     H3Expressions.childrenTokens(input.asInstanceOf[UTF8String])
+  override def nullable: Boolean = true
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.H3Expressions.childrenTokens($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.H3Expressions.childrenTokens($c);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_h3_children"
@@ -561,11 +615,35 @@ case class H3RingsExpr(left: Expression, right: Expression)
     containsNull = false)
   override protected def nullSafeEval(t: Any, n: Any): Any =
     H3Expressions.ringsTokens(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def nullable: Boolean = true
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, n) => s"graft.plans.H3Expressions.ringsTokens($t, $n)")
+    nullSafeCodeGen(ctx, ev, (t, n) => s"""
+      ${ev.value} = graft.plans.H3Expressions.ringsTokens($t, $n);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "graft_h3_rings"
+}
+
+/** geo_h3cell_to_polygon(token) → hexagon boundary vertex ring. */
+case class H3CellPolygonExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    H3Expressions.cellPolygon(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.H3Expressions.cellPolygon($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_h3_cell_polygon"
 }
 
 /** geo_h3cell_neighbors(token) → array of adjacent-cell tokens. */
@@ -578,8 +656,11 @@ case class H3NeighborsExpr(child: Expression) extends UnaryExpression {
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     H3Expressions.neighborTokens(input.asInstanceOf[UTF8String])
+  override def nullable: Boolean = true
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.H3Expressions.neighborTokens($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.H3Expressions.neighborTokens($c);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_h3_neighbors"

@@ -312,6 +312,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_s2_cover"),
       new ExpressionInfo(classOf[S2CoverExpr].getName, "graft_s2_cover"),
       (children: Seq[Expression]) => S2CoverExpr(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_s2_cover_line"),
+      new ExpressionInfo(classOf[S2LineCoverExpr].getName, "graft_s2_cover_line"),
+      (children: Seq[Expression]) => S2LineCoverExpr(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_s2_cell_polygon"),
+      new ExpressionInfo(classOf[S2CellPolygonExpr].getName, "graft_s2_cell_polygon"),
+      (children: Seq[Expression]) => S2CellPolygonExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_geohash_polygon"),
+      new ExpressionInfo(classOf[GeohashPolygonExpr].getName, "graft_geohash_polygon"),
+      (children: Seq[Expression]) => GeohashPolygonExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_h3_cell_polygon"),
+      new ExpressionInfo(classOf[H3CellPolygonExpr].getName, "graft_h3_cell_polygon"),
+      (children: Seq[Expression]) => H3CellPolygonExpr(children.head)))
     // H3-style hex cells (H3Expressions.scala)
     e.injectFunction((
       FunctionIdentifier("graft_h3_cell"),

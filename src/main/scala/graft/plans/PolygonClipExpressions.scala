@@ -435,9 +435,29 @@ case class PolygonBoolExpr(left: Expression, right: Expression, union: Boolean)
   * line; simplify_rings(rings, tol) → rings. */
 case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
     extends BinaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"expected array, got $other")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val leftOk = left.dataType match {
+      case ArrayType(_, _) => true
+      case _ => false
+    }
+    // right operand per fn: tolerance double for the densify/simplify
+    // forms, a vertex ring for the line×polygon forms (unused for
+    // union_rings) — check here so a direct SQL misuse fails analysis,
+    // not execution
+    val rightOk = fn match {
+      case "densify_line" | "densify_ring" | "simplify_rings" =>
+        right.dataType == DoubleType
+      case "line_in_poly" | "clip_line" => right.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      }
+      case _ => true
+    }
+    if (leftOk && rightOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_geo_$fn: expected (array, ${
+        if (fn == "line_in_poly" || fn == "clip_line") "array<array<double>>"
+        else "double"}), got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = fn match {
     case "line_in_poly" => org.apache.spark.sql.types.BooleanType

@@ -430,6 +430,104 @@ object S2Expressions {
     val (lng, lat) = centerLngLat(t.toString)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](lng, lat))
   }
+
+  /** COMPLETE covering of a [[lng,lat],…] polyline at `level` — the line
+    * analogue of coverRing, the bucket-key producer for route×points joins
+    * (geo_line_to_s2cells / geo_line_lookup). Region-grow from the vertex
+    * cells keeping every cell whose padded box meets any SEGMENT (vertex in
+    * box ∨ segment×box-edge crossing — a segment wholly inside the box has
+    * its vertices inside; one passing through must cross an edge). Same
+    * completeness argument as coverRing: the padded box CONTAINS the cell,
+    * and cells meeting a connected polyline are 8-neighbor connected.
+    * Same 8192-cell budget. */
+  private[graft] def coverPolyline(xs: Array[Double], ys: Array[Double],
+      level: Int): Seq[Long] = {
+    require(level >= 0 && level <= MaxLevel, s"bad s2 level $level")
+    require(xs.length >= 2, "line needs >= 2 vertices")
+    val minX = xs.min; val maxX = xs.max; val minY = ys.min; val maxY = ys.max
+    def boxMeetsLine(bx0: Double, by0: Double, bx1: Double, by1: Double): Boolean = {
+      if (bx1 < minX || bx0 > maxX || by1 < minY || by0 > maxY) return false
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) >= bx0 && xs(i) <= bx1 && ys(i) >= by0 && ys(i) <= by1) return true
+        i += 1
+      }
+      val boxEdges = Array((bx0, by0, bx1, by0), (bx1, by0, bx1, by1),
+        (bx1, by1, bx0, by1), (bx0, by1, bx0, by0))
+      i = 0
+      while (i < xs.length - 1) {
+        if (boxEdges.exists { case (ax, ay, bx, by) =>
+          segsCross(xs(i), ys(i), xs(i + 1), ys(i + 1), ax, ay, bx, by) }) return true
+        i += 1
+      }
+      false
+    }
+    def cellMeets(id: Long): Boolean =
+      cellLngLatBoxes(id).exists { case (bx0, by0, bx1, by1) =>
+        boxMeetsLine(bx0, by0, bx1, by1) }
+    val seeds = xs.indices
+      .map(i => parentAtLevel(leafFromLngLat(xs(i), ys(i)), level)).distinct
+    val visited = scala.collection.mutable.HashSet[Long](seeds: _*)
+    val queue = scala.collection.mutable.Queue[Long](seeds: _*)
+    val out = Vector.newBuilder[Long]
+    var count = 0
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      if (cellMeets(c)) {
+        out += c; count += 1
+        require(count <= 8192,
+          s"geo_line_to_s2cells: covering exceeds 8192 cells at level $level")
+        allNeighbors(c).foreach(nb => if (visited.add(nb)) queue.enqueue(nb))
+      }
+    }
+    out.result().sorted
+  }
+
+  /** Null posture mirrors coverTokens: budget blow-out or a >180° longitude
+    * span (antimeridian lines unsupported — documented) → null. */
+  def coverLineTokens(line: org.apache.spark.sql.catalyst.util.ArrayData,
+      level: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = line.numElements()
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val p = line.getArray(i)
+      xs(i) = p.getDouble(0); ys(i) = p.getDouble(1)
+      i += 1
+    }
+    if (xs.length >= 2 && xs.max - xs.min > 180.0) return null
+    try new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      coverPolyline(xs, ys, level).map(c => UTF8String.fromString(token(c))).toArray[Any])
+    catch {
+      case e: IllegalArgumentException if e.getMessage.contains("8192") => null
+    }
+  }
+
+  /** Cell boundary as the geo family's bare vertex ring (deviation from
+    * Kusto's GeoJSON dynamic — documented, same convention as the rest of
+    * the repo): the 4 (u,v)-rectangle corners mapped to [lng, lat], in
+    * cyclic (ST-space CCW) order. Malformed tokens → null. */
+  def cellPolygon(t: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    try {
+      val id = idFromToken(t.toString)
+      require(id != 0, "zero id has no boundary")
+      val level = levelOf(id)
+      val size = 1 << (MaxLevel - level)
+      val (face, i, j) = toFaceIJ(id)
+      val i0 = (i & -size).toLong; val j0 = (j & -size).toLong
+      val max = (1L << MaxLevel).toDouble
+      val corners = Array((i0, j0), (i0 + size, j0),
+        (i0 + size, j0 + size), (i0, j0 + size))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(corners.map {
+        case (ci, cj) =>
+          val u = stToUV(ci / max); val v = stToUV(cj / max)
+          val (x, y, z) = faceUVtoXYZ(face, u, v)
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+            math.toDegrees(math.atan2(y, x)),
+            math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y)))))
+      }.toArray[Any])
+    } catch { case _: Exception => null }
+  }
 }
 
 /** geo_point_to_s2cell(lng, lat, level-literal) → token. */
@@ -503,11 +601,60 @@ case class S2CoverExpr(left: Expression, right: Expression)
       ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       lvl.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (r, l) =>
-      s"graft.plans.S2Expressions.coverTokens($r, $l)")
+    nullSafeCodeGen(ctx, ev, (r, l) => s"""
+      ${ev.value} = graft.plans.S2Expressions.coverTokens($r, $l);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "graft_s2_cover"
+}
+
+/** geo_line_to_s2cells(line, level) → complete covering tokens (null on
+  * budget blow-out / antimeridian lines, the coverTokens posture). */
+case class S2LineCoverExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(DoubleType, _), _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected (array<array<double>>, int), got $other")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(line: Any, lvl: Any): Any =
+    S2Expressions.coverLineTokens(
+      line.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, l) => s"""
+      ${ev.value} = graft.plans.S2Expressions.coverLineTokens($r, $l);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_s2_cover_line"
+}
+
+/** geo_s2cell_to_polygon(token) → the cell's 4-corner vertex ring. */
+case class S2CellPolygonExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    S2Expressions.cellPolygon(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.S2Expressions.cellPolygon($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_s2_cell_polygon"
 }
 
 /** geo_s2cell_to_central_point coordinate readout (lng or lat). */

@@ -1768,7 +1768,10 @@ object NorthStarQueries {
              |  SELECT doc_id, t.term FROM documents,
              |    LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
              |  WHERE t.term <> ''),
-             |lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+             |lens AS (SELECT d.doc_id, COALESCE(l.len, 0) AS len
+             |  FROM documents d LEFT JOIN
+             |    (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id) l
+             |    USING (doc_id)),
              |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
              |    AVG(CAST(len AS DOUBLE)) AS avgdl FROM lens),
              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks

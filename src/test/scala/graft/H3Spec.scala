@@ -150,4 +150,35 @@ class H3Spec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 12.3) < 0.5 && math.abs(r.getDouble(2) - 45.6) < 0.5)
     assert(r.getLong(3) == 6L)
   }
+
+  test("cell polygon: hexagon ring contains the center, excludes neighbors' centers") {
+    val id = H3Expressions.encode(12.3, 45.6, 7)
+    val tok = org.apache.spark.unsafe.types.UTF8String
+      .fromString(H3Expressions.token(id))
+    val ring = H3Expressions.cellPolygon(tok)
+    assert(ring.numElements() == 6, s"expected hexagon, got ${ring.numElements()}")
+    val xs = (0 until 6).map(i => ring.getArray(i).getDouble(0)).toArray
+    val ys = (0 until 6).map(i => ring.getArray(i).getDouble(1)).toArray
+    def inside(x: Double, y: Double): Boolean = {
+      var c = false; var i = 0
+      while (i < 6) {
+        val j2 = (i + 1) % 6
+        if ((ys(i) > y) != (ys(j2) > y) &&
+            x < (xs(j2) - xs(i)) * (y - ys(i)) / (ys(j2) - ys(i)) + xs(i)) c = !c
+        i += 1
+      }
+      c
+    }
+    val (clng, clat) = H3Expressions.centerLngLat(id)
+    assert(inside(clng, clat), "center must lie inside its own boundary ring")
+    H3Expressions.neighbors(id).foreach { n =>
+      val (nl, na) = H3Expressions.centerLngLat(n)
+      assert(!inside(nl, na), "a neighbor's center must lie outside the ring")
+    }
+    // invalid-token posture: null, not a failed query
+    assert(H3Expressions.cellPolygon(
+      org.apache.spark.unsafe.types.UTF8String.fromString("nonsense")) == null)
+    assert(H3Expressions.parentToken(
+      org.apache.spark.unsafe.types.UTF8String.fromString("nonsense"), 3) == null)
+  }
 }

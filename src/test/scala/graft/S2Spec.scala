@@ -155,6 +155,45 @@ class S2Spec extends SparkSpec {
     assert(k.getString(0) == "1")
   }
 
+  test("line covering is complete: every on-line sample's cell is covered") {
+    // a wiggly 3-segment polyline; completeness probe at two levels
+    val xs = Array(10.0, 10.4, 10.1, 10.8)
+    val ys = Array(45.0, 45.2, 45.5, 45.6)
+    Seq(8, 10).foreach { lvl =>
+      val cov = S2Expressions.coverPolyline(xs, ys, lvl)
+        .map(S2Expressions.token).toSet
+      (0 until 3).foreach { s =>
+        (0 to 400).foreach { k =>
+          val tt = k / 400.0
+          val x = xs(s) + tt * (xs(s + 1) - xs(s))
+          val y = ys(s) + tt * (ys(s + 1) - ys(s))
+          val tok = S2Expressions.token(S2Expressions.parentAtLevel(
+            S2Expressions.leafFromLngLat(x, y), lvl))
+          assert(cov.contains(tok), s"lvl $lvl misses cell $tok of ($x,$y)")
+        }
+      }
+    }
+    // KQL dispatch
+    val k = run(
+      """t | project n = array_length(geo_line_to_s2cells(pack_array(
+        |  pack_array(10.0, 45.0), pack_array(10.4, 45.2)), 8))""".stripMargin)
+      .collect().head
+    assert(k.getLong(0) >= 1)
+  }
+
+  test("cell polygon: 4 corners bound the center; KQL ray-cast containment") {
+    val r = run(
+      """t | extend c = geo_point_to_s2cell(12.3, 45.6, 9)
+        || extend ring = geo_s2cell_to_polygon(c),
+        |    ctr = geo_s2cell_to_central_point(c)
+        || project n = array_length(ring),
+        |    inside = geo_point_in_polygon(todouble(ctr[0]), todouble(ctr[1]), ring),
+        |    bad = geo_s2cell_to_polygon("zz@") """.stripMargin).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getBoolean(1))
+    assert(r.isNullAt(2))
+  }
+
   test("token encode/decode round-trips; malformed center is NaN") {
     val id = S2Expressions.parentAtLevel(S2Expressions.leafFromLngLat(12.3, 45.6), 11)
     assert(S2Expressions.idFromToken(S2Expressions.token(id)) == id)
