@@ -168,6 +168,78 @@ object KqlFunctions {
     when(v.isNotNull && base.isNotNull, ipMask(v, bits) === base)
   }
 
+  /** KQL `ipv6_is_in_range(ip, range)` kernel (also the per-range step of
+    * `ipv6_is_in_any_range`): both sides canonicalize to 32 zero-padded hex
+    * digits (parseIpv6), the prefix compares as whole nibbles plus one
+    * arithmetically-masked partial nibble. Fully data-driven — the prefix
+    * length may come from a column (unlike ipv6_is_match's literal prefix),
+    * so the nibble shift is floor-division by 2^(4−rem), not a literal
+    * shiftright. Null on unparsable input or an out-of-range prefix. */
+  def ipv6IsInRange(ip: Column, range: Column): Column = {
+    val parts = split(range, "/")
+    val len = when(size(parts) > 1, element_at(parts, 2).cast("int"))
+      .otherwise(lit(128))
+    val base = translate(parseIpv6(element_at(parts, 1)), ":", "")
+    val a = translate(parseIpv6(ip), ":", "")
+    val fullN = floor(len / 4).cast("int")
+    val rem = pmod(len, lit(4))
+    val wholeEq = substring(a, lit(1), fullN) === substring(base, lit(1), fullN)
+    def nib(c: Column): Column = floor(
+      conv(substring(c, fullN + 1, lit(1)), 16, 10).cast("double") /
+        pow(lit(2.0), (lit(4) - rem).cast("double")))
+    val partEq = when(rem === 0, lit(true)).otherwise(nib(a) === nib(base))
+    when(a.isNull || base.isNull || len.isNull || len < 0 || len > 128,
+      lit(null).cast("boolean")).otherwise(wholeEq && partEq)
+  }
+
+  /** `geo_point_in_polygon` kernel — even-odd ray cast over the closed
+    * vertex ring, as a single codegen'd HOF chain. The comparison order is
+    * FIXED (identical IEEE chain to the DuckDB oracle replays and the
+    * native covering's residual test) so containment can never flip across
+    * engines. Horizontal edges make the guard false before the ±Inf
+    * division is used. Deviation (documented): takes a bare vertex ring,
+    * not Kusto's GeoJSON bag. */
+  def pointInPolygon(x0: Column, y0: Column, ring: Column): Column = {
+    val x = x0.cast("double"); val y = y0.cast("double")
+    val n = size(ring)
+    val crossings = aggregate(sequence(lit(0), n - 1), lit(0),
+      (acc, i) => {
+        val a = element_at(ring, i + 1)
+        val b = element_at(ring, pmod(i + 1, n) + 1)
+        val xi = element_at(a, 1).cast("double"); val yi = element_at(a, 2).cast("double")
+        val xj = element_at(b, 1).cast("double"); val yj = element_at(b, 2).cast("double")
+        val crosses = ((yi > y) =!= (yj > y)) &&
+          (x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+        acc + when(crosses, 1).otherwise(0)
+      })
+    pmod(crossings, lit(2)) === 1
+  }
+
+  /** `geo_distance_point_to_line` kernel — min over segments of the
+    * point-to-segment distance in a local equirectangular projection,
+    * scaled to meters on the mean-radius sphere (same deviation posture as
+    * geo_distance_2points: spherical, not WGS84 geodesic). */
+  def pointToLineMeters(lngC: Column, latC: Column, line: Column): Column = {
+    val px = lngC.cast("double"); val py = latC.cast("double")
+    val cosl = cos(radians(py))
+    val minDeg = aggregate(sequence(lit(0), size(line) - 2),
+      lit(Double.PositiveInfinity), (acc, i) => {
+        val a = element_at(line, i + 1); val b = element_at(line, i + 2)
+        val x1 = (element_at(a, 1).cast("double") - px) * cosl
+        val y1 = element_at(a, 2).cast("double") - py
+        val x2 = (element_at(b, 1).cast("double") - px) * cosl
+        val y2 = element_at(b, 2).cast("double") - py
+        val dx = x2 - x1; val dy = y2 - y1
+        val len2 = dx * dx + dy * dy
+        val t = when(len2 > 0,
+          greatest(lit(0.0), least(lit(1.0), -(x1 * dx + y1 * dy) / len2)))
+          .otherwise(lit(0.0))
+        val cx = x1 + t * dx; val cy = y1 + t * dy
+        least(acc, sqrt(cx * cx + cy * cy))
+      })
+    minDeg * lit(math.Pi / 180 * 6371000.0)
+  }
+
   /** Properly-delimited IPv4 tokens of a text (the `has_ipv4` family's notion
     * of "appears in the text": the address must be bounded by non-word,
     * non-dot delimiters, and every octet must be 0–255). */

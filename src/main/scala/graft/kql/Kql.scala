@@ -994,6 +994,122 @@ object Kql {
           Seq("__rid"), "left").drop("__rid")
       }
     }
+
+    /** Per-geometry adaptive S2 level from a [[lng,lat],…] vertex array's
+      * bbox span: cells about half the span (→ coverings of ~4–25 cells),
+      * clamped to [0, maxLvl]. The LEVEL spectrum is what gets collected
+      * driver-side (≤ maxLvl+1 values — the ipv4_lookup prefix-length
+      * pattern), never the geometries. */
+    private def adaptiveLevel(geom: Column, maxLvl: Int): Column = {
+      val lngs = transform(geom, p => element_at(p, 1).cast("double"))
+      val lats = transform(geom, p => element_at(p, 2).cast("double"))
+      val span = greatest(
+        array_max(lngs) - array_min(lngs), array_max(lats) - array_min(lats))
+      val lvl = (floor(log(lit(360.0) / greatest(span, lit(1e-6))) /
+        lit(math.log(2.0))) + lit(1)).cast("int")
+      greatest(lit(0), least(lit(maxLvl), lvl))
+    }
+
+    /** `T | evaluate geo_polygon_lookup(PolygonTable, polygonCol, lngCol,
+      * latCol [, return_unmatched])` — enrich each row with the polygon(s)
+      * containing its point: THE geofencing enrichment plugin.
+      *
+      * Execution (the bucketed containment-join engine proven by
+      * q_kql_polygon_join, generalized to mixed polygon sizes): each polygon
+      * gets an ADAPTIVE fixed S2 level from its bbox (small polygons → fine
+      * cells, continents → coarse; covering stays ~4–25 cells regardless of
+      * size) and expands to its covering; the DISTINCT levels are collected
+      * (bounded ≤ 17) and each fact row emits its ONE cell per level. One
+      * broadcast equi-join on (level, cell) + the exact ray-cast residual.
+      * Each (point, polygon) pair can meet on at most one cell (one covering
+      * level per polygon × one point cell per level) — no dedup step, no
+      * pair inflation. Points in several polygons yield several rows
+      * (Kusto's contract); `return_unmatched=true` keeps unmatched rows with
+      * null polygon columns. Antimeridian-crossing polygons cover() to null
+      * and never match (documented coverTokens posture). */
+    def geoPolygonLookup(polys: DataFrame, polyCol: String, lngCol: String,
+        latCol: String, returnUnmatched: Boolean = false): DataFrame = {
+      import graft.functions.KqlFunctions
+      val geom = col(polyCol).cast("array<array<double>>")
+      val lk0 = polys.withColumn("__lvl", adaptiveLevel(geom, 16))
+      val lk = lk0
+        .withColumn("__cell",
+          explode(call_function("graft_s2_cover", geom, col("__lvl"))))
+      val lvls: Seq[Int] = lk0.select("__lvl").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted // bounded: at most 17 values
+      require(lvls.nonEmpty, "geo_polygon_lookup: polygon table is empty")
+      val withId = df.withColumn("__rid", monotonically_increasing_id())
+      val cand = withId
+        .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
+        .withColumn("__cell", call_function("graft_s2_cell",
+          col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
+      val hit = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
+        .filter(KqlFunctions.pointInPolygon(col(lngCol), col(latCol),
+          col(polyCol).cast("array<array<double>>")))
+        .drop("__lvl", "__cell")
+      if (!returnUnmatched) hit.drop("__rid")
+      else {
+        val extraCols = polys.columns.toSeq
+        withId.join(
+          hit.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
+          Seq("__rid"), "left").drop("__rid")
+      }
+    }
+
+    /** `T | evaluate geo_line_lookup(LineTable, lineCol, lngCol, latCol,
+      * radius_m [, return_unmatched])` — enrich each row with the line(s)
+      * passing within `radius_m` meters of its point (route matching).
+      *
+      * Same engine as geo_polygon_lookup with two radius twists: the
+      * per-line level is additionally capped so a CELL EDGE is at least the
+      * radius (min S2 edge ≥ ~5000 km / 2^level), and each point probes its
+      * cell PLUS the 8 neighbors — so any point within radius of a covered
+      * cell is caught by construction. Candidate pairs can meet through
+      * several cells → exact-residual first (distance ≤ radius), then a
+      * dedup on (row, line) ids. Lookup side stays broadcast; the ×9
+      * key expansion is on cheap 64-bit tokens, pre-shuffle. */
+    def geoLineLookup(lines: DataFrame, lineCol: String, lngCol: String,
+        latCol: String, radiusMeters: Double,
+        returnUnmatched: Boolean = false): DataFrame = {
+      import graft.functions.KqlFunctions
+      require(radiusMeters > 0, "geo_line_lookup: radius must be positive")
+      // cap the level so every cell's MIN WIDTH exceeds the radius (S2
+      // quadratic min-width metric ≈ 0.833/2^L rad ≈ 5.3e6/2^L m; 4.0e6
+      // keeps margin) — then a radius-ball around any covered cell stays
+      // inside that cell's 3×3 neighbor block, making cell+8-neighbors
+      // probing complete
+      val maxLvlForRadius = math.max(0, math.min(16,
+        math.floor(math.log(4.0e6 / radiusMeters) / math.log(2.0)).toInt))
+      val geom = col(lineCol).cast("array<array<double>>")
+      val lk0 = lines
+        .withColumn("__lid", monotonically_increasing_id())
+        .withColumn("__lvl", adaptiveLevel(geom, maxLvlForRadius))
+      val lk = lk0.withColumn("__cell",
+        explode(call_function("graft_s2_cover_line", geom, col("__lvl"))))
+      val lvls: Seq[Int] = lk0.select("__lvl").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      require(lvls.nonEmpty, "geo_line_lookup: line table is empty")
+      val withId = df.withColumn("__rid", monotonically_increasing_id())
+      val cand = withId
+        .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
+        .withColumn("__pc", call_function("graft_s2_cell",
+          col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
+        .withColumn("__cell", explode(concat(array(col("__pc")),
+          call_function("graft_s2_neighbors", col("__pc")))))
+        .drop("__pc")
+      val hit = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
+        .filter(KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
+          col(lineCol).cast("array<array<double>>")) <= lit(radiusMeters))
+        .dropDuplicates("__rid", "__lid")
+        .drop("__lvl", "__cell", "__lid")
+      if (!returnUnmatched) hit.drop("__rid")
+      else {
+        val extraCols = lines.columns.toSeq
+        withId.join(
+          hit.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
+          Seq("__rid"), "left").drop("__rid")
+      }
+    }
   }
 
   // ------------------------------------------------------------------

@@ -1457,6 +1457,51 @@ object KqlParser {
             } else false
             eatPunct(")")
             df.ipv6Lookup(ranges, ipCol, netCol, unmatched)
+          case "geo_polygon_lookup" =>
+            // `evaluate geo_polygon_lookup(PolygonTable, polygonCol, lngCol,
+            // latCol [, return_unmatched [= true|false]])` — geofencing
+            // enrichment (see Kql.geoPolygonLookup).
+            val polys = resolveTable(ident()); eatPunct(",")
+            val polyCol = ident(); eatPunct(",")
+            val lngCol = ident(); eatPunct(",")
+            val latCol = ident()
+            val unmatched = if (atPunct(",")) {
+              pos += 1
+              val flag = ident() match {
+                case "return_unmatched" =>
+                  if (atPunct("=")) { pos += 1; ident() } else "true"
+                case "true" => "true"
+                case "false" => "false"
+                case other => throw new IllegalArgumentException(
+                  s"geo_polygon_lookup: unexpected argument $other")
+              }
+              flag == "true"
+            } else false
+            eatPunct(")")
+            df.geoPolygonLookup(polys, polyCol, lngCol, latCol, unmatched)
+          case "geo_line_lookup" =>
+            // `evaluate geo_line_lookup(LineTable, lineCol, lngCol, latCol,
+            // radius_m [, return_unmatched [= true|false]])` — route
+            // proximity enrichment (see Kql.geoLineLookup).
+            val lines = resolveTable(ident()); eatPunct(",")
+            val lineCol = ident(); eatPunct(",")
+            val lngCol = ident(); eatPunct(",")
+            val latCol = ident(); eatPunct(",")
+            val radius = litDouble(parseExpr())
+            val unmatched = if (atPunct(",")) {
+              pos += 1
+              val flag = ident() match {
+                case "return_unmatched" =>
+                  if (atPunct("=")) { pos += 1; ident() } else "true"
+                case "true" => "true"
+                case "false" => "false"
+                case other => throw new IllegalArgumentException(
+                  s"geo_line_lookup: unexpected argument $other")
+              }
+              flag == "true"
+            } else false
+            eatPunct(")")
+            df.geoLineLookup(lines, lineCol, lngCol, latCol, radius, unmatched)
           case "funnel_sequence_completion" =>
             // `evaluate funnel_sequence_completion(id, ts, start, end, state,
             // dynamic(['s1',…]), dynamic([w1,…]))` — per-window prefix
@@ -2966,8 +3011,52 @@ object KqlParser {
           }
           ipTerms.map(ip => ipFn(args.head.cast("string"), ip.cast("string")))
             .reduce(_ || _)
+        case "ipv4_is_in_any_range" =>
+          // ip ∈ any of the listed CIDR ranges (2+ range args, each a
+          // string — the security-staple form). Standard 3-valued OR: true
+          // dominates, else null if anything was unparsable.
+          require(args.size >= 2, "ipv4_is_in_any_range(ip, range, ...)")
+          args.tail.map(r => KqlFunctions.ipv4IsInRange(args.head, r))
+            .reduce(_ || _)
+        case "ipv6_is_in_any_range" =>
+          // the 128-bit analogue over the canonical-hex prefix kernel;
+          // ranges are per-arg (data-driven prefix lengths allowed)
+          require(args.size >= 2, "ipv6_is_in_any_range(ip, range, ...)")
+          args.tail.map(r => KqlFunctions.ipv6IsInRange(args.head, r))
+            .reduce(_ || _)
         case "ipv4_range_to_cidr_list" =>
           KqlFunctions.ipv4RangeToCidrList(args.head.cast("string"), args(1).cast("string"))
+        case "geo_info_from_ip_address" =>
+          // IP geolocation surface. DEVIATION (documented): Kusto resolves
+          // against the MaxMind GeoLite2 database — external licensed data
+          // that cannot ship here. The MECHANISM is real (CIDR containment,
+          // most-specific-first, private/unroutable → null fields) over an
+          // embedded fixture of documentation/TEST-NET and well-known
+          // anycast ranges; swapping in real MMDB data means replacing this
+          // literal list with an ipv4_lookup against the loaded range table
+          // (the ipv4Lookup plugin is that path at scale). Output struct
+          // matches Kusto's field names: country/state/city/latitude/
+          // longitude.
+          val geoFixture: Seq[(String, String, String, String, Double, Double)] = Seq(
+            ("192.0.2.0/24", "United States", "California", "Los Angeles", 34.0522, -118.2437),
+            ("198.51.100.0/24", "United Kingdom", "England", "London", 51.5074, -0.1278),
+            ("203.0.113.0/24", "Australia", "New South Wales", "Sydney", -33.8688, 151.2093),
+            ("8.8.8.0/24", "United States", "California", "Mountain View", 37.386, -122.0838),
+            ("1.1.1.0/24", "Australia", "Queensland", "South Brisbane", -27.4766, 153.0166),
+            ("9.9.9.0/24", "United States", "California", "Berkeley", 37.8715, -122.2730))
+          val nullInfo = struct(
+            lit(null).cast("string").as("country"),
+            lit(null).cast("string").as("state"),
+            lit(null).cast("string").as("city"),
+            lit(null).cast("double").as("latitude"),
+            lit(null).cast("double").as("longitude"))
+          geoFixture.foldLeft(nullInfo) {
+            case (acc, (cidr, country, state, city, la, lo)) =>
+              when(KqlFunctions.ipv4IsInRange(args.head, lit(cidr)),
+                struct(lit(country).as("country"), lit(state).as("state"),
+                  lit(city).as("city"), lit(la).as("latitude"),
+                  lit(lo).as("longitude"))).otherwise(acc)
+          }
         case "parse_ipv6" => KqlFunctions.parseIpv6(args.head)
         case "ipv6_compare" =>
           // canonical zero-padded hex compares lexicographically = numerically
@@ -3375,6 +3464,12 @@ object KqlParser {
         case "geo_line_length" => geoLineLength(args.head)
         case "geo_distance_point_to_line" =>
           geoPointToLine(args(0), args(1), args(2))
+        case "geo_closest_point_on_line" =>
+          geoClosestPointOnLine(args(0), args(1), args(2).cast("array<array<double>>"))
+        case "geo_distance_point_to_polygon" =>
+          geoPointToPolygon(args(0), args(1), args(2).cast("array<array<double>>"))
+        case "geo_azimuth" =>
+          geoAzimuth(args(0), args(1), args(2), args(3))
         case "series_fft" | "series_ifft" =>
           // struct(re, im) result — bind with `extend (fr, fi) = series_fft(x)`
           val imArg = if (args.length > 1) args(1).cast("array<double>")
@@ -3978,11 +4073,22 @@ object KqlParser {
       * cos(lat)), exact planar point-segment distance, then the mean-radius
       * arc conversion — within ~0.5% at sub-degree extents, a fixed IEEE
       * chain the oracle can replay. */
-    private def geoPointToLine(lngC: Column, latC: Column, line: Column): Column = {
+    private def geoPointToLine(lngC: Column, latC: Column, line: Column): Column =
+      KqlFunctions.pointToLineMeters(lngC, latC, line)
+
+    /** `geo_closest_point_on_line(lng, lat, line)` — the [lng, lat] of the
+      * nearest point on the polyline: the same per-segment equirectangular
+      * projection as geo_distance_point_to_line, but argmin — the aggregate
+      * carries (best dist, best x, best y) as a struct accumulator. One
+      * codegen'd HOF chain, no UDF. */
+    private def geoClosestPointOnLine(lngC: Column, latC: Column,
+        line: Column): Column = {
       val px = lngC.cast("double"); val py = latC.cast("double")
       val cosl = cos(radians(py))
-      val minDeg = aggregate(sequence(lit(0), size(line) - 2),
-        lit(Double.PositiveInfinity), (acc, i) => {
+      val best = aggregate(sequence(lit(0), size(line) - 2),
+        struct(lit(Double.PositiveInfinity).as("d"), lit(0.0).as("x"),
+          lit(0.0).as("y")),
+        (acc, i) => {
           val a = element_at(line, i + 1); val b = element_at(line, i + 2)
           val x1 = (element_at(a, 1).cast("double") - px) * cosl
           val y1 = element_at(a, 2).cast("double") - py
@@ -3994,9 +4100,34 @@ object KqlParser {
             greatest(lit(0.0), least(lit(1.0), -(x1 * dx + y1 * dy) / len2)))
             .otherwise(lit(0.0))
           val cx = x1 + t * dx; val cy = y1 + t * dy
-          least(acc, sqrt(cx * cx + cy * cy))
+          val cd = sqrt(cx * cx + cy * cy)
+          when(cd < acc.getField("d"),
+            struct(cd.as("d"), cx.as("x"), cy.as("y"))).otherwise(acc)
         })
-      minDeg * lit(math.Pi / 180 * 6371000.0)
+      array(px + best.getField("x") / cosl, py + best.getField("y"))
+    }
+
+    /** `geo_distance_point_to_polygon(lng, lat, ring)` — 0 when the point is
+      * inside (ray cast), else the distance to the CLOSED boundary (the
+      * open-line kernel over ring + first vertex appended). */
+    private def geoPointToPolygon(lngC: Column, latC: Column,
+        ring: Column): Column = {
+      val closed = concat(ring, slice(ring, 1, 1))
+      when(geoPointInPolygon(lngC, latC, ring), lit(0.0))
+        .otherwise(geoPointToLine(lngC, latC, closed))
+    }
+
+    /** `geo_azimuth(lng1, lat1, lng2, lat2)` — initial great-circle bearing
+      * from point 1 to point 2, radians clockwise from true north in
+      * [0, 2π): atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ),
+      * the published forward-azimuth formula on the sphere. */
+    private def geoAzimuth(lng1: Column, lat1: Column, lng2: Column,
+        lat2: Column): Column = {
+      val p1 = radians(lat1.cast("double")); val p2 = radians(lat2.cast("double"))
+      val dl = radians(lng2.cast("double") - lng1.cast("double"))
+      val theta = atan2(sin(dl) * cos(p2),
+        cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dl))
+      pmod(theta, lit(2 * math.Pi))
     }
 
     private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -4071,21 +4202,8 @@ object KqlParser {
       * the comparison can never flip across engines. Horizontal edges make
       * the guard false before the ±Inf division is used. Deviation
       * (documented): takes a bare vertex ring, not Kusto's GeoJSON bag. */
-    private def geoPointInPolygon(x0: Column, y0: Column, ring: Column): Column = {
-      val x = x0.cast("double"); val y = y0.cast("double")
-      val n = size(ring)
-      val crossings = aggregate(sequence(lit(0), n - 1), lit(0),
-        (acc, i) => {
-          val a = element_at(ring, i + 1)
-          val b = element_at(ring, pmod(i + 1, n) + 1)
-          val xi = element_at(a, 1).cast("double"); val yi = element_at(a, 2).cast("double")
-          val xj = element_at(b, 1).cast("double"); val yj = element_at(b, 2).cast("double")
-          val crosses = ((yi > y) =!= (yj > y)) &&
-            (x < (xj - xi) * (y - yi) / (yj - yi) + xi)
-          acc + when(crosses, 1).otherwise(0)
-        })
-      pmod(crossings, lit(2)) === 1
-    }
+    private def geoPointInPolygon(x0: Column, y0: Column, ring: Column): Column =
+      KqlFunctions.pointInPolygon(x0, y0, ring)
 
     private def litString(c: Column): String = {
       require(litValues.containsKey(c), "a literal string argument is required here")

@@ -3408,6 +3408,246 @@ object KqlTextQueries {
     // independently re-derived in H3Spec and in the row comment's python
     // construction. Structural columns prove center-re-encode identity, the
     // 6-ring, and the bucket-key adjacency contract at res 5.
+    // The geofencing enrichment plugin over the q_kql_polygon_join engine:
+    // adaptive per-polygon covering level, (level, cell) broadcast equi-join,
+    // exact ray-cast residual, return_unmatched left-join-back. Oracle is the
+    // all-pairs ray cast LEFT-JOINED onto the point set.
+    QueryDef("q_kql_geo_lookup",
+      (s, d) => run(s, d,
+        """let polys = datatable(pid: long) [1, 2, 3]
+          || extend poly = case(
+          |    pid == 1, pack_array(pack_array(-73.3, 40.2), pack_array(-72.8, 40.2),
+          |      pack_array(-73.05, 40.9)),
+          |    pid == 2, pack_array(pack_array(-72.7, 40.5), pack_array(-72.3, 40.5),
+          |      pack_array(-72.3, 41.0), pack_array(-72.7, 41.0)),
+          |    pack_array(pack_array(-73.45, 41.1), pack_array(-73.15, 40.5),
+          |      pack_array(-72.85, 41.1), pack_array(-73.15, 40.85)));
+          |events
+          || where event_id % 23 == 0
+          || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
+          |    lng = -73.5 + todouble(event_id % 89) / 60.0
+          || project event_id, lat, lng
+          || evaluate geo_polygon_lookup(polys, poly, lng, lat, return_unmatched)
+          || project pid = coalesce(pid, tolong(-1)), event_id
+          || sort by pid asc, event_id asc""".stripMargin),
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 23 = 0),
+             |edges(pid, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.3, 40.2, -72.8, 40.2), (1, -72.8, 40.2, -73.05, 40.9),
+             |  (1, -73.05, 40.9, -73.3, 40.2),
+             |  (2, -72.7, 40.5, -72.3, 40.5), (2, -72.3, 40.5, -72.3, 41.0),
+             |  (2, -72.3, 41.0, -72.7, 41.0), (2, -72.7, 41.0, -72.7, 40.5),
+             |  (3, -73.45, 41.1, -73.15, 40.5), (3, -73.15, 40.5, -72.85, 41.1),
+             |  (3, -72.85, 41.1, -73.15, 40.85), (3, -73.15, 40.85, -73.45, 41.1)),
+             |m AS (SELECT e.pid, p.event_id
+             |  FROM (SELECT DISTINCT pid FROM edges) e, pts p
+             |  WHERE (SELECT COUNT(*) FROM edges g WHERE g.pid = e.pid
+             |      AND ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |      AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |    ) % 2 = 1)
+             |SELECT CAST(COALESCE(m.pid, -1) AS BIGINT) AS pid,
+             |  p.event_id AS event_id
+             |FROM pts p LEFT JOIN m ON m.event_id = p.event_id
+             |ORDER BY pid, p.event_id""".stripMargin)),
+
+    // Route-proximity enrichment: per-line covering level capped so a cell's
+    // min width exceeds the radius, point probes cell+8 neighbors, exact
+    // distance residual, (row, line) dedup. Oracle replays the identical
+    // equirectangular point-to-segment IEEE chain all-pairs in DuckDB.
+    QueryDef("q_kql_line_lookup",
+      (s, d) => run(s, d,
+        """let rts = datatable(rid: long) [1, 2]
+          || extend line = case(
+          |    rid == 1, pack_array(pack_array(-73.4, 40.3), pack_array(-73.0, 40.6),
+          |      pack_array(-72.6, 40.5)),
+          |    pack_array(pack_array(-73.2, 41.0), pack_array(-72.4, 40.8)));
+          |events
+          || where event_id % 23 == 0
+          || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
+          |    lng = -73.5 + todouble(event_id % 89) / 60.0
+          || project event_id, lat, lng
+          || evaluate geo_line_lookup(rts, line, lng, lat, 20000.0)
+          || project rid, event_id
+          || sort by rid asc, event_id asc""".stripMargin),
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 23 = 0),
+             |segs(rid, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.4, 40.3, -73.0, 40.6), (1, -73.0, 40.6, -72.6, 40.5),
+             |  (2, -73.2, 41.0, -72.4, 40.8)),
+             |raw AS (SELECT g.rid, p.event_id,
+             |    (g.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1,
+             |    g.y1 - p.lat AS yy1,
+             |    (g.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2,
+             |    g.y2 - p.lat AS yy2
+             |  FROM segs g, pts p),
+             |t1 AS (SELECT rid, event_id, xx1, yy1,
+             |    xx2 - xx1 AS dx, yy2 - yy1 AS dy FROM raw),
+             |t2 AS (SELECT rid, event_id, xx1, yy1, dx, dy,
+             |    dx * dx + dy * dy AS len2 FROM t1),
+             |t3 AS (SELECT rid, event_id, xx1, yy1, dx, dy,
+             |    CASE WHEN len2 > 0 THEN GREATEST(0.0, LEAST(1.0,
+             |      -(xx1 * dx + yy1 * dy) / len2)) ELSE 0.0 END AS t FROM t2),
+             |t4 AS (SELECT rid, event_id,
+             |    xx1 + t * dx AS cx, yy1 + t * dy AS cy FROM t3),
+             |md AS (SELECT rid, event_id,
+             |    MIN(SQRT(cx * cx + cy * cy)) AS mindeg FROM t4
+             |  GROUP BY rid, event_id)
+             |SELECT CAST(rid AS BIGINT) AS rid, event_id FROM md
+             |WHERE mindeg * (PI() / 180 * 6371000.0) <= 20000.0
+             |ORDER BY rid, event_id""".stripMargin)),
+
+    // Distance-family completion: closest point on line (argmin over the
+    // same per-segment projection as geo_distance_point_to_line),
+    // point-to-polygon distance (0 inside, else closed-boundary distance),
+    // great-circle forward azimuth. Oracle replays the identical IEEE
+    // chains (strict-< argmin tie-break = ROW_NUMBER by (dist, seg)).
+    QueryDef("q_kql_geo_dist2",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 31 == 0
+          || extend lat = 40.0 + todouble(event_id % 83) / 70.0,
+          |    lng = -73.5 + todouble(event_id % 79) / 55.0
+          || extend cp = geo_closest_point_on_line(lng, lat, pack_array(
+          |    pack_array(-73.4, 40.3), pack_array(-73.0, 40.6), pack_array(-72.6, 40.5)))
+          || extend dp = round(geo_distance_point_to_polygon(lng, lat, pack_array(
+          |    pack_array(-73.3, 40.2), pack_array(-72.8, 40.2), pack_array(-73.05, 40.9))), 1)
+          || extend az = round(geo_azimuth(lng, lat, -73.0, 40.6), 6)
+          || project event_id, cx = round(todouble(cp[0]), 6),
+          |    cy = round(todouble(cp[1]), 6), dp, az
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 83 AS DOUBLE) / 70.0 AS lat,
+             |    -73.5 + CAST(event_id % 79 AS DOUBLE) / 55.0 AS lng
+             |  FROM events WHERE event_id % 31 = 0),
+             |lsegs(i, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.4, 40.3, -73.0, 40.6), (2, -73.0, 40.6, -72.6, 40.5)),
+             |psegs(i, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.3, 40.2, -72.8, 40.2), (2, -72.8, 40.2, -73.05, 40.9),
+             |  (3, -73.05, 40.9, -73.3, 40.2)),
+             |lraw AS (SELECT p.event_id, p.lng, p.lat, s.i,
+             |    (s.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1, s.y1 - p.lat AS yy1,
+             |    (s.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2, s.y2 - p.lat AS yy2
+             |  FROM lsegs s, pts p),
+             |l1 AS (SELECT event_id, lng, lat, i, xx1, yy1,
+             |    xx2 - xx1 AS dx, yy2 - yy1 AS dy FROM lraw),
+             |l2 AS (SELECT event_id, lng, lat, i, xx1, yy1, dx, dy,
+             |    dx * dx + dy * dy AS len2 FROM l1),
+             |l3 AS (SELECT event_id, lng, lat, i, xx1, yy1, dx, dy,
+             |    CASE WHEN len2 > 0 THEN GREATEST(0.0, LEAST(1.0,
+             |      -(xx1 * dx + yy1 * dy) / len2)) ELSE 0.0 END AS t FROM l2),
+             |l4 AS (SELECT event_id, lng, lat, i,
+             |    xx1 + t * dx AS cx0, yy1 + t * dy AS cy0 FROM l3),
+             |l5 AS (SELECT event_id, lng, lat, cx0, cy0, ROW_NUMBER() OVER (
+             |    PARTITION BY event_id ORDER BY SQRT(cx0*cx0 + cy0*cy0), i) AS rn
+             |  FROM l4),
+             |lbest AS (SELECT event_id, lng + cx0 / COS(RADIANS(lat)) AS cx,
+             |    lat + cy0 AS cy FROM l5 WHERE rn = 1),
+             |praw AS (SELECT p.event_id,
+             |    (s.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1, s.y1 - p.lat AS yy1,
+             |    (s.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2, s.y2 - p.lat AS yy2
+             |  FROM psegs s, pts p),
+             |p1 AS (SELECT event_id, xx1, yy1,
+             |    xx2 - xx1 AS dx, yy2 - yy1 AS dy FROM praw),
+             |p2 AS (SELECT event_id, xx1, yy1, dx, dy,
+             |    dx * dx + dy * dy AS len2 FROM p1),
+             |p3 AS (SELECT event_id, xx1, yy1, dx, dy,
+             |    CASE WHEN len2 > 0 THEN GREATEST(0.0, LEAST(1.0,
+             |      -(xx1 * dx + yy1 * dy) / len2)) ELSE 0.0 END AS t FROM p2),
+             |p4 AS (SELECT event_id, xx1 + t * dx AS cx0, yy1 + t * dy AS cy0 FROM p3),
+             |pmin AS (SELECT event_id, MIN(SQRT(cx0*cx0 + cy0*cy0)) AS mindeg
+             |  FROM p4 GROUP BY event_id),
+             |pin AS (SELECT p.event_id, ((SELECT COUNT(*) FROM psegs g
+             |    WHERE ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |      AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |  ) % 2 = 1) AS inside FROM pts p),
+             |azi AS (SELECT event_id, ATAN2(
+             |    SIN(RADIANS(-73.0 - lng)) * COS(RADIANS(40.6)),
+             |    COS(RADIANS(lat)) * SIN(RADIANS(40.6)) -
+             |      SIN(RADIANS(lat)) * COS(RADIANS(40.6)) * COS(RADIANS(-73.0 - lng))
+             |  ) AS theta FROM pts)
+             |SELECT p.event_id AS event_id, ROUND(lb.cx, 6) AS cx,
+             |  ROUND(lb.cy, 6) AS cy,
+             |  ROUND(CASE WHEN pin.inside THEN 0.0
+             |    ELSE pm.mindeg * (PI() / 180 * 6371000.0) END, 1) AS dp,
+             |  ROUND(FMOD(FMOD(a.theta, 2 * PI()) + 2 * PI(), 2 * PI()), 6) AS az
+             |FROM pts p
+             |JOIN lbest lb ON lb.event_id = p.event_id
+             |JOIN pmin pm ON pm.event_id = p.event_id
+             |JOIN pin ON pin.event_id = p.event_id
+             |JOIN azi a ON a.event_id = p.event_id
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ipv4/ipv6_is_in_any_range (the security-query staple) and the
+    // geo_info_from_ip_address surface (embedded TEST-NET/anycast fixture —
+    // documented deviation from Kusto's licensed MMDB data; mechanism =
+    // CIDR containment, private ranges → null fields).
+    QueryDef("q_kql_ip_ranges",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 29 == 0
+          || extend ip = case(
+          |    event_id % 4 == 0, strcat('192.0.2.', tostring(event_id % 256)),
+          |    event_id % 4 == 1, strcat('8.8.8.', tostring(event_id % 256)),
+          |    event_id % 4 == 2, strcat('10.3.', tostring(event_id % 256), '.7'),
+          |    strcat('203.0.113.', tostring(event_id % 256)))
+          || extend v6ip = strcat(case(event_id % 3 == 0, '2001:db8:',
+          |    event_id % 3 == 1, 'fe80:12:', '2607:f8b0:'),
+          |    tostring(event_id % 7), '::1')
+          || extend inr = iff(ipv4_is_in_any_range(ip, '192.0.2.0/24', '8.8.0.0/16'), 1, 0),
+          |    v6 = iff(ipv6_is_in_any_range(v6ip, '2001:db8::/32', 'fe80::/10'), 1, 0),
+          |    gi = geo_info_from_ip_address(ip)
+          || project event_id, inr, v6, city = coalesce(tostring(gi.city), ''),
+          |    ctry = coalesce(tostring(gi.country), '')
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  CAST(CASE WHEN event_id % 4 IN (0, 1) THEN 1 ELSE 0 END AS INT) AS inr,
+             |  CAST(CASE WHEN event_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS INT) AS v6,
+             |  CASE event_id % 4 WHEN 0 THEN 'Los Angeles'
+             |    WHEN 1 THEN 'Mountain View' WHEN 2 THEN '' ELSE 'Sydney' END AS city,
+             |  CASE event_id % 4 WHEN 0 THEN 'United States'
+             |    WHEN 1 THEN 'United States' WHEN 2 THEN '' ELSE 'Australia' END AS ctry
+             |FROM events WHERE event_id % 29 = 0 ORDER BY event_id""".stripMargin)),
+
+    // Cell→polygon converters: structural proof (ring arity, own-center
+    // containment under the shared ray cast) for s2/h3; the geohash bbox is
+    // EXACT integer-grid arithmetic so its corners replay in SQL.
+    QueryDef("q_kql_cell_polygons",
+      (s, d) => run(s, d,
+        """datatable(id: long, lng: real, lat: real) [
+          |  1, 12.3, 45.6, 2, -73.21, 40.74]
+          || extend s2 = geo_point_to_s2cell(lng, lat, 9),
+          |    gh = geo_point_to_geohash(lng, lat, 6),
+          |    h3 = geo_point_to_h3cell(lng, lat, 7)
+          || extend sp = geo_s2cell_to_polygon(s2),
+          |    gp = geo_geohash_to_polygon(gh),
+          |    hp = geo_h3cell_to_polygon(h3),
+          |    sc = geo_s2cell_to_central_point(s2),
+          |    hc = geo_h3cell_to_central_point(h3)
+          || project id, sn = array_length(sp), hn = array_length(hp),
+          |    scin = iff(geo_point_in_polygon(todouble(sc[0]), todouble(sc[1]), sp), 1, 0),
+          |    hin = iff(geo_point_in_polygon(todouble(hc[0]), todouble(hc[1]), hp), 1, 0),
+          |    gin = iff(geo_point_in_polygon(lng, lat, gp), 1, 0),
+          |    gx0 = round(todouble(gp[0][0]), 8), gy0 = round(todouble(gp[0][1]), 8),
+          |    gx2 = round(todouble(gp[2][0]), 8), gy2 = round(todouble(gp[2][1]), 8)
+          || sort by id asc""".stripMargin),
+      Some("""WITH t(id, lng, lat) AS (VALUES (1, 12.3, 45.6), (2, -73.21, 40.74))
+             |SELECT CAST(id AS BIGINT) AS id, CAST(4 AS BIGINT) AS sn,
+             |  CAST(6 AS BIGINT) AS hn, CAST(1 AS INT) AS scin,
+             |  CAST(1 AS INT) AS hin, CAST(1 AS INT) AS gin,
+             |  ROUND(CAST(FLOOR((lng + 180.0) / 360.0 * 32768.0) AS DOUBLE)
+             |    / 32768.0 * 360.0 - 180.0, 8) AS gx0,
+             |  ROUND(CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS DOUBLE)
+             |    / 32768.0 * 180.0 - 90.0, 8) AS gy0,
+             |  ROUND(CAST(FLOOR((lng + 180.0) / 360.0 * 32768.0) + 1 AS DOUBLE)
+             |    / 32768.0 * 360.0 - 180.0, 8) AS gx2,
+             |  ROUND(CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) + 1 AS DOUBLE)
+             |    / 32768.0 * 180.0 - 90.0, 8) AS gy2
+             |FROM t ORDER BY id""".stripMargin)),
+
     QueryDef("q_kql_h3cell",
       (s, d) => run(s, d,
         """datatable(id: long, lng: real, lat: real) [

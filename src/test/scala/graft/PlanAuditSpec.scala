@@ -74,6 +74,15 @@ class PlanAuditSpec extends SparkSpec {
       s"containment fell back to a product join:\n$p")
   }
 
+  test("geo_polygon_lookup / geo_line_lookup: broadcast equi-join, no cartesian") {
+    Seq("q_kql_geo_lookup", "q_kql_line_lookup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lookup side did not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q fell back to a product join:\n$p")
+    }
+  }
+
   test("bm25: term filter lands pre-aggregation, df side broadcasts") {
     val p = plan("q_bm25")
     assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
