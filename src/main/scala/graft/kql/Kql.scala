@@ -1038,7 +1038,12 @@ object Kql {
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted // bounded: at most 17 values
       require(lvls.nonEmpty, "geo_polygon_lookup: polygon table is empty")
-      val withId = df.withColumn("__rid", monotonically_increasing_id())
+      // the row id exists only for the unmatched join-back; the inner path
+      // adds nothing non-deterministic, so it composes with STREAMING fact
+      // sides too (stream-static broadcast join, fully incremental)
+      val withId =
+        if (returnUnmatched) df.withColumn("__rid", monotonically_increasing_id())
+        else df
       val cand = withId
         .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
         .withColumn("__cell", call_function("graft_s2_cell",
@@ -1047,7 +1052,7 @@ object Kql {
         .filter(KqlFunctions.pointInPolygon(col(lngCol), col(latCol),
           col(polyCol).cast("array<array<double>>")))
         .drop("__lvl", "__cell")
-      if (!returnUnmatched) hit.drop("__rid")
+      if (!returnUnmatched) hit
       else {
         val extraCols = polys.columns.toSeq
         withId.join(

@@ -3470,6 +3470,20 @@ object KqlParser {
           geoPointToPolygon(args(0), args(1), args(2).cast("array<array<double>>"))
         case "geo_azimuth" =>
           geoAzimuth(args(0), args(1), args(2), args(3))
+        case "geo_point_buffer" =>
+          // circle-around-point polygon (geofence construction). Deviation
+          // (documented): a fixed 24-gon in the local equirectangular
+          // projection on the mean-radius sphere, emitted as the repo's bare
+          // CCW vertex ring (Kusto: tolerance-adaptive vertex count on the
+          // WGS84 geodesic, GeoJSON output). Composes directly with
+          // geo_point_in_polygon / geo_polygon_lookup.
+          val lngc = args(0).cast("double"); val latc = args(1).cast("double")
+          val rDeg = args(2).cast("double") / lit(6371000.0) * lit(180.0 / math.Pi)
+          val cosl = cos(radians(latc))
+          transform(sequence(lit(0), lit(23)), i => {
+            val th = i.cast("double") * lit(2 * math.Pi / 24)
+            array(lngc + rDeg * cos(th) / cosl, latc + rDeg * sin(th))
+          })
         case "series_fft" | "series_ifft" =>
           // struct(re, im) result — bind with `extend (fr, fi) = series_fft(x)`
           val imArg = if (args.length > 1) args(1).cast("array<double>")

@@ -3626,13 +3626,17 @@ object KqlTextQueries {
           |    gp = geo_geohash_to_polygon(gh),
           |    hp = geo_h3cell_to_polygon(h3),
           |    sc = geo_s2cell_to_central_point(s2),
-          |    hc = geo_h3cell_to_central_point(h3)
+          |    hc = geo_h3cell_to_central_point(h3),
+          |    pb = geo_point_buffer(lng, lat, 5000.0)
           || project id, sn = array_length(sp), hn = array_length(hp),
           |    scin = iff(geo_point_in_polygon(todouble(sc[0]), todouble(sc[1]), sp), 1, 0),
           |    hin = iff(geo_point_in_polygon(todouble(hc[0]), todouble(hc[1]), hp), 1, 0),
           |    gin = iff(geo_point_in_polygon(lng, lat, gp), 1, 0),
           |    gx0 = round(todouble(gp[0][0]), 8), gy0 = round(todouble(gp[0][1]), 8),
-          |    gx2 = round(todouble(gp[2][0]), 8), gy2 = round(todouble(gp[2][1]), 8)
+          |    gx2 = round(todouble(gp[2][0]), 8), gy2 = round(todouble(gp[2][1]), 8),
+          |    pbn = array_length(pb),
+          |    pbin = iff(geo_point_in_polygon(lng, lat, pb), 1, 0),
+          |    pbx = round(todouble(pb[0][0]), 6), pby = round(todouble(pb[6][1]), 6)
           || sort by id asc""".stripMargin),
       Some("""WITH t(id, lng, lat) AS (VALUES (1, 12.3, 45.6), (2, -73.21, 40.74))
              |SELECT CAST(id AS BIGINT) AS id, CAST(4 AS BIGINT) AS sn,
@@ -3645,7 +3649,12 @@ object KqlTextQueries {
              |  ROUND(CAST(FLOOR((lng + 180.0) / 360.0 * 32768.0) + 1 AS DOUBLE)
              |    / 32768.0 * 360.0 - 180.0, 8) AS gx2,
              |  ROUND(CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) + 1 AS DOUBLE)
-             |    / 32768.0 * 180.0 - 90.0, 8) AS gy2
+             |    / 32768.0 * 180.0 - 90.0, 8) AS gy2,
+             |  CAST(24 AS BIGINT) AS pbn, CAST(1 AS INT) AS pbin,
+             |  ROUND(lng + (5000.0 / 6371000.0 * (180.0 / PI())) *
+             |    COS(0.0 * (2 * PI() / 24)) / COS(RADIANS(lat)), 6) AS pbx,
+             |  ROUND(lat + (5000.0 / 6371000.0 * (180.0 / PI())) *
+             |    SIN(6.0 * (2 * PI() / 24)), 6) AS pby
              |FROM t ORDER BY id""".stripMargin)),
 
     QueryDef("q_kql_h3cell",

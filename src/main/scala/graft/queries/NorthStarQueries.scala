@@ -945,6 +945,55 @@ object NorthStarQueries {
              |  CAST(COUNT(*) FILTER (WHERE pid IS NULL) AS BIGINT) AS unmatched
              |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // STREAMING GEOFENCING: the point stream enriched with the containing
+    // polygon via the geo_polygon_lookup engine — the static polygon side
+    // expands to its adaptive covering (a broadcast (level, cell) hash map
+    // per executor), the stream computes one cell per level and broadcast-
+    // joins + exact ray-cast residual, fully incremental and stateless (no
+    // watermark, no state store, the stream never shuffles). Oracle: the
+    // all-pairs ray cast aggregated per polygon.
+    QueryDef("q_streaming_geofence",
+      (s, d) => {
+        import s.implicits._
+        val pts = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("event_id") % 23 === 0)
+          .withColumn("lat",
+            lit(40.0) + (col("event_id") % 97).cast("double") / lit(80.0))
+          .withColumn("lng",
+            lit(-73.5) + (col("event_id") % 89).cast("double") / lit(60.0))
+          .select("event_id", "lat", "lng")
+        val polys = Seq(
+          (1L, Seq(Seq(-73.3, 40.2), Seq(-72.8, 40.2), Seq(-73.05, 40.9))),
+          (2L, Seq(Seq(-72.7, 40.5), Seq(-72.3, 40.5), Seq(-72.3, 41.0),
+            Seq(-72.7, 41.0))),
+          (3L, Seq(Seq(-73.45, 41.1), Seq(-73.15, 40.5), Seq(-72.85, 41.1),
+            Seq(-73.15, 40.85)))).toDF("pid", "poly")
+        val fenced = pts.geoPolygonLookup(polys, "poly", "lng", "lat")
+          .select("pid", "event_id")
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_geofence_sink", fenced)
+          .summarize(Seq(col("pid")), count(lit(1)).as("n"))
+          .sortBy(col("pid"))
+      },
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 23 = 0),
+             |edges(pid, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.3, 40.2, -72.8, 40.2), (1, -72.8, 40.2, -73.05, 40.9),
+             |  (1, -73.05, 40.9, -73.3, 40.2),
+             |  (2, -72.7, 40.5, -72.3, 40.5), (2, -72.3, 40.5, -72.3, 41.0),
+             |  (2, -72.3, 41.0, -72.7, 41.0), (2, -72.7, 41.0, -72.7, 40.5),
+             |  (3, -73.45, 41.1, -73.15, 40.5), (3, -73.15, 40.5, -72.85, 41.1),
+             |  (3, -72.85, 41.1, -73.15, 40.85), (3, -73.15, 40.85, -73.45, 41.1))
+             |SELECT CAST(e.pid AS BIGINT) AS pid, COUNT(*) AS n
+             |FROM (SELECT DISTINCT pid FROM edges) e, pts p
+             |WHERE (SELECT COUNT(*) FROM edges g WHERE g.pid = e.pid
+             |    AND ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |    AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |  ) % 2 = 1
+             |GROUP BY e.pid ORDER BY pid""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every
