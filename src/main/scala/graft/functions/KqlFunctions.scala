@@ -192,14 +192,27 @@ object KqlFunctions {
       lit(null).cast("boolean")).otherwise(wholeEq && partEq)
   }
 
+  /** True when the graft native expressions are registered in the active
+    * session (spark.sql.extensions=graft.plans.GraftExtensions). */
+  private def nativeExprs: Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists(graft.plans.GeoKernelExpressions.pipName)
+    catch { case _: Throwable => false }
+
   /** `geo_point_in_polygon` kernel — even-odd ray cast over the closed
-    * vertex ring, as a single codegen'd HOF chain. The comparison order is
-    * FIXED (identical IEEE chain to the DuckDB oracle replays and the
-    * native covering's residual test) so containment can never flip across
-    * engines. Horizontal edges make the guard false before the ±Inf
-    * division is used. Deviation (documented): takes a bare vertex ring,
-    * not Kusto's GeoJSON bag. */
-  def pointInPolygon(x0: Column, y0: Column, ring: Column): Column = {
+    * vertex ring. The comparison order is FIXED (identical IEEE chain to
+    * the DuckDB oracle replays and the native covering's residual test) so
+    * containment can never flip across engines. Horizontal edges make the
+    * guard false before the ±Inf division is used. Deviation (documented):
+    * takes a bare vertex ring, not Kusto's GeoJSON bag. Native codegen'd
+    * loop when GraftExtensions is installed; bit-identical HOF fallback
+    * otherwise (the Similarity.dot pattern — see GeoKernelExpressions). */
+  def pointInPolygon(x0: Column, y0: Column, ring: Column): Column =
+    if (nativeExprs) call_function(graft.plans.GeoKernelExpressions.pipName,
+      x0.cast("double"), y0.cast("double"), ring.cast("array<array<double>>"))
+    else pointInPolygonHof(x0, y0, ring)
+
+  private[graft] def pointInPolygonHof(x0: Column, y0: Column, ring: Column): Column = {
     val x = x0.cast("double"); val y = y0.cast("double")
     val n = size(ring)
     val crossings = aggregate(sequence(lit(0), n - 1), lit(0),
@@ -218,8 +231,14 @@ object KqlFunctions {
   /** `geo_distance_point_to_line` kernel — min over segments of the
     * point-to-segment distance in a local equirectangular projection,
     * scaled to meters on the mean-radius sphere (same deviation posture as
-    * geo_distance_2points: spherical, not WGS84 geodesic). */
-  def pointToLineMeters(lngC: Column, latC: Column, line: Column): Column = {
+    * geo_distance_2points: spherical, not WGS84 geodesic). Native loop /
+    * HOF fallback, like pointInPolygon. */
+  def pointToLineMeters(lngC: Column, latC: Column, line: Column): Column =
+    if (nativeExprs) call_function(graft.plans.GeoKernelExpressions.plineName,
+      lngC.cast("double"), latC.cast("double"), line.cast("array<array<double>>"))
+    else pointToLineMetersHof(lngC, latC, line)
+
+  private[graft] def pointToLineMetersHof(lngC: Column, latC: Column, line: Column): Column = {
     val px = lngC.cast("double"); val py = latC.cast("double")
     val cosl = cos(radians(py))
     val minDeg = aggregate(sequence(lit(0), size(line) - 2),

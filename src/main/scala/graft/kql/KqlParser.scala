@@ -4097,6 +4097,15 @@ object KqlParser {
       * codegen'd HOF chain, no UDF. */
     private def geoClosestPointOnLine(lngC: Column, latC: Column,
         line: Column): Column = {
+      // native codegen'd argmin loop when available (GeoKernelExpressions;
+      // bit-identical chain), HOF struct fold otherwise
+      val native =
+        try org.apache.spark.sql.SparkSession.active.catalog
+          .functionExists(graft.plans.GeoKernelExpressions.closestName)
+        catch { case _: Throwable => false }
+      if (native)
+        return call_function(graft.plans.GeoKernelExpressions.closestName,
+          lngC.cast("double"), latC.cast("double"), line)
       val px = lngC.cast("double"); val py = latC.cast("double")
       val cosl = cos(radians(py))
       val best = aggregate(sequence(lit(0), size(line) - 2),

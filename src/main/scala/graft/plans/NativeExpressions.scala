@@ -328,6 +328,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_h3_cell_polygon"),
       new ExpressionInfo(classOf[H3CellPolygonExpr].getName, "graft_h3_cell_polygon"),
       (children: Seq[Expression]) => H3CellPolygonExpr(children.head)))
+    // geo residual kernels (GeoKernelExpressions.scala)
+    e.injectFunction((
+      FunctionIdentifier(GeoKernelExpressions.pipName),
+      new ExpressionInfo(classOf[PointInPolygonExpr].getName, GeoKernelExpressions.pipName),
+      (children: Seq[Expression]) =>
+        PointInPolygonExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier(GeoKernelExpressions.plineName),
+      new ExpressionInfo(classOf[PointToLineMetersExpr].getName, GeoKernelExpressions.plineName),
+      (children: Seq[Expression]) =>
+        PointToLineMetersExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier(GeoKernelExpressions.closestName),
+      new ExpressionInfo(classOf[ClosestPointOnLineExpr].getName, GeoKernelExpressions.closestName),
+      (children: Seq[Expression]) =>
+        ClosestPointOnLineExpr(children(0), children(1), children(2))))
     // H3-style hex cells (H3Expressions.scala)
     e.injectFunction((
       FunctionIdentifier("graft_h3_cell"),

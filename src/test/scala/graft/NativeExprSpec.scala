@@ -109,6 +109,56 @@ class NativeExprSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(3L, 0L, 3L))
   }
 
+  test("native geo kernels match the HOF folds bit-for-bit on a point grid") {
+    import graft.functions.KqlFunctions
+    import graft.plans.GeoKernelExpressions
+    assert(spark.catalog.functionExists(GeoKernelExpressions.pipName))
+    // 40×40 grid straddling the fixture polygon/line, incl. exact-vertex hits
+    val grid = spark.range(1600).select(
+      (lit(-73.6) + (col("id") % 40).cast("double") * 0.03).as("lng"),
+      (lit(40.0) + (col("id") / 40).cast("double") * 0.03).as("lat"))
+    val ring = typedlit(Seq(Seq(-73.3, 40.2), Seq(-72.8, 40.2), Seq(-73.05, 40.9)))
+      .cast("array<array<double>>")
+    val line = typedlit(Seq(Seq(-73.4, 40.3), Seq(-73.0, 40.6), Seq(-72.6, 40.5)))
+      .cast("array<array<double>>")
+    val pipDiff = grid.select(
+      (call_function(GeoKernelExpressions.pipName, col("lng"), col("lat"), ring) ===
+        KqlFunctions.pointInPolygonHof(col("lng"), col("lat"), ring)).as("same"))
+      .filter(!col("same")).count()
+    assert(pipDiff == 0, "point-in-polygon native/HOF mismatch")
+    val dDiff = grid.select(
+      (call_function(GeoKernelExpressions.plineName, col("lng"), col("lat"), line) ===
+        KqlFunctions.pointToLineMetersHof(col("lng"), col("lat"), line)).as("same"))
+      .filter(!col("same")).count()
+    assert(dDiff == 0, "point-to-line native/HOF mismatch (must be bit-identical)")
+    // closest point: compare both coordinates against the struct-fold HOF
+    val cosl = cos(radians(col("lat")))
+    val hofBest = aggregate(sequence(lit(0), size(line) - 2),
+      struct(lit(Double.PositiveInfinity).as("d"), lit(0.0).as("x"), lit(0.0).as("y")),
+      (acc, i) => {
+        val a = element_at(line, i + 1); val b = element_at(line, i + 2)
+        val x1 = (element_at(a, 1).cast("double") - col("lng")) * cosl
+        val y1 = element_at(a, 2).cast("double") - col("lat")
+        val x2 = (element_at(b, 1).cast("double") - col("lng")) * cosl
+        val y2 = element_at(b, 2).cast("double") - col("lat")
+        val dx = x2 - x1; val dy = y2 - y1
+        val len2 = dx * dx + dy * dy
+        val t = when(len2 > 0,
+          greatest(lit(0.0), least(lit(1.0), -(x1 * dx + y1 * dy) / len2)))
+          .otherwise(lit(0.0))
+        val cx = x1 + t * dx; val cy = y1 + t * dy
+        val cd = sqrt(cx * cx + cy * cy)
+        when(cd < acc.getField("d"),
+          struct(cd.as("d"), cx.as("x"), cy.as("y"))).otherwise(acc)
+      })
+    val hofPt = array(col("lng") + hofBest.getField("x") / cosl,
+      col("lat") + hofBest.getField("y"))
+    val cDiff = grid.select(
+      (call_function(GeoKernelExpressions.closestName, col("lng"), col("lat"), line)
+        === hofPt).as("same")).filter(!col("same")).count()
+    assert(cDiff == 0, "closest-point native/HOF mismatch")
+  }
+
   test("empty and null-element arrays evaluate safely") {
     val df = Seq(
       (Array.empty[Float], Array.empty[Float]),
