@@ -286,12 +286,18 @@ object KqlFunctions {
     * arithmetic, so the whole thing stays inside WholeStageCodegen. */
   def ipv4RangeToCidrList(startIp: Column, endIp: Column): Column = {
     val s = parseIpv4(startIp)
-    val e = parseIpv4(endIp)
+    // the range end rides IN the accumulator: a captured expression would be
+    // RE-EVALUATED (the whole parseIpv4 split/validate tree) on every one of
+    // the 64 interpreted lambda iterations — measured 1.7 s for 250 rows on
+    // q_kql_ipv4_text; binding it once through the zero value makes each
+    // iteration a cheap struct read
     val stepped = aggregate(
       sequence(lit(1), lit(64)),
-      struct(s.as("cur"), array().cast("array<string>").as("out")),
+      struct(s.as("cur"), parseIpv4(endIp).as("end"),
+        array().cast("array<string>").as("out")),
       (acc, _) => {
         val cur = acc.getField("cur")
+        val e = acc.getField("end")
         val span = e - cur + 1L
         // largest aligned block at cur: cur & -cur (cur = 0 → whole space)
         val align = when(cur === 0L, lit(4294967296L)).otherwise(cur.bitwiseAND(-cur))
@@ -301,11 +307,12 @@ object KqlFunctions {
         val size = least(align, fit)
         val prefix = lit(32) - floor(log(2.0, size.cast("double") + 0.5)).cast("int")
         when(cur > e, acc).otherwise(
-          struct((cur + size).as("cur"),
+          struct((cur + size).as("cur"), e.as("end"),
             concat(acc.getField("out"),
               array(concat_ws("/", formatIpv4(cur), prefix.cast("string")))).as("out")))
       })
-    when(s.isNotNull && e.isNotNull && s <= e, stepped.getField("out"))
+    when(s.isNotNull && parseIpv4(endIp).isNotNull && s <= parseIpv4(endIp),
+      stepped.getField("out"))
   }
 
   /** The `/prefix` suffix of an ipv4 string, 32 when absent. */

@@ -139,6 +139,27 @@ object TextAnalysis {
     * pipelines materialize tokens first and call shinglesOf, see perf note there). */
   def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(lower(text)), k)
 
+  /** Contamination-check kernel: struct(hits, nsh) — how many `probes`
+    * appear among the doc's distinct k-shingles, and the distinct-shingle
+    * count. Native one-pass hash-set expression when GraftExtensions is
+    * installed (no shingle-array materialization, no double intersect);
+    * exact column-formulation fallback otherwise — string equality only, so
+    * both paths agree exactly (NativeExprSpec). */
+  def shingleStats(toks: Column, probes: Seq[String], k: Int = 3): Column = {
+    val native =
+      try org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_shingle_stats")
+      catch { case _: Throwable => false }
+    val probeArr = array(probes.map(lit): _*)
+    if (native)
+      call_function("graft_shingle_stats", toks, probeArr, lit(k))
+    else {
+      val sh = shinglesOf(toks, k)
+      struct(size(array_intersect(sh, probeArr)).cast("long").as("hits"),
+        size(sh).cast("long").as("nsh"))
+    }
+  }
+
   // --- repetition metrics (Gopher-style quality filters over token streams) ---
 
   /** Multiplicity of the most frequent element of a SORTED array: one
@@ -172,6 +193,14 @@ object TextAnalysis {
     * result in the DuckDB oracle. Pass a MATERIALIZED token array attribute
     * (see shinglesOf's perf contract). */
   def repetitionMetrics(toks: Column): Column = {
+    // native one-pass counting kernel when available (RepetitionStats —
+    // identical integer-derived divisions, exact agreement asserted in
+    // NativeExprSpec); column formulation otherwise
+    val native =
+      try org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_repetition_stats")
+      catch { case _: Throwable => false }
+    if (native) return call_function("graft_repetition_stats", toks)
     val n = size(toks)
     val nd = size(array_distinct(toks))
     val bg = bigramsOf(toks)

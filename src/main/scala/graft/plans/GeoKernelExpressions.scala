@@ -144,6 +144,164 @@ case class PointToLineMetersExpr(first: Expression, second: Expression,
   override def prettyName: String = GeoKernelExpressions.plineName
 }
 
+/** graft_shingle_stats(toks, probes, k) → struct(hits, nsh): the distinct
+  * k-token-shingle count of a document plus how many probe phrases appear
+  * among them — the contamination-check kernel. Replicates the column
+  * formulation EXACTLY (TextAnalysis.shinglesOf: shingles are k consecutive
+  * tokens joined by ' ' with concat_ws null-skip semantics, deduplicated;
+  * docs shorter than k contribute their full join as one shingle) without
+  * materializing the shingle array per row — one hash-set pass instead of
+  * transform + array_distinct + two array_intersects. String equality only,
+  * so native and HOF agree exactly (asserted in NativeExprSpec). */
+object ShingleStats {
+  def eval(toks: ArrayData, probes: ArrayData, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = toks.numElements()
+    val set = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    if (m >= k) {
+      var i = 0
+      while (i <= m - k) {
+        sb.setLength(0)
+        var j = 0
+        var first = true
+        while (j < k) {
+          if (!toks.isNullAt(i + j)) { // concat_ws skips nulls entirely
+            if (!first) sb.append(' ')
+            sb.append(toks.getUTF8String(i + j).toString)
+            first = false
+          }
+          j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+    } else {
+      sb.setLength(0)
+      var j = 0
+      var first = true
+      while (j < m) {
+        if (!toks.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      set.add(sb.toString)
+    }
+    var hits = 0L
+    var p = 0
+    val np = probes.numElements()
+    while (p < np) {
+      if (!probes.isNullAt(p) && set.contains(probes.getUTF8String(p).toString))
+        hits += 1
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(hits, set.size.toLong)
+  }
+}
+
+/** graft_shingle_stats(toks, probes, k) → struct(hits: long, nsh: long). */
+case class ShingleStatsExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, array<string>, int), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("hits", LongType, nullable = false),
+    StructField("nsh", LongType, nullable = false)))
+  override protected def nullSafeEval(t: Any, p: Any, k: Any): Any =
+    ShingleStats.eval(t.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData],
+      k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p, k) =>
+      s"graft.plans.ShingleStats.eval($t, $p, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "graft_shingle_stats"
+}
+
+/** graft_repetition_stats(toks) → the Gopher repetition-filter signals in
+  * ONE counting pass (token/bigram multiplicity maps) instead of two
+  * array_sorts + two array_distincts + an interpreted run-length fold per
+  * row. The ratios are the IDENTICAL integer-derived IEEE divisions the
+  * column formulation produces (TextAnalysis.repetitionMetrics), so native
+  * and fallback agree exactly. Null tokens (absent from split() output but
+  * handled for parity): excluded from distinct/mode grouping like the
+  * null-propagating HOF comparisons — each null counts as a run of 1. */
+object RepetitionStats {
+  def eval(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val tokCounts = new java.util.HashMap[String, Long]()
+    var nullToks = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) nullToks += 1
+      else tokCounts.merge(toks.getUTF8String(i).toString, 1L, _ + _)
+      i += 1
+    }
+    val nd = tokCounts.size.toLong + (if (nullToks > 0) 1L else 0L)
+    var topTok = if (nullToks > 0) 1L else 0L
+    val it = tokCounts.values.iterator()
+    while (it.hasNext) topTok = math.max(topTok, it.next())
+    // adjacent bigrams, concat_ws null-skip semantics, NON-distinct
+    val nb = if (n >= 2) n - 1 else 0
+    val bgCounts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder(48)
+    i = 0
+    while (i < n - 1) {
+      sb.setLength(0)
+      var first = true
+      if (!toks.isNullAt(i)) { sb.append(toks.getUTF8String(i).toString); first = false }
+      if (!toks.isNullAt(i + 1)) {
+        if (!first) sb.append(' ')
+        sb.append(toks.getUTF8String(i + 1).toString)
+      }
+      bgCounts.merge(sb.toString, 1L, _ + _)
+      i += 1
+    }
+    val nbd = bgCounts.size.toLong
+    var topBg = 0L
+    val bit = bgCounts.values.iterator()
+    while (bit.hasNext) topBg = math.max(topBg, bit.next())
+    // array_distinct counts nulls as one distinct value (handled in nd);
+    // the bigram path never yields nulls (concat_ws returns "")
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong,
+      (n.toLong - nd).toDouble / math.max(n.toLong, 1L).toDouble,
+      topTok.toDouble / math.max(n.toLong, 1L).toDouble,
+      topBg.toDouble / math.max(nb.toLong, 1L).toDouble,
+      (nb.toLong - nbd).toDouble / math.max(nb.toLong, 1L).toDouble)
+  }
+}
+
+/** graft_repetition_stats(toks) → struct of the 5 Gopher signals. */
+case class RepetitionStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup_token_fraction", DoubleType, nullable = false),
+    StructField("top_token_fraction", DoubleType, nullable = false),
+    StructField("top_bigram_fraction", DoubleType, nullable = false),
+    StructField("dup_bigram_fraction", DoubleType, nullable = false)))
+  override protected def nullSafeEval(t: Any): Any =
+    RepetitionStats.eval(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.RepetitionStats.eval($t)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_repetition_stats"
+}
+
 /** graft_closest_point_on_line(lng, lat, line) → [lng, lat]. */
 case class ClosestPointOnLineExpr(first: Expression, second: Expression,
     third: Expression) extends GeoKernel3 {

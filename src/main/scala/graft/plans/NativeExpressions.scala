@@ -344,6 +344,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ClosestPointOnLineExpr].getName, GeoKernelExpressions.closestName),
       (children: Seq[Expression]) =>
         ClosestPointOnLineExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_stats"),
+      new ExpressionInfo(classOf[ShingleStatsExpr].getName, "graft_shingle_stats"),
+      (children: Seq[Expression]) =>
+        ShingleStatsExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
+      (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
     // H3-style hex cells (H3Expressions.scala)
     e.injectFunction((
       FunctionIdentifier("graft_h3_cell"),

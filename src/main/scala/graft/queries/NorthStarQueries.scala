@@ -430,14 +430,13 @@ object NorthStarQueries {
       (s, d) => {
         val probes = Seq("table value part", "fast spark a", "key agg row",
           "batch window spark", "data column agg", "zz absent phrase")
-        val probeArr = array(probes.map(lit): _*)
         T(s, d, "documents")
           .project(col("doc_id"), TA.tokens(col("text")).as("toks"))
-          .project(col("doc_id"), TA.shinglesOf(col("toks"), 3).as("sh"))
+          .project(col("doc_id"), TA.shingleStats(col("toks"), probes, 3).as("st"))
           .project(col("doc_id"),
-            size(array_intersect(col("sh"), probeArr)).cast("long").as("hits"),
-            (size(array_intersect(col("sh"), probeArr)).cast("double") /
-              greatest(size(col("sh")), lit(1)).cast("double")).as("frac"))
+            col("st.hits").as("hits"),
+            (col("st.hits").cast("double") /
+              greatest(col("st.nsh"), lit(1L)).cast("double")).as("frac"))
           .where_(col("hits") > 0)
           .sortBy(col("doc_id"))
       },

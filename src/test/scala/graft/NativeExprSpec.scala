@@ -159,6 +159,63 @@ class NativeExprSpec extends SparkSpec {
     assert(cDiff == 0, "closest-point native/HOF mismatch")
   }
 
+  test("native shingle stats match the array formulation on fixture documents") {
+    import graft.functions.{TextAnalysis => TA}
+    val probes = Seq("table value part", "fast spark a", "zz absent phrase", "")
+    val probeArr = array(probes.map(lit): _*)
+    val toks = Tables.load(spark, sf, "documents").limit(300)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      // short-doc edge: truncate some token arrays below k
+      .withColumn("toks", when(col("doc_id") % 7 === 0, slice(col("toks"), 1, 2))
+        .otherwise(col("toks")))
+    val sh = TA.shinglesOf(col("toks"), 3)
+    val hof = struct(size(array_intersect(sh, probeArr)).cast("long").as("hits"),
+      size(sh).cast("long").as("nsh"))
+    val native = call_function("graft_shingle_stats", col("toks"), probeArr, lit(3))
+    val diff = toks.select((hof === native).as("same")).filter(!col("same")).count()
+    assert(diff == 0, "shingle stats native/HOF mismatch")
+  }
+
+  test("native repetition stats match the sort/distinct formulation exactly") {
+    import graft.functions.{TextAnalysis => TA}
+    val toks = Tables.load(spark, sf, "documents").limit(300)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      // edges: empty and single-token arrays
+      .withColumn("toks",
+        when(col("doc_id") % 11 === 0, array().cast("array<string>"))
+          .when(col("doc_id") % 7 === 0, slice(col("toks"), 1, 1))
+          .otherwise(col("toks")))
+    // the column formulation, inlined (repetitionMetrics now dispatches native)
+    val n = size(col("toks"))
+    val nd = size(array_distinct(col("toks")))
+    val bg = when(n >= 2, transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nb = size(bg)
+    val nbd = size(array_distinct(bg))
+    def maxRun(sorted: org.apache.spark.sql.Column) = aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      }, st => st.getField("best"))
+    val hof = struct(
+      n.cast("long").as("n_tokens"),
+      ((n - nd).cast("double") / greatest(n, lit(1)).cast("double"))
+        .as("dup_token_fraction"),
+      (maxRun(array_sort(col("toks"))).cast("double") /
+        greatest(n, lit(1)).cast("double")).as("top_token_fraction"),
+      (maxRun(array_sort(bg)).cast("double") /
+        greatest(nb, lit(1)).cast("double")).as("top_bigram_fraction"),
+      ((nb - nbd).cast("double") / greatest(nb, lit(1)).cast("double"))
+        .as("dup_bigram_fraction"))
+    val native = call_function("graft_repetition_stats", col("toks"))
+    val diff = toks.select((hof === native).as("same")).filter(!col("same")).count()
+    assert(diff == 0, "repetition stats native/HOF mismatch")
+  }
+
   test("empty and null-element arrays evaluate safely") {
     val df = Seq(
       (Array.empty[Float], Array.empty[Float]),
