@@ -1066,13 +1066,16 @@ object Kql {
       * passing within `radius_m` meters of its point (route matching).
       *
       * Same engine as geo_polygon_lookup with two radius twists: the
-      * per-line level is additionally capped so a CELL EDGE is at least the
-      * radius (min S2 edge ≥ ~5000 km / 2^level), and each point probes its
-      * cell PLUS the 8 neighbors — so any point within radius of a covered
-      * cell is caught by construction. Candidate pairs can meet through
-      * several cells → exact-residual first (distance ≤ radius), then a
-      * dedup on (row, line) ids. Lookup side stays broadcast; the ×9
-      * key expansion is on cheap 64-bit tokens, pre-shuffle. */
+      * per-line level is additionally capped so a CELL'S MIN WIDTH is at
+      * least the radius, and the LINE side's covering expands by one
+      * neighbor ring — so a radius-ball around any covered cell stays
+      * inside its 3×3 block and the point's ONE cell per level must land
+      * in the expanded covering (adjacency is symmetric). The ×9 expansion
+      * sits on the tiny broadcast build side, never on the fact stream;
+      * each (point, line) pair meets on exactly one cell (one point cell ×
+      * deduped covering), so there is no pair inflation, no dedup shuffle,
+      * and — like the polygon form — the inner path composes with
+      * STREAMING fact sides. Exact residual: distance ≤ radius. */
     def geoLineLookup(lines: DataFrame, lineCol: String, lngCol: String,
         latCol: String, radiusMeters: Double,
         returnUnmatched: Boolean = false): DataFrame = {
@@ -1080,34 +1083,29 @@ object Kql {
       require(radiusMeters > 0, "geo_line_lookup: radius must be positive")
       // cap the level so every cell's MIN WIDTH exceeds the radius (S2
       // quadratic min-width metric ≈ 0.833/2^L rad ≈ 5.3e6/2^L m; 4.0e6
-      // keeps margin) — then a radius-ball around any covered cell stays
-      // inside that cell's 3×3 neighbor block, making cell+8-neighbors
-      // probing complete
+      // keeps margin)
       val maxLvlForRadius = math.max(0, math.min(16,
         math.floor(math.log(4.0e6 / radiusMeters) / math.log(2.0)).toInt))
       val geom = col(lineCol).cast("array<array<double>>")
-      val lk0 = lines
-        .withColumn("__lid", monotonically_increasing_id())
-        .withColumn("__lvl", adaptiveLevel(geom, maxLvlForRadius))
-      val lk = lk0.withColumn("__cell",
-        explode(call_function("graft_s2_cover_line", geom, col("__lvl"))))
+      val lk0 = lines.withColumn("__lvl", adaptiveLevel(geom, maxLvlForRadius))
+      val lk = lk0.withColumn("__cell", explode(array_distinct(flatten(
+        transform(call_function("graft_s2_cover_line", geom, col("__lvl")),
+          c => concat(array(c), call_function("graft_s2_neighbors", c)))))))
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       require(lvls.nonEmpty, "geo_line_lookup: line table is empty")
-      val withId = df.withColumn("__rid", monotonically_increasing_id())
+      val withId =
+        if (returnUnmatched) df.withColumn("__rid", monotonically_increasing_id())
+        else df
       val cand = withId
         .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
-        .withColumn("__pc", call_function("graft_s2_cell",
+        .withColumn("__cell", call_function("graft_s2_cell",
           col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
-        .withColumn("__cell", explode(concat(array(col("__pc")),
-          call_function("graft_s2_neighbors", col("__pc")))))
-        .drop("__pc")
       val hit = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
         .filter(KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
           col(lineCol).cast("array<array<double>>")) <= lit(radiusMeters))
-        .dropDuplicates("__rid", "__lid")
-        .drop("__lvl", "__cell", "__lid")
-      if (!returnUnmatched) hit.drop("__rid")
+        .drop("__lvl", "__cell")
+      if (!returnUnmatched) hit
       else {
         val extraCols = lines.columns.toSeq
         withId.join(
