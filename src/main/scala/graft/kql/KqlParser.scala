@@ -904,6 +904,13 @@ object KqlParser {
         searchFilter(df, strLitS(), cs)
       case "project" =>
         withRowFns(df) { val cols = parseProjList(); _.project(cols: _*) }
+      case "consume" =>
+        // `T | consume [decodeblocks = true]` — run the pipeline, discard
+        // the output (Kusto's warm-up/measure operator). The optional
+        // argument is accepted and ignored; the result is the empty table
+        // with the input schema.
+        if (atIdent("decodeblocks")) { pos += 1; eatPunct("="); ident() }
+        df.limit(0)
       case "project-away" => df.projectAway(parseIdentList(): _*)
       case "project-keep" => df.projectKeep(parseIdentList(): _*)
       case "project-reorder" =>
@@ -3299,6 +3306,12 @@ object KqlParser {
           // values are engine-specific)
           val h = conv(substring(md5(args.head.cast("string")), 1, 15), 16, 10).cast("long")
           if (args.length > 1) pmod(h, args(1)) else h
+        case "hash_xxhash64" =>
+          // the explicitly-xxhash64 form: here the ALGORITHM is the contract
+          // (Spark's builtin xxhash64 seed 42), unlike `hash` whose contract
+          // is portability
+          val hx = xxhash64(args.head)
+          if (args.length > 1) pmod(hx, args(1)) else hx
         case "hash_many" | "hash_combine" =>
           // hash_many: one hash over all the values; hash_combine: combiner
           // over already-computed hash values. Both use the same portable
@@ -3470,6 +3483,14 @@ object KqlParser {
           geoPointToPolygon(args(0), args(1), args(2).cast("array<array<double>>"))
         case "geo_azimuth" =>
           geoAzimuth(args(0), args(1), args(2), args(3))
+        case "geo_line_buffer" =>
+          // radius-neighborhood polygon of a polyline (PolygonClip
+          // .bufferLine — G-H union of segment rects + vertex 16-gons)
+          call_function("graft_geo_buffer_line",
+            args.head.cast("array<array<double>>"), args(1).cast("double"))
+        case "geo_polygon_buffer" =>
+          call_function("graft_geo_buffer_ring",
+            args.head.cast("array<array<double>>"), args(1).cast("double"))
         case "geo_point_buffer" =>
           // circle-around-point polygon (geofence construction). Deviation
           // (documented): a fixed 24-gon in the local equirectangular

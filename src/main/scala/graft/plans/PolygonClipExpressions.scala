@@ -222,6 +222,68 @@ object PolygonClip {
     * deviation of Kusto's MultiLineString). Per segment: split at every
     * ring-edge crossing parameter, keep the pieces whose midpoint ray-casts
     * inside; contiguous pieces merge. Null when nothing is inside. */
+  /** geo_line_buffer / geo_polygon_buffer: the radius-`r` neighborhood of a
+    * polyline (or of a polygon = interior ∪ boundary neighborhood) as ONE
+    * boundary ring — built constructively as the Greiner–Hormann union fold
+    * of per-segment oriented rectangles and per-vertex 16-gons (radius
+    * padded 0.05% so circle/rect meetings are transversal, never tangent),
+    * interleaved v₀, r₀, v₁, r₁, … so every fold step overlaps the
+    * accumulator (the union never disconnects). Geometry is planar in a
+    * local frame anchored at the centroid latitude (lng scaled by cos φ),
+    * like the rest of the clipping family; deviations (vs Kusto's WGS84
+    * geodesic buffers): spherical-planar approximation, 16-gon round joins,
+    * largest-ring MultiPolygon result. Degenerate/self-overlapping unions
+    * → null (the boolOp posture). */
+  def bufferLine(lineArr: ArrayData, radiusMeters: Double,
+      close: Boolean): GenericArrayData = {
+    require(radiusMeters > 0, "buffer radius must be positive")
+    val raw = readRing(lineArr)
+    // drop an explicit closing vertex; readRing keeps input order
+    val pts = if (raw.length > 1 && raw.head == raw.last) raw.dropRight(1) else raw
+    if (pts.length < (if (close) 3 else 2)) return null
+    val latC = pts.map(_._2).sum / pts.length
+    val cosl = math.cos(math.toRadians(latC))
+    val rDeg = radiusMeters / 6371000.0 * (180.0 / math.Pi)
+    val sp = pts.map { case (x, y) => (x * cosl, y) }
+    def vtx16(p: (Double, Double)): Seq[(Double, Double)] = {
+      val rv = rDeg * 1.0005
+      (0 until 16).map { k =>
+        val th = 2 * math.Pi * k / 16
+        (p._1 + rv * math.cos(th), p._2 + rv * math.sin(th))
+      }
+    }
+    def rect(i: Int): Option[Seq[(Double, Double)]] = {
+      val (x1, y1) = sp(i); val (x2, y2) = sp((i + 1) % sp.length)
+      val dx = x2 - x1; val dy = y2 - y1
+      val len = math.hypot(dx, dy)
+      if (len < 1e-12) None
+      else {
+        val nx = -dy / len * rDeg; val ny = dx / len * rDeg
+        Some(Seq((x1 + nx, y1 + ny), (x2 + nx, y2 + ny),
+          (x2 - nx, y2 - ny), (x1 - nx, y1 - ny)))
+      }
+    }
+    val shapes = Seq.newBuilder[Seq[(Double, Double)]]
+    if (close) shapes += sp.toSeq // the polygon interior itself
+    shapes += vtx16(sp(0))
+    val edges = if (close) sp.indices else sp.indices.dropRight(1)
+    edges.foreach { i =>
+      rect(i).foreach(shapes += _)
+      val nextV = (i + 1) % sp.length
+      if (close || nextV != 0) shapes += vtx16(sp(nextV))
+    }
+    val all = shapes.result()
+    var acc: ArrayData = toArrayData(all.head)
+    var i = 1
+    while (i < all.size && acc != null) {
+      acc = boolOp(acc, toArrayData(all(i)), union = true)
+      i += 1
+    }
+    if (acc == null) return null
+    val out = readRing(acc).map { case (x, y) => (x / cosl, y) }
+    toArrayData(canonical(out.toSeq))
+  }
+
   def clipLine(lineArr: ArrayData, ringArr: ArrayData): GenericArrayData = {
     val ring = readRing(ringArr)
     val n = lineArr.numElements()
@@ -445,7 +507,8 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
     // union_rings) — check here so a direct SQL misuse fails analysis,
     // not execution
     val rightOk = fn match {
-      case "densify_line" | "densify_ring" | "simplify_rings" =>
+      case "densify_line" | "densify_ring" | "simplify_rings" |
+           "buffer_line" | "buffer_ring" =>
         right.dataType == DoubleType
       case "line_in_poly" | "clip_line" => right.dataType match {
         case ArrayType(ArrayType(DoubleType, _), _) => true
@@ -480,6 +543,12 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       PolygonClip.unionRings(a.asInstanceOf[ArrayData]) // right arg unused
     case "clip_line" =>
       PolygonClip.clipLine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "buffer_line" =>
+      PolygonClip.bufferLine(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+        close = false)
+    case "buffer_ring" =>
+      PolygonClip.bufferLine(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+        close = true)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => fn match {
@@ -489,6 +558,8 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       case "simplify_rings" => s"graft.plans.PolygonClip.simplifyRings($a, $b)"
       case "union_rings" => s"graft.plans.PolygonClip.unionRings($a)"
       case "clip_line" => s"graft.plans.PolygonClip.clipLine($a, $b)"
+      case "buffer_line" => s"graft.plans.PolygonClip.bufferLine($a, $b, false)"
+      case "buffer_ring" => s"graft.plans.PolygonClip.bufferLine($a, $b, true)"
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -3657,6 +3657,84 @@ object KqlTextQueries {
              |    SIN(6.0 * (2 * PI() / 24)), 6) AS pby
              |FROM t ORDER BY id""".stripMargin)),
 
+    // Buffer family: the radius-neighborhood polygons (G-H union fold of
+    // segment rects + vertex 16-gons, PolygonClip.bufferLine). The oracle
+    // cannot replay the union geometry — it verifies the CONTRACT instead:
+    // every point with replayed line-distance < 0.8r must fall inside the
+    // buffer ring (ray cast), every point farther than 1.3r outside; the
+    // ±20-30% margin absorbs the centroid-frame vs per-point-frame planar
+    // difference (<0.2% at these extents). Ambiguous-band rows are filtered
+    // (line) or pinned to -1 (polygon) on BOTH sides.
+    QueryDef("q_kql_geo_buffer",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 23 == 0
+          || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
+          |    lng = -73.5 + todouble(event_id % 89) / 60.0
+          || extend dl = geo_distance_point_to_line(lng, lat, pack_array(
+          |    pack_array(-73.4, 40.3), pack_array(-73.0, 40.6), pack_array(-72.6, 40.5))),
+          |    dp = geo_distance_point_to_polygon(lng, lat, pack_array(
+          |    pack_array(-73.3, 40.2), pack_array(-72.8, 40.2), pack_array(-73.05, 40.9)))
+          || where dl < 16000.0 or dl > 26000.0
+          || extend lb = geo_line_buffer(pack_array(
+          |    pack_array(-73.4, 40.3), pack_array(-73.0, 40.6), pack_array(-72.6, 40.5)), 20000.0),
+          |    pb = geo_polygon_buffer(pack_array(
+          |    pack_array(-73.3, 40.2), pack_array(-72.8, 40.2), pack_array(-73.05, 40.9)), 15000.0)
+          || project event_id,
+          |    inb = iff(geo_point_in_polygon(lng, lat, lb), 1, 0),
+          |    pin = case(dp < 12000.0, iff(geo_point_in_polygon(lng, lat, pb), 1, 0),
+          |      dp > 19500.0, iff(geo_point_in_polygon(lng, lat, pb), 1, 0), -1)
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 23 = 0),
+             |lsegs(x1, y1, x2, y2) AS (VALUES
+             |  (-73.4, 40.3, -73.0, 40.6), (-73.0, 40.6, -72.6, 40.5)),
+             |psegs(x1, y1, x2, y2) AS (VALUES
+             |  (-73.3, 40.2, -72.8, 40.2), (-72.8, 40.2, -73.05, 40.9),
+             |  (-73.05, 40.9, -73.3, 40.2)),
+             |ld AS (SELECT event_id, MIN(SQRT(cx*cx + cy*cy)) *
+             |    (PI() / 180 * 6371000.0) AS dl FROM (
+             |  SELECT p.event_id,
+             |    xx1 + tt * (xx2 - xx1) AS cx, yy1 + tt * (yy2 - yy1) AS cy
+             |  FROM (SELECT p.event_id, xx1, yy1, xx2, yy2,
+             |      CASE WHEN (xx2-xx1)*(xx2-xx1) + (yy2-yy1)*(yy2-yy1) > 0
+             |        THEN GREATEST(0.0, LEAST(1.0, -(xx1*(xx2-xx1) + yy1*(yy2-yy1)) /
+             |          ((xx2-xx1)*(xx2-xx1) + (yy2-yy1)*(yy2-yy1)))) ELSE 0.0 END AS tt
+             |    FROM (SELECT p.event_id,
+             |        (s.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1, s.y1 - p.lat AS yy1,
+             |        (s.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2, s.y2 - p.lat AS yy2
+             |      FROM lsegs s, pts p) p) p) GROUP BY event_id),
+             |pd0 AS (SELECT event_id, MIN(SQRT(cx*cx + cy*cy)) *
+             |    (PI() / 180 * 6371000.0) AS dmin FROM (
+             |  SELECT p.event_id,
+             |    xx1 + tt * (xx2 - xx1) AS cx, yy1 + tt * (yy2 - yy1) AS cy
+             |  FROM (SELECT p.event_id, xx1, yy1, xx2, yy2,
+             |      CASE WHEN (xx2-xx1)*(xx2-xx1) + (yy2-yy1)*(yy2-yy1) > 0
+             |        THEN GREATEST(0.0, LEAST(1.0, -(xx1*(xx2-xx1) + yy1*(yy2-yy1)) /
+             |          ((xx2-xx1)*(xx2-xx1) + (yy2-yy1)*(yy2-yy1)))) ELSE 0.0 END AS tt
+             |    FROM (SELECT p.event_id,
+             |        (s.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1, s.y1 - p.lat AS yy1,
+             |        (s.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2, s.y2 - p.lat AS yy2
+             |      FROM psegs s, pts p) p) p) GROUP BY event_id),
+             |pin0 AS (SELECT p.event_id, ((SELECT COUNT(*) FROM psegs g
+             |    WHERE ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |      AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |  ) % 2 = 1) AS inside FROM pts p),
+             |pd AS (SELECT pd0.event_id,
+             |    CASE WHEN pin0.inside THEN 0.0 ELSE pd0.dmin END AS dp
+             |  FROM pd0 JOIN pin0 ON pin0.event_id = pd0.event_id)
+             |SELECT p.event_id AS event_id,
+             |  CAST(CASE WHEN ld.dl < 16000.0 THEN 1 ELSE 0 END AS INT) AS inb,
+             |  CAST(CASE WHEN pd.dp < 12000.0 THEN 1
+             |    WHEN pd.dp > 19500.0 THEN 0 ELSE -1 END AS INT) AS pin
+             |FROM pts p
+             |JOIN ld ON ld.event_id = p.event_id
+             |JOIN pd ON pd.event_id = p.event_id
+             |WHERE ld.dl < 16000.0 OR ld.dl > 26000.0
+             |ORDER BY p.event_id""".stripMargin)),
+
     QueryDef("q_kql_h3cell",
       (s, d) => run(s, d,
         """datatable(id: long, lng: real, lat: real) [

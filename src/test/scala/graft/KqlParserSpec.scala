@@ -1399,4 +1399,19 @@ class KqlParserSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       KqlParser.parse("union zzz*", _ => t))
   }
+
+  test("consume discards rows keeping schema; hash_xxhash64 is builtin xxhash64") {
+    val c = KqlParser.parse("t | project id | extend b = id + 1 | consume", _ => t)
+    assert(c.count() == 0 && c.columns.toSeq == Seq("id", "b"))
+    val cd = KqlParser.parse("t | consume decodeblocks = true", _ => t)
+    assert(cd.count() == 0)
+    val r = KqlParser.parse(
+      "t | extend h = hash_xxhash64(tostring(id)), hm = hash_xxhash64(tostring(id), 10)",
+      _ => t)
+    val rows = r.select(org.apache.spark.sql.functions.col("h") ===
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id").cast("string")),
+      org.apache.spark.sql.functions.col("hm").between(0, 9)).collect()
+    assert(rows.forall(x => x.getBoolean(0) && x.getBoolean(1)))
+  }
 }

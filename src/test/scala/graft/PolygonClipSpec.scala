@@ -27,6 +27,52 @@ class PolygonClipSpec extends SparkSpec {
     else r.getSeq[scala.collection.Seq[Double]](0).map(p => (p(0), p(1))).toSeq
   }
 
+  test("geo_line_buffer / geo_polygon_buffer: distance-margin containment") {
+    def rayCast(x: Double, y: Double, ring: Seq[(Double, Double)]): Boolean = {
+      var c = false; var i = 0; val n = ring.size
+      while (i < n) {
+        val (xi, yi) = ring(i); val (xj, yj) = ring((i + 1) % n)
+        if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi) c = !c
+        i += 1
+      }
+      c
+    }
+    // 2-segment line near lat 40; buffer radius 20 km
+    val lineKql = "pack_array(pack_array(-73.4, 40.3), pack_array(-73.0, 40.6), pack_array(-72.6, 40.5))"
+    val lb = ringSeq(s"geo_line_buffer($lineKql, 20000.0)")
+    assert(lb.size >= 8, s"line buffer too coarse: ${lb.size}")
+    val line = Seq((-73.4, 40.3), (-73.0, 40.6), (-72.6, 40.5))
+    def distM(px: Double, py: Double): Double = {
+      val cosl = math.cos(math.toRadians(py))
+      line.sliding(2).map { s =>
+        val (ax, ay) = s(0); val (bx, by) = s(1)
+        val x1 = (ax - px) * cosl; val y1 = ay - py
+        val x2 = (bx - px) * cosl; val y2 = by - py
+        val dx = x2 - x1; val dy = y2 - y1
+        val l2 = dx * dx + dy * dy
+        val t0 = if (l2 > 0) math.max(0.0, math.min(1.0, -(x1 * dx + y1 * dy) / l2)) else 0.0
+        val cx = x1 + t0 * dx; val cy = y1 + t0 * dy
+        math.sqrt(cx * cx + cy * cy)
+      }.min * (math.Pi / 180 * 6371000.0)
+    }
+    // margin probe grid: inside at d < 0.8r, outside at d > 1.3r
+    var checked = 0
+    for (i <- 0 until 40; j <- 0 until 24) {
+      val px = -73.6 + i * 0.03; val py = 40.0 + j * 0.035
+      val d = distM(px, py)
+      if (d < 16000.0) { assert(rayCast(px, py, lb), s"missing inside ($px,$py) d=$d"); checked += 1 }
+      else if (d > 26000.0) { assert(!rayCast(px, py, lb), s"false inside ($px,$py) d=$d"); checked += 1 }
+    }
+    assert(checked > 500, s"probe grid degenerate: $checked")
+    // polygon buffer: contains every original vertex and the interior
+    val pb = ringSeq(s"geo_polygon_buffer(${ringOf((-73.3, 40.2), (-72.8, 40.2), (-73.05, 40.9))}, 15000.0)")
+    assert(pb.nonEmpty)
+    Seq((-73.3, 40.2), (-72.8, 40.2), (-73.05, 40.9), (-73.05, 40.4))
+      .foreach { case (x, y) => assert(rayCast(x, y, pb), s"vertex/interior ($x,$y) not in polygon buffer") }
+    // a point 50 km away stays outside
+    assert(!rayCast(-72.0, 41.5, pb))
+  }
+
   test("rect ∩ rect is the overlap rectangle, canonical CCW from min vertex") {
     assert(ringSeq(s"geo_intersection_2polygons($r1, $r2)") ==
       Seq((2.0, 1.0), (4.0, 1.0), (4.0, 3.0), (2.0, 3.0)))
