@@ -1028,13 +1028,30 @@ object Kql {
       * null polygon columns. Antimeridian-crossing polygons cover() to null
       * and never match (documented coverTokens posture). */
     def geoPolygonLookup(polys: DataFrame, polyCol: String, lngCol: String,
-        latCol: String, returnUnmatched: Boolean = false): DataFrame = {
+        latCol: String, returnUnmatched: Boolean = false,
+        radiusMeters: Option[Double] = None,
+        returnLookupKey: Boolean = true): DataFrame = {
       import graft.functions.KqlFunctions
       val geom = col(polyCol).cast("array<array<double>>")
-      val lk0 = polys.withColumn("__lvl", adaptiveLevel(geom, 16))
-      val lk = lk0
-        .withColumn("__cell",
-          explode(call_function("graft_s2_cover", geom, col("__lvl"))))
+      // optional radius (Kusto's 5th argument): match polygons within
+      // `radius` meters of the point, not just containing it. Same two
+      // moves as geo_line_lookup: cap the level so a cell's min width ≥
+      // radius, and expand the covering one neighbor ring on the broadcast
+      // side — the point's one cell per level must land in it
+      val maxLvl = radiusMeters match {
+        case Some(r) =>
+          require(r > 0, "geo_polygon_lookup: radius must be positive")
+          math.max(0, math.min(16,
+            math.floor(math.log(4.0e6 / r) / math.log(2.0)).toInt))
+        case None => 16
+      }
+      val lk0 = polys.withColumn("__lvl", adaptiveLevel(geom, maxLvl))
+      val cover = call_function("graft_s2_cover", geom, col("__lvl"))
+      val lk = lk0.withColumn("__cell", radiusMeters match {
+        case Some(_) => explode(array_distinct(flatten(transform(cover,
+          c => concat(array(c), call_function("graft_s2_neighbors", c))))))
+        case None => explode(cover)
+      })
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted // bounded: at most 17 values
       require(lvls.nonEmpty, "geo_polygon_lookup: polygon table is empty")
@@ -1048,13 +1065,27 @@ object Kql {
         .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
         .withColumn("__cell", call_function("graft_s2_cell",
           col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
-      val hit = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
-        .filter(KqlFunctions.pointInPolygon(col(lngCol), col(latCol),
-          col(polyCol).cast("array<array<double>>")))
+      val pgeom = col(polyCol).cast("array<array<double>>")
+      val residual = radiusMeters match {
+        case Some(r) =>
+          // distance-to-polygon ≤ r (0 when contained): containment short-
+          // circuits the boundary distance
+          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), pgeom) ||
+            KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
+              concat(pgeom, slice(pgeom, 1, 1))) <= lit(r)
+        case None =>
+          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), pgeom)
+      }
+      val hit0 = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
+        .filter(residual)
         .drop("__lvl", "__cell")
+      // Kusto's return_lookup_key=false (its default) omits the polygon
+      // geometry column from the output
+      val hit = if (returnLookupKey) hit0 else hit0.drop(polyCol)
       if (!returnUnmatched) hit
       else {
         val extraCols = polys.columns.toSeq
+          .filter(c => returnLookupKey || c != polyCol)
         withId.join(
           hit.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
           Seq("__rid"), "left").drop("__rid")
@@ -1078,7 +1109,8 @@ object Kql {
       * STREAMING fact sides. Exact residual: distance ≤ radius. */
     def geoLineLookup(lines: DataFrame, lineCol: String, lngCol: String,
         latCol: String, radiusMeters: Double,
-        returnUnmatched: Boolean = false): DataFrame = {
+        returnUnmatched: Boolean = false,
+        returnLookupKey: Boolean = true): DataFrame = {
       import graft.functions.KqlFunctions
       require(radiusMeters > 0, "geo_line_lookup: radius must be positive")
       // cap the level so every cell's MIN WIDTH exceeds the radius (S2
@@ -1101,13 +1133,15 @@ object Kql {
         .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
         .withColumn("__cell", call_function("graft_s2_cell",
           col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
-      val hit = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
+      val hit0 = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
         .filter(KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
           col(lineCol).cast("array<array<double>>")) <= lit(radiusMeters))
         .drop("__lvl", "__cell")
+      val hit = if (returnLookupKey) hit0 else hit0.drop(lineCol)
       if (!returnUnmatched) hit
       else {
         val extraCols = lines.columns.toSeq
+          .filter(c => returnLookupKey || c != lineCol)
         withId.join(
           hit.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
           Seq("__rid"), "left").drop("__rid")

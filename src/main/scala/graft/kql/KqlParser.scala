@@ -1466,49 +1466,38 @@ object KqlParser {
             df.ipv6Lookup(ranges, ipCol, netCol, unmatched)
           case "geo_polygon_lookup" =>
             // `evaluate geo_polygon_lookup(PolygonTable, polygonCol, lngCol,
-            // latCol [, return_unmatched [= true|false]])` — geofencing
-            // enrichment (see Kql.geoPolygonLookup).
+            // latCol [, radius] [, return_unmatched] [, lookup_area_radius]
+            // [, return_lookup_key])` — geofencing enrichment (see
+            // Kql.geoPolygonLookup). Kusto's full option surface: the first
+            // numeric is the matching radius (polygons within that distance
+            // of the point also match), the second — lookup_area_radius — a
+            // covering-size tuning hint, accepted and ignored (the adaptive
+            // level self-tunes); booleans positionally return_unmatched then
+            // return_lookup_key (named `x = v` forms accepted); the lookup
+            // key (polygon) column is omitted unless return_lookup_key, the
+            // Kusto default.
             val polys = resolveTable(ident()); eatPunct(",")
             val polyCol = ident(); eatPunct(",")
             val lngCol = ident(); eatPunct(",")
             val latCol = ident()
-            val unmatched = if (atPunct(",")) {
-              pos += 1
-              val flag = ident() match {
-                case "return_unmatched" =>
-                  if (atPunct("=")) { pos += 1; ident() } else "true"
-                case "true" => "true"
-                case "false" => "false"
-                case other => throw new IllegalArgumentException(
-                  s"geo_polygon_lookup: unexpected argument $other")
-              }
-              flag == "true"
-            } else false
+            val o = parseGeoLookupOpts("geo_polygon_lookup")
             eatPunct(")")
-            df.geoPolygonLookup(polys, polyCol, lngCol, latCol, unmatched)
+            df.geoPolygonLookup(polys, polyCol, lngCol, latCol,
+              o.unmatched, o.radius, o.returnKey)
           case "geo_line_lookup" =>
             // `evaluate geo_line_lookup(LineTable, lineCol, lngCol, latCol,
-            // radius_m [, return_unmatched [= true|false]])` — route
-            // proximity enrichment (see Kql.geoLineLookup).
+            // radius_m [, return_unmatched] [, lookup_area_radius]
+            // [, return_lookup_key])` — route proximity enrichment (see
+            // Kql.geoLineLookup); same option surface as geo_polygon_lookup.
             val lines = resolveTable(ident()); eatPunct(",")
             val lineCol = ident(); eatPunct(",")
             val lngCol = ident(); eatPunct(",")
             val latCol = ident(); eatPunct(",")
             val radius = litDouble(parseExpr())
-            val unmatched = if (atPunct(",")) {
-              pos += 1
-              val flag = ident() match {
-                case "return_unmatched" =>
-                  if (atPunct("=")) { pos += 1; ident() } else "true"
-                case "true" => "true"
-                case "false" => "false"
-                case other => throw new IllegalArgumentException(
-                  s"geo_line_lookup: unexpected argument $other")
-              }
-              flag == "true"
-            } else false
+            val o = parseGeoLookupOpts("geo_line_lookup")
             eatPunct(")")
-            df.geoLineLookup(lines, lineCol, lngCol, latCol, radius, unmatched)
+            df.geoLineLookup(lines, lineCol, lngCol, latCol, radius,
+              o.unmatched, o.returnKey)
           case "funnel_sequence_completion" =>
             // `evaluate funnel_sequence_completion(id, ts, start, end, state,
             // dynamic(['s1',…]), dynamic([w1,…]))` — per-window prefix
@@ -4116,6 +4105,41 @@ object KqlParser {
       * projection as geo_distance_point_to_line, but argmin — the aggregate
       * carries (best dist, best x, best y) as a struct accumulator. One
       * codegen'd HOF chain, no UDF. */
+    private case class GeoLookupOpts(radius: Option[Double],
+      unmatched: Boolean, returnKey: Boolean)
+
+    /** The trailing optional arguments of the geo lookup plugins: numerics
+      * are (radius, lookup_area_radius-ignored) in order, booleans are
+      * (return_unmatched, return_lookup_key) in order, with the named
+      * `return_unmatched = v` / `return_lookup_key = v` forms accepted. */
+    private def parseGeoLookupOpts(fn: String): GeoLookupOpts = {
+      var radius: Option[Double] = None
+      var numCount = 0
+      var unmatched = false
+      var returnKey = false
+      var boolCount = 0
+      while (atPunct(",")) {
+        pos += 1
+        if (atIdent("return_unmatched")) {
+          pos += 1
+          unmatched = if (atPunct("=")) { pos += 1; ident() == "true" } else true
+        } else if (atIdent("return_lookup_key")) {
+          pos += 1
+          returnKey = if (atPunct("=")) { pos += 1; ident() == "true" } else true
+        } else if (atIdent("true") || atIdent("false")) {
+          val v = ident() == "true"
+          if (boolCount == 0) unmatched = v else returnKey = v
+          boolCount += 1
+        } else {
+          val v = litDouble(parseExpr())
+          if (numCount == 0) radius = Some(v) // 2nd numeric: lookup_area_radius, ignored
+          numCount += 1
+          require(numCount <= 2, s"$fn: too many numeric arguments")
+        }
+      }
+      GeoLookupOpts(radius, unmatched, returnKey)
+    }
+
     private def geoClosestPointOnLine(lngC: Column, latC: Column,
         line: Column): Column = {
       // native codegen'd argmin loop when available (GeoKernelExpressions;

@@ -3452,6 +3452,53 @@ object KqlTextQueries {
              |FROM pts p LEFT JOIN m ON m.event_id = p.event_id
              |ORDER BY pid, p.event_id""".stripMargin)),
 
+    // The radius option of geo_polygon_lookup: polygons within 15 km of the
+    // point also match (containment = distance 0). Covering expands one
+    // neighbor ring at a radius-capped level; residual = inside ∨ closed-
+    // boundary distance ≤ r, replayed identically in the oracle.
+    QueryDef("q_kql_geo_lookup_radius",
+      (s, d) => run(s, d,
+        """let polys = datatable(pid: long) [1]
+          || extend poly = pack_array(pack_array(-73.3, 40.2),
+          |    pack_array(-72.8, 40.2), pack_array(-73.05, 40.9));
+          |events
+          || where event_id % 23 == 0
+          || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
+          |    lng = -73.5 + todouble(event_id % 89) / 60.0
+          || project event_id, lat, lng
+          || evaluate geo_polygon_lookup(polys, poly, lng, lat, 15000.0)
+          || project pid, event_id
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 23 = 0),
+             |psegs(x1, y1, x2, y2) AS (VALUES
+             |  (-73.3, 40.2, -72.8, 40.2), (-72.8, 40.2, -73.05, 40.9),
+             |  (-73.05, 40.9, -73.3, 40.2)),
+             |pd AS (SELECT event_id, MIN(SQRT(cx*cx + cy*cy)) *
+             |    (PI() / 180 * 6371000.0) AS dm FROM (
+             |  SELECT p.event_id,
+             |    xx1 + tt * (xx2 - xx1) AS cx, yy1 + tt * (yy2 - yy1) AS cy
+             |  FROM (SELECT p.event_id, xx1, yy1, xx2, yy2,
+             |      CASE WHEN (xx2-xx1)*(xx2-xx1) + (yy2-yy1)*(yy2-yy1) > 0
+             |        THEN GREATEST(0.0, LEAST(1.0, -(xx1*(xx2-xx1) + yy1*(yy2-yy1)) /
+             |          ((xx2-xx1)*(xx2-xx1) + (yy2-yy1)*(yy2-yy1)))) ELSE 0.0 END AS tt
+             |    FROM (SELECT p.event_id,
+             |        (s.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1, s.y1 - p.lat AS yy1,
+             |        (s.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2, s.y2 - p.lat AS yy2
+             |      FROM psegs s, pts p) p) p) GROUP BY event_id),
+             |pin AS (SELECT p.event_id, ((SELECT COUNT(*) FROM psegs g
+             |    WHERE ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |      AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |  ) % 2 = 1) AS inside FROM pts p)
+             |SELECT CAST(1 AS BIGINT) AS pid, p.event_id AS event_id
+             |FROM pts p
+             |JOIN pd ON pd.event_id = p.event_id
+             |JOIN pin ON pin.event_id = p.event_id
+             |WHERE pin.inside OR pd.dm <= 15000.0
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Route-proximity enrichment: per-line covering level capped so a cell's
     // min width exceeds the radius, point probes cell+8 neighbors, exact
     // distance residual, (row, line) dedup. Oracle replays the identical

@@ -1400,6 +1400,25 @@ class KqlParserSpec extends SparkSpec {
       KqlParser.parse("union zzz*", _ => t))
   }
 
+  test("geo lookup plugin options: return_lookup_key and lookup_area_radius") {
+    assert(spark.sparkContext.isLocal) // force session init before parse
+    val q =
+      """let polys = datatable(pid: long) [1]
+        || extend poly = pack_array(pack_array(-0.5, -0.5),
+        |    pack_array(0.5, -0.5), pack_array(0.0, 0.5));
+        |t | project id | extend lng = 0.0, lat = 0.0
+        || evaluate geo_polygon_lookup(polys, poly, lng, lat%s)""".stripMargin
+    // default: the lookup key (polygon) column is omitted (Kusto default)
+    val noKey = KqlParser.parse(q.format(""), _ => t)
+    assert(!noKey.columns.contains("poly") && noKey.columns.contains("pid"))
+    assert(noKey.count() == t.count())
+    // return_lookup_key keeps it; lookup_area_radius is accepted and ignored
+    val withKey = KqlParser.parse(
+      q.format(", 1000.0, return_unmatched = false, 99.0, return_lookup_key"), _ => t)
+    assert(withKey.columns.contains("poly"))
+    assert(withKey.count() == t.count())
+  }
+
   test("consume discards rows keeping schema; hash_xxhash64 is builtin xxhash64") {
     val c = KqlParser.parse("t | project id | extend b = id + 1 | consume", _ => t)
     assert(c.count() == 0 && c.columns.toSeq == Seq("id", "b"))
