@@ -346,6 +346,18 @@ object KqlFunctions {
     * lexicographic comparison equal numeric comparison, which ipv6_compare /
     * ipv6_is_match exploit. */
   def parseIpv6(c: Column): Column = {
+    // native one-pass kernel when available (ParseIpv6 — the column chain
+    // below is HOF-based CodegenFallback and was the hot spot of every
+    // ipv6 bench query); exact parity asserted in NativeExprSpec
+    val native =
+      try org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("graft_parse_ipv6")
+      catch { case _: Throwable => false }
+    if (native) return call_function("graft_parse_ipv6", c.cast("string"))
+    parseIpv6Hof(c)
+  }
+
+  private[graft] def parseIpv6Hof(c: Column): Column = {
     val t = lower(trim(c.cast("string")))
     val parts = split(t, "::", -1)
     val hasDC = size(parts) > 1

@@ -3010,9 +3010,20 @@ object KqlParser {
         case "ipv4_is_in_any_range" =>
           // ip ∈ any of the listed CIDR ranges (2+ range args, each a
           // string — the security-staple form). Standard 3-valued OR: true
-          // dominates, else null if anything was unparsable.
+          // dominates, else null if anything was unparsable. When every
+          // range is a LITERAL (the overwhelmingly common call shape), the
+          // bounds are computed at PLAN time and the whole check is one
+          // parse + a between-chain — not one parse tree per range.
           require(args.size >= 2, "ipv4_is_in_any_range(ip, range, ...)")
-          args.tail.map(r => KqlFunctions.ipv4IsInRange(args.head, r))
+          val litBounds = args.tail.map(a =>
+            if (litValues.containsKey(a)) cidrBounds(litValues.get(a).toString)
+            else None)
+          if (litBounds.forall(_.isDefined)) {
+            val v = KqlFunctions.parseIpv4(args.head)
+            litBounds.flatten
+              .map { case (lo, hi) => v.between(lit(lo), lit(hi)) }
+              .reduce(_ || _)
+          } else args.tail.map(r => KqlFunctions.ipv4IsInRange(args.head, r))
             .reduce(_ || _)
         case "ipv6_is_in_any_range" =>
           // the 128-bit analogue over the canonical-hex prefix kernel;
@@ -3046,9 +3057,13 @@ object KqlParser {
             lit(null).cast("string").as("city"),
             lit(null).cast("double").as("latitude"),
             lit(null).cast("double").as("longitude"))
+          // ONE parse + a bounds when-chain (the fixture CIDRs resolve to
+          // [lo, hi] at plan time) — not one parse tree per fixture row
+          val ipv = KqlFunctions.parseIpv4(args.head)
           geoFixture.foldLeft(nullInfo) {
             case (acc, (cidr, country, state, city, la, lo)) =>
-              when(KqlFunctions.ipv4IsInRange(args.head, lit(cidr)),
+              val (blo, bhi) = cidrBounds(cidr).get
+              when(ipv.between(lit(blo), lit(bhi)),
                 struct(lit(country).as("country"), lit(state).as("state"),
                   lit(city).as("city"), lit(la).as("latitude"),
                   lit(lo).as("longitude"))).otherwise(acc)
@@ -4272,6 +4287,23 @@ object KqlParser {
       * (documented): takes a bare vertex ring, not Kusto's GeoJSON bag. */
     private def geoPointInPolygon(x0: Column, y0: Column, ring: Column): Column =
       KqlFunctions.pointInPolygon(x0, y0, ring)
+
+    /** Plan-time CIDR "a.b.c.d[/bits]" → inclusive [lo, hi] long bounds;
+      * None when unparsable (callers fall back to the runtime column form). */
+    private def cidrBounds(s: String): Option[(Long, Long)] = {
+      val halves = s.split("/")
+      if (halves.isEmpty) return None
+      val bits = if (halves.length > 1) halves(1).toIntOption.getOrElse(-1) else 32
+      if (bits < 0 || bits > 32) return None
+      val octs = halves(0).split("\\.")
+      if (octs.length != 4) return None
+      val vals = octs.map(_.toLongOption)
+      if (vals.exists(v => v.isEmpty || v.get < 0 || v.get > 255)) return None
+      val raw = vals.map(_.get).foldLeft(0L)((a, o) => a * 256 + o)
+      val sz = 1L << (32 - bits)
+      val lo = raw - raw % sz
+      Some((lo, lo + sz - 1))
+    }
 
     private def litString(c: Column): String = {
       require(litValues.containsKey(c), "a literal string argument is required here")

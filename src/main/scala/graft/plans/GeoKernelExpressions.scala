@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd kernels for the geo residual tests (point-in-polygon ray
   * cast, point-to-polyline distance, closest point on line).
@@ -300,6 +301,56 @@ case class RepetitionStatsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_repetition_stats"
+}
+
+/** graft_parse_ipv6(s) → canonical 8-group zero-padded lowercase form, or
+  * null. Replicates KqlFunctions.parseIpv6's column formulation EXACTLY
+  * (trim+lowercase; split on "::" keeping empties; colon groups filtered of
+  * empties; "::" expands to the missing zero groups, requiring ≥1 missing
+  * and exactly one "::"; every group 1–4 lowercase hex digits) — the column
+  * form chains filter/forall/transform HOFs (CodegenFallback, interpreted,
+  * re-evaluated per use) and sat at the top of four bench queries; this is
+  * one string pass. Parity asserted in NativeExprSpec. */
+object ParseIpv6 {
+  def eval(s0: UTF8String): UTF8String = {
+    if (s0 == null) return null
+    val t = s0.toString.trim.toLowerCase
+    val parts = t.split("::", -1)
+    val hasDC = parts.length > 1
+    def groups(seg: String): Array[String] = seg.split(":").filter(_.nonEmpty)
+    val lg = groups(parts(0))
+    val rg = if (hasDC) groups(parts(1)) else Array.empty[String]
+    val missing = 8 - lg.length - rg.length
+    val full =
+      if (hasDC) lg ++ Array.fill(math.max(missing, 0))("0") ++ rg else lg
+    def hex(x: String): Boolean = x.length >= 1 && x.length <= 4 &&
+      x.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+    val valid = full.length == 8 && full.forall(hex) &&
+      (!hasDC || (missing >= 1 && parts.length == 2))
+    if (!valid) null
+    else UTF8String.fromString(
+      full.map(x => "0" * (4 - x.length) + x).mkString(":"))
+  }
+}
+
+/** graft_parse_ipv6(s) → canonical form string (nullable). */
+case class ParseIpv6Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    ParseIpv6.eval(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.plans.ParseIpv6.eval($s);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_parse_ipv6"
 }
 
 /** graft_closest_point_on_line(lng, lat, line) → [lng, lat]. */

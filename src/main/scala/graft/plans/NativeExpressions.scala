@@ -353,6 +353,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
       (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_parse_ipv6"),
+      new ExpressionInfo(classOf[ParseIpv6Expr].getName, "graft_parse_ipv6"),
+      (children: Seq[Expression]) => ParseIpv6Expr(children.head)))
     // H3-style hex cells (H3Expressions.scala)
     e.injectFunction((
       FunctionIdentifier("graft_h3_cell"),

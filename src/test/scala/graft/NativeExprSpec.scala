@@ -216,6 +216,23 @@ class NativeExprSpec extends SparkSpec {
     assert(diff == 0, "repetition stats native/HOF mismatch")
   }
 
+  test("native parse_ipv6 matches the HOF chain on canonical/edge forms") {
+    import graft.functions.KqlFunctions
+    val cases = Seq(
+      "2001:0db8:85a3:0000:0000:8a2e:0370:7334", "2001:db8::1", "::1", "::",
+      "a::b", "A::B", "  fe80::1  ", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8:9",
+      "a::b::c", "::fffff", "1:2:3:4:5:6:7", "g::1", "2001:db8:::1",
+      "1:2:3:4:5:6:7::", "::2:3:4:5:6:7:8", "", ":", "::::", "0:0:0:0:0:0:0:0")
+    val df = cases.toDF("s")
+    val out = df.select(
+      (KqlFunctions.parseIpv6Hof(col("s")) <=>
+        call_function("graft_parse_ipv6", col("s"))).as("same"),
+      col("s")).collect()
+    assert(out.forall(_.getBoolean(0)),
+      "parse_ipv6 native/HOF mismatch on: " +
+        out.filterNot(_.getBoolean(0)).map(_.getString(1)).mkString(", "))
+  }
+
   test("empty and null-element arrays evaluate safely") {
     val df = Seq(
       (Array.empty[Float], Array.empty[Float]),
