@@ -192,12 +192,15 @@ object KqlFunctions {
       lit(null).cast("boolean")).otherwise(wholeEq && partEq)
   }
 
-  /** True when the graft native expressions are registered in the active
-    * session (spark.sql.extensions=graft.plans.GraftExtensions). */
-  private def nativeExprs: Boolean =
-    try org.apache.spark.sql.SparkSession.active.catalog
-      .functionExists(graft.plans.GeoKernelExpressions.pipName)
+  /** True when the named graft native expression is registered in the
+    * active session (spark.sql.extensions=graft.plans.GraftExtensions) —
+    * the single native-or-fallback dispatch check used across the library. */
+  private[graft] def nativeFn(name: String): Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog.functionExists(name)
     catch { case _: Throwable => false }
+
+  private def nativeExprs: Boolean =
+    nativeFn(graft.plans.GeoKernelExpressions.pipName)
 
   /** `geo_point_in_polygon` kernel — even-odd ray cast over the closed
     * vertex ring. The comparison order is FIXED (identical IEEE chain to
@@ -207,10 +210,15 @@ object KqlFunctions {
     * takes a bare vertex ring, not Kusto's GeoJSON bag. Native codegen'd
     * loop when GraftExtensions is installed; bit-identical HOF fallback
     * otherwise (the Similarity.dot pattern — see GeoKernelExpressions). */
-  def pointInPolygon(x0: Column, y0: Column, ring: Column): Column =
-    if (nativeExprs) call_function(graft.plans.GeoKernelExpressions.pipName,
-      x0.cast("double"), y0.cast("double"), ring.cast("array<array<double>>"))
-    else pointInPolygonHof(x0, y0, ring)
+  def pointInPolygon(x0: Column, y0: Column, ring: Column): Column = {
+    // empty ring → null on BOTH paths (the HOF's sequence(0, -1) would
+    // otherwise crash; native would answer false) — the geo posture
+    val core =
+      if (nativeExprs) call_function(graft.plans.GeoKernelExpressions.pipName,
+        x0.cast("double"), y0.cast("double"), ring.cast("array<array<double>>"))
+      else pointInPolygonHof(x0, y0, ring)
+    when(size(ring) > 0, core)
+  }
 
   private[graft] def pointInPolygonHof(x0: Column, y0: Column, ring: Column): Column = {
     val x = x0.cast("double"); val y = y0.cast("double")
@@ -233,10 +241,15 @@ object KqlFunctions {
     * scaled to meters on the mean-radius sphere (same deviation posture as
     * geo_distance_2points: spherical, not WGS84 geodesic). Native loop /
     * HOF fallback, like pointInPolygon. */
-  def pointToLineMeters(lngC: Column, latC: Column, line: Column): Column =
-    if (nativeExprs) call_function(graft.plans.GeoKernelExpressions.plineName,
-      lngC.cast("double"), latC.cast("double"), line.cast("array<array<double>>"))
-    else pointToLineMetersHof(lngC, latC, line)
+  def pointToLineMeters(lngC: Column, latC: Column, line: Column): Column = {
+    // <2-vertex line → null on BOTH paths (HOF's descending sequence would
+    // crash; native would answer +Infinity·scale)
+    val core =
+      if (nativeExprs) call_function(graft.plans.GeoKernelExpressions.plineName,
+        lngC.cast("double"), latC.cast("double"), line.cast("array<array<double>>"))
+      else pointToLineMetersHof(lngC, latC, line)
+    when(size(line) >= 2, core)
+  }
 
   private[graft] def pointToLineMetersHof(lngC: Column, latC: Column, line: Column): Column = {
     val px = lngC.cast("double"); val py = latC.cast("double")
@@ -285,16 +298,22 @@ object KqlFunctions {
     * CIDRs (≤2 per prefix length), and each step is pure integer/double
     * arithmetic, so the whole thing stays inside WholeStageCodegen. */
   def ipv4RangeToCidrList(startIp: Column, endIp: Column): Column = {
-    val s = parseIpv4(startIp)
-    // the range end rides IN the accumulator: a captured expression would be
-    // RE-EVALUATED (the whole parseIpv4 split/validate tree) on every one of
-    // the 64 interpreted lambda iterations — measured 1.7 s for 250 rows on
-    // q_kql_ipv4_text; binding it once through the zero value makes each
-    // iteration a cheap struct read
+    // the parsed range END and the VALIDITY verdict both ride IN the
+    // accumulator: a captured expression would be RE-EVALUATED (the whole
+    // parseIpv4 split/validate tree) on every one of the 64 interpreted
+    // lambda iterations — measured 1.7 s for 250 rows on q_kql_ipv4_text —
+    // and a final `when(s.isNotNull && ...)` guard would re-parse both
+    // endpoints again. Zero value: out = null marks an invalid range; the
+    // fold is then referenced exactly ONCE below.
     val stepped = aggregate(
       sequence(lit(1), lit(64)),
-      struct(s.as("cur"), parseIpv4(endIp).as("end"),
-        array().cast("array<string>").as("out")),
+      {
+        val s = parseIpv4(startIp)
+        val e = parseIpv4(endIp)
+        struct(s.as("cur"), e.as("end"),
+          when(s.isNotNull && e.isNotNull && s <= e,
+            array().cast("array<string>")).as("out"))
+      },
       (acc, _) => {
         val cur = acc.getField("cur")
         val e = acc.getField("end")
@@ -306,13 +325,12 @@ object KqlFunctions {
         val fit = pow(lit(2.0), floor(log(2.0, span.cast("double") + 0.5))).cast("long")
         val size = least(align, fit)
         val prefix = lit(32) - floor(log(2.0, size.cast("double") + 0.5)).cast("int")
-        when(cur > e, acc).otherwise(
+        when(acc.getField("out").isNull || cur > e, acc).otherwise(
           struct((cur + size).as("cur"), e.as("end"),
             concat(acc.getField("out"),
               array(concat_ws("/", formatIpv4(cur), prefix.cast("string")))).as("out")))
       })
-    when(s.isNotNull && parseIpv4(endIp).isNotNull && s <= parseIpv4(endIp),
-      stepped.getField("out"))
+    stepped.getField("out")
   }
 
   /** The `/prefix` suffix of an ipv4 string, 32 when absent. */
@@ -349,10 +367,7 @@ object KqlFunctions {
     // native one-pass kernel when available (ParseIpv6 — the column chain
     // below is HOF-based CodegenFallback and was the hot spot of every
     // ipv6 bench query); exact parity asserted in NativeExprSpec
-    val native =
-      try org.apache.spark.sql.SparkSession.active.catalog
-        .functionExists("graft_parse_ipv6")
-      catch { case _: Throwable => false }
+    val native = nativeFn("graft_parse_ipv6")
     if (native) return call_function("graft_parse_ipv6", c.cast("string"))
     parseIpv6Hof(c)
   }

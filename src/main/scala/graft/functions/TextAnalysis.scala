@@ -146,10 +146,7 @@ object TextAnalysis {
     * exact column-formulation fallback otherwise — string equality only, so
     * both paths agree exactly (NativeExprSpec). */
   def shingleStats(toks: Column, probes: Seq[String], k: Int = 3): Column = {
-    val native =
-      try org.apache.spark.sql.SparkSession.active.catalog
-        .functionExists("graft_shingle_stats")
-      catch { case _: Throwable => false }
+    val native = KqlFunctions.nativeFn("graft_shingle_stats")
     val probeArr = array(probes.map(lit): _*)
     if (native)
       call_function("graft_shingle_stats", toks, probeArr, lit(k))
@@ -196,10 +193,7 @@ object TextAnalysis {
     // native one-pass counting kernel when available (RepetitionStats —
     // identical integer-derived divisions, exact agreement asserted in
     // NativeExprSpec); column formulation otherwise
-    val native =
-      try org.apache.spark.sql.SparkSession.active.catalog
-        .functionExists("graft_repetition_stats")
-      catch { case _: Throwable => false }
+    val native = KqlFunctions.nativeFn("graft_repetition_stats")
     if (native) return call_function("graft_repetition_stats", toks)
     val n = size(toks)
     val nd = size(array_distinct(toks))

@@ -995,6 +995,17 @@ object Kql {
       }
     }
 
+    /** The geo lookup plugins' result for an EMPTY lookup table: every fact
+      * row with null lookup columns under return_unmatched, else no rows —
+      * with the same column order as the joined path. */
+    private def emptyLookupResult(lookup: DataFrame, keyCol: String,
+        returnUnmatched: Boolean, returnLookupKey: Boolean): DataFrame = {
+      val keep = lookup.columns.toSeq.filter(c => returnLookupKey || c != keyCol)
+      val nulls = keep.map(c => lit(null).cast(lookup.schema(c).dataType).as(c))
+      val base = if (returnUnmatched) df else df.limit(0)
+      base.select(df.columns.map(col).toIndexedSeq ++ nulls: _*)
+    }
+
     /** Per-geometry adaptive S2 level from a [[lng,lat],…] vertex array's
       * bbox span: cells about half the span (→ coverings of ~4–25 cells),
       * clamped to [0, maxLvl]. The LEVEL spectrum is what gets collected
@@ -1054,7 +1065,10 @@ object Kql {
       })
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted // bounded: at most 17 values
-      require(lvls.nonEmpty, "geo_polygon_lookup: polygon table is empty")
+      // empty lookup table: Kusto returns the unmatched rows (nulls) or an
+      // empty result — never a failed query
+      if (lvls.isEmpty)
+        return emptyLookupResult(polys, polyCol, returnUnmatched, returnLookupKey)
       // the row id exists only for the unmatched join-back; the inner path
       // adds nothing non-deterministic, so it composes with STREAMING fact
       // sides too (stream-static broadcast join, fully incremental)
@@ -1125,7 +1139,8 @@ object Kql {
           c => concat(array(c), call_function("graft_s2_neighbors", c)))))))
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
-      require(lvls.nonEmpty, "geo_line_lookup: line table is empty")
+      if (lvls.isEmpty)
+        return emptyLookupResult(lines, lineCol, returnUnmatched, returnLookupKey)
       val withId =
         if (returnUnmatched) df.withColumn("__rid", monotonically_increasing_id())
         else df

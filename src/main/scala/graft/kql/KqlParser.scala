@@ -4158,14 +4158,15 @@ object KqlParser {
     private def geoClosestPointOnLine(lngC: Column, latC: Column,
         line: Column): Column = {
       // native codegen'd argmin loop when available (GeoKernelExpressions;
-      // bit-identical chain), HOF struct fold otherwise
-      val native =
-        try org.apache.spark.sql.SparkSession.active.catalog
-          .functionExists(graft.plans.GeoKernelExpressions.closestName)
-        catch { case _: Throwable => false }
+      // bit-identical chain), HOF struct fold otherwise. <2-vertex lines →
+      // null on both paths (the HOF would crash, the native would echo the
+      // query point).
+      val native = graft.functions.KqlFunctions
+        .nativeFn(graft.plans.GeoKernelExpressions.closestName)
       if (native)
-        return call_function(graft.plans.GeoKernelExpressions.closestName,
-          lngC.cast("double"), latC.cast("double"), line)
+        return when(size(line) >= 2,
+          call_function(graft.plans.GeoKernelExpressions.closestName,
+            lngC.cast("double"), latC.cast("double"), line))
       val px = lngC.cast("double"); val py = latC.cast("double")
       val cosl = cos(radians(py))
       val best = aggregate(sequence(lit(0), size(line) - 2),
@@ -4187,7 +4188,8 @@ object KqlParser {
           when(cd < acc.getField("d"),
             struct(cd.as("d"), cx.as("x"), cy.as("y"))).otherwise(acc)
         })
-      array(px + best.getField("x") / cosl, py + best.getField("y"))
+      when(size(line) >= 2,
+        array(px + best.getField("x") / cosl, py + best.getField("y")))
     }
 
     /** `geo_distance_point_to_polygon(lng, lat, ring)` — 0 when the point is

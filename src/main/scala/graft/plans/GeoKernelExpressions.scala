@@ -40,10 +40,14 @@ object GeoKernelExpressions {
     while (i < n) {
       val a = ring.getArray(i)
       val b = ring.getArray(if (i + 1 == n) 0 else i + 1)
-      val xi = a.getDouble(0); val yi = a.getDouble(1)
-      val xj = b.getDouble(0); val yj = b.getDouble(1)
-      if ((yi > y) != (yj > y) &&
-          x < (xj - xi) * (y - yi) / (yj - yi) + xi) c += 1
+      // null vertices: the HOF fallback's comparisons null-propagate to
+      // "no crossing" for edges touching them — skip, don't crash
+      if (a != null && b != null) {
+        val xi = a.getDouble(0); val yi = a.getDouble(1)
+        val xj = b.getDouble(0); val yj = b.getDouble(1)
+        if ((yi > y) != (yj > y) &&
+            x < (xj - xi) * (y - yi) / (yj - yi) + xi) c += 1
+      }
       i += 1
     }
     c % 2 == 1
@@ -61,16 +65,19 @@ object GeoKernelExpressions {
     var i = 0
     while (i < n - 1) {
       val a = line.getArray(i); val b = line.getArray(i + 1)
-      val x1 = (a.getDouble(0) - px) * cosl
-      val y1 = a.getDouble(1) - py
-      val x2 = (b.getDouble(0) - px) * cosl
-      val y2 = b.getDouble(1) - py
-      val dx = x2 - x1; val dy = y2 - y1
-      val len2 = dx * dx + dy * dy
-      val t = if (len2 > 0) math.max(0.0, math.min(1.0, -(x1 * dx + y1 * dy) / len2))
-        else 0.0
-      val cx = x1 + t * dx; val cy = y1 + t * dy
-      acc = math.min(acc, math.sqrt(cx * cx + cy * cy))
+      // null vertices: least() in the HOF fallback skips null candidates
+      if (a != null && b != null) {
+        val x1 = (a.getDouble(0) - px) * cosl
+        val y1 = a.getDouble(1) - py
+        val x2 = (b.getDouble(0) - px) * cosl
+        val y2 = b.getDouble(1) - py
+        val dx = x2 - x1; val dy = y2 - y1
+        val len2 = dx * dx + dy * dy
+        val t = if (len2 > 0) math.max(0.0, math.min(1.0, -(x1 * dx + y1 * dy) / len2))
+          else 0.0
+        val cx = x1 + t * dx; val cy = y1 + t * dy
+        acc = math.min(acc, math.sqrt(cx * cx + cy * cy))
+      }
       i += 1
     }
     acc * (math.Pi / 180 * 6371000.0)
@@ -87,17 +94,20 @@ object GeoKernelExpressions {
     var i = 0
     while (i < n - 1) {
       val a = line.getArray(i); val b = line.getArray(i + 1)
-      val x1 = (a.getDouble(0) - px) * cosl
-      val y1 = a.getDouble(1) - py
-      val x2 = (b.getDouble(0) - px) * cosl
-      val y2 = b.getDouble(1) - py
-      val dx = x2 - x1; val dy = y2 - y1
-      val len2 = dx * dx + dy * dy
-      val t = if (len2 > 0) math.max(0.0, math.min(1.0, -(x1 * dx + y1 * dy) / len2))
-        else 0.0
-      val cx = x1 + t * dx; val cy = y1 + t * dy
-      val d = math.sqrt(cx * cx + cy * cy)
-      if (d < bestD) { bestD = d; bx = cx; by = cy }
+      // null vertices: the HOF fold's null candidate never replaces acc
+      if (a != null && b != null) {
+        val x1 = (a.getDouble(0) - px) * cosl
+        val y1 = a.getDouble(1) - py
+        val x2 = (b.getDouble(0) - px) * cosl
+        val y2 = b.getDouble(1) - py
+        val dx = x2 - x1; val dy = y2 - y1
+        val len2 = dx * dx + dy * dy
+        val t = if (len2 > 0) math.max(0.0, math.min(1.0, -(x1 * dx + y1 * dy) / len2))
+          else 0.0
+        val cx = x1 + t * dx; val cy = y1 + t * dy
+        val d = math.sqrt(cx * cx + cy * cy)
+        if (d < bestD) { bestD = d; bx = cx; by = cy }
+      }
       i += 1
     }
     new GenericArrayData(Array[Any](px + bx / cosl, py + by))
@@ -190,12 +200,17 @@ object ShingleStats {
       }
       set.add(sb.toString)
     }
+    // DISTINCT probes (array_intersect in the fallback deduplicates) —
+    // a repeated probe phrase must count once
     var hits = 0L
+    val seen = new java.util.HashSet[String]()
     var p = 0
     val np = probes.numElements()
     while (p < np) {
-      if (!probes.isNullAt(p) && set.contains(probes.getUTF8String(p).toString))
-        hits += 1
+      if (!probes.isNullAt(p)) {
+        val ps = probes.getUTF8String(p).toString
+        if (seen.add(ps) && set.contains(ps)) hits += 1
+      }
       p += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(hits, set.size.toLong)

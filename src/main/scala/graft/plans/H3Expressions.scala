@@ -507,10 +507,13 @@ object H3Expressions {
         val (lng, lat) = centerLngLat(n); (lng, lat)
       }
       require(nbs.size >= 3, s"cell has ${nbs.size} neighbors, need >= 3")
-      // order neighbors CCW by local azimuth around the center
+      // order neighbors CCW by local azimuth around the center; the
+      // longitude delta is wrap-normalized to (−180, 180] so cells beside
+      // the antimeridian sort in true cyclic order
       val cosc = math.cos(math.toRadians(clat))
       val ordered = nbs.sortBy { case (lng, lat) =>
-        math.atan2(lat - clat, (lng - clng) * cosc)
+        val dl = ((lng - clng + 540.0) % 360.0) - 180.0
+        math.atan2(lat - clat, dl * cosc)
       }
       val verts = ordered.indices.map { i =>
         val a = toXyz(ordered(i)._1, ordered(i)._2)

@@ -236,8 +236,13 @@ object PolygonClip {
     * → null (the boolOp posture). */
   def bufferLine(lineArr: ArrayData, radiusMeters: Double,
       close: Boolean): GenericArrayData = {
-    require(radiusMeters > 0, "buffer radius must be positive")
-    val raw = readRing(lineArr)
+    // family posture: degenerate input (incl. a non-positive radius, which
+    // may arrive per-row from a column) degrades to null, never a failed job
+    if (!(radiusMeters > 0)) return null
+    // read vertices directly (readRing requires ≥3 — a LINE needs only 2)
+    val raw = Array.tabulate(lineArr.numElements()) { i =>
+      val p = lineArr.getArray(i); (p.getDouble(0), p.getDouble(1))
+    }
     // drop an explicit closing vertex; readRing keeps input order
     val pts = if (raw.length > 1 && raw.head == raw.last) raw.dropRight(1) else raw
     if (pts.length < (if (close) 3 else 2)) return null
@@ -484,8 +489,9 @@ case class PolygonBoolExpr(left: Expression, right: Expression, union: Boolean)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     PolygonClip.boolOp(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], union)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.plans.PolygonClip.boolOp($a, $b, $union)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.plans.PolygonClip.boolOp($a, $b, $union);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String =
@@ -550,8 +556,8 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       PolygonClip.bufferLine(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
         close = true)
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => fn match {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def call(a: String, b: String): String = fn match {
       case "line_in_poly" => s"graft.plans.PolygonClip.lineIntersectsPolygon($a, $b)"
       case "densify_line" => s"graft.plans.PolygonClip.densify($a, $b, false)"
       case "densify_ring" => s"graft.plans.PolygonClip.densify($a, $b, true)"
@@ -560,7 +566,18 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       case "clip_line" => s"graft.plans.PolygonClip.clipLine($a, $b)"
       case "buffer_line" => s"graft.plans.PolygonClip.bufferLine($a, $b, false)"
       case "buffer_ring" => s"graft.plans.PolygonClip.bufferLine($a, $b, true)"
-    })
+    }
+    fn match {
+      // boolean result — never a Java null
+      case "line_in_poly" => defineCodeGen(ctx, ev, call)
+      // array results may be Java null (disjoint unions, degenerate
+      // geometry): generated code must set isNull, not propagate the null
+      // object into the row writer (the S2CoverExpr posture)
+      case _ => nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = ${call(a, b)};
+        ${ev.isNull} = ${ev.value} == null;""")
+    }
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = s"graft_geo_$fn"

@@ -483,11 +483,13 @@ object S2Expressions {
     out.result().sorted
   }
 
-  /** Null posture mirrors coverTokens: budget blow-out or a >180° longitude
-    * span (antimeridian lines unsupported — documented) → null. */
+  /** Null posture mirrors coverTokens: budget blow-out, a >180° longitude
+    * span (antimeridian lines unsupported — documented), or a degenerate
+    * <2-vertex line → null. */
   def coverLineTokens(line: org.apache.spark.sql.catalyst.util.ArrayData,
       level: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = line.numElements()
+    if (n < 2) return null
     val xs = new Array[Double](n); val ys = new Array[Double](n)
     var i = 0
     while (i < n) {

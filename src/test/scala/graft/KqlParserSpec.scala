@@ -1419,6 +1419,24 @@ class KqlParserSpec extends SparkSpec {
     assert(withKey.count() == t.count())
   }
 
+  test("geo lookup plugins tolerate an empty lookup table") {
+    assert(spark.sparkContext.isLocal)
+    val base =
+      """let polys = datatable(pid: long) [1]
+        || extend poly = pack_array(pack_array(-0.5, -0.5),
+        |    pack_array(0.5, -0.5), pack_array(0.0, 0.5))
+        || where pid > 99;
+        |t | project id | extend lng = 0.0, lat = 0.0
+        || evaluate geo_polygon_lookup(polys, poly, lng, lat%s)""".stripMargin
+    // inner: zero rows, schema still carries the lookup columns
+    val inner = KqlParser.parse(base.format(""), _ => t)
+    assert(inner.count() == 0 && inner.columns.contains("pid"))
+    // unmatched: every fact row kept, lookup columns null
+    val um = KqlParser.parse(base.format(", return_unmatched"), _ => t)
+    assert(um.count() == t.count())
+    assert(um.where(org.apache.spark.sql.functions.col("pid").isNull).count() == t.count())
+  }
+
   test("consume discards rows keeping schema; hash_xxhash64 is builtin xxhash64") {
     val c = KqlParser.parse("t | project id | extend b = id + 1 | consume", _ => t)
     assert(c.count() == 0 && c.columns.toSeq == Seq("id", "b"))

@@ -161,7 +161,10 @@ class NativeExprSpec extends SparkSpec {
 
   test("native shingle stats match the array formulation on fixture documents") {
     import graft.functions.{TextAnalysis => TA}
-    val probes = Seq("table value part", "fast spark a", "zz absent phrase", "")
+    // incl. a DUPLICATE probe: native must count distinct matches like
+    // array_intersect does (review finding)
+    val probes = Seq("table value part", "fast spark a", "zz absent phrase", "",
+      "table value part")
     val probeArr = array(probes.map(lit): _*)
     val toks = Tables.load(spark, sf, "documents").limit(300)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))

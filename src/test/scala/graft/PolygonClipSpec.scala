@@ -27,6 +27,19 @@ class PolygonClipSpec extends SparkSpec {
     else r.getSeq[scala.collection.Seq[Double]](0).map(p => (p(0), p(1))).toSeq
   }
 
+  test("degenerate geo inputs degrade to null, never a failed job") {
+    val r = run(
+      """t | project
+        |  b1 = geo_line_buffer(pack_array(pack_array(1.0, 2.0)), 100.0),
+        |  b2 = geo_line_buffer(pack_array(pack_array(1.0, 2.0), pack_array(3.0, 4.0)), 0.0),
+        |  c1 = geo_line_to_s2cells(pack_array(pack_array(1.0, 2.0)), 8),
+        |  cp = geo_closest_point_on_line(0.0, 0.0, pack_array(pack_array(1.0, 2.0))),
+        |  dl = geo_distance_point_to_line(0.0, 0.0, pack_array(pack_array(1.0, 2.0))),
+        |  ip = geo_point_in_polygon(0.0, 0.0, pack_array())""".stripMargin)
+      .collect().head
+    (0 until 6).foreach(i => assert(r.isNullAt(i), s"col $i not null"))
+  }
+
   test("geo_line_buffer / geo_polygon_buffer: distance-margin containment") {
     def rayCast(x: Double, y: Double, ring: Seq[(Double, Double)]): Boolean = {
       var c = false; var i = 0; val n = ring.size
