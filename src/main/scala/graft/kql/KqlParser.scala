@@ -2809,6 +2809,16 @@ object KqlParser {
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)
+        case "ai_chat_completion" | "ai_chat_completion_prompt" =>
+          // Kusto's chat-completion plugin surface with the model STUBBED
+          // (no model/egress in this container — the ai_embed_text
+          // convention, documented): a DETERMINISTIC md5-derived completion
+          // string, so the Spark-side plumbing of the real data-engineering
+          // use — distillation/labeling pipelines that fan prompts out and
+          // aggregate the responses — is testable and oracle-replayable.
+          // Swapping in a real model endpoint is this one expression.
+          concat(lit("stub-completion:"),
+            substring(md5(args.head.cast("string")), 1, 8))
         case "ai_embed_text" =>
           // Kusto's text-embedding plugin surface with the ai model STUBBED
           // (this container has no model/egress — the multimodal convention):

@@ -3782,6 +3782,24 @@ object KqlTextQueries {
              |WHERE ld.dl < 16000.0 OR ld.dl > 26000.0
              |ORDER BY p.event_id""".stripMargin)),
 
+    // The LLM-labeling (distillation) pipeline shape over the STUBBED chat
+    // plugin: prompts fan out per document, responses aggregate into label
+    // classes. The md5-derived stub replays verbatim in DuckDB.
+    QueryDef("q_kql_ai_chat",
+      (s, d) => run(s, d,
+        """documents
+          || where doc_id % 17 == 0
+          || extend resp = ai_chat_completion(
+          |    strcat('Classify the sentiment: ', substring(text, 0, 40)))
+          || extend label = substring(resp, 16, 1)
+          || summarize n = count() by label
+          || sort by label asc""".stripMargin),
+      Some("""SELECT SUBSTRING(MD5('Classify the sentiment: ' ||
+             |    SUBSTRING(text, 1, 40)), 1, 1) AS label,
+             |  COUNT(*) AS n
+             |FROM documents WHERE doc_id % 17 = 0
+             |GROUP BY 1 ORDER BY label""".stripMargin)),
+
     QueryDef("q_kql_h3cell",
       (s, d) => run(s, d,
         """datatable(id: long, lng: real, lat: real) [

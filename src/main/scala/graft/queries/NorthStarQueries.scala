@@ -993,6 +993,60 @@ object NorthStarQueries {
              |  ) % 2 = 1
              |GROUP BY e.pid ORDER BY pid""".stripMargin)),
 
+    // STREAMING route matching: geo_line_lookup composes with Structured
+    // Streaming after the round-11 transposition (the ×9 neighbor ring
+    // lives on the static broadcast side; one probe key per point, no
+    // dedup state) — points stream past, routes within 20 km enrich them,
+    // stateless. Oracle replays the all-pairs distance chain per route.
+    QueryDef("q_streaming_routematch",
+      (s, d) => {
+        import s.implicits._
+        val pts = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+          .where(col("event_id") % 23 === 0)
+          .withColumn("lat",
+            lit(40.0) + (col("event_id") % 97).cast("double") / lit(80.0))
+          .withColumn("lng",
+            lit(-73.5) + (col("event_id") % 89).cast("double") / lit(60.0))
+          .select("event_id", "lat", "lng")
+        val rts = Seq(
+          (1L, Seq(Seq(-73.4, 40.3), Seq(-73.0, 40.6), Seq(-72.6, 40.5))),
+          (2L, Seq(Seq(-73.2, 41.0), Seq(-72.4, 40.8)))).toDF("rid", "line")
+        val matched = pts.geoLineLookup(rts, "line", "lng", "lat", 20000.0)
+          .select("rid", "event_id")
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_routematch_sink", matched)
+          .summarize(Seq(col("rid")), count(lit(1)).as("n"))
+          .sortBy(col("rid"))
+      },
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    -73.5 + CAST(event_id % 89 AS DOUBLE) / 60.0 AS lng
+             |  FROM events WHERE event_id % 23 = 0),
+             |segs(rid, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.4, 40.3, -73.0, 40.6), (1, -73.0, 40.6, -72.6, 40.5),
+             |  (2, -73.2, 41.0, -72.4, 40.8)),
+             |raw AS (SELECT g.rid, p.event_id,
+             |    (g.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1,
+             |    g.y1 - p.lat AS yy1,
+             |    (g.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2,
+             |    g.y2 - p.lat AS yy2
+             |  FROM segs g, pts p),
+             |t1 AS (SELECT rid, event_id, xx1, yy1,
+             |    xx2 - xx1 AS dx, yy2 - yy1 AS dy FROM raw),
+             |t2 AS (SELECT rid, event_id, xx1, yy1, dx, dy,
+             |    dx * dx + dy * dy AS len2 FROM t1),
+             |t3 AS (SELECT rid, event_id, xx1, yy1, dx, dy,
+             |    CASE WHEN len2 > 0 THEN GREATEST(0.0, LEAST(1.0,
+             |      -(xx1 * dx + yy1 * dy) / len2)) ELSE 0.0 END AS t FROM t2),
+             |t4 AS (SELECT rid, event_id,
+             |    xx1 + t * dx AS cx, yy1 + t * dy AS cy FROM t3),
+             |md AS (SELECT rid, event_id,
+             |    MIN(SQRT(cx * cx + cy * cy)) AS mindeg FROM t4
+             |  GROUP BY rid, event_id)
+             |SELECT CAST(rid AS BIGINT) AS rid, COUNT(*) AS n FROM md
+             |WHERE mindeg * (PI() / 180 * 6371000.0) <= 20000.0
+             |GROUP BY 1 ORDER BY rid""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every
