@@ -168,4 +168,87 @@ class PropertySpec extends SparkSpec {
         S2Expressions.parentAtLevel(leaf, l1), s"($lng,$lat) $l1/$l2")
     }
   }
+
+  test("line covering is complete for random polylines (bucket-join soundness)") {
+    import graft.plans.S2Expressions
+    val rnd = new scala.util.Random(41)
+    (0 until 30).foreach { trial =>
+      // random 2–5-vertex polyline in a ~1° window at a random location
+      val cx = rnd.nextDouble() * 300 - 150
+      val cy = rnd.nextDouble() * 140 - 70
+      val nv = 2 + rnd.nextInt(4)
+      val xs = Array.fill(nv)(cx + rnd.nextDouble())
+      val ys = Array.fill(nv)(cy + rnd.nextDouble())
+      val lvl = 7 + rnd.nextInt(4)
+      val cov = S2Expressions.coverPolyline(xs, ys, lvl).toSet
+      // every sample point along every segment must land in a covered cell
+      (0 until nv - 1).foreach { s =>
+        (0 to 200).foreach { k =>
+          val t = k / 200.0
+          val x = xs(s) + t * (xs(s + 1) - xs(s))
+          val y = ys(s) + t * (ys(s + 1) - ys(s))
+          val cell = S2Expressions.parentAtLevel(
+            S2Expressions.leafFromLngLat(x, y), lvl)
+          assert(cov.contains(cell),
+            s"trial $trial lvl $lvl: uncovered on-line point ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("line buffer honors the distance contract on random polylines") {
+    import graft.plans.PolygonClip
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(43)
+    def ad(pts: Seq[(Double, Double)]): GenericArrayData =
+      new GenericArrayData(pts.map { case (x, y) =>
+        new GenericArrayData(Array[Any](x, y)) }.toArray[Any])
+    (0 until 20).foreach { trial =>
+      val cx = rnd.nextDouble() * 200 - 100
+      val cy = rnd.nextDouble() * 100 - 50
+      val nv = 2 + rnd.nextInt(3)
+      val pts = Seq.fill(nv)((cx + rnd.nextDouble() * 0.8, cy + rnd.nextDouble() * 0.8))
+      val r = 15000.0
+      val buf = PolygonClip.bufferLine(ad(pts), r, close = false)
+      if (buf != null) { // degenerate unions may null out — contract is only for produced rings
+        val ring = (0 until buf.numElements()).map { i =>
+          val p = buf.getArray(i); (p.getDouble(0), p.getDouble(1))
+        }
+        def rayCast(x: Double, y: Double): Boolean = {
+          var c = false; var i = 0; val n = ring.size
+          while (i < n) {
+            val (xi, yi) = ring(i); val (xj, yj) = ring((i + 1) % n)
+            if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+              c = !c
+            i += 1
+          }
+          c
+        }
+        def distM(px: Double, py: Double): Double = {
+          val cosl = math.cos(math.toRadians(py))
+          pts.sliding(2).map { s =>
+            val (ax, ay) = s(0); val (bx, by) = s(1)
+            val x1 = (ax - px) * cosl; val y1 = ay - py
+            val x2 = (bx - px) * cosl; val y2 = by - py
+            val dx = x2 - x1; val dy = y2 - y1
+            val l2 = dx * dx + dy * dy
+            val t = if (l2 > 0) math.max(0.0, math.min(1.0, -(x1 * dx + y1 * dy) / l2)) else 0.0
+            val hx = x1 + t * dx; val hy = y1 + t * dy
+            math.sqrt(hx * hx + hy * hy)
+          }.min * (math.Pi / 180 * 6371000.0)
+        }
+        // margin probes around the polyline bbox (wide margins absorb the
+        // centroid-frame vs per-point-frame difference at high |lat|)
+        (0 until 150).foreach { _ =>
+          val px = cx - 0.4 + rnd.nextDouble() * 1.6
+          val py = cy - 0.4 + rnd.nextDouble() * 1.6
+          val d = distM(px, py)
+          if (d < 0.7 * r) assert(rayCast(px, py),
+            s"trial $trial: point at d=$d missing from buffer")
+          else if (d > 1.5 * r) assert(!rayCast(px, py),
+            s"trial $trial: point at d=$d wrongly inside buffer")
+        }
+      }
+    }
+  }
 }
