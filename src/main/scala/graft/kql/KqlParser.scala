@@ -1138,7 +1138,14 @@ object KqlParser {
         eatPunct(")")
         if (sub.columns.contains("__mv_pos")) sub.drop("__mv_pos") else sub
       case "evaluate" =>
-        // plugin surface: bag_unpack, pivot, narrow
+        // `evaluate [hint.distribution = per_node | per_shard] plugin(...)`
+        // — distribution hints are physical placement advice with no Spark
+        // analogue needed (Catalyst places the plugin's plan); accepted and
+        // ignored so exported real-world queries parse (the summarize-hint
+        // convention)
+        while (atIdent("hint")) {
+          pos += 1; eatPunct("."); ident(); eatPunct("="); val _ = next()
+        }
         val fn = ident()
         eatPunct("(")
         fn match {

@@ -1437,6 +1437,13 @@ class KqlParserSpec extends SparkSpec {
     assert(um.where(org.apache.spark.sql.functions.col("pid").isNull).count() == t.count())
   }
 
+  test("evaluate accepts and ignores hint.distribution") {
+    val r = KqlParser.parse(
+      """t | project id, d = '{"k": 1}'
+        || evaluate hint.distribution = per_node bag_unpack(d)""".stripMargin, _ => t)
+    assert(r.columns.contains("k") && r.count() == t.count())
+  }
+
   test("consume discards rows keeping schema; hash_xxhash64 is builtin xxhash64") {
     val c = KqlParser.parse("t | project id | extend b = id + 1 | consume", _ => t)
     assert(c.count() == 0 && c.columns.toSeq == Seq("id", "b"))
