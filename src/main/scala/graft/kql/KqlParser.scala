@@ -2816,6 +2816,24 @@ object KqlParser {
         case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)
+        case "make_string" =>
+          // Unicode codepoints → string (native kernel: Spark chr() is
+          // ASCII-only); invalid codepoints → null
+          call_function("graft_make_string", args.head.cast("array<int>"))
+        case "to_utf8" =>
+          // string → UTF-8 byte values; make_string∘decode inverts it for
+          // well-formed input
+          call_function("graft_to_utf8", args.head.cast("string"))
+        case "base64_encode_fromarray" =>
+          // inverse of base64_decode_toarray: byte-value array → base64.
+          // Pure codegen chain: int → 2-hex-digit → unhex → base64.
+          base64(unhex(array_join(transform(args.head.cast("array<int>"),
+            x => lpad(conv(x.cast("string"), 10, 16), 2, "0")), "")))
+        case "extent_tags" =>
+          // extent tags are an ingest-time management concept; the fixture
+          // store tracks none — constant empty array (the extent_id
+          // convention: surface real, data deviation documented)
+          array().cast("array<string>")
         case "ai_chat_completion" | "ai_chat_completion_prompt" =>
           // Kusto's chat-completion plugin surface with the model STUBBED
           // (no model/egress in this container — the ai_embed_text

@@ -318,6 +318,66 @@ case class RepetitionStatsExpr(child: Expression)
   override def prettyName: String = "graft_repetition_stats"
 }
 
+/** make_string / to_utf8 codepoint kernels: Spark's chr() is ASCII-only
+  * (wraps mod 256), so the unicode forms need a native loop. make_string:
+  * Unicode CODEPOINTS → string (invalid codepoints → null); to_utf8:
+  * string → UTF-8 byte values (0–255 ints), its encoding-level inverse
+  * via make_string∘(utf8 decode) for well-formed input. */
+object CodepointKernels {
+  def makeString(arr: ArrayData): UTF8String = {
+    try {
+      val sb = new java.lang.StringBuilder(arr.numElements())
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) sb.appendCodePoint(arr.getInt(i))
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    } catch { case _: Exception => null }
+  }
+  def toUtf8(s: UTF8String): GenericArrayData = {
+    val bytes = s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    new GenericArrayData(bytes.map(b => (b & 0xFF).asInstanceOf[Any]))
+  }
+}
+
+/** make_string(array<int> codepoints) → string. */
+case class MakeStringExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<int>, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    CodepointKernels.makeString(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.plans.CodepointKernels.makeString($a);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_make_string"
+}
+
+/** to_utf8(string) → array<int> of UTF-8 byte values. */
+case class ToUtf8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(s: Any): Any =
+    CodepointKernels.toUtf8(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.CodepointKernels.toUtf8($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_to_utf8"
+}
+
 /** graft_parse_ipv6(s) → canonical 8-group zero-padded lowercase form, or
   * null. Replicates KqlFunctions.parseIpv6's column formulation EXACTLY
   * (trim+lowercase; split on "::" keeping empties; colon groups filtered of

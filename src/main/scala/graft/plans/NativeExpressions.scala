@@ -357,6 +357,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_parse_ipv6"),
       new ExpressionInfo(classOf[ParseIpv6Expr].getName, "graft_parse_ipv6"),
       (children: Seq[Expression]) => ParseIpv6Expr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_make_string"),
+      new ExpressionInfo(classOf[MakeStringExpr].getName, "graft_make_string"),
+      (children: Seq[Expression]) => MakeStringExpr(children.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_to_utf8"),
+      new ExpressionInfo(classOf[ToUtf8Expr].getName, "graft_to_utf8"),
+      (children: Seq[Expression]) => ToUtf8Expr(children.head)))
     // H3-style hex cells (H3Expressions.scala)
     e.injectFunction((
       FunctionIdentifier("graft_h3_cell"),

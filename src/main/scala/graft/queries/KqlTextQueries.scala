@@ -3892,6 +3892,24 @@ object KqlTextQueries {
     // parse_ipv6_mask (hand-masked oracle literal), assert,
     // current_principal/cursor_current constants, ingestion_time == ts on
     // the ingest contract, extent_id GUID shape
+    // scalar batch 17: unicode codepoint round-trips (native kernels —
+    // Spark chr() is ASCII-only), the base64 array inverse, extent_tags.
+    QueryDef("q_kql_scalar_misc17",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1, 2]
+          || extend ms = make_string(pack_array(75, 117, 115, 116, 111)),
+          |    u8 = strcat_array(to_utf8('Küs'), ','),
+          |    eu = make_string(pack_array(8364)),
+          |    b64 = base64_encode_fromarray(pack_array(77, 97, 110)),
+          |    rt = make_string(to_utf8('plain ascii roundtrip')),
+          |    et = array_length(extent_tags())
+          || project id, ms, u8, eu, b64, rt, et
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, 'Kusto' AS ms,
+             |  '75,195,188,115' AS u8, CHR(8364) AS eu, 'TWFu' AS b64,
+             |  'plain ascii roundtrip' AS rt, CAST(0 AS BIGINT) AS et
+             |FROM (VALUES (1), (2)) AS t(id) ORDER BY id""".stripMargin)),
+
     QueryDef("q_kql_scalar_misc16",
       (s, d) => run(s, d,
         """let ev = events
