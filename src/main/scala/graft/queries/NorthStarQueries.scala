@@ -706,6 +706,34 @@ object NorthStarQueries {
     // filters) run end-to-end — a batch appended twice (client resubmission), then
     // merge-dedup compacted; counts must match what the oracle derives from the
     // source table alone. Idempotent: the scratch dir is wiped per invocation. ----
+    // Salted join under engineered 80%-hot-key skew (Skew.saltedJoin): the
+    // big side sprays the hot key across 8 salts, the dimension replicates
+    // ×8, the join key becomes (key, salt) — result EXACTLY the plain join
+    // (the oracle), which is the point: same answer, no single-task hot
+    // partition. AQE's sort-merge skew split is the no-code default; this
+    // is the pattern for hash/stateful shapes it can't touch.
+    QueryDef("q_salted_join",
+      (s, d) => {
+        val big = T(s, d, "events")
+          .extend("k" -> when(col("event_id") % 10 < 8, lit(4L))
+            .otherwise(col("event_id") % 100))
+        val dim = T(s, d, "nation")
+          .project((col("n_nationkey") * 4).cast("long").as("k"),
+            col("n_name").as("name"))
+        graft.functions.Skew.saltedJoin(big, dim, Seq("k"), salts = 8)
+          .summarize(Seq(col("k"), col("name")),
+            count(lit(1)).as("n"), sum(col("user_id")).as("su"))
+          .sortBy(col("k"))
+      },
+      Some("""WITH big AS (SELECT CASE WHEN event_id % 10 < 8 THEN 4
+             |    ELSE event_id % 100 END AS k, user_id FROM events),
+             |dim AS (SELECT CAST(n_nationkey * 4 AS BIGINT) AS k,
+             |    n_name AS name FROM nation)
+             |SELECT b.k AS k, d.name AS name, COUNT(*) AS n,
+             |  SUM(b.user_id) AS su
+             |FROM big b JOIN dim d ON d.k = b.k
+             |GROUP BY 1, 2 ORDER BY k""".stripMargin)),
+
     QueryDef("q_ingest_compact",
       (s, d) => {
         val root = s"/tmp/graft_ingest/${d.replaceAll("[^A-Za-z0-9.]", "_")}"

@@ -83,6 +83,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("salted join: the salt rides the join keys (hot key spreads across tasks)") {
+    val p = plan("q_salted_join")
+    assert(p.contains("__salt"), s"salt column absent from the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"salted join degenerated to a product join:\n$p")
+  }
+
   test("bm25: term filter lands pre-aggregation, df side broadcasts") {
     val p = plan("q_bm25")
     assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
