@@ -3524,7 +3524,10 @@ object KqlParser {
           geoAzimuth(args(0), args(1), args(2), args(3))
         case "geo_line_buffer" =>
           // radius-neighborhood polygon of a polyline (PolygonClip
-          // .bufferLine — G-H union of segment rects + vertex 16-gons)
+          // .bufferLine — G-H union of segment rects + vertex 16-gons).
+          // Kusto's optional 3rd argument (tolerance, meters) tunes the
+          // join-arc vertex density; accepted and ignored — the fixed
+          // 16-gon joins are the documented deviation.
           call_function("graft_geo_buffer_line",
             args.head.cast("array<array<double>>"), args(1).cast("double"))
         case "geo_polygon_buffer" =>

@@ -181,4 +181,33 @@ class H3Spec extends SparkSpec {
     assert(H3Expressions.parentToken(
       org.apache.spark.unsafe.types.UTF8String.fromString("nonsense"), 3) == null)
   }
+
+  test("cell polygon is simple (non-self-intersecting) beside the antimeridian") {
+    // regression: unwrapped longitude deltas mis-sorted neighbors whose
+    // centers sit across ±180, producing a bowtie ring
+    Seq((179.97, 10.0), (-179.96, -15.0), (179.99, 45.0)).foreach { case (lng, lat) =>
+      val id = H3Expressions.encode(lng, lat, 5)
+      val tok = org.apache.spark.unsafe.types.UTF8String
+        .fromString(H3Expressions.token(id))
+      val ring = H3Expressions.cellPolygon(tok)
+      assert(ring != null && ring.numElements() >= 5)
+      val (clng, clat) = H3Expressions.centerLngLat(id)
+      // vertices in a wrap-normalized local frame centered on the cell
+      val local = (0 until ring.numElements()).map { i =>
+        val p = ring.getArray(i)
+        ((((p.getDouble(0) - clng + 540.0) % 360.0) - 180.0), p.getDouble(1) - clat)
+      }
+      def cross(a: (Double, Double), b: (Double, Double),
+          c: (Double, Double), d: (Double, Double)): Boolean = {
+        def o(p: (Double, Double), q: (Double, Double), r: (Double, Double)) =
+          math.signum((q._1 - p._1) * (r._2 - p._2) - (q._2 - p._2) * (r._1 - p._1))
+        o(a, b, c) * o(a, b, d) < 0 && o(c, d, a) * o(c, d, b) < 0
+      }
+      val n = local.size
+      for (i <- 0 until n; j <- i + 2 until n
+           if !(i == 0 && j == n - 1)) // skip adjacent (incl. wrap) pairs
+        assert(!cross(local(i), local((i + 1) % n), local(j), local((j + 1) % n)),
+          s"($lng,$lat): edges $i and $j cross — self-intersecting ring")
+    }
+  }
 }
