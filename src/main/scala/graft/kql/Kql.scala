@@ -1006,6 +1006,53 @@ object Kql {
       base.select(df.columns.map(col).toIndexedSeq ++ nulls: _*)
     }
 
+    /** Max S2 level at which every cell's MIN WIDTH still exceeds `radius`
+      * meters (quadratic min-width metric ≈ 0.833/2^L rad ≈ 5.3e6/2^L m;
+      * 4.0e6 keeps margin) — then a radius-ball around any covered cell
+      * stays inside that cell's 3×3 neighbor block. */
+    private def radiusCappedLevel(radiusMeters: Double): Int =
+      math.max(0, math.min(16,
+        math.floor(math.log(4.0e6 / radiusMeters) / math.log(2.0)).toInt))
+
+    /** Covering cells plus their 8 neighbors each, deduped — the build-side
+      * one-ring expansion that makes radius matching complete while the
+      * fact side keeps ONE key per row. */
+    private def withNeighborRing(cover: Column): Column =
+      array_distinct(flatten(transform(cover,
+        c => concat(array(c), call_function("graft_s2_neighbors", c)))))
+
+    /** Shared fact side of the geo lookup plugins: an optional row id (only
+      * under return_unmatched — the inner path stays deterministic for
+      * streams) and one (level, cell) key pair per collected level. */
+    private def lookupCandidates(lngCol: String, latCol: String,
+        lvls: Seq[Int], returnUnmatched: Boolean): (DataFrame, DataFrame) = {
+      val withId =
+        if (returnUnmatched) df.withColumn("__rid", monotonically_increasing_id())
+        else df
+      val cand = withId
+        .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
+        .withColumn("__cell", call_function("graft_s2_cell",
+          col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
+      (withId, cand)
+    }
+
+    /** Shared tail of the geo lookup plugins: drop the geometry column
+      * unless return_lookup_key, and left-join matches back onto the
+      * id-carrying fact rows under return_unmatched. */
+    private def lookupTail(hit0: DataFrame, withId: DataFrame,
+        lookup: DataFrame, keyCol: String, returnUnmatched: Boolean,
+        returnLookupKey: Boolean): DataFrame = {
+      val hit = if (returnLookupKey) hit0 else hit0.drop(keyCol)
+      if (!returnUnmatched) hit
+      else {
+        val extraCols = lookup.columns.toSeq
+          .filter(c => returnLookupKey || c != keyCol)
+        withId.join(
+          hit.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
+          Seq("__rid"), "left").drop("__rid")
+      }
+    }
+
     /** Per-geometry adaptive S2 level from a [[lng,lat],…] vertex array's
       * bbox span: cells about half the span (→ coverings of ~4–25 cells),
       * clamped to [0, maxLvl]. The LEVEL spectrum is what gets collected
@@ -1052,15 +1099,13 @@ object Kql {
       val maxLvl = radiusMeters match {
         case Some(r) =>
           require(r > 0, "geo_polygon_lookup: radius must be positive")
-          math.max(0, math.min(16,
-            math.floor(math.log(4.0e6 / r) / math.log(2.0)).toInt))
+          radiusCappedLevel(r)
         case None => 16
       }
       val lk0 = polys.withColumn("__lvl", adaptiveLevel(geom, maxLvl))
       val cover = call_function("graft_s2_cover", geom, col("__lvl"))
       val lk = lk0.withColumn("__cell", radiusMeters match {
-        case Some(_) => explode(array_distinct(flatten(transform(cover,
-          c => concat(array(c), call_function("graft_s2_neighbors", c))))))
+        case Some(_) => explode(withNeighborRing(cover))
         case None => explode(cover)
       })
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
@@ -1069,41 +1114,21 @@ object Kql {
       // empty result — never a failed query
       if (lvls.isEmpty)
         return emptyLookupResult(polys, polyCol, returnUnmatched, returnLookupKey)
-      // the row id exists only for the unmatched join-back; the inner path
-      // adds nothing non-deterministic, so it composes with STREAMING fact
-      // sides too (stream-static broadcast join, fully incremental)
-      val withId =
-        if (returnUnmatched) df.withColumn("__rid", monotonically_increasing_id())
-        else df
-      val cand = withId
-        .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
-        .withColumn("__cell", call_function("graft_s2_cell",
-          col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
-      val pgeom = col(polyCol).cast("array<array<double>>")
+      val (withId, cand) = lookupCandidates(lngCol, latCol, lvls, returnUnmatched)
       val residual = radiusMeters match {
         case Some(r) =>
           // distance-to-polygon ≤ r (0 when contained): containment short-
           // circuits the boundary distance
-          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), pgeom) ||
+          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), geom) ||
             KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
-              concat(pgeom, slice(pgeom, 1, 1))) <= lit(r)
+              concat(geom, slice(geom, 1, 1))) <= lit(r)
         case None =>
-          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), pgeom)
+          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), geom)
       }
       val hit0 = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
         .filter(residual)
         .drop("__lvl", "__cell")
-      // Kusto's return_lookup_key=false (its default) omits the polygon
-      // geometry column from the output
-      val hit = if (returnLookupKey) hit0 else hit0.drop(polyCol)
-      if (!returnUnmatched) hit
-      else {
-        val extraCols = polys.columns.toSeq
-          .filter(c => returnLookupKey || c != polyCol)
-        withId.join(
-          hit.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
-          Seq("__rid"), "left").drop("__rid")
-      }
+      lookupTail(hit0, withId, polys, polyCol, returnUnmatched, returnLookupKey)
     }
 
     /** `T | evaluate geo_line_lookup(LineTable, lineCol, lngCol, latCol,
@@ -1127,40 +1152,21 @@ object Kql {
         returnLookupKey: Boolean = true): DataFrame = {
       import graft.functions.KqlFunctions
       require(radiusMeters > 0, "geo_line_lookup: radius must be positive")
-      // cap the level so every cell's MIN WIDTH exceeds the radius (S2
-      // quadratic min-width metric ≈ 0.833/2^L rad ≈ 5.3e6/2^L m; 4.0e6
-      // keeps margin)
-      val maxLvlForRadius = math.max(0, math.min(16,
-        math.floor(math.log(4.0e6 / radiusMeters) / math.log(2.0)).toInt))
       val geom = col(lineCol).cast("array<array<double>>")
-      val lk0 = lines.withColumn("__lvl", adaptiveLevel(geom, maxLvlForRadius))
-      val lk = lk0.withColumn("__cell", explode(array_distinct(flatten(
-        transform(call_function("graft_s2_cover_line", geom, col("__lvl")),
-          c => concat(array(c), call_function("graft_s2_neighbors", c)))))))
+      val lk0 = lines.withColumn("__lvl",
+        adaptiveLevel(geom, radiusCappedLevel(radiusMeters)))
+      val lk = lk0.withColumn("__cell", explode(withNeighborRing(
+        call_function("graft_s2_cover_line", geom, col("__lvl")))))
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       if (lvls.isEmpty)
         return emptyLookupResult(lines, lineCol, returnUnmatched, returnLookupKey)
-      val withId =
-        if (returnUnmatched) df.withColumn("__rid", monotonically_increasing_id())
-        else df
-      val cand = withId
-        .withColumn("__lvl", explode(array(lvls.map(lit): _*)))
-        .withColumn("__cell", call_function("graft_s2_cell",
-          col(lngCol).cast("double"), col(latCol).cast("double"), col("__lvl")))
+      val (withId, cand) = lookupCandidates(lngCol, latCol, lvls, returnUnmatched)
       val hit0 = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
         .filter(KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
-          col(lineCol).cast("array<array<double>>")) <= lit(radiusMeters))
+          geom) <= lit(radiusMeters))
         .drop("__lvl", "__cell")
-      val hit = if (returnLookupKey) hit0 else hit0.drop(lineCol)
-      if (!returnUnmatched) hit
-      else {
-        val extraCols = lines.columns.toSeq
-          .filter(c => returnLookupKey || c != lineCol)
-        withId.join(
-          hit.select((col("__rid") +: extraCols.map(col)).toIndexedSeq: _*),
-          Seq("__rid"), "left").drop("__rid")
-      }
+      lookupTail(hit0, withId, lines, lineCol, returnUnmatched, returnLookupKey)
     }
   }
 
