@@ -3522,6 +3522,20 @@ object KqlParser {
           geoPointToPolygon(args(0), args(1), args(2).cast("array<array<double>>"))
         case "geo_azimuth" =>
           geoAzimuth(args(0), args(1), args(2), args(3))
+        case "geo_line_centroid" =>
+          // length-weighted planar centroid (PolygonClip.lineCentroid;
+          // deviation documented: equirect segment frame, bare [lng, lat])
+          call_function("graft_geo_line_centroid",
+            args.head.cast("array<array<double>>"), lit(0.0))
+        case "geo_intersects_2lines" =>
+          // any segment pair meets (touching/collinear count)
+          call_function("graft_geo_lines_intersect",
+            args(0).cast("array<array<double>>"), args(1).cast("array<array<double>>"))
+        case "geo_intersection_2lines" =>
+          // proper crossing points, scan order, deduped; bare point array
+          // (deviation from GeoJSON MultiPoint, documented)
+          call_function("graft_geo_lines_intersection",
+            args(0).cast("array<array<double>>"), args(1).cast("array<array<double>>"))
         case "geo_line_buffer" =>
           // radius-neighborhood polygon of a polyline (PolygonClip
           // .bufferLine — G-H union of segment rects + vertex 16-gons).

@@ -404,7 +404,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LineSimplifyExpr].getName, "graft_line_simplify"),
       (children: Seq[Expression]) => LineSimplifyExpr(children(0), children(1))))
     Seq("line_in_poly", "densify_line", "densify_ring", "simplify_rings",
-        "union_rings", "clip_line", "buffer_line", "buffer_ring").foreach { fn =>
+        "union_rings", "clip_line", "buffer_line", "buffer_ring",
+        "line_centroid", "lines_intersect", "lines_intersection").foreach { fn =>
       e.injectFunction((
         FunctionIdentifier(s"graft_geo_$fn"),
         new ExpressionInfo(classOf[GeoPolyFnExpr].getName, s"graft_geo_$fn"),

@@ -289,6 +289,104 @@ object PolygonClip {
     toArrayData(canonical(out.toSeq))
   }
 
+  /** geo_line_centroid: length-weighted centroid of the segment midpoints,
+    * planar in the per-segment equirectangular frame (lng step scaled by
+    * cos of the segment's mean latitude) — the line analogue of
+    * geo_polygon_centroid's planar posture (deviation from Kusto's WGS84
+    * form, documented). Degenerate (<2 vertices or zero total length) →
+    * null. */
+  def lineCentroid(lineArr: ArrayData): GenericArrayData = {
+    val n = lineArr.numElements()
+    if (n < 2) return null
+    var sx = 0.0; var sy = 0.0; var sl = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val a = lineArr.getArray(i); val b = lineArr.getArray(i + 1)
+      val x1 = a.getDouble(0); val y1 = a.getDouble(1)
+      val x2 = b.getDouble(0); val y2 = b.getDouble(1)
+      val coslm = math.cos(math.toRadians((y1 + y2) / 2))
+      val len = math.hypot((x2 - x1) * coslm, y2 - y1)
+      sx += (x1 + x2) / 2 * len
+      sy += (y1 + y2) / 2 * len
+      sl += len
+      i += 1
+    }
+    if (sl == 0.0) null
+    else new GenericArrayData(Array[Any](sx / sl, sy / sl))
+  }
+
+  /** Segment-pair orientation test incl. touching and collinear overlap —
+    * the coverRing/segsCross convention (over-inclusive is the geo
+    * `intersects` contract). */
+  private def segsTouch(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def o(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double): Double =
+      math.signum((qx - px) * (ry - py) - (qy - py) * (rx - px))
+    val o1 = o(ax, ay, bx, by, cx, cy); val o2 = o(ax, ay, bx, by, dx, dy)
+    val o3 = o(cx, cy, dx, dy, ax, ay); val o4 = o(cx, cy, dx, dy, bx, by)
+    o1 * o2 <= 0 && o3 * o4 <= 0 &&
+      math.max(math.min(ax, bx), math.min(cx, dx)) <=
+        math.min(math.max(ax, bx), math.max(cx, dx)) + 1e-12 &&
+      math.max(math.min(ay, by), math.min(cy, dy)) <=
+        math.min(math.max(ay, by), math.max(cy, dy)) + 1e-12
+  }
+
+  /** geo_intersects_2lines: any segment pair of the two polylines meets
+    * (touching and collinear overlap count). */
+  def linesIntersect(aArr: ArrayData, bArr: ArrayData): Boolean = {
+    val na = aArr.numElements(); val nb = bArr.numElements()
+    var i = 0
+    while (i < na - 1) {
+      val a1 = aArr.getArray(i); val a2 = aArr.getArray(i + 1)
+      var j = 0
+      while (j < nb - 1) {
+        val b1 = bArr.getArray(j); val b2 = bArr.getArray(j + 1)
+        if (segsTouch(a1.getDouble(0), a1.getDouble(1), a2.getDouble(0), a2.getDouble(1),
+          b1.getDouble(0), b1.getDouble(1), b2.getDouble(0), b2.getDouble(1)))
+          return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** geo_intersection_2lines: the proper (non-parallel) crossing points of
+    * the two polylines, in (a-segment, b-segment) scan order with exact
+    * duplicates removed — a bare point array (deviation from Kusto's
+    * GeoJSON MultiPoint, documented; collinear-overlap stretches yield no
+    * point, like the clipper's degenerate posture). Empty → null. */
+  def linesIntersection(aArr: ArrayData, bArr: ArrayData): GenericArrayData = {
+    val out = Seq.newBuilder[(Double, Double)]
+    val na = aArr.numElements(); val nb = bArr.numElements()
+    var i = 0
+    while (i < na - 1) {
+      val a1 = aArr.getArray(i); val a2 = aArr.getArray(i + 1)
+      val ax = a1.getDouble(0); val ay = a1.getDouble(1)
+      val bx = a2.getDouble(0); val by = a2.getDouble(1)
+      var j = 0
+      while (j < nb - 1) {
+        val b1 = bArr.getArray(j); val b2 = bArr.getArray(j + 1)
+        val cx = b1.getDouble(0); val cy = b1.getDouble(1)
+        val dx = b2.getDouble(0); val dy = b2.getDouble(1)
+        val den = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+        if (den != 0.0) {
+          val t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / den
+          val u = ((cx - ax) * (by - ay) - (cy - ay) * (bx - ax)) / den
+          if (t >= 0 && t <= 1 && u >= 0 && u <= 1)
+            out += ((ax + t * (bx - ax), ay + t * (by - ay)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val pts = out.result().distinct
+    if (pts.isEmpty) null
+    else new GenericArrayData(pts.map { case (x, y) =>
+      new GenericArrayData(Array[Any](x, y)) }.toArray[Any])
+  }
+
   def clipLine(lineArr: ArrayData, ringArr: ArrayData): GenericArrayData = {
     val ring = readRing(ringArr)
     val n = lineArr.numElements()
@@ -516,7 +614,8 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       case "densify_line" | "densify_ring" | "simplify_rings" |
            "buffer_line" | "buffer_ring" =>
         right.dataType == DoubleType
-      case "line_in_poly" | "clip_line" => right.dataType match {
+      case "line_in_poly" | "clip_line" | "lines_intersect" |
+           "lines_intersection" => right.dataType match {
         case ArrayType(ArrayType(DoubleType, _), _) => true
         case _ => false
       }
@@ -529,7 +628,8 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
         else "double"}), got (${left.dataType}, ${right.dataType})")
   }
   override def dataType: DataType = fn match {
-    case "line_in_poly" => org.apache.spark.sql.types.BooleanType
+    case "line_in_poly" | "lines_intersect" => org.apache.spark.sql.types.BooleanType
+    case "line_centroid" => ArrayType(DoubleType, containsNull = false)
     case "simplify_rings" | "clip_line" => ArrayType(
       ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false),
       containsNull = false)
@@ -555,6 +655,12 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
     case "buffer_ring" =>
       PolygonClip.bufferLine(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
         close = true)
+    case "line_centroid" =>
+      PolygonClip.lineCentroid(a.asInstanceOf[ArrayData]) // right arg unused
+    case "lines_intersect" =>
+      PolygonClip.linesIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "lines_intersection" =>
+      PolygonClip.linesIntersection(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def call(a: String, b: String): String = fn match {
@@ -566,10 +672,13 @@ case class GeoPolyFnExpr(left: Expression, right: Expression, fn: String)
       case "clip_line" => s"graft.plans.PolygonClip.clipLine($a, $b)"
       case "buffer_line" => s"graft.plans.PolygonClip.bufferLine($a, $b, false)"
       case "buffer_ring" => s"graft.plans.PolygonClip.bufferLine($a, $b, true)"
+      case "line_centroid" => s"graft.plans.PolygonClip.lineCentroid($a)"
+      case "lines_intersect" => s"graft.plans.PolygonClip.linesIntersect($a, $b)"
+      case "lines_intersection" => s"graft.plans.PolygonClip.linesIntersection($a, $b)"
     }
     fn match {
       // boolean result — never a Java null
-      case "line_in_poly" => defineCodeGen(ctx, ev, call)
+      case "line_in_poly" | "lines_intersect" => defineCodeGen(ctx, ev, call)
       // array results may be Java null (disjoint unions, degenerate
       // geometry): generated code must set isNull, not propagate the null
       // object into the row writer (the S2CoverExpr posture)

@@ -3800,6 +3800,30 @@ object KqlTextQueries {
              |FROM documents WHERE doc_id % 17 = 0
              |GROUP BY 1 ORDER BY label""".stripMargin)),
 
+    // Line×line predicates + length-weighted line centroid. The crossing
+    // fixture intersects at exactly (1,1) (t=0.5, IEEE-exact); the
+    // non-crossing row's segments never meet; the tent-shaped centroid
+    // collapses to the apex longitude / mean latitude at 6 dp.
+    QueryDef("q_kql_geo_lines",
+      (s, d) => run(s, d,
+        """datatable(id: long) [1, 2]
+          || extend l1 = iff(id == 1,
+          |    pack_array(pack_array(0.0, 0.0), pack_array(2.0, 2.0)),
+          |    pack_array(pack_array(0.0, 0.0), pack_array(1.0, 0.0))),
+          |  l2 = pack_array(pack_array(0.0, 2.0), pack_array(2.0, 0.0))
+          || extend xi = iff(geo_intersects_2lines(l1, l2), 1, 0),
+          |    p = geo_intersection_2lines(l1, l2),
+          |    c = geo_line_centroid(pack_array(pack_array(10.0, 40.0),
+          |      pack_array(10.4, 40.2), pack_array(10.8, 40.0)))
+          || project id, xi,
+          |    px = round(todouble(p[0][0]), 6), py = round(todouble(p[0][1]), 6),
+          |    cx = round(todouble(c[0]), 6), cy = round(todouble(c[1]), 6)
+          || sort by id asc""".stripMargin),
+      Some("""SELECT CAST(id AS BIGINT) AS id, CAST(xi AS INT) AS xi,
+             |  px, py, 10.4 AS cx, 40.1 AS cy
+             |FROM (VALUES (1, 1, 1.0, 1.0), (2, 0, NULL, NULL))
+             |  AS t(id, xi, px, py) ORDER BY id""".stripMargin)),
+
     QueryDef("q_kql_h3cell",
       (s, d) => run(s, d,
         """datatable(id: long, lng: real, lat: real) [
