@@ -493,7 +493,12 @@ object H3Expressions {
     * framework defines and needs no per-vertex table (deviation from libh3's
     * tabulated boundaries — documented at the object header alongside the
     * base-cell note). 5 or 6 vertices (pentagon-like seam cells have 5
-    * neighbors). Sorted CCW by azimuth from the center. Bad tokens → null. */
+    * neighbors). Sorted CCW by azimuth from the center. Bad tokens → null.
+    * Additional deviation: where a neighbor lies across an icosahedron FACE
+    * SEAM the dual vertices distort (the gnomonic frames differ), so the
+    * ring can over/under-cover near face boundaries — interior cells are
+    * exact (property-tested: center containment everywhere, neighbor-center
+    * exclusion for same-face neighbors). */
   def cellPolygon(t: UTF8String): GenericArrayData = {
     try {
       val v = fromToken(t.toString)

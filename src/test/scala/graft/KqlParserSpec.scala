@@ -1444,6 +1444,22 @@ class KqlParserSpec extends SparkSpec {
     assert(r.columns.contains("k") && r.count() == t.count())
   }
 
+  test("make_string/to_utf8 edges: invalid codepoint null, empty, round-trip") {
+    val r = KqlParser.parse(
+      """t | take 1 | project
+        |  bad = make_string(pack_array(2000000)),
+        |  neg = make_string(pack_array(-1)),
+        |  empty = make_string(pack_array()),
+        |  uni = make_string(to_utf8('ascii only here')),
+        |  nb = array_length(to_utf8('€'))""".stripMargin, _ => t)
+      .collect().head
+    assert(r.isNullAt(0), "codepoint beyond U+10FFFF must null")
+    assert(r.isNullAt(1), "negative codepoint must null")
+    assert(r.getString(2) == "")
+    assert(r.getString(3) == "ascii only here")
+    assert(r.getLong(4) == 3L, "euro sign is 3 UTF-8 bytes")
+  }
+
   test("consume discards rows keeping schema; hash_xxhash64 is builtin xxhash64") {
     val c = KqlParser.parse("t | project id | extend b = id + 1 | consume", _ => t)
     assert(c.count() == 0 && c.columns.toSeq == Seq("id", "b"))

@@ -169,6 +169,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("H3 boundary rings contain their center and exclude neighbors, randomly") {
+    import graft.plans.H3Expressions
+    val rnd = new scala.util.Random(47)
+    var checked = 0
+    (0 until 60).foreach { _ =>
+      val lng = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 150 - 75 // az-sort degenerates at the poles
+      val res = 3 + rnd.nextInt(6)
+      val id = H3Expressions.encode(lng, lat, res)
+      val ring0 = H3Expressions.cellPolygon(
+        org.apache.spark.unsafe.types.UTF8String.fromString(H3Expressions.token(id)))
+      if (ring0 != null) {
+        val (clng, clat) = H3Expressions.centerLngLat(id)
+        // wrap-local frame so antimeridian cells test correctly
+        val ring = (0 until ring0.numElements()).map { i =>
+          val p = ring0.getArray(i)
+          ((((p.getDouble(0) - clng + 540.0) % 360.0) - 180.0), p.getDouble(1) - clat)
+        }
+        def inside(x: Double, y: Double): Boolean = {
+          var c = false; var i = 0; val n = ring.size
+          while (i < n) {
+            val (xi, yi) = ring(i); val (xj, yj) = ring((i + 1) % n)
+            if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+              c = !c
+            i += 1
+          }
+          c
+        }
+        assert(inside(0.0, 0.0), s"($lng,$lat,$res): center outside its ring")
+        // neighbor exclusion holds on the ideal lattice; across an
+        // icosahedron FACE SEAM the dual ring distorts (the documented
+        // cellPolygon deviation) — assert only for same-face neighbors
+        def faceOf(v: Long): Long = (v >>> 45) & 0x7FL
+        H3Expressions.neighbors(id).filter(faceOf(_) == faceOf(id)).foreach { nb =>
+          val (nl, na) = H3Expressions.centerLngLat(nb)
+          val lx = (((nl - clng + 540.0) % 360.0) - 180.0)
+          assert(!inside(lx, na - clat),
+            s"($lng,$lat,$res): same-face neighbor center inside the ring")
+        }
+        checked += 1
+      }
+    }
+    assert(checked >= 55, s"too many degenerate rings: $checked/60")
+  }
+
   test("line covering is complete for random polylines (bucket-join soundness)") {
     import graft.plans.S2Expressions
     val rnd = new scala.util.Random(41)
