@@ -1014,6 +1014,29 @@ object Kql {
       math.max(0, math.min(16,
         math.floor(math.log(4.0e6 / radiusMeters) / math.log(2.0)).toInt))
 
+    /** Re-anchor an antimeridian-crossing [[lng,lat],…] geometry (raw-lng
+      * span > 180°) into the contiguous [0,360) frame: negative lngs += 360.
+      * The covering machinery tests each cell box AND its +360 image
+      * (S2Expressions.coverRing/coverPolyline `wrap`), and the lookup
+      * residual shifts the point's longitude the same way — one consistent
+      * planar frame end to end, so antimeridian polygons/lines are no
+      * longer silently dropped from lookup results (they used to cover()
+      * to null). Runs ONCE per geometry on the tiny broadcast build side;
+      * non-crossing geometries pass through unchanged. */
+    private def anchorAntimeridian(geom: Column): Column = {
+      val lngs = transform(geom, p => element_at(p, 1))
+      when(array_max(lngs) - array_min(lngs) > lit(180.0),
+        transform(geom, p => array(
+          when(element_at(p, 1) < 0, element_at(p, 1) + lit(360.0))
+            .otherwise(element_at(p, 1)),
+          element_at(p, 2)))).otherwise(geom)
+    }
+
+    /** True when [[anchorAntimeridian]] shifted this geometry (a lng > 180
+      * exists) — the residual must then shift the probe point's lng too. */
+    private def inAnchoredFrame(geomA: Column): Column =
+      array_max(transform(geomA, p => element_at(p, 1))) > lit(180.0)
+
     /** Covering cells plus their 8 neighbors each, deduped — the build-side
       * one-ring expansion that makes radius matching complete while the
       * fact side keeps ONE key per row. */
@@ -1083,8 +1106,10 @@ object Kql {
       * level per polygon × one point cell per level) — no dedup step, no
       * pair inflation. Points in several polygons yield several rows
       * (Kusto's contract); `return_unmatched=true` keeps unmatched rows with
-      * null polygon columns. Antimeridian-crossing polygons cover() to null
-      * and never match (documented coverTokens posture). */
+      * null polygon columns. Antimeridian-crossing polygons are re-anchored
+      * to the [0,360) frame on the build side (anchorAntimeridian) — they
+      * cover and match like any other ring; the probe point's lng shifts
+      * into the same frame in the residual. */
     def geoPolygonLookup(polys: DataFrame, polyCol: String, lngCol: String,
         latCol: String, returnUnmatched: Boolean = false,
         radiusMeters: Option[Double] = None,
@@ -1099,11 +1124,22 @@ object Kql {
       val maxLvl = radiusMeters match {
         case Some(r) =>
           require(r > 0, "geo_polygon_lookup: radius must be positive")
+          // the 3×3-neighbor-block completeness argument needs a level
+          // whose cell min width >= radius; level 0's is ~5.3e6 m, so
+          // beyond the 4.0e6 margin constant no level qualifies
+          require(r <= 4.0e6,
+            "geo_polygon_lookup: radius must be <= 4,000 km (the S2 level-0 " +
+              "cell-width completeness bound)")
           radiusCappedLevel(r)
         case None => 16
       }
-      val lk0 = polys.withColumn("__lvl", adaptiveLevel(geom, maxLvl))
-      val cover = call_function("graft_s2_cover", geom, col("__lvl"))
+      // antimeridian-crossing rings are re-anchored to [0,360) on the build
+      // side (covering, level and residual all in ONE planar frame)
+      val lk0 = polys
+        .withColumn("__geomA", anchorAntimeridian(geom))
+        .withColumn("__anti", inAnchoredFrame(col("__geomA")))
+        .withColumn("__lvl", adaptiveLevel(col("__geomA"), maxLvl))
+      val cover = call_function("graft_s2_cover", col("__geomA"), col("__lvl"))
       val lk = lk0.withColumn("__cell", radiusMeters match {
         case Some(_) => explode(withNeighborRing(cover))
         case None => explode(cover)
@@ -1115,19 +1151,24 @@ object Kql {
       if (lvls.isEmpty)
         return emptyLookupResult(polys, polyCol, returnUnmatched, returnLookupKey)
       val (withId, cand) = lookupCandidates(lngCol, latCol, lvls, returnUnmatched)
+      // probe lng shifted into the anchored frame for antimeridian rings
+      val px = when(col("__anti") && col(lngCol) < 0,
+        col(lngCol).cast("double") + lit(360.0))
+        .otherwise(col(lngCol).cast("double"))
+      val geomA = col("__geomA")
       val residual = radiusMeters match {
         case Some(r) =>
           // distance-to-polygon ≤ r (0 when contained): containment short-
           // circuits the boundary distance
-          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), geom) ||
-            KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
-              concat(geom, slice(geom, 1, 1))) <= lit(r)
+          KqlFunctions.pointInPolygon(px, col(latCol), geomA) ||
+            KqlFunctions.pointToLineMeters(px, col(latCol),
+              concat(geomA, slice(geomA, 1, 1))) <= lit(r)
         case None =>
-          KqlFunctions.pointInPolygon(col(lngCol), col(latCol), geom)
+          KqlFunctions.pointInPolygon(px, col(latCol), geomA)
       }
       val hit0 = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
         .filter(residual)
-        .drop("__lvl", "__cell")
+        .drop("__lvl", "__cell", "__geomA", "__anti")
       lookupTail(hit0, withId, polys, polyCol, returnUnmatched, returnLookupKey)
     }
 
@@ -1152,20 +1193,30 @@ object Kql {
         returnLookupKey: Boolean = true): DataFrame = {
       import graft.functions.KqlFunctions
       require(radiusMeters > 0, "geo_line_lookup: radius must be positive")
+      require(radiusMeters <= 4.0e6,
+        "geo_line_lookup: radius must be <= 4,000 km (the S2 level-0 " +
+          "cell-width completeness bound)")
       val geom = col(lineCol).cast("array<array<double>>")
-      val lk0 = lines.withColumn("__lvl",
-        adaptiveLevel(geom, radiusCappedLevel(radiusMeters)))
+      // antimeridian-crossing polylines re-anchored like the polygon form
+      val lk0 = lines
+        .withColumn("__geomA", anchorAntimeridian(geom))
+        .withColumn("__anti", inAnchoredFrame(col("__geomA")))
+        .withColumn("__lvl",
+          adaptiveLevel(col("__geomA"), radiusCappedLevel(radiusMeters)))
       val lk = lk0.withColumn("__cell", explode(withNeighborRing(
-        call_function("graft_s2_cover_line", geom, col("__lvl")))))
+        call_function("graft_s2_cover_line", col("__geomA"), col("__lvl")))))
       val lvls: Seq[Int] = lk0.select("__lvl").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       if (lvls.isEmpty)
         return emptyLookupResult(lines, lineCol, returnUnmatched, returnLookupKey)
       val (withId, cand) = lookupCandidates(lngCol, latCol, lvls, returnUnmatched)
+      val px = when(col("__anti") && col(lngCol) < 0,
+        col(lngCol).cast("double") + lit(360.0))
+        .otherwise(col(lngCol).cast("double"))
       val hit0 = cand.join(broadcast(lk), Seq("__lvl", "__cell"))
-        .filter(KqlFunctions.pointToLineMeters(col(lngCol), col(latCol),
-          geom) <= lit(radiusMeters))
-        .drop("__lvl", "__cell")
+        .filter(KqlFunctions.pointToLineMeters(px, col(latCol),
+          col("__geomA")) <= lit(radiusMeters))
+        .drop("__lvl", "__cell", "__geomA", "__anti")
       lookupTail(hit0, withId, lines, lineCol, returnUnmatched, returnLookupKey)
     }
   }

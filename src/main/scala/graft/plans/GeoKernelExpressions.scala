@@ -85,7 +85,9 @@ object GeoKernelExpressions {
 
   /** Argmin of the same per-segment chain — strict < keeps the EARLIEST
     * segment on ties (== the struct-accumulator HOF fold and the oracle's
-    * ROW_NUMBER over (dist, segment)). Output [lng, lat]. */
+    * ROW_NUMBER over (dist, segment)). Output [lng, lat]; Java null when no
+    * segment was examined (< 2 non-null vertices) — echoing the query point
+    * would be a misleading answer for a degenerate line. */
   def closestPointOnLine(px: Double, py: Double, line: ArrayData): GenericArrayData = {
     val cosl = math.cos(math.toRadians(py))
     val n = line.numElements()
@@ -110,7 +112,8 @@ object GeoKernelExpressions {
       }
       i += 1
     }
-    new GenericArrayData(Array[Any](px + bx / cosl, py + by))
+    if (bestD.isPosInfinity) null
+    else new GenericArrayData(Array[Any](px + bx / cosl, py + by))
   }
 }
 
@@ -433,12 +436,15 @@ case class ClosestPointOnLineExpr(first: Expression, second: Expression,
     third: Expression) extends GeoKernel3 {
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)
+  // null on degenerate (<2 non-null vertex) lines, independent of inputs
+  override def nullable: Boolean = true
   override protected def nullSafeEval(x: Any, y: Any, line: Any): Any =
     GeoKernelExpressions.closestPointOnLine(x.asInstanceOf[Double],
       y.asInstanceOf[Double], line.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (x, y, l) =>
-      s"graft.plans.GeoKernelExpressions.closestPointOnLine($x, $y, $l)")
+    nullSafeCodeGen(ctx, ev, (x, y, l) => s"""
+      ${ev.value} = graft.plans.GeoKernelExpressions.closestPointOnLine($x, $y, $l);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
   override def prettyName: String = GeoKernelExpressions.closestName

@@ -341,9 +341,15 @@ object S2Expressions {
       }
       false
     }
+    // A ring in the ANCHORED [0,360) frame (an antimeridian-crossing ring
+    // whose negative lngs were shifted +360 by the caller) has maxX > 180;
+    // cell boxes stay in [-180,180], so also test each box's +360 image.
+    // Over-inclusion is safe for a covering (the residual is exact).
+    val wrap = maxX > 180.0
     def cellIntersects(id: Long): Boolean =
       cellLngLatBoxes(id).exists { case (bx0, by0, bx1, by1) =>
-        boxIntersects(bx0, by0, bx1, by1) }
+        boxIntersects(bx0, by0, bx1, by1) ||
+          (wrap && boxIntersects(bx0 + 360.0, by0, bx1 + 360.0, by1)) }
     val seeds = xs.indices
       .map(i => parentAtLevel(leafFromLngLat(xs(i), ys(i)), level)).distinct
     val visited = scala.collection.mutable.HashSet[Long](seeds: _*)
@@ -462,9 +468,12 @@ object S2Expressions {
       }
       false
     }
+    // anchored-frame polylines (see coverRing): test each box's +360 image
+    val wrap = maxX > 180.0
     def cellMeets(id: Long): Boolean =
       cellLngLatBoxes(id).exists { case (bx0, by0, bx1, by1) =>
-        boxMeetsLine(bx0, by0, bx1, by1) }
+        boxMeetsLine(bx0, by0, bx1, by1) ||
+          (wrap && boxMeetsLine(bx0 + 360.0, by0, bx1 + 360.0, by1)) }
     val seeds = xs.indices
       .map(i => parentAtLevel(leafFromLngLat(xs(i), ys(i)), level)).distinct
     val visited = scala.collection.mutable.HashSet[Long](seeds: _*)

@@ -3499,6 +3499,60 @@ object KqlTextQueries {
              |WHERE pin.inside OR pd.dm <= 15000.0
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ANTIMERIDIAN geofencing: polygon 1 crosses ±180 (raw-lng span > 180°)
+    // and is re-anchored to the [0,360) frame on the broadcast build side
+    // (Kql.anchorAntimeridian; covering tests each cell box and its +360
+    // image) — it used to cover() to null and silently drop from results.
+    // Polygon 2 is an ordinary ring in the same batch, proving the mixed
+    // path. The residual ray-casts in the anchored frame (point lng < 0
+    // shifts +360 only for the crossing polygon); the oracle replays the
+    // identical frames: anchored edge coords WRITTEN AS x + 360.0 so the
+    // IEEE addition matches the engine's transform bit-for-bit.
+    QueryDef("q_kql_geo_lookup_anti",
+      (s, d) => run(s, d,
+        """let polys = datatable(pid: long) [1, 2]
+          || extend poly = case(
+          |    pid == 1, pack_array(pack_array(179.4, 40.2), pack_array(-179.6, 40.2),
+          |      pack_array(-179.9, 40.9)),
+          |    pack_array(pack_array(178.8, 40.5), pack_array(179.3, 40.5),
+          |      pack_array(179.3, 41.0), pack_array(178.8, 41.0)));
+          |events
+          || where event_id % 23 == 0
+          || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
+          |    lngr = 179.0 + todouble(event_id % 89) / 30.0
+          || extend lng = iff(lngr > 180.0, lngr - 360.0, lngr)
+          || project event_id, lat, lng
+          || evaluate geo_polygon_lookup(polys, poly, lng, lat, return_unmatched)
+          || project pid = coalesce(pid, tolong(-1)), event_id
+          || sort by pid asc, event_id asc""".stripMargin),
+      Some("""WITH pts0 AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 97 AS DOUBLE) / 80.0 AS lat,
+             |    179.0 + CAST(event_id % 89 AS DOUBLE) / 30.0 AS lngr
+             |  FROM events WHERE event_id % 23 = 0),
+             |pts AS (SELECT event_id, lat,
+             |    CASE WHEN lngr > 180.0 THEN lngr - 360.0 ELSE lngr END AS lng
+             |  FROM pts0),
+             |edges(pid, wrapped, x1, y1, x2, y2) AS (VALUES
+             |  (1, true, 179.4, 40.2, -179.6 + 360.0, 40.2),
+             |  (1, true, -179.6 + 360.0, 40.2, -179.9 + 360.0, 40.9),
+             |  (1, true, -179.9 + 360.0, 40.9, 179.4, 40.2),
+             |  (2, false, 178.8, 40.5, 179.3, 40.5),
+             |  (2, false, 179.3, 40.5, 179.3, 41.0),
+             |  (2, false, 179.3, 41.0, 178.8, 41.0),
+             |  (2, false, 178.8, 41.0, 178.8, 40.5)),
+             |m AS (SELECT e.pid, p.event_id
+             |  FROM (SELECT DISTINCT pid, wrapped FROM edges) e, pts p
+             |  WHERE (SELECT COUNT(*) FROM edges g WHERE g.pid = e.pid
+             |      AND ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |      AND (CASE WHEN e.wrapped AND p.lng < 0 THEN p.lng + 360.0
+             |           ELSE p.lng END)
+             |        < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |    ) % 2 = 1)
+             |SELECT CAST(COALESCE(m.pid, -1) AS BIGINT) AS pid,
+             |  p.event_id AS event_id
+             |FROM pts p LEFT JOIN m ON m.event_id = p.event_id
+             |ORDER BY pid, p.event_id""".stripMargin)),
+
     // Route-proximity enrichment: per-line covering level capped so a cell's
     // min width exceeds the radius, point probes cell+8 neighbors, exact
     // distance residual, (row, line) dedup. Oracle replays the identical

@@ -730,7 +730,7 @@ object NorthStarQueries {
              |dim AS (SELECT CAST(n_nationkey * 4 AS BIGINT) AS k,
              |    n_name AS name FROM nation)
              |SELECT b.k AS k, d.name AS name, COUNT(*) AS n,
-             |  SUM(b.user_id) AS su
+             |  CAST(SUM(b.user_id) AS BIGINT) AS su
              |FROM big b JOIN dim d ON d.k = b.k
              |GROUP BY 1, 2 ORDER BY k""".stripMargin)),
 

@@ -85,7 +85,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("salted join: the salt rides the join keys (hot key spreads across tasks)") {
     val p = plan("q_salted_join")
-    assert(p.contains("__salt"), s"salt column absent from the physical plan:\n$p")
+    assert(p.contains("__graft_salt"), s"salt column absent from the physical plan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"salted join degenerated to a product join:\n$p")
   }

@@ -52,6 +52,27 @@ for name, sql in sorted(oracle.items()):
     if len(got) != len(want):
         fails.append((name, f"rowcount differ: spark={len(got)} duck={len(want)}")); continue
     bad = None
+    # Dtype parity: the driver's hash compare is TYPE-sensitive where this
+    # value compare is not. The classic trap: DuckDB SUM(BIGINT) returns
+    # HUGEINT (int128 -> pandas object-of-int or float128-ish), which
+    # hash-mismatches Spark's int64 even when every value is identical.
+    # Flag it here so the builder sees the red before the driver does.
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if b.dtype == object and a.dtype.kind in 'iu':
+            nn = b.dropna()
+            if len(nn) and all(isinstance(v, int) or type(v).__name__ == 'Decimal'
+                               for v in nn):
+                bad = (f"col {c}: dtype mismatch spark={a.dtype} duck=object "
+                       f"(likely uncast HUGEINT/DECIMAL aggregate — add "
+                       f"CAST(... AS BIGINT) in the oracle SQL)")
+                break
+        if a.dtype.kind in 'iu' and b.dtype.kind == 'f':
+            bad = (f"col {c}: dtype mismatch spark={a.dtype} duck={b.dtype} "
+                   f"(driver hash is type-sensitive — CAST the oracle column)")
+            break
+    if bad:
+        fails.append((name, bad)); continue
     for c in got.columns:
         a, b = got[c], want[c]
         try:
