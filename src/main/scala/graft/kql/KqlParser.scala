@@ -3221,11 +3221,6 @@ object KqlParser {
             when(f.startsWith("\"") && f.endsWith("\"") && length(f) >= 2,
               regexp_replace(f.substr(lit(2), length(f) - 2), "\"\"", "\""))
               .otherwise(f))
-        case "base64_encode_fromarray" =>
-          // byte array → base64 via the same uppercase-hex round trip as the
-          // decode direction (exact byte fidelity, no charset dependence)
-          base64(unhex(concat_ws("",
-            transform(args.head, b => lpad(hex(b.cast("long")), 2, "0")))))
         case "datetime_part" =>
           // Kusto part names are a superset of Spark's date_part fields;
           // normalize the common ones (WeekOfYear → WEEK)
@@ -3520,8 +3515,23 @@ object KqlParser {
           geoClosestPointOnLine(args(0), args(1), args(2).cast("array<array<double>>"))
         case "geo_distance_point_to_polygon" =>
           geoPointToPolygon(args(0), args(1), args(2).cast("array<array<double>>"))
+        case "geo_closest_point_on_polygon" =>
+          geoClosestPointOnPolygon(args(0), args(1),
+            args(2).cast("array<array<double>>"))
         case "geo_azimuth" =>
           geoAzimuth(args(0), args(1), args(2), args(3))
+        case "geo_angle" =>
+          // clockwise angle in [0, 2π) between two bearings: 6 scalars =
+          // lines [p1,p2] and [p2,p3] meeting at p2; 8 scalars = lines
+          // [p1,p2] and [p3,p4] (each line's own forward azimuth). The
+          // difference of the two published forward azimuths — no extra
+          // spherical machinery needed.
+          if (args.length == 6)
+            pmod(geoAzimuth(args(2), args(3), args(4), args(5)) -
+              geoAzimuth(args(2), args(3), args(0), args(1)), lit(2 * math.Pi))
+          else
+            pmod(geoAzimuth(args(4), args(5), args(6), args(7)) -
+              geoAzimuth(args(0), args(1), args(2), args(3)), lit(2 * math.Pi))
         case "geo_line_centroid" =>
           // length-weighted planar centroid (PolygonClip.lineCentroid;
           // deviation documented: equirect segment frame, bare [lng, lat])
@@ -3733,6 +3743,12 @@ object KqlParser {
         case "series_pow" => // scalar exponents via repeat(x, array_length(s))
           zip_with(args.head, args(1),
             (x, y) => pow(x.cast("double"), y.cast("double")))
+        case "series_asin" => transform(args.head, v => asin(v.cast("double")))
+        case "series_acos" => transform(args.head, v => acos(v.cast("double")))
+        case "series_atan" => transform(args.head, v => atan(v.cast("double")))
+        case "series_atan2" => // element-wise atan2(y, x) over two series
+          zip_with(args.head, args(1),
+            (y, x) => atan2(y.cast("double"), x.cast("double")))
         case "series_seasonal" =>
           SeriesFunctions.seriesSeasonal(args.head, litLong(args(1)).toInt)
         case "series_greater" | "series_less" | "series_greater_equals" |
@@ -4252,6 +4268,18 @@ object KqlParser {
       val closed = concat(ring, slice(ring, 1, 1))
       when(geoPointInPolygon(lngC, latC, ring), lit(0.0))
         .otherwise(geoPointToLine(lngC, latC, closed))
+    }
+
+    /** `geo_closest_point_on_polygon(lng, lat, ring)` — the point itself
+      * when inside (ray cast, same chain as containment), else the closest
+      * point on the CLOSED boundary (the open-line argmin kernel over
+      * ring + first vertex appended — geoClosestPointOnLine). */
+    private def geoClosestPointOnPolygon(lngC: Column, latC: Column,
+        ring: Column): Column = {
+      val closed = concat(ring, slice(ring, 1, 1))
+      when(geoPointInPolygon(lngC, latC, ring),
+        array(lngC.cast("double"), latC.cast("double")))
+        .otherwise(geoClosestPointOnLine(lngC, latC, closed))
     }
 
     /** `geo_azimuth(lng1, lat1, lng2, lat2)` — initial great-circle bearing

@@ -1979,10 +1979,14 @@ object KqlTextQueries {
           || extend a = series_abs(d), g = series_sign(d), f = series_floor(d),
           |    c = series_ceiling(d), r = series_round(d), se = series_seasonal(d, 2),
           |    p = series_pow(d, repeat(2.0, array_length(d)))
+          || extend q = series_atan2(d, repeat(2.0, array_length(d))),
+          |    sn = series_asin(d), oc = series_acos(d), wt = series_atan(d)
           || project a0 = todouble(a[0]), g0 = todouble(g[0]), g3 = todouble(g[3]),
           |    f0 = todouble(f[0]), c0 = todouble(c[0]), r0 = todouble(r[0]),
           |    r1 = todouble(r[1]), s0 = todouble(se[0]), s1 = todouble(se[1]),
-          |    s2 = todouble(se[2]), p4 = todouble(p[4])""".stripMargin),
+          |    s2 = todouble(se[2]), p4 = todouble(p[4]),
+          |    q3 = round(todouble(q[3]), 6), n1 = round(todouble(sn[1]), 6),
+          |    o2 = round(todouble(oc[2]), 6), w4 = round(todouble(wt[4]), 6)""".stripMargin),
       Some("""WITH v AS (SELECT i, CAST(x AS DOUBLE) AS x FROM (VALUES
              |    (0, -2.5), (1, -0.5), (2, 0.0), (3, 1.5), (4, 252.25)) t(i, x)),
              |ph AS (SELECT i % 2 AS p, SUM(x) / COUNT(*) AS m FROM v GROUP BY 1)
@@ -1997,7 +2001,11 @@ object KqlTextQueries {
              |  (SELECT m FROM ph WHERE p = 0) AS s0,
              |  (SELECT m FROM ph WHERE p = 1) AS s1,
              |  (SELECT m FROM ph WHERE p = 0) AS s2,
-             |  (SELECT POWER(x, 2.0) FROM v WHERE i = 4) AS p4""".stripMargin)),
+             |  (SELECT POWER(x, 2.0) FROM v WHERE i = 4) AS p4,
+             |  ROUND((SELECT ATAN2(x, 2.0) FROM v WHERE i = 3), 6) AS q3,
+             |  ROUND((SELECT ASIN(x) FROM v WHERE i = 1), 6) AS n1,
+             |  ROUND((SELECT ACOS(x) FROM v WHERE i = 2), 6) AS o2,
+             |  ROUND((SELECT ATAN(x) FROM v WHERE i = 4), 6) AS w4""".stripMargin)),
 
     // evaluate new_activity_metrics: weekly retention — per epoch-aligned 7d
     // bin, actors, first-seen, returning (also active previous bin), lost
@@ -3680,6 +3688,84 @@ object KqlTextQueries {
              |JOIN pmin pm ON pm.event_id = p.event_id
              |JOIN pin ON pin.event_id = p.event_id
              |JOIN azi a ON a.event_id = p.event_id
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Distance-family completion #2: closest point ON a polygon (the point
+    // itself when inside, else the closed-boundary argmin — the same
+    // strict-< kernel as geo_closest_point_on_line over ring + first
+    // vertex) and geo_angle (clockwise angle between the bearings of lines
+    // [p1,p2] and [p2,p3] at p2 — a difference of the two published
+    // forward azimuths). Oracle replays Spark's pmod for doubles exactly:
+    // r = FMOD(x, n); r < 0 ? r + n : r.
+    QueryDef("q_kql_geo_dist3",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 31 == 0
+          || extend lat = 40.0 + todouble(event_id % 83) / 70.0,
+          |    lng = -73.5 + todouble(event_id % 79) / 55.0
+          || extend cp = geo_closest_point_on_polygon(lng, lat, pack_array(
+          |    pack_array(-73.3, 40.2), pack_array(-72.8, 40.2), pack_array(-73.05, 40.9)))
+          || extend ga = round(geo_angle(lng, lat, -73.0, 40.6, -72.6, 40.5), 6)
+          || project event_id, px = round(todouble(cp[0]), 6),
+          |    py = round(todouble(cp[1]), 6), ga
+          || sort by event_id asc""".stripMargin),
+      Some("""WITH pts AS (SELECT event_id,
+             |    40.0 + CAST(event_id % 83 AS DOUBLE) / 70.0 AS lat,
+             |    -73.5 + CAST(event_id % 79 AS DOUBLE) / 55.0 AS lng
+             |  FROM events WHERE event_id % 31 = 0),
+             |psegs(i, x1, y1, x2, y2) AS (VALUES
+             |  (1, -73.3, 40.2, -72.8, 40.2), (2, -72.8, 40.2, -73.05, 40.9),
+             |  (3, -73.05, 40.9, -73.3, 40.2)),
+             |raw AS (SELECT p.event_id, p.lng, p.lat, s.i,
+             |    (s.x1 - p.lng) * COS(RADIANS(p.lat)) AS xx1, s.y1 - p.lat AS yy1,
+             |    (s.x2 - p.lng) * COS(RADIANS(p.lat)) AS xx2, s.y2 - p.lat AS yy2
+             |  FROM psegs s, pts p),
+             |t1 AS (SELECT event_id, lng, lat, i, xx1, yy1,
+             |    xx2 - xx1 AS dx, yy2 - yy1 AS dy FROM raw),
+             |t2 AS (SELECT event_id, lng, lat, i, xx1, yy1, dx, dy,
+             |    dx * dx + dy * dy AS len2 FROM t1),
+             |t3 AS (SELECT event_id, lng, lat, i, xx1, yy1, dx, dy,
+             |    CASE WHEN len2 > 0 THEN GREATEST(0.0, LEAST(1.0,
+             |      -(xx1 * dx + yy1 * dy) / len2)) ELSE 0.0 END AS t FROM t2),
+             |t4 AS (SELECT event_id, lng, lat, i,
+             |    xx1 + t * dx AS cx0, yy1 + t * dy AS cy0 FROM t3),
+             |t5 AS (SELECT event_id, lng, lat, cx0, cy0, ROW_NUMBER() OVER (
+             |    PARTITION BY event_id ORDER BY SQRT(cx0*cx0 + cy0*cy0), i) AS rn
+             |  FROM t4),
+             |best AS (SELECT event_id, lng + cx0 / COS(RADIANS(lat)) AS bx,
+             |    lat + cy0 AS bly FROM t5 WHERE rn = 1),
+             |pin AS (SELECT p.event_id, ((SELECT COUNT(*) FROM psegs g
+             |    WHERE ((g.y1 > p.lat) <> (g.y2 > p.lat))
+             |      AND p.lng < (g.x2 - g.x1) * (p.lat - g.y1) / (g.y2 - g.y1) + g.x1
+             |  ) % 2 = 1) AS inside FROM pts p),
+             |th AS (SELECT event_id,
+             |    ATAN2(SIN(RADIANS(-72.6 - -73.0)) * COS(RADIANS(40.5)),
+             |      COS(RADIANS(40.6)) * SIN(RADIANS(40.5)) -
+             |      SIN(RADIANS(40.6)) * COS(RADIANS(40.5)) *
+             |        COS(RADIANS(-72.6 - -73.0))) AS t23,
+             |    ATAN2(SIN(RADIANS(lng - -73.0)) * COS(RADIANS(lat)),
+             |      COS(RADIANS(40.6)) * SIN(RADIANS(lat)) -
+             |      SIN(RADIANS(40.6)) * COS(RADIANS(lat)) *
+             |        COS(RADIANS(lng - -73.0))) AS t21 FROM pts),
+             |az AS (SELECT event_id,
+             |    CASE WHEN FMOD(t23, 2 * PI()) < 0
+             |      THEN FMOD(t23, 2 * PI()) + 2 * PI()
+             |      ELSE FMOD(t23, 2 * PI()) END AS a23,
+             |    CASE WHEN FMOD(t21, 2 * PI()) < 0
+             |      THEN FMOD(t21, 2 * PI()) + 2 * PI()
+             |      ELSE FMOD(t21, 2 * PI()) END AS a21 FROM th),
+             |ang AS (SELECT event_id,
+             |    CASE WHEN FMOD(a23 - a21, 2 * PI()) < 0
+             |      THEN FMOD(a23 - a21, 2 * PI()) + 2 * PI()
+             |      ELSE FMOD(a23 - a21, 2 * PI()) END AS ga FROM az)
+             |SELECT p.event_id AS event_id,
+             |  ROUND(CASE WHEN pin.inside THEN p.lng ELSE b.bx END, 6) AS px,
+             |  ROUND(CASE WHEN pin.inside THEN p.lat ELSE b.bly END, 6) AS py,
+             |  ROUND(a.ga, 6) AS ga
+             |FROM pts p
+             |JOIN best b ON b.event_id = p.event_id
+             |JOIN pin ON pin.event_id = p.event_id
+             |JOIN ang a ON a.event_id = p.event_id
              |ORDER BY p.event_id""".stripMargin)),
 
     // ipv4/ipv6_is_in_any_range (the security-query staple) and the

@@ -159,6 +159,19 @@ class NativeExprSpec extends SparkSpec {
     assert(cDiff == 0, "closest-point native/HOF mismatch")
   }
 
+  test("closest-point kernel returns null (not the echoed point) on degenerate lines") {
+    // direct SQL use of the registered function — no KqlParser size guard
+    val rows = spark.sql(
+      """SELECT graft_closest_point_on_line(1.0D, 2.0D, array(array(3.0D, 4.0D))) AS one,
+        |  graft_closest_point_on_line(1.0D, 2.0D,
+        |    array(CAST(null AS array<double>), CAST(null AS array<double>))) AS nulls,
+        |  graft_closest_point_on_line(1.0D, 2.0D,
+        |    array(array(3.0D, 4.0D), array(5.0D, 6.0D))) AS ok""".stripMargin).head()
+    assert(rows.isNullAt(0), "<2-vertex line must yield null")
+    assert(rows.isNullAt(1), "all-null-vertex line must yield null")
+    assert(!rows.isNullAt(2), "a real segment must yield a point")
+  }
+
   test("native shingle stats match the array formulation on fixture documents") {
     import graft.functions.{TextAnalysis => TA}
     // incl. a DUPLICATE probe: native must count distinct matches like

@@ -155,6 +155,39 @@ class S2Spec extends SparkSpec {
     assert(k.getString(0) == "1")
   }
 
+  test("anchored-frame covering is complete across the antimeridian") {
+    // an antimeridian-crossing triangle RE-ANCHORED to [0,360) (the geo
+    // lookup plugins' build-side frame): raw [179.4, -179.6, -179.9] →
+    // [179.4, 180.4, 180.1]. Every inside sample — keyed from its RAW
+    // lng via the periodic leaf mapping — must hit a covered cell.
+    val xs = Array(179.4, -179.6 + 360.0, -179.9 + 360.0)
+    val ys = Array(40.2, 40.2, 40.9)
+    for (lvl <- Seq(8, 10)) {
+      val cov = S2Expressions.coverRing(xs, ys, lvl)
+        .map(S2Expressions.token).toSet
+      assert(cov.nonEmpty, s"empty covering at level $lvl")
+      var inside = 0
+      for (gx <- 0 until 60; gy <- 0 until 60) {
+        val x = 179.3 + gx * 0.02; val y = 40.1 + gy * 0.015 // anchored frame
+        var c = false; var i = 0
+        while (i < xs.length) {
+          val j2 = (i + 1) % xs.length
+          if ((ys(i) > y) != (ys(j2) > y) &&
+              x < (xs(j2) - xs(i)) * (y - ys(i)) / (ys(j2) - ys(i)) + xs(i)) c = !c
+          i += 1
+        }
+        if (c) {
+          inside += 1
+          val rawLng = if (x > 180.0) x - 360.0 else x // what a fact row holds
+          val tok = S2Expressions.token(S2Expressions.parentAtLevel(
+            S2Expressions.leafFromLngLat(rawLng, y), lvl))
+          assert(cov.contains(tok), s"lvl $lvl misses cell $tok of ($x,$y)")
+        }
+      }
+      assert(inside > 300, s"probe grid degenerate: $inside inside")
+    }
+  }
+
   test("line covering is complete: every on-line sample's cell is covered") {
     // a wiggly 3-segment polyline; completeness probe at two levels
     val xs = Array(10.0, 10.4, 10.1, 10.8)
