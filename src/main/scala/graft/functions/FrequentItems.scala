@@ -30,36 +30,61 @@ import org.apache.spark.sql.functions._
   * with frequency > n/capacity (the SpaceSaving error bound). */
 object FrequentItems {
 
+  /** SpaceSaving counter table: the key→count map (the serialized state)
+    * plus a TRANSIENT (count, key)-sorted index that turns eviction from an
+    * O(capacity) `minBy` scan into an O(log capacity) tree lookup — measured
+    * on the adversarial all-distinct stream (every post-fill row evicts),
+    * 100k rows at capacity 4096 took 18.6 s with the scan (BENCH_NOTES).
+    * Kryo skips the transient index; it rebuilds lazily from the map after
+    * deserialization (once per partition, O(capacity·log capacity)). */
+  final class SpaceSavingBuf extends Serializable {
+    val m: scala.collection.mutable.HashMap[String, Long] =
+      scala.collection.mutable.HashMap.empty
+    @transient private var idx0: scala.collection.mutable.TreeSet[(Long, String)] = _
+    private def idx: scala.collection.mutable.TreeSet[(Long, String)] = {
+      if (idx0 == null) {
+        idx0 = scala.collection.mutable.TreeSet.empty
+        m.foreach { case (k, c) => idx0.add((c, k)) }
+      }
+      idx0
+    }
+    def bump(v: String, capacity: Int): Unit = m.get(v) match {
+      case Some(c) =>
+        idx.remove((c, v)); m.update(v, c + 1L); idx.add((c + 1L, v))
+      case None if m.size < capacity =>
+        m.update(v, 1L); idx.add((1L, v))
+      case None => // evict the (count, key)-min; new item inherits its count
+        val min = idx.head // same minimum `minBy { case (k, c) => (c, k) }` picked
+        idx.remove(min); m.remove(min._2)
+        m.update(v, min._1 + 1L); idx.add((min._1 + 1L, v))
+    }
+    /** Exact addition (see merge contract below); the index no longer
+      * matches the shifted counts, so it is dropped for lazy rebuild. */
+    def addAll(other: SpaceSavingBuf): Unit = {
+      other.m.foreach { case (k, c) => m.update(k, m.getOrElse(k, 0L) + c) }
+      idx0 = null
+    }
+  }
+
   /** SpaceSaving partial state / exact-addition merge (see object doc).
     * `finish` emits the candidate map; ranking happens after the exact
-    * verify pass, not on sketch estimates. The buffer is a MUTABLE hash map
-    * updated in place — ObjectHashAggregate keeps it deserialized between
-    * rows, so the common hit/insert path is O(1) with no per-row copy of
-    * the counter table (eviction stays O(capacity), rare under skew). */
+    * verify pass, not on sketch estimates. The buffer is MUTATED in place —
+    * ObjectHashAggregate keeps it deserialized between rows, so the common
+    * hit/insert path is O(1) amortized and eviction is O(log capacity)
+    * via the buffer's sorted index. */
   final class SpaceSavingAgg(capacity: Int)
-      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
-        Map[String, Long]] {
+      extends Aggregator[String, SpaceSavingBuf, Map[String, Long]] {
     require(capacity > 0, "space_saving: capacity must be positive")
-    type Buf = scala.collection.mutable.HashMap[String, Long]
-    def zero: Buf = scala.collection.mutable.HashMap.empty
-    def reduce(b: Buf, v: String): Buf = {
-      b.get(v) match {
-        case Some(c) => b.update(v, c + 1L)
-        case None if b.size < capacity => b.update(v, 1L)
-        case None => // evict the (count, key)-min; new item inherits its count
-          val (mk, mc) = b.minBy { case (k, c) => (c, k) }
-          b.remove(mk)
-          b.update(v, mc + 1L)
-      }
-      b
-    }
+    type Buf = SpaceSavingBuf
+    def zero: Buf = new SpaceSavingBuf
+    def reduce(b: Buf, v: String): Buf = { b.bump(v, capacity); b }
     def merge(a: Buf, b: Buf): Buf = {
       // exact addition, NO truncation here: keeps the merge commutative and
       // associative (order-independent) at a bounded partitions×capacity size
-      b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+      a.addAll(b)
       a
     }
-    def finish(r: Buf): Map[String, Long] = r.toMap
+    def finish(r: Buf): Map[String, Long] = r.m.toMap
     def bufferEncoder: Encoder[Buf] = org.apache.spark.sql.Encoders.kryo[Buf]
     def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
   }

@@ -9,7 +9,7 @@ class FrequentItemsSpec extends SparkSpec {
 
   test("SpaceSaving reduce: bounded state, deterministic (count,key)-min eviction") {
     val agg = new SpaceSavingAgg(2)
-    val st = Seq("a", "b", "c", "a").foldLeft(agg.zero)(agg.reduce)
+    val st = agg.finish(Seq("a", "b", "c", "a").foldLeft(agg.zero)(agg.reduce))
     // a:1, b:1 fill capacity; c evicts the (1,"a") min and inherits → c:2;
     // a evicts the (1,"b") min → a:2
     assert(st == Map("c" -> 2L, "a" -> 2L))
@@ -21,10 +21,40 @@ class FrequentItemsSpec extends SparkSpec {
 
   test("SpaceSaving merge is exact addition — commutative, no truncation") {
     val agg = new SpaceSavingAgg(2)
-    def buf(kv: (String, Long)*) = scala.collection.mutable.HashMap(kv: _*)
+    def buf(kv: (String, Long)*) = {
+      val b = agg.zero; b.m ++= kv; b
+    }
     val ab = agg.merge(buf("x" -> 5L, "y" -> 3L), buf("y" -> 2L, "z" -> 7L))
-    assert(ab == buf("x" -> 5L, "y" -> 5L, "z" -> 7L))
-    assert(ab == agg.merge(buf("y" -> 2L, "z" -> 7L), buf("x" -> 5L, "y" -> 3L)))
+    assert(ab.m == buf("x" -> 5L, "y" -> 5L, "z" -> 7L).m)
+    assert(ab.m == agg.merge(buf("y" -> 2L, "z" -> 7L), buf("x" -> 5L, "y" -> 3L)).m)
+  }
+
+  test("SpaceSaving eviction is identical after a serialization round trip") {
+    // kryo drops the transient (count,key) index — the rebuilt index must
+    // pick the same eviction victim as an uninterrupted buffer
+    val agg = new SpaceSavingAgg(3)
+    def runWithSnapshot(snapshotAt: Int): Map[String, Long] = {
+      val stream = Seq("b", "a", "c", "a", "d", "e", "b", "f")
+      var b = agg.zero
+      stream.zipWithIndex.foreach { case (v, i) =>
+        if (i == snapshotAt) {
+          // Java round trip drops the transient index exactly like the
+          // kryo buffer encoder does at a shuffle boundary
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          oos.writeObject(b); oos.close()
+          b = new java.io.ObjectInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+            .readObject().asInstanceOf[graft.functions.FrequentItems.SpaceSavingBuf]
+        }
+        b = agg.reduce(b, v)
+      }
+      agg.finish(b)
+    }
+    val plain = runWithSnapshot(-1)
+    (0 until 8).foreach { at =>
+      assert(runWithSnapshot(at) == plain, s"divergence when snapshotted at $at")
+    }
   }
 
   test("topHittersApprox matches the exact top-N on skewed data at lossy capacity") {
