@@ -531,30 +531,36 @@ object SeriesFunctions {
     * chain is a fixed operand-order IEEE sequence, and degenerate lags
     * (overlap < 2 points or zero variance on either side) score 0 rather
     * than NaN. O(n · (max−min)) Catalyst HOFs per row — zero shuffles. */
+  /** The lag-L ACF score shared by series_periods_detect/validate:
+    * struct(period, score) where score = Pearson r(x[0..n−L), x[L..n)),
+    * degenerate lags (overlap < 2 or zero variance) → 0. */
+  private def acfScore(a: Column, n: Column, l: Column): Column = {
+    val m = greatest(n - l, lit(0))
+    val x = slice(a, lit(1), m)
+    val y = slice(a, l + 1, m)
+    val md = m.cast("double")
+    val sa = dsum(x)
+    val sb = dsum(y)
+    val sab = aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val saa = aggregate(x, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val sbb = aggregate(y, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val den = sqrt(md * saa - sa * sa) * sqrt(md * sbb - sb * sb)
+    val score = when(m < 2 || den === 0, lit(0.0))
+      .otherwise((md * sab - sa * sb) / den)
+    struct(l.as("period"), score.as("score"))
+  }
+
   def seriesPeriodsDetect(arr: Column, minPeriod: Int, maxPeriod: Int,
       numPeriods: Int): Column = {
     require(0 < minPeriod && minPeriod <= maxPeriod,
       s"series_periods_detect needs 0 < min <= max, got $minPeriod..$maxPeriod")
     bound(arr) { a =>
       val n = size(a)
-      bound(transform(sequence(lit(minPeriod), lit(maxPeriod)), l => {
-        val m = greatest(n - l, lit(0))
-        val x = slice(a, lit(1), m)
-        val y = slice(a, l + 1, m)
-        val md = m.cast("double")
-        val sa = dsum(x)
-        val sb = dsum(y)
-        val sab = aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-        val saa = aggregate(x, lit(0.0),
-          (acc, v) => acc + v.cast("double") * v.cast("double"))
-        val sbb = aggregate(y, lit(0.0),
-          (acc, v) => acc + v.cast("double") * v.cast("double"))
-        val den = sqrt(md * saa - sa * sa) * sqrt(md * sbb - sb * sb)
-        val score = when(m < 2 || den === 0, lit(0.0))
-          .otherwise((md * sab - sa * sb) / den)
-        struct(l.as("period"), score.as("score"))
-      })) { cands =>
+      bound(transform(sequence(lit(minPeriod), lit(maxPeriod)),
+        l => acfScore(a, n, l))) { cands =>
         bound(slice(array_sort(cands, (p, q) =>
           when(p.getField("score") > q.getField("score"), -1)
             .when(p.getField("score") < q.getField("score"), 1)
@@ -563,6 +569,24 @@ object SeriesFunctions {
           struct(transform(top, _.getField("period")).as("periods"),
             transform(top, _.getField("score")).as("scores"))
         }
+      }
+    }
+  }
+
+  /** KQL `series_periods_validate(series, p1, p2, ...)` → struct(periods,
+    * scores): the SAME lag-L ACF score as series_periods_detect, but for the
+    * caller's candidate periods IN THE GIVEN ORDER (Kusto's contract —
+    * validate scores what you ask, detect searches). Same deterministic
+    * arithmetic chain, so the oracle replays it term-for-term. */
+  def seriesPeriodsValidate(arr: Column, periods: Seq[Int]): Column = {
+    require(periods.nonEmpty && periods.forall(_ > 0),
+      "series_periods_validate needs at least one positive period")
+    bound(arr) { a =>
+      val n = size(a)
+      bound(transform(array(periods.map(lit): _*),
+        l => acfScore(a, n, l))) { scored =>
+        struct(transform(scored, _.getField("period").cast("long")).as("periods"),
+          transform(scored, _.getField("score")).as("scores"))
       }
     }
   }

@@ -2398,6 +2398,11 @@ object KqlParser {
             litLong(args(1)), litLong(args(2)), litLong(args(3)).toInt)
         case "tdigest_merge" | "merge_tdigest" =>
           graft.functions.QuantileSketch.tdigestMerge(args.head)
+        case "tdigest_if" =>
+          // tdigest_if(x, lo, hi, nbins, pred) — the filtered sketch form
+          // (pred LAST, after the engine's explicit-binning args)
+          graft.functions.QuantileSketch.tdigest(when(args(4), args.head),
+            litLong(args(1)), litLong(args(2)), litLong(args(3)).toInt)
         case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
       }
     }
@@ -2726,6 +2731,19 @@ object KqlParser {
     }
 
     private def parseScalarCall(f: String): Column = {
+      if (f == "bag_pack_columns") {
+        // bag_pack_columns(c1, c2, ...) — a bag keyed by the column NAMES,
+        // so the args must be parsed as identifiers, not value expressions.
+        // Values stringify (map<string,string>) — the pack_all convention
+        // (documented deviation: Kusto keeps typed values).
+        eatPunct("(")
+        val names = Seq.newBuilder[String]
+        names += ident()
+        while (atPunct(",")) { pos += 1; names += ident() }
+        eatPunct(")")
+        return map(names.result()
+          .flatMap(n => Seq(lit(n), col(n).cast("string"))): _*)
+      }
       eatPunct("(")
       val args = if (atPunct(")")) Nil else {
         val out = Seq.newBuilder[Column]
@@ -3009,6 +3027,11 @@ object KqlParser {
         case "format_ipv4" => KqlFunctions.formatIpv4(args.head)
         case "ipv4_is_private" => KqlFunctions.ipv4IsPrivate(args.head)
         case "ipv4_is_in_range" => KqlFunctions.ipv4IsInRange(args.head, args(1))
+        case "ipv6_is_in_range" => KqlFunctions.ipv6IsInRange(args.head, args(1))
+        case "parse_ipv4_mask" =>
+          // parse_ipv4_mask(ip, prefix) — the ip's long with host bits zeroed
+          KqlFunctions.ipMask(KqlFunctions.parseIpv4(args.head),
+            args(1).cast("int"))
         case "ipv4_compare" => KqlFunctions.ipv4Compare(args.head, args(1),
           if (args.length > 2) args(2) else lit(32))
         case "ipv4_is_match" => KqlFunctions.ipv4IsMatch(args.head, args(1),
@@ -3128,7 +3151,7 @@ object KqlParser {
           }
           when(na.isNull || nb.isNull, lit(null).cast("boolean"))
             .otherwise(wholeEq && partEq)
-        case "now" => current_timestamp()
+        case "now" | "current_utcdatetime" => current_timestamp()
         case "ago" => // ago(5m) — timespan literal arg arrives as whole seconds
           timestamp_micros(unix_micros(current_timestamp()) -
             args.head.cast("long") * 1000000L)
@@ -3194,6 +3217,12 @@ object KqlParser {
           when(args.head < args(1), -1).when(args.head > args(1), 1).otherwise(0)
         case "percentile_tdigest" =>
           graft.functions.QuantileSketch.percentileTdigest(args.head, litLong(args(1)))
+        case "percentile_array_tdigest" =>
+          // percentile_array_tdigest(td, p1, p2, ...) — one sketch walk per
+          // literal percentile, packed as a dynamic array
+          array(args.tail.map(p =>
+            graft.functions.QuantileSketch.percentileTdigest(args.head,
+              litLong(p))): _*)
         case "string_size" => octet_length(args.head).cast("long") // UTF-8 bytes
         case "unicode_codepoints_from_string" =>
           // per-char codepoints; BMP contract (same as Bpe): UTF-16 code units
@@ -3221,6 +3250,14 @@ object KqlParser {
             when(f.startsWith("\"") && f.endsWith("\"") && length(f) >= 2,
               regexp_replace(f.substr(lit(2), length(f) - 2), "\"\"", "\""))
               .otherwise(f))
+        case "parse_command_line" =>
+          // parse_command_line(cmd, "windows"): argv split — tokens are runs
+          // of non-space chars where "..." segments may hold spaces (quotes
+          // removed), the CommandLineToArgvW core. Documented deviation:
+          // backslash-quote escape runs are not interpreted.
+          val toks = regexp_extract_all(args.head.cast("string"),
+            lit("(?:[^\\s\"]|\"[^\"]*\")+"), lit(0))
+          transform(toks, t => regexp_replace(t, "\"", ""))
         case "datetime_part" =>
           // Kusto part names are a superset of Spark's date_part fields;
           // normalize the common ones (WeekOfYear → WEEK)
@@ -3497,6 +3534,22 @@ object KqlParser {
           val stol = if (args.length > 1) args(1).cast("double") else lit(10.0)
           call_function("graft_geo_simplify_rings",
             args.head.cast("array<array<array<double>>>"), stol)
+        case "geo_polygon_simplify" =>
+          // single-ring form of geo_simplify_polygons_array (same anchored
+          // RDP kernel over a one-ring array)
+          val ptol = if (args.length > 1) args(1).cast("double") else lit(10.0)
+          element_at(call_function("graft_geo_simplify_rings",
+            array(args.head.cast("array<array<double>>")), ptol), 1)
+        case "geo_union_lines_array" =>
+          // collection union: the valid (≥2-vertex) input lines as ONE
+          // multiline array, null when none survive. Documented deviation:
+          // no geometric noding/merging of overlapping segments (Kusto
+          // unions to a GeoJSON MultiLineString; the geo family here is
+          // bare vertex arrays throughout).
+          val ulines = filter(args.head.cast("array<array<array<double>>>"),
+            l => size(l) >= 2)
+          when(args.head.isNull || size(ulines) === 0,
+            lit(null).cast("array<array<array<double>>>")).otherwise(ulines)
         case "geo_union_polygons_array" =>
           // left fold of the pairwise Greiner–Hormann union; null once a
           // step disconnects (documented largest-ring/null deviations)
@@ -3631,6 +3684,11 @@ object KqlParser {
         case "percentrank_tdigest" =>
           graft.functions.QuantileSketch.percentrankTdigest(args.head, args(1))
         // scalar comparison / conditional
+        case "around" =>
+          // around(value, center, delta) — |v − c| ≤ δ over numerics (the
+          // Kusto doc surface; datetime callers compare unix micros)
+          abs(args.head.cast("double") - args(1).cast("double")) <=
+            args(2).cast("double")
         case "max_of" => greatest(args: _*)
         case "min_of" => least(args: _*)
         case "case" =>
@@ -3956,6 +4014,9 @@ object KqlParser {
         case "series_periods_detect" =>
           SeriesFunctions.seriesPeriodsDetect(args.head, litLong(args(1)).toInt,
             litLong(args(2)).toInt, litLong(args(3)).toInt)
+        case "series_periods_validate" =>
+          SeriesFunctions.seriesPeriodsValidate(args.head,
+            args.tail.map(litLong(_).toInt))
         case "series_sum" => SeriesFunctions.seriesSum(args.head)
         case "series_product" => SeriesFunctions.seriesProduct(args.head)
         case "series_dot_product" =>

@@ -3768,6 +3768,91 @@ object KqlTextQueries {
              |JOIN ang a ON a.event_id = p.event_id
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Round-12 gap-sweep batch #1: around (numeric band), parse_ipv4_mask
+    // (host bits zeroed to a long), ipv6_is_in_range (singular form of the
+    // any_range kernel), current_utcdatetime (now alias), parse_command_line
+    // (argv split, quotes hold spaces), bag_pack_columns (bag keyed by
+    // column NAMES, values stringified per the pack_all convention).
+    QueryDef("q_kql_scalar_misc18",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 6000 == 0
+          || extend ar = around(value, 50.0, 25.0),
+          |    pm = parse_ipv4_mask(strcat('10.1.', tostring(event_id % 200), '.7'), 24),
+          |    in6 = ipv6_is_in_range(strcat('2001:db8::', tostring(event_id % 16)),
+          |      '2001:db8::/125'),
+          |    fresh = current_utcdatetime() >= todatetime('2000-01-01')
+          || extend argv = parse_command_line(
+          |    strcat('run.exe -n "file ', tostring(event_id), '" -v'), 'windows')
+          || extend b = bag_pack_columns(event_id, event_type)
+          || project event_id, ar, pm, in6, fresh,
+          |    a0 = tostring(argv[0]), a2 = tostring(argv[2]),
+          |    na = array_length(argv),
+          |    bk = strcat_array(bag_keys(b), ','), bid = tostring(b['event_id'])
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  ABS(value - 50.0) <= 25.0 AS ar,
+             |  167837696 + (event_id % 200) * 256 AS pm,
+             |  (event_id % 16) < 8 AS in6,
+             |  TRUE AS fresh,
+             |  'run.exe' AS a0,
+             |  'file ' || CAST(event_id AS VARCHAR) AS a2,
+             |  CAST(4 AS BIGINT) AS na,
+             |  'event_id,event_type' AS bk,
+             |  CAST(event_id AS VARCHAR) AS bid
+             |FROM events WHERE event_id % 6000 = 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // Round-12 gap-sweep batch #2: geo_polygon_simplify (single-ring RDP,
+    // the anchored kernel of geo_simplify_polygons_array) and
+    // geo_union_lines_array (collection union — valid ≥2-vertex lines as
+    // one multiline; documented deviation: no geometric noding). The oracle
+    // states the hand-computed RDP outcome: the ~0.011 m excursion at
+    // vertex 1 dies under the 50 m tolerance, the square corners survive.
+    QueryDef("q_kql_geo_simplify",
+      (s, d) => run(s, d,
+        """print ring = pack_array(pack_array(10.0, 10.0),
+          |    pack_array(10.2, 10.0000001), pack_array(10.4, 10.0),
+          |    pack_array(10.4, 10.3), pack_array(10.0, 10.3))
+          || extend sp = geo_polygon_simplify(ring, 50.0)
+          || extend lines = pack_array(
+          |    pack_array(pack_array(0.0, 0.0), pack_array(1.0, 1.0)),
+          |    pack_array(pack_array(2.0, 2.0)),
+          |    pack_array(pack_array(3.0, 3.0), pack_array(4.0, 4.0), pack_array(5.0, 5.0)))
+          || extend u = geo_union_lines_array(lines)
+          || project n0 = array_length(ring), ns = array_length(sp),
+          |    sx = todouble(sp[1][0]), sy = todouble(sp[1][1]),
+          |    nu = array_length(u), u0x = todouble(u[0][0][0]),
+          |    u1n = array_length(u[1])""".stripMargin),
+      Some("""SELECT CAST(5 AS BIGINT) AS n0, CAST(4 AS BIGINT) AS ns,
+             |  10.4 AS sx, 10.0 AS sy,
+             |  CAST(2 AS BIGINT) AS nu, 0.0 AS u0x,
+             |  CAST(3 AS BIGINT) AS u1n""".stripMargin)),
+
+    // Round-12 gap-sweep batch #3: tdigest_if (filtered sketch build) +
+    // percentile_array_tdigest (several percentiles in one projection) —
+    // the q_kql_tdigest conventions with a predicate every group satisfies
+    // on both sides.
+    QueryDef("q_kql_tdigest_if",
+      (s, d) => run(s, d,
+        """lineitem
+          || summarize td = tdigest_if(l_quantity, 1, 51, 50, l_quantity <= 25)
+          |    by l_returnflag
+          || extend ps = percentile_array_tdigest(td, 25, 50, 95)
+          || project l_returnflag, p25 = todouble(ps[0]), p50 = todouble(ps[1]),
+          |    p95 = todouble(ps[2])
+          || sort by l_returnflag asc""".stripMargin),
+      Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             |    COUNT(*) AS n FROM lineitem WHERE l_quantity <= 25 GROUP BY 1, 2),
+             |x AS (SELECT l_returnflag, q,
+             |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY q) AS cm,
+             |    SUM(n) OVER (PARTITION BY l_returnflag) AS tot FROM c)
+             |SELECT l_returnflag,
+             |  CAST(MIN(CASE WHEN cm >= (tot*25+99)//100 THEN q END) AS DOUBLE) AS p25,
+             |  CAST(MIN(CASE WHEN cm >= (tot*50+99)//100 THEN q END) AS DOUBLE) AS p50,
+             |  CAST(MIN(CASE WHEN cm >= (tot*95+99)//100 THEN q END) AS DOUBLE) AS p95
+             |FROM x GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ipv4/ipv6_is_in_any_range (the security-query staple) and the
     // geo_info_from_ip_address surface (embedded TEST-NET/anycast fixture —
     // documented deviation from Kusto's licensed MMDB data; mechanism =

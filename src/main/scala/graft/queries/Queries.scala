@@ -1734,6 +1734,54 @@ object Queries {
              |  MAX(CASE WHEN rn = 2 THEN score END) AS s2
              |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // series_periods_validate: the caller's candidate periods scored with
+    // the SAME lag-L ACF chain as detect, in the GIVEN order (7 then 3) —
+    // the oracle replays the chain for exactly those two lags
+    QueryDef("q_series_periods_val",
+      (s, d) => T(s, d, "events")
+        .summarize(Seq(col("event_type"), date_trunc("day", col("ts")).as("dd")),
+          count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("c")))),
+          x => x.getField("c").cast("double")).as("sr"))
+        .select(col("event_type"),
+          SeriesFunctions.seriesPeriodsValidate(col("sr"), Seq(7, 3)).as("pv"))
+        .select(col("event_type"),
+          element_at(col("pv.periods"), 1).as("p1"),
+          element_at(col("pv.scores"), 1).as("s1"),
+          element_at(col("pv.periods"), 2).as("p2"),
+          element_at(col("pv.scores"), 2).as("s2"))
+        .sortBy(col("event_type")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, date_trunc('day', ts) AS dd, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, c, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dd) - 1 AS i
+             |  FROM daily),
+             |lags AS (SELECT unnest([7, 3]) AS l),
+             |acf AS (
+             |  SELECT x.event_type, l.l,
+             |    CAST(COUNT(*) AS DOUBLE) AS m,
+             |    CAST(SUM(x.c) AS DOUBLE) AS sa, CAST(SUM(y.c) AS DOUBLE) AS sb,
+             |    CAST(SUM(x.c * y.c) AS DOUBLE) AS sab,
+             |    CAST(SUM(x.c * x.c) AS DOUBLE) AS saa, CAST(SUM(y.c * y.c) AS DOUBLE) AS sbb
+             |  FROM lags l CROSS JOIN idx x JOIN idx y
+             |    ON x.event_type = y.event_type AND y.i = x.i + l.l
+             |  GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT event_type, l,
+             |    CASE WHEN m < 2 OR (sqrt(m * saa - sa * sa) * sqrt(m * sbb - sb * sb)) = 0
+             |      THEN 0.0
+             |      ELSE (m * sab - sa * sb) / (sqrt(m * saa - sa * sa) * sqrt(m * sbb - sb * sb))
+             |    END AS score
+             |  FROM acf)
+             |SELECT event_type,
+             |  CAST(7 AS BIGINT) AS p1,
+             |  MAX(CASE WHEN l = 7 THEN score END) AS s1,
+             |  CAST(3 AS BIGINT) AS p2,
+             |  MAX(CASE WHEN l = 3 THEN score END) AS s2
+             |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // series_decompose_anomalies: Tukey-fence flags over the decomposition
     // residual — integer flags, so the packed-list output stringifies safely
     QueryDef("q_series_anomalies",

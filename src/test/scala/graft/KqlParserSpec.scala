@@ -1460,6 +1460,33 @@ class KqlParserSpec extends SparkSpec {
     assert(r.getLong(4) == 3L, "euro sign is 3 UTF-8 bytes")
   }
 
+  test("round-12 scalar edges: parse_command_line quoting, around bounds, " +
+      "union_lines null, bag_pack_columns keys") {
+    val r = run(
+      """t | take 1 | project
+        |  argv = parse_command_line('  a.exe  "x  y" ""  tail', 'windows'),
+        |  inb = around(10.0, 12.0, 2.0),
+        |  outb = around(10.0, 12.0, 1.999),
+        |  ul = geo_union_lines_array(pack_array(pack_array(pack_array(1.0, 2.0)))),
+        |  b = bag_pack_columns(id, v)""".stripMargin)
+      .collect().head
+    // quoted token keeps its double space; the empty "" token survives as ""
+    assert(r.getSeq[String](0) == Seq("a.exe", "x  y", "", "tail"))
+    assert(r.getBoolean(1), "|10−12| = 2 is inside delta 2")
+    assert(!r.getBoolean(2), "delta below the gap must be outside")
+    assert(r.isNullAt(3), "all-degenerate lines array must union to null")
+    assert(r.getMap[String, String](4) == Map("id" -> "1", "v" -> "10.0"))
+  }
+
+  test("series_periods_validate echoes the requested periods in order") {
+    val r = run(
+      """t | summarize s = make_list(v) | project
+        |  pv = series_periods_validate(s, 2, 4)""".stripMargin)
+      .select(col("pv.periods"), col("pv.scores")).collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, 4L))
+    assert(r.getSeq[Double](1).length == 2)
+  }
+
   test("consume discards rows keeping schema; hash_xxhash64 is builtin xxhash64") {
     val c = KqlParser.parse("t | project id | extend b = id + 1 | consume", _ => t)
     assert(c.count() == 0 && c.columns.toSeq == Seq("id", "b"))
