@@ -1174,6 +1174,34 @@ object KqlParser {
             val n = parseInt()
             eatPunct(")")
             df.limit(n)
+          case "infer_storage_schema" =>
+            // `T | project raw | evaluate infer_storage_schema()` — infer a
+            // Kusto schema from a sample of JSON documents (the ingestion
+            // helper; Kusto samples external blobs, this samples the piped
+            // string column — documented deviation, as is the output shape:
+            // (column, kql_type) ROWS sorted by name instead of one schema
+            // string, the oracle-checkable form). The sample is a bounded
+            // driver-side read (≤100 rows — the toscalar limit(1) class),
+            // then Spark's JSON inference maps to Kusto type names.
+            eatPunct(")")
+            require(df.columns.length == 1 &&
+              df.schema.head.dataType == org.apache.spark.sql.types.StringType,
+              "evaluate infer_storage_schema(): pipe exactly one string column")
+            val spark = df.sparkSession
+            import spark.implicits._
+            val sample = df.limit(100).as[String](org.apache.spark.sql.Encoders.STRING)
+            val inferred = spark.read.json(sample).schema
+            def kqlType(t: org.apache.spark.sql.types.DataType): String = t match {
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.IntegerType => "long"
+              case org.apache.spark.sql.types.DoubleType => "real"
+              case org.apache.spark.sql.types.BooleanType => "bool"
+              case org.apache.spark.sql.types.StringType => "string"
+              case org.apache.spark.sql.types.TimestampType => "datetime"
+              case _ => "dynamic" // structs, arrays, nulls
+            }
+            inferred.fields.map(f => (f.name, kqlType(f.dataType))).sortBy(_._1)
+              .toSeq.toDF("column", "kql_type")
           case "narrow" =>
             // evaluate narrow(): (Row, Column, Value-as-string) triples. Row
             // ordinals come from the distributed serialized row numbering, so

@@ -3829,6 +3829,26 @@ object KqlTextQueries {
              |  CAST(2 AS BIGINT) AS nu, 0.0 AS u0x,
              |  CAST(3 AS BIGINT) AS u1n""".stripMargin)),
 
+    // evaluate infer_storage_schema: Kusto's ingestion-time schema inference
+    // over a sample of JSON documents (documented deviations: samples the
+    // piped string column instead of external blobs; emits (column,
+    // kql_type) rows instead of one schema string). The synthesized JSON
+    // exercises every mapped type: long, real, string, bool, dynamic.
+    QueryDef("q_kql_infer_schema",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 4000 == 0
+          || project raw = strcat('{"id": ', tostring(event_id),
+          |    ', "score": ', tostring(value),
+          |    ', "name": "u', tostring(user_id), '"',
+          |    ', "ok": ', iff(event_id % 2 == 0, 'true', 'false'),
+          |    ', "tags": [1, 2]}')
+          || evaluate infer_storage_schema()""".stripMargin),
+      Some("""SELECT * FROM (VALUES
+             |  ('id', 'long'), ('name', 'string'), ('ok', 'bool'),
+             |  ('score', 'real'), ('tags', 'dynamic')) t("column", kql_type)
+             |ORDER BY "column"""".stripMargin)),
+
     // Round-12 gap-sweep batch #3: tdigest_if (filtered sketch build) +
     // percentile_array_tdigest (several percentiles in one projection) —
     // the q_kql_tdigest conventions with a predicate every group satisfies

@@ -1075,6 +1075,72 @@ object NorthStarQueries {
              |WHERE mindeg * (PI() / 180 * 6371000.0) <= 20000.0
              |GROUP BY 1 ORDER BY rid""".stripMargin)),
 
+    // STREAMING NEAR-DUP: a document stream deduped against a STATIC
+    // reference corpus via MinHash-LSH — the 100 TB ingest-gate shape
+    // (filter arriving docs against what the corpus already holds). The
+    // reference side (even doc_ids) builds signatures once and broadcasts
+    // (band_idx, band_key, ref_id, ref_sig); the stream (odd doc_ids)
+    // computes its signature SCAN-SIDE, emits one (band_idx, key) per band
+    // (bounded ×16), and broadcast-joins. A pair can collide on several
+    // bands, so the residual keeps only the FIRST band whose signature
+    // slices agree — exactly one emit per pair with NO distinct, no state
+    // store, no watermark (the geo-lookup one-meet trick applied to LSH).
+    // Oracle: brute-force exact signatures over the even×odd cross,
+    // requiring an agreeing band AND estimate ≥ 0.5.
+    QueryDef("q_streaming_neardup",
+      (s, d) => {
+        val rpb = MH_HASHES / MH_BANDS
+        val ref = Dedup.minHashSignatures(
+          T(s, d, "documents").where_(col("doc_id") % 2 === 0),
+          "text", "doc_id", MH_HASHES, 3)
+        val refBands = ref.select(col("id").as("ref_id"), col("sig").as("ref_sig"),
+          posexplode(Dedup.lshBandKeys(col("sig"), MH_BANDS, rpb))
+            .as(Seq("bidx", "bkey")))
+        val sigS = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), TA.tokens(lower(col("text"))).as("__toks"))
+          .select(col("doc_id"), TA.shinglesOf(col("__toks"), 3).as("__sh"))
+          .select(col("doc_id"), transform(col("__sh"),
+            sh => Dedup.portableHash60(sh) % Dedup.MinHashP).as("__h"))
+          .select(col("doc_id"),
+            Dedup.minHashSignatureFromHashes(col("__h"), MH_HASHES).as("sig"))
+        val cand = sigS.select(col("doc_id"), col("sig"),
+            posexplode(Dedup.lshBandKeys(col("sig"), MH_BANDS, rpb))
+              .as(Seq("bidx", "bkey")))
+          .join(broadcast(refBands), Seq("bidx", "bkey"))
+        val firstAgree = array_position(
+          array((0 until MH_BANDS).map(b =>
+            (slice(col("sig"), b * rpb + 1, rpb) ===
+              slice(col("ref_sig"), b * rpb + 1, rpb)).cast("int")): _*),
+          lit(1)) - 1
+        val est = size(filter(
+          zip_with(col("sig"), col("ref_sig"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / MH_HASHES
+        val out = cand
+          .filter(firstAgree === col("bidx") && est >= 0.5)
+          .select(col("doc_id").as("id_s"), col("ref_id"),
+            est.as("est_jaccard"))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_neardup_sink", out)
+          .sortBy(col("id_s"), col("ref_id"))
+      },
+      Some(s"""$shingleHashCtes,
+              |sig AS (SELECT doc_id, [
+              |    $mhSigComponents] AS sig FROM h),
+              |p AS (SELECT a.doc_id AS id_s, b.doc_id AS ref_id,
+              |    a.sig AS sa, b.sig AS sb
+              |  FROM sig a, sig b WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+              |q AS (SELECT id_s, ref_id,
+              |    CAST(len(list_filter(generate_series(1, $MH_HASHES),
+              |      i -> sa[i] = sb[i])) AS DOUBLE) / $MH_HASHES AS est_jaccard,
+              |    len(list_filter(generate_series(0, ${MH_BANDS - 1}), b ->
+              |      sa[b*${MH_HASHES / MH_BANDS}+1:(b+1)*${MH_HASHES / MH_BANDS}] =
+              |      sb[b*${MH_HASHES / MH_BANDS}+1:(b+1)*${MH_HASHES / MH_BANDS}])) AS nb
+              |  FROM p)
+              |SELECT id_s, ref_id, est_jaccard FROM q
+              |WHERE nb >= 1 AND est_jaccard >= 0.5
+              |ORDER BY id_s, ref_id""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every
