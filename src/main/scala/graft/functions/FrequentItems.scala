@@ -35,8 +35,10 @@ object FrequentItems {
     * O(capacity) `minBy` scan into an O(log capacity) tree lookup — measured
     * on the adversarial all-distinct stream (every post-fill row evicts),
     * 100k rows at capacity 4096 took 18.6 s with the scan (BENCH_NOTES).
-    * Kryo skips the transient index; it rebuilds lazily from the map after
-    * deserialization (once per partition, O(capacity·log capacity)). */
+    * The index is built lazily at the FIRST eviction (or first access after
+    * kryo deserialization, which skips the transient field): a stream that
+    * never fills `capacity` can never evict, so the common skewed path pays
+    * zero tree maintenance; once built, hit/insert keep it in sync. */
   final class SpaceSavingBuf extends Serializable {
     val m: scala.collection.mutable.HashMap[String, Long] =
       scala.collection.mutable.HashMap.empty
@@ -50,13 +52,15 @@ object FrequentItems {
     }
     def bump(v: String, capacity: Int): Unit = m.get(v) match {
       case Some(c) =>
-        idx.remove((c, v)); m.update(v, c + 1L); idx.add((c + 1L, v))
+        m.update(v, c + 1L)
+        if (idx0 != null) { idx0.remove((c, v)); idx0.add((c + 1L, v)) }
       case None if m.size < capacity =>
-        m.update(v, 1L); idx.add((1L, v))
+        m.update(v, 1L)
+        if (idx0 != null) idx0.add((1L, v))
       case None => // evict the (count, key)-min; new item inherits its count
         val min = idx.head // same minimum `minBy { case (k, c) => (c, k) }` picked
-        idx.remove(min); m.remove(min._2)
-        m.update(v, min._1 + 1L); idx.add((min._1 + 1L, v))
+        idx0.remove(min); m.remove(min._2)
+        m.update(v, min._1 + 1L); idx0.add((min._1 + 1L, v))
     }
     /** Exact addition (see merge contract below); the index no longer
       * matches the shifted counts, so it is dropped for lazy rebuild. */

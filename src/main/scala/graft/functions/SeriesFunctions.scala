@@ -521,16 +521,6 @@ object SeriesFunctions {
       }
     }
 
-  /** KQL `series_periods_detect(series, min_period, max_period, num_periods)`
-    * → struct(periods, scores): the `num_periods` candidate lags with the
-    * highest lag-L Pearson autocorrelation r(x[0..n−L), x[L..n)), ties broken
-    * by the smaller period. Deterministic contract (documented deviation:
-    * Kusto scores via periodogram energy; this scores via the ACF — the same
-    * "which periods repeat" answer with an exactly oracle-replayable
-    * arithmetic chain): integral series sum exactly in doubles, the Pearson
-    * chain is a fixed operand-order IEEE sequence, and degenerate lags
-    * (overlap < 2 points or zero variance on either side) score 0 rather
-    * than NaN. O(n · (max−min)) Catalyst HOFs per row — zero shuffles. */
   /** The lag-L ACF score shared by series_periods_detect/validate:
     * struct(period, score) where score = Pearson r(x[0..n−L), x[L..n)),
     * degenerate lags (overlap < 2 or zero variance) → 0. */
@@ -553,6 +543,16 @@ object SeriesFunctions {
     struct(l.as("period"), score.as("score"))
   }
 
+  /** KQL `series_periods_detect(series, min_period, max_period, num_periods)`
+    * → struct(periods, scores): the `num_periods` candidate lags with the
+    * highest lag-L Pearson autocorrelation r(x[0..n−L), x[L..n)), ties broken
+    * by the smaller period. Deterministic contract (documented deviation:
+    * Kusto scores via periodogram energy; this scores via the ACF — the same
+    * "which periods repeat" answer with an exactly oracle-replayable
+    * arithmetic chain): integral series sum exactly in doubles, the Pearson
+    * chain is a fixed operand-order IEEE sequence, and degenerate lags
+    * (overlap < 2 points or zero variance on either side) score 0 rather
+    * than NaN. O(n · (max−min)) Catalyst HOFs per row — zero shuffles. */
   def seriesPeriodsDetect(arr: Column, minPeriod: Int, maxPeriod: Int,
       numPeriods: Int): Column = {
     require(0 < minPeriod && minPeriod <= maxPeriod,

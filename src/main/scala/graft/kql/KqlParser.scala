@@ -1189,7 +1189,10 @@ object KqlParser {
               "evaluate infer_storage_schema(): pipe exactly one string column")
             val spark = df.sparkSession
             import spark.implicits._
-            val sample = df.limit(100).as[String](org.apache.spark.sql.Encoders.STRING)
+            // null rows would NPE Spark's JSON inference (the Jackson parser
+            // is built from the raw UTF8String) — drop them before sampling
+            val sample = df.na.drop().limit(100)
+              .as[String](org.apache.spark.sql.Encoders.STRING)
             val inferred = spark.read.json(sample).schema
             def kqlType(t: org.apache.spark.sql.types.DataType): String = t match {
               case org.apache.spark.sql.types.LongType |
@@ -3245,9 +3248,10 @@ object KqlParser {
           when(args.head < args(1), -1).when(args.head > args(1), 1).otherwise(0)
         case "percentile_tdigest" =>
           graft.functions.QuantileSketch.percentileTdigest(args.head, litLong(args(1)))
-        case "percentile_array_tdigest" =>
-          // percentile_array_tdigest(td, p1, p2, ...) — one sketch walk per
-          // literal percentile, packed as a dynamic array
+        case "percentiles_array_tdigest" | "percentile_array_tdigest" =>
+          // percentiles_array_tdigest(td, p1, p2, ...) — one sketch walk per
+          // literal percentile, packed as a dynamic array (the singular
+          // spelling is accepted as an alias; Kusto documents the plural)
           array(args.tail.map(p =>
             graft.functions.QuantileSketch.percentileTdigest(args.head,
               litLong(p))): _*)
@@ -3602,14 +3606,15 @@ object KqlParser {
         case "geo_azimuth" =>
           geoAzimuth(args(0), args(1), args(2), args(3))
         case "geo_angle" =>
-          // clockwise angle in [0, 2π) between two bearings: 6 scalars =
-          // lines [p1,p2] and [p2,p3] meeting at p2; 8 scalars = lines
-          // [p1,p2] and [p3,p4] (each line's own forward azimuth). The
-          // difference of the two published forward azimuths — no extra
-          // spherical machinery needed.
+          // clockwise angle in [0, 2π) between two FORWARD azimuths: 8
+          // scalars = lines [p1,p2] and [p3,p4]; 6 scalars = the convenience
+          // chain [p1,p2] and [p2,p3] (≡ the 8-arg form with p3 = p2 — the
+          // turn/deflection angle at p2, ONE consistent convention for both
+          // arities). The difference of the two published forward azimuths —
+          // no extra spherical machinery needed.
           if (args.length == 6)
             pmod(geoAzimuth(args(2), args(3), args(4), args(5)) -
-              geoAzimuth(args(2), args(3), args(0), args(1)), lit(2 * math.Pi))
+              geoAzimuth(args(0), args(1), args(2), args(3)), lit(2 * math.Pi))
           else
             pmod(geoAzimuth(args(4), args(5), args(6), args(7)) -
               geoAzimuth(args(0), args(1), args(2), args(3)), lit(2 * math.Pi))
@@ -4315,8 +4320,10 @@ object KqlParser {
     private def geoClosestPointOnLine(lngC: Column, latC: Column,
         line: Column): Column = {
       // native codegen'd argmin loop when available (GeoKernelExpressions;
-      // bit-identical chain), HOF struct fold otherwise. <2-vertex lines →
-      // null on both paths (the HOF would crash, the native would echo the
+      // bit-identical chain), HOF struct fold otherwise. Lines with <2
+      // vertices OR no non-null vertex pair → null on BOTH paths (the
+      // native kernel returns null when no segment was examined; the HOF
+      // guards on the fold's distance staying +Inf so it cannot echo the
       // query point).
       val native = graft.functions.KqlFunctions
         .nativeFn(graft.plans.GeoKernelExpressions.closestName)
@@ -4345,7 +4352,8 @@ object KqlParser {
           when(cd < acc.getField("d"),
             struct(cd.as("d"), cx.as("x"), cy.as("y"))).otherwise(acc)
         })
-      when(size(line) >= 2,
+      when(size(line) >= 2 &&
+          best.getField("d") < lit(Double.PositiveInfinity),
         array(px + best.getField("x") / cosl, py + best.getField("y")))
     }
 

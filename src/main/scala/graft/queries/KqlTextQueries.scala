@@ -3693,9 +3693,10 @@ object KqlTextQueries {
     // Distance-family completion #2: closest point ON a polygon (the point
     // itself when inside, else the closed-boundary argmin — the same
     // strict-< kernel as geo_closest_point_on_line over ring + first
-    // vertex) and geo_angle (clockwise angle between the bearings of lines
-    // [p1,p2] and [p2,p3] at p2 — a difference of the two published
-    // forward azimuths). Oracle replays Spark's pmod for doubles exactly:
+    // vertex) and geo_angle (clockwise turn angle from the forward azimuth
+    // of line [p1,p2] to that of line [p2,p3] — a difference of the two
+    // published forward azimuths; same convention as the 8-arg form with
+    // p3 = p2). Oracle replays Spark's pmod for doubles exactly:
     // r = FMOD(x, n); r < 0 ? r + n : r.
     QueryDef("q_kql_geo_dist3",
       (s, d) => run(s, d,
@@ -3743,21 +3744,21 @@ object KqlTextQueries {
              |      COS(RADIANS(40.6)) * SIN(RADIANS(40.5)) -
              |      SIN(RADIANS(40.6)) * COS(RADIANS(40.5)) *
              |        COS(RADIANS(-72.6 - -73.0))) AS t23,
-             |    ATAN2(SIN(RADIANS(lng - -73.0)) * COS(RADIANS(lat)),
-             |      COS(RADIANS(40.6)) * SIN(RADIANS(lat)) -
-             |      SIN(RADIANS(40.6)) * COS(RADIANS(lat)) *
-             |        COS(RADIANS(lng - -73.0))) AS t21 FROM pts),
+             |    ATAN2(SIN(RADIANS(-73.0 - lng)) * COS(RADIANS(40.6)),
+             |      COS(RADIANS(lat)) * SIN(RADIANS(40.6)) -
+             |      SIN(RADIANS(lat)) * COS(RADIANS(40.6)) *
+             |        COS(RADIANS(-73.0 - lng))) AS t12 FROM pts),
              |az AS (SELECT event_id,
              |    CASE WHEN FMOD(t23, 2 * PI()) < 0
              |      THEN FMOD(t23, 2 * PI()) + 2 * PI()
              |      ELSE FMOD(t23, 2 * PI()) END AS a23,
-             |    CASE WHEN FMOD(t21, 2 * PI()) < 0
-             |      THEN FMOD(t21, 2 * PI()) + 2 * PI()
-             |      ELSE FMOD(t21, 2 * PI()) END AS a21 FROM th),
+             |    CASE WHEN FMOD(t12, 2 * PI()) < 0
+             |      THEN FMOD(t12, 2 * PI()) + 2 * PI()
+             |      ELSE FMOD(t12, 2 * PI()) END AS a12 FROM th),
              |ang AS (SELECT event_id,
-             |    CASE WHEN FMOD(a23 - a21, 2 * PI()) < 0
-             |      THEN FMOD(a23 - a21, 2 * PI()) + 2 * PI()
-             |      ELSE FMOD(a23 - a21, 2 * PI()) END AS ga FROM az)
+             |    CASE WHEN FMOD(a23 - a12, 2 * PI()) < 0
+             |      THEN FMOD(a23 - a12, 2 * PI()) + 2 * PI()
+             |      ELSE FMOD(a23 - a12, 2 * PI()) END AS ga FROM az)
              |SELECT p.event_id AS event_id,
              |  ROUND(CASE WHEN pin.inside THEN p.lng ELSE b.bx END, 6) AS px,
              |  ROUND(CASE WHEN pin.inside THEN p.lat ELSE b.bly END, 6) AS py,
@@ -3850,15 +3851,16 @@ object KqlTextQueries {
              |ORDER BY "column"""".stripMargin)),
 
     // Round-12 gap-sweep batch #3: tdigest_if (filtered sketch build) +
-    // percentile_array_tdigest (several percentiles in one projection) —
-    // the q_kql_tdigest conventions with a predicate every group satisfies
+    // percentiles_array_tdigest (several percentiles in one projection;
+    // documented plural name — the singular is an accepted alias) — the
+    // q_kql_tdigest conventions with a predicate every group satisfies
     // on both sides.
     QueryDef("q_kql_tdigest_if",
       (s, d) => run(s, d,
         """lineitem
           || summarize td = tdigest_if(l_quantity, 1, 51, 50, l_quantity <= 25)
           |    by l_returnflag
-          || extend ps = percentile_array_tdigest(td, 25, 50, 95)
+          || extend ps = percentiles_array_tdigest(td, 25, 50, 95)
           || project l_returnflag, p25 = todouble(ps[0]), p50 = todouble(ps[1]),
           |    p95 = todouble(ps[2])
           || sort by l_returnflag asc""".stripMargin),

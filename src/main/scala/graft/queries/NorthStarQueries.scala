@@ -1096,15 +1096,13 @@ object NorthStarQueries {
         val refBands = ref.select(col("id").as("ref_id"), col("sig").as("ref_sig"),
           posexplode(Dedup.lshBandKeys(col("sig"), MH_BANDS, rpb))
             .as(Seq("bidx", "bkey")))
-        val sigS = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
-          .where(col("doc_id") % 2 === 1)
-          .select(col("doc_id"), TA.tokens(lower(col("text"))).as("__toks"))
-          .select(col("doc_id"), TA.shinglesOf(col("__toks"), 3).as("__sh"))
-          .select(col("doc_id"), transform(col("__sh"),
-            sh => Dedup.portableHash60(sh) % Dedup.MinHashP).as("__h"))
-          .select(col("doc_id"),
-            Dedup.minHashSignatureFromHashes(col("__h"), MH_HASHES).as("sig"))
-        val cand = sigS.select(col("doc_id"), col("sig"),
+        // the SAME signature chain as the reference side — the helper is
+        // select-only, so it composes with a streaming DataFrame unchanged
+        val sigS = Dedup.minHashSignatures(
+          graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+            .where(col("doc_id") % 2 === 1),
+          "text", "doc_id", MH_HASHES, 3)
+        val cand = sigS.select(col("id"), col("sig"),
             posexplode(Dedup.lshBandKeys(col("sig"), MH_BANDS, rpb))
               .as(Seq("bidx", "bkey")))
           .join(broadcast(refBands), Seq("bidx", "bkey"))
@@ -1118,7 +1116,7 @@ object NorthStarQueries {
           v => v === 1)).cast("double") / MH_HASHES
         val out = cand
           .filter(firstAgree === col("bidx") && est >= 0.5)
-          .select(col("doc_id").as("id_s"), col("ref_id"),
+          .select(col("id").as("id_s"), col("ref_id"),
             est.as("est_jaccard"))
         graft.streaming.StreamingIngest
           .runBoundedDedup(s, "q_streaming_neardup_sink", out)

@@ -1774,13 +1774,18 @@ object Queries {
              |      THEN 0.0
              |      ELSE (m * sab - sa * sb) / (sqrt(m * saa - sa * sa) * sqrt(m * sbb - sb * sb))
              |    END AS score
-             |  FROM acf)
-             |SELECT event_type,
+             |  FROM acf),
+             |ev AS (SELECT DISTINCT event_type FROM daily)
+             |-- LEFT JOIN from the group domain: a series shorter than the lag
+             |-- produces NO acf rows, but the engine scores it 0.0 (m < 2
+             |-- branch) — COALESCE keeps the oracle row instead of dropping it
+             |SELECT e.event_type AS event_type,
              |  CAST(7 AS BIGINT) AS p1,
-             |  MAX(CASE WHEN l = 7 THEN score END) AS s1,
+             |  COALESCE(MAX(CASE WHEN s.l = 7 THEN s.score END), 0.0) AS s1,
              |  CAST(3 AS BIGINT) AS p2,
-             |  MAX(CASE WHEN l = 3 THEN score END) AS s2
-             |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin)),
+             |  COALESCE(MAX(CASE WHEN s.l = 3 THEN s.score END), 0.0) AS s2
+             |FROM ev e LEFT JOIN scored s ON s.event_type = e.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
     // series_decompose_anomalies: Tukey-fence flags over the decomposition
     // residual — integer flags, so the packed-list output stringifies safely

@@ -34,10 +34,27 @@ class PolygonClipSpec extends SparkSpec {
         |  b2 = geo_line_buffer(pack_array(pack_array(1.0, 2.0), pack_array(3.0, 4.0)), 0.0),
         |  c1 = geo_line_to_s2cells(pack_array(pack_array(1.0, 2.0)), 8),
         |  cp = geo_closest_point_on_line(0.0, 0.0, pack_array(pack_array(1.0, 2.0))),
+        |  cp2 = geo_closest_point_on_line(0.0, 0.0, parse_json('[null, null]')),
         |  dl = geo_distance_point_to_line(0.0, 0.0, pack_array(pack_array(1.0, 2.0))),
         |  ip = geo_point_in_polygon(0.0, 0.0, pack_array())""".stripMargin)
       .collect().head
-    (0 until 6).foreach(i => assert(r.isNullAt(i), s"col $i not null"))
+    // cp2: 2 elements but zero non-null vertex pairs — no segment examined,
+    // so the result must be null, never the echoed query point
+    (0 until 7).foreach(i => assert(r.isNullAt(i), s"col $i not null"))
+  }
+
+  test("geo_angle: 6-arg chain form equals the 8-arg form with p3 = p2") {
+    val r = run(
+      """t | project
+        |  a6 = geo_angle(-73.4, 40.3, -73.0, 40.6, -72.6, 40.5),
+        |  a8 = geo_angle(-73.4, 40.3, -73.0, 40.6, -73.0, 40.6, -72.6, 40.5),
+        |  straight = geo_angle(0.0, 0.0, 1.0, 0.0, 2.0, 0.0)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == r.getDouble(1),
+      s"6-arg and 8-arg conventions diverge: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    // collinear eastward chain: no turn — the angle is ~0 (mod 2π), not ~π
+    val s = r.getDouble(2)
+    assert(s < 1e-6 || s > 2 * math.Pi - 1e-6, s"collinear turn angle was $s")
   }
 
   test("geo_line_buffer / geo_polygon_buffer: distance-margin containment") {

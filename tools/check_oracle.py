@@ -67,7 +67,8 @@ for name, sql in sorted(oracle.items()):
                        f"(likely uncast HUGEINT/DECIMAL aggregate — add "
                        f"CAST(... AS BIGINT) in the oracle SQL)")
                 break
-        if a.dtype.kind in 'iu' and b.dtype.kind == 'f':
+        if (a.dtype.kind in 'iu' and b.dtype.kind == 'f') or \
+           (a.dtype.kind == 'f' and b.dtype.kind in 'iu'):
             bad = (f"col {c}: dtype mismatch spark={a.dtype} duck={b.dtype} "
                    f"(driver hash is type-sensitive — CAST the oracle column)")
             break
