@@ -4000,6 +4000,31 @@ object KqlParser {
             map_filter(args.head, (k, _) => k =!= args(1).cast("string")),
             map_from_arrays(array(args(1).cast("string")),
               array(args(2).cast("string"))))
+        case "bag_zip" =>
+          // bag_zip(keys, values) → bag pairing keys[i] with values[i].
+          // Kusto contract: extra values beyond the keys are dropped, keys
+          // beyond the values pair with null, null keys are skipped, and a
+          // duplicate key keeps its FIRST occurrence (the bag_merge
+          // collision convention). Values stringify into the engine's
+          // map<string,string> bag (the pack_all deviation); non-string
+          // keys stringify rather than being ignored (same deviation).
+          val ks = args.head.cast("array<string>")
+          val vs = args(1).cast("array<string>")
+          // entries carry their ordinal so first-occurrence dedup is exact;
+          // `get` (0-based) is null past the end of values, never an error
+          val entries = filter(
+            transform(sequence(lit(1), size(ks)), i =>
+              struct(element_at(ks, i).as("key"), get(vs, i - 1).as("value"),
+                i.as("i"))),
+            e => e.getField("key").isNotNull)
+          val dedup = filter(entries, e =>
+            size(filter(entries, x => x.getField("key") === e.getField("key") &&
+              x.getField("i") < e.getField("i"))) === 0)
+          when(ks.isNull || vs.isNull || size(ks) === 0,
+            when(ks.isNotNull && vs.isNotNull,
+              typedlit(Map.empty[String, String])))
+            .otherwise(map_from_entries(transform(dedup,
+              e => struct(e.getField("key"), e.getField("value")))))
         case "treepath" =>
           // enumerate the bag's paths in Kusto's ['key'] form. Bags here are
           // depth-1 string maps (the parse-kv / bag_pack convention), so the

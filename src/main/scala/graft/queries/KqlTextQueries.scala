@@ -2840,6 +2840,30 @@ object KqlTextQueries {
              |  TRUE AS hk
              |FROM events WHERE event_id % 400 = 0 ORDER BY event_id""".stripMargin)),
 
+    // bag_zip: keys×values pairing with the full edge surface in one row —
+    // duplicate key keeps the FIRST value, a key past the values pairs with
+    // null, the extra value is dropped, and a null key is skipped
+    QueryDef("q_kql_bag_zip",
+      (s, d) => run(s, d,
+        """events
+          || where event_id % 400 == 0
+          || extend b = bag_zip(
+          |    pack_array('a', 'b', 'a', 'c'),
+          |    pack_array(tostring(event_id % 7), 'x', 'dup-ignored')),
+          |  b2 = bag_zip(pack_array('only'), pack_array('v', 'extra'))
+          || extend paths = strcat_array(treepath(b), '|'),
+          |    av = tostring(b['a']), bv = tostring(b['b']),
+          |    c_null = isnull(b['c']), ov = tostring(b2['only'])
+          || project event_id, paths, av, bv, c_null, ov
+          || sort by event_id asc""".stripMargin),
+      Some("""SELECT event_id,
+             |  '[''a'']|[''b'']|[''c'']' AS paths,
+             |  CAST(event_id % 7 AS VARCHAR) AS av,
+             |  'x' AS bv,
+             |  TRUE AS c_null,
+             |  'v' AS ov
+             |FROM events WHERE event_id % 400 = 0 ORDER BY event_id""".stripMargin)),
+
     // has_ipv4 family (delimited-token extraction + octet validation) and
     // ipv4_range_to_cidr_list (greedy minimal cover, bounded 64-step fold).
     // The 999-octet address must NOT count as present; the fixed-range cover
