@@ -123,9 +123,24 @@ object KqlFunctions {
     v - pmod(v, p2)
   }
 
+  /** `(maskedValue << 6) | prefixBits` via the native one-pass kernel —
+    * callers needing both the address and its suffix read them out of ONE
+    * parse (shiftright / bitwiseAND) instead of re-expanding the split
+    * tree per use site. Callers must gate on [[ipv4Native]]. */
+  private[graft] def ipv4Pack(c: Column): Column =
+    call_function("graft_ipv4_pack", c.cast("string"))
+  private[graft] def ipv4Native: Boolean = nativeFn("graft_ipv4_pack")
+
   /** KQL `parse_ipv4`: dotted-quad string → long, with an optional `/prefix`
-    * suffix whose mask is applied (Kusto semantics); malformed input → null. */
-  def parseIpv4(c: Column): Column = {
+    * suffix whose mask is applied (Kusto semantics); malformed input → null.
+    * Native one-scan kernel when registered (ParseIpv4K — the column chain
+    * below re-expands at every use site; q_kql_scalar_misc11's projection
+    * carried a 131 KB tree of repeated splits), column fallback otherwise;
+    * parity asserted in NativeExprSpec. */
+  def parseIpv4(c: Column): Column =
+    if (ipv4Native) shiftright(ipv4Pack(c), 6) else parseIpv4Hof(c)
+
+  private[graft] def parseIpv4Hof(c: Column): Column = {
     val halves = split(c, "/")
     val bits = when(size(halves) > 1, element_at(halves, 2).cast("int"))
       .otherwise(lit(32))
@@ -160,11 +175,18 @@ object KqlFunctions {
   /** KQL `ipv4_is_in_range(ip, range)`: the ip with the range's prefix mask
     * applied equals the range's base address. */
   def ipv4IsInRange(ip: Column, range: Column): Column = {
+    if (ipv4Native) {
+      val pr = ipv4Pack(range)
+      val bits = pr.bitwiseAND(lit(63L)).cast("int")
+      val base = shiftright(pr, 6)
+      val v = parseIpv4(ip)
+      return when(v.isNotNull && base.isNotNull, ipMask(v, bits) === base)
+    }
     val halves = split(range, "/")
     val bits = when(size(halves) > 1, element_at(halves, 2).cast("int"))
       .otherwise(lit(32))
-    val base = parseIpv4(range)
-    val v = parseIpv4(ip)
+    val base = parseIpv4Hof(range)
+    val v = parseIpv4Hof(ip)
     when(v.isNotNull && base.isNotNull, ipMask(v, bits) === base)
   }
 
@@ -342,11 +364,22 @@ object KqlFunctions {
   /** KQL `ipv4_compare(a, b [, prefix])` → −1/0/1 under the EFFECTIVE prefix:
     * the smallest of both operands' `/suffix`es and the optional argument
     * (Kusto's combination rule). parseIpv4 already applies each operand's own
-    * suffix; re-masking with the (≤) effective prefix composes exactly. */
+    * suffix; re-masking with the (≤) effective prefix composes exactly. On
+    * the native path each operand is ONE kernel call whose packed long
+    * carries both the masked value and the suffix. */
   def ipv4Compare(a: Column, b: Column, extra: Column): Column = {
+    if (ipv4Native) {
+      val pa = ipv4Pack(a); val pb = ipv4Pack(b)
+      val eff = least(pa.bitwiseAND(lit(63L)).cast("int"),
+        pb.bitwiseAND(lit(63L)).cast("int"), extra.cast("int"))
+      val va = ipMask(shiftright(pa, 6), eff)
+      val vb = ipMask(shiftright(pb, 6), eff)
+      return when(va.isNotNull && vb.isNotNull,
+        when(va < vb, -1L).when(va > vb, 1L).otherwise(0L))
+    }
     val eff = least(ipv4Suffix(a), ipv4Suffix(b), extra.cast("int"))
-    val va = ipMask(parseIpv4(a), eff)
-    val vb = ipMask(parseIpv4(b), eff)
+    val va = ipMask(parseIpv4Hof(a), eff)
+    val vb = ipMask(parseIpv4Hof(b), eff)
     when(va.isNotNull && vb.isNotNull,
       when(va < vb, -1L).when(va > vb, 1L).otherwise(0L))
   }

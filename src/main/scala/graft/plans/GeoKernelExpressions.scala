@@ -411,6 +411,76 @@ object ParseIpv6 {
   }
 }
 
+/** One-pass dotted-quad parser behind the whole ipv4 scalar family.
+  * "a.b.c.d[/p]" → (maskedValue << 6) | p, or -1 for malformed (the
+  * expression's null). Matches KqlFunctions.parseIpv4's column chain:
+  * exactly 4 octets 0–255, optional prefix 0–32 whose host bits are zeroed,
+  * anything after a second '/' ignored (split semantics), per-token
+  * whitespace trimmed (string-cast semantics). The column form re-expands
+  * the split/validate tree at EVERY use site — ipv4_compare alone holds
+  * four copies — which blew q_kql_scalar_misc11's projection to a 131 KB
+  * tree; this is one scan of the string. Non-numeric octets are null here
+  * (the column form would raise under ANSI casts — the kernel is the
+  * try-semantics Kusto documents). */
+object ParseIpv4K {
+  def eval(s0: UTF8String): Long = {
+    if (s0 == null) return -1L
+    val t = s0.toString
+    val slash = t.indexOf('/')
+    val addr = if (slash >= 0) t.substring(0, slash) else t
+    var bits = 32
+    if (slash >= 0) {
+      val rest = t.substring(slash + 1)
+      val next = rest.indexOf('/')
+      val bs = (if (next >= 0) rest.substring(0, next) else rest).trim
+      if (bs.isEmpty || bs.length > 9 || !bs.forall(c => c >= '0' && c <= '9'))
+        return -1L
+      bits = bs.toInt
+      if (bits > 32) return -1L
+    }
+    val octs = addr.split("\\.", -1)
+    if (octs.length != 4) return -1L
+    var v = 0L
+    var i = 0
+    while (i < 4) {
+      val o = octs(i).trim
+      if (o.isEmpty || o.length > 9 || !o.forall(c => c >= '0' && c <= '9'))
+        return -1L
+      val x = o.toLong
+      if (x > 255) return -1L
+      v = v * 256 + x
+      i += 1
+    }
+    val masked = v - v % (1L << (32 - bits))
+    (masked << 6) | bits
+  }
+}
+
+/** graft_ipv4_pack(s) → (masked << 6) | prefix long (nullable). */
+case class ParseIpv4Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any = {
+    val r = ParseIpv4K.eval(s.asInstanceOf[UTF8String])
+    if (r < 0) null else r
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("packed")
+    nullSafeCodeGen(ctx, ev, s => s"""
+      long $r = graft.plans.ParseIpv4K.eval($s);
+      ${ev.isNull} = $r < 0;
+      ${ev.value} = $r;""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ipv4_pack"
+}
+
 /** graft_parse_ipv6(s) → canonical form string (nullable). */
 case class ParseIpv6Expr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

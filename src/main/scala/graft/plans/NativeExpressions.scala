@@ -358,6 +358,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ParseIpv6Expr].getName, "graft_parse_ipv6"),
       (children: Seq[Expression]) => ParseIpv6Expr(children.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_ipv4_pack"),
+      new ExpressionInfo(classOf[ParseIpv4Expr].getName, "graft_ipv4_pack"),
+      (children: Seq[Expression]) => ParseIpv4Expr(children.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_make_string"),
       new ExpressionInfo(classOf[MakeStringExpr].getName, "graft_make_string"),
       (children: Seq[Expression]) => MakeStringExpr(children.head)))

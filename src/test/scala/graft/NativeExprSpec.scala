@@ -249,6 +249,32 @@ class NativeExprSpec extends SparkSpec {
         out.filterNot(_.getBoolean(0)).map(_.getString(1)).mkString(", "))
   }
 
+  test("native ipv4 pack matches the split chain on valid and invalid forms") {
+    import graft.functions.KqlFunctions
+    // the HOF chain casts octet strings to int, which raises under ANSI for
+    // non-numeric text — so the parity corpus is numeric-shaped; the kernel's
+    // extra leniency (null on letters) is covered by the kernel-only block
+    val cases = Seq(
+      "10.1.2.3", "0.0.0.0", "255.255.255.255", "10.1.2.3/24", "10.1.2.3/0",
+      "10.1.2.3/32", "192.168.001.002", "1.2.3.4/8", "1.2.3.4/33", "1.2.3",
+      "1.2.3.4.5", "256.1.2.3", "1.2.3.999", "10.1.2.3/24/9", " 10 .1.2.3",
+      "1.2.3.4/05", "")
+    val df = cases.toDF("s")
+    val out = df.select(
+      (KqlFunctions.parseIpv4Hof(col("s")) <=>
+        shiftright(call_function("graft_ipv4_pack", col("s")), 6)).as("same"),
+      col("s")).collect()
+    assert(out.forall(_.getBoolean(0)),
+      "ipv4 native/HOF mismatch on: " +
+        out.filterNot(_.getBoolean(0)).map(_.getString(1)).mkString(", "))
+    // packed suffix readout + kernel-only leniency (letters → null, not raise)
+    val k = Seq("10.1.2.3/24", "10.1.2.3", "a.b.c.d", "10.1.2.3/ab").toDF("s")
+      .select(call_function("graft_ipv4_pack", col("s")).as("p"))
+      .select(col("p").bitwiseAND(lit(63L)), col("p").isNull).collect()
+    assert(k(0).getLong(0) == 24L && k(1).getLong(0) == 32L)
+    assert(k(2).isNullAt(0) && k(3).isNullAt(0))
+  }
+
   test("empty and null-element arrays evaluate safely") {
     val df = Seq(
       (Array.empty[Float], Array.empty[Float]),
