@@ -128,6 +128,56 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Exact substring-span dedup
+  // ------------------------------------------------------------------
+
+  /** Exact substring-span deduplication stats (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" operation:
+    * remove REPEATED SPANS, not whole documents — doc-level exact/near dedup
+    * misses the boilerplate a crawl repeats inside otherwise-unique pages).
+    * Span granularity instead of suffix arrays — the Spark-shaped
+    * equivalent: every k-token window keys by an 8-byte portable hash, the
+    * GLOBALLY FIRST occurrence (smallest (doc, pos)) is kept, every later
+    * occurrence is a duplicate, and a token is "removed" when any duplicate
+    * span covers it. Output per doc: (id, n_tokens, dup_spans,
+    * removed_tokens).
+    *
+    * 100 TB posture: shuffle volume is ONE 8-byte-keyed row per token (the
+    * same order as any tokenize pass) — one shuffle by span key for the
+    * keep-first rank, one by doc for the stats; no pairwise candidate
+    * blowup at any corpus size, no driver state. */
+  def substringSpanStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "substringSpanStats: k must be >= 1")
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("t"))
+      .select(col("id"), col("t"), size(col("t")).as("n"))
+    val spans = toks
+      .select(col("id"),
+        explode(when(col("n") >= k,
+          transform(sequence(lit(0), col("n") - k),
+            i => struct(i.as("pos"),
+              portableHash60(array_join(slice(col("t"), i + 1, lit(k)), " ")).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("sp"))
+      .select(col("id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("id"), col("pos"))
+    val dups = spans.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1).select(col("id"), col("pos"))
+    val dupStats = dups.groupBy(col("id")).agg(count(lit(1)).as("dup_spans"))
+    val removed = dups
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("removed_tokens"))
+    toks.select(col("id"), col("n").cast("long").as("n_tokens"))
+      .join(dupStats, Seq("id"), "left")
+      .join(removed, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

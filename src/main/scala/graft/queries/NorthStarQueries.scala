@@ -1779,6 +1779,43 @@ object NorthStarQueries {
              |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin)),
 
     // --- training-data shaping ----------------------------------------------
+    // Exact substring-span dedup (Lee et al. 2022: remove repeated SPANS,
+    // not whole docs — the in-page boilerplate doc-level dedup misses). A
+    // duplicate is any 5-token window whose content appeared at a smaller
+    // (doc, pos); removed tokens are those a duplicate span covers. The
+    // oracle replays the portable span hash and the keep-first window rank.
+    QueryDef("q_substring_dedup",
+      (s, d) => Dedup.substringSpanStats(T(s, d, "documents"), "text", "doc_id", 5)
+        .withColumnRenamed("id", "doc_id")
+        .sortBy(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |spans AS (
+             |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS pos
+             |  FROM toks WHERE len(t) >= 5),
+             |hashed AS (
+             |  SELECT doc_id, pos,
+             |    ('0x' || substr(md5(array_to_string(t[pos+1 : pos+5], ' ')), 1, 15))::BIGINT AS h
+             |  FROM spans),
+             |ranked AS (
+             |  SELECT doc_id, pos,
+             |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             |  FROM hashed),
+             |dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+             |covered AS (
+             |  SELECT DISTINCT doc_id, pos + x.x AS tp
+             |  FROM dups, (SELECT unnest(generate_series(0, 4)) AS x) x)
+             |SELECT t.doc_id AS doc_id,
+             |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+             |  CAST(COALESCE(d.ds, 0) AS BIGINT) AS dup_spans,
+             |  CAST(COALESCE(c.rem, 0) AS BIGINT) AS removed_tokens
+             |FROM toks t
+             |LEFT JOIN (SELECT doc_id, COUNT(*) AS ds FROM dups GROUP BY 1) d
+             |  ON d.doc_id = t.doc_id
+             |LEFT JOIN (SELECT doc_id, COUNT(*) AS rem FROM covered GROUP BY 1) c
+             |  ON c.doc_id = t.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // Line-level boilerplate removal (the C4/Gopher cleanup: drop lines that
     // repeat across ≥20 documents — footers, nav chrome). Lines are
     // constructed deterministically (10-token groups + a per-source footer,
