@@ -220,6 +220,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: near-dup
+    * removal by EMBEDDING similarity inside coarse clusters — catches
+    * paraphrases and templated rewrites that MinHash's lexical shingles
+    * miss). Deterministic contract: a vector is REMOVED when any vector
+    * with a SMALLER id shares one of its `nProbe` nearest coarse clusters
+    * and has cosine ≥ tau (keep-first, no connected components — each
+    * removal is independently explainable by one kept witness).
+    *
+    * 100 TB posture: candidate pairs come ONLY from the equi-join on the
+    * cluster id (the IVF-list analogue of LSH bands) — ×nProbe assignment
+    * rows, pair count bounded by cluster sizes, one cosine per DISTINCT
+    * surviving pair, no all-pairs stage. The trained centroid model is the
+    * only driver-side state (k×dim floats, ivfTrain's contract). */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               tau: Double, nCentroids: Int = 16, nProbe: Int = 2,
+               iters: Int = 5, seed: Long = 42L,
+               trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed))
+    // multi-assign (nProbe nearest clusters) so an epsilon-perturbed near-dup
+    // on a cluster boundary still meets its original — the ivfTopK probe
+    // argument applied symmetrically to the one corpus
+    val assigned = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(ivfProbes(col("__v"), centroids, nProbe)).as("__cid"))
+    val a = assigned.select(col("__cid"), col("__id").as("__id_a"))
+    val b = assigned.select(col("__cid"), col("__id").as("__id_b"))
+    // ids-only pair dedup BEFORE the cosine (the lshCandidatePairs contract:
+    // two shared clusters must not score the pair twice)
+    val cand = a.join(b, Seq("__cid")).filter(col("__id_a") < col("__id_b"))
+      .select(col("__id_a"), col("__id_b")).distinct()
+    val vecs = corpus.select(col(idCol).as("__jid"), col(vecCol).as("__jv"))
+    val removedIds = cand
+      .join(vecs.select(col("__jid").as("__id_a"), col("__jv").as("__va")), Seq("__id_a"))
+      .join(vecs.select(col("__jid").as("__id_b"), col("__jv").as("__vb")), Seq("__id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__id_b").as("__rid")).distinct()
+    corpus.select(col(idCol))
+      .join(removedIds, col(idCol) === col("__rid"), "left")
+      .select(col(idCol), col("__rid").isNotNull.as("removed"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) ANN: per-subspace codebooks + ADC scan.
   // ------------------------------------------------------------------
