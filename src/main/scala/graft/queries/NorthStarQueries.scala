@@ -708,9 +708,10 @@ object NorthStarQueries {
     // original, which carries the smaller id) must be REMOVED and every
     // original KEPT — a missed cluster meet or broken keep-first rule
     // reddens the row. Own cached model at 64 centroids: within-cluster
-    // pair work is quadratic in cluster SIZE, so the cluster count must
-    // grow with the corpus (the SemDeDup k ≈ √n guidance) — 16 coarse
-    // ANN-style lists measured 1.44 s vs 0.98 s at 64 on the sf0.1 corpus.
+    // pair work is quadratic in cluster SIZE, so the cluster count grows
+    // with the corpus (k ∝ n keeps cluster size and the per-row pair
+    // budget constant — the SemDeDup posture; measured in SCALE.md) — 16
+    // coarse ANN-style lists measured 1.44 s vs 0.98 s at 64 on sf0.1.
     QueryDef("q_semantic_dedup",
       (s, d) => {
         val emb = T(s, d, "embeddings")
