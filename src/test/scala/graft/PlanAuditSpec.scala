@@ -90,6 +90,23 @@ class PlanAuditSpec extends SparkSpec {
       s"salted join degenerated to a product join:\n$p")
   }
 
+  test("substring-span dedup: one window exchange keyed by the span hash, no product") {
+    val p = plan("q_substring_dedup")
+    // the keep-first rank partitions by the span hash — the ONE shuffle whose
+    // volume is a row per token; any product join means a pair blowup snuck in
+    assert(p.contains("Window"), s"keep-first window rank missing:\n$p")
+    assert(p.contains("hashpartitioning(h"), s"window not keyed by the span hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span dedup produced a product join:\n$p")
+  }
+
+  test("semantic dedup: candidates only from the cluster-id equi-join, no product") {
+    val p = plan("q_semantic_dedup")
+    assert(p.contains("__cid"), s"cluster id absent from the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"semantic dedup fell back to a product join:\n$p")
+  }
+
   test("bm25: term filter lands pre-aggregation, df side broadcasts") {
     val p = plan("q_bm25")
     assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
