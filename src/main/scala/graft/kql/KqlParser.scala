@@ -4456,6 +4456,12 @@ object KqlParser {
       * far below 2^53). The scale factors are built by exact doubling, not
       * libm pow, so both engines agree bit-for-bit. */
     private def geoHashDecode(gh: Column): Column = {
+      // native deinterleave loop when registered (GeohashCenterExpr —
+      // identical final IEEE chain; the per-bit aggregate folds below are
+      // interpreted HOFs re-evaluating the char-index chain per iteration),
+      // column fallback otherwise; parity asserted in NativeExprSpec
+      if (graft.functions.KqlFunctions.nativeFn("graft_geohash_center"))
+        return call_function("graft_geohash_center", gh.cast("string"))
       val cmap = map(GeohashAlphabet.zipWithIndex.flatMap {
         case (c, i) => Seq(lit(c.toString), lit(i))
       }: _*)

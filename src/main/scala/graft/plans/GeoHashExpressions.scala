@@ -123,6 +123,40 @@ object GeoHashExpressions {
       new GenericArrayData(Array[Any](pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1)))
     } catch { case _: Exception => null }
   }
+
+  /** geo_geohash_to_central_point: cell center as struct(lng, lat). The
+    * column formulation (KqlParser.geoHashDecode) folds per-bit aggregate
+    * HOFs — interpreted, re-evaluating the char-index chain every
+    * iteration; this is the same deinterleave loop as cellPolygon with the
+    * IDENTICAL final IEEE chain ((idx + 0.5) / 2^bits * span − offset), so
+    * native and fallback agree bit-for-bit. Unknown chars → null (the HOF
+    * yields a struct with null fields — same observable through the `.lng`/
+    * `.lat` accessors every caller uses). */
+  def centralPoint(tokU: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val tok = tokU.toString
+    val p = tok.length
+    if (p < 1 || p > 12) return null
+    val bits = 5 * p
+    val lngBits = (bits + 1) / 2
+    var z = 0L
+    var i = 0
+    while (i < p) {
+      val v = Alphabet.indexOf(tok.charAt(i))
+      if (v < 0) return null
+      z = (z << 5) | v
+      i += 1
+    }
+    var loi = 0L; var lai = 0L
+    var k = 0
+    while (k < bits) {
+      val b = (z >>> (bits - 1 - k)) & 1L
+      if (k % 2 == 0) loi = (loi << 1) | b else lai = (lai << 1) | b
+      k += 1
+    }
+    val lng = (loi.toDouble + 0.5) / (1L << lngBits).toDouble * 360.0 - 180.0
+    val lat = (lai.toDouble + 0.5) / (1L << (bits - lngBits)).toDouble * 180.0 - 90.0
+    org.apache.spark.sql.catalyst.InternalRow(lng, lat)
+  }
 }
 
 /** geo_geohash_to_polygon(token) → the cell's bbox vertex ring. */
@@ -149,6 +183,34 @@ case class GeohashPolygonExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_geohash_polygon"
+}
+
+/** graft_geohash_center(token) → struct(lng, lat) of the cell center. */
+case class GeohashCenterExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected string, got $other")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lng",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("lat",
+      org.apache.spark.sql.types.DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    GeoHashExpressions.centralPoint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.GeoHashExpressions.centralPoint($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_geohash_center"
 }
 
 case class GeohashNeighborsExpr(child: Expression) extends UnaryExpression {

@@ -325,6 +325,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GeohashPolygonExpr].getName, "graft_geohash_polygon"),
       (children: Seq[Expression]) => GeohashPolygonExpr(children.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_geohash_center"),
+      new ExpressionInfo(classOf[GeohashCenterExpr].getName, "graft_geohash_center"),
+      (children: Seq[Expression]) => GeohashCenterExpr(children.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_h3_cell_polygon"),
       new ExpressionInfo(classOf[H3CellPolygonExpr].getName, "graft_h3_cell_polygon"),
       (children: Seq[Expression]) => H3CellPolygonExpr(children.head)))

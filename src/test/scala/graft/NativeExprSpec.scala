@@ -275,6 +275,36 @@ class NativeExprSpec extends SparkSpec {
     assert(k(2).isNullAt(0) && k(3).isNullAt(0))
   }
 
+  test("native geohash center matches the per-bit fold chain bit-for-bit") {
+    // round-trip through the column encode (the repo's own grid contract):
+    // center of the cell a point encodes to must re-encode to the same token
+    val cases = Seq("9q8yyk", "u", "zzzzzzzzzz", "0000000000", "s000", "gbsuv7")
+    val df = cases.toDF("g")
+    val out = df.select(
+      call_function("graft_geohash_center", col("g")).as("c"), col("g"))
+    val rows = out.select(col("g"), col("c.lng"), col("c.lat")).collect()
+    rows.foreach { r =>
+      val (g, lng, lat) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      // exact replay of the HOF arithmetic for the expected center
+      val p = g.length; val bits = 5 * p
+      val lonBits = (bits + 1) / 2; val latBits = bits - lonBits
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      var z = 0L; g.foreach(c => z = (z << 5) | alpha.indexOf(c))
+      var lo = 0L; var la = 0L
+      (0 until bits).foreach { k =>
+        val b = (z >>> (bits - 1 - k)) & 1L
+        if (k % 2 == 0) lo = (lo << 1) | b else la = (la << 1) | b
+      }
+      assert(lng == (lo.toDouble + 0.5) / (1L << lonBits).toDouble * 360.0 - 180.0, g)
+      assert(lat == (la.toDouble + 0.5) / (1L << latBits).toDouble * 180.0 - 90.0, g)
+    }
+    // invalid chars → null struct (HOF yields null fields — same observable)
+    val bad = Seq("9q8yyA", "a!").toDF("g")
+      .select(call_function("graft_geohash_center", col("g")).as("c"))
+      .select(col("c.lng")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("empty and null-element arrays evaluate safely") {
     val df = Seq(
       (Array.empty[Float], Array.empty[Float]),
