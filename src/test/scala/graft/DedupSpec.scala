@@ -106,6 +106,25 @@ class DedupSpec extends SparkSpec {
     assert(in(4) == "http://h.co/p" && in(4) == in(5))
   }
 
+  test("substring-span dedup: keep-first marks later occurrences, short docs survive") {
+    // doc 1 and 2 share their full 13-token text → every span of doc 2 is a
+    // duplicate of doc 1's (keep-first by (doc, pos)); doc 6 is shorter than
+    // k and must still appear with zero spans; doc 4 shares no span
+    val in = docs.unionByName(Seq((6L, "too short")).toDF("doc_id", "text"))
+    val out = Dedup.substringSpanStats(in, "text", "doc_id", 5)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == ((14L, 0L, 0L)), s"doc 1 must be the kept original: $byId")
+    assert(byId(2L) == ((14L, 10L, 14L)), s"doc 2 fully duplicated: $byId")
+    assert(byId(4L)._2 == 0L, s"doc 4 shares no span: $byId")
+    assert(byId(6L) == ((2L, 0L, 0L)), s"short doc must survive with 0 spans: $byId")
+    // doc 3 differs only at token 12 ('bend') → spans at pos 0-7 duplicate
+    // doc 1's; the two spans touching pos 12 (pos 8, 9) do not; covered
+    // tokens are pos 0-11
+    assert(byId(3L)._2 == 8L && byId(3L)._3 == 12L, s"doc 3 partial overlap: $byId")
+  }
+
   test("pipeline caches do not outlive their session (two-session hygiene)") {
     val fn = SparkEntry.queries("q_minhash_pairs")
     assert(fn(spark, sf).count() >= 0)
