@@ -1172,6 +1172,47 @@ object NorthStarQueries {
               |WHERE nb >= 1 AND est_jaccard >= 0.5
               |ORDER BY id_s, ref_id""".stripMargin)),
 
+    // STREAMING SemDeDup: an embedding stream deduped against a static
+    // reference corpus with NO state store — the cluster model is literal
+    // centroid expressions (stateless on the stream), both sides 2-probe
+    // multi-assign, and the residual keeps only the FIRST shared probed
+    // cluster per pair (the one-meet trick, so exactly one emit per pair
+    // with no distinct and no watermark). Planted contract: each perturbed
+    // copy (cos ≈ 0.997) must surface exactly its original (max cross
+    // cosine ≈ 0.51 < 0.9, so no other pair survives).
+    QueryDef("q_streaming_semdedup",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        evictStale(s)
+        val centroids = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "semded"),
+          Similarity.ivfTrain(emb.projectRename("corpus_id" -> "vec_id"),
+            "corpus_id", "embedding", EMB_DIM, nCentroids = 64))
+        val ref = emb
+          .select(col("vec_id").as("ref_id"), col("embedding").as("ref_vec"),
+            Similarity.ivfProbes(col("embedding"), centroids, 2).as("ref_probes"))
+          .select(col("ref_id"), col("ref_vec"), col("ref_probes"),
+            explode(col("ref_probes")).as("cid"))
+        val sigS = graft.streaming.StreamingIngest.loadStream(s, d, "embeddings")
+          .where(col("vec_id") < 40)
+          .select((col("vec_id") + 1000000L).as("sid"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("s_vec"))
+          .withColumn("s_probes", Similarity.ivfProbes(col("s_vec"), centroids, 2))
+          .select(col("sid"), col("s_vec"), col("s_probes"),
+            explode(col("s_probes")).as("cid"))
+        val firstShared = element_at(
+          filter(col("s_probes"), p => array_contains(col("ref_probes"), p)), 1)
+        val out = sigS.join(broadcast(ref), Seq("cid"))
+          .where(col("cid") === firstShared &&
+            Similarity.cosine(col("s_vec"), col("ref_vec")) >= 0.9)
+          .select(col("sid"), col("ref_id"))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_semdedup_sink", out)
+          .sortBy(col("sid"), col("ref_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS sid, vec_id AS ref_id
+             |FROM embeddings WHERE vec_id < 40
+             |ORDER BY sid, ref_id""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every
