@@ -169,6 +169,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ipv4 pack kernel: value/prefix algebra holds on random addresses") {
+    import graft.plans.ParseIpv4K
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(31)
+    (0 until 300).foreach { _ =>
+      val o = Array.fill(4)(rnd.nextInt(256))
+      val v = o.foldLeft(0L)((a, x) => a * 256 + x)
+      val bare = ParseIpv4K.eval(UTF8String.fromString(o.mkString(".")))
+      assert(bare == ((v << 6) | 32), s"bare ${o.mkString(".")}")
+      val p = rnd.nextInt(33)
+      val masked = v - v % (1L << (32 - p))
+      val packed = ParseIpv4K.eval(UTF8String.fromString(o.mkString(".") + "/" + p))
+      assert(packed == ((masked << 6) | p), s"${o.mkString(".")}/$p")
+      // malformed forms are null (-1), never a wrong value
+      assert(ParseIpv4K.eval(UTF8String.fromString(
+        s"${o(0)}.${o(1)}.${o(2)}.${256 + rnd.nextInt(700)}")) == -1L)
+      assert(ParseIpv4K.eval(UTF8String.fromString(
+        o.mkString(".") + "/" + (33 + rnd.nextInt(90)))) == -1L)
+    }
+  }
+
+  test("geohash center kernel: center lies inside its own cell box, randomly") {
+    import graft.plans.GeoHashExpressions
+    import org.apache.spark.unsafe.types.UTF8String
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val rnd = new scala.util.Random(37)
+    (0 until 200).foreach { _ =>
+      val p = 1 + rnd.nextInt(10)
+      val tok = (0 until p).map(_ => alpha(rnd.nextInt(32))).mkString
+      val c = GeoHashExpressions.centralPoint(UTF8String.fromString(tok))
+      val box = GeoHashExpressions.cellPolygon(UTF8String.fromString(tok))
+      assert(c != null && box != null, tok)
+      val lng = c.getDouble(0); val lat = c.getDouble(1)
+      val x0 = box.getArray(0).getDouble(0); val y0 = box.getArray(0).getDouble(1)
+      val x1 = box.getArray(2).getDouble(0); val y1 = box.getArray(2).getDouble(1)
+      assert(lng > x0 && lng < x1 && lat > y0 && lat < y1, s"$tok ($lng,$lat)")
+    }
+  }
+
   test("H3 boundary rings contain their center and exclude neighbors, randomly") {
     import graft.plans.H3Expressions
     val rnd = new scala.util.Random(47)
