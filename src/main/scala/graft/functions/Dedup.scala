@@ -143,15 +143,25 @@ object Dedup {
     * removed_tokens).
     *
     * 100 TB posture: shuffle volume is ONE 8-byte-keyed row per token (the
-    * same order as any tokenize pass) — one shuffle by span key for the
-    * keep-first rank, one by doc for the stats; no pairwise candidate
-    * blowup at any corpus size, no driver state. */
+    * same order as any tokenize pass). The keep-first occurrence per span
+    * is a map-side-combinable min(struct(id, pos)) aggregate — NOT a
+    * window rank: a window partitioned by the span hash sends every
+    * occurrence of a hot boilerplate span (the operator's own target:
+    * footers repeated 10⁸×) into ONE task's sort, while the aggregate
+    * combines per-partition. The spans table is never rejoined: a doc's
+    * duplicate positions are exactly its span positions MINUS its keeper
+    * positions, so the per-doc stats derive from the keeper set alone
+    * (hashed once, shuffled twice — by span key, then keepers-only by doc).
+    * No pairwise candidate blowup at any corpus size, no driver state. */
   def substringSpanStats(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "substringSpanStats: k must be >= 1")
     val toks = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(lower(col(textCol))).as("t"))
-      .select(col("id"), col("t"), size(col("t")).as("n"))
+      .select(col("id"), col("t"),
+        // null text → null n_tokens (size(null) is -1, and the DuckDB
+        // oracle's len(NULL) is NULL), and zero spans downstream
+        when(col("t").isNotNull, size(col("t"))).as("n"))
     val spans = toks
       .select(col("id"),
         explode(when(col("n") >= k,
@@ -160,21 +170,25 @@ object Dedup {
               portableHash60(array_join(slice(col("t"), i + 1, lit(k)), " ")).as("h"))))
           .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("sp"))
       .select(col("id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("id"), col("pos"))
-    val dups = spans.withColumn("rn", row_number().over(w))
-      .where(col("rn") > 1).select(col("id"), col("pos"))
-    val dupStats = dups.groupBy(col("id")).agg(count(lit(1)).as("dup_spans"))
-    val removed = dups
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
-      .distinct()
-      .groupBy(col("id")).agg(count(lit(1)).as("removed_tokens"))
-    toks.select(col("id"), col("n").cast("long").as("n_tokens"))
-      .join(dupStats, Seq("id"), "left")
-      .join(removed, Seq("id"), "left")
+    val keepers = spans.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("__first"))
+      .select(col("__first.id").as("id"), col("__first.pos").as("kpos"))
+    // per-doc kept-position sets (bounded by the doc's own span count)
+    val keptPerDoc = keepers.groupBy(col("id"))
+      .agg(collect_set(col("kpos")).as("__kept"))
+    toks.join(keptPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n"),
+        coalesce(col("__kept"), array().cast("array<int>")).as("__kept"))
+      .select(col("id"), col("n").cast("long").as("n_tokens"),
+        // dup positions = the doc's span positions minus its keepers
+        when(col("n") >= k,
+          filter(sequence(lit(0), col("n") - k),
+            p => !array_contains(col("__kept"), p)))
+          .otherwise(array().cast("array<int>")).as("__dup"))
       .select(col("id"), col("n_tokens"),
-        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+        size(col("__dup")).cast("long").as("dup_spans"),
+        size(array_distinct(flatten(transform(col("__dup"),
+          p => sequence(p, p + (k - 1)))))).cast("long").as("removed_tokens"))
   }
 
   // ------------------------------------------------------------------

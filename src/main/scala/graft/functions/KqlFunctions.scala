@@ -214,6 +214,38 @@ object KqlFunctions {
       lit(null).cast("boolean")).otherwise(wholeEq && partEq)
   }
 
+  /** geo_geohash_to_central_point COLUMN fallback (per-bit aggregate folds
+    * over the base-32 token — the native GeohashCenterExpr kernel is the
+    * fast path; KqlParser.geoHashDecode dispatches). Kept reachable here so
+    * the NativeExprSpec parity test can drive the fallback directly. */
+  private[graft] def geohashCenterHof(gh: Column): Column = {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val cmap = map(alphabet.zipWithIndex.flatMap {
+      case (c, i) => Seq(lit(c.toString), lit(i))
+    }: _*)
+    val pw5 = array(lit(16), lit(8), lit(4), lit(2), lit(1))
+    element_at(transform(array(gh), g => {
+      val cv = transform(split(g, ""), c => element_at(cmap, c))
+      val n = size(cv)
+      val lonBits = ((n * 5 + 1) / lit(2)).cast("int")
+      val latBits = n * 5 - lonBits
+      // global bit i = bit (4 − i%5) of char i/5
+      def bit(i: Column): Column =
+        pmod((element_at(cv, (i / 5).cast("int") + 1) /
+          element_at(pw5, pmod(i, lit(5)).cast("int") + 1)).cast("int"), lit(2)).cast("long")
+      def unravel(bits: Column, phase: Int): Column =
+        aggregate(sequence(lit(0), bits - 1), lit(0L),
+          (acc, j) => acc * 2 + bit(j * 2 + phase))
+      def scale(bits: Column): Column =
+        aggregate(sequence(lit(1), bits), lit(1L), (acc, _) => acc * 2)
+      val lonC = (unravel(lonBits, 0).cast("double") + 0.5) /
+        scale(lonBits).cast("double") * 360.0 - 180.0
+      val latC = (unravel(latBits, 1).cast("double") + 0.5) /
+        scale(latBits).cast("double") * 180.0 - 90.0
+      struct(lonC.as("lng"), latC.as("lat"))
+    }), 1)
+  }
+
   /** True when the named graft native expression is registered in the
     * active session (spark.sql.extensions=graft.plans.GraftExtensions) —
     * the single native-or-fallback dispatch check used across the library. */

@@ -4017,9 +4017,12 @@ object KqlParser {
               struct(element_at(ks, i).as("key"), get(vs, i - 1).as("value"),
                 i.as("i"))),
             e => e.getField("key").isNotNull)
+          // first-win: array_position returns the FIRST 1-based index of the
+          // key in the RAW keys array — exactly this entry's ordinal iff it
+          // is the first occurrence (one O(n) scan per element; a nested
+          // filter-over-entries would re-embed the whole transform tree)
           val dedup = filter(entries, e =>
-            size(filter(entries, x => x.getField("key") === e.getField("key") &&
-              x.getField("i") < e.getField("i"))) === 0)
+            array_position(ks, e.getField("key")) === e.getField("i"))
           when(ks.isNull || vs.isNull || size(ks) === 0,
             when(ks.isNotNull && vs.isNotNull,
               typedlit(Map.empty[String, String])))
@@ -4457,35 +4460,13 @@ object KqlParser {
       * libm pow, so both engines agree bit-for-bit. */
     private def geoHashDecode(gh: Column): Column = {
       // native deinterleave loop when registered (GeohashCenterExpr —
-      // identical final IEEE chain; the per-bit aggregate folds below are
-      // interpreted HOFs re-evaluating the char-index chain per iteration),
-      // column fallback otherwise; parity asserted in NativeExprSpec
+      // identical final IEEE chain; the column fallback's per-bit aggregate
+      // folds are interpreted HOFs re-evaluating the char-index chain per
+      // iteration), KqlFunctions fallback otherwise; kernel-vs-fallback
+      // parity asserted in NativeExprSpec
       if (graft.functions.KqlFunctions.nativeFn("graft_geohash_center"))
-        return call_function("graft_geohash_center", gh.cast("string"))
-      val cmap = map(GeohashAlphabet.zipWithIndex.flatMap {
-        case (c, i) => Seq(lit(c.toString), lit(i))
-      }: _*)
-      val pw5 = array(lit(16), lit(8), lit(4), lit(2), lit(1))
-      element_at(transform(array(gh), g => {
-        val cv = transform(split(g, ""), c => element_at(cmap, c))
-        val n = size(cv)
-        val lonBits = ((n * 5 + 1) / lit(2)).cast("int")
-        val latBits = n * 5 - lonBits
-        // global bit i = bit (4 − i%5) of char i/5
-        def bit(i: Column): Column =
-          pmod((element_at(cv, (i / 5).cast("int") + 1) /
-            element_at(pw5, pmod(i, lit(5)).cast("int") + 1)).cast("int"), lit(2)).cast("long")
-        def unravel(bits: Column, phase: Int): Column =
-          aggregate(sequence(lit(0), bits - 1), lit(0L),
-            (acc, j) => acc * 2 + bit(j * 2 + phase))
-        def scale(bits: Column): Column =
-          aggregate(sequence(lit(1), bits), lit(1L), (acc, _) => acc * 2)
-        val lonC = (unravel(lonBits, 0).cast("double") + 0.5) /
-          scale(lonBits).cast("double") * 360.0 - 180.0
-        val latC = (unravel(latBits, 1).cast("double") + 0.5) /
-          scale(latBits).cast("double") * 180.0 - 90.0
-        struct(lonC.as("lng"), latC.as("lat"))
-      }), 1)
+        call_function("graft_geohash_center", gh.cast("string"))
+      else graft.functions.KqlFunctions.geohashCenterHof(gh)
     }
 
     /** `geo_point_in_polygon(lng, lat, ring)` — ray cast over the closed

@@ -423,35 +423,52 @@ object ParseIpv6 {
   * (the column form would raise under ANSI casts — the kernel is the
   * try-semantics Kusto documents). */
 object ParseIpv4K {
+  /** Non-negative integer token with the string-cast's accepted shape
+    * (surrounding whitespace, optional leading '+', leading zeros of any
+    * length — the column fallback casts through string→int, so the kernel
+    * must accept exactly the same tokens); saturates above `max` (any
+    * saturated value is invalid downstream anyway). −1 = malformed. */
+  private def tok(s: String, max: Long): Long = {
+    val t = s.trim
+    val neg = t.nonEmpty && t.charAt(0) == '-'
+    var i = if (t.nonEmpty && (neg || t.charAt(0) == '+')) 1 else 0
+    if (i >= t.length) return -1L
+    var x = 0L
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c < '0' || c > '9') return -1L
+      if (x <= max) x = x * 10 + (c - '0')
+      i += 1
+    }
+    // the cast fallback range-checks AFTER parsing, so "-0" is a valid 0
+    // while any other negative fails between(0, max)
+    if (x > max || (neg && x != 0)) -1L else x
+  }
   def eval(s0: UTF8String): Long = {
     if (s0 == null) return -1L
     val t = s0.toString
     val slash = t.indexOf('/')
     val addr = if (slash >= 0) t.substring(0, slash) else t
-    var bits = 32
+    var bits = 32L
     if (slash >= 0) {
       val rest = t.substring(slash + 1)
       val next = rest.indexOf('/')
-      val bs = (if (next >= 0) rest.substring(0, next) else rest).trim
-      if (bs.isEmpty || bs.length > 9 || !bs.forall(c => c >= '0' && c <= '9'))
-        return -1L
-      bits = bs.toInt
-      if (bits > 32) return -1L
+      // anything after a second '/' is ignored (split semantics, fallback
+      // parity); the bits token follows the same cast-shape rules as octets
+      bits = tok(if (next >= 0) rest.substring(0, next) else rest, 32L)
+      if (bits < 0) return -1L
     }
     val octs = addr.split("\\.", -1)
     if (octs.length != 4) return -1L
     var v = 0L
     var i = 0
     while (i < 4) {
-      val o = octs(i).trim
-      if (o.isEmpty || o.length > 9 || !o.forall(c => c >= '0' && c <= '9'))
-        return -1L
-      val x = o.toLong
-      if (x > 255) return -1L
+      val x = tok(octs(i), 255L)
+      if (x < 0) return -1L
       v = v * 256 + x
       i += 1
     }
-    val masked = v - v % (1L << (32 - bits))
+    val masked = v - v % (1L << (32 - bits).toInt)
     (masked << 6) | bits
   }
 }

@@ -15,6 +15,8 @@ import graft.sources.Tables
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: SemDedupScale <baseDir> <scaledDir> <factor>")
     val Array(base, scaled, factorS) = args.take(3)
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -258,7 +258,14 @@ class NativeExprSpec extends SparkSpec {
       "10.1.2.3", "0.0.0.0", "255.255.255.255", "10.1.2.3/24", "10.1.2.3/0",
       "10.1.2.3/32", "192.168.001.002", "1.2.3.4/8", "1.2.3.4/33", "1.2.3",
       "1.2.3.4.5", "256.1.2.3", "1.2.3.999", "10.1.2.3/24/9", " 10 .1.2.3",
-      "1.2.3.4/05", "")
+      "1.2.3.4/05", "",
+      // cast-shape forms the string→int fallback accepts: signs, leading
+      // zeros of any length, the -0 oddity, long-castable big octets
+      // (bits overflowing INT would RAISE in the fallback's ANSI cast —
+      // kernel-only leniency, covered below)
+      "+1.2.3.4", "1.+2.3.4", "1.2.3.4/+8", "0000000010.1.2.3",
+      "1.2.3.4/0000000010", "-0.1.2.3", "-1.2.3.4", "1.2.3.4/-0",
+      "999999999999.1.2.3")
     val df = cases.toDF("s")
     val out = df.select(
       (KqlFunctions.parseIpv4Hof(col("s")) <=>
@@ -267,42 +274,36 @@ class NativeExprSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(0)),
       "ipv4 native/HOF mismatch on: " +
         out.filterNot(_.getBoolean(0)).map(_.getString(1)).mkString(", "))
-    // packed suffix readout + kernel-only leniency (letters → null, not raise)
-    val k = Seq("10.1.2.3/24", "10.1.2.3", "a.b.c.d", "10.1.2.3/ab").toDF("s")
+    // packed suffix readout + kernel-only leniency (letters and INT-overflow
+    // bits → null where the fallback's ANSI cast raises)
+    val k = Seq("10.1.2.3/24", "10.1.2.3", "a.b.c.d", "10.1.2.3/ab",
+      "1.2.3.4/999999999999").toDF("s")
       .select(call_function("graft_ipv4_pack", col("s")).as("p"))
       .select(col("p").bitwiseAND(lit(63L)), col("p").isNull).collect()
     assert(k(0).getLong(0) == 24L && k(1).getLong(0) == 32L)
-    assert(k(2).isNullAt(0) && k(3).isNullAt(0))
+    assert(k(2).isNullAt(0) && k(3).isNullAt(0) && k(4).isNullAt(0))
   }
 
-  test("native geohash center matches the per-bit fold chain bit-for-bit") {
-    // round-trip through the column encode (the repo's own grid contract):
-    // center of the cell a point encodes to must re-encode to the same token
+  test("native geohash center matches the per-bit fold fallback bit-for-bit") {
+    import graft.functions.KqlFunctions
+    // the REAL fallback (KqlFunctions.geohashCenterHof — the chain the
+    // no-extension path evaluates), not a re-derivation of the kernel
     val cases = Seq("9q8yyk", "u", "zzzzzzzzzz", "0000000000", "s000", "gbsuv7")
-    val df = cases.toDF("g")
-    val out = df.select(
-      call_function("graft_geohash_center", col("g")).as("c"), col("g"))
-    val rows = out.select(col("g"), col("c.lng"), col("c.lat")).collect()
-    rows.foreach { r =>
-      val (g, lng, lat) = (r.getString(0), r.getDouble(1), r.getDouble(2))
-      // exact replay of the HOF arithmetic for the expected center
-      val p = g.length; val bits = 5 * p
-      val lonBits = (bits + 1) / 2; val latBits = bits - lonBits
-      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
-      var z = 0L; g.foreach(c => z = (z << 5) | alpha.indexOf(c))
-      var lo = 0L; var la = 0L
-      (0 until bits).foreach { k =>
-        val b = (z >>> (bits - 1 - k)) & 1L
-        if (k % 2 == 0) lo = (lo << 1) | b else la = (la << 1) | b
-      }
-      assert(lng == (lo.toDouble + 0.5) / (1L << lonBits).toDouble * 360.0 - 180.0, g)
-      assert(lat == (la.toDouble + 0.5) / (1L << latBits).toDouble * 180.0 - 90.0, g)
-    }
-    // invalid chars → null struct (HOF yields null fields — same observable)
-    val bad = Seq("9q8yyA", "a!").toDF("g")
-      .select(call_function("graft_geohash_center", col("g")).as("c"))
-      .select(col("c.lng")).collect()
-    assert(bad.forall(_.isNullAt(0)))
+    val out = cases.toDF("g").select(col("g"),
+      (call_function("graft_geohash_center", col("g")) <=>
+        KqlFunctions.geohashCenterHof(col("g"))).as("same"))
+      .collect()
+    assert(out.forall(_.getBoolean(1)),
+      "geohash center native/HOF mismatch on: " +
+        out.filterNot(_.getBoolean(1)).map(_.getString(0)).mkString(", "))
+    // invalid chars: kernel → null struct, fallback → struct with null
+    // fields — the SAME observable through the .lng/.lat accessors every
+    // caller uses (documented posture)
+    val bad = Seq("9q8yyA", "a!").toDF("g").select(
+      call_function("graft_geohash_center", col("g")).getField("lng").as("n1"),
+      KqlFunctions.geohashCenterHof(col("g")).getField("lng").as("n2"))
+      .collect()
+    assert(bad.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
   test("empty and null-element arrays evaluate safely") {

@@ -90,12 +90,14 @@ class PlanAuditSpec extends SparkSpec {
       s"salted join degenerated to a product join:\n$p")
   }
 
-  test("substring-span dedup: one window exchange keyed by the span hash, no product") {
+  test("substring-span dedup: map-combinable keep-first agg, no window sort, no product") {
     val p = plan("q_substring_dedup")
-    // the keep-first rank partitions by the span hash — the ONE shuffle whose
-    // volume is a row per token; any product join means a pair blowup snuck in
-    assert(p.contains("Window"), s"keep-first window rank missing:\n$p")
-    assert(p.contains("hashpartitioning(h"), s"window not keyed by the span hash:\n$p")
+    // keep-first is min(struct(id,pos)) — partial-aggregated map-side and
+    // joined back on the span hash (AQE-skew-splittable); a Window here
+    // would sort every occurrence of a hot boilerplate span in ONE task
+    assert(!p.contains("Window"), s"keep-first regressed to a per-key window sort:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"keep-first aggregate is not map-side partial:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"span dedup produced a product join:\n$p")
   }
