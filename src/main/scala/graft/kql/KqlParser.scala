@@ -2775,6 +2775,27 @@ object KqlParser {
         return map(names.result()
           .flatMap(n => Seq(lit(n), col(n).cast("string"))): _*)
       }
+      if (f == "extract") {
+        // extract(regex, captureGroup, text [, typeof(type)]) — the 4th
+        // argument is a TYPE LITERAL, not an expression, so it is read as
+        // raw tokens (the mv-expand `to typeof(...)` convention); the typed
+        // form converts with try semantics (unconvertible capture → null,
+        // Kusto's contract — a plain cast would raise under ANSI)
+        eatPunct("(")
+        val re = parseExpr(); eatPunct(",")
+        val grp = parseExpr(); eatPunct(",")
+        val src = parseExpr()
+        val ty = if (atPunct(",")) {
+          pos += 1; eatIdent("typeof"); eatPunct("(")
+          val t = kqlType(ident()); eatPunct(")"); Some(t)
+        } else None
+        eatPunct(")")
+        val base = regexp_extract(src, litString(re), litLong(grp).toInt)
+        // an empty capture means "no match" for the typed form (Kusto
+        // returns null, not 0); the untyped form keeps the empty string
+        return ty.fold(base)(t =>
+          when(base =!= "", base.try_cast(t)))
+      }
       eatPunct("(")
       val args = if (atPunct(")")) Nil else {
         val out = Seq.newBuilder[Column]
@@ -2862,7 +2883,6 @@ object KqlParser {
           regexp_replace(args(1), s"^(?:${litString(args.head)})+", "")
         case "trim_end" =>
           regexp_replace(args(1), s"(?:${litString(args.head)})+$$", "")
-        case "extract" => regexp_extract(args(2), litString(args.head), litLong(args(1)).toInt)
         case "iff" | "iif" => when(args.head, args(1)).otherwise(args(2))
         case "coalesce" => coalesce(args: _*)
         case "make_string" =>

@@ -3810,10 +3810,14 @@ object KqlTextQueries {
           || extend argv = parse_command_line(
           |    strcat('run.exe -n "file ', tostring(event_id), '" -v'), 'windows')
           || extend b = bag_pack_columns(event_id, event_type)
+          || extend ex = extract('id=([0-9]+)', 1, strcat('id=', tostring(event_id)),
+          |    typeof(long)) + 1,
+          |    exn = isnull(extract('z=([0-9]+)', 1, 'no match here', typeof(long)))
           || project event_id, ar, pm, in6, fresh,
           |    a0 = tostring(argv[0]), a2 = tostring(argv[2]),
           |    na = array_length(argv),
-          |    bk = strcat_array(bag_keys(b), ','), bid = tostring(b['event_id'])
+          |    bk = strcat_array(bag_keys(b), ','), bid = tostring(b['event_id']),
+          |    ex, exn
           || sort by event_id asc""".stripMargin),
       Some("""SELECT event_id,
              |  ABS(value - 50.0) <= 25.0 AS ar,
@@ -3824,7 +3828,9 @@ object KqlTextQueries {
              |  'file ' || CAST(event_id AS VARCHAR) AS a2,
              |  CAST(4 AS BIGINT) AS na,
              |  'event_id,event_type' AS bk,
-             |  CAST(event_id AS VARCHAR) AS bid
+             |  CAST(event_id AS VARCHAR) AS bid,
+             |  event_id + 1 AS ex,
+             |  TRUE AS exn
              |FROM events WHERE event_id % 6000 = 0
              |ORDER BY event_id""".stripMargin)),
 
