@@ -3322,6 +3322,25 @@ object KqlParser {
         case "translate" =>
           // KQL translate(from, to, source); Spark translate(src, from, to)
           translate(args(2), litString(args.head), litString(args(1)))
+        case "extract_all" if args.length == 3 =>
+          // extract_all(regex, dynamic([g1, g2, ...]), text) — each match
+          // emits its selected capture groups as an array (array of arrays).
+          // The group list is a dynamic LITERAL (recovered from the literal
+          // registry, the has_any_ipv4 convention); per-group extraction
+          // columns zip positionally — every group of one match aligns by
+          // match index.
+          val pat = litString(args.head)
+          val groups = litValues.get(args(1)) match {
+            case s: Seq[_] => s.asInstanceOf[Seq[Column]].map(c => litLong(c).toInt)
+            case _ => throw new IllegalArgumentException(
+              "extract_all: capture groups must be a dynamic literal array")
+          }
+          require(groups.nonEmpty, "extract_all: at least one capture group")
+          val per = groups.map(g => regexp_extract_all(args(2), lit(pat), lit(g)))
+          when(size(per.head) === 0,
+            array().cast("array<array<string>>"))
+            .otherwise(transform(sequence(lit(1), size(per.head)), i =>
+              array(per.map(p => element_at(p, i)): _*)))
         case "extract_all" =>
           // KQL extract_all(regex, source) — all matches (of group 1 if the
           // pattern has a group, else the whole match)

@@ -3813,11 +3813,15 @@ object KqlTextQueries {
           || extend ex = extract('id=([0-9]+)', 1, strcat('id=', tostring(event_id)),
           |    typeof(long)) + 1,
           |    exn = isnull(extract('z=([0-9]+)', 1, 'no match here', typeof(long)))
+          || extend ea = extract_all('([a-z]+)=([0-9]+)', dynamic([1, 2]),
+          |    strcat('a=1 b=', tostring(event_id), ' c=333'))
           || project event_id, ar, pm, in6, fresh,
           |    a0 = tostring(argv[0]), a2 = tostring(argv[2]),
           |    na = array_length(argv),
           |    bk = strcat_array(bag_keys(b), ','), bid = tostring(b['event_id']),
-          |    ex, exn
+          |    ex, exn,
+          |    nea = array_length(ea), eak = tostring(ea[1][0]),
+          |    eav = tostring(ea[1][1])
           || sort by event_id asc""".stripMargin),
       Some("""SELECT event_id,
              |  ABS(value - 50.0) <= 25.0 AS ar,
@@ -3830,7 +3834,10 @@ object KqlTextQueries {
              |  'event_id,event_type' AS bk,
              |  CAST(event_id AS VARCHAR) AS bid,
              |  event_id + 1 AS ex,
-             |  TRUE AS exn
+             |  TRUE AS exn,
+             |  CAST(3 AS BIGINT) AS nea,
+             |  'b' AS eak,
+             |  CAST(event_id AS VARCHAR) AS eav
              |FROM events WHERE event_id % 6000 = 0
              |ORDER BY event_id""".stripMargin)),
 
