@@ -232,7 +232,13 @@ object Similarity {
     * cluster id (the IVF-list analogue of LSH bands) — ×nProbe assignment
     * rows, pair count bounded by cluster sizes, one cosine per DISTINCT
     * surviving pair, no all-pairs stage. The trained centroid model is the
-    * only driver-side state (k×dim floats, ivfTrain's contract). */
+    * only driver-side state (k×dim floats, ivfTrain's contract). Cluster
+    * count must grow with the corpus (k ∝ n keeps cluster size and the
+    * per-row pair budget constant — measured in SCALE.md); the
+    * literal-expression assignment (ivfProbes) is the right shape to a few
+    * thousand centroids, beyond which assignment should switch to a
+    * broadcast centroid TABLE (argmin via broadcast join + aggregation) so
+    * the plan stays bounded while k scales freely. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                tau: Double, nCentroids: Int = 16, nProbe: Int = 2,
                iters: Int = 5, seed: Long = 42L,
