@@ -169,13 +169,43 @@ object Similarity {
     * argmin rewritten as k native dot products (codegen'd; ~k×dim flops/row).
     * Ties break toward the lower centroid id for determinism. */
   def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
-    greatest(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+    if (nativeFnExists("graft_ivf_probes"))
+      element_at(ivfProbesNative(vec, centroids, 1), 1)
+    else greatest(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
       struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
     }: _*).getField("ni") * -1
 
-  /** The nProbe nearest centroid ids for a query vector (array column). */
+  private def nativeFnExists(name: String): Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog.functionExists(name)
+    catch { case _: Throwable => false }
+
+  private def ivfProbesNative(vec: Column,
+      centroids: Array[Array[Float]], nProbe: Int): Column =
+    call_function("graft_ivf_probes", vec,
+      typedlit(centroids.map(_.toSeq).toSeq), lit(nProbe))
+
+  /** The nProbe nearest centroid ids for a query vector (array column).
+    * Native path: graft_ivf_probes carries the centroid MATRIX as ONE
+    * literal array and scores it in a fused loop — plan size is
+    * k-independent, which is what lets the cluster count follow the corpus
+    * (k ∝ n, the SemDeDup posture) without the literal-expression form's
+    * k separate dot subtrees becoming the bottleneck. Fallback kept;
+    * identical score chain and tie-break (parity in NativeExprSpec). */
   def ivfProbes(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+    if (nativeFnExists("graft_ivf_probes"))
+      return ivfProbesNative(vec, centroids, nProbe)
+    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
+    }: _*)
+    transform(slice(sort_array(scored, asc = false), 1, nProbe), s =>
+      s.getField("ni") * -1)
+  }
+
+  /** The fallback chain alone — reachable for the NativeExprSpec parity test. */
+  private[graft] def ivfProbesHof(vec: Column,
+      centroids: Array[Array[Float]], nProbe: Int): Column = {
     val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
       struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))

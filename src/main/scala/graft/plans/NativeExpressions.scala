@@ -419,6 +419,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GeoPolyFnExpr].getName, s"graft_geo_$fn"),
         (children: Seq[Expression]) => GeoPolyFnExpr(children(0), children(1), fn)))
     }
+    e.injectFunction((
+      FunctionIdentifier("graft_ivf_probes"),
+      new ExpressionInfo(classOf[IvfProbesExpr].getName, "graft_ivf_probes"),
+      (children: Seq[Expression]) =>
+        IvfProbesExpr(children(0), children(1), children(2))))
     // statistical special functions (StatExpressions.scala)
     StatExpressions.names.foreach { case (kql, regName) =>
       e.injectFunction((
@@ -434,4 +439,83 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     }
   }
+}
+
+/** Nearest-centroid probes with the centroid MATRIX as one literal array —
+  * the large-k scale path for IVF assignment (Similarity.ivfProbes's
+  * literal-expression form embeds k separate dot subtrees in the plan; a
+  * few thousand centroids make the PLAN the bottleneck, while this is one
+  * fused loop over a single literal and is k-independent in plan size).
+  * Scores replicate the fallback's chain exactly: dot accumulated in
+  * double left-to-right over min(len) skipping null vector elements (the
+  * DotF32 contract), bias = Σx²/2 summed left-to-right, ties broken toward
+  * the lower centroid id (the (score desc, −cid desc) struct order). */
+object IvfProbes {
+  def eval(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      cents: org.apache.spark.sql.catalyst.util.ArrayData,
+      nProbe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = cents.numElements()
+    val scores = new Array[Double](k)
+    var ci = 0
+    while (ci < k) {
+      val c = cents.getArray(ci)
+      val m = c.numElements()
+      var bias = 0.0
+      var j = 0
+      while (j < m) { val x = c.getFloat(j).toDouble; bias += x * x; j += 1 }
+      bias /= 2.0
+      val n = math.min(vec.numElements(), m)
+      var s = 0.0
+      j = 0
+      while (j < n) {
+        if (!vec.isNullAt(j))
+          s += vec.getFloat(j).toDouble * c.getFloat(j).toDouble
+        j += 1
+      }
+      scores(ci) = s - bias
+      ci += 1
+    }
+    val nOut = math.min(math.max(nProbe, 0), k)
+    val out = new Array[Any](nOut)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < nOut) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        // strict > keeps the earliest (lowest) id on exact score ties
+        if (!taken(i) && (best < 0 || scores(i) > bs)) { best = i; bs = scores(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** graft_ivf_probes(vec, centroids, n) → the n nearest centroid ids. */
+case class IvfProbesExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _),
+          IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_ivf_probes expects (array<float>, array<array<float>>, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any, c: Any, n: Any): Any =
+    IvfProbes.eval(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, n) =>
+      s"graft.plans.IvfProbes.eval($v, $c, $n)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "graft_ivf_probes"
 }

@@ -306,6 +306,26 @@ class NativeExprSpec extends SparkSpec {
     assert(bad.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("native ivf probes match the literal-expression fallback, order and ties") {
+    val rnd = new scala.util.Random(53)
+    val dim = 16
+    val centroids = Array.fill(24)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // include exact duplicate centroids so the lower-id tie-break is exercised
+    centroids(7) = centroids(3).clone()
+    centroids(19) = centroids(3).clone()
+    val vecs = Seq.fill(40)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1)) :+
+      Seq.fill(dim)(0f) // zero vector: every score is just −bias
+    val df = vecs.toDF("v").select(col("v").cast("array<float>").as("v"))
+    Seq(1, 2, 4, 30).foreach { n =>
+      val out = df.select(
+        (call_function("graft_ivf_probes", col("v"),
+          typedlit(centroids.map(_.toSeq).toSeq), lit(n)) <=>
+          graft.functions.Similarity.ivfProbesHof(col("v"), centroids, n))
+          .as("same")).collect()
+      assert(out.forall(_.getBoolean(0)), s"ivf probes diverged at nProbe=$n")
+    }
+  }
+
   test("empty and null-element arrays evaluate safely") {
     val df = Seq(
       (Array.empty[Float], Array.empty[Float]),
