@@ -19,9 +19,7 @@ object Similarity {
   /** True when the graft native expressions are registered in the active session
     * (spark.sql.extensions=graft.plans.GraftExtensions). */
   private def nativeExprs: Boolean =
-    try org.apache.spark.sql.SparkSession.active.catalog
-      .functionExists(graft.plans.NativeExpressions.dotName)
-    catch { case _: Throwable => false }
+    nativeFnExists(graft.plans.NativeExpressions.dotName)
 
   /** Elementwise dot product of two float-array columns, accumulated left-to-right
     * in double — identical semantics on both paths: the native codegen'd DotF32
@@ -169,21 +167,11 @@ object Similarity {
     * argmin rewritten as k native dot products (codegen'd; ~k×dim flops/row).
     * Ties break toward the lower centroid id for determinism. */
   def ivfAssign(vec: Column, centroids: Array[Array[Float]]): Column =
-    if (nativeFnExists("graft_ivf_probes"))
-      element_at(ivfProbesNative(vec, centroids, 1), 1)
-    else greatest(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-      struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
-    }: _*).getField("ni") * -1
+    element_at(ivfProbes(vec, centroids, 1), 1)
 
   private def nativeFnExists(name: String): Boolean =
     try org.apache.spark.sql.SparkSession.active.catalog.functionExists(name)
     catch { case _: Throwable => false }
-
-  private def ivfProbesNative(vec: Column,
-      centroids: Array[Array[Float]], nProbe: Int): Column =
-    call_function("graft_ivf_probes", vec,
-      typedlit(centroids.map(_.toSeq).toSeq), lit(nProbe))
 
   /** The nProbe nearest centroid ids for a query vector (array column).
     * Native path: graft_ivf_probes carries the centroid MATRIX as ONE
@@ -191,17 +179,13 @@ object Similarity {
     * k-independent, which is what lets the cluster count follow the corpus
     * (k ∝ n, the SemDeDup posture) without the literal-expression form's
     * k separate dot subtrees becoming the bottleneck. Fallback kept;
-    * identical score chain and tie-break (parity in NativeExprSpec). */
-  def ivfProbes(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+    * identical score chain, tie-break, and null posture (a null vector is
+    * null on BOTH paths — parity in NativeExprSpec). */
+  def ivfProbes(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     if (nativeFnExists("graft_ivf_probes"))
-      return ivfProbesNative(vec, centroids, nProbe)
-    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-      struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
-    }: _*)
-    transform(slice(sort_array(scored, asc = false), 1, nProbe), s =>
-      s.getField("ni") * -1)
-  }
+      call_function("graft_ivf_probes", vec,
+        typedlit(centroids.map(_.toSeq).toSeq), lit(nProbe))
+    else ivfProbesHof(vec, centroids, nProbe)
 
   /** The fallback chain alone — reachable for the NativeExprSpec parity test. */
   private[graft] def ivfProbesHof(vec: Column,
@@ -210,8 +194,11 @@ object Similarity {
       val bias = c.map(x => x.toDouble * x.toDouble).sum / 2.0
       struct((dot(vec, typedlit(c.toSeq)) - bias).as("s"), lit(-i).as("ni"))
     }: _*)
-    transform(slice(sort_array(scored, asc = false), 1, nProbe), s =>
-      s.getField("ni") * -1)
+    // null vector → null result (the native kernel's nullSafeEval posture;
+    // unguarded, the null dot scores would tie and emit cluster ids 0..n-1)
+    when(vec.isNotNull,
+      transform(slice(sort_array(scored, asc = false), 1, nProbe), s =>
+        s.getField("ni") * -1))
   }
 
   /** ANN top-k via IVF inverted lists: corpus vectors are assigned once to

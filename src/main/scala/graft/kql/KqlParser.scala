@@ -2791,10 +2791,15 @@ object KqlParser {
         } else None
         eatPunct(")")
         val base = regexp_extract(src, litString(re), litLong(grp).toInt)
-        // an empty capture means "no match" for the typed form (Kusto
-        // returns null, not 0); the untyped form keeps the empty string
-        return ty.fold(base)(t =>
-          when(base =!= "", base.try_cast(t)))
+        // Typed semantics: no-match → null (regexp_extract's "" try_casts to
+        // null for every non-string type; typeof(string) distinguishes a
+        // matched-but-empty capture — kept as "" — from no-match — null —
+        // via an explicit match test). The UNTYPED form keeps Spark's
+        // empty-string-on-no-match (documented deviation).
+        return ty.fold(base) {
+          case "string" => when(regexp_like(src, lit(litString(re))), base)
+          case t => base.try_cast(t)
+        }
       }
       eatPunct("(")
       val args = if (atPunct(")")) Nil else {
@@ -3337,7 +3342,10 @@ object KqlParser {
           }
           require(groups.nonEmpty, "extract_all: at least one capture group")
           val per = groups.map(g => regexp_extract_all(args(2), lit(pat), lit(g)))
-          when(size(per.head) === 0,
+          // Kusto: exactly ONE listed group yields a FLAT array (same as the
+          // 2-arg form for that group); several yield an array per match
+          if (groups.size == 1) per.head
+          else when(size(per.head) === 0,
             array().cast("array<array<string>>"))
             .otherwise(transform(sequence(lit(1), size(per.head)), i =>
               array(per.map(p => element_at(p, i)): _*)))

@@ -451,28 +451,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * DotF32 contract), bias = Σx²/2 summed left-to-right, ties broken toward
   * the lower centroid id (the (score desc, −cid desc) struct order). */
 object IvfProbes {
+  /** Per-centroid biases (Σx²/2, left-to-right — the fallback's chain).
+    * A null centroid row biases to NaN so it can never win a probe slot
+    * against any real centroid under the Double.compare order below. */
+  def biasesOf(cents: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] = {
+    val k = cents.numElements()
+    val biases = new Array[Double](k)
+    var ci = 0
+    while (ci < k) {
+      if (cents.isNullAt(ci)) biases(ci) = Double.NaN
+      else {
+        val c = cents.getArray(ci)
+        val m = c.numElements()
+        var b = 0.0
+        var j = 0
+        while (j < m) { val x = c.getFloat(j).toDouble; b += x * x; j += 1 }
+        biases(ci) = b / 2.0
+      }
+      ci += 1
+    }
+    biases
+  }
   def eval(vec: org.apache.spark.sql.catalyst.util.ArrayData,
       cents: org.apache.spark.sql.catalyst.util.ArrayData,
-      nProbe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      nProbe: Int,
+      biases: Array[Double]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val k = cents.numElements()
+    val bs0 = if (biases != null) biases else biasesOf(cents)
     val scores = new Array[Double](k)
     var ci = 0
     while (ci < k) {
-      val c = cents.getArray(ci)
-      val m = c.numElements()
-      var bias = 0.0
-      var j = 0
-      while (j < m) { val x = c.getFloat(j).toDouble; bias += x * x; j += 1 }
-      bias /= 2.0
-      val n = math.min(vec.numElements(), m)
-      var s = 0.0
-      j = 0
-      while (j < n) {
-        if (!vec.isNullAt(j))
-          s += vec.getFloat(j).toDouble * c.getFloat(j).toDouble
-        j += 1
+      if (cents.isNullAt(ci) || java.lang.Double.isNaN(bs0(ci))) {
+        // a null centroid row can never win a slot (NaN sorts LAST here —
+        // note the deliberate divergence from Spark's NaN-largest sort: a
+        // missing centroid must not hijack every assignment)
+        scores(ci) = Double.NegativeInfinity
+      } else {
+        val c = cents.getArray(ci)
+        val n = math.min(vec.numElements(), c.numElements())
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          if (!vec.isNullAt(j))
+            s += vec.getFloat(j).toDouble * c.getFloat(j).toDouble
+          j += 1
+        }
+        scores(ci) = s - bs0(ci)
       }
-      scores(ci) = s - bias
       ci += 1
     }
     val nOut = math.min(math.max(nProbe, 0), k)
@@ -484,8 +509,13 @@ object IvfProbes {
       var bs = Double.NegativeInfinity
       var i = 0
       while (i < k) {
-        // strict > keeps the earliest (lowest) id on exact score ties
-        if (!taken(i) && (best < 0 || scores(i) > bs)) { best = i; bs = scores(i) }
+        // Double.compare: NaN scores (a NaN vector element) order LARGEST,
+        // matching the fallback's sort_array; strict > keeps the earliest
+        // (lowest) id on exact ties
+        if (!taken(i) &&
+            (best < 0 || java.lang.Double.compare(scores(i), bs) > 0)) {
+          best = i; bs = scores(i)
+        }
         i += 1
       }
       taken(best) = true
@@ -496,7 +526,10 @@ object IvfProbes {
   }
 }
 
-/** graft_ivf_probes(vec, centroids, n) → the n nearest centroid ids. */
+/** graft_ivf_probes(vec, centroids, n) → the n nearest centroid ids. The
+  * per-centroid biases are constants of the (foldable) centroid literal, so
+  * they are computed ONCE at plan build and shipped into generated code as
+  * a reference object — the hot per-row loop pays only the k×dim dot. */
 case class IvfProbesExpr(first: Expression, second: Expression,
     third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -509,12 +542,19 @@ case class IvfProbesExpr(first: Expression, second: Expression,
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
+  @transient private lazy val biases: Array[Double] =
+    if (second.foldable) {
+      val c = second.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      if (c == null) null else IvfProbes.biasesOf(c.asInstanceOf[ArrayData])
+    } else null // non-literal matrix: eval derives biases per call
   override protected def nullSafeEval(v: Any, c: Any, n: Any): Any =
     IvfProbes.eval(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
-      n.asInstanceOf[Int])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      n.asInstanceOf[Int], biases)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("ivfBiases", biases, "double[]")
     defineCodeGen(ctx, ev, (v, c, n) =>
-      s"graft.plans.IvfProbes.eval($v, $c, $n)")
+      s"graft.plans.IvfProbes.eval($v, $c, $n, $b)")
+  }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
   override def prettyName: String = "graft_ivf_probes"

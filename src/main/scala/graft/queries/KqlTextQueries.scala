@@ -3814,14 +3814,17 @@ object KqlTextQueries {
           |    typeof(long)) + 1,
           |    exn = isnull(extract('z=([0-9]+)', 1, 'no match here', typeof(long)))
           || extend ea = extract_all('([a-z]+)=([0-9]+)', dynamic([1, 2]),
-          |    strcat('a=1 b=', tostring(event_id), ' c=333'))
+          |    strcat('a=1 b=', tostring(event_id), ' c=333')),
+          |    ea1 = extract_all('=([0-9]+)', dynamic([1]),
+          |      strcat('a=1 b=', tostring(event_id)))
           || project event_id, ar, pm, in6, fresh,
           |    a0 = tostring(argv[0]), a2 = tostring(argv[2]),
           |    na = array_length(argv),
           |    bk = strcat_array(bag_keys(b), ','), bid = tostring(b['event_id']),
           |    ex, exn,
           |    nea = array_length(ea), eak = tostring(ea[1][0]),
-          |    eav = tostring(ea[1][1])
+          |    eav = tostring(ea[1][1]),
+          |    ea1v = tostring(ea1[1])
           || sort by event_id asc""".stripMargin),
       Some("""SELECT event_id,
              |  ABS(value - 50.0) <= 25.0 AS ar,
@@ -3837,7 +3840,8 @@ object KqlTextQueries {
              |  TRUE AS exn,
              |  CAST(3 AS BIGINT) AS nea,
              |  'b' AS eak,
-             |  CAST(event_id AS VARCHAR) AS eav
+             |  CAST(event_id AS VARCHAR) AS eav,
+             |  CAST(event_id AS VARCHAR) AS ea1v
              |FROM events WHERE event_id % 6000 = 0
              |ORDER BY event_id""".stripMargin)),
 

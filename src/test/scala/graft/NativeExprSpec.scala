@@ -313,8 +313,14 @@ class NativeExprSpec extends SparkSpec {
     // include exact duplicate centroids so the lower-id tie-break is exercised
     centroids(7) = centroids(3).clone()
     centroids(19) = centroids(3).clone()
-    val vecs = Seq.fill(40)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1)) :+
-      Seq.fill(dim)(0f) // zero vector: every score is just −bias
+    val vecs: Seq[Seq[java.lang.Float]] =
+      Seq.fill(40)(Seq.fill[java.lang.Float](dim)(rnd.nextFloat() * 2 - 1)) ++ Seq(
+        Seq.fill[java.lang.Float](dim)(0f), // zero vector: every score is −bias
+        null, // null vector: null on BOTH paths
+        // NaN element: every score is NaN — the fallback's sort orders NaN
+        // largest, so the kernel's Double.compare must agree
+        Seq.fill[java.lang.Float](dim)(Float.NaN),
+        Seq[java.lang.Float](1f, null, 2f)) // null elements skip on both paths
     val df = vecs.toDF("v").select(col("v").cast("array<float>").as("v"))
     Seq(1, 2, 4, 30).foreach { n =>
       val out = df.select(
