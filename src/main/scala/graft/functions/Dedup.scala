@@ -162,13 +162,19 @@ object Dedup {
         // null text → null n_tokens (size(null) is -1, and the DuckDB
         // oracle's len(NULL) is NULL), and zero spans downstream
         when(col("t").isNotNull, size(col("t"))).as("n"))
+    // span table: native kernel when registered (one streaming-md5 pass per
+    // doc) — the HOF form is CodegenFallback and re-interprets the md5
+    // Column tree per window; results are bit-identical (NativeExprSpec)
+    val spanArray =
+      if (KqlFunctions.nativeFn("graft_span_hashes"))
+        call_function("graft_span_hashes", col("t"), lit(k))
+      else when(col("n") >= k,
+        transform(sequence(lit(0), col("n") - k),
+          i => struct(i.as("pos"),
+            portableHash60(array_join(slice(col("t"), i + 1, lit(k)), " ")).as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
     val spans = toks
-      .select(col("id"),
-        explode(when(col("n") >= k,
-          transform(sequence(lit(0), col("n") - k),
-            i => struct(i.as("pos"),
-              portableHash60(array_join(slice(col("t"), i + 1, lit(k)), " ")).as("h"))))
-          .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("sp"))
+      .select(col("id"), explode(spanArray).as("sp"))
       .select(col("id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
     val keepers = spans.groupBy(col("h"))
       .agg(min(struct(col("id"), col("pos"))).as("__first"))
@@ -176,9 +182,21 @@ object Dedup {
     // per-doc kept-position sets (bounded by the doc's own span count)
     val keptPerDoc = keepers.groupBy(col("id"))
       .agg(collect_set(col("kpos")).as("__kept"))
-    toks.join(keptPerDoc, Seq("id"), "left")
+    val joined = toks.join(keptPerDoc, Seq("id"), "left")
       .select(col("id"), col("n"),
         coalesce(col("__kept"), array().cast("array<int>")).as("__kept"))
+    if (KqlFunctions.nativeFn("graft_span_dup_stats"))
+      // per-doc tail in one coverage-array pass (vs three HOFs per doc);
+      // n < k (or null text) → no spans → (0, 0), the column form's guard
+      joined
+        .select(col("id"), col("n").cast("long").as("n_tokens"),
+          when(col("n") >= k,
+            call_function("graft_span_dup_stats", col("n"), lit(k), col("__kept")))
+            .as("__st"))
+        .select(col("id"), col("n_tokens"),
+          coalesce(col("__st.dup"), lit(0L)).as("dup_spans"),
+          coalesce(col("__st.rem"), lit(0L)).as("removed_tokens"))
+    else joined
       .select(col("id"), col("n").cast("long").as("n_tokens"),
         // dup positions = the doc's span positions minus its keepers
         when(col("n") >= k,

@@ -536,3 +536,141 @@ case class ClosestPointOnLineExpr(first: Expression, second: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
   override def prettyName: String = GeoKernelExpressions.closestName
 }
+
+/** graft_span_hashes(toks, k) → array<struct<pos:int,h:bigint>>: every
+  * k-token window of the document keyed by the portable 60-bit hash — the
+  * substring-span-dedup span table (Dedup.substringSpanStats) in ONE pass.
+  * The column formulation (`transform(sequence(0, n-k), i => md5(array_join(
+  * slice(t, i+1, k), " ")))`) is a HOF — CodegenFallback, interpreted md5
+  * Column tree re-evaluated per window. This kernel streams each window's
+  * token bytes straight into one reused MessageDigest: zero intermediate
+  * strings, no per-window expression tree.
+  *
+  * Hash parity (asserted in NativeExprSpec): portableHash60(s) =
+  * conv(substring(md5(s),1,15),16,10) = the first 15 hex nibbles of the
+  * md5 of the UTF-8 bytes = (first-8-bytes-as-big-endian-long >>> 4).
+  * Window string parity: tokens joined by ' ' with array_join's null-skip
+  * (no delimiter emitted for a null element). Docs with fewer than k
+  * tokens produce an EMPTY array (the caller's `when(n >= k, …)` guard). */
+object SpanHashes {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SpaceByte = Array[Byte](' ')
+
+  def eval(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (k < 1 || n < k) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < k) {
+        if (!toks.isNullAt(i + j)) { // array_join skips nulls entirely
+          if (!first) md.update(SpaceByte)
+          md.update(toks.getUTF8String(i + j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val hi = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(i, hi >>> 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_span_hashes(toks, k) → array<struct<pos:int,h:bigint>>. */
+case class SpanHashesExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    SpanHashes.eval(t.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.plans.SpanHashes.eval($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "graft_span_hashes"
+}
+
+/** graft_span_dup_stats(n, k, kept) → struct(dup:bigint, rem:bigint): the
+  * per-doc substring-dedup tail — duplicate-span count and covered-token
+  * count — from the doc's KEEPER span positions alone. Replaces three HOFs
+  * per doc (filter over sequence + array_contains probe per position,
+  * then array_distinct(flatten(transform(…, sequence)))): one boolean
+  * coverage array of the doc's own length. Exact parity: dup positions are
+  * the span positions [0, n-k] absent from `kept`; removed tokens are the
+  * distinct members of ∪ [p, p+k-1] over dup positions. Call under the
+  * caller's n >= k guard (mirrors the column form's `when`). */
+object SpanDupStats {
+  def eval(n: Int, k: Int, kept: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val spanCount = n - k + 1
+    val isKept = new Array[Boolean](spanCount)
+    var i = 0
+    val nk = kept.numElements()
+    while (i < nk) {
+      if (!kept.isNullAt(i)) {
+        val p = kept.getInt(i)
+        if (p >= 0 && p < spanCount) isKept(p) = true
+      }
+      i += 1
+    }
+    val covered = new Array[Boolean](n)
+    var dup = 0L
+    var p = 0
+    while (p < spanCount) {
+      if (!isKept(p)) {
+        dup += 1
+        var t = p
+        while (t < p + k) { covered(t) = true; t += 1 }
+      }
+      p += 1
+    }
+    var rem = 0L
+    var t = 0
+    while (t < n) { if (covered(t)) rem += 1; t += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(dup, rem)
+  }
+}
+
+/** graft_span_dup_stats(n, k, kept) → struct(dup: long, rem: long). */
+case class SpanDupStatsExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (IntegerType, IntegerType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (int, int, array<int>), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup", LongType, nullable = false),
+    StructField("rem", LongType, nullable = false)))
+  override protected def nullSafeEval(n: Any, k: Any, kept: Any): Any =
+    SpanDupStats.eval(n.asInstanceOf[Int], k.asInstanceOf[Int],
+      kept.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (n, k, kept) =>
+      s"graft.plans.SpanDupStats.eval($n, $k, $kept)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "graft_span_dup_stats"
+}

@@ -358,6 +358,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
       (children: Seq[Expression]) => RepetitionStatsExpr(children.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_span_hashes"),
+      new ExpressionInfo(classOf[SpanHashesExpr].getName, "graft_span_hashes"),
+      (children: Seq[Expression]) => SpanHashesExpr(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_span_dup_stats"),
+      new ExpressionInfo(classOf[SpanDupStatsExpr].getName, "graft_span_dup_stats"),
+      (children: Seq[Expression]) =>
+        SpanDupStatsExpr(children(0), children(1), children(2))))
+    e.injectFunction((
       FunctionIdentifier("graft_parse_ipv6"),
       new ExpressionInfo(classOf[ParseIpv6Expr].getName, "graft_parse_ipv6"),
       (children: Seq[Expression]) => ParseIpv6Expr(children.head)))

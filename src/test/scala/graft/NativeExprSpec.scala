@@ -344,4 +344,49 @@ class NativeExprSpec extends SparkSpec {
       .as[Long].collect()
     assert(s.toSeq == Seq(3L, 0L))
   }
+
+  test("native span hashes match the md5 column formulation bit-for-bit") {
+    import graft.functions.{Dedup, TextAnalysis => TA}
+    val k = 5
+    val toks = Tables.load(spark, sf, "documents").limit(300)
+      .select(col("doc_id"), TA.tokens(lower(col("text"))).as("t"))
+      // edges: short docs (below k), empty arrays, null elements mid-window
+      .withColumn("t",
+        when(col("doc_id") % 13 === 0, slice(col("t"), 1, 3))
+          .when(col("doc_id") % 11 === 0, array().cast("array<string>"))
+          .when(col("doc_id") % 7 === 0,
+            concat(slice(col("t"), 1, 4), array(lit(null).cast("string")),
+              slice(col("t"), 5, 8)))
+          .otherwise(col("t")))
+    val n = size(col("t"))
+    val hof = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => struct(i.as("pos"),
+          Dedup.portableHash60(array_join(slice(col("t"), i + 1, lit(k)), " ")).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    val native = call_function("graft_span_hashes", col("t"), lit(k))
+    val diff = toks.select((hof === native).as("same")).filter(!col("same")).count()
+    assert(diff == 0, "span hashes native/HOF mismatch")
+  }
+
+  test("native span dup stats match the filter/flatten formulation") {
+    val k = 3
+    // kept sets incl. empty, full, out-of-order, and boundary positions
+    val df = Seq(
+      (10, Seq(0, 7, 3)),
+      (10, Seq.empty[Int]),
+      (10, (0 to 7).toSeq),
+      (3, Seq(0)),
+      (4, Seq(1)),
+      (7, Seq(4, 0))).toDF("n", "kept")
+    val dupPos = filter(sequence(lit(0), col("n") - k),
+      p => !array_contains(col("kept"), p))
+    val hof = struct(
+      size(dupPos).cast("long").as("dup"),
+      size(array_distinct(flatten(transform(dupPos,
+        p => sequence(p, p + (k - 1)))))).cast("long").as("rem"))
+    val native = call_function("graft_span_dup_stats", col("n"), lit(k), col("kept"))
+    val diff = df.select((hof === native).as("same")).filter(!col("same")).count()
+    assert(diff == 0, "span dup stats native/HOF mismatch")
+  }
 }
