@@ -1890,6 +1890,44 @@ object NorthStarQueries {
              |  ON c.doc_id = t.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // generative models for the target slice (lang='en', the curated stand-in)
+    // vs the raw pool; per-doc log importance weight decides keep/drop. The
+    // per-bucket log ratios are quantized to integer micro-nats at the
+    // 4096-row model so every per-doc score is an exact integer sum — see
+    // Dsir.scala for the engine-portability argument; the oracle replays
+    // the identical quantized chain.
+    QueryDef("q_dsir_weights",
+      (s, d) => graft.functions.Dsir.importanceWeights(
+          T(s, d, "documents"), "text", "doc_id", col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .sortBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |feats AS (SELECT doc_id,
+             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |pb AS (SELECT b, COUNT(*) AS r,
+             |    COUNT(*) FILTER (WHERE lang = 'en') AS tt
+             |  FROM feats GROUP BY b),
+             |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rtot,
+             |    CAST(SUM(tt) AS BIGINT) AS ttot FROM pb),
+             |lr AS (SELECT b, CAST(round((ln((tt + 0.5) / (ttot + 0.5 * 4096))
+             |      - ln((r + 0.5) / (rtot + 0.5 * 4096))) * 1e6) AS BIGINT) AS lrq
+             |  FROM pb, tot),
+             |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, CAST(SUM(n * lrq) AS BIGINT) AS s,
+             |    CAST(SUM(n) AS BIGINT) AS nf
+             |  FROM db JOIN lr USING (b) GROUP BY doc_id)
+             |SELECT doc_id, nf AS n_feats, s AS logw_micro,
+             |  CAST(s AS DOUBLE) / 1e6 AS logw,
+             |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // Line-level boilerplate removal (the C4/Gopher cleanup: drop lines that
     // repeat across ≥20 documents — footers, nav chrome). Lines are
     // constructed deterministically (10-token groups + a per-source footer,

@@ -137,4 +137,31 @@ class DedupSpec extends SparkSpec {
     val withS2 = spark.sparkContext.getPersistentRDDs.size
     assert(withS2 <= withS1, s"persisted RDDs accumulated: $withS1 -> $withS2")
   }
+
+  test("DSIR weights separate a planted target vocabulary and stay integer-exact") {
+    import graft.functions.Dsir
+    // planted contract (model-dependent op): target docs draw from a disjoint
+    // vocabulary half, so any correct importance model must rank every
+    // target-like doc above every pool-only doc regardless of bucketing
+    val tgtWords = (0 until 20).map(i => s"tw$i")
+    val poolWords = (0 until 20).map(i => s"pw$i")
+    def doc(words: Seq[String], seed: Int): String =
+      (0 until 60).map(i => words((i * 7 + seed) % words.size)).mkString(" ")
+    val rows = (0 until 8).map(i => (i.toLong, doc(tgtWords, i), true)) ++
+      (8 until 16).map(i => (i.toLong, doc(poolWords, i), false)) ++
+      // held-out docs: target-vocab but NOT marked target — must score high
+      (16 until 20).map(i => (i.toLong, doc(tgtWords, i), false))
+    val df = rows.toDF("doc_id", "text", "is_t")
+    val w = Dsir.importanceWeights(df, "text", "doc_id", col("is_t"), 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val tgtLike = (0 until 8) ++ (16 until 20)
+    val poolOnly = 8 until 16
+    val minTgt = tgtLike.map(i => w(i.toLong)._2).min
+    val maxPool = poolOnly.map(i => w(i.toLong)._2).max
+    assert(minTgt > maxPool,
+      s"target-vocab docs must outscore pool-only docs: $minTgt <= $maxPool")
+    // integer-exactness: logw is exactly logw_micro / 1e6
+    w.values.foreach { case (micro, logw) =>
+      assert(logw == micro.toDouble / 1e6) }
+  }
 }
