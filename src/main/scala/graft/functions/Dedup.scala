@@ -153,6 +153,25 @@ object Dedup {
     * positions, so the per-doc stats derive from the keeper set alone
     * (hashed once, shuffled twice — by span key, then keepers-only by doc).
     * No pairwise candidate blowup at any corpus size, no driver state. */
+
+  /** The k-token span table of a token array: array<struct<pos:int,h:bigint>>
+    * with h = portableHash60 of the space-joined window. Native kernel when
+    * registered (one streaming-md5 pass per doc — the HOF form is
+    * CodegenFallback and re-interprets the md5 Column tree per window;
+    * bit-identical either way, NativeExprSpec). Select-only, so it composes
+    * with a streaming DataFrame unchanged. Fewer than k tokens → empty. */
+  def spanHashes(toks: Column, k: Int): Column =
+    if (KqlFunctions.nativeFn("graft_span_hashes"))
+      call_function("graft_span_hashes", toks, lit(k))
+    else {
+      val n = size(toks)
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => struct(i.as("pos"),
+            portableHash60(array_join(slice(toks, i + 1, lit(k)), " ")).as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    }
+
   def substringSpanStats(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "substringSpanStats: k must be >= 1")
@@ -162,19 +181,8 @@ object Dedup {
         // null text → null n_tokens (size(null) is -1, and the DuckDB
         // oracle's len(NULL) is NULL), and zero spans downstream
         when(col("t").isNotNull, size(col("t"))).as("n"))
-    // span table: native kernel when registered (one streaming-md5 pass per
-    // doc) — the HOF form is CodegenFallback and re-interprets the md5
-    // Column tree per window; results are bit-identical (NativeExprSpec)
-    val spanArray =
-      if (KqlFunctions.nativeFn("graft_span_hashes"))
-        call_function("graft_span_hashes", col("t"), lit(k))
-      else when(col("n") >= k,
-        transform(sequence(lit(0), col("n") - k),
-          i => struct(i.as("pos"),
-            portableHash60(array_join(slice(col("t"), i + 1, lit(k)), " ")).as("h"))))
-        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
     val spans = toks
-      .select(col("id"), explode(spanArray).as("sp"))
+      .select(col("id"), explode(spanHashes(col("t"), k)).as("sp"))
       .select(col("id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
     val keepers = spans.groupBy(col("h"))
       .agg(min(struct(col("id"), col("pos"))).as("__first"))

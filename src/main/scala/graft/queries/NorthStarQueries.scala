@@ -1213,6 +1213,49 @@ object NorthStarQueries {
              |FROM embeddings WHERE vec_id < 40
              |ORDER BY sid, ref_id""".stripMargin)),
 
+    // STREAMING substring-span contamination: an incoming document stream
+    // checked for exact k-token spans that already exist in a static
+    // reference corpus — the in-flight form of q_substring_dedup (flag
+    // contaminated spans as docs arrive; batch span-dedup then removes
+    // them). Stateless: the reference reduces to its DISTINCT span-hash set
+    // (a static equi-join side), the stream emits its span table
+    // (Dedup.spanHashes is select-only so it composes with a streaming
+    // DataFrame), and the inner stream-static join emits each matched span
+    // exactly once — no state store, no watermark, no dedup. Completes the
+    // streaming dedup tier: MinHash (near-dup), SemDeDup (semantic), spans
+    // (exact substring). Oracle replays the identical md5 span chain.
+    QueryDef("q_streaming_spandedup",
+      (s, d) => {
+        val k = 5
+        val ref = T(s, d, "documents").where_(col("doc_id") % 2 === 0)
+          .select(explode(Dedup.spanHashes(
+            TA.tokens(lower(col("text"))), k)).as("sp"))
+          .select(col("sp.h").as("h")).distinct()
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), TA.tokens(lower(col("text"))).as("t"))
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+            explode(Dedup.spanHashes(col("t"), k)).as("sp"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("sp.pos").cast("long").as("pos"), col("sp.h").as("h"))
+        val out = stream.join(ref, Seq("h")).drop("h")
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_spandedup_sink", out)
+          .sortBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |sp AS (
+             |  SELECT doc_id, len(t) AS n, pos,
+             |    ('0x' || substr(md5(array_to_string(t[pos+1 : pos+5], ' ')), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS pos
+             |        FROM toks WHERE len(t) >= 5)),
+             |ref AS (SELECT DISTINCT h FROM sp WHERE doc_id % 2 = 0)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(pos AS BIGINT) AS pos
+             |FROM sp JOIN ref USING (h)
+             |WHERE doc_id % 2 = 1
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every
