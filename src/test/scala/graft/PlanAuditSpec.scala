@@ -109,6 +109,17 @@ class PlanAuditSpec extends SparkSpec {
       s"semantic dedup fell back to a product join:\n$p")
   }
 
+  test("dsir: model joins broadcast, scores partial-aggregate, no product") {
+    val p = plan("q_dsir_weights")
+    // the 4096-row log-ratio model must reach scoring as a broadcast — a
+    // shuffled join here would re-shuffle the whole feature stream by bucket
+    assert(p.contains("BroadcastHashJoin"), s"model join did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir produced a product join:\n$p")
+    // per-doc integer score sums combine map-side
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      p.contains("HashAggregate"), s"scoring aggregate not hash/partial:\n$p")
+  }
+
   test("bm25: term filter lands pre-aggregation, df side broadcasts") {
     val p = plan("q_bm25")
     assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
