@@ -38,6 +38,57 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** The hashed feature-bucket stream of a token array: unigram + bigram
+    * occurrences, each as `portableHash60(feature) % buckets`. The n-gram
+    * hashes are exactly the k=1 / k=2 span tables (Dedup.spanHashes: md5 of
+    * the space-joined window — for k=1 the token itself, for k=2
+    * "tokᵢ tokᵢ₊₁"), so feature hashing rides the native span kernel when
+    * registered. Select-only → streaming-composable. */
+  def featureBuckets(toks: Column, buckets: Int): Column =
+    transform(
+      concat(Dedup.spanHashes(toks, 1), Dedup.spanHashes(toks, 2)),
+      sp => pmod(sp.getField("h"), lit(buckets.toLong)))
+
+  /** Train the hashed n-gram model and return the DENSE quantized
+    * log-ratio table (bucket → micro-nats) — a buckets-bounded driver-side
+    * model (the IVF-centroid bounded-collect pattern) for literal/streaming
+    * scoring. Buckets unseen in the pool get the fully-smoothed ratio.
+    * Quantization uses HALF_UP like Spark's `round`, so a literal-scored
+    * document equals the in-engine broadcast-join score exactly. */
+  def trainModel(df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 4096): Array[Long] = {
+    require(buckets >= 2, "Dsir.trainModel: buckets must be >= 2")
+    val toks = df.select(isTarget.as("is_t"),
+      TextAnalysis.tokens(lower(col(textCol))).as("t"))
+    val pb = toks.select(col("is_t"),
+        explode(featureBuckets(col("t"), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("r"),
+        sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("tt"))
+      .collect() // bounded: <= buckets rows
+    val rtot = pb.map(_.getLong(1)).sum
+    val ttot = pb.map(_.getLong(2)).sum
+    val aB = 0.5 * buckets
+    def quant(tt: Long, r: Long): Long =
+      BigDecimal((math.log((tt + 0.5) / (ttot + aB))
+        - math.log((r + 0.5) / (rtot + aB))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val lrq = Array.fill(buckets)(quant(0L, 0L))
+    pb.foreach(row => lrq(row.getLong(0).toInt) =
+      quant(row.getLong(2), row.getLong(1)))
+    lrq
+  }
+
+  /** Stateless scoring column for a pre-trained model: the quantized table
+    * rides the plan as ONE literal array and each document folds its own
+    * feature buckets into an exact integer micro-nat sum — select-only, so
+    * it composes with a streaming DataFrame (no broadcast join, no state).
+    * The fold is an interpreted HOF, but the per-element work is one
+    * element_at on a literal — fine for stream rates; the batch path keeps
+    * the broadcast-join shape. */
+  def scoreMicro(toks: Column, lrq: Array[Long]): Column =
+    aggregate(featureBuckets(toks, lrq.length), lit(0L),
+      (acc, b) => acc + element_at(typedlit(lrq.toSeq), b.cast("int") + 1))
+
   /** Importance weights per document. `isTarget` marks the target-domain
     * rows of `df` itself (in-corpus target, the paper's setup: a curated
     * slice steers selection over the whole pool).
@@ -52,14 +103,7 @@ object Dsir {
     // unigram + bigram occurrence stream, each occurrence reduced to its
     // 8-byte bucket id before the (single) shuffle
     val feats = toks.select(col("id"), col("is_t"),
-        explode(concat(col("t"),
-          when(size(col("t")) >= 2,
-            transform(sequence(lit(1), size(col("t")) - 1),
-              i => concat_ws(" ", element_at(col("t"), i),
-                element_at(col("t"), i + 1))))
-            .otherwise(array().cast("array<string>")))).as("f"))
-      .select(col("id"), col("is_t"),
-        pmod(Dedup.portableHash60(col("f")), lit(buckets.toLong)).as("b"))
+        explode(featureBuckets(col("t"), buckets)).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the model: per-bucket raw and target occurrence counts (buckets-bounded)
     val perBucket = feats.groupBy("b").agg(

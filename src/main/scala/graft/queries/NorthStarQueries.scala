@@ -51,6 +51,8 @@ object NorthStarQueries {
     scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
   private val pqModelCache =
     scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]()
+  private val dsirModelCache =
+    scala.collection.concurrent.TrieMap[String, Array[Long]]()
 
   private def cacheKey(s: SparkSession, d: String, what: String): String =
     s"${System.identityHashCode(s)}:$what:$d"
@@ -67,6 +69,7 @@ object NorthStarQueries {
     }
     ivfModelCache.keys.filterNot(_.startsWith(prefix)).foreach(ivfModelCache.remove)
     pqModelCache.keys.filterNot(_.startsWith(prefix)).foreach(pqModelCache.remove)
+    dsirModelCache.keys.filterNot(_.startsWith(prefix)).foreach(dsirModelCache.remove)
   }
 
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
@@ -1255,6 +1258,56 @@ object NorthStarQueries {
              |FROM sp JOIN ref USING (h)
              |WHERE doc_id % 2 = 1
              |ORDER BY doc_id, pos""".stripMargin)),
+
+    // STREAMING DSIR scoring: the hashed n-gram model trains once on the
+    // static pool (Dsir.trainModel — a 4096-entry driver-bounded table, the
+    // IVF-centroid pattern), then rides the stream plan as ONE literal
+    // array; each arriving document folds its feature buckets into the
+    // exact integer micro-nat sum (Dsir.scoreMicro is select-only —
+    // stateless, no broadcast join, no state store). Because scores are
+    // integer-exact, the in-flight score EQUALS the batch broadcast-join
+    // score, so the oracle is the batch chain restricted to streamed docs.
+    QueryDef("q_streaming_dsir",
+      (s, d) => {
+        evictStale(s)
+        val lrq = dsirModelCache.getOrElseUpdate(cacheKey(s, d, "dsir"),
+          graft.functions.Dsir.trainModel(
+            T(s, d, "documents"), "text", col("lang") === "en"))
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), TA.tokens(lower(col("text"))).as("t"))
+          .select(col("doc_id"),
+            graft.functions.Dsir.scoreMicro(col("t"), lrq).as("logw_micro"))
+          .select(col("doc_id"), col("logw_micro"),
+            (col("logw_micro").cast("double") / 1e6).as("logw"),
+            (col("logw_micro") > 0).cast("int").as("keep"))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_dsir_sink", stream)
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |feats AS (SELECT doc_id,
+             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |pb AS (SELECT b, COUNT(*) AS r,
+             |    COUNT(*) FILTER (WHERE lang = 'en') AS tt
+             |  FROM feats GROUP BY b),
+             |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rtot,
+             |    CAST(SUM(tt) AS BIGINT) AS ttot FROM pb),
+             |lr AS (SELECT b, CAST(round((ln((tt + 0.5) / (ttot + 0.5 * 4096))
+             |      - ln((r + 0.5) / (rtot + 0.5 * 4096))) * 1e6) AS BIGINT) AS lrq
+             |  FROM pb, tot),
+             |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, CAST(SUM(n * lrq) AS BIGINT) AS s
+             |  FROM db JOIN lr USING (b) GROUP BY doc_id)
+             |SELECT doc_id, s AS logw_micro, CAST(s AS DOUBLE) / 1e6 AS logw,
+             |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
+             |FROM sc WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
 
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
