@@ -159,18 +159,23 @@ object Dedup {
     * registered (one streaming-md5 pass per doc — the HOF form is
     * CodegenFallback and re-interprets the md5 Column tree per window;
     * bit-identical either way, NativeExprSpec). Select-only, so it composes
-    * with a streaming DataFrame unchanged. Fewer than k tokens → empty. */
-  def spanHashes(toks: Column, k: Int): Column =
+    * with a streaming DataFrame unchanged. Fewer than k tokens (or k < 1) →
+    * empty; null token array → null (both paths — the native kernel is a
+    * null-propagating BinaryExpression, and the column form mirrors it). */
+  def spanHashes(toks: Column, k: Int): Column = {
+    val emptySpans = array().cast("array<struct<pos:int,h:bigint>>")
     if (KqlFunctions.nativeFn("graft_span_hashes"))
       call_function("graft_span_hashes", toks, lit(k))
+    else if (k < 1) when(toks.isNotNull, emptySpans)
     else {
       val n = size(toks)
       when(n >= k,
         transform(sequence(lit(0), n - k),
           i => struct(i.as("pos"),
             portableHash60(array_join(slice(toks, i + 1, lit(k)), " ")).as("h"))))
-        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+        .when(toks.isNotNull, emptySpans)
     }
+  }
 
   def substringSpanStats(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {

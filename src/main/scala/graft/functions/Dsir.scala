@@ -84,7 +84,18 @@ object Dsir {
     * it composes with a streaming DataFrame (no broadcast join, no state).
     * The fold is an interpreted HOF, but the per-element work is one
     * element_at on a literal — fine for stream rates; the batch path keeps
-    * the broadcast-join shape. */
+    * the broadcast-join shape.
+    *
+    * Equality contract vs the batch chain: for a document whose feature
+    * buckets all appear in the TRAINING pool, the score equals
+    * `importanceWeights` over that pool exactly (integer sums of the same
+    * quantized model rows). A genuinely NEW document may hit pool-unseen
+    * buckets — those contribute the fully-smoothed ratio quant(0,0) (the
+    * paper's add-alpha posture; see trainModel), which the pool-only batch
+    * join never materializes. Null token array → null score; a doc with
+    * ZERO features (empty array) scores 0 while the batch chain emits no
+    * row at all — filter featureless docs upstream when replaying a batch
+    * oracle (q_streaming_dsir does). */
   def scoreMicro(toks: Column, lrq: Array[Long]): Column =
     aggregate(featureBuckets(toks, lrq.length), lit(0L),
       (acc, b) => acc + element_at(typedlit(lrq.toSeq), b.cast("int") + 1))

@@ -618,10 +618,13 @@ case class SpanHashesExpr(left: Expression, right: Expression)
   * then array_distinct(flatten(transform(…, sequence)))): one boolean
   * coverage array of the doc's own length. Exact parity: dup positions are
   * the span positions [0, n-k] absent from `kept`; removed tokens are the
-  * distinct members of ∪ [p, p+k-1] over dup positions. Call under the
-  * caller's n >= k guard (mirrors the column form's `when`). */
+  * distinct members of ∪ [p, p+k-1] over dup positions. No spans (n < k or
+  * k < 1) → (0, 0) — the registered SQL function is safe standalone, not
+  * only under the library call site's n >= k guard. */
 object SpanDupStats {
   def eval(n: Int, k: Int, kept: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (k < 1 || n < k)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
     val spanCount = n - k + 1
     val isKept = new Array[Boolean](spanCount)
     var i = 0

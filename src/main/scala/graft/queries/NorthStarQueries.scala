@@ -54,6 +54,38 @@ object NorthStarQueries {
   private val dsirModelCache =
     scala.collection.concurrent.TrieMap[String, Array[Long]]()
 
+  /** The ONE DuckDB replay of the DSIR quantized chain (tokens → hashed
+    * unigram+bigram buckets → per-bucket counts → integer micro-nat model →
+    * per-doc integer score) — shared verbatim by q_dsir_weights and
+    * q_streaming_dsir so the smoothing constant / ln argument order /
+    * rounding can never drift between the two oracles. Must stay in
+    * lockstep with Dsir.trainModel's quant and importanceWeights' round
+    * expression (the other two copies of the formula, by necessity of
+    * engine). */
+  private val dsirOracleCtes =
+    """WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+      |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+      |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |feats AS (SELECT doc_id,
+      |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |pb AS (SELECT b, COUNT(*) AS r,
+      |    COUNT(*) FILTER (WHERE lang = 'en') AS tt
+      |  FROM feats GROUP BY b),
+      |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rtot,
+      |    CAST(SUM(tt) AS BIGINT) AS ttot FROM pb),
+      |lr AS (SELECT b, CAST(round((ln((tt + 0.5) / (ttot + 0.5 * 4096))
+      |      - ln((r + 0.5) / (rtot + 0.5 * 4096))) * 1e6) AS BIGINT) AS lrq
+      |  FROM pb, tot),
+      |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, CAST(SUM(n * lrq) AS BIGINT) AS s,
+      |    CAST(SUM(n) AS BIGINT) AS nf
+      |  FROM db JOIN lr USING (b) GROUP BY doc_id)
+      |""".stripMargin
+
   private def cacheKey(s: SparkSession, d: String, what: String): String =
     s"${System.identityHashCode(s)}:$what:$d"
 
@@ -1265,8 +1297,12 @@ object NorthStarQueries {
     // array; each arriving document folds its feature buckets into the
     // exact integer micro-nat sum (Dsir.scoreMicro is select-only —
     // stateless, no broadcast join, no state store). Because scores are
-    // integer-exact, the in-flight score EQUALS the batch broadcast-join
+    // integer-exact AND the streamed docs are a subset of the training
+    // pool (every bucket is pool-seen; see the scoreMicro equality
+    // contract), the in-flight score EQUALS the batch broadcast-join
     // score, so the oracle is the batch chain restricted to streamed docs.
+    // Featureless docs (null/empty text) are filtered to mirror the batch
+    // chain, which emits no row for a doc with no features.
     QueryDef("q_streaming_dsir",
       (s, d) => {
         evictStale(s)
@@ -1276,6 +1312,7 @@ object NorthStarQueries {
         val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
           .where(col("doc_id") % 2 === 1)
           .select(col("doc_id"), TA.tokens(lower(col("text"))).as("t"))
+          .where(col("t").isNotNull && size(col("t")) > 0)
           .select(col("doc_id"),
             graft.functions.Dsir.scoreMicro(col("t"), lrq).as("logw_micro"))
           .select(col("doc_id"), col("logw_micro"),
@@ -1285,29 +1322,10 @@ object NorthStarQueries {
           .runBoundedDedup(s, "q_streaming_dsir_sink", stream)
           .sortBy(col("doc_id"))
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
-             |  FROM documents),
-             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
-             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
-             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
-             |  WHERE len(t) >= 2),
-             |feats AS (SELECT doc_id,
-             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
-             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-             |pb AS (SELECT b, COUNT(*) AS r,
-             |    COUNT(*) FILTER (WHERE lang = 'en') AS tt
-             |  FROM feats GROUP BY b),
-             |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rtot,
-             |    CAST(SUM(tt) AS BIGINT) AS ttot FROM pb),
-             |lr AS (SELECT b, CAST(round((ln((tt + 0.5) / (ttot + 0.5 * 4096))
-             |      - ln((r + 0.5) / (rtot + 0.5 * 4096))) * 1e6) AS BIGINT) AS lrq
-             |  FROM pb, tot),
-             |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
-             |sc AS (SELECT doc_id, CAST(SUM(n * lrq) AS BIGINT) AS s
-             |  FROM db JOIN lr USING (b) GROUP BY doc_id)
-             |SELECT doc_id, s AS logw_micro, CAST(s AS DOUBLE) / 1e6 AS logw,
-             |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
-             |FROM sc WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
+      Some(dsirOracleCtes +
+        """SELECT doc_id, s AS logw_micro, CAST(s AS DOUBLE) / 1e6 AS logw,
+          |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
+          |FROM sc WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
 
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
@@ -1998,31 +2016,11 @@ object NorthStarQueries {
           T(s, d, "documents"), "text", "doc_id", col("lang") === "en")
         .withColumnRenamed("id", "doc_id")
         .sortBy(col("doc_id")),
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
-             |  FROM documents),
-             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
-             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
-             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
-             |  WHERE len(t) >= 2),
-             |feats AS (SELECT doc_id,
-             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
-             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-             |pb AS (SELECT b, COUNT(*) AS r,
-             |    COUNT(*) FILTER (WHERE lang = 'en') AS tt
-             |  FROM feats GROUP BY b),
-             |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rtot,
-             |    CAST(SUM(tt) AS BIGINT) AS ttot FROM pb),
-             |lr AS (SELECT b, CAST(round((ln((tt + 0.5) / (ttot + 0.5 * 4096))
-             |      - ln((r + 0.5) / (rtot + 0.5 * 4096))) * 1e6) AS BIGINT) AS lrq
-             |  FROM pb, tot),
-             |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
-             |sc AS (SELECT doc_id, CAST(SUM(n * lrq) AS BIGINT) AS s,
-             |    CAST(SUM(n) AS BIGINT) AS nf
-             |  FROM db JOIN lr USING (b) GROUP BY doc_id)
-             |SELECT doc_id, nf AS n_feats, s AS logw_micro,
-             |  CAST(s AS DOUBLE) / 1e6 AS logw,
-             |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
-             |FROM sc ORDER BY doc_id""".stripMargin)),
+      Some(dsirOracleCtes +
+        """SELECT doc_id, nf AS n_feats, s AS logw_micro,
+          |  CAST(s AS DOUBLE) / 1e6 AS logw,
+          |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
+          |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // Line-level boilerplate removal (the C4/Gopher cleanup: drop lines that
     // repeat across ≥20 documents — footers, nav chrome). Lines are

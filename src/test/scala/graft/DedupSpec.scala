@@ -164,4 +164,39 @@ class DedupSpec extends SparkSpec {
     w.values.foreach { case (micro, logw) =>
       assert(logw == micro.toDouble / 1e6) }
   }
+
+  test("DSIR scoreMicro: unseen buckets get the fully-smoothed ratio; null/empty docs") {
+    import graft.functions.{Dsir, TextAnalysis => TA}
+    // documented posture (Dsir.scoreMicro scaladoc): a streamed doc whose
+    // feature buckets are absent from the training pool contributes
+    // quant(0,0) per occurrence — the add-alpha smoothing of the paper —
+    // rather than the batch inner-join's silent drop
+    val pool = Seq((1L, "alpha beta gamma", true), (2L, "delta epsilon zeta", false))
+      .toDF("doc_id", "text", "is_t")
+    val B = 4096
+    val lrq = Dsir.trainModel(pool, "text", col("is_t"), B)
+    // pool totals: 2 docs x (3 unigrams + 2 bigrams) = 10 features, 5 target
+    val aB = 0.5 * B
+    val quant00 = BigDecimal(
+      (math.log(0.5 / (5 + aB)) - math.log(0.5 / (10 + aB))) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def buckets(text: String): Seq[Long] =
+      Seq(text).toDF("text")
+        .select(explode(Dsir.featureBuckets(TA.tokens(lower(col("text"))), B)).as("b"))
+        .as[Long].collect().toSeq
+    val seen = (buckets("alpha beta gamma") ++ buckets("delta epsilon zeta")).toSet
+    val novel = "qq ww ee" // 5 features (3 uni + 2 bi)
+    val nb = buckets(novel)
+    assert(nb.size == 5 && nb.forall(b => !seen(b)),
+      s"fixture: the novel doc's buckets must be pool-unseen: $nb vs $seen")
+    val scored = Seq(Some(novel.split(' ').toSeq), Some(Seq.empty[String]), None)
+      .toDF("t")
+      .select(Dsir.scoreMicro(col("t"), lrq).as("s"))
+      .collect()
+    assert(scored(0).getLong(0) == 5 * quant00,
+      s"unseen-bucket score must be n_feats * quant(0,0): ${scored(0)} vs ${5 * quant00}")
+    assert(quant00 > 0, "fully-smoothed ratio is positive when the pool skews raw")
+    assert(scored(1).getLong(0) == 0L, "zero-feature doc scores 0 (batch emits no row)")
+    assert(scored(2).isNullAt(0), "null token array scores null")
+  }
 }

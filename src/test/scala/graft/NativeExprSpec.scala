@@ -350,23 +350,43 @@ class NativeExprSpec extends SparkSpec {
     val k = 5
     val toks = Tables.load(spark, sf, "documents").limit(300)
       .select(col("doc_id"), TA.tokens(lower(col("text"))).as("t"))
-      // edges: short docs (below k), empty arrays, null elements mid-window
+      // edges: short docs (below k), empty arrays, null elements mid-window,
+      // NULL arrays (both forms must propagate null, not coerce to empty)
       .withColumn("t",
-        when(col("doc_id") % 13 === 0, slice(col("t"), 1, 3))
+        when(col("doc_id") % 17 === 0, lit(null).cast("array<string>"))
+          .when(col("doc_id") % 13 === 0, slice(col("t"), 1, 3))
           .when(col("doc_id") % 11 === 0, array().cast("array<string>"))
           .when(col("doc_id") % 7 === 0,
             concat(slice(col("t"), 1, 4), array(lit(null).cast("string")),
               slice(col("t"), 5, 8)))
           .otherwise(col("t")))
     val n = size(col("t"))
+    // the column fallback formulation (Dedup.spanHashes' non-native branch)
     val hof = when(n >= k,
       transform(sequence(lit(0), n - k),
         i => struct(i.as("pos"),
           Dedup.portableHash60(array_join(slice(col("t"), i + 1, lit(k)), " ")).as("h"))))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+      .when(col("t").isNotNull, array().cast("array<struct<pos:int,h:bigint>>"))
     val native = call_function("graft_span_hashes", col("t"), lit(k))
-    val diff = toks.select((hof === native).as("same")).filter(!col("same")).count()
+    val diff = toks.select((hof <=> native).as("same")).filter(!col("same")).count()
     assert(diff == 0, "span hashes native/HOF mismatch")
+  }
+
+  test("span kernels are safe standalone: null array, k < 1, n < k") {
+    // graft_span_hashes: null toks → null; k < 1 → empty (never md5(''))
+    val r = spark.sql(
+      """SELECT graft_span_hashes(CAST(NULL AS ARRAY<STRING>), 3) AS a,
+        |  graft_span_hashes(array('x','y'), 0) AS b,
+        |  graft_span_hashes(array('x','y'), 5) AS c,
+        |  graft_span_dup_stats(0, 3, CAST(array() AS ARRAY<INT>)) AS d,
+        |  graft_span_dup_stats(1, 3, array(0)) AS e,
+        |  graft_span_dup_stats(5, 0, CAST(array() AS ARRAY<INT>)) AS f""".stripMargin).head()
+    assert(r.isNullAt(0), "null token array must yield null span table")
+    assert(r.getSeq[Any](1).isEmpty, "k<1 must yield an empty span table")
+    assert(r.getSeq[Any](2).isEmpty, "n<k must yield an empty span table")
+    for (i <- 3 to 5)
+      assert(r.getStruct(i).getLong(0) == 0L && r.getStruct(i).getLong(1) == 0L,
+        s"degenerate span stats must be (0,0), got ${r.getStruct(i)}")
   }
 
   test("native span dup stats match the filter/flatten formulation") {

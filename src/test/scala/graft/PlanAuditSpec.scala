@@ -115,9 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     // shuffled join here would re-shuffle the whole feature stream by bucket
     assert(p.contains("BroadcastHashJoin"), s"model join did not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"dsir produced a product join:\n$p")
-    // per-doc integer score sums combine map-side
-    assert(p.contains("partial_sum") || p.contains("partial sum") ||
-      p.contains("HashAggregate"), s"scoring aggregate not hash/partial:\n$p")
+    // per-doc integer score sums combine map-side (partial + final stages)
+    assert(p.contains("partial_sum("), s"scoring aggregate not map-side partial:\n$p")
   }
 
   test("bm25: term filter lands pre-aggregation, df side broadcasts") {
