@@ -32,4 +32,56 @@ object Sampling {
     df.where(conv(substring(md5(id.cast("string")), 1, 2), 16, 10)
       .cast("int") < pct * 256 / 100)
   }
+
+  /** Deterministic global shuffle — the training-order permutation of a
+    * corpus. Every pretraining run shuffles its corpus; `orderBy(rand())` is
+    * neither reproducible across retries nor portable across engines. The
+    * permutation key is md5("seed:id") (change `seed` per epoch for a fresh
+    * order), and the global position comes from the DISTRIBUTED serialized
+    * row numbering (Kql.serializedRowFns: range partition + per-partition
+    * offsets — never a single-partition window). Ties (md5 collisions)
+    * break by id, so the permutation is total.
+    *
+    * 100 TB posture: one range exchange — the same cost as any global sort;
+    * the only single-point work is the #partitions-row offsets table. The
+    * output VALUES honor the permutation; re-sort by `posCol` (or write
+    * sorted-by-range) when physical row order matters downstream. */
+  def deterministicShuffle(df: DataFrame, id: Column, seed: Long,
+      posCol: String = "pos"): DataFrame = {
+    val k = "__shuffle_key"
+    require(!df.columns.contains(k),
+      s"deterministicShuffle: input must not contain a '$k' column")
+    graft.kql.Kql.serializedRowFns(
+      df.withColumn(k, md5(concat(lit(s"$seed:"), id.cast("string")))),
+      Seq(col(k), id), Seq(graft.kql.Kql.RowNumber(posCol)))
+      .drop(k)
+  }
+
+  /** Greedy corpus selection under a token budget: rank documents by
+    * (score DESC, id ASC) and keep the maximal PREFIX whose cumulative
+    * token count stays within `budget` — the "take the best N tokens" cut
+    * that follows any scoring stage (DSIR weights, quality scores, dedup
+    * survivors). Prefix semantics: the first document that would overflow
+    * the budget ends the selection; no skip-and-continue knapsack — the cut
+    * is deterministic, order-stable, and integer-exact when `tokens` is
+    * integral. Adds `cum_tokens` (the running total through each kept row).
+    *
+    * 100 TB posture: the ranking is one range exchange and the running
+    * total is the distributed cumsum (per-partition sums prefixed via the
+    * #partitions-row offsets table) — no single-partition window, no
+    * driver-side data. Scores should be integral or decimal: a double score
+    * makes the ORDER itself IEEE-tie-hazardous across engines. */
+  def selectByTokenBudget(df: DataFrame, score: Column, tokens: Column,
+      id: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "selectByTokenBudget: budget must be >= 0")
+    val t = "__budget_tok"
+    require(!df.columns.contains(t),
+      s"selectByTokenBudget: input must not contain a '$t' column")
+    graft.kql.Kql.serializedRowFns(
+      df.withColumn(t, tokens.cast("long")),
+      Seq(score.desc, id),
+      Seq(graft.kql.Kql.CumSumOf("cum_tokens", col(t))))
+      .where(col("cum_tokens") <= budget)
+      .drop(t)
+  }
 }

@@ -2131,6 +2131,49 @@ object NorthStarQueries {
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)),
 
+    // Deterministic global shuffle: the training-order permutation every
+    // pretraining run applies to its corpus. orderBy(rand()) is neither
+    // retry-reproducible nor engine-portable; the permutation key is
+    // md5("seed:id") and the global position is the DISTRIBUTED serialized
+    // row numbering (range partition + per-partition offsets — no
+    // single-partition window; plan-asserted in PlanAuditSpec).
+    QueryDef("q_det_shuffle",
+      (s, d) => graft.functions.Sampling.deterministicShuffle(
+          T(s, d, "documents").select(col("doc_id")), col("doc_id"), 42L)
+        .sortBy(col("pos")),
+      Some("""SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+             |FROM documents ORDER BY pos""".stripMargin)),
+
+    // Token-budget corpus selection: rank by an integral quality score
+    // (distinct-token count here; DSIR weights and quality scores plug in
+    // the same way) and keep the maximal prefix whose cumulative token
+    // count fits the budget — the "best N tokens" cut after scoring.
+    // Running total = the distributed restart-free cumsum; integer-exact
+    // end to end, so the cut row is identical in any engine.
+    QueryDef("q_token_budget",
+      (s, d) => {
+        val scored = T(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).as("tok"),
+          size(array_distinct(split(lower(col("text")), " ")))
+            .cast("long").as("score"))
+        graft.functions.Sampling.selectByTokenBudget(scored, col("score"),
+            col("tok"), col("doc_id"), 8000L)
+          .select(col("doc_id"), col("score"), col("cum_tokens"))
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split(text, ' ')) AS tok,
+             |    len(list_distinct(string_split(lower(text), ' '))) AS score
+             |  FROM documents),
+             |c AS (SELECT doc_id, score, tok,
+             |    SUM(tok) OVER (ORDER BY score DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t)
+             |SELECT doc_id, CAST(score AS BIGINT) AS score,
+             |  CAST(cum AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum <= 8000 ORDER BY doc_id""".stripMargin)),
+
     // --- corpus distribution diagnostics ------------------------------------
     // Token-distribution drift between two corpus splits as EXACT total
     // variation distance: TV = Σ|na·tb − nb·ta| / (2·ta·tb) computed in

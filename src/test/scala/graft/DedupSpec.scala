@@ -199,4 +199,36 @@ class DedupSpec extends SparkSpec {
     assert(scored(1).getLong(0) == 0L, "zero-feature doc scores 0 (batch emits no row)")
     assert(scored(2).isNullAt(0), "null token array scores null")
   }
+
+  test("deterministic shuffle is a reproducible seed-keyed permutation") {
+    import graft.functions.Sampling
+    val corpus = (1L to 40L).map(i => (i, s"doc $i")).toDF("id", "payload")
+    def order(seed: Long): Seq[Long] =
+      Sampling.deterministicShuffle(corpus, col("id"), seed).orderBy("pos")
+        .select("id").as[Long].collect().toSeq
+    val s7 = order(7L)
+    assert(s7 == order(7L), "same seed must reproduce the permutation")
+    assert(s7.sorted == (1L to 40L), "a permutation touches every row exactly once")
+    assert(s7 != order(8L), "different seeds must permute differently")
+    assert(s7 != (1L to 40L).toSeq, "seed 7 must not be the identity order")
+  }
+
+  test("token-budget selection is a prefix cut, not a knapsack") {
+    import graft.functions.Sampling
+    // ranked by (score desc, id): doc 1 fits (cum 5), doc 2 overflows
+    // (cum 11 > 10) and ENDS the selection; doc 3 would fit (5+2 <= 10)
+    // but prefix semantics exclude everything after the first overflow
+    val scored = Seq((1L, 10L, 5L), (2L, 9L, 6L), (3L, 8L, 2L))
+      .toDF("id", "score", "tok")
+    val sel = Sampling.selectByTokenBudget(scored, col("score"), col("tok"),
+      col("id"), 10L)
+    val kept = sel.select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L), s"prefix cut must keep only doc 1: $kept")
+    assert(sel.columns.contains("cum_tokens"), "running total must be exposed")
+    // zero budget keeps nothing; budget covering all keeps everything
+    assert(Sampling.selectByTokenBudget(scored, col("score"), col("tok"),
+      col("id"), 0L).count() == 0)
+    assert(Sampling.selectByTokenBudget(scored, col("score"), col("tok"),
+      col("id"), 13L).count() == 3)
+  }
 }

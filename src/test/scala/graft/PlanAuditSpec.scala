@@ -150,7 +150,8 @@ class PlanAuditSpec extends SparkSpec {
     // KQL `serialize` promises a global order; the naive Window.orderBy form
     // sorts the world in one task. The distributed form (range partition +
     // per-partition offsets) must keep every full-data exchange distributed.
-    for (name <- Seq("q_kql_serialize", "q_kql_rank_session")) {
+    for (name <- Seq("q_kql_serialize", "q_kql_rank_session",
+        "q_det_shuffle", "q_token_budget")) {
       val p = plan(name)
       assert(!p.contains("SinglePartition"),
         s"$name has a single-partition exchange:\n$p")
