@@ -84,4 +84,31 @@ object Sampling {
       .where(col("cum_tokens") <= budget)
       .drop(t)
   }
+
+  /** Global quantile (curriculum) binning: assign each row to one of `k`
+    * equal-population bins by the GLOBAL rank of `score` (ties broken by
+    * id, so the binning is total and engine-portable):
+    * bin = floor((rank-1)·k / n) ∈ [0, k-1]. The curriculum-learning cut —
+    * order training data easy→hard and consume bins in sequence.
+    *
+    * Exact global quantiles need two passes over the data (or an approx
+    * sketch — percentile_approx exists for that posture); this is the exact
+    * form: one count aggregate plus the DISTRIBUTED serialized row
+    * numbering (range partition + per-partition offsets — never a
+    * single-partition NTILE window). Both passes are scan+exchange shaped;
+    * the count broadcasts as one row. */
+  def quantileBins(df: DataFrame, score: Column, id: Column, k: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(k >= 1, "quantileBins: k must be >= 1")
+    val rn = "__qb_rank"
+    require(!df.columns.contains(rn),
+      s"quantileBins: input must not contain a '$rn' column")
+    val ranked = graft.kql.Kql.serializedRowFns(df, Seq(score, id),
+      Seq(graft.kql.Kql.RowNumber(rn)))
+    val n = df.agg(count(lit(1)).as("__qb_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(binCol,
+        floor((col(rn).cast("long") - 1) * k / col("__qb_n")).cast("int"))
+      .drop(rn, "__qb_n")
+  }
 }

@@ -13,6 +13,16 @@ object TextAnalysis {
   /** Whitespace tokenization (single-space split; deterministic, oracle-matchable). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Order-preserving first-occurrence dedup of a line/paragraph array —
+    * the WITHIN-document repeated-paragraph removal step (the Dolma/C4
+    * cleanup that precedes cross-document dedup: nav chrome and footers
+    * repeat inside a single crawled page too). Keeps element i iff no
+    * earlier element equals it; null elements are dropped (array_position
+    * cannot locate them — document lines are non-null by construction).
+    * Pure per-row scalar → scan-side at any corpus size, streaming-safe. */
+  def firstOccurrences(arr: Column): Column =
+    filter(arr, (l, i) => array_position(arr, l) === i + 1)
+
   /** BPE-ish subword-boundary token count: splits on whitespace AND letter/digit/
     * punctuation boundaries, approximating byte-pair tokenizer granularity. */
   def bpeishTokens(text: Column): Column =

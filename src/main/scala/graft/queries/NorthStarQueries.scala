@@ -2174,6 +2174,71 @@ object NorthStarQueries {
              |  CAST(cum AS BIGINT) AS cum_tokens
              |FROM c WHERE cum <= 8000 ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum quantile binning: k equal-population bins by the GLOBAL
+    // rank of a difficulty score (token count here) — order training data
+    // easy→hard and consume bins in sequence. Exact global quantiles are
+    // two passes (count + the distributed serialized row numbering); the
+    // naive NTILE window would sort the world in one task.
+    QueryDef("q_curriculum_bins",
+      (s, d) => {
+        val scored = T(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("score"))
+        graft.functions.Sampling.quantileBins(scored, col("score"),
+            col("doc_id"), 4)
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split(text, ' ')) AS score FROM documents),
+             |r AS (SELECT doc_id, score,
+             |    ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+             |    COUNT(*) OVER () AS n FROM t)
+             |SELECT doc_id, CAST(score AS BIGINT) AS score,
+             |  CAST(FLOOR((rn - 1) * 4 / n) AS INT) AS bin
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // WITHIN-document repeated-line removal (the Dolma/C4 cleanup that
+    // precedes cross-document dedup: nav chrome repeats inside one crawled
+    // page too). Lines are constructed deterministically (the
+    // q_line_boilerplate idiom) with PLANTED intra-doc duplicates — the
+    // first 10-token group and the footer appended again — and the cleanup
+    // keeps first occurrences order-preserving. Pure per-row scalar: no
+    // shuffle, no state, streaming-safe; cleaned content md5-proven.
+    QueryDef("q_line_dedup_within",
+      (s, d) => {
+        import graft.functions.{TextAnalysis => TA}
+        val docs = T(s, d, "documents")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        val withLines = docs.select(col("doc_id"),
+          concat(
+            transform(sequence(lit(0), floor((size(col("toks")) - 1) / 10.0).cast("int")),
+              i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))),
+            array(concat(lit("subscribe to "), col("source"))),
+            array(concat_ws(" ", slice(col("toks"), 1, 10)),
+              concat(lit("subscribe to "), col("source")))).as("lines"))
+        withLines.select(col("doc_id"), size(col("lines")).as("n_lines"),
+            TA.firstOccurrences(col("lines")).as("cleaned"))
+          .select(col("doc_id"), col("n_lines"), size(col("cleaned")).as("n_kept"),
+            (col("n_lines") - size(col("cleaned"))).as("n_removed"),
+            md5(array_join(col("cleaned"), " | ")).as("chash"))
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |l AS (SELECT doc_id, list_concat(
+             |    list_append(
+             |      list_transform(generate_series(0, (len(toks) - 1) // 10),
+             |        i -> array_to_string(toks[i*10+1 : i*10+10], ' ')),
+             |      'subscribe to ' || source),
+             |    [array_to_string(toks[1 : 10], ' '),
+             |     'subscribe to ' || source]) AS lines FROM t),
+             |c AS (SELECT doc_id, len(lines) AS n_lines,
+             |    list_filter(lines,
+             |      (x, i) -> list_position(lines, x) = i) AS cleaned FROM l)
+             |SELECT doc_id, n_lines, len(cleaned) AS n_kept,
+             |  n_lines - len(cleaned) AS n_removed,
+             |  md5(array_to_string(cleaned, ' | ')) AS chash
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // --- corpus distribution diagnostics ------------------------------------
     // Token-distribution drift between two corpus splits as EXACT total
     // variation distance: TV = Σ|na·tb − nb·ta| / (2·ta·tb) computed in

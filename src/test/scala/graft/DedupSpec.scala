@@ -231,4 +231,30 @@ class DedupSpec extends SparkSpec {
     assert(Sampling.selectByTokenBudget(scored, col("score"), col("tok"),
       col("id"), 13L).count() == 3)
   }
+
+  test("quantile bins are equal-population and rank-ordered") {
+    import graft.functions.Sampling
+    // 17 rows into 4 bins: floor((rank-1)*4/17) -> populations 5,4,4,4
+    val rows = (1L to 17L).map(i => (i, (i * 13) % 17)).toDF("id", "score")
+    val binned = Sampling.quantileBins(rows, col("score"), col("id"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pops = binned.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(pops == Map(0 -> 5, 1 -> 4, 2 -> 4, 3 -> 4), s"populations: $pops")
+    // every row in a lower bin has score <= every row in a higher bin
+    val maxPerBin = binned.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minPerBin = binned.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    for (b <- 0 to 2)
+      assert(maxPerBin(b) <= minPerBin(b + 1),
+        s"bin $b overlaps bin ${b + 1}: $binned")
+  }
+
+  test("firstOccurrences keeps order and drops later repeats") {
+    import graft.functions.{TextAnalysis => TA}
+    val kept = Seq(Seq("a", "b", "a", "c", "b", "a")).toDF("l")
+      .select(TA.firstOccurrences(col("l"))).as[Seq[String]].head()
+    assert(kept == Seq("a", "b", "c"), s"got $kept")
+    val empty = Seq(Seq.empty[String]).toDF("l")
+      .select(TA.firstOccurrences(col("l"))).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
 }

@@ -156,6 +156,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SinglePartition"),
         s"$name has a single-partition exchange:\n$p")
     }
+    // quantile binning legitimately carries ONE single-partition exchange:
+    // the 1-row global count (bounded: one row per upstream partition). The
+    // full-data rank path must still be the distributed range layout.
+    val p = plan("q_curriculum_bins")
+    assert("SinglePartition".r.findAllIn(p).size == 1,
+      s"q_curriculum_bins must have exactly the scalar-count single-partition exchange:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"q_curriculum_bins rank path must range-partition:\n$p")
   }
 
   test("summarize uses partial (map-side) aggregation") {
