@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Host-graph PageRank — the web-reputation signal CommonCrawl-derived
+  * pipelines (CCNet-class curation) use to rank hosts before quality
+  * filtering. A link graph over hosts is tiny relative to the corpus (one
+  * node per host, one edge per observed link), so the rank table is the
+  * cheap side of every join here even at 100 TB of documents.
+  *
+  * Integer-exact by construction (the DSIR micro-unit convention): ranks
+  * live in micro-units (1.0 == 1,000,000) as BIGINT; each edge carries
+  * `rank div outdeg` and the damped update is
+  * `(1000-d)*1000 + (d * inflow) div 1000` with d in permille — every
+  * operation is integral division/multiplication/summation, so the result
+  * is order-independent and bit-replayable in any engine (no fp summation
+  * hazards). Documented deviations from textbook PageRank: dangling-node
+  * mass is dropped (not redistributed) and `div` flooring loses <1 micro
+  * per edge — both standard simplifications; the relative ORDER of hosts,
+  * which is what curation consumes, is unaffected at any realistic scale.
+  *
+  * Multigraph semantics: `outdeg` counts edge ROWS, and every edge row
+  * carries one contribution — a host linking twice sends twice the mass.
+  * Pre-`distinct` the edges for simple-graph semantics.
+  *
+  * 100 TB posture: per iteration one shuffle on src (rank→edge join) and
+  * one on dst (inflow aggregate, map-side combinable) — both keyed by
+  * host, never by document; no driver-side data, no broadcast of anything
+  * node-cardinality-sized. Iterations are bounded (require ≤ 10 here; for
+  * long chains checkpoint `ranks` every few rounds to truncate lineage).
+  */
+object HostRank {
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPermille: Int = 850,
+      rankCol: String = "rank_micro"): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      "pageRank: iters in [1,10]; checkpoint between calls for longer chains")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      "pageRank: dampingPermille in [0,1000]")
+    val e = edges.select(col(srcCol).cast("string").as("__pr_src"),
+      col(dstCol).cast("string").as("__pr_dst"))
+    val nodes = e.select(col("__pr_src").as("node"))
+      .union(e.select(col("__pr_dst").as("node"))).distinct()
+    val outdeg = e.groupBy("__pr_src").agg(count(lit(1)).as("__pr_outdeg"))
+    val base = (1000L - dampingPermille) * 1000L
+    var ranks = nodes.withColumn(rankCol, lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "__pr_src"), "__pr_src")
+        .join(outdeg, "__pr_src")
+        .select(col("__pr_dst").as("node"),
+          expr(s"$rankCol div __pr_outdeg").as("__pr_contrib"))
+      val inflow = contrib.groupBy("node")
+        .agg(sum("__pr_contrib").as("__pr_inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"), (lit(base) +
+          expr(s"($dampingPermille * coalesce(__pr_inflow, cast(0 as bigint))) div 1000"))
+          .as(rankCol))
+    }
+    ranks
+  }
+}

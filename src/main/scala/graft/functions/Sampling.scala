@@ -111,4 +111,121 @@ object Sampling {
         floor((col(rn).cast("long") - 1) * k / col("__qb_n")).cast("int"))
       .drop(rn, "__qb_n")
   }
+
+  /** Temperature-scaled domain mixture (the T5/LLaMA rebalancing step):
+    * sample domain `i` with probability ∝ nᵢ^α, α < 1 flattening the head
+    * so low-resource domains/languages survive the cut. Given a total row
+    * `budget`, each domain keeps rate min(1, budget·wᵢ/(W·nᵢ)) where
+    * wᵢ = nᵢ^α and W = Σwᵢ; the keep decision is the deterministic 24-bit
+    * hash threshold (md5(domain:id) < rate·2²⁴), so the sample is
+    * reproducible across retries, engines, and cluster sizes.
+    *
+    * Engine-exact despite the fractional power: α is restricted to
+    * quarters (1→0.25, 2→0.5, 3→0.75, 4→1.0) computed by composing
+    * IEEE-correctly-rounded sqrt — n^0.75 = sqrt(n)·sqrt(sqrt(n)) — then
+    * the per-domain weight is quantized to integer micro-units BEFORE the
+    * order-sensitive Σ (the DSIR convention: sum integers, not doubles).
+    * The remaining float chain (two products, one division, one ×2²⁴ —
+    * exact, power of two) is single-rounded per op, hence bit-portable.
+    * Documented deviation: rates are expectations — the realized kept
+    * count is hash-binomial around budget, not exactly budget; compose
+    * with selectByTokenBudget for a hard cut.
+    *
+    * 100 TB posture: one count aggregate (≤ #domains rows), one broadcast
+    * join, one scan-side filter — no data-sized shuffle at all. */
+  def temperatureMixture(df: DataFrame, domain: Column, id: Column,
+      alphaQuarters: Int, budget: Long, ppmCol: String = "keep_ppm"): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      "temperatureMixture: alphaQuarters in [1,4] (0.25/0.5/0.75/1.0)")
+    require(budget >= 0, "temperatureMixture: budget must be >= 0")
+    require(!df.columns.contains(ppmCol),
+      s"temperatureMixture: input must not contain a '$ppmCol' column")
+    val counts = df.groupBy(domain.as("__tm_dom"))
+      .agg(count(lit(1)).as("__tm_n"))
+    val nD = col("__tm_n").cast("double")
+    val w = alphaQuarters match {
+      case 1 => sqrt(sqrt(nD))
+      case 2 => sqrt(nD)
+      case 3 => sqrt(nD) * sqrt(sqrt(nD))
+      case _ => nD
+    }
+    val weighted = counts.withColumn("__tm_wq",
+      floor(w * lit(1000000.0)).cast("long"))
+    val totals = weighted.agg(sum("__tm_wq").as("__tm_W"))
+    val rates = weighted.crossJoin(broadcast(totals))
+      .select(col("__tm_dom"),
+        floor(least(lit(1.0),
+          (col("__tm_wq").cast("double") * lit(budget.toDouble)) /
+            (col("__tm_W").cast("double") * col("__tm_n").cast("double"))) *
+          lit(16777216.0)).cast("long").as(ppmCol))
+    df.join(broadcast(rates), domain === col("__tm_dom"))
+      .where(conv(substring(md5(concat(domain.cast("string"), lit(":"),
+        id.cast("string"))), 1, 6), 16, 10).cast("long") < col(ppmCol))
+      .drop("__tm_dom")
+  }
+
+  /** Diversity-maximizing selection under a global budget `k`: round-robin
+    * across clusters, best-first within each. Rows rank within their
+    * cluster by (score DESC, id), then the global pick order is
+    * (round, score DESC, id) — so pick #1..#C are the best row of every
+    * cluster, #C+1 starts the second-best sweep. The curation move for
+    * instruction/SFT sets: maximal topic coverage before depth anywhere.
+    * Adds `pickCol` (the 1-based global pick order). Integer-exact when
+    * `score` is integral.
+    *
+    * 100 TB posture: one shuffle on the cluster key for the within-cluster
+    * rank (WindowGroupLimit cannot prune here — every row needs its round),
+    * then the distributed serialized numbering (range exchange + offsets
+    * table) for the global order; no single-partition window. */
+  def diverseSelect(df: DataFrame, cluster: Column, score: Column,
+      id: Column, k: Int, pickCol: String = "pick"): DataFrame = {
+    require(k >= 0, "diverseSelect: k must be >= 0")
+    val rr = "__ds_round"
+    require(!df.columns.contains(rr),
+      s"diverseSelect: input must not contain a '$rr' column")
+    val w = Window.partitionBy(cluster).orderBy(score.desc, id)
+    val ranked = df.withColumn(rr, row_number().over(w))
+    graft.kql.Kql.serializedRowFns(ranked, Seq(col(rr), score.desc, id),
+      Seq(graft.kql.Kql.RowNumber(pickCol)))
+      .where(col(pickCol) <= k)
+      .drop(rr)
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res),
+    * deterministic: row i gets uniform uᵢ from its id hash and sort key
+    * uᵢ^(1/wᵢ); the k largest keys are the sample — inclusion probability
+    * is exactly proportional-to-weight without replacement. The quality-
+    * weighted corpus draw ("sample 1M docs, proportional to quality²")
+    * that byRate (uniform) and temperatureMixture (per-domain) don't cover.
+    *
+    * Portability: the key is compared as ln(uᵢ)/wᵢ (same order, one exp
+    * saved); u = (h₅₂+1)/2⁵² from the first 13 md5 hex digits (division by
+    * 2⁵² is exact), ln(u) is quantized to integer micro-nats (the DSIR
+    * convention), and the final key is the single-rounded division
+    * micro/w — ties broken by id, so the selected SET is engine-exact.
+    * Rows with null or non-positive weight have zero probability and are
+    * excluded (weight 0 means "never sample"). Weights must be integral;
+    * a double weight makes the ORDER itself IEEE-hazardous.
+    *
+    * 100 TB posture: the key is scan-side; top-k is the distributed
+    * serialized numbering over the key order (range exchange, no
+    * single-partition window, no driver-side data). Adds `pickCol`. */
+  def weightedSample(df: DataFrame, weight: Column, id: Column, k: Int,
+      pickCol: String = "pick"): DataFrame = {
+    require(k >= 0, "weightedSample: k must be >= 0")
+    val kc = "__ws_key"
+    require(!df.columns.contains(kc),
+      s"weightedSample: input must not contain a '$kc' column")
+    val h52 = conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val lnuMicro = floor(
+      log((h52.cast("double") + lit(1.0)) / lit(4503599627370496.0)) *
+        lit(1000000.0)).cast("long")
+    val keyd = lnuMicro.cast("double") / weight.cast("long").cast("double")
+    graft.kql.Kql.serializedRowFns(
+      df.where(weight.isNotNull && weight >= 1).withColumn(kc, keyd),
+      Seq(col(kc).desc, id), Seq(graft.kql.Kql.RowNumber(pickCol)))
+      .where(col(pickCol) <= k)
+      .drop(kc)
+  }
 }

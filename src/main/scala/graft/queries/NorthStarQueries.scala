@@ -2239,6 +2239,135 @@ object NorthStarQueries {
              |  md5(array_to_string(cleaned, ' | ')) AS chash
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Host-graph PageRank (HostRank.pageRank): the web-reputation signal
+    // CCNet-class curation ranks hosts by before filtering. Integer-exact
+    // (micro-unit ranks, integral div/mult/sum only — the DSIR convention),
+    // so 3 damped iterations replay bit-for-bit as 3 unrolled CTEs. The
+    // fixture graph is derived deterministically from the documents table:
+    // source → hub h(doc_id%23) for every doc, hub → lang for every third —
+    // a 48-node multigraph with real in-degree skew.
+    QueryDef("q_host_pagerank",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val hub = concat(lit("h"), (col("doc_id") % 23).cast("string"))
+        val edges = docs.select(col("source").as("src"), hub.as("dst"))
+          .union(docs.where(col("doc_id") % 3 === 0)
+            .select(hub.as("src"), col("lang").as("dst")))
+        graft.functions.HostRank.pageRank(edges, "src", "dst", iters = 3)
+          .sortBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT source AS src, 'h' || CAST(doc_id % 23 AS VARCHAR) AS dst
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src, lang AS dst
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |r1 AS (SELECT n.node, CAST(150000 +
+             |    (850 * CAST(COALESCE(SUM(c.contrib), 0) AS BIGINT)) // 1000
+             |    AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS nd, r0.r // od.outdeg AS contrib
+             |    FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src) c
+             |  ON n.node = c.nd GROUP BY n.node),
+             |r2 AS (SELECT n.node, CAST(150000 +
+             |    (850 * CAST(COALESCE(SUM(c.contrib), 0) AS BIGINT)) // 1000
+             |    AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS nd, r1.r // od.outdeg AS contrib
+             |    FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src) c
+             |  ON n.node = c.nd GROUP BY n.node),
+             |r3 AS (SELECT n.node, CAST(150000 +
+             |    (850 * CAST(COALESCE(SUM(c.contrib), 0) AS BIGINT)) // 1000
+             |    AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS nd, r2.r // od.outdeg AS contrib
+             |    FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src) c
+             |  ON n.node = c.nd GROUP BY n.node)
+             |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin)),
+
+    // Temperature-scaled domain mixture (Sampling.temperatureMixture):
+    // keep-rate ∝ n^α/n per language under a 250-row budget at α = 0.5 —
+    // low-resource langs keep a HIGHER fraction (the T5/LLaMA rebalancing).
+    // Weight quantized to integer micro-units before the Σ; the float tail
+    // is single-rounded per op (sqrt is IEEE-exact; ×2²⁴ is exact), so the
+    // 24-bit hash threshold replays bit-for-bit.
+    QueryDef("q_temperature_mix",
+      (s, d) => graft.functions.Sampling.temperatureMixture(
+          T(s, d, "documents"), col("lang"), col("doc_id"),
+          alphaQuarters = 2, budget = 250L)
+        .summarize(Seq(col("lang"), col("keep_ppm")),
+          count(lit(1)).as("n_kept"))
+        .sortBy(col("lang")),
+      Some("""WITH c AS (SELECT lang AS dom, COUNT(*) AS n
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT dom, n,
+             |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |      AS wq FROM c),
+             |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+             |r AS (SELECT dom, CAST(FLOOR(LEAST(1.0,
+             |    (CAST(wq AS DOUBLE) * 250.0) /
+             |    (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))) * 16777216.0)
+             |    AS BIGINT) AS keep_ppm FROM w CROSS JOIN t)
+             |SELECT d.lang, r.keep_ppm, COUNT(*) AS n_kept
+             |FROM documents d JOIN r ON d.lang = r.dom
+             |WHERE ('0x' || substr(md5(d.lang || ':' ||
+             |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
+             |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
+
+    // Diversity-maximizing selection (Sampling.diverseSelect): round-robin
+    // across language clusters, best-first (distinct-token score) within
+    // each — picks 1..5 are the best doc of every lang before any second
+    // pick. Two exact ranks: the per-cluster window + the distributed
+    // serialized global numbering.
+    QueryDef("q_diverse_select",
+      (s, d) => {
+        val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(array_distinct(split(lower(col("text")), " ")))
+            .cast("long").as("score"))
+        graft.functions.Sampling.diverseSelect(scored, col("lang"),
+            col("score"), col("doc_id"), 12)
+          .sortBy(col("pick"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    len(list_distinct(string_split(lower(text), ' '))) AS score
+             |  FROM documents),
+             |r AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER (
+             |    PARTITION BY lang ORDER BY score DESC, doc_id) AS rr FROM t),
+             |p AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER (
+             |    ORDER BY rr, score DESC, doc_id) AS pick FROM r)
+             |SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+             |  CAST(pick AS INT) AS pick
+             |FROM p WHERE pick <= 12 ORDER BY pick""".stripMargin)),
+
+    // Weighted sampling without replacement (Sampling.weightedSample,
+    // Efraimidis–Spirakis A-Res): 15 docs drawn proportional-to-token-count
+    // without replacement. Key = ln(u)/w with u from the id hash (÷2⁵²
+    // exact) and ln quantized to micro-nats, so the selected SET is
+    // engine-exact; ties break by id.
+    QueryDef("q_weighted_sample",
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        graft.functions.Sampling.weightedSample(docs, col("w"),
+            col("doc_id"), 15)
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             |      AS h52 FROM documents),
+             |k AS (SELECT doc_id, w, CAST(FLOOR(ln(
+             |    (CAST(h52 AS DOUBLE) + 1.0) / 4503599627370496.0)
+             |    * 1000000.0) AS BIGINT) AS lnu FROM t WHERE w >= 1),
+             |p AS (SELECT doc_id, w, ROW_NUMBER() OVER (
+             |    ORDER BY CAST(lnu AS DOUBLE) / CAST(w AS DOUBLE) DESC,
+             |    doc_id) AS pick FROM k)
+             |SELECT doc_id, w, CAST(pick AS INT) AS pick
+             |FROM p WHERE pick <= 15 ORDER BY doc_id""".stripMargin)),
+
     // --- corpus distribution diagnostics ------------------------------------
     // Token-distribution drift between two corpus splits as EXACT total
     // variation distance: TV = Σ|na·tb − nb·ta| / (2·ta·tb) computed in

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HostRank, Sampling}
+
+/** Unit coverage for the round-12 curation batch: host PageRank,
+  * temperature mixture, diversity selection, weighted sampling. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- HostRank.pageRank ----------------------------------------------------
+
+  test("pageRank: hand-computed two-node chain, two iterations") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r1 = HostRank.pageRank(e, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a receives nothing: base = 150000; b receives a's full 1e6:
+    // 150000 + 850*1000000/1000 = 1000000
+    assert(r1 == Map("a" -> 150000L, "b" -> 1000000L))
+    val r2 = HostRank.pageRank(e, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // iter2: a's rank is now 150000, so b = 150000 + 850*150000/1000
+    assert(r2 == Map("a" -> 150000L, "b" -> 277500L))
+  }
+
+  test("pageRank: fan-out splits mass; multigraph edges count in outdeg") {
+    val e = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val r = HostRank.pageRank(e, "src", "dst", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // outdeg(a)=2 → each neighbor gets floor(1e6/2)=500000:
+    assert(r("b") == 150000L + 850L * 500000L / 1000L)
+    assert(r("c") == r("b"))
+    // duplicated edge doubles the share to that neighbor
+    val e2 = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("src", "dst")
+    val r2 = HostRank.pageRank(e2, "src", "dst", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2("b") == 150000L + 850L * (2L * 333333L) / 1000L)
+    assert(r2("c") == 150000L + 850L * 333333L / 1000L)
+  }
+
+  test("pageRank: in-degree skew ranks the hub first; deterministic rerun") {
+    val edges = (0 until 40).map(i => (s"n$i", if (i % 2 == 0) "hub" else s"n${(i + 1) % 40}"))
+      .toDF("src", "dst")
+    val r = HostRank.pageRank(edges, "src", "dst", iters = 3)
+    val top = r.orderBy(col("rank_micro").desc, col("node")).first().getString(0)
+    assert(top == "hub")
+    val again = HostRank.pageRank(edges, "src", "dst", iters = 3)
+    assert(r.orderBy("node").collect().toSeq == again.orderBy("node").collect().toSeq)
+  }
+
+  test("pageRank: bounds enforced") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 0))
+    intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 11))
+    intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 3, 1001))
+  }
+
+  // --- Sampling.temperatureMixture -------------------------------------------
+
+  private def mixFixture = (0 until 400).map { i =>
+    val dom = if (i < 300) "big" else if (i < 380) "mid" else "small"
+    (i.toLong, dom)
+  }.toDF("id", "dom")
+
+  test("temperatureMixture: alpha<1 keeps a higher fraction of small domains") {
+    val rates = Sampling.temperatureMixture(mixFixture, col("dom"), col("id"),
+        alphaQuarters = 2, budget = 200L)
+      .groupBy("dom").agg(first("keep_ppm").as("ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate ∝ n^0.5/n = n^-0.5: strictly decreasing in domain size
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"))
+  }
+
+  test("temperatureMixture: alpha=1 is proportional (uniform rate across domains)") {
+    val kept = Sampling.temperatureMixture(mixFixture, col("dom"), col("id"),
+      alphaQuarters = 4, budget = 200L)
+    val ppms = kept.select("keep_ppm").distinct().collect().map(_.getLong(0))
+    assert(ppms.length == 1) // n^1/n is constant → one global rate
+    // budget/total = 0.5 → ppm = floor(0.5 * 2^24)
+    assert(ppms.head == 8388608L)
+  }
+
+  test("temperatureMixture: budget 0 keeps nothing; huge budget keeps everything") {
+    assert(Sampling.temperatureMixture(mixFixture, col("dom"), col("id"), 2, 0L).count() == 0L)
+    assert(Sampling.temperatureMixture(mixFixture, col("dom"), col("id"), 2,
+      1000000L).count() == 400L)
+  }
+
+  // --- Sampling.diverseSelect -------------------------------------------------
+
+  private def clusterFixture = Seq(
+    (1L, "a", 10L), (2L, "a", 9L), (3L, "a", 8L),
+    (4L, "b", 100L), (5L, "b", 1L),
+    (6L, "c", 5L)).toDF("id", "cl", "score")
+
+  test("diverseSelect: first picks cover every cluster before any repeat") {
+    val picks = Sampling.diverseSelect(clusterFixture, col("cl"), col("score"),
+        col("id"), 4)
+      .orderBy("pick").select("id", "cl", "pick").collect()
+    // round 1 = best of each cluster, ordered by (score desc, id):
+    // b/4 (100), a/1 (10), c/6 (5); round 2 starts with a/2 (9)
+    assert(picks.map(_.getLong(0)).toSeq == Seq(4L, 1L, 6L, 2L))
+    assert(picks.take(3).map(_.getString(1)).toSet == Set("a", "b", "c"))
+  }
+
+  test("diverseSelect: k beyond n returns all rows; k=0 none") {
+    assert(Sampling.diverseSelect(clusterFixture, col("cl"), col("score"),
+      col("id"), 100).count() == 6L)
+    assert(Sampling.diverseSelect(clusterFixture, col("cl"), col("score"),
+      col("id"), 0).count() == 0L)
+  }
+
+  // --- Sampling.weightedSample -------------------------------------------------
+
+  test("weightedSample: non-positive and null weights are never sampled") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -2L), (4L, 3L)).toDF("id", "w")
+      .union(Seq((5L, Option.empty[Long])).toDF("id", "w"))
+    val got = Sampling.weightedSample(df, col("w"), col("id"), 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("weightedSample: equal weights reduce to the pure hash order") {
+    val df = (0L until 50L).toDF("id").withColumn("w", lit(7L))
+    val a = Sampling.weightedSample(df, col("w"), col("id"), 10)
+      .orderBy("pick").select("id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedSample(df.withColumn("w", lit(3L)), col("w"),
+        col("id"), 10)
+      .orderBy("pick").select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b) // scaling all weights equally cannot change the order
+  }
+
+  test("weightedSample: heavier rows win overwhelmingly often") {
+    // 200 light rows (w=1) + 20 heavy rows (w=1000): a 20-draw should be
+    // dominated by heavy ids (each heavy row carries 5x the TOTAL light mass)
+    val df = ((0L until 200L).map((_, 1L)) ++ (1000L until 1020L).map((_, 1000L)))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("w"), col("id"), 20)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.count(_ >= 1000L) >= 15)
+  }
+
+  test("weightedSample: deterministic across reruns and k-prefix-stable") {
+    val df = (0L until 100L).toDF("id")
+      .withColumn("w", (col("id") % 9L) + 1L)
+    val k10 = Sampling.weightedSample(df, col("w"), col("id"), 10)
+      .orderBy("pick").select("id").collect().map(_.getLong(0)).toSeq
+    val k5 = Sampling.weightedSample(df, col("w"), col("id"), 5)
+      .orderBy("pick").select("id").collect().map(_.getLong(0)).toSeq
+    assert(k10.take(5) == k5) // A-Res: smaller draws are prefixes of larger
+    val again = Sampling.weightedSample(df, col("w"), col("id"), 10)
+      .orderBy("pick").select("id").collect().map(_.getLong(0)).toSeq
+    assert(k10 == again)
+  }
+}
