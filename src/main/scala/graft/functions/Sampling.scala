@@ -175,8 +175,11 @@ object Sampling {
     *
     * 100 TB posture: one shuffle on the cluster key for the within-cluster
     * rank (WindowGroupLimit cannot prune here — every row needs its round),
-    * then the distributed serialized numbering (range exchange + offsets
-    * table) for the global order; no single-partition window. */
+    * then the global cut is a TOP-K, not a global sort: TakeOrderedAndProject
+    * keeps a k-row heap per partition and merges heaps — no range exchange,
+    * no full-data second shuffle. The pick numbering runs on the k survivors
+    * only (a single-partition window BOUNDED at k rows — the scalar-count
+    * posture, never data-sized). */
   def diverseSelect(df: DataFrame, cluster: Column, score: Column,
       id: Column, k: Int, pickCol: String = "pick"): DataFrame = {
     require(k >= 0, "diverseSelect: k must be >= 0")
@@ -185,9 +188,9 @@ object Sampling {
       s"diverseSelect: input must not contain a '$rr' column")
     val w = Window.partitionBy(cluster).orderBy(score.desc, id)
     val ranked = df.withColumn(rr, row_number().over(w))
-    graft.kql.Kql.serializedRowFns(ranked, Seq(col(rr), score.desc, id),
-      Seq(graft.kql.Kql.RowNumber(pickCol)))
-      .where(col(pickCol) <= k)
+    val top = ranked.orderBy(col(rr), score.desc, id).limit(k)
+    top.withColumn(pickCol,
+        row_number().over(Window.orderBy(col(rr), score.desc, id)))
       .drop(rr)
   }
 
@@ -207,9 +210,11 @@ object Sampling {
     * excluded (weight 0 means "never sample"). Weights must be integral;
     * a double weight makes the ORDER itself IEEE-hazardous.
     *
-    * 100 TB posture: the key is scan-side; top-k is the distributed
-    * serialized numbering over the key order (range exchange, no
-    * single-partition window, no driver-side data). Adds `pickCol`. */
+    * 100 TB posture: the key is scan-side and the cut is a TOP-K, not a
+    * global sort — TakeOrderedAndProject keeps a k-row heap per partition
+    * and merges heaps (ONE pass over the data, no range exchange). The pick
+    * numbering runs on the k survivors only (a single-partition window
+    * BOUNDED at k rows — the scalar-count posture). Adds `pickCol`. */
   def weightedSample(df: DataFrame, weight: Column, id: Column, k: Int,
       pickCol: String = "pick"): DataFrame = {
     require(k >= 0, "weightedSample: k must be >= 0")
@@ -222,10 +227,10 @@ object Sampling {
       log((h52.cast("double") + lit(1.0)) / lit(4503599627370496.0)) *
         lit(1000000.0)).cast("long")
     val keyd = lnuMicro.cast("double") / weight.cast("long").cast("double")
-    graft.kql.Kql.serializedRowFns(
-      df.where(weight.isNotNull && weight >= 1).withColumn(kc, keyd),
-      Seq(col(kc).desc, id), Seq(graft.kql.Kql.RowNumber(pickCol)))
-      .where(col(pickCol) <= k)
+    val top = df.where(weight.isNotNull && weight >= 1)
+      .withColumn(kc, keyd)
+      .orderBy(col(kc).desc, id).limit(k)
+    top.withColumn(pickCol, row_number().over(Window.orderBy(col(kc).desc, id)))
       .drop(kc)
   }
 }

@@ -208,6 +208,13 @@ object KqlParser {
     private def resolveTable(name: String): DataFrame =
       bindings.getOrElse(name, tables(name))
 
+    // `let eg = entity_group [database("d1"), database("d2")];` bindings for
+    // `macro-expand` (the entity-group iteration operator).
+    private val entityGroups = scala.collection.mutable.Map[String, Seq[String]]()
+    // alias → database name while parsing a macro-expand body: `X.Table`
+    // resolves as `db::Table` for the iteration's current entity
+    private var entityScope: Map[String, String] = Map.empty
+
     // `let f = (param[:type]) { body };` tabular functions for `T | invoke f()`.
     // The body is kept as TOKENS and parsed at invoke time with the piped table
     // bound to the parameter name — KQL's user-defined tabular function surface.
@@ -282,6 +289,9 @@ object KqlParser {
         val name = ident()
         eatPunct("=")
         if (atPunct("(")) parseLetFunction(name)
+        else if (atIdent("entity_group")) {
+          pos += 1; entityGroups(name) = parseEntityGroupList()
+        }
         else if (atIdent("materialize") && toks.lift(pos + 1).contains(Punct("("))) {
           // `let x = materialize(T | ...);` — evaluate the bound pipeline once
           // and reuse: persist() is the Spark materialization barrier (also
@@ -367,6 +377,9 @@ object KqlParser {
             // program-initial `union [modifiers] T1[, T2, ...] | ...`
             pos += 1; sourceName = "union"; parseUnionOp(None)
           }
+          else if (atIdent("macro-expand")) {
+            pos += 1; sourceName = "macro-expand"; parseMacroExpand()
+          }
           else if (atIdent("table") && toks.lift(pos + 1).contains(Punct("("))) {
             // `table('name')` — the dynamic table reference; the name must be
             // a literal (a data-dependent table name has no static plan)
@@ -374,7 +387,14 @@ object KqlParser {
             val n = strLitS(); eatPunct(")")
             sourceName = n; resolveTable(n)
           }
-          else { val n = ident(); sourceName = n; resolveTable(n) }
+          else {
+            val n = ident()
+            if (entityScope.contains(n) && atPunct(".")) {
+              // macro-expand alias: `X.Table` → the current entity's database
+              pos += 1; val t = ident()
+              sourceName = t; resolveTable(s"${entityScope(n)}::$t")
+            } else { sourceName = n; resolveTable(n) }
+          }
         while (atPunct("|")) {
           eatPunct("|"); df = parseOp(df)
           require(rowFnBuffer.isEmpty, "row functions (row_number/prev/next/row_cumsum/" +
@@ -722,6 +742,63 @@ object KqlParser {
       val db = strLitS(); eatPunct(")"); eatPunct(".")
       val t = ident()
       (s"$db::$t", resolveTable(s"$db::$t"))
+    }
+
+    /** `entity_group [database("d1"), cluster("c").database("d2"), ...]` —
+      * a list of database scopes (the cluster qualifier is accepted and
+      * ignored, the parseQualifiedTable convention). */
+    private def parseEntityGroupList(): Seq[String] = {
+      eatPunct("[")
+      def entry(): String = {
+        if (atIdent("cluster")) {
+          pos += 1; eatPunct("("); strLitS(); eatPunct(")"); eatPunct(".")
+          require(atIdent("database"),
+            "entity_group: cluster(...) must be followed by .database(...)")
+        }
+        eatIdent("database"); eatPunct("(")
+        val db = strLitS(); eatPunct(")")
+        db
+      }
+      val dbs = Seq.newBuilder[String]
+      dbs += entry()
+      while (atPunct(",")) { pos += 1; dbs += entry() }
+      eatPunct("]")
+      val out = dbs.result()
+      require(out.nonEmpty, "entity_group: at least one database required")
+      out
+    }
+
+    /** `macro-expand entity_group [...] as X ( body )` (or a let-bound
+      * group): evaluate `body` once per entity with `X.Table` resolving in
+      * that entity's database, then union the legs by name with null-fill —
+      * Kusto's entity-group iteration operator. The body tokens are re-parsed
+      * per entity (the `invoke`/tabular-function machinery's convention), so
+      * each leg is an independent plan: per-leg filters and projections push
+      * into each database's own scan, and the union is the only shared node.
+      * Scope: the alias resolves in table-source position (`X.T | ...`,
+      * subqueries included); cross-entity set arithmetic inside one body leg
+      * is out of scope, as in Kusto. */
+    private def parseMacroExpand(): DataFrame = {
+      val dbs: Seq[String] =
+        if (atIdent("entity_group")) { pos += 1; parseEntityGroupList() }
+        else {
+          val n = ident()
+          entityGroups.getOrElse(n, throw new IllegalArgumentException(
+            s"macro-expand: '$n' is not a bound entity_group " +
+              s"(bound: ${entityGroups.keys.toSeq.sorted.mkString(", ")})"))
+        }
+      eatIdent("as")
+      val alias = ident()
+      eatPunct("(")
+      val bodyStart = pos
+      val legs = dbs.map { db =>
+        pos = bodyStart
+        val saved = entityScope
+        entityScope = entityScope + (alias -> db)
+        try parseQuery() finally entityScope = saved
+      }
+      eatPunct(")")
+      legs.reduceLeft(_ unionKql _)
     }
 
     /** Materialize any row-function placeholders parsed by `body`, then apply

@@ -86,6 +86,25 @@ object KqlTextQueries {
              |WHERE o_orderkey % 500 = 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // `macro-expand` — the entity-group iteration operator: the body runs
+    // once per database scope (X.orders resolving per entity) and the legs
+    // union by name; per-leg filters/projections push into each scan. Both
+    // fixture databases map to the same store, so the oracle is the one-leg
+    // aggregate doubled — the operator mechanics (let-bound group, alias
+    // resolution, post-pipe aggregation over the union) are what's proven.
+    QueryDef("q_kql_macro_expand",
+      (s, d) => run(s, d,
+        """let eg = entity_group [database('sales'), database('crm')];
+          |macro-expand eg as X (
+          |  X.orders | where o_orderkey % 400 == 0
+          |  | project o_orderstatus, o_totalprice)
+          || summarize n = count(), mx = max(o_totalprice) by o_orderstatus
+          || sort by o_orderstatus asc""".stripMargin),
+      Some("""SELECT o_orderstatus, CAST(2 * COUNT(*) AS BIGINT) AS n,
+             |  MAX(o_totalprice) AS mx
+             |FROM orders WHERE o_orderkey % 400 = 0
+             |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     QueryDef("q_kql_bin",
       (s, d) => run(s, d,
         """events

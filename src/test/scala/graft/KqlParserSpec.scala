@@ -1501,4 +1501,52 @@ class KqlParserSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("hm").between(0, 9)).collect()
     assert(rows.forall(x => x.getBoolean(0) && x.getBoolean(1)))
   }
+
+  test("macro-expand: body runs once per entity, legs union by name") {
+    // d1 sees the full table, d2 only bob's rows: per-entity resolution
+    val resolver: String => DataFrame = {
+      case "d1::t" => t
+      case "d2::t" => t.filter(col("user") === "bob")
+      case "t" => t
+      case other => fail(s"unexpected table ref '$other'")
+    }
+    val inline = KqlParser.parse(
+      """macro-expand entity_group [database('d1'), database('d2')] as X (
+        |  X.t | where etype == 'click' | project id, user)
+        || summarize n = count() by user
+        || sort by user asc""".stripMargin, resolver)
+    // d1 leg: alice x2 + bob x1; d2 leg: bob x1
+    assert(inline.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alice", 2L), ("bob", 2L)))
+    val letBound = KqlParser.parse(
+      """let eg = entity_group [database('d1'), cluster('c').database('d2')];
+        |macro-expand eg as X ( X.t | summarize n = count() )
+        || summarize total = sum(n)""".stripMargin, resolver)
+    assert(letBound.collect().head.getLong(0) == 5L + 2L)
+  }
+
+  test("macro-expand: schema drift across entities null-fills by name") {
+    val resolver: String => DataFrame = {
+      case "d1::t" => t.withColumn("extra", lit(1L))
+      case "d2::t" => t
+      case other => fail(s"unexpected table ref '$other'")
+    }
+    val out = KqlParser.parse(
+      "macro-expand entity_group [database('d1'), database('d2')] as X ( X.t )",
+      resolver)
+    assert(out.count() == 10L)
+    assert(out.columns.contains("extra"))
+    assert(out.filter(col("extra").isNull).count() == 5L)
+  }
+
+  test("macro-expand: unbound group and out-of-scope alias fail loudly") {
+    val e = intercept[IllegalArgumentException](
+      KqlParser.parse("macro-expand nope as X ( X.t )", _ => t))
+    assert(e.getMessage.contains("not a bound entity_group"))
+    // outside a macro-expand body the alias has no meaning: X.t parses as a
+    // table named X followed by trailing tokens and must not silently work
+    intercept[Exception](KqlParser.parse(
+      "X.t | summarize n = count()",
+      { case "X.t" | "X" => fail("alias leaked"); case _ => t }: String => DataFrame))
+  }
 }

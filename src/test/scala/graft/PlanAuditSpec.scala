@@ -166,6 +166,32 @@ class PlanAuditSpec extends SparkSpec {
       s"q_curriculum_bins rank path must range-partition:\n$p")
   }
 
+  test("curation batch: pagerank has no single-point stage; mixture is scan-side") {
+    // PageRank: per iteration one hash exchange on src (rank->edge join) and
+    // one on dst (inflow agg) — host-keyed, never document-keyed, and never
+    // a single-partition collapse or a driver collect.
+    val pr = plan("q_host_pagerank")
+    assert(!pr.contains("SinglePartition"),
+      s"q_host_pagerank has a single-partition exchange:\n$pr")
+    // Temperature mixture: the only single-partition exchanges feed 1-row
+    // scalars (the Sigma-wq total); the DATA path is one broadcast join plus
+    // a scan-side hash-threshold filter — no data-sized shuffle at all.
+    val tm = plan("q_temperature_mix")
+    assert(tm.contains("BroadcastHashJoin") || tm.contains("BroadcastNestedLoopJoin"),
+      s"q_temperature_mix rates join must broadcast:\n$tm")
+    // Diverse select / weighted sample: the global cut must be a TOP-K
+    // (per-partition heaps merged — TakeOrderedAndProject), NEVER a global
+    // sort of the data; the only single-partition stage is the k-row pick
+    // numbering downstream of the top-k cut.
+    for (name <- Seq("q_diverse_select", "q_weighted_sample")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name top-k cut must be TakeOrderedAndProject:\n$p")
+      assert(!p.contains("rangepartitioning"),
+        s"$name must not globally sort the data:\n$p")
+    }
+  }
+
   test("summarize uses partial (map-side) aggregation") {
     val p = plan("q_summarize")
     // HashAggregate appears twice per agg: partial then final
