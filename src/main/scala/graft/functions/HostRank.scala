@@ -39,8 +39,10 @@ object HostRank {
       "pageRank: iters in [1,10]; checkpoint between calls for longer chains")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "pageRank: dampingPermille in [0,1000]")
+    // a null endpoint is not a host: the edge carries no usable link
     val e = edges.select(col(srcCol).cast("string").as("__pr_src"),
       col(dstCol).cast("string").as("__pr_dst"))
+      .where(col("__pr_src").isNotNull && col("__pr_dst").isNotNull)
     val nodes = e.select(col("__pr_src").as("node"))
       .union(e.select(col("__pr_dst").as("node"))).distinct()
     val outdeg = e.groupBy("__pr_src").agg(count(lit(1)).as("__pr_outdeg"))

@@ -135,12 +135,23 @@ object Sampling {
     * join, one scan-side filter — no data-sized shuffle at all. */
   def temperatureMixture(df: DataFrame, domain: Column, id: Column,
       alphaQuarters: Int, budget: Long, ppmCol: String = "keep_ppm"): DataFrame = {
-    require(alphaQuarters >= 1 && alphaQuarters <= 4,
-      "temperatureMixture: alphaQuarters in [1,4] (0.25/0.5/0.75/1.0)")
-    require(budget >= 0, "temperatureMixture: budget must be >= 0")
     require(!df.columns.contains(ppmCol),
       s"temperatureMixture: input must not contain a '$ppmCol' column")
-    val counts = df.groupBy(domain.as("__tm_dom"))
+    applyMixtureRates(df, domain, id,
+      temperatureRates(df, domain, alphaQuarters, budget, ppmCol), ppmCol)
+  }
+
+  /** The per-domain keep-rate table of [[temperatureMixture]] — ppm of 2²⁴
+    * per domain, from the pool's domain counts. Tiny (one row per domain):
+    * broadcast it. Split out so the rates can be trained on a static POOL
+    * and applied to a different frame — including a structured STREAM
+    * ([[applyMixtureRates]] is select-only + broadcast join: stateless). */
+  def temperatureRates(pool: DataFrame, domain: Column, alphaQuarters: Int,
+      budget: Long, ppmCol: String = "keep_ppm"): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      "temperatureRates: alphaQuarters in [1,4] (0.25/0.5/0.75/1.0)")
+    require(budget >= 0, "temperatureRates: budget must be >= 0")
+    val counts = pool.groupBy(domain.as("__tm_dom"))
       .agg(count(lit(1)).as("__tm_n"))
     val nD = col("__tm_n").cast("double")
     val w = alphaQuarters match {
@@ -152,16 +163,79 @@ object Sampling {
     val weighted = counts.withColumn("__tm_wq",
       floor(w * lit(1000000.0)).cast("long"))
     val totals = weighted.agg(sum("__tm_wq").as("__tm_W"))
-    val rates = weighted.crossJoin(broadcast(totals))
+    weighted.crossJoin(broadcast(totals))
       .select(col("__tm_dom"),
         floor(least(lit(1.0),
           (col("__tm_wq").cast("double") * lit(budget.toDouble)) /
             (col("__tm_W").cast("double") * col("__tm_n").cast("double"))) *
           lit(16777216.0)).cast("long").as(ppmCol))
+  }
+
+  /** Filter `df` (batch OR stream) by pool-derived mixture rates: keep a row
+    * iff its 24-bit domain:id hash clears its domain's ppm threshold. Rows
+    * whose domain has no rate are dropped (an unseen domain has rate 0 —
+    * nothing is known about its size). Inner broadcast join + scan-side
+    * filter: stateless, no watermark, streaming-composable. */
+  def applyMixtureRates(df: DataFrame, domain: Column, id: Column,
+      rates: DataFrame, ppmCol: String = "keep_ppm"): DataFrame =
     df.join(broadcast(rates), domain === col("__tm_dom"))
       .where(conv(substring(md5(concat(domain.cast("string"), lit(":"),
         id.cast("string"))), 1, 6), 16, 10).cast("long") < col(ppmCol))
       .drop("__tm_dom")
+
+  /** Token-budget waterfilling — the "how many epochs of each domain" recipe
+    * computation (the LLaMA-class data-mixture allocation): distribute a
+    * total token `budget` across domains proportional-to-`weight`, but cap
+    * each domain at `capMilli`/1000 epochs of its own `nTokens` (repeating a
+    * small domain beyond a few epochs hurts more than it helps), and
+    * re-distribute what the caps free among the still-uncapped domains.
+    * `rounds` fixed redistribution rounds (each round caps a new tier;
+    * R = #distinct cap tiers reached suffices, 3 covers real recipes —
+    * leftover after the last round is unallocated, never oversubscribed).
+    *
+    * Integer-exact end to end: allocations are token counts (BIGINT), every
+    * share is an integral `div`, so the result replays bit-for-bit as R
+    * unrolled CTEs in any engine. Output: one row per domain with `alloc`
+    * (tokens granted) and `epochs_milli` (1000·alloc/nTokens).
+    *
+    * 100 TB posture: operates on the DOMAIN table (one row per domain —
+    * thousands, not billions); each round is one 2-value aggregate
+    * broadcast back. Domains with non-positive tokens or weight are
+    * excluded (they can absorb nothing). Overflow headroom: shares compute
+    * as (budget·weight) — keep Σweight ≤ ~10⁵ at trillion-token budgets
+    * (weights are relative; rescale, don't inflate). */
+  def budgetWaterfill(domains: DataFrame, domain: Column, nTokens: Column,
+      weight: Column, capMilli: Int, budget: Long, rounds: Int = 3): DataFrame = {
+    require(capMilli >= 0, "budgetWaterfill: capMilli must be >= 0")
+    require(budget >= 0, "budgetWaterfill: budget must be >= 0")
+    require(rounds >= 1 && rounds <= 6, "budgetWaterfill: rounds in [1,6]")
+    for ((c, n) <- Seq(nTokens -> "nTokens", weight -> "weight"))
+      domains.select(c).schema.head.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"budgetWaterfill: $n must be integral (got $other)")
+      }
+    var cur = domains.select(domain.as("dom"),
+        nTokens.cast("long").as("n_tok"), weight.cast("long").as("wq"))
+      .where(col("n_tok") > 0 && col("wq") > 0)
+      .withColumn("__wf_cap", expr(s"(n_tok * $capMilli) div 1000"))
+      .withColumn("alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      val tot = cur.agg(
+        sum(when(col("alloc") < col("__wf_cap"), col("wq"))).as("__wf_wact"),
+        coalesce(sum(col("alloc")), lit(0L)).as("__wf_atot"))
+      cur = cur.crossJoin(broadcast(tot))
+        .withColumn("alloc",
+          when(col("__wf_wact").isNotNull && col("__wf_wact") > 0 &&
+              col("alloc") < col("__wf_cap"),
+            least(col("__wf_cap"), col("alloc") +
+              expr(s"((${budget}L - __wf_atot) * wq) div __wf_wact")))
+            .otherwise(col("alloc")))
+        .drop("__wf_wact", "__wf_atot")
+    }
+    cur.withColumn("epochs_milli", expr("(alloc * 1000) div n_tok"))
+      .drop("__wf_cap")
   }
 
   /** Diversity-maximizing selection under a global budget `k`: round-robin
@@ -171,7 +245,8 @@ object Sampling {
     * cluster, #C+1 starts the second-best sweep. The curation move for
     * instruction/SFT sets: maximal topic coverage before depth anywhere.
     * Adds `pickCol` (the 1-based global pick order). Integer-exact when
-    * `score` is integral.
+    * `score` is integral; scores should be NON-NULL (engines disagree on
+    * default null placement under DESC — filter nulls out first).
     *
     * 100 TB posture: one shuffle on the cluster key for the within-cluster
     * rank (WindowGroupLimit cannot prune here — every row needs its round),
@@ -221,6 +296,15 @@ object Sampling {
     val kc = "__ws_key"
     require(!df.columns.contains(kc),
       s"weightedSample: input must not contain a '$kc' column")
+    // a fractional weight would silently truncate through the long cast —
+    // refuse: the caller should scale to integers (weights are relative)
+    df.select(weight).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weightedSample: weight must be integral (got $other); scale " +
+          "fractional weights to integers — only ratios matter")
+    }
     val h52 = conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
       .cast("long")
     val lnuMicro = floor(

@@ -1327,6 +1327,45 @@ object NorthStarQueries {
           |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
           |FROM sc WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING temperature mixture: rates trained on the static POOL (the
+    // full documents table), applied to an incoming document stream as a
+    // broadcast join + scan-side hash threshold — select-only, stateless,
+    // no watermark. The in-flight form of q_temperature_mix: admit new
+    // documents at each domain's rebalanced rate as they arrive. The rate
+    // chain is bit-identical to the batch operator (shared code), so the
+    // oracle is the batch CTE chain restricted to the streamed half.
+    QueryDef("q_streaming_tempmix",
+      (s, d) => {
+        val rates = graft.functions.Sampling.temperatureRates(
+          T(s, d, "documents"), col("lang"), alphaQuarters = 2, budget = 250L)
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"))
+        val kept = graft.functions.Sampling.applyMixtureRates(
+          stream, col("lang"), col("doc_id"), rates)
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_tempmix_sink", kept)
+          .summarize(Seq(col("lang"), col("keep_ppm")),
+            count(lit(1)).as("n_kept"))
+          .sortBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang AS dom, COUNT(*) AS n
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT dom, n,
+             |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |      AS wq FROM c),
+             |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+             |r AS (SELECT dom, CAST(FLOOR(LEAST(1.0,
+             |    (CAST(wq AS DOUBLE) * 250.0) /
+             |    (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))) * 16777216.0)
+             |    AS BIGINT) AS keep_ppm FROM w CROSS JOIN t)
+             |SELECT d.lang, r.keep_ppm, COUNT(*) AS n_kept
+             |FROM documents d JOIN r ON d.lang = r.dom
+             |WHERE d.doc_id % 2 = 1
+             |  AND ('0x' || substr(md5(d.lang || ':' ||
+             |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
+             |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every
@@ -2316,6 +2355,53 @@ object NorthStarQueries {
              |WHERE ('0x' || substr(md5(d.lang || ':' ||
              |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
              |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
+
+    // Token-budget waterfilling (Sampling.budgetWaterfill): the LLaMA-class
+    // "epochs per domain" allocation — budget split proportional-to-weight,
+    // each domain capped at 1.5 epochs of itself, freed budget
+    // redistributed among the uncapped. Inverse-size weights force a
+    // multi-tier cap cascade (three langs cap in round 1, zh in round 2,
+    // en absorbs the tail in round 3). Integer-exact: three unrolled CTE
+    // rounds replay the allocation bit-for-bit.
+    QueryDef("q_mixture_waterfill",
+      (s, d) => {
+        val doms = T(s, d, "documents")
+          .groupBy(col("lang").as("dom"))
+          .agg(sum(size(split(col("text"), " "))).as("nt"),
+            count(lit(1)).as("nd"))
+          .select(col("dom"), col("nt"),
+            expr("1000000 div nd").as("w"))
+        graft.functions.Sampling.budgetWaterfill(doms, col("dom"), col("nt"),
+            col("w"), capMilli = 1500, budget = 27000L)
+          .sortBy(col("dom"))
+      },
+      Some("""WITH doms AS (SELECT lang AS dom,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+             |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq
+             |  FROM documents GROUP BY 1),
+             |base AS (SELECT dom, n_tok, wq, (n_tok * 1500) // 1000 AS cap,
+             |    CAST(0 AS BIGINT) AS alloc FROM doms),
+             |t1 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
+             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM base),
+             |r1 AS (SELECT dom, n_tok, wq, cap, CASE
+             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
+             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+             |    ELSE alloc END AS alloc FROM base CROSS JOIN t1),
+             |t2 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
+             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r1),
+             |r2 AS (SELECT dom, n_tok, wq, cap, CASE
+             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
+             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+             |    ELSE alloc END AS alloc FROM r1 CROSS JOIN t2),
+             |t3 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
+             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r2),
+             |r3 AS (SELECT dom, n_tok, wq, cap, CASE
+             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
+             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+             |    ELSE alloc END AS alloc FROM r2 CROSS JOIN t3)
+             |SELECT dom, n_tok, wq, CAST(alloc AS BIGINT) AS alloc,
+             |  CAST((alloc * 1000) // n_tok AS BIGINT) AS epochs_milli
+             |FROM r3 ORDER BY dom""".stripMargin)),
 
     // Diversity-maximizing selection (Sampling.diverseSelect): round-robin
     // across language clusters, best-first (distinct-token score) within

@@ -48,6 +48,22 @@ class CurationSpec extends SparkSpec {
     assert(r.orderBy("node").collect().toSeq == again.orderBy("node").collect().toSeq)
   }
 
+  test("pageRank: null-endpoint edges are dropped, not nodes") {
+    val e = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
+      .toDF("src", "dst")
+    val r = HostRank.pageRank(e, "src", "dst", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // only a->b survives: same result as the two-node chain
+    assert(r == Map("a" -> 150000L, "b" -> 1000000L))
+  }
+
+  test("weightedSample: fractional weight types are rejected loudly") {
+    val df = Seq((1L, 2.5)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, col("w"), col("id"), 1))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("pageRank: bounds enforced") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 0))
@@ -84,6 +100,46 @@ class CurationSpec extends SparkSpec {
     assert(Sampling.temperatureMixture(mixFixture, col("dom"), col("id"), 2, 0L).count() == 0L)
     assert(Sampling.temperatureMixture(mixFixture, col("dom"), col("id"), 2,
       1000000L).count() == 400L)
+  }
+
+  // --- Sampling.budgetWaterfill ------------------------------------------------
+
+  test("budgetWaterfill: equal weights below caps split the budget evenly") {
+    val doms = Seq(("a", 100L, 1L), ("b", 100L, 1L)).toDF("d", "n", "w")
+    val r = Sampling.budgetWaterfill(doms, col("d"), col("n"), col("w"),
+        capMilli = 2000, budget = 300L)
+      .collect().map(x => x.getString(0) -> (x.getLong(3), x.getLong(4))).toMap
+    assert(r == Map("a" -> (150L, 1500L), "b" -> (150L, 1500L)))
+  }
+
+  test("budgetWaterfill: capped domain frees budget for the uncapped (hand-computed)") {
+    val doms = Seq(("a", 50L, 9L), ("b", 1000L, 1L)).toDF("d", "n", "w")
+    val r = Sampling.budgetWaterfill(doms, col("d"), col("n"), col("w"),
+        capMilli = 2000, budget = 1000L)
+      .collect().map(x => x.getString(0) -> (x.getLong(3), x.getLong(4))).toMap
+    // round 1: a wants 900, caps at 2 epochs = 100; b gets 100.
+    // round 2: the freed 800 all flows to b (the only uncapped domain).
+    assert(r == Map("a" -> (100L, 2000L), "b" -> (900L, 900L)))
+  }
+
+  test("budgetWaterfill: never oversubscribes; all-capped leftover stays unallocated") {
+    val doms = Seq(("a", 10L, 1L), ("b", 10L, 1L)).toDF("d", "n", "w")
+    val r = Sampling.budgetWaterfill(doms, col("d"), col("n"), col("w"),
+        capMilli = 1000, budget = 1000L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r == Map("a" -> 10L, "b" -> 10L)) // 980 tokens stay on the table
+    assert(Sampling.budgetWaterfill(doms, col("d"), col("n"), col("w"),
+      2000, 0L).collect().map(_.getLong(3)).forall(_ == 0L))
+  }
+
+  test("budgetWaterfill: non-positive domains excluded; fractional types rejected") {
+    val doms = Seq(("a", 100L, 1L), ("z", 0L, 5L), ("y", 50L, 0L)).toDF("d", "n", "w")
+    val kept = Sampling.budgetWaterfill(doms, col("d"), col("n"), col("w"),
+      2000, 100L).select("dom").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a"))
+    val bad = Seq(("a", 1.5, 1L)).toDF("d", "n", "w")
+    intercept[IllegalArgumentException](
+      Sampling.budgetWaterfill(bad, col("d"), col("n"), col("w"), 2000, 100L))
   }
 
   // --- Sampling.diverseSelect -------------------------------------------------
