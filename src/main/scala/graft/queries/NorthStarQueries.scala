@@ -555,6 +555,89 @@ object NorthStarQueries {
         """SELECT COUNT(DISTINCT cluster) AS n_kept, COUNT(*) AS n_docs
           |FROM clabels""".stripMargin)),
 
+    // Leakage-free train/val split: assign documents to splits by the hash
+    // of their NEAR-DUP CLUSTER label, not their own id — a doc and all its
+    // near-duplicates land on the same side by construction, so the val set
+    // cannot be contaminated by a training-set paraphrase. cross_pairs
+    // (near-dup pairs straddling the split) is computed and must be 0 —
+    // the property is in the OUTPUT, not just asserted. Naive id-hash
+    // splitting breaks exactly this.
+    QueryDef("q_leakfree_split",
+      (s, d) => {
+        val labels = ccLabels(s, d)
+        // 10% val: hash24(cluster) < floor(0.1 * 2^24)
+        val split = labels.select(col("id"), col("cluster"),
+          when(conv(substring(md5(col("cluster").cast("string")), 1, 6), 16, 10)
+            .cast("long") < 1677721L, "val").otherwise("train").as("split"))
+        val pairs = Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d),
+            MH_HASHES)
+          .where_(col("est_jaccard") >= 0.5)
+        val cross = pairs
+          .join(split.select(col("id").as("id_a"), col("split").as("sa")), "id_a")
+          .join(split.select(col("id").as("id_b"), col("split").as("sb")), "id_b")
+          .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+            lit(0L)).as("cross_pairs"))
+        split.groupBy("split")
+          .agg(countDistinct("cluster").as("n_clusters"),
+            count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(cross))
+          .sortBy(col("split"))
+      },
+      Some(ccOracleCtes +
+        """, sp AS (SELECT id, cluster,
+          |    CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 6))::BIGINT
+          |      < 1677721 THEN 'val' ELSE 'train' END AS split FROM clabels),
+          |cx AS (SELECT CAST(COALESCE(SUM(
+          |    CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+          |    AS cross_pairs
+          |  FROM cpairs p JOIN sp a ON p.id_a = a.id JOIN sp b ON p.id_b = b.id)
+          |SELECT split, CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+          |  COUNT(*) AS n_docs, cross_pairs
+          |FROM sp CROSS JOIN cx GROUP BY split, cross_pairs
+          |ORDER BY split""".stripMargin)),
+
+    // Corpus duplication profile — the "how duplicated is this corpus"
+    // diagnostic run before choosing dedup aggressiveness: over all k-token
+    // spans, the count of distinct spans, spans repeated at all, spans
+    // shared ACROSS documents, total instances, the hottest span's
+    // frequency, and the repeated-span ratio in ppm. One explode + one
+    // two-level aggregate; every stat is an integer.
+    QueryDef("q_dup_profile",
+      (s, d) => {
+        val k = 5
+        val spans = T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(Dedup.spanHashes(TA.tokens(lower(col("text"))), k)).as("sp"))
+          .select(col("doc_id"), col("sp.h").as("h"))
+        val per = spans.groupBy("h").agg(
+          countDistinct("doc_id").as("nd"), count(lit(1)).as("ni"))
+        per.agg(count(lit(1)).as("n_spans"),
+            sum(when(col("ni") > 1, 1L).otherwise(0L)).as("n_repeated"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_cross_doc"),
+            sum(col("ni")).as("n_instances"),
+            max(col("ni")).as("max_freq"))
+          .select(col("n_spans"), col("n_repeated"), col("n_cross_doc"),
+            col("n_instances"), col("max_freq"),
+            expr("(n_repeated * 1000000) div n_spans").as("dup_ppm"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |sp AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(array_to_string(t[pos+1 : pos+5], ' ')), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS pos
+             |        FROM toks WHERE len(t) >= 5)),
+             |g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS ni
+             |  FROM sp GROUP BY h)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |  CAST(SUM(CASE WHEN ni > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc,
+             |  CAST(SUM(ni) AS BIGINT) AS n_instances,
+             |  CAST(MAX(ni) AS BIGINT) AS max_freq,
+             |  CAST((SUM(CASE WHEN ni > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+             |    AS BIGINT) AS dup_ppm
+             |FROM g ORDER BY n_spans""".stripMargin)),
+
     QueryDef("q_simhash_pairs",
       (s, d) => Dedup.simHashNearDupPairs(T(s, d, "documents"), "text", "doc_id",
           maxHamming = 8)
