@@ -177,11 +177,15 @@ object Sampling {
     * nothing is known about its size). Inner broadcast join + scan-side
     * filter: stateless, no watermark, streaming-composable. */
   def applyMixtureRates(df: DataFrame, domain: Column, id: Column,
-      rates: DataFrame, ppmCol: String = "keep_ppm"): DataFrame =
+      rates: DataFrame, ppmCol: String = "keep_ppm"): DataFrame = {
+    require(rates.columns.contains("__tm_dom") && rates.columns.contains(ppmCol),
+      s"applyMixtureRates: rates must come from temperatureRates " +
+        s"(need columns __tm_dom and $ppmCol, got ${rates.columns.mkString(", ")})")
     df.join(broadcast(rates), domain === col("__tm_dom"))
       .where(conv(substring(md5(concat(domain.cast("string"), lit(":"),
         id.cast("string"))), 1, 6), 16, 10).cast("long") < col(ppmCol))
       .drop("__tm_dom")
+  }
 
   /** Token-budget waterfilling — the "how many epochs of each domain" recipe
     * computation (the LLaMA-class data-mixture allocation): distribute a
@@ -305,16 +309,52 @@ object Sampling {
         s"weightedSample: weight must be integral (got $other); scale " +
           "fractional weights to integers — only ratios matter")
     }
+    val top = df.where(weight.isNotNull && weight >= 1)
+      .withColumn(kc, aresKey(id, weight))
+      .orderBy(col(kc).desc, id).limit(k)
+    top.withColumn(pickCol, row_number().over(Window.orderBy(col(kc).desc, id)))
+      .drop(kc)
+  }
+
+  /** The A-Res sort key of [[weightedSample]] — ln(u)/w with u from the id
+    * hash and ln quantized to micro-nats. Shared verbatim by the batch
+    * operator and the streaming reservoir so the two paths select the SAME
+    * sample (and one oracle chain covers both). */
+  def aresKey(id: Column, weight: Column): Column = {
     val h52 = conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
       .cast("long")
     val lnuMicro = floor(
       log((h52.cast("double") + lit(1.0)) / lit(4503599627370496.0)) *
         lit(1000000.0)).cast("long")
-    val keyd = lnuMicro.cast("double") / weight.cast("long").cast("double")
-    val top = df.where(weight.isNotNull && weight >= 1)
-      .withColumn(kc, keyd)
-      .orderBy(col(kc).desc, id).limit(k)
-    top.withColumn(pickCol, row_number().over(Window.orderBy(col(kc).desc, id)))
-      .drop(kc)
+    lnuMicro.cast("double") / weight.cast("long").cast("double")
+  }
+
+  /** Bounded top-k reservoir aggregate — the streaming form of the A-Res
+    * cut: keeps the k largest (key DESC, id ASC) pairs seen so far. State
+    * is AT MOST k pairs per group (bounded, watermark-free); merge is the
+    * k-bounded merge of two reservoirs — commutative and associative, so
+    * the result is independent of partition/task order. Shard the stream
+    * over a fixed small shard count (state = shards×k pairs) and take the
+    * global top-k of the exploded reservoirs at read time: each shard's
+    * reservoir is a superset of its contribution to the global top-k, so
+    * the read-side cut is EXACT. */
+  final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k >= 0, "TopKAgg: k must be >= 0")
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sorted(ord).take(k)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      if (a == null) b else trim(b :+ a)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 }

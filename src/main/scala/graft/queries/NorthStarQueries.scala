@@ -1410,6 +1410,55 @@ object NorthStarQueries {
           |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
           |FROM sc WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING weighted sampling (sharded A-Res reservoirs): keep a
+    // proportional-to-weight sample of a document stream WITHOUT keeping
+    // the stream. Each row's A-Res key (the chain shared verbatim with the
+    // batch operator) feeds a bounded top-k reservoir per hash shard —
+    // state is shards×k pairs, no watermark; the read-side global top-k
+    // over the exploded reservoirs is EXACT (every shard reservoir is a
+    // superset of its global-top-k members), so the streamed sample EQUALS
+    // the batch weightedSample of the streamed rows and the oracle is the
+    // batch chain restricted to the streamed half.
+    QueryDef("q_streaming_wsample",
+      (s, d) => {
+        val k = 15
+        val topk = udaf(new graft.functions.Sampling.TopKAgg(k),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w"))
+          .where(col("w") >= 1)
+          .select(col("doc_id"),
+            graft.functions.Sampling.aresKey(col("doc_id"), col("w")).as("key"))
+          .groupBy(pmod(xxhash64(col("doc_id")), lit(8L)).as("shard"))
+          .agg(topk(col("key"), col("doc_id")).as("res"))
+        val sunk = graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_streaming_wsample_sink", stream)
+        val cand = sunk.select(explode(col("res")).as("r"))
+          .select(col("r._1").as("key"), col("r._2").as("doc_id"))
+          .orderBy(col("key").desc, col("doc_id")).limit(k)
+        val picked = cand.withColumn("pick",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("key").desc, col("doc_id"))))
+          .drop("key")
+        picked.join(T(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("w")), Seq("doc_id"))
+          .select(col("doc_id"), col("w"), col("pick"))
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             |      AS h52 FROM documents WHERE doc_id % 2 = 1),
+             |k AS (SELECT doc_id, w, CAST(FLOOR(ln(
+             |    (CAST(h52 AS DOUBLE) + 1.0) / 4503599627370496.0)
+             |    * 1000000.0) AS BIGINT) AS lnu FROM t WHERE w >= 1),
+             |p AS (SELECT doc_id, w, ROW_NUMBER() OVER (
+             |    ORDER BY CAST(lnu AS DOUBLE) / CAST(w AS DOUBLE) DESC,
+             |    doc_id) AS pick FROM k)
+             |SELECT doc_id, w, CAST(pick AS INT) AS pick
+             |FROM p WHERE pick <= 15 ORDER BY doc_id""".stripMargin)),
+
     // STREAMING temperature mixture: rates trained on the static POOL (the
     // full documents table), applied to an incoming document stream as a
     // broadcast join + scan-side hash threshold — select-only, stateless,

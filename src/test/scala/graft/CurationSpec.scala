@@ -196,6 +196,24 @@ class CurationSpec extends SparkSpec {
     assert(got.count(_ >= 1000L) >= 15)
   }
 
+  test("TopKAgg: reservoir keeps the k best, merge is order-independent and bounded") {
+    val agg = new Sampling.TopKAgg(3)
+    val items = Seq((0.5, 7L), (0.9, 2L), (0.9, 1L), (0.1, 9L), (0.7, 4L))
+    val r = items.foldLeft(agg.zero)(agg.reduce)
+    assert(r == Seq((0.9, 1L), (0.9, 2L), (0.7, 4L))) // key desc, id asc ties
+    // merge of two partial reservoirs = reservoir of the concatenation
+    val (a, b) = items.splitAt(2)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == r)
+    assert(agg.merge(r, r).size == 3) // bounded under self-merge
+    // union of shard reservoirs contains the global top-k (exactness of the
+    // read-side cut): every element of the global top-3 is in some shard's top-3
+    val shards = items.groupBy(_._2 % 2).values.toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    assert(r.toSet.subsetOf(shards.flatten.toSet))
+  }
+
   test("weightedSample: deterministic across reruns and k-prefix-stable") {
     val df = (0L until 100L).toDF("id")
       .withColumn("w", (col("id") % 9L) + 1L)
