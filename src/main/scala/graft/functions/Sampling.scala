@@ -242,6 +242,49 @@ object Sampling {
       .drop("__wf_cap")
   }
 
+  /** Materialize a per-domain epoch allocation into the physical training
+    * corpus: each document repeats once per FULL epoch of its domain, plus
+    * one more in the FRACTIONAL epoch iff its hash clears the fraction —
+    * e.g. epochs_milli = 2400 repeats every doc twice and a deterministic
+    * ~40% of docs a third time, so the domain's realized token count tracks
+    * its allocation. The step between [[budgetWaterfill]] (which decides
+    * epochs per domain) and [[deterministicShuffle]] (which orders the
+    * result). Output adds `epoch` (0-based; ties every replica to its
+    * epoch, so downstream shuffles can seed per-epoch permutations).
+    *
+    * Deterministic: the fractional-epoch keep is the 24-bit
+    * hash(epoch:domain:id) threshold against frac·2²⁴/1000 (exact integer
+    * arithmetic — frac is milli-epochs). Streaming-composable for the
+    * full-epoch part; rows with no allocation row are dropped.
+    *
+    * 100 TB posture: one broadcast join (the allocation is #domains rows)
+    * + one bounded explode (≤ ceil(max epochs) replicas per row) — scan
+    * shaped, no shuffle; the output is epochs× the input by DESIGN. */
+  def epochExpand(df: DataFrame, domain: Column, id: Column,
+      alloc: DataFrame, epochCol: String = "epoch"): DataFrame = {
+    require(alloc.columns.contains("dom") && alloc.columns.contains("epochs_milli"),
+      "epochExpand: alloc must come from budgetWaterfill (dom, epochs_milli)")
+    require(!df.columns.contains(epochCol),
+      s"epochExpand: input must not contain a '$epochCol' column")
+    // the allocation's key is renamed internally so an input column named
+    // "dom" cannot collide through the join
+    val a = broadcast(alloc.select(col("dom").as("__ee_dom"),
+      expr("epochs_milli div 1000").as("__ee_full"),
+      expr("epochs_milli % 1000").as("__ee_frac")))
+    // NB: Spark sequence(0, -1) is DESCENDING, not empty — a zero-allocation
+    // domain must produce an empty array (explode then drops the row)
+    val last = col("__ee_full") +
+      when(col("__ee_frac") > 0, 1L).otherwise(0L) - 1L
+    df.join(a, domain === col("__ee_dom"))
+      .withColumn(epochCol, explode(when(last >= 0, sequence(lit(0L), last))
+        .otherwise(array().cast("array<bigint>"))))
+      .where(col(epochCol) < col("__ee_full") ||
+        conv(substring(md5(concat(col(epochCol).cast("string"), lit(":"),
+          domain.cast("string"), lit(":"), id.cast("string"))), 1, 6), 16, 10)
+          .cast("long") < expr("(__ee_frac * 16777216) div 1000"))
+      .drop("__ee_dom", "__ee_full", "__ee_frac")
+  }
+
   /** Diversity-maximizing selection under a global budget `k`: round-robin
     * across clusters, best-first within each. Rows rank within their
     * cluster by (score DESC, id), then the global pick order is

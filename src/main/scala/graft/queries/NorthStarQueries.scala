@@ -2535,6 +2535,66 @@ object NorthStarQueries {
              |  CAST((alloc * 1000) // n_tok AS BIGINT) AS epochs_milli
              |FROM r3 ORDER BY dom""".stripMargin)),
 
+    // Epoch expansion (Sampling.epochExpand): materialize the waterfill
+    // allocation into the physical training corpus — every doc repeats per
+    // full epoch of its domain plus a deterministic hash-fraction replica
+    // for the fractional epoch (en lands at 0.33 epochs → a 33% subset at
+    // epoch 0; the capped langs at 1.5 → all docs at epoch 0, ~half at
+    // epoch 1). waterfill → epochExpand → deterministicShuffle is the full
+    // recipe path.
+    QueryDef("q_epoch_expand",
+      (s, d) => {
+        val doms = T(s, d, "documents")
+          .groupBy(col("lang").as("dom"))
+          .agg(sum(size(split(col("text"), " "))).as("nt"),
+            count(lit(1)).as("nd"))
+          .select(col("dom"), col("nt"), expr("1000000 div nd").as("w"))
+        val alloc = graft.functions.Sampling.budgetWaterfill(doms, col("dom"),
+          col("nt"), col("w"), capMilli = 1500, budget = 27000L)
+        graft.functions.Sampling.epochExpand(
+            T(s, d, "documents").select(col("doc_id"), col("lang")),
+            col("lang"), col("doc_id"), alloc)
+          .summarize(Seq(col("lang"), col("epoch")),
+            count(lit(1)).as("n_docs"))
+          .sortBy(col("lang"), col("epoch"))
+      },
+      Some("""WITH doms AS (SELECT lang AS dom,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+             |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq
+             |  FROM documents GROUP BY 1),
+             |base AS (SELECT dom, n_tok, wq, (n_tok * 1500) // 1000 AS cap,
+             |    CAST(0 AS BIGINT) AS alloc FROM doms),
+             |t1 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
+             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM base),
+             |r1 AS (SELECT dom, n_tok, wq, cap, CASE
+             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
+             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+             |    ELSE alloc END AS alloc FROM base CROSS JOIN t1),
+             |t2 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
+             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r1),
+             |r2 AS (SELECT dom, n_tok, wq, cap, CASE
+             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
+             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+             |    ELSE alloc END AS alloc FROM r1 CROSS JOIN t2),
+             |t3 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
+             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r2),
+             |r3 AS (SELECT dom, n_tok, wq, cap, CASE
+             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
+             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+             |    ELSE alloc END AS alloc FROM r2 CROSS JOIN t3),
+             |al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
+             |ex AS (SELECT dom, em // 1000 AS f, em % 1000 AS fr FROM al),
+             |e AS (SELECT d.doc_id, d.lang, t.epoch
+             |  FROM documents d JOIN ex ON d.lang = ex.dom
+             |  CROSS JOIN UNNEST(generate_series(0,
+             |    ex.f + CASE WHEN ex.fr > 0 THEN 1 ELSE 0 END - 1)) t(epoch)
+             |  WHERE t.epoch < ex.f OR ('0x' || substr(md5(
+             |    CAST(t.epoch AS VARCHAR) || ':' || d.lang || ':' ||
+             |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+             |      < (ex.fr * 16777216) // 1000)
+             |SELECT lang, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs
+             |FROM e GROUP BY 1, 2 ORDER BY lang, epoch""".stripMargin)),
+
     // Diversity-maximizing selection (Sampling.diverseSelect): round-robin
     // across language clusters, best-first (distinct-token score) within
     // each — picks 1..5 are the best doc of every lang before any second

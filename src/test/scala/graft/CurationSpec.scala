@@ -142,6 +142,43 @@ class CurationSpec extends SparkSpec {
       Sampling.budgetWaterfill(bad, col("d"), col("n"), col("w"), 2000, 100L))
   }
 
+  // --- Sampling.epochExpand ------------------------------------------------------
+
+  private def docsFixture = (0L until 40L).map { i =>
+    (i, if (i < 30) "big" else "small")
+  }.toDF("id", "dom")
+
+  test("epochExpand: full epochs replicate exactly; zero allocation drops the domain") {
+    val alloc = Seq(("big", 2000L), ("small", 0L)).toDF("dom", "epochs_milli")
+    val out = Sampling.epochExpand(docsFixture, col("dom"), col("id"), alloc)
+    assert(out.filter(col("dom") === "small").count() == 0L)
+    val big = out.filter(col("dom") === "big")
+    assert(big.count() == 60L) // 30 docs x 2 full epochs
+    assert(big.groupBy("id").count().filter(col("count") =!= 2).count() == 0L)
+    assert(big.select("epoch").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(0L, 1L))
+  }
+
+  test("epochExpand: fractional epoch keeps a deterministic hash subset") {
+    val alloc = Seq(("big", 1500L)).toDF("dom", "epochs_milli")
+    val out = Sampling.epochExpand(docsFixture, col("dom"), col("id"), alloc)
+    val perEpoch = out.groupBy("epoch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perEpoch(0L) == 30L) // the full epoch has everyone
+    assert(perEpoch.getOrElse(1L, 0L) > 0L && perEpoch(1L) < 30L) // ~half
+    val again = Sampling.epochExpand(docsFixture, col("dom"), col("id"), alloc)
+    assert(out.orderBy("id", "epoch").collect().toSeq ==
+      again.orderBy("id", "epoch").collect().toSeq)
+  }
+
+  test("epochExpand: purely fractional allocation is a sub-epoch subset at epoch 0") {
+    val alloc = Seq(("big", 400L), ("small", 400L)).toDF("dom", "epochs_milli")
+    val out = Sampling.epochExpand(docsFixture, col("dom"), col("id"), alloc)
+    assert(out.select("epoch").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val n = out.count()
+    assert(n > 0L && n < 40L)
+  }
+
   // --- Sampling.diverseSelect -------------------------------------------------
 
   private def clusterFixture = Seq(

@@ -335,4 +335,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("budgetWaterfill invariants: never oversubscribes, never exceeds caps") {
+    import graft.functions.Sampling
+    val domGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 1000L), Gen.choose(1L, 100L))).map(_.take(6))
+    check(Prop.forAll(domGen, Gen.choose(0, 3000), Gen.choose(0L, 50000L)) {
+      (doms, capMilli, budget) =>
+        val df = doms.zipWithIndex
+          .map { case ((n, w), i) => (s"d$i", n, w) }.toDF("d", "n", "w")
+        val out = Sampling.budgetWaterfill(df, col("d"), col("n"), col("w"),
+            capMilli, budget)
+          .select("dom", "n_tok", "alloc").collect()
+        val total = out.map(_.getLong(2)).sum
+        val withinCaps = out.forall(r =>
+          r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1) * capMilli / 1000)
+        total <= budget && withinCaps
+    }, n = 12)
+  }
+
+  test("diverseSelect coverage: the first min(k, #clusters) picks hit distinct clusters") {
+    import graft.functions.Sampling
+    val rows = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 50L)))
+      .map(_.take(30).distinctBy(_._2))
+    check(Prop.forAll(rows, Gen.choose(1, 8)) { (data, k) =>
+      val df = data.map { case (c, id) => (s"c$c", id, id % 7) }
+        .toDF("cl", "id", "score")
+      val picked = Sampling.diverseSelect(df, col("cl"), col("score"),
+          col("id"), k)
+        .orderBy("pick").select("cl").collect().map(_.getString(0))
+      val clusters = data.map(_._1).distinct.size
+      val head = picked.take(math.min(k, clusters))
+      head.distinct.length == head.length
+    }, n = 12)
+  }
 }
