@@ -39,12 +39,19 @@ object HostRank {
       "pageRank: iters in [1,10]; checkpoint between calls for longer chains")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "pageRank: dampingPermille in [0,1000]")
-    // a null endpoint is not a host: the edge carries no usable link
+    // a null endpoint is not a host: the edge carries no usable link.
+    // persist: every iteration references e (and nodes/outdeg derived from
+    // it) — without the barrier the caller's arbitrary edge lineage is
+    // re-scanned once per iteration (only identical exchanges get reuse).
+    // ContextCleaner unpersists when the plan goes unreferenced (the
+    // materialize() convention).
     val e = edges.select(col(srcCol).cast("string").as("__pr_src"),
       col(dstCol).cast("string").as("__pr_dst"))
       .where(col("__pr_src").isNotNull && col("__pr_dst").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("__pr_src").as("node"))
       .union(e.select(col("__pr_dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("__pr_src").agg(count(lit(1)).as("__pr_outdeg"))
     val base = (1000L - dampingPermille) * 1000L
     var ranks = nodes.withColumn(rankCol, lit(1000000L))

@@ -141,6 +141,20 @@ object Sampling {
       temperatureRates(df, domain, alphaQuarters, budget, ppmCol), ppmCol)
   }
 
+  /** The 24-bit keep-decision hash shared by every rate-thresholded sampler
+    * (mixture rates, epoch fractions, split assignment): the first 6 md5 hex
+    * digits of the ':'-joined parts, as a long in [0, 2²⁴) — compare against
+    * a ppm-of-2²⁴ threshold. One helper so the chain stays bit-identical to
+    * the DuckDB oracle convention (`('0x' || substr(md5(...), 1, 6))::BIGINT`)
+    * at every call site. */
+  def hash24(parts: Column*): Column = {
+    // concat (null-propagating, like DuckDB ||), NOT concat_ws (null-skipping):
+    // a null part must null the hash so the threshold filter drops the row
+    val joined = parts.map(_.cast("string"))
+      .reduceLeft((a, b) => concat(a, lit(":"), b))
+    conv(substring(md5(joined), 1, 6), 16, 10).cast("long")
+  }
+
   /** The per-domain keep-rate table of [[temperatureMixture]] — ppm of 2²⁴
     * per domain, from the pool's domain counts. Tiny (one row per domain):
     * broadcast it. Split out so the rates can be trained on a static POOL
@@ -151,7 +165,12 @@ object Sampling {
     require(alphaQuarters >= 1 && alphaQuarters <= 4,
       "temperatureRates: alphaQuarters in [1,4] (0.25/0.5/0.75/1.0)")
     require(budget >= 0, "temperatureRates: budget must be >= 0")
-    val counts = pool.groupBy(domain.as("__tm_dom"))
+    // null domains are excluded from the pool BEFORE the weight total: the
+    // apply-side equi-join can never keep them (null === null is null), so
+    // counting their mass into W would silently deflate every real
+    // domain's rate
+    val counts = pool.where(domain.isNotNull)
+      .groupBy(domain.as("__tm_dom"))
       .agg(count(lit(1)).as("__tm_n"))
     val nD = col("__tm_n").cast("double")
     val w = alphaQuarters match {
@@ -182,8 +201,7 @@ object Sampling {
       s"applyMixtureRates: rates must come from temperatureRates " +
         s"(need columns __tm_dom and $ppmCol, got ${rates.columns.mkString(", ")})")
     df.join(broadcast(rates), domain === col("__tm_dom"))
-      .where(conv(substring(md5(concat(domain.cast("string"), lit(":"),
-        id.cast("string"))), 1, 6), 16, 10).cast("long") < col(ppmCol))
+      .where(hash24(domain, id) < col(ppmCol))
       .drop("__tm_dom")
   }
 
@@ -279,9 +297,8 @@ object Sampling {
       .withColumn(epochCol, explode(when(last >= 0, sequence(lit(0L), last))
         .otherwise(array().cast("array<bigint>"))))
       .where(col(epochCol) < col("__ee_full") ||
-        conv(substring(md5(concat(col(epochCol).cast("string"), lit(":"),
-          domain.cast("string"), lit(":"), id.cast("string"))), 1, 6), 16, 10)
-          .cast("long") < expr("(__ee_frac * 16777216) div 1000"))
+        hash24(col(epochCol), domain, id) <
+          expr("(__ee_frac * 16777216) div 1000"))
       .drop("__ee_dom", "__ee_full", "__ee_frac")
   }
 
@@ -362,7 +379,10 @@ object Sampling {
   /** The A-Res sort key of [[weightedSample]] — ln(u)/w with u from the id
     * hash and ln quantized to micro-nats. Shared verbatim by the batch
     * operator and the streaming reservoir so the two paths select the SAME
-    * sample (and one oracle chain covers both). */
+    * sample (and one oracle chain covers both). Residual portability
+    * hazard (documented in DEVIATIONS): ln is 1-ulp, not correctly
+    * rounded, so the floor can differ across engines for the ~1e-8/row of
+    * ids whose ln(u)·1e6 lands within an ulp of an integer. */
   def aresKey(id: Column, weight: Column): Column = {
     val h52 = conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
       .cast("long")
@@ -391,7 +411,12 @@ object Sampling {
       s.sorted(ord).take(k)
     def zero: Seq[(Double, Long)] = Seq.empty
     def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      if (a == null) b else trim(b :+ a)
+      if (a == null) b
+      // buffer is sorted by construction: a full buffer whose worst element
+      // beats the new row is unchanged — the dominant stream case is O(1),
+      // not a k log k re-sort per row
+      else if (b.size >= k && (k == 0 || ord.lteq(b.last, a))) b
+      else trim(b :+ a)
     def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(a ++ b)
     def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r

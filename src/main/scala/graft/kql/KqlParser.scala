@@ -759,13 +759,13 @@ object KqlParser {
         val db = strLitS(); eatPunct(")")
         db
       }
+      // nonempty by construction: the first entry() parses before the comma
+      // loop (an empty [] fails inside entry() on the missing `database`)
       val dbs = Seq.newBuilder[String]
       dbs += entry()
       while (atPunct(",")) { pos += 1; dbs += entry() }
       eatPunct("]")
-      val out = dbs.result()
-      require(out.nonEmpty, "entity_group: at least one database required")
-      out
+      dbs.result()
     }
 
     /** `macro-expand entity_group [...] as X ( body )` (or a let-bound

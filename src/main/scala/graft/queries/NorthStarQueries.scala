@@ -190,6 +190,53 @@ object NorthStarQueries {
       s"(CASE WHEN 2 * len(list_filter(h, v -> ((v >> $b) & 1) = 1)) > len(h) THEN (1::BIGINT << $b) ELSE 0 END)")
       .mkString("\n      + ")
 
+  /** Shared inverse-size language-domain table for the waterfill/epoch
+    * queries: (dom, total tokens, weight = 1e6 div #docs) per lang. */
+  private def langDomains(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .groupBy(col("lang").as("dom"))
+      .agg(sum(size(split(col("text"), " "))).as("nt"), count(lit(1)).as("nd"))
+      .select(col("dom"), col("nt"), expr("1000000 div nd").as("w"))
+
+  /** The ONE DuckDB replay of the 3-round waterfill cascade (inverse-size
+    * weights, cap 1500 milli-epochs, budget 27000) ending in `r3(dom, n_tok,
+    * wq, cap, alloc)` — shared by q_mixture_waterfill and q_epoch_expand so
+    * a change to the round semantics cannot silently diverge the two. */
+  private val waterfillOracleCtes: String = {
+    def round(prev: String, t: String, r: String) =
+      s"""$t AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
+         |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM $prev),
+         |$r AS (SELECT dom, n_tok, wq, cap, CASE
+         |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
+         |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+         |    ELSE alloc END AS alloc FROM $prev CROSS JOIN $t)""".stripMargin
+    s"""WITH doms AS (SELECT lang AS dom,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+       |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq
+       |  FROM documents GROUP BY 1),
+       |base AS (SELECT dom, n_tok, wq, (n_tok * 1500) // 1000 AS cap,
+       |    CAST(0 AS BIGINT) AS alloc FROM doms),
+       |${round("base", "t1", "r1")},
+       |${round("r1", "t2", "r2")},
+       |${round("r2", "t3", "r3")}
+       |""".stripMargin
+  }
+
+  /** Temperature-rate CTEs (alpha = 0.5, budget 250, lang domains) ending in
+    * `r(dom, keep_ppm)` — shared by the batch and streaming mixture oracles. */
+  private val tempmixRateCtes: String =
+    """WITH c AS (SELECT lang AS dom, COUNT(*) AS n
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      |w AS (SELECT dom, n,
+      |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS wq FROM c),
+      |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+      |r AS (SELECT dom, CAST(FLOOR(LEAST(1.0,
+      |    (CAST(wq AS DOUBLE) * 250.0) /
+      |    (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))) * 16777216.0)
+      |    AS BIGINT) AS keep_ppm FROM w CROSS JOIN t)
+      |""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // --- text analysis ------------------------------------------------------
@@ -567,8 +614,8 @@ object NorthStarQueries {
         val labels = ccLabels(s, d)
         // 10% val: hash24(cluster) < floor(0.1 * 2^24)
         val split = labels.select(col("id"), col("cluster"),
-          when(conv(substring(md5(col("cluster").cast("string")), 1, 6), 16, 10)
-            .cast("long") < 1677721L, "val").otherwise("train").as("split"))
+          when(graft.functions.Sampling.hash24(col("cluster")) < 1677721L,
+            "val").otherwise("train").as("split"))
         val pairs = Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d),
             MH_HASHES)
           .where_(col("est_jaccard") >= 0.5)
@@ -1481,22 +1528,13 @@ object NorthStarQueries {
             count(lit(1)).as("n_kept"))
           .sortBy(col("lang"))
       },
-      Some("""WITH c AS (SELECT lang AS dom, COUNT(*) AS n
-             |  FROM documents GROUP BY 1),
-             |w AS (SELECT dom, n,
-             |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
-             |      AS wq FROM c),
-             |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
-             |r AS (SELECT dom, CAST(FLOOR(LEAST(1.0,
-             |    (CAST(wq AS DOUBLE) * 250.0) /
-             |    (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))) * 16777216.0)
-             |    AS BIGINT) AS keep_ppm FROM w CROSS JOIN t)
-             |SELECT d.lang, r.keep_ppm, COUNT(*) AS n_kept
-             |FROM documents d JOIN r ON d.lang = r.dom
-             |WHERE d.doc_id % 2 = 1
-             |  AND ('0x' || substr(md5(d.lang || ':' ||
-             |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
-             |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
+      Some(tempmixRateCtes +
+        """SELECT d.lang, r.keep_ppm, COUNT(*) AS n_kept
+          |FROM documents d JOIN r ON d.lang = r.dom
+          |WHERE d.doc_id % 2 = 1
+          |  AND ('0x' || substr(md5(d.lang || ':' ||
+          |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
+          |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
 
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
@@ -2472,21 +2510,12 @@ object NorthStarQueries {
         .summarize(Seq(col("lang"), col("keep_ppm")),
           count(lit(1)).as("n_kept"))
         .sortBy(col("lang")),
-      Some("""WITH c AS (SELECT lang AS dom, COUNT(*) AS n
-             |  FROM documents GROUP BY 1),
-             |w AS (SELECT dom, n,
-             |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
-             |      AS wq FROM c),
-             |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
-             |r AS (SELECT dom, CAST(FLOOR(LEAST(1.0,
-             |    (CAST(wq AS DOUBLE) * 250.0) /
-             |    (CAST(tw AS DOUBLE) * CAST(n AS DOUBLE))) * 16777216.0)
-             |    AS BIGINT) AS keep_ppm FROM w CROSS JOIN t)
-             |SELECT d.lang, r.keep_ppm, COUNT(*) AS n_kept
-             |FROM documents d JOIN r ON d.lang = r.dom
-             |WHERE ('0x' || substr(md5(d.lang || ':' ||
-             |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
-             |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
+      Some(tempmixRateCtes +
+        """SELECT d.lang, r.keep_ppm, COUNT(*) AS n_kept
+          |FROM documents d JOIN r ON d.lang = r.dom
+          |WHERE ('0x' || substr(md5(d.lang || ':' ||
+          |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
+          |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
 
     // Token-budget waterfilling (Sampling.budgetWaterfill): the LLaMA-class
     // "epochs per domain" allocation — budget split proportional-to-weight,
@@ -2496,44 +2525,13 @@ object NorthStarQueries {
     // en absorbs the tail in round 3). Integer-exact: three unrolled CTE
     // rounds replay the allocation bit-for-bit.
     QueryDef("q_mixture_waterfill",
-      (s, d) => {
-        val doms = T(s, d, "documents")
-          .groupBy(col("lang").as("dom"))
-          .agg(sum(size(split(col("text"), " "))).as("nt"),
-            count(lit(1)).as("nd"))
-          .select(col("dom"), col("nt"),
-            expr("1000000 div nd").as("w"))
-        graft.functions.Sampling.budgetWaterfill(doms, col("dom"), col("nt"),
-            col("w"), capMilli = 1500, budget = 27000L)
-          .sortBy(col("dom"))
-      },
-      Some("""WITH doms AS (SELECT lang AS dom,
-             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
-             |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq
-             |  FROM documents GROUP BY 1),
-             |base AS (SELECT dom, n_tok, wq, (n_tok * 1500) // 1000 AS cap,
-             |    CAST(0 AS BIGINT) AS alloc FROM doms),
-             |t1 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
-             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM base),
-             |r1 AS (SELECT dom, n_tok, wq, cap, CASE
-             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
-             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
-             |    ELSE alloc END AS alloc FROM base CROSS JOIN t1),
-             |t2 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
-             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r1),
-             |r2 AS (SELECT dom, n_tok, wq, cap, CASE
-             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
-             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
-             |    ELSE alloc END AS alloc FROM r1 CROSS JOIN t2),
-             |t3 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
-             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r2),
-             |r3 AS (SELECT dom, n_tok, wq, cap, CASE
-             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
-             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
-             |    ELSE alloc END AS alloc FROM r2 CROSS JOIN t3)
-             |SELECT dom, n_tok, wq, CAST(alloc AS BIGINT) AS alloc,
-             |  CAST((alloc * 1000) // n_tok AS BIGINT) AS epochs_milli
-             |FROM r3 ORDER BY dom""".stripMargin)),
+      (s, d) => graft.functions.Sampling.budgetWaterfill(langDomains(s, d),
+          col("dom"), col("nt"), col("w"), capMilli = 1500, budget = 27000L)
+        .sortBy(col("dom")),
+      Some(waterfillOracleCtes +
+        """SELECT dom, n_tok, wq, CAST(alloc AS BIGINT) AS alloc,
+          |  CAST((alloc * 1000) // n_tok AS BIGINT) AS epochs_milli
+          |FROM r3 ORDER BY dom""".stripMargin)),
 
     // Epoch expansion (Sampling.epochExpand): materialize the waterfill
     // allocation into the physical training corpus — every doc repeats per
@@ -2544,13 +2542,8 @@ object NorthStarQueries {
     // recipe path.
     QueryDef("q_epoch_expand",
       (s, d) => {
-        val doms = T(s, d, "documents")
-          .groupBy(col("lang").as("dom"))
-          .agg(sum(size(split(col("text"), " "))).as("nt"),
-            count(lit(1)).as("nd"))
-          .select(col("dom"), col("nt"), expr("1000000 div nd").as("w"))
-        val alloc = graft.functions.Sampling.budgetWaterfill(doms, col("dom"),
-          col("nt"), col("w"), capMilli = 1500, budget = 27000L)
+        val alloc = graft.functions.Sampling.budgetWaterfill(langDomains(s, d),
+          col("dom"), col("nt"), col("w"), capMilli = 1500, budget = 27000L)
         graft.functions.Sampling.epochExpand(
             T(s, d, "documents").select(col("doc_id"), col("lang")),
             col("lang"), col("doc_id"), alloc)
@@ -2558,31 +2551,8 @@ object NorthStarQueries {
             count(lit(1)).as("n_docs"))
           .sortBy(col("lang"), col("epoch"))
       },
-      Some("""WITH doms AS (SELECT lang AS dom,
-             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
-             |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq
-             |  FROM documents GROUP BY 1),
-             |base AS (SELECT dom, n_tok, wq, (n_tok * 1500) // 1000 AS cap,
-             |    CAST(0 AS BIGINT) AS alloc FROM doms),
-             |t1 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
-             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM base),
-             |r1 AS (SELECT dom, n_tok, wq, cap, CASE
-             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
-             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
-             |    ELSE alloc END AS alloc FROM base CROSS JOIN t1),
-             |t2 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
-             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r1),
-             |r2 AS (SELECT dom, n_tok, wq, cap, CASE
-             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
-             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
-             |    ELSE alloc END AS alloc FROM r1 CROSS JOIN t2),
-             |t3 AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
-             |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM r2),
-             |r3 AS (SELECT dom, n_tok, wq, cap, CASE
-             |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
-             |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
-             |    ELSE alloc END AS alloc FROM r2 CROSS JOIN t3),
-             |al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
+      Some(waterfillOracleCtes +
+        """, al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
              |ex AS (SELECT dom, em // 1000 AS f, em % 1000 AS fr FROM al),
              |e AS (SELECT d.doc_id, d.lang, t.epoch
              |  FROM documents d JOIN ex ON d.lang = ex.dom
@@ -2598,8 +2568,9 @@ object NorthStarQueries {
     // Diversity-maximizing selection (Sampling.diverseSelect): round-robin
     // across language clusters, best-first (distinct-token score) within
     // each — picks 1..5 are the best doc of every lang before any second
-    // pick. Two exact ranks: the per-cluster window + the distributed
-    // serialized global numbering.
+    // pick. The per-cluster window rank, then a TakeOrderedAndProject
+    // top-k cut with a k-bounded pick window (plan-asserted: NO
+    // rangepartitioning — see BENCH_NOTES round-12 rewrite).
     QueryDef("q_diverse_select",
       (s, d) => {
         val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),

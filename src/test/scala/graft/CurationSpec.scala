@@ -96,6 +96,19 @@ class CurationSpec extends SparkSpec {
     assert(ppms.head == 8388608L)
   }
 
+  test("temperatureMixture: null domains carry no weight (rates as if absent)") {
+    val withNulls = mixFixture
+      .union(Seq.fill(400)((999L, Option.empty[String])).zipWithIndex
+        .map { case ((_, d), i) => (1000L + i, d) }.toDF("id", "dom"))
+    val clean = Sampling.temperatureMixture(mixFixture, col("dom"), col("id"),
+        2, 200L).groupBy("dom").agg(first("keep_ppm").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val noisy = Sampling.temperatureMixture(withNulls, col("dom"), col("id"),
+        2, 200L).groupBy("dom").agg(first("keep_ppm").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean == noisy) // 50% null-domain rows must not deflate real rates
+  }
+
   test("temperatureMixture: budget 0 keeps nothing; huge budget keeps everything") {
     assert(Sampling.temperatureMixture(mixFixture, col("dom"), col("id"), 2, 0L).count() == 0L)
     assert(Sampling.temperatureMixture(mixFixture, col("dom"), col("id"), 2,

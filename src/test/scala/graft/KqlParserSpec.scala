@@ -1544,9 +1544,15 @@ class KqlParserSpec extends SparkSpec {
       KqlParser.parse("macro-expand nope as X ( X.t )", _ => t))
     assert(e.getMessage.contains("not a bound entity_group"))
     // outside a macro-expand body the alias has no meaning: X.t parses as a
-    // table named X followed by trailing tokens and must not silently work
-    intercept[Exception](KqlParser.parse(
+    // table named X followed by trailing tokens — the PARSER must reject it
+    // (the resolver returning a table for "X" must not make `.t` silently
+    // work). The resolver records what it was asked for so the assertion is
+    // on the parse error, not on a resolver-thrown exception.
+    val asked = scala.collection.mutable.Buffer[String]()
+    val e2 = intercept[IllegalArgumentException](KqlParser.parse(
       "X.t | summarize n = count()",
-      { case "X.t" | "X" => fail("alias leaked"); case _ => t }: String => DataFrame))
+      { n => asked += n; t }: String => DataFrame))
+    assert(e2.getMessage.contains("trailing tokens"), e2.getMessage)
+    assert(asked.toSeq == Seq("X")) // resolved as a TABLE named X, never "X.t"
   }
 }
