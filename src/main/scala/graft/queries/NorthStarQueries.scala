@@ -202,25 +202,31 @@ object NorthStarQueries {
     * weights, cap 1500 milli-epochs, budget 27000) ending in `r3(dom, n_tok,
     * wq, cap, alloc)` — shared by q_mixture_waterfill and q_epoch_expand so
     * a change to the round semantics cannot silently diverge the two. */
-  private val waterfillOracleCtes: String = {
+  /** The 3-round cascade alone, over an in-scope `doms(dom, n_tok, wq)`
+    * CTE, ending in `r3` — parameterized so any survivor set can feed it
+    * (q_full_recipe runs it over the dedup+quality survivors). */
+  private def waterfillCascadeCtes(budget: Long, capMilli: Int): String = {
     def round(prev: String, t: String, r: String) =
       s"""$t AS (SELECT CAST(SUM(CASE WHEN alloc < cap THEN wq END) AS BIGINT)
          |    AS wact, CAST(COALESCE(SUM(alloc), 0) AS BIGINT) AS atot FROM $prev),
          |$r AS (SELECT dom, n_tok, wq, cap, CASE
          |    WHEN wact IS NOT NULL AND wact > 0 AND alloc < cap
-         |    THEN LEAST(cap, alloc + ((27000 - atot) * wq) // wact)
+         |    THEN LEAST(cap, alloc + (($budget - atot) * wq) // wact)
          |    ELSE alloc END AS alloc FROM $prev CROSS JOIN $t)""".stripMargin
-    s"""WITH doms AS (SELECT lang AS dom,
-       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
-       |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq
-       |  FROM documents GROUP BY 1),
-       |base AS (SELECT dom, n_tok, wq, (n_tok * 1500) // 1000 AS cap,
+    s"""base AS (SELECT dom, n_tok, wq, (n_tok * $capMilli) // 1000 AS cap,
        |    CAST(0 AS BIGINT) AS alloc FROM doms),
        |${round("base", "t1", "r1")},
        |${round("r1", "t2", "r2")},
        |${round("r2", "t3", "r3")}
        |""".stripMargin
   }
+
+  private val waterfillOracleCtes: String =
+    s"""WITH doms AS (SELECT lang AS dom,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+       |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq
+       |  FROM documents GROUP BY 1),
+       |${waterfillCascadeCtes(27000L, 1500)}""".stripMargin
 
   /** Temperature-rate CTEs (alpha = 0.5, budget 250, lang domains) ending in
     * `r(dom, keep_ppm)` — shared by the batch and streaming mixture oracles. */
@@ -2564,6 +2570,69 @@ object NorthStarQueries {
              |      < (ex.fr * 16777216) // 1000)
              |SELECT lang, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs
              |FROM e GROUP BY 1, 2 ORDER BY lang, epoch""".stripMargin)),
+
+    // FULL RECIPE composition — the whole curation path as ONE plan, one
+    // oracle: exact dedup (normalized-content keep-first) → quality gate
+    // (≥30 tokens) → per-lang waterfill allocation ON THE SURVIVORS →
+    // epoch expansion → epoch-aware deterministic training shuffle →
+    // per-lang summary with a PERMUTATION-SENSITIVE integer checksum
+    // (Σ pos·(doc_id mod 997)): any stage producing a different survivor
+    // set, allocation, replica set, or training ORDER changes the output.
+    // Every stage is the library operator, not a reimplementation.
+    QueryDef("q_full_recipe",
+      (s, d) => {
+        import graft.functions.{Dedup, Sampling}
+        val sv = Dedup.exactDedup(T(s, d, "documents"), "text", "doc_id")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+          .where(col("tok") >= 30)
+        val doms = sv.groupBy(col("lang").as("dom"))
+          .agg(sum("tok").as("nt"), count(lit(1)).as("nd"))
+          .select(col("dom"), col("nt"), expr("1000000 div nd").as("w"))
+        val alloc = Sampling.budgetWaterfill(doms, col("dom"), col("nt"),
+          col("w"), capMilli = 1500, budget = 20000L)
+        val expanded = Sampling.epochExpand(sv, col("lang"), col("doc_id"), alloc)
+          .withColumn("rid",
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("epoch").cast("string")))
+        Sampling.deterministicShuffle(expanded, col("rid"), seed = 7L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("doc_id").as("n_docs"),
+            max("epoch").as("max_epoch"),
+            sum("tok").as("n_tokens"),
+            sum(col("pos").cast("long") * (col("doc_id") % 997L)).as("order_sum"))
+          .sortBy(col("lang"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, lang, text FROM (
+             |    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+             |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             |      ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1),
+             |sv AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM dd WHERE len(string_split(text, ' ')) >= 30),
+             |doms AS (SELECT lang AS dom, CAST(SUM(tok) AS BIGINT) AS n_tok,
+             |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq FROM sv GROUP BY 1),
+             |${waterfillCascadeCtes(20000L, 1500)},
+             |al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
+             |ex AS (SELECT dom, em // 1000 AS f, em % 1000 AS fr FROM al),
+             |e AS (SELECT s.doc_id, s.lang, s.tok, t.epoch
+             |  FROM sv s JOIN ex ON s.lang = ex.dom
+             |  CROSS JOIN UNNEST(generate_series(0,
+             |    ex.f + CASE WHEN ex.fr > 0 THEN 1 ELSE 0 END - 1)) t(epoch)
+             |  WHERE t.epoch < ex.f OR ('0x' || substr(md5(
+             |    CAST(t.epoch AS VARCHAR) || ':' || s.lang || ':' ||
+             |    CAST(s.doc_id AS VARCHAR)), 1, 6))::BIGINT
+             |      < (ex.fr * 16777216) // 1000),
+             |sh AS (SELECT lang, doc_id, tok, epoch, CAST(ROW_NUMBER() OVER (ORDER BY
+             |    md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+             |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+             |    AS INT) AS pos FROM e)
+             |SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+             |  CAST(MAX(epoch) AS BIGINT) AS max_epoch,
+             |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CAST(pos AS BIGINT) * (doc_id % 997)) AS BIGINT) AS order_sum
+             |FROM sh GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Diversity-maximizing selection (Sampling.diverseSelect): round-robin
     // across language clusters, best-first (distinct-token score) within
