@@ -141,6 +141,54 @@ object Sampling {
       temperatureRates(df, domain, alphaQuarters, budget, ppmCol), ppmCol)
   }
 
+  /** Deterministic ratio interleaving (stride scheduling): order rows so
+    * that every prefix of the training stream holds the sources in the
+    * requested ratio — e.g. ratios code=3, web=7 emits 3 code rows per 7
+    * web rows, evenly spread, not in runs. The batch-mixing guarantee the
+    * hash shuffle deliberately does NOT give: [[deterministicShuffle]]
+    * mixes binomially (a prefix's source counts fluctuate like coin
+    * flips); stride scheduling makes them exact to ±1 stride. Row j of
+    * source i (hash-ordered within the source, so the within-source order
+    * is itself deterministic) gets virtual time (j+1)·10⁶ div rᵢ; the
+    * training order is (virtual time, source, id), totally ordered.
+    * Sources absent from `ratios` (or with ratio 0) are dropped.
+    *
+    * 100 TB posture: two range exchanges (the per-source numbering rides
+    * the serialized machinery ordered by (source, hash, id) — never a
+    * per-source window, whose partitions would be corpus-sized at a
+    * handful of sources — plus the final order), one #sources-row
+    * broadcast for the per-source offsets. */
+  def ratioInterleave(df: DataFrame, source: Column, id: Column,
+      ratios: Map[String, Int], posCol: String = "pos"): DataFrame = {
+    require(ratios.nonEmpty, "ratioInterleave: ratios required")
+    require(ratios.values.forall(_ >= 0), "ratioInterleave: ratios must be >= 0")
+    val kept = ratios.filter(_._2 > 0)
+    val rn = "__ri_rn"
+    val vt = "__ri_vt"
+    Seq(rn, vt, "__ri_r", "__ri_base").foreach(c => require(!df.columns.contains(c),
+      s"ratioInterleave: input must not contain a '$c' column"))
+    // ratio lookup as a literal when-chain (bounded: #sources)
+    val ratioCol = kept.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, r)) => when(source === s, lit(r.toLong)).otherwise(acc)
+    }
+    val filtered = df.where(ratioCol.isNotNull).withColumn("__ri_r", ratioCol)
+    // global numbering ordered by (source, md5(id), id) → per-source j via
+    // the per-source min offset (one #sources-row broadcast)
+    val numbered = graft.kql.Kql.serializedRowFns(filtered,
+      Seq(source, md5(id.cast("string")), id),
+      Seq(graft.kql.Kql.RowNumber(rn)))
+    val offsets = numbered.groupBy(source.as("__ri_src"))
+      .agg(min(col(rn)).as("__ri_base"))
+    val timed = numbered
+      .join(broadcast(offsets), source === col("__ri_src"))
+      .withColumn(vt, expr(
+        s"(cast($rn as bigint) - __ri_base + 1) * 1000000 div __ri_r"))
+      .drop("__ri_src", "__ri_base", "__ri_r", rn)
+    graft.kql.Kql.serializedRowFns(timed, Seq(col(vt), source, id),
+      Seq(graft.kql.Kql.RowNumber(posCol)))
+      .drop(vt)
+  }
+
   /** The 24-bit keep-decision hash shared by every rate-thresholded sampler
     * (mixture rates, epoch fractions, split assignment): the first 6 md5 hex
     * digits of the ':'-joined parts, as a long in [0, 2²⁴) — compare against

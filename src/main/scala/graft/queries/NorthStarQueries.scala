@@ -2571,6 +2571,35 @@ object NorthStarQueries {
              |SELECT lang, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs
              |FROM e GROUP BY 1, 2 ORDER BY lang, epoch""".stripMargin)),
 
+    // Deterministic ratio interleaving (Sampling.ratioInterleave): stride
+    // scheduling orders the stream so EVERY prefix holds the sources in the
+    // requested ratio (en 2 : zh 1 : es 1; de/fr have no ratio and drop) —
+    // the exact-mixing guarantee the hash shuffle deliberately does not
+    // give. The first 30 positions are emitted directly: the pattern is
+    // visible in the output and the whole chain replays in SQL.
+    QueryDef("q_ratio_interleave",
+      (s, d) => graft.functions.Sampling.ratioInterleave(
+          T(s, d, "documents").select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), Map("en" -> 2, "zh" -> 1, "es" -> 1))
+        .where(col("pos") <= 30)
+        .select(col("pos"), col("lang"), col("doc_id"))
+        .sortBy(col("pos")),
+      Some("""WITH f AS (SELECT doc_id, lang,
+             |    CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 1 WHEN 'es' THEN 1
+             |      END AS r
+             |  FROM documents WHERE lang IN ('en', 'zh', 'es')),
+             |n AS (SELECT doc_id, lang, r, ROW_NUMBER() OVER (
+             |    ORDER BY lang, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM f),
+             |o AS (SELECT lang AS src, MIN(rn) AS base FROM n GROUP BY 1),
+             |v AS (SELECT doc_id, lang,
+             |    (CAST(rn AS BIGINT) - base + 1) * 1000000 // r AS vt
+             |  FROM n JOIN o ON n.lang = o.src),
+             |p AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (
+             |    ORDER BY vt, lang, doc_id) AS INT) AS pos FROM v)
+             |SELECT pos, lang, doc_id FROM p WHERE pos <= 30
+             |ORDER BY pos""".stripMargin)),
+
     // FULL RECIPE composition — the whole curation path as ONE plan, one
     // oracle: exact dedup (normalized-content keep-first) → quality gate
     // (≥30 tokens) → per-lang waterfill allocation ON THE SURVIVORS →

@@ -155,6 +155,46 @@ class CurationSpec extends SparkSpec {
       Sampling.budgetWaterfill(bad, col("d"), col("n"), col("w"), 2000, 100L))
   }
 
+  // --- Sampling.ratioInterleave --------------------------------------------------
+
+  test("ratioInterleave: 3:1 ratio yields the exact aaab stride pattern") {
+    val df = ((0L until 30L).map((_, "a")) ++ (100L until 110L).map((_, "b")))
+      .toDF("id", "src")
+    val order = Sampling.ratioInterleave(df, col("src"), col("id"),
+        Map("a" -> 3, "b" -> 1))
+      .orderBy("pos").select("src").collect().map(_.getString(0))
+    assert(order.length == 40)
+    // stride scheduling: every window of 4 is exactly three a's and one b
+    order.grouped(4).foreach(g => assert(g.count(_ == "a") == 3 && g.count(_ == "b") == 1,
+      s"bad window: ${g.mkString(",")}"))
+  }
+
+  test("ratioInterleave: prefix counts stay within one stride of the ratio") {
+    val df = ((0L until 60L).map((_, "x")) ++ (100L until 140L).map((_, "y")))
+      .toDF("id", "src")
+    val order = Sampling.ratioInterleave(df, col("src"), col("id"),
+        Map("x" -> 3, "y" -> 2))
+      .orderBy("pos").select("src").collect().map(_.getString(0))
+    var nx = 0
+    order.zipWithIndex.foreach { case (s, i) =>
+      if (s == "x") nx += 1
+      val expect = (i + 1) * 3.0 / 5.0
+      assert(math.abs(nx - expect) <= 2.0, s"prefix ${i + 1}: $nx x's vs $expect")
+    }
+  }
+
+  test("ratioInterleave: unlisted and zero-ratio sources drop; guards fire") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "src")
+    val kept = Sampling.ratioInterleave(df, col("src"), col("id"),
+        Map("a" -> 1, "b" -> 0))
+      .select("src").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a"))
+    intercept[IllegalArgumentException](
+      Sampling.ratioInterleave(df, col("src"), col("id"), Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.ratioInterleave(df, col("src"), col("id"), Map("a" -> -1)))
+  }
+
   // --- Sampling.epochExpand ------------------------------------------------------
 
   private def docsFixture = (0L until 40L).map { i =>
