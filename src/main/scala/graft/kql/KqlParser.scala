@@ -478,6 +478,15 @@ object KqlParser {
       }
       def operand(i: Int): Seq[(String, DataFrame)] =
         if (atPunct("(")) (s"$sourceName$i", parseSubQuery()) :: Nil
+        else if (toks.lift(pos).exists {
+          case Ident(n) => entityScope.contains(n) &&
+            toks.lift(pos + 1).contains(Punct("."))
+          case _ => false
+        }) {
+          // macro-expand alias in a union operand list: `union X.T1, X.T2`
+          val a = ident(); eatPunct("."); val t = ident()
+          Seq((t, resolveTable(s"${entityScope(a)}::$t")))
+        }
         else {
           var pat = if (atPunct("*")) "" else ident()
           var wild = false
@@ -776,8 +785,9 @@ object KqlParser {
       * each leg is an independent plan: per-leg filters and projections push
       * into each database's own scan, and the union is the only shared node.
       * Scope: the alias resolves in table-source position (`X.T | ...`,
-      * subqueries included); cross-entity set arithmetic inside one body leg
-      * is out of scope, as in Kusto. */
+      * subqueries included) and in `union` operand lists (`union X.T1,
+      * X.T2`); cross-entity set arithmetic inside one body leg is out of
+      * scope, as in Kusto. */
     private def parseMacroExpand(): DataFrame = {
       val dbs: Seq[String] =
         if (atIdent("entity_group")) { pos += 1; parseEntityGroupList() }

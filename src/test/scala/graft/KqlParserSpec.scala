@@ -1525,6 +1525,22 @@ class KqlParserSpec extends SparkSpec {
     assert(letBound.collect().head.getLong(0) == 5L + 2L)
   }
 
+  test("macro-expand: alias resolves in union operand lists") {
+    val resolver: String => DataFrame = {
+      case "d1::t" => t.filter(col("etype") === "click")
+      case "d1::t2" => t.filter(col("etype") === "view")
+      case "d2::t" => t.filter(col("etype") === "purchase")
+      case "d2::t2" => t.limit(0)
+      case other => fail(s"unexpected table ref '$other'")
+    }
+    val out = KqlParser.parse(
+      """macro-expand entity_group [database('d1'), database('d2')] as X (
+        |  union X.t, X.t2 | summarize n = count())
+        || summarize total = sum(n)""".stripMargin, resolver)
+    // d1 leg: 3 clicks + 1 view; d2 leg: 1 purchase + 0
+    assert(out.collect().head.getLong(0) == 5L)
+  }
+
   test("macro-expand: schema drift across entities null-fills by name") {
     val resolver: String => DataFrame = {
       case "d1::t" => t.withColumn("extra", lit(1L))
