@@ -141,6 +141,45 @@ object Sampling {
       temperatureRates(df, domain, alphaQuarters, budget, ppmCol), ppmCol)
   }
 
+  /** Exact block packing — the GPT-style "concatenate everything, cut at
+    * blockSize" step that turns a document stream into fixed-length
+    * training blocks. Unlike [[graft.kql.Kql.CumSumOf]]-based bin
+    * assignment (q_seq_packing: whole docs per bin, bins unevenly sized),
+    * documents here SPLIT at block boundaries: every block carries exactly
+    * `blockSize` tokens (the last one excepted). Emits one SEGMENT row per
+    * (document, covered block) with `seg_tokens` (that block's share of
+    * the doc) — a doc shorter than a block yields one segment, a doc
+    * spanning k boundaries yields k+1.
+    *
+    * Integer-exact: the global token cumsum is the distributed serialized
+    * machinery; the covered block range is [start div B, (end-1) div B]
+    * and each share is min(end,(b+1)B) − max(start,bB) — all BIGINT.
+    *
+    * 100 TB posture: one range exchange (the cumsum layout) plus a
+    * scan-side bounded explode (≤ tok/B + 1 segments per doc); no
+    * single-partition stage (plan-asserted via the shared machinery).
+    * Rows with null/non-positive token counts are dropped (they occupy
+    * no block space). */
+  def blockPack(df: DataFrame, tokens: Column, id: Column, blockSize: Long,
+      blockCol: String = "block"): DataFrame = {
+    require(blockSize >= 1, "blockPack: blockSize must be >= 1")
+    val cumc = "__bp_cum"
+    val stc = "__bp_start"
+    Seq(cumc, stc, blockCol).foreach(c => require(!df.columns.contains(c),
+      s"blockPack: input must not contain a '$c' column"))
+    val cum = graft.kql.Kql.serializedRowFns(
+      df.where(tokens.isNotNull && tokens > 0), Seq(id),
+      Seq(graft.kql.Kql.CumSumOf(cumc, tokens.cast("long"))))
+    cum.withColumn(stc, col(cumc) - tokens.cast("long"))
+      .withColumn(blockCol, explode(sequence(
+        expr(s"$stc div ${blockSize}L"),
+        expr(s"($cumc - 1) div ${blockSize}L"))))
+      .withColumn("seg_tokens",
+        least(col(cumc), (col(blockCol) + 1) * blockSize) -
+          greatest(col(stc), col(blockCol) * blockSize))
+      .drop(cumc, stc)
+  }
+
   /** Deterministic ratio interleaving (stride scheduling): order rows so
     * that every prefix of the training stream holds the sources in the
     * requested ratio — e.g. ratios code=3, web=7 emits 3 code rows per 7

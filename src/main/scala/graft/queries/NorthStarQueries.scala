@@ -2571,6 +2571,44 @@ object NorthStarQueries {
              |SELECT lang, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs
              |FROM e GROUP BY 1, 2 ORDER BY lang, epoch""".stripMargin)),
 
+    // Exact block packing (Sampling.blockPack): concatenate the corpus in
+    // doc_id order and cut fixed 2048-token training blocks — documents
+    // SPLIT at block boundaries (n_partial counts the boundary-crossing
+    // segments), so every block is exactly 2048 tokens except the last.
+    // The complement of q_seq_packing's whole-doc binning.
+    QueryDef("q_block_pack",
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        graft.functions.Sampling.blockPack(docs, col("tok"), col("doc_id"),
+            blockSize = 2048L)
+          .summarize(Seq(col("block")),
+            count(lit(1)).as("n_segments"),
+            sum(col("seg_tokens")).as("n_tokens"),
+            sum(when(col("seg_tokens") < col("tok"), 1L).otherwise(0L))
+              .as("n_partial"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .sortBy(col("block"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+             |c AS (SELECT doc_id, tok, CAST(SUM(tok) OVER (ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+             |sp AS (SELECT doc_id, tok, cum - tok AS st, cum, u.block
+             |  FROM c, UNNEST(generate_series((cum - tok) // 2048,
+             |    (cum - 1) // 2048)) u(block)),
+             |sg AS (SELECT doc_id, tok, block,
+             |    LEAST(cum, (block + 1) * 2048) - GREATEST(st, block * 2048)
+             |      AS seg FROM sp)
+             |SELECT CAST(block AS BIGINT) AS block, COUNT(*) AS n_segments,
+             |  CAST(SUM(seg) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN seg < tok THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_partial,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM sg GROUP BY 1 ORDER BY block""".stripMargin)),
+
     // Deterministic ratio interleaving (Sampling.ratioInterleave): stride
     // scheduling orders the stream so EVERY prefix holds the sources in the
     // requested ratio (en 2 : zh 1 : es 1; de/fr have no ratio and drop) —

@@ -155,6 +155,34 @@ class CurationSpec extends SparkSpec {
       Sampling.budgetWaterfill(bad, col("d"), col("n"), col("w"), 2000, 100L))
   }
 
+  // --- Sampling.blockPack ----------------------------------------------------------
+
+  test("blockPack: every block is exactly blockSize tokens except the last") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 4L), (4L, 7L)).toDF("id", "tok")
+    val segs = Sampling.blockPack(docs, col("tok"), col("id"), 8L)
+    val perBlock = segs.groupBy("block").agg(sum("seg_tokens").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 25 tokens → blocks 0,1,2 of 8 + block 3 of 1
+    assert(perBlock == Map(0L -> 8L, 1L -> 8L, 2L -> 8L, 3L -> 1L))
+    // doc 2 (start 5, end 14) spans blocks 0 and 1: 3 + 6 tokens
+    val d2 = segs.filter(col("id") === 2L).orderBy("block")
+      .select("block", "seg_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d2 == Seq((0L, 3L), (1L, 6L)))
+    // total segment tokens = total doc tokens (nothing lost or duplicated)
+    assert(segs.agg(sum("seg_tokens")).collect().head.getLong(0) == 25L)
+  }
+
+  test("blockPack: a doc longer than several blocks splits into each; empties drop") {
+    val docs = Seq((1L, 20L), (2L, 0L)).toDF("id", "tok")
+      .union(Seq((3L, Option.empty[Long])).toDF("id", "tok"))
+    val segs = Sampling.blockPack(docs, col("tok"), col("id"), 6L)
+    assert(segs.filter(col("id") =!= 1L).count() == 0L)
+    val spans = segs.orderBy("block").select("block", "seg_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(spans == Seq((0L, 6L), (1L, 6L), (2L, 6L), (3L, 2L)))
+  }
+
   // --- Sampling.ratioInterleave --------------------------------------------------
 
   test("ratioInterleave: 3:1 ratio yields the exact aaab stride pattern") {
