@@ -45,7 +45,9 @@ object Sampling {
     * 100 TB posture: one range exchange — the same cost as any global sort;
     * the only single-point work is the #partitions-row offsets table. The
     * output VALUES honor the permutation; re-sort by `posCol` (or write
-    * sorted-by-range) when physical row order matters downstream. */
+    * sorted-by-range) when physical row order matters downstream.
+    * Positions are INT (the engine-wide serialized-row convention): past
+    * 2³¹ rows, shuffle per corpus shard (vary `seed` by shard). */
   def deterministicShuffle(df: DataFrame, id: Column, seed: Long,
       posCol: String = "pos"): DataFrame = {
     val k = "__shuffle_key"
@@ -165,12 +167,17 @@ object Sampling {
     require(blockSize >= 1, "blockPack: blockSize must be >= 1")
     val cumc = "__bp_cum"
     val stc = "__bp_start"
-    Seq(cumc, stc, blockCol).foreach(c => require(!df.columns.contains(c),
-      s"blockPack: input must not contain a '$c' column"))
+    Seq(cumc, stc, blockCol, "seg_tokens").foreach(c =>
+      require(!df.columns.contains(c),
+        s"blockPack: input must not contain a '$c' column"))
+    // filter on the LONG-CAST value actually summed: a fractional count in
+    // (0,1) would pass a raw `tokens > 0` check, cast to 0, and emit a
+    // descending (phantom) segment range when cum lands on a boundary
+    val tokL = tokens.cast("long")
     val cum = graft.kql.Kql.serializedRowFns(
-      df.where(tokens.isNotNull && tokens > 0), Seq(id),
-      Seq(graft.kql.Kql.CumSumOf(cumc, tokens.cast("long"))))
-    cum.withColumn(stc, col(cumc) - tokens.cast("long"))
+      df.where(tokL.isNotNull && tokL > 0), Seq(id),
+      Seq(graft.kql.Kql.CumSumOf(cumc, tokL)))
+    cum.withColumn(stc, col(cumc) - tokL)
       .withColumn(blockCol, explode(sequence(
         expr(s"$stc div ${blockSize}L"),
         expr(s"($cumc - 1) div ${blockSize}L"))))
@@ -196,16 +203,25 @@ object Sampling {
     * the serialized machinery ordered by (source, hash, id) — never a
     * per-source window, whose partitions would be corpus-sized at a
     * handful of sources — plus the final order), one #sources-row
-    * broadcast for the per-source offsets. */
+    * broadcast for the per-source offsets. Positions are INT (the
+    * engine-wide serialized-row convention): past 2³¹ rows, interleave
+    * per corpus shard — same as [[deterministicShuffle]]. */
   def ratioInterleave(df: DataFrame, source: Column, id: Column,
       ratios: Map[String, Int], posCol: String = "pos"): DataFrame = {
     require(ratios.nonEmpty, "ratioInterleave: ratios required")
     require(ratios.values.forall(_ >= 0), "ratioInterleave: ratios must be >= 0")
+    // the stride constant is 10^6: a ratio at or above it collapses early
+    // virtual times into tie runs, silently voiding the prefix-exactness
+    // guarantee — ratios are relative, divide them down
+    require(ratios.values.forall(_ < 1000000),
+      "ratioInterleave: ratios must be < 1000000 (reduce them — only the " +
+        "proportions matter)")
     val kept = ratios.filter(_._2 > 0)
     val rn = "__ri_rn"
     val vt = "__ri_vt"
-    Seq(rn, vt, "__ri_r", "__ri_base").foreach(c => require(!df.columns.contains(c),
-      s"ratioInterleave: input must not contain a '$c' column"))
+    Seq(rn, vt, "__ri_r", "__ri_base", "__ri_src", posCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"ratioInterleave: input must not contain a '$c' column"))
     // ratio lookup as a literal when-chain (bounded: #sources)
     val ratioCol = kept.foldLeft(lit(null).cast("long")) {
       case (acc, (s, r)) => when(source === s, lit(r.toLong)).otherwise(acc)
