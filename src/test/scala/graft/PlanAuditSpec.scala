@@ -151,7 +151,8 @@ class PlanAuditSpec extends SparkSpec {
     // sorts the world in one task. The distributed form (range partition +
     // per-partition offsets) must keep every full-data exchange distributed.
     for (name <- Seq("q_kql_serialize", "q_kql_rank_session",
-        "q_det_shuffle", "q_token_budget")) {
+        "q_det_shuffle", "q_token_budget", "q_block_pack",
+        "q_ratio_interleave")) {
       val p = plan(name)
       assert(!p.contains("SinglePartition"),
         s"$name has a single-partition exchange:\n$p")
