@@ -369,4 +369,23 @@ class PropertySpec extends SparkSpec {
       head.distinct.length == head.length
     }, n = 12)
   }
+
+  test("KQL parser: arbitrary garbage fails fast (no hangs, no silent plans)") {
+    import graft.kql.KqlParser
+    val t = spark.range(3).toDF("id")
+    val tokenGen = Gen.oneOf(
+      Gen.oneOf("t", "where", "project", "summarize", "by", "|", "(", ")",
+        "[", "]", ",", "==", "and", "or", "count()", "id", "\"s\"", "1.5",
+        "datatable", "let", "=", ";", "macro-expand", "entity_group", "as"),
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.listOfN(3, Gen.oneOf("!@#$%^&*~`?<>", "\\u0000\\u001f", "\u00e9\u4e2d"))
+        .map(_.mkString))
+    val progGen = Gen.listOf(tokenGen).map(_.take(25).mkString(" "))
+    check(Prop.forAll(progGen) { prog =>
+      // contract: parse() either returns a DataFrame or throws promptly --
+      // never hangs, never loops, never returns null
+      try { KqlParser.parse(prog, _ => t) != null }
+      catch { case _: Exception => true case _: StackOverflowError => false }
+    }, n = 200)
+  }
 }
