@@ -163,7 +163,7 @@ object Sampling {
     * Rows with null/non-positive token counts are dropped (they occupy
     * no block space). */
   def blockPack(df: DataFrame, tokens: Column, id: Column, blockSize: Long,
-      blockCol: String = "block"): DataFrame = {
+      blockCol: String = "block", order: Seq[Column] = Nil): DataFrame = {
     require(blockSize >= 1, "blockPack: blockSize must be >= 1")
     val cumc = "__bp_cum"
     val stc = "__bp_start"
@@ -174,8 +174,12 @@ object Sampling {
     // (0,1) would pass a raw `tokens > 0` check, cast to 0, and emit a
     // descending (phantom) segment range when cum lands on a boundary
     val tokL = tokens.cast("long")
+    // concatenation order: by default the id; pass the TRAINING order
+    // (e.g. deterministicShuffle's pos) to pack shuffled — id always rides
+    // as the tie-break so the order stays total
+    val ord = if (order.isEmpty) Seq(id) else order :+ id
     val cum = graft.kql.Kql.serializedRowFns(
-      df.where(tokL.isNotNull && tokL > 0), Seq(id),
+      df.where(tokL.isNotNull && tokL > 0), ord,
       Seq(graft.kql.Kql.CumSumOf(cumc, tokL)))
     cum.withColumn(stc, col(cumc) - tokL)
       .withColumn(blockCol, explode(sequence(

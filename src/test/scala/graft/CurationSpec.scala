@@ -173,6 +173,16 @@ class CurationSpec extends SparkSpec {
     assert(segs.agg(sum("seg_tokens")).collect().head.getLong(0) == 25L)
   }
 
+  test("blockPack: a custom order packs in training order, not id order") {
+    val docs = Seq((1L, 4L, 3L), (2L, 4L, 1L), (3L, 4L, 2L)).toDF("id", "tok", "rank")
+    val segs = Sampling.blockPack(docs, col("tok"), col("id"), 8L,
+        order = Seq(col("rank")))
+      .orderBy("block", "rank").select("id", "block").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // rank order 2,3,1: docs 2 and 3 fill block 0; doc 1 is block 1
+    assert(segs == Seq((2L, 0L), (3L, 0L), (1L, 1L)))
+  }
+
   test("blockPack: a doc longer than several blocks splits into each; empties drop") {
     val docs = Seq((1L, 20L), (2L, 0L)).toDF("id", "tok")
       .union(Seq((3L, Option.empty[Long])).toDF("id", "tok"))
