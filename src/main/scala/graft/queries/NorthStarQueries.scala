@@ -2609,6 +2609,44 @@ object NorthStarQueries {
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM sg GROUP BY 1 ORDER BY block""".stripMargin)),
 
+    // Shuffle→pack composition: blocks cut over the TRAINING order (the
+    // deterministic permutation), not the storage order — the actual
+    // pretraining assembly. first_pos/last_pos per block prove the blocks
+    // follow the permutation; token conservation proves the cut.
+    QueryDef("q_pack_shuffled",
+      (s, d) => {
+        val docs = T(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        val shuffled = graft.functions.Sampling.deterministicShuffle(
+          docs, col("doc_id"), seed = 42L)
+        graft.functions.Sampling.blockPack(shuffled, col("tok"),
+            col("doc_id"), blockSize = 2048L, order = Seq(col("pos")))
+          .summarize(Seq(col("block")),
+            count(lit(1)).as("n_segments"),
+            sum(col("seg_tokens")).as("n_tokens"),
+            min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+          .sortBy(col("block"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents),
+             |sh AS (SELECT doc_id, tok, CAST(ROW_NUMBER() OVER (
+             |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |    AS INT) AS pos FROM t),
+             |c AS (SELECT doc_id, tok, pos, CAST(SUM(tok) OVER (
+             |    ORDER BY pos, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS cum FROM sh WHERE tok > 0),
+             |sp AS (SELECT doc_id, tok, pos, cum - tok AS st, cum, u.block
+             |  FROM c, UNNEST(generate_series((cum - tok) // 2048,
+             |    (cum - 1) // 2048)) u(block)),
+             |sg AS (SELECT pos, block,
+             |    LEAST(cum, (block + 1) * 2048) - GREATEST(st, block * 2048)
+             |      AS seg FROM sp)
+             |SELECT CAST(block AS BIGINT) AS block, COUNT(*) AS n_segments,
+             |  CAST(SUM(seg) AS BIGINT) AS n_tokens,
+             |  MIN(pos) AS first_pos, MAX(pos) AS last_pos
+             |FROM sg GROUP BY 1 ORDER BY block""".stripMargin)),
+
     // Deterministic ratio interleaving (Sampling.ratioInterleave): stride
     // scheduling orders the stream so EVERY prefix holds the sources in the
     // requested ratio (en 2 : zh 1 : es 1; de/fr have no ratio and drop) —
