@@ -1512,6 +1512,73 @@ object NorthStarQueries {
              |SELECT doc_id, w, CAST(pick AS INT) AS pick
              |FROM p WHERE pick <= 15 ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING image near-dup: an incoming image stream checked against a
+    // static corpus with NO state store — the pigeonhole trick (hamming ≤ 6
+    // over 64 bits ⇒ at least one of 8 8-bit chunks matches exactly) gives
+    // candidates from a broadcast (chunk_index, chunk) equi-join, and the
+    // FIRST-agreeing-chunk residual emits each (stream image, ref hash
+    // group) exactly once (the streaming_neardup one-meet convention). The
+    // synthetic payload/hash chain (mapPartitions — select-only, streaming-
+    // composable) is shared verbatim with the batch q_image_neardup; each
+    // odd doc streams its even predecessor's image, so every stream item
+    // finds at least its exact twin (ham 0) plus true near-dups.
+    QueryDef("q_streaming_image_neardup",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val refG = Multimodal.imagePerceptualHashes(s,
+            Multimodal.withSyntheticPayload(
+              T(s, d, "documents").where_(col("doc_id") % 2 === 0)
+                .project(col("doc_id")), "doc_id"), "doc_id").toDF()
+          .groupBy(col("ahash").as("ref_hash"))
+          .agg(min(col("media_id")).as("ref_rep"), count(lit(1)).as("n_ref"))
+        val refChunks = refG
+          .withColumn("ci", explode(sequence(lit(0), lit(7))))
+          .withColumn("chunk", substr(col("ref_hash"), col("ci") * 8 + 1, lit(8)))
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("sid"), (col("doc_id") - 1).as("pid"))
+        val streamH = Multimodal.imagePerceptualHashes(s,
+            Multimodal.withSyntheticPayload(stream, "pid"), "sid").toDF()
+          .select(col("media_id").as("id_s"), col("ahash"))
+        val cand = streamH
+          .withColumn("ci", explode(sequence(lit(0), lit(7))))
+          .withColumn("chunk", substr(col("ahash"), col("ci") * 8 + 1, lit(8)))
+          .join(broadcast(refChunks), Seq("ci", "chunk"))
+        val firstAgree = array_position(
+          array((0 until 8).map(c =>
+            (substr(col("ahash"), lit(c * 8 + 1), lit(8)) ===
+              substr(col("ref_hash"), lit(c * 8 + 1), lit(8))).cast("int")): _*),
+          lit(1)) - 1
+        val ham = bit_count(
+            conv(substr(col("ahash"), lit(1), lit(32)), 2, 10).cast("long")
+              .bitwiseXOR(conv(substr(col("ref_hash"), lit(1), lit(32)), 2, 10)
+                .cast("long"))) +
+          bit_count(
+            conv(substr(col("ahash"), lit(33), lit(32)), 2, 10).cast("long")
+              .bitwiseXOR(conv(substr(col("ref_hash"), lit(33), lit(32)), 2, 10)
+                .cast("long")))
+        val out = cand.filter(firstAgree === col("ci") && ham <= 6)
+          .select(col("id_s"), col("ref_rep"), col("n_ref"),
+            ham.cast("int").as("ham"))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_imgdup_sink", out)
+          .sortBy(col("id_s"), col("ref_rep"))
+      },
+      Some(s"""$imAhashCtes,
+             |g AS (SELECT ahash AS ref_hash, MIN(id) AS ref_rep,
+             |    COUNT(*) AS n_ref FROM ah GROUP BY 1),
+             |st AS (SELECT d.doc_id AS id_s, a.ahash
+             |  FROM documents d JOIN ah a ON a.id = d.doc_id - 1
+             |  WHERE d.doc_id % 2 = 1)
+             |SELECT s.id_s, g.ref_rep, g.n_ref,
+             |  CAST(len(list_filter(range(64),
+             |    i -> substr(s.ahash, CAST(i + 1 AS INT), 1)
+             |      <> substr(g.ref_hash, CAST(i + 1 AS INT), 1))) AS INT) AS ham
+             |FROM st s JOIN g ON len(list_filter(range(64),
+             |    i -> substr(s.ahash, CAST(i + 1 AS INT), 1)
+             |      <> substr(g.ref_hash, CAST(i + 1 AS INT), 1))) <= 6
+             |ORDER BY id_s, ref_rep""".stripMargin)),
+
     // STREAMING temperature mixture: rates trained on the static POOL (the
     // full documents table), applied to an incoming document stream as a
     // broadcast join + scan-side hash threshold — select-only, stateless,
