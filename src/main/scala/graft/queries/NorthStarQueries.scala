@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kql.Kql._
+import graft.kql.KqlParser
 import graft.functions.{Bm25, Bpe, Dedup, Similarity, TextAnalysis => TA}
 import graft.sources.{FullTextIndex, Tables}
 
@@ -1511,6 +1512,31 @@ object NorthStarQueries {
              |    doc_id) AS pick FROM k)
              |SELECT doc_id, w, CAST(pick AS INT) AS pick
              |FROM p WHERE pick <= 15 ORDER BY doc_id""".stripMargin)),
+
+    // KQL TEXT over a STRUCTURED STREAM: the parser emits ordinary Column
+    // plans, so a row-local KQL pipeline (where/extend/project — no
+    // reordering, no aggregation) applied to a streaming table is itself a
+    // streaming plan; the resolver simply hands the parser the stream.
+    // The cross-cutting integration row: the KQL front end and the
+    // streaming engine compose with zero special cases.
+    QueryDef("q_kql_streaming",
+      (s, d) => {
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+        val kql = KqlParser.parse(
+          """events
+            || where value > 400 and event_type != 'scroll'
+            || extend v2 = round(value * 2.0, 1), bucket = user_id % 10
+            || project event_id, event_type, bucket, v2""".stripMargin,
+          { case "events" => stream
+            case other => throw new IllegalArgumentException(other) })
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_kql_streaming_sink", kql)
+          .sortBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, user_id % 10 AS bucket,
+             |  ROUND(value * 2.0, 1) AS v2
+             |FROM events WHERE value > 400 AND event_type <> 'scroll'
+             |ORDER BY event_id""".stripMargin)),
 
     // STREAMING image near-dup: an incoming image stream checked against a
     // static corpus with NO state store — the pigeonhole trick (hamming ≤ 6
