@@ -265,6 +265,39 @@ object Dedup {
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ------------------------------------------------------------------
+  // 64-char bit-string hash utilities (perceptual hashes) — shared by the
+  // batch and streaming image near-dup so the pigeonhole layout (8 chunks
+  // of 8 bits: hamming ≤ 7 ⇒ at least one chunk matches exactly) and the
+  // packed-long hamming stay locked together (the lshBandKeys convention).
+  // ------------------------------------------------------------------
+
+  /** Pack a 64-char '0'/'1' string into two 32-bit longs ONCE (per distinct
+    * hash / per row), so downstream hamming is codegen'd xor+popcount, not a
+    * per-pair 64-step string scan. */
+  def bitsHi(hash: Column): Column =
+    conv(substring(hash, 1, 32), 2, 10).cast("long")
+  def bitsLo(hash: Column): Column =
+    conv(substring(hash, 33, 32), 2, 10).cast("long")
+
+  /** Hamming distance from the packed halves. */
+  def hammingPacked(a1: Column, a2: Column, b1: Column, b2: Column): Column =
+    bit_count(a1.bitwiseXOR(b1)) + bit_count(a2.bitwiseXOR(b2))
+
+  /** The 8-bit chunk at index `ci` (0..7) of a 64-char bit string. */
+  def bitChunk(hash: Column, ci: Column): Column =
+    substr(hash, ci * 8 + 1, lit(8))
+
+  /** 0-based index of the FIRST chunk where the two hashes agree — the
+    * one-meet key: emitting only where firstAgreeingChunk == the joined
+    * chunk index yields exactly one row per candidate pair. */
+  def firstAgreeingChunk(a: Column, b: Column): Column =
+    array_position(
+      array((0 until 8).map(c =>
+        (substring(a, c * 8 + 1, 8) === substring(b, c * 8 + 1, 8))
+          .cast("int")): _*),
+      1) - 1
+
   /** SimHash near-dup candidates: block on `maxHamming + 1` bit-chunks of the simhash
     * — by pigeonhole, any pair within `maxHamming` differing bits agrees on ≥1 full
     * chunk, so recall within the bound is exact (no silent loss; chunk count is

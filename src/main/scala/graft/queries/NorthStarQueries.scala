@@ -1557,32 +1557,33 @@ object NorthStarQueries {
                 .project(col("doc_id")), "doc_id"), "doc_id").toDF()
           .groupBy(col("ahash").as("ref_hash"))
           .agg(min(col("media_id")).as("ref_rep"), count(lit(1)).as("n_ref"))
+          // pack ONCE per distinct hash, before the chunk explode — the
+          // residual is then codegen'd xor+popcount (the batch query's
+          // 140s→seconds lesson), carried through the broadcast
+          .withColumn("rh1", Dedup.bitsHi(col("ref_hash")))
+          .withColumn("rh2", Dedup.bitsLo(col("ref_hash")))
         val refChunks = refG
           .withColumn("ci", explode(sequence(lit(0), lit(7))))
-          .withColumn("chunk", substr(col("ref_hash"), col("ci") * 8 + 1, lit(8)))
+          .withColumn("chunk", Dedup.bitChunk(col("ref_hash"), col("ci")))
+        // predecessor-existence parity with the oracle's inner join: only
+        // stream docs whose even twin IS a document synthesize its image
         val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
           .where(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("sid"), (col("doc_id") - 1).as("pid"))
+          .join(broadcast(T(s, d, "documents")
+            .select(col("doc_id").as("pid"))), Seq("pid"), "left_semi")
         val streamH = Multimodal.imagePerceptualHashes(s,
             Multimodal.withSyntheticPayload(stream, "pid"), "sid").toDF()
-          .select(col("media_id").as("id_s"), col("ahash"))
+          .select(col("media_id").as("id_s"), col("ahash"),
+            Dedup.bitsHi(col("ahash")).as("sh1"),
+            Dedup.bitsLo(col("ahash")).as("sh2"))
         val cand = streamH
           .withColumn("ci", explode(sequence(lit(0), lit(7))))
-          .withColumn("chunk", substr(col("ahash"), col("ci") * 8 + 1, lit(8)))
+          .withColumn("chunk", Dedup.bitChunk(col("ahash"), col("ci")))
           .join(broadcast(refChunks), Seq("ci", "chunk"))
-        val firstAgree = array_position(
-          array((0 until 8).map(c =>
-            (substr(col("ahash"), lit(c * 8 + 1), lit(8)) ===
-              substr(col("ref_hash"), lit(c * 8 + 1), lit(8))).cast("int")): _*),
-          lit(1)) - 1
-        val ham = bit_count(
-            conv(substr(col("ahash"), lit(1), lit(32)), 2, 10).cast("long")
-              .bitwiseXOR(conv(substr(col("ref_hash"), lit(1), lit(32)), 2, 10)
-                .cast("long"))) +
-          bit_count(
-            conv(substr(col("ahash"), lit(33), lit(32)), 2, 10).cast("long")
-              .bitwiseXOR(conv(substr(col("ref_hash"), lit(33), lit(32)), 2, 10)
-                .cast("long")))
+        val firstAgree = Dedup.firstAgreeingChunk(col("ahash"), col("ref_hash"))
+        val ham = Dedup.hammingPacked(col("sh1"), col("sh2"),
+          col("rh1"), col("rh2"))
         val out = cand.filter(firstAgree === col("ci") && ham <= 6)
           .select(col("id_s"), col("ref_rep"), col("n_ref"),
             ham.cast("int").as("ham"))
@@ -1911,12 +1912,10 @@ object NorthStarQueries {
         // 64-step string scan (the 140s → seconds lesson at sf0.1)
         val groups = hashes.groupBy(col("ahash"))
           .agg(count(lit(1)).as("n"), min(col("media_id")).as("rep"))
-          .withColumn("h1", conv(substr(col("ahash"), lit(1), lit(32)), 2, 10)
-            .cast("long"))
-          .withColumn("h2", conv(substr(col("ahash"), lit(33), lit(32)), 2, 10)
-            .cast("long"))
+          .withColumn("h1", Dedup.bitsHi(col("ahash")))
+          .withColumn("h2", Dedup.bitsLo(col("ahash")))
         val ck = groups.withColumn("ci", explode(sequence(lit(0), lit(7))))
-          .withColumn("chunk", substr(col("ahash"), col("ci") * 8 + 1, lit(8)))
+          .withColumn("chunk", Dedup.bitChunk(col("ahash"), col("ci")))
         val cand = ck.as("a").join(ck.as("b"),
             col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
               col("a.ahash") < col("b.ahash"))
@@ -1925,8 +1924,7 @@ object NorthStarQueries {
             col("a.h1").as("x1"), col("a.h2").as("x2"),
             col("b.h1").as("y1"), col("b.h2").as("y2"))
           .distinct()
-        val ham = bit_count(col("x1").bitwiseXOR(col("y1"))) +
-          bit_count(col("x2").bitwiseXOR(col("y2")))
+        val ham = Dedup.hammingPacked(col("x1"), col("x2"), col("y1"), col("y2"))
         cand.withColumn("ham", ham).where(col("ham") <= 6)
           .select(col("rep_a"), col("rep_b"), col("n_a"), col("n_b"), col("ham"))
           .sortBy(col("rep_a"), col("rep_b"))
