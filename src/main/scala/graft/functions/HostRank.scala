@@ -27,16 +27,28 @@ import org.apache.spark.sql.functions._
   * 100 TB posture: per iteration one shuffle on src (rank→edge join) and
   * one on dst (inflow aggregate, map-side combinable) — both keyed by
   * host, never by document; no driver-side data, no broadcast of anything
-  * node-cardinality-sized. Iterations are bounded (require ≤ 10 here; for
-  * long chains checkpoint `ranks` every few rounds to truncate lineage).
+  * node-cardinality-sized. Long chains (a 100 TB web graph wants 20-50
+  * rounds) stay plan-bounded: `ranks` is checkpointed every
+  * `checkpointEvery` iterations (eager localCheckpoint — the
+  * connectedComponents lineage-truncation pattern; swap for reliable
+  * `checkpoint` against a checkpoint dir when executor loss must be
+  * survivable), so the logical plan never holds more than
+  * `checkpointEvery` unrolled iterations. Values are unaffected — a
+  * checkpoint is a materialization barrier, and every update is
+  * integer-exact regardless of where the barrier lands.
+  *
+  * Cache lifecycle: the edge/node caches this computation needs are
+  * unpersisted before returning; the RETURNED frame is persisted and
+  * materialized (host-cardinality-sized — tiny next to the corpus) and
+  * the caller owns its lifecycle (`.unpersist()` when done).
   */
 object HostRank {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPermille: Int = 850,
-      rankCol: String = "rank_micro"): DataFrame = {
-    require(iters >= 1 && iters <= 10,
-      "pageRank: iters in [1,10]; checkpoint between calls for longer chains")
+      rankCol: String = "rank_micro", checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, "pageRank: iters in [1,50]")
+    require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "pageRank: dampingPermille in [0,1000]")
     // a null endpoint is not a host: the edge carries no usable link.
@@ -55,7 +67,7 @@ object HostRank {
     val outdeg = e.groupBy("__pr_src").agg(count(lit(1)).as("__pr_outdeg"))
     val base = (1000L - dampingPermille) * 1000L
     var ranks = nodes.withColumn(rankCol, lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "__pr_src"), "__pr_src")
         .join(outdeg, "__pr_src")
@@ -67,7 +79,17 @@ object HostRank {
         .select(col("node"), (lit(base) +
           expr(s"($dampingPermille * coalesce(__pr_inflow, cast(0 as bigint))) div 1000"))
           .as(rankCol))
+      // lineage barrier: without it iteration i's plan embeds all i-1
+      // predecessors (optimizer time grows superlinearly, executors re-plan
+      // a monster). Eager: the truncation must happen NOW, not when some
+      // later action forces a 40-iteration plan anyway.
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    val out = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize so the caches below are safe to drop
+    e.unpersist(false)
+    nodes.unpersist(false)
+    out
   }
 }

@@ -307,6 +307,12 @@ object Sampling {
     require(rates.columns.contains("__tm_dom") && rates.columns.contains(ppmCol),
       s"applyMixtureRates: rates must come from temperatureRates " +
         s"(need columns __tm_dom and $ppmCol, got ${rates.columns.mkString(", ")})")
+    // guard BOTH entry points (temperatureMixture re-checks, but the
+    // streaming path calls here directly): a pre-existing ppmCol/__tm_dom
+    // would be ambiguous through the join — or worse, silently read
+    for (c <- Seq(ppmCol, "__tm_dom"))
+      require(!df.columns.contains(c),
+        s"applyMixtureRates: input must not contain a '$c' column")
     df.join(broadcast(rates), domain === col("__tm_dom"))
       .where(hash24(domain, id) < col(ppmCol))
       .drop("__tm_dom")
@@ -507,7 +513,14 @@ object Sampling {
     * over a fixed small shard count (state = shards×k pairs) and take the
     * global top-k of the exploded reservoirs at read time: each shard's
     * reservoir is a superset of its contribution to the global top-k, so
-    * the read-side cut is EXACT. */
+    * the read-side cut is EXACT.
+    *
+    * CONTRACT: (key, id) pairs must be UNIQUE per group — the O(1) fast
+    * path drops an incoming element that exactly EQUALS the full buffer's
+    * worst (correct under uniqueness: an equal pair is beyond the top-k by
+    * the total order), so reusing this aggregator with duplicate (key, id)
+    * rows would silently dedupe ties at the buffer boundary. The A-Res use
+    * holds it by construction (id is the row key; ties break by id). */
   final class TopKAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {

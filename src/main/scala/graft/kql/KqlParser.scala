@@ -393,7 +393,13 @@ object KqlParser {
               // macro-expand alias: `X.Table` → the current entity's database
               pos += 1; val t = ident()
               sourceName = t; resolveTable(s"${entityScope(n)}::$t")
-            } else { sourceName = n; resolveTable(n) }
+            } else if (entityScope.contains(n))
+              // a bare alias would silently fall through to ordinary table
+              // resolution, masking a typo like `X | where` for `X.T | where`
+              throw new IllegalArgumentException(
+                s"macro-expand: entity-group alias '$n' must be used as " +
+                  s"'$n.Table' (a bare alias is not a table)")
+            else { sourceName = n; resolveTable(n) }
           }
         while (atPunct("|")) {
           eatPunct("|"); df = parseOp(df)
@@ -787,7 +793,10 @@ object KqlParser {
       * Scope: the alias resolves in table-source position (`X.T | ...`,
       * subqueries included) and in `union` operand lists (`union X.T1,
       * X.T2`); cross-entity set arithmetic inside one body leg is out of
-      * scope, as in Kusto. */
+      * scope, as in Kusto. The entity list is deduplicated (a repeated
+      * database would silently double its rows) and bounded at 64 legs
+      * (each leg re-parses the body); a bare alias without `.Table` is a
+      * scoped error, not a fall-through to ordinary table resolution. */
     private def parseMacroExpand(): DataFrame = {
       val dbs: Seq[String] =
         if (atIdent("entity_group")) { pos += 1; parseEntityGroupList() }
@@ -797,11 +806,17 @@ object KqlParser {
             s"macro-expand: '$n' is not a bound entity_group " +
               s"(bound: ${entityGroups.keys.toSeq.sorted.mkString(", ")})"))
         }
+      // one leg per DISTINCT entity (a duplicated database entry would
+      // silently double its rows in the union), order-preserving; bounded —
+      // each leg is a full re-parse of the body
+      val distinctDbs = dbs.distinct
+      require(distinctDbs.size <= 64,
+        s"macro-expand: entity list too large (${distinctDbs.size} > 64)")
       eatIdent("as")
       val alias = ident()
       eatPunct("(")
       val bodyStart = pos
-      val legs = dbs.map { db =>
+      val legs = distinctDbs.map { db =>
         pos = bodyStart
         val saved = entityScope
         entityScope = entityScope + (alias -> db)

@@ -67,8 +67,40 @@ class CurationSpec extends SparkSpec {
   test("pageRank: bounds enforced") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 0))
-    intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 11))
+    intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 51))
     intercept[IllegalArgumentException](HostRank.pageRank(e, "src", "dst", 3, 1001))
+    intercept[IllegalArgumentException](
+      HostRank.pageRank(e, "src", "dst", 3, checkpointEvery = 0))
+  }
+
+  test("pageRank: long chain — checkpoint barrier changes no values, bounds the plan") {
+    val edges = (0 until 30).map(i => (s"n$i", if (i % 3 == 0) "hub" else s"n${(i + 7) % 30}"))
+      .toDF("src", "dst")
+    val chk = HostRank.pageRank(edges, "src", "dst", iters = 20, checkpointEvery = 5)
+    val noChk = HostRank.pageRank(edges, "src", "dst", iters = 20, checkpointEvery = 100)
+    assert(chk.orderBy("node").collect().toSeq == noChk.orderBy("node").collect().toSeq)
+    // lineage depth is constant in iters: the analyzed plan holds at most
+    // checkpointEvery unrolled iterations (2 joins each + the left join),
+    // never the full 20 — the 100 TB long-chain posture
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.length
+    assert(joins(chk) < joins(noChk) / 2,
+      s"checkpointed plan has ${joins(chk)} joins vs ${joins(noChk)} unchecked")
+    chk.unpersist(); noChk.unpersist()
+  }
+
+  test("applyMixtureRates: pre-existing ppm/internal columns are rejected loudly") {
+    val rates = Sampling.temperatureRates(mixFixture, col("dom"), 2, 200L)
+    val withPpm = mixFixture.withColumn("keep_ppm", lit(1L))
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.applyMixtureRates(withPpm, col("dom"), col("id"), rates))
+    assert(e1.getMessage.contains("keep_ppm"))
+    val withDom = mixFixture.withColumn("__tm_dom", lit("x"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.applyMixtureRates(withDom, col("dom"), col("id"), rates))
+    assert(e2.getMessage.contains("__tm_dom"))
   }
 
   // --- Sampling.temperatureMixture -------------------------------------------

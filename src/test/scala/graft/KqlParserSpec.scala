@@ -1571,4 +1571,25 @@ class KqlParserSpec extends SparkSpec {
     assert(e2.getMessage.contains("trailing tokens"), e2.getMessage)
     assert(asked.toSeq == Seq("X")) // resolved as a TABLE named X, never "X.t"
   }
+
+  test("macro-expand: bare alias without .Table is a scoped error, not a table ref") {
+    // the typo `X | where` for `X.t | where` must not silently resolve a
+    // table named X from the resolver
+    val asked = scala.collection.mutable.Buffer[String]()
+    val e = intercept[IllegalArgumentException](KqlParser.parse(
+      """macro-expand entity_group [database('d1')] as X (
+        |  X | where etype == 'click')""".stripMargin,
+      { n => asked += n; t }: String => DataFrame))
+    assert(e.getMessage.contains("must be used as 'X.Table'"), e.getMessage)
+    assert(asked.isEmpty, s"resolver must never be consulted, asked: $asked")
+  }
+
+  test("macro-expand: duplicated entities run once (and the list is bounded)") {
+    val out = KqlParser.parse(
+      """macro-expand entity_group [database('d1'), database('d1')] as X (
+        |  X.t | summarize n = count())
+        || summarize total = sum(n)""".stripMargin,
+      { case "d1::t" => t; case other => fail(s"unexpected '$other'") }: String => DataFrame)
+    assert(out.collect().head.getLong(0) == t.count()) // one leg, not two
+  }
 }
