@@ -148,7 +148,13 @@ object Similarity {
       .select(col("v")).collect()
       .map(_.getSeq[Float](0).toArray)
     for (_ <- 1 to iters) {
-      val assigned = base.withColumn("__cid", ivfAssign(col("v"), centroids))
+      // under the table threshold the assignment is a scalar column (no
+      // join); above it, (id, cid) rows re-attach their vectors through one
+      // id-keyed join — at that scale training runs on a sample anyway
+      val assigned =
+        if (centroids.length < centroidTableThreshold)
+          base.withColumn("__cid", ivfAssign(col("v"), centroids))
+        else base.join(assignProbes(base, "id", "v", centroids, 1), "id")
       val cells = assigned
         .select(col("__cid"), posexplode(col("v")).as(Seq("__pos", "__x")))
         .groupBy(col("__cid"), col("__pos"))
@@ -219,11 +225,12 @@ object Similarity {
               trained: Option[Array[Array[Float]]] = None): DataFrame = {
     val centroids = trained.getOrElse(
       ivfTrain(corpus, corpusId, vecCol, dim, nCentroids, iters, seed))
-    val lists = corpus.select(col(corpusId), col(vecCol).as("__cv"))
-      .withColumn("__cid", ivfAssign(col("__cv"), centroids))
-      .select(col(corpusId), col("__cid"))
-    val probes = queries.select(col(queryId), col(vecCol).as("__qv"))
-      .select(col(queryId), explode(ivfProbes(col("__qv"), centroids, nProbe)).as("__cid"))
+    val lists = assignProbes(
+      corpus.select(col(corpusId), col(vecCol).as("__cv")),
+      corpusId, "__cv", centroids, 1)
+    val probes = assignProbes(
+      queries.select(col(queryId), col(vecCol).as("__qv")),
+      queryId, "__qv", centroids, nProbe)
     val cand = lists.join(broadcast(probes), Seq("__cid"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId)).distinct()
@@ -235,6 +242,92 @@ object Similarity {
     scored.select(col(queryId), col(corpusId), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // Assignment at scale: literal-plan kernel vs broadcast centroid TABLE.
+  // ------------------------------------------------------------------
+
+  /** Above this centroid count, assignment switches from the literal-plan
+    * kernel (ivfProbes — the centroid matrix rides the expression tree) to
+    * the broadcast-table plan ([[assignProbesTable]]). The literal form is
+    * faster per row (one fused codegen'd loop, no join machinery) but its
+    * PLAN grows with k; the table form's plan is k-independent — k lives in
+    * DATA (a broadcast relation), which is what lets the cluster count
+    * follow the corpus (k ∝ n, the SemDeDup posture) past the literal-plan
+    * regime. Threshold placed by measurement (AssignScale, SCALE.md): the
+    * literal kernel's steady time grows ~linearly in k with a large
+    * constant (13.7 s at k=10240 on 2000 rows) while the table path stays
+    * ~flat (0.8-1.3 s to k=20480); they cross between 512 and 768. */
+  private[graft] val centroidTableThreshold = 768
+
+  /** The `nProbe` nearest coarse clusters of every row, as (id, __cid)
+    * assignment rows — the one entry point every IVF consumer (semDedup,
+    * ivfTopK, ivfTrain) assigns through; picks the literal or table plan by
+    * centroid count. Identical semantics on both paths (same score chain
+    * v·c − |c|²/2, ties to the smaller cid; a null vector yields no
+    * assignment rows — the literal path's explode(null) drops the row). */
+  def assignProbes(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], nProbe: Int): DataFrame =
+    if (centroids.length >= centroidTableThreshold)
+      assignProbesTable(df, idCol, vecCol, centroidTable(df, centroids), nProbe)
+    else df.select(col(idCol),
+      explode(ivfProbes(col(vecCol), centroids, nProbe)).as("__cid"))
+
+  /** A trained centroid matrix as a (cid, vec) DataFrame — the driver-side
+    * model lifted into data so the assignment plan stays k-independent. At
+    * real scale the table can equally come from a distributed source
+    * (parquet of a sampled train run); [[assignProbesTable]] only needs the
+    * two columns. */
+  def centroidTable(like: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val spark = like.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("__ct_cid", "__ct_vec")
+  }
+
+  /** Broadcast-table probe assignment: one crossJoin against the broadcast
+    * (cid, vec) table — NOT a per-dimension posexplode join, so each
+    * (row, centroid) pair costs exactly one fused dot product, the same
+    * flops as the literal kernel — then a per-row top-nProbe via the
+    * BOUNDED reservoir aggregate (map-side combinable, ≤nProbe pairs of
+    * state per row, never a k-sized collect_list buffer). The centroid bias
+    * |c|²/2 is computed in-plan from the table so a parquet-sourced model
+    * needs no precomputed column. (cid, score) obeys TopKAgg's unique-id
+    * contract: cids are distinct per row by construction.
+    *
+    * 100 TB posture: the broadcast is k×dim floats (10⁴×64 ≈ 2.5 MB); the
+    * shuffle after partial aggregation is nProbe rows per document — the
+    * k×n pair stream never crosses the wire. Beyond broadcastable k
+    * (≳10⁷ centroids) assignment needs its own ANN recursion (IVF over the
+    * centroids); out of scope, documented. */
+  private[graft] def assignProbesTable(df: DataFrame, idCol: String,
+      vecCol: String, centroidTbl: DataFrame, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "assignProbesTable: nProbe must be >= 1")
+    val topk = udaf(new Sampling.TopKAgg(nProbe))
+    val bias = aggregate(col("__ct_vec"),
+      lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) / 2.0
+    val rows = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__av"))
+    // the per-row work is k dots + k reservoir reduces — each INPUT
+    // partition becomes k× that in the nested-loop join, so a narrow scan
+    // (one parquet file) would run the whole k×n stream on one core. Spread
+    // thin inputs across the cluster first; wide inputs (the 100 TB case)
+    // already parallelize and skip the extra shuffle.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (rows.rdd.getNumPartitions >= par) rows else rows.repartition(par)
+    spread
+      .crossJoin(broadcast(centroidTbl
+        .select(col("__ct_cid"), col("__ct_vec"), bias.as("__ct_bias"))))
+      .select(col(idCol),
+        (dot(col("__av"), col("__ct_vec")) - col("__ct_bias")).as("__s"),
+        col("__ct_cid").cast("long").as("__ct_cid"))
+      .groupBy(col(idCol))
+      .agg(topk(col("__s"), col("__ct_cid")).as("__probes"))
+      .select(col(idCol), explode(col("__probes")).as("__p"))
+      .select(col(idCol), col("__p._2").cast("int").as("__cid"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: near-dup
@@ -252,10 +345,10 @@ object Similarity {
     * only driver-side state (k×dim floats, ivfTrain's contract). Cluster
     * count must grow with the corpus (k ∝ n keeps cluster size and the
     * per-row pair budget constant — measured in SCALE.md); the
-    * literal-expression assignment (ivfProbes) is the right shape to a few
-    * thousand centroids, beyond which assignment should switch to a
-    * broadcast centroid TABLE (argmin via broadcast join + aggregation) so
-    * the plan stays bounded while k scales freely. */
+    * assignment runs through [[assignProbes]], which switches from the
+    * literal-expression kernel to the broadcast centroid TABLE above
+    * [[centroidTableThreshold]] so the plan stays bounded while k scales
+    * freely (q_semantic_dedup_bigk exercises the table path at k > 10⁴). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                tau: Double, nCentroids: Int = 16, nProbe: Int = 2,
                iters: Int = 5, seed: Long = 42L,
@@ -264,11 +357,12 @@ object Similarity {
       ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed))
     // multi-assign (nProbe nearest clusters) so an epsilon-perturbed near-dup
     // on a cluster boundary still meets its original — the ivfTopK probe
-    // argument applied symmetrically to the one corpus
-    val assigned = corpus
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .select(col("__id"), col("__v"),
-        explode(ivfProbes(col("__v"), centroids, nProbe)).as("__cid"))
+    // argument applied symmetrically to the one corpus. assignProbes picks
+    // the literal or broadcast-table plan by centroid count (k ∝ n holds
+    // past the literal-plan regime).
+    val assigned = assignProbes(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      "__id", "__v", centroids, nProbe)
     val a = assigned.select(col("__cid"), col("__id").as("__id_a"))
     val b = assigned.select(col("__cid"), col("__id").as("__id_b"))
     // ids-only pair dedup BEFORE the cosine (the lshCandidatePairs contract:

@@ -906,6 +906,39 @@ object NorthStarQueries {
              |FROM embeddings WHERE vec_id < 40
              |ORDER BY vec_id""".stripMargin)),
 
+    // SemDeDup at LARGE k (> 10⁴ centroids): the same planted-pair contract
+    // as q_semantic_dedup, but the trained 64-centroid model is padded with
+    // 10176 far-away decoy centroids (every component 1000 — the |c|²/2
+    // bias ≈ 3.2e7 dwarfs any v·c on unit-scale fixture vectors, so a decoy
+    // can never enter a probe set and the ANSWER is identical). What changes
+    // is the PLAN: above Similarity.centroidTableThreshold the assignment
+    // runs as a broadcast centroid TABLE + bounded top-nProbe aggregate —
+    // plan size k-independent, the k ∝ n posture past the literal-plan
+    // regime (the 100 TB path; crossover measured in SCALE.md).
+    QueryDef("q_semantic_dedup_bigk",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val planted = emb.where_(col("vec_id") < 40)
+          .project((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        evictStale(s)
+        val real = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "semded"),
+          Similarity.ivfTrain(emb.projectRename("corpus_id" -> "vec_id"),
+            "corpus_id", "embedding", EMB_DIM, nCentroids = 64))
+        val decoys = Array.tabulate(10176, EMB_DIM)((i, j) =>
+          1000f + ((i + j) % 7).toFloat)
+        Similarity.semDedup(
+          emb.project(col("vec_id"), col("embedding")).unionKql(planted),
+          "vec_id", "embedding", EMB_DIM, tau = 0.9,
+          trained = Some(real ++ decoys))
+          .sortBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, false AS removed FROM embeddings
+             |UNION ALL
+             |SELECT vec_id + 1000000 AS vec_id, true AS removed
+             |FROM embeddings WHERE vec_id < 40
+             |ORDER BY vec_id""".stripMargin)),
+
     // --- ingest/compaction correctness: the actual segment WRITE path (mandatory
     // _ts/_dedup validation, day-bucketed time partitioning, sort-on-write, bloom
     // filters) run end-to-end — a batch appended twice (client resubmission), then

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.functions.Similarity
+
+/** Dev harness: measure the two IVF assignment paths — the literal-plan
+  * kernel (ivfProbes: the centroid matrix rides the expression tree) vs the
+  * broadcast centroid TABLE (assignProbesTable) — across centroid counts,
+  * to place Similarity.centroidTableThreshold. Prints steady-state (run 2)
+  * execution seconds AND the plan-build wall time per path, because the
+  * literal path's failure mode at large k is the PLAN (size/optimizer
+  * time), not the per-row flops. Usage:
+  *   runMain graft.tools.AssignScale <sfDir> [k1,k2,...]
+  */
+object AssignScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val ks = (if (args.length > 1) args(1) else "256,1024,4096,10240")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Warmup.run(spark)
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(F.col("vec_id"), F.col("embedding"))
+    emb.persist(); val n = emb.count()
+    val nProbe = 2
+    ks.foreach { k =>
+      // synthetic deterministic centroids: this measures the ASSIGNMENT
+      // machinery, not k-means quality
+      val cents = Array.tabulate(k, 64)((i, j) => (((i * 64 + j) % 197) - 98) * 0.01f)
+      def steady(build: () => org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val tb0 = System.nanoTime()
+        val df = build()
+        df.queryExecution.executedPlan // force analysis+optimization
+        val tBuild = (System.nanoTime() - tb0) / 1e9
+        var t = 0.0
+        (1 to 2).foreach { _ =>
+          val t0 = System.nanoTime()
+          build().write.format("noop").mode("overwrite").save()
+          t = (System.nanoTime() - t0) / 1e9
+        }
+        (tBuild, t)
+      }
+      val (lb, lt) = steady(() => emb.select(F.col("vec_id"),
+        F.explode(Similarity.ivfProbes(F.col("embedding"), cents, nProbe)).as("__cid")))
+      val (tb, tt) = steady(() => Similarity.assignProbesTable(
+        emb, "vec_id", "embedding", Similarity.centroidTable(emb, cents), nProbe))
+      println(f"[assignscale] n=$n k=$k literal: build=$lb%.2fs steady=$lt%.2fs | table: build=$tb%.2fs steady=$tt%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -74,4 +74,49 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.size == 10)
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
+
+  test("broadcast-table assignment matches the literal kernel exactly") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", 64,
+      nCentroids = 16, iters = 2)
+    // (id, cid) SETS must agree at each nProbe — nProbe=1 pins the argmax
+    // (incl. tie-break), nProbe=3 the full probe frontier; consumers only
+    // ever use the exploded set (equi-joins), never intra-row order
+    for (nProbe <- Seq(1, 3)) {
+      val lit = emb.select(col("vec_id"),
+          explode(Similarity.ivfProbes(col("embedding"), centroids, nProbe))
+            .as("__cid"))
+        .as[(Long, Int)].collect().toSet
+      val tbl = Similarity.assignProbesTable(emb, "vec_id", "embedding",
+          Similarity.centroidTable(emb, centroids), nProbe)
+        .as[(Long, Int)].collect().toSet
+      assert(lit == tbl, s"nProbe=$nProbe: paths disagree")
+    }
+    // null vectors produce no assignment rows on the table path (the
+    // literal path's explode(null) posture)
+    val withNull = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val small = Array(Array(1f, 0f), Array(0f, 1f))
+    val out = Similarity.assignProbesTable(withNull, "id", "v",
+      Similarity.centroidTable(withNull, small), 1)
+      .as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 0)))
+  }
+
+  test("assignProbes plan size is centroid-count-independent on the table path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // 8192 synthetic centroids: above the threshold, so assignProbes must
+    // pick the table plan — k lives in a broadcast relation, not the tree
+    val k = 8192
+    val cents = Array.tabulate(k, 64)((i, j) => ((i * 64 + j) % 97) * 0.01f)
+    val plan = Similarity.assignProbes(emb, "vec_id", "embedding", cents, 2)
+      .queryExecution.optimizedPlan.treeString
+    assert(plan.length < 50000, s"table-path plan is ${plan.length} chars")
+    // the literal path at 64 centroids (under threshold) still works
+    val litPlan = Similarity.assignProbes(emb, "vec_id", "embedding",
+      cents.take(64), 2)
+    assert(litPlan.count() == emb.count() * 2)
+  }
 }
