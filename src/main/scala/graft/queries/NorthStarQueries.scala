@@ -2361,6 +2361,60 @@ object NorthStarQueries {
           |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
           |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // In-engine hashed-n-gram quality classifier (NgramQuality.scala): the
+    // CCNet/fastText-style gate — closed-form multinomial Naive Bayes over
+    // the DSIR feature stream, trained on a labeled SLICE (doc_id%3==0,
+    // positive = lang 'en'), scoring the WHOLE corpus. Integer micro-nat
+    // model + prior (the DSIR quantization convention), so every logit is
+    // an exact integer sum; labeled-unseen buckets get the fully-smoothed
+    // default weight through a LEFT join + coalesce (scoring a corpus
+    // disjoint from the training slice makes unseen buckets the normal
+    // case). The oracle replays the entire quantized chain: features →
+    // class-conditional counts → log-odds + default + prior → per-doc sum.
+    // (The fixture's lang label is uncorrelated with its synthetic text, so
+    // held-out accuracy is chance — the LEARNING mechanism is proven by the
+    // planted separable-vocabulary unit contract in CurationSpec; this row
+    // proves the distributed chain bit-exactly, the q_dsir_weights posture.)
+    QueryDef("q_quality_classifier",
+      (s, d) => graft.functions.NgramQuality.classify(
+          T(s, d, "documents"), "text", "doc_id",
+          T(s, d, "documents").where(col("doc_id") % 3 === 0),
+          col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .sortBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |feats AS (SELECT doc_id,
+             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |lab AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
+             |pb AS (SELECT b, COUNT(*) FILTER (WHERE lang = 'en') AS c1,
+             |    COUNT(*) FILTER (WHERE lang <> 'en') AS c0
+             |  FROM lab GROUP BY b),
+             |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+             |    CAST(SUM(c0) AS BIGINT) AS t0 FROM pb),
+             |w AS (SELECT b, CAST(round((ln((c1 + 0.5) / (t1 + 0.5 * 4096))
+             |      - ln((c0 + 0.5) / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq
+             |  FROM pb, tot),
+             |w0 AS (SELECT CAST(round((ln(0.5 / (t1 + 0.5 * 4096))
+             |      - ln(0.5 / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq0 FROM tot),
+             |pri AS (SELECT CAST(round((ln(n1 + 0.5) - ln(n0 + 0.5)) * 1e6) AS BIGINT) AS pq
+             |  FROM (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS n1,
+             |      COUNT(*) FILTER (WHERE lang <> 'en') AS n0
+             |    FROM documents WHERE doc_id % 3 = 0)),
+             |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nf,
+             |    CAST(SUM(n * COALESCE(wq, wq0)) AS BIGINT) AS s
+             |  FROM db LEFT JOIN w USING (b), w0 GROUP BY doc_id)
+             |SELECT doc_id, nf AS n_feats, s + pq AS logit_micro,
+             |  CAST(s + pq AS DOUBLE) / 1e6 AS logit,
+             |  CASE WHEN s + pq > 0 THEN 1 ELSE 0 END AS pred
+             |FROM sc, pri ORDER BY doc_id""".stripMargin)),
+
     // Line-level boilerplate removal (the C4/Gopher cleanup: drop lines that
     // repeat across ≥20 documents — footers, nav chrome). Lines are
     // constructed deterministically (10-token groups + a per-source footer,

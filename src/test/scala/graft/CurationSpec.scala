@@ -103,6 +103,61 @@ class CurationSpec extends SparkSpec {
     assert(e2.getMessage.contains("__tm_dom"))
   }
 
+  // --- NgramQuality: planted separable-vocabulary contract --------------------
+
+  test("ngram classifier: disjoint vocabularies separate; held-out docs classify correctly") {
+    import graft.functions.NgramQuality
+    // two DISJOINT vocabularies → every feature is class-pure evidence;
+    // train on even ids, score all: held-out odd ids must classify by
+    // vocabulary, not memorization
+    val posVocab = Seq("aurora", "borealis", "quasar", "nebula")
+    val negVocab = Seq("mud", "sludge", "grit", "rust")
+    def doc(i: Int, v: Seq[String]) =
+      (0 until 12).map(j => v((i + j) % v.size)).mkString(" ")
+    val rows = (0 until 40).map { i =>
+      val pos = i % 2 == 0 // even ids positive — BOTH parities in both splits
+      (i.toLong, if (pos) doc(i, posVocab) else doc(i, negVocab), pos)
+    }
+    val df = rows.toDF("doc_id", "text", "is_pos")
+    val out = NgramQuality.classify(df, "text", "doc_id",
+        df.where(col("doc_id") < 20), col("is_pos"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(4) == 1)).toMap
+    assert(out.size == 40)
+    rows.foreach { case (id, _, pos) =>
+      assert(out(id) == pos, s"doc $id misclassified (expected pos=$pos)")
+    }
+  }
+
+  test("ngram classifier: prior dominates a doc of only unseen tokens") {
+    import graft.functions.NgramQuality
+    // labeled slice is 3:1 positive; a scored doc whose every token is
+    // labeled-unseen gets n_feats × the symmetric default weight + prior.
+    // The default is ln((C0+aB)/(C1+aB)) per feature — slightly NEGATIVE
+    // here (more positive training mass), so the sign is an exact integer
+    // prediction we can replay in scala
+    val labeled = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "alpha gamma beta alpha", true),
+      (3L, "beta delta gamma beta", true),
+      (4L, "omega psi chi phi", false)).toDF("doc_id", "text", "is_pos")
+    val scored = NgramQuality.classify(
+      Seq((99L, "zz1 zz2 zz3")).toDF("doc_id", "text"), "text", "doc_id",
+      labeled, col("is_pos"))
+    val r = scored.collect().head
+    val nf = r.getLong(1)
+    assert(nf == 5L) // 3 unigrams + 2 bigrams
+    // replay: every bucket unseen → wq0 each; prior ln(3.5/1.5)
+    val aB = 0.5 * 4096
+    // training feature mass: 3 pos docs x (4 uni + 3 bi) = 21; 1 neg doc x 7
+    val t1 = 21.0; val t0 = 7.0
+    val wq0 = BigDecimal((math.log(0.5 / (t1 + aB)) - math.log(0.5 / (t0 + aB))) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val pq = BigDecimal((math.log(3 + 0.5) - math.log(1 + 0.5)) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(r.getLong(2) == nf * wq0 + pq,
+      s"logit_micro ${r.getLong(2)} != ${nf * wq0 + pq}")
+  }
+
   // --- Sampling.temperatureMixture -------------------------------------------
 
   private def mixFixture = (0 until 400).map { i =>
