@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval fusion — combining a lexical ranking (BM25) with a
+  * semantic one (embedding ANN) is the standard retrieval stack for
+  * RAG/eval-set construction over a pretraining corpus. Fusion is
+  * reciprocal-rank (RRF, Cormack/Clarke/Buettcher 2009):
+  * score(d) = Σ_lists 1/(k0 + rank_d(list)), k0 = 60 by convention —
+  * rank-based, so the two engines' incomparable score scales never mix.
+  *
+  * Determinism: each contribution is ONE IEEE division from an integer
+  * rank, and the sum is a fixed-arity expression (not an aggregation), so
+  * the double replays bit-for-bit in any engine; ties break by id.
+  *
+  * 100 TB posture: fusion operates on the LISTS (top-N rows each, driver-
+  * bounded by construction), never the corpus — the expensive sides are
+  * the upstream rankers, which keep their own scale shapes (BM25's
+  * filtered-term aggregation, ANN's bucketed candidate join). The final
+  * cut is a TakeOrderedAndProject over ≤ Σ|lists| rows. */
+object Retrieval {
+
+  /** Fuse ranked lists by RRF. Each input holds (idCol, rankCol) with rank
+    * 1-based; a doc absent from a list contributes 0 for that list. Output:
+    * (idCol, r_1..r_n nullable per-list ranks, rrf) — the `topK` best by
+    * (rrf DESC, id). */
+  def rrf(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      topK: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "Retrieval.rrf: need at least one list")
+    require(k0 >= 1, "Retrieval.rrf: k0 must be >= 1")
+    require(topK >= 0, "Retrieval.rrf: topK must be >= 0")
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"r_${i + 1}"))
+    }
+    val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = (1 to lists.size).map { i =>
+      when(col(s"r_$i").isNotNull, lit(1.0) / (lit(k0.toDouble) + col(s"r_$i")))
+        .otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    joined.withColumn("rrf", score)
+      .orderBy(col("rrf").desc, col(idCol)).limit(topK)
+  }
+}

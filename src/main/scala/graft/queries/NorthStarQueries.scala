@@ -3058,6 +3058,71 @@ object NorthStarQueries {
              |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / c.avgdl)) AS s
              |  FROM tf JOIN dfv USING (term) JOIN lens USING (doc_id), corpus c)
              |SELECT doc_id, ROUND(SUM(s), 6) AS score FROM scored
-             |WHERE doc_id % 7 = 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |WHERE doc_id % 7 = 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic) fused
+    // by reciprocal rank (RRF, k0=60 — Retrieval.scala). Ranks are total:
+    // BM25 by (score@6dp DESC, doc_id) — 6 dp kills lib-level ln ULP skew,
+    // the q_bm25 convention; ANN by raw cosine (the q_cosine_topk-proven
+    // replay). Both top-50 lists, absent-list ranks coalesce to 0 in the
+    // OUTPUT (the fused score itself treats absent as no contribution), and
+    // the fused double is a fixed-arity sum of two single divisions —
+    // bit-replayable. The oracle replays BOTH ranking chains and the fusion.
+    QueryDef("q_hybrid_retrieval",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val emb = T(s, d, "embeddings")
+        val bmTop = Bm25.score(docs, "doc_id", "text", "data stream filter window")
+          .select(col("doc_id"), round(col("score"), 6).as("s6"))
+          .orderBy(col("s6").desc, col("doc_id")).limit(50)
+        // pick numbering runs on the 50 survivors only (bounded window)
+        val bmRanked = bmTop.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("s6").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val annRanked = Similarity.bruteForceTopK(
+            emb.where_(col("vec_id") === 7).projectRename("query_id" -> "vec_id"),
+            emb.projectRename("corpus_id" -> "vec_id"), k = 50)
+          .select(col("corpus_id").as("doc_id"), col("rank"))
+        graft.functions.Retrieval.rrf(Seq(bmRanked, annRanked),
+            "doc_id", "rank", topK = 15)
+          .select(col("doc_id"),
+            coalesce(col("r_1"), lit(0L)).as("r_bm25"),
+            coalesce(col("r_2"), lit(0L)).as("r_ann"),
+            col("rrf"))
+          .sortBy(col("rrf").desc, col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t.term FROM documents,
+             |    LATERAL unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+             |  WHERE t.term <> ''),
+             |lens AS (SELECT d.doc_id, COALESCE(l.len, 0) AS len
+             |  FROM documents d LEFT JOIN
+             |    (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id) l
+             |    USING (doc_id)),
+             |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(CAST(len AS DOUBLE)) AS avgdl FROM lens),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             |  WHERE term IN ('data', 'stream', 'filter', 'window')
+             |  GROUP BY doc_id, term),
+             |dfv AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |bm AS (SELECT tf.doc_id, ROUND(SUM(
+             |    ln(1.0 + (c.n - dfv.df + 0.5) / (dfv.df + 0.5)) *
+             |      tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len / c.avgdl))), 6) AS s6
+             |  FROM tf JOIN dfv USING (term) JOIN lens USING (doc_id), corpus c
+             |  GROUP BY tf.doc_id),
+             |bmr AS (SELECT doc_id, r FROM (
+             |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS r
+             |    FROM bm) WHERE r <= 50),
+             |annr AS (SELECT doc_id, r FROM (
+             |    SELECT c.vec_id AS doc_id, ROW_NUMBER() OVER (
+             |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |          c.vec_id) AS r
+             |    FROM embeddings q, embeddings c
+             |    WHERE q.vec_id = 7 AND c.vec_id <> 7) WHERE r <= 50)
+             |SELECT doc_id, COALESCE(b.r, 0) AS r_bm25, COALESCE(a.r, 0) AS r_ann,
+             |  COALESCE(1.0 / (60 + b.r), 0.0) + COALESCE(1.0 / (60 + a.r), 0.0) AS rrf
+             |FROM bmr b FULL JOIN annr a USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin))
   )
 }

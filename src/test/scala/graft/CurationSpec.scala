@@ -103,6 +103,29 @@ class CurationSpec extends SparkSpec {
     assert(e2.getMessage.contains("__tm_dom"))
   }
 
+  // --- Retrieval.rrf -----------------------------------------------------------
+
+  test("rrf: fusion arithmetic, absent-list zeros, tie-break, topK cut") {
+    import graft.functions.Retrieval
+    val l1 = Seq(("a", 1), ("b", 2)).toDF("id", "rank")
+    val l2 = Seq(("b", 1), ("c", 2)).toDF("id", "rank")
+    val out = Retrieval.rrf(Seq(l1, l2), "id", "rank", topK = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    // b in both lists: 1/62 + 1/61 beats a (1/61) beats c (1/62)
+    assert(out.map(_._1) == Seq("b", "a", "c"))
+    assert(out.head._2 == 1.0 / 62 + 1.0 / 61)
+    assert(out(1)._2 == 1.0 / 61 && out(2)._2 == 1.0 / 62)
+    val cut = Retrieval.rrf(Seq(l1, l2), "id", "rank", topK = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(cut == Seq("b"))
+    // equal rrf ties break by id: two docs each only in one list at rank 1
+    val t1 = Seq(("x", 1)).toDF("id", "rank")
+    val t2 = Seq(("w", 1)).toDF("id", "rank")
+    val tied = Retrieval.rrf(Seq(t1, t2), "id", "rank", topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(tied == Seq("w", "x"))
+  }
+
   // --- NgramQuality: planted separable-vocabulary contract --------------------
 
   test("ngram classifier: disjoint vocabularies separate; held-out docs classify correctly") {
