@@ -72,7 +72,13 @@ object Sampling {
     * total is the distributed cumsum (per-partition sums prefixed via the
     * #partitions-row offsets table) — no single-partition window, no
     * driver-side data. Scores should be integral or decimal: a double score
-    * makes the ORDER itself IEEE-tie-hazardous across engines. */
+    * makes the ORDER itself IEEE-tie-hazardous across engines.
+    *
+    * BATCH-ONLY by semantics (DEVIATIONS §curation): the result is a
+    * prefix of a GLOBAL order, which a stream cannot know — any admitted
+    * row can be displaced by a better later arrival. Streaming analogues
+    * with sound semantics: rate-based admission (applyMixtureRates) and
+    * the bounded weighted reservoir (TopKAgg / q_streaming_wsample). */
   def selectByTokenBudget(df: DataFrame, score: Column, tokens: Column,
       id: Column, budget: Long): DataFrame = {
     require(budget >= 0, "selectByTokenBudget: budget must be >= 0")
@@ -113,6 +119,48 @@ object Sampling {
         floor((col(rn).cast("long") - 1) * k / col("__qb_n")).cast("int"))
       .drop(rn, "__qb_n")
   }
+
+  /** The STREAMING form of [[quantileBins]]: exact bin thresholds trained
+    * on a static POOL (one bounded collect — k−1 longs, the trainModel
+    * convention), then [[assignBins]] places any row — batch or stream —
+    * by threshold comparison, select-only and stateless.
+    *
+    * Threshold j (j = 1..k−1) is the smallest pool score in pool bin j, so
+    * a row's bin is the count of thresholds ≤ its score. Closure contract:
+    * for pool rows with DISTINCT boundary scores this reproduces
+    * quantileBins exactly; where a boundary score is TIED across the
+    * boundary, rank-based binning splits the tie while thresholds cannot —
+    * every tied row lands in the higher bin (deterministic, documented in
+    * DEVIATIONS.md; exact streaming quantiles are impossible without the
+    * global order, which is the reason this is the posture). Scores must
+    * be integral — a double threshold would make the comparison itself
+    * IEEE-hazardous across engines. */
+  def quantileThresholds(pool: DataFrame, score: Column, id: Column,
+      k: Int): Array[Long] = {
+    pool.select(score).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"quantileThresholds: score must be integral (got $other)")
+    }
+    quantileBins(pool.select(score.as("__qt_s"), id.as("__qt_id")),
+        col("__qt_s"), col("__qt_id"), k, "__qt_bin")
+      .where(col("__qt_bin") >= 1)
+      .groupBy(col("__qt_bin"))
+      .agg(min(col("__qt_s").cast("long")).as("__qt_lo"))
+      .orderBy(col("__qt_bin"))
+      .collect().map(_.getLong(1)) // ≤ k−1 rows: bounded like any model
+  }
+
+  /** Bin-assignment column for [[quantileThresholds]]' model: the count of
+    * thresholds ≤ score, as ONE literal-array fold — select-only, composes
+    * with a structured stream (no join, no state). Null score → null bin. */
+  def assignBins(score: Column, thresholds: Array[Long]): Column =
+    // the fold alone would send a null score to bin 0 (null comparisons are
+    // falsy under when/otherwise) — guard so null stays null
+    when(score.isNotNull,
+      aggregate(typedlit(thresholds.toSeq), lit(0),
+        (acc, t) => acc + when(t <= score.cast("long"), 1).otherwise(0)))
 
   /** Temperature-scaled domain mixture (the T5/LLaMA rebalancing step):
     * sample domain `i` with probability ∝ nᵢ^α, α < 1 flattening the head

@@ -1669,6 +1669,49 @@ object NorthStarQueries {
           |    CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT < r.keep_ppm
           |GROUP BY 1, 2 ORDER BY d.lang""".stripMargin)),
 
+    // STREAMING curriculum bins: exact quantile THRESHOLDS trained on the
+    // static pool (k−1 longs — the bounded-model convention), each arriving
+    // document assigned its difficulty bin by one select-only literal fold
+    // — stateless, no watermark. Exact streaming quantiles are impossible
+    // without the global order; this is the documented posture (DEVIATIONS
+    // §curation): pool-exact thresholds, threshold-closure assignment
+    // (boundary TIES land in the higher bin — the oracle replays that
+    // closure, not rank splitting). The batch q_curriculum_bins remains
+    // the rank-exact form.
+    QueryDef("q_streaming_quantile_bins",
+      (s, d) => {
+        val pool = T(s, d, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("score"))
+        val th = graft.functions.Sampling.quantileThresholds(
+          pool, col("score"), col("doc_id"), 4)
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("score"))
+          .withColumn("bin",
+            graft.functions.Sampling.assignBins(col("score"), th))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_qbins_sink", stream)
+          .summarize(Seq(col("bin")),
+            count(lit(1)).as("n"), sum(col("score")).as("ts"))
+          .sortBy(col("bin"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+             |  FROM documents),
+             |r AS (SELECT doc_id, score,
+             |    ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+             |    COUNT(*) OVER () AS n FROM t),
+             |b AS (SELECT doc_id, score,
+             |    CAST(FLOOR((rn - 1) * 4 / n) AS INT) AS bin FROM r),
+             |th AS (SELECT bin, MIN(score) AS lo FROM b WHERE bin >= 1 GROUP BY bin),
+             |st AS (SELECT doc_id, score,
+             |    (SELECT COUNT(*) FROM th WHERE th.lo <= t.score) AS bin
+             |  FROM t WHERE doc_id % 2 = 1)
+             |SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n,
+             |  CAST(SUM(score) AS BIGINT) AS ts
+             |FROM st GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // Stream-STATIC enrichment: the events stream joined to the customer
     // dimension (broadcast, stateless — no watermark, no state store), then
     // batch-summarized per market segment. The streaming surface every

@@ -103,6 +103,52 @@ class CurationSpec extends SparkSpec {
     assert(e2.getMessage.contains("__tm_dom"))
   }
 
+  // --- quantileThresholds / assignBins (streaming bins) -----------------------
+
+  test("assignBins: threshold closure reproduces quantileBins on distinct scores") {
+    val pool = (0 until 100).map(i => (i.toLong, (i * 37 % 101).toLong))
+      .toDF("id", "score") // distinct scores → closure is exact
+    val th = Sampling.quantileThresholds(pool, col("score"), col("id"), 4)
+    assert(th.length == 3 && th.sorted.sameElements(th))
+    val rankBins = Sampling.quantileBins(pool, col("score"), col("id"), 4)
+      .select("id", "bin").as[(Long, Int)].collect().toMap
+    val thBins = pool.select(col("id"),
+        Sampling.assignBins(col("score"), th).as("bin"))
+      .as[(Long, Int)].collect().toMap
+    assert(rankBins == thBins)
+  }
+
+  test("assignBins: boundary ties land in the higher bin; null score stays null; k=1") {
+    // 8 rows, all score 5 except two: rank bins SPLIT the tie, thresholds
+    // put every tied row in the bin whose lower bound is 5
+    val pool = Seq((1L, 1L), (2L, 5L), (3L, 5L), (4L, 5L),
+      (5L, 5L), (6L, 5L), (7L, 5L), (8L, 9L)).toDF("id", "score")
+    val th = Sampling.quantileThresholds(pool, col("score"), col("id"), 2)
+    assert(th.toSeq == Seq(5L)) // bin 1 starts at the tied score
+    val bins = pool.select(col("id"),
+        Sampling.assignBins(col("score"), th).as("bin"))
+      .as[(Long, Int)].collect().toMap
+    assert(bins(1L) == 0 && bins(8L) == 1)
+    assert((2L to 7L).forall(bins(_) == 1)) // ALL tied rows → higher bin
+    val withNull = Seq((1L, Some(3L)), (2L, None)).toDF("id", "score")
+    val nb = withNull.select(col("id"),
+        Sampling.assignBins(col("score"), th).as("bin")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(nb(1L) == Some(0) && nb(2L) == None)
+    // k=1: no thresholds, everything bin 0
+    val th1 = Sampling.quantileThresholds(pool, col("score"), col("id"), 1)
+    assert(th1.isEmpty)
+    assert(pool.select(Sampling.assignBins(col("score"), th1))
+      .as[Int].collect().forall(_ == 0))
+  }
+
+  test("quantileThresholds: fractional score types are rejected loudly") {
+    val pool = Seq((1L, 2.5)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException](
+      Sampling.quantileThresholds(pool, col("score"), col("id"), 4))
+    assert(e.getMessage.contains("integral"))
+  }
+
   // --- Retrieval.rrf -----------------------------------------------------------
 
   test("rrf: fusion arithmetic, absent-list zeros, tie-break, topK cut") {
