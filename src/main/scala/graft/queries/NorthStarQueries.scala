@@ -118,17 +118,28 @@ object NorthStarQueries {
       Dedup.lshCandidatePairs(minhashSigs(s, d), MH_BANDS, MH_HASHES / MH_BANDS).persist())
   }
 
+  /** The est≥0.5 VERIFIED near-dup pair set, computed and persisted once
+    * per (session, sfDir): the estJaccard verify join over the LSH
+    * candidates is the expensive half of the near-dup tier, and three
+    * consumers need the identical frame — q_minhash_pairs (the pairs
+    * themselves), ccLabels (cluster edges), and q_leakfree_split's
+    * cross-split verify join (which previously re-ran the verify join per
+    * invocation on top of the cached cands/sigs). */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
+    pipeCache.getOrElseUpdate(cacheKey(s, d, "ndpairs"),
+      Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d), MH_HASHES)
+        .where_(col("est_jaccard") >= 0.5).persist())
+  }
+
   /** Near-dup cluster labels (connected components over the est≥0.5 MinHash
     * pairs), computed once per (session, sfDir) — iterative, so both cluster
     * rows reuse one converged result. */
   private def ccLabels(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
-    pipeCache.getOrElseUpdate(cacheKey(s, d, "cclabels"), {
-      val pairs = Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d), MH_HASHES)
-        .where_(col("est_jaccard") >= 0.5)
-      Dedup.connectedComponents(pairs, "id_a", "id_b",
-        T(s, d, "documents"), "doc_id").persist()
-    })
+    pipeCache.getOrElseUpdate(cacheKey(s, d, "cclabels"),
+      Dedup.connectedComponents(neardupPairs(s, d), "id_a", "id_b",
+        T(s, d, "documents"), "doc_id").persist())
   }
 
   /** Shared closure oracle: the exact-signature pair set (≥32 of 64 components
@@ -570,8 +581,7 @@ object NorthStarQueries {
     // contains exactly 25 near-dup pairs at 3-shingle Jaccard >= 0.9 and nothing
     // else above 0.2 (measured), a gap both thresholds sit inside.
     QueryDef("q_minhash_pairs",
-      (s, d) => Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d), MH_HASHES)
-        .where_(col("est_jaccard") >= 0.5)
+      (s, d) => neardupPairs(s, d)
         .sortBy(col("id_a"), col("id_b")),
       // The oracle recomputes the EXACT 64-component signatures (same md5-derived
       // shingle hashes, same affine coefficients) and estimates Jaccard over all
@@ -623,9 +633,7 @@ object NorthStarQueries {
         val split = labels.select(col("id"), col("cluster"),
           when(graft.functions.Sampling.hash24(col("cluster")) < 1677721L,
             "val").otherwise("train").as("split"))
-        val pairs = Dedup.estJaccard(minhashCands(s, d), minhashSigs(s, d),
-            MH_HASHES)
-          .where_(col("est_jaccard") >= 0.5)
+        val pairs = neardupPairs(s, d)
         val cross = pairs
           .join(split.select(col("id").as("id_a"), col("split").as("sa")), "id_a")
           .join(split.select(col("id").as("id_b"), col("split").as("sb")), "id_b")
