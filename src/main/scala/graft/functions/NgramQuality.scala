@@ -105,4 +105,49 @@ object NgramQuality {
     scoreWith(corpus, textCol, idCol,
       nbWeights(labeled, textCol, isPos, buckets),
       nbPrior(labeled, isPos), buckets)
+
+  /** Train the DENSE quantized model driver-side (the Dsir.trainModel
+    * pattern) for literal/streaming scoring: a buckets-length micro-nat
+    * log-odds array — labeled-unseen buckets pre-filled with the fully
+    * smoothed default, so the dense lookup IS the batch chain's
+    * left-join + coalesce — plus the quantized prior. Quantization is
+    * HALF_UP like Spark's `round`, and the driver's Math.log sees the
+    * same doubles as the in-engine `log`, so [[scoreMicro]] equals the
+    * [[scoreWith]] logit EXACTLY for every document with ≥ 1 feature
+    * (featureless docs emit no batch row; filter them upstream when
+    * replaying a batch oracle — the q_streaming_dsir convention). */
+  def trainModel(labeled: DataFrame, textCol: String, isPos: Column,
+      buckets: Int = 4096): (Array[Long], Long) = {
+    require(buckets >= 2, "NgramQuality.trainModel: buckets must be >= 2")
+    val pb = labeled.select(isPos.as("__is_p"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .select(col("__is_p"),
+        explode(Dsir.featureBuckets(col("__t"), buckets)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("__is_p"), lit(1L)).otherwise(lit(0L))).as("c1"),
+        sum(when(col("__is_p"), lit(0L)).otherwise(lit(1L))).as("c0"))
+      .collect() // bounded: <= buckets rows
+    val t1 = pb.map(_.getLong(1)).sum
+    val t0 = pb.map(_.getLong(2)).sum
+    val aB = 0.5 * buckets
+    def quant(c1: Long, c0: Long): Long =
+      BigDecimal((math.log((c1 + 0.5) / (t1 + aB))
+        - math.log((c0 + 0.5) / (t0 + aB))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val w = Array.fill(buckets)(quant(0L, 0L))
+    pb.foreach(r => w(r.getLong(0).toInt) = quant(r.getLong(1), r.getLong(2)))
+    val docs = labeled.agg(
+      sum(when(isPos, lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(isPos, lit(0L)).otherwise(lit(1L))).as("n0")).collect().head
+    val pq = BigDecimal(
+      (math.log(docs.getLong(0) + 0.5) - math.log(docs.getLong(1) + 0.5)) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    (w, pq)
+  }
+
+  /** Stateless logit column for a pre-trained dense model: the weight array
+    * rides the plan as ONE literal (Dsir.scoreMicro's fold) plus the prior
+    * — select-only, streaming-composable. Null token array → null logit. */
+  def scoreMicro(toks: Column, model: (Array[Long], Long)): Column =
+    Dsir.scoreMicro(toks, model._1) + lit(model._2)
 }

@@ -54,6 +54,8 @@ object NorthStarQueries {
     scala.collection.concurrent.TrieMap[String, Array[Array[Array[Float]]]]()
   private val dsirModelCache =
     scala.collection.concurrent.TrieMap[String, Array[Long]]()
+  private val nbModelCache =
+    scala.collection.concurrent.TrieMap[String, (Array[Long], Long)]()
 
   /** The ONE DuckDB replay of the DSIR quantized chain (tokens → hashed
     * unigram+bigram buckets → per-bucket counts → integer micro-nat model →
@@ -103,6 +105,7 @@ object NorthStarQueries {
     ivfModelCache.keys.filterNot(_.startsWith(prefix)).foreach(ivfModelCache.remove)
     pqModelCache.keys.filterNot(_.startsWith(prefix)).foreach(pqModelCache.remove)
     dsirModelCache.keys.filterNot(_.startsWith(prefix)).foreach(dsirModelCache.remove)
+    nbModelCache.keys.filterNot(_.startsWith(prefix)).foreach(nbModelCache.remove)
   }
 
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
@@ -1504,6 +1507,70 @@ object NorthStarQueries {
         """SELECT doc_id, s AS logw_micro, CAST(s AS DOUBLE) / 1e6 AS logw,
           |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
           |FROM sc WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
+
+    // STREAMING quality gate: the hashed n-gram NB classifier trains once
+    // on the static labeled slice (NgramQuality.trainModel — a dense
+    // 4096-entry driver-bounded model, the streaming-DSIR pattern), then
+    // rides the stream plan as ONE literal array + prior; each arriving
+    // document folds its feature buckets into the exact integer micro-nat
+    // logit (select-only — stateless, no state store). The dense model's
+    // default entries EQUAL the batch chain's left-join + coalesce, so the
+    // in-flight logit equals the batch q_quality_classifier logit exactly
+    // and the oracle is that chain restricted to the streamed half
+    // (featureless docs filtered, the q_streaming_dsir convention).
+    QueryDef("q_streaming_quality",
+      (s, d) => {
+        evictStale(s)
+        val model = nbModelCache.getOrElseUpdate(cacheKey(s, d, "nbq"),
+          graft.functions.NgramQuality.trainModel(
+            T(s, d, "documents").where(col("doc_id") % 3 === 0),
+            "text", col("lang") === "en"))
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), TA.tokens(lower(col("text"))).as("t"))
+          .where(col("t").isNotNull && size(col("t")) > 0)
+          .select(col("doc_id"),
+            graft.functions.NgramQuality.scoreMicro(col("t"), model)
+              .as("logit_micro"))
+          .select(col("doc_id"), col("logit_micro"),
+            (col("logit_micro").cast("double") / 1e6).as("logit"),
+            (col("logit_micro") > 0).cast("int").as("pred"))
+        graft.streaming.StreamingIngest
+          .runBoundedDedup(s, "q_streaming_quality_sink", stream)
+          .sortBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |feats AS (SELECT doc_id,
+             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |lab AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
+             |pb AS (SELECT b, COUNT(*) FILTER (WHERE lang = 'en') AS c1,
+             |    COUNT(*) FILTER (WHERE lang <> 'en') AS c0
+             |  FROM lab GROUP BY b),
+             |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+             |    CAST(SUM(c0) AS BIGINT) AS t0 FROM pb),
+             |w AS (SELECT b, CAST(round((ln((c1 + 0.5) / (t1 + 0.5 * 4096))
+             |      - ln((c0 + 0.5) / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq
+             |  FROM pb, tot),
+             |w0 AS (SELECT CAST(round((ln(0.5 / (t1 + 0.5 * 4096))
+             |      - ln(0.5 / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq0 FROM tot),
+             |pri AS (SELECT CAST(round((ln(n1 + 0.5) - ln(n0 + 0.5)) * 1e6) AS BIGINT) AS pq
+             |  FROM (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS n1,
+             |      COUNT(*) FILTER (WHERE lang <> 'en') AS n0
+             |    FROM documents WHERE doc_id % 3 = 0)),
+             |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
+             |sc AS (SELECT doc_id,
+             |    CAST(SUM(n * COALESCE(wq, wq0)) AS BIGINT) AS s
+             |  FROM db LEFT JOIN w USING (b), w0 GROUP BY doc_id)
+             |SELECT doc_id, s + pq AS logit_micro,
+             |  CAST(s + pq AS DOUBLE) / 1e6 AS logit,
+             |  CASE WHEN s + pq > 0 THEN 1 ELSE 0 END AS pred
+             |FROM sc, pri WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)),
 
     // STREAMING weighted sampling (sharded A-Res reservoirs): keep a
     // proportional-to-weight sample of a document stream WITHOUT keeping

@@ -197,6 +197,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ngram classifier: dense literal model equals the batch join chain exactly") {
+    import graft.functions.{NgramQuality, TextAnalysis}
+    val labeled = Seq(
+      (1L, "alpha beta gamma", true), (2L, "beta gamma delta", true),
+      (3L, "mud rust grit", false), (4L, "rust sludge mud", false))
+      .toDF("doc_id", "text", "is_pos")
+    // corpus mixes labeled-seen and labeled-UNSEEN tokens — the dense
+    // model's default entries must equal the left-join + coalesce path
+    val corpus = Seq((10L, "alpha mud zz9"), (11L, "gamma gamma qq7 beta"),
+      (12L, "totally unseen words here")).toDF("doc_id", "text")
+    val batch = NgramQuality.classify(corpus, "text", "doc_id",
+        labeled, col("is_pos"))
+      .select("id", "logit_micro").as[(Long, Long)].collect().toMap
+    val model = NgramQuality.trainModel(labeled, "text", col("is_pos"))
+    val lit = corpus.select(col("doc_id"),
+        NgramQuality.scoreMicro(
+          TextAnalysis.tokens(lower(col("text"))), model).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(batch == lit, s"batch $batch vs literal $lit")
+  }
+
   test("ngram classifier: prior dominates a doc of only unseen tokens") {
     import graft.functions.NgramQuality
     // labeled slice is 3:1 positive; a scored doc whose every token is
