@@ -76,7 +76,13 @@ object NgramQuality {
         .cast("long").as("pq"))
 
   /** Score `corpus` with a trained model: (id, n_feats, logit_micro,
-    * logit, pred). `weights` from [[nbWeights]], `prior` from [[nbPrior]]. */
+    * logit, pred). `weights` from [[nbWeights]], `prior` from [[nbPrior]].
+    *
+    * Degenerate-model contract: a labeled slice with NO features (empty
+    * slice, or only empty-text docs) yields an empty weights table and
+    * every logit/pred comes back NULL — the lazy chain cannot fail loudly
+    * without forcing an action; gate on [[trainModel]] (which requires a
+    * nonempty slice) when an eager guard is wanted. */
   def scoreWith(corpus: DataFrame, textCol: String, idCol: String,
       weights: DataFrame, prior: DataFrame, buckets: Int = 4096): DataFrame = {
     val feats = corpus.select(col(idCol).as("id"),
@@ -127,6 +133,8 @@ object NgramQuality {
         sum(when(col("__is_p"), lit(1L)).otherwise(lit(0L))).as("c1"),
         sum(when(col("__is_p"), lit(0L)).otherwise(lit(1L))).as("c0"))
       .collect() // bounded: <= buckets rows
+    require(pb.nonEmpty, "NgramQuality.trainModel: labeled slice has no " +
+      "features (empty slice or only empty-text docs)")
     val t1 = pb.map(_.getLong(1)).sum
     val t0 = pb.map(_.getLong(2)).sum
     val aB = 0.5 * buckets

@@ -24,7 +24,13 @@ object Retrieval {
   /** Fuse ranked lists by RRF. Each input holds (idCol, rankCol) with rank
     * 1-based; a doc absent from a list contributes 0 for that list. Output:
     * (idCol, r_1..r_n nullable per-list ranks, rrf) — the `topK` best by
-    * (rrf DESC, id). */
+    * (rrf DESC, id).
+    *
+    * CONTRACT (not validated — the lists are lazy): ids must be UNIQUE
+    * within each list (a duplicate fans out through the chained full-outer
+    * joins and emits duplicate fused rows) and ranks 1-based (a 0-based
+    * rank silently contributes 1/k0). row_number-built lists hold both by
+    * construction. */
   def rrf(lists: Seq[DataFrame], idCol: String, rankCol: String,
       topK: Int, k0: Int = 60): DataFrame = {
     require(lists.nonEmpty, "Retrieval.rrf: need at least one list")

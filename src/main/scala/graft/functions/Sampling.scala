@@ -137,19 +137,31 @@ object Sampling {
     * IEEE-hazardous across engines. */
   def quantileThresholds(pool: DataFrame, score: Column, id: Column,
       k: Int): Array[Long] = {
+    require(k >= 1, "quantileThresholds: k must be >= 1")
     pool.select(score).schema.head.dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
       case other => throw new IllegalArgumentException(
         s"quantileThresholds: score must be integral (got $other)")
     }
-    quantileBins(pool.select(score.as("__qt_s"), id.as("__qt_id")),
+    val perBin = quantileBins(
+        pool.select(score.as("__qt_s"), id.as("__qt_id")),
         col("__qt_s"), col("__qt_id"), k, "__qt_bin")
       .where(col("__qt_bin") >= 1)
       .groupBy(col("__qt_bin"))
       .agg(min(col("__qt_s").cast("long")).as("__qt_lo"))
-      .orderBy(col("__qt_bin"))
-      .collect().map(_.getLong(1)) // ≤ k−1 rows: bounded like any model
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // DENSE k−1 thresholds even when pool bins are sparse (n < k skips bin
+    // indices): t_j = min score over bins ≥ j, so the closure count
+    // reproduces each pool row's skipped-bin id exactly; trailing bins no
+    // pool row reaches stay unreachable (MaxValue)
+    val t = Array.fill(k - 1)(Long.MaxValue)
+    var carry = Long.MaxValue
+    for (j <- (k - 1) to 1 by -1) {
+      carry = math.min(carry, perBin.getOrElse(j, Long.MaxValue))
+      t(j - 1) = carry
+    }
+    t // exactly k−1 entries: bounded like any model
   }
 
   /** Bin-assignment column for [[quantileThresholds]]' model: the count of

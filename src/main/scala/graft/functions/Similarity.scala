@@ -266,7 +266,12 @@ object Similarity {
     * ivfTopK, ivfTrain) assigns through; picks the literal or table plan by
     * centroid count. Identical semantics on both paths (same score chain
     * v·c − |c|²/2, ties to the smaller cid; a null vector yields no
-    * assignment rows — the literal path's explode(null) drops the row). */
+    * assignment rows — the literal path's explode(null) drops the row).
+    *
+    * CONTRACT: `idCol` must be UNIQUE — the table path aggregates per id
+    * (duplicate-id rows would pool their candidates into one merged probe
+    * set where the literal path assigns per row). Every consumer here
+    * holds it by construction (corpus/query ids are keys). */
   def assignProbes(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], nProbe: Int): DataFrame =
     if (centroids.length >= centroidTableThreshold)

@@ -485,12 +485,19 @@ object KqlParser {
       def operand(i: Int): Seq[(String, DataFrame)] =
         if (atPunct("(")) (s"$sourceName$i", parseSubQuery()) :: Nil
         else if (toks.lift(pos).exists {
-          case Ident(n) => entityScope.contains(n) &&
-            toks.lift(pos + 1).contains(Punct("."))
+          case Ident(n) => entityScope.contains(n)
           case _ => false
         }) {
-          // macro-expand alias in a union operand list: `union X.T1, X.T2`
-          val a = ident(); eatPunct("."); val t = ident()
+          // macro-expand alias in a union operand list: `union X.T1, X.T2`.
+          // A BARE alias here gets the same scoped error as table-source
+          // position — falling through would resolve a table named like the
+          // alias and silently union wrong data.
+          val a = ident()
+          if (!atPunct("."))
+            throw new IllegalArgumentException(
+              s"macro-expand: entity-group alias '$a' must be used as " +
+                s"'$a.Table' (a bare alias is not a table)")
+          eatPunct("."); val t = ident()
           Seq((t, resolveTable(s"${entityScope(a)}::$t")))
         }
         else {

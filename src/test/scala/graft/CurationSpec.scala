@@ -142,6 +142,24 @@ class CurationSpec extends SparkSpec {
       .as[Int].collect().forall(_ == 0))
   }
 
+  test("assignBins: sparse pool bins (n < k) keep quantileBins' skipped ids") {
+    // 2 rows, k=4: quantileBins assigns bins 0 and 2 (indices SKIP);
+    // the dense threshold fill must reproduce exactly that, and scores
+    // above the pool max must cap at the pool's top occupied bin
+    val pool = Seq((1L, 10L), (2L, 20L)).toDF("id", "score")
+    val th = Sampling.quantileThresholds(pool, col("score"), col("id"), 4)
+    assert(th.length == 3)
+    val rankBins = Sampling.quantileBins(pool, col("score"), col("id"), 4)
+      .select("id", "bin").as[(Long, Int)].collect().toMap
+    val thBins = pool.select(col("id"),
+        Sampling.assignBins(col("score"), th).as("bin"))
+      .as[(Long, Int)].collect().toMap
+    assert(rankBins == thBins && thBins == Map(1L -> 0, 2L -> 2))
+    val above = Seq((9L, 999L)).toDF("id", "score")
+      .select(Sampling.assignBins(col("score"), th)).as[Int].collect()
+    assert(above.head == 2) // unreachable bin 3 stays unreachable
+  }
+
   test("quantileThresholds: fractional score types are rejected loudly") {
     val pool = Seq((1L, 2.5)).toDF("id", "score")
     val e = intercept[IllegalArgumentException](
@@ -195,6 +213,14 @@ class CurationSpec extends SparkSpec {
     rows.foreach { case (id, _, pos) =>
       assert(out(id) == pos, s"doc $id misclassified (expected pos=$pos)")
     }
+  }
+
+  test("ngram classifier: empty labeled slice fails loudly at trainModel") {
+    import graft.functions.NgramQuality
+    val empty = Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "is_pos")
+    val e = intercept[IllegalArgumentException](
+      NgramQuality.trainModel(empty, "text", col("is_pos")))
+    assert(e.getMessage.contains("no features"))
   }
 
   test("ngram classifier: dense literal model equals the batch join chain exactly") {

@@ -1584,6 +1584,16 @@ class KqlParserSpec extends SparkSpec {
     assert(asked.isEmpty, s"resolver must never be consulted, asked: $asked")
   }
 
+  test("macro-expand: bare alias in a union operand list gets the scoped error") {
+    val asked = scala.collection.mutable.Buffer[String]()
+    val e = intercept[IllegalArgumentException](KqlParser.parse(
+      """macro-expand entity_group [database('d1')] as X (
+        |  X.t | union X | summarize n = count())""".stripMargin,
+      { n => asked += n; t }: String => DataFrame))
+    assert(e.getMessage.contains("must be used as 'X.Table'"), e.getMessage)
+    assert(!asked.contains("X"), s"alias resolved as a table: $asked")
+  }
+
   test("macro-expand: duplicated entities run once (and the list is bounded)") {
     val out = KqlParser.parse(
       """macro-expand entity_group [database('d1'), database('d1')] as X (
