@@ -17,6 +17,7 @@ object AssignScale {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val ks = (if (args.length > 1) args(1) else "256,1024,4096,10240")
       .split(",").map(_.trim.toInt).toSeq
+    val nProbeArg = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +30,7 @@ object AssignScale {
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
       .select(F.col("vec_id"), F.col("embedding"))
     emb.persist(); val n = emb.count()
-    val nProbe = 2
+    val nProbe = nProbeArg
     ks.foreach { k =>
       // synthetic deterministic centroids: this measures the ASSIGNMENT
       // machinery, not k-means quality
