@@ -475,6 +475,82 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ ANN (the Faiss IVFPQ composition — the shape a 100 TB vector
+    * corpus actually serves from): the IVF inverted lists bound WHICH
+    * vectors each query scores (nProbe lists instead of the corpus), the
+    * PQ codes make scoring them cheap (M byte-table lookups per candidate,
+    * no float vector read in the scan), and the exact re-rank confines the
+    * approximation error to the shortlist boundary — final scores exact.
+    * Strictly composes the two trained models ([[ivfTrain]] coarse
+    * quantizer + [[pqTrain]] codebooks); both are driver-bounded and at
+    * scale train on samples.
+    *
+    * 100 TB posture: candidates are ids-only from the broadcast probe
+    * equi-join (never a corpus×query product); the ADC stage reads only
+    * (id, M-byte code, scalar norm) for candidate rows; full float vectors
+    * are touched for shortlist rows only. Memory: the scannable index is
+    * M bytes + 8 per vector (~16 B/vector vs 256 B raw) — the compression
+    * that lets the index layer of a 100 TB corpus live in cluster RAM. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 32, iters: Int = 5,
+      queryId: String = "query_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainedIvf: Option[Array[Array[Float]]] = None,
+      trainedPq: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val cents = trainedIvf.getOrElse(
+      ivfTrain(corpus, corpusId, vecCol, dim, nCentroids, iters, seed))
+    val books = trainedPq.getOrElse(
+      pqTrain(corpus, corpusId, vecCol, dim, m, ksub, iters, seed))
+    val dsub = dim / m
+    val norm2Tab: Seq[Seq[Double]] = books.toIndexedSeq.map(_.toIndexedSeq.map(
+      c => c.map(x => x.toDouble * x.toDouble).sum))
+    val encoded = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+      .withColumn("__code", pqEncode(col("__cv"), books, dim))
+      .withColumn("__xn2", aggregate(
+        zip_with(col("__code"), typedlit(norm2Tab), (cm, nt) => element_at(nt, cm + 1)),
+        lit(0.0), (a, x) => a + x))
+      .select(col(corpusId), col("__code"), col("__xn2"))
+    val lists = assignProbes(
+      corpus.select(col(corpusId), col(vecCol).as("__lv")),
+      corpusId, "__lv", cents, 1)
+    val probes = assignProbes(
+      queries.select(col(queryId), col(vecCol).as("__pv")),
+      queryId, "__pv", cents, nProbe)
+    val cand = lists.join(broadcast(probes), Seq("__cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId)).distinct()
+    val lutCol = array((0 until m).map { mi =>
+      array((0 until ksub).map { c =>
+        dot(slice(col("__qv"), mi * dsub + 1, dsub), typedlit(books(mi)(c).toSeq))
+      }: _*)
+    }: _*)
+    val q2 = queries.select(col(queryId), col(vecCol).as("__qv"))
+      .withColumn("__lut", lutCol)
+      .withColumn("__qn", norm(col("__qv")))
+      .select(col(queryId), col("__lut"), col("__qn"))
+    val adc = aggregate(
+      zip_with(col("__code"), col("__lut"), (cm, lm) => element_at(lm, cm + 1)),
+      lit(0.0), (a, x) => a + x)
+    val wAdc = Window.partitionBy(col(queryId))
+      .orderBy(col("__adc").desc, col(corpusId))
+    val short = cand
+      .join(encoded, Seq(corpusId))
+      .join(broadcast(q2), Seq(queryId))
+      .withColumn("__adc", adc / (col("__qn") * sqrt(col("__xn2"))))
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= shortlist)
+      .select(col(queryId), col(corpusId))
+    val scored = short
+      .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
+      .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    scored.select(col(queryId), col(corpusId), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
     * ids-only bucket join, distinct pairs, one verification per pair. For high
     * thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of tables

@@ -857,6 +857,34 @@ object NorthStarQueries {
       Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // IVF-PQ composed ANN (the Faiss IVFPQ architecture — the 100 TB serving
+    // shape): IVF lists bound the candidate set, PQ codes ADC-score ONLY the
+    // probed lists' members (M table lookups each, no float vector in the
+    // scan), exact re-rank on the shortlist. Same planted-pair mechanism
+    // contract as the IVF and PQ rows — a missed probe, broken list join,
+    // codebook drift, or shortlist boundary error reddens it. Both trained
+    // models ride the shared session caches.
+    QueryDef("q_cosine_topk_ivfpq",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        evictStale(s)
+        val cents = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "ivf"),
+          Similarity.ivfTrain(corpus, "corpus_id", "embedding", EMB_DIM))
+        val books = pqModelCache.getOrElseUpdate(cacheKey(s, d, "pq"),
+          Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
+        Similarity.ivfPqTopK(queries, corpus, k = 1, dim = EMB_DIM,
+          trainedIvf = Some(cents), trainedPq = Some(books))
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // Near-dup detection, oracle-checked: the fixture has no natural near-dups (max
     // pairwise cosine ≈ 0.51), so both engines plant the same deterministic perturbed
     // copies (vec_id+1000000, each component +0.02) and must find exactly those pairs

@@ -75,6 +75,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
+  test("ivf-pq composed ANN retrieves planted near-copies through lists + codes") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val top1 = Similarity.ivfPqTopK(queries, corpus, k = 1, dim = 64,
+        nCentroids = 8, nProbe = 3, iters = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+  }
+
   test("broadcast-table assignment matches the literal kernel exactly") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
