@@ -341,6 +341,98 @@ object Similarity {
       .select(col(idCol), col("__p._2").cast("int").as("__cid"))
   }
 
+  /** Deterministic driver-side Lloyd's k-means over a MODEL-sized point set
+    * (the centroid matrix itself — k×dim floats, never corpus data): evenly
+    * strided init, argmax of (p·c − |c|²/2) with ties to the lower index
+    * (the engine assignment chain, replicated exactly), mean updates;
+    * empty groups keep their previous centroid. Returns (super-centroids,
+    * group id per point). */
+  private[graft] def kmeansLocal(points: Array[Array[Float]], k2: Int,
+      iters: Int): (Array[Array[Float]], Array[Int]) = {
+    require(k2 >= 1 && points.nonEmpty, "kmeansLocal: need k2 >= 1 and points")
+    val dim = points.head.length
+    var cents = Array.tabulate(math.min(k2, points.length))(i =>
+      points((i.toLong * points.length / math.min(k2, points.length)).toInt).clone())
+    val gid = new Array[Int](points.length)
+    for (_ <- 1 to iters) {
+      val bias = cents.map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0)
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var j = 0
+          while (j < dim) { s += points(p)(j).toDouble * cents(c)(j).toDouble; j += 1 }
+          s -= bias(c)
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        gid(p) = best
+        p += 1
+      }
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Long](cents.length)
+      for (p2 <- points.indices) {
+        counts(gid(p2)) += 1
+        var j = 0
+        while (j < dim) { sums(gid(p2))(j) += points(p2)(j); j += 1 }
+      }
+      cents = Array.tabulate(cents.length)(c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat))
+    }
+    (cents, gid)
+  }
+
+  /** TWO-LEVEL (hierarchical) probe assignment — the documented fix for the
+    * k ∝ n regime where even the broadcast-table path's per-row cost (k
+    * dots) becomes the bottleneck: group the k centroids into ~√k
+    * super-clusters (driver-side k-means over the MODEL — k rows, never
+    * corpus data), probe `groupProbe` super-clusters per row with the
+    * literal kernel (√k small), and score only the centroids of the probed
+    * groups — per-row cost √k + groupProbe·k/√k ≈ (1+groupProbe)·√k
+    * instead of k. Score chain, tie-break, and null posture identical to
+    * [[assignProbesTable]]; only the candidate SET is restricted, so the
+    * result is RECALL-APPROXIMATE vs flat assignment (a nearest centroid
+    * in an unprobed group is missed — the standard IVF-of-IVF trade;
+    * groupProbe = k2 degenerates to EXACT flat assignment, unit-anchored).
+    * Near-dup pairs still meet: ε-perturbed copies compute the same probe
+    * sets within the perturbation margin. */
+  def assignProbesHier(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], nProbe: Int,
+      groupProbe: Int = 3, kmIters: Int = 5): DataFrame = {
+    require(nProbe >= 1, "assignProbesHier: nProbe must be >= 1")
+    require(groupProbe >= 1, "assignProbesHier: groupProbe must be >= 1")
+    val k2 = math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
+    val (supers, gid) = kmeansLocal(centroids, k2, kmIters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ct = centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq, gid(i)) }
+      .toDF("__ct_cid", "__ct_vec", "__ct_gid")
+    val bias = aggregate(col("__ct_vec"),
+      lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) / 2.0
+    val rows = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__av"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (rows.rdd.getNumPartitions >= par) rows else rows.repartition(par)
+    val topk = udaf(new Sampling.TopKAgg(nProbe))
+    spread
+      .select(col(idCol), col("__av"),
+        explode(ivfProbes(col("__av"), supers, math.min(groupProbe, supers.length)))
+          .as("__ct_gid"))
+      .join(broadcast(ct.select(col("__ct_cid"), col("__ct_vec"),
+        col("__ct_gid"), bias.as("__ct_bias"))), Seq("__ct_gid"))
+      .select(col(idCol),
+        (dot(col("__av"), col("__ct_vec")) - col("__ct_bias")).as("__s"),
+        col("__ct_cid").cast("long").as("__ct_cid"))
+      .groupBy(col(idCol))
+      .agg(topk(col("__s"), col("__ct_cid")).as("__probes"))
+      .select(col(idCol), explode(col("__probes")).as("__p"))
+      .select(col(idCol), col("__p._2").cast("int").as("__cid"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: near-dup
     * removal by EMBEDDING similarity inside coarse clusters — catches
     * paraphrases and templated rewrites that MinHash's lexical shingles
@@ -363,17 +455,22 @@ object Similarity {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                tau: Double, nCentroids: Int = 16, nProbe: Int = 2,
                iters: Int = 5, seed: Long = 42L,
-               trained: Option[Array[Array[Float]]] = None): DataFrame = {
+               trained: Option[Array[Array[Float]]] = None,
+               hierAssign: Boolean = false): DataFrame = {
     val centroids = trained.getOrElse(
       ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed))
     // multi-assign (nProbe nearest clusters) so an epsilon-perturbed near-dup
     // on a cluster boundary still meets its original — the ivfTopK probe
     // argument applied symmetrically to the one corpus. assignProbes picks
     // the literal or broadcast-table plan by centroid count (k ∝ n holds
-    // past the literal-plan regime).
-    val assigned = assignProbes(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
-      "__id", "__v", centroids, nProbe)
+    // past the literal-plan regime); hierAssign opts into the two-level
+    // √k-cost assignment for extreme k (recall-approximate vs flat per
+    // assignProbesHier's contract — near-dup pairs still meet because both
+    // sides compute the SAME probe sets within the perturbation margin).
+    val keyed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val assigned =
+      if (hierAssign) assignProbesHier(keyed, "__id", "__v", centroids, nProbe)
+      else assignProbes(keyed, "__id", "__v", centroids, nProbe)
     val a = assigned.select(col("__cid"), col("__id").as("__id_a"))
     val b = assigned.select(col("__cid"), col("__id").as("__id_b"))
     // ids-only pair dedup BEFORE the cosine (the lshCandidatePairs contract:

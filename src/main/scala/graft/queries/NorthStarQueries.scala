@@ -978,6 +978,39 @@ object NorthStarQueries {
              |FROM embeddings WHERE vec_id < 40
              |ORDER BY vec_id""".stripMargin)),
 
+    // SemDeDup through the TWO-LEVEL (hierarchical √k) assignment at the
+    // same k > 10⁴: per-row assignment cost drops from k dots to
+    // ~(1+groupProbe)·√k — the documented fix for the regime where k ∝ n
+    // makes even flat assignment the n·k bottleneck. Assignment is
+    // recall-approximate vs flat in general, but the planted-pair contract
+    // is UNCHANGED: an ε-perturbed copy computes the same super-cluster
+    // probes as its original (margin ≫ ε) and the far-away decoy groups
+    // can never outscore a real-region group, so copy and original still
+    // meet and the oracle is identical.
+    QueryDef("q_semantic_dedup_hier",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val planted = emb.where_(col("vec_id") < 40)
+          .project((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        evictStale(s)
+        val real = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "semded"),
+          Similarity.ivfTrain(emb.projectRename("corpus_id" -> "vec_id"),
+            "corpus_id", "embedding", EMB_DIM, nCentroids = 64))
+        val decoys = Array.tabulate(10176, EMB_DIM)((i, j) =>
+          1000f + ((i + j) % 7).toFloat)
+        Similarity.semDedup(
+          emb.project(col("vec_id"), col("embedding")).unionKql(planted),
+          "vec_id", "embedding", EMB_DIM, tau = 0.9,
+          trained = Some(real ++ decoys), hierAssign = true)
+          .sortBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, false AS removed FROM embeddings
+             |UNION ALL
+             |SELECT vec_id + 1000000 AS vec_id, true AS removed
+             |FROM embeddings WHERE vec_id < 40
+             |ORDER BY vec_id""".stripMargin)),
+
     // --- ingest/compaction correctness: the actual segment WRITE path (mandatory
     // _ts/_dedup validation, day-bucketed time partitioning, sort-on-write, bloom
     // filters) run end-to-end — a batch appended twice (client resubmission), then

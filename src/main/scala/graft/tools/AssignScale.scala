@@ -48,11 +48,19 @@ object AssignScale {
         }
         (tBuild, t)
       }
-      val (lb, lt) = steady(() => emb.select(F.col("vec_id"),
+      // spread the literal path's input like assignProbesTable does
+      // internally — otherwise a one-file parquet scan runs the whole k×n
+      // kernel stream on one core and the comparison measures parallelism,
+      // not the paths
+      val spreadEmb = emb.repartition(
+        spark.sparkContext.defaultParallelism)
+      val (lb, lt) = steady(() => spreadEmb.select(F.col("vec_id"),
         F.explode(Similarity.ivfProbes(F.col("embedding"), cents, nProbe)).as("__cid")))
       val (tb, tt) = steady(() => Similarity.assignProbesTable(
         emb, "vec_id", "embedding", Similarity.centroidTable(emb, cents), nProbe))
-      println(f"[assignscale] n=$n k=$k literal: build=$lb%.2fs steady=$lt%.2fs | table: build=$tb%.2fs steady=$tt%.2fs")
+      val (hb, ht) = steady(() => Similarity.assignProbesHier(
+        emb, "vec_id", "embedding", cents, nProbe))
+      println(f"[assignscale] n=$n k=$k literal: build=$lb%.2fs steady=$lt%.2fs | table: build=$tb%.2fs steady=$tt%.2fs | hier: build=$hb%.2fs steady=$ht%.2fs")
     }
     spark.stop()
   }

@@ -117,6 +117,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 0)))
   }
 
+  test("hierarchical assignment: probing all groups degenerates to exact flat") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 64,
+      nCentroids = 16, iters = 2)
+    val k2 = math.round(math.sqrt(16.0)).toInt
+    for (nProbe <- Seq(1, 2)) {
+      val flat = Similarity.assignProbesTable(emb, "vec_id", "embedding",
+          Similarity.centroidTable(emb, cents), nProbe)
+        .as[(Long, Int)].collect().toSet
+      val hierAll = Similarity.assignProbesHier(emb, "vec_id", "embedding",
+          cents, nProbe, groupProbe = k2)
+        .as[(Long, Int)].collect().toSet
+      assert(flat == hierAll, s"nProbe=$nProbe: all-group hier != flat")
+      // restricted probing is a SUBSET relation per row at nProbe=1: the
+      // hier argmax either equals flat's or is a group-local fallback;
+      // on the fixture recall must stay high
+      val hier3 = Similarity.assignProbesHier(emb, "vec_id", "embedding",
+          cents, nProbe, groupProbe = 3)
+        .as[(Long, Int)].collect().toSet
+      val recall = flat.intersect(hier3).size.toDouble / flat.size
+      assert(recall >= 0.9, s"nProbe=$nProbe: hier recall $recall < 0.9")
+    }
+  }
+
   test("assignProbes plan size is centroid-count-independent on the table path") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
