@@ -3102,6 +3102,105 @@ object NorthStarQueries {
              |  CAST(SUM(CAST(pos AS BIGINT) * (doc_id % 997)) AS BIGINT) AS order_sum
              |FROM sh GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // FULL RECIPE with the LEARNED quality gate: the q_full_recipe skeleton
+    // (exact dedup → gate → waterfill on survivors → epoch expansion →
+    // deterministic shuffle → permutation-sensitive checksum) with the
+    // hashed n-gram NB classifier replacing the token-length heuristic —
+    // the gate every production pipeline actually uses. The classifier
+    // trains on the labeled slice of the FULL corpus and scores the DEDUP
+    // SURVIVORS (features computed post-dedup); survivors with pred=1 feed
+    // the allocation. One plan, one oracle: the classifier chain, the
+    // cascade, the expansion, and the training ORDER all replay bit-exact.
+    QueryDef("q_recipe_classifier",
+      (s, d) => {
+        import graft.functions.{Dedup, NgramQuality, Sampling}
+        val docs = T(s, d, "documents")
+        val dd = Dedup.exactDedup(docs, "text", "doc_id")
+        val kept = NgramQuality.classify(dd, "text", "doc_id",
+            docs.where(col("doc_id") % 3 === 0), col("lang") === "en")
+          .where(col("pred") === 1)
+          .select(col("id").as("doc_id"))
+        val sv = dd.join(kept, "doc_id")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+        val doms = sv.groupBy(col("lang").as("dom"))
+          .agg(sum("tok").as("nt"), count(lit(1)).as("nd"))
+          .select(col("dom"), col("nt"), expr("1000000 div nd").as("w"))
+        val alloc = Sampling.budgetWaterfill(doms, col("dom"), col("nt"),
+          col("w"), capMilli = 1500, budget = 20000L)
+        val expanded = Sampling.epochExpand(sv, col("lang"), col("doc_id"), alloc)
+          .withColumn("rid",
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("epoch").cast("string")))
+        Sampling.deterministicShuffle(expanded, col("rid"), seed = 7L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("doc_id").as("n_docs"),
+            max("epoch").as("max_epoch"),
+            sum("tok").as("n_tokens"),
+            sum(col("pos").cast("long") * (col("doc_id") % 997L)).as("order_sum"))
+          .sortBy(col("lang"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, lang, text FROM (
+             |    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+             |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             |      ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1),
+             |toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |feats AS (SELECT doc_id,
+             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |lab AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
+             |pb AS (SELECT b, COUNT(*) FILTER (WHERE lang = 'en') AS c1,
+             |    COUNT(*) FILTER (WHERE lang <> 'en') AS c0
+             |  FROM lab GROUP BY b),
+             |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+             |    CAST(SUM(c0) AS BIGINT) AS t0 FROM pb),
+             |w AS (SELECT b, CAST(round((ln((c1 + 0.5) / (t1 + 0.5 * 4096))
+             |      - ln((c0 + 0.5) / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq
+             |  FROM pb, tot),
+             |w0 AS (SELECT CAST(round((ln(0.5 / (t1 + 0.5 * 4096))
+             |      - ln(0.5 / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq0 FROM tot),
+             |pri AS (SELECT CAST(round((ln(n1 + 0.5) - ln(n0 + 0.5)) * 1e6) AS BIGINT) AS pq
+             |  FROM (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS n1,
+             |      COUNT(*) FILTER (WHERE lang <> 'en') AS n0
+             |    FROM documents WHERE doc_id % 3 = 0)),
+             |db AS (SELECT f.doc_id, b, COUNT(*) AS n FROM feats f
+             |  JOIN dd USING (doc_id) GROUP BY 1, 2),
+             |scc AS (SELECT doc_id,
+             |    CAST(SUM(n * COALESCE(wq, wq0)) AS BIGINT) AS sc
+             |  FROM db LEFT JOIN w USING (b), w0 GROUP BY doc_id),
+             |sv AS (SELECT d.doc_id, d.lang,
+             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+             |  FROM dd d JOIN scc USING (doc_id), pri
+             |  WHERE scc.sc + pri.pq > 0),
+             |doms AS (SELECT lang AS dom, CAST(SUM(tok) AS BIGINT) AS n_tok,
+             |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq FROM sv GROUP BY 1),
+             |${waterfillCascadeCtes(20000L, 1500)},
+             |al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
+             |ex AS (SELECT dom, em // 1000 AS f, em % 1000 AS fr FROM al),
+             |e AS (SELECT s.doc_id, s.lang, s.tok, t.epoch
+             |  FROM sv s JOIN ex ON s.lang = ex.dom
+             |  CROSS JOIN UNNEST(generate_series(0,
+             |    ex.f + CASE WHEN ex.fr > 0 THEN 1 ELSE 0 END - 1)) t(epoch)
+             |  WHERE t.epoch < ex.f OR ('0x' || substr(md5(
+             |    CAST(t.epoch AS VARCHAR) || ':' || s.lang || ':' ||
+             |    CAST(s.doc_id AS VARCHAR)), 1, 6))::BIGINT
+             |      < (ex.fr * 16777216) // 1000),
+             |sh AS (SELECT lang, doc_id, tok, epoch, CAST(ROW_NUMBER() OVER (ORDER BY
+             |    md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+             |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+             |    AS INT) AS pos FROM e)
+             |SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+             |  CAST(MAX(epoch) AS BIGINT) AS max_epoch,
+             |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CAST(pos AS BIGINT) * (doc_id % 997)) AS BIGINT) AS order_sum
+             |FROM sh GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Diversity-maximizing selection (Sampling.diverseSelect): round-robin
     // across language clusters, best-first (distinct-token score) within
     // each — picks 1..5 are the best doc of every lang before any second
