@@ -113,14 +113,7 @@ object Similarity {
     val cand = cKeys.join(broadcast(qKeys), Seq("bucket"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId)).distinct()
-    val scored = cand
-      .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
-      .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
-    scored.select(col(queryId), col(corpusId), col("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    exactRerankTopK(cand, queries, corpus, k, queryId, corpusId, vecCol)
   }
 
   // ------------------------------------------------------------------
@@ -234,14 +227,7 @@ object Similarity {
     val cand = lists.join(broadcast(probes), Seq("__cid"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId)).distinct()
-    val scored = cand
-      .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
-      .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
-    scored.select(col(queryId), col(corpusId), col("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    exactRerankTopK(cand, queries, corpus, k, queryId, corpusId, vecCol)
   }
 
   // ------------------------------------------------------------------
@@ -250,16 +236,19 @@ object Similarity {
 
   /** Above this centroid count, assignment switches from the literal-plan
     * kernel (ivfProbes — the centroid matrix rides the expression tree) to
-    * the broadcast-table plan ([[assignProbesTable]]). The literal form is
-    * faster per row (one fused codegen'd loop, no join machinery) but its
-    * PLAN grows with k; the table form's plan is k-independent — k lives in
-    * DATA (a broadcast relation), which is what lets the cluster count
-    * follow the corpus (k ∝ n, the SemDeDup posture) past the literal-plan
-    * regime. Threshold placed by measurement (AssignScale, SCALE.md): the
-    * literal kernel's steady time grows ~linearly in k with a large
-    * constant (13.7 s at k=10240 on 2000 rows) while the table path stays
-    * ~flat (0.8-1.3 s to k=20480); they cross between 512 and 768. */
-  private[graft] val centroidTableThreshold = 768
+    * the broadcast-table plan ([[assignProbesTable]]). The literal kernel
+    * is ~5× cheaper PER PAIR (fused codegen vs the reservoir aggregate's
+    * typed reduce) but re-ships its k×dim literal with every task, so the
+    * crossover depends on rows-per-task, not k alone (fair measurements in
+    * SCALE.md: at 2,000 rows the table wins above k≈2-4k — 1.14 s vs
+    * 0.81 s at k=4096, 2.37 s vs 0.97 s at k=10240 — while at 200,000 rows
+    * the literal amortizes and stays ahead at k=6400). The threshold is
+    * placed for the bounded-rows shapes this library's queries and bench
+    * run; the hard wall the table path exists for is k ≳ 10⁵, where the
+    * literal stops being shippable at all, and past ~10⁴ the real answer
+    * is [[assignProbesHier]] (√k cost) regardless of path. Both flat paths
+    * are parity-proven set-exact, so the switch is purely a cost choice. */
+  private[graft] val centroidTableThreshold = 2048
 
   /** The `nProbe` nearest coarse clusters of every row, as (id, __cid)
     * assignment rows — the one entry point every IVF consumer (semDedup,
@@ -307,38 +296,50 @@ object Similarity {
     * k×n pair stream never crosses the wire. Beyond broadcastable k
     * (≳10⁷ centroids) assignment needs its own ANN recursion (IVF over the
     * centroids); out of scope, documented. */
-  private[graft] def assignProbesTable(df: DataFrame, idCol: String,
-      vecCol: String, centroidTbl: DataFrame, nProbe: Int): DataFrame = {
-    require(nProbe >= 1, "assignProbesTable: nProbe must be >= 1")
-    val bias = aggregate(col("__ct_vec"),
-      lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) / 2.0
-    val rows = df.where(col(vecCol).isNotNull)
-      .select(col(idCol), col(vecCol).as("__av"))
-    // the per-row work is k dots + k aggregate reduces — each INPUT
-    // partition becomes k× that in the nested-loop join, so a narrow scan
-    // (one parquet file) would run the whole k×n stream on one core. Spread
-    // thin inputs across the cluster first; wide inputs (the 100 TB case)
-    // already parallelize and skip the extra shuffle.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (rows.rdd.getNumPartitions >= par) rows else rows.repartition(par)
-    val scored = spread
-      .crossJoin(broadcast(centroidTbl
-        .select(col("__ct_cid"), col("__ct_vec"), bias.as("__ct_bias"))))
-      .select(col(idCol),
-        (dot(col("__av"), col("__ct_vec")) - col("__ct_bias")).as("__s"),
-        col("__ct_cid").cast("long").as("__ct_cid"))
-    // one path for every nProbe: the bounded reservoir's O(1) keep/drop
-    // beats the seemingly-cheaper max(struct(score,-cid)) declarative
-    // aggregate — measured 1.3 s (udaf) vs 1.5 s (max-struct) on the
-    // 2000×10240 AssignScale shape; struct comparisons don't codegen into
-    // anything faster than the aggregator's primitive compare
+  /** Spread a thin input across the cluster before a k-fanout join: the
+    * per-row work is k dots + k aggregate reduces — each INPUT partition
+    * becomes k× that in the nested-loop join, so a narrow scan (one
+    * parquet file) would run the whole k×n stream on one core. Wide
+    * inputs (the 100 TB case) already parallelize and skip the shuffle. */
+  private def spreadWide(rows: DataFrame): DataFrame = {
+    val par = rows.sparkSession.sparkContext.defaultParallelism
+    if (rows.rdd.getNumPartitions >= par) rows else rows.repartition(par)
+  }
+
+  /** |c|²/2 of the __ct_vec column, computed in-plan so a parquet-sourced
+    * centroid table needs no precomputed bias column. */
+  private def ctBias: Column = aggregate(col("__ct_vec"),
+    lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) / 2.0
+
+  /** The shared top-nProbe reduction of a scored (id, __s, __ct_cid) frame
+    * — ONE tail for the flat-table and hierarchical paths so tie-break and
+    * null posture cannot drift between them. One path for every nProbe:
+    * the bounded reservoir's O(1) keep/drop beats the seemingly-cheaper
+    * max(struct(score,-cid)) declarative aggregate — measured 1.3 s (udaf)
+    * vs 1.5 s (max-struct) on the 2000×10240 AssignScale shape; struct
+    * comparisons don't codegen into anything faster than the aggregator's
+    * primitive compare. */
+  private def topProbes(scored: DataFrame, idCol: String, nProbe: Int): DataFrame = {
     val topk = udaf(new Sampling.TopKAgg(nProbe))
     scored
       .groupBy(col(idCol))
       .agg(topk(col("__s"), col("__ct_cid")).as("__probes"))
       .select(col(idCol), explode(col("__probes")).as("__p"))
       .select(col(idCol), col("__p._2").cast("int").as("__cid"))
+  }
+
+  private[graft] def assignProbesTable(df: DataFrame, idCol: String,
+      vecCol: String, centroidTbl: DataFrame, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "assignProbesTable: nProbe must be >= 1")
+    val rows = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__av"))
+    val scored = spreadWide(rows)
+      .crossJoin(broadcast(centroidTbl
+        .select(col("__ct_cid"), col("__ct_vec"), ctBias.as("__ct_bias"))))
+      .select(col(idCol),
+        (dot(col("__av"), col("__ct_vec")) - col("__ct_bias")).as("__s"),
+        col("__ct_cid").cast("long").as("__ct_cid"))
+    topProbes(scored, idCol, nProbe)
   }
 
   /** Deterministic driver-side Lloyd's k-means over a MODEL-sized point set
@@ -354,7 +355,7 @@ object Similarity {
     var cents = Array.tabulate(math.min(k2, points.length))(i =>
       points((i.toLong * points.length / math.min(k2, points.length)).toInt).clone())
     val gid = new Array[Int](points.length)
-    for (_ <- 1 to iters) {
+    def assignAll(): Unit = {
       val bias = cents.map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0)
       var p = 0
       while (p < points.length) {
@@ -370,6 +371,9 @@ object Similarity {
         gid(p) = best
         p += 1
       }
+    }
+    for (_ <- 1 to iters) {
+      assignAll()
       val sums = Array.fill(cents.length, dim)(0.0)
       val counts = new Array[Long](cents.length)
       for (p2 <- points.indices) {
@@ -381,6 +385,11 @@ object Similarity {
         if (counts(c) == 0) cents(c)
         else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat))
     }
+    // one final assignment against the RETURNED centroids: without it the
+    // (cents, gid) pair is half an iteration apart — a centroid whose
+    // nearest super flipped in the last mean update would be filed under
+    // the old group and probed queries would miss it
+    assignAll()
     (cents, gid)
   }
 
@@ -405,32 +414,32 @@ object Similarity {
     require(groupProbe >= 1, "assignProbesHier: groupProbe must be >= 1")
     val k2 = math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
     val (supers, gid) = kmeansLocal(centroids, k2, kmIters)
+    // probe only supers that OWN at least one centroid: an empty group
+    // keeps its stale centroid in kmeansLocal and would be a memberless
+    // probe target — a row whose groupProbe probes all landed on such
+    // groups would silently get NO assignment (flat assignment gives every
+    // non-null vector ≥ 1 cid). Compact group ids so probe indices and the
+    // table's gid column stay aligned.
+    val nonEmpty = gid.distinct.sorted
+    val remap = nonEmpty.zipWithIndex.toMap
+    val probeSupers = nonEmpty.map(supers(_))
     val spark = df.sparkSession
     import spark.implicits._
     val ct = centroids.zipWithIndex.toIndexedSeq
-      .map { case (c, i) => (i, c.toSeq, gid(i)) }
+      .map { case (c, i) => (i, c.toSeq, remap(gid(i))) }
       .toDF("__ct_cid", "__ct_vec", "__ct_gid")
-    val bias = aggregate(col("__ct_vec"),
-      lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) / 2.0
     val rows = df.where(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("__av"))
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (rows.rdd.getNumPartitions >= par) rows else rows.repartition(par)
-    val topk = udaf(new Sampling.TopKAgg(nProbe))
-    spread
+    val scored = spreadWide(rows)
       .select(col(idCol), col("__av"),
-        explode(ivfProbes(col("__av"), supers, math.min(groupProbe, supers.length)))
-          .as("__ct_gid"))
+        explode(ivfProbes(col("__av"), probeSupers,
+          math.min(groupProbe, probeSupers.length))).as("__ct_gid"))
       .join(broadcast(ct.select(col("__ct_cid"), col("__ct_vec"),
-        col("__ct_gid"), bias.as("__ct_bias"))), Seq("__ct_gid"))
+        col("__ct_gid"), ctBias.as("__ct_bias"))), Seq("__ct_gid"))
       .select(col(idCol),
         (dot(col("__av"), col("__ct_vec")) - col("__ct_bias")).as("__s"),
         col("__ct_cid").cast("long").as("__ct_cid"))
-      .groupBy(col(idCol))
-      .agg(topk(col("__s"), col("__ct_cid")).as("__probes"))
-      .select(col(idCol), explode(col("__probes")).as("__p"))
-      .select(col(idCol), col("__p._2").cast("int").as("__cid"))
+    topProbes(scored, idCol, nProbe)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: near-dup
@@ -519,50 +528,15 @@ object Similarity {
     }: _*)
   }
 
-  /** ANN top-k via PQ asymmetric distance (ADC) + exact re-rank: the corpus
-    * is encoded ONCE to M-id codes; each query precomputes its M×ksub
-    * lookup table of subspace partial dots, scores every code with M table
-    * lookups (zip_with + fold — no float vector is read in the scan), takes
-    * a `shortlist` of ADC candidates, and re-ranks ONLY the shortlist with
-    * exact cosines. Approximation error lives only inside the shortlist
-    * boundary — the final scores are exact. Queries broadcast; the corpus
-    * side touches full vectors for shortlist rows only. */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-             m: Int = 8, ksub: Int = 16, shortlist: Int = 32, iters: Int = 5,
-             queryId: String = "query_id", corpusId: String = "corpus_id",
-             vecCol: String = "embedding", seed: Long = 42L,
-             trained: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
-    val books = trained.getOrElse(
-      pqTrain(corpus, corpusId, vecCol, dim, m, ksub, iters, seed))
-    val dsub = dim / m
-    val norm2Tab: Seq[Seq[Double]] = books.toIndexedSeq.map(_.toIndexedSeq.map(
-      c => c.map(x => x.toDouble * x.toDouble).sum))
-    val encoded = corpus.select(col(corpusId), col(vecCol).as("__cv"))
-      .withColumn("__code", pqEncode(col("__cv"), books, dim))
-      .withColumn("__xn2", aggregate(
-        zip_with(col("__code"), typedlit(norm2Tab), (cm, nt) => element_at(nt, cm + 1)),
-        lit(0.0), (a, x) => a + x))
-      .select(col(corpusId), col("__code"), col("__xn2"))
-    val lutCol = array((0 until m).map { mi =>
-      array((0 until ksub).map { c =>
-        dot(slice(col("__qv"), mi * dsub + 1, dsub), typedlit(books(mi)(c).toSeq))
-      }: _*)
-    }: _*)
-    val q2 = queries.select(col(queryId), col(vecCol).as("__qv"))
-      .withColumn("__lut", lutCol)
-      .withColumn("__qn", norm(col("__qv")))
-      .select(col(queryId), col("__lut"), col("__qn"))
-    val adc = aggregate(
-      zip_with(col("__code"), col("__lut"), (cm, lm) => element_at(lm, cm + 1)),
-      lit(0.0), (a, x) => a + x)
-    val wAdc = Window.partitionBy(col(queryId))
-      .orderBy(col("__adc").desc, col(corpusId))
-    val short = encoded.crossJoin(broadcast(q2))
-      .withColumn("__adc", adc / (col("__qn") * sqrt(col("__xn2"))))
-      .withColumn("__arank", row_number().over(wAdc))
-      .filter(col("__arank") <= shortlist)
-      .select(col(queryId), col(corpusId))
-    val scored = short
+  /** Exact-cosine re-rank of an ids-only candidate pair frame: attach both
+    * vectors once (queries broadcast), ONE cosine per pair, per-query
+    * top-k with ties to the smaller corpus id — the shared tail of every
+    * ANN operator here (LSH / IVF / PQ / IVF-PQ), factored so the
+    * tie-break and the vectors-attach-once contract cannot drift. */
+  private def exactRerankTopK(pairs: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, queryId: String, corpusId: String,
+      vecCol: String): DataFrame = {
+    val scored = pairs
       .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
       .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
@@ -570,6 +544,87 @@ object Similarity {
     scored.select(col(queryId), col(corpusId), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** PQ geometry derived from the CODEBOOKS themselves (never from caller
+    * params, which can silently disagree with a supplied trained model):
+    * (m, dsub, per-subspace entry counts), validated against `dim`. */
+  private def pqGeometry(books: Array[Array[Array[Float]]], dim: Int): (Int, Int) = {
+    val m = books.length
+    require(m >= 1 && dim % m == 0,
+      s"pq: dim=$dim must divide into the codebooks' m=$m subspaces")
+    val dsub = dim / m
+    require(books.forall(b => b.nonEmpty && b.forall(_.length == dsub)),
+      s"pq: every codebook entry must have dim/m = $dsub components")
+    (m, dsub)
+  }
+
+  /** Corpus side of a PQ index: (corpusId, __code, __xn2) — the M-id code
+    * plus the code's squared-norm scalar (from the codebook norm table,
+    * not the vector). */
+  private def pqEncoded(corpus: DataFrame, corpusId: String, vecCol: String,
+      books: Array[Array[Array[Float]]], dim: Int): DataFrame = {
+    val norm2Tab: Seq[Seq[Double]] = books.toIndexedSeq.map(_.toIndexedSeq.map(
+      c => c.map(x => x.toDouble * x.toDouble).sum))
+    corpus.select(col(corpusId), col(vecCol).as("__cv"))
+      .withColumn("__code", pqEncode(col("__cv"), books, dim))
+      .withColumn("__xn2", aggregate(
+        zip_with(col("__code"), typedlit(norm2Tab), (cm, nt) => element_at(nt, cm + 1)),
+        lit(0.0), (a, x) => a + x))
+      .select(col(corpusId), col("__code"), col("__xn2"))
+  }
+
+  /** Query side of a PQ scan: (queryId, __lut, __qn) — the M×ksub table of
+    * subspace partial dots plus the query norm. */
+  private def pqQueryLut(queries: DataFrame, queryId: String, vecCol: String,
+      books: Array[Array[Array[Float]]], dim: Int): DataFrame = {
+    val (m, dsub) = pqGeometry(books, dim)
+    val lutCol = array((0 until m).map { mi =>
+      array(books(mi).indices.map { c =>
+        dot(slice(col("__qv"), mi * dsub + 1, dsub), typedlit(books(mi)(c).toSeq))
+      }: _*)
+    }: _*)
+    queries.select(col(queryId), col(vecCol).as("__qv"))
+      .withColumn("__lut", lutCol)
+      .withColumn("__qn", norm(col("__qv")))
+      .select(col(queryId), col("__lut"), col("__qn"))
+  }
+
+  /** The ADC cosine proxy over a joined (__code, __lut, __qn, __xn2) row:
+    * M table lookups folded, normalized by the query norm and the code's
+    * codebook norm. */
+  private def pqAdcCol: Column =
+    aggregate(
+      zip_with(col("__code"), col("__lut"), (cm, lm) => element_at(lm, cm + 1)),
+      lit(0.0), (a, x) => a + x) / (col("__qn") * sqrt(col("__xn2")))
+
+  /** ANN top-k via PQ asymmetric distance (ADC) + exact re-rank: the corpus
+    * is encoded ONCE to M-id codes; each query precomputes its M×ksub
+    * lookup table of subspace partial dots, scores every code with M table
+    * lookups (zip_with + fold — no float vector is read in the scan), takes
+    * a `shortlist` of ADC candidates, and re-ranks ONLY the shortlist with
+    * exact cosines. Approximation error lives only inside the shortlist
+    * boundary — the final scores are exact. Queries broadcast; the corpus
+    * side touches full vectors for shortlist rows only. Scoring geometry
+    * derives from the codebooks (pqGeometry), so a supplied trained model
+    * can never be silently mis-scored by mismatched m/ksub params. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, shortlist: Int = 32, iters: Int = 5,
+             queryId: String = "query_id", corpusId: String = "corpus_id",
+             vecCol: String = "embedding", seed: Long = 42L,
+             trained: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val books = trained.getOrElse(
+      pqTrain(corpus, corpusId, vecCol, dim, m, ksub, iters, seed))
+    val encoded = pqEncoded(corpus, corpusId, vecCol, books, dim)
+    val q2 = pqQueryLut(queries, queryId, vecCol, books, dim)
+    val wAdc = Window.partitionBy(col(queryId))
+      .orderBy(col("__adc").desc, col(corpusId))
+    val short = encoded.crossJoin(broadcast(q2))
+      .withColumn("__adc", pqAdcCol)
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= shortlist)
+      .select(col(queryId), col(corpusId))
+    exactRerankTopK(short, queries, corpus, k, queryId, corpusId, vecCol)
   }
 
   /** IVF-PQ ANN (the Faiss IVFPQ composition — the shape a 100 TB vector
@@ -599,15 +654,7 @@ object Similarity {
       ivfTrain(corpus, corpusId, vecCol, dim, nCentroids, iters, seed))
     val books = trainedPq.getOrElse(
       pqTrain(corpus, corpusId, vecCol, dim, m, ksub, iters, seed))
-    val dsub = dim / m
-    val norm2Tab: Seq[Seq[Double]] = books.toIndexedSeq.map(_.toIndexedSeq.map(
-      c => c.map(x => x.toDouble * x.toDouble).sum))
-    val encoded = corpus.select(col(corpusId), col(vecCol).as("__cv"))
-      .withColumn("__code", pqEncode(col("__cv"), books, dim))
-      .withColumn("__xn2", aggregate(
-        zip_with(col("__code"), typedlit(norm2Tab), (cm, nt) => element_at(nt, cm + 1)),
-        lit(0.0), (a, x) => a + x))
-      .select(col(corpusId), col("__code"), col("__xn2"))
+    val encoded = pqEncoded(corpus, corpusId, vecCol, books, dim)
     val lists = assignProbes(
       corpus.select(col(corpusId), col(vecCol).as("__lv")),
       corpusId, "__lv", cents, 1)
@@ -617,35 +664,17 @@ object Similarity {
     val cand = lists.join(broadcast(probes), Seq("__cid"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId)).distinct()
-    val lutCol = array((0 until m).map { mi =>
-      array((0 until ksub).map { c =>
-        dot(slice(col("__qv"), mi * dsub + 1, dsub), typedlit(books(mi)(c).toSeq))
-      }: _*)
-    }: _*)
-    val q2 = queries.select(col(queryId), col(vecCol).as("__qv"))
-      .withColumn("__lut", lutCol)
-      .withColumn("__qn", norm(col("__qv")))
-      .select(col(queryId), col("__lut"), col("__qn"))
-    val adc = aggregate(
-      zip_with(col("__code"), col("__lut"), (cm, lm) => element_at(lm, cm + 1)),
-      lit(0.0), (a, x) => a + x)
+    val q2 = pqQueryLut(queries, queryId, vecCol, books, dim)
     val wAdc = Window.partitionBy(col(queryId))
       .orderBy(col("__adc").desc, col(corpusId))
     val short = cand
       .join(encoded, Seq(corpusId))
       .join(broadcast(q2), Seq(queryId))
-      .withColumn("__adc", adc / (col("__qn") * sqrt(col("__xn2"))))
+      .withColumn("__adc", pqAdcCol)
       .withColumn("__arank", row_number().over(wAdc))
       .filter(col("__arank") <= shortlist)
       .select(col(queryId), col(corpusId))
-    val scored = short
-      .join(broadcast(queries.select(col(queryId), col(vecCol).as("__qv"))), Seq(queryId))
-      .join(corpus.select(col(corpusId), col(vecCol).as("__cv")), Seq(corpusId))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
-    scored.select(col(queryId), col(corpusId), col("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    exactRerankTopK(short, queries, corpus, k, queryId, corpusId, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:

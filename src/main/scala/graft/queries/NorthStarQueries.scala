@@ -89,6 +89,64 @@ object NorthStarQueries {
       |  FROM db JOIN lr USING (b) GROUP BY doc_id)
       |""".stripMargin
 
+  /** The ONE DuckDB replay of the NB classifier MODEL chain (features →
+    * class-conditional counts over the labeled slice → quantized log-odds
+    * + default + prior), ending in `feats`, `w`, `w0`, `pri` — shared by
+    * q_quality_classifier, q_streaming_quality, and q_recipe_classifier so
+    * the smoothing/quantization conventions cannot drift between the three
+    * oracles (the dsirOracleCtes discipline). Composes inside a caller's
+    * WITH list; per-query scoring (which docs feed `db`) stays local. */
+  private val nbModelCtes: String =
+    """toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+      |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+      |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |feats AS (SELECT doc_id,
+      |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |lab AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
+      |pb AS (SELECT b, COUNT(*) FILTER (WHERE lang = 'en') AS c1,
+      |    COUNT(*) FILTER (WHERE lang <> 'en') AS c0
+      |  FROM lab GROUP BY b),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+      |    CAST(SUM(c0) AS BIGINT) AS t0 FROM pb),
+      |w AS (SELECT b, CAST(round((ln((c1 + 0.5) / (t1 + 0.5 * 4096))
+      |      - ln((c0 + 0.5) / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq
+      |  FROM pb, tot),
+      |w0 AS (SELECT CAST(round((ln(0.5 / (t1 + 0.5 * 4096))
+      |      - ln(0.5 / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq0 FROM tot),
+      |pri AS (SELECT CAST(round((ln(n1 + 0.5) - ln(n0 + 0.5)) * 1e6) AS BIGINT) AS pq
+      |  FROM (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS n1,
+      |      COUNT(*) FILTER (WHERE lang <> 'en') AS n0
+      |    FROM documents WHERE doc_id % 3 = 0))""".stripMargin
+
+  /** The recipe tail (allocation → epoch expansion → seed-7 shuffle →
+    * per-lang summary with the permutation-sensitive checksum), over
+    * in-scope `sv(doc_id, lang, tok)` and the cascade's `r3` — shared
+    * verbatim by q_full_recipe and q_recipe_classifier. */
+  private val recipeTailCtes: String =
+    """al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
+      |ex AS (SELECT dom, em // 1000 AS f, em % 1000 AS fr FROM al),
+      |e AS (SELECT s.doc_id, s.lang, s.tok, t.epoch
+      |  FROM sv s JOIN ex ON s.lang = ex.dom
+      |  CROSS JOIN UNNEST(generate_series(0,
+      |    ex.f + CASE WHEN ex.fr > 0 THEN 1 ELSE 0 END - 1)) t(epoch)
+      |  WHERE t.epoch < ex.f OR ('0x' || substr(md5(
+      |    CAST(t.epoch AS VARCHAR) || ':' || s.lang || ':' ||
+      |    CAST(s.doc_id AS VARCHAR)), 1, 6))::BIGINT
+      |      < (ex.fr * 16777216) // 1000),
+      |sh AS (SELECT lang, doc_id, tok, epoch, CAST(ROW_NUMBER() OVER (ORDER BY
+      |    md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+      |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+      |    AS INT) AS pos FROM e)
+      |SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(MAX(epoch) AS BIGINT) AS max_epoch,
+      |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST(pos AS BIGINT) * (doc_id % 997)) AS BIGINT) AS order_sum
+      |FROM sh GROUP BY lang ORDER BY lang""".stripMargin
+
   private def cacheKey(s: SparkSession, d: String, what: String): String =
     s"${System.identityHashCode(s)}:$what:$d"
 
@@ -1600,30 +1658,7 @@ object NorthStarQueries {
           .runBoundedDedup(s, "q_streaming_quality_sink", stream)
           .sortBy(col("doc_id"))
       },
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
-             |  FROM documents),
-             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
-             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
-             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
-             |  WHERE len(t) >= 2),
-             |feats AS (SELECT doc_id,
-             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
-             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-             |lab AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
-             |pb AS (SELECT b, COUNT(*) FILTER (WHERE lang = 'en') AS c1,
-             |    COUNT(*) FILTER (WHERE lang <> 'en') AS c0
-             |  FROM lab GROUP BY b),
-             |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
-             |    CAST(SUM(c0) AS BIGINT) AS t0 FROM pb),
-             |w AS (SELECT b, CAST(round((ln((c1 + 0.5) / (t1 + 0.5 * 4096))
-             |      - ln((c0 + 0.5) / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq
-             |  FROM pb, tot),
-             |w0 AS (SELECT CAST(round((ln(0.5 / (t1 + 0.5 * 4096))
-             |      - ln(0.5 / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq0 FROM tot),
-             |pri AS (SELECT CAST(round((ln(n1 + 0.5) - ln(n0 + 0.5)) * 1e6) AS BIGINT) AS pq
-             |  FROM (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS n1,
-             |      COUNT(*) FILTER (WHERE lang <> 'en') AS n0
-             |    FROM documents WHERE doc_id % 3 = 0)),
+      Some(s"""WITH $nbModelCtes,
              |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
              |sc AS (SELECT doc_id,
              |    CAST(SUM(n * COALESCE(wq, wq0)) AS BIGINT) AS s
@@ -2561,30 +2596,7 @@ object NorthStarQueries {
           col("lang") === "en")
         .withColumnRenamed("id", "doc_id")
         .sortBy(col("doc_id")),
-      Some("""WITH toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
-             |  FROM documents),
-             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
-             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
-             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
-             |  WHERE len(t) >= 2),
-             |feats AS (SELECT doc_id,
-             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
-             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-             |lab AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
-             |pb AS (SELECT b, COUNT(*) FILTER (WHERE lang = 'en') AS c1,
-             |    COUNT(*) FILTER (WHERE lang <> 'en') AS c0
-             |  FROM lab GROUP BY b),
-             |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
-             |    CAST(SUM(c0) AS BIGINT) AS t0 FROM pb),
-             |w AS (SELECT b, CAST(round((ln((c1 + 0.5) / (t1 + 0.5 * 4096))
-             |      - ln((c0 + 0.5) / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq
-             |  FROM pb, tot),
-             |w0 AS (SELECT CAST(round((ln(0.5 / (t1 + 0.5 * 4096))
-             |      - ln(0.5 / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq0 FROM tot),
-             |pri AS (SELECT CAST(round((ln(n1 + 0.5) - ln(n0 + 0.5)) * 1e6) AS BIGINT) AS pq
-             |  FROM (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS n1,
-             |      COUNT(*) FILTER (WHERE lang <> 'en') AS n0
-             |    FROM documents WHERE doc_id % 3 = 0)),
+      Some(s"""WITH $nbModelCtes,
              |db AS (SELECT doc_id, b, COUNT(*) AS n FROM feats GROUP BY 1, 2),
              |sc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nf,
              |    CAST(SUM(n * COALESCE(wq, wq0)) AS BIGINT) AS s
@@ -3082,25 +3094,7 @@ object NorthStarQueries {
              |doms AS (SELECT lang AS dom, CAST(SUM(tok) AS BIGINT) AS n_tok,
              |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq FROM sv GROUP BY 1),
              |${waterfillCascadeCtes(20000L, 1500)},
-             |al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
-             |ex AS (SELECT dom, em // 1000 AS f, em % 1000 AS fr FROM al),
-             |e AS (SELECT s.doc_id, s.lang, s.tok, t.epoch
-             |  FROM sv s JOIN ex ON s.lang = ex.dom
-             |  CROSS JOIN UNNEST(generate_series(0,
-             |    ex.f + CASE WHEN ex.fr > 0 THEN 1 ELSE 0 END - 1)) t(epoch)
-             |  WHERE t.epoch < ex.f OR ('0x' || substr(md5(
-             |    CAST(t.epoch AS VARCHAR) || ':' || s.lang || ':' ||
-             |    CAST(s.doc_id AS VARCHAR)), 1, 6))::BIGINT
-             |      < (ex.fr * 16777216) // 1000),
-             |sh AS (SELECT lang, doc_id, tok, epoch, CAST(ROW_NUMBER() OVER (ORDER BY
-             |    md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
-             |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
-             |    AS INT) AS pos FROM e)
-             |SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
-             |  CAST(MAX(epoch) AS BIGINT) AS max_epoch,
-             |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
-             |  CAST(SUM(CAST(pos AS BIGINT) * (doc_id % 997)) AS BIGINT) AS order_sum
-             |FROM sh GROUP BY lang ORDER BY lang""".stripMargin)),
+             |$recipeTailCtes""".stripMargin)),
 
     // FULL RECIPE with the LEARNED quality gate: the q_full_recipe skeleton
     // (exact dedup → gate → waterfill on survivors → epoch expansion →
@@ -3145,30 +3139,7 @@ object NorthStarQueries {
              |    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
              |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
              |      ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1),
-             |toks AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t
-             |  FROM documents),
-             |uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
-             |bi AS (SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
-             |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
-             |  WHERE len(t) >= 2),
-             |feats AS (SELECT doc_id,
-             |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b, lang
-             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-             |lab AS (SELECT * FROM feats WHERE doc_id % 3 = 0),
-             |pb AS (SELECT b, COUNT(*) FILTER (WHERE lang = 'en') AS c1,
-             |    COUNT(*) FILTER (WHERE lang <> 'en') AS c0
-             |  FROM lab GROUP BY b),
-             |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
-             |    CAST(SUM(c0) AS BIGINT) AS t0 FROM pb),
-             |w AS (SELECT b, CAST(round((ln((c1 + 0.5) / (t1 + 0.5 * 4096))
-             |      - ln((c0 + 0.5) / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq
-             |  FROM pb, tot),
-             |w0 AS (SELECT CAST(round((ln(0.5 / (t1 + 0.5 * 4096))
-             |      - ln(0.5 / (t0 + 0.5 * 4096))) * 1e6) AS BIGINT) AS wq0 FROM tot),
-             |pri AS (SELECT CAST(round((ln(n1 + 0.5) - ln(n0 + 0.5)) * 1e6) AS BIGINT) AS pq
-             |  FROM (SELECT COUNT(*) FILTER (WHERE lang = 'en') AS n1,
-             |      COUNT(*) FILTER (WHERE lang <> 'en') AS n0
-             |    FROM documents WHERE doc_id % 3 = 0)),
+             |$nbModelCtes,
              |db AS (SELECT f.doc_id, b, COUNT(*) AS n FROM feats f
              |  JOIN dd USING (doc_id) GROUP BY 1, 2),
              |scc AS (SELECT doc_id,
@@ -3181,25 +3152,7 @@ object NorthStarQueries {
              |doms AS (SELECT lang AS dom, CAST(SUM(tok) AS BIGINT) AS n_tok,
              |    CAST(1000000 // COUNT(*) AS BIGINT) AS wq FROM sv GROUP BY 1),
              |${waterfillCascadeCtes(20000L, 1500)},
-             |al AS (SELECT dom, (alloc * 1000) // n_tok AS em FROM r3),
-             |ex AS (SELECT dom, em // 1000 AS f, em % 1000 AS fr FROM al),
-             |e AS (SELECT s.doc_id, s.lang, s.tok, t.epoch
-             |  FROM sv s JOIN ex ON s.lang = ex.dom
-             |  CROSS JOIN UNNEST(generate_series(0,
-             |    ex.f + CASE WHEN ex.fr > 0 THEN 1 ELSE 0 END - 1)) t(epoch)
-             |  WHERE t.epoch < ex.f OR ('0x' || substr(md5(
-             |    CAST(t.epoch AS VARCHAR) || ':' || s.lang || ':' ||
-             |    CAST(s.doc_id AS VARCHAR)), 1, 6))::BIGINT
-             |      < (ex.fr * 16777216) // 1000),
-             |sh AS (SELECT lang, doc_id, tok, epoch, CAST(ROW_NUMBER() OVER (ORDER BY
-             |    md5('7:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
-             |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
-             |    AS INT) AS pos FROM e)
-             |SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
-             |  CAST(MAX(epoch) AS BIGINT) AS max_epoch,
-             |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
-             |  CAST(SUM(CAST(pos AS BIGINT) * (doc_id % 997)) AS BIGINT) AS order_sum
-             |FROM sh GROUP BY lang ORDER BY lang""".stripMargin)),
+             |$recipeTailCtes""".stripMargin)),
 
     // Diversity-maximizing selection (Sampling.diverseSelect): round-robin
     // across language clusters, best-first (distinct-token score) within

@@ -3,14 +3,16 @@ package graft.tools
 import org.apache.spark.sql.{SparkSession, functions => F}
 import graft.functions.Similarity
 
-/** Dev harness: measure the two IVF assignment paths — the literal-plan
-  * kernel (ivfProbes: the centroid matrix rides the expression tree) vs the
-  * broadcast centroid TABLE (assignProbesTable) — across centroid counts,
-  * to place Similarity.centroidTableThreshold. Prints steady-state (run 2)
-  * execution seconds AND the plan-build wall time per path, because the
-  * literal path's failure mode at large k is the PLAN (size/optimizer
-  * time), not the per-row flops. Usage:
-  *   runMain graft.tools.AssignScale <sfDir> [k1,k2,...]
+/** Dev harness: measure the THREE IVF assignment paths — the literal-plan
+  * kernel (ivfProbes: the centroid matrix rides the expression tree), the
+  * broadcast centroid TABLE (assignProbesTable), and the two-level
+  * hierarchical path (assignProbesHier) — across centroid counts, to place
+  * Similarity.centroidTableThreshold and quantify the √k win. Both flat
+  * paths' inputs are spread to all cores (the literal branch repartitions
+  * explicitly; the table/hier paths spread internally) so the comparison
+  * measures the paths, not scan parallelism. Prints steady-state (run 2)
+  * execution seconds AND the plan-build wall time per path. Usage:
+  *   runMain graft.tools.AssignScale <sfDir> [k1,k2,...] [nProbe]
   */
 object AssignScale {
   def main(args: Array[String]): Unit = {
