@@ -44,10 +44,15 @@ object NgramQuality {
   def nbWeights(labeled: DataFrame, textCol: String, isPos: Column,
       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "NgramQuality.nbWeights: buckets must be >= 2")
+    // persisted like Dsir.importanceWeights' feature stream: the model
+    // needs several aggregates over it (per-bucket counts, totals, and the
+    // score-side w0 re-derivation), each its own broadcast-build job —
+    // without the barrier each re-tokenizes and re-hashes the slice
     val lf = labeled.select(isPos.as("__is_p"),
         TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .select(col("__is_p"),
         explode(Dsir.featureBuckets(col("__t"), buckets)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perBucket = lf.groupBy("b").agg(
       sum(when(col("__is_p"), lit(1L)).otherwise(lit(0L))).as("__c1"),
       sum(when(col("__is_p"), lit(0L)).otherwise(lit(1L))).as("__c0"))

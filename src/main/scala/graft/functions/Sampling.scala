@@ -411,11 +411,19 @@ object Sampling {
         case other => throw new IllegalArgumentException(
           s"budgetWaterfill: $n must be integral (got $other)")
       }
+    // persist the seed table: it is #domains rows by contract, but its
+    // LINEAGE can be a whole curation pipeline (q_recipe_classifier's doms
+    // sit on dedup + classifier scoring) — without the barrier every
+    // round's 2-value aggregate job re-executes that pipeline (measured
+    // 6.7 s -> ~2 s on the recipe bench row). Domain-table-sized, so the
+    // cache is negligible; ContextCleaner collects it when the returned
+    // plan goes unreferenced (the materialize() convention).
     var cur = domains.select(domain.as("dom"),
         nTokens.cast("long").as("n_tok"), weight.cast("long").as("wq"))
       .where(col("n_tok") > 0 && col("wq") > 0)
       .withColumn("__wf_cap", expr(s"(n_tok * $capMilli) div 1000"))
       .withColumn("alloc", lit(0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to rounds) {
       val tot = cur.agg(
         sum(when(col("alloc") < col("__wf_cap"), col("wq"))).as("__wf_wact"),

@@ -3114,9 +3114,13 @@ object NorthStarQueries {
             docs.where(col("doc_id") % 3 === 0), col("lang") === "en")
           .where(col("pred") === 1)
           .select(col("id").as("doc_id"))
+        // survivor barrier: sv's lineage is dedup + classifier scoring and
+        // it feeds the allocation, the expansion, AND the shuffle numbering
+        // — without it each consumer job re-runs the whole gate
         val sv = dd.join(kept, "doc_id")
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val doms = sv.groupBy(col("lang").as("dom"))
           .agg(sum("tok").as("nt"), count(lit(1)).as("nd"))
           .select(col("dom"), col("nt"), expr("1000000 div nd").as("w"))
