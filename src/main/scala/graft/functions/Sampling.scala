@@ -394,8 +394,11 @@ object Sampling {
     * (tokens granted) and `epochs_milli` (1000·alloc/nTokens).
     *
     * 100 TB posture: operates on the DOMAIN table (one row per domain —
-    * thousands, not billions); each round is one 2-value aggregate
-    * broadcast back. Domains with non-positive tokens or weight are
+    * thousands, not billions); each round COLLECTS its 2-value aggregate
+    * (driver-bounded like any model scalar — this makes the builder EAGER,
+    * the pageRank convention) so the output plan stays linear in rounds
+    * instead of doubling the seed's lineage per round. Domains with
+    * non-positive tokens or weight are
     * excluded (they can absorb nothing). Overflow headroom: shares compute
     * as (budget·weight) — keep Σweight ≤ ~10⁵ at trillion-token budgets
     * (weights are relative; rescale, don't inflate). */
@@ -424,18 +427,27 @@ object Sampling {
       .withColumn("__wf_cap", expr(s"(n_tok * $capMilli) div 1000"))
       .withColumn("alloc", lit(0L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's two totals are COLLECTED (2 longs over the persisted
+    // domain-sized seed — bounded by contract) and re-enter the plan as
+    // literals. The previous crossJoin(broadcast(tot)) form referenced the
+    // prior round TWICE per round (directly + through the aggregate), so
+    // the plan held 2^rounds copies of the seed's lineage — with a whole
+    // curation pipeline upstream (q_recipe_classifier) the optimizer
+    // walked hundreds of duplicated scan subtrees per run. The integer
+    // arithmetic is unchanged: same sums, same div, literal operands.
     for (_ <- 1 to rounds) {
-      val tot = cur.agg(
-        sum(when(col("alloc") < col("__wf_cap"), col("wq"))).as("__wf_wact"),
-        coalesce(sum(col("alloc")), lit(0L)).as("__wf_atot"))
-      cur = cur.crossJoin(broadcast(tot))
-        .withColumn("alloc",
-          when(col("__wf_wact").isNotNull && col("__wf_wact") > 0 &&
-              col("alloc") < col("__wf_cap"),
+      val r = cur.agg(
+        sum(when(col("alloc") < col("__wf_cap"), col("wq"))),
+        coalesce(sum(col("alloc")), lit(0L))).head()
+      if (!r.isNullAt(0) && r.getLong(0) > 0) {
+        val wact = r.getLong(0)
+        val remaining = budget - r.getLong(1)
+        cur = cur.withColumn("alloc",
+          when(col("alloc") < col("__wf_cap"),
             least(col("__wf_cap"), col("alloc") +
-              expr(s"((${budget}L - __wf_atot) * wq) div __wf_wact")))
+              expr(s"((${remaining}L) * wq) div ${wact}L")))
             .otherwise(col("alloc")))
-        .drop("__wf_wact", "__wf_atot")
+      } // else: no uncapped active domain — allocations are final
     }
     cur.withColumn("epochs_milli", expr("(alloc * 1000) div n_tok"))
       .drop("__wf_cap")

@@ -3109,7 +3109,11 @@ object NorthStarQueries {
       (s, d) => {
         import graft.functions.{Dedup, NgramQuality, Sampling}
         val docs = T(s, d, "documents")
+        // dedup barrier: dd is read twice below (the survivor join's left
+        // side AND the classifier's scoring corpus) — cache the one window
+        // pass instead of running it per consumer
         val dd = Dedup.exactDedup(docs, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = NgramQuality.classify(dd, "text", "doc_id",
             docs.where(col("doc_id") % 3 === 0), col("lang") === "en")
           .where(col("pred") === 1)
