@@ -241,4 +241,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!lean.contains("Expand"), s"lean rewrite still plans an Expand:\n$lean")
     assert(!lean.contains("distinct "), s"lean rewrite still carries a distinct aggregate:\n$lean")
   }
+
+  test("recipe plans stay linear: no 2^rounds lineage duplication (scan count bounded)") {
+    // budgetWaterfill's first cut re-referenced each round's frame twice
+    // (directly + through its totals aggregate), so the recipe plan held
+    // 2^rounds copies of the whole upstream pipeline — ~200 parquet scan
+    // subtrees that Catalyst walked per run (measured: 6.7 s -> 1.8 s when
+    // linearized). Guard the class: the composed recipes' ANALYZED plans
+    // must reference the documents relation a bounded number of times.
+    for (q <- Seq("q_full_recipe", "q_recipe_classifier", "q_mixture_waterfill",
+        "q_epoch_expand")) {
+      val analyzed = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed
+      val scans = analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        case m: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+            if m.nodeName == "InMemoryRelation" => m
+      }.length
+      // the classifier recipe legitimately re-references its (cached)
+      // intermediates a constant number of times (42 leaves today — model
+      // broadcasts + the allocation and expansion both rooting at the
+      // survivor frame); the exponential class this guards against measured
+      // ~200 leaves and doubles per added round
+      assert(scans <= 64, s"$q: $scans leaf relations — lineage duplication is back")
+    }
+  }
+
+  test("hybrid retrieval cuts with TakeOrderedAndProject, lists broadcast") {
+    val p = plan("q_hybrid_retrieval")
+    assert(p.contains("TakeOrderedAndProject"), s"rrf cut is a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fusion joined as a product:\n$p")
+  }
 }
