@@ -677,6 +677,96 @@ object Similarity {
     exactRerankTopK(short, queries, corpus, k, queryId, corpusId, vecCol)
   }
 
+  // ------------------------------------------------------------------
+  // Stored ANN index: inverted lists as parquet PARTITIONS.
+  // ------------------------------------------------------------------
+
+  /** Persist an IVF-PQ index as `__cid`-partitioned parquet — the inverted
+    * lists become PARTITIONS of an ordinary table, so probing nProbe lists
+    * at query time is partition PRUNING on the scan (plan-asserted): no
+    * bespoke index format, no custom reader, and every Spark facility
+    * (stats, vacuum, schema evolution) applies to the index because it IS
+    * a table. Rows carry (corpus_id, code, xn2) — M small ints + one
+    * scalar per vector (~16 B vs 256 B raw, the PQ compression); the two
+    * MODELS (coarse centroids + codebooks) are written alongside as plain
+    * parquet so any session can reopen the index without retraining.
+    *
+    * 100 TB posture: the build is one assignment pass + one encode pass +
+    * one partitioned write; serving reads ONLY the probed lists' files and
+    * re-ranks against the payload store by id (the standard two-tier
+    * index/payload architecture). */
+  def writeIndex(corpus: DataFrame, dir: String, idCol: String,
+      vecCol: String, dim: Int, nCentroids: Int = 16, m: Int = 8,
+      ksub: Int = 16, iters: Int = 5, seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed)
+    val books = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, seed)
+    cents.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "vec").write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.toIndexedSeq.flatMap { case (b, mi) =>
+      b.zipWithIndex.map { case (c, ci) => (mi, ci, c.toSeq) }
+    }.toDF("m", "c", "vec").write.mode("overwrite").parquet(s"$dir/codebooks")
+    val lists = assignProbes(
+      corpus.select(col(idCol), col(vecCol).as("__iv")), idCol, "__iv", cents, 1)
+    pqEncoded(corpus, idCol, vecCol, books, dim)
+      .join(lists, Seq(idCol))
+      .select(col(idCol).as("corpus_id"), col("__code").as("code"),
+        col("__xn2").as("xn2"), col("__cid"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(s"$dir/lists")
+  }
+
+  /** Reopen a stored index's models (driver-bounded — k×dim + M·ksub·dsub
+    * floats, like any trained model). */
+  def readIndexModels(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("m", "c").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m)(mi =>
+      rows.filter(_.getInt(0) == mi).map(_.getSeq[Float](2).toArray))
+    (cents, books)
+  }
+
+  /** Serve top-k from a STORED index: each query's nProbe probe lists
+    * resolve to `__cid` partition values, the union of probed cids becomes
+    * a partition-pruning filter on the lists scan (only those directories'
+    * files are read — asserted in PlanAuditSpec), ADC scores only the
+    * per-query probed candidates, and the exact re-rank reads full vectors
+    * from the PAYLOAD table (`corpus`) for shortlist rows only. */
+  def indexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nProbe: Int = 4, shortlist: Int = 32,
+      queryId: String = "query_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (cents, books) = readIndexModels(spark, dir)
+    val probes = assignProbes(
+      queries.select(col(queryId), col(vecCol).as("__pv")),
+      queryId, "__pv", cents, nProbe)
+    // queries are driver-bounded by serving contract: the probed-cid UNION
+    // is a small literal set that prunes the partitioned scan
+    val probedCids = probes.select(col("__cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val lists = spark.read.parquet(s"$dir/lists")
+      .where(col("__cid").isInCollection(probedCids))
+    val cand = lists.join(broadcast(probes), Seq("__cid"))
+      .filter(col(queryId) =!= col("corpus_id"))
+    val q2 = pqQueryLut(queries, queryId, vecCol, books, dim)
+    val wAdc = Window.partitionBy(col(queryId))
+      .orderBy(col("__adc").desc, col("corpus_id"))
+    val short = cand
+      .withColumnRenamed("code", "__code").withColumnRenamed("xn2", "__xn2")
+      .join(broadcast(q2), Seq(queryId))
+      .withColumn("__adc", pqAdcCol)
+      .withColumn("__arank", row_number().over(wAdc))
+      .filter(col("__arank") <= shortlist)
+      .select(col(queryId), col("corpus_id").as(corpusId))
+    exactRerankTopK(short, queries, corpus, k, queryId, corpusId, vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
     * ids-only bucket join, distinct pairs, one verification per pair. For high
     * thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of tables

@@ -56,6 +56,8 @@ object NorthStarQueries {
     scala.collection.concurrent.TrieMap[String, Array[Long]]()
   private val nbModelCache =
     scala.collection.concurrent.TrieMap[String, (Array[Long], Long)]()
+  private val annIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
 
   /** The ONE DuckDB replay of the DSIR quantized chain (tokens → hashed
     * unigram+bigram buckets → per-bucket counts → integer micro-nat model →
@@ -164,6 +166,7 @@ object NorthStarQueries {
     pqModelCache.keys.filterNot(_.startsWith(prefix)).foreach(pqModelCache.remove)
     dsirModelCache.keys.filterNot(_.startsWith(prefix)).foreach(dsirModelCache.remove)
     nbModelCache.keys.filterNot(_.startsWith(prefix)).foreach(nbModelCache.remove)
+    annIndexCache.keys.filterNot(_.startsWith(prefix)).foreach(annIndexCache.remove)
   }
 
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
@@ -936,6 +939,39 @@ object NorthStarQueries {
           Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
         Similarity.ivfPqTopK(queries, corpus, k = 1, dim = EMB_DIM,
           trainedIvf = Some(cents), trainedPq = Some(books))
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
+    // STORED ANN index (Similarity.writeIndex/indexTopK): the IVF-PQ index
+    // persisted as __cid-PARTITIONED parquet — inverted lists ARE
+    // partitions, so probing is partition PRUNING on an ordinary table
+    // scan (plan-asserted in PlanAuditSpec), models reopen from parquet,
+    // and the exact re-rank reads full vectors from the payload table for
+    // shortlist rows only (the standard two-tier serving architecture).
+    // Write-once / read-many: the build is memoized per (session, sf) — the
+    // timed body is the SERVE path (the q_variant_stored discipline). Same
+    // planted-pair mechanism contract as the other ANN rows.
+    QueryDef("q_ann_index_stored",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        evictStale(s)
+        val dir = annIndexCache.getOrElseUpdate(cacheKey(s, d, "annidx"), {
+          val root = s"/tmp/graft_annidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          Similarity.writeIndex(corpus, root, "corpus_id", "embedding", EMB_DIM)
+          root
+        })
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.indexTopK(s, dir, queries, corpus, k = 1, dim = EMB_DIM)
           .project(col("query_id"),
             (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
           .sortBy(col("query_id"))

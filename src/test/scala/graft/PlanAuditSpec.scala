@@ -267,6 +267,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("stored ANN index: probes prune the partitioned lists scan") {
+    val p = plan("q_ann_index_stored")
+    // the lists scan must carry a partition filter on __cid — the probed
+    // inverted lists are directories, everything else is never read
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("__cid"))
+    assert(scanLine.isDefined, s"no __cid partition pruning in:\n$p")
+  }
+
   test("hybrid retrieval cuts with TakeOrderedAndProject, lists broadcast") {
     val p = plan("q_hybrid_retrieval")
     assert(p.contains("TakeOrderedAndProject"), s"rrf cut is a global sort:\n$p")
