@@ -697,11 +697,17 @@ object Similarity {
     * index/payload architecture). */
   def writeIndex(corpus: DataFrame, dir: String, idCol: String,
       vecCol: String, dim: Int, nCentroids: Int = 16, m: Int = 8,
-      ksub: Int = 16, iters: Int = 5, seed: Long = 42L): Unit = {
+      ksub: Int = 16, iters: Int = 5, seed: Long = 42L,
+      trainedIvf: Option[Array[Array[Float]]] = None,
+      trainedPq: Option[Array[Array[Array[Float]]]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed)
-    val books = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, seed)
+    // pre-trained models short-circuit the two training runs (the sibling
+    // ANN entry points' trained/trainedIvf/trainedPq convention)
+    val cents = trainedIvf.getOrElse(
+      ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed))
+    val books = trainedPq.getOrElse(
+      pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, seed))
     cents.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "vec").write.mode("overwrite").parquet(s"$dir/centroids")
     books.zipWithIndex.toIndexedSeq.flatMap { case (b, mi) =>
@@ -743,13 +749,18 @@ object Similarity {
       queryId: String = "query_id", corpusId: String = "corpus_id",
       vecCol: String = "embedding"): DataFrame = {
     val (cents, books) = readIndexModels(spark, dir)
-    val probes = assignProbes(
+    // queries are driver-bounded by serving contract: collect the probe
+    // assignment ONCE (it costs k dots per query row) and re-enter it as a
+    // local relation — the cid union prunes the partitioned scan and the
+    // same rows feed the join, instead of re-running the assignment scan
+    // as a second job for the broadcast side
+    val probePlan = assignProbes(
       queries.select(col(queryId), col(vecCol).as("__pv")),
       queryId, "__pv", cents, nProbe)
-    // queries are driver-bounded by serving contract: the probed-cid UNION
-    // is a small literal set that prunes the partitioned scan
-    val probedCids = probes.select(col("__cid")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    val probedCids = probeRows.map(_.getInt(1)).distinct.toSeq
     val lists = spark.read.parquet(s"$dir/lists")
       .where(col("__cid").isInCollection(probedCids))
     val cand = lists.join(broadcast(probes), Seq("__cid"))

@@ -961,11 +961,21 @@ object NorthStarQueries {
         val corpus = emb.projectRename("corpus_id" -> "vec_id")
         evictStale(s)
         val dir = annIndexCache.getOrElseUpdate(cacheKey(s, d, "annidx"), {
-          val root = s"/tmp/graft_annidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+          // session-scoped root: a shared per-dataset path would let a NEW
+          // session's delete+rebuild race a prior session's still-lazy
+          // serving scan over the same directory
+          val root = s"/tmp/graft_annidx/${System.identityHashCode(s)}_" +
+            d.replaceAll("[^A-Za-z0-9.]", "_")
           val fs = org.apache.hadoop.fs.FileSystem.get(
             s.sparkContext.hadoopConfiguration)
           fs.delete(new org.apache.hadoop.fs.Path(root), true)
-          Similarity.writeIndex(corpus, root, "corpus_id", "embedding", EMB_DIM)
+          // reuse the session's trained models (byte-identical params/seed)
+          val cents = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "ivf"),
+            Similarity.ivfTrain(corpus, "corpus_id", "embedding", EMB_DIM))
+          val books = pqModelCache.getOrElseUpdate(cacheKey(s, d, "pq"),
+            Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
+          Similarity.writeIndex(corpus, root, "corpus_id", "embedding", EMB_DIM,
+            trainedIvf = Some(cents), trainedPq = Some(books))
           root
         })
         val queries = emb.where_(col("vec_id") < 25)

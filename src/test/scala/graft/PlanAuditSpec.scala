@@ -253,10 +253,12 @@ class PlanAuditSpec extends SparkSpec {
         "q_epoch_expand")) {
       val analyzed = SparkEntry.queries(q)(spark, sf)
         .queryExecution.analyzed
+      // NB: cache substitution happens AFTER analysis (withCachedData), so
+      // persisted intermediates still appear here as their full parquet
+      // lineage — which is exactly what makes this count a duplication
+      // detector rather than a cache census
       val scans = analyzed.collect {
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
-        case m: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-            if m.nodeName == "InMemoryRelation" => m
       }.length
       // the classifier recipe legitimately re-references its (cached)
       // intermediates a constant number of times (42 leaves today — model

@@ -88,6 +88,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
+  test("stored index round-trip: write, reopen models, serve planted queries") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_spec")
+      .toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    // models reopen bit-identically (ordering through the parquet round-trip)
+    val (cents, books) = Similarity.readIndexModels(spark, dir)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    assert(books.length == 8 && books.forall(_.length == 16))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.indexTopK(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+  }
+
   test("broadcast-table assignment matches the literal kernel exactly") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
