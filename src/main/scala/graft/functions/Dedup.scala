@@ -122,7 +122,8 @@ object Dedup {
   def minHashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           numHashes: Int = 128, bands: Int = 32,
                           threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
-    val sigs = minHashSignatures(df, textCol, idCol, numHashes, shingleK).persist()
+    val sigs = Caching.materialize(
+      minHashSignatures(df, textCol, idCol, numHashes, shingleK))
     val pairs = lshCandidatePairs(sigs, bands, numHashes / bands)
     estJaccard(pairs, sigs, numHashes).filter(col("est_jaccard") >= threshold)
   }
@@ -313,14 +314,15 @@ object Dedup {
   def simHashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
-    // persist() is a MATERIALIZATION BARRIER, not just a cache: without it,
-    // CollapseProject inlines the full simhash expression into every chunk-key
-    // expression below (9× per row, per join side) — observed 396s vs 12s at sf0.1.
-    val sigs = df.select(col(idCol).as("id"),
+    // Caching.materialize is a MATERIALIZATION BARRIER, not just a cache:
+    // without it, CollapseProject inlines the full simhash expression into
+    // every chunk-key expression below (9× per row, per join side) —
+    // observed 396s vs 12s at sf0.1. (GC-reaped localCheckpoint; a
+    // per-invocation persist leaked one CacheManager entry per call.)
+    val sigs = Caching.materialize(df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), transform(col("__toks"), t => portableHash60(t)).as("__h"))
-      .select(col("id"), simHashFromHashes(col("__h")).as("sim"))
-      .persist()
+      .select(col("id"), simHashFromHashes(col("__h")).as("sim")))
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(i => i * 64 / chunks)
     val chunkKeys = (0 until chunks).map { c =>
@@ -357,10 +359,10 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           nodes: DataFrame, idCol: String,
                           maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = Caching.materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
@@ -390,7 +392,6 @@ object Dedup {
       labels = updated.drop("__chg")
       iter += 1
     }
-    edges.unpersist(blocking = false)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }

@@ -113,9 +113,11 @@ object Dsir {
       TextAnalysis.tokens(lower(col(textCol))).as("t"))
     // unigram + bigram occurrence stream, each occurrence reduced to its
     // 8-byte bucket id before the (single) shuffle
-    val feats = toks.select(col("id"), col("is_t"),
-        explode(featureBuckets(col("t"), buckets)).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized, not persisted: the stream feeds the model aggregate AND
+    // the per-doc scoring counts; Caching.materialize's blocks are GC-reaped,
+    // while a per-invocation Dataset.persist leaks a CacheManager entry
+    val feats = Caching.materialize(toks.select(col("id"), col("is_t"),
+        explode(featureBuckets(col("t"), buckets)).as("b")))
     // the model: per-bucket raw and target occurrence counts (buckets-bounded)
     val perBucket = feats.groupBy("b").agg(
       count(lit(1)).as("r"),

@@ -44,18 +44,21 @@ object NgramQuality {
   def nbWeights(labeled: DataFrame, textCol: String, isPos: Column,
       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "NgramQuality.nbWeights: buckets must be >= 2")
-    // persisted like Dsir.importanceWeights' feature stream: the model
-    // needs several aggregates over it (per-bucket counts, totals, and the
-    // score-side w0 re-derivation), each its own broadcast-build job —
-    // without the barrier each re-tokenizes and re-hashes the slice
     val lf = labeled.select(isPos.as("__is_p"),
         TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .select(col("__is_p"),
         explode(Dsir.featureBuckets(col("__t"), buckets)).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perBucket = lf.groupBy("b").agg(
+    // the barrier sits on the BOUNDED per-bucket counts (≤ buckets rows),
+    // not the labeled feature stream: the stream is consumed exactly once
+    // (this aggregate), while the counts feed several downstream jobs
+    // (totals, the weights select, the score-side w0 re-derivation) — each
+    // would re-tokenize the slice without it. Caching.materialize so the
+    // blocks are GC-reaped (a Dataset.persist here leaked one CacheManager
+    // entry per training run — r13 ADVICE); this makes training EAGER, the
+    // budgetWaterfill/trainModel convention.
+    val perBucket = Caching.materialize(lf.groupBy("b").agg(
       sum(when(col("__is_p"), lit(1L)).otherwise(lit(0L))).as("__c1"),
-      sum(when(col("__is_p"), lit(0L)).otherwise(lit(1L))).as("__c0"))
+      sum(when(col("__is_p"), lit(0L)).otherwise(lit(1L))).as("__c0")))
     val totals = perBucket.agg(sum("__c1").as("__t1"), sum("__c0").as("__t0"))
     val aB = 0.5 * buckets
     perBucket.crossJoin(broadcast(totals))
@@ -110,7 +113,9 @@ object NgramQuality {
         ((col("__s") + col("pq")) > 0).cast("int").as("pred"))
   }
 
-  /** Train on the labeled slice and score the corpus, one lazy plan. */
+  /** Train on the labeled slice and score the corpus. Training materializes
+    * its bounded per-bucket counts eagerly (see [[nbWeights]]); scoring
+    * stays lazy. */
   def classify(corpus: DataFrame, textCol: String, idCol: String,
       labeled: DataFrame, isPos: Column, buckets: Int = 4096): DataFrame =
     scoreWith(corpus, textCol, idCol,

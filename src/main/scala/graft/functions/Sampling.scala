@@ -414,19 +414,19 @@ object Sampling {
         case other => throw new IllegalArgumentException(
           s"budgetWaterfill: $n must be integral (got $other)")
       }
-    // persist the seed table: it is #domains rows by contract, but its
+    // materialize the seed table: it is #domains rows by contract, but its
     // LINEAGE can be a whole curation pipeline (q_recipe_classifier's doms
     // sit on dedup + classifier scoring) — without the barrier every
     // round's 2-value aggregate job re-executes that pipeline (measured
-    // 6.7 s -> ~2 s on the recipe bench row). Domain-table-sized, so the
-    // cache is negligible; ContextCleaner collects it when the returned
-    // plan goes unreferenced (the materialize() convention).
-    var cur = domains.select(domain.as("dom"),
+    // 6.7 s -> ~2 s on the recipe bench row). Caching.materialize (eager
+    // localCheckpoint) so the blocks are ContextCleaner-reaped when the
+    // returned plan goes unreferenced — a Dataset.persist here leaked one
+    // CacheManager entry per invocation (r13 ADVICE).
+    var cur = Caching.materialize(domains.select(domain.as("dom"),
         nTokens.cast("long").as("n_tok"), weight.cast("long").as("wq"))
       .where(col("n_tok") > 0 && col("wq") > 0)
       .withColumn("__wf_cap", expr(s"(n_tok * $capMilli) div 1000"))
-      .withColumn("alloc", lit(0L))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("alloc", lit(0L)))
     // each round's two totals are COLLECTED (2 longs over the persisted
     // domain-sized seed — bounded by contract) and re-enter the plan as
     // literals. The previous crossJoin(broadcast(tot)) form referenced the

@@ -1504,10 +1504,11 @@ object Kql {
     // that session's rows IN SERIALIZED ORDER (Kusto walks rows, not sorted
     // values — they differ when ts is non-monotonic inside a session, e.g. at a
     // `sort by user, ts` user boundary where ts jumps backward). Thread the
-    // global row number through as the fold/join key. The refinement reads its
-    // input THREE times (restart fold, row mapping, final join) — persist so
-    // the range-partition + offset-join pipeline above is computed once, not
-    // three times; Spark's ContextCleaner unpersists once unreferenced.
+    // global row number through as the fold/join key. The refinement reads
+    // its input THREE times (restart fold, row mapping, final join) —
+    // Caching.materialize so the range-partition + offset-join pipeline above
+    // is computed once, not three times, with GC-reaped blocks (a
+    // per-invocation Dataset.persist leaked a CacheManager entry per call).
     val needsRefine = fns.exists {
       case WindowSession(_, _, _, Some(_)) => true; case _ => false
     }
@@ -1516,8 +1517,7 @@ object Kql {
     val keep = df.columns ++ fns.map(_.name) ++ (if (needsRefine) Seq(grn) else Nil)
     val selected = out.select(keep.map(col).toIndexedSeq: _*)
     val base =
-      if (needsRefine)
-        selected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (needsRefine) graft.functions.Caching.materialize(selected)
       else selected
     val refined = fns.foldLeft(base) {
       case (acc, WindowSession(n, ts, _, Some(maxDur))) =>

@@ -293,13 +293,14 @@ object KqlParser {
           pos += 1; entityGroups(name) = parseEntityGroupList()
         }
         else if (atIdent("materialize") && toks.lift(pos + 1).contains(Punct("("))) {
-          // `let x = materialize(T | ...);` — evaluate the bound pipeline once
-          // and reuse: persist() is the Spark materialization barrier (also
-          // defeats CollapseProject re-inlining); ContextCleaner unpersists
-          // when the plan goes unreferenced.
+          // `let x = materialize(T | ...);` — evaluate the bound pipeline
+          // once and reuse: Caching.materialize (eager localCheckpoint) is
+          // the barrier (also defeats CollapseProject re-inlining), and its
+          // blocks are ContextCleaner-reaped when the binding goes
+          // unreferenced — a Dataset.persist here leaked one CacheManager
+          // entry per parse (ContextCleaner never reaps Dataset caches).
           pos += 2
-          bindings(name) = parseQuery()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          bindings(name) = graft.functions.Caching.materialize(parseQuery())
           eatPunct(")")
         }
         else if (!parseLetScalar(name)) bindings(name) = parseQuery()
@@ -1085,15 +1086,16 @@ object KqlParser {
       case "as" =>
         // `T | as name` — bind the pipeline-so-far to a name usable later in
         // the same query (join/union/invoke operands), KQL's mid-pipeline alias
-        if (atIdent("hint")) { // hint.materialized=true → persist the binding
+        var bound = df
+        if (atIdent("hint")) { // hint.materialized=true → materialize the binding
           pos += 1; eatPunct(".")
           val h = ident(); eatPunct("=")
           val v = next()
           if (h == "materialized" && v == Ident("true"))
-            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            bound = graft.functions.Caching.materialize(df)
         }
-        bindings(ident()) = df
-        df
+        bindings(ident()) = bound
+        bound
       case "scan" =>
         // `T | scan [with_match_id=m] with (step s1: pred; step s2: pred; ...)`
         // — ONE global state machine over the serialized order (Kusto scan
@@ -1792,13 +1794,13 @@ object KqlParser {
               s"make-graph: node id column $nid must exist in the node table")
             Some((nt, nid))
           } else None
-        // persist: every hop of a following graph-match re-scans the edge
-        // table (a var-length pattern scans it lo+..+hi times); caching the
-        // bound edges computes the derivation once — the same persist-and-
-        // let-ContextCleaner-reap contract as `materialize()` above
-        graphEdges = Some((df.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), srcC, dstC))
-        df
+        // materialize: every hop of a following graph-match re-scans the
+        // edge table (a var-length pattern scans it lo+..+hi times);
+        // Caching.materialize computes the derivation once, GC-reaped — the
+        // same contract as `materialize()` above
+        val matEdges = graft.functions.Caching.materialize(df)
+        graphEdges = Some((matEdges, srcC, dstC))
+        matEdges
       case "graph-match" =>
         // `| graph-match (a)-[e1]->(b)-[e2]->(c) [where pred] [project ...]`
         // — fixed-length path patterns over the bound edge table. Each hop is
@@ -1914,8 +1916,9 @@ object KqlParser {
         // frontier's endpoint, an anti-join against the reached set (a pair
         // found at level h is never re-expanded), and a per-pair min — so the
         // work per level is frontier-size-bound, never all-paths enumeration;
-        // each level's frontier persists (ContextCleaner reaps, the
-        // materialize() contract). The path variable binds the NODE-ID array
+        // each level's frontier is materialized (Caching.materialize —
+        // GC-reaped, and the eager checkpoint also truncates per-level
+        // lineage). The path variable binds the NODE-ID array
         // of the lexicographically-smallest shortest path (deterministic:
         // the per-level min over extensions of lex-min prefixes is the
         // global lex-min — shortest paths have shortest prefixes).
@@ -1946,10 +1949,9 @@ object KqlParser {
             .filter(col("__hop_d") =!= col(spA))
             .select(col(spA), col("__hop_d").as(spB),
               concat(col("__path"), array(col("__hop_d"))).as("__path"))
-          val fresh = stepped
+          val fresh = graft.functions.Caching.materialize(stepped
             .join(reached.select(spA, spB), Seq(spA, spB), "left_anti")
-            .groupBy(spA, spB).agg(min(col("__path")).as("__path"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .groupBy(spA, spB).agg(min(col("__path")).as("__path")))
           reached = reached.unionByName(fresh)
           frontier = fresh
         }
