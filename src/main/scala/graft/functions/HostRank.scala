@@ -46,7 +46,32 @@ object HostRank {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPermille: Int = 850,
-      rankCol: String = "rank_micro", checkpointEvery: Int = 5): DataFrame = {
+      rankCol: String = "rank_micro", checkpointEvery: Int = 5): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iters, dampingPermille, rankCol,
+      checkpointEvery, earlyStop = false)._1
+
+  /** [[pageRank]] with a CONVERGENCE stop: because ranks are integer-exact
+    * and the update is a deterministic function of the previous ranks, a
+    * fixpoint (no rank changed since the last checkpoint boundary) is
+    * permanent — every later iteration reproduces the same table — so
+    * stopping there returns EXACTLY the fixed-iters result for any larger
+    * `maxIters` (unit-proven; no fp-tolerance semantics to document). The
+    * probe is one count-of-changed-rows aggregate per checkpoint boundary
+    * (host-cardinality-sized, integer equality), which is why the check
+    * rides the boundaries rather than every iteration: a 100 TB web graph
+    * wants the 20-50 iteration budget but often converges sooner, and each
+    * saved iteration is two corpus-of-hosts shuffles. Returns the ranks
+    * and the number of iterations actually run. */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int, dampingPermille: Int = 850,
+      rankCol: String = "rank_micro",
+      checkpointEvery: Int = 5): (DataFrame, Int) =
+    pageRankImpl(edges, srcCol, dstCol, maxIters, dampingPermille, rankCol,
+      checkpointEvery, earlyStop = true)
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPermille: Int, rankCol: String,
+      checkpointEvery: Int, earlyStop: Boolean): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 50, "pageRank: iters in [1,50]")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
@@ -55,8 +80,8 @@ object HostRank {
     // persist: every iteration references e (and nodes/outdeg derived from
     // it) — without the barrier the caller's arbitrary edge lineage is
     // re-scanned once per iteration (only identical exchanges get reuse).
-    // ContextCleaner unpersists when the plan goes unreferenced (the
-    // materialize() convention).
+    // Both caches are explicitly unpersisted below once `out` is
+    // materialized (ContextCleaner does NOT reap Dataset-level caches).
     val e = edges.select(col(srcCol).cast("string").as("__pr_src"),
       col(dstCol).cast("string").as("__pr_dst"))
       .where(col("__pr_src").isNotNull && col("__pr_dst").isNotNull)
@@ -66,30 +91,55 @@ object HostRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("__pr_src").agg(count(lit(1)).as("__pr_outdeg"))
     val base = (1000L - dampingPermille) * 1000L
-    var ranks = nodes.withColumn(rankCol, lit(1000000L))
-    for (i <- 1 to iters) {
+    // one damped-update step — THE update, shared by the iteration loop and
+    // the convergence probe so the two can never drift
+    def step(cur: DataFrame): DataFrame = {
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "__pr_src"), "__pr_src")
+        .join(cur.withColumnRenamed("node", "__pr_src"), "__pr_src")
         .join(outdeg, "__pr_src")
         .select(col("__pr_dst").as("node"),
           expr(s"$rankCol div __pr_outdeg").as("__pr_contrib"))
       val inflow = contrib.groupBy("node")
         .agg(sum("__pr_contrib").as("__pr_inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      nodes.join(inflow, Seq("node"), "left")
         .select(col("node"), (lit(base) +
           expr(s"($dampingPermille * coalesce(__pr_inflow, cast(0 as bigint))) div 1000"))
           .as(rankCol))
+    }
+    var ranks = nodes.withColumn(rankCol, lit(1000000L))
+    var itersRun = iters
+    var i = 1
+    var done = false
+    while (i <= iters && !done) {
+      ranks = step(ranks)
       // lineage barrier: without it iteration i's plan embeds all i-1
       // predecessors (optimizer time grows superlinearly, executors re-plan
       // a monster). Eager: the truncation must happen NOW, not when some
       // later action forces a 40-iteration plan anyway.
-      if (i % checkpointEvery == 0 && i < iters)
+      if (i % checkpointEvery == 0 && i < iters) {
         ranks = ranks.localCheckpoint(true)
+        if (earlyStop) {
+          // TRUE integer-fixpoint probe against the checkpointed boundary:
+          // does ONE more step reproduce the table exactly? (A weaker
+          // boundary-vs-boundary equality would also accept a limit cycle
+          // whose period divides checkpointEvery — then stopping early
+          // would NOT equal the fixed-iters run.) Host-cardinality-sized
+          // join on materialized blocks; costs one extra step's compute
+          // per boundary, i.e. ≤ 1/checkpointEvery overhead.
+          val converged = step(ranks)
+            .withColumnRenamed(rankCol, "__pr_next")
+            .join(ranks, "node")
+            .where(col("__pr_next") =!= col(rankCol))
+            .isEmpty
+          if (converged) { itersRun = i; done = true }
+        }
+      }
+      i += 1
     }
     val out = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize so the caches below are safe to drop
     e.unpersist(false)
     nodes.unpersist(false)
-    out
+    (out, itersRun)
   }
 }

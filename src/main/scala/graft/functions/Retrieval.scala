@@ -32,16 +32,24 @@ object Retrieval {
     * rank silently contributes 1/k0). row_number-built lists hold both by
     * construction. */
   def rrf(lists: Seq[DataFrame], idCol: String, rankCol: String,
-      topK: Int, k0: Int = 60): DataFrame = {
+      topK: Int, k0: Int = 60, weights: Seq[Double] = Nil): DataFrame = {
     require(lists.nonEmpty, "Retrieval.rrf: need at least one list")
     require(k0 >= 1, "Retrieval.rrf: k0 must be >= 1")
     require(topK >= 0, "Retrieval.rrf: topK must be >= 0")
+    // WEIGHTED RRF (the standard per-ranker-confidence extension:
+    // score = Σ w_i/(k0 + rank_i)): each contribution stays a single IEEE
+    // division — w_i/(k0+r) is one rounded op, so the fused double is still
+    // bit-replayable in any engine. Empty = unweighted (all 1.0).
+    require(weights.isEmpty || weights.size == lists.size,
+      s"Retrieval.rrf: ${weights.size} weights for ${lists.size} lists")
+    val w = if (weights.isEmpty) Seq.fill(lists.size)(1.0) else weights
     val renamed = lists.zipWithIndex.map { case (df, i) =>
       df.select(col(idCol), col(rankCol).cast("long").as(s"r_${i + 1}"))
     }
     val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val score = (1 to lists.size).map { i =>
-      when(col(s"r_$i").isNotNull, lit(1.0) / (lit(k0.toDouble) + col(s"r_$i")))
+      when(col(s"r_$i").isNotNull,
+        lit(w(i - 1)) / (lit(k0.toDouble) + col(s"r_$i")))
         .otherwise(lit(0.0))
     }.reduceLeft(_ + _)
     joined.withColumn("rrf", score)

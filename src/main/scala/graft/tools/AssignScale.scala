@@ -12,7 +12,10 @@ import graft.functions.Similarity
   * explicitly; the table/hier paths spread internally) so the comparison
   * measures the paths, not scan parallelism. Prints steady-state (run 2)
   * execution seconds AND the plan-build wall time per path. Usage:
-  *   runMain graft.tools.AssignScale <sfDir> [k1,k2,...] [nProbe]
+  *   runMain graft.tools.AssignScale <sfDir> [k1,k2,...] [nProbe] [paths]
+  * `paths` (csv of literal,table,hier; default all) selects which paths to
+  * time — at k ≥ 10⁵ × corpus-sized n the flat paths are the measured-to-be
+  * pathological regime and a full run would take tens of minutes per pass.
   */
 object AssignScale {
   def main(args: Array[String]): Unit = {
@@ -20,6 +23,8 @@ object AssignScale {
     val ks = (if (args.length > 1) args(1) else "256,1024,4096,10240")
       .split(",").map(_.trim.toInt).toSeq
     val nProbeArg = if (args.length > 2) args(2).toInt else 2
+    val paths = (if (args.length > 3) args(3) else "literal,table,hier")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,13 +61,32 @@ object AssignScale {
       // not the paths
       val spreadEmb = emb.repartition(
         spark.sparkContext.defaultParallelism)
-      val (lb, lt) = steady(() => spreadEmb.select(F.col("vec_id"),
-        F.explode(Similarity.ivfProbes(F.col("embedding"), cents, nProbe)).as("__cid")))
-      val (tb, tt) = steady(() => Similarity.assignProbesTable(
-        emb, "vec_id", "embedding", Similarity.centroidTable(emb, cents), nProbe))
-      val (hb, ht) = steady(() => Similarity.assignProbesHier(
-        emb, "vec_id", "embedding", cents, nProbe))
-      println(f"[assignscale] n=$n k=$k literal: build=$lb%.2fs steady=$lt%.2fs | table: build=$tb%.2fs steady=$tt%.2fs | hier: build=$hb%.2fs steady=$ht%.2fs")
+      // past ~20k centroids the literal kernel's k×dim typedlit stops being
+      // a sane task closure (tens of MB re-shipped per task; minutes of
+      // plan work) — that wall is WHY the table/hier paths exist, so the
+      // harness skips measuring it there rather than timing a pathology
+      val lit =
+        if (!paths("literal")) "not measured"
+        else if (k <= 20480) {
+          val (lb, lt) = steady(() => spreadEmb.select(F.col("vec_id"),
+            F.explode(Similarity.ivfProbes(F.col("embedding"), cents, nProbe)).as("__cid")))
+          f"build=$lb%.2fs steady=$lt%.2fs"
+        } else "unshippable (skipped)"
+      val tbl =
+        if (!paths("table")) "not measured"
+        else {
+          val (tb, tt) = steady(() => Similarity.assignProbesTable(
+            emb, "vec_id", "embedding", Similarity.centroidTable(emb, cents), nProbe))
+          f"build=$tb%.2fs steady=$tt%.2fs"
+        }
+      val hier =
+        if (!paths("hier")) "not measured"
+        else {
+          val (hb, ht) = steady(() => Similarity.assignProbesHier(
+            emb, "vec_id", "embedding", cents, nProbe))
+          f"build=$hb%.2fs steady=$ht%.2fs"
+        }
+      println(s"[assignscale] n=$n k=$k literal: $lit | table: $tbl | hier: $hier")
     }
     spark.stop()
   }

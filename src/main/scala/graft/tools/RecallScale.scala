@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.functions.Similarity
+
+/** Dev harness: recall@k of the approximate ANN tier against the
+  * brute-force oracle — the OTHER axis of an ANN operator's contract
+  * (SCALE.md prices cost; this prices what the shortcuts give up).
+  *
+  * recall@k = |approx top-k ∩ exact top-k| / |exact top-k|, averaged over
+  * the query set (the standard ANN-benchmark definition). Queries are the
+  * first `nQ` CORPUS vectors (self-matches excluded by every operator), so
+  * the task is honest nearest-neighbor retrieval, not the planted-pair
+  * mechanism contract the correctness rows prove. NOTE the fixture
+  * embeddings are STRUCTURELESS (near-uniform random): this is the hardest
+  * case for data-adaptive indexes — IVF lists carry no cluster signal, so
+  * probe counts translate directly into recall (nProbe/k of the corpus
+  * scanned ⇒ ≈ nProbe/k recall), while data-INDEPENDENT LSH and the
+  * exact-re-rank PQ paths hold their contracts. Clustered real corpora sit
+  * strictly above these numbers for IVF; the table is the floor.
+  * Usage: runMain graft.tools.RecallScale <sfDir> [k] [nQueries]
+  */
+object RecallScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val k = if (args.length > 1) args(1).toInt else 10
+    val nQ = if (args.length > 2) args(2).toInt else 50
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Warmup.run(spark)
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(F.col("vec_id") < nQ)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding"))
+    val corpus = emb.select(F.col("vec_id").as("corpus_id"), F.col("embedding"))
+    val n = corpus.count()
+    val dim = 64
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k))
+    def recall(df: DataFrame): Double =
+      exact.intersect(pairs(df)).size.toDouble / exact.size
+    def row(method: String, params: String, r: Double): Unit =
+      println(f"[recall] n=$n k=$k method=$method $params recall=$r%.3f")
+
+    // shared trained models (the query rows' convention)
+    val cents = Similarity.ivfTrain(corpus, "corpus_id", "embedding", dim,
+      nCentroids = 16)
+    val books = Similarity.pqTrain(corpus, "corpus_id", "embedding", dim)
+
+    for (tables <- Seq(8, 16, 32))
+      row("lsh", s"tables=$tables bits=5",
+        recall(Similarity.lshTopK(queries, corpus, k, dim, numTables = tables)))
+    for (nProbe <- Seq(1, 2, 4, 8))
+      row("ivf", s"nCentroids=16 nProbe=$nProbe",
+        recall(Similarity.ivfTopK(queries, corpus, k, dim,
+          nProbe = nProbe, trained = Some(cents))))
+    for (shortlist <- Seq(16, 32, 64))
+      row("pq", s"m=8 ksub=16 shortlist=$shortlist",
+        recall(Similarity.pqTopK(queries, corpus, k, dim,
+          shortlist = shortlist, trained = Some(books))))
+    for (nProbe <- Seq(2, 4, 8); shortlist <- Seq(32, 64))
+      row("ivfpq", s"nProbe=$nProbe shortlist=$shortlist",
+        recall(Similarity.ivfPqTopK(queries, corpus, k, dim,
+          nProbe = nProbe, shortlist = shortlist,
+          trainedIvf = Some(cents), trainedPq = Some(books))))
+    // hierarchical PROBE assignment composed into the IVF search (the
+    // assignment-level recall trade measured end-to-end): corpus lists are
+    // flat nProbe=1 as always; query probes come from the two-level path
+    for (groupProbe <- Seq(1, 2, 3)) {
+      val lists = Similarity.assignProbes(
+        corpus.select(F.col("corpus_id"), F.col("embedding").as("__cv")),
+        "corpus_id", "__cv", cents, 1)
+      val probes = Similarity.assignProbesHier(
+        queries.select(F.col("query_id"), F.col("embedding").as("__qv")),
+        "query_id", "__qv", cents, 4, groupProbe = groupProbe)
+      val cand = lists.join(F.broadcast(probes), Seq("__cid"))
+        .filter(F.col("query_id") =!= F.col("corpus_id"))
+        .select("query_id", "corpus_id").distinct()
+      row("ivf-hier", s"nProbe=4 groupProbe=$groupProbe",
+        recall(Similarity.rerankTopK(cand, queries, corpus, k)))
+    }
+    spark.stop()
+  }
+}

@@ -190,6 +190,50 @@ class CurationSpec extends SparkSpec {
     assert(tied == Seq("w", "x"))
   }
 
+  test("rrf: weighted fusion scales each list's contribution; arity checked") {
+    import graft.functions.Retrieval
+    val l1 = Seq(("a", 1), ("b", 2)).toDF("id", "rank")
+    val l2 = Seq(("b", 1), ("c", 2)).toDF("id", "rank")
+    val out = Retrieval.rrf(Seq(l1, l2), "id", "rank", topK = 3,
+        weights = Seq(2.0, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    // b: 2/62 + 1/61; a: 2/61; c: 1/62 — each term ONE division, replayable
+    assert(out.map(_._1) == Seq("b", "a", "c"))
+    assert(out.head._2 == 2.0 / 62 + 1.0 / 61)
+    assert(out(1)._2 == 2.0 / 61 && out(2)._2 == 1.0 / 62)
+    // weights must match list arity
+    intercept[IllegalArgumentException] {
+      Retrieval.rrf(Seq(l1, l2), "id", "rank", topK = 1, weights = Seq(1.0))
+    }
+    // 3-list fusion: the n-ary join chain carries every per-list rank
+    val l3 = Seq(("a", 1)).toDF("id", "rank")
+    val three = Retrieval.rrf(Seq(l1, l2, l3), "id", "rank", topK = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(4))).toSeq
+    assert(three.head._1 == "a") // 1/61 + 1/61 beats b's 1/62 + 1/61
+    assert(three.head._2 == 1.0 / 61 + 1.0 / 61)
+  }
+
+  test("pageRankConverged: early stop at the integer fixpoint equals fixed-iters") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    // chain fixpoint after iteration 2 (a fixed at base from iter 1,
+    // b = base + 850·base/1000 from iter 2 on)
+    val (conv, itersRun) = HostRank.pageRankConverged(e, "src", "dst",
+      maxIters = 20, checkpointEvery = 1)
+    assert(itersRun < 20, s"no early stop: ran $itersRun")
+    val fixed = HostRank.pageRank(e, "src", "dst", iters = 20)
+    assert(conv.orderBy("node").collect().toSeq ==
+      fixed.orderBy("node").collect().toSeq)
+    // non-trivial graph: converged result still equals the fixed-iters run
+    val edges = (0 until 20).map(i => (s"n$i", s"n${(i + 1) % 20}")).toDF("src", "dst")
+    val (c2, i2) = HostRank.pageRankConverged(edges, "src", "dst",
+      maxIters = 30, checkpointEvery = 2)
+    // symmetric cycle: every node keeps rank 1e6 — fixpoint at the first probe
+    assert(i2 == 2, s"cycle should converge at the first boundary, ran $i2")
+    assert(c2.orderBy("node").collect().toSeq ==
+      HostRank.pageRank(edges, "src", "dst", iters = 30).orderBy("node")
+        .collect().toSeq)
+  }
+
   // --- NgramQuality: planted separable-vocabulary contract --------------------
 
   test("ngram classifier: disjoint vocabularies separate; held-out docs classify correctly") {

@@ -279,8 +279,21 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("hybrid retrieval cuts with TakeOrderedAndProject, lists broadcast") {
-    val p = plan("q_hybrid_retrieval")
-    assert(p.contains("TakeOrderedAndProject"), s"rrf cut is a global sort:\n$p")
-    assert(!p.contains("CartesianProduct"), s"fusion joined as a product:\n$p")
+    for (q <- Seq("q_hybrid_retrieval", "q_hybrid_retrieval_3way")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q rrf cut is a global sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q fusion joined as a product:\n$p")
+    }
+  }
+
+  test("distributed index serve: DYNAMIC partition pruning, no driver probe collect") {
+    // the r13 verdict's top gap: the stored index must serve a large query
+    // table without collecting probes — the broadcast probe join itself
+    // must prune the partitioned lists scan at runtime
+    for (q <- Seq("q_ann_index_distributed", "q_ann_index_append")) {
+      val p = plan(q)
+      assert(p.contains("dynamicpruning"),
+        s"$q lists scan not dynamically pruned:\n$p")
+    }
   }
 }

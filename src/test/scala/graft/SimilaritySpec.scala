@@ -42,6 +42,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("recall@k anchors for the approximate tier at headline settings") {
+    // the measured recall table lives in SCALE.md (tools/RecallScale, both
+    // sf decades); this anchors the HEADLINE settings at the unit fixture
+    // so a recall regression in any approximate path fails loudly. The
+    // chain is fully deterministic (hash-derived planes, seeded k-means),
+    // so these are stable floors under the measured values (0.915 / 0.840 /
+    // 0.705 at this fixture), not flaky statistical bounds.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val k = 10
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, k))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      exact.intersect(pairs(df)).size.toDouble / exact.size
+    assert(recall(Similarity.lshTopK(queries, corpus, k, 64,
+      numTables = 32)) >= 0.8, "lsh@32 tables below anchor")
+    val r1 = recall(Similarity.ivfTopK(queries, corpus, k, 64, nProbe = 1))
+    val r8 = recall(Similarity.ivfTopK(queries, corpus, k, 64, nProbe = 8))
+    assert(r8 >= 0.7, s"ivf@nProbe=8 below anchor: $r8")
+    assert(r8 > r1, "recall must rise with probe count")
+    assert(recall(Similarity.ivfPqTopK(queries, corpus, k, 64,
+      nProbe = 8, shortlist = 64)) >= 0.55, "ivfpq@8/64 below anchor")
+  }
+
   test("lsh table keys are deterministic across partitionings") {
     def keys(parts: Int): Map[Long, Seq[Long]] = Tables.load(spark, sf, "embeddings")
       .repartition(parts)
@@ -109,6 +136,90 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
+  test("distributed stored-index serve equals the driver-bounded path and prunes dynamically") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_dist").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val drv = Similarity.indexTopK(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val dist = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+      k = 1, dim = 64, nProbe = 3)
+    val got = dist.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == drv, "distributed serve disagrees with the driver-bounded path")
+    assert(got.forall { case (q, c) => c == q - 1000L })
+    // the lists scan must be pruned at RUNTIME by the broadcast probe join —
+    // no driver collect of probes anywhere in this path
+    val plan = dist.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the lists scan:\n$plan")
+  }
+
+  test("index append + compaction: appended half searchable, one file per list") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_app").toString
+    // models frozen over the FULL corpus; segments built even-half first
+    val cents = Similarity.ivfTrain(corpus, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val books = Similarity.pqTrain(corpus, "corpus_id", "embedding", 64, iters = 3)
+    Similarity.writeIndex(corpus.filter(col("corpus_id") % 2 === 0), dir,
+      "corpus_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    Similarity.appendToIndex(corpus.filter(col("corpus_id") % 2 === 1), dir,
+      "corpus_id", "embedding", 64)
+    // the append added files; compaction merges each list back to ONE file
+    Similarity.compactIndex(spark, dir)
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__cid="))
+    assert(listDirs.nonEmpty)
+    for (ld <- listDirs) {
+      val parts = ld.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"${ld.getName}: $parts files after compaction")
+    }
+    // planted queries over BOTH halves must find their originals
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+  }
+
+  test("streaming stored-index shortlist serves the planted contract like batch") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_str").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val short = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_ann_stream",
+      Similarity.indexShortlistStream(spark, dir, qStream, 64, nProbe = 3))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.rerankTopK(short, queries, corpus, k = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+    // and the streaming shortlist must MATCH the batch serve exactly
+    val batch = Similarity.indexTopK(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1 == batch)
+  }
+
   test("broadcast-table assignment matches the literal kernel exactly") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -161,6 +272,30 @@ class SimilaritySpec extends SparkSpec {
       val recall = flat.intersect(hier3).size.toDouble / flat.size
       assert(recall >= 0.9, s"nProbe=$nProbe: hier recall $recall < 0.9")
     }
+  }
+
+  test("hierarchical assignment with SAMPLED group training keeps the contracts") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 64,
+      nCentroids = 16, iters = 2)
+    val k2 = math.round(math.sqrt(16.0)).toInt
+    // sampleCap below k forces the sampled path; probing ALL groups must
+    // STILL degenerate to exact flat assignment (group membership only
+    // restricts which groups are probed — scoring covers every group here)
+    val flat = Similarity.assignProbesTable(emb, "vec_id", "embedding",
+        Similarity.centroidTable(emb, cents), 1)
+      .as[(Long, Int)].collect().toSet
+    val sampledAll = Similarity.assignProbesHier(emb, "vec_id", "embedding",
+        cents, 1, groupProbe = k2, sampleCap = 6)
+      .as[(Long, Int)].collect().toSet
+    assert(flat == sampledAll, "sampled-training all-group hier != flat")
+    // restricted probing on the sampled structure keeps fixture recall high
+    val sampled3 = Similarity.assignProbesHier(emb, "vec_id", "embedding",
+        cents, 1, groupProbe = 3, sampleCap = 6)
+      .as[(Long, Int)].collect().toSet
+    val recall = flat.intersect(sampled3).size.toDouble / flat.size
+    assert(recall >= 0.9, s"sampled hier recall $recall < 0.9")
   }
 
   test("assignProbes plan size is centroid-count-independent on the table path") {
