@@ -317,8 +317,8 @@ object Dedup {
     // Caching.materialize is a MATERIALIZATION BARRIER, not just a cache:
     // without it, CollapseProject inlines the full simhash expression into
     // every chunk-key expression below (9× per row, per join side) —
-    // observed 396s vs 12s at sf0.1. (GC-reaped localCheckpoint; a
-    // per-invocation persist leaked one CacheManager entry per call.)
+    // observed 396s vs 12s at sf0.1. (Bounded-registry persist; a bare
+    // persist leaked one CacheManager entry per distinct plan.)
     val sigs = Caching.materialize(df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), transform(col("__toks"), t => portableHash60(t)).as("__h"))

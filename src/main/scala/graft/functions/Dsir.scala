@@ -113,9 +113,9 @@ object Dsir {
       TextAnalysis.tokens(lower(col(textCol))).as("t"))
     // unigram + bigram occurrence stream, each occurrence reduced to its
     // 8-byte bucket id before the (single) shuffle
-    // materialized, not persisted: the stream feeds the model aggregate AND
-    // the per-doc scoring counts; Caching.materialize's blocks are GC-reaped,
-    // while a per-invocation Dataset.persist leaks a CacheManager entry
+    // materialized through the bounded registry: the stream feeds the model
+    // aggregate AND the per-doc scoring counts; a bare Dataset.persist here
+    // leaked a CacheManager entry per distinct plan (r13 ADVICE)
     val feats = Caching.materialize(toks.select(col("id"), col("is_t"),
         explode(featureBuckets(col("t"), buckets)).as("b")))
     // the model: per-bucket raw and target occurrence counts (buckets-bounded)

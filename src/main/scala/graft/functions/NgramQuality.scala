@@ -52,10 +52,9 @@ object NgramQuality {
     // not the labeled feature stream: the stream is consumed exactly once
     // (this aggregate), while the counts feed several downstream jobs
     // (totals, the weights select, the score-side w0 re-derivation) — each
-    // would re-tokenize the slice without it. Caching.materialize so the
-    // blocks are GC-reaped (a Dataset.persist here leaked one CacheManager
-    // entry per training run — r13 ADVICE); this makes training EAGER, the
-    // budgetWaterfill/trainModel convention.
+    // would re-tokenize the slice without it. Caching.materialize (the
+    // bounded-registry persist — a bare Dataset.persist here leaked one
+    // CacheManager entry per distinct training plan, r13 ADVICE).
     val perBucket = Caching.materialize(lf.groupBy("b").agg(
       sum(when(col("__is_p"), lit(1L)).otherwise(lit(0L))).as("__c1"),
       sum(when(col("__is_p"), lit(0L)).otherwise(lit(1L))).as("__c0")))
@@ -113,9 +112,8 @@ object NgramQuality {
         ((col("__s") + col("pq")) > 0).cast("int").as("pred"))
   }
 
-  /** Train on the labeled slice and score the corpus. Training materializes
-    * its bounded per-bucket counts eagerly (see [[nbWeights]]); scoring
-    * stays lazy. */
+  /** Train on the labeled slice and score the corpus, one lazy plan (the
+    * model's bounded per-bucket counts cache at first action — nbWeights). */
   def classify(corpus: DataFrame, textCol: String, idCol: String,
       labeled: DataFrame, isPos: Column, buckets: Int = 4096): DataFrame =
     scoreWith(corpus, textCol, idCol,

@@ -418,10 +418,10 @@ object Sampling {
     // LINEAGE can be a whole curation pipeline (q_recipe_classifier's doms
     // sit on dedup + classifier scoring) — without the barrier every
     // round's 2-value aggregate job re-executes that pipeline (measured
-    // 6.7 s -> ~2 s on the recipe bench row). Caching.materialize (eager
-    // localCheckpoint) so the blocks are ContextCleaner-reaped when the
-    // returned plan goes unreferenced — a Dataset.persist here leaked one
-    // CacheManager entry per invocation (r13 ADVICE).
+    // 6.7 s -> ~2 s on the recipe bench row). Caching.materialize (the
+    // bounded-registry persist) so the barrier cannot accumulate one
+    // CacheManager entry per distinct plan forever (r13 ADVICE); the first
+    // round's collect below materializes it immediately.
     var cur = Caching.materialize(domains.select(domain.as("dom"),
         nTokens.cast("long").as("n_tok"), weight.cast("long").as("wq"))
       .where(col("n_tok") > 0 && col("wq") > 0)

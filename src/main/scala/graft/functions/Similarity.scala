@@ -967,8 +967,8 @@ object Similarity {
     * gives ~exact recall while only same-bucket pairs are ever compared.
     *
     * The prepared table (vector + norm + bucket keys) is computed ONCE and
-    * materialized (Caching.materialize — GC-reaped blocks, not a leaking
-    * per-invocation persist) — both join sides and both re-attach sides read the cache, and verification is
+    * materialized (Caching.materialize — the bounded-registry persist, not
+    * a leaking bare persist) — both join sides and both re-attach sides read the cache, and verification is
     * a single dot-product fold per pair (norms precomputed per vector, not 2× per
     * pair). bitsPerTable=8 keeps buckets selective (collision fraction 2^-8/table):
     * at round-1's b=6 the verify stage drowned in random-vector collisions. */

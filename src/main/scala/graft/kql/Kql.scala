@@ -1507,8 +1507,8 @@ object Kql {
     // global row number through as the fold/join key. The refinement reads
     // its input THREE times (restart fold, row mapping, final join) —
     // Caching.materialize so the range-partition + offset-join pipeline above
-    // is computed once, not three times, with GC-reaped blocks (a
-    // per-invocation Dataset.persist leaked a CacheManager entry per call).
+    // is computed once, not three times, through the bounded registry (a
+    // bare Dataset.persist leaked a CacheManager entry per distinct plan).
     val needsRefine = fns.exists {
       case WindowSession(_, _, _, Some(_)) => true; case _ => false
     }

@@ -294,11 +294,10 @@ object KqlParser {
         }
         else if (atIdent("materialize") && toks.lift(pos + 1).contains(Punct("("))) {
           // `let x = materialize(T | ...);` — evaluate the bound pipeline
-          // once and reuse: Caching.materialize (eager localCheckpoint) is
-          // the barrier (also defeats CollapseProject re-inlining), and its
-          // blocks are ContextCleaner-reaped when the binding goes
-          // unreferenced — a Dataset.persist here leaked one CacheManager
-          // entry per parse (ContextCleaner never reaps Dataset caches).
+          // once and reuse: Caching.materialize (the bounded-registry
+          // persist) is the barrier (also defeats CollapseProject
+          // re-inlining) and cannot accumulate one CacheManager entry per
+          // parse (ContextCleaner never reaps Dataset caches — r13 ADVICE).
           pos += 2
           bindings(name) = graft.functions.Caching.materialize(parseQuery())
           eatPunct(")")
@@ -1796,8 +1795,8 @@ object KqlParser {
           } else None
         // materialize: every hop of a following graph-match re-scans the
         // edge table (a var-length pattern scans it lo+..+hi times);
-        // Caching.materialize computes the derivation once, GC-reaped — the
-        // same contract as `materialize()` above
+        // Caching.materialize computes the derivation once, registry-bounded
+        // — the same contract as `materialize()` above
         val matEdges = graft.functions.Caching.materialize(df)
         graphEdges = Some((matEdges, srcC, dstC))
         matEdges
@@ -1916,9 +1915,8 @@ object KqlParser {
         // frontier's endpoint, an anti-join against the reached set (a pair
         // found at level h is never re-expanded), and a per-pair min — so the
         // work per level is frontier-size-bound, never all-paths enumeration;
-        // each level's frontier is materialized (Caching.materialize —
-        // GC-reaped, and the eager checkpoint also truncates per-level
-        // lineage). The path variable binds the NODE-ID array
+        // each level's frontier is materialized (Caching.materialize — the
+        // bounded-registry persist). The path variable binds the NODE-ID array
         // of the lexicographically-smallest shortest path (deterministic:
         // the per-level min over extensions of lex-min prefixes is the
         // global lex-min — shortest paths have shortest prefixes).

@@ -2345,9 +2345,9 @@ object NorthStarQueries {
           .where(length(col("t")) >= 2)
         // pre-aggregate to (doc, bigram, count) and materialize: the raw
         // occurrence stream is exploded and shuffled exactly ONCE; both
-        // consumers below (model build + scoring join) read the checkpointed
-        // aggregate (Caching.materialize — GC-reaped, unlike a per-invocation
-        // persist). Totals fall out of length(t) — no third pass.
+        // consumers below (model build + scoring join) read the cached
+        // aggregate (Caching.materialize — the bounded-registry persist).
+        // Totals fall out of length(t) — no third pass.
         val bg = graft.functions.Caching.materialize(docs.select(col("doc_id"),
             explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
           .groupBy("doc_id", "b").agg(count(lit(1)).as("c")))
@@ -3185,8 +3185,8 @@ object NorthStarQueries {
         // dedup barrier: dd is read twice below (the survivor join's left
         // side AND the classifier's scoring corpus) — materialize the one
         // window pass instead of running it per consumer. Caching.materialize
-        // (GC-reaped blocks), NOT persist: a per-invocation Dataset.persist
-        // accumulated one CacheManager copy per bench/serve run (r13 ADVICE)
+        // (the bounded-registry persist), NOT a bare persist: the barrier
+        // must not accumulate CacheManager entries forever (r13 ADVICE)
         val dd = graft.functions.Caching.materialize(
           Dedup.exactDedup(docs, "text", "doc_id"))
         val kept = NgramQuality.classify(dd, "text", "doc_id",
@@ -3196,7 +3196,7 @@ object NorthStarQueries {
         // survivor barrier: sv's lineage is dedup + classifier scoring and
         // it feeds the allocation, the expansion, AND the shuffle numbering
         // — without it each consumer job re-runs the whole gate (same
-        // GC-reaped materialize, not a leaking persist)
+        // bounded-registry materialize, not a leaking bare persist)
         val sv = graft.functions.Caching.materialize(dd.join(kept, "doc_id")
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("tok")))
