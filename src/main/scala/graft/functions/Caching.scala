@@ -22,9 +22,13 @@ import org.apache.spark.sql.DataFrame
   * localCheckpoint cost ~4% of the whole bench — q_lm_bigram_score alone
   * 1.2 → 3.4 s) — and BOUNDS the lifecycle with a FIFO registry: at most
   * [[maxEntries]] barrier frames stay cached per process, oldest-first
-  * eviction, and a NEW session's first call drops every other session's
-  * entries (the pipeCache evictStale convention). The leak class is gone;
-  * the cache behavior the operators were tuned against is unchanged.
+  * eviction. Because CacheManager dedupes by PLAN, a re-materialized
+  * identical plan does NOT get a second cache — so the registry dedupes
+  * the same way (the old entry moves to the tail instead of staying where
+  * FIFO eviction would unpersist the one shared cache out from under the
+  * newer entry). Entries of STOPPED sessions are dropped eagerly; live
+  * sessions coexist inside the cap (no cross-eviction — two alternating
+  * live sessions must not thrash each other's barriers).
   *
   * Failure note: cached blocks are recomputable from lineage (unlike a
   * localCheckpoint), so executor loss degrades to recompute, never failure.
@@ -33,19 +37,30 @@ import org.apache.spark.sql.DataFrame
   */
 object Caching {
   private val maxEntries = 128
-  private val entries =
-    scala.collection.mutable.Queue.empty[(Int, DataFrame)]
+  private val entries = scala.collection.mutable.Queue.empty[DataFrame]
 
   private def drop(df: DataFrame): Unit =
     try df.unpersist(blocking = false) catch { case _: Throwable => () }
 
+  private def samePlan(a: DataFrame, b: DataFrame): Boolean =
+    try a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
+    catch { case _: Throwable => false }
+
   def materialize(df: DataFrame): DataFrame = {
-    val sid = System.identityHashCode(df.sparkSession)
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
-      entries.dequeueAll(_._1 != sid).foreach(e => drop(e._2))
-      entries.enqueue(sid -> p)
-      while (entries.size > maxEntries) drop(entries.dequeue()._2)
+      // dead sessions' entries can never be read again — drop them first
+      // (their unpersist is a no-op on a stopped context, caught by drop)
+      entries.dequeueAll(e =>
+        try e.sparkSession.sparkContext.isStopped
+        catch { case _: Throwable => true }).foreach(drop)
+      // plan-level dedupe, mirroring CacheManager: a re-materialized
+      // identical plan shares ONE cache entry — re-enqueue at the tail
+      // rather than leaving a stale head entry whose eviction would
+      // unpersist the shared cache while a newer entry still covers it
+      entries.dequeueAll(e => (e.sparkSession eq p.sparkSession) && samePlan(e, p))
+      entries.enqueue(p)
+      while (entries.size > maxEntries) drop(entries.dequeue())
     }
     p
   }

@@ -110,8 +110,13 @@ object HostRank {
     var itersRun = iters
     var i = 1
     var done = false
+    // the convergence probe's computed step is ADOPTED as the next
+    // iteration when it does not converge, so probing costs ~nothing
+    // beyond the checkpoint it produces (the step would have run anyway)
+    var probedNext: DataFrame = null
     while (i <= iters && !done) {
-      ranks = step(ranks)
+      ranks = if (probedNext != null) { val r = probedNext; probedNext = null; r }
+              else step(ranks)
       // lineage barrier: without it iteration i's plan embeds all i-1
       // predecessors (optimizer time grows superlinearly, executors re-plan
       // a monster). Eager: the truncation must happen NOW, not when some
@@ -123,15 +128,17 @@ object HostRank {
           // does ONE more step reproduce the table exactly? (A weaker
           // boundary-vs-boundary equality would also accept a limit cycle
           // whose period divides checkpointEvery — then stopping early
-          // would NOT equal the fixed-iters run.) Host-cardinality-sized
-          // join on materialized blocks; costs one extra step's compute
-          // per boundary, i.e. ≤ 1/checkpointEvery overhead.
-          val converged = step(ranks)
+          // would NOT equal the fixed-iters run.) The probed step is
+          // checkpointed so the equality join reads materialized blocks,
+          // and on non-convergence it IS iteration i+1 (adopted above).
+          val next = step(ranks).localCheckpoint(true)
+          val converged = next
             .withColumnRenamed(rankCol, "__pr_next")
             .join(ranks, "node")
             .where(col("__pr_next") =!= col(rankCol))
             .isEmpty
           if (converged) { itersRun = i; done = true }
+          else probedNext = next
         }
       }
       i += 1

@@ -949,16 +949,31 @@ object Similarity {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val lists = s"$dir/lists"
     val staged = s"$dir/lists__compacting"
-    spark.read.parquet(s"$dir/lists")
+    val retired = s"$dir/lists__retired"
+    spark.read.parquet(lists)
       .repartition(col("__cid"))
       .write.mode("overwrite").partitionBy("__cid").parquet(staged)
-    // swap: the window where `lists` is absent is driver-local and brief;
-    // production would swap a catalog pointer (the index is a TABLE) — the
-    // path rename is the filesystem analogue
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lists"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged),
-      new org.apache.hadoop.fs.Path(s"$dir/lists"))
+    // swap by rename-away-then-rename-in (NOT delete-first: fs.rename
+    // reports failure as `false`, and a delete-first swap that then fails
+    // to rename would silently lose the whole index): the old lists move
+    // aside, the staged tree moves in, and only then is the old tree
+    // deleted — every failure mode leaves a complete tree on disk, and a
+    // failed move-in restores the original. Production would swap a
+    // catalog pointer (the index IS a table); this is the FS analogue.
+    fs.delete(p(retired), true) // stale leftover from a crashed prior swap
+    require(fs.rename(p(lists), p(retired)),
+      s"compactIndex: could not move $lists aside")
+    if (!fs.rename(p(staged), p(lists))) {
+      val restored = fs.rename(p(retired), p(lists))
+      throw new IllegalStateException(
+        s"compactIndex: could not move the compacted tree into $lists" +
+          (if (restored) " (original restored)"
+           else s" AND RESTORE FAILED — data is at $retired"))
+    }
+    fs.delete(p(retired), true)
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:

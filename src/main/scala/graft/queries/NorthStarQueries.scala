@@ -56,8 +56,25 @@ object NorthStarQueries {
     scala.collection.concurrent.TrieMap[String, Array[Long]]()
   private val nbModelCache =
     scala.collection.concurrent.TrieMap[String, (Array[Long], Long)]()
+  // value carries the OWNING session so eviction can tell a dead session's
+  // tree (safe to delete) from a live one's (an evicted entry whose session
+  // still runs may have lazy serving scans over the directory — leave the
+  // tree; the shutdown hook below reclaims it at process exit)
   private val annIndexCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+    scala.collection.concurrent.TrieMap[String, (SparkSession, String)]()
+  private val annIndexRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val annIndexShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      annIndexRoots.forEach { root =>
+        try {
+          val d = java.nio.file.Paths.get(root)
+          if (java.nio.file.Files.exists(d))
+            java.nio.file.Files.walk(d)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { try java.nio.file.Files.delete(p) catch { case _: Throwable => () } })
+        } catch { case _: Throwable => () }
+      }))
 
   /** The ONE DuckDB replay of the DSIR quantized chain (tokens → hashed
     * unigram+bigram buckets → per-bucket counts → integer micro-nat model →
@@ -169,13 +186,23 @@ object NorthStarQueries {
     annIndexCache.keys.filterNot(_.startsWith(prefix)).foreach { k =>
       // the cache value is an on-DISK index tree (session-scoped path):
       // evicting only the map entry would strand /tmp/graft_annidx/<...>
-      // directories across sessions/datasets — delete the tree with it
-      annIndexCache.remove(k).foreach { dir =>
-        try {
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            s.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        } catch { case _: Throwable => () }
+      // directories across sessions/datasets (r13 ADVICE). Delete the tree
+      // ONLY when its owning session is stopped — a live session's evicted
+      // entry may still have lazy serving scans over the directory, and a
+      // delete here would turn that degrade-to-recompute eviction into a
+      // FileNotFoundException; live trees are reclaimed by the shutdown
+      // hook instead.
+      annIndexCache.remove(k).foreach { case (owner, dir) =>
+        val ownerStopped =
+          try owner.sparkContext.isStopped catch { case _: Throwable => true }
+        if (ownerStopped) {
+          try {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              s.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+            annIndexRoots.remove(dir)
+          } catch { case _: Throwable => () }
+        }
       }
     }
   }
@@ -217,20 +244,27 @@ object NorthStarQueries {
         T(s, d, "documents"), "doc_id").persist())
   }
 
-  /** The session's STORED ANN index over the embeddings corpus, built once
-    * per (session, sfDir) — the write-once/read-many lifecycle: the three
-    * serve rows (stored / distributed / streaming) all read this one tree,
-    * so the bench times the SERVE paths and any drift between them is a
-    * correctness diff, not a build diff. Models reuse the session caches
-    * (byte-identical params/seed). */
-  private def builtAnnIndex(s: SparkSession, d: String,
-      corpus: DataFrame): String = {
+  /** A session's STORED ANN index over the embeddings corpus, built once
+    * per (session, sfDir, variant) — the write-once/read-many lifecycle:
+    * the serve rows (stored / distributed / streaming / append) read their
+    * variant's one tree, so the bench times the SERVE paths and any drift
+    * between them is a correctness diff, not a build diff. Models train on
+    * the FULL corpus via the session caches (byte-identical params/seed;
+    * frozen before any segment is written — appends never retrain).
+    * `writeFilter` restricts the initially-written half (the append row);
+    * `buildTail` runs extra lifecycle steps (append/compact) on the fresh
+    * tree before it is published. */
+  private def builtAnnIndex(s: SparkSession, d: String, corpus: DataFrame,
+      variant: String = "annidx",
+      writeFilter: DataFrame => DataFrame = identity,
+      buildTail: String => Unit = _ => ()): String = {
     evictStale(s)
-    annIndexCache.getOrElseUpdate(cacheKey(s, d, "annidx"), {
+    annIndexCache.getOrElseUpdate(cacheKey(s, d, variant), {
+      annIndexShutdownHook // register the process-exit reclaim once
       // session-scoped root: a shared per-dataset path would let a NEW
       // session's delete+rebuild race a prior session's still-lazy
       // serving scan over the same directory
-      val root = s"/tmp/graft_annidx/${System.identityHashCode(s)}_" +
+      val root = s"/tmp/graft_annidx/${System.identityHashCode(s)}_${variant}_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
@@ -239,10 +273,12 @@ object NorthStarQueries {
         Similarity.ivfTrain(corpus, "corpus_id", "embedding", EMB_DIM))
       val books = pqModelCache.getOrElseUpdate(cacheKey(s, d, "pq"),
         Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
-      Similarity.writeIndex(corpus, root, "corpus_id", "embedding", EMB_DIM,
-        trainedIvf = Some(cents), trainedPq = Some(books))
-      root
-    })
+      Similarity.writeIndex(writeFilter(corpus), root, "corpus_id",
+        "embedding", EMB_DIM, trainedIvf = Some(cents), trainedPq = Some(books))
+      buildTail(root)
+      annIndexRoots.add(root)
+      (s, root)
+    })._2
   }
 
   /** Shared closure oracle: the exact-signature pair set (≥32 of 64 components
@@ -3516,30 +3552,16 @@ object NorthStarQueries {
       (s, d) => {
         val emb = T(s, d, "embeddings")
         val corpus = emb.projectRename("corpus_id" -> "vec_id")
-        evictStale(s)
-        val dir = annIndexCache.getOrElseUpdate(cacheKey(s, d, "annidx_app"), {
-          val root = s"/tmp/graft_annidx/${System.identityHashCode(s)}_app_" +
-            d.replaceAll("[^A-Za-z0-9.]", "_")
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            s.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(root), true)
-          // models train on the FULL corpus (the session caches — at real
-          // scale models come from a sample anyway and are FROZEN before
-          // any segment is written; appends never retrain)
-          val cents = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "ivf"),
-            Similarity.ivfTrain(corpus, "corpus_id", "embedding", EMB_DIM))
-          val books = pqModelCache.getOrElseUpdate(cacheKey(s, d, "pq"),
-            Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
-          Similarity.writeIndex(
-            corpus.where_(col("corpus_id") % 2 === 0), root,
-            "corpus_id", "embedding", EMB_DIM,
-            trainedIvf = Some(cents), trainedPq = Some(books))
-          Similarity.appendToIndex(
-            corpus.where_(col("corpus_id") % 2 === 1), root,
-            "corpus_id", "embedding", EMB_DIM)
-          Similarity.compactIndex(s, root)
-          root
-        })
+        // even half written at build; odd half APPENDED with the frozen
+        // models, then compacted — the full segment lifecycle on one tree
+        val dir = builtAnnIndex(s, d, corpus, variant = "annidx_app",
+          writeFilter = _.where_(col("corpus_id") % 2 === 0),
+          buildTail = { root =>
+            Similarity.appendToIndex(
+              corpus.where_(col("corpus_id") % 2 === 1), root,
+              "corpus_id", "embedding", EMB_DIM)
+            Similarity.compactIndex(s, root)
+          })
         val queries = emb.where_(col("vec_id") < 25)
           .project((col("vec_id") + 1000000L).as("query_id"),
             transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))

@@ -25,6 +25,12 @@ object AssignScale {
     val nProbeArg = if (args.length > 2) args(2).toInt else 2
     val paths = (if (args.length > 3) args(3) else "literal,table,hier")
       .split(",").map(_.trim).toSet
+    val known = Set("literal", "table", "hier")
+    require((paths -- known).isEmpty,
+      // fail fast: a typo would otherwise print an all-'not measured' row
+      // that could be mistaken for a completed measurement
+      s"AssignScale: unknown path(s) ${(paths -- known).mkString(",")}; " +
+        s"valid: ${known.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

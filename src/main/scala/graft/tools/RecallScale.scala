@@ -74,10 +74,11 @@ object RecallScale {
     // hierarchical PROBE assignment composed into the IVF search (the
     // assignment-level recall trade measured end-to-end): corpus lists are
     // flat nProbe=1 as always; query probes come from the two-level path
+    // loop-invariant: the corpus list assignment depends only on the model
+    val lists = Similarity.assignProbes(
+      corpus.select(F.col("corpus_id"), F.col("embedding").as("__cv")),
+      "corpus_id", "__cv", cents, 1)
     for (groupProbe <- Seq(1, 2, 3)) {
-      val lists = Similarity.assignProbes(
-        corpus.select(F.col("corpus_id"), F.col("embedding").as("__cv")),
-        "corpus_id", "__cv", cents, 1)
       val probes = Similarity.assignProbesHier(
         queries.select(F.col("query_id"), F.col("embedding").as("__qv")),
         "query_id", "__qv", cents, 4, groupProbe = groupProbe)
