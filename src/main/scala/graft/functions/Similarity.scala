@@ -946,6 +946,55 @@ object Similarity {
     * Skew note: one cid = one task here; a 100 TB compaction of a skewed
     * list layout would range-split hot cids (the AQE skew-join analogue)
     * — list sizes are bounded by design (k ∝ n), documented. */
+  /** DELETE vectors from a stored index — the vacuum half of the segment
+    * lifecycle (append grows lists; delete shrinks them): rewrite ONLY the
+    * partitions that contain deleted rows (found by one left-semi join —
+    * the hit-cid set is k-bounded, a model-sized collect) with the deleted
+    * ids anti-joined out, then swap each rewritten list in with the same
+    * checked rename-away protocol as [[compactIndex]]. Lists without hits
+    * are never read or touched; a list whose every row is deleted is
+    * removed outright. Models are unchanged (the frozen-quantizer
+    * contract — deletion never needs retraining). Deleted ids can no
+    * longer reach any shortlist, so every serve path excludes them even
+    * though the PAYLOAD table may still carry the rows. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val lists = spark.read.parquet(s"$dir/lists")
+    val del = ids.select(col(idCol).as("corpus_id"))
+    val hitCids = lists.join(broadcast(del), Seq("corpus_id"), "left_semi")
+      .select("__cid").distinct().collect().map(_.getInt(0)).toSeq
+    if (hitCids.isEmpty) return
+    val staged = s"$dir/lists__deleting"
+    fs.delete(p(staged), true)
+    lists.where(col("__cid").isInCollection(hitCids))
+      .join(broadcast(del), Seq("corpus_id"), "left_anti")
+      .repartition(col("__cid"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(staged)
+    for (cid <- hitCids) {
+      val live = s"$dir/lists/__cid=$cid"
+      val fresh = s"$staged/__cid=$cid"
+      // retired dirs live OUTSIDE lists/: a crash leftover inside it would
+      // be discovered as a partition dir with an unparseable __cid value
+      val retired = s"$dir/lists__retired_$cid"
+      fs.delete(p(retired), true)
+      require(fs.rename(p(live), p(retired)),
+        s"deleteFromIndex: could not move $live aside")
+      // a fully-deleted list has no staged dir — the retire IS the delete
+      if (fs.exists(p(fresh)) && !fs.rename(p(fresh), p(live))) {
+        val restored = fs.rename(p(retired), p(live))
+        throw new IllegalStateException(
+          s"deleteFromIndex: could not move the rewritten list into $live" +
+            (if (restored) " (original restored)"
+             else s" AND RESTORE FAILED — data is at $retired"))
+      }
+      fs.delete(p(retired), true)
+    }
+    fs.delete(p(staged), true)
+  }
+
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

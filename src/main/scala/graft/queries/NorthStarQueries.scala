@@ -3574,6 +3574,38 @@ object NorthStarQueries {
       Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // Stored-index DELETE / vacuum (Similarity.deleteFromIndex — the other
+    // half of the segment lifecycle next to append+merge): the odd-id
+    // originals among the planted targets are DELETED from the index
+    // (only their lists rewritten — hit-cid set k-bounded, other lists
+    // untouched), so their perturbed queries can no longer find them
+    // (deleted ids cannot reach any shortlist) while even-id queries
+    // still must. A delete that misses rows, rewrites the wrong list, or
+    // corrupts an untouched one reddens the row; serving is the
+    // distributed path, so pruning must survive the partial rewrite.
+    QueryDef("q_ann_index_delete",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus, variant = "annidx_del",
+          buildTail = { root =>
+            Similarity.deleteFromIndex(s, root,
+              emb.where_(col("vec_id") < 25 && col("vec_id") % 2 === 1)
+                .project(col("vec_id").as("corpus_id")), "corpus_id")
+          })
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.indexTopKDistributed(s, dir, queries, corpus,
+            k = 1, dim = EMB_DIM)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id,
+             |  (vec_id % 2 = 0) AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // Classifier CALIBRATION (the held-out evaluation every learned gate
     // needs before anyone picks its threshold): the NB quality gate trains
     // on the doc_id%3=0 labeled slice, scores the DISJOINT doc_id%3=1

@@ -290,7 +290,8 @@ class PlanAuditSpec extends SparkSpec {
     // the r13 verdict's top gap: the stored index must serve a large query
     // table without collecting probes — the broadcast probe join itself
     // must prune the partitioned lists scan at runtime
-    for (q <- Seq("q_ann_index_distributed", "q_ann_index_append")) {
+    for (q <- Seq("q_ann_index_distributed", "q_ann_index_append",
+        "q_ann_index_delete")) {
       val p = plan(q)
       assert(p.contains("dynamicpruning"),
         s"$q lists scan not dynamically pruned:\n$p")

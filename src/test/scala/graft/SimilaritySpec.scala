@@ -193,6 +193,38 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
+  test("index delete rewrites only hit lists; deleted ids leave every shortlist") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_del").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val doomed = corpus.filter(col("corpus_id") < 5).select("corpus_id")
+    Similarity.deleteFromIndex(spark, dir, doomed, "corpus_id")
+    // the deleted ids are gone from the lists table; everyone else remains
+    val remaining = spark.read.parquet(s"$dir/lists")
+      .select("corpus_id").as[Long].collect().toSet
+    assert(remaining.intersect(Set(0L, 1L, 2L, 3L, 4L)).isEmpty)
+    assert(remaining.size == corpus.count() - 5)
+    // planted queries: deleted originals cannot be found; others still are
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    for ((q, c) <- top1) {
+      val orig = q - 1000L
+      if (orig < 5) assert(c != orig, s"deleted $orig still served for $q")
+      else assert(c == orig, s"survivor $orig lost for $q")
+    }
+    // a delete with no matching ids is a no-op (no staged dir left behind)
+    Similarity.deleteFromIndex(spark, dir,
+      corpus.filter(col("corpus_id") < 0).select("corpus_id"), "corpus_id")
+    assert(!new java.io.File(s"$dir/lists__deleting").exists())
+  }
+
   test("streaming stored-index shortlist serves the planted contract like batch") {
     val emb = Tables.load(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
