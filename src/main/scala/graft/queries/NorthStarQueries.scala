@@ -3574,6 +3574,43 @@ object NorthStarQueries {
       Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // STREAMING index ingest (StreamingIngest.drainForeach +
+    // Similarity.appendToIndex): the odd-id half of the corpus arrives as
+    // a STREAM and is appended to the stored index per micro-batch —
+    // assign+encode against the FROZEN models, new files into the cid
+    // partitions — then one compaction merges the accumulated segment
+    // files. The continuous-ingest form of q_ann_index_append: meerkat's
+    // buffer→flush→merge lifecycle with the index as the sink. Planted
+    // queries over BOTH halves; a dropped micro-batch, a non-appended row,
+    // or a lossy merge reddens the row.
+    QueryDef("q_streaming_index_append",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus, variant = "annidx_sapp",
+          writeFilter = _.where_(col("corpus_id") % 2 === 0),
+          buildTail = { root =>
+            val vecStream = graft.streaming.StreamingIngest
+              .loadStream(s, d, "embeddings")
+              .where(col("vec_id") % 2 === 1)
+              .select(col("vec_id").as("corpus_id"), col("embedding"))
+            graft.streaming.StreamingIngest.drainForeach(vecStream, batch =>
+              Similarity.appendToIndex(batch, root,
+                "corpus_id", "embedding", EMB_DIM))
+            Similarity.compactIndex(s, root)
+          })
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.indexTopKDistributed(s, dir, queries, corpus,
+            k = 1, dim = EMB_DIM)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // Stored-index DELETE / vacuum (Similarity.deleteFromIndex — the other
     // half of the segment lifecycle next to append+merge): the odd-id
     // originals among the planted targets are DELETED from the index

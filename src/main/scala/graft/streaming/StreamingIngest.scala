@@ -175,6 +175,27 @@ object StreamingIngest {
     else df
   }
 
+  /** Drain a bounded stream through `foreachBatch` into a batch sink fn and
+    * return after the last micro-batch — the continuous-ingest bridge
+    * between a stream and a batch writer (the stored-ANN-index append path:
+    * each micro-batch of vectors assigns+encodes against the FROZEN models
+    * and lands as new files in the cid partitions — segment ingest,
+    * continuously). foreachBatch's exactly-once-within-a-run contract
+    * applies: on retry a micro-batch may re-run, so the sink must be
+    * idempotent or the run fronted by a dedup (the ingest tier's
+    * dropDuplicates surface); partitioned-append file sinks tolerate
+    * replays up to duplicate rows, which index COMPACTION + the dedup
+    * surface address — the same posture as any at-least-once segment
+    * ingester. */
+  def drainForeach(stream: DataFrame, sink: DataFrame => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => sink(b.toDF()))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming aggregation over a bounded fixture stream to completion and
     * return the (static) result: real Structured Streaming execution — micro-batches,
     * state store, complete-mode memory sink — inside the batch driver contract, so

@@ -291,7 +291,7 @@ class PlanAuditSpec extends SparkSpec {
     // table without collecting probes — the broadcast probe join itself
     // must prune the partitioned lists scan at runtime
     for (q <- Seq("q_ann_index_distributed", "q_ann_index_append",
-        "q_ann_index_delete")) {
+        "q_ann_index_delete", "q_streaming_index_append")) {
       val p = plan(q)
       assert(p.contains("dynamicpruning"),
         s"$q lists scan not dynamically pruned:\n$p")
