@@ -946,6 +946,22 @@ object Similarity {
     * Skew note: one cid = one task here; a 100 TB compaction of a skewed
     * list layout would range-split hot cids (the AQE skew-join analogue)
     * — list sizes are bounded by design (k ∝ n), documented. */
+  /** Operational statistics of a stored index — the observability surface
+    * an index operator schedules maintenance from: per-list row and FILE
+    * counts (files-per-list is what append growth degrades and compaction
+    * resets; rows-per-list skew is the retrain/re-split signal). One scan
+    * of the lists table projecting only the partition column and
+    * input_file_name() — codes and norms are never read. Row counts are
+    * assignment-dependent (fp k-means), so this is a diagnostic surface,
+    * unit-proven, not an oracle row. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lists")
+      .select(col("__cid"), input_file_name().as("__f"))
+      .groupBy("__cid")
+      .agg(count(lit(1)).as("rows"), countDistinct(col("__f")).as("files"))
+      .orderBy("__cid")
+
   /** DELETE vectors from a stored index — the vacuum half of the segment
     * lifecycle (append grows lists; delete shrinks them): rewrite ONLY the
     * partitions that contain deleted rows (found by one left-semi join —

@@ -173,8 +173,17 @@ class SimilaritySpec extends SparkSpec {
       trainedIvf = Some(cents), trainedPq = Some(books))
     Similarity.appendToIndex(corpus.filter(col("corpus_id") % 2 === 1), dir,
       "corpus_id", "embedding", 64)
+    // indexStats sees the append: full corpus rows, and at least one list
+    // carries the extra per-append file (the maintenance signal)
+    val statsAfterAppend = Similarity.indexStats(spark, dir)
+      .select("rows", "files").as[(Long, Long)].collect()
+    assert(statsAfterAppend.map(_._1).sum == corpus.count())
+    assert(statsAfterAppend.exists(_._2 >= 2), "append left no multi-file list")
     // the append added files; compaction merges each list back to ONE file
     Similarity.compactIndex(spark, dir)
+    assert(Similarity.indexStats(spark, dir)
+      .select("files").as[Long].collect().forall(_ == 1L),
+      "compaction left a multi-file list")
     val listDirs = new java.io.File(s"$dir/lists").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("__cid="))
     assert(listDirs.nonEmpty)
