@@ -10,8 +10,10 @@ import graft.sources.Tables
   * per-row pair budget, constant). Runs Similarity.semDedup on the base
   * fixture and on a ScaleUp'd directory with k scaled by the same factor,
   * steady-state timing (run 2 of 2), and prints rows/removed/time so the
-  * SCALE.md row is reproducible. Usage:
-  *   runMain graft.tools.SemDedupScale <baseDir> <scaledDir> <factor>
+  * SCALE.md row is reproducible. An optional 4th arg `hier` runs the
+  * SCALED leg through the two-level assignment (semDedup(hierAssign=true))
+  * — the end-to-end form of the assignment-stage decomposition. Usage:
+  *   runMain graft.tools.SemDedupScale <baseDir> <scaledDir> <factor> [hier]
   */
 object SemDedupScale {
   def main(args: Array[String]): Unit = {
@@ -29,7 +31,8 @@ object SemDedupScale {
     spark.sparkContext.setLogLevel("WARN")
     graft.Warmup.run(spark)
 
-    def one(dir: String, k: Int): Unit = {
+    val hierScaled = args.length > 3 && args(3) == "hier"
+    def one(dir: String, k: Int, hier: Boolean): Unit = {
       val emb = Tables.load(spark, dir, "embeddings")
         .select(F.col("vec_id"), F.col("embedding"))
       val n = emb.count()
@@ -40,14 +43,14 @@ object SemDedupScale {
       (1 to 2).foreach { _ =>
         val t0 = System.nanoTime()
         removed = Similarity.semDedup(emb, "vec_id", "embedding", 64,
-          tau = 0.9, trained = Some(centroids))
+          tau = 0.9, trained = Some(centroids), hierAssign = hier)
           .where(F.col("removed")).count()
         t = (System.nanoTime() - t0) / 1e9
       }
-      println(f"[semscale] dir=$dir k=$k n=$n removed=$removed steady=$t%.2fs")
+      println(f"[semscale] dir=$dir k=$k hier=$hier n=$n removed=$removed steady=$t%.2fs")
     }
-    one(base, 64)
-    one(scaled, 64 * factor)
+    one(base, 64, hier = false)
+    one(scaled, 64 * factor, hier = hierScaled)
     spark.stop()
   }
 }
