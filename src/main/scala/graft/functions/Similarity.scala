@@ -761,9 +761,15 @@ object Similarity {
   }
 
   /** Reopen a stored index's models (driver-bounded — k×dim + M·ksub·dsub
-    * floats, like any trained model). */
+    * floats, like any trained model). Every serve path opens the index
+    * here, so this is also the LOUD gate against an index whose
+    * compact/delete died mid-swap: a leftover retired list would otherwise
+    * be silently absent from every probe (wrong top-k, no error) —
+    * [[recoverIndex]] repairs, then serving resumes. */
   def readIndexModels(spark: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    requireCleanIndex(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), dir, "readIndexModels")
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cid").collect()
       .map(_.getSeq[Float](1).toArray)
@@ -924,9 +930,14 @@ object Similarity {
     * no retrain. Serving needs no coordination: a scan sees old + new files
     * of the probed partitions. */
   def appendToIndex(newRows: DataFrame, dir: String, idCol: String,
-      vecCol: String, dim: Int): Unit = {
+      vecCol: String, dim: Int,
+      models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
+        None): Unit = {
     val spark = newRows.sparkSession
-    val (cents, books) = readIndexModels(spark, dir)
+    // pre-read models skip the two parquet reads + driver collects — the
+    // continuous-ingest path (one appendToIndex per micro-batch) reads the
+    // FROZEN models once before the stream starts and passes them through
+    val (cents, books) = models.getOrElse(readIndexModels(spark, dir))
     val lists = assignProbes(
       newRows.select(col(idCol), col(vecCol).as("__iv")), idCol, "__iv", cents, 1)
     pqEncoded(newRows, idCol, vecCol, books, dim)
@@ -936,16 +947,101 @@ object Similarity {
       .write.mode("append").partitionBy("__cid").parquet(s"$dir/lists")
   }
 
+  /** Maintenance leftovers under an index dir: staging/retired trees that
+    * only exist MID-maintenance (compact/delete) — their presence after
+    * the fact means a maintenance run died between renames. Serving and
+    * maintenance entry points refuse to run over such an index (a retired
+    * per-cid list outside lists/ would otherwise be SILENTLY absent from
+    * every probe — wrong top-k, no error); [[recoverIndex]] repairs. */
+  private def maintenanceLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] = {
+    val fixed = Seq(s"$dir/lists__compacting", s"$dir/lists__deleting",
+      s"$dir/lists__retired")
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s)))
+    val perCid =
+      try fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/lists__retired_*"))
+        .toSeq.map(_.getPath.toUri.getPath)
+      catch { case _: Throwable => Seq.empty }
+    fixed ++ perCid
+  }
+
+  private def requireCleanIndex(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, op: String): Unit = {
+    val left = maintenanceLeftovers(fs, dir)
+    require(left.isEmpty,
+      s"$op: index at $dir has interrupted-maintenance leftovers " +
+        s"(${left.mkString(", ")}) — run Similarity.recoverIndex first")
+  }
+
+  /** Repair an index whose compact/delete died mid-swap — idempotent:
+    * a missing lists tree restores from the whole-tree retired copy; a
+    * per-cid retired list restores when its live dir is absent (the swap
+    * never completed) and is dropped when the live dir exists (the swap
+    * completed, only cleanup was lost); staging trees are deleted (they
+    * are pre-swap copies, always safe to rebuild). After recovery the
+    * index equals a state the interrupted operation is safe to re-run
+    * from. */
+  def recoverIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(s"$dir/lists")) && fs.exists(p(s"$dir/lists__retired")))
+      require(fs.rename(p(s"$dir/lists__retired"), p(s"$dir/lists")),
+        s"recoverIndex: could not restore $dir/lists")
+    maintenanceLeftovers(fs, dir).foreach { left =>
+      if (left.matches(".*/lists__retired_\\d+$")) {
+        val cid = left.substring(left.lastIndexOf('_') + 1)
+        val live = s"$dir/lists/__cid=$cid"
+        if (!fs.exists(p(live)))
+          require(fs.rename(p(left), p(live)),
+            s"recoverIndex: could not restore $live")
+        else fs.delete(p(left), true)
+      } else fs.delete(p(left), true)
+    }
+  }
+
   /** COMPACT a stored index's lists — the periodic-merge half of the
     * segment lifecycle: every append leaves another small file per touched
     * partition, and probing cost is per-FILE, not per-row, so an
     * append-heavy index degrades until merged. Rewrites the lists with one
     * shuffle hash-partitioned on `__cid` (each task writes whole
     * partitions' worth of rows — one file per list directory) into a
-    * staging dir, then swaps it in. Values unchanged; file count bounded.
-    * Skew note: one cid = one task here; a 100 TB compaction of a skewed
-    * list layout would range-split hot cids (the AQE skew-join analogue)
-    * — list sizes are bounded by design (k ∝ n), documented. */
+    * staging dir, then swaps it in by rename-away-then-rename-in (NOT
+    * delete-first: fs.rename reports failure as `false`, and a delete-first
+    * swap that then failed to rename would silently lose the whole index);
+    * every failure mode leaves a complete tree on disk, a failed move-in
+    * restores the original, and a crash between the renames is caught
+    * loudly by the leftover guard + [[recoverIndex]]. Values unchanged;
+    * file count bounded. Production would swap a catalog pointer (the
+    * index IS a table); this is the FS analogue. Skew note: one cid = one
+    * task here; a 100 TB compaction of a skewed list layout would
+    * range-split hot cids (the AQE skew-join analogue) — list sizes are
+    * bounded by design (k ∝ n), documented. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    requireCleanIndex(fs, dir, "compactIndex")
+    val lists = s"$dir/lists"
+    val staged = s"$dir/lists__compacting"
+    val retired = s"$dir/lists__retired"
+    spark.read.parquet(lists)
+      .repartition(col("__cid"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(staged)
+    require(fs.rename(p(lists), p(retired)),
+      s"compactIndex: could not move $lists aside")
+    if (!fs.rename(p(staged), p(lists))) {
+      val restored = fs.rename(p(retired), p(lists))
+      throw new IllegalStateException(
+        s"compactIndex: could not move the compacted tree into $lists" +
+          (if (restored) " (original restored)"
+           else s" AND RESTORE FAILED — data is at $retired"))
+    }
+    fs.delete(p(retired), true)
+    fs.delete(p(staged), true)
+  }
+
   /** Operational statistics of a stored index — the observability surface
     * an index operator schedules maintenance from: per-list row and FILE
     * counts (files-per-list is what append growth degrades and compaction
@@ -966,25 +1062,29 @@ object Similarity {
     * lifecycle (append grows lists; delete shrinks them): rewrite ONLY the
     * partitions that contain deleted rows (found by one left-semi join —
     * the hit-cid set is k-bounded, a model-sized collect) with the deleted
-    * ids anti-joined out, then swap each rewritten list in with the same
-    * checked rename-away protocol as [[compactIndex]]. Lists without hits
-    * are never read or touched; a list whose every row is deleted is
-    * removed outright. Models are unchanged (the frozen-quantizer
-    * contract — deletion never needs retraining). Deleted ids can no
-    * longer reach any shortlist, so every serve path excludes them even
-    * though the PAYLOAD table may still carry the rows. */
+    * ids anti-joined out, then swap each rewritten list in with the
+    * checked rename-away protocol of [[compactIndex]]. A crash between a
+    * list's two renames leaves its survivors in a retired dir OUTSIDE
+    * lists/ (inside, partition discovery would choke on the name) — which
+    * serving would otherwise read past SILENTLY, so every entry point
+    * guards on maintenance leftovers and [[recoverIndex]] restores them.
+    * Lists without hits are never read or touched; a list whose every row
+    * is deleted is removed outright. Models are unchanged (the
+    * frozen-quantizer contract — deletion never needs retraining). Deleted
+    * ids can no longer reach any shortlist, so every serve path excludes
+    * them even though the PAYLOAD table may still carry the rows. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame, idCol: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    requireCleanIndex(fs, dir, "deleteFromIndex")
     val lists = spark.read.parquet(s"$dir/lists")
     val del = ids.select(col(idCol).as("corpus_id"))
     val hitCids = lists.join(broadcast(del), Seq("corpus_id"), "left_semi")
       .select("__cid").distinct().collect().map(_.getInt(0)).toSeq
     if (hitCids.isEmpty) return
     val staged = s"$dir/lists__deleting"
-    fs.delete(p(staged), true)
     lists.where(col("__cid").isInCollection(hitCids))
       .join(broadcast(del), Seq("corpus_id"), "left_anti")
       .repartition(col("__cid"))
@@ -992,10 +1092,7 @@ object Similarity {
     for (cid <- hitCids) {
       val live = s"$dir/lists/__cid=$cid"
       val fresh = s"$staged/__cid=$cid"
-      // retired dirs live OUTSIDE lists/: a crash leftover inside it would
-      // be discovered as a partition dir with an unparseable __cid value
       val retired = s"$dir/lists__retired_$cid"
-      fs.delete(p(retired), true)
       require(fs.rename(p(live), p(retired)),
         s"deleteFromIndex: could not move $live aside")
       // a fully-deleted list has no staged dir — the retire IS the delete
@@ -1009,36 +1106,6 @@ object Similarity {
       fs.delete(p(retired), true)
     }
     fs.delete(p(staged), true)
-  }
-
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val lists = s"$dir/lists"
-    val staged = s"$dir/lists__compacting"
-    val retired = s"$dir/lists__retired"
-    spark.read.parquet(lists)
-      .repartition(col("__cid"))
-      .write.mode("overwrite").partitionBy("__cid").parquet(staged)
-    // swap by rename-away-then-rename-in (NOT delete-first: fs.rename
-    // reports failure as `false`, and a delete-first swap that then fails
-    // to rename would silently lose the whole index): the old lists move
-    // aside, the staged tree moves in, and only then is the old tree
-    // deleted — every failure mode leaves a complete tree on disk, and a
-    // failed move-in restores the original. Production would swap a
-    // catalog pointer (the index IS a table); this is the FS analogue.
-    fs.delete(p(retired), true) // stale leftover from a crashed prior swap
-    require(fs.rename(p(lists), p(retired)),
-      s"compactIndex: could not move $lists aside")
-    if (!fs.rename(p(staged), p(lists))) {
-      val restored = fs.rename(p(retired), p(lists))
-      throw new IllegalStateException(
-        s"compactIndex: could not move the compacted tree into $lists" +
-          (if (restored) " (original restored)"
-           else s" AND RESTORE FAILED — data is at $retired"))
-    }
-    fs.delete(p(retired), true)
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:

@@ -3590,13 +3590,23 @@ object NorthStarQueries {
         val dir = builtAnnIndex(s, d, corpus, variant = "annidx_sapp",
           writeFilter = _.where_(col("corpus_id") % 2 === 0),
           buildTail = { root =>
-            val vecStream = graft.streaming.StreamingIngest
-              .loadStream(s, d, "embeddings")
-              .where(col("vec_id") % 2 === 1)
-              .select(col("vec_id").as("corpus_id"), col("embedding"))
+            // the arriving half lands as FOUR source files streamed one
+            // file per trigger — four genuine micro-batches, so the
+            // per-batch append + the cross-batch file accumulation are
+            // actually exercised (a single-file source would collapse
+            // AvailableNow into one batch = the batch append row again)
+            val src = s"$root/__stream_src"
+            corpus.where_(col("corpus_id") % 2 === 1)
+              .repartition(4).write.mode("overwrite").parquet(src)
+            val vecStream = s.readStream
+              .schema(corpus.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src)
+            // the FROZEN models read once, reused by every micro-batch
+            val models = Similarity.readIndexModels(s, root)
             graft.streaming.StreamingIngest.drainForeach(vecStream, batch =>
               Similarity.appendToIndex(batch, root,
-                "corpus_id", "embedding", EMB_DIM))
+                "corpus_id", "embedding", EMB_DIM, models = Some(models)))
             Similarity.compactIndex(s, root)
           })
         val queries = emb.where_(col("vec_id") < 25)

@@ -232,6 +232,23 @@ class SimilaritySpec extends SparkSpec {
     Similarity.deleteFromIndex(spark, dir,
       corpus.filter(col("corpus_id") < 0).select("corpus_id"), "corpus_id")
     assert(!new java.io.File(s"$dir/lists__deleting").exists())
+    // SIMULATED mid-delete crash: a live list stranded in a retired dir
+    // must make serving fail LOUDLY (a silent read would just lose that
+    // list's candidates), and recoverIndex must restore it exactly
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val someCid = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("__cid=")).head.getName.stripPrefix("__cid=")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/lists/__cid=$someCid"),
+      new org.apache.hadoop.fs.Path(s"$dir/lists__retired_$someCid")))
+    intercept[IllegalArgumentException] {
+      Similarity.readIndexModels(spark, dir)
+    }
+    Similarity.recoverIndex(spark, dir)
+    val afterRecover = Similarity.indexTopKDistributed(spark, dir, queries,
+        corpus, k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(afterRecover == top1, "recovery changed serving results")
   }
 
   test("streaming stored-index shortlist serves the planted contract like batch") {
