@@ -737,7 +737,8 @@ object Similarity {
       vecCol: String, dim: Int, nCentroids: Int = 16, m: Int = 8,
       ksub: Int = 16, iters: Int = 5, seed: Long = 42L,
       trainedIvf: Option[Array[Array[Float]]] = None,
-      trainedPq: Option[Array[Array[Array[Float]]]] = None): Unit = {
+      trainedPq: Option[Array[Array[Array[Float]]]] = None,
+      corpusSnapshot: String = ""): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // pre-trained models short-circuit the two training runs (the sibling
@@ -746,6 +747,14 @@ object Similarity {
       ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed))
     val books = trainedPq.getOrElse(
       pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, seed))
+    // the manifest records the GEOMETRY ACTUALLY WRITTEN (pre-trained
+    // models win over the parameter defaults), so validation at open can
+    // never be fooled by a writeIndex call whose params disagreed with the
+    // supplied models
+    writeManifest(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration), dir,
+      IndexManifest(ManifestFormat, dim, cents.length, books.length,
+        books.headOption.map(_.length).getOrElse(ksub), seed, corpusSnapshot))
     cents.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "vec").write.mode("overwrite").parquet(s"$dir/centroids")
     books.zipWithIndex.toIndexedSeq.flatMap { case (b, mi) =>
@@ -770,6 +779,7 @@ object Similarity {
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     requireCleanIndex(org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration), dir, "readIndexModels")
+    val mf = readIndexManifest(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cid").collect()
       .map(_.getSeq[Float](1).toArray)
@@ -778,7 +788,21 @@ object Similarity {
     val m = rows.map(_.getInt(0)).max + 1
     val books = Array.tabulate(m)(mi =>
       rows.filter(_.getInt(0) == mi).map(_.getSeq[Float](2).toArray))
+    // the loaded model tables must agree with the manifest — a partial
+    // overwrite, a mixed-up directory, or a foreign index fails HERE with
+    // the diff, not later as a shape error (or a silent wrong-ADC)
+    requireManifestMatch(mf, dir, "readIndexModels", mf.dim,
+      Some((cents, books)))
     (cents, books)
+  }
+
+  /** Open a stored index for SERVING: models + manifest, with the caller's
+    * expected dimensionality checked against the manifest (loud diff). */
+  private def openIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dim: Int, op: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    requireManifestMatch(readIndexManifest(spark, dir), dir, op, dim, None)
+    readIndexModels(spark, dir)
   }
 
   /** Serve top-k from a STORED index: each query's nProbe probe lists
@@ -792,7 +816,7 @@ object Similarity {
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id", corpusId: String = "corpus_id",
       vecCol: String = "embedding"): DataFrame = {
-    val (cents, books) = readIndexModels(spark, dir)
+    val (cents, books) = openIndex(spark, dir, dim, "indexTopK")
     // queries are driver-bounded by serving contract: collect the probe
     // assignment ONCE (it costs k dots per query row) and re-enter it as a
     // local relation — the cid union prunes the partitioned scan and the
@@ -846,13 +870,27 @@ object Similarity {
     * driver; only the two frozen MODELS are (bounded, like any model).
     *
     * Same results as [[indexTopK]] by construction: identical probe chain,
-    * identical candidate join, the shared [[indexServeTail]]. */
+    * identical candidate join, the shared [[indexServeTail]].
+    *
+    * FILTERED serve (`filter`): a metadata predicate over the PAYLOAD
+    * table's columns (lang = 'en', ts > τ, …) composed into serving as a
+    * PRE-filter — candidates are semi-joined against the predicate's
+    * surviving ids BEFORE the ADC shortlist, so the shortlist spends its
+    * whole budget on rows that can actually be returned and the k contract
+    * holds under any selectivity (the standard vector-store feature; the
+    * post-filter alternative silently returns < k whenever the filter is
+    * selective at the shortlist boundary). The predicate rides the payload
+    * scan (pushed down by Catalyst), the semi-join is ids-only, and the
+    * lists scan stays DPP-pruned — plan-asserted. Recall caveat: filtering
+    * does not widen probes; under EXTREME selectivity (surviving rows
+    * thinner than nProbe lists' coverage) raise nProbe, not shortlist —
+    * documented in SCALE.md. */
   def indexTopKDistributed(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id", corpusId: String = "corpus_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val (cents, books) = readIndexModels(spark, dir)
+      vecCol: String = "embedding", filter: Option[Column] = None): DataFrame = {
+    val (cents, books) = openIndex(spark, dir, dim, "indexTopKDistributed")
     val probes = assignProbes(
       queries.select(col(queryId), col(vecCol).as("__pv")),
       queryId, "__pv", cents, nProbe)
@@ -861,8 +899,14 @@ object Similarity {
       // before it inserts the dynamic pruning subquery on the scan
       .where(col("__cid") >= 0)
     val lists = spark.read.parquet(s"$dir/lists")
-    val cand = lists.join(broadcast(probes), Seq("__cid"))
+    val cand0 = lists.join(broadcast(probes), Seq("__cid"))
       .filter(col(queryId) =!= col("corpus_id"))
+    val cand = filter match {
+      case Some(pred) => cand0.join(
+        corpus.where(pred).select(col(corpusId).as("corpus_id")),
+        Seq("corpus_id"), "left_semi")
+      case None => cand0
+    }
     indexServeTail(cand, queries, corpus, books, k, dim, shortlist,
       queryId, corpusId, vecCol)
   }
@@ -882,20 +926,60 @@ object Similarity {
       dir: String, queryStream: DataFrame, dim: Int,
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val (cents, books) = readIndexModels(spark, dir)
-    require(cents.length < centroidTableThreshold,
-      "indexShortlistStream: streaming probes use the literal kernel; " +
-        s"${cents.length} centroids exceed the literal-plan regime " +
-        "(hier/table assignment is not stateless-stream-composable)")
+      vecCol: String = "embedding", groupProbe: Int = 3): DataFrame = {
+    val (cents, books) = openIndex(spark, dir, dim, "indexShortlistStream")
     // probes AND the ADC LUT ride ONE projection of the stream — a second
     // derived frame would make the candidate join a stream-STREAM join
     // (watermark state) instead of the stateless stream-static form
-    val qside = queryStream.select(col(queryId), col(vecCol).as("__qv"))
+    val qlut = queryStream.select(col(queryId), col(vecCol).as("__qv"))
       .withColumn("__lut", pqLutCol(col("__qv"), books, dim))
       .withColumn("__qn", norm(col("__qv")))
-      .select(col(queryId), col("__lut"), col("__qn"),
-        explode(ivfProbes(col("__qv"), cents, nProbe)).as("__cid"))
+    val qside =
+      if (cents.length < centroidTableThreshold)
+        // literal regime: exact top-nProbe probes in the projection itself
+        qlut.select(col(queryId), col("__lut"), col("__qn"),
+          explode(ivfProbes(col("__qv"), cents, nProbe)).as("__cid"))
+      else {
+        // PAST the literal regime (the r14 k ≥ 2048 gap): a per-row exact
+        // top-nProbe needs an aggregation, and Spark disallows a join AFTER
+        // a streaming aggregation — so the stream-composable form probes at
+        // GROUP granularity instead: the √k super-centroids ride the plan
+        // as the (small) literal, each row's groupProbe nearest supers
+        // explode in the projection, and ONE stateless stream-static
+        // broadcast join fans each probed group out to its member cids.
+        // Candidates are a SUPERSET of the two-level top-nProbe frontier
+        // (every centroid of every probed group scans, not just the nProbe
+        // best), so recall ≥ the hier path's at groupProbe; the cost is
+        // probed lists ≈ groupProbe·√k instead of nProbe — the ADC stage
+        // absorbs it (M lookups/candidate) and the shortlist aggregation
+        // state stays bounded regardless. Same recall-approximate contract
+        // as assignProbesHier: a nearest centroid in an unprobed group is
+        // missed; supers train driver-side on the MODEL (sampled past the
+        // cap), never on data.
+        val k2 = math.max(1,
+          math.round(math.sqrt(cents.length.toDouble)).toInt)
+        val sampleCap = 4096
+        val (supers, gid) =
+          if (cents.length <= sampleCap) kmeansLocal(cents, k2, 5)
+          else {
+            val stride = cents.length.toDouble / sampleCap
+            val sample = Array.tabulate(sampleCap)(i => cents((i * stride).toInt))
+            val (sup, _) = kmeansLocal(sample, k2, 5)
+            (sup, assignLocal(cents, sup))
+          }
+        val nonEmpty = gid.distinct.sorted
+        val remap = nonEmpty.zipWithIndex.toMap
+        val probeSupers = nonEmpty.map(supers(_))
+        val spk = spark
+        import spk.implicits._
+        val ct = cents.indices.map(i => (remap(gid(i)), i))
+          .toDF("__gid", "__cid")
+        qlut.select(col(queryId), col("__lut"), col("__qn"),
+            explode(ivfProbes(col("__qv"), probeSupers,
+              math.min(groupProbe, probeSupers.length))).as("__gid"))
+          .join(broadcast(ct), Seq("__gid"))
+          .select(col(queryId), col("__lut"), col("__qn"), col("__cid"))
+      }
     val lists = spark.read.parquet(s"$dir/lists")
     val cand = qside.join(lists, Seq("__cid"))
       .filter(col(queryId) =!= col("corpus_id"))
@@ -919,6 +1003,116 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     exactRerankTopK(pairs, queries, corpus, k, queryId, corpusId, vecCol)
 
+  // ------------------------------------------------------------------
+  // Index manifest: self-describing parameters, validated at every open.
+  // ------------------------------------------------------------------
+
+  /** The stored index's self-description — written once at [[writeIndex]]
+    * and REQUIRED by every open/append/delete: dimensionality, quantizer
+    * geometry, training seed, format version, and an optional caller
+    * corpus-snapshot id. Without it, an `appendToIndex` handed vectors of
+    * the wrong dimensionality encodes garbage silently whenever the dims
+    * divide evenly (the ADC would read valid-looking codes) — the manifest
+    * turns every such mismatch into a loud diff at the entry point (the
+    * reference's self-describing SegmentMeta posture,
+    * `/root/reference/segment_metadata.proto:73-82`). */
+  case class IndexManifest(format: String, dim: Int, nCentroids: Int,
+      m: Int, ksub: Int, seed: Long, corpusSnapshot: String)
+
+  private val ManifestFormat = "graft-ivfpq-1"
+
+  private def manifestPath(dir: String) = s"$dir/manifest.json"
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def jsonLong(js: String, key: String): Long = {
+    val m = ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(js)
+    require(m.isDefined, s"index manifest: missing integer field '$key'")
+    m.get.group(1).toLong
+  }
+
+  private def jsonString(js: String, key: String): String = {
+    val at = js.indexOf("\"" + key + "\"")
+    require(at >= 0, s"index manifest: missing string field '$key'")
+    val open = js.indexOf('"', js.indexOf(':', at) + 1)
+    val out = new StringBuilder
+    var i = open + 1
+    while (js(i) != '"') {
+      if (js(i) == '\\') { out += js(i + 1); i += 2 } else { out += js(i); i += 1 }
+    }
+    out.toString
+  }
+
+  private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      body: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      mf: IndexManifest): Unit =
+    writeUtf8(fs, manifestPath(dir),
+      s"""{"format":${jsonQuote(mf.format)},"dim":${mf.dim},""" +
+        s""""n_centroids":${mf.nCentroids},"m":${mf.m},"ksub":${mf.ksub},""" +
+        s""""seed":${mf.seed},"corpus_snapshot":${jsonQuote(mf.corpusSnapshot)}}""")
+
+  /** Read + structurally validate a stored index's manifest (loud if absent
+    * or malformed — an index without a manifest predates this format and
+    * must be rebuilt, not guessed at). */
+  def readIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexManifest = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir))),
+      s"index at $dir has no manifest.json — not a graft index " +
+        "(or written by a pre-manifest build; rebuild with writeIndex)")
+    val js = readUtf8(fs, manifestPath(dir))
+    val mf = IndexManifest(jsonString(js, "format"),
+      jsonLong(js, "dim").toInt, jsonLong(js, "n_centroids").toInt,
+      jsonLong(js, "m").toInt, jsonLong(js, "ksub").toInt,
+      jsonLong(js, "seed"), jsonString(js, "corpus_snapshot"))
+    require(mf.format == ManifestFormat,
+      s"index at $dir: unsupported format '${mf.format}' " +
+        s"(this build reads '$ManifestFormat')")
+    mf
+  }
+
+  /** Loud manifest-vs-caller diff: every mismatch names BOTH values. */
+  private def requireManifestMatch(mf: IndexManifest, dir: String, op: String,
+      dim: Int,
+      models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])]): Unit = {
+    val diffs = Seq.newBuilder[String]
+    if (dim != mf.dim) diffs += s"dim: caller=$dim manifest=${mf.dim}"
+    models.foreach { case (cents, books) =>
+      if (cents.length != mf.nCentroids)
+        diffs += s"n_centroids: models=${cents.length} manifest=${mf.nCentroids}"
+      if (cents.nonEmpty && cents.head.length != mf.dim)
+        diffs += s"centroid dim: models=${cents.head.length} manifest=${mf.dim}"
+      if (books.length != mf.m)
+        diffs += s"m: models=${books.length} manifest=${mf.m}"
+      if (books.nonEmpty && books.head.length != mf.ksub)
+        diffs += s"ksub: models=${books.head.length} manifest=${mf.ksub}"
+    }
+    val d = diffs.result()
+    require(d.isEmpty,
+      s"$op: parameters disagree with the index manifest at $dir — " +
+        d.mkString("; "))
+  }
+
   /** APPEND new vectors to a stored index — the reference's declared
     * segment lifecycle (append + periodic merge,
     * `/root/reference/README.md:27`) applied to the ANN tier: the new rows
@@ -928,12 +1122,29 @@ object Similarity {
     * into the same `__cid` partition directories. One assignment pass, one
     * encode pass, one partitioned append — no rewrite of existing files,
     * no retrain. Serving needs no coordination: a scan sees old + new files
-    * of the probed partitions. */
+    * of the probed partitions.
+    *
+    * WRITER CONTRACT: appends may run concurrently with serving but NEVER
+    * with maintenance (compact/delete/split) — maintenance snapshots the
+    * lists and swaps them, so rows appended inside its window would be
+    * silently swapped away. Maintenance holds a marker file for its whole
+    * run and this entry point guards on it UNCONDITIONALLY (pre-read models
+    * included — the r14 race: an unguarded append after a mid-delete crash
+    * recreated `lists/` and recovery then discarded the retired originals),
+    * so an overlapping append fails loudly instead of losing rows. */
   def appendToIndex(newRows: DataFrame, dir: String, idCol: String,
       vecCol: String, dim: Int,
       models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
         None): Unit = {
     val spark = newRows.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // ALWAYS guard, even with pre-read models: pure fs-existence checks,
+    // negligible per micro-batch, and the only thing standing between a
+    // crashed maintenance run and an append that recreates lists/ over it
+    requireCleanIndex(fs, dir, "appendToIndex")
+    requireManifestMatch(readIndexManifest(spark, dir), dir, "appendToIndex",
+      dim, models)
     // pre-read models skip the two parquet reads + driver collects — the
     // continuous-ingest path (one appendToIndex per micro-batch) reads the
     // FROZEN models once before the stream starts and passes them through
@@ -947,16 +1158,32 @@ object Similarity {
       .write.mode("append").partitionBy("__cid").parquet(s"$dir/lists")
   }
 
-  /** Maintenance leftovers under an index dir: staging/retired trees that
-    * only exist MID-maintenance (compact/delete) — their presence after
-    * the fact means a maintenance run died between renames. Serving and
-    * maintenance entry points refuse to run over such an index (a retired
-    * per-cid list outside lists/ would otherwise be SILENTLY absent from
-    * every probe — wrong top-k, no error); [[recoverIndex]] repairs. */
+  /** The maintenance MARKER — the single-writer lock of the index tree:
+    * compact/delete/split write it (content: `{"op":"..."}` + op-specific
+    * fields) before touching anything and remove it last, so its presence
+    * means maintenance is either RUNNING or CRASHED. Every append and every
+    * serve-path open guards on it (via [[maintenanceLeftovers]]), which is
+    * what makes [[recoverIndex]]'s disambiguation sound: under a marker, no
+    * append can have interleaved, so tree states map one-to-one onto crash
+    * windows of the marked operation. */
+  private def markerPath(dir: String) = s"$dir/lists__maintenance"
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      body: String): Unit = writeUtf8(fs, markerPath(dir), body)
+
+  /** Maintenance leftovers under an index dir: the marker plus any
+    * staging/retired trees that only exist MID-maintenance
+    * (compact/delete/split) — their presence after the fact means a
+    * maintenance run died between renames. Serving, append, and maintenance
+    * entry points refuse to run over such an index (a retired per-cid list
+    * outside lists/ would otherwise be SILENTLY absent from every probe —
+    * wrong top-k, no error); [[recoverIndex]] repairs. */
   private def maintenanceLeftovers(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] = {
-    val fixed = Seq(s"$dir/lists__compacting", s"$dir/lists__deleting",
-      s"$dir/lists__retired")
+    val fixed = Seq(markerPath(dir), s"$dir/lists__compacting",
+      s"$dir/lists__deleting", s"$dir/lists__splitting",
+      s"$dir/lists__retired", s"$dir/centroids__new",
+      s"$dir/centroids__retired")
       .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s)))
     val perCid =
       try fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/lists__retired_*"))
@@ -973,31 +1200,76 @@ object Similarity {
         s"(${left.mkString(", ")}) — run Similarity.recoverIndex first")
   }
 
-  /** Repair an index whose compact/delete died mid-swap — idempotent:
-    * a missing lists tree restores from the whole-tree retired copy; a
-    * per-cid retired list restores when its live dir is absent (the swap
-    * never completed) and is dropped when the live dir exists (the swap
-    * completed, only cleanup was lost); staging trees are deleted (they
-    * are pre-swap copies, always safe to rebuild). After recovery the
-    * index equals a state the interrupted operation is safe to re-run
-    * from. */
+  /** Repair an index whose maintenance (compact/delete/split) died mid-run —
+    * idempotent, and SOUND because maintenance holds the marker for its
+    * whole window and appends/serves guard on it, so under a marker the tree
+    * state maps one-to-one onto a crash window of the marked operation:
+    *
+    *  - compact: a missing lists tree restores from the whole-tree retired
+    *    copy; `lists/` + `lists__retired` BOTH present under a compact
+    *    marker means the swap completed and only cleanup was lost (no
+    *    append can have recreated `lists/` — it would have failed on the
+    *    marker), so the retired copy is dropped.
+    *  - delete: a per-cid retired list restores when its live dir is absent
+    *    (swap never completed) and is dropped when the live dir exists
+    *    under a delete marker (swap completed, cleanup lost).
+    *  - split: rolled FORWARD from the marker's (cid, new_cid) record when
+    *    the commit had begun, rolled back (staging deleted) when it hadn't.
+    *  - WITHOUT a marker, a both-present state is AMBIGUOUS — an unknown
+    *    writer recreated the live tree, and deleting the retired copy could
+    *    destroy the only complete version of those rows (the r14 race), so
+    *    recovery REFUSES it loudly instead of guessing.
+    *
+    * Staging trees are deleted (pre-swap copies, always safe to rebuild);
+    * the marker is removed LAST. After recovery the index equals a state
+    * the interrupted operation is safe to re-run from. */
   def recoverIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    if (!fs.exists(p(s"$dir/lists")) && fs.exists(p(s"$dir/lists__retired")))
-      require(fs.rename(p(s"$dir/lists__retired"), p(s"$dir/lists")),
-        s"recoverIndex: could not restore $dir/lists")
-    maintenanceLeftovers(fs, dir).foreach { left =>
-      if (left.matches(".*/lists__retired_\\d+$")) {
-        val cid = left.substring(left.lastIndexOf('_') + 1)
-        val live = s"$dir/lists/__cid=$cid"
-        if (!fs.exists(p(live)))
-          require(fs.rename(p(left), p(live)),
-            s"recoverIndex: could not restore $live")
-        else fs.delete(p(left), true)
-      } else fs.delete(p(left), true)
+    def renameOrDie(from: String, to: String): Unit =
+      require(fs.rename(p(from), p(to)),
+        s"recoverIndex: could not rename $from to $to")
+    val marker =
+      if (fs.exists(p(markerPath(dir)))) Some(readUtf8(fs, markerPath(dir)))
+      else None
+    val op = marker.map(jsonString(_, "op"))
+    def refuse(live: String, retired: String): Nothing =
+      throw new IllegalStateException(
+        s"recoverIndex: $live and $retired are BOTH present with no " +
+          "maintenance marker to attribute them — an unknown writer " +
+          "recreated the live tree, and dropping either side could destroy " +
+          "the only complete copy of its rows. Inspect both trees, keep " +
+          "the correct one, remove the other, then re-run.")
+    if (op.contains("split")) {
+      recoverSplit(spark, fs, dir,
+        jsonLong(marker.get, "cid").toInt, jsonLong(marker.get, "new_cid").toInt)
+    } else {
+      val lists = s"$dir/lists"
+      val retired = s"$dir/lists__retired"
+      if (fs.exists(p(retired))) {
+        if (!fs.exists(p(lists))) renameOrDie(retired, lists)
+        else if (op.contains("compact")) fs.delete(p(retired), true)
+        else refuse(lists, retired)
+      }
+      maintenanceLeftovers(fs, dir).foreach { left =>
+        if (left.matches(".*/lists__retired_\\d+$")) {
+          val cid = left.substring(left.lastIndexOf('_') + 1)
+          val live = s"$dir/lists/__cid=$cid"
+          if (!fs.exists(p(live))) renameOrDie(left, live)
+          else if (op.contains("delete")) fs.delete(p(left), true)
+          else refuse(live, left)
+        } else if (left.endsWith("__compacting") || left.endsWith("__deleting")
+            || left.endsWith("__splitting") || left.endsWith("centroids__new")) {
+          fs.delete(p(left), true) // pre-swap copies, safe to rebuild
+        } else if (left.endsWith("centroids__retired")) {
+          // only a split (handled above) retires the centroid table — this
+          // state has no attributable owner, so refuse like any ambiguity
+          refuse(s"$dir/centroids", left)
+        }
+      }
+      fs.delete(p(markerPath(dir)), false)
     }
   }
 
@@ -1023,6 +1295,7 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "compactIndex")
+    writeMarker(fs, dir, """{"op":"compact"}""")
     val lists = s"$dir/lists"
     val staged = s"$dir/lists__compacting"
     val retired = s"$dir/lists__retired"
@@ -1040,6 +1313,7 @@ object Similarity {
     }
     fs.delete(p(retired), true)
     fs.delete(p(staged), true)
+    fs.delete(p(markerPath(dir)), false)
   }
 
   /** Operational statistics of a stored index — the observability surface
@@ -1079,11 +1353,13 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "deleteFromIndex")
+    readIndexManifest(spark, dir) // loud on a foreign/pre-manifest tree
     val lists = spark.read.parquet(s"$dir/lists")
     val del = ids.select(col(idCol).as("corpus_id"))
     val hitCids = lists.join(broadcast(del), Seq("corpus_id"), "left_semi")
       .select("__cid").distinct().collect().map(_.getInt(0)).toSeq
     if (hitCids.isEmpty) return
+    writeMarker(fs, dir, """{"op":"delete"}""")
     val staged = s"$dir/lists__deleting"
     lists.where(col("__cid").isInCollection(hitCids))
       .join(broadcast(del), Seq("corpus_id"), "left_anti")
@@ -1106,6 +1382,145 @@ object Similarity {
       fs.delete(p(retired), true)
     }
     fs.delete(p(staged), true)
+    fs.delete(p(markerPath(dir)), false)
+  }
+
+  // ------------------------------------------------------------------
+  // Hot-list re-split: heal rows-per-list skew without retraining.
+  // ------------------------------------------------------------------
+
+  /** SPLIT one hot inverted list in place — the standard IVF re-split and
+    * the operator that CONSUMES [[indexStats]]'s rows-per-list skew signal:
+    * a 100 TB index whose ingest drifted hot (one list holding 100× the
+    * median) heals locally instead of retraining the whole quantizer.
+    * The hot list's vectors are approximated by PQ-DECODING its own codes
+    * (codebook entries concatenated — standard reconstruction; the split
+    * needs only coarse geometry, so quantization error is immaterial), a
+    * distributed 2-means ([[ivfTrain]], never a driver collect of list
+    * rows) yields two children, centroid `cid` is REPLACED by child one and
+    * child two takes the next free cid, and the list's rows are dealt
+    * between the two sub-lists. All other lists, all codes, and the PQ
+    * codebooks are untouched (frozen-quantizer contract: codes stay valid —
+    * only coarse routing changes, and only for this list's region).
+    *
+    * Crash safety: runs under the maintenance marker (op=split with the
+    * (cid, new_cid) record), stages both sub-lists and the new centroid
+    * table fully BEFORE the first rename, and commits with the checked
+    * rename protocol — [[recoverIndex]] rolls a begun commit forward from
+    * the marker and rolls an unbegun one back. Serving keeps the k contract
+    * throughout: a query that probed the hot list now probes whichever
+    * children cover its region (nProbe unchanged — the standard re-split
+    * recall posture; both children sit where the parent was). */
+  def splitList(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cid: Int, iters: Int = 5, seed: Long = 42L): Unit =
+    splitListImpl(spark, dir, cid, iters, seed, _ => ())
+
+  /** [[splitList]] with a step hook — the crash-injection seam the recovery
+    * unit drives (the hook throws at a chosen protocol step, simulating a
+    * crash exactly between two real fs operations). Steps: "staged" (all
+    * artifacts written, commit not begun), "retired" (hot list moved aside,
+    * commit begun). */
+  private[graft] def splitListImpl(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cid: Int, iters: Int, seed: Long,
+      onStep: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    requireCleanIndex(fs, dir, "splitList")
+    val mf = readIndexManifest(spark, dir)
+    val (cents, books) = readIndexModels(spark, dir)
+    require(cid >= 0 && cid < cents.length,
+      s"splitList: cid=$cid out of range (index has ${cents.length} lists)")
+    val newCid = cents.length
+    val hot = spark.read.parquet(s"$dir/lists").where(col("__cid") === cid)
+    require(hot.limit(2).count() == 2,
+      s"splitList: list $cid has fewer than 2 rows — nothing to split")
+    writeMarker(fs, dir,
+      s"""{"op":"split","cid":$cid,"new_cid":$newCid}""")
+    // ---- phase A: stage everything; a crash here rolls back by deletion
+    // PQ reconstruction: code m -> codebook entry, concatenated
+    val bookLit = typedlit(books.toIndexedSeq.map(_.toIndexedSeq.map(_.toSeq)))
+    val recon = hot.withColumn("__rv",
+      flatten(zip_with(col("code"), bookLit,
+        (cm, bk) => element_at(bk, cm.cast("int") + 1))))
+    val kids = ivfTrain(recon, "corpus_id", "__rv", mf.dim,
+      nCentroids = 2, iters = iters, seed = seed)
+    require(kids.length == 2, s"splitList: 2-means returned ${kids.length}")
+    recon
+      .withColumn("__nc", ivfAssign(col("__rv"), kids))
+      .select(col("corpus_id"), col("code"), col("xn2"),
+        when(col("__nc") === 0, lit(cid)).otherwise(lit(newCid)).as("__cid"))
+      .write.mode("overwrite").partitionBy("__cid")
+      .parquet(s"$dir/lists__splitting")
+    val spk = spark
+    import spk.implicits._
+    (cents.updated(cid, kids(0)) :+ kids(1)).zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "vec").write.mode("overwrite")
+      .parquet(s"$dir/centroids__new")
+    onStep("staged")
+    // ---- phase B: commit (recoverSplit can finish any suffix of this)
+    require(fs.rename(p(s"$dir/lists/__cid=$cid"),
+      p(s"$dir/lists__retired_$cid")),
+      s"splitList: could not move list $cid aside")
+    onStep("retired")
+    finishSplit(spark, fs, dir, cid, newCid)
+  }
+
+  /** The commit suffix of a split — shared verbatim with crash recovery so
+    * the two cannot drift: move staged sub-lists in (either may be absent —
+    * a fully one-sided split stages only one child, and a resumed recovery
+    * may find some steps already done), swap the centroid table, bump the
+    * manifest, clean up, drop the marker. Every step is a no-op when its
+    * precondition is already consumed — idempotent by construction. */
+  private def finishSplit(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      cid: Int, newCid: Int): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def moveIn(child: Int): Unit = {
+      val from = s"$dir/lists__splitting/__cid=$child"
+      val to = s"$dir/lists/__cid=$child"
+      if (fs.exists(p(from)) && !fs.exists(p(to)))
+        require(fs.rename(p(from), p(to)),
+          s"splitList: could not move $from into the lists tree")
+    }
+    moveIn(cid); moveIn(newCid)
+    if (fs.exists(p(s"$dir/centroids__new"))) {
+      if (!fs.exists(p(s"$dir/centroids__retired")))
+        require(fs.rename(p(s"$dir/centroids"), p(s"$dir/centroids__retired")),
+          s"splitList: could not retire $dir/centroids")
+      require(fs.rename(p(s"$dir/centroids__new"), p(s"$dir/centroids")),
+        s"splitList: could not move the new centroid table in")
+    }
+    val mf = readIndexManifest(spark, dir)
+    if (mf.nCentroids != newCid + 1)
+      writeManifest(fs, dir, mf.copy(nCentroids = newCid + 1))
+    fs.delete(p(s"$dir/centroids__retired"), true)
+    fs.delete(p(s"$dir/lists__retired_$cid"), true)
+    fs.delete(p(s"$dir/lists__splitting"), true)
+    fs.delete(p(markerPath(dir)), false)
+  }
+
+  /** Crash recovery for a split (marker op=split): the commit BEGAN iff the
+    * hot list was moved aside, the centroid table was retired, or the new
+    * child list is already live with the staged centroid table consumed —
+    * then roll FORWARD through [[finishSplit]] (idempotent). Otherwise the
+    * crash was in the staging phase: roll back by deleting the staged
+    * artifacts; the live tree was never touched. */
+  private def recoverSplit(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      cid: Int, newCid: Int): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val commitBegan = fs.exists(p(s"$dir/lists__retired_$cid")) ||
+      fs.exists(p(s"$dir/centroids__retired")) ||
+      (fs.exists(p(s"$dir/lists/__cid=$newCid")) &&
+        !fs.exists(p(s"$dir/centroids__new")))
+    if (commitBegan) finishSplit(spark, fs, dir, cid, newCid)
+    else {
+      fs.delete(p(s"$dir/lists__splitting"), true)
+      fs.delete(p(s"$dir/centroids__new"), true)
+      fs.delete(p(markerPath(dir)), false)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:

@@ -1685,6 +1685,40 @@ object KqlParser {
             eatPunct("]"); eatPunct(")")
             eatPunct(")")
             df.funnelSequence(id, tsN, stateCol, start, end, stepW, states.result())
+          case "ann_search" =>
+            // `evaluate ann_search(CorpusTable, corpusIdCol, queryIdCol,
+            // vecCol, 'indexDir', k [, nProbe [, shortlist]])` — serve
+            // top-k per piped query row from the STORED ANN index at
+            // indexDir (Similarity.indexTopKDistributed: DPP-pruned lists
+            // scan, ADC shortlist, exact re-rank against CorpusTable). The
+            // vector dimensionality comes from the index's OWN manifest
+            // (self-describing — a wrong-index dir fails loudly there, not
+            // as a shape error mid-scan). Output: (queryIdCol, corpusIdCol,
+            // cosine, rank) rows, k per query.
+            val corpusTbl = resolveTable(ident()); eatPunct(",")
+            val corpusIdCol = ident(); eatPunct(",")
+            val queryIdCol = ident(); eatPunct(",")
+            val annVecCol = ident(); eatPunct(",")
+            val idxDir = litString(parseExpr()); eatPunct(",")
+            val annK = litLong(parseExpr()).toInt
+            val annProbe =
+              if (atPunct(",")) { pos += 1; litLong(parseExpr()).toInt } else 4
+            val annShort =
+              if (atPunct(",")) { pos += 1; litLong(parseExpr()).toInt } else 32
+            eatPunct(")")
+            val dim = graft.functions.Similarity
+              .readIndexManifest(df.sparkSession, idxDir).dim
+            // KQL dynamic arrays surface as array<double> (series_add etc.);
+            // the engine's vector type is array<float> (the embedding
+            // columns' type and what the native kernels type-check), so the
+            // plugin casts at the boundary — queries built from float
+            // columns pass through unchanged (identity cast elided)
+            val qcast = df.withColumn(annVecCol,
+              org.apache.spark.sql.functions.col(annVecCol)
+                .cast("array<float>"))
+            graft.functions.Similarity.indexTopKDistributed(df.sparkSession,
+              idxDir, qcast, corpusTbl, annK, dim, annProbe, annShort,
+              queryIdCol, corpusIdCol, annVecCol)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "reduce" =>

@@ -3653,6 +3653,98 @@ object NorthStarQueries {
              |  (vec_id % 2 = 0) AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // FILTERED stored-index serve (Similarity.indexTopKDistributed(filter)):
+    // the standard vector-store feature — a metadata predicate over the
+    // PAYLOAD table (label % 2 = 0 — `label` is the embeddings table's
+    // metadata column) composed into serving as a PRE-filter on the
+    // candidate join, so the shortlist spends its whole budget on rows
+    // that can be returned and the k contract holds (every query still
+    // gets a row). Deterministic contract: an ALLOWED original is found
+    // (planted pair); an excluded original can never be returned (it is
+    // semi-joined out before the shortlist), and every returned id
+    // satisfies the predicate. Reuses the same memoized index as the
+    // distributed row — filtering is a serve-time argument, not an index
+    // rebuild.
+    QueryDef("q_ann_index_filtered",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.project(col("vec_id").as("corpus_id"),
+          col("embedding"), col("label"))
+        val dir = builtAnnIndex(s, d, corpus)
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.indexTopKDistributed(s, dir, queries, corpus,
+            k = 1, dim = EMB_DIM, filter = Some(col("label") % 2 === 0))
+          .join(corpus.select(col("corpus_id"), col("label")), Seq("corpus_id"))
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"),
+            (col("label") % 2 === 0).as("hit_allowed"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id,
+             |  (label % 2 = 0) AS found_original, true AS hit_allowed
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
+    // Hot-list RE-SPLIT (Similarity.splitList — the operator that consumes
+    // indexStats' rows-per-list skew signal): the fattest list (max rows,
+    // ties to the smaller cid — deterministic) is split in place into two
+    // children via distributed 2-means over its PQ-reconstructed vectors;
+    // centroid cid is replaced, the next free cid appended, every other
+    // list and all codes untouched (frozen-quantizer contract). The
+    // planted queries must survive the re-route: a query whose original
+    // lived in the split list now probes whichever child covers its
+    // region. Serving is the distributed path over the healed index.
+    QueryDef("q_ann_index_split",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus, variant = "annidx_spl",
+          buildTail = { root =>
+            val hot = Similarity.indexStats(s, root)
+              .orderBy(col("rows").desc, col("__cid")).limit(1)
+              .collect()(0).getInt(0)
+            Similarity.splitList(s, root, hot)
+          })
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.indexTopKDistributed(s, dir, queries, corpus,
+            k = 1, dim = EMB_DIM)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
+    // KQL surface for the ANN tier (`evaluate ann_search(...)`): the
+    // flagship stored index reachable from the engine's own declared query
+    // language (the evaluate-plugin machinery, README.md:33-34) — the
+    // whole pipeline is KQL TEXT: filter, perturb (series_add over a
+    // repeat() scalar array), serve from the stored index (the plugin
+    // resolves dim from the index's own manifest), and project the planted
+    // verdict. Same contract and the same memoized index as the
+    // distributed row, so parser-path drift reddens exactly one row.
+    QueryDef("q_kql_ann_search",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        KqlParser.parse(
+          s"""embeddings
+             || where vec_id < 25
+             || project query_id = vec_id + 1000000,
+             |    embedding = series_add(embedding, repeat(0.02, $EMB_DIM))
+             || evaluate ann_search(embeddings, vec_id, query_id, embedding,
+             |    '$dir', 1)
+             || project query_id, found_original = vec_id == query_id - 1000000
+             || sort by query_id asc""".stripMargin,
+          Tables.resolver(s, d))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // Classifier CALIBRATION (the held-out evaluation every learned gate
     // needs before anyone picks its threshold): the NB quality gate trains
     // on the doc_id%3=0 labeled slice, scores the DISJOINT doc_id%3=1

@@ -71,6 +71,23 @@ object RecallScale {
         recall(Similarity.ivfPqTopK(queries, corpus, k, dim,
           nProbe = nProbe, shortlist = shortlist,
           trainedIvf = Some(cents), trainedPq = Some(books))))
+    // ---- recall through the STORED-INDEX SERVE PATH at serving
+    // parameters (the r14 honesty gap: the table priced the in-memory
+    // operators but not indexTopKDistributed at its own defaults, which
+    // inherit PQ's recall-falls-with-n at fixed shortlist). Same frozen
+    // models as the in-memory lanes, so any spread vs the ivfpq rows is
+    // the serve path itself, not training noise. Includes the default
+    // (nProbe=4, shortlist=32) and the shortlist-scaling column the
+    // guidance in SCALE.md is derived from.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_idx").toString
+    Similarity.writeIndex(corpus, idxDir, "corpus_id", "embedding", dim,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    for (nProbe <- Seq(2, 4, 8); shortlist <- Seq(32, 64, 128))
+      row("index-serve", s"nProbe=$nProbe shortlist=$shortlist",
+        recall(Similarity.indexTopKDistributed(spark, idxDir, queries,
+          corpus, k, dim, nProbe = nProbe, shortlist = shortlist)))
+
     // hierarchical PROBE assignment composed into the IVF search (the
     // assignment-level recall trade measured end-to-end): corpus lists are
     // flat nProbe=1 as always; query probes come from the two-level path

@@ -67,6 +67,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 > r1, "recall must rise with probe count")
     assert(recall(Similarity.ivfPqTopK(queries, corpus, k, 64,
       nProbe = 8, shortlist = 64)) >= 0.55, "ivfpq@8/64 below anchor")
+    // the STORED SERVE PATH at its serving defaults (nProbe=4,
+    // shortlist=32) — the r14 honesty gap: the serve default must not
+    // quietly inherit PQ's recall-falls-with-n without a floor watching it.
+    // Same frozen models as above so the lane isolates the serve path.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_anchor").toString
+    val cents16 = Similarity.ivfTrain(corpus, "corpus_id", "embedding", 64)
+    val books16 = Similarity.pqTrain(corpus, "corpus_id", "embedding", 64)
+    Similarity.writeIndex(corpus, idxDir, "corpus_id", "embedding", 64,
+      trainedIvf = Some(cents16), trainedPq = Some(books16))
+    val atDefaults = recall(Similarity.indexTopKDistributed(spark, idxDir,
+      queries, corpus, k, dim = 64))
+    assert(atDefaults >= 0.25, s"stored serve @defaults below floor: $atDefaults")
+    // shortlist is the recall lever at fixed probes — must be monotone here
+    val wide = recall(Similarity.indexTopKDistributed(spark, idxDir,
+      queries, corpus, k, dim = 64, shortlist = 128))
+    assert(wide >= atDefaults, s"shortlist widening lowered recall: $wide < $atDefaults")
+    assert(wide >= 0.5, s"stored serve @nProbe=4/shortlist=128 below floor: $wide")
   }
 
   test("lsh table keys are deterministic across partitionings") {
@@ -276,6 +294,238 @@ class SimilaritySpec extends SparkSpec {
         k = 1, dim = 64, nProbe = 3)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
     assert(top1 == batch)
+  }
+
+  test("streaming shortlist serves PAST the literal regime via group-granular probes") {
+    // k = 2176 centroids (≥ centroidTableThreshold): the flat literal probe
+    // would blow the plan regime, so the stream probes its groupProbe
+    // nearest √k literal SUPERS and one stateless stream-static broadcast
+    // join fans each group out to member cids — candidates a superset of
+    // the two-level frontier. The planted contract must still hold.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_bigk").toString
+    // synthetic deterministic coarse quantizer — at k ≫ n most lists are
+    // empty, which is exactly the k ∝ n regime's shape; PQ books train real
+    val cents = Array.tabulate(2176, 64)((i, j) =>
+      (((i * 131 + j * 17) % 997) / 997.0f) - 0.5f)
+    val books = Similarity.pqTrain(corpus, "corpus_id", "embedding", 64, iters = 2)
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val short = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_ann_bigk",
+      Similarity.indexShortlistStream(spark, dir, qStream, 64,
+        nProbe = 4, groupProbe = 6))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.rerankTopK(short, queries, corpus, k = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+  }
+
+  test("crashed maintenance blocks EVERY append; recovery preserves every pre-crash row") {
+    // the r14 race: deleteFromIndex crashes between its two renames for one
+    // cid; an appendToIndex with PRE-READ models used to bypass the guard,
+    // recreate lists/__cid=N with only the new batch, and recovery then
+    // discarded the retired originals. Now the append must fail LOUDLY in
+    // that state (models pre-read or not), and recovery must restore the
+    // index to exactly its pre-crash rows.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_race").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 400), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val models = Similarity.readIndexModels(spark, dir) // pre-read: the ingest path
+    val rowsBefore = spark.read.parquet(s"$dir/lists")
+      .select("corpus_id").as[Long].collect().toSet
+    // simulate the mid-delete crash: marker held, one live list retired
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val cid = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("__cid=")).head.getName.stripPrefix("__cid=")
+    val out = fs.create(p(s"$dir/lists__maintenance"), true)
+    out.write("""{"op":"delete"}""".getBytes("UTF-8")); out.close()
+    assert(fs.rename(p(s"$dir/lists/__cid=$cid"), p(s"$dir/lists__retired_$cid")))
+    // the blind append (pre-read models — the exact bypass path) fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(corpus.filter(col("corpus_id") >= 400), dir,
+        "corpus_id", "embedding", 64, models = Some(models))
+    }
+    Similarity.recoverIndex(spark, dir)
+    val rowsAfter = spark.read.parquet(s"$dir/lists")
+      .select("corpus_id").as[Long].collect().toSet
+    assert(rowsAfter == rowsBefore, "recovery lost or invented rows")
+    // and the append now succeeds cleanly
+    Similarity.appendToIndex(corpus.filter(col("corpus_id") >= 400), dir,
+      "corpus_id", "embedding", 64, models = Some(models))
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+  }
+
+  test("recoverIndex REFUSES the unattributable lists+retired both-present state") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_amb").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // both trees present, NO marker: an unknown writer recreated lists/ —
+    // deleting either side could destroy the only complete copy of its rows
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$dir/lists"),
+      fs, p(s"$dir/lists__retired"), false, conf)
+    val e = intercept[IllegalStateException] { Similarity.recoverIndex(spark, dir) }
+    assert(e.getMessage.contains("BOTH present"), e.getMessage)
+    fs.delete(p(s"$dir/lists__retired"), true)
+    // same refusal for a per-cid retired dir whose LIVE dir also exists
+    val cid = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("__cid=")).head.getName.stripPrefix("__cid=")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$dir/lists/__cid=$cid"),
+      fs, p(s"$dir/lists__retired_$cid"), false, conf)
+    intercept[IllegalStateException] { Similarity.recoverIndex(spark, dir) }
+    fs.delete(p(s"$dir/lists__retired_$cid"), true)
+    Similarity.recoverIndex(spark, dir) // clean tree: recovery is a no-op
+    assert(Similarity.readIndexModels(spark, dir)._1.length == 8)
+  }
+
+  test("index manifest: wrong-dim open/append and model mismatches fail with the diff") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_mf").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3, corpusSnapshot = "embeddings@unit")
+    val mf = Similarity.readIndexManifest(spark, dir)
+    assert(mf.dim == 64 && mf.nCentroids == 8 && mf.m == 8 && mf.ksub == 16)
+    assert(mf.corpusSnapshot == "embeddings@unit")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("query_id"), col("embedding"))
+    // wrong-dim OPEN: fails at the entry point, naming both values
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.indexTopKDistributed(spark, dir, queries, corpus, 1, dim = 32)
+    }
+    assert(e1.getMessage.contains("caller=32") && e1.getMessage.contains("manifest=64"),
+      e1.getMessage)
+    // wrong-dim APPEND: would silently mis-encode (64 divides into m=8
+    // either way) — must fail loudly instead
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(corpus.limit(1), dir, "corpus_id", "embedding",
+        dim = 32)
+    }
+    assert(e2.getMessage.contains("manifest"), e2.getMessage)
+    // hand-passed models disagreeing with the manifest: loud diff
+    val (cents, books) = Similarity.readIndexModels(spark, dir)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(corpus.limit(1), dir, "corpus_id", "embedding",
+        dim = 64, models = Some((cents.take(4), books)))
+    }
+    assert(e3.getMessage.contains("n_centroids"), e3.getMessage)
+    // a tree with NO manifest is not openable (foreign/pre-manifest index)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest.json"), false)
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.readIndexModels(spark, dir)
+    }
+    assert(e4.getMessage.contains("manifest"), e4.getMessage)
+  }
+
+  test("splitList heals a hot list: crash windows recover, rows preserved, contract survives") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_split").toString
+    // 4 coarse lists over 500 vectors: every list is "hot" (~125 rows)
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 4, iters = 3)
+    val statsBefore = Similarity.indexStats(spark, dir)
+      .select("__cid", "rows").as[(Int, Long)].collect().toMap
+    val hot = statsBefore.maxBy(_._2)._1
+    val allRows = spark.read.parquet(s"$dir/lists")
+      .select("corpus_id").as[Long].collect().toSet
+    // ---- crash BEFORE the commit: rollback leaves the original index
+    val boom = new RuntimeException("injected crash")
+    assert(intercept[RuntimeException] {
+      Similarity.splitListImpl(spark, dir, hot, 3, 42L,
+        step => if (step == "staged") throw boom)
+    } eq boom)
+    intercept[IllegalArgumentException] { Similarity.readIndexModels(spark, dir) }
+    Similarity.recoverIndex(spark, dir)
+    assert(Similarity.readIndexManifest(spark, dir).nCentroids == 4,
+      "pre-commit crash must roll BACK")
+    assert(spark.read.parquet(s"$dir/lists")
+      .select("corpus_id").as[Long].collect().toSet == allRows)
+    // ---- crash MID-commit: recovery rolls the split FORWARD
+    assert(intercept[RuntimeException] {
+      Similarity.splitListImpl(spark, dir, hot, 3, 42L,
+        step => if (step == "retired") throw boom)
+    } eq boom)
+    intercept[IllegalArgumentException] { Similarity.readIndexModels(spark, dir) }
+    Similarity.recoverIndex(spark, dir)
+    val mfAfter = Similarity.readIndexManifest(spark, dir)
+    assert(mfAfter.nCentroids == 5, "mid-commit crash must roll FORWARD")
+    val statsAfter = Similarity.indexStats(spark, dir)
+      .select("__cid", "rows").as[(Int, Long)].collect().toMap
+    // rows preserved exactly; the hot list actually shrank; both children
+    // bounded by the parent
+    assert(spark.read.parquet(s"$dir/lists")
+      .select("corpus_id").as[Long].collect().toSet == allRows)
+    assert(statsAfter.values.sum == statsBefore.values.sum)
+    assert(statsAfter.getOrElse(hot, 0L) < statsBefore(hot))
+    assert(statsAfter.getOrElse(4, 0L) > 0L &&
+      statsAfter.getOrElse(4, 0L) < statsBefore(hot))
+    // untouched lists are bit-identical in row counts
+    for ((c, n) <- statsBefore if c != hot) assert(statsAfter(c) == n)
+    // the planted contract survives the split (serving probes the children)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+  }
+
+  test("filtered serve honors the metadata predicate and keeps the k contract + DPP") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // payload carries the metadata column the predicate filters on
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"),
+      col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_filt").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val served = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+      k = 1, dim = 64, nProbe = 3, filter = Some(col("label") % 2 === 0))
+    val got = served
+      .join(corpus.select(col("corpus_id"), col("label")), Seq("corpus_id"))
+      .select("query_id", "corpus_id", "label")
+      .as[(Long, Long, Int)].collect()
+    // k contract: every query gets a row (pre-filter, not post-filter)
+    assert(got.length == 20, s"expected 20 rows, got ${got.length}")
+    // every returned id satisfies the predicate
+    assert(got.forall(_._3 % 2 == 0), got.mkString(","))
+    // allowed originals are found; excluded originals can never be returned
+    val labelOf = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    for ((q, c, _) <- got) {
+      val orig = q - 1000L
+      if (labelOf(orig) % 2 == 0) assert(c == orig, s"allowed $orig lost for $q")
+      else assert(c != orig, s"excluded $orig returned for $q")
+    }
+    // the lists scan stays DPP-pruned with the semi-join in the plan
+    val plan = served.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"filtered serve lost dynamic partition pruning:\n$plan")
   }
 
   test("broadcast-table assignment matches the literal kernel exactly") {
