@@ -1716,9 +1716,17 @@ object KqlParser {
             val qcast = df.withColumn(annVecCol,
               org.apache.spark.sql.functions.col(annVecCol)
                 .cast("array<float>"))
+            // CorpusTable IS the allowed payload set: candidates pre-filter
+            // against its ids BEFORE the shortlist (filter = lit(true) →
+            // the semi-join against the table as given), so FILTERED vector
+            // search is just `let allowed = T | where pred; ... evaluate
+            // ann_search(allowed, ...)` — k results per query at any
+            // selectivity. With the full table the semi-join is an identity
+            // (every indexed id is in the payload).
             graft.functions.Similarity.indexTopKDistributed(df.sparkSession,
               idxDir, qcast, corpusTbl, annK, dim, annProbe, annShort,
-              queryIdCol, corpusIdCol, annVecCol)
+              queryIdCol, corpusIdCol, annVecCol,
+              filter = Some(org.apache.spark.sql.functions.lit(true)))
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "reduce" =>

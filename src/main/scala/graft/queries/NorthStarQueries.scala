@@ -3745,6 +3745,37 @@ object NorthStarQueries {
       Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // FILTERED vector search from KQL: the ann_search plugin treats its
+    // CorpusTable argument as the ALLOWED payload set (candidates
+    // pre-filter against it before the shortlist), so filtered search is
+    // plain KQL composition — a let-bound filtered view passed as the
+    // corpus. Same deterministic contract as q_ann_index_filtered
+    // (allowed originals found, excluded never returned, every hit
+    // satisfies the predicate, k rows per query), proven end-to-end from
+    // KQL text including the verdict join.
+    QueryDef("q_kql_ann_filtered",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        KqlParser.parse(
+          s"""let allowed = embeddings | where label % 2 == 0;
+             |embeddings
+             || where vec_id < 25
+             || project query_id = vec_id + 1000000,
+             |    embedding = series_add(embedding, repeat(0.02, $EMB_DIM))
+             || evaluate ann_search(allowed, vec_id, query_id, embedding,
+             |    '$dir', 1)
+             || join kind=inner (embeddings | project vec_id, label) on vec_id
+             || project query_id, found_original = vec_id == query_id - 1000000,
+             |    hit_allowed = label % 2 == 0
+             || sort by query_id asc""".stripMargin,
+          Tables.resolver(s, d))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id,
+             |  (label % 2 = 0) AS found_original, true AS hit_allowed
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // Classifier CALIBRATION (the held-out evaluation every learned gate
     // needs before anyone picks its threshold): the NB quality gate trains
     // on the doc_id%3=0 labeled slice, scores the DISJOINT doc_id%3=1

@@ -291,7 +291,12 @@ class PlanAuditSpec extends SparkSpec {
     // table without collecting probes — the broadcast probe join itself
     // must prune the partitioned lists scan at runtime
     for (q <- Seq("q_ann_index_distributed", "q_ann_index_append",
-        "q_ann_index_delete", "q_streaming_index_append")) {
+        "q_ann_index_delete", "q_streaming_index_append",
+        // r15: the filtered serve (pre-filter semi-join must not break
+        // DPP), the healed post-split index, and the KQL-parsed plugin
+        // path (the parser emits the same combinator plan)
+        "q_ann_index_filtered", "q_ann_index_split", "q_kql_ann_search",
+        "q_kql_ann_filtered")) {
       val p = plan(q)
       assert(p.contains("dynamicpruning"),
         s"$q lists scan not dynamically pruned:\n$p")
