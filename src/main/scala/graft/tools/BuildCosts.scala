@@ -81,6 +81,13 @@ object BuildCosts {
     time("ann_index_compact") {
       Similarity.compactIndex(spark, s"$root/annidx")
     }
+    time("ann_index_split_hot") {
+      // the q_ann_index_split maintenance op: split the fattest list
+      val hot = Similarity.indexStats(spark, s"$root/annidx")
+        .orderBy(F.col("rows").desc, F.col("__cid")).limit(1)
+        .collect()(0).getInt(0)
+      Similarity.splitList(spark, s"$root/annidx", hot)
+    }
     spark.stop()
   }
 }

@@ -394,6 +394,18 @@ class SimilaritySpec extends SparkSpec {
     fs.delete(p(s"$dir/lists__retired_$cid"), true)
     Similarity.recoverIndex(spark, dir) // clean tree: recovery is a no-op
     assert(Similarity.readIndexModels(spark, dir)._1.length == 8)
+    // the SAME both-present state UNDER a compact marker is attributable
+    // (no append can have interleaved — appends fail on the marker), so
+    // recovery completes the swap: keep lists/, drop the retired copy
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$dir/lists"),
+      fs, p(s"$dir/lists__retired"), false, conf)
+    val out = fs.create(p(s"$dir/lists__maintenance"), true)
+    out.write("""{"op":"compact"}""".getBytes("UTF-8")); out.close()
+    Similarity.recoverIndex(spark, dir)
+    assert(!fs.exists(p(s"$dir/lists__retired")) &&
+      !fs.exists(p(s"$dir/lists__maintenance")),
+      "compact-marked both-present state must complete the swap")
+    assert(Similarity.readIndexModels(spark, dir)._1.length == 8)
   }
 
   test("index manifest: wrong-dim open/append and model mismatches fail with the diff") {
