@@ -926,7 +926,8 @@ object Similarity {
       dir: String, queryStream: DataFrame, dim: Int,
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id",
-      vecCol: String = "embedding", groupProbe: Int = 3): DataFrame = {
+      vecCol: String = "embedding", groupProbe: Int = 3,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val (cents, books) = openIndex(spark, dir, dim, "indexShortlistStream")
     // probes AND the ADC LUT ride ONE projection of the stream — a second
     // derived frame would make the candidate join a stream-STREAM join
@@ -981,9 +982,19 @@ object Similarity {
           .select(col(queryId), col("__lut"), col("__qn"), col("__cid"))
       }
     val lists = spark.read.parquet(s"$dir/lists")
-    val cand = qside.join(lists, Seq("__cid"))
+    val cand0 = qside.join(lists, Seq("__cid"))
       .filter(col(queryId) =!= col("corpus_id"))
-      .withColumnRenamed("code", "__code").withColumnRenamed("xn2", "__xn2")
+    // FILTERED streaming serve: `allowed` is an ids frame (first column =
+    // corpus id) — candidates semi-join against it BEFORE the shortlist
+    // aggregation, one more STATIC side on the stream (still stateless),
+    // so the bounded shortlist spends its whole budget on returnable rows
+    // — the same pre-filter contract as the batch path's `filter`
+    val cand = (allowed match {
+      case Some(ok) => cand0.join(
+        ok.select(ok.columns.head).toDF("corpus_id"),
+        Seq("corpus_id"), "left_semi")
+      case None => cand0
+    }).withColumnRenamed("code", "__code").withColumnRenamed("xn2", "__xn2")
       .withColumn("__adc", pqAdcCol)
     val topk = udaf(new Sampling.TopKAgg(shortlist))
     // (adc, corpus_id) pairs are unique per query (each corpus vector lives

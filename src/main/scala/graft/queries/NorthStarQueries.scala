@@ -3540,6 +3540,43 @@ object NorthStarQueries {
       Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // FILTERED STREAMING serve (indexShortlistStream(allowed)): the
+    // metadata pre-filter composed into the STREAMING serve path — the
+    // allowed-ids frame joins the candidate stream as one more STATIC
+    // semi-join side (still stateless), so the bounded shortlist spends
+    // its whole budget on returnable rows and the k contract holds, the
+    // same contract as q_ann_index_filtered but with queries arriving as
+    // a stream. Every serve modality now composes with filtering.
+    QueryDef("q_streaming_ann_filtered",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.project(col("vec_id").as("corpus_id"),
+          col("embedding"), col("label"))
+        val dir = builtAnnIndex(s, d, corpus)
+        val allowed = corpus.where_(col("label") % 2 === 0)
+          .project(col("corpus_id"))
+        val qStream = graft.streaming.StreamingIngest.loadStream(s, d, "embeddings")
+          .where(col("vec_id") < 25)
+          .select((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        val short = graft.streaming.StreamingIngest.runBoundedAggregation(s,
+          "q_streaming_annfilt_sink",
+          Similarity.indexShortlistStream(s, dir, qStream, EMB_DIM,
+            allowed = Some(allowed)))
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.rerankTopK(short, queries, corpus, k = 1)
+          .join(corpus.select(col("corpus_id"), col("label")), Seq("corpus_id"))
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"),
+            (col("label") % 2 === 0).as("hit_allowed"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id,
+             |  (label % 2 = 0) AS found_original, true AS hit_allowed
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // Stored-index APPEND + COMPACTION (Similarity.appendToIndex /
     // compactIndex — the reference's declared segment lifecycle, append +
     // periodic merge): the index is BUILT over the even-id half only, the

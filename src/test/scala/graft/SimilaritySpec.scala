@@ -296,6 +296,41 @@ class SimilaritySpec extends SparkSpec {
     assert(top1 == batch)
   }
 
+  test("streaming shortlist honors the allowed-set pre-filter like the batch path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"),
+      col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_sfilt").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val allowed = corpus.filter(col("label") % 2 === 0).select("corpus_id")
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val short = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_ann_sfilt",
+      Similarity.indexShortlistStream(spark, dir, qStream, 64, nProbe = 3,
+        allowed = Some(allowed)))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val got = Similarity.rerankTopK(short, queries, corpus, k = 1)
+      .join(corpus.select(col("corpus_id"), col("label")), Seq("corpus_id"))
+      .select("query_id", "corpus_id", "label")
+      .as[(Long, Long, Int)].collect()
+    // k contract under the filter, every hit allowed, planted verdicts
+    assert(got.length == 20, s"expected 20 rows, got ${got.length}")
+    assert(got.forall(_._3 % 2 == 0), got.mkString(","))
+    val labelOf = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    for ((q, c, _) <- got) {
+      val orig = q - 1000L
+      if (labelOf(orig) % 2 == 0) assert(c == orig, s"allowed $orig lost for $q")
+      else assert(c != orig, s"excluded $orig returned for $q")
+    }
+  }
+
   test("streaming shortlist serves PAST the literal regime via group-granular probes") {
     // k = 2176 centroids (≥ centroidTableThreshold): the flat literal probe
     // would blow the plan regime, so the stream probes its groupProbe
