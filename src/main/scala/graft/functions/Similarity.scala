@@ -1194,7 +1194,7 @@ object Similarity {
     val fixed = Seq(markerPath(dir), s"$dir/lists__compacting",
       s"$dir/lists__deleting", s"$dir/lists__splitting",
       s"$dir/lists__retired", s"$dir/centroids__new",
-      s"$dir/centroids__retired")
+      s"$dir/centroids__retired", s"$dir/codebooks__retired")
       .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s)))
     val perCid =
       try fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/lists__retired_*"))
@@ -1256,6 +1256,8 @@ object Similarity {
     if (op.contains("split")) {
       recoverSplit(spark, fs, dir,
         jsonLong(marker.get, "cid").toInt, jsonLong(marker.get, "new_cid").toInt)
+    } else if (op.contains("rebuild")) {
+      recoverRebuild(spark, fs, dir)
     } else {
       val lists = s"$dir/lists"
       val retired = s"$dir/lists__retired"
@@ -1272,12 +1274,15 @@ object Similarity {
           else if (op.contains("delete")) fs.delete(p(left), true)
           else refuse(live, left)
         } else if (left.endsWith("__compacting") || left.endsWith("__deleting")
-            || left.endsWith("__splitting") || left.endsWith("centroids__new")) {
+            || left.endsWith("__splitting") || left.endsWith("centroids__new")
+            || left.endsWith("rebuild__staging")) {
           fs.delete(p(left), true) // pre-swap copies, safe to rebuild
         } else if (left.endsWith("centroids__retired")) {
-          // only a split (handled above) retires the centroid table — this
-          // state has no attributable owner, so refuse like any ambiguity
+          // only a marked split/rebuild (handled above) retires a model
+          // table — this state has no attributable owner: refuse
           refuse(s"$dir/centroids", left)
+        } else if (left.endsWith("codebooks__retired")) {
+          refuse(s"$dir/codebooks", left)
         }
       }
       fs.delete(p(markerPath(dir)), false)
@@ -1510,6 +1515,114 @@ object Similarity {
     fs.delete(p(s"$dir/lists__retired_$cid"), true)
     fs.delete(p(s"$dir/lists__splitting"), true)
     fs.delete(p(markerPath(dir)), false)
+  }
+
+  // ------------------------------------------------------------------
+  // Full rebuild: the retrain escape hatch when drift exceeds splits.
+  // ------------------------------------------------------------------
+
+  /** REBUILD a stored index from the CURRENT payload corpus — the
+    * full-retrain escape hatch for when accumulated drift exceeds what
+    * [[splitList]]'s local heals can fix (every IVF deployment eventually
+    * retrains; the architecture's job is making that rare and non-stop):
+    * retrain both quantizers on `corpus` as it is NOW, re-assign and
+    * re-encode every vector, and swap the whole tree in atomically. The
+    * build runs entirely into a SIBLING staging tree first (outside the
+    * index dir, so it is not a maintenance leftover) — serving continues
+    * against the old index for the whole (expensive) train+encode phase —
+    * and only the component renames run under the maintenance marker, so
+    * the serving gap is a few fs metadata operations. A crash during the
+    * staging build leaves no marker and an orphan staging tree the next
+    * rebuild reclaims. Also the catch-up operator: an index built over a
+    * subset re-indexes the full payload table (the q_ann_index_rebuild
+    * row's contract).
+    *
+    * Crash safety: marker op=rebuild; [[recoverIndex]] rolls a begun
+    * commit forward through the shared [[finishRebuild]] and an unbegun
+    * one back (staging deleted, old tree untouched). */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nCentroids: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      seed: Long = 42L, corpusSnapshot: String = ""): Unit =
+    rebuildIndexImpl(spark, dir, corpus, idCol, vecCol, dim, nCentroids,
+      m, ksub, iters, seed, corpusSnapshot, _ => ())
+
+  private[graft] def rebuildIndexImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nCentroids: Int, m: Int, ksub: Int, iters: Int, seed: Long,
+      corpusSnapshot: String, onStep: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    requireCleanIndex(fs, dir, "rebuildIndex")
+    readIndexManifest(spark, dir) // only rebuild something that IS an index
+    val staging = rebuildStagingPath(dir)
+    fs.delete(p(staging), true)
+    // ---- phase A: a COMPLETE new index tree in staging; old serves on
+    writeIndex(corpus, staging, idCol, vecCol, dim, nCentroids, m, ksub,
+      iters, seed, corpusSnapshot = corpusSnapshot)
+    writeMarker(fs, dir, """{"op":"rebuild"}""")
+    onStep("staged")
+    // ---- phase B: commit — component renames only (metadata-cheap)
+    require(fs.rename(p(s"$dir/lists"), p(s"$dir/lists__retired")),
+      s"rebuildIndex: could not move $dir/lists aside")
+    onStep("retired")
+    finishRebuild(spark, fs, dir)
+  }
+
+  /** The commit suffix of a rebuild — shared verbatim with crash recovery:
+    * swap each component (lists, centroids, codebooks) from staging via
+    * retire-then-move-in, install the staged manifest, clean up, drop the
+    * marker. Every step no-ops when already consumed — idempotent. */
+  /** Rebuild staging lives OUTSIDE the index dir (a sibling) so the long
+    * staging build is not a maintenance leftover and serving stays up. */
+  private def rebuildStagingPath(dir: String): String =
+    s"${dir.stripSuffix("/")}__rebuild_staging"
+
+  private def finishRebuild(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staging = rebuildStagingPath(dir)
+    for (part <- Seq("lists", "centroids", "codebooks")) {
+      val live = s"$dir/$part"
+      val staged = s"$staging/$part"
+      val retired = s"$dir/${part}__retired"
+      if (fs.exists(p(staged))) {
+        if (fs.exists(p(live)) && !fs.exists(p(retired)))
+          require(fs.rename(p(live), p(retired)),
+            s"rebuildIndex: could not retire $live")
+        require(fs.rename(p(staged), p(live)),
+          s"rebuildIndex: could not move $staged in")
+      }
+      fs.delete(p(retired), true)
+    }
+    if (fs.exists(p(s"$staging/manifest.json")))
+      writeUtf8(fs, manifestPath(dir), readUtf8(fs, s"$staging/manifest.json"))
+    fs.delete(p(staging), true)
+    fs.delete(p(markerPath(dir)), false)
+  }
+
+  /** Crash recovery for a rebuild (marker op=rebuild): the commit BEGAN
+    * iff any component was retired or staged lists were already consumed —
+    * roll forward through [[finishRebuild]]; otherwise the crash was in
+    * staging — roll back by deleting the staged tree (old index intact). */
+  private def recoverRebuild(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staging = rebuildStagingPath(dir)
+    // the marker is written only AFTER the staging tree is COMPLETE, so
+    // under the marker "staging/lists consumed" can only mean the commit
+    // progressed past the lists swap — never a half-written staging build
+    // (that state has no marker and never reaches this recovery)
+    val commitBegan = Seq("lists", "centroids", "codebooks")
+      .exists(part => fs.exists(p(s"$dir/${part}__retired"))) ||
+      (fs.exists(p(staging)) && !fs.exists(p(s"$staging/lists")))
+    if (commitBegan) finishRebuild(spark, fs, dir)
+    else {
+      fs.delete(p(staging), true)
+      fs.delete(p(markerPath(dir)), false)
+    }
   }
 
   /** Crash recovery for a split (marker op=split): the commit BEGAN iff the

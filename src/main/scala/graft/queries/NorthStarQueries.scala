@@ -3755,6 +3755,37 @@ object NorthStarQueries {
       Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // Full index REBUILD (Similarity.rebuildIndex — the retrain escape
+    // hatch completing the maintenance suite append/compact/delete/split/
+    // rebuild): the index is built over the EVEN half only, then rebuilt
+    // from the CURRENT payload table (both halves) — quantizers retrained,
+    // every vector re-encoded, whole tree swapped under the marker with
+    // the staging build OUTSIDE the index dir so serving stays up for the
+    // expensive phase. The planted queries cover BOTH halves, so a rebuild
+    // that serves stale lists, drops the odd half, or swaps a partial tree
+    // reddens the row.
+    QueryDef("q_ann_index_rebuild",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus, variant = "annidx_reb",
+          writeFilter = _.where_(col("corpus_id") % 2 === 0),
+          buildTail = { root =>
+            Similarity.rebuildIndex(s, root, corpus, "corpus_id",
+              "embedding", EMB_DIM, corpusSnapshot = "embeddings@rebuild")
+          })
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.indexTopKDistributed(s, dir, queries, corpus,
+            k = 1, dim = EMB_DIM)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // KQL surface for the ANN tier (`evaluate ann_search(...)`): the
     // flagship stored index reachable from the engine's own declared query
     // language (the evaluate-plugin machinery, README.md:33-34) — the

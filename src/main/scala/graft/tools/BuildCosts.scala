@@ -88,6 +88,12 @@ object BuildCosts {
         .collect()(0).getInt(0)
       Similarity.splitList(spark, s"$root/annidx", hot)
     }
+    time("ann_index_rebuild_full") {
+      // the retrain escape hatch: full train + encode + swap (the priciest
+      // maintenance op by design — what splits exist to avoid)
+      Similarity.rebuildIndex(spark, s"$root/annidx", corpus, "corpus_id",
+        "embedding", 64)
+    }
     spark.stop()
   }
 }

@@ -296,7 +296,7 @@ class PlanAuditSpec extends SparkSpec {
         // DPP), the healed post-split index, and the KQL-parsed plugin
         // path (the parser emits the same combinator plan)
         "q_ann_index_filtered", "q_ann_index_split", "q_kql_ann_search",
-        "q_kql_ann_filtered")) {
+        "q_kql_ann_filtered", "q_ann_index_rebuild")) {
       val p = plan(q)
       assert(p.contains("dynamicpruning"),
         s"$q lists scan not dynamically pruned:\n$p")

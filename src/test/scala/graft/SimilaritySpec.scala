@@ -540,6 +540,57 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
+  test("rebuildIndex retrains on the current payload; both crash windows recover") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_reb").toString
+    // the index covers only the EVEN half; the payload table has everything
+    Similarity.writeIndex(corpus.filter(col("corpus_id") % 2 === 0), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 2)
+    val evenCount = corpus.filter(col("corpus_id") % 2 === 0).count()
+    val boom = new RuntimeException("injected crash")
+    // ---- crash BEFORE the commit (staging complete, marker held):
+    // serving fails loudly, recovery rolls back, old index intact
+    assert(intercept[RuntimeException] {
+      Similarity.rebuildIndexImpl(spark, dir, corpus, "corpus_id",
+        "embedding", 64, 16, 8, 16, 2, 42L, "",
+        step => if (step == "staged") throw boom)
+    } eq boom)
+    intercept[IllegalArgumentException] { Similarity.readIndexModels(spark, dir) }
+    Similarity.recoverIndex(spark, dir)
+    assert(Similarity.readIndexManifest(spark, dir).nCentroids == 8,
+      "pre-commit crash must roll BACK")
+    assert(spark.read.parquet(s"$dir/lists").count() == evenCount)
+    // ---- crash MID-commit: recovery rolls the rebuild FORWARD
+    assert(intercept[RuntimeException] {
+      Similarity.rebuildIndexImpl(spark, dir, corpus, "corpus_id",
+        "embedding", 64, 16, 8, 16, 2, 42L, "emb@rebuilt",
+        step => if (step == "retired") throw boom)
+    } eq boom)
+    intercept[IllegalArgumentException] { Similarity.readIndexModels(spark, dir) }
+    Similarity.recoverIndex(spark, dir)
+    val mf = Similarity.readIndexManifest(spark, dir)
+    assert(mf.nCentroids == 16 && mf.corpusSnapshot == "emb@rebuilt",
+      "mid-commit crash must roll FORWARD to the rebuilt tree")
+    // the rebuilt index covers the FULL payload: both halves searchable
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+    // no staging/retired/marker residue anywhere
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (left <- Seq(s"$dir/lists__maintenance", s"$dir/lists__retired",
+        s"$dir/centroids__retired", s"$dir/codebooks__retired",
+        s"${dir}__rebuild_staging"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(left)), s"residue: $left")
+  }
+
   test("filtered serve honors the metadata predicate and keeps the k contract + DPP") {
     val emb = Tables.load(spark, sf, "embeddings")
     // payload carries the metadata column the predicate filters on
