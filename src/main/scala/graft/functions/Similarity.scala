@@ -1537,6 +1537,18 @@ object Similarity {
     * subset re-indexes the full payload table (the q_ann_index_rebuild
     * row's contract).
     *
+    * Append race, closed LOUDLY: because staging is unmarked (that is
+    * what keeps serving and ingest up), an append CAN land between the
+    * staging read and the commit — its list rows would be silently
+    * superseded by the swap. The commit therefore snapshots the lists
+    * file set at staging start and REFUSES (cleanup + throw, old index
+    * untouched and immediately servable) if it changed — quiesce ingest
+    * and re-run, or let the next rebuild pick the rows up from the
+    * payload. Contrast: split/compact/delete hold the marker for their
+    * whole (one-list / rewrite-only, seconds-scale) runs, so appends fail
+    * loudly up front; rebuild's staging is corpus-scale, so it trades the
+    * up-front block for this commit-time check.
+    *
     * Crash safety: marker op=rebuild; [[recoverIndex]] rolls a begun
     * commit forward through the shared [[finishRebuild]] and an unbegun
     * one back (staging deleted, old tree untouched). */
@@ -1559,16 +1571,47 @@ object Similarity {
     readIndexManifest(spark, dir) // only rebuild something that IS an index
     val staging = rebuildStagingPath(dir)
     fs.delete(p(staging), true)
+    val filesAtStart = listFileSet(fs, s"$dir/lists")
     // ---- phase A: a COMPLETE new index tree in staging; old serves on
     writeIndex(corpus, staging, idCol, vecCol, dim, nCentroids, m, ksub,
       iters, seed, corpusSnapshot = corpusSnapshot)
-    writeMarker(fs, dir, """{"op":"rebuild"}""")
     onStep("staged")
+    // ---- commit gate: re-check cleanliness (a maintainer may have run —
+    // single-maintainer is documented, this catches it anyway) and REFUSE
+    // if any append landed during the unmarked staging phase: its list
+    // rows are not in the staged tree and the swap would silently drop
+    // them. Cleanup first so the old index stays immediately servable.
+    requireCleanIndex(fs, dir, "rebuildIndex (commit)")
+    val filesNow = listFileSet(fs, s"$dir/lists")
+    if (filesNow != filesAtStart) {
+      fs.delete(p(staging), true)
+      throw new IllegalStateException(
+        s"rebuildIndex: the lists tree changed during the staging build " +
+          s"(${(filesNow -- filesAtStart).size} new / " +
+          s"${(filesAtStart -- filesNow).size} removed files) — an append " +
+          "or maintenance interleaved; its rows are not in the staged " +
+          "tree, so committing would drop them. The index is unchanged; " +
+          "quiesce ingest and re-run rebuildIndex.")
+    }
+    writeMarker(fs, dir, """{"op":"rebuild"}""")
     // ---- phase B: commit — component renames only (metadata-cheap)
     require(fs.rename(p(s"$dir/lists"), p(s"$dir/lists__retired")),
       s"rebuildIndex: could not move $dir/lists aside")
     onStep("retired")
     finishRebuild(spark, fs, dir)
+  }
+
+  /** Recursive (path, length) set of every file under `root` — the cheap
+    * change detector the rebuild commit gate compares (fs metadata only). */
+  private def listFileSet(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Set[(String, Long)] = {
+    val out = Set.newBuilder[(String, Long)]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+    while (it.hasNext) {
+      val st = it.next()
+      out += ((st.getPath.toUri.getPath, st.getLen))
+    }
+    out.result()
   }
 
   /** The commit suffix of a rebuild — shared verbatim with crash recovery:

@@ -549,18 +549,32 @@ class SimilaritySpec extends SparkSpec {
       "corpus_id", "embedding", 64, nCentroids = 8, iters = 2)
     val evenCount = corpus.filter(col("corpus_id") % 2 === 0).count()
     val boom = new RuntimeException("injected crash")
-    // ---- crash BEFORE the commit (staging complete, marker held):
-    // serving fails loudly, recovery rolls back, old index intact
+    // ---- crash DURING staging (unmarked by design — serving stays up):
+    // the index is untouched, still clean, and immediately servable; the
+    // orphan staging tree is reclaimed by the next rebuild
     assert(intercept[RuntimeException] {
       Similarity.rebuildIndexImpl(spark, dir, corpus, "corpus_id",
         "embedding", 64, 16, 8, 16, 2, 42L, "",
         step => if (step == "staged") throw boom)
     } eq boom)
-    intercept[IllegalArgumentException] { Similarity.readIndexModels(spark, dir) }
-    Similarity.recoverIndex(spark, dir)
-    assert(Similarity.readIndexManifest(spark, dir).nCentroids == 8,
-      "pre-commit crash must roll BACK")
+    assert(Similarity.readIndexModels(spark, dir)._1.length == 8,
+      "staging crash must leave the old index clean and servable")
     assert(spark.read.parquet(s"$dir/lists").count() == evenCount)
+    // ---- an APPEND interleaving the staging build: the commit gate must
+    // REFUSE (its rows are not in the staged tree), old index + appended
+    // rows intact, nothing held
+    val e = intercept[IllegalStateException] {
+      Similarity.rebuildIndexImpl(spark, dir, corpus, "corpus_id",
+        "embedding", 64, 16, 8, 16, 2, 42L, "",
+        step => if (step == "staged")
+          Similarity.appendToIndex(
+            corpus.filter(col("corpus_id") === 1), dir,
+            "corpus_id", "embedding", 64))
+    }
+    assert(e.getMessage.contains("quiesce"), e.getMessage)
+    assert(Similarity.readIndexModels(spark, dir)._1.length == 8)
+    assert(spark.read.parquet(s"$dir/lists").count() == evenCount + 1,
+      "refused commit must keep the interleaved append's rows")
     // ---- crash MID-commit: recovery rolls the rebuild FORWARD
     assert(intercept[RuntimeException] {
       Similarity.rebuildIndexImpl(spark, dir, corpus, "corpus_id",
