@@ -1274,8 +1274,7 @@ object Similarity {
           else if (op.contains("delete")) fs.delete(p(left), true)
           else refuse(live, left)
         } else if (left.endsWith("__compacting") || left.endsWith("__deleting")
-            || left.endsWith("__splitting") || left.endsWith("centroids__new")
-            || left.endsWith("rebuild__staging")) {
+            || left.endsWith("__splitting") || left.endsWith("centroids__new")) {
           fs.delete(p(left), true) // pre-swap copies, safe to rebuild
         } else if (left.endsWith("centroids__retired")) {
           // only a marked split/rebuild (handled above) retires a model
@@ -1285,6 +1284,9 @@ object Similarity {
           refuse(s"$dir/codebooks", left)
         }
       }
+      // an orphan SIBLING rebuild staging tree (crash during the unmarked
+      // staging build) is always pre-commit — reclaim it here too
+      fs.delete(p(rebuildStagingPath(dir)), true)
       fs.delete(p(markerPath(dir)), false)
     }
   }
@@ -1532,10 +1534,10 @@ object Similarity {
     * against the old index for the whole (expensive) train+encode phase —
     * and only the component renames run under the maintenance marker, so
     * the serving gap is a few fs metadata operations. A crash during the
-    * staging build leaves no marker and an orphan staging tree the next
-    * rebuild reclaims. Also the catch-up operator: an index built over a
-    * subset re-indexes the full payload table (the q_ann_index_rebuild
-    * row's contract).
+    * staging build leaves no marker and an orphan staging tree that the
+    * next rebuild or [[recoverIndex]] reclaims. Also the catch-up
+    * operator: an index built over a subset re-indexes the full payload
+    * table (the q_ann_index_rebuild row's contract).
     *
     * Append race, closed LOUDLY: because staging is unmarked (that is
     * what keeps serving and ingest up), an append CAN land between the
