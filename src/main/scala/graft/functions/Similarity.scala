@@ -1046,12 +1046,20 @@ object Similarity {
   private def jsonString(js: String, key: String): String = {
     val at = js.indexOf("\"" + key + "\"")
     require(at >= 0, s"index manifest: missing string field '$key'")
-    val open = js.indexOf('"', js.indexOf(':', at) + 1)
+    val colon = js.indexOf(':', at)
+    val open = if (colon < 0) -1 else js.indexOf('"', colon + 1)
+    require(open >= 0, s"index manifest: malformed string field '$key'")
     val out = new StringBuilder
     var i = open + 1
-    while (js(i) != '"') {
-      if (js(i) == '\\') { out += js(i + 1); i += 2 } else { out += js(i); i += 1 }
+    while (i < js.length && js(i) != '"') {
+      if (js(i) == '\\') {
+        require(i + 1 < js.length,
+          s"index manifest: truncated escape in field '$key'")
+        out += js(i + 1); i += 2
+      } else { out += js(i); i += 1 }
     }
+    require(i < js.length,
+      s"index manifest: unterminated string field '$key' (truncated file?)")
     out.toString
   }
 
@@ -1211,10 +1219,11 @@ object Similarity {
         s"(${left.mkString(", ")}) — run Similarity.recoverIndex first")
   }
 
-  /** Repair an index whose maintenance (compact/delete/split) died mid-run —
-    * idempotent, and SOUND because maintenance holds the marker for its
-    * whole window and appends/serves guard on it, so under a marker the tree
-    * state maps one-to-one onto a crash window of the marked operation:
+  /** Repair an index whose maintenance (compact/delete/split/rebuild
+    * commit) died mid-run — idempotent, and SOUND because maintenance
+    * holds the marker for its whole window and appends/serves guard on it,
+    * so under a marker the tree state maps one-to-one onto a crash window
+    * of the marked operation:
     *
     *  - compact: a missing lists tree restores from the whole-tree retired
     *    copy; `lists/` + `lists__retired` BOTH present under a compact
