@@ -889,11 +889,21 @@ object Similarity {
       dir: String, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id", corpusId: String = "corpus_id",
-      vecCol: String = "embedding", filter: Option[Column] = None): DataFrame = {
+      vecCol: String = "embedding", filter: Option[Column] = None,
+      hierProbe: Option[Int] = None): DataFrame = {
     val (cents, books) = openIndex(spark, dir, dim, "indexTopKDistributed")
-    val probes = assignProbes(
-      queries.select(col(queryId), col(vecCol).as("__pv")),
-      queryId, "__pv", cents, nProbe)
+    val qv = queries.select(col(queryId), col(vecCol).as("__pv"))
+    // hierProbe = Some(groupProbe) opts the probe assignment into the
+    // two-level √k ladder (assignProbesHier) — the k ≳ 10⁴ serving regime
+    // where even the broadcast-table path's k dots per query row is the
+    // bottleneck; recall-approximate per that operator's contract
+    // (groupProbe = √k degenerates to exact flat). Default stays the flat
+    // assignment ladder (literal → broadcast table by centroid count).
+    val probes = (hierProbe match {
+      case Some(g) => assignProbesHier(qv, queryId, "__pv", cents, nProbe,
+        groupProbe = g)
+      case None => assignProbes(qv, queryId, "__pv", cents, nProbe)
+    })
       // cids are non-negative by construction; the (always-true) bound is
       // the SELECTIVE predicate PartitionPruning requires on the build side
       // before it inserts the dynamic pruning subquery on the scan

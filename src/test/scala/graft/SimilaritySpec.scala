@@ -540,6 +540,37 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
+  test("distributed serve with hierarchical probes: exact at full groupProbe, contract at 3") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_hsrv").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 16, iters = 3)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val flat = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // probing ALL √k groups degenerates to exact flat assignment → the
+    // serve results must be identical
+    val k2 = math.round(math.sqrt(16.0)).toInt
+    val hierAll = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, dim = 64, nProbe = 3, hierProbe = Some(k2))
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hierAll == flat, "all-group hier serve != flat serve")
+    // restricted probing keeps the planted contract on the fixture, and
+    // the plan stays dynamically pruned
+    val hier3 = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+      k = 1, dim = 64, nProbe = 3, hierProbe = Some(3))
+    val got = hier3.select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10)
+    assert(got.forall { case (q, c) => c == q - 1000L }, got.toString)
+    assert(hier3.queryExecution.executedPlan.toString().contains("dynamicpruning"),
+      "hier-probed serve lost dynamic partition pruning")
+  }
+
   test("rebuildIndex retrains on the current payload; both crash windows recover") {
     val emb = Tables.load(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
