@@ -484,6 +484,26 @@ class SimilaritySpec extends SparkSpec {
     assert(e4.getMessage.contains("manifest"), e4.getMessage)
   }
 
+  test("manifest round-trips adversarial corpus-snapshot strings exactly") {
+    // the snapshot id is the one free-form string in the manifest — quotes,
+    // backslashes, JSON-looking content, and unicode must survive the
+    // write/parse cycle bit-exactly (a mangled snapshot would silently
+    // mislabel which corpus an index covers)
+    val tiny = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)),
+      (5L, Array(1f, 1f, 0f, 0f)))
+      .toDF("corpus_id", "embedding")
+    for (snap <- Seq("""quote " inside""", """back\slash \" mix""",
+        """{"op":"fake","cid":9}""", "naïve—émb: ✓", "")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_annidx_snap").toString
+      Similarity.writeIndex(tiny, dir, "corpus_id", "embedding", 4,
+        nCentroids = 2, m = 2, ksub = 2, iters = 1, corpusSnapshot = snap)
+      assert(Similarity.readIndexManifest(spark, dir).corpusSnapshot == snap,
+        s"snapshot mangled for: $snap")
+    }
+  }
+
   test("splitList heals a hot list: crash windows recover, rows preserved, contract survives") {
     val emb = Tables.load(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
