@@ -103,6 +103,15 @@ object Bench {
       }
     }
     val times = names.filterNot(failed).map(n => n -> samples(n).min)
+    // host load average at bench END (1-min, normalized per core): the
+    // ambient-pressure record that makes a slow run attributable from the
+    // artifact alone — BENCH_NOTES' 144-188 s band correlates with steal,
+    // and the per-round adjudication should not need a separate profile run
+    // to see it. -1.0 when the platform cannot report it.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvg = osBean.getSystemLoadAverage
+    val loadPerCore =
+      if (loadAvg < 0) -1.0 else loadAvg / osBean.getAvailableProcessors
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -110,7 +119,7 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_3_rotated+retry","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    val json = f"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_3_rotated+retry","load_avg_1m":$loadAvg%.2f,"load_per_core":$loadPerCore%.3f,"queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     // Full per-query map goes to a FILE; stdout gets a COMPACT line. The
     // driver captures only the last 2000 bytes of stdout (BENCH_r03 "tail"),
     // so the full 115-query line can never survive — the compact line (total +
@@ -120,7 +129,7 @@ object Bench {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = times.sortBy(-_._2).take(20)
       .map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${times.size},"timing":"min_of_3_rotated+retry","queries":$slowest,"queries_file":"BENCH_LOCAL.json","errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${times.size},"timing":"min_of_3_rotated+retry","load_avg_1m":$loadAvg%.2f,"load_per_core":$loadPerCore%.3f,"queries":$slowest,"queries_file":"BENCH_LOCAL.json","errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
     println(compact)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

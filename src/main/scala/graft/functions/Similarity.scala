@@ -404,6 +404,35 @@ object Similarity {
     (cents, gid)
   }
 
+  /** The √k super-centroid grouping of a centroid MODEL — ONE implementation
+    * shared by [[assignProbesHier]] and the streaming group-probe serve path
+    * so the two cannot drift: driver-side k-means over the centroids
+    * (SAMPLED past `sampleCap` — evenly strided, deterministic — because a
+    * full driver k-means is O(k·√k·dim·iters), minutes at k=10⁵; one
+    * assignment pass then files ALL k centroids under their supers, the
+    * pass that was always the floor). Empty groups are compacted away: a
+    * memberless probe target would silently yield NO assignment for a row
+    * whose probes all landed on it, where flat assignment gives every
+    * non-null vector ≥ 1 cid. Returns (non-empty supers, compacted group id
+    * per centroid). */
+  private[graft] def superGroups(centroids: Array[Array[Float]],
+      kmIters: Int = 5, sampleCap: Int = 4096)
+      : (Array[Array[Float]], Array[Int]) = {
+    require(sampleCap >= 1, "superGroups: sampleCap must be >= 1")
+    val k2 = math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
+    val (supers, gid) =
+      if (centroids.length <= sampleCap) kmeansLocal(centroids, k2, kmIters)
+      else {
+        val stride = centroids.length.toDouble / sampleCap
+        val sample = Array.tabulate(sampleCap)(i => centroids((i * stride).toInt))
+        val (sup, _) = kmeansLocal(sample, k2, kmIters)
+        (sup, assignLocal(centroids, sup))
+      }
+    val nonEmpty = gid.distinct.sorted
+    val remap = nonEmpty.zipWithIndex.toMap
+    (nonEmpty.map(supers(_)), gid.map(remap))
+  }
+
   /** TWO-LEVEL (hierarchical) probe assignment — the documented fix for the
     * k ∝ n regime where even the broadcast-table path's per-row cost (k
     * dots) becomes the bottleneck: group the k centroids into ~√k
@@ -424,40 +453,17 @@ object Similarity {
       sampleCap: Int = 4096): DataFrame = {
     require(nProbe >= 1, "assignProbesHier: nProbe must be >= 1")
     require(groupProbe >= 1, "assignProbesHier: groupProbe must be >= 1")
-    require(sampleCap >= 1, "assignProbesHier: sampleCap must be >= 1")
-    val k2 = math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
-    // SAMPLED group training past sampleCap (the k ≳ 10⁵ regime the r13
-    // verdict flagged): full driver k-means over the model is
-    // O(k·√k·dim·iters) — ~10¹³ flops at k=10⁵, minutes of driver time —
-    // so the super-structure trains on an evenly-STRIDED sample of the
-    // centroids (deterministic, the kmeansLocal init convention) and ONE
-    // assignment pass files all k centroids under their supers
-    // (O(k·√k·dim), the pass that was always the floor). Group membership
-    // differs from full-training only where a centroid sits near a super
-    // boundary — the same recall-approximate contract the hier path already
-    // carries; groupProbe = k2 still degenerates to EXACT flat assignment
-    // (scoring covers every group regardless of how groups were trained).
-    val (supers, gid) =
-      if (centroids.length <= sampleCap) kmeansLocal(centroids, k2, kmIters)
-      else {
-        val stride = centroids.length.toDouble / sampleCap
-        val sample = Array.tabulate(sampleCap)(i => centroids((i * stride).toInt))
-        val (sup, _) = kmeansLocal(sample, k2, kmIters)
-        (sup, assignLocal(centroids, sup))
-      }
-    // probe only supers that OWN at least one centroid: an empty group
-    // keeps its stale centroid in kmeansLocal and would be a memberless
-    // probe target — a row whose groupProbe probes all landed on such
-    // groups would silently get NO assignment (flat assignment gives every
-    // non-null vector ≥ 1 cid). Compact group ids so probe indices and the
-    // table's gid column stay aligned.
-    val nonEmpty = gid.distinct.sorted
-    val remap = nonEmpty.zipWithIndex.toMap
-    val probeSupers = nonEmpty.map(supers(_))
+    // group structure from the shared [[superGroups]] helper: sampled
+    // training past sampleCap (the k ≳ 10⁵ regime the r13 verdict flagged)
+    // changes membership only near super boundaries — the same
+    // recall-approximate contract the hier path already carries;
+    // groupProbe = √k still degenerates to EXACT flat assignment (scoring
+    // covers every group regardless of how groups were trained).
+    val (probeSupers, gid) = superGroups(centroids, kmIters, sampleCap)
     val spark = df.sparkSession
     import spark.implicits._
     val ct = centroids.zipWithIndex.toIndexedSeq
-      .map { case (c, i) => (i, c.toSeq, remap(gid(i))) }
+      .map { case (c, i) => (i, c.toSeq, gid(i)) }
       .toDF("__ct_cid", "__ct_vec", "__ct_gid")
     val rows = df.where(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("__av"))
@@ -741,20 +747,29 @@ object Similarity {
       corpusSnapshot: String = ""): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // never write over a mid-maintenance tree (a marker means recoverIndex
+    // owns this dir), and never overwrite a LIVE index out from under an
+    // in-flight append (same writer contract as every other mutator).
+    // In-place re-writes of a serving index should go through
+    // [[rebuildIndex]]'s staged swap: a crash mid-writeIndex leaves a torn
+    // tree that is DETECTABLE (stale/missing manifest — written last) but
+    // not recoverable (no retired copy to roll back to).
+    requireCleanIndex(fs, dir, "writeIndex")
+    if (fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) {
+      requireNoLiveLeases(fs, dir, "writeIndex (overwrite)", defaultStaleLeaseMs)
+      // drop the old manifest BEFORE touching components: any crash inside
+      // the overwrite then reads as a missing manifest (loud at open) even
+      // when the new geometry happens to equal the old
+      fs.delete(new org.apache.hadoop.fs.Path(manifestPath(dir)), false)
+    }
     // pre-trained models short-circuit the two training runs (the sibling
     // ANN entry points' trained/trainedIvf/trainedPq convention)
     val cents = trainedIvf.getOrElse(
       ivfTrain(corpus, idCol, vecCol, dim, nCentroids, iters, seed))
     val books = trainedPq.getOrElse(
       pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, seed))
-    // the manifest records the GEOMETRY ACTUALLY WRITTEN (pre-trained
-    // models win over the parameter defaults), so validation at open can
-    // never be fooled by a writeIndex call whose params disagreed with the
-    // supplied models
-    writeManifest(org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration), dir,
-      IndexManifest(ManifestFormat, dim, cents.length, books.length,
-        books.headOption.map(_.length).getOrElse(ksub), seed, corpusSnapshot))
     cents.zipWithIndex.toIndexedSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "vec").write.mode("overwrite").parquet(s"$dir/centroids")
     books.zipWithIndex.toIndexedSeq.flatMap { case (b, mi) =>
@@ -767,6 +782,14 @@ object Similarity {
       .select(col(idCol).as("corpus_id"), col("__code").as("code"),
         col("__xn2").as("xn2"), col("__cid"))
       .write.mode("overwrite").partitionBy("__cid").parquet(s"$dir/lists")
+    // manifest LAST: it records the GEOMETRY ACTUALLY WRITTEN (pre-trained
+    // models win over the parameter defaults) and its presence certifies a
+    // COMPLETE tree — a crash between component writes leaves a missing or
+    // stale manifest (loud at every open) instead of a fresh manifest over
+    // half-old components, which would be a silently wrong ADC
+    writeManifest(fs, dir,
+      IndexManifest(ManifestFormat, dim, cents.length, books.length,
+        books.headOption.map(_.length).getOrElse(ksub), seed, corpusSnapshot))
   }
 
   /** Reopen a stored index's models (driver-bounded — k×dim + M·ksub·dsub
@@ -796,14 +819,35 @@ object Similarity {
     (cents, books)
   }
 
-  /** Open a stored index for SERVING: models + manifest, with the caller's
-    * expected dimensionality checked against the manifest (loud diff). */
+  /** Open a stored index for SERVING: models + manifest. `dim ≤ 0` means
+    * the manifest IS the source of geometry (the default for every serve
+    * entry point — the KQL plugin's posture); an explicit positive dim is
+    * validated against it with a loud diff (kept for mismatch tests and
+    * defensive callers). Returns the models plus the resolved dim. */
   private def openIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       dim: Int, op: String)
-      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    requireManifestMatch(readIndexManifest(spark, dir), dir, op, dim, None)
-    readIndexModels(spark, dir)
+      : (Array[Array[Float]], Array[Array[Array[Float]]], Int) = {
+    val mf = readIndexManifest(spark, dir)
+    val useDim = if (dim > 0) dim else mf.dim
+    requireManifestMatch(mf, dir, op, useDim, None)
+    val (cents, books) = readIndexModels(spark, dir)
+    (cents, books, useDim)
   }
+
+  /** Resolve a shortlist request: positive = explicit; ≤ 0 = AUTO, derived
+    * from the index's OWN geometry so a 100× index doesn't quietly inherit
+    * a small-corpus constant. The measured rule (SCALE.md recall grid:
+    * the defaults decay 0.444 → 0.294 at 4× the corpus, and scaling
+    * shortlist with n restores it) is shortlist ∝ n/k at fixed nProbe —
+    * the per-list row count — floored at the 32 default. Cost: one
+    * metadata-only count of the lists table (parquet footers). */
+  private def resolveShortlist(spark: org.apache.spark.sql.SparkSession,
+      dir: String, shortlist: Int, nCentroids: Int): Int =
+    if (shortlist > 0) shortlist
+    else {
+      val n = spark.read.parquet(s"$dir/lists").count()
+      math.max(32, math.ceil(n.toDouble / math.max(1, nCentroids)).toInt)
+    }
 
   /** Serve top-k from a STORED index: each query's nProbe probe lists
     * resolve to `__cid` partition values, the union of probed cids becomes
@@ -812,11 +856,12 @@ object Similarity {
     * per-query probed candidates, and the exact re-rank reads full vectors
     * from the PAYLOAD table (`corpus`) for shortlist rows only. */
   def indexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 0,
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id", corpusId: String = "corpus_id",
       vecCol: String = "embedding"): DataFrame = {
-    val (cents, books) = openIndex(spark, dir, dim, "indexTopK")
+    val (cents, books, useDim) = openIndex(spark, dir, dim, "indexTopK")
+    val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
     // queries are driver-bounded by serving contract: collect the probe
     // assignment ONCE (it costs k dots per query row) and re-enter it as a
     // local relation — the cid union prunes the partitioned scan and the
@@ -833,7 +878,7 @@ object Similarity {
       .where(col("__cid").isInCollection(probedCids))
     val cand = lists.join(broadcast(probes), Seq("__cid"))
       .filter(col(queryId) =!= col("corpus_id"))
-    indexServeTail(cand, queries, corpus, books, k, dim, shortlist,
+    indexServeTail(cand, queries, corpus, books, k, useDim, useShort,
       queryId, corpusId, vecCol)
   }
 
@@ -886,12 +931,14 @@ object Similarity {
     * thinner than nProbe lists' coverage) raise nProbe, not shortlist —
     * documented in SCALE.md. */
   def indexTopKDistributed(spark: org.apache.spark.sql.SparkSession,
-      dir: String, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      dir: String, queries: DataFrame, corpus: DataFrame, k: Int, dim: Int = 0,
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id", corpusId: String = "corpus_id",
       vecCol: String = "embedding", filter: Option[Column] = None,
       hierProbe: Option[Int] = None): DataFrame = {
-    val (cents, books) = openIndex(spark, dir, dim, "indexTopKDistributed")
+    val (cents, books, useDim) =
+      openIndex(spark, dir, dim, "indexTopKDistributed")
+    val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
     val qv = queries.select(col(queryId), col(vecCol).as("__pv"))
     // hierProbe = Some(groupProbe) opts the probe assignment into the
     // two-level √k ladder (assignProbesHier) — the k ≳ 10⁴ serving regime
@@ -917,7 +964,7 @@ object Similarity {
         Seq("corpus_id"), "left_semi")
       case None => cand0
     }
-    indexServeTail(cand, queries, corpus, books, k, dim, shortlist,
+    indexServeTail(cand, queries, corpus, books, k, useDim, useShort,
       queryId, corpusId, vecCol)
   }
 
@@ -933,17 +980,19 @@ object Similarity {
     * bounded (complete mode) and feed [[rerankTopK]] for the exact tail —
     * the standard streaming-candidates / batch-re-rank split. */
   def indexShortlistStream(spark: org.apache.spark.sql.SparkSession,
-      dir: String, queryStream: DataFrame, dim: Int,
+      dir: String, queryStream: DataFrame, dim: Int = 0,
       nProbe: Int = 4, shortlist: Int = 32,
       queryId: String = "query_id",
       vecCol: String = "embedding", groupProbe: Int = 3,
       allowed: Option[DataFrame] = None): DataFrame = {
-    val (cents, books) = openIndex(spark, dir, dim, "indexShortlistStream")
+    val (cents, books, useDim) =
+      openIndex(spark, dir, dim, "indexShortlistStream")
+    val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
     // probes AND the ADC LUT ride ONE projection of the stream — a second
     // derived frame would make the candidate join a stream-STREAM join
     // (watermark state) instead of the stateless stream-static form
     val qlut = queryStream.select(col(queryId), col(vecCol).as("__qv"))
-      .withColumn("__lut", pqLutCol(col("__qv"), books, dim))
+      .withColumn("__lut", pqLutCol(col("__qv"), books, useDim))
       .withColumn("__qn", norm(col("__qv")))
     val qside =
       if (cents.length < centroidTableThreshold)
@@ -960,30 +1009,20 @@ object Similarity {
         // broadcast join fans each probed group out to its member cids.
         // Candidates are a SUPERSET of the two-level top-nProbe frontier
         // (every centroid of every probed group scans, not just the nProbe
-        // best), so recall ≥ the hier path's at groupProbe; the cost is
-        // probed lists ≈ groupProbe·√k instead of nProbe — the ADC stage
-        // absorbs it (M lookups/candidate) and the shortlist aggregation
-        // state stays bounded regardless. Same recall-approximate contract
-        // as assignProbesHier: a nearest centroid in an unprobed group is
-        // missed; supers train driver-side on the MODEL (sampled past the
-        // cap), never on data.
-        val k2 = math.max(1,
-          math.round(math.sqrt(cents.length.toDouble)).toInt)
-        val sampleCap = 4096
-        val (supers, gid) =
-          if (cents.length <= sampleCap) kmeansLocal(cents, k2, 5)
-          else {
-            val stride = cents.length.toDouble / sampleCap
-            val sample = Array.tabulate(sampleCap)(i => cents((i * stride).toInt))
-            val (sup, _) = kmeansLocal(sample, k2, 5)
-            (sup, assignLocal(cents, sup))
-          }
-        val nonEmpty = gid.distinct.sorted
-        val remap = nonEmpty.zipWithIndex.toMap
-        val probeSupers = nonEmpty.map(supers(_))
+        // best), so at a non-binding shortlist recall ≥ the hier path's at
+        // equal groupProbe (anchored in SimilaritySpec; measured in the
+        // RecallScale streaming lane); the cost is probed lists ≈
+        // groupProbe·√k instead of nProbe — the ADC stage absorbs it
+        // (M lookups/candidate) and the shortlist aggregation state stays
+        // bounded regardless. Same recall-approximate contract as
+        // assignProbesHier, and the SAME group structure: the shared
+        // [[superGroups]] helper (supers train driver-side on the MODEL,
+        // sampled past the cap, never on data), so the two paths cannot
+        // drift.
+        val (probeSupers, gid) = superGroups(cents)
         val spk = spark
         import spk.implicits._
-        val ct = cents.indices.map(i => (remap(gid(i)), i))
+        val ct = cents.indices.map(i => (gid(i), i))
           .toDF("__gid", "__cid")
         qlut.select(col(queryId), col("__lut"), col("__qn"),
             explode(ivfProbes(col("__qv"), probeSupers,
@@ -1006,7 +1045,7 @@ object Similarity {
       case None => cand0
     }).withColumnRenamed("code", "__code").withColumnRenamed("xn2", "__xn2")
       .withColumn("__adc", pqAdcCol)
-    val topk = udaf(new Sampling.TopKAgg(shortlist))
+    val topk = udaf(new Sampling.TopKAgg(useShort))
     // (adc, corpus_id) pairs are unique per query (each corpus vector lives
     // in exactly ONE list) — TopKAgg's uniqueness contract holds
     cand.groupBy(col(queryId))
@@ -1160,11 +1199,25 @@ object Similarity {
     * run and this entry point guards on it UNCONDITIONALLY (pre-read models
     * included — the r14 race: an unguarded append after a mid-delete crash
     * recreated `lists/` and recovery then discarded the retired originals),
-    * so an overlapping append fails loudly instead of losing rows. */
+    * so an overlapping append fails loudly instead of losing rows. The
+    * guard holds for the append's WHOLE DURATION, not just entry: the
+    * append writes a LEASE file before checking for the marker and holds it
+    * until its write job finishes, and maintenance refuses to start while
+    * any live lease exists (the r15 in-flight window — an append whose job
+    * was mid-write when maintenance snapshotted could still lose rows). */
   def appendToIndex(newRows: DataFrame, dir: String, idCol: String,
       vecCol: String, dim: Int,
       models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
-        None): Unit = {
+        None): Unit =
+    appendToIndexImpl(newRows, dir, idCol, vecCol, dim, models, _ => ())
+
+  /** [[appendToIndex]] with a step hook — the crash/concurrency-injection
+    * seam the writer-contract units drive. Steps: "leased" (lease on disk,
+    * marker check passed, write job not yet started). */
+  private[graft] def appendToIndexImpl(newRows: DataFrame, dir: String,
+      idCol: String, vecCol: String, dim: Int,
+      models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])],
+      onStep: String => Unit): Unit = {
     val spark = newRows.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -1172,19 +1225,33 @@ object Similarity {
     // negligible per micro-batch, and the only thing standing between a
     // crashed maintenance run and an append that recreates lists/ over it
     requireCleanIndex(fs, dir, "appendToIndex")
-    requireManifestMatch(readIndexManifest(spark, dir), dir, "appendToIndex",
-      dim, models)
-    // pre-read models skip the two parquet reads + driver collects — the
-    // continuous-ingest path (one appendToIndex per micro-batch) reads the
-    // FROZEN models once before the stream starts and passes them through
-    val (cents, books) = models.getOrElse(readIndexModels(spark, dir))
-    val lists = assignProbes(
-      newRows.select(col(idCol), col(vecCol).as("__iv")), idCol, "__iv", cents, 1)
-    pqEncoded(newRows, idCol, vecCol, books, dim)
-      .join(lists, Seq(idCol))
-      .select(col(idCol).as("corpus_id"), col("__code").as("code"),
-        col("__xn2").as("xn2"), col("__cid"))
-      .write.mode("append").partitionBy("__cid").parquet(s"$dir/lists")
+    // lease-then-check: our intent is on disk BEFORE we look for a marker,
+    // and maintenance acquires marker-then-checks-leases, so every
+    // interleaving has at least one side observe the other — an in-flight
+    // append can no longer be silently swapped away
+    val lease = leasePrefix(dir) + java.util.UUID.randomUUID().toString
+    require(createExclusive(fs, lease,
+      s"""{"op":"append","epoch_ms":${System.currentTimeMillis()}}"""),
+      s"appendToIndex: lease collision at $lease")
+    try {
+      // re-check AFTER the lease is visible: a maintenance marker acquired
+      // before our lease landed wins; we refuse
+      requireCleanIndex(fs, dir, "appendToIndex")
+      requireManifestMatch(readIndexManifest(spark, dir), dir, "appendToIndex",
+        dim, models)
+      // pre-read models skip the two parquet reads + driver collects — the
+      // continuous-ingest path (one appendToIndex per micro-batch) reads the
+      // FROZEN models once before the stream starts and passes them through
+      val (cents, books) = models.getOrElse(readIndexModels(spark, dir))
+      onStep("leased")
+      val lists = assignProbes(
+        newRows.select(col(idCol), col(vecCol).as("__iv")), idCol, "__iv", cents, 1)
+      pqEncoded(newRows, idCol, vecCol, books, dim)
+        .join(lists, Seq(idCol))
+        .select(col(idCol).as("corpus_id"), col("__code").as("code"),
+          col("__xn2").as("xn2"), col("__cid"))
+        .write.mode("append").partitionBy("__cid").parquet(s"$dir/lists")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(lease), false)
   }
 
   /** The maintenance MARKER — the single-writer lock of the index tree:
@@ -1199,6 +1266,85 @@ object Similarity {
 
   private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       body: String): Unit = writeUtf8(fs, markerPath(dir), body)
+
+  /** Create-exclusive a small control file (marker / lease): `false` when
+    * the path already exists — the atomic acquisition primitive
+    * (fs.create(overwrite = false) is atomic on HDFS and the local FS;
+    * check-then-create was the r15 two-maintainers hole). */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, body: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case e: java.io.IOException => if (fs.exists(p)) return false else throw e
+      }
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    true
+  }
+
+  /** Append LEASES — the other half of the writer contract: the marker
+    * stops an append from STARTING during maintenance, but an append whose
+    * Spark job is still writing into `lists/` when maintenance begins would
+    * have its files silently swapped away (the r15 in-flight window). So
+    * every append holds a lease file (`lists__appending_<uuid>`) for its
+    * whole run, written BEFORE it checks for the marker, and maintenance
+    * acquires its marker BEFORE it checks for leases — intent-then-check on
+    * both sides, so every interleaving has at least one side observe the
+    * other and refuse loudly (under true contention both may refuse; a
+    * retry succeeds). Leases never block serving or other appends. A lease
+    * whose append CRASHED would block maintenance forever, so leases older
+    * than `staleLeaseMs` are treated as dead and reclaimed at marker
+    * acquisition (no live Spark job runs a single micro-batch append that
+    * long; tune per deployment). */
+  private def leasePrefix(dir: String) = s"$dir/lists__appending_"
+
+  private[graft] val defaultStaleLeaseMs: Long = 60L * 60L * 1000L // 1 h
+
+  private[graft] def appendLeases(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.globStatus(new org.apache.hadoop.fs.Path(s"${leasePrefix(dir)}*"))
+      .toSeq
+    catch { case _: Throwable => Seq.empty }
+
+  /** Refuse while any LIVE append lease exists (reclaiming stale ones) —
+    * shared by marker acquisition and [[writeIndex]]-over-an-existing-index. */
+  private def requireNoLiveLeases(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, op: String, staleLeaseMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    val live = appendLeases(fs, dir).filter { st =>
+      if (now - st.getModificationTime > staleLeaseMs) {
+        fs.delete(st.getPath, false); false // crashed append: reclaim
+      } else true
+    }
+    if (live.nonEmpty) throw new IllegalStateException(
+      s"$op: ${live.size} append(s) in flight at $dir " +
+        s"(${live.map(_.getPath.getName).mkString(", ")}) — proceeding would " +
+        "silently swap their rows away; wait for the appends to finish " +
+        s"(leases idle > $staleLeaseMs ms are treated as crashed and reclaimed)")
+  }
+
+  /** Acquire the single-writer maintenance marker: atomic create-exclusive
+    * (two concurrent maintainers cannot both win), then refuse while any
+    * live append lease exists — releasing the marker on refusal. After this
+    * returns, no append is in flight and none can start until the marker is
+    * dropped. */
+  private def acquireMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      op: String, body: String,
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
+    if (!createExclusive(fs, markerPath(dir), body))
+      throw new IllegalStateException(
+        s"$op: another maintenance run holds ${markerPath(dir)} — " +
+          "single-writer contract; if it crashed, run Similarity.recoverIndex")
+    try requireNoLiveLeases(fs, dir, op, staleLeaseMs)
+    catch {
+      case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(markerPath(dir)), false)
+        throw e
+    }
+  }
 
   /** Maintenance leftovers under an index dir: the marker plus any
     * staging/retired trees that only exist MID-maintenance
@@ -1250,11 +1396,19 @@ object Similarity {
     *    destroy the only complete version of those rows (the r14 race), so
     *    recovery REFUSES it loudly instead of guessing.
     *
-    * Staging trees are deleted (pre-swap copies, always safe to rebuild);
-    * the marker is removed LAST. After recovery the index equals a state
-    * the interrupted operation is safe to re-run from. */
+    * Staging trees INSIDE the index dir are deleted (pre-swap copies,
+    * always safe to rebuild); the marker is removed LAST. After recovery
+    * the index equals a state the interrupted operation is safe to re-run
+    * from. The SIBLING rebuild-staging tree is different: it is unmarked by
+    * design (that is what keeps serving and ingest up through a rebuild),
+    * so a no-marker recovery cannot tell an orphan from a rebuild RUNNING
+    * right now — it is reclaimed only on `reclaimRebuildStaging = true`
+    * (deleting a live one would destroy the corpus-scale train+encode work;
+    * the rebuild itself would only fail loudly at commit). A genuinely
+    * orphaned staging tree is also self-healing: the next rebuildIndex
+    * reclaims it at start. */
   def recoverIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String, reclaimRebuildStaging: Boolean = false): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -1303,9 +1457,11 @@ object Similarity {
           refuse(s"$dir/codebooks", left)
         }
       }
-      // an orphan SIBLING rebuild staging tree (crash during the unmarked
-      // staging build) is always pre-commit — reclaim it here too
-      fs.delete(p(rebuildStagingPath(dir)), true)
+      // the SIBLING rebuild staging tree only on explicit request: with no
+      // marker it is indistinguishable from a rebuild's LIVE staging build
+      // (unmarked by design), and deleting a live one destroys hours of
+      // train+encode work — see the scaladoc
+      if (reclaimRebuildStaging) fs.delete(p(rebuildStagingPath(dir)), true)
       fs.delete(p(markerPath(dir)), false)
     }
   }
@@ -1332,7 +1488,7 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "compactIndex")
-    writeMarker(fs, dir, """{"op":"compact"}""")
+    acquireMarker(fs, dir, "compactIndex", """{"op":"compact"}""")
     val lists = s"$dir/lists"
     val staged = s"$dir/lists__compacting"
     val retired = s"$dir/lists__retired"
@@ -1391,12 +1547,20 @@ object Similarity {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "deleteFromIndex")
     readIndexManifest(spark, dir) // loud on a foreign/pre-manifest tree
+    // marker FIRST, lists read SECOND: the scan's file listing is a
+    // snapshot, so reading before the marker would let an append landing
+    // in between contribute files invisible to the rewrite — the staged
+    // tree would drop them at the swap. Under the marker (live leases
+    // refused, new appends fail loudly) the snapshot cannot be overtaken.
+    acquireMarker(fs, dir, "deleteFromIndex", """{"op":"delete"}""")
     val lists = spark.read.parquet(s"$dir/lists")
     val del = ids.select(col(idCol).as("corpus_id"))
     val hitCids = lists.join(broadcast(del), Seq("corpus_id"), "left_semi")
       .select("__cid").distinct().collect().map(_.getInt(0)).toSeq
-    if (hitCids.isEmpty) return
-    writeMarker(fs, dir, """{"op":"delete"}""")
+    if (hitCids.isEmpty) {
+      fs.delete(p(markerPath(dir)), false)
+      return
+    }
     val staged = s"$dir/lists__deleting"
     lists.where(col("__cid").isInCollection(hitCids))
       .join(broadcast(del), Seq("corpus_id"), "left_anti")
@@ -1469,11 +1633,17 @@ object Similarity {
     require(cid >= 0 && cid < cents.length,
       s"splitList: cid=$cid out of range (index has ${cents.length} lists)")
     val newCid = cents.length
-    val hot = spark.read.parquet(s"$dir/lists").where(col("__cid") === cid)
-    require(hot.limit(2).count() == 2,
-      s"splitList: list $cid has fewer than 2 rows — nothing to split")
-    writeMarker(fs, dir,
+    // marker before the hot-list read: the read's file listing is a
+    // snapshot — an append into this cid between read and swap would lose
+    // its rows. Under the marker the snapshot cannot be overtaken.
+    acquireMarker(fs, dir, "splitList",
       s"""{"op":"split","cid":$cid,"new_cid":$newCid}""")
+    val hot = spark.read.parquet(s"$dir/lists").where(col("__cid") === cid)
+    if (hot.limit(2).count() < 2) {
+      fs.delete(p(markerPath(dir)), false)
+      throw new IllegalArgumentException(
+        s"splitList: list $cid has fewer than 2 rows — nothing to split")
+    }
     // ---- phase A: stage everything; a crash here rolls back by deletion
     // PQ reconstruction: code m -> codebook entry, concatenated
     val bookLit = typedlit(books.toIndexedSeq.map(_.toIndexedSeq.map(_.toSeq)))
@@ -1561,8 +1731,10 @@ object Similarity {
     * Append race, closed LOUDLY: because staging is unmarked (that is
     * what keeps serving and ingest up), an append CAN land between the
     * staging read and the commit — its list rows would be silently
-    * superseded by the swap. The commit therefore snapshots the lists
-    * file set at staging start and REFUSES (cleanup + throw, old index
+    * superseded by the swap. The commit therefore acquires the marker
+    * FIRST (refusing while any append lease is live, so no append is in
+    * flight and none can start), THEN compares the lists file set against
+    * the staging-start snapshot and REFUSES (cleanup + throw, old index
     * untouched and immediately servable) if it changed — quiesce ingest
     * and re-run, or let the next rebuild pick the rows up from the
     * payload. Contrast: split/compact/delete hold the marker for their
@@ -1598,14 +1770,26 @@ object Similarity {
       iters, seed, corpusSnapshot = corpusSnapshot)
     onStep("staged")
     // ---- commit gate: re-check cleanliness (a maintainer may have run —
-    // single-maintainer is documented, this catches it anyway) and REFUSE
-    // if any append landed during the unmarked staging phase: its list
-    // rows are not in the staged tree and the swap would silently drop
-    // them. Cleanup first so the old index stays immediately servable.
-    requireCleanIndex(fs, dir, "rebuildIndex (commit)")
+    // single-maintainer is documented, this catches it anyway), acquire
+    // the marker FIRST (atomic; refuses while any append lease is live),
+    // and only THEN take the file-set snapshot — the r15 TOCTOU was
+    // compare-then-mark, leaving a window where an append passing its
+    // guard was invisible to the already-taken comparison and its rows
+    // were silently swapped away. After the marker no append is in flight
+    // and none can start, so the comparison is authoritative. REFUSE if
+    // any append landed during the unmarked staging phase: its list rows
+    // are not in the staged tree and the swap would silently drop them.
+    // Cleanup on every refusal so the old index stays immediately servable.
+    try {
+      requireCleanIndex(fs, dir, "rebuildIndex (commit)")
+      acquireMarker(fs, dir, "rebuildIndex (commit)", """{"op":"rebuild"}""")
+    } catch {
+      case e: Throwable => fs.delete(p(staging), true); throw e
+    }
     val filesNow = listFileSet(fs, s"$dir/lists")
     if (filesNow != filesAtStart) {
       fs.delete(p(staging), true)
+      fs.delete(p(markerPath(dir)), false)
       throw new IllegalStateException(
         s"rebuildIndex: the lists tree changed during the staging build " +
           s"(${(filesNow -- filesAtStart).size} new / " +
@@ -1614,7 +1798,6 @@ object Similarity {
           "tree, so committing would drop them. The index is unchanged; " +
           "quiesce ingest and re-run rebuildIndex.")
     }
-    writeMarker(fs, dir, """{"op":"rebuild"}""")
     // ---- phase B: commit — component renames only (metadata-cheap)
     require(fs.rename(p(s"$dir/lists"), p(s"$dir/lists__retired")),
       s"rebuildIndex: could not move $dir/lists aside")

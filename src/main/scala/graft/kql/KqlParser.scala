@@ -1727,6 +1727,49 @@ object KqlParser {
               idxDir, qcast, corpusTbl, annK, dim, annProbe, annShort,
               queryIdCol, corpusIdCol, annVecCol,
               filter = Some(org.apache.spark.sql.functions.lit(true)))
+          case "index_stats" =>
+            // `evaluate index_stats('indexDir')` — READ-ONLY index
+            // administration from the query surface (Kusto's own idiom is
+            // control commands; folded into an evaluate plugin so the
+            // declared query language can INSPECT the flagship index —
+            // README.md:33-34): per-list (__cid, rows, files) from
+            // Similarity.indexStats, one scan projecting only the partition
+            // column + input_file_name (codes never read). rows-per-list
+            // skew is the splitList signal; files-per-list is what append
+            // growth degrades and compaction resets. The piped input is
+            // ignored (source-less plugin, the Kusto show-command shape).
+            val statsDir = litString(parseExpr())
+            eatPunct(")")
+            graft.functions.Similarity.indexStats(df.sparkSession, statsDir)
+          case "ann_maintain" =>
+            // `evaluate ann_maintain('indexDir', 'compact' | 'recover' |
+            // 'split' [, cid])` — index MAINTENANCE from the query surface,
+            // returning the post-operation index_stats so the operator sees
+            // the effect (files-per-list reset by compact, the split list's
+            // two children) in the same round trip. Same entry points as
+            // the typed API — the full writer contract (marker, leases,
+            // crash recovery) applies; a refused operation surfaces its
+            // loud error through the parser.
+            val mDir = litString(parseExpr()); eatPunct(",")
+            val mOp = litString(parseExpr())
+            val mCid =
+              if (atPunct(",")) { pos += 1; Some(litLong(parseExpr()).toInt) }
+              else None
+            eatPunct(")")
+            val mSpark = df.sparkSession
+            mOp match {
+              case "compact" =>
+                graft.functions.Similarity.compactIndex(mSpark, mDir)
+              case "recover" =>
+                graft.functions.Similarity.recoverIndex(mSpark, mDir)
+              case "split" =>
+                graft.functions.Similarity.splitList(mSpark, mDir,
+                  mCid.getOrElse(throw new IllegalArgumentException(
+                    "ann_maintain('dir', 'split', cid): cid is required")))
+              case other => throw new IllegalArgumentException(
+                s"ann_maintain: unsupported op '$other' (compact|recover|split)")
+            }
+            graft.functions.Similarity.indexStats(mSpark, mDir)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "reduce" =>

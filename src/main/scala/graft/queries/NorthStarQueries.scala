@@ -3844,6 +3844,34 @@ object NorthStarQueries {
              |  (label % 2 = 0) AS found_original, true AS hit_allowed
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // KQL INDEX ADMINISTRATION (read-only): `evaluate index_stats('dir')`
+    // exposes the stored index's per-list rows/files observability from the
+    // query language — the surface an operator schedules compaction and
+    // re-splits from without leaving KQL. Per-list row counts are
+    // assignment-dependent (fp k-means), so the oracle checks the
+    // assignment-INDEPENDENT invariants: the lists partition the corpus
+    // exactly (sum(rows) = corpus count — a lost or doubled row reddens
+    // it), list count is bounded by the trained k, and every list has ≥ 1
+    // file. Same memoized (never-mutated) index as the serve rows.
+    QueryDef("q_kql_index_stats",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        KqlParser.parse(
+          s"""embeddings
+             || take 1
+             || evaluate index_stats('$dir')
+             || summarize total_rows = sum(rows), lists_seen = count(),
+             |    min_files = min(files)
+             || project total_rows,
+             |    lists_bounded = lists_seen >= 1 and lists_seen <= 16,
+             |    files_positive = min_files >= 1""".stripMargin,
+          Tables.resolver(s, d))
+      },
+      Some("""SELECT count(*) AS total_rows, true AS lists_bounded,
+             |  true AS files_positive FROM embeddings""".stripMargin)),
+
     // Classifier CALIBRATION (the held-out evaluation every learned gate
     // needs before anyone picks its threshold): the NB quality gate trains
     // on the doc_id%3=0 labeled slice, scores the DISJOINT doc_id%3=1

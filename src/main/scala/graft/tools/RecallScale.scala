@@ -87,6 +87,48 @@ object RecallScale {
       row("index-serve", s"nProbe=$nProbe shortlist=$shortlist",
         recall(Similarity.indexTopKDistributed(spark, idxDir, queries,
           corpus, k, dim, nProbe = nProbe, shortlist = shortlist)))
+    // AUTO shortlist (shortlist ≤ 0): the serve path derives
+    // max(32, ceil(n/k)) from the index's own lists + manifest — the
+    // shortlist ∝ n/k operational rule APPLIED, so a bigger corpus no
+    // longer quietly inherits the small-corpus constant. Must land ≈ the
+    // hand-tuned grid point at both decades (n=500 → 32 = the default row;
+    // n=2000 → 125 ≈ the 128 row).
+    for (nProbe <- Seq(4, 8))
+      row("index-serve-auto", s"nProbe=$nProbe shortlist=auto(n/k)",
+        recall(Similarity.indexTopKDistributed(spark, idxDir, queries,
+          corpus, k, dim, nProbe = nProbe, shortlist = 0)))
+
+    // ---- STREAMING group-probe serve (the k ≥ 2048 regime): the r15
+    // verdict's missing lane. Same corpus and PQ books; the coarse model is
+    // the SAME trained 16 centroids padded with far-away decoys that can
+    // never win an assignment (the q_semantic_dedup_bigk device), so the
+    // stored lists are identical to the flat index while the probe
+    // machinery runs the √k group ladder past the literal threshold.
+    // Measured beside the hier-probed batch path at EQUAL groupProbe and
+    // the same shortlist: streaming candidates are a superset of the hier
+    // frontier (every list of every probed group), so its recall must come
+    // out ≥ wherever the shortlist is not binding.
+    val decoys = Array.tabulate(2160, dim)((i, j) =>
+      100.0f + (((i * 131 + j * 17) % 997) / 997.0f))
+    val bigDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_bigk").toString
+    Similarity.writeIndex(corpus, bigDir, "corpus_id", "embedding", dim,
+      trainedIvf = Some(cents ++ decoys), trainedPq = Some(books))
+    val qStreamAll = graft.streaming.StreamingIngest
+      .loadStream(spark, sfDir, "embeddings")
+      .filter(F.col("vec_id") < nQ)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding"))
+    for (g <- Seq(1, 2, 3)) {
+      val short = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+        s"recall_stream_g$g",
+        Similarity.indexShortlistStream(spark, bigDir, qStreamAll, dim,
+          nProbe = 4, shortlist = 64, groupProbe = g))
+      row("index-serve-stream", s"k2176 nProbe=4 shortlist=64 groupProbe=$g",
+        recall(Similarity.rerankTopK(short, queries, corpus, k)))
+      row("index-serve-hier", s"k2176 nProbe=4 shortlist=64 hierProbe=$g",
+        recall(Similarity.indexTopKDistributed(spark, bigDir, queries,
+          corpus, k, dim, nProbe = 4, shortlist = 64, hierProbe = Some(g))))
+    }
 
     // hierarchical PROBE assignment composed into the IVF search (the
     // assignment-level recall trade measured end-to-end): corpus lists are

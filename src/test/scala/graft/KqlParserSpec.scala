@@ -1602,4 +1602,59 @@ class KqlParserSpec extends SparkSpec {
       { case "d1::t" => t; case other => fail(s"unexpected '$other'") }: String => DataFrame)
     assert(out.collect().head.getLong(0) == t.count()) // one leg, not two
   }
+
+  test("evaluate index_stats + ann_maintain: inspect and heal the stored index from KQL") {
+    import graft.functions.Similarity
+    import graft.sources.Tables
+    val sfDir = TestSpark.sf
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kql_idxadm").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 300), dir,
+      "corpus_id", "embedding", 64, nCentroids = 4, iters = 3)
+    // an append leaves a second file in the touched lists
+    Similarity.appendToIndex(corpus.filter(col("corpus_id") >= 300), dir,
+      "corpus_id", "embedding", 64)
+    val res = Tables.resolver(spark, sfDir)
+    // READ-ONLY inspection: per-list rows/files, the corpus fully covered
+    val stats = KqlParser.parse(
+      s"""embeddings | take 1
+         || evaluate index_stats('$dir')
+         || summarize total = sum(rows), lists = count(), maxf = max(files)""".stripMargin,
+      res).collect().head
+    assert(stats.getLong(0) == corpus.count(), stats.toString)
+    assert(stats.getLong(1) >= 1 && stats.getLong(1) <= 4)
+    assert(stats.getLong(2) >= 2, "append must have added a file somewhere")
+    // MAINTENANCE: compact from KQL returns the post-op stats — one file
+    // per list, rows unchanged
+    val post = KqlParser.parse(
+      s"""embeddings | take 1
+         || evaluate ann_maintain('$dir', 'compact')
+         || summarize total = sum(rows), maxf = max(files)""".stripMargin,
+      res).collect().head
+    assert(post.getLong(0) == corpus.count(), post.toString)
+    assert(post.getLong(1) == 1, s"compaction must reset files-per-list: $post")
+    // split the hottest list from KQL: list count grows by one, rows kept
+    val hot = Similarity.indexStats(spark, dir)
+      .orderBy(col("rows").desc).select("__cid").collect().head.getInt(0)
+    val nListsBefore = Similarity.indexStats(spark, dir).count()
+    val postSplit = KqlParser.parse(
+      s"""embeddings | take 1
+         || evaluate ann_maintain('$dir', 'split', $hot)
+         || summarize total = sum(rows), lists = count()""".stripMargin,
+      res).collect().head
+    assert(postSplit.getLong(0) == corpus.count(), postSplit.toString)
+    assert(postSplit.getLong(1) == nListsBefore + 1, postSplit.toString)
+    // bad op name fails loudly; split without a cid fails loudly
+    val e1 = intercept[IllegalArgumentException] {
+      KqlParser.parse(
+        s"embeddings | take 1 | evaluate ann_maintain('$dir', 'vacuum')", res)
+    }
+    assert(e1.getMessage.contains("unsupported op"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.parse(
+        s"embeddings | take 1 | evaluate ann_maintain('$dir', 'split')", res)
+    }
+    assert(e2.getMessage.contains("cid is required"), e2.getMessage)
+  }
 }

@@ -362,6 +362,265 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
     assert(top1.size == 10)
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
+    // SUPERSET anchor (the claim the streaming path's comment makes): at a
+    // NON-BINDING shortlist the streaming group-probe candidates contain
+    // every list of every probed group, a superset of the hier path's
+    // top-nProbe frontier at EQUAL groupProbe (same shared superGroups
+    // structure), so honest recall@10 vs brute force must come out ≥ —
+    // deterministic, not statistical: a true top-k member in the smaller
+    // candidate set is in the larger one too.
+    val rq = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(rq, corpus, k = 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      exact.intersect(df.select("query_id", "corpus_id")
+        .as[(Long, Long)].collect().toSet).size.toDouble / exact.size
+    val sStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val sRec = recallOf(Similarity.rerankTopK(
+      graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+        "simspec_ann_bigk_sup",
+        Similarity.indexShortlistStream(spark, dir, sStream, 64,
+          nProbe = 4, shortlist = 512, groupProbe = 6)),
+      rq, corpus, k = 10))
+    val hRec = recallOf(Similarity.indexTopKDistributed(spark, dir, rq,
+      corpus, k = 10, dim = 64, nProbe = 4, shortlist = 512,
+      hierProbe = Some(6)))
+    assert(sRec >= hRec,
+      s"streaming group-probe recall $sRec must be >= hier recall $hRec " +
+        "at equal groupProbe and a non-binding shortlist (superset claim)")
+  }
+
+  test("in-flight appends exclude maintenance for their whole duration (leases)") {
+    // the r15 weak window: the marker stopped an append from STARTING
+    // during maintenance, but an append whose write job was mid-flight when
+    // maintenance began could still have its files silently swapped away.
+    // Now the append holds a lease for its whole run and maintenance's
+    // marker acquisition refuses while any live lease exists.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_lease").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 300), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    var compactErr: Throwable = null
+    var deleteErr: Throwable = null
+    // drive a compact AND a delete attempt WHILE the append's lease is held
+    Similarity.appendToIndexImpl(
+      corpus.filter(col("corpus_id") >= 300), dir, "corpus_id", "embedding",
+      64, None, onStep = {
+        case "leased" =>
+          compactErr = intercept[IllegalStateException] {
+            Similarity.compactIndex(spark, dir)
+          }
+          deleteErr = intercept[IllegalStateException] {
+            Similarity.deleteFromIndex(spark, dir,
+              corpus.limit(1).select("corpus_id"), "corpus_id")
+          }
+          // refused maintenance must NOT leave its marker behind
+          assert(!fs.exists(p(s"$dir/lists__maintenance")),
+            "refused maintenance left the marker")
+        case _ => ()
+      })
+    assert(compactErr.getMessage.contains("in flight"), compactErr.getMessage)
+    assert(deleteErr.getMessage.contains("in flight"), deleteErr.getMessage)
+    // the append completed despite the refused maintenance: every row there
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+    // lease released: maintenance now proceeds cleanly
+    Similarity.compactIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+    // a STALE lease (crashed append) must not block maintenance forever:
+    // reclaimed at marker acquisition past the age threshold
+    val stale = s"$dir/lists__appending_deadbeef"
+    val out = fs.create(p(stale), true)
+    out.write("""{"op":"append"}""".getBytes("UTF-8")); out.close()
+    fs.setTimes(p(stale), System.currentTimeMillis() - 2L * 3600L * 1000L, -1)
+    Similarity.compactIndex(spark, dir) // stale lease reclaimed, no refusal
+    assert(!fs.exists(p(stale)), "stale lease must be reclaimed")
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+  }
+
+  test("rebuild commit gate acquires the marker before the snapshot and refuses live leases") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rgate").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") % 2 === 0), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 2)
+    val evenCount = corpus.filter(col("corpus_id") % 2 === 0).count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // an append IN FLIGHT at commit time (lease on disk, files not yet
+    // landed — the r15 TOCTOU's invisible case): the gate must refuse on
+    // the LEASE, before the file-set comparison could be fooled
+    val lease = s"$dir/lists__appending_inflight"
+    val e = intercept[IllegalStateException] {
+      Similarity.rebuildIndexImpl(spark, dir, corpus, "corpus_id",
+        "embedding", 64, 16, 8, 16, 2, 42L, "", {
+          case "staged" =>
+            val out = fs.create(p(lease), true)
+            out.write("""{"op":"append"}""".getBytes("UTF-8")); out.close()
+          case _ => ()
+        })
+    }
+    assert(e.getMessage.contains("in flight"), e.getMessage)
+    // refusal left nothing held and the old index servable as-is
+    assert(!fs.exists(p(s"$dir/lists__maintenance")), "marker left behind")
+    assert(!fs.exists(p(s"${dir}__rebuild_staging")), "staging left behind")
+    fs.delete(p(lease), false)
+    assert(Similarity.readIndexModels(spark, dir)._1.length == 8)
+    assert(spark.read.parquet(s"$dir/lists").count() == evenCount)
+    // lease gone: the rebuild now commits
+    Similarity.rebuildIndex(spark, dir, corpus, "corpus_id", "embedding",
+      64, nCentroids = 16, iters = 2)
+    assert(Similarity.readIndexManifest(spark, dir).nCentroids == 16)
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+  }
+
+  test("writeIndex guards: refuses mid-maintenance trees and live-lease overwrites; manifest written last") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_wg").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a crashed-maintenance marker means recoverIndex owns this dir — a
+    // blind writeIndex over it was the r15 'unknown writer' hole
+    val out = fs.create(p(s"$dir/lists__maintenance"), true)
+    out.write("""{"op":"compact"}""".getBytes("UTF-8")); out.close()
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64)
+    }
+    assert(e1.getMessage.contains("recoverIndex"), e1.getMessage)
+    fs.delete(p(s"$dir/lists__maintenance"), false)
+    // a live append lease: overwriting the tree under it would lose rows
+    val lease = s"$dir/lists__appending_live"
+    val out2 = fs.create(p(lease), true)
+    out2.write("""{"op":"append"}""".getBytes("UTF-8")); out2.close()
+    val e2 = intercept[IllegalStateException] {
+      Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64)
+    }
+    assert(e2.getMessage.contains("in flight"), e2.getMessage)
+    fs.delete(p(lease), false)
+    // manifest-last: a torn overwrite (crash before the manifest write)
+    // reads as a MISSING manifest — loud at every open, never a fresh
+    // manifest over half-old components (silently wrong ADC)
+    fs.delete(p(s"$dir/manifest.json"), false)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.readIndexModels(spark, dir)
+    }
+    assert(e3.getMessage.contains("manifest"), e3.getMessage)
+    // a clean re-write restores the manifest as the final step
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2)
+    assert(Similarity.readIndexManifest(spark, dir).nCentroids == 8)
+  }
+
+  test("recoverIndex leaves a rebuild's sibling staging tree unless told to reclaim it") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rs").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a sibling staging tree is indistinguishable from a rebuild RUNNING
+    // right now (staging is unmarked by design) — default recovery must
+    // not destroy the corpus-scale train+encode work
+    fs.mkdirs(p(s"${dir}__rebuild_staging/lists"))
+    Similarity.recoverIndex(spark, dir)
+    assert(fs.exists(p(s"${dir}__rebuild_staging")),
+      "default recovery must not reclaim a possibly-live staging tree")
+    Similarity.recoverIndex(spark, dir, reclaimRebuildStaging = true)
+    assert(!fs.exists(p(s"${dir}__rebuild_staging")),
+      "explicit reclaim must remove the orphan staging tree")
+  }
+
+  test("manifest-default dim and AUTO shortlist derive from the index's own geometry") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_auto").toString
+    // 2 lists over 500 rows: auto shortlist = ceil(n/k) = 250 > the 32 floor
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 2, iters = 3)
+    val n = corpus.count()
+    val expected = math.max(32, math.ceil(n.toDouble / 2).toInt)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    // dim OMITTED (manifest-resolved) + shortlist = 0 (auto)
+    val auto = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, shortlist = 0)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    // must equal the hand-passed grid point the rule resolves to
+    val explicit = Similarity.indexTopKDistributed(spark, dir, queries,
+        corpus, k = 1, dim = 64, shortlist = expected)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(auto == explicit, s"auto shortlist must equal explicit $expected")
+    assert(auto.size == 10)
+    assert(auto.forall { case (q, c) => c == q - 1000L }, auto.toString)
+    // the streaming path resolves both the same way
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val short = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_ann_auto",
+      Similarity.indexShortlistStream(spark, dir, qStream, shortlist = 0))
+    val top1 = Similarity.rerankTopK(short,
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000L).as("query_id"),
+          transform(col("embedding"), x => x + lit(0.02f)).as("embedding")),
+      corpus, k = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1 == auto)
+  }
+
+  test("streaming ingest holds the lease: maintenance mid-batch refuses, stream completes, rows exact") {
+    // the composition the leases exist for: drainForeach appends per
+    // micro-batch while a maintenance attempt lands mid-batch — it must
+    // refuse LOUDLY, the stream must complete, and every row must be there
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_sing").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 250), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val models = Similarity.readIndexModels(spark, dir)
+    val refused = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") >= 250)
+      .select(col("vec_id").as("corpus_id"), col("embedding"))
+    graft.streaming.StreamingIngest.drainForeach(stream, batch =>
+      Similarity.appendToIndexImpl(batch, dir, "corpus_id", "embedding", 64,
+        Some(models), onStep = {
+          case "leased" if refused.get() == null =>
+            refused.set(intercept[IllegalStateException] {
+              Similarity.compactIndex(spark, dir)
+            })
+          case _ => ()
+        }))
+    assert(refused.get() != null, "maintenance attempt never ran mid-batch")
+    assert(refused.get().getMessage.contains("in flight"),
+      refused.get().getMessage)
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count(),
+      "stream must complete with every row present")
+    // stream done, leases released: the same maintenance now succeeds
+    Similarity.compactIndex(spark, dir)
+    val queries = emb.filter(col("vec_id") >= 490)
+      .select((col("vec_id") + 1000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val top1 = Similarity.indexTopKDistributed(spark, dir, queries, corpus,
+        k = 1, nProbe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
   test("crashed maintenance blocks EVERY append; recovery preserves every pre-crash row") {
