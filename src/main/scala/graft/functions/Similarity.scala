@@ -1483,12 +1483,14 @@ object Similarity {
     * task here; a 100 TB compaction of a skewed list layout would
     * range-split hot cids (the AQE skew-join analogue) — list sizes are
     * bounded by design (k ∝ n), documented. */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "compactIndex")
-    acquireMarker(fs, dir, "compactIndex", """{"op":"compact"}""")
+    acquireMarker(fs, dir, "compactIndex", """{"op":"compact"}""",
+      staleLeaseMs)
     val lists = s"$dir/lists"
     val staged = s"$dir/lists__compacting"
     val retired = s"$dir/lists__retired"
@@ -1541,7 +1543,8 @@ object Similarity {
     * ids can no longer reach any shortlist, so every serve path excludes
     * them even though the PAYLOAD table may still carry the rows. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ids: DataFrame, idCol: String): Unit = {
+      ids: DataFrame, idCol: String,
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -1552,7 +1555,8 @@ object Similarity {
     // in between contribute files invisible to the rewrite — the staged
     // tree would drop them at the swap. Under the marker (live leases
     // refused, new appends fail loudly) the snapshot cannot be overtaken.
-    acquireMarker(fs, dir, "deleteFromIndex", """{"op":"delete"}""")
+    acquireMarker(fs, dir, "deleteFromIndex", """{"op":"delete"}""",
+      staleLeaseMs)
     val lists = spark.read.parquet(s"$dir/lists")
     val del = ids.select(col(idCol).as("corpus_id"))
     val hitCids = lists.join(broadcast(del), Seq("corpus_id"), "left_semi")
@@ -1613,8 +1617,17 @@ object Similarity {
     * children cover its region (nProbe unchanged — the standard re-split
     * recall posture; both children sit where the parent was). */
   def splitList(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cid: Int, iters: Int = 5, seed: Long = 42L): Unit =
-    splitListImpl(spark, dir, cid, iters, seed, _ => ())
+      cid: Int, iters: Int = 5, seed: Long = 42L,
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit =
+    splitListImpl(spark, dir, cid, iters, seed, _ => (), staleLeaseMs)
+
+  /** The hottest list's cid (max rows, ties to the smaller cid) — the
+    * standard [[splitList]] target and the KQL `ann_maintain('…','split')`
+    * no-cid default; one [[indexStats]] scan. */
+  def hottestList(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    indexStats(spark, dir).orderBy(col("rows").desc, col("__cid").asc)
+      .select("__cid").head().getInt(0)
 
   /** [[splitList]] with a step hook — the crash-injection seam the recovery
     * unit drives (the hook throws at a chosen protocol step, simulating a
@@ -1623,7 +1636,8 @@ object Similarity {
     * commit begun). */
   private[graft] def splitListImpl(spark: org.apache.spark.sql.SparkSession,
       dir: String, cid: Int, iters: Int, seed: Long,
-      onStep: String => Unit): Unit = {
+      onStep: String => Unit,
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -1637,7 +1651,7 @@ object Similarity {
     // snapshot — an append into this cid between read and swap would lose
     // its rows. Under the marker the snapshot cannot be overtaken.
     acquireMarker(fs, dir, "splitList",
-      s"""{"op":"split","cid":$cid,"new_cid":$newCid}""")
+      s"""{"op":"split","cid":$cid,"new_cid":$newCid}""", staleLeaseMs)
     val hot = spark.read.parquet(s"$dir/lists").where(col("__cid") === cid)
     if (hot.limit(2).count() < 2) {
       fs.delete(p(markerPath(dir)), false)
@@ -1748,15 +1762,17 @@ object Similarity {
   def rebuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCentroids: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 5,
-      seed: Long = 42L, corpusSnapshot: String = ""): Unit =
+      seed: Long = 42L, corpusSnapshot: String = "",
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit =
     rebuildIndexImpl(spark, dir, corpus, idCol, vecCol, dim, nCentroids,
-      m, ksub, iters, seed, corpusSnapshot, _ => ())
+      m, ksub, iters, seed, corpusSnapshot, _ => (), staleLeaseMs)
 
   private[graft] def rebuildIndexImpl(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCentroids: Int, m: Int, ksub: Int, iters: Int, seed: Long,
-      corpusSnapshot: String, onStep: String => Unit): Unit = {
+      corpusSnapshot: String, onStep: String => Unit,
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -1782,7 +1798,8 @@ object Similarity {
     // Cleanup on every refusal so the old index stays immediately servable.
     try {
       requireCleanIndex(fs, dir, "rebuildIndex (commit)")
-      acquireMarker(fs, dir, "rebuildIndex (commit)", """{"op":"rebuild"}""")
+      acquireMarker(fs, dir, "rebuildIndex (commit)", """{"op":"rebuild"}""",
+        staleLeaseMs)
     } catch {
       case e: Throwable => fs.delete(p(staging), true); throw e
     }
@@ -1892,6 +1909,121 @@ object Similarity {
       fs.delete(p(s"$dir/centroids__new"), true)
       fs.delete(p(markerPath(dir)), false)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Late-interaction (multi-vector / MaxSim) retrieval.
+  // ------------------------------------------------------------------
+
+  /** LATE-INTERACTION retrieval over MULTI-VECTOR documents (the
+    * ColBERT-family scoring: Khattab & Zaharia 2020) — each document and
+    * each query is a BAG of token vectors, and
+    * score(q, d) = Σ over q's tokens of max over d's tokens of cos(qt, dt).
+    * MaxSim keeps token-level matching (a query token finds its best
+    * counterpart anywhere in the document) that single-vector pooling
+    * destroys — the standard retrieval upgrade when one embedding per
+    * document underfits.
+    *
+    * This is the EXACT form: every (query token × corpus token) pair is
+    * scored — one broadcast nested-loop of the (driver-bounded, serving
+    * contract) query token set against the corpus token table, a per
+    * (query, query-token, doc) max, a per (query, doc) sum, and a top-k
+    * window (ties → smaller corpusId). Cost |Qtok|·|Ctok| dots — the
+    * brute-force baseline [[maxSimTopKPruned]] exists to avoid. No
+    * self-exclusion: queries are their own entities (perturbed probes in
+    * the fixture), not corpus rows.
+    *
+    * Output: (queryId, corpusId, maxsim, rank), k rows per query. */
+  def maxSimTopK(queryTokens: DataFrame, corpusTokens: DataFrame, k: Int,
+      queryId: String = "query_id", tokenId: String = "token_id",
+      corpusId: String = "corpus_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queryTokens.select(col(queryId), col(tokenId).as("__qt"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = corpusTokens.select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    maxSimTail(c.crossJoin(broadcast(q)), k, queryId, corpusId)
+  }
+
+  /** The shared per-pair-cosine → token-max → doc-sum → top-k tail of both
+    * MaxSim paths (exact and pruned), so scoring cannot drift: input is a
+    * joined frame carrying (queryId, __qt, __qv, __qn, corpusId, __cv,
+    * __cn) token-pair rows. */
+  private def maxSimTail(pairs: DataFrame, k: Int,
+      queryId: String, corpusId: String): DataFrame = {
+    val perToken = pairs
+      .withColumn("__cos", dot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
+      .groupBy(col(queryId), col("__qt"), col(corpusId))
+      .agg(max(col("__cos")).as("__m"))
+    val scored = perToken
+      .groupBy(col(queryId), col(corpusId))
+      .agg(sum(col("__m")).as("maxsim"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("maxsim").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("maxsim"), col("rank"))
+  }
+
+  /** [[maxSimTopK]] with ColBERT-style CANDIDATE PRUNING — the serve shape
+    * that scales: every query token fetches only the corpus tokens of its
+    * `nProbe` nearest IVF lists (token-level coarse quantizer — trained
+    * here or passed in frozen), candidate documents are the DISTINCT doc
+    * ids those token hits belong to, and the exact MaxSim re-scores ONLY
+    * the (query, candidate doc) pairs — the standard first-stage-ANN /
+    * exact-late-interaction split. Recall-approximate exactly like every
+    * IVF path here (a best-matching token in an unprobed list is missed;
+    * `nProbe` = nCentroids degenerates to EXACT — unit-anchored); the
+    * planted near-copy contract survives because a near-identical token
+    * computes the same probe set within the perturbation margin.
+    *
+    * 100 TB posture: candidates come ONLY from the equi-join on the token
+    * list id (never |Qtok|·|Ctok| pairs); the re-score is bounded by
+    * candidate-doc token counts; the trained centroid model is the only
+    * driver-side state. */
+  def maxSimTopKPruned(queryTokens: DataFrame, corpusTokens: DataFrame,
+      k: Int, dim: Int, nProbe: Int = 4, nCentroids: Int = 16,
+      queryId: String = "query_id", tokenId: String = "token_id",
+      corpusId: String = "corpus_id", vecCol: String = "embedding",
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    // in-run training needs a per-TOKEN id for ivfTrain's seeded init
+    // (doc ids repeat per token; a content hash is deterministic across
+    // partitionings where monotonically_increasing_id is not)
+    val cents = trained.getOrElse(ivfTrain(
+      corpusTokens.select(xxhash64(col(vecCol)).as("__tid"), col(vecCol)),
+      "__tid", vecCol, dim, nCentroids))
+    // token quantizers are model-sized (√|Ctok|-ish): the literal kernel
+    // covers the whole regime this operator serves; past the literal
+    // threshold the right first stage is the STORED token index
+    // (writeIndex over tokens + indexTopKDistributed), not a bigger
+    // broadcast here — fail loudly rather than mis-assign
+    require(cents.length < centroidTableThreshold,
+      s"maxSimTopKPruned: ${cents.length} token centroids >= " +
+        s"$centroidTableThreshold — store the token index (writeIndex) " +
+        "and prune through it instead")
+    // per-ROW literal assignment (corpus doc ids are deliberately NOT
+    // unique per token — every token assigns independently), collapsed to
+    // distinct (doc, list) membership pairs
+    val lists = corpusTokens
+      .select(col(corpusId),
+        explode(ivfProbes(col(vecCol), cents, 1)).as("__cid"))
+      .distinct()
+    val qprobes = queryTokens
+      .select(col(tokenId),
+        explode(ivfProbes(col(vecCol), cents,
+          math.min(nProbe, cents.length))).as("__cid"))
+    // candidate (query, doc) pairs: a query token's probed lists meet the
+    // docs owning tokens in those lists — ids-only equi-join, distinct
+    val cand = qprobes
+      .join(queryTokens.select(col(queryId), col(tokenId)), Seq(tokenId))
+      .join(lists, Seq("__cid"))
+      .select(col(queryId), col(corpusId)).distinct()
+    // exact re-score on candidates only: all tokens of each side re-attach
+    val q = queryTokens.select(col(queryId), col(tokenId).as("__qt"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = corpusTokens.select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    maxSimTail(cand.join(broadcast(q), Seq(queryId)).join(c, Seq(corpusId)),
+      k, queryId, corpusId)
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:

@@ -1727,6 +1727,31 @@ object KqlParser {
               idxDir, qcast, corpusTbl, annK, dim, annProbe, annShort,
               queryIdCol, corpusIdCol, annVecCol,
               filter = Some(org.apache.spark.sql.functions.lit(true)))
+          case "maxsim_search" =>
+            // `evaluate maxsim_search(CorpusTokens, corpusIdCol, queryIdCol,
+            // tokenIdCol, vecCol, k)` — LATE-INTERACTION retrieval from the
+            // query language: the piped rows are the query TOKEN bag
+            // (queryIdCol groups tokens into queries), CorpusTokens is the
+            // multi-vector document table (corpusIdCol groups its tokens),
+            // and score(q, d) = Σ over q's tokens of max over d's tokens of
+            // cosine (Similarity.maxSimTopK — the exact form; the pruned
+            // first stage is a typed-API choice). Output: (queryIdCol,
+            // corpusIdCol, maxsim, rank), k rows per query.
+            val msTbl = resolveTable(ident()); eatPunct(",")
+            val msCorpusId = ident(); eatPunct(",")
+            val msQueryId = ident(); eatPunct(",")
+            val msTokenId = ident(); eatPunct(",")
+            val msVec = ident(); eatPunct(",")
+            val msK = litLong(parseExpr()).toInt
+            eatPunct(")")
+            // the same dynamic-array boundary cast as ann_search: KQL
+            // series ops surface array<double>, the vector kernels take
+            // array<float>; identity casts elide
+            val msQ = df.withColumn(msVec,
+              org.apache.spark.sql.functions.col(msVec).cast("array<float>"))
+            graft.functions.Similarity.maxSimTopK(msQ, msTbl, msK,
+              queryId = msQueryId, tokenId = msTokenId,
+              corpusId = msCorpusId, vecCol = msVec)
           case "index_stats" =>
             // `evaluate index_stats('indexDir')` — READ-ONLY index
             // administration from the query surface (Kusto's own idiom is
@@ -1763,13 +1788,44 @@ object KqlParser {
               case "recover" =>
                 graft.functions.Similarity.recoverIndex(mSpark, mDir)
               case "split" =>
+                // cid omitted ⇒ the hottest list (max rows, ties to the
+                // smaller cid) — the signal an operator would read off
+                // index_stats anyway, folded into the command
                 graft.functions.Similarity.splitList(mSpark, mDir,
-                  mCid.getOrElse(throw new IllegalArgumentException(
-                    "ann_maintain('dir', 'split', cid): cid is required")))
+                  mCid.getOrElse(
+                    graft.functions.Similarity.hottestList(mSpark, mDir)))
               case other => throw new IllegalArgumentException(
                 s"ann_maintain: unsupported op '$other' (compact|recover|split)")
             }
             graft.functions.Similarity.indexStats(mSpark, mDir)
+          case "ann_rebuild" =>
+            // `evaluate ann_rebuild(CorpusTable, idCol, vecCol, 'indexDir'
+            // [, nCentroids])` — the full-retrain escape hatch from the
+            // query surface, completing the KQL admin suite
+            // (stats/compact/split/recover/rebuild + search): retrain on
+            // CorpusTable as it is NOW and swap the whole tree in non-stop
+            // (Similarity.rebuildIndex: sibling staging, lease-refusing
+            // marker-first commit gate). Geometry defaults come from the
+            // index's OWN manifest (same dim/m/ksub/seed; nCentroids
+            // overridable — the one knob a drifted corpus usually needs).
+            // Returns the post-rebuild index_stats.
+            val rbTbl = resolveTable(ident()); eatPunct(",")
+            val rbId = ident(); eatPunct(",")
+            val rbVec = ident(); eatPunct(",")
+            val rbDir = litString(parseExpr())
+            val rbK =
+              if (atPunct(",")) { pos += 1; Some(litLong(parseExpr()).toInt) }
+              else None
+            eatPunct(")")
+            val rbSpark = df.sparkSession
+            val rbMf = graft.functions.Similarity
+              .readIndexManifest(rbSpark, rbDir)
+            graft.functions.Similarity.rebuildIndex(rbSpark, rbDir, rbTbl,
+              rbId, rbVec, rbMf.dim,
+              nCentroids = rbK.getOrElse(rbMf.nCentroids),
+              m = rbMf.m, ksub = rbMf.ksub, seed = rbMf.seed,
+              corpusSnapshot = rbMf.corpusSnapshot)
+            graft.functions.Similarity.indexStats(rbSpark, rbDir)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
       case "reduce" =>

@@ -3872,6 +3872,139 @@ object NorthStarQueries {
       Some("""SELECT count(*) AS total_rows, true AS lists_bounded,
              |  true AS files_positive FROM embeddings""".stripMargin)),
 
+    // LATE-INTERACTION (MaxSim / ColBERT-family) retrieval over
+    // MULTI-VECTOR documents: each doc is a BAG of 4 token vectors (125
+    // docs over the 500-vector fixture), score(q, d) = Σ over q's tokens
+    // of max over d's tokens of cosine — the token-level matching that
+    // single-vector pooling destroys. Planted contract: each query is an
+    // original doc's token bag perturbed (+0.02/component, per-token
+    // cosine ≈ 0.997 vs ≈ 0.51 natural max), so the original doc must
+    // rank first; the oracle replays the FULL MaxSim brute force in SQL
+    // (per-token max over all docs, per-doc sum, rank) — a broken max,
+    // sum, or tie-break reddens the row, not just the verdict.
+    QueryDef("q_maxsim",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpusTok = emb.project(
+          (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+        val queryTok = emb.where_(col("vec_id") < 40)
+          .project(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+            col("vec_id").as("token_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.maxSimTopK(queryTok, corpusTok, k = 1)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""WITH ct AS (
+             |  SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+             |qt AS (
+             |  SELECT (vec_id // 4) + 1000000 AS query_id, vec_id AS tok,
+             |    list_transform(embedding, x -> x + 0.02::FLOAT) AS emb
+             |  FROM embeddings WHERE vec_id < 40),
+             |tok_best AS (
+             |  SELECT q.query_id, q.tok, c.doc_id,
+             |    max(list_cosine_similarity(q.emb, c.embedding)) AS m
+             |  FROM qt q, ct c GROUP BY 1, 2, 3),
+             |score AS (
+             |  SELECT query_id, doc_id, sum(m) AS s
+             |  FROM tok_best GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT query_id, doc_id, row_number()
+             |    OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+             |  FROM score)
+             |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
+             |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
+
+    // MaxSim with ColBERT-style candidate PRUNING — the serve shape that
+    // scales: every query token fetches only its nProbe nearest token
+    // LISTS (the memoized 16-centroid coarse quantizer), candidate docs
+    // are the distinct owners of the hit tokens, and the exact MaxSim
+    // re-scores candidates only — |Qtok|·|Ctok| never materializes. Same
+    // planted contract and the same brute-force SQL oracle as q_maxsim:
+    // a pruning miss (the near-copy tokens landing outside their
+    // originals' probe sets) would redden the row.
+    QueryDef("q_maxsim_pruned",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpusTok = emb.project(
+          (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+        val queryTok = emb.where_(col("vec_id") < 40)
+          .project(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+            col("vec_id").as("token_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        evictStale(s)
+        val centroids = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "ivf"),
+          Similarity.ivfTrain(emb.projectRename("corpus_id" -> "vec_id"),
+            "corpus_id", "embedding", EMB_DIM))
+        Similarity.maxSimTopKPruned(queryTok, corpusTok, k = 1,
+          dim = EMB_DIM, nProbe = 4, trained = Some(centroids))
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""WITH ct AS (
+             |  SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+             |qt AS (
+             |  SELECT (vec_id // 4) + 1000000 AS query_id, vec_id AS tok,
+             |    list_transform(embedding, x -> x + 0.02::FLOAT) AS emb
+             |  FROM embeddings WHERE vec_id < 40),
+             |tok_best AS (
+             |  SELECT q.query_id, q.tok, c.doc_id,
+             |    max(list_cosine_similarity(q.emb, c.embedding)) AS m
+             |  FROM qt q, ct c GROUP BY 1, 2, 3),
+             |score AS (
+             |  SELECT query_id, doc_id, sum(m) AS s
+             |  FROM tok_best GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT query_id, doc_id, row_number()
+             |    OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+             |  FROM score)
+             |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
+             |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
+
+    // MaxSim from KQL (`evaluate maxsim_search(...)`): the whole
+    // late-interaction pipeline in query text — token-bag construction
+    // (tolong floor-division doc ids), series_add perturbation, the
+    // maxsim_search plugin against a let-bound corpus-token view, and the
+    // planted verdict. Same contract and oracle as q_maxsim, so
+    // parser-path drift reddens exactly one row.
+    QueryDef("q_kql_maxsim",
+      (s, d) => {
+        KqlParser.parse(
+          """let ct = embeddings | project corpus_id = tolong(vec_id / 4),
+            |    embedding;
+            |embeddings
+            || where vec_id < 40
+            || project query_id = tolong(vec_id / 4) + 1000000,
+            |    token_id = vec_id,
+            |    embedding = series_add(embedding, repeat(0.02, 64))
+            || evaluate maxsim_search(ct, corpus_id, query_id, token_id,
+            |    embedding, 1)
+            || project query_id, found_original = corpus_id == query_id - 1000000
+            || sort by query_id asc""".stripMargin,
+          Tables.resolver(s, d))
+      },
+      Some("""WITH ct AS (
+             |  SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+             |qt AS (
+             |  SELECT (vec_id // 4) + 1000000 AS query_id, vec_id AS tok,
+             |    list_transform(embedding, x -> x + 0.02::FLOAT) AS emb
+             |  FROM embeddings WHERE vec_id < 40),
+             |tok_best AS (
+             |  SELECT q.query_id, q.tok, c.doc_id,
+             |    max(list_cosine_similarity(q.emb, c.embedding)) AS m
+             |  FROM qt q, ct c GROUP BY 1, 2, 3),
+             |score AS (
+             |  SELECT query_id, doc_id, sum(m) AS s
+             |  FROM tok_best GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT query_id, doc_id, row_number()
+             |    OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+             |  FROM score)
+             |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
+             |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
+
     // Classifier CALIBRATION (the held-out evaluation every learned gate
     // needs before anyone picks its threshold): the NB quality gate trains
     // on the doc_id%3=0 labeled slice, scores the DISJOINT doc_id%3=1

@@ -130,6 +130,31 @@ object RecallScale {
           corpus, k, dim, nProbe = 4, shortlist = 64, hierProbe = Some(g))))
     }
 
+    // ---- MaxSim (late-interaction) pruning recall: docs are 4-token
+    // bags over the same fixture; the pruned path's top-k vs the exact
+    // MaxSim top-k at the nProbe grid — what ColBERT-style first-stage
+    // token-ANN gives up on structureless embeddings (the same
+    // scanned-fraction floor as the single-vector IVF rows; real token
+    // distributions sit above). Queries are the first nQ/4 docs' bags,
+    // self-match NOT excluded (queries are their own entities) — so the
+    // exact baseline is the honest reference, not brute force vs itself.
+    val corpusTok = emb.select((F.col("vec_id") / 4).cast("long")
+      .as("corpus_id"), F.col("embedding"))
+    val queryTok = emb.filter(F.col("vec_id") < nQ)
+      .select(((F.col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        F.col("vec_id").as("token_id"), F.col("embedding"))
+    val msExact = Similarity.maxSimTopK(queryTok, corpusTok, k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def msRecall(df: DataFrame): Double =
+      msExact.intersect(df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble /
+        msExact.size
+    for (nProbe <- Seq(1, 2, 4, 8))
+      row("maxsim-pruned", s"tokens/doc=4 nCentroids=16 nProbe=$nProbe",
+        msRecall(Similarity.maxSimTopKPruned(queryTok, corpusTok, k, dim,
+          nProbe = nProbe, trained = Some(cents))))
+
     // hierarchical PROBE assignment composed into the IVF search (the
     // assignment-level recall trade measured end-to-end): corpus lists are
     // flat nProbe=1 as always; query probes come from the two-level path

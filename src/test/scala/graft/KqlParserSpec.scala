@@ -1634,27 +1634,40 @@ class KqlParserSpec extends SparkSpec {
       res).collect().head
     assert(post.getLong(0) == corpus.count(), post.toString)
     assert(post.getLong(1) == 1, s"compaction must reset files-per-list: $post")
-    // split the hottest list from KQL: list count grows by one, rows kept
-    val hot = Similarity.indexStats(spark, dir)
-      .orderBy(col("rows").desc).select("__cid").collect().head.getInt(0)
+    // split from KQL with NO cid: targets the hottest list (max rows, ties
+    // to the smaller cid) — list count grows by one, rows kept exactly
+    val hot = Similarity.hottestList(spark, dir)
+    val hotRowsBefore = Similarity.indexStats(spark, dir)
+      .where(col("__cid") === hot).select("rows").collect().head.getLong(0)
     val nListsBefore = Similarity.indexStats(spark, dir).count()
     val postSplit = KqlParser.parse(
       s"""embeddings | take 1
-         || evaluate ann_maintain('$dir', 'split', $hot)
+         || evaluate ann_maintain('$dir', 'split')
          || summarize total = sum(rows), lists = count()""".stripMargin,
       res).collect().head
     assert(postSplit.getLong(0) == corpus.count(), postSplit.toString)
     assert(postSplit.getLong(1) == nListsBefore + 1, postSplit.toString)
-    // bad op name fails loudly; split without a cid fails loudly
+    // the split really hit the hottest list: its row count shrank
+    val hotRowsAfter = Similarity.indexStats(spark, dir)
+      .where(col("__cid") === hot).select("rows").collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    assert(hotRowsAfter < hotRowsBefore,
+      s"hottest list $hot: $hotRowsBefore -> $hotRowsAfter")
+    // full REBUILD from KQL: geometry from the manifest, nCentroids
+    // overridden — the drifted-corpus escape hatch in one command
+    val postRebuild = KqlParser.parse(
+      s"""embeddings | take 1
+         || evaluate ann_rebuild(embeddings, vec_id, embedding, '$dir', 8)
+         || summarize total = sum(rows), lists = count()""".stripMargin,
+      res).collect().head
+    assert(postRebuild.getLong(0) == emb.count(), postRebuild.toString)
+    assert(postRebuild.getLong(1) <= 8, postRebuild.toString)
+    assert(Similarity.readIndexManifest(spark, dir).nCentroids == 8)
+    // bad op name fails loudly
     val e1 = intercept[IllegalArgumentException] {
       KqlParser.parse(
         s"embeddings | take 1 | evaluate ann_maintain('$dir', 'vacuum')", res)
     }
     assert(e1.getMessage.contains("unsupported op"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      KqlParser.parse(
-        s"embeddings | take 1 | evaluate ann_maintain('$dir', 'split')", res)
-    }
-    assert(e2.getMessage.contains("cid is required"), e2.getMessage)
   }
 }

@@ -623,6 +623,107 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.forall { case (q, c) => c == q - 1000L }, top1.toString)
   }
 
+  test("MaxSim late-interaction retrieval: exact contract, pruned degeneracy, planted top-1") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // multi-vector documents: 4 token vectors per doc (125 docs over the
+    // 500-vector fixture); queries are the first 10 docs' token bags,
+    // perturbed — MaxSim must rank each query's ORIGINAL doc first
+    val corpusTok = emb.select((col("vec_id") / 4).cast("long").as("corpus_id"),
+      col("embedding"))
+    val queryTok = emb.filter(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val exact = Similarity.maxSimTopK(queryTok, corpusTok, k = 3)
+    val top1 = exact.filter(col("rank") === 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000000L }, top1.toString)
+    // the score is a true MaxSim: ~4 near-perfect token matches per planted pair
+    val s1 = exact.filter(col("rank") === 1).select("maxsim")
+      .as[Double].collect()
+    assert(s1.forall(s => s > 3.9 && s <= 4.0001), s1.mkString(","))
+    // pruned path at full nProbe degenerates to EXACT (every list probed
+    // ⇒ every doc with any token a candidate ⇒ identical top-k sets)
+    val cents = Similarity.ivfTrain(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      64, nCentroids = 16, iters = 3)
+    val prunedFull = Similarity.maxSimTopKPruned(queryTok, corpusTok,
+      k = 3, dim = 64, nProbe = 16, trained = Some(cents))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(rows(prunedFull) == rows(exact),
+      "full-probe pruned MaxSim must equal the exact path")
+    // pruned at serving nProbe keeps the planted contract (the near-copy
+    // tokens share their originals' probe sets within the margin)
+    val pruned = Similarity.maxSimTopKPruned(queryTok, corpusTok,
+      k = 1, dim = 64, nProbe = 4, trained = Some(cents))
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(pruned.size == 10)
+    assert(pruned.forall { case (q, c) => c == q - 1000000L }, pruned.toString)
+    // oversized token quantizer fails loudly toward the stored-index path
+    val bigCents = Array.tabulate(2176, 64)((i, j) =>
+      (((i * 131 + j * 17) % 997) / 997.0f))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.maxSimTopKPruned(queryTok, corpusTok, k = 1, dim = 64,
+        trained = Some(bigCents))
+    }
+    assert(e.getMessage.contains("writeIndex"), e.getMessage)
+  }
+
+  test("lease/marker race under REAL concurrency: rows are never silently lost") {
+    // the protocol's whole point, driven by actual racing threads instead
+    // of the step-hook seam: an append and a compact launched together may
+    // each succeed or refuse loudly (under contention both can refuse — the
+    // documented trade), but a SUCCESSFUL append's rows must always be in
+    // the index and a refusal must leave nothing held. The assertion is the
+    // invariant, not the schedule, so the test is timing-independent.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_race2").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 300), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val models = Similarity.readIndexModels(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    var appended = 0L
+    for (round <- 0 until 5) {
+      val lo = 300 + round * 40
+      val batch = corpus.filter(col("corpus_id") >= lo &&
+        col("corpus_id") < lo + 40)
+      val batchN = batch.count()
+      @volatile var appendErr: Option[Throwable] = None
+      @volatile var compactErr: Option[Throwable] = None
+      val tA = new Thread(() =>
+        try Similarity.appendToIndex(batch, dir, "corpus_id", "embedding",
+          64, models = Some(models))
+        catch { case e: Throwable => appendErr = Some(e) })
+      val tC = new Thread(() =>
+        try Similarity.compactIndex(spark, dir)
+        catch { case e: Throwable => compactErr = Some(e) })
+      tA.start(); tC.start(); tA.join(); tC.join()
+      // refusals must be the LOUD contract errors, never data damage
+      for (e <- appendErr ++ compactErr)
+        assert(e.isInstanceOf[IllegalStateException] ||
+          e.isInstanceOf[IllegalArgumentException],
+          s"round $round: unexpected ${e.getClass}: ${e.getMessage}")
+      if (appendErr.isEmpty) appended += batchN
+      // nothing may be left held after the round, whatever the outcome
+      assert(!fs.exists(p(s"$dir/lists__maintenance")),
+        s"round $round left the marker")
+      assert(Similarity.appendLeases(fs, dir).isEmpty,
+        s"round $round left a lease")
+      // the invariant: every successful append's rows are ALL present
+      assert(spark.read.parquet(s"$dir/lists").count() == 300 + appended,
+        s"round $round lost rows (appendErr=$appendErr compactErr=$compactErr)")
+    }
+    // the index still serves correctly after the contention rounds
+    Similarity.compactIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/lists").count() == 300 + appended)
+  }
+
   test("crashed maintenance blocks EVERY append; recovery preserves every pre-crash row") {
     // the r14 race: deleteFromIndex crashes between its two renames for one
     // cid; an appendToIndex with PRE-READ models used to bypass the guard,
