@@ -757,8 +757,20 @@ object Similarity {
     // tree that is DETECTABLE (stale/missing manifest — written last) but
     // not recoverable (no retired copy to roll back to).
     requireCleanIndex(fs, dir, "writeIndex")
-    if (fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))) {
-      requireNoLiveLeases(fs, dir, "writeIndex (overwrite)", defaultStaleLeaseMs)
+    val overwriting =
+      fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir)))
+    if (overwriting) {
+      // overwriting a LIVE index is stop-the-world maintenance: acquire
+      // the op=overwrite marker for the whole run (atomic, refusing while
+      // any append lease is live), so appends and serve opens fail loudly
+      // instead of interleaving with the component rewrites — without it,
+      // an append STARTING mid-overwrite would write rows the lists
+      // overwrite silently clobbers (the same write-skew class the leases
+      // closed for maintenance). recoverIndex's op=overwrite branch just
+      // drops the marker: mid-overwrite crash states are already loud
+      // (manifest deleted below before any component is touched), and the
+      // repair is re-running writeIndex.
+      acquireMarker(fs, dir, "writeIndex (overwrite)", """{"op":"overwrite"}""")
       // drop the old manifest BEFORE touching components: any crash inside
       // the overwrite then reads as a missing manifest (loud at open) even
       // when the new geometry happens to equal the old
@@ -790,6 +802,8 @@ object Similarity {
     writeManifest(fs, dir,
       IndexManifest(ManifestFormat, dim, cents.length, books.length,
         books.headOption.map(_.length).getOrElse(ksub), seed, corpusSnapshot))
+    if (overwriting)
+      fs.delete(new org.apache.hadoop.fs.Path(markerPath(dir)), false)
   }
 
   /** Reopen a stored index's models (driver-bounded — k×dim + M·ksub·dsub
@@ -1431,6 +1445,16 @@ object Similarity {
         jsonLong(marker.get, "cid").toInt, jsonLong(marker.get, "new_cid").toInt)
     } else if (op.contains("rebuild")) {
       recoverRebuild(spark, fs, dir)
+    } else if (op.contains("overwrite")) {
+      // a writeIndex-OVERWRITE died mid-run: there is no retired copy to
+      // roll back to (that is why in-place re-writes are documented to go
+      // through rebuildIndex), but every mid-overwrite state is already
+      // LOUD — the old manifest is deleted before any component is touched,
+      // so opens fail on the missing manifest until a re-run completes; a
+      // crash after the new manifest landed left a complete tree. Recovery
+      // therefore just drops the marker; the repair is re-running
+      // writeIndex (or rebuilding from the payload).
+      fs.delete(p(markerPath(dir)), false)
     } else {
       val lists = s"$dir/lists"
       val retired = s"$dir/lists__retired"
@@ -2018,6 +2042,52 @@ object Similarity {
       .join(lists, Seq("__cid"))
       .select(col(queryId), col(corpusId)).distinct()
     // exact re-score on candidates only: all tokens of each side re-attach
+    val q = queryTokens.select(col(queryId), col(tokenId).as("__qt"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = corpusTokens.select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    maxSimTail(cand.join(broadcast(q), Seq(queryId)).join(c, Seq(corpusId)),
+      k, queryId, corpusId)
+  }
+
+  /** [[maxSimTopKPruned]]'s first stage served from a STORED token index —
+    * the 100 TB composition: the token corpus is indexed ONCE with
+    * [[writeIndex]] (idCol = the UNIQUE token id; the docs' token bags are
+    * re-attached here through `corpusTokens`' (tokenId → corpusId)
+    * mapping), and the whole maintenance suite
+    * (append/compact/delete/split/rebuild/recover, leases and markers)
+    * applies to it unchanged because the token index IS an index. Candidate
+    * docs are the distinct owners of any stored token in any probed list of
+    * any query token; the lists scan is pruned by dynamic partition pruning
+    * exactly like [[indexTopKDistributed]] (the probe side is the broadcast
+    * build side); the exact MaxSim re-scores candidates only, through the
+    * same shared tail as the exact and in-memory-pruned paths. With the
+    * same frozen coarse model, results are IDENTICAL to
+    * [[maxSimTopKPruned]] by construction (unit-anchored). */
+  def maxSimTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTokens: DataFrame, corpusTokens: DataFrame, k: Int,
+      nProbe: Int = 4, queryId: String = "query_id",
+      tokenId: String = "token_id", corpusId: String = "corpus_id",
+      corpusTokenId: String = "token_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (cents, _, _) = openIndex(spark, dir, 0, "maxSimTopKIndexed")
+    val qprobes = assignProbes(
+      queryTokens.select(col(tokenId), col(vecCol).as("__pv")),
+      tokenId, "__pv", cents, nProbe)
+      // the (always-true) selective predicate PartitionPruning requires on
+      // the build side — the indexTopKDistributed convention
+      .where(col("__cid") >= 0)
+      .join(queryTokens.select(col(queryId), col(tokenId)), Seq(tokenId))
+      .select(col(queryId), col("__cid")).distinct()
+    // stored rows are (corpus_id = TOKEN id, __cid); map hit tokens to the
+    // docs that own them (ids-only), then distinct (query, doc) candidates
+    val lists = spark.read.parquet(s"$dir/lists")
+      .select(col("corpus_id").as(corpusTokenId), col("__cid"))
+    val tokenOwner = corpusTokens
+      .select(col(corpusTokenId), col(corpusId))
+    val cand = lists.join(broadcast(qprobes), Seq("__cid"))
+      .join(tokenOwner, Seq(corpusTokenId))
+      .select(col(queryId), col(corpusId)).distinct()
     val q = queryTokens.select(col(queryId), col(tokenId).as("__qt"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val c = corpusTokens.select(col(corpusId), col(vecCol).as("__cv"),

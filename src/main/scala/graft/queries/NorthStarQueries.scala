@@ -3963,6 +3963,51 @@ object NorthStarQueries {
              |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
              |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
 
+    // MaxSim served from the STORED token index — the 100 TB composition:
+    // the per-token ANN first stage reads the same memoized __cid-
+    // partitioned index the ann rows serve from (each fixture vector IS a
+    // token, so the default index is already a token index), candidate
+    // docs are the distinct owners of hit tokens, and the exact MaxSim
+    // re-scores candidates only. Same planted contract and brute-force
+    // SQL oracle as q_maxsim; DPP on the lists scan is plan-asserted in
+    // the unit.
+    QueryDef("q_maxsim_indexed",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        val corpusTok = emb.project(col("vec_id").as("token_id"),
+          (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+        val queryTok = emb.where_(col("vec_id") < 40)
+          .project(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+            col("vec_id").as("token_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.maxSimTopKIndexed(s, dir, queryTok, corpusTok, k = 1,
+          nProbe = 4)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""WITH ct AS (
+             |  SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+             |qt AS (
+             |  SELECT (vec_id // 4) + 1000000 AS query_id, vec_id AS tok,
+             |    list_transform(embedding, x -> x + 0.02::FLOAT) AS emb
+             |  FROM embeddings WHERE vec_id < 40),
+             |tok_best AS (
+             |  SELECT q.query_id, q.tok, c.doc_id,
+             |    max(list_cosine_similarity(q.emb, c.embedding)) AS m
+             |  FROM qt q, ct c GROUP BY 1, 2, 3),
+             |score AS (
+             |  SELECT query_id, doc_id, sum(m) AS s
+             |  FROM tok_best GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT query_id, doc_id, row_number()
+             |    OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+             |  FROM score)
+             |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
+             |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
+
     // MaxSim from KQL (`evaluate maxsim_search(...)`): the whole
     // late-interaction pipeline in query text — token-bag construction
     // (tolong floor-division doc ids), series_add perturbation, the

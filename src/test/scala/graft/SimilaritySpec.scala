@@ -670,6 +670,67 @@ class SimilaritySpec extends SparkSpec {
         trained = Some(bigCents))
     }
     assert(e.getMessage.contains("writeIndex"), e.getMessage)
+    // STORED-token-index first stage: same frozen coarse model ⇒ identical
+    // results to the in-memory pruned path by construction, and the lists
+    // scan is DPP-pruned like every stored serve
+    val corpusTokId = emb.select(
+      col("vec_id").as("token_id"),
+      (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_idx").toString
+    Similarity.writeIndex(corpusTokId, dir, "token_id", "embedding", 64,
+      trainedIvf = Some(cents),
+      trainedPq = Some(Similarity.pqTrain(corpusTokId, "token_id",
+        "embedding", 64, iters = 2)))
+    val indexed = Similarity.maxSimTopKIndexed(spark, dir, queryTok,
+      corpusTokId, k = 3, nProbe = 4)
+    val prunedSame = Similarity.maxSimTopKPruned(queryTok, corpusTok,
+      k = 3, dim = 64, nProbe = 4, trained = Some(cents))
+    assert(rows(indexed) == rows(prunedSame),
+      "stored-index MaxSim first stage must equal the in-memory pruned path")
+    val plan = indexed.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"indexed MaxSim lost dynamic partition pruning:\n$plan")
+  }
+
+  test("writeIndex overwrite runs under the marker; a torn overwrite recovers to a loud re-writable state") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_ow").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate the mid-overwrite crash state writeIndex produces: marker
+    // held (op=overwrite), old manifest already dropped
+    val out = fs.create(p(s"$dir/lists__maintenance"), true)
+    out.write("""{"op":"overwrite"}""".getBytes("UTF-8")); out.close()
+    fs.delete(p(s"$dir/manifest.json"), false)
+    // appends and serve opens refuse on the marker (stop-the-world)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(corpus.limit(1), dir, "corpus_id",
+        "embedding", 64)
+    }
+    intercept[IllegalArgumentException] { Similarity.readIndexModels(spark, dir) }
+    // recovery drops the marker; the tree stays LOUD (missing manifest) —
+    // never silently servable with possibly-torn components
+    Similarity.recoverIndex(spark, dir)
+    assert(!fs.exists(p(s"$dir/lists__maintenance")))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.readIndexModels(spark, dir)
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+    // the documented repair — re-running writeIndex — restores service
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2)
+    assert(Similarity.readIndexModels(spark, dir)._1.length == 8)
+    // and a clean OVERWRITE (manifest present) completes end-to-end,
+    // leaving no marker behind
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 4, iters = 2)
+    assert(Similarity.readIndexManifest(spark, dir).nCentroids == 4)
+    assert(!fs.exists(p(s"$dir/lists__maintenance")),
+      "completed overwrite left its marker")
   }
 
   test("lease/marker race under REAL concurrency: rows are never silently lost") {
