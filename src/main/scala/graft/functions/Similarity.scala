@@ -2096,6 +2096,83 @@ object Similarity {
       k, queryId, corpusId)
   }
 
+  /** Per-(query, doc) MaxSim accumulator for the STREAMING path: input rows
+    * are (queryTokenId, cosine) pairs of one (query, doc) group; state is
+    * the per-query-token running max (bounded by the query's token count —
+    * never doc- or corpus-sized); finish sums the maxes. The two-level
+    * max-then-sum collapses into ONE Aggregator because Spark disallows
+    * chained streaming aggregations — this is what makes MaxSim
+    * stream-composable at all. */
+  final class MaxSimAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double), Seq[(Long, Double)], Double] {
+    def zero: Seq[(Long, Double)] = Seq.empty
+    def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
+      if (a == null) b
+      else b.indexWhere(_._1 == a._1) match {
+        case -1 => b :+ a
+        case i => if (b(i)._2 >= a._2) b else b.updated(i, a)
+      }
+    def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      y.foldLeft(x)(reduce)
+    def finish(r: Seq[(Long, Double)]): Double = r.map(_._2).sum
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** STREAMING MaxSim from a STORED token index — late-interaction
+    * retrieval composed with a query-token STREAM: each token's nProbe
+    * probes ride the stream's one projection (the literal centroid
+    * kernel), candidates come from STATELESS stream-static equi-joins
+    * (lists on `__cid` → token ownership → raw corpus token vectors), and
+    * the only stateful operator is one bounded aggregation per (query,
+    * candidate doc) whose state is the per-query-token max ([[MaxSimAgg]]).
+    * Returns the streaming (queryId, corpusId, maxsim) frame — run it
+    * bounded (complete mode) and take the batch top-k, the
+    * streaming-candidates / batch-tail split of [[indexShortlistStream]].
+    *
+    * APPROXIMATE-INTERACTION semantics (bounded, documented): a query
+    * token is scored only against corpus tokens it MET through probing —
+    * a met token's contribution is ≤ the exact per-token max (subset of a
+    * max), and an unmet token contributes 0 where the exact max may be
+    * NEGATIVE, so the precise guarantee is streamed ≤ Σ max(exact
+    * per-token max, 0) per (query, doc), with EQUALITY on pairs whose
+    * best-matching tokens are all probed (the planted near-copy case —
+    * unit-anchored). This is the standard serving approximation; re-rank
+    * survivors with [[maxSimTopK]] when exact scores matter.
+    * Past the literal probe regime use a smaller token quantizer or the
+    * group-granular ladder — refused loudly, not mis-assigned. */
+  def maxSimStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryTokenStream: DataFrame, corpusTokens: DataFrame, nProbe: Int = 4,
+      queryId: String = "query_id", tokenId: String = "token_id",
+      corpusId: String = "corpus_id", corpusTokenId: String = "token_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (cents, _, _) = openIndex(spark, dir, 0, "maxSimStream")
+    require(cents.length < centroidTableThreshold,
+      s"maxSimStream: ${cents.length} token centroids >= " +
+        s"$centroidTableThreshold — past the literal probe regime; use a " +
+        "smaller token quantizer or indexShortlistStream's group ladder")
+    val q = queryTokenStream.select(col(queryId), col(tokenId).as("__qt"),
+        col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__cid", explode(ivfProbes(col("__qv"), cents,
+        math.min(nProbe, cents.length))))
+    val lists = spark.read.parquet(s"$dir/lists")
+      .select(col("corpus_id").as(corpusTokenId), col("__cid"))
+    val ctok = corpusTokens.select(col(corpusTokenId), col(corpusId),
+        col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val pairs = q.join(lists, Seq("__cid"))
+      .join(ctok, Seq(corpusTokenId))
+      .withColumn("__cos", dot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
+    val agg = udaf(new MaxSimAgg)
+    pairs.groupBy(col(queryId), col(corpusId))
+      .agg(agg(col("__qt").cast("long"), col("__cos")).as("maxsim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
     * ids-only bucket join, distinct pairs, one verification per pair. For high
     * thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of tables

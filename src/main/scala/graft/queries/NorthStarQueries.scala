@@ -4008,6 +4008,43 @@ object NorthStarQueries {
              |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
              |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
 
+    // STREAMING MaxSim: late-interaction retrieval with the query token
+    // bags arriving as a STREAM — probes ride the stream's projection,
+    // candidates come from stateless stream-static joins against the
+    // stored token index's lists + the token-ownership map + raw corpus
+    // vectors, and the ONE stateful operator is the bounded per-(query,
+    // doc) MaxSimAgg (per-query-token maxes — Spark disallows chained
+    // streaming aggs, so the two-level max-then-sum collapses into a
+    // single Aggregator). Batch tail ranks the bounded result. Planted
+    // pairs are scored EXACTLY (all their tokens meet), so the verdict
+    // oracle is the same brute-force contract as q_maxsim.
+    QueryDef("q_streaming_maxsim",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        val corpusTok = emb.project(col("vec_id").as("token_id"),
+          (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+        val qStream = graft.streaming.StreamingIngest.loadStream(s, d, "embeddings")
+          .where(col("vec_id") < 40)
+          .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+            col("vec_id").as("token_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        val scored = graft.streaming.StreamingIngest.runBoundedAggregation(s,
+          "q_streaming_maxsim_sink",
+          Similarity.maxSimStream(s, dir, qStream, corpusTok, nProbe = 4))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("corpus_id"))
+        scored.withColumn("r", row_number().over(w)).where_(col("r") === 1)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT DISTINCT (vec_id // 4) + 1000000 AS query_id,
+             |  true AS found_original
+             |FROM embeddings WHERE vec_id < 40 ORDER BY query_id""".stripMargin)),
+
     // MaxSim from KQL (`evaluate maxsim_search(...)`): the whole
     // late-interaction pipeline in query text — token-bag construction
     // (tolong floor-division doc ids), series_add perturbation, the

@@ -692,6 +692,56 @@ class SimilaritySpec extends SparkSpec {
       s"indexed MaxSim lost dynamic partition pruning:\n$plan")
   }
 
+  test("streaming MaxSim: planted top-1 through the stream, scores one-sided vs exact") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpusTok = emb.select(col("vec_id").as("token_id"),
+      (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_str").toString
+    Similarity.writeIndex(corpusTok, dir, "token_id", "embedding", 64,
+      nCentroids = 16, iters = 3)
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val scored = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_maxsim_stream",
+      Similarity.maxSimStream(spark, dir, qStream, corpusTok, nProbe = 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("maxsim").desc, col("corpus_id"))
+    val top1 = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000000L }, top1.toString)
+    // bounded approximation: a met token's contribution is <= the exact
+    // per-token max, and an unmet token contributes 0 where the exact max
+    // may be NEGATIVE — so streamed <= sum(max(exact per-token max, 0))
+    val queryTok = emb.filter(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val clampedExact = corpusTok
+      .select(col("corpus_id"), col("embedding").as("cv"))
+      .crossJoin(queryTok.select(col("query_id"), col("token_id"),
+        col("embedding").as("qv")))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .groupBy("query_id", "token_id", "corpus_id")
+      .agg(max(col("cos")).as("m"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum(greatest(col("m"), lit(0.0))).as("__ex"))
+    val sided = scored.join(clampedExact, Seq("query_id", "corpus_id"))
+      .select((col("maxsim") <= col("__ex") + lit(1e-9)).as("ok"))
+      .as[Boolean].collect()
+    assert(sided.nonEmpty && sided.forall(identity),
+      "streamed MaxSim must never exceed the clamped exact bound")
+    // and the planted pairs are scored EXACTLY (all their tokens meet)
+    val planted = scored.filter(col("corpus_id") === col("query_id") - 1000000L)
+      .select("maxsim").as[Double].collect()
+    assert(planted.length == 10 && planted.forall(s => s > 3.9 && s <= 4.0001),
+      planted.mkString(","))
+  }
+
   test("writeIndex overwrite runs under the marker; a torn overwrite recovers to a loud re-writable state") {
     val emb = Tables.load(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
