@@ -2069,7 +2069,7 @@ object Similarity {
       nProbe: Int = 4, queryId: String = "query_id",
       tokenId: String = "token_id", corpusId: String = "corpus_id",
       corpusTokenId: String = "token_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", filter: Option[Column] = None): DataFrame = {
     val (cents, _, _) = openIndex(spark, dir, 0, "maxSimTopKIndexed")
     val qprobes = assignProbes(
       queryTokens.select(col(tokenId), col(vecCol).as("__pv")),
@@ -2085,9 +2085,23 @@ object Similarity {
       .select(col("corpus_id").as(corpusTokenId), col("__cid"))
     val tokenOwner = corpusTokens
       .select(col(corpusTokenId), col(corpusId))
-    val cand = lists.join(broadcast(qprobes), Seq("__cid"))
+    val cand0 = lists.join(broadcast(qprobes), Seq("__cid"))
       .join(tokenOwner, Seq(corpusTokenId))
       .select(col(queryId), col(corpusId)).distinct()
+    // FILTERED late-interaction serve — the stored ANN tier's pre-filter
+    // contract carried over: a doc-level metadata predicate over
+    // `corpusTokens`' columns prunes candidates BEFORE scoring (ids-only
+    // left-semi), so the k contract holds at any selectivity and no ADC/
+    // re-score budget is spent on unreturnable docs. The EXACT and
+    // in-memory-pruned paths need no parameter: with no stored index in
+    // the way, filtering them is just a WHERE on the input frame —
+    // exactly equivalent.
+    val cand = filter match {
+      case Some(pred) => cand0.join(
+        corpusTokens.where(pred).select(col(corpusId)).distinct(),
+        Seq(corpusId), "left_semi")
+      case None => cand0
+    }
     val q = queryTokens.select(col(queryId), col(tokenId).as("__qt"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val c = corpusTokens.select(col(corpusId), col(vecCol).as("__cv"),
@@ -2148,7 +2162,8 @@ object Similarity {
       queryTokenStream: DataFrame, corpusTokens: DataFrame, nProbe: Int = 4,
       queryId: String = "query_id", tokenId: String = "token_id",
       corpusId: String = "corpus_id", corpusTokenId: String = "token_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      allowed: Option[DataFrame] = None): DataFrame = {
     val (cents, _, _) = openIndex(spark, dir, 0, "maxSimStream")
     require(cents.length < centroidTableThreshold,
       s"maxSimStream: ${cents.length} token centroids >= " +
@@ -2164,10 +2179,18 @@ object Similarity {
     val ctok = corpusTokens.select(col(corpusTokenId), col(corpusId),
         col(vecCol).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
-    val pairs = q.join(lists, Seq("__cid"))
+    val pairs0 = q.join(lists, Seq("__cid"))
       .join(ctok, Seq(corpusTokenId))
-      .withColumn("__cos", dot(col("__qv"), col("__cv")) /
-        (col("__qn") * col("__cn")))
+    // FILTERED streaming MaxSim: `allowed` is a doc-ids frame (first
+    // column = doc id) semi-joined as one more STATIC side BEFORE the
+    // aggregation — still stateless candidates, and the bounded state is
+    // spent on returnable docs only (the indexShortlistStream contract)
+    val pairs = (allowed match {
+      case Some(ok) => pairs0.join(
+        ok.select(ok.columns.head).toDF(corpusId), Seq(corpusId), "left_semi")
+      case None => pairs0
+    }).withColumn("__cos", dot(col("__qv"), col("__cv")) /
+      (col("__qn") * col("__cn")))
     val agg = udaf(new MaxSimAgg)
     pairs.groupBy(col(queryId), col(corpusId))
       .agg(agg(col("__qt").cast("long"), col("__cos")).as("maxsim"))

@@ -4008,6 +4008,34 @@ object NorthStarQueries {
              |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
              |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
 
+    // FILTERED MaxSim from the stored token index: the ANN tier's
+    // pre-filter contract carried to late interaction — a DOC-level
+    // metadata predicate (doc-id parity here: deterministic and
+    // doc-granular) prunes candidates before any scoring, so the k
+    // contract holds at any selectivity. Allowed originals found,
+    // excluded originals provably never returned, every hit allowed.
+    QueryDef("q_maxsim_filtered",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        val corpusTok = emb.project(col("vec_id").as("token_id"),
+          (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+        val queryTok = emb.where_(col("vec_id") < 40)
+          .project(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+            col("vec_id").as("token_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.maxSimTopKIndexed(s, dir, queryTok, corpusTok, k = 1,
+          nProbe = 4, filter = Some(col("corpus_id") % 2 === 0))
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"),
+            (col("corpus_id") % 2 === 0).as("hit_allowed"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT DISTINCT (vec_id // 4) + 1000000 AS query_id,
+             |  ((vec_id // 4) % 2 = 0) AS found_original, true AS hit_allowed
+             |FROM embeddings WHERE vec_id < 40 ORDER BY query_id""".stripMargin)),
+
     // STREAMING MaxSim: late-interaction retrieval with the query token
     // bags arriving as a STREAM — probes ride the stream's projection,
     // candidates come from stateless stream-static joins against the

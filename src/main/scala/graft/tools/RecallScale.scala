@@ -154,6 +154,32 @@ object RecallScale {
       row("maxsim-pruned", s"tokens/doc=4 nCentroids=16 nProbe=$nProbe",
         msRecall(Similarity.maxSimTopKPruned(queryTok, corpusTok, k, dim,
           nProbe = nProbe, trained = Some(cents))))
+    // streaming MaxSim (approximate-interaction: met-pairs-only scoring,
+    // not just candidate pruning — the ranking itself is approximated, so
+    // this lane prices what the stream gives up vs the pruned batch path
+    // at equal nProbe). Serves from the stored index (idxDir doubles as a
+    // token index: one vector per id).
+    val qTokStream = graft.streaming.StreamingIngest
+      .loadStream(spark, sfDir, "embeddings")
+      .filter(F.col("vec_id") < nQ)
+      .select(((F.col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        F.col("vec_id").as("token_id"), F.col("embedding"))
+    // ownership frame: stored token id (the single-vector index's
+    // corpus_id IS the token id) → owning doc
+    val corpusTokIdx = emb.select(F.col("vec_id").as("token_id"),
+      (F.col("vec_id") / 4).cast("long").as("corpus_id"), F.col("embedding"))
+    for (nProbe <- Seq(1, 2, 4, 8)) {
+      val scored = graft.streaming.StreamingIngest.runBoundedAggregation(
+        spark, s"recall_msstream_$nProbe",
+        Similarity.maxSimStream(spark, idxDir, qTokStream, corpusTokIdx,
+          nProbe = nProbe))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("query_id"))
+        .orderBy(F.col("maxsim").desc, F.col("corpus_id"))
+      row("maxsim-stream", s"tokens/doc=4 nCentroids=16 nProbe=$nProbe",
+        msRecall(scored.withColumn("__r", F.row_number().over(w))
+          .filter(F.col("__r") <= k)))
+    }
 
     // hierarchical PROBE assignment composed into the IVF search (the
     // assignment-level recall trade measured end-to-end): corpus lists are

@@ -742,6 +742,56 @@ class SimilaritySpec extends SparkSpec {
       planted.mkString(","))
   }
 
+  test("filtered MaxSim: doc-level pre-filter keeps the k contract on the indexed and streaming paths") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpusTok = emb.select(col("vec_id").as("token_id"),
+      (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_filt").toString
+    Similarity.writeIndex(corpusTok, dir, "token_id", "embedding", 64,
+      nCentroids = 16, iters = 3)
+    val queryTok = emb.filter(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    // doc-level predicate: even doc ids only
+    val got = Similarity.maxSimTopKIndexed(spark, dir, queryTok, corpusTok,
+        k = 1, nProbe = 4, filter = Some(col("corpus_id") % 2 === 0))
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    // k contract: every query returns a row; every hit satisfies the
+    // predicate; allowed originals found, excluded never returned
+    assert(got.length == 10, got.mkString(","))
+    assert(got.forall(_._2 % 2 == 0), got.mkString(","))
+    for ((q, c) <- got) {
+      val orig = q - 1000000L
+      if (orig % 2 == 0) assert(c == orig, s"allowed $orig lost for $q")
+      else assert(c != orig, s"excluded $orig returned for $q")
+    }
+    // streaming path: same contract through the allowed-ids static side
+    val allowed = corpusTok.select("corpus_id").distinct()
+      .filter(col("corpus_id") % 2 === 0)
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val scored = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_maxsim_sfilt",
+      Similarity.maxSimStream(spark, dir, qStream, corpusTok, nProbe = 4,
+        allowed = Some(allowed)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("maxsim").desc, col("corpus_id"))
+    val sGot = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(sGot.length == 10, sGot.mkString(","))
+    assert(sGot.forall(_._2 % 2 == 0), sGot.mkString(","))
+    for ((q, c) <- sGot) {
+      val orig = q - 1000000L
+      if (orig % 2 == 0) assert(c == orig, s"allowed $orig lost for $q (stream)")
+      else assert(c != orig, s"excluded $orig returned for $q (stream)")
+    }
+  }
+
   test("writeIndex overwrite runs under the marker; a torn overwrite recovers to a loud re-writable state") {
     val emb = Tables.load(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
