@@ -2196,6 +2196,28 @@ object Similarity {
       .agg(agg(col("__qt").cast("long"), col("__cos")).as("maxsim"))
   }
 
+  /** EXACT MaxSim re-rank of an ids-only (queryId, corpusId) candidate
+    * frame — the late-interaction analogue of [[rerankTopK]] and the
+    * prescribed tail for [[maxSimStream]]'s approximate scores (take the
+    * streamed top-N, re-score the survivors against ALL their tokens,
+    * keep k): same shared scoring tail as every batch MaxSim path, so a
+    * candidate frame from ANY first stage (streamed, pruned, indexed, or
+    * external) gets identical exact semantics. Restricted-candidates
+    * contract: with the full query×doc cross product as `pairs` this IS
+    * [[maxSimTopK]] (unit-anchored). */
+  def maxSimRerank(pairs: DataFrame, queryTokens: DataFrame,
+      corpusTokens: DataFrame, k: Int, queryId: String = "query_id",
+      tokenId: String = "token_id", corpusId: String = "corpus_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cand = pairs.select(col(queryId), col(corpusId)).distinct()
+    val q = queryTokens.select(col(queryId), col(tokenId).as("__qt"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = corpusTokens.select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    maxSimTail(cand.join(broadcast(q), Seq(queryId)).join(c, Seq(corpusId)),
+      k, queryId, corpusId)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table sign-LSH self-join:
     * ids-only bucket join, distinct pairs, one verification per pair. For high
     * thresholds (true near-dups) per-plane agreement p ≈ 1 so a handful of tables

@@ -4073,6 +4073,46 @@ object NorthStarQueries {
              |  true AS found_original
              |FROM embeddings WHERE vec_id < 40 ORDER BY query_id""".stripMargin)),
 
+    // Streamed-candidates / exact-re-rank composition (the operating mode
+    // SCALE.md prescribes for the streaming lane): the SAME bounded stream
+    // as q_streaming_maxsim (memoized sink — the stream runs once per
+    // session) yields top-5 candidates per query by approximate score,
+    // and maxSimRerank re-scores the survivors against ALL their tokens —
+    // exact top-1 semantics on the candidate set, planted verdict.
+    QueryDef("q_streaming_maxsim_rerank",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        val corpusTok = emb.project(col("vec_id").as("token_id"),
+          (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+        val qStream = graft.streaming.StreamingIngest.loadStream(s, d, "embeddings")
+          .where(col("vec_id") < 40)
+          .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+            col("vec_id").as("token_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        val scored = graft.streaming.StreamingIngest.runBoundedAggregation(s,
+          "q_streaming_maxsim_sink",
+          Similarity.maxSimStream(s, dir, qStream, corpusTok, nProbe = 4))
+        val queryTok = emb.where_(col("vec_id") < 40)
+          .project(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+            col("vec_id").as("token_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col("corpus_id"))
+        Similarity.maxSimRerank(
+          scored.withColumn("r", row_number().over(w)).where_(col("r") <= 5)
+            .project(col("query_id"), col("corpus_id")),
+          queryTok, corpusTok, k = 1)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT DISTINCT (vec_id // 4) + 1000000 AS query_id,
+             |  true AS found_original
+             |FROM embeddings WHERE vec_id < 40 ORDER BY query_id""".stripMargin)),
+
     // MaxSim from KQL (`evaluate maxsim_search(...)`): the whole
     // late-interaction pipeline in query text — token-bag construction
     // (tolong floor-division doc ids), series_add perturbation, the

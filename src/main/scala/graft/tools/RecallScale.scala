@@ -181,6 +181,22 @@ object RecallScale {
           .filter(F.col("__r") <= k)))
     }
 
+    // the prescribed streaming operating mode: streamed top-N candidates
+    // (N = 50 ≫ k) re-ranked EXACTLY (maxSimRerank) — the stream's
+    // approximate scores pick candidates, the exact tail fixes ranking
+    val scored4 = graft.streaming.StreamingIngest.runBoundedAggregation(
+      spark, "recall_msstream_4",
+      Similarity.maxSimStream(spark, idxDir, qTokStream, corpusTokIdx,
+        nProbe = 4))
+    val wMs = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("query_id"))
+      .orderBy(F.col("maxsim").desc, F.col("corpus_id"))
+    row("maxsim-stream+rerank", "tokens/doc=4 nProbe=4 N=50",
+      msRecall(Similarity.maxSimRerank(
+        scored4.withColumn("__r", F.row_number().over(wMs))
+          .filter(F.col("__r") <= 50).select("query_id", "corpus_id"),
+        queryTok, corpusTok, k)))
+
     // hierarchical PROBE assignment composed into the IVF search (the
     // assignment-level recall trade measured end-to-end): corpus lists are
     // flat nProbe=1 as always; query probes come from the two-level path

@@ -740,6 +740,25 @@ class SimilaritySpec extends SparkSpec {
       .select("maxsim").as[Double].collect()
     assert(planted.length == 10 && planted.forall(s => s > 3.9 && s <= 4.0001),
       planted.mkString(","))
+    // the prescribed tail: streamed top-N candidates re-ranked EXACTLY —
+    // with the full cross product maxSimRerank IS maxSimTopK, and on the
+    // streamed top-5 it restores exact top-1 semantics on the survivors
+    val allPairs = queryTok.select(col("query_id"))
+      .distinct().crossJoin(corpusTok.select(col("corpus_id")).distinct())
+    val viaRerank = Similarity.maxSimRerank(allPairs, queryTok, corpusTok, k = 3)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val viaExact = Similarity.maxSimTopK(queryTok, corpusTok, k = 3)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(viaRerank == viaExact,
+      "maxSimRerank over the full cross product must equal maxSimTopK")
+    val streamedTop5 = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5).select("query_id", "corpus_id")
+    val rr = Similarity.maxSimRerank(streamedTop5, queryTok, corpusTok, k = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(rr.size == 10)
+    assert(rr.forall { case (q, c) => c == q - 1000000L }, rr.toString)
   }
 
   test("filtered MaxSim: doc-level pre-filter keeps the k contract on the indexed and streaming paths") {
