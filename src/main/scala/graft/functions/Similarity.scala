@@ -744,7 +744,7 @@ object Similarity {
       ksub: Int = 16, iters: Int = 5, seed: Long = 42L,
       trainedIvf: Option[Array[Array[Float]]] = None,
       trainedPq: Option[Array[Array[Array[Float]]]] = None,
-      corpusSnapshot: String = ""): Unit = {
+      corpusSnapshot: String = "", ownerCol: String = ""): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -789,10 +789,22 @@ object Similarity {
     }.toDF("m", "c", "vec").write.mode("overwrite").parquet(s"$dir/codebooks")
     val lists = assignProbes(
       corpus.select(col(idCol), col(vecCol).as("__iv")), idCol, "__iv", cents, 1)
-    pqEncoded(corpus, idCol, vecCol, books, dim)
+    // `ownerCol` (a TOKEN index's owning-doc id) rides the lists write as
+    // one extra column, so the late-interaction candidate stage serves
+    // from the index tree alone — no corpus-token-scale ownership join per
+    // query (see maxSimTopKIndexed). Ids-only join, same key as the
+    // assignment join; maintenance preserves it (compact/delete rewrite
+    // whole rows, split carries non-partition columns, rebuild re-supplies
+    // it from the payload).
+    val encoded = pqEncoded(corpus, idCol, vecCol, books, dim)
       .join(lists, Seq(idCol))
-      .select(col(idCol).as("corpus_id"), col("__code").as("code"),
-        col("__xn2").as("xn2"), col("__cid"))
+    val withOwner = if (ownerCol.isEmpty) encoded
+      else encoded.join(corpus.select(col(idCol), col(ownerCol).as("owner")),
+        Seq(idCol))
+    val outCols = Seq(col(idCol).as("corpus_id"), col("__code").as("code"),
+      col("__xn2").as("xn2"), col("__cid")) ++
+      (if (ownerCol.isEmpty) Nil else Seq(col("owner")))
+    withOwner.select(outCols: _*)
       .write.mode("overwrite").partitionBy("__cid").parquet(s"$dir/lists")
     // manifest LAST: it records the GEOMETRY ACTUALLY WRITTEN (pre-trained
     // models win over the parameter defaults) and its presence certifies a
@@ -863,6 +875,17 @@ object Similarity {
       math.max(32, math.ceil(n.toDouble / math.max(1, nCentroids)).toInt)
     }
 
+  /** Resolve an nProbe request: positive = explicit; ≤ 0 = AUTO, derived
+    * from the index's OWN manifest geometry as ceil(√nCentroids) — the
+    * standard IVF operating point (recall grids over the decades put the
+    * knee where probed lists ≈ √k; at the fixture's k=16 the auto value IS
+    * the hand-tuned nProbe=4 grid point — RecallScale's auto lanes) and
+    * [[resolveShortlist]]'s companion: a retrained/bigger index no longer
+    * quietly inherits a small-corpus probe constant. */
+  private def resolveNProbe(nProbe: Int, nCentroids: Int): Int =
+    if (nProbe > 0) nProbe
+    else math.max(1, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
+
   /** Serve top-k from a STORED index: each query's nProbe probe lists
     * resolve to `__cid` partition values, the union of probed cids becomes
     * a partition-pruning filter on the lists scan (only those directories'
@@ -876,6 +899,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val (cents, books, useDim) = openIndex(spark, dir, dim, "indexTopK")
     val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
+    val useProbe = resolveNProbe(nProbe, cents.length)
     // queries are driver-bounded by serving contract: collect the probe
     // assignment ONCE (it costs k dots per query row) and re-enter it as a
     // local relation — the cid union prunes the partitioned scan and the
@@ -883,7 +907,7 @@ object Similarity {
     // as a second job for the broadcast side
     val probePlan = assignProbes(
       queries.select(col(queryId), col(vecCol).as("__pv")),
-      queryId, "__pv", cents, nProbe)
+      queryId, "__pv", cents, useProbe)
     val probeRows = probePlan.collect()
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probePlan.schema)
@@ -953,6 +977,7 @@ object Similarity {
     val (cents, books, useDim) =
       openIndex(spark, dir, dim, "indexTopKDistributed")
     val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
+    val useProbe = resolveNProbe(nProbe, cents.length)
     val qv = queries.select(col(queryId), col(vecCol).as("__pv"))
     // hierProbe = Some(groupProbe) opts the probe assignment into the
     // two-level √k ladder (assignProbesHier) — the k ≳ 10⁴ serving regime
@@ -961,9 +986,9 @@ object Similarity {
     // (groupProbe = √k degenerates to exact flat). Default stays the flat
     // assignment ladder (literal → broadcast table by centroid count).
     val probes = (hierProbe match {
-      case Some(g) => assignProbesHier(qv, queryId, "__pv", cents, nProbe,
+      case Some(g) => assignProbesHier(qv, queryId, "__pv", cents, useProbe,
         groupProbe = g)
-      case None => assignProbes(qv, queryId, "__pv", cents, nProbe)
+      case None => assignProbes(qv, queryId, "__pv", cents, useProbe)
     })
       // cids are non-negative by construction; the (always-true) bound is
       // the SELECTIVE predicate PartitionPruning requires on the build side
@@ -1002,6 +1027,7 @@ object Similarity {
     val (cents, books, useDim) =
       openIndex(spark, dir, dim, "indexShortlistStream")
     val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
+    val useProbe = resolveNProbe(nProbe, cents.length)
     // probes AND the ADC LUT ride ONE projection of the stream — a second
     // derived frame would make the candidate join a stream-STREAM join
     // (watermark state) instead of the stateless stream-static form
@@ -1012,7 +1038,7 @@ object Similarity {
       if (cents.length < centroidTableThreshold)
         // literal regime: exact top-nProbe probes in the projection itself
         qlut.select(col(queryId), col("__lut"), col("__qn"),
-          explode(ivfProbes(col("__qv"), cents, nProbe)).as("__cid"))
+          explode(ivfProbes(col("__qv"), cents, useProbe)).as("__cid"))
       else {
         // PAST the literal regime (the r14 k ≥ 2048 gap): a per-row exact
         // top-nProbe needs an aggregation, and Spark disallows a join AFTER
@@ -1222,8 +1248,10 @@ object Similarity {
   def appendToIndex(newRows: DataFrame, dir: String, idCol: String,
       vecCol: String, dim: Int,
       models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])] =
-        None): Unit =
-    appendToIndexImpl(newRows, dir, idCol, vecCol, dim, models, _ => ())
+        None, staleLeaseMs: Long = defaultStaleLeaseMs,
+      ownerCol: String = ""): Unit =
+    appendToIndexImpl(newRows, dir, idCol, vecCol, dim, models, _ => (),
+      staleLeaseMs, ownerCol)
 
   /** [[appendToIndex]] with a step hook — the crash/concurrency-injection
     * seam the writer-contract units drive. Steps: "leased" (lease on disk,
@@ -1231,7 +1259,9 @@ object Similarity {
   private[graft] def appendToIndexImpl(newRows: DataFrame, dir: String,
       idCol: String, vecCol: String, dim: Int,
       models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])],
-      onStep: String => Unit): Unit = {
+      onStep: String => Unit,
+      staleLeaseMs: Long = defaultStaleLeaseMs,
+      ownerCol: String = ""): Unit = {
     val spark = newRows.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -1243,10 +1273,17 @@ object Similarity {
     // and maintenance acquires marker-then-checks-leases, so every
     // interleaving has at least one side observe the other — an in-flight
     // append can no longer be silently swapped away
+    val startMs = System.currentTimeMillis()
     val lease = leasePrefix(dir) + java.util.UUID.randomUUID().toString
     require(createExclusive(fs, lease,
-      s"""{"op":"append","epoch_ms":${System.currentTimeMillis()}}"""),
+      s"""{"op":"append","epoch_ms":$startMs}"""),
       s"appendToIndex: lease collision at $lease")
+    // HEARTBEAT for the append's whole run: staleness is judged on the
+    // lease's last touch, so without renewal a LIVE append slower than
+    // staleLeaseMs would be reclaimed as dead mid-flight (the r16 hole) —
+    // the beat turns "stale" into EVIDENCE of death, not a duration guess
+    val stopBeat = startLeaseHeartbeat(fs, lease, startMs,
+      math.max(25L, staleLeaseMs / 4))
     try {
       // re-check AFTER the lease is visible: a maintenance marker acquired
       // before our lease landed wins; we refuse
@@ -1257,15 +1294,84 @@ object Similarity {
       // continuous-ingest path (one appendToIndex per micro-batch) reads the
       // FROZEN models once before the stream starts and passes them through
       val (cents, books) = models.getOrElse(readIndexModels(spark, dir))
+      // the lists SCHEMA is authoritative for ownership: an owner-carrying
+      // index must get owner-carrying appends (a silent ownerless append
+      // would leave mixed-schema files the candidate stage reads past) and
+      // vice versa — loud either way. One footer-read per append.
+      val hasOwner = spark.read.parquet(s"$dir/lists")
+        .schema.fieldNames.contains("owner")
+      require(hasOwner == ownerCol.nonEmpty,
+        if (hasOwner) s"appendToIndex: the index at $dir stores token " +
+          "ownership ('owner' column) — pass ownerCol so appended rows " +
+          "carry it too"
+        else s"appendToIndex: ownerCol='$ownerCol' given but the index at " +
+          s"$dir has no 'owner' column — rebuild with writeIndex(ownerCol=…)")
       onStep("leased")
       val lists = assignProbes(
         newRows.select(col(idCol), col(vecCol).as("__iv")), idCol, "__iv", cents, 1)
-      pqEncoded(newRows, idCol, vecCol, books, dim)
+      val encoded = pqEncoded(newRows, idCol, vecCol, books, dim)
         .join(lists, Seq(idCol))
-        .select(col(idCol).as("corpus_id"), col("__code").as("code"),
-          col("__xn2").as("xn2"), col("__cid"))
+      val withOwner = if (ownerCol.isEmpty) encoded
+        else encoded.join(newRows.select(col(idCol), col(ownerCol).as("owner")),
+          Seq(idCol))
+      val outCols = Seq(col(idCol).as("corpus_id"), col("__code").as("code"),
+        col("__xn2").as("xn2"), col("__cid")) ++
+        (if (ownerCol.isEmpty) Nil else Seq(col("owner")))
+      withOwner.select(outCols: _*)
         .write.mode("append").partitionBy("__cid").parquet(s"$dir/lists")
-    } finally fs.delete(new org.apache.hadoop.fs.Path(lease), false)
+    } finally {
+      stopBeat() // joined BEFORE the delete — a racing beat cannot resurrect
+      fs.delete(new org.apache.hadoop.fs.Path(lease), false)
+    }
+  }
+
+  /** Re-touch a lease file every `intervalMs` from a driver-side daemon
+    * thread while the append's write job runs — the renewal that makes
+    * lease STALENESS evidence-based: [[requireNoLiveLeases]] reclaims only
+    * leases with no heartbeat for `staleLeaseMs`, which IS evidence the
+    * appending driver died (a live driver beats every staleLeaseMs/4),
+    * where the r16 form reclaimed any append merely SLOWER than the
+    * threshold — exactly the 100 TB regime (a large micro-batch, a stuck-
+    * then-recovered stage) — reopening the silent-swap window the leases
+    * exist to close. Each beat rewrites the body with `beat_ms` so the
+    * renewal is readable evidence, not just an mtime side effect. Returns
+    * an idempotent stop function that joins the thread (no beat can land
+    * after it returns). */
+  private def startLeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+      lease: String, startMs: Long, intervalMs: Long): () => Unit = {
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stopped.get()) {
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () }
+        if (!stopped.get())
+          try writeUtf8(fs, lease, s"""{"op":"append","epoch_ms":$startMs,""" +
+            s""""beat_ms":${System.currentTimeMillis()}}""")
+          catch { case _: Throwable => () } // fs hiccup: the next beat retries
+      }
+    }, s"graft-lease-heartbeat-${Integer.toHexString(lease.hashCode)}")
+    t.setDaemon(true)
+    t.start()
+    () => { stopped.set(true); t.interrupt(); t.join(2000L) }
+  }
+
+  /** The filesystem's OWN clock, read by stat-ing a just-written probe file
+    * — lease staleness compares FS mtimes against this instead of the local
+    * wall clock, so a skewed maintenance host can neither reclaim a fresh
+    * lease early nor honor a dead one forever (both sides of the compare
+    * come from the same clock domain). One tiny create+stat+delete per
+    * maintenance ENTRY (rare); a crash between create and delete leaves an
+    * orphan probe no guard ever globs. */
+  private def fsNowMs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Long = {
+    val probe = s"$dir/lists__nowprobe_" + java.util.UUID.randomUUID().toString
+    val p = new org.apache.hadoop.fs.Path(probe)
+    try {
+      writeUtf8(fs, probe, "")
+      fs.getFileStatus(p).getModificationTime
+    } finally {
+      try fs.delete(p, false) catch { case _: Throwable => () }
+    }
   }
 
   /** The maintenance MARKER — the single-writer lock of the index tree:
@@ -1309,10 +1415,15 @@ object Similarity {
     * both sides, so every interleaving has at least one side observe the
     * other and refuse loudly (under true contention both may refuse; a
     * retry succeeds). Leases never block serving or other appends. A lease
-    * whose append CRASHED would block maintenance forever, so leases older
-    * than `staleLeaseMs` are treated as dead and reclaimed at marker
-    * acquisition (no live Spark job runs a single micro-batch append that
-    * long; tune per deployment). */
+    * whose append CRASHED would block maintenance forever, so leases with
+    * no HEARTBEAT for `staleLeaseMs` are treated as dead and reclaimed at
+    * marker acquisition — and because every live append re-touches its
+    * lease every staleLeaseMs/4 ([[startLeaseHeartbeat]]), a missing beat
+    * IS evidence of death: an append may legitimately run longer than any
+    * threshold (the 100 TB regime), but a live driver never goes silent
+    * for one. Staleness compares FS mtimes against the FS's own clock
+    * ([[fsNowMs]]), never the local wall clock, so host clock skew cannot
+    * reclaim a fresh lease. */
   private def leasePrefix(dir: String) = s"$dir/lists__appending_"
 
   private[graft] val defaultStaleLeaseMs: Long = 60L * 60L * 1000L // 1 h
@@ -1327,17 +1438,21 @@ object Similarity {
     * shared by marker acquisition and [[writeIndex]]-over-an-existing-index. */
   private def requireNoLiveLeases(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, op: String, staleLeaseMs: Long): Unit = {
-    val now = System.currentTimeMillis()
+    // the FS's clock, not ours: both sides of the staleness compare come
+    // from the same clock domain, so a skewed maintenance host can neither
+    // reclaim a fresh lease early nor honor a dead one forever
+    val now = fsNowMs(fs, dir)
     val live = appendLeases(fs, dir).filter { st =>
       if (now - st.getModificationTime > staleLeaseMs) {
-        fs.delete(st.getPath, false); false // crashed append: reclaim
+        fs.delete(st.getPath, false); false // no heartbeat = dead: reclaim
       } else true
     }
     if (live.nonEmpty) throw new IllegalStateException(
       s"$op: ${live.size} append(s) in flight at $dir " +
         s"(${live.map(_.getPath.getName).mkString(", ")}) — proceeding would " +
         "silently swap their rows away; wait for the appends to finish " +
-        s"(leases idle > $staleLeaseMs ms are treated as crashed and reclaimed)")
+        s"(leases with no heartbeat for > $staleLeaseMs ms are treated as " +
+        "crashed and reclaimed)")
   }
 
   /** Acquire the single-writer maintenance marker: atomic create-exclusive
@@ -1691,10 +1806,13 @@ object Similarity {
     val kids = ivfTrain(recon, "corpus_id", "__rv", mf.dim,
       nCentroids = 2, iters = iters, seed = seed)
     require(kids.length == 2, s"splitList: 2-means returned ${kids.length}")
+    // carry every non-partition column (incl. a token index's `owner`) —
+    // the split re-routes rows, it never changes their payload
+    val carry = hot.columns.filterNot(_ == "__cid").map(col).toIndexedSeq
     recon
       .withColumn("__nc", ivfAssign(col("__rv"), kids))
-      .select(col("corpus_id"), col("code"), col("xn2"),
-        when(col("__nc") === 0, lit(cid)).otherwise(lit(newCid)).as("__cid"))
+      .select(carry :+
+        when(col("__nc") === 0, lit(cid)).otherwise(lit(newCid)).as("__cid"): _*)
       .write.mode("overwrite").partitionBy("__cid")
       .parquet(s"$dir/lists__splitting")
     val spk = spark
@@ -1787,27 +1905,37 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCentroids: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 5,
       seed: Long = 42L, corpusSnapshot: String = "",
-      staleLeaseMs: Long = defaultStaleLeaseMs): Unit =
+      staleLeaseMs: Long = defaultStaleLeaseMs,
+      ownerCol: String = ""): Unit =
     rebuildIndexImpl(spark, dir, corpus, idCol, vecCol, dim, nCentroids,
-      m, ksub, iters, seed, corpusSnapshot, _ => (), staleLeaseMs)
+      m, ksub, iters, seed, corpusSnapshot, _ => (), staleLeaseMs, ownerCol)
 
   private[graft] def rebuildIndexImpl(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nCentroids: Int, m: Int, ksub: Int, iters: Int, seed: Long,
       corpusSnapshot: String, onStep: String => Unit,
-      staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
+      staleLeaseMs: Long = defaultStaleLeaseMs,
+      ownerCol: String = ""): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "rebuildIndex")
     readIndexManifest(spark, dir) // only rebuild something that IS an index
+    // an owner-carrying index must not silently lose ownership at retrain
+    // (the indexed MaxSim candidate stage would quietly fall back to the
+    // per-query corpus-token join) — the caller re-supplies it from the
+    // payload, same as every other rebuilt component
+    require(ownerCol.nonEmpty || !spark.read.parquet(s"$dir/lists")
+      .schema.fieldNames.contains("owner"),
+      s"rebuildIndex: the index at $dir stores token ownership ('owner' " +
+        "column) — pass ownerCol so the rebuilt tree keeps it")
     val staging = rebuildStagingPath(dir)
     fs.delete(p(staging), true)
     val filesAtStart = listFileSet(fs, s"$dir/lists")
     // ---- phase A: a COMPLETE new index tree in staging; old serves on
     writeIndex(corpus, staging, idCol, vecCol, dim, nCentroids, m, ksub,
-      iters, seed, corpusSnapshot = corpusSnapshot)
+      iters, seed, corpusSnapshot = corpusSnapshot, ownerCol = ownerCol)
     onStep("staged")
     // ---- commit gate: re-check cleanliness (a maintainer may have run —
     // single-maintainer is documented, this catches it anyway), acquire
@@ -2031,14 +2159,22 @@ object Similarity {
       .select(col(corpusId),
         explode(ivfProbes(col(vecCol), cents, 1)).as("__cid"))
       .distinct()
+    // probes carry queryId THROUGH the projection — never re-joined on
+    // tokenId, so per-query POSITIONAL token ids (0..3 repeated across
+    // queries) are safe: the r16 form joined probes back on tokenId alone,
+    // silently fanning each probe across every query sharing the id
+    // (results stayed correct — candidates a superset, re-score exact —
+    // but the blowup defeated the pruning this path exists for). Distinct
+    // (query, cid) BEFORE the lists join: tokens probing the same list
+    // fan out once, not once per token.
     val qprobes = queryTokens
-      .select(col(tokenId),
+      .select(col(queryId),
         explode(ivfProbes(col(vecCol), cents,
           math.min(nProbe, cents.length))).as("__cid"))
+      .distinct()
     // candidate (query, doc) pairs: a query token's probed lists meet the
     // docs owning tokens in those lists — ids-only equi-join, distinct
     val cand = qprobes
-      .join(queryTokens.select(col(queryId), col(tokenId)), Seq(tokenId))
       .join(lists, Seq("__cid"))
       .select(col(queryId), col(corpusId)).distinct()
     // exact re-score on candidates only: all tokens of each side re-attach
@@ -2052,9 +2188,12 @@ object Similarity {
 
   /** [[maxSimTopKPruned]]'s first stage served from a STORED token index —
     * the 100 TB composition: the token corpus is indexed ONCE with
-    * [[writeIndex]] (idCol = the UNIQUE token id; the docs' token bags are
-    * re-attached here through `corpusTokens`' (tokenId → corpusId)
-    * mapping), and the whole maintenance suite
+    * [[writeIndex]] (idCol = the UNIQUE token id; pass `ownerCol` there so
+    * the owning-doc id rides the lists rows and the candidate stage here
+    * serves from the index tree + payload ALONE — an ownerless index falls
+    * back to re-attaching ownership through `corpusTokens`' (tokenId →
+    * corpusId) mapping, a second corpus-token-scale join input per query),
+    * and the whole maintenance suite
     * (append/compact/delete/split/rebuild/recover, leases and markers)
     * applies to it unchanged because the token index IS an index. Candidate
     * docs are the distinct owners of any stored token in any probed list of
@@ -2071,23 +2210,9 @@ object Similarity {
       corpusTokenId: String = "token_id",
       vecCol: String = "embedding", filter: Option[Column] = None): DataFrame = {
     val (cents, _, _) = openIndex(spark, dir, 0, "maxSimTopKIndexed")
-    val qprobes = assignProbes(
-      queryTokens.select(col(tokenId), col(vecCol).as("__pv")),
-      tokenId, "__pv", cents, nProbe)
-      // the (always-true) selective predicate PartitionPruning requires on
-      // the build side — the indexTopKDistributed convention
-      .where(col("__cid") >= 0)
-      .join(queryTokens.select(col(queryId), col(tokenId)), Seq(tokenId))
-      .select(col(queryId), col("__cid")).distinct()
-    // stored rows are (corpus_id = TOKEN id, __cid); map hit tokens to the
-    // docs that own them (ids-only), then distinct (query, doc) candidates
-    val lists = spark.read.parquet(s"$dir/lists")
-      .select(col("corpus_id").as(corpusTokenId), col("__cid"))
-    val tokenOwner = corpusTokens
-      .select(col(corpusTokenId), col(corpusId))
-    val cand0 = lists.join(broadcast(qprobes), Seq("__cid"))
-      .join(tokenOwner, Seq(corpusTokenId))
-      .select(col(queryId), col(corpusId)).distinct()
+    val cand0 = maxSimIndexedCandidates(spark, dir, queryTokens, corpusTokens,
+      cents, resolveNProbe(nProbe, cents.length), queryId, tokenId, corpusId,
+      corpusTokenId, vecCol)
     // FILTERED late-interaction serve — the stored ANN tier's pre-filter
     // contract carried over: a doc-level metadata predicate over
     // `corpusTokens`' columns prunes candidates BEFORE scoring (ids-only
@@ -2110,29 +2235,118 @@ object Similarity {
       k, queryId, corpusId)
   }
 
-  /** Per-(query, doc) MaxSim accumulator for the STREAMING path: input rows
-    * are (queryTokenId, cosine) pairs of one (query, doc) group; state is
-    * the per-query-token running max (bounded by the query's token count —
-    * never doc- or corpus-sized); finish sums the maxes. The two-level
-    * max-then-sum collapses into ONE Aggregator because Spark disallows
-    * chained streaming aggregations — this is what makes MaxSim
-    * stream-composable at all. */
-  final class MaxSimAgg
+  /** [[maxSimTopKIndexed]]'s CANDIDATE stage, factored so its plan is
+    * assertable in isolation: probes keyed on (queryId, tokenId) — a
+    * struct key through [[assignProbes]] (unique by construction even
+    * under per-query POSITIONAL token ids; both the literal and
+    * broadcast-table regimes group by the key column as-is), queryId
+    * recovered by field access, never a re-join on tokenId alone (the r16
+    * cross-query probe fanout). Stored rows are (corpus_id = TOKEN id,
+    * __cid [, owner]); candidates are the distinct owners of hit tokens.
+    * An index written with `ownerCol` carries the owning-doc id IN the
+    * lists rows, so this stage reads the DPP-pruned index tree ALONE
+    * (plan-asserted: no corpusTokens scan) — the r16 form re-attached
+    * ownership through `corpusTokens`, a second full corpus-token-scale
+    * join input per query at 100 TB. Ownerless indexes keep the re-attach
+    * fallback (corpusTokens' tokenId → corpusId). */
+  private[graft] def maxSimIndexedCandidates(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryTokens: DataFrame, corpusTokens: DataFrame,
+      cents: Array[Array[Float]], nProbe: Int, queryId: String,
+      tokenId: String, corpusId: String, corpusTokenId: String,
+      vecCol: String): DataFrame = {
+    val qprobes = assignProbes(
+      queryTokens.select(
+        struct(col(queryId), col(tokenId)).as("__qtk"),
+        col(vecCol).as("__pv")),
+      "__qtk", "__pv", cents, nProbe)
+      // the (always-true) selective predicate PartitionPruning requires on
+      // the build side — the indexTopKDistributed convention
+      .where(col("__cid") >= 0)
+      .select(col("__qtk").getField(queryId).as(queryId), col("__cid"))
+      .distinct()
+    val lists0 = spark.read.parquet(s"$dir/lists")
+    if (lists0.schema.fieldNames.contains("owner"))
+      lists0.select(col("owner").as(corpusId), col("__cid"))
+        .join(broadcast(qprobes), Seq("__cid"))
+        .select(col(queryId), col(corpusId)).distinct()
+    else lists0.select(col("corpus_id").as(corpusTokenId), col("__cid"))
+      .join(broadcast(qprobes), Seq("__cid"))
+      .join(corpusTokens.select(col(corpusTokenId), col(corpusId)),
+        Seq(corpusTokenId))
+      .select(col(queryId), col(corpusId)).distinct()
+  }
+
+  /** Per-QUERY MaxSim accumulator for the STREAMING path, state bounded by
+    * `n` like [[Sampling.TopKAgg]] bounds [[indexShortlistStream]]: input
+    * rows are (candidateDocId, queryTokenId, cosine) pairs of one query's
+    * group; state is a top-`n` map of doc → per-query-token running maxes
+    * (each doc's inner map bounded by the query's token count, the doc
+    * count bounded by `n`) — NEVER corpus-fraction-sized, where the r16
+    * form keyed state per (query, doc) and a hot query held state for
+    * every doc owning any probed token. The two-level max-then-sum still
+    * collapses into ONE Aggregator because Spark disallows chained
+    * streaming aggregations — this is what makes MaxSim stream-composable
+    * at all; finish emits (doc, Σ per-token maxes) for the retained docs.
+    *
+    * EVICTION is by CHAMPION token (a doc's best met cosine, ties to the
+    * smaller doc id) — the same admission criterion that makes a doc a
+    * candidate in the batch pruned path (one token hit a probed list),
+    * chosen over the running SUM because the champion is order-independent
+    * per doc: a doc with one strong token match is never displaced by docs
+    * accumulating many weak pairs, so a planted near-copy (champion ≈ 1)
+    * survives any arrival order, while sum-eviction could drop it before
+    * its pairs accumulated. Residual approximation (documented in
+    * DEVIATIONS): pairs met while their doc was outside the retained set
+    * are lost — a retained doc's score is the met-pairs sum since its
+    * LAST admission, still one-sidedly ≤ the clamped exact bound. */
+  final class MaxSimTopNAgg(n: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (Long, Double), Seq[(Long, Double)], Double] {
-    def zero: Seq[(Long, Double)] = Seq.empty
-    def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
+        (Long, Long, Double), Seq[(Long, Seq[(Long, Double)])],
+        Seq[(Long, Double)]] {
+    require(n > 0, "MaxSimTopNAgg: n must be > 0")
+    private def champion(toks: Seq[(Long, Double)]): Double =
+      toks.iterator.map(_._2).max
+    private val ord: Ordering[(Long, Seq[(Long, Double)])] =
+      Ordering.by { case (doc, toks) => (-champion(toks), doc) }
+    private def trim(b: Seq[(Long, Seq[(Long, Double)])])
+        : Seq[(Long, Seq[(Long, Double)])] =
+      if (b.size <= n) b else b.sorted(ord).take(n)
+    private def mergeToks(ts: Seq[(Long, Double)],
+        t: (Long, Double)): Seq[(Long, Double)] =
+      ts.indexWhere(_._1 == t._1) match {
+        case -1 => ts :+ t
+        case j => if (ts(j)._2 >= t._2) ts else ts.updated(j, t)
+      }
+    def zero: Seq[(Long, Seq[(Long, Double)])] = Seq.empty
+    def reduce(b: Seq[(Long, Seq[(Long, Double)])],
+        a: (Long, Long, Double)): Seq[(Long, Seq[(Long, Double)])] =
       if (a == null) b
       else b.indexWhere(_._1 == a._1) match {
-        case -1 => b :+ a
-        case i => if (b(i)._2 >= a._2) b else b.updated(i, a)
+        case -1 =>
+          // full buffer whose weakest champion beats the new pair: O(n)
+          // skip, no re-sort — the dominant stream case
+          if (b.size >= n && b.forall { case (doc, toks) =>
+            champion(toks) > a._3 ||
+              (champion(toks) == a._3 && doc < a._1) }) b
+          else trim(b :+ ((a._1, Seq((a._2, a._3)))))
+        case i => b.updated(i, (a._1, mergeToks(b(i)._2, (a._2, a._3))))
       }
-    def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
-      y.foldLeft(x)(reduce)
-    def finish(r: Seq[(Long, Double)]): Double = r.map(_._2).sum
-    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+    def merge(x: Seq[(Long, Seq[(Long, Double)])],
+        y: Seq[(Long, Seq[(Long, Double)])])
+        : Seq[(Long, Seq[(Long, Double)])] =
+      trim(y.foldLeft(x) { case (acc, (doc, toks)) =>
+        acc.indexWhere(_._1 == doc) match {
+          case -1 => acc :+ ((doc, toks))
+          case i => acc.updated(i, (doc, toks.foldLeft(acc(i)._2)(mergeToks)))
+        }
+      })
+    def finish(r: Seq[(Long, Seq[(Long, Double)])]): Seq[(Long, Double)] =
+      r.map { case (doc, toks) => (doc, toks.map(_._2).sum) }
+    def bufferEncoder
+        : org.apache.spark.sql.Encoder[Seq[(Long, Seq[(Long, Double)])]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
@@ -2141,9 +2355,13 @@ object Similarity {
     * probes ride the stream's one projection (the literal centroid
     * kernel), candidates come from STATELESS stream-static equi-joins
     * (lists on `__cid` → token ownership → raw corpus token vectors), and
-    * the only stateful operator is one bounded aggregation per (query,
-    * candidate doc) whose state is the per-query-token max ([[MaxSimAgg]]).
-    * Returns the streaming (queryId, corpusId, maxsim) frame — run it
+    * the only stateful operator is ONE aggregation per QUERY whose state
+    * is the bounded top-`shortlist` doc map of [[MaxSimTopNAgg]]
+    * (`shortlist ≤ 0` ⇒ auto via [[resolveShortlist]], the index's own
+    * n/k) — the same memory contract as [[indexShortlistStream]]'s TopKAgg
+    * reservoir, where the r16 form held one state row per (query,
+    * candidate doc): a corpus FRACTION for hot queries, not a function of
+    * k. Returns the streaming (queryId, corpusId, maxsim) frame — run it
     * bounded (complete mode) and take the batch top-k, the
     * streaming-candidates / batch-tail split of [[indexShortlistStream]].
     *
@@ -2151,20 +2369,26 @@ object Similarity {
     * token is scored only against corpus tokens it MET through probing —
     * a met token's contribution is ≤ the exact per-token max (subset of a
     * max), and an unmet token contributes 0 where the exact max may be
-    * NEGATIVE, so the precise guarantee is streamed ≤ Σ max(exact
-    * per-token max, 0) per (query, doc), with EQUALITY on pairs whose
-    * best-matching tokens are all probed (the planted near-copy case —
-    * unit-anchored). This is the standard serving approximation; re-rank
-    * survivors with [[maxSimTopK]] when exact scores matter.
-    * Past the literal probe regime use a smaller token quantizer or the
-    * group-granular ladder — refused loudly, not mis-assigned. */
+    * NEGATIVE; the bounded state adds champion-token eviction (a doc
+    * outside the retained top-`shortlist` loses pairs met while evicted),
+    * which only ever REMOVES contributions — so the one-sided guarantee
+    * streamed ≤ Σ max(exact per-token max, 0) per (query, doc) holds
+    * unchanged, with EQUALITY on retained pairs whose best-matching
+    * tokens are all probed AND that were admitted from their first pair
+    * (the planted near-copy case: its ≈1.0 champion admits it on any
+    * schedule — unit-anchored). This is the standard serving
+    * approximation; re-rank survivors with [[maxSimRerank]] when exact
+    * scores matter. Past the literal probe regime use a smaller token
+    * quantizer or the group-granular ladder — refused loudly, not
+    * mis-assigned. */
   def maxSimStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryTokenStream: DataFrame, corpusTokens: DataFrame, nProbe: Int = 4,
       queryId: String = "query_id", tokenId: String = "token_id",
       corpusId: String = "corpus_id", corpusTokenId: String = "token_id",
       vecCol: String = "embedding",
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None, shortlist: Int = 0): DataFrame = {
     val (cents, _, _) = openIndex(spark, dir, 0, "maxSimStream")
+    val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
     require(cents.length < centroidTableThreshold,
       s"maxSimStream: ${cents.length} token centroids >= " +
         s"$centroidTableThreshold — past the literal probe regime; use a " +
@@ -2173,7 +2397,7 @@ object Similarity {
         col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
       .withColumn("__cid", explode(ivfProbes(col("__qv"), cents,
-        math.min(nProbe, cents.length))))
+        math.min(resolveNProbe(nProbe, cents.length), cents.length))))
     val lists = spark.read.parquet(s"$dir/lists")
       .select(col("corpus_id").as(corpusTokenId), col("__cid"))
     val ctok = corpusTokens.select(col(corpusTokenId), col(corpusId),
@@ -2191,9 +2415,13 @@ object Similarity {
       case None => pairs0
     }).withColumn("__cos", dot(col("__qv"), col("__cv")) /
       (col("__qn") * col("__cn")))
-    val agg = udaf(new MaxSimAgg)
-    pairs.groupBy(col(queryId), col(corpusId))
-      .agg(agg(col("__qt").cast("long"), col("__cos")).as("maxsim"))
+    val agg = udaf(new MaxSimTopNAgg(useShort))
+    pairs.groupBy(col(queryId))
+      .agg(agg(col(corpusId).cast("long"), col("__qt").cast("long"),
+        col("__cos")).as("__docs"))
+      .select(col(queryId), explode(col("__docs")).as("__d"))
+      .select(col(queryId), col("__d._1").as(corpusId),
+        col("__d._2").as("maxsim"))
   }
 
   /** EXACT MaxSim re-rank of an ids-only (queryId, corpusId) candidate

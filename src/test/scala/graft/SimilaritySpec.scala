@@ -444,6 +444,52 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
   }
 
+  test("a slow LIVE append heartbeats its lease: maintenance refuses past staleLeaseMs; a dead lease still reclaims") {
+    // the r16 hole: staleness judged on the lease's WRITE time reclaimed
+    // any live append merely SLOWER than the threshold — here the append
+    // stalls far past a tiny staleLeaseMs while a concurrent maintainer
+    // keeps trying, and every attempt must refuse on the FRESH heartbeat
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_hb").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 300), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staleMs = 250L
+    var refusals = 0
+    Similarity.appendToIndexImpl(
+      corpus.filter(col("corpus_id") >= 300), dir, "corpus_id", "embedding",
+      64, None, onStep = {
+        case "leased" =>
+          // stall 5x past staleLeaseMs; the 62 ms heartbeat keeps the lease
+          // provably alive through every maintenance attempt
+          val deadline = System.currentTimeMillis() + 5 * staleMs
+          while (System.currentTimeMillis() < deadline) {
+            val e = intercept[IllegalStateException] {
+              Similarity.compactIndex(spark, dir, staleLeaseMs = staleMs)
+            }
+            assert(e.getMessage.contains("in flight"), e.getMessage)
+            refusals += 1
+            Thread.sleep(staleMs / 2)
+          }
+        case _ => ()
+      }, staleLeaseMs = staleMs)
+    assert(refusals >= 3, s"expected repeated refusals, got $refusals")
+    // the slow append's rows all landed — nothing was swapped away
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+    // a genuinely DEAD lease (heartbeat stopped) at the SAME tiny threshold
+    // is still reclaimed — staleness now means "no heartbeat", not "old"
+    val stale = s"$dir/lists__appending_nobeat"
+    val out = fs.create(p(stale), true)
+    out.write("""{"op":"append","epoch_ms":0}""".getBytes("UTF-8")); out.close()
+    Thread.sleep(2 * staleMs)
+    Similarity.compactIndex(spark, dir, staleLeaseMs = staleMs)
+    assert(!fs.exists(p(stale)), "dead (beat-less) lease must be reclaimed")
+    assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
+  }
+
   test("rebuild commit gate acquires the marker before the snapshot and refuses live leases") {
     val emb = Tables.load(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
@@ -581,6 +627,21 @@ class SimilaritySpec extends SparkSpec {
       corpus, k = 1)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
     assert(top1 == auto)
+    // AUTO nProbe (≤ 0 ⇒ ceil(√nCentroids)) — resolveShortlist's companion:
+    // a 16-list index resolves to the hand-tuned nProbe=4 grid point, so
+    // auto-vs-explicit results are IDENTICAL by construction
+    val dir16 = java.nio.file.Files.createTempDirectory("graft_annidx_ap").toString
+    Similarity.writeIndex(corpus, dir16, "corpus_id", "embedding", 64,
+      nCentroids = 16, iters = 3)
+    val autoProbe = Similarity.indexTopKDistributed(spark, dir16, queries,
+        corpus, k = 1, nProbe = 0)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val explicitProbe = Similarity.indexTopKDistributed(spark, dir16, queries,
+        corpus, k = 1, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(autoProbe == explicitProbe,
+      "auto nProbe must equal the explicit √k grid point")
+    assert(autoProbe.forall { case (q, c) => c == q - 1000L }, autoProbe.toString)
   }
 
   test("streaming ingest holds the lease: maintenance mid-batch refuses, stream completes, rows exact") {
@@ -690,6 +751,143 @@ class SimilaritySpec extends SparkSpec {
     val plan = indexed.queryExecution.executedPlan.toString()
     assert(plan.contains("dynamicpruning"),
       s"indexed MaxSim lost dynamic partition pruning:\n$plan")
+    // per-query POSITIONAL token ids (0..3 repeated across queries) yield
+    // IDENTICAL results — probes are keyed on (queryId, tokenId), never
+    // re-joined on tokenId alone (the cross-query probe fanout)
+    val queryTokPos = queryTok.withColumn("token_id", col("token_id") % 4)
+    val prunedPos = Similarity.maxSimTopKPruned(queryTokPos, corpusTok,
+      k = 3, dim = 64, nProbe = 4, trained = Some(cents))
+    assert(rows(prunedPos) == rows(prunedSame),
+      "positional token ids changed the pruned path's results")
+    val indexedPos = Similarity.maxSimTopKIndexed(spark, dir, queryTokPos,
+      corpusTokId, k = 3, nProbe = 4)
+    assert(rows(indexedPos) == rows(indexed),
+      "positional token ids changed the indexed path's results")
+  }
+
+  test("MaxSim recall on STRUCTURED token geometry is >= the structureless floor at equal nProbe") {
+    // the SCALE.md grids run on structureless random embeddings — the
+    // honest floor for data-adaptive pruning. This anchors the claim
+    // "real token distributions sit above": tokens drawn around per-topic
+    // base directions (doc topic = id % 12, deterministic bases, the
+    // fixture vector as noise) give the trained quantizer real cluster
+    // signal, so pruned recall at the SAME nProbe must come out >= the
+    // structureless lane's. Everything is seeded — the compare is stable.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dim = 64; val k = 5; val nQ = 40
+    def prunedRecall(tok: org.apache.spark.sql.DataFrame): Double = {
+      val q = tok.filter(col("token_id") < nQ)
+        .select((col("corpus_id") + 1000000L).as("query_id"),
+          col("token_id"), col("embedding"))
+      val corpusTok = tok.select(col("corpus_id"), col("embedding"))
+      val exact = Similarity.maxSimTopK(q, corpusTok, k)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val cents = Similarity.ivfTrain(tok, "token_id", "embedding", dim,
+        nCentroids = 16, iters = 3)
+      val pruned = Similarity.maxSimTopKPruned(q, corpusTok, k, dim,
+        nProbe = 1, trained = Some(cents))
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      exact.intersect(pruned).size.toDouble / exact.size
+    }
+    val flat = emb.select((col("vec_id") / 4).cast("long").as("corpus_id"),
+      col("vec_id").as("token_id"), col("embedding"))
+    val nTopics = 12
+    val bases = Array.tabulate(nTopics, dim)((t, j) =>
+      (((t * 37 + j * 101) % 211) / 211.0f) - 0.5f)
+    val baseLit = typedlit(bases.map(_.toSeq).toSeq)
+    val clustered = flat
+      .withColumn("__t", (col("corpus_id") % nTopics).cast("int"))
+      .withColumn("embedding", zip_with(
+        element_at(baseLit, col("__t") + 1), col("embedding"),
+        (b, e) => b + e * lit(0.35f)))
+      .drop("__t")
+    val rFlat = prunedRecall(flat)
+    val rClus = prunedRecall(clustered)
+    assert(rClus >= rFlat,
+      f"clustered recall $rClus%.3f fell below the structureless floor $rFlat%.3f")
+  }
+
+  test("owner-carrying token index: candidates from the index tree alone, ownership survives the lifecycle") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpusTok = emb.select(col("vec_id").as("token_id"),
+      (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+    val queryTok = emb.filter(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val cents = Similarity.ivfTrain(corpusTok, "token_id", "embedding", 64,
+      nCentroids = 16, iters = 3)
+    val books = Similarity.pqTrain(corpusTok, "token_id", "embedding", 64,
+      iters = 2)
+    val dirO = java.nio.file.Files.createTempDirectory("graft_msown_o").toString
+    val dirN = java.nio.file.Files.createTempDirectory("graft_msown_n").toString
+    Similarity.writeIndex(corpusTok, dirO, "token_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books),
+      ownerCol = "corpus_id")
+    Similarity.writeIndex(corpusTok, dirN, "token_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // identical results whether ownership is stored or re-attached
+    val viaOwner = Similarity.maxSimTopKIndexed(spark, dirO, queryTok,
+      corpusTok, k = 3, nProbe = 4)
+    val viaJoin = Similarity.maxSimTopKIndexed(spark, dirN, queryTok,
+      corpusTok, k = 3, nProbe = 4)
+    assert(rows(viaOwner) == rows(viaJoin),
+      "stored ownership changed the indexed MaxSim results")
+    // the candidate stage of the OWNER index scans the query tokens and
+    // the index tree ONLY — the ownerless form needs a second scan of the
+    // corpus-token source to re-attach ownership (the 100 TB cost)
+    def srcScans(df: org.apache.spark.sql.DataFrame): Int =
+      "embeddings".r.findAllIn(df.queryExecution.executedPlan.toString()).length
+    val candO = Similarity.maxSimIndexedCandidates(spark, dirO, queryTok,
+      corpusTok, cents, 4, "query_id", "token_id", "corpus_id", "token_id",
+      "embedding")
+    val candN = Similarity.maxSimIndexedCandidates(spark, dirN, queryTok,
+      corpusTok, cents, 4, "query_id", "token_id", "corpus_id", "token_id",
+      "embedding")
+    assert(srcScans(candO) < srcScans(candN),
+      s"owner path still scans the corpus-token source: " +
+        s"${srcScans(candO)} vs ${srcScans(candN)}")
+    // ownership survives the WHOLE maintenance lifecycle: append (with the
+    // schema-checked ownerCol), compact, split, delete — owner column
+    // present and correct after each
+    val dirL = java.nio.file.Files.createTempDirectory("graft_msown_l").toString
+    Similarity.writeIndex(corpusTok.filter(col("token_id") < 300), dirL,
+      "token_id", "embedding", 64, trainedIvf = Some(cents),
+      trainedPq = Some(books), ownerCol = "corpus_id")
+    // an ownerless append on an owner index is LOUD, not silently mixed
+    val eApp = intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(corpusTok.filter(col("token_id") >= 300),
+        dirL, "token_id", "embedding", 64)
+    }
+    assert(eApp.getMessage.contains("owner"), eApp.getMessage)
+    Similarity.appendToIndex(corpusTok.filter(col("token_id") >= 300), dirL,
+      "token_id", "embedding", 64, ownerCol = "corpus_id")
+    Similarity.compactIndex(spark, dirL)
+    Similarity.splitList(spark, dirL, Similarity.hottestList(spark, dirL),
+      iters = 2)
+    Similarity.deleteFromIndex(spark, dirL,
+      corpusTok.filter(col("token_id") < 8).select("token_id"), "token_id")
+    val after = spark.read.parquet(s"$dirL/lists")
+    assert(after.schema.fieldNames.contains("owner"),
+      "maintenance dropped the owner column")
+    val wrong = after.filter(col("owner") =!= (col("corpus_id") / 4)
+      .cast("long")).count()
+    assert(wrong == 0, s"$wrong rows with corrupted ownership")
+    assert(after.count() == corpusTok.count() - 8)
+    // a rebuild must re-supply ownership explicitly — silent loss is LOUD
+    val eReb = intercept[IllegalArgumentException] {
+      Similarity.rebuildIndex(spark, dirL, corpusTok, "token_id",
+        "embedding", 64, iters = 2)
+    }
+    assert(eReb.getMessage.contains("owner"), eReb.getMessage)
+    Similarity.rebuildIndex(spark, dirL, corpusTok, "token_id", "embedding",
+      64, iters = 2, ownerCol = "corpus_id")
+    assert(spark.read.parquet(s"$dirL/lists")
+      .schema.fieldNames.contains("owner"))
+    assert(spark.read.parquet(s"$dirL/lists").count() == corpusTok.count())
   }
 
   test("streaming MaxSim: planted top-1 through the stream, scores one-sided vs exact") {
@@ -759,6 +957,61 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
     assert(rr.size == 10)
     assert(rr.forall { case (q, c) => c == q - 1000000L }, rr.toString)
+  }
+
+  test("streaming MaxSim state is bounded per query: top-N doc map, champion admission, planted survives any schedule") {
+    // the r16 design gap: state keyed per (query, doc) grew with the
+    // CORPUS (every doc owning a probed token), not with k. Now ONE
+    // aggregation per query holds a top-N doc map — prove the bound at
+    // the aggregator level under a fanout far past N, on every schedule.
+    val agg = new Similarity.MaxSimTopNAgg(4)
+    var buf = agg.zero
+    for (doc <- 0L until 60L; t <- 0L until 3L)
+      buf = agg.reduce(buf, (doc, t, 0.10 + (doc % 7).toDouble * 0.05))
+    assert(buf.size <= 4, s"buffer grew past N: ${buf.size}")
+    // champion admission: a single strong pair displaces weak-champion
+    // docs no matter how many pairs they accumulated
+    buf = agg.reduce(buf, (999L, 0L, 0.99))
+    assert(buf.size <= 4 && buf.exists(_._1 == 999L), buf.toString)
+    // an admitted doc keeps accumulating per-token maxes exactly
+    buf = agg.reduce(buf, (999L, 1L, 0.80))
+    buf = agg.reduce(buf, (999L, 1L, 0.70)) // below the running max: no-op
+    val toks999 = buf.find(_._1 == 999L).get._2.toMap
+    assert(toks999(0L) == 0.99 && toks999(1L) == 0.80, toks999.toString)
+    // merge respects the bound and merges per-token maxes, not sums
+    val merged = agg.merge(buf, buf)
+    assert(merged.size <= 4, merged.toString)
+    assert(agg.finish(merged).find(_._1 == 999L).get._2 === 0.99 + 0.80)
+    // end-to-end: a shortlist FAR below the candidate fanout still returns
+    // ≤ N docs per query with the planted original top-1 (champion ≈ 1.0
+    // admits it on any arrival order; natural champions ≈ 0.5 cannot
+    // displace it)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpusTok = emb.select(col("vec_id").as("token_id"),
+      (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_bnd").toString
+    Similarity.writeIndex(corpusTok, dir, "token_id", "embedding", 64,
+      nCentroids = 16, iters = 3)
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val scored = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_maxsim_bounded",
+      Similarity.maxSimStream(spark, dir, qStream, corpusTok, nProbe = 4,
+        shortlist = 3))
+    val perQuery = scored.groupBy("query_id").count()
+      .select("count").as[Long].collect()
+    assert(perQuery.length == 10 && perQuery.forall(_ <= 3),
+      s"state bound leaked: ${perQuery.mkString(",")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("maxsim").desc, col("corpus_id"))
+    val top1 = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000000L }, top1.toString)
   }
 
   test("filtered MaxSim: doc-level pre-filter keeps the k contract on the indexed and streaming paths") {
