@@ -24,8 +24,17 @@ import graft.kql.Kql._
   */
 object KqlParser {
 
-  def parse(kql: String, tables: String => DataFrame): DataFrame =
-    new Parser(Lexer.tokenize(kql), tables).parseProgram()
+  /** Parse a KQL program. `allowAdmin = false` (the default) refuses the
+    * MUTATING index-administration plugins (`ann_maintain`, `ann_rebuild`)
+    * — upstream Kusto deliberately separates control commands from
+    * queries, and these plugins execute their side effects at plan time,
+    * so an ordinary query principal must not reach them; read-only
+    * `index_stats` and the serve plugins (`ann_search`, `maxsim_search`)
+    * stay available to plain queries. Admin tooling opts in explicitly. */
+  def parse(kql: String, tables: String => DataFrame,
+      allowAdmin: Boolean = false): DataFrame =
+    new Parser(Lexer.tokenize(kql), tables,
+      allowAdmin = allowAdmin).parseProgram()
 
   // ------------------------------------------------------------------
   // Lexer
@@ -131,7 +140,8 @@ object KqlParser {
 
   private final class Parser(toks: Vector[Tok], tables: String => DataFrame,
                              scalarBindings: Map[String, Column] = Map.empty,
-                             partitionKey: Option[String] = None) {
+                             partitionKey: Option[String] = None,
+                             allowAdmin: Boolean = false) {
     private var pos = 0
 
     // `sort by` remembers its keys; a following `serialize` freezes them as the
@@ -155,6 +165,15 @@ object KqlParser {
     private var serializedOrder: Option[Seq[Column]] = None
     private val rowFnBuffer = scala.collection.mutable.ArrayBuffer[RowFn]()
     private var rowFnCounter = 0
+
+    /** Refuse a MUTATING admin plugin under an ordinary (non-admin) parse —
+      * the Kusto control-command/query separation: side effects must never
+      * be reachable from a plain query principal. */
+    private def requireAdmin(plugin: String): Unit =
+      require(allowAdmin,
+        s"evaluate $plugin: mutating index administration requires the " +
+          "admin surface — call KqlParser.parse(..., allowAdmin = true); " +
+          "read-only index_stats and the serve plugins need no opt-in")
 
     private def rowFnPlaceholder(mk: String => RowFn): Column = {
       require(serializedOrder.nonEmpty, "row functions (row_number/prev/next/" +
@@ -959,7 +978,7 @@ object KqlParser {
         if (strategy == "shuffle")
           new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
             n => if (n == "__p") df else resolveTable(n),
-            partitionKey = Some(pkey)).parseProgram()
+            partitionKey = Some(pkey), allowAdmin = allowAdmin).parseProgram()
         else {
           val keys = df.select(col(pkey)).distinct().limit(65).collect().map(_.get(0))
           require(keys.length <= 64,
@@ -968,7 +987,8 @@ object KqlParser {
           else keys.toSeq.map { v =>
             val part = df.where_(col(pkey) <=> lit(v))
             new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
-              n => if (n == "__p") part else resolveTable(n)).parseProgram()
+              n => if (n == "__p") part else resolveTable(n),
+              allowAdmin = allowAdmin).parseProgram()
           }.reduce(_ unionKql _)
         }
       case "fork" =>
@@ -995,7 +1015,8 @@ object KqlParser {
           pos += 1 // consume the closing )
           val body = toks.slice(bstart, bend)
           legs += name -> new Parser(Vector(Ident("__f"), Punct("|")) ++ body,
-            n => if (n == "__f") df else resolveTable(n)).parseProgram()
+            n => if (n == "__f") df else resolveTable(n),
+            allowAdmin = allowAdmin).parseProgram()
         }
         val built = legs.result()
         require(built.nonEmpty, "fork: expected at least one (sub-pipeline) leg")
@@ -1729,13 +1750,23 @@ object KqlParser {
               filter = Some(org.apache.spark.sql.functions.lit(true)))
           case "maxsim_search" =>
             // `evaluate maxsim_search(CorpusTokens, corpusIdCol, queryIdCol,
-            // tokenIdCol, vecCol, k)` — LATE-INTERACTION retrieval from the
-            // query language: the piped rows are the query TOKEN bag
-            // (queryIdCol groups tokens into queries), CorpusTokens is the
-            // multi-vector document table (corpusIdCol groups its tokens),
-            // and score(q, d) = Σ over q's tokens of max over d's tokens of
-            // cosine (Similarity.maxSimTopK — the exact form; the pruned
-            // first stage is a typed-API choice). Output: (queryIdCol,
+            // tokenIdCol, vecCol, k [, 'indexDir' [, nProbe]])` —
+            // LATE-INTERACTION retrieval from the query language: the piped
+            // rows are the query TOKEN bag (queryIdCol groups tokens into
+            // queries), CorpusTokens is the multi-vector document table
+            // (corpusIdCol groups its tokens), and score(q, d) = Σ over q's
+            // tokens of max over d's tokens of cosine. Without 'indexDir'
+            // this is the EXACT form (Similarity.maxSimTopK — the
+            // |Qtok|·|Ctok| baseline); WITH it, the SCALABLE first stage
+            // serves from the STORED token index at indexDir
+            // (Similarity.maxSimTopKIndexed: DPP-pruned lists scan,
+            // ownership from the index tree when stored with ownerCol,
+            // exact re-score of candidates only — geometry from the
+            // index's own manifest, ann_search's posture). FILTERED late
+            // interaction is plain composition: pass a let-bound filtered
+            // view as CorpusTokens — it supplies both candidate ownership
+            // and the scoring side, so excluded docs are pruned BEFORE any
+            // scoring (the pre-filter contract). Output: (queryIdCol,
             // corpusIdCol, maxsim, rank), k rows per query.
             val msTbl = resolveTable(ident()); eatPunct(",")
             val msCorpusId = ident(); eatPunct(",")
@@ -1743,15 +1774,29 @@ object KqlParser {
             val msTokenId = ident(); eatPunct(",")
             val msVec = ident(); eatPunct(",")
             val msK = litLong(parseExpr()).toInt
+            val msIdx =
+              if (atPunct(",")) { pos += 1; Some(litString(parseExpr())) }
+              else None
+            val msProbe =
+              if (atPunct(",")) { pos += 1; litLong(parseExpr()).toInt } else 4
             eatPunct(")")
             // the same dynamic-array boundary cast as ann_search: KQL
             // series ops surface array<double>, the vector kernels take
             // array<float>; identity casts elide
             val msQ = df.withColumn(msVec,
               org.apache.spark.sql.functions.col(msVec).cast("array<float>"))
-            graft.functions.Similarity.maxSimTopK(msQ, msTbl, msK,
-              queryId = msQueryId, tokenId = msTokenId,
-              corpusId = msCorpusId, vecCol = msVec)
+            msIdx match {
+              case Some(msDir) =>
+                graft.functions.Similarity.maxSimTopKIndexed(
+                  msQ.sparkSession, msDir, msQ, msTbl, msK, nProbe = msProbe,
+                  queryId = msQueryId, tokenId = msTokenId,
+                  corpusId = msCorpusId, corpusTokenId = msTokenId,
+                  vecCol = msVec)
+              case None =>
+                graft.functions.Similarity.maxSimTopK(msQ, msTbl, msK,
+                  queryId = msQueryId, tokenId = msTokenId,
+                  corpusId = msCorpusId, vecCol = msVec)
+            }
           case "index_stats" =>
             // `evaluate index_stats('indexDir')` — READ-ONLY index
             // administration from the query surface (Kusto's own idiom is
@@ -1768,54 +1813,85 @@ object KqlParser {
             graft.functions.Similarity.indexStats(df.sparkSession, statsDir)
           case "ann_maintain" =>
             // `evaluate ann_maintain('indexDir', 'compact' | 'recover' |
-            // 'split' [, cid])` — index MAINTENANCE from the query surface,
-            // returning the post-operation index_stats so the operator sees
-            // the effect (files-per-list reset by compact, the split list's
-            // two children) in the same round trip. Same entry points as
-            // the typed API — the full writer contract (marker, leases,
-            // crash recovery) applies; a refused operation surfaces its
-            // loud error through the parser.
+            // 'split' [, cid] | 'delete', IdsTable [, idCol])` — index
+            // MAINTENANCE from the query surface, returning the
+            // post-operation index_stats so the operator sees the effect
+            // (files-per-list reset by compact, the split list's two
+            // children, the delete's row-count drop) in the same round
+            // trip. Same entry points as the typed API — the full writer
+            // contract (marker, leases, crash recovery) applies; a refused
+            // operation surfaces its loud error through the parser.
+            // MUTATING: requires the parse-level admin opt-in (see
+            // KqlParser.parse) — ordinary query principals are refused.
+            requireAdmin("ann_maintain")
             val mDir = litString(parseExpr()); eatPunct(",")
             val mOp = litString(parseExpr())
-            val mCid =
-              if (atPunct(",")) { pos += 1; Some(litLong(parseExpr()).toInt) }
-              else None
-            eatPunct(")")
             val mSpark = df.sparkSession
             mOp match {
               case "compact" =>
+                eatPunct(")")
                 graft.functions.Similarity.compactIndex(mSpark, mDir)
               case "recover" =>
+                eatPunct(")")
                 graft.functions.Similarity.recoverIndex(mSpark, mDir)
               case "split" =>
                 // cid omitted ⇒ the hottest list (max rows, ties to the
                 // smaller cid) — the signal an operator would read off
                 // index_stats anyway, folded into the command
+                val mCid =
+                  if (atPunct(",")) { pos += 1; Some(litLong(parseExpr()).toInt) }
+                  else None
+                eatPunct(")")
                 graft.functions.Similarity.splitList(mSpark, mDir,
                   mCid.getOrElse(
                     graft.functions.Similarity.hottestList(mSpark, mDir)))
+              case "delete" =>
+                // the GDPR/retention op: IdsTable's idCol (default: its
+                // first column) is the ids-to-forget frame; only hit lists
+                // rewrite (Similarity.deleteFromIndex), deleted ids can no
+                // longer reach any shortlist of a subsequent ann_search
+                eatPunct(",")
+                val delTbl = resolveTable(ident())
+                val delCol =
+                  if (atPunct(",")) { pos += 1; ident() }
+                  else delTbl.columns.head
+                eatPunct(")")
+                graft.functions.Similarity.deleteFromIndex(mSpark, mDir,
+                  delTbl.select(org.apache.spark.sql.functions.col(delCol)),
+                  delCol)
               case other => throw new IllegalArgumentException(
-                s"ann_maintain: unsupported op '$other' (compact|recover|split)")
+                s"ann_maintain: unsupported op '$other' " +
+                  "(compact|recover|split|delete)")
             }
             graft.functions.Similarity.indexStats(mSpark, mDir)
           case "ann_rebuild" =>
             // `evaluate ann_rebuild(CorpusTable, idCol, vecCol, 'indexDir'
-            // [, nCentroids])` — the full-retrain escape hatch from the
-            // query surface, completing the KQL admin suite
-            // (stats/compact/split/recover/rebuild + search): retrain on
-            // CorpusTable as it is NOW and swap the whole tree in non-stop
-            // (Similarity.rebuildIndex: sibling staging, lease-refusing
-            // marker-first commit gate). Geometry defaults come from the
-            // index's OWN manifest (same dim/m/ksub/seed; nCentroids
-            // overridable — the one knob a drifted corpus usually needs).
-            // Returns the post-rebuild index_stats.
+            // [, nCentroids] [, ownerCol])` — the full-retrain escape
+            // hatch from the query surface, completing the KQL admin suite
+            // (stats/compact/split/recover/delete/rebuild + search):
+            // retrain on CorpusTable as it is NOW and swap the whole tree
+            // in non-stop (Similarity.rebuildIndex: sibling staging,
+            // lease-refusing marker-first commit gate). Geometry defaults
+            // come from the index's OWN manifest (same dim/m/ksub/seed;
+            // nCentroids overridable — the one knob a drifted corpus
+            // usually needs); an owner-carrying TOKEN index re-supplies
+            // its ownership column explicitly (rebuildIndex refuses silent
+            // loss). Returns the post-rebuild index_stats. MUTATING:
+            // requires the parse-level admin opt-in.
+            requireAdmin("ann_rebuild")
             val rbTbl = resolveTable(ident()); eatPunct(",")
             val rbId = ident(); eatPunct(",")
             val rbVec = ident(); eatPunct(",")
             val rbDir = litString(parseExpr())
-            val rbK =
-              if (atPunct(",")) { pos += 1; Some(litLong(parseExpr()).toInt) }
-              else None
+            var rbK: Option[Int] = None
+            var rbOwner = ""
+            while (atPunct(",")) {
+              pos += 1
+              toks(pos) match {
+                case Num(_) => rbK = Some(litLong(parseExpr()).toInt)
+                case _ => rbOwner = ident()
+              }
+            }
             eatPunct(")")
             val rbSpark = df.sparkSession
             val rbMf = graft.functions.Similarity
@@ -1824,7 +1900,7 @@ object KqlParser {
               rbId, rbVec, rbMf.dim,
               nCentroids = rbK.getOrElse(rbMf.nCentroids),
               m = rbMf.m, ksub = rbMf.ksub, seed = rbMf.seed,
-              corpusSnapshot = rbMf.corpusSnapshot)
+              corpusSnapshot = rbMf.corpusSnapshot, ownerCol = rbOwner)
             graft.functions.Similarity.indexStats(rbSpark, rbDir)
           case other => throw new IllegalArgumentException(s"unsupported evaluate plugin: $other")
         }
@@ -2271,7 +2347,8 @@ object KqlParser {
             s"$fname expects ${params.length - 1} scalar argument(s) after the " +
               s"piped table, got ${invokeArgs.length}")
         new Parser(body, n => if (n == params.head) df else resolveTable(n),
-          params.tail.zip(invokeArgs).toMap).parseProgram()
+          params.tail.zip(invokeArgs).toMap,
+          allowAdmin = allowAdmin).parseProgram()
       case "make-series" =>
         // `make-series [name =] agg(...) [default = lit], ... on ts step Δ [by keys]`
         // Emits the regular grid as ROWS (one per key × bin), like the typed

@@ -254,6 +254,12 @@ object NorthStarQueries {
     * `writeFilter` restricts the initially-written half (the append row);
     * `buildTail` runs extra lifecycle steps (append/compact) on the fresh
     * tree before it is published. */
+  /** The MaxSim fixture's doc-ownership column over the shared embeddings
+    * corpus (4-token bags keyed vec_id/4) — appended rows must carry it
+    * too (appendToIndex checks the lists schema loudly). */
+  private def withOwnerDoc(df: DataFrame): DataFrame =
+    df.withColumn("__owner_doc", (col("corpus_id") / 4).cast("long"))
+
   private def builtAnnIndex(s: SparkSession, d: String, corpus: DataFrame,
       variant: String = "annidx",
       writeFilter: DataFrame => DataFrame = identity,
@@ -273,8 +279,14 @@ object NorthStarQueries {
         Similarity.ivfTrain(corpus, "corpus_id", "embedding", EMB_DIM))
       val books = pqModelCache.getOrElseUpdate(cacheKey(s, d, "pq"),
         Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
-      Similarity.writeIndex(writeFilter(corpus), root, "corpus_id",
-        "embedding", EMB_DIM, trainedIvf = Some(cents), trainedPq = Some(books))
+      // the fixture's vectors double as TOKENS for the late-interaction
+      // rows (4-token bags keyed vec_id/4), so every variant stores the
+      // owning-doc id beside each code (writeIndex ownerCol) — the
+      // indexed MaxSim candidate stage serves from the index tree ALONE;
+      // single-vector serve rows ignore the column
+      Similarity.writeIndex(withOwnerDoc(writeFilter(corpus)), root,
+        "corpus_id", "embedding", EMB_DIM, trainedIvf = Some(cents),
+        trainedPq = Some(books), ownerCol = "__owner_doc")
       buildTail(root)
       annIndexRoots.add(root)
       (s, root)
@@ -3595,8 +3607,8 @@ object NorthStarQueries {
           writeFilter = _.where_(col("corpus_id") % 2 === 0),
           buildTail = { root =>
             Similarity.appendToIndex(
-              corpus.where_(col("corpus_id") % 2 === 1), root,
-              "corpus_id", "embedding", EMB_DIM)
+              withOwnerDoc(corpus.where_(col("corpus_id") % 2 === 1)), root,
+              "corpus_id", "embedding", EMB_DIM, ownerCol = "__owner_doc")
             Similarity.compactIndex(s, root)
           })
         val queries = emb.where_(col("vec_id") < 25)
@@ -3633,17 +3645,18 @@ object NorthStarQueries {
             // actually exercised (a single-file source would collapse
             // AvailableNow into one batch = the batch append row again)
             val src = s"$root/__stream_src"
-            corpus.where_(col("corpus_id") % 2 === 1)
-              .repartition(4).write.mode("overwrite").parquet(src)
+            val arriving = withOwnerDoc(corpus.where_(col("corpus_id") % 2 === 1))
+            arriving.repartition(4).write.mode("overwrite").parquet(src)
             val vecStream = s.readStream
-              .schema(corpus.schema)
+              .schema(arriving.schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(src)
             // the FROZEN models read once, reused by every micro-batch
             val models = Similarity.readIndexModels(s, root)
             graft.streaming.StreamingIngest.drainForeach(vecStream, batch =>
               Similarity.appendToIndex(batch, root,
-                "corpus_id", "embedding", EMB_DIM, models = Some(models)))
+                "corpus_id", "embedding", EMB_DIM, models = Some(models),
+                ownerCol = "__owner_doc"))
             Similarity.compactIndex(s, root)
           })
         val queries = emb.where_(col("vec_id") < 25)
@@ -3771,8 +3784,9 @@ object NorthStarQueries {
         val dir = builtAnnIndex(s, d, corpus, variant = "annidx_reb",
           writeFilter = _.where_(col("corpus_id") % 2 === 0),
           buildTail = { root =>
-            Similarity.rebuildIndex(s, root, corpus, "corpus_id",
-              "embedding", EMB_DIM, corpusSnapshot = "embeddings@rebuild")
+            Similarity.rebuildIndex(s, root, withOwnerDoc(corpus),
+              "corpus_id", "embedding", EMB_DIM,
+              corpusSnapshot = "embeddings@rebuild", ownerCol = "__owner_doc")
           })
         val queries = emb.where_(col("vec_id") < 25)
           .project((col("vec_id") + 1000000L).as("query_id"),
@@ -4154,6 +4168,91 @@ object NorthStarQueries {
              |  FROM score)
              |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
              |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
+
+    // The SCALABLE MaxSim route from KQL (`evaluate maxsim_search(...,
+    // 'indexDir', nProbe)`): the declared query surface now reaches the
+    // stored-token-index first stage (DPP-pruned lists scan, ownership
+    // from the index tree — the shared memoized index stores the owning
+    // doc beside each code), not just the |Qtok|·|Ctok| exact baseline.
+    // Same planted contract and the same brute-force SQL oracle as
+    // q_maxsim: a pruning miss, a broken ownership read, or parser-path
+    // drift reddens exactly this row.
+    QueryDef("q_kql_maxsim_indexed",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus)
+        KqlParser.parse(
+          s"""let ct = embeddings | project token_id = vec_id,
+             |    corpus_id = tolong(vec_id / 4), embedding;
+             |embeddings
+             || where vec_id < 40
+             || project query_id = tolong(vec_id / 4) + 1000000,
+             |    token_id = vec_id,
+             |    embedding = series_add(embedding, repeat(0.02, 64))
+             || evaluate maxsim_search(ct, corpus_id, query_id, token_id,
+             |    embedding, 1, '$dir', 4)
+             || project query_id, found_original = corpus_id == query_id - 1000000
+             || sort by query_id asc""".stripMargin,
+          Tables.resolver(s, d))
+      },
+      Some("""WITH ct AS (
+             |  SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+             |qt AS (
+             |  SELECT (vec_id // 4) + 1000000 AS query_id, vec_id AS tok,
+             |    list_transform(embedding, x -> x + 0.02::FLOAT) AS emb
+             |  FROM embeddings WHERE vec_id < 40),
+             |tok_best AS (
+             |  SELECT q.query_id, q.tok, c.doc_id,
+             |    max(list_cosine_similarity(q.emb, c.embedding)) AS m
+             |  FROM qt q, ct c GROUP BY 1, 2, 3),
+             |score AS (
+             |  SELECT query_id, doc_id, sum(m) AS s
+             |  FROM tok_best GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT query_id, doc_id, row_number()
+             |    OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+             |  FROM score)
+             |SELECT query_id, (doc_id = query_id - 1000000) AS found_original
+             |FROM ranked WHERE r = 1 ORDER BY query_id""".stripMargin)),
+
+    // Index DELETE from KQL (`evaluate ann_maintain('dir','delete', Ids)`)
+    // — the GDPR/retention op completing the KQL admin suite (stats/
+    // compact/split/recover/rebuild/delete): the ids-to-forget arrive as a
+    // let-bound VIEW, only hit lists rewrite, and the deleted originals
+    // are PROVABLY never returned by a subsequent ann_search in the same
+    // session (deleted ids cannot reach any shortlist) while surviving
+    // originals still must be. The delete runs ONCE at the memoized
+    // build's tail (admin parse — the mutating plugins are gated behind
+    // allowAdmin; serving below is a plain non-admin query), so the row
+    // is idempotent across bench re-runs.
+    QueryDef("q_kql_ann_delete",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus, variant = "annidx_kdel",
+          buildTail = { root =>
+            KqlParser.parse(
+              s"""let gone = embeddings | where vec_id < 25 and vec_id % 2 == 1
+                 |  | project corpus_id = vec_id;
+                 |embeddings | take 1
+                 || evaluate ann_maintain('$root', 'delete', gone)""".stripMargin,
+              Tables.resolver(s, d), allowAdmin = true).collect()
+          })
+        KqlParser.parse(
+          s"""embeddings
+             || where vec_id < 25
+             || project query_id = vec_id + 1000000,
+             |    embedding = series_add(embedding, repeat(0.02, $EMB_DIM))
+             || evaluate ann_search(embeddings, vec_id, query_id, embedding,
+             |    '$dir', 1)
+             || project query_id, found_original = vec_id == query_id - 1000000
+             || sort by query_id asc""".stripMargin,
+          Tables.resolver(s, d))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id,
+             |  (vec_id % 2 = 0) AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
     // Classifier CALIBRATION (the held-out evaluation every learned gate
     // needs before anyone picks its threshold): the NB quality gate trains

@@ -1631,7 +1631,7 @@ class KqlParserSpec extends SparkSpec {
       s"""embeddings | take 1
          || evaluate ann_maintain('$dir', 'compact')
          || summarize total = sum(rows), maxf = max(files)""".stripMargin,
-      res).collect().head
+      res, allowAdmin = true).collect().head
     assert(post.getLong(0) == corpus.count(), post.toString)
     assert(post.getLong(1) == 1, s"compaction must reset files-per-list: $post")
     // split from KQL with NO cid: targets the hottest list (max rows, ties
@@ -1644,7 +1644,7 @@ class KqlParserSpec extends SparkSpec {
       s"""embeddings | take 1
          || evaluate ann_maintain('$dir', 'split')
          || summarize total = sum(rows), lists = count()""".stripMargin,
-      res).collect().head
+      res, allowAdmin = true).collect().head
     assert(postSplit.getLong(0) == corpus.count(), postSplit.toString)
     assert(postSplit.getLong(1) == nListsBefore + 1, postSplit.toString)
     // the split really hit the hottest list: its row count shrank
@@ -1659,15 +1659,101 @@ class KqlParserSpec extends SparkSpec {
       s"""embeddings | take 1
          || evaluate ann_rebuild(embeddings, vec_id, embedding, '$dir', 8)
          || summarize total = sum(rows), lists = count()""".stripMargin,
-      res).collect().head
+      res, allowAdmin = true).collect().head
     assert(postRebuild.getLong(0) == emb.count(), postRebuild.toString)
     assert(postRebuild.getLong(1) <= 8, postRebuild.toString)
     assert(Similarity.readIndexManifest(spark, dir).nCentroids == 8)
     // bad op name fails loudly
     val e1 = intercept[IllegalArgumentException] {
       KqlParser.parse(
-        s"embeddings | take 1 | evaluate ann_maintain('$dir', 'vacuum')", res)
+        s"embeddings | take 1 | evaluate ann_maintain('$dir', 'vacuum')", res,
+        allowAdmin = true)
     }
     assert(e1.getMessage.contains("unsupported op"), e1.getMessage)
+    // the ADMIN GATE: mutating plugins are refused under an ordinary parse
+    // (Kusto's control-command/query separation) — read-only index_stats
+    // needs no opt-in (proven above)
+    val e2 = intercept[IllegalArgumentException] {
+      KqlParser.parse(
+        s"embeddings | take 1 | evaluate ann_maintain('$dir', 'compact')", res)
+    }
+    assert(e2.getMessage.contains("allowAdmin"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      KqlParser.parse(
+        s"embeddings | take 1 | evaluate ann_rebuild(embeddings, vec_id, " +
+          s"embedding, '$dir')", res)
+    }
+    assert(e3.getMessage.contains("allowAdmin"), e3.getMessage)
+  }
+
+  test("evaluate ann_maintain delete: forget ids from KQL, stats drop exactly, deleted never served again") {
+    import graft.functions.Similarity
+    import graft.sources.Tables
+    val sfDir = TestSpark.sf
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kql_idxdel").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 4, iters = 3)
+    val res = Tables.resolver(spark, sfDir)
+    val n = corpus.count()
+    // delete the odd ids among the planted targets from KQL text — the
+    // ids frame is a let-bound VIEW, the op returns post-delete stats
+    val postDel = KqlParser.parse(
+      s"""let gone = embeddings | where vec_id < 25 and vec_id % 2 == 1
+         |  | project corpus_id = vec_id;
+         |embeddings | take 1
+         || evaluate ann_maintain('$dir', 'delete', gone)
+         || summarize total = sum(rows)""".stripMargin,
+      res, allowAdmin = true).collect().head
+    assert(postDel.getLong(0) == n - 12, postDel.toString)
+    // deleted originals are provably never returned by a subsequent
+    // ann_search in the same (plain, non-admin) query
+    val served = KqlParser.parse(
+      s"""embeddings
+         || where vec_id < 25
+         || project query_id = vec_id + 1000000,
+         |    embedding = series_add(embedding, repeat(0.02, 64))
+         || evaluate ann_search(embeddings, vec_id, query_id, embedding,
+         |    '$dir', 1)
+         || project query_id, vec_id""".stripMargin,
+      res).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.length == 25)
+    for ((q, c) <- served) {
+      val orig = q - 1000000L
+      if (orig % 2 == 0) assert(c == orig, s"surviving $orig lost for $q")
+      else assert(c != orig, s"deleted $orig served for $q")
+    }
+  }
+
+  test("evaluate maxsim_search('indexDir'): the scalable late-interaction path from KQL equals the exact form") {
+    import graft.functions.Similarity
+    import graft.sources.Tables
+    val sfDir = TestSpark.sf
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpusTok = emb.select(col("vec_id").as("token_id"),
+      (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kql_msidx").toString
+    Similarity.writeIndex(corpusTok, dir, "token_id", "embedding", 64,
+      nCentroids = 16, iters = 3, ownerCol = "corpus_id")
+    val res = Tables.resolver(spark, sfDir)
+    def run(idxArg: String) = KqlParser.parse(
+      s"""let ct = embeddings | project token_id = vec_id,
+         |    corpus_id = tolong(vec_id / 4), embedding;
+         |embeddings
+         || where vec_id < 40
+         || project query_id = tolong(vec_id / 4) + 1000000,
+         |    token_id = vec_id,
+         |    embedding = series_add(embedding, repeat(0.02, 64))
+         || evaluate maxsim_search(ct, corpus_id, query_id, token_id,
+         |    embedding, 1$idxArg)
+         || project query_id, corpus_id
+         || sort by query_id asc""".stripMargin,
+      res).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaIndex = run(s", '$dir', 4")
+    assert(viaIndex == run(""),
+      "indexed maxsim_search must equal the exact form on the planted fixture")
+    assert(viaIndex.size == 10 &&
+      viaIndex.forall { case (q, c) => c == q - 1000000L }, viaIndex.toString)
   }
 }
