@@ -97,6 +97,14 @@ object RecallScale {
       row("index-serve-auto", s"nProbe=$nProbe shortlist=auto(n/k)",
         recall(Similarity.indexTopKDistributed(spark, idxDir, queries,
           corpus, k, dim, nProbe = nProbe, shortlist = 0)))
+    // AUTO nProbe (≤ 0 ⇒ ceil(√nCentroids)) — the r16 verdict's companion
+    // ask to auto-shortlist: at this index's k=16 the rule resolves to the
+    // hand-tuned nProbe=4 grid point, so this row must land ≈ the
+    // index-serve nProbe=4 rows at both decades (drift here means the
+    // rule, not the measurement, decayed).
+    row("index-serve-autoprobe", "nProbe=auto(sqrt_k) shortlist=auto(n/k)",
+      recall(Similarity.indexTopKDistributed(spark, idxDir, queries,
+        corpus, k, dim, nProbe = 0, shortlist = 0)))
 
     // ---- STREAMING group-probe serve (the k ≥ 2048 regime): the r15
     // verdict's missing lane. Same corpus and PQ books; the coarse model is
@@ -196,6 +204,77 @@ object RecallScale {
         scored4.withColumn("__r", F.row_number().over(wMs))
           .filter(F.col("__r") <= 50).select("query_id", "corpus_id"),
         queryTok, corpusTok, k)))
+
+    // ---- MaxSim on STRUCTURED (clustered) token geometry — the r16
+    // verdict's missing measurement: the grids above run on structureless
+    // random embeddings (the honest floor), but late interaction operates
+    // on token distributions with TOPIC structure. Planted clusters:
+    // deterministic per-topic base directions (doc topic = doc_id % 12),
+    // token = base(topic) + 0.35·(the fixture vector as noise) — so a
+    // doc's tokens co-locate around its topic centroid and a trained
+    // quantizer's lists carry real cluster signal. Same query protocol as
+    // the structureless lane (first nQ/4 docs' bags, exact MaxSim as the
+    // reference); the quantizer TRAINS ON the clustered tokens, as it
+    // would in production.
+    val nTopics = 12
+    val bases = Array.tabulate(nTopics, dim)((t, j) =>
+      (((t * 37 + j * 101) % 211) / 211.0f) - 0.5f)
+    val baseLit = F.typedlit(bases.map(_.toSeq).toSeq)
+    val clusTok = emb.select(
+        (F.col("vec_id") / 4).cast("long").as("corpus_id"),
+        F.col("vec_id").as("token_id"), F.col("embedding"))
+      .withColumn("__t", (F.col("corpus_id") % nTopics).cast("int"))
+      .withColumn("embedding", F.zip_with(
+        F.element_at(baseLit, F.col("__t") + 1), F.col("embedding"),
+        (b, e) => b + e * F.lit(0.35f)))
+      .drop("__t")
+    val clusQ = clusTok.filter(F.col("token_id") < nQ)
+      .select((F.col("corpus_id") + 1000000L).as("query_id"),
+        F.col("token_id"), F.col("embedding"))
+    val clusCorpus = clusTok.select("corpus_id", "embedding")
+    val clusExact = Similarity.maxSimTopK(clusQ, clusCorpus, k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def clusRecall(df: DataFrame): Double =
+      clusExact.intersect(df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble /
+        clusExact.size
+    val clusCents = Similarity.ivfTrain(clusTok, "token_id", "embedding",
+      dim, nCentroids = 16)
+    for (nProbe <- Seq(1, 2, 4))
+      row("maxsim-pruned-clustered",
+        s"topics=$nTopics nCentroids=16 nProbe=$nProbe",
+        clusRecall(Similarity.maxSimTopKPruned(clusQ, clusCorpus, k, dim,
+          nProbe = nProbe, trained = Some(clusCents))))
+    // streaming + rerank on the clustered geometry: stored OWNER-carrying
+    // token index (candidates from the index tree alone), bounded
+    // per-query state (the r17 MaxSimTopNAgg contract) at auto shortlist
+    val clusDir = java.nio.file.Files
+      .createTempDirectory("graft_recall_clus").toString
+    Similarity.writeIndex(clusTok, clusDir, "token_id", "embedding", dim,
+      trainedIvf = Some(clusCents),
+      trainedPq = Some(Similarity.pqTrain(clusTok, "token_id", "embedding",
+        dim)), ownerCol = "corpus_id")
+    val clusSrc = s"$clusDir/__qtok_src"
+    clusQ.write.mode("overwrite").parquet(clusSrc)
+    for (nProbe <- Seq(1, 2, 4)) {
+      val scoredC = graft.streaming.StreamingIngest.runBoundedAggregation(
+        spark, s"recall_msclus_$nProbe",
+        Similarity.maxSimStream(spark, clusDir,
+          spark.readStream.schema(clusQ.schema).parquet(clusSrc),
+          clusTok, nProbe = nProbe))
+      row("maxsim-stream-clustered",
+        s"topics=$nTopics nCentroids=16 nProbe=$nProbe shortlist=auto",
+        clusRecall(scoredC.withColumn("__r", F.row_number().over(wMs))
+          .filter(F.col("__r") <= k)))
+      if (nProbe == 4)
+        row("maxsim-stream+rerank-clustered",
+          s"topics=$nTopics nProbe=4 N=50",
+          clusRecall(Similarity.maxSimRerank(
+            scoredC.withColumn("__r", F.row_number().over(wMs))
+              .filter(F.col("__r") <= 50).select("query_id", "corpus_id"),
+            clusQ, clusCorpus, k)))
+    }
 
     // hierarchical PROBE assignment composed into the IVF search (the
     // assignment-level recall trade measured end-to-end): corpus lists are
