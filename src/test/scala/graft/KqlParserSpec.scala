@@ -1755,5 +1755,31 @@ class KqlParserSpec extends SparkSpec {
       "indexed maxsim_search must equal the exact form on the planted fixture")
     assert(viaIndex.size == 10 &&
       viaIndex.forall { case (q, c) => c == q - 1000000L }, viaIndex.toString)
+    // an owner-carrying token index rebuilt from KQL must re-supply its
+    // ownership column (rebuildIndex refuses silent loss) — the trailing
+    // ownerCol identifier argument is the route; the rebuilt tree keeps
+    // the owner column and the indexed route still serves
+    val eNoOwner = intercept[IllegalArgumentException] {
+      KqlParser.parse(
+        s"""embeddings | take 1
+           || evaluate ann_rebuild(ct_tbl, token_id, embedding, '$dir', 16)"""
+          .stripMargin,
+        { case "embeddings" => Tables.load(spark, sfDir, "embeddings")
+          case "ct_tbl" => corpusTok }: String => DataFrame,
+        allowAdmin = true)
+    }
+    assert(eNoOwner.getMessage.contains("owner"), eNoOwner.getMessage)
+    KqlParser.parse(
+      s"""embeddings | take 1
+         || evaluate ann_rebuild(ct_tbl, token_id, embedding, '$dir', 16,
+         |    corpus_id)""".stripMargin,
+      { case "embeddings" => Tables.load(spark, sfDir, "embeddings")
+        case "ct_tbl" => corpusTok }: String => DataFrame,
+      allowAdmin = true).collect()
+    assert(spark.read.parquet(s"$dir/lists")
+      .schema.fieldNames.contains("owner"),
+      "KQL rebuild with ownerCol must keep the owner column")
+    assert(run(s", '$dir', 4") == viaIndex,
+      "the rebuilt owner index must serve the same planted verdicts")
   }
 }

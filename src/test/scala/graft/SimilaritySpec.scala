@@ -850,6 +850,11 @@ class SimilaritySpec extends SparkSpec {
     assert(srcScans(candO) < srcScans(candN),
       s"owner path still scans the corpus-token source: " +
         s"${srcScans(candO)} vs ${srcScans(candN)}")
+    // the owner path keeps dynamic partition pruning on the lists scan —
+    // storing ownership must not cost the probe-driven file pruning
+    val candOPlan = candO.queryExecution.executedPlan.toString()
+    assert(candOPlan.contains("dynamicpruning"),
+      s"owner-path candidates lost DPP:\n$candOPlan")
     // ownership survives the WHOLE maintenance lifecycle: append (with the
     // schema-checked ownerCol), compact, split, delete — owner column
     // present and correct after each
