@@ -813,7 +813,8 @@ object Similarity {
     // half-old components, which would be a silently wrong ADC
     writeManifest(fs, dir,
       IndexManifest(ManifestFormat, dim, cents.length, books.length,
-        books.headOption.map(_.length).getOrElse(ksub), seed, corpusSnapshot))
+        books.headOption.map(_.length).getOrElse(ksub), seed, corpusSnapshot,
+        hasOwner = ownerCol.nonEmpty))
     if (overwriting)
       fs.delete(new org.apache.hadoop.fs.Path(markerPath(dir)), false)
   }
@@ -1117,7 +1118,8 @@ object Similarity {
     * reference's self-describing SegmentMeta posture,
     * `/root/reference/segment_metadata.proto:73-82`). */
   case class IndexManifest(format: String, dim: Int, nCentroids: Int,
-      m: Int, ksub: Int, seed: Long, corpusSnapshot: String)
+      m: Int, ksub: Int, seed: Long, corpusSnapshot: String,
+      hasOwner: Boolean = false)
 
   private val ManifestFormat = "graft-ivfpq-1"
 
@@ -1176,7 +1178,14 @@ object Similarity {
     writeUtf8(fs, manifestPath(dir),
       s"""{"format":${jsonQuote(mf.format)},"dim":${mf.dim},""" +
         s""""n_centroids":${mf.nCentroids},"m":${mf.m},"ksub":${mf.ksub},""" +
-        s""""seed":${mf.seed},"corpus_snapshot":${jsonQuote(mf.corpusSnapshot)}}""")
+        s""""seed":${mf.seed},"has_owner":${mf.hasOwner},""" +
+        s""""corpus_snapshot":${jsonQuote(mf.corpusSnapshot)}}""")
+
+  /** Optional boolean manifest field — absent (pre-r17 manifests) reads as
+    * `false`, so ownerless indexes round-trip unchanged. */
+  private def jsonBoolOpt(js: String, key: String): Boolean =
+    ("\"" + key + "\"\\s*:\\s*(true|false)").r.findFirstMatchIn(js)
+      .exists(_.group(1) == "true")
 
   /** Read + structurally validate a stored index's manifest (loud if absent
     * or malformed — an index without a manifest predates this format and
@@ -1192,7 +1201,8 @@ object Similarity {
     val mf = IndexManifest(jsonString(js, "format"),
       jsonLong(js, "dim").toInt, jsonLong(js, "n_centroids").toInt,
       jsonLong(js, "m").toInt, jsonLong(js, "ksub").toInt,
-      jsonLong(js, "seed"), jsonString(js, "corpus_snapshot"))
+      jsonLong(js, "seed"), jsonString(js, "corpus_snapshot"),
+      jsonBoolOpt(js, "has_owner"))
     require(mf.format == ManifestFormat,
       s"index at $dir: unsupported format '${mf.format}' " +
         s"(this build reads '$ManifestFormat')")
@@ -1282,30 +1292,31 @@ object Similarity {
     // lease's last touch, so without renewal a LIVE append slower than
     // staleLeaseMs would be reclaimed as dead mid-flight (the r16 hole) —
     // the beat turns "stale" into EVIDENCE of death, not a duration guess
-    val stopBeat = startLeaseHeartbeat(fs, lease, startMs,
+    val (leaseReclaimed, stopBeat) = startLeaseHeartbeat(fs, lease, startMs,
       math.max(25L, staleLeaseMs / 4))
     try {
       // re-check AFTER the lease is visible: a maintenance marker acquired
       // before our lease landed wins; we refuse
       requireCleanIndex(fs, dir, "appendToIndex")
-      requireManifestMatch(readIndexManifest(spark, dir), dir, "appendToIndex",
-        dim, models)
-      // pre-read models skip the two parquet reads + driver collects — the
-      // continuous-ingest path (one appendToIndex per micro-batch) reads the
-      // FROZEN models once before the stream starts and passes them through
-      val (cents, books) = models.getOrElse(readIndexModels(spark, dir))
-      // the lists SCHEMA is authoritative for ownership: an owner-carrying
+      val mf = readIndexManifest(spark, dir)
+      requireManifestMatch(mf, dir, "appendToIndex", dim, models)
+      // the MANIFEST is authoritative for ownership (has_owner — recorded
+      // at write, preserved by every maintenance op): an owner-carrying
       // index must get owner-carrying appends (a silent ownerless append
       // would leave mixed-schema files the candidate stage reads past) and
-      // vice versa — loud either way. One footer-read per append.
-      val hasOwner = spark.read.parquet(s"$dir/lists")
-        .schema.fieldNames.contains("owner")
-      require(hasOwner == ownerCol.nonEmpty,
-        if (hasOwner) s"appendToIndex: the index at $dir stores token " +
+      // vice versa — loud either way, at zero extra I/O (the manifest is
+      // already read per append; the r17-draft lists-schema sniff cost a
+      // full lists-tree file listing per streaming micro-batch).
+      require(mf.hasOwner == ownerCol.nonEmpty,
+        if (mf.hasOwner) s"appendToIndex: the index at $dir stores token " +
           "ownership ('owner' column) — pass ownerCol so appended rows " +
           "carry it too"
         else s"appendToIndex: ownerCol='$ownerCol' given but the index at " +
           s"$dir has no 'owner' column — rebuild with writeIndex(ownerCol=…)")
+      // pre-read models skip the two parquet reads + driver collects — the
+      // continuous-ingest path (one appendToIndex per micro-batch) reads the
+      // FROZEN models once before the stream starts and passes them through
+      val (cents, books) = models.getOrElse(readIndexModels(spark, dir))
       onStep("leased")
       val lists = assignProbes(
         newRows.select(col(idCol), col(vecCol).as("__iv")), idCol, "__iv", cents, 1)
@@ -1319,6 +1330,19 @@ object Similarity {
         (if (ownerCol.isEmpty) Nil else Seq(col("owner")))
       withOwner.select(outCols: _*)
         .write.mode("append").partitionBy("__cid").parquet(s"$dir/lists")
+      // the write landed — the lease must still be OURS. If it was
+      // reclaimed mid-run (this append stalled past staleLeaseMs between
+      // two beats and a maintainer judged it dead), maintenance may be
+      // rewriting the tree right now and our files can be silently
+      // swapped away: fail LOUDLY so the caller re-runs the append,
+      // instead of reporting success for rows that may not survive.
+      if (leaseReclaimed.get() ||
+          !fs.exists(new org.apache.hadoop.fs.Path(lease)))
+        throw new IllegalStateException(
+          s"appendToIndex: lease $lease was reclaimed mid-append (the " +
+            "append stalled past staleLeaseMs and maintenance judged it " +
+            "dead) — the appended rows may be swapped away by the " +
+            "concurrent maintenance; re-run this append after it finishes")
     } finally {
       stopBeat() // joined BEFORE the delete — a racing beat cannot resurrect
       fs.delete(new org.apache.hadoop.fs.Path(lease), false)
@@ -1334,25 +1358,47 @@ object Similarity {
     * threshold — exactly the 100 TB regime (a large micro-batch, a stuck-
     * then-recovered stage) — reopening the silent-swap window the leases
     * exist to close. Each beat rewrites the body with `beat_ms` so the
-    * renewal is readable evidence, not just an mtime side effect. Returns
-    * an idempotent stop function that joins the thread (no beat can land
-    * after it returns). */
+    * renewal is readable evidence, not just an mtime side effect.
+    *
+    * A beat NEVER recreates a missing lease: a missing file means the
+    * lease was RECLAIMED (a maintainer judged this append dead) — the
+    * beat records that in `reclaimed` and stops, and the append fails
+    * LOUDLY after its write instead of resuming into a tree that
+    * maintenance may be rewriting (silent-swap would otherwise reopen for
+    * any append that stalls past the threshold between two beats). A
+    * late beat that raced the stop flag self-cleans: if it observes
+    * `stopped` after writing it deletes its own write, so a stop-join
+    * timeout can never leave a phantom lease blocking maintenance.
+    * Returns (reclaimed flag, stop function); stop is idempotent and
+    * joins the thread. */
   private def startLeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
-      lease: String, startMs: Long, intervalMs: Long): () => Unit = {
+      lease: String, startMs: Long, intervalMs: Long)
+      : (java.util.concurrent.atomic.AtomicBoolean, () => Unit) = {
     val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reclaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val p = new org.apache.hadoop.fs.Path(lease)
     val t = new Thread(() => {
-      while (!stopped.get()) {
+      var alive = true
+      while (alive && !stopped.get()) {
         try Thread.sleep(intervalMs)
         catch { case _: InterruptedException => () }
         if (!stopped.get())
-          try writeUtf8(fs, lease, s"""{"op":"append","epoch_ms":$startMs,""" +
-            s""""beat_ms":${System.currentTimeMillis()}}""")
-          catch { case _: Throwable => () } // fs hiccup: the next beat retries
+          try {
+            if (!fs.exists(p)) { reclaimed.set(true); alive = false }
+            else {
+              writeUtf8(fs, lease,
+                s"""{"op":"append","epoch_ms":$startMs,""" +
+                  s""""beat_ms":${System.currentTimeMillis()}}""")
+              // stop raced the write: remove our own late write so the
+              // join-timeout path can never leave a phantom lease
+              if (stopped.get()) fs.delete(p, false)
+            }
+          } catch { case _: Throwable => () } // fs hiccup: next beat retries
       }
     }, s"graft-lease-heartbeat-${Integer.toHexString(lease.hashCode)}")
     t.setDaemon(true)
     t.start()
-    () => { stopped.set(true); t.interrupt(); t.join(2000L) }
+    (reclaimed, () => { stopped.set(true); t.interrupt(); t.join(2000L) })
   }
 
   /** The filesystem's OWN clock, read by stat-ing a just-written probe file
@@ -1442,11 +1488,15 @@ object Similarity {
     // from the same clock domain, so a skewed maintenance host can neither
     // reclaim a fresh lease early nor honor a dead one forever
     val now = fsNowMs(fs, dir)
-    val live = appendLeases(fs, dir).filter { st =>
-      if (now - st.getModificationTime > staleLeaseMs) {
-        fs.delete(st.getPath, false); false // no heartbeat = dead: reclaim
-      } else true
+    appendLeases(fs, dir).foreach { st =>
+      if (now - st.getModificationTime > staleLeaseMs)
+        fs.delete(st.getPath, false) // no heartbeat = dead: reclaim
     }
+    // re-list AFTER reclaiming: any lease present NOW — including one a
+    // racing beat re-touched in the window — is fresh and blocks us, so a
+    // reclaim can never be silently overtaken; the beat side never
+    // RECREATES a reclaimed lease (it fails its append loudly instead)
+    val live = appendLeases(fs, dir)
     if (live.nonEmpty) throw new IllegalStateException(
       s"$op: ${live.size} append(s) in flight at $dir " +
         s"(${live.map(_.getPath.getName).mkString(", ")}) — proceeding would " +
@@ -1921,13 +1971,12 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "rebuildIndex")
-    readIndexManifest(spark, dir) // only rebuild something that IS an index
     // an owner-carrying index must not silently lose ownership at retrain
     // (the indexed MaxSim candidate stage would quietly fall back to the
     // per-query corpus-token join) — the caller re-supplies it from the
-    // payload, same as every other rebuilt component
-    require(ownerCol.nonEmpty || !spark.read.parquet(s"$dir/lists")
-      .schema.fieldNames.contains("owner"),
+    // payload, same as every other rebuilt component. Also the loud gate
+    // against rebuilding something that is not an index at all.
+    require(ownerCol.nonEmpty || !readIndexManifest(spark, dir).hasOwner,
       s"rebuildIndex: the index at $dir stores token ownership ('owner' " +
         "column) — pass ownerCol so the rebuilt tree keeps it")
     val staging = rebuildStagingPath(dir)
@@ -2266,7 +2315,7 @@ object Similarity {
       .select(col("__qtk").getField(queryId).as(queryId), col("__cid"))
       .distinct()
     val lists0 = spark.read.parquet(s"$dir/lists")
-    if (lists0.schema.fieldNames.contains("owner"))
+    if (readIndexManifest(spark, dir).hasOwner)
       lists0.select(col("owner").as(corpusId), col("__cid"))
         .join(broadcast(qprobes), Seq("__cid"))
         .select(col(queryId), col(corpusId)).distinct()
@@ -2299,52 +2348,68 @@ object Similarity {
     * its pairs accumulated. Residual approximation (documented in
     * DEVIATIONS): pairs met while their doc was outside the retained set
     * are lost — a retained doc's score is the met-pairs sum since its
-    * LAST admission, still one-sidedly ≤ the clamped exact bound. */
+    * LAST admission, still one-sidedly ≤ the clamped exact bound.
+    *
+    * Cost: the buffer is a HASH map, so the dominant case (a pair of an
+    * already-retained doc) is an O(1) lookup + an O(|query tokens|)
+    * max-merge; the O(n) champion scan is paid only when an UNSEEN doc
+    * attempts admission against a full buffer — per candidate doc, not
+    * per pair — so a large auto-resolved n (tokens-per-list at 100 TB)
+    * prices admissions, never the pair stream. */
   final class MaxSimTopNAgg(n: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (Long, Long, Double), Seq[(Long, Seq[(Long, Double)])],
+        (Long, Long, Double), Map[Long, Seq[(Long, Double)]],
         Seq[(Long, Double)]] {
     require(n > 0, "MaxSimTopNAgg: n must be > 0")
     private def champion(toks: Seq[(Long, Double)]): Double =
       toks.iterator.map(_._2).max
-    private val ord: Ordering[(Long, Seq[(Long, Double)])] =
-      Ordering.by { case (doc, toks) => (-champion(toks), doc) }
-    private def trim(b: Seq[(Long, Seq[(Long, Double)])])
-        : Seq[(Long, Seq[(Long, Double)])] =
-      if (b.size <= n) b else b.sorted(ord).take(n)
+    // evict the weakest champion; among equals the LARGER doc id leaves
+    // (the serve tie-break: smaller ids win)
+    private def weakest(b: Map[Long, Seq[(Long, Double)]]): (Long, Double) = {
+      val (doc, toks) = b.minBy { case (d, ts) => (champion(ts), -d) }
+      (doc, champion(toks))
+    }
     private def mergeToks(ts: Seq[(Long, Double)],
         t: (Long, Double)): Seq[(Long, Double)] =
       ts.indexWhere(_._1 == t._1) match {
         case -1 => ts :+ t
         case j => if (ts(j)._2 >= t._2) ts else ts.updated(j, t)
       }
-    def zero: Seq[(Long, Seq[(Long, Double)])] = Seq.empty
-    def reduce(b: Seq[(Long, Seq[(Long, Double)])],
-        a: (Long, Long, Double)): Seq[(Long, Seq[(Long, Double)])] =
+    def zero: Map[Long, Seq[(Long, Double)]] = Map.empty
+    def reduce(b: Map[Long, Seq[(Long, Double)]],
+        a: (Long, Long, Double)): Map[Long, Seq[(Long, Double)]] =
       if (a == null) b
-      else b.indexWhere(_._1 == a._1) match {
-        case -1 =>
-          // full buffer whose weakest champion beats the new pair: O(n)
-          // skip, no re-sort — the dominant stream case
-          if (b.size >= n && b.forall { case (doc, toks) =>
-            champion(toks) > a._3 ||
-              (champion(toks) == a._3 && doc < a._1) }) b
-          else trim(b :+ ((a._1, Seq((a._2, a._3)))))
-        case i => b.updated(i, (a._1, mergeToks(b(i)._2, (a._2, a._3))))
+      else b.get(a._1) match {
+        // retained doc: O(|query tokens|) max-merge — the dominant stream
+        // case is a hash hit, never a buffer scan
+        case Some(toks) => b.updated(a._1, mergeToks(toks, (a._2, a._3)))
+        case None if b.size < n => b.updated(a._1, Seq((a._2, a._3)))
+        case None =>
+          // full: admit only past the weakest champion (one O(n) scan per
+          // ADMISSION ATTEMPT of an unseen doc, not per pair)
+          val (minDoc, minCh) = weakest(b)
+          if (a._3 > minCh || (a._3 == minCh && a._1 < minDoc))
+            (b - minDoc).updated(a._1, Seq((a._2, a._3)))
+          else b
       }
-    def merge(x: Seq[(Long, Seq[(Long, Double)])],
-        y: Seq[(Long, Seq[(Long, Double)])])
-        : Seq[(Long, Seq[(Long, Double)])] =
-      trim(y.foldLeft(x) { case (acc, (doc, toks)) =>
-        acc.indexWhere(_._1 == doc) match {
-          case -1 => acc :+ ((doc, toks))
-          case i => acc.updated(i, (doc, toks.foldLeft(acc(i)._2)(mergeToks)))
-        }
-      })
-    def finish(r: Seq[(Long, Seq[(Long, Double)])]): Seq[(Long, Double)] =
-      r.map { case (doc, toks) => (doc, toks.map(_._2).sum) }
+    def merge(x: Map[Long, Seq[(Long, Double)]],
+        y: Map[Long, Seq[(Long, Double)]])
+        : Map[Long, Seq[(Long, Double)]] = {
+      val m = y.foldLeft(x) { case (acc, (doc, toks)) =>
+        acc.updated(doc,
+          acc.get(doc).map(ts => toks.foldLeft(ts)(mergeToks))
+            .getOrElse(toks))
+      }
+      if (m.size <= n) m
+      else m.toSeq.sortBy { case (doc, toks) => (-champion(toks), doc) }
+        .take(n).toMap
+    }
+    // deterministic output order (map iteration order is not)
+    def finish(r: Map[Long, Seq[(Long, Double)]]): Seq[(Long, Double)] =
+      r.toSeq.sortBy(_._1)
+        .map { case (doc, toks) => (doc, toks.map(_._2).sum) }
     def bufferEncoder
-        : org.apache.spark.sql.Encoder[Seq[(Long, Seq[(Long, Double)])]] =
+        : org.apache.spark.sql.Encoder[Map[Long, Seq[(Long, Double)]]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
@@ -2415,12 +2480,26 @@ object Similarity {
       case None => pairs0
     }).withColumn("__cos", dot(col("__qv"), col("__cv")) /
       (col("__qn") * col("__cn")))
+    // the bounded per-query state keys docs by LONG (the aggregator's
+    // encoder): an integral corpusId round-trips exactly (cast back to the
+    // input type below); any other type must be refused LOUDLY — a silent
+    // cast('long') would null every id and collapse all docs into one
+    // garbage key. Map non-numeric doc ids to longs upstream (xxhash64 +
+    // a dictionary, or the batch paths which key on the column as-is).
+    val cidType = corpusTokens.schema(corpusId).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(cidType),
+      s"maxSimStream: corpusId '$corpusId' must be an integral type for " +
+        s"the bounded per-query state (got $cidType) — map doc ids to " +
+        "longs upstream, or use the batch MaxSim paths (any id type)")
     val agg = udaf(new MaxSimTopNAgg(useShort))
     pairs.groupBy(col(queryId))
       .agg(agg(col(corpusId).cast("long"), col("__qt").cast("long"),
         col("__cos")).as("__docs"))
       .select(col(queryId), explode(col("__docs")).as("__d"))
-      .select(col(queryId), col("__d._1").as(corpusId),
+      .select(col(queryId), col("__d._1").cast(cidType).as(corpusId),
         col("__d._2").as("maxsim"))
   }
 

@@ -1887,9 +1887,21 @@ object KqlParser {
             var rbOwner = ""
             while (atPunct(",")) {
               pos += 1
+              require(pos < toks.length, "ann_rebuild: dangling ','")
+              // dispatch on the token CLASS and refuse everything else
+              // loudly — a bound scalar or parenthesized expression here
+              // would otherwise be silently consumed as an ownerCol name
+              // (nCentroids must be a literal, the plugin litLong contract)
               toks(pos) match {
-                case Num(_) => rbK = Some(litLong(parseExpr()).toInt)
-                case _ => rbOwner = ident()
+                case Num(_) =>
+                  require(rbK.isEmpty, "ann_rebuild: nCentroids given twice")
+                  rbK = Some(litLong(parseExpr()).toInt)
+                case Ident(_) =>
+                  require(rbOwner.isEmpty, "ann_rebuild: ownerCol given twice")
+                  rbOwner = ident()
+                case other => throw new IllegalArgumentException(
+                  "ann_rebuild: expected a literal nCentroids or an " +
+                    s"ownerCol identifier, got '$other'")
               }
             }
             eatPunct(")")

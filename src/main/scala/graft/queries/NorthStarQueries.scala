@@ -244,6 +244,12 @@ object NorthStarQueries {
         T(s, d, "documents"), "doc_id").persist())
   }
 
+  /** The MaxSim fixture's doc-ownership column over the shared embeddings
+    * corpus (4-token bags keyed vec_id/4) — appended rows must carry it
+    * too (appendToIndex checks the manifest's has_owner loudly). */
+  private def withOwnerDoc(df: DataFrame): DataFrame =
+    df.withColumn("__owner_doc", (col("corpus_id") / 4).cast("long"))
+
   /** A session's STORED ANN index over the embeddings corpus, built once
     * per (session, sfDir, variant) — the write-once/read-many lifecycle:
     * the serve rows (stored / distributed / streaming / append) read their
@@ -254,12 +260,6 @@ object NorthStarQueries {
     * `writeFilter` restricts the initially-written half (the append row);
     * `buildTail` runs extra lifecycle steps (append/compact) on the fresh
     * tree before it is published. */
-  /** The MaxSim fixture's doc-ownership column over the shared embeddings
-    * corpus (4-token bags keyed vec_id/4) — appended rows must carry it
-    * too (appendToIndex checks the lists schema loudly). */
-  private def withOwnerDoc(df: DataFrame): DataFrame =
-    df.withColumn("__owner_doc", (col("corpus_id") / 4).cast("long"))
-
   private def builtAnnIndex(s: SparkSession, d: String, corpus: DataFrame,
       variant: String = "annidx",
       writeFilter: DataFrame => DataFrame = identity,
@@ -4054,12 +4054,14 @@ object NorthStarQueries {
     // bags arriving as a STREAM — probes ride the stream's projection,
     // candidates come from stateless stream-static joins against the
     // stored token index's lists + the token-ownership map + raw corpus
-    // vectors, and the ONE stateful operator is the bounded per-(query,
-    // doc) MaxSimAgg (per-query-token maxes — Spark disallows chained
-    // streaming aggs, so the two-level max-then-sum collapses into a
-    // single Aggregator). Batch tail ranks the bounded result. Planted
-    // pairs are scored EXACTLY (all their tokens meet), so the verdict
-    // oracle is the same brute-force contract as q_maxsim.
+    // vectors, and the ONE stateful operator is one aggregation per QUERY
+    // whose state is the bounded top-shortlist doc map (MaxSimTopNAgg,
+    // champion-token eviction — Spark disallows chained streaming aggs,
+    // so the two-level max-then-sum collapses into a single Aggregator).
+    // Batch tail ranks the bounded result. Planted pairs are admitted on
+    // any schedule (champion ≈ 1.0) and scored EXACTLY (all their tokens
+    // meet), so the verdict oracle is the same brute-force contract as
+    // q_maxsim.
     QueryDef("q_streaming_maxsim",
       (s, d) => {
         val emb = T(s, d, "embeddings")

@@ -490,6 +490,34 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
   }
 
+  test("an append whose lease was reclaimed mid-run fails LOUDLY instead of reporting success") {
+    // the residual window even WITH heartbeats: an append stalled past
+    // staleLeaseMs between two beats is judged dead and reclaimed; when it
+    // resumes, its rows may be swapped away by the maintenance that
+    // reclaimed it — the append must surface that as an ERROR (re-run),
+    // never as success. Simulated by deleting the lease while the append
+    // runs (the beat never RECREATES a missing lease — recreating would
+    // silently overtake the reclaim).
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rcl").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 300), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIndexImpl(
+        corpus.filter(col("corpus_id") >= 300), dir, "corpus_id",
+        "embedding", 64, None, onStep = {
+          case "leased" =>
+            Similarity.appendLeases(fs, dir)
+              .foreach(st => fs.delete(st.getPath, false))
+          case _ => ()
+        })
+    }
+    assert(e.getMessage.contains("reclaimed"), e.getMessage)
+  }
+
   test("rebuild commit gate acquires the marker before the snapshot and refuses live leases") {
     val emb = Tables.load(spark, sf, "embeddings")
     val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
