@@ -1610,6 +1610,12 @@ object Similarity {
         jsonLong(marker.get, "cid").toInt, jsonLong(marker.get, "new_cid").toInt)
     } else if (op.contains("rebuild")) {
       recoverRebuild(spark, fs, dir)
+    } else if (op.contains("merge")) {
+      // a merge died mid-move: every list file lives in exactly ONE tree
+      // at every instant, so recovery just RESUMES the move loop from the
+      // marker's recorded source (idempotent — already-moved files are
+      // gone from the source) and consumes the source tree
+      finishMerge(spark, fs, dir, jsonString(marker.get, "src"))
     } else if (op.contains("overwrite")) {
       // a writeIndex-OVERWRITE died mid-run: there is no retired copy to
       // roll back to (that is why in-place re-writes are documented to go
@@ -1912,6 +1918,100 @@ object Similarity {
     fs.delete(p(s"$dir/lists__retired_$cid"), true)
     fs.delete(p(s"$dir/lists__splitting"), true)
     fs.delete(p(markerPath(dir)), false)
+  }
+
+  // ------------------------------------------------------------------
+  // Shard merge: parallel shard builds folded into one tree, file moves
+  // only — the 100 TB build composition (train once, encode anywhere).
+  // ------------------------------------------------------------------
+
+  /** MERGE a shard-built index INTO a destination index sharing the same
+    * FROZEN models — the parallel-build composition: at 100 TB the corpus
+    * is encoded shard-by-shard ([[writeIndex]] per shard with the SAME
+    * trained models — train once, build anywhere, in parallel), and
+    * folding the shards into one servable tree is pure file METADATA
+    * (per-cid renames), never a re-encode or re-train; contrast
+    * [[appendToIndex]], which pays the assign+encode of its rows. Refuses
+    * loudly unless the two manifests agree on every geometry field AND
+    * the stored model tables are bit-identical — codes are only valid
+    * against their own codebooks, so a mixed-model merge would silently
+    * mis-score (the ADC would read garbage, no error).
+    *
+    * Writer contract: runs under the destination's op=merge marker
+    * (atomic acquisition, live-lease refusal — appends fail loudly for
+    * the metadata-cheap duration); the marker records the SOURCE path, so
+    * a crash anywhere inside the move loop recovers by re-running the
+    * remaining moves ([[recoverIndex]]'s op=merge branch — each list file
+    * lives in exactly ONE tree at every instant, so resumption is
+    * idempotent). The source tree is CONSUMED: its list files move into
+    * the destination partitions and the source dir is deleted last —
+    * sources are shard-build staging products, not published indexes;
+    * quiesce any reader of the source first (documented). */
+  def mergeIndex(spark: org.apache.spark.sql.SparkSession, destDir: String,
+      srcDir: String, staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(new org.apache.hadoop.fs.Path(destDir).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(srcDir).toUri.getPath,
+      s"mergeIndex: source and destination are the same tree ($destDir)")
+    requireCleanIndex(fs, destDir, "mergeIndex")
+    requireCleanIndex(fs, srcDir, "mergeIndex (source)")
+    val dmf = readIndexManifest(spark, destDir)
+    val smf = readIndexManifest(spark, srcDir)
+    // every GEOMETRY field must agree; corpusSnapshot is a provenance
+    // label and naturally differs per shard
+    require(dmf.copy(corpusSnapshot = "") == smf.copy(corpusSnapshot = ""),
+      s"mergeIndex: manifests disagree — dest=$dmf src=$smf; shards must " +
+        "be built with the SAME frozen models (train once, build anywhere)")
+    // manifest equality is necessary but models must be BIT-identical:
+    // two independent trainings can share every geometry field and still
+    // place centroids differently — codes are only valid against their
+    // own codebooks
+    val (dc, db) = readIndexModels(spark, destDir)
+    val (sc, sb) = readIndexModels(spark, srcDir)
+    require(dc.length == sc.length &&
+      dc.indices.forall(i => java.util.Arrays.equals(dc(i), sc(i))) &&
+      db.length == sb.length && db.indices.forall(mi =>
+        db(mi).length == sb(mi).length && db(mi).indices.forall(ci =>
+          java.util.Arrays.equals(db(mi)(ci), sb(mi)(ci)))),
+      s"mergeIndex: stored models differ between $destDir and $srcDir — " +
+        "equal geometry is not equal models; rebuild the shard with the " +
+        "destination's frozen models")
+    acquireMarker(fs, destDir, "mergeIndex",
+      s"""{"op":"merge","src":${jsonQuote(srcDir)}}""", staleLeaseMs)
+    finishMerge(spark, fs, destDir, srcDir)
+  }
+
+  /** The move loop of a merge — shared verbatim with crash recovery so
+    * the two cannot drift: every list FILE of every source cid partition
+    * renames into the destination's partition dir (created on demand;
+    * name collisions — impossible for parquet part-UUIDs, defended anyway
+    * — get a fresh prefix), the consumed source tree is deleted LAST, the
+    * marker dropped after it. Every step no-ops when already consumed —
+    * idempotent, resumable from any crash point. */
+  private def finishMerge(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, destDir: String,
+      srcDir: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val srcLists = p(s"$srcDir/lists")
+    if (fs.exists(srcLists)) {
+      for (part <- fs.listStatus(srcLists)
+           if part.isDirectory && part.getPath.getName.startsWith("__cid=")) {
+        val destPart = p(s"$destDir/lists/${part.getPath.getName}")
+        fs.mkdirs(destPart)
+        for (f <- fs.listStatus(part.getPath) if f.isFile) {
+          val name = f.getPath.getName
+          val target = new org.apache.hadoop.fs.Path(destPart,
+            if (fs.exists(new org.apache.hadoop.fs.Path(destPart, name)))
+              s"m${java.util.UUID.randomUUID().toString.take(8)}_$name"
+            else name)
+          require(fs.rename(f.getPath, target),
+            s"mergeIndex: could not move ${f.getPath} into $target")
+        }
+      }
+    }
+    fs.delete(p(srcDir), true)
+    fs.delete(p(markerPath(destDir)), false)
   }
 
   // ------------------------------------------------------------------

@@ -1813,8 +1813,9 @@ object KqlParser {
             graft.functions.Similarity.indexStats(df.sparkSession, statsDir)
           case "ann_maintain" =>
             // `evaluate ann_maintain('indexDir', 'compact' | 'recover' |
-            // 'split' [, cid] | 'delete', IdsTable [, idCol])` — index
-            // MAINTENANCE from the query surface, returning the
+            // 'split' [, cid] | 'delete', IdsTable [, idCol] |
+            // 'merge', 'srcIndexDir')` — index MAINTENANCE from the
+            // query surface, returning the
             // post-operation index_stats so the operator sees the effect
             // (files-per-list reset by compact, the split list's two
             // children, the delete's row-count drop) in the same round
@@ -1859,9 +1860,16 @@ object KqlParser {
                 graft.functions.Similarity.deleteFromIndex(mSpark, mDir,
                   delTbl.select(org.apache.spark.sql.functions.col(delCol)),
                   delCol)
+              case "merge" =>
+                // fold a shard-built index (same frozen models) into this
+                // one — file moves only, the source tree is consumed
+                eatPunct(",")
+                val mergeSrc = litString(parseExpr())
+                eatPunct(")")
+                graft.functions.Similarity.mergeIndex(mSpark, mDir, mergeSrc)
               case other => throw new IllegalArgumentException(
                 s"ann_maintain: unsupported op '$other' " +
-                  "(compact|recover|split|delete)")
+                  "(compact|recover|split|delete|merge)")
             }
             graft.functions.Similarity.indexStats(mSpark, mDir)
           case "ann_rebuild" =>

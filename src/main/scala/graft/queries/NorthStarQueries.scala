@@ -3623,6 +3623,49 @@ object NorthStarQueries {
       Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
              |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
 
+    // Stored-index shard MERGE (Similarity.mergeIndex — the parallel-build
+    // composition completing the segment lifecycle beside append+compact:
+    // at 100 TB the corpus encodes shard-by-shard with the SAME frozen
+    // models — train once, build anywhere, in parallel — and folding a
+    // shard in is pure file METADATA, per-cid renames, never a re-encode;
+    // contrast q_ann_index_append, which pays assign+encode per row). The
+    // even half is the destination build, the odd half builds as an
+    // independent shard tree and merges in; the source tree is consumed.
+    // Planted queries cover BOTH halves, so a dropped shard file, a
+    // mis-routed partition, or a models mismatch reddens the row; serving
+    // is the distributed path, so DPP must survive the merged layout.
+    QueryDef("q_ann_index_merge",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+        val corpus = emb.projectRename("corpus_id" -> "vec_id")
+        val dir = builtAnnIndex(s, d, corpus, variant = "annidx_mrg",
+          writeFilter = _.where_(col("corpus_id") % 2 === 0),
+          buildTail = { root =>
+            evictStale(s)
+            val cents = ivfModelCache.getOrElseUpdate(cacheKey(s, d, "ivf"),
+              Similarity.ivfTrain(corpus, "corpus_id", "embedding", EMB_DIM))
+            val books = pqModelCache.getOrElseUpdate(cacheKey(s, d, "pq"),
+              Similarity.pqTrain(corpus, "corpus_id", "embedding", EMB_DIM))
+            val shard = s"${root}__shard"
+            Similarity.writeIndex(
+              withOwnerDoc(corpus.where_(col("corpus_id") % 2 === 1)),
+              shard, "corpus_id", "embedding", EMB_DIM,
+              trainedIvf = Some(cents), trainedPq = Some(books),
+              ownerCol = "__owner_doc", corpusSnapshot = "embeddings@shard")
+            Similarity.mergeIndex(s, root, shard)
+          })
+        val queries = emb.where_(col("vec_id") < 25)
+          .project((col("vec_id") + 1000000L).as("query_id"),
+            transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+        Similarity.indexTopKDistributed(s, dir, queries, corpus,
+            k = 1, dim = EMB_DIM)
+          .project(col("query_id"),
+            (col("corpus_id") === col("query_id") - 1000000L).as("found_original"))
+          .sortBy(col("query_id"))
+      },
+      Some("""SELECT vec_id + 1000000 AS query_id, true AS found_original
+             |FROM embeddings WHERE vec_id < 25 ORDER BY query_id""".stripMargin)),
+
     // STREAMING index ingest (StreamingIngest.drainForeach +
     // Similarity.appendToIndex): the odd-id half of the corpus arrives as
     // a STREAM and is appended to the stored index per micro-batch —

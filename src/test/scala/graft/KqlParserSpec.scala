@@ -1663,6 +1663,26 @@ class KqlParserSpec extends SparkSpec {
     assert(postRebuild.getLong(0) == emb.count(), postRebuild.toString)
     assert(postRebuild.getLong(1) <= 8, postRebuild.toString)
     assert(Similarity.readIndexManifest(spark, dir).nCentroids == 8)
+    // MERGE from KQL: a disjoint shard built with the destination's OWN
+    // frozen models folds in by file moves (the source tree is consumed),
+    // and the returned stats show the union
+    val (mc, mb) = Similarity.readIndexModels(spark, dir)
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft_kql_idxmrg").toString
+    Similarity.writeIndex(
+      corpus.select((col("corpus_id") + 10000L).as("corpus_id"),
+        col("embedding")), shardDir, "corpus_id", "embedding", 64,
+      trainedIvf = Some(mc), trainedPq = Some(mb))
+    val postMerge = KqlParser.parse(
+      s"""embeddings | take 1
+         || evaluate ann_maintain('$dir', 'merge', '$shardDir')
+         || summarize total = sum(rows)""".stripMargin,
+      res, allowAdmin = true).collect().head
+    assert(postMerge.getLong(0) == 2 * emb.count(), postMerge.toString)
+    val mfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!mfs.exists(new org.apache.hadoop.fs.Path(shardDir)),
+      "KQL merge must consume the source tree")
     // bad op name fails loudly
     val e1 = intercept[IllegalArgumentException] {
       KqlParser.parse(

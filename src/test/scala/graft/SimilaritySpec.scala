@@ -490,6 +490,74 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/lists").count() == corpus.count())
   }
 
+  test("mergeIndex folds shard-built trees by file moves: equals one whole build, crash resumes, mixed models refuse") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    // train ONCE, build anywhere: the same frozen models encode both
+    // shards and the whole-corpus reference tree
+    val cents = Similarity.ivfTrain(corpus, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val books = Similarity.pqTrain(corpus, "corpus_id", "embedding", 64,
+      iters = 2)
+    def build(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_mrg_$tag").toString
+      Similarity.writeIndex(df, d, "corpus_id", "embedding", 64,
+        trainedIvf = Some(cents), trainedPq = Some(books),
+        corpusSnapshot = s"emb@$tag")
+      d
+    }
+    val whole = build(corpus, "whole")
+    val dest = build(corpus.filter(col("corpus_id") % 2 === 0), "even")
+    val src = build(corpus.filter(col("corpus_id") % 2 === 1), "odd")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    Similarity.mergeIndex(spark, dest, src)
+    // the source tree is CONSUMED; the merged tree equals the whole build
+    // list-by-list (assignment depends only on the shared frozen models)
+    assert(!fs.exists(p(src)), "merge must consume the source tree")
+    def perCid(d: String) = spark.read.parquet(s"$d/lists")
+      .groupBy("__cid").count().as[(Int, Long)].collect().toMap
+    assert(perCid(dest) == perCid(whole),
+      s"merged lists differ from the whole build: ${perCid(dest)} vs ${perCid(whole)}")
+    // planted serve across BOTH halves through the merged tree
+    val queries = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val got = Similarity.indexTopKDistributed(spark, dest, queries, corpus,
+        k = 1).select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(got.size == 25)
+    assert(got.forall { case (q, c) => c == q - 1000000L }, got.toString)
+    // crash mid-merge: the marker records the source, every file lives in
+    // exactly one tree — recovery RESUMES the move loop and consumes src
+    val dest2 = build(corpus.filter(col("corpus_id") % 2 === 0), "even2")
+    val src2 = build(corpus.filter(col("corpus_id") % 2 === 1), "odd2")
+    val out = fs.create(p(s"$dest2/lists__maintenance"), true)
+    out.write(s"""{"op":"merge","src":"$src2"}""".getBytes("UTF-8")); out.close()
+    // under the marker, appends and serve opens refuse (crashed merge)
+    intercept[IllegalArgumentException] {
+      Similarity.readIndexModels(spark, dest2)
+    }
+    Similarity.recoverIndex(spark, dest2)
+    assert(!fs.exists(p(src2)), "recovery must finish consuming the source")
+    assert(!fs.exists(p(s"$dest2/lists__maintenance")))
+    assert(spark.read.parquet(s"$dest2/lists").count() == corpus.count())
+    // equal GEOMETRY but independently-trained models: bit-compare refuses
+    val foreignDest = build(corpus.filter(col("corpus_id") % 2 === 0), "fd")
+    val foreign = java.nio.file.Files.createTempDirectory("graft_mrg_f").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") % 2 === 1), foreign,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val eModels = intercept[IllegalArgumentException] {
+      Similarity.mergeIndex(spark, foreignDest, foreign)
+    }
+    assert(eModels.getMessage.contains("models differ"), eModels.getMessage)
+    // merging a tree into itself is refused
+    val eSelf = intercept[IllegalArgumentException] {
+      Similarity.mergeIndex(spark, whole, whole)
+    }
+    assert(eSelf.getMessage.contains("same tree"), eSelf.getMessage)
+  }
+
   test("an append whose lease was reclaimed mid-run fails LOUDLY instead of reporting success") {
     // the residual window even WITH heartbeats: an append stalled past
     // staleLeaseMs between two beats is judged dead and reclaimed; when it
