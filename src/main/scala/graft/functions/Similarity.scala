@@ -1610,6 +1610,28 @@ object Similarity {
         jsonLong(marker.get, "cid").toInt, jsonLong(marker.get, "new_cid").toInt)
     } else if (op.contains("rebuild")) {
       recoverRebuild(spark, fs, dir)
+    } else if (op.contains("merge_src")) {
+      // this tree is the SOURCE of a merge. Moves run only under the
+      // DESTINATION's op=merge marker: if the recorded destination still
+      // holds one pointing here, the merge is resumable THERE and its
+      // resume consumes this tree — recovering here instead would unlock
+      // appends that the resumed move loop then deletes. Without a
+      // destination merge marker no move ever started (the crash fell
+      // between the two acquisitions): the tree is intact, drop the
+      // marker.
+      val dest = jsonString(marker.get, "dest")
+      val destMarker =
+        if (fs.exists(p(markerPath(dest)))) Some(readUtf8(fs, markerPath(dest)))
+        else None
+      def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+      val mergeInFlight = destMarker.exists(js =>
+        jsonString(js, "op") == "merge" &&
+          norm(jsonString(js, "src")) == norm(dir))
+      if (mergeInFlight) throw new IllegalStateException(
+        s"recoverIndex: $dir is the SOURCE of an in-flight merge into " +
+          s"$dest — recover the DESTINATION first (its resume consumes " +
+          "this tree)")
+      fs.delete(p(markerPath(dir)), false)
     } else if (op.contains("merge")) {
       // a merge died mid-move: every list file lives in exactly ONE tree
       // at every instant, so recovery just RESUMES the move loop from the
@@ -1977,8 +1999,23 @@ object Similarity {
       s"mergeIndex: stored models differ between $destDir and $srcDir — " +
         "equal geometry is not equal models; rebuild the shard with the " +
         "destination's frozen models")
-    acquireMarker(fs, destDir, "mergeIndex",
+    // BOTH trees are locked for the move loop: the destination's op=merge
+    // marker (appends there would be swapped into a mid-merge layout) and
+    // the SOURCE's op=merge_src marker — without it an append to the
+    // source landing AFTER a partition's listing would be deleted with
+    // the consumed source tree (the same snapshot-overtaken class every
+    // other maintenance op closes). Source first, destination second,
+    // source released on a destination refusal; the source marker
+    // disappears WITH the consumed source tree.
+    acquireMarker(fs, srcDir, "mergeIndex (source)",
+      s"""{"op":"merge_src","dest":${jsonQuote(destDir)}}""", staleLeaseMs)
+    try acquireMarker(fs, destDir, "mergeIndex",
       s"""{"op":"merge","src":${jsonQuote(srcDir)}}""", staleLeaseMs)
+    catch {
+      case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(markerPath(srcDir)), false)
+        throw e
+    }
     finishMerge(spark, fs, destDir, srcDir)
   }
 

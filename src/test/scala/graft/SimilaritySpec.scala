@@ -534,14 +534,38 @@ class SimilaritySpec extends SparkSpec {
     val src2 = build(corpus.filter(col("corpus_id") % 2 === 1), "odd2")
     val out = fs.create(p(s"$dest2/lists__maintenance"), true)
     out.write(s"""{"op":"merge","src":"$src2"}""".getBytes("UTF-8")); out.close()
-    // under the marker, appends and serve opens refuse (crashed merge)
+    val out2 = fs.create(p(s"$src2/lists__maintenance"), true)
+    out2.write(s"""{"op":"merge_src","dest":"$dest2"}""".getBytes("UTF-8"))
+    out2.close()
+    // under the markers, appends and serve opens refuse on BOTH trees —
+    // the source is locked for the whole move loop too (an append landing
+    // after a partition's listing would be deleted with the consumed tree)
     intercept[IllegalArgumentException] {
       Similarity.readIndexModels(spark, dest2)
     }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(corpus.limit(1), src2, "corpus_id",
+        "embedding", 64)
+    }
+    // recovering the SOURCE while the destination's merge is in flight is
+    // refused toward the destination (whose resume consumes this tree)
+    val eSrc = intercept[IllegalStateException] {
+      Similarity.recoverIndex(spark, src2)
+    }
+    assert(eSrc.getMessage.contains("DESTINATION"), eSrc.getMessage)
     Similarity.recoverIndex(spark, dest2)
     assert(!fs.exists(p(src2)), "recovery must finish consuming the source")
     assert(!fs.exists(p(s"$dest2/lists__maintenance")))
     assert(spark.read.parquet(s"$dest2/lists").count() == corpus.count())
+    // an ORPHAN source marker (crash between the two acquisitions — no
+    // move started) recovers in place: marker dropped, tree intact
+    val src3 = build(corpus.filter(col("corpus_id") % 2 === 1), "odd3")
+    val out3 = fs.create(p(s"$src3/lists__maintenance"), true)
+    out3.write(s"""{"op":"merge_src","dest":"$dest2"}""".getBytes("UTF-8"))
+    out3.close()
+    Similarity.recoverIndex(spark, src3)
+    assert(!fs.exists(p(s"$src3/lists__maintenance")))
+    assert(Similarity.readIndexModels(spark, src3)._1.length == 8)
     // equal GEOMETRY but independently-trained models: bit-compare refuses
     val foreignDest = build(corpus.filter(col("corpus_id") % 2 === 0), "fd")
     val foreign = java.nio.file.Files.createTempDirectory("graft_mrg_f").toString
