@@ -582,6 +582,88 @@ class SimilaritySpec extends SparkSpec {
     assert(eSelf.getMessage.contains("same tree"), eSelf.getMessage)
   }
 
+  test("merge vs append race on the SOURCE under REAL concurrency: rows are never silently lost") {
+    // the hole the op=merge_src marker closes, driven by actual racing
+    // threads: an append into the source while the merge's move loop
+    // lists partitions would have its files deleted with the consumed
+    // tree. Every schedule must end with either side refusing loudly or
+    // both succeeding in an order that keeps every acknowledged row.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val cents = Similarity.ivfTrain(corpus, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val books = Similarity.pqTrain(corpus, "corpus_id", "embedding", 64,
+      iters = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val evens = corpus.filter(col("corpus_id") % 2 === 0)
+    val srcBase = corpus.filter(col("corpus_id") % 2 === 1 &&
+      col("corpus_id") < 400)
+    val extra = corpus.filter(col("corpus_id") % 2 === 1 &&
+      col("corpus_id") >= 400)
+    val nEvens = evens.count(); val nBase = srcBase.count()
+    val nExtra = extra.count()
+    for (round <- 1 to 3) {
+      val dest = java.nio.file.Files
+        .createTempDirectory(s"graft_mrr_d$round").toString
+      val src = java.nio.file.Files
+        .createTempDirectory(s"graft_mrr_s$round").toString
+      Similarity.writeIndex(evens, dest, "corpus_id", "embedding", 64,
+        trainedIvf = Some(cents), trainedPq = Some(books))
+      Similarity.writeIndex(srcBase, src, "corpus_id", "embedding", 64,
+        trainedIvf = Some(cents), trainedPq = Some(books))
+      @volatile var appendOk = false; @volatile var appendErr: Throwable = null
+      @volatile var mergeOk = false; @volatile var mergeErr: Throwable = null
+      val t1 = new Thread(() =>
+        try { Similarity.appendToIndex(extra, src, "corpus_id", "embedding",
+            64, models = Some((cents, books))); appendOk = true }
+        catch { case e: Throwable => appendErr = e })
+      val t2 = new Thread(() =>
+        try { Similarity.mergeIndex(spark, dest, src); mergeOk = true }
+        catch { case e: Throwable => mergeErr = e })
+      if (round % 2 == 0) { t1.start(); t2.start() }
+      else { t2.start(); t1.start() }
+      t1.join(120000); t2.join(120000)
+      // refusals must be the protocol's loud ones, never silent weirdness
+      if (!appendOk) assert(appendErr != null &&
+        (appendErr.isInstanceOf[IllegalStateException] ||
+          appendErr.isInstanceOf[IllegalArgumentException]),
+        s"round $round append died oddly: $appendErr")
+      if (!mergeOk) assert(mergeErr != null &&
+        (mergeErr.isInstanceOf[IllegalStateException] ||
+          mergeErr.isInstanceOf[IllegalArgumentException]),
+        s"round $round merge died oddly: $mergeErr")
+      // the invariant: every ACKNOWLEDGED row is present in the surviving
+      // trees — base rows always, extra rows iff the append reported
+      // success; nothing is ever silently lost on any schedule
+      val present =
+        spark.read.parquet(s"$dest/lists").select("corpus_id") unionByName
+          (if (fs.exists(p(src)))
+            spark.read.parquet(s"$src/lists").select("corpus_id")
+          else spark.emptyDataFrame.selectExpr("CAST(NULL AS long) AS corpus_id")
+            .limit(0))
+      val n = present.count()
+      val expected = nEvens + nBase + (if (appendOk) nExtra else 0L)
+      assert(n == expected,
+        s"round $round: $n rows present, expected $expected " +
+          s"(appendOk=$appendOk mergeOk=$mergeOk)")
+      // nothing left held on either surviving tree
+      assert(!fs.exists(p(s"$dest/lists__maintenance")),
+        s"round $round left the dest marker")
+      if (fs.exists(p(src))) {
+        // a surviving source means the merge refused (or lost the race
+        // entirely) — every refusal path releases its markers
+        assert(!fs.exists(p(s"$src/lists__maintenance")),
+          s"round $round left the src marker behind")
+        assert(Similarity.appendLeases(fs, src).isEmpty,
+          s"round $round left a lease on src")
+      }
+      assert(Similarity.appendLeases(fs, dest).isEmpty,
+        s"round $round left a lease on dest")
+    }
+  }
+
   test("an append whose lease was reclaimed mid-run fails LOUDLY instead of reporting success") {
     // the residual window even WITH heartbeats: an append stalled past
     // staleLeaseMs between two beats is judged dead and reclaimed; when it
