@@ -94,6 +94,23 @@ object BuildCosts {
       Similarity.rebuildIndex(spark, s"$root/annidx", corpus, "corpus_id",
         "embedding", 64)
     }
+    // the r17 parallel-build composition, priced against the append it
+    // replaces: the same odd half arrives as a SHARD built with the frozen
+    // models (the encode cost moves to the shard build, parallelizable
+    // across builders) and folds in by file moves only — merge-time cost
+    // is metadata, not assign+encode. Fresh destination: the rebuild above
+    // retrained annidx's models, and merge refuses mixed models by design.
+    Similarity.writeIndex(corpus.filter(F.col("corpus_id") % 2 === 0),
+      s"$root/annmrg", "corpus_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    time("ann_shard_build_half") {
+      Similarity.writeIndex(corpus.filter(F.col("corpus_id") % 2 === 1),
+        s"$root/annshard", "corpus_id", "embedding", 64,
+        trainedIvf = Some(cents), trainedPq = Some(books))
+    }
+    time("ann_index_merge_half") {
+      Similarity.mergeIndex(spark, s"$root/annmrg", s"$root/annshard")
+    }
     spark.stop()
   }
 }
