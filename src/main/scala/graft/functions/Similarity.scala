@@ -829,6 +829,15 @@ object Similarity {
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     requireCleanIndex(org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration), dir, "readIndexModels")
+    readIndexModelsRaw(spark, dir)
+  }
+
+  /** [[readIndexModels]] WITHOUT the maintenance-leftover guard — for the
+    * one caller that legitimately reads models while HOLDING the marker
+    * itself (mergeIndex's under-lock re-validation). Everything else goes
+    * through the guarded entry point. */
+  private def readIndexModelsRaw(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     val mf = readIndexManifest(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cid").collect()
@@ -1121,7 +1130,15 @@ object Similarity {
       m: Int, ksub: Int, seed: Long, corpusSnapshot: String,
       hasOwner: Boolean = false)
 
-  private val ManifestFormat = "graft-ivfpq-1"
+  /** The format this build WRITES. Reads also accept format-1 (pre-r17,
+    * no `has_owner` key): ownership is then resolved once from the lists
+    * schema — the legacy migration read — and the next manifest rewrite
+    * (split/rebuild/overwrite) records it under the current format, so a
+    * format-1 OWNER index is never silently demoted to ownerless (the
+    * trap a bare default-false read would spring: ownerless appends
+    * passing the guard, rebuilds silently dropping the column). */
+  private val ManifestFormat = "graft-ivfpq-2"
+  private val ReadableFormats = Set("graft-ivfpq-1", ManifestFormat)
 
   private def manifestPath(dir: String) = s"$dir/manifest.json"
 
@@ -1175,8 +1192,10 @@ object Similarity {
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       mf: IndexManifest): Unit =
+    // always stamp the CURRENT format: a maintenance rewrite of a
+    // format-1 manifest upgrades it (with has_owner recorded) in place
     writeUtf8(fs, manifestPath(dir),
-      s"""{"format":${jsonQuote(mf.format)},"dim":${mf.dim},""" +
+      s"""{"format":${jsonQuote(ManifestFormat)},"dim":${mf.dim},""" +
         s""""n_centroids":${mf.nCentroids},"m":${mf.m},"ksub":${mf.ksub},""" +
         s""""seed":${mf.seed},"has_owner":${mf.hasOwner},""" +
         s""""corpus_snapshot":${jsonQuote(mf.corpusSnapshot)}}""")
@@ -1198,14 +1217,21 @@ object Similarity {
       s"index at $dir has no manifest.json — not a graft index " +
         "(or written by a pre-manifest build; rebuild with writeIndex)")
     val js = readUtf8(fs, manifestPath(dir))
+    // a format-1 manifest predates has_owner: resolve ownership from the
+    // lists schema ONCE (the legacy migration read — one footer), never
+    // default it to false, which would silently demote an owner index
+    val hasOwner =
+      if (js.contains("\"has_owner\"")) jsonBoolOpt(js, "has_owner")
+      else fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists")) &&
+        spark.read.parquet(s"$dir/lists").schema.fieldNames.contains("owner")
     val mf = IndexManifest(jsonString(js, "format"),
       jsonLong(js, "dim").toInt, jsonLong(js, "n_centroids").toInt,
       jsonLong(js, "m").toInt, jsonLong(js, "ksub").toInt,
       jsonLong(js, "seed"), jsonString(js, "corpus_snapshot"),
-      jsonBoolOpt(js, "has_owner"))
-    require(mf.format == ManifestFormat,
+      hasOwner)
+    require(ReadableFormats.contains(mf.format),
       s"index at $dir: unsupported format '${mf.format}' " +
-        s"(this build reads '$ManifestFormat')")
+        s"(this build reads ${ReadableFormats.mkString("/")})")
     mf
   }
 
@@ -1341,8 +1367,13 @@ object Similarity {
         throw new IllegalStateException(
           s"appendToIndex: lease $lease was reclaimed mid-append (the " +
             "append stalled past staleLeaseMs and maintenance judged it " +
-            "dead) — the appended rows may be swapped away by the " +
-            "concurrent maintenance; re-run this append after it finishes")
+            "dead) — SOME OR ALL of the appended rows may have been " +
+            "swapped away by the concurrent maintenance, and the " +
+            "survivors are already in the index, so a blind re-run would " +
+            "DUPLICATE them. Reconcile instead: after the maintenance " +
+            "finishes, left-anti join this batch's ids against the lists " +
+            "table and re-append only the missing rows (or deleteFromIndex " +
+            "this batch's ids first, then re-append the whole batch)")
     } finally {
       stopBeat() // joined BEFORE the delete — a racing beat cannot resurrect
       fs.delete(new org.apache.hadoop.fs.Path(lease), false)
@@ -1978,27 +2009,8 @@ object Similarity {
       s"mergeIndex: source and destination are the same tree ($destDir)")
     requireCleanIndex(fs, destDir, "mergeIndex")
     requireCleanIndex(fs, srcDir, "mergeIndex (source)")
-    val dmf = readIndexManifest(spark, destDir)
-    val smf = readIndexManifest(spark, srcDir)
-    // every GEOMETRY field must agree; corpusSnapshot is a provenance
-    // label and naturally differs per shard
-    require(dmf.copy(corpusSnapshot = "") == smf.copy(corpusSnapshot = ""),
-      s"mergeIndex: manifests disagree — dest=$dmf src=$smf; shards must " +
-        "be built with the SAME frozen models (train once, build anywhere)")
-    // manifest equality is necessary but models must be BIT-identical:
-    // two independent trainings can share every geometry field and still
-    // place centroids differently — codes are only valid against their
-    // own codebooks
-    val (dc, db) = readIndexModels(spark, destDir)
-    val (sc, sb) = readIndexModels(spark, srcDir)
-    require(dc.length == sc.length &&
-      dc.indices.forall(i => java.util.Arrays.equals(dc(i), sc(i))) &&
-      db.length == sb.length && db.indices.forall(mi =>
-        db(mi).length == sb(mi).length && db(mi).indices.forall(ci =>
-          java.util.Arrays.equals(db(mi)(ci), sb(mi)(ci)))),
-      s"mergeIndex: stored models differ between $destDir and $srcDir — " +
-        "equal geometry is not equal models; rebuild the shard with the " +
-        "destination's frozen models")
+    readIndexManifest(spark, destDir) // loud early gates: both ARE indexes
+    readIndexManifest(spark, srcDir)
     // BOTH trees are locked for the move loop: the destination's op=merge
     // marker (appends there would be swapped into a mid-merge layout) and
     // the SOURCE's op=merge_src marker — without it an append to the
@@ -2013,6 +2025,52 @@ object Similarity {
       s"""{"op":"merge","src":${jsonQuote(srcDir)}}""", staleLeaseMs)
     catch {
       case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(markerPath(srcDir)), false)
+        throw e
+    }
+    // ALL compatibility validation runs UNDER the locks — validated-then-
+    // locked would let a maintenance op completing in the window (a
+    // rebuild retraining the destination's models, a split changing its
+    // layout) invalidate what the checks saw, and the move loop would
+    // fold old-codebook codes into a new-codebook tree: silently wrong
+    // ADC, the exact class these checks exist to refuse.
+    try {
+      val dmf = readIndexManifest(spark, destDir)
+      val smf = readIndexManifest(spark, srcDir)
+      // every GEOMETRY field must agree; corpusSnapshot is a provenance
+      // label and naturally differs per shard
+      require(dmf.copy(corpusSnapshot = "") == smf.copy(corpusSnapshot = ""),
+        s"mergeIndex: manifests disagree — dest=$dmf src=$smf; shards " +
+          "must be built with the SAME frozen models (train once, build " +
+          "anywhere)")
+      // manifest equality is necessary but models must be BIT-identical:
+      // two independent trainings can share every geometry field and
+      // still place centroids differently — codes are only valid against
+      // their own codebooks
+      val (dc, db) = readIndexModelsRaw(spark, destDir)
+      val (sc, sb) = readIndexModelsRaw(spark, srcDir)
+      require(dc.length == sc.length &&
+        dc.indices.forall(i => java.util.Arrays.equals(dc(i), sc(i))) &&
+        db.length == sb.length && db.indices.forall(mi =>
+          db(mi).length == sb(mi).length && db(mi).indices.forall(ci =>
+            java.util.Arrays.equals(db(mi)(ci), sb(mi)(ci)))),
+        s"mergeIndex: stored models differ between $destDir and $srcDir — " +
+          "equal geometry is not equal models; rebuild the shard with the " +
+          "destination's frozen models")
+      // the merged partitions will mix FILES from both writers, so the
+      // lists column TYPES must agree exactly — a long-id shard folded
+      // into an int-id destination would fail (or mis-widen) at the next
+      // scan's footer-resolved schema, a serve-time failure this
+      // merge-time refusal exists to preclude
+      def listCols(d: String) = spark.read.parquet(s"$d/lists")
+        .schema.fields.map(f => (f.name, f.dataType)).toSet
+      val (dls, sls) = (listCols(destDir), listCols(srcDir))
+      require(dls == sls,
+        s"mergeIndex: lists column types disagree — dest=$dls src=$sls; " +
+          "merged partitions would mix file schemas and fail at scan time")
+    } catch {
+      case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(markerPath(destDir)), false)
         fs.delete(new org.apache.hadoop.fs.Path(markerPath(srcDir)), false)
         throw e
     }
@@ -2047,7 +2105,17 @@ object Similarity {
         }
       }
     }
-    fs.delete(p(srcDir), true)
+    // the source delete must be VERIFIED before the destination marker
+    // drops: Hadoop reports a failed recursive delete as `false`, not an
+    // exception, and dropping the marker over a surviving gutted source
+    // would leave a manifest-valid tree that serves zero rows while its
+    // merge_src marker recovers to "intact". On failure the dest marker
+    // stays — recoverIndex(dest) re-runs this (idempotent) tail.
+    require(fs.delete(p(srcDir), true) || !fs.exists(p(srcDir)),
+      s"mergeIndex: every list file moved but the consumed source tree " +
+        s"$srcDir could not be deleted — the destination is complete; " +
+        "the op=merge marker is still held, re-run recoverIndex on the " +
+        "destination once the source path is deletable")
     fs.delete(p(markerPath(destDir)), false)
   }
 
@@ -2108,12 +2176,15 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     requireCleanIndex(fs, dir, "rebuildIndex")
+    // read the manifest UNCONDITIONALLY — the loud only-rebuild-an-index
+    // gate must fire before the corpus-scale staging build regardless of
+    // the ownerCol short-circuit below
+    val oldMf = readIndexManifest(spark, dir)
     // an owner-carrying index must not silently lose ownership at retrain
     // (the indexed MaxSim candidate stage would quietly fall back to the
     // per-query corpus-token join) — the caller re-supplies it from the
-    // payload, same as every other rebuilt component. Also the loud gate
-    // against rebuilding something that is not an index at all.
-    require(ownerCol.nonEmpty || !readIndexManifest(spark, dir).hasOwner,
+    // payload, same as every other rebuilt component
+    require(ownerCol.nonEmpty || !oldMf.hasOwner,
       s"rebuildIndex: the index at $dir stores token ownership ('owner' " +
         "column) — pass ownerCol so the rebuilt tree keeps it")
     val staging = rebuildStagingPath(dir)
@@ -2495,9 +2566,18 @@ object Similarity {
     * prices admissions, never the pair stream. */
   final class MaxSimTopNAgg(n: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (Long, Long, Double), Map[Long, Seq[(Long, Double)]],
+        (Long, Long, Double),
+        (Map[Long, Seq[(Long, Double)]], Double, Long),
         Seq[(Long, Double)]] {
     require(n > 0, "MaxSimTopNAgg: n must be > 0")
+    // buffer = (docs, minCh, minDoc): the cached weakest champion is a
+    // LOWER BOUND on the buffer's true weakest — champions only RISE on
+    // token updates, so the cache can only go stale LOW, which is safe
+    // for the O(1) fast reject (a pair strictly below a lower bound is
+    // below the true min); the exact admission path recomputes and
+    // re-tightens. Without the cache every rejected pair of the heavy
+    // never-admitted tail paid a full O(n) champion scan.
+    type Buf = (Map[Long, Seq[(Long, Double)]], Double, Long)
     private def champion(toks: Seq[(Long, Double)]): Double =
       toks.iterator.map(_._2).max
     // evict the weakest champion; among equals the LARGER doc id leaves
@@ -2506,47 +2586,53 @@ object Similarity {
       val (doc, toks) = b.minBy { case (d, ts) => (champion(ts), -d) }
       (doc, champion(toks))
     }
+    private def withCache(m: Map[Long, Seq[(Long, Double)]]): Buf =
+      if (m.size < n) (m, Double.NegativeInfinity, -1L)
+      else { val (d, c) = weakest(m); (m, c, d) }
     private def mergeToks(ts: Seq[(Long, Double)],
         t: (Long, Double)): Seq[(Long, Double)] =
       ts.indexWhere(_._1 == t._1) match {
         case -1 => ts :+ t
         case j => if (ts(j)._2 >= t._2) ts else ts.updated(j, t)
       }
-    def zero: Map[Long, Seq[(Long, Double)]] = Map.empty
-    def reduce(b: Map[Long, Seq[(Long, Double)]],
-        a: (Long, Long, Double)): Map[Long, Seq[(Long, Double)]] =
+    def zero: Buf = (Map.empty, Double.NegativeInfinity, -1L)
+    def reduce(b: Buf, a: (Long, Long, Double)): Buf =
       if (a == null) b
-      else b.get(a._1) match {
-        // retained doc: O(|query tokens|) max-merge — the dominant stream
-        // case is a hash hit, never a buffer scan
-        case Some(toks) => b.updated(a._1, mergeToks(toks, (a._2, a._3)))
-        case None if b.size < n => b.updated(a._1, Seq((a._2, a._3)))
-        case None =>
-          // full: admit only past the weakest champion (one O(n) scan per
-          // ADMISSION ATTEMPT of an unseen doc, not per pair)
-          val (minDoc, minCh) = weakest(b)
-          if (a._3 > minCh || (a._3 == minCh && a._1 < minDoc))
-            (b - minDoc).updated(a._1, Seq((a._2, a._3)))
-          else b
+      else {
+        val (m, minCh, minDoc) = b
+        m.get(a._1) match {
+          // retained doc: O(1) hash hit + O(|query tokens|) max-merge —
+          // the dominant stream case; a rising champion keeps the cache a
+          // valid lower bound
+          case Some(toks) => (m.updated(a._1, mergeToks(toks, (a._2, a._3))),
+            minCh, minDoc)
+          case None if m.size < n => withCache(m.updated(a._1, Seq((a._2, a._3))))
+          case None if a._3 < minCh => b // O(1) reject below the lower bound
+          case None =>
+            // at or above the bound: recompute the TRUE weakest once,
+            // admit past it (ties → smaller id wins), re-tighten either way
+            val (d, c) = weakest(m)
+            if (a._3 > c || (a._3 == c && a._1 < d))
+              withCache((m - d).updated(a._1, Seq((a._2, a._3))))
+            else (m, c, d)
+        }
       }
-    def merge(x: Map[Long, Seq[(Long, Double)]],
-        y: Map[Long, Seq[(Long, Double)]])
-        : Map[Long, Seq[(Long, Double)]] = {
-      val m = y.foldLeft(x) { case (acc, (doc, toks)) =>
+    def merge(x: Buf, y: Buf): Buf = {
+      val m = y._1.foldLeft(x._1) { case (acc, (doc, toks)) =>
         acc.updated(doc,
           acc.get(doc).map(ts => toks.foldLeft(ts)(mergeToks))
             .getOrElse(toks))
       }
-      if (m.size <= n) m
-      else m.toSeq.sortBy { case (doc, toks) => (-champion(toks), doc) }
-        .take(n).toMap
+      withCache(
+        if (m.size <= n) m
+        else m.toSeq.sortBy { case (doc, toks) => (-champion(toks), doc) }
+          .take(n).toMap)
     }
     // deterministic output order (map iteration order is not)
-    def finish(r: Map[Long, Seq[(Long, Double)]]): Seq[(Long, Double)] =
-      r.toSeq.sortBy(_._1)
+    def finish(r: Buf): Seq[(Long, Double)] =
+      r._1.toSeq.sortBy(_._1)
         .map { case (doc, toks) => (doc, toks.map(_._2).sum) }
-    def bufferEncoder
-        : org.apache.spark.sql.Encoder[Map[Long, Seq[(Long, Double)]]] =
+    def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -637,9 +637,14 @@ class SimilaritySpec extends SparkSpec {
       // the invariant: every ACKNOWLEDGED row is present in the surviving
       // trees — base rows always, extra rows iff the append reported
       // success; nothing is ever silently lost on any schedule
+      // survivor test on src/LISTS, not the src dir: a losing append's
+      // lease creation can recreate the consumed source DIR (fs.create
+      // makes parents) before failing loudly at the manifest read — an
+      // empty shell, not a surviving tree
+      val srcSurvives = fs.exists(p(s"$src/lists"))
       val present =
         spark.read.parquet(s"$dest/lists").select("corpus_id") unionByName
-          (if (fs.exists(p(src)))
+          (if (srcSurvives)
             spark.read.parquet(s"$src/lists").select("corpus_id")
           else spark.emptyDataFrame.selectExpr("CAST(NULL AS long) AS corpus_id")
             .limit(0))
@@ -651,7 +656,7 @@ class SimilaritySpec extends SparkSpec {
       // nothing left held on either surviving tree
       assert(!fs.exists(p(s"$dest/lists__maintenance")),
         s"round $round left the dest marker")
-      if (fs.exists(p(src))) {
+      if (srcSurvives) {
         // a surviving source means the merge refused (or lost the race
         // entirely) — every refusal path releases its markers
         assert(!fs.exists(p(s"$src/lists__maintenance")),
@@ -1175,19 +1180,24 @@ class SimilaritySpec extends SparkSpec {
     var buf = agg.zero
     for (doc <- 0L until 60L; t <- 0L until 3L)
       buf = agg.reduce(buf, (doc, t, 0.10 + (doc % 7).toDouble * 0.05))
-    assert(buf.size <= 4, s"buffer grew past N: ${buf.size}")
+    assert(buf._1.size <= 4, s"buffer grew past N: ${buf._1.size}")
     // champion admission: a single strong pair displaces weak-champion
     // docs no matter how many pairs they accumulated
     buf = agg.reduce(buf, (999L, 0L, 0.99))
-    assert(buf.size <= 4 && buf.exists(_._1 == 999L), buf.toString)
+    assert(buf._1.size <= 4 && buf._1.contains(999L), buf.toString)
     // an admitted doc keeps accumulating per-token maxes exactly
     buf = agg.reduce(buf, (999L, 1L, 0.80))
     buf = agg.reduce(buf, (999L, 1L, 0.70)) // below the running max: no-op
-    val toks999 = buf.find(_._1 == 999L).get._2.toMap
+    val toks999 = buf._1(999L).toMap
     assert(toks999(0L) == 0.99 && toks999(1L) == 0.80, toks999.toString)
+    // the cached weakest-champion bound stays a LOWER bound of the true
+    // weakest (champions only rise), so the O(1) reject can never drop an
+    // admissible pair
+    assert(buf._2 <= buf._1.values.map(ts => ts.map(_._2).max).min + 1e-12,
+      s"cache ${buf._2} above the true weakest")
     // merge respects the bound and merges per-token maxes, not sums
     val merged = agg.merge(buf, buf)
-    assert(merged.size <= 4, merged.toString)
+    assert(merged._1.size <= 4, merged.toString)
     assert(agg.finish(merged).find(_._1 == 999L).get._2 === 0.99 + 0.80)
     // end-to-end: a shortlist FAR below the candidate fanout still returns
     // ≤ N docs per query with the planted original top-1 (champion ≈ 1.0
