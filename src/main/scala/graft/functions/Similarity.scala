@@ -1206,6 +1206,48 @@ object Similarity {
     ("\"" + key + "\"\\s*:\\s*(true|false)").r.findFirstMatchIn(js)
       .exists(_.group(1) == "true")
 
+  /** Source list of an op=merge marker: the n-ary `srcs` array, with the
+    * pre-r18 single-`src` body still readable (a crashed r17 merge must
+    * stay recoverable by this build). */
+  private def mergeMarkerSrcs(js: String): Seq[String] = {
+    val key = "\"srcs\""
+    val at = js.indexOf(key)
+    if (at < 0) return Seq(jsonString(js, "src"))
+    val open = js.indexOf('[', at + key.length)
+    require(open >= 0, "merge marker: malformed 'srcs' array")
+    val out = Seq.newBuilder[String]
+    var i = open + 1
+    while (i < js.length && js(i) != ']') {
+      if (js(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < js.length && js(i) != '"') {
+          if (js(i) == '\\') { sb += js(i + 1); i += 2 }
+          else { sb += js(i); i += 1 }
+        }
+        require(i < js.length, "merge marker: unterminated string in 'srcs'")
+        i += 1
+        out += sb.toString
+      } else i += 1
+    }
+    require(i < js.length, "merge marker: unterminated 'srcs' array")
+    out.result()
+  }
+
+  /** Driver-side memo of the format-1 ownership sniff, keyed by normalized
+    * index path: the sniff opens the lists parquet tree (file listing +
+    * footer), and without the memo EVERY manifest read of a pre-r17 index
+    * paid it — serve paths once per query, the continuous-ingest path once
+    * per MICRO-BATCH, the exact per-batch cost the manifest check exists
+    * to avoid (r17 ADVICE). Sound to cache un-invalidated: a format-1
+    * index's ownership can only change through an op that REWRITES the
+    * manifest (split/rebuild/overwrite — all stamp format-2, after which
+    * the sniff is never consulted again), and this build only ever writes
+    * format-2, so a same-path re-created index bypasses the memo too.
+    * Bounded: cleared wholesale past 4096 entries (indexes per driver). */
+  private val ownerSniffCache =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
+
   /** Read + structurally validate a stored index's manifest (loud if absent
     * or malformed — an index without a manifest predates this format and
     * must be rebuilt, not guessed at). */
@@ -1218,12 +1260,19 @@ object Similarity {
         "(or written by a pre-manifest build; rebuild with writeIndex)")
     val js = readUtf8(fs, manifestPath(dir))
     // a format-1 manifest predates has_owner: resolve ownership from the
-    // lists schema ONCE (the legacy migration read — one footer), never
-    // default it to false, which would silently demote an owner index
+    // lists schema ONCE (the legacy migration read — one footer, memoized
+    // per index path in [[ownerSniffCache]]), never default it to false,
+    // which would silently demote an owner index
     val hasOwner =
       if (js.contains("\"has_owner\"")) jsonBoolOpt(js, "has_owner")
-      else fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists")) &&
-        spark.read.parquet(s"$dir/lists").schema.fieldNames.contains("owner")
+      else {
+        if (ownerSniffCache.size > 4096) ownerSniffCache.clear()
+        ownerSniffCache.getOrElseUpdate(
+          new org.apache.hadoop.fs.Path(dir).toUri.getPath,
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists")) &&
+            spark.read.parquet(s"$dir/lists").schema.fieldNames
+              .contains("owner"))
+      }
     val mf = IndexManifest(jsonString(js, "format"),
       jsonLong(js, "dim").toInt, jsonLong(js, "n_centroids").toInt,
       jsonLong(js, "m").toInt, jsonLong(js, "ksub").toInt,
@@ -1291,13 +1340,17 @@ object Similarity {
 
   /** [[appendToIndex]] with a step hook — the crash/concurrency-injection
     * seam the writer-contract units drive. Steps: "leased" (lease on disk,
-    * marker check passed, write job not yet started). */
+    * marker check passed, write job not yet started). `onBeat` injects
+    * into the heartbeat thread ([[startLeaseHeartbeat]]): "pre_write"
+    * fires between a beat's exists-check and its lease rewrite — the
+    * exact window of the reclaim-vs-recreate race the tombstone fences. */
   private[graft] def appendToIndexImpl(newRows: DataFrame, dir: String,
       idCol: String, vecCol: String, dim: Int,
       models: Option[(Array[Array[Float]], Array[Array[Array[Float]]])],
       onStep: String => Unit,
       staleLeaseMs: Long = defaultStaleLeaseMs,
-      ownerCol: String = ""): Unit = {
+      ownerCol: String = "",
+      onBeat: String => Unit = _ => ()): Unit = {
     val spark = newRows.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -1310,7 +1363,9 @@ object Similarity {
     // interleaving has at least one side observe the other — an in-flight
     // append can no longer be silently swapped away
     val startMs = System.currentTimeMillis()
-    val lease = leasePrefix(dir) + java.util.UUID.randomUUID().toString
+    val leaseUuid = java.util.UUID.randomUUID().toString
+    val lease = leasePrefix(dir) + leaseUuid
+    val tombstone = s"$dir/lists__reclaimed_$leaseUuid"
     require(createExclusive(fs, lease,
       s"""{"op":"append","epoch_ms":$startMs}"""),
       s"appendToIndex: lease collision at $lease")
@@ -1318,8 +1373,8 @@ object Similarity {
     // lease's last touch, so without renewal a LIVE append slower than
     // staleLeaseMs would be reclaimed as dead mid-flight (the r16 hole) —
     // the beat turns "stale" into EVIDENCE of death, not a duration guess
-    val (leaseReclaimed, stopBeat) = startLeaseHeartbeat(fs, lease, startMs,
-      math.max(25L, staleLeaseMs / 4))
+    val (leaseReclaimed, stopBeat) = startLeaseHeartbeat(fs, lease, tombstone,
+      startMs, math.max(25L, staleLeaseMs / 4), onBeat)
     try {
       // re-check AFTER the lease is visible: a maintenance marker acquired
       // before our lease landed wins; we refuse
@@ -1362,7 +1417,11 @@ object Similarity {
       // rewriting the tree right now and our files can be silently
       // swapped away: fail LOUDLY so the caller re-runs the append,
       // instead of reporting success for rows that may not survive.
+      // the tombstone check is the commit-side half of the fence: even if
+      // a racing beat recreated the lease (exists passes) and the flag has
+      // not been set yet, the reclaim's rename left the tombstone behind
       if (leaseReclaimed.get() ||
+          fs.exists(new org.apache.hadoop.fs.Path(tombstone)) ||
           !fs.exists(new org.apache.hadoop.fs.Path(lease)))
         throw new IllegalStateException(
           s"appendToIndex: lease $lease was reclaimed mid-append (the " +
@@ -1396,18 +1455,28 @@ object Similarity {
     * beat records that in `reclaimed` and stops, and the append fails
     * LOUDLY after its write instead of resuming into a tree that
     * maintenance may be rewriting (silent-swap would otherwise reopen for
-    * any append that stalls past the threshold between two beats). A
-    * late beat that raced the stop flag self-cleans: if it observes
-    * `stopped` after writing it deletes its own write, so a stop-join
-    * timeout can never leave a phantom lease blocking maintenance.
-    * Returns (reclaimed flag, stop function); stop is idempotent and
-    * joins the thread. */
+    * any append that stalls past the threshold between two beats). The
+    * exists-then-write is not atomic, so a beat that passed its check
+    * while a maintainer's reclaim ran could still RECREATE the lease
+    * after the maintainer's re-list (the r17 hairline): the reclaim is a
+    * RENAME to a tombstone ([[reclaimTombstone]]) and every beat
+    * re-checks the tombstone AFTER its write — on a hit it deletes its
+    * own recreation and records `reclaimed`, so one side always observes
+    * the other on every interleaving (unit: "a reclaim and a racing
+    * heartbeat observe each other"). A late beat that raced the stop
+    * flag self-cleans the same way, so a stop-join timeout can never
+    * leave a phantom lease blocking maintenance. Returns (reclaimed
+    * flag, stop function); stop is idempotent and joins the thread.
+    * `onBeat` is the test-only injection seam ("pre_write" fires between
+    * the exists-check and the write — the exact racing window). */
   private def startLeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
-      lease: String, startMs: Long, intervalMs: Long)
+      lease: String, tombstone: String, startMs: Long, intervalMs: Long,
+      onBeat: String => Unit = _ => ())
       : (java.util.concurrent.atomic.AtomicBoolean, () => Unit) = {
     val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
     val reclaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val p = new org.apache.hadoop.fs.Path(lease)
+    val tomb = new org.apache.hadoop.fs.Path(tombstone)
     val t = new Thread(() => {
       var alive = true
       while (alive && !stopped.get()) {
@@ -1417,12 +1486,19 @@ object Similarity {
           try {
             if (!fs.exists(p)) { reclaimed.set(true); alive = false }
             else {
+              onBeat("pre_write")
               writeUtf8(fs, lease,
                 s"""{"op":"append","epoch_ms":$startMs,""" +
                   s""""beat_ms":${System.currentTimeMillis()}}""")
+              if (fs.exists(tomb)) {
+                // a reclaim renamed our lease away between the exists-check
+                // and the write — the write RECREATED it; observe the
+                // tombstone, undo the recreation, fail the append at commit
+                fs.delete(p, false); reclaimed.set(true); alive = false
+              }
               // stop raced the write: remove our own late write so the
               // join-timeout path can never leave a phantom lease
-              if (stopped.get()) fs.delete(p, false)
+              else if (stopped.get()) fs.delete(p, false)
             }
           } catch { case _: Throwable => () } // fs hiccup: next beat retries
       }
@@ -1511,6 +1587,29 @@ object Similarity {
       .toSeq
     catch { case _: Throwable => Seq.empty }
 
+  /** Tombstone a reclaim leaves behind (`lists__reclaimed_<uuid>`, same
+    * uuid as the reclaimed lease) — the fence that closes the r17 hairline:
+    * a bare DELETE gave a racing heartbeat (exists-check passed, write not
+    * yet issued) nothing to observe, so its rewrite could silently RECREATE
+    * the lease after the maintainer's re-list. The reclaim is now a RENAME
+    * (atomic, the lease and its tombstone never both absent mid-reclaim)
+    * and the beat re-checks the tombstone AFTER every write — whichever
+    * side acts last sees the other: the beat self-deletes its recreation
+    * and the append fails loudly at commit (which checks the tombstone
+    * too). Tombstones are tiny, rare (one per crashed-and-reclaimed
+    * append), and GC'd at maintenance entry past 8× staleLeaseMs — far
+    * beyond the staleLeaseMs/4 beat cycle; the residual (a beat stalled
+    * past GC between its exists-check and write) is documented in
+    * DEVIATIONS and degrades to a LOUD phantom lease, never a silent swap. */
+  private def reclaimTombstone(dir: String, leaseName: String): String =
+    s"$dir/lists__reclaimed_" + leaseName.stripPrefix("lists__appending_")
+
+  private[graft] def reclaimTombstones(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/lists__reclaimed_*"))
+      .toSeq
+    catch { case _: Throwable => Seq.empty }
+
   /** Refuse while any LIVE append lease exists (reclaiming stale ones) —
     * shared by marker acquisition and [[writeIndex]]-over-an-existing-index. */
   private def requireNoLiveLeases(fs: org.apache.hadoop.fs.FileSystem,
@@ -1519,9 +1618,23 @@ object Similarity {
     // from the same clock domain, so a skewed maintenance host can neither
     // reclaim a fresh lease early nor honor a dead one forever
     val now = fsNowMs(fs, dir)
+    // GC old tombstones first (mtime rides the rename from the dead lease's
+    // last beat, so age here is "silent for 8× the reclaim threshold")
+    reclaimTombstones(fs, dir).foreach { ts =>
+      if (now - ts.getModificationTime > staleLeaseMs * 8)
+        fs.delete(ts.getPath, false)
+    }
     appendLeases(fs, dir).foreach { st =>
       if (now - st.getModificationTime > staleLeaseMs)
-        fs.delete(st.getPath, false) // no heartbeat = dead: reclaim
+        // no heartbeat = dead: reclaim by RENAME to the tombstone (never a
+        // bare delete) so a racing beat that already passed its
+        // exists-check still observes the reclaim after its write — the
+        // r17 recreate hairline. A false return means the lease vanished
+        // (its own stop ran, or another maintainer reclaimed it) — either
+        // way it no longer blocks, and the re-list below re-judges.
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(
+            reclaimTombstone(dir, st.getPath.getName)))
     }
     // re-list AFTER reclaiming: any lease present NOW — including one a
     // racing beat re-touched in the window — is fresh and blocks us, so a
@@ -1644,12 +1757,12 @@ object Similarity {
     } else if (op.contains("merge_src")) {
       // this tree is the SOURCE of a merge. Moves run only under the
       // DESTINATION's op=merge marker: if the recorded destination still
-      // holds one pointing here, the merge is resumable THERE and its
-      // resume consumes this tree — recovering here instead would unlock
-      // appends that the resumed move loop then deletes. Without a
-      // destination merge marker no move ever started (the crash fell
-      // between the two acquisitions): the tree is intact, drop the
-      // marker.
+      // holds one listing this tree, the merge is resumable (or
+      // rollback-able) THERE and dest recovery owns this tree's fate —
+      // recovering here instead would unlock appends that the resumed
+      // move loop then deletes. Without a destination merge marker no
+      // move ever started (the crash fell between the acquisitions): the
+      // tree is intact, drop the marker.
       val dest = jsonString(marker.get, "dest")
       val destMarker =
         if (fs.exists(p(markerPath(dest)))) Some(readUtf8(fs, markerPath(dest)))
@@ -1657,18 +1770,59 @@ object Similarity {
       def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
       val mergeInFlight = destMarker.exists(js =>
         jsonString(js, "op") == "merge" &&
-          norm(jsonString(js, "src")) == norm(dir))
+          mergeMarkerSrcs(js).map(norm).contains(norm(dir)))
       if (mergeInFlight) throw new IllegalStateException(
         s"recoverIndex: $dir is the SOURCE of an in-flight merge into " +
           s"$dest — recover the DESTINATION first (its resume consumes " +
           "this tree)")
       fs.delete(p(markerPath(dir)), false)
     } else if (op.contains("merge")) {
-      // a merge died mid-move: every list file lives in exactly ONE tree
-      // at every instant, so recovery just RESUMES the move loop from the
-      // marker's recorded source (idempotent — already-moved files are
-      // gone from the source) and consumes the source tree
-      finishMerge(spark, fs, dir, jsonString(marker.get, "src"))
+      val srcs = mergeMarkerSrcs(marker.get)
+      val legacy = !marker.get.contains("\"srcs\"")
+      if (legacy) {
+        // a pre-r18 marker was written BEFORE validation and carries no
+        // fence: the crash may have fallen inside the validation window,
+        // so re-run the bounded compatibility checks NOW (the source tree
+        // still holds its manifest + models mid-move; only lists files
+        // migrate) and refuse loudly on mismatch — never a blind fold of
+        // a possibly-never-validated source (r17 ADVICE). The lists-schema
+        // check is skipped (a mid-move source's lists may be partial or
+        // gone), which is sound: a legacy marker that DID start moving had
+        // passed it, and one that did not still refuses here on any
+        // model/manifest mismatch.
+        val dmf = readIndexManifest(spark, dir)
+        val (dc, db) = readIndexModelsRaw(spark, dir)
+        srcs.foreach { s =>
+          if (fs.exists(p(manifestPath(s))))
+            requireMergeCompatible(spark, dir, s, dmf, dc, db)
+        }
+        finishMerge(fs, dir, srcs)
+      } else if (!jsonBoolOpt(marker.get, "validated")) {
+        // the crash fell INSIDE the validation window (the marker is only
+        // rewritten `validated:true` after every check passed, and moves
+        // start only after that): no file has moved, so roll BACK — drop
+        // each source's merge_src marker and this one, all trees intact.
+        // Rolling FORWARD here would fold a NEVER-VALIDATED source (mixed
+        // models, mixed schema) into the destination: the silently-wrong-
+        // ADC outcome the validation exists to refuse (r17 ADVICE).
+        def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+        srcs.foreach { s =>
+          val sm = p(markerPath(s))
+          if (fs.exists(sm)) {
+            val js = readUtf8(fs, markerPath(s))
+            if (jsonString(js, "op") == "merge_src" &&
+                norm(jsonString(js, "dest")) == norm(dir))
+              fs.delete(sm, false)
+          }
+        }
+        fs.delete(p(markerPath(dir)), false)
+      } else
+        // a VALIDATED merge died mid-move: every list file lives in
+        // exactly ONE tree at every instant, so recovery just RESUMES the
+        // move loop over the marker's recorded sources (idempotent —
+        // already-moved files are gone from their source; an
+        // already-consumed source skips) and consumes the source trees
+        finishMerge(fs, dir, srcs)
     } else if (op.contains("overwrite")) {
       // a writeIndex-OVERWRITE died mid-run: there is no retired copy to
       // roll back to (that is why in-place re-writes are documented to go
@@ -2001,33 +2155,57 @@ object Similarity {
     * sources are shard-build staging products, not published indexes;
     * quiesce any reader of the source first (documented). */
   def mergeIndex(spark: org.apache.spark.sql.SparkSession, destDir: String,
-      srcDir: String, staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
+      srcDir: String, staleLeaseMs: Long = defaultStaleLeaseMs): Unit =
+    mergeIndexAll(spark, destDir, Seq(srcDir), staleLeaseMs)
+
+  /** N-ary shard fold — the shape a sharded 100 TB build actually runs:
+    * ALL S sources validate under ONE destination marker cycle, then one
+    * (parallel) move loop folds every shard, instead of S sequential
+    * lock/validate/move cycles each re-reading models. Each source still
+    * holds its own op=merge_src marker for the whole fold (released with
+    * the consumed tree); the destination marker records the full source
+    * list plus, after validation passes, `validated:true` — the fence
+    * [[recoverIndex]] requires before it rolls a crashed merge FORWARD
+    * (an unvalidated marker means the crash fell inside the validation
+    * window, no file has moved, and recovery rolls BACK with both trees
+    * intact — resuming it blind would fold a never-validated source:
+    * mixed models, silently wrong ADC). */
+  def mergeIndexAll(spark: org.apache.spark.sql.SparkSession,
+      destDir: String, srcDirs: Seq[String],
+      staleLeaseMs: Long = defaultStaleLeaseMs): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    require(new org.apache.hadoop.fs.Path(destDir).toUri.getPath !=
-      new org.apache.hadoop.fs.Path(srcDir).toUri.getPath,
+    require(srcDirs.nonEmpty, "mergeIndex: no source trees given")
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    require(!srcDirs.map(norm).contains(norm(destDir)),
       s"mergeIndex: source and destination are the same tree ($destDir)")
+    require(srcDirs.map(norm).distinct.size == srcDirs.size,
+      s"mergeIndex: duplicate source trees (${srcDirs.mkString(", ")})")
     requireCleanIndex(fs, destDir, "mergeIndex")
-    requireCleanIndex(fs, srcDir, "mergeIndex (source)")
-    readIndexManifest(spark, destDir) // loud early gates: both ARE indexes
-    readIndexManifest(spark, srcDir)
-    // BOTH trees are locked for the move loop: the destination's op=merge
+    srcDirs.foreach(s => requireCleanIndex(fs, s, "mergeIndex (source)"))
+    readIndexManifest(spark, destDir) // loud early gates: all ARE indexes
+    srcDirs.foreach(s => readIndexManifest(spark, s))
+    warnNonAtomicRename(fs, "mergeIndex")
+    // EVERY tree is locked for the move loop: the destination's op=merge
     // marker (appends there would be swapped into a mid-merge layout) and
-    // the SOURCE's op=merge_src marker — without it an append to the
+    // each SOURCE's op=merge_src marker — without it an append to a
     // source landing AFTER a partition's listing would be deleted with
     // the consumed source tree (the same snapshot-overtaken class every
-    // other maintenance op closes). Source first, destination second,
-    // source released on a destination refusal; the source marker
-    // disappears WITH the consumed source tree.
-    acquireMarker(fs, srcDir, "mergeIndex (source)",
-      s"""{"op":"merge_src","dest":${jsonQuote(destDir)}}""", staleLeaseMs)
-    try acquireMarker(fs, destDir, "mergeIndex",
-      s"""{"op":"merge","src":${jsonQuote(srcDir)}}""", staleLeaseMs)
-    catch {
-      case e: Throwable =>
-        fs.delete(new org.apache.hadoop.fs.Path(markerPath(srcDir)), false)
-        throw e
-    }
+    // other maintenance op closes). Sources first, destination second;
+    // every acquired marker is released on a later refusal; a consumed
+    // source's marker disappears WITH its tree.
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[String]
+    def releaseAcquired(): Unit = acquired.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(markerPath(s)), false))
+    try {
+      srcDirs.foreach { s =>
+        acquireMarker(fs, s, "mergeIndex (source)",
+          s"""{"op":"merge_src","dest":${jsonQuote(destDir)}}""", staleLeaseMs)
+        acquired += s
+      }
+      acquireMarker(fs, destDir, "mergeIndex",
+        mergeMarkerBody(srcDirs, validated = false), staleLeaseMs)
+    } catch { case e: Throwable => releaseAcquired(); throw e }
     // ALL compatibility validation runs UNDER the locks — validated-then-
     // locked would let a maintenance op completing in the window (a
     // rebuild retraining the destination's models, a split changing its
@@ -2036,86 +2214,160 @@ object Similarity {
     // ADC, the exact class these checks exist to refuse.
     try {
       val dmf = readIndexManifest(spark, destDir)
-      val smf = readIndexManifest(spark, srcDir)
-      // every GEOMETRY field must agree; corpusSnapshot is a provenance
-      // label and naturally differs per shard
-      require(dmf.copy(corpusSnapshot = "") == smf.copy(corpusSnapshot = ""),
-        s"mergeIndex: manifests disagree — dest=$dmf src=$smf; shards " +
-          "must be built with the SAME frozen models (train once, build " +
-          "anywhere)")
-      // manifest equality is necessary but models must be BIT-identical:
-      // two independent trainings can share every geometry field and
-      // still place centroids differently — codes are only valid against
-      // their own codebooks
       val (dc, db) = readIndexModelsRaw(spark, destDir)
-      val (sc, sb) = readIndexModelsRaw(spark, srcDir)
-      require(dc.length == sc.length &&
-        dc.indices.forall(i => java.util.Arrays.equals(dc(i), sc(i))) &&
-        db.length == sb.length && db.indices.forall(mi =>
-          db(mi).length == sb(mi).length && db(mi).indices.forall(ci =>
-            java.util.Arrays.equals(db(mi)(ci), sb(mi)(ci)))),
-        s"mergeIndex: stored models differ between $destDir and $srcDir — " +
-          "equal geometry is not equal models; rebuild the shard with the " +
-          "destination's frozen models")
-      // the merged partitions will mix FILES from both writers, so the
-      // lists column TYPES must agree exactly — a long-id shard folded
-      // into an int-id destination would fail (or mis-widen) at the next
-      // scan's footer-resolved schema, a serve-time failure this
-      // merge-time refusal exists to preclude
       def listCols(d: String) = spark.read.parquet(s"$d/lists")
         .schema.fields.map(f => (f.name, f.dataType)).toSet
-      val (dls, sls) = (listCols(destDir), listCols(srcDir))
-      require(dls == sls,
-        s"mergeIndex: lists column types disagree — dest=$dls src=$sls; " +
-          "merged partitions would mix file schemas and fail at scan time")
+      val dls = listCols(destDir)
+      // each source validates against the DESTINATION (equality is
+      // transitive — all-pairs would re-check the same facts)
+      srcDirs.foreach { srcDir =>
+        requireMergeCompatible(spark, destDir, srcDir, dmf, dc, db)
+        // the merged partitions will mix FILES from both writers, so the
+        // lists column TYPES must agree exactly — a long-id shard folded
+        // into an int-id destination would fail (or mis-widen) at the next
+        // scan's footer-resolved schema, a serve-time failure this
+        // merge-time refusal exists to preclude
+        val sls = listCols(srcDir)
+        require(dls == sls,
+          s"mergeIndex: lists column types disagree — dest=$dls src=$sls; " +
+            "merged partitions would mix file schemas and fail at scan time")
+      }
     } catch {
       case e: Throwable =>
         fs.delete(new org.apache.hadoop.fs.Path(markerPath(destDir)), false)
-        fs.delete(new org.apache.hadoop.fs.Path(markerPath(srcDir)), false)
+        releaseAcquired()
         throw e
     }
-    finishMerge(spark, fs, destDir, srcDir)
+    // validation PASSED and no file has moved yet: stamp the fence. A
+    // crash before this rewrite recovers by ROLLBACK (markers dropped,
+    // trees intact); after it, by resuming the idempotent move loop.
+    writeMarker(fs, destDir, mergeMarkerBody(srcDirs, validated = true))
+    finishMerge(fs, destDir, srcDirs)
+  }
+
+  /** Manifest-geometry + stored-model compatibility of one merge source
+    * against pre-read destination values — shared between [[mergeIndexAll]]
+    * (under the locks) and [[recoverIndex]]'s LEGACY-marker branch (a
+    * pre-r18 op=merge marker was written before validation and carries no
+    * `validated` fence, so resuming it re-runs these bounded checks while
+    * the source tree still holds its models — never a blind fold). */
+  private def requireMergeCompatible(spark: org.apache.spark.sql.SparkSession,
+      destDir: String, srcDir: String, dmf: IndexManifest,
+      dc: Array[Array[Float]], db: Array[Array[Array[Float]]]): Unit = {
+    val smf = readIndexManifest(spark, srcDir)
+    // every GEOMETRY field must agree; corpusSnapshot is a provenance
+    // label and naturally differs per shard
+    require(dmf.copy(corpusSnapshot = "") == smf.copy(corpusSnapshot = ""),
+      s"mergeIndex: manifests disagree — dest=$dmf src=$smf; shards " +
+        "must be built with the SAME frozen models (train once, build " +
+        "anywhere)")
+    // manifest equality is necessary but models must be BIT-identical:
+    // two independent trainings can share every geometry field and
+    // still place centroids differently — codes are only valid against
+    // their own codebooks
+    val (sc, sb) = readIndexModelsRaw(spark, srcDir)
+    require(dc.length == sc.length &&
+      dc.indices.forall(i => java.util.Arrays.equals(dc(i), sc(i))) &&
+      db.length == sb.length && db.indices.forall(mi =>
+        db(mi).length == sb(mi).length && db(mi).indices.forall(ci =>
+          java.util.Arrays.equals(db(mi)(ci), sb(mi)(ci)))),
+      s"mergeIndex: stored models differ between $destDir and $srcDir — " +
+        "equal geometry is not equal models; rebuild the shard with the " +
+        "destination's frozen models")
+  }
+
+  private def mergeMarkerBody(srcDirs: Seq[String],
+      validated: Boolean): String =
+    s"""{"op":"merge","srcs":[${srcDirs.map(jsonQuote).mkString(",")}],""" +
+      s""""validated":$validated}"""
+
+  /** `mergeIndex`'s "pure file metadata" pricing assumes HDFS-class atomic
+    * O(1) rename (HDFS, local FS, most HCFS). On object stores (S3A, GCS,
+    * ABFS, ...) `fs.rename` is COPY+DELETE: the merge silently degrades to
+    * a full data copy — strictly worse than the append path it is priced
+    * against. Warn loudly (the operation stays CORRECT — the move loop is
+    * idempotent either way); the production posture there is a catalog
+    * pointer swap, as the compaction docs describe. Documented in
+    * DEVIATIONS §7 (writer contract, residual (b)). */
+  private def warnNonAtomicRename(fs: org.apache.hadoop.fs.FileSystem,
+      op: String): Unit = {
+    val copySchemes = Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs",
+      "abfs", "abfss", "oss", "swift", "cos", "cosn")
+    val scheme = Option(fs.getUri.getScheme).getOrElse("").toLowerCase
+    if (copySchemes.contains(scheme))
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"$op: filesystem scheme '$scheme' implements rename as COPY+DELETE " +
+          "— the merge move loop degrades from file metadata to a full " +
+          "data copy; prefer an HDFS-class filesystem or a catalog-pointer " +
+          "layout for shard folds at scale")
   }
 
   /** The move loop of a merge — shared verbatim with crash recovery so
     * the two cannot drift: every list FILE of every source cid partition
     * renames into the destination's partition dir (created on demand;
     * name collisions — impossible for parquet part-UUIDs, defended anyway
-    * — get a fresh prefix), the consumed source tree is deleted LAST, the
-    * marker dropped after it. Every step no-ops when already consumed —
-    * idempotent, resumable from any crash point. */
-  private def finishMerge(spark: org.apache.spark.sql.SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, destDir: String,
-      srcDir: String): Unit = {
+    * — get a fresh prefix), each consumed source tree is deleted as its
+    * moves finish, the marker dropped after the LAST one. Renames run on
+    * a bounded driver-side pool: at the 100 TB posture a merge moves
+    * k ≈ 10⁴–10⁵ lists × several part-files per shard, and each rename is
+    * an independent metadata round-trip — sequential was the r17
+    * bottleneck finding (BENCH_NOTES `merge_move_*` lanes price the
+    * scaling). Parallelism does not weaken idempotency: every file still
+    * lives in exactly ONE tree at every instant (rename is atomic), so
+    * any crash point resumes by re-running the remaining moves. */
+  private def finishMerge(fs: org.apache.hadoop.fs.FileSystem,
+      destDir: String, srcDirs: Seq[String]): Unit = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val srcLists = p(s"$srcDir/lists")
-    if (fs.exists(srcLists)) {
-      for (part <- fs.listStatus(srcLists)
-           if part.isDirectory && part.getPath.getName.startsWith("__cid=")) {
-        val destPart = p(s"$destDir/lists/${part.getPath.getName}")
-        fs.mkdirs(destPart)
-        for (f <- fs.listStatus(part.getPath) if f.isFile) {
-          val name = f.getPath.getName
-          val target = new org.apache.hadoop.fs.Path(destPart,
-            if (fs.exists(new org.apache.hadoop.fs.Path(destPart, name)))
-              s"m${java.util.UUID.randomUUID().toString.take(8)}_$name"
-            else name)
-          require(fs.rename(f.getPath, target),
-            s"mergeIndex: could not move ${f.getPath} into $target")
-        }
+    for (srcDir <- srcDirs) {
+      val srcLists = p(s"$srcDir/lists")
+      if (fs.exists(srcLists)) {
+        val parts = fs.listStatus(srcLists).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("__cid="))
+        // partition dirs first (idempotent, one mkdirs per cid)
+        parts.foreach(part =>
+          fs.mkdirs(p(s"$destDir/lists/${part.getPath.getName}")))
+        val files = parts.flatMap(part =>
+          fs.listStatus(part.getPath).filter(_.isFile)
+            .map(f => (f.getPath, part.getPath.getName)))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+        val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        try {
+          files.map { case (f, partName) =>
+            pool.submit(new Runnable {
+              def run(): Unit = try {
+                val destPart = p(s"$destDir/lists/$partName")
+                val name = f.getName
+                val target = new org.apache.hadoop.fs.Path(destPart,
+                  if (fs.exists(new org.apache.hadoop.fs.Path(destPart, name)))
+                    s"m${java.util.UUID.randomUUID().toString.take(8)}_$name"
+                  else name)
+                if (!fs.rename(f, target)) failed.add(s"$f -> $target")
+              } catch {
+                case e: Throwable => failed.add(s"$f: ${e.getMessage}")
+              }
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+        require(failed.isEmpty,
+          s"mergeIndex: could not move ${failed.size} list file(s) " +
+            s"(${scala.jdk.CollectionConverters.IteratorHasAsScala(
+              failed.iterator()).asScala.take(3).mkString("; ")} ...) — " +
+            "the op=merge marker is still held; re-run recoverIndex on " +
+            "the destination (the move loop is idempotent)")
       }
+      // each source delete must be VERIFIED before the destination marker
+      // drops: Hadoop reports a failed recursive delete as `false`, not an
+      // exception, and dropping the marker over a surviving gutted source
+      // would leave a manifest-valid tree that serves zero rows while its
+      // merge_src marker recovers to "intact". On failure the dest marker
+      // stays — recoverIndex(dest) re-runs this (idempotent) tail.
+      require(fs.delete(p(srcDir), true) || !fs.exists(p(srcDir)),
+        s"mergeIndex: every list file moved but the consumed source tree " +
+          s"$srcDir could not be deleted — the destination is complete; " +
+          "the op=merge marker is still held, re-run recoverIndex on the " +
+          "destination once the source path is deletable")
     }
-    // the source delete must be VERIFIED before the destination marker
-    // drops: Hadoop reports a failed recursive delete as `false`, not an
-    // exception, and dropping the marker over a surviving gutted source
-    // would leave a manifest-valid tree that serves zero rows while its
-    // merge_src marker recovers to "intact". On failure the dest marker
-    // stays — recoverIndex(dest) re-runs this (idempotent) tail.
-    require(fs.delete(p(srcDir), true) || !fs.exists(p(srcDir)),
-      s"mergeIndex: every list file moved but the consumed source tree " +
-        s"$srcDir could not be deleted — the destination is complete; " +
-        "the op=merge marker is still held, re-run recoverIndex on the " +
-        "destination once the source path is deletable")
     fs.delete(p(markerPath(destDir)), false)
   }
 

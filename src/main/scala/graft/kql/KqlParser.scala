@@ -296,11 +296,24 @@ object KqlParser {
       // `set option [= value];` request properties (notruncation,
       // truncationmaxsize, query_take_max_records, ...) — accepted and
       // ignored: Spark has no result-truncation layer to configure, and
-      // honoring the statement form lets real-world exported queries run
+      // honoring the statement form lets real-world exported queries run.
+      // ONE property is honored: `set streaming_watermark = <timespan>;`
+      // — the event-time lateness bound a streaming windowed summarize
+      // applies (Spark withWatermark), the engine-level knob Kusto has no
+      // analogue for (its ingestion is the lateness bound); harmless on
+      // batch pipelines (documented deviation)
       while (atIdent("set")) {
         pos += 1
-        ident()
-        if (atPunct("=")) { pos += 1; next() }
+        val opt = ident()
+        var value: Option[Tok] = None
+        if (atPunct("=")) { pos += 1; value = Some(next()) }
+        if (opt == "streaming_watermark") value match {
+          case Some(Ident(ts)) if isTimespanLit(ts) =>
+            streamingWatermarkSec = Some(timespanSeconds(ts))
+          case other => throw new IllegalArgumentException(
+            "set streaming_watermark: expected a timespan literal " +
+              s"(e.g. 10m), got $other")
+        }
         eatPunct(";")
       }
       while (atIdent("let")) {
@@ -1091,7 +1104,10 @@ object KqlParser {
           val aggs = parseNamedAggList()
           val meta = lastAggListMeta
           val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
-          expandArgStar(leanOrPlainSummarize(df, by, aggs, meta), aggs)
+          if (df.isStreaming)
+            expandArgStar(
+              streamingSummarize(df, by, lastProjBins, aggs, meta), aggs)
+          else expandArgStar(leanOrPlainSummarize(df, by, aggs, meta), aggs)
         }
       case "sort" | "order" =>
         eatIdent("by")
@@ -1861,12 +1877,17 @@ object KqlParser {
                   delTbl.select(org.apache.spark.sql.functions.col(delCol)),
                   delCol)
               case "merge" =>
-                // fold a shard-built index (same frozen models) into this
-                // one — file moves only, the source tree is consumed
+                // fold shard-built indexes (same frozen models) into this
+                // one — file moves only, source trees consumed. A comma
+                // list INSIDE the string ('shard1,shard2,...') is the
+                // n-ary fold: all shards validate under ONE destination
+                // marker cycle, then one parallel move loop
                 eatPunct(",")
-                val mergeSrc = litString(parseExpr())
+                val mergeSrcs = litString(parseExpr())
+                  .split(',').map(_.trim).filter(_.nonEmpty).toSeq
                 eatPunct(")")
-                graft.functions.Similarity.mergeIndex(mSpark, mDir, mergeSrc)
+                graft.functions.Similarity.mergeIndexAll(mSpark, mDir,
+                  mergeSrcs)
               case other => throw new IllegalArgumentException(
                 s"ann_maintain: unsupported op '$other' " +
                   "(compact|recover|split|delete|merge)")
@@ -2493,14 +2514,34 @@ object KqlParser {
 
     /** project list: `expr` or `name = expr` */
     private def parseProjList(): Seq[Column] = {
-      def one(): Column =
-        if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")
-          && (pos + 2 >= toks.length || toks(pos + 2) != Punct("="))) {
-          val n = ident(); eatPunct("="); parseExpr().as(n)
-        } else parseExpr()
+      // harvest whole-element bin(ts, Δ) captures by INDEX (reference
+      // equality against parseBin's result — a bin nested in a larger
+      // expression deliberately does not capture); consumed by the
+      // streaming summarize lowering, inert everywhere else
+      val bins = Map.newBuilder[Int, (Option[String], Column, Long)]
+      var idx = 0
+      def one(): Column = {
+        lastBin = None
+        val c =
+          if (pos + 1 < toks.length && toks(pos).isInstanceOf[Ident] && toks(pos + 1) == Punct("=")
+            && (pos + 2 >= toks.length || toks(pos + 2) != Punct("="))) {
+            val n = ident(); eatPunct("="); val e = parseExpr()
+            lastBin.foreach { case (r, vn, v, s) =>
+              if (r eq e) bins += idx -> (vn, v, s) }
+            e.as(n)
+          } else {
+            val e = parseExpr()
+            lastBin.foreach { case (r, vn, v, s) =>
+              if (r eq e) bins += idx -> (vn, v, s) }
+            e
+          }
+        idx += 1
+        c
+      }
       val out = Seq.newBuilder[Column]
       out += one()
       while (atPunct(",")) { pos += 1; out += one() }
+      lastProjBins = bins.result()
       out.result()
     }
 
@@ -2532,6 +2573,51 @@ object KqlParser {
     // (output name, Some(distinct key expr) for exact-distinct aggregates)
     private var lastAggDistinctKey: Option[Column] = None
     private var lastAggListMeta: Seq[(String, Option[Column])] = Nil
+
+    /** Streaming `summarize` — KQL text over a Structured Stream gains the
+      * event-store's central idiom, `summarize agg() by bin(_ts, Δ)`: a
+      * whole-group-expression `bin(ts, Δ)` lowers to a Spark event-time
+      * `window(ts, Δ)` grouping, which is what lets Structured Streaming
+      * treat the bucket as EVENT-TIME state (watermark eviction, append-
+      * mode finalization) instead of an opaque derived column whose state
+      * lives forever. `set streaming_watermark = <timespan>;` bounds
+      * lateness (withWatermark on bin's source column — which must then be
+      * a plain column reference); without it the aggregation still runs
+      * under complete/update output modes with unbounded bucket state (the
+      * bounded-replay correctness harness, not the 100 TB posture).
+      * `window(ts, Δ).start` equals `bin(ts, Δ)` value-for-value — both
+      * floor to the epoch-aligned Δ grid — so the bin column keeps its KQL
+      * name and the batch oracle replays identical SQL. Non-binned
+      * streaming summarize passes through unchanged (complete-mode
+      * regime); the lean multi-distinct rewrite never applies on streams
+      * (its join-back after aggregation is unsupported there). */
+    private def streamingSummarize(df: DataFrame, by: Seq[Column],
+        bins: Map[Int, (Option[String], Column, Long)], aggs: Seq[Column],
+        meta: Seq[(String, Option[Column])]): DataFrame = {
+      if (by.isEmpty || bins.isEmpty) return df.summarize(by, aggs: _*)
+      require(bins.size == 1,
+        "summarize over a stream: at most one bin(...) time axis per " +
+          "summarize (got " + bins.size + ")")
+      val (binIdx, (tsName, tsExpr, secs)) = bins.head
+      require(streamingWatermarkSec.isEmpty || tsName.isDefined,
+        "set streaming_watermark: bin's first argument must be a " +
+          "plain event-time column for the watermark to attach to")
+      val names = df.select(by: _*).columns.toSeq
+      val wmDf = streamingWatermarkSec match {
+        case Some(lateSec) => df.withWatermark(tsName.get, s"$lateSec seconds")
+        case None => df
+      }
+      val gcols = by.zipWithIndex.map { case (c, i) =>
+        if (i == binIdx) window(tsExpr, s"$secs seconds") else c }
+      // output order of groupBy(...).agg(...) is groups then aggs: rename
+      // positionally (the window struct gets a placeholder), then project
+      // the window's START under the bin element's KQL name
+      val agged = wmDf.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+        .toDF(names.updated(binIdx, "__w") ++ meta.map(_._1): _*)
+      agged.select(names.zipWithIndex.map { case (n, i) =>
+        if (i == binIdx) col("__w").getField("start").as(n) else col(n) } ++
+        meta.map(m => col(m._1)): _*)
+    }
 
     /** Default summarize planning. When EXACT distinct aggregates mix with
       * other aggregates (or ≥2 distincts appear), Catalyst's plans carry
@@ -2602,6 +2688,21 @@ object KqlParser {
     // bin_auto() width armed by `let query_bin_auto_size = <literal>;`
     // (value, isTimespan) — see parseLetScalar
     private var autoBinSize: Option[(Long, Boolean)] = None
+
+    // `set streaming_watermark = <timespan>;` — lateness bound applied by a
+    // streaming windowed summarize (withWatermark on bin's source column)
+    private var streamingWatermarkSec: Option[Long] = None
+
+    // set by parseBin's TIMESPAN form: (result column, source column name
+    // when the first arg is a plain column, source expr, width seconds) —
+    // harvested by parseProjList so a streaming summarize can recognize a
+    // whole-group-expression bin and lower it to an event-time window()
+    private var lastBin: Option[(Column, Option[String], Column, Long)] = None
+
+    // per-element bin captures of the MOST RECENT parseProjList:
+    // index-in-list → (ts column name, ts expr, width seconds)
+    private var lastProjBins: Map[Int, (Option[String], Column, Long)] =
+      Map.empty
 
     // arg_max(x, *) / arg_min(x, *): the agg evaluates to the whole winning row
     // as a struct; the enclosing summarize expands it (minus group keys). The
@@ -4614,7 +4715,16 @@ object KqlParser {
       * result, like KQL). Dispatch is decided at parse time from the width token. */
     private def parseBin(): Column = {
       eatPunct("(")
+      val argStart = pos
       val v = parseExpr()
+      // a single-Ident first arg is a plain column reference — the only
+      // shape a streaming watermark can attach to (purely syntactic, no
+      // Catalyst introspection needed)
+      val vName =
+        if (pos == argStart + 1) toks(argStart) match {
+          case Ident(n) if !letScalars.contains(n) => Some(n)
+          case _ => None
+        } else None
       eatPunct(",")
       val widthIsTimespan = peek match {
         case Some(Ident(s)) if isTimespanLit(s) => true
@@ -4626,7 +4736,12 @@ object KqlParser {
       }
       val w = parseExpr()
       eatPunct(")")
-      if (widthIsTimespan) Bin.ts(v, litLong(w))
+      if (widthIsTimespan) {
+        val secs = litLong(w)
+        val r = Bin.ts(v, secs)
+        lastBin = Some((r, vName, v, secs))
+        r
+      }
       else if (widthIsIntegral) (floor(v / w) * w).cast("long")
       else floor(v / w) * w
     }

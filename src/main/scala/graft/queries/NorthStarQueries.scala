@@ -1857,6 +1857,37 @@ object NorthStarQueries {
              |FROM events WHERE value > 400 AND event_type <> 'scroll'
              |ORDER BY event_id""".stripMargin)),
 
+    // KQL TEXT runs a WINDOWED AGGREGATION over a STRUCTURED STREAM — the
+    // event-store's central idiom (`summarize count() by bin(_ts, 1h)`,
+    // reference README.md:3,20-21,27) in its declared language, against a
+    // stream: the parser lowers a whole-group `bin(ts, Δ)` to a Spark
+    // event-time window() grouping (same values — both floor to the
+    // epoch-aligned grid) and `set streaming_watermark = <timespan>;`
+    // bounds the bucket state via withWatermark. Replayed through real
+    // micro-batches (AvailableNow, complete-mode sink — the q_streaming_*
+    // convention); the oracle is the same aggregation in batch SQL, so a
+    // dropped batch, a mis-aligned bucket, or a lost group reddens the row.
+    QueryDef("q_kql_streaming_summarize",
+      (s, d) => {
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+        val kql = KqlParser.parse(
+          """set streaming_watermark = 30m;
+            |events
+            || where event_type != 'scroll'
+            || summarize n = count(), mx = max(value), sv = sum(tolong(value))
+            |  by b = bin(ts, 1h), event_type""".stripMargin,
+          { case "events" => stream
+            case other => throw new IllegalArgumentException(other) })
+        graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_kql_streaming_summarize_sink", kql)
+          .sortBy(col("b"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS b, event_type,
+             |  COUNT(*) AS n, MAX(value) AS mx,
+             |  CAST(SUM(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sv
+             |FROM events WHERE event_type <> 'scroll'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // STREAMING image near-dup: an incoming image stream checked against a
     // static corpus with NO state store — the pigeonhole trick (hamming ≤ 6
     // over 64 bits ⇒ at least one of 8 8-bit chunks matches exactly) gives

@@ -529,7 +529,11 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 25)
     assert(got.forall { case (q, c) => c == q - 1000000L }, got.toString)
     // crash mid-merge: the marker records the source, every file lives in
-    // exactly one tree — recovery RESUMES the move loop and consumes src
+    // exactly one tree — recovery RESUMES the move loop and consumes src.
+    // Deliberately the LEGACY (pre-r18, single-`src`, no validated fence)
+    // marker shape: resuming it must first RE-validate models/manifest
+    // (they match here) — the r18 marker form is covered by the
+    // unvalidated-rollback and n-ary units
     val dest2 = build(corpus.filter(col("corpus_id") % 2 === 0), "even2")
     val src2 = build(corpus.filter(col("corpus_id") % 2 === 1), "odd2")
     val out = fs.create(p(s"$dest2/lists__maintenance"), true)
@@ -667,6 +671,236 @@ class SimilaritySpec extends SparkSpec {
       assert(Similarity.appendLeases(fs, dest).isEmpty,
         s"round $round left a lease on dest")
     }
+  }
+
+  test("a reclaim and a racing heartbeat observe each other (tombstone fence)") {
+    // the r17 hairline, injected EXACTLY: a beat passes its fs.exists
+    // check → the maintainer reclaims the (stale) lease and re-lists
+    // (empty) → the beat's write RECREATES the lease — under the old
+    // bare-delete reclaim, maintenance then rewrote the tree while the
+    // append beat its own recreation and reported success. The reclaim is
+    // now a RENAME to a tombstone and every beat re-checks the tombstone
+    // after its write: the beat must delete its recreation and the append
+    // must fail LOUDLY at commit, while maintenance proceeds undisturbed.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_fence").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 300), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staleMs = 200L
+    val beatAtWindow = new java.util.concurrent.CountDownLatch(1)
+    val reclaimDone = new java.util.concurrent.CountDownLatch(1)
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var compacted = false
+    @volatile var beatCleaned = false
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIndexImpl(
+        corpus.filter(col("corpus_id") >= 300), dir, "corpus_id",
+        "embedding", 64, None,
+        onStep = {
+          case "leased" =>
+            // wait for the beat to pass its exists-check and BLOCK in the
+            // race window (pre-write)
+            assert(beatAtWindow.await(30,
+              java.util.concurrent.TimeUnit.SECONDS), "beat never arrived")
+            // the lease is now un-renewable (the beat is parked): age it
+            // past staleness and run the maintainer — it reclaims by
+            // rename-to-tombstone, re-lists (nothing), and proceeds
+            Similarity.appendLeases(fs, dir).foreach(st => fs.setTimes(
+              st.getPath, System.currentTimeMillis() - 5 * staleMs, -1))
+            Similarity.compactIndex(spark, dir, staleLeaseMs = staleMs)
+            compacted = true
+            // release the parked beat: it writes (recreating the lease),
+            // must observe the tombstone, and must undo its own write
+            reclaimDone.countDown()
+            val deadline = System.currentTimeMillis() + 10000
+            while (!beatCleaned && System.currentTimeMillis() < deadline) {
+              beatCleaned = Similarity.appendLeases(fs, dir).isEmpty
+              Thread.sleep(20)
+            }
+          case _ => ()
+        },
+        staleLeaseMs = staleMs,
+        onBeat = {
+          case "pre_write" if injected.compareAndSet(false, true) =>
+            beatAtWindow.countDown()
+            reclaimDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          case _ => ()
+        })
+    }
+    assert(e.getMessage.contains("reclaimed"), e.getMessage)
+    assert(compacted, "maintenance must proceed over the reclaimed lease")
+    assert(beatCleaned,
+      "the racing beat must observe the tombstone and delete its recreation")
+    assert(Similarity.reclaimTombstones(fs, dir).nonEmpty,
+      "the reclaim must leave its tombstone as the observable fence")
+    // the tree still serves: the base rows survived the compact; the
+    // failed append's caller reconciles per the error's instruction
+    assert(spark.read.parquet(s"$dir/lists").count() >= 300)
+  }
+
+  test("a format-1 manifest resolves ownership from the lists schema (memoized), and maintenance upgrades it in place") {
+    // pre-r17 manifests carry no has_owner: the read sniffs the lists
+    // schema ONCE per index path (r17 ADVICE: the un-memoized sniff paid a
+    // lists file-listing per micro-batch), never defaults to false (which
+    // would silently demote an owner index), and the next maintenance
+    // rewrite records ownership under the current format
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"),
+      (col("vec_id") % 7).as("own"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_f1").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2, ownerCol = "own")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // rewrite the manifest as its format-1 (pre-has_owner) shape
+    val mf2 = Similarity.readIndexManifest(spark, dir)
+    val o = fs.create(new org.apache.hadoop.fs.Path(s"$dir/manifest.json"), true)
+    o.write((s"""{"format":"graft-ivfpq-1","dim":${mf2.dim},""" +
+      s""""n_centroids":${mf2.nCentroids},"m":${mf2.m},"ksub":${mf2.ksub},""" +
+      s""""seed":${mf2.seed},"corpus_snapshot":"f1"}""").getBytes("UTF-8"))
+    o.close()
+    // sniffed from the lists schema, not demoted — and stable across reads
+    // (the second read serves from the memo, same value)
+    val r1 = Similarity.readIndexManifest(spark, dir)
+    assert(r1.format == "graft-ivfpq-1" && r1.hasOwner,
+      s"format-1 owner index must sniff hasOwner=true, got $r1")
+    assert(Similarity.readIndexManifest(spark, dir).hasOwner)
+    // an ownerless append is still refused (the sniffed value gates it)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIndex(corpus.limit(1), dir, "corpus_id",
+        "embedding", 64)
+    }
+    assert(e.getMessage.contains("owner"), e.getMessage)
+    // a manifest-rewriting maintenance op (split — compact leaves the
+    // manifest untouched) upgrades to the current format WITH ownership
+    // recorded — the sniff never runs again for this index
+    Similarity.splitList(spark, dir, Similarity.hottestList(spark, dir))
+    val r2 = Similarity.readIndexManifest(spark, dir)
+    assert(r2.format == "graft-ivfpq-2" && r2.hasOwner, r2.toString)
+  }
+
+  test("an UNVALIDATED merge marker rolls back both trees intact; a legacy marker re-validates before resuming") {
+    // r17 ADVICE (medium): mergeIndex wrote its op=merge marker BEFORE the
+    // under-lock validation, so a crash in that window left a marker for a
+    // merge that was never validated — and recovery rolled the move loop
+    // forward blind, folding a mixed-models source (silently wrong ADC).
+    // Now the marker is only stamped validated:true after every check
+    // passes; recovery rolls an unvalidated marker BACK, and re-validates
+    // legacy (pre-r18, fence-less) markers before resuming them.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def mark(d: String, body: String): Unit = {
+      val o = fs.create(p(s"$d/lists__maintenance"), true)
+      o.write(body.getBytes("UTF-8")); o.close()
+    }
+    // INDEPENDENTLY trained trees: equal geometry, different models — the
+    // exact pair the validation exists to refuse
+    val dest = java.nio.file.Files.createTempDirectory("graft_mrg_uv_d").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_mrg_uv_s").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") % 2 === 0), dest,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    Similarity.writeIndex(corpus.filter(col("corpus_id") % 2 === 1), src,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val destRows = spark.read.parquet(s"$dest/lists").count()
+    val srcRows = spark.read.parquet(s"$src/lists").count()
+    // crash inside the validation window: both markers down, no fence
+    mark(dest, s"""{"op":"merge","srcs":["$src"],"validated":false}""")
+    mark(src, s"""{"op":"merge_src","dest":"$dest"}""")
+    Similarity.recoverIndex(spark, dest)
+    // rolled BACK: both markers gone, both trees intact, source NOT folded
+    assert(!fs.exists(p(s"$dest/lists__maintenance")))
+    assert(!fs.exists(p(s"$src/lists__maintenance")),
+      "rollback must release the source's merge_src marker too")
+    assert(spark.read.parquet(s"$dest/lists").count() == destRows)
+    assert(spark.read.parquet(s"$src/lists").count() == srcRows)
+    // both trees serve again after the rollback
+    assert(Similarity.readIndexModels(spark, dest)._1.length == 8)
+    assert(Similarity.readIndexModels(spark, src)._1.length == 8)
+    // a LEGACY (pre-r18, single-src, no fence) marker cannot prove its
+    // validation ran: recovery re-runs the model bit-compare and must
+    // REFUSE this mixed-models pair instead of folding it
+    mark(dest, s"""{"op":"merge","src":"$src"}""")
+    mark(src, s"""{"op":"merge_src","dest":"$dest"}""")
+    val eLegacy = intercept[IllegalArgumentException] {
+      Similarity.recoverIndex(spark, dest)
+    }
+    assert(eLegacy.getMessage.contains("models differ"), eLegacy.getMessage)
+    assert(spark.read.parquet(s"$src/lists").count() == srcRows,
+      "a refused legacy resume must not consume the source")
+    fs.delete(p(s"$dest/lists__maintenance"), false)
+    fs.delete(p(s"$src/lists__maintenance"), false)
+  }
+
+  test("mergeIndexAll folds N shards under ONE marker cycle; a crashed n-ary fold resumes past consumed sources") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val cents = Similarity.ivfTrain(corpus, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 3)
+    val books = Similarity.pqTrain(corpus, "corpus_id", "embedding", 64,
+      iters = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def build(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_nmrg_$tag").toString
+      Similarity.writeIndex(df, d, "corpus_id", "embedding", 64,
+        trainedIvf = Some(cents), trainedPq = Some(books))
+      d
+    }
+    val whole = build(corpus, "whole")
+    val dest = build(corpus.filter(col("corpus_id") % 4 === 0), "m0")
+    val shards = (1 to 3).map(r =>
+      build(corpus.filter(col("corpus_id") % 4 === r), s"m$r"))
+    Similarity.mergeIndexAll(spark, dest, shards)
+    shards.foreach(s =>
+      assert(!fs.exists(p(s)), s"n-ary merge must consume shard $s"))
+    def perCid(d: String) = spark.read.parquet(s"$d/lists")
+      .groupBy("__cid").count().as[(Int, Long)].collect().toMap
+    assert(perCid(dest) == perCid(whole),
+      "3-shard fold must equal the whole build list-by-list")
+    // planted serve across all four quarters through the folded tree
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val got = Similarity.indexTopKDistributed(spark, dest, queries, corpus,
+      k = 1).select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(got.size == 20 && got.forall { case (q, c) => c == q - 1000000L },
+      got.toString)
+    // duplicate / self sources refuse loudly before any lock is taken
+    val d2 = build(corpus.filter(col("corpus_id") % 4 === 0), "m0b")
+    val s2 = build(corpus.filter(col("corpus_id") % 4 === 1), "m1b")
+    val eDup = intercept[IllegalArgumentException] {
+      Similarity.mergeIndexAll(spark, d2, Seq(s2, s2))
+    }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    assert(!fs.exists(p(s"$s2/lists__maintenance")),
+      "a refused n-ary merge must not leave source markers")
+    // crash mid-fold: a VALIDATED n-ary marker whose first source is
+    // already consumed (dir gone) and whose others still hold their
+    // merge_src markers — recovery must skip the consumed one and fold
+    // the rest, then release everything
+    val s3 = build(corpus.filter(col("corpus_id") % 4 === 2), "m2b")
+    val consumed = s"${s2}__already_consumed"
+    def mark(d: String, body: String): Unit = {
+      val o = fs.create(p(s"$d/lists__maintenance"), true)
+      o.write(body.getBytes("UTF-8")); o.close()
+    }
+    mark(d2,
+      s"""{"op":"merge","srcs":["$consumed","$s2","$s3"],"validated":true}""")
+    mark(s2, s"""{"op":"merge_src","dest":"$d2"}""")
+    mark(s3, s"""{"op":"merge_src","dest":"$d2"}""")
+    Similarity.recoverIndex(spark, d2)
+    assert(!fs.exists(p(s2)) && !fs.exists(p(s3)),
+      "resume must consume the remaining sources")
+    assert(!fs.exists(p(s"$d2/lists__maintenance")))
+    val expect = corpus.filter(col("corpus_id") % 4 <= 2).count()
+    assert(spark.read.parquet(s"$d2/lists").count() == expect)
   }
 
   test("an append whose lease was reclaimed mid-run fails LOUDLY instead of reporting success") {

@@ -51,6 +51,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KQL windowed summarize over a stream: bin lowers to an event-time window, watermark finalizes buckets in append mode") {
+    // the declared language's central idiom (`summarize count() by
+    // bin(_ts, 1h)`) against a STREAM, from KQL text: the parser lowers
+    // the whole-group bin to window(ts, Δ) and `set streaming_watermark`
+    // applies withWatermark — so append mode emits a bucket exactly when
+    // the watermark passes its end (event-time state with eviction, the
+    // 100 TB posture), which a derived-column groupBy can never do
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val kql = graft.kql.KqlParser.parse(
+      """set streaming_watermark = 1m;
+        |events
+        || where event_type != 'scroll'
+        || summarize n = count(), sv = sum(tolong(value))
+        |  by b = bin(ts, 1h), event_type""".stripMargin,
+      { case "events" => mem.toDF()
+        case other => throw new IllegalArgumentException(other) })
+    assert(kql.isStreaming, "the KQL plan must stay a streaming plan")
+    val q = kql.writeStream.format("memory").queryName("kql_winsum_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev("2024-01-01 10:10:00", 1, "click", 3.7),
+        ev("2024-01-01 10:20:00", 2, "click", 1.2),
+        ev("2024-01-01 10:40:00", 3, "view", 2.0),
+        ev("2024-01-01 10:30:00", 9, "scroll", 9.9))
+      q.processAllAvailable()
+      // nothing finalized yet: the watermark has not passed 11:00
+      assert(spark.table("kql_winsum_out").count() == 0)
+      // an event far past the bucket advances the watermark → the 10:00
+      // bucket finalizes and emits; the 13:00 bucket stays open (append
+      // mode emits each bucket exactly once, when it can no longer change)
+      mem.addData(ev("2024-01-01 13:00:00", 4, "click", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("kql_winsum_out")
+        .select(col("b").cast("string"), col("event_type"), col("n"), col("sv"))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 4L), // tolong(3.7)+tolong(1.2)
+        ("2024-01-01 10:00:00", "view", 1L, 2L)), got.toString)
+    } finally q.stop()
+    // the same KQL text over the same rows as a BATCH table equals the
+    // stream's complete result (bin ≡ window.start value-for-value)
+    val batch = Seq(ev("2024-01-01 10:10:00", 1, "click", 3.7),
+      ev("2024-01-01 10:20:00", 2, "click", 1.2),
+      ev("2024-01-01 10:40:00", 3, "view", 2.0),
+      ev("2024-01-01 10:30:00", 9, "scroll", 9.9),
+      ev("2024-01-01 13:00:00", 4, "click", 5.0)).toDF()
+    val b = graft.kql.KqlParser.parse(
+      """events
+        || where event_type != 'scroll'
+        || summarize n = count(), sv = sum(tolong(value))
+        |  by b = bin(ts, 1h), event_type""".stripMargin,
+      { case "events" => batch })
+      .select(col("b").cast("string"), col("event_type"), col("n"), col("sv"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(b.contains(("2024-01-01 10:00:00", "click", 2L, 4L)) &&
+      b.contains(("2024-01-01 13:00:00", "click", 1L, 5L)), b.toString)
+    // the watermark can only attach to a PLAIN event-time column — a
+    // derived bin source refuses loudly at parse time
+    val e = intercept[IllegalArgumentException] {
+      graft.kql.KqlParser.parse(
+        """set streaming_watermark = 1m;
+          |events
+          || summarize n = count() by b = bin(coalesce(ts, ts), 1h)""".stripMargin,
+        { case "events" => mem.toDF()
+          case other => throw new IllegalArgumentException(other) })
+    }
+    assert(e.getMessage.contains("plain event-time column"), e.getMessage)
+  }
+
   test("flatMapGroupsWithState sessionizer carries open sessions across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
