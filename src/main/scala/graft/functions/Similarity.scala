@@ -2918,26 +2918,50 @@ object Similarity {
     * (the planted near-copy case: its ≈1.0 champion admits it on any
     * schedule — unit-anchored). This is the standard serving
     * approximation; re-rank survivors with [[maxSimRerank]] when exact
-    * scores matter. Past the literal probe regime use a smaller token
-    * quantizer or the group-granular ladder — refused loudly, not
-    * mis-assigned. */
+    * scores matter.
+    *
+    * PAST the literal probe regime (k ≥ [[centroidTableThreshold]] token
+    * centroids — immediate at 100 TB, where k ∝ n tokens) the probe stage
+    * switches to the GROUP-GRANULAR ladder [[indexShortlistStream]]
+    * carries (r15): each token's `groupProbe` nearest √k literal SUPERS
+    * ([[superGroups]] — the same shared structure, so the paths cannot
+    * drift) explode in the stream's one projection and ONE stateless
+    * stream-static broadcast join fans each probed group out to its
+    * member cids. Candidates are a SUPERSET of the two-level top-nProbe
+    * frontier (every centroid of every probed group scans), so met-pair
+    * coverage at equal groupProbe is ≥ the hier path's — the one-sided
+    * bound and the bounded state are unchanged; the cost is probed lists
+    * ≈ groupProbe·√k instead of nProbe (unit-anchored at k = 2176;
+    * measured in the RecallScale maxsim-stream ladder lane). */
   def maxSimStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryTokenStream: DataFrame, corpusTokens: DataFrame, nProbe: Int = 4,
       queryId: String = "query_id", tokenId: String = "token_id",
       corpusId: String = "corpus_id", corpusTokenId: String = "token_id",
       vecCol: String = "embedding",
-      allowed: Option[DataFrame] = None, shortlist: Int = 0): DataFrame = {
+      allowed: Option[DataFrame] = None, shortlist: Int = 0,
+      groupProbe: Int = 3): DataFrame = {
     val (cents, _, _) = openIndex(spark, dir, 0, "maxSimStream")
     val useShort = resolveShortlist(spark, dir, shortlist, cents.length)
-    require(cents.length < centroidTableThreshold,
-      s"maxSimStream: ${cents.length} token centroids >= " +
-        s"$centroidTableThreshold — past the literal probe regime; use a " +
-        "smaller token quantizer or indexShortlistStream's group ladder")
-    val q = queryTokenStream.select(col(queryId), col(tokenId).as("__qt"),
+    val qbase = queryTokenStream.select(col(queryId), col(tokenId).as("__qt"),
         col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
-      .withColumn("__cid", explode(ivfProbes(col("__qv"), cents,
-        math.min(resolveNProbe(nProbe, cents.length), cents.length))))
+    val q =
+      if (cents.length < centroidTableThreshold)
+        // literal regime: exact per-token top-nProbe probes ride the
+        // stream's projection directly
+        qbase.withColumn("__cid", explode(ivfProbes(col("__qv"), cents,
+          math.min(resolveNProbe(nProbe, cents.length), cents.length))))
+      else {
+        val (probeSupers, gid) = superGroups(cents)
+        val spk = spark
+        import spk.implicits._
+        val ct = cents.indices.map(i => (gid(i), i)).toDF("__gid", "__cid")
+        qbase.withColumn("__gid",
+            explode(ivfProbes(col("__qv"), probeSupers,
+              math.min(groupProbe, probeSupers.length))))
+          .join(broadcast(ct), Seq("__gid"))
+          .drop("__gid")
+      }
     val lists = spark.read.parquet(s"$dir/lists")
       .select(col("corpus_id").as(corpusTokenId), col("__cid"))
     val ctok = corpusTokens.select(col(corpusTokenId), col(corpusId),

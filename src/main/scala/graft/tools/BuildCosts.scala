@@ -111,6 +111,44 @@ object BuildCosts {
     time("ann_index_merge_half") {
       Similarity.mergeIndex(spark, s"$root/annmrg", s"$root/annshard")
     }
+    // the r18 N-ARY fold, priced against S sequential pairwise merges it
+    // replaces: 3 quarter-shards validate under ONE destination marker
+    // cycle and fold in one (parallel) move loop — the shape a sharded
+    // 100 TB build runs (train once, build S shards anywhere, fold once)
+    Similarity.writeIndex(corpus.filter(F.col("corpus_id") % 4 === 0),
+      s"$root/annmrgN", "corpus_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    val quarterShards = (1 to 3).map { r =>
+      Similarity.writeIndex(corpus.filter(F.col("corpus_id") % 4 === r),
+        s"$root/annshard$r", "corpus_id", "embedding", 64,
+        trainedIvf = Some(cents), trainedPq = Some(books))
+      s"$root/annshard$r"
+    }
+    time("ann_index_merge_nary3") {
+      Similarity.mergeIndexAll(spark, s"$root/annmrgN", quarterShards)
+    }
+    // move-loop scaling with FILE COUNT (the r17 What's-wrong #2 lane):
+    // merge cost is per-FILE metadata, so a fragmented source (many small
+    // appended files, pre-compaction) prices the rename loop itself. The
+    // fragmented source carries the same ROWS as the 1-file shard above —
+    // only the file count differs; the parallel pool is what keeps the
+    // wall-clock from scaling 1:1 with files.
+    Similarity.writeIndex(corpus.filter(F.col("corpus_id") % 4 === 0),
+      s"$root/annmrgF", "corpus_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    val frag = corpus.filter(F.col("corpus_id") % 4 === 1)
+    Similarity.writeIndex(frag.filter(F.col("corpus_id") % 64 === 1),
+      s"$root/annshardF", "corpus_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    for (c <- 5 until 64 by 4) // 15 small appends — segment fragmentation
+      Similarity.appendToIndex(frag.filter(F.col("corpus_id") % 64 === c),
+        s"$root/annshardF", "corpus_id", "embedding", 64,
+        models = Some((cents, books)))
+    val fragFiles = spark.read.parquet(s"$root/annshardF/lists")
+      .select(F.input_file_name()).distinct().count()
+    time(s"ann_index_merge_frag${fragFiles}f") {
+      Similarity.mergeIndex(spark, s"$root/annmrgF", s"$root/annshardF")
+    }
     spark.stop()
   }
 }

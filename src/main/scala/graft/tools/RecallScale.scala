@@ -205,6 +205,23 @@ object RecallScale {
           .filter(F.col("__r") <= 50).select("query_id", "corpus_id"),
         queryTok, corpusTok, k)))
 
+    // streaming MaxSim PAST the literal probe regime (the r17 refusal,
+    // replaced in r18 by the shared √k group ladder): bigDir's decoy
+    // device gives k = 2176 token centroids with lists identical to the
+    // flat 16-centroid index, so these rows isolate what GROUP-granular
+    // probing gives up vs the literal maxsim-stream rows above — per
+    // token, every list of every probed group scans (a superset of the
+    // two-level frontier), measured at the groupProbe grid
+    for (g <- Seq(1, 2, 3)) {
+      val scoredL = graft.streaming.StreamingIngest.runBoundedAggregation(
+        spark, s"recall_msladder_$g",
+        Similarity.maxSimStream(spark, bigDir, qTokStream, corpusTokIdx,
+          nProbe = 4, groupProbe = g))
+      row("maxsim-stream-ladder", s"k2176 tokens/doc=4 groupProbe=$g",
+        msRecall(scoredL.withColumn("__r", F.row_number().over(wMs))
+          .filter(F.col("__r") <= k)))
+    }
+
     // ---- MaxSim on STRUCTURED (clustered) token geometry — the r16
     // verdict's missing measurement: the grids above run on structureless
     // random embeddings (the honest floor), but late interaction operates

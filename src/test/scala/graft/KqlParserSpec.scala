@@ -1683,6 +1683,26 @@ class KqlParserSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
     assert(!mfs.exists(new org.apache.hadoop.fs.Path(shardDir)),
       "KQL merge must consume the source tree")
+    // N-ARY merge from KQL: a comma list inside the string folds all
+    // shards under ONE destination marker cycle (mergeIndexAll)
+    val naryShards = (1 to 2).map { i =>
+      val sd = java.nio.file.Files
+        .createTempDirectory(s"graft_kql_idxmrg$i").toString
+      Similarity.writeIndex(
+        corpus.select((col("corpus_id") + 10000L * (i + 1)).as("corpus_id"),
+          col("embedding")), sd, "corpus_id", "embedding", 64,
+        trainedIvf = Some(mc), trainedPq = Some(mb))
+      sd
+    }
+    val postNary = KqlParser.parse(
+      s"""embeddings | take 1
+         || evaluate ann_maintain('$dir', 'merge', '${naryShards.mkString(",")}')
+         || summarize total = sum(rows)""".stripMargin,
+      res, allowAdmin = true).collect().head
+    assert(postNary.getLong(0) == 4 * emb.count(), postNary.toString)
+    naryShards.foreach(sd =>
+      assert(!mfs.exists(new org.apache.hadoop.fs.Path(sd)),
+        s"KQL n-ary merge must consume shard $sd"))
     // bad op name fails loudly
     val e1 = intercept[IllegalArgumentException] {
       KqlParser.parse(

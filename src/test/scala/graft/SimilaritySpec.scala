@@ -1405,6 +1405,70 @@ class SimilaritySpec extends SparkSpec {
     assert(rr.forall { case (q, c) => c == q - 1000000L }, rr.toString)
   }
 
+  test("streaming MaxSim serves PAST the literal probe regime via group-granular probes") {
+    // k = 2176 token centroids (≥ centroidTableThreshold — immediate at
+    // 100 TB where k ∝ n tokens): r17 refused this regime loudly; the
+    // probe stage now runs the same √k group ladder as
+    // indexShortlistStream — groupProbe nearest literal SUPERS per token,
+    // one stateless broadcast join fanning groups to member cids. The
+    // planted contract and the one-sided bound must hold unchanged.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpusTok = emb.select(col("vec_id").as("token_id"),
+      (col("vec_id") / 4).cast("long").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_bigk").toString
+    val cents = Array.tabulate(2176, 64)((i, j) =>
+      (((i * 131 + j * 17) % 997) / 997.0f) - 0.5f)
+    val books = Similarity.pqTrain(corpusTok, "token_id", "embedding", 64,
+      iters = 2)
+    Similarity.writeIndex(corpusTok, dir, "token_id", "embedding", 64,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    val qStream = graft.streaming.StreamingIngest.loadStream(spark, sf, "embeddings")
+      .where(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val scored = graft.streaming.StreamingIngest.runBoundedAggregation(spark,
+      "simspec_maxsim_bigk",
+      Similarity.maxSimStream(spark, dir, qStream, corpusTok, nProbe = 4,
+        shortlist = 16, groupProbe = 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("maxsim").desc, col("corpus_id"))
+    val top1 = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1.size == 10)
+    assert(top1.forall { case (q, c) => c == q - 1000000L }, top1.toString)
+    // the one-sided bound is probe-regime-independent: streamed ≤
+    // Σ max(exact per-token max, 0) per (query, doc)
+    val queryTok = emb.filter(col("vec_id") < 40)
+      .select(((col("vec_id") / 4).cast("long") + 1000000L).as("query_id"),
+        col("vec_id").as("token_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val clampedExact = corpusTok
+      .select(col("corpus_id"), col("embedding").as("cv"))
+      .crossJoin(queryTok.select(col("query_id"), col("token_id"),
+        col("embedding").as("qv")))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("cv")))
+      .groupBy("query_id", "token_id", "corpus_id")
+      .agg(max(col("cos")).as("m"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum(greatest(col("m"), lit(0.0))).as("__ex"))
+    val sided = scored.join(clampedExact, Seq("query_id", "corpus_id"))
+      .select((col("maxsim") <= col("__ex") + lit(1e-9)).as("ok"))
+      .as[Boolean].collect()
+    assert(sided.nonEmpty && sided.forall(identity),
+      "ladder-probed streamed MaxSim must never exceed the clamped exact bound")
+    // SUPERSET anchor: at a higher groupProbe the probed-group union only
+    // grows, so every (query, doc) score is monotonically ≥ the lower
+    // groupProbe's (more met pairs, max-merge per token, same eviction
+    // champion ordering for the planted top) — deterministic on the
+    // planted pairs, which meet all their tokens at groupProbe = 6
+    val planted = scored.filter(col("corpus_id") === col("query_id") - 1000000L)
+      .select("maxsim").as[Double].collect()
+    assert(planted.length == 10 && planted.forall(s => s > 3.9 && s <= 4.0001),
+      planted.mkString(","))
+  }
+
   test("streaming MaxSim state is bounded per query: top-N doc map, champion admission, planted survives any schedule") {
     // the r16 design gap: state keyed per (query, doc) grew with the
     // CORPUS (every doc owning a probed token), not with k. Now ONE
