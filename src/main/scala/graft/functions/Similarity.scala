@@ -433,6 +433,28 @@ object Similarity {
     (nonEmpty.map(supers(_)), gid.map(remap))
   }
 
+  /** The STREAM-COMPOSABLE group ladder, shared by every streaming path
+    * past the literal probe regime ([[indexShortlistStream]] and
+    * [[maxSimStream]] — one implementation, so the paths cannot drift):
+    * each row's `groupProbe` nearest √k literal SUPERS ([[superGroups]])
+    * explode in the frame's projection and ONE stateless broadcast join
+    * fans each probed group out to its member cids. Adds `__cid`; all
+    * other columns pass through. Candidates are a SUPERSET of the
+    * two-level top-nProbe frontier (every centroid of every probed group
+    * scans), the property the callers' recall anchors rely on. */
+  private def ladderProbeCids(df: DataFrame, vec: Column,
+      centroids: Array[Array[Float]], groupProbe: Int): DataFrame = {
+    require(groupProbe >= 1, "ladderProbeCids: groupProbe must be >= 1")
+    val (probeSupers, gid) = superGroups(centroids)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ct = centroids.indices.map(i => (gid(i), i)).toDF("__gid", "__cid")
+    df.withColumn("__gid", explode(ivfProbes(vec, probeSupers,
+        math.min(groupProbe, probeSupers.length))))
+      .join(broadcast(ct), Seq("__gid"))
+      .drop("__gid")
+  }
+
   /** TWO-LEVEL (hierarchical) probe assignment — the documented fix for the
     * k ∝ n regime where even the broadcast-table path's per-row cost (k
     * dots) becomes the bottleneck: group the k centroids into ~√k
@@ -1049,37 +1071,22 @@ object Similarity {
         // literal regime: exact top-nProbe probes in the projection itself
         qlut.select(col(queryId), col("__lut"), col("__qn"),
           explode(ivfProbes(col("__qv"), cents, useProbe)).as("__cid"))
-      else {
+      else
         // PAST the literal regime (the r14 k ≥ 2048 gap): a per-row exact
         // top-nProbe needs an aggregation, and Spark disallows a join AFTER
         // a streaming aggregation — so the stream-composable form probes at
-        // GROUP granularity instead: the √k super-centroids ride the plan
-        // as the (small) literal, each row's groupProbe nearest supers
-        // explode in the projection, and ONE stateless stream-static
-        // broadcast join fans each probed group out to its member cids.
-        // Candidates are a SUPERSET of the two-level top-nProbe frontier
-        // (every centroid of every probed group scans, not just the nProbe
-        // best), so at a non-binding shortlist recall ≥ the hier path's at
-        // equal groupProbe (anchored in SimilaritySpec; measured in the
-        // RecallScale streaming lane); the cost is probed lists ≈
-        // groupProbe·√k instead of nProbe — the ADC stage absorbs it
-        // (M lookups/candidate) and the shortlist aggregation state stays
-        // bounded regardless. Same recall-approximate contract as
-        // assignProbesHier, and the SAME group structure: the shared
-        // [[superGroups]] helper (supers train driver-side on the MODEL,
-        // sampled past the cap, never on data), so the two paths cannot
-        // drift.
-        val (probeSupers, gid) = superGroups(cents)
-        val spk = spark
-        import spk.implicits._
-        val ct = cents.indices.map(i => (gid(i), i))
-          .toDF("__gid", "__cid")
-        qlut.select(col(queryId), col("__lut"), col("__qn"),
-            explode(ivfProbes(col("__qv"), probeSupers,
-              math.min(groupProbe, probeSupers.length))).as("__gid"))
-          .join(broadcast(ct), Seq("__gid"))
+        // GROUP granularity instead ([[ladderProbeCids]], shared with
+        // maxSimStream). Candidates are a SUPERSET of the two-level
+        // top-nProbe frontier, so at a non-binding shortlist recall ≥ the
+        // hier path's at equal groupProbe (anchored in SimilaritySpec;
+        // measured in the RecallScale streaming lane); the cost is probed
+        // lists ≈ groupProbe·√k instead of nProbe — the ADC stage absorbs
+        // it (M lookups/candidate) and the shortlist aggregation state
+        // stays bounded regardless. Same recall-approximate contract and
+        // the SAME group structure as assignProbesHier (supers train
+        // driver-side on the MODEL, sampled past the cap, never on data).
+        ladderProbeCids(qlut, col("__qv"), cents, groupProbe)
           .select(col(queryId), col("__lut"), col("__qn"), col("__cid"))
-      }
     val lists = spark.read.parquet(s"$dir/lists")
     val cand0 = qside.join(lists, Seq("__cid"))
       .filter(col(queryId) =!= col("corpus_id"))
@@ -1222,7 +1229,11 @@ object Similarity {
         val sb = new StringBuilder
         i += 1
         while (i < js.length && js(i) != '"') {
-          if (js(i) == '\\') { sb += js(i + 1); i += 2 }
+          if (js(i) == '\\') {
+            require(i + 1 < js.length,
+              "merge marker: truncated escape in 'srcs'")
+            sb += js(i + 1); i += 2
+          }
           else { sb += js(i); i += 1 }
         }
         require(i < js.length, "merge marker: unterminated string in 'srcs'")
@@ -1234,17 +1245,20 @@ object Similarity {
     out.result()
   }
 
-  /** Driver-side memo of the format-1 ownership sniff, keyed by normalized
-    * index path: the sniff opens the lists parquet tree (file listing +
-    * footer), and without the memo EVERY manifest read of a pre-r17 index
-    * paid it — serve paths once per query, the continuous-ingest path once
-    * per MICRO-BATCH, the exact per-batch cost the manifest check exists
-    * to avoid (r17 ADVICE). Sound to cache un-invalidated: a format-1
-    * index's ownership can only change through an op that REWRITES the
-    * manifest (split/rebuild/overwrite — all stamp format-2, after which
-    * the sniff is never consulted again), and this build only ever writes
-    * format-2, so a same-path re-created index bypasses the memo too.
-    * Bounded: cleared wholesale past 4096 entries (indexes per driver). */
+  /** Driver-side memo of the format-1 ownership sniff, keyed by
+    * (normalized index path, manifest mtime): the sniff opens the lists
+    * parquet tree (file listing + footer), and without the memo EVERY
+    * manifest read of a pre-r17 index paid it — serve paths once per
+    * query, the continuous-ingest path once per MICRO-BATCH, the exact
+    * per-batch cost the manifest check exists to avoid (r17 ADVICE).
+    * Sound to cache: a format-1 index's ownership can only change through
+    * an op that REWRITES the manifest (split/rebuild/overwrite — all
+    * stamp format-2, after which the sniff is never consulted), this
+    * build only ever writes format-2, and an EXTERNALLY restored format-1
+    * tree at the same path (the one mutation none of that covers) carries
+    * a fresh manifest mtime — a different key, so it re-sniffs instead of
+    * serving the predecessor's answer. Bounded: cleared wholesale past
+    * 4096 entries (indexes per driver). */
   private val ownerSniffCache =
     scala.collection.concurrent.TrieMap[String, Boolean]()
 
@@ -1255,20 +1269,26 @@ object Similarity {
       dir: String): IndexManifest = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(manifestPath(dir))),
-      s"index at $dir has no manifest.json — not a graft index " +
-        "(or written by a pre-manifest build; rebuild with writeIndex)")
+    val mfStatus =
+      try fs.getFileStatus(new org.apache.hadoop.fs.Path(manifestPath(dir)))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"index at $dir has no manifest.json — not a graft index " +
+              "(or written by a pre-manifest build; rebuild with writeIndex)")
+      }
     val js = readUtf8(fs, manifestPath(dir))
     // a format-1 manifest predates has_owner: resolve ownership from the
     // lists schema ONCE (the legacy migration read — one footer, memoized
-    // per index path in [[ownerSniffCache]]), never default it to false,
-    // which would silently demote an owner index
+    // per (index path, manifest mtime) in [[ownerSniffCache]]), never
+    // default it to false, which would silently demote an owner index
     val hasOwner =
       if (js.contains("\"has_owner\"")) jsonBoolOpt(js, "has_owner")
       else {
         if (ownerSniffCache.size > 4096) ownerSniffCache.clear()
         ownerSniffCache.getOrElseUpdate(
-          new org.apache.hadoop.fs.Path(dir).toUri.getPath,
+          new org.apache.hadoop.fs.Path(dir).toUri.getPath +
+            "@" + mfStatus.getModificationTime,
           fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists")) &&
             spark.read.parquet(s"$dir/lists").schema.fieldNames
               .contains("owner"))
@@ -1379,6 +1399,11 @@ object Similarity {
       // re-check AFTER the lease is visible: a maintenance marker acquired
       // before our lease landed wins; we refuse
       requireCleanIndex(fs, dir, "appendToIndex")
+      // fence token AFTER the marker re-check: any maintenance entry from
+      // here to commit can only proceed by judging our lease dead, and its
+      // entry bumps this token — the commit-side evidence that survives
+      // tombstone GC and arbitrary stalls ([[fencePath]])
+      val fence0 = readFenceToken(fs, dir)
       val mf = readIndexManifest(spark, dir)
       requireManifestMatch(mf, dir, "appendToIndex", dim, models)
       // the MANIFEST is authoritative for ownership (has_owner — recorded
@@ -1417,12 +1442,16 @@ object Similarity {
       // rewriting the tree right now and our files can be silently
       // swapped away: fail LOUDLY so the caller re-runs the append,
       // instead of reporting success for rows that may not survive.
-      // the tombstone check is the commit-side half of the fence: even if
-      // a racing beat recreated the lease (exists passes) and the flag has
-      // not been set yet, the reclaim's rename left the tombstone behind
+      // commit-side checks, one per race class: the flag (the beat saw the
+      // reclaim), the tombstone (a racing beat recreated the lease before
+      // the flag was set — the rename left the tombstone behind), the
+      // lease file itself, and the FENCE token (a maintenance entry ran
+      // inside our window — possible only by judging us dead — which
+      // survives tombstone GC and whole-process pauses)
       if (leaseReclaimed.get() ||
           fs.exists(new org.apache.hadoop.fs.Path(tombstone)) ||
-          !fs.exists(new org.apache.hadoop.fs.Path(lease)))
+          !fs.exists(new org.apache.hadoop.fs.Path(lease)) ||
+          readFenceToken(fs, dir) != fence0)
         throw new IllegalStateException(
           s"appendToIndex: lease $lease was reclaimed mid-append (the " +
             "append stalled past staleLeaseMs and maintenance judged it " +
@@ -1610,6 +1639,27 @@ object Similarity {
       .toSeq
     catch { case _: Throwable => Seq.empty }
 
+  /** The maintenance FENCE token — a tiny persistent file rewritten with a
+    * fresh nonce every time a maintenance entry passes its live-lease
+    * check. An append records the token after its own marker re-check and
+    * verifies it UNCHANGED at commit: any maintenance that entered during
+    * the append's window necessarily judged its lease dead (a live lease
+    * refuses maintenance before the fence is touched), so a changed token
+    * IS evidence the append was reclaimed — independent of the tombstone,
+    * whose GC bounds its lifetime. This closes the whole-process-pause
+    * class the tombstone alone cannot: one VM suspend spanning reclaim →
+    * later-maintenance tombstone GC → beat recreation would otherwise let
+    * the commit's three checks all pass (unit: "a GC'd tombstone cannot
+    * un-fence a reclaimed append"). The token is engine metadata like the
+    * manifest — never a maintenance leftover, never GC'd. */
+  private def fencePath(dir: String) = s"$dir/lists__fence"
+
+  private[graft] def readFenceToken(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): String =
+    if (fs.exists(new org.apache.hadoop.fs.Path(fencePath(dir))))
+      readUtf8(fs, fencePath(dir))
+    else ""
+
   /** Refuse while any LIVE append lease exists (reclaiming stale ones) —
     * shared by marker acquisition and [[writeIndex]]-over-an-existing-index. */
   private def requireNoLiveLeases(fs: org.apache.hadoop.fs.FileSystem,
@@ -1647,6 +1697,13 @@ object Similarity {
         "silently swap their rows away; wait for the appends to finish " +
         s"(leases with no heartbeat for > $staleLeaseMs ms are treated as " +
         "crashed and reclaimed)")
+    // no live lease blocks us: bump the FENCE before maintenance touches
+    // anything — every append that was alive when we judged (i.e. whose
+    // lease we just reclaimed as dead) sees the changed token at its
+    // commit, however long it stalls and whatever happened to its
+    // tombstone ([[fencePath]])
+    writeUtf8(fs, fencePath(dir),
+      s"""{"op":${jsonQuote(op)},"nonce":"${java.util.UUID.randomUUID()}"}""")
   }
 
   /** Acquire the single-writer maintenance marker: atomic create-exclusive
@@ -1741,7 +1798,21 @@ object Similarity {
     val marker =
       if (fs.exists(p(markerPath(dir)))) Some(readUtf8(fs, markerPath(dir)))
       else None
-    val op = marker.map(jsonString(_, "op"))
+    // a marker that exists but does not parse (empty / torn mid-write —
+    // possible for any marker create or the merge validated-rewrite, the
+    // one overwrite in the protocol) gets a failure that names the FILE
+    // and the repair, not a bare missing-field error that reads like a
+    // manifest problem
+    val op = marker.map { js =>
+      try jsonString(js, "op")
+      catch {
+        case e: IllegalArgumentException => throw new IllegalStateException(
+          s"recoverIndex: the maintenance marker at ${markerPath(dir)} is " +
+            "corrupt (torn mid-write: " + e.getMessage + ") — inspect the " +
+            "tree; if lists/ and any retired/staging trees are consistent, " +
+            "delete the marker file and re-run recoverIndex", e)
+      }
+    }
     def refuse(live: String, retired: String): Nothing =
       throw new IllegalStateException(
         s"recoverIndex: $live and $retired are BOTH present with no " +
@@ -2318,50 +2389,60 @@ object Similarity {
   private def finishMerge(fs: org.apache.hadoop.fs.FileSystem,
       destDir: String, srcDirs: Seq[String]): Unit = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    for (srcDir <- srcDirs) {
+    // ONE flat move set across every remaining source — one bounded pool
+    // gives cross-shard rename parallelism (an n-ary fold of many small
+    // shards is otherwise serialized per source), and an already-consumed
+    // source (crash resume) contributes nothing
+    val moves = srcDirs.flatMap { srcDir =>
       val srcLists = p(s"$srcDir/lists")
-      if (fs.exists(srcLists)) {
+      if (!fs.exists(srcLists)) Seq.empty[(org.apache.hadoop.fs.Path, String)]
+      else {
         val parts = fs.listStatus(srcLists).filter(st =>
           st.isDirectory && st.getPath.getName.startsWith("__cid="))
         // partition dirs first (idempotent, one mkdirs per cid)
         parts.foreach(part =>
           fs.mkdirs(p(s"$destDir/lists/${part.getPath.getName}")))
-        val files = parts.flatMap(part =>
+        parts.toSeq.flatMap(part =>
           fs.listStatus(part.getPath).filter(_.isFile)
             .map(f => (f.getPath, part.getPath.getName)))
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
-        val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-        try {
-          files.map { case (f, partName) =>
-            pool.submit(new Runnable {
-              def run(): Unit = try {
-                val destPart = p(s"$destDir/lists/$partName")
-                val name = f.getName
-                val target = new org.apache.hadoop.fs.Path(destPart,
-                  if (fs.exists(new org.apache.hadoop.fs.Path(destPart, name)))
-                    s"m${java.util.UUID.randomUUID().toString.take(8)}_$name"
-                  else name)
-                if (!fs.rename(f, target)) failed.add(s"$f -> $target")
-              } catch {
-                case e: Throwable => failed.add(s"$f: ${e.getMessage}")
-              }
-            })
-          }.foreach(_.get())
-        } finally pool.shutdown()
-        require(failed.isEmpty,
-          s"mergeIndex: could not move ${failed.size} list file(s) " +
-            s"(${scala.jdk.CollectionConverters.IteratorHasAsScala(
-              failed.iterator()).asScala.take(3).mkString("; ")} ...) — " +
-            "the op=merge marker is still held; re-run recoverIndex on " +
-            "the destination (the move loop is idempotent)")
       }
-      // each source delete must be VERIFIED before the destination marker
-      // drops: Hadoop reports a failed recursive delete as `false`, not an
-      // exception, and dropping the marker over a surviving gutted source
-      // would leave a manifest-valid tree that serves zero rows while its
-      // merge_src marker recovers to "intact". On failure the dest marker
-      // stays — recoverIndex(dest) re-runs this (idempotent) tail.
+    }
+    if (moves.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+      val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      try {
+        moves.map { case (f, partName) =>
+          pool.submit(new Runnable {
+            def run(): Unit = try {
+              val destPart = p(s"$destDir/lists/$partName")
+              val name = f.getName
+              val target = new org.apache.hadoop.fs.Path(destPart,
+                if (fs.exists(new org.apache.hadoop.fs.Path(destPart, name)))
+                  s"m${java.util.UUID.randomUUID().toString.take(8)}_$name"
+                else name)
+              if (!fs.rename(f, target)) failed.add(s"$f -> $target")
+            } catch {
+              case e: Throwable => failed.add(s"$f: ${e.getMessage}")
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      require(failed.isEmpty,
+        s"mergeIndex: could not move ${failed.size} list file(s) " +
+          s"(${scala.jdk.CollectionConverters.IteratorHasAsScala(
+            failed.iterator()).asScala.take(3).mkString("; ")} ...) — " +
+          "the op=merge marker is still held; re-run recoverIndex on " +
+          "the destination (the move loop is idempotent)")
+    }
+    // source deletes AFTER every move landed, each VERIFIED before the
+    // destination marker drops: Hadoop reports a failed recursive delete
+    // as `false`, not an exception, and dropping the marker over a
+    // surviving gutted source would leave a manifest-valid tree that
+    // serves zero rows while its merge_src marker recovers to "intact".
+    // On failure the dest marker stays — recoverIndex(dest) re-runs this
+    // (idempotent) tail.
+    srcDirs.foreach { srcDir =>
       require(fs.delete(p(srcDir), true) || !fs.exists(p(srcDir)),
         s"mergeIndex: every list file moved but the consumed source tree " +
           s"$srcDir could not be deleted — the destination is complete; " +
@@ -2951,17 +3032,7 @@ object Similarity {
         // stream's projection directly
         qbase.withColumn("__cid", explode(ivfProbes(col("__qv"), cents,
           math.min(resolveNProbe(nProbe, cents.length), cents.length))))
-      else {
-        val (probeSupers, gid) = superGroups(cents)
-        val spk = spark
-        import spk.implicits._
-        val ct = cents.indices.map(i => (gid(i), i)).toDF("__gid", "__cid")
-        qbase.withColumn("__gid",
-            explode(ivfProbes(col("__qv"), probeSupers,
-              math.min(groupProbe, probeSupers.length))))
-          .join(broadcast(ct), Seq("__gid"))
-          .drop("__gid")
-      }
+      else ladderProbeCids(qbase, col("__qv"), cents, groupProbe)
     val lists = spark.read.parquet(s"$dir/lists")
       .select(col("corpus_id").as(corpusTokenId), col("__cid"))
     val ctok = corpusTokens.select(col(corpusTokenId), col(corpusId),

@@ -1881,7 +1881,11 @@ object KqlParser {
                 // one — file moves only, source trees consumed. A comma
                 // list INSIDE the string ('shard1,shard2,...') is the
                 // n-ary fold: all shards validate under ONE destination
-                // marker cycle, then one parallel move loop
+                // marker cycle, then one parallel move loop. Caveat: a
+                // source PATH containing a literal ',' is therefore not
+                // expressible from KQL (it would split) — such paths go
+                // through the typed mergeIndexAll; a wrong split fails
+                // loudly at the manifest read, never folds the wrong tree
                 eatPunct(",")
                 val mergeSrcs = litString(parseExpr())
                   .split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -2587,14 +2591,30 @@ object KqlParser {
       * bounded-replay correctness harness, not the 100 TB posture).
       * `window(ts, Δ).start` equals `bin(ts, Δ)` value-for-value — both
       * floor to the epoch-aligned Δ grid — so the bin column keeps its KQL
-      * name and the batch oracle replays identical SQL. Non-binned
-      * streaming summarize passes through unchanged (complete-mode
-      * regime); the lean multi-distinct rewrite never applies on streams
-      * (its join-back after aggregation is unsupported there). */
+      * name and the batch oracle replays identical SQL, with ONE
+      * documented divergence: rows whose event time is NULL are DROPPED by
+      * the window lowering (Spark's event-time contract inserts an
+      * IsNotNull filter — a null instant has no window), where the batch
+      * bin buckets them under a NULL key; filter or coalesce null
+      * timestamps upstream if they are meaningful. Non-binned streaming
+      * summarize passes through unchanged (complete-mode regime) unless a
+      * watermark was explicitly set (refused loudly — it would be silently
+      * unbounded); the lean multi-distinct rewrite never applies on
+      * streams (its join-back after aggregation is unsupported there). */
     private def streamingSummarize(df: DataFrame, by: Seq[Column],
         bins: Map[Int, (Option[String], Column, Long)], aggs: Seq[Column],
         meta: Seq[(String, Option[Column])]): DataFrame = {
-      if (by.isEmpty || bins.isEmpty) return df.summarize(by, aggs: _*)
+      if (by.isEmpty || bins.isEmpty) {
+        // an EXPLICIT watermark with nothing to attach to must not be
+        // silently dropped — the user asked for bounded state and a
+        // non-windowed streaming aggregation cannot provide it
+        require(streamingWatermarkSec.isEmpty,
+          "set streaming_watermark: this streaming summarize has no " +
+            "whole-group bin(ts, <timespan>) time axis for the watermark " +
+            "to attach to — add one, or remove the set statement " +
+            "(complete-mode aggregation with unbounded bucket state)")
+        return df.summarize(by, aggs: _*)
+      }
       require(bins.size == 1,
         "summarize over a stream: at most one bin(...) time axis per " +
           "summarize (got " + bins.size + ")")

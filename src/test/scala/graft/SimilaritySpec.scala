@@ -741,6 +741,61 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/lists").count() >= 300)
   }
 
+  test("a GC'd tombstone cannot un-fence a reclaimed append (maintenance fence token)") {
+    // the whole-process-pause class the tombstone alone cannot close: one
+    // pause spanning reclaim → tombstone GC → resume lets the beat
+    // recreate the lease with NO tombstone to observe, so the commit's
+    // flag/tombstone/lease checks would all pass — simulated by deleting
+    // the tombstone (as GC would) before releasing the parked beat. The
+    // FENCE token (rewritten at every maintenance entry that passes the
+    // live-lease check) must still fail the commit: maintenance inside a
+    // live append's window is only possible by judging it dead.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_fence2").toString
+    Similarity.writeIndex(corpus.filter(col("corpus_id") < 300), dir,
+      "corpus_id", "embedding", 64, nCentroids = 8, iters = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staleMs = 200L
+    val beatAtWindow = new java.util.concurrent.CountDownLatch(1)
+    val reclaimDone = new java.util.concurrent.CountDownLatch(1)
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var compacted = false
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIndexImpl(
+        corpus.filter(col("corpus_id") >= 300), dir, "corpus_id",
+        "embedding", 64, None,
+        onStep = {
+          case "leased" =>
+            assert(beatAtWindow.await(30,
+              java.util.concurrent.TimeUnit.SECONDS), "beat never arrived")
+            Similarity.appendLeases(fs, dir).foreach(st => fs.setTimes(
+              st.getPath, System.currentTimeMillis() - 5 * staleMs, -1))
+            Similarity.compactIndex(spark, dir, staleLeaseMs = staleMs)
+            compacted = true
+            // simulate tombstone GC before the beat ever sees it
+            Similarity.reclaimTombstones(fs, dir)
+              .foreach(ts => fs.delete(ts.getPath, false))
+            reclaimDone.countDown()
+            // give the beat time to recreate the lease un-observed — the
+            // worst case this unit exists to pin down
+            Thread.sleep(500)
+          case _ => ()
+        },
+        staleLeaseMs = staleMs,
+        onBeat = {
+          case "pre_write" if injected.compareAndSet(false, true) =>
+            beatAtWindow.countDown()
+            reclaimDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          case _ => ()
+        })
+    }
+    assert(e.getMessage.contains("reclaimed"), e.getMessage)
+    assert(compacted, "maintenance must proceed over the reclaimed lease")
+    assert(spark.read.parquet(s"$dir/lists").count() >= 300)
+  }
+
   test("a format-1 manifest resolves ownership from the lists schema (memoized), and maintenance upgrades it in place") {
     // pre-r17 manifests carry no has_owner: the read sniffs the lists
     // schema ONCE per index path (r17 ADVICE: the un-memoized sniff paid a

@@ -119,6 +119,17 @@ class StreamingSpec extends SparkSpec {
           case other => throw new IllegalArgumentException(other) })
     }
     assert(e.getMessage.contains("plain event-time column"), e.getMessage)
+    // an explicit watermark with NO bin time axis is refused, not
+    // silently dropped into unbounded complete-mode state
+    val e2 = intercept[IllegalArgumentException] {
+      graft.kql.KqlParser.parse(
+        """set streaming_watermark = 1m;
+          |events
+          || summarize n = count() by event_type""".stripMargin,
+        { case "events" => mem.toDF()
+          case other => throw new IllegalArgumentException(other) })
+    }
+    assert(e2.getMessage.contains("time axis"), e2.getMessage)
   }
 
   test("flatMapGroupsWithState sessionizer carries open sessions across batches") {
