@@ -1071,7 +1071,7 @@ object Similarity {
         // literal regime: exact top-nProbe probes in the projection itself
         qlut.select(col(queryId), col("__lut"), col("__qn"),
           explode(ivfProbes(col("__qv"), cents, useProbe)).as("__cid"))
-      else
+      else {
         // PAST the literal regime (the r14 k ≥ 2048 gap): a per-row exact
         // top-nProbe needs an aggregation, and Spark disallows a join AFTER
         // a streaming aggregation — so the stream-composable form probes at
@@ -1085,8 +1085,16 @@ object Similarity {
         // stays bounded regardless. Same recall-approximate contract and
         // the SAME group structure as assignProbesHier (supers train
         // driver-side on the MODEL, sampled past the cap, never on data).
+        // nProbe does not govern here — say so (regime switch visible to
+        // a tuned caller whose index was re-quantized past the threshold)
+        org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+          s"indexShortlistStream: ${cents.length} centroids >= " +
+            s"$centroidTableThreshold — serving via the group ladder " +
+            s"(groupProbe=$groupProbe governs candidates; nProbe is not " +
+            "used on this path)")
         ladderProbeCids(qlut, col("__qv"), cents, groupProbe)
           .select(col(queryId), col("__lut"), col("__qn"), col("__cid"))
+      }
     val lists = spark.read.parquet(s"$dir/lists")
     val cand0 = qside.join(lists, Seq("__cid"))
       .filter(col(queryId) =!= col("corpus_id"))
@@ -1286,12 +1294,24 @@ object Similarity {
       if (js.contains("\"has_owner\"")) jsonBoolOpt(js, "has_owner")
       else {
         if (ownerSniffCache.size > 4096) ownerSniffCache.clear()
-        ownerSniffCache.getOrElseUpdate(
-          new org.apache.hadoop.fs.Path(dir).toUri.getPath +
-            "@" + mfStatus.getModificationTime,
-          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists")) &&
-            spark.read.parquet(s"$dir/lists").schema.fieldNames
-              .contains("owner"))
+        val key = new org.apache.hadoop.fs.Path(dir).toUri.getPath +
+          "@" + mfStatus.getModificationTime
+        ownerSniffCache.get(key) match {
+          case Some(v) => v
+          case None =>
+            // an ABSENT lists tree (a mid-crashed maintenance state) is a
+            // transient answer — report false but do NOT cache it, or the
+            // recovered owner tree would serve a demoted sniff forever
+            // under the unchanged manifest mtime
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists")))
+              false
+            else {
+              val v = spark.read.parquet(s"$dir/lists").schema.fieldNames
+                .contains("owner")
+              ownerSniffCache.put(key, v)
+              v
+            }
+        }
       }
     val mf = IndexManifest(jsonString(js, "format"),
       jsonLong(js, "dim").toInt, jsonLong(js, "n_centroids").toInt,
@@ -1853,19 +1873,35 @@ object Similarity {
       if (legacy) {
         // a pre-r18 marker was written BEFORE validation and carries no
         // fence: the crash may have fallen inside the validation window,
-        // so re-run the bounded compatibility checks NOW (the source tree
-        // still holds its manifest + models mid-move; only lists files
-        // migrate) and refuse loudly on mismatch — never a blind fold of
-        // a possibly-never-validated source (r17 ADVICE). The lists-schema
-        // check is skipped (a mid-move source's lists may be partial or
-        // gone), which is sound: a legacy marker that DID start moving had
-        // passed it, and one that did not still refuses here on any
-        // model/manifest mismatch.
+        // so re-run the compatibility checks NOW (the source tree still
+        // holds its manifest + models mid-move; only lists files migrate)
+        // and refuse loudly on mismatch — never a blind fold of a
+        // possibly-never-validated source (r17 ADVICE). The lists
+        // column-TYPE check also re-runs whenever both trees still have
+        // readable list files (remaining mid-move files share one schema;
+        // an id-type mismatch is in neither the manifest nor the models,
+        // so skipping it would fold int-id files into a long-id tree) —
+        // it is skipped only when a side has no readable lists (fully
+        // consumed source / empty partition shells), where there is
+        // nothing left to mis-fold.
         val dmf = readIndexManifest(spark, dir)
         val (dc, db) = readIndexModelsRaw(spark, dir)
+        def listColsOpt(d: String) =
+          scala.util.Try(spark.read.parquet(s"$d/lists")
+            .schema.fields.map(f => (f.name, f.dataType)).toSet).toOption
+        val destCols = listColsOpt(dir)
         srcs.foreach { s =>
-          if (fs.exists(p(manifestPath(s))))
+          if (fs.exists(p(manifestPath(s)))) {
             requireMergeCompatible(spark, dir, s, dmf, dc, db)
+            (destCols, listColsOpt(s)) match {
+              case (Some(dls), Some(sls)) => require(dls == sls,
+                s"recoverIndex: lists column types disagree — dest=$dls " +
+                  s"src=$sls; resuming this legacy merge would mix file " +
+                  "schemas (delete the marker and the source by hand if " +
+                  "the source is abandoned)")
+              case _ => ()
+            }
+          }
         }
         finishMerge(fs, dir, srcs)
       } else if (!jsonBoolOpt(marker.get, "validated")) {
@@ -2408,18 +2444,31 @@ object Similarity {
       }
     }
     if (moves.nonEmpty) {
+      // COLLISION names are resolved BEFORE the pool runs: within one fold
+      // the full move set is in hand, so same-named files of different
+      // sources dedupe deterministically driver-side (a concurrent
+      // exists-then-rename would be racy — on POSIX-rename filesystems two
+      // threads picking the same free target would silently clobber one
+      // file); the per-task exists-check then only guards against files
+      // already IN the destination, which are static under the held marker
+      val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+      val named = moves.map { case (f, partName) =>
+        val n0 = f.getName
+        val n = if (seen.add((partName, n0))) n0
+          else s"m${java.util.UUID.randomUUID().toString.replace("-", "")}_$n0"
+        (f, partName, n)
+      }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
       val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       try {
-        moves.map { case (f, partName) =>
+        named.map { case (f, partName, name) =>
           pool.submit(new Runnable {
             def run(): Unit = try {
               val destPart = p(s"$destDir/lists/$partName")
-              val name = f.getName
               val target = new org.apache.hadoop.fs.Path(destPart,
                 if (fs.exists(new org.apache.hadoop.fs.Path(destPart, name)))
-                  s"m${java.util.UUID.randomUUID().toString.take(8)}_$name"
+                  s"m${java.util.UUID.randomUUID().toString.replace("-", "")}_$name"
                 else name)
               if (!fs.rename(f, target)) failed.add(s"$f -> $target")
             } catch {
@@ -3032,7 +3081,19 @@ object Similarity {
         // stream's projection directly
         qbase.withColumn("__cid", explode(ivfProbes(col("__qv"), cents,
           math.min(resolveNProbe(nProbe, cents.length), cents.length))))
-      else ladderProbeCids(qbase, col("__qv"), cents, groupProbe)
+      else {
+        // past the threshold the caller's nProbe does NOT govern (the
+        // ladder probes whole groups) — say so, rather than silently
+        // changing recall characteristics under a tuned caller whose
+        // index was re-quantized past the literal regime (r17 refused
+        // here; the warning keeps the regime switch visible)
+        org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+          s"maxSimStream: ${cents.length} token centroids >= " +
+            s"$centroidTableThreshold — serving via the group ladder " +
+            s"(groupProbe=$groupProbe governs candidates; nProbe is not " +
+            "used on this path)")
+        ladderProbeCids(qbase, col("__qv"), cents, groupProbe)
+      }
     val lists = spark.read.parquet(s"$dir/lists")
       .select(col("corpus_id").as(corpusTokenId), col("__cid"))
     val ctok = corpusTokens.select(col(corpusTokenId), col(corpusId),

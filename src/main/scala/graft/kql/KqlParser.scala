@@ -141,7 +141,8 @@ object KqlParser {
   private final class Parser(toks: Vector[Tok], tables: String => DataFrame,
                              scalarBindings: Map[String, Column] = Map.empty,
                              partitionKey: Option[String] = None,
-                             allowAdmin: Boolean = false) {
+                             allowAdmin: Boolean = false,
+                             watermarkSec: Option[Long] = None) {
     private var pos = 0
 
     // `sort by` remembers its keys; a following `serialize` freezes them as the
@@ -991,7 +992,8 @@ object KqlParser {
         if (strategy == "shuffle")
           new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
             n => if (n == "__p") df else resolveTable(n),
-            partitionKey = Some(pkey), allowAdmin = allowAdmin).parseProgram()
+            partitionKey = Some(pkey), allowAdmin = allowAdmin,
+            watermarkSec = streamingWatermarkSec).parseProgram()
         else {
           val keys = df.select(col(pkey)).distinct().limit(65).collect().map(_.get(0))
           require(keys.length <= 64,
@@ -1001,7 +1003,8 @@ object KqlParser {
             val part = df.where_(col(pkey) <=> lit(v))
             new Parser(Vector(Ident("__p"), Punct("|")) ++ body,
               n => if (n == "__p") part else resolveTable(n),
-              allowAdmin = allowAdmin).parseProgram()
+              allowAdmin = allowAdmin,
+              watermarkSec = streamingWatermarkSec).parseProgram()
           }.reduce(_ unionKql _)
         }
       case "fork" =>
@@ -1029,7 +1032,8 @@ object KqlParser {
           val body = toks.slice(bstart, bend)
           legs += name -> new Parser(Vector(Ident("__f"), Punct("|")) ++ body,
             n => if (n == "__f") df else resolveTable(n),
-            allowAdmin = allowAdmin).parseProgram()
+            allowAdmin = allowAdmin,
+            watermarkSec = streamingWatermarkSec).parseProgram()
         }
         val built = legs.result()
         require(built.nonEmpty, "fork: expected at least one (sub-pipeline) leg")
@@ -1099,7 +1103,17 @@ object KqlParser {
         // bare `summarize by a, b` — group keys only (distinct over the keys)
         if (atIdent("by")) {
           pos += 1
-          df.select(parseProjList(): _*).distinct()
+          val keys = parseProjList()
+          if (df.isStreaming) {
+            // the distinct-over-keys form is a grouped aggregation with no
+            // aggregates: route through the SAME streaming lowering as the
+            // agg form (bin → event-time window, watermark honored or
+            // loudly refused) instead of an unbounded derived-column
+            // distinct that silently drops an explicit watermark
+            val one = count(lit(1)).as("__distinct_cnt")
+            streamingSummarize(df, keys, lastProjBins, Seq(one),
+              Seq(("__distinct_cnt", None))).drop("__distinct_cnt")
+          } else df.select(keys: _*).distinct()
         } else {
           val aggs = parseNamedAggList()
           val meta = lastAggListMeta
@@ -2393,7 +2407,8 @@ object KqlParser {
               s"piped table, got ${invokeArgs.length}")
         new Parser(body, n => if (n == params.head) df else resolveTable(n),
           params.tail.zip(invokeArgs).toMap,
-          allowAdmin = allowAdmin).parseProgram()
+          allowAdmin = allowAdmin,
+          watermarkSec = streamingWatermarkSec).parseProgram()
       case "make-series" =>
         // `make-series [name =] agg(...) [default = lit], ... on ts step Δ [by keys]`
         // Emits the regular grid as ROWS (one per key × bin), like the typed
@@ -2710,8 +2725,11 @@ object KqlParser {
     private var autoBinSize: Option[(Long, Boolean)] = None
 
     // `set streaming_watermark = <timespan>;` — lateness bound applied by a
-    // streaming windowed summarize (withWatermark on bin's source column)
-    private var streamingWatermarkSec: Option[Long] = None
+    // streaming windowed summarize (withWatermark on bin's source column);
+    // seeded from the enclosing parser for sub-pipelines (partition/fork/
+    // invoke legs), so a windowed streaming summarize inside a leg keeps
+    // the program's explicit watermark instead of silently dropping it
+    private var streamingWatermarkSec: Option[Long] = watermarkSec
 
     // set by parseBin's TIMESPAN form: (result column, source column name
     // when the first arg is a plain column, source expr, width seconds) —

@@ -130,6 +130,32 @@ class StreamingSpec extends SparkSpec {
           case other => throw new IllegalArgumentException(other) })
     }
     assert(e2.getMessage.contains("time axis"), e2.getMessage)
+    // bare `summarize by ...` (distinct over keys) routes through the SAME
+    // lowering: binned keys become event-time windows, the watermark
+    // applies, append mode emits each finalized key exactly once
+    val mem2 = MemoryStream[Ev]
+    val kqlD = graft.kql.KqlParser.parse(
+      """set streaming_watermark = 1m;
+        |events
+        || summarize by b = bin(ts, 1h), event_type""".stripMargin,
+      { case "events" => mem2.toDF()
+        case other => throw new IllegalArgumentException(other) })
+    assert(kqlD.isStreaming)
+    val qD = kqlD.writeStream.format("memory").queryName("kql_winsum_dist")
+      .outputMode("append").start()
+    try {
+      mem2.addData(ev("2024-01-01 10:10:00", 1, "click", 1.0),
+        ev("2024-01-01 10:20:00", 2, "click", 1.0),
+        ev("2024-01-01 10:40:00", 3, "view", 2.0))
+      qD.processAllAvailable()
+      mem2.addData(ev("2024-01-01 13:00:00", 4, "click", 5.0))
+      qD.processAllAvailable()
+      val gotD = spark.table("kql_winsum_dist")
+        .select(col("b").cast("string"), col("event_type"))
+        .as[(String, String)].collect().toSet
+      assert(gotD == Set(("2024-01-01 10:00:00", "click"),
+        ("2024-01-01 10:00:00", "view")), gotD.toString)
+    } finally qD.stop()
   }
 
   test("flatMapGroupsWithState sessionizer carries open sessions across batches") {
