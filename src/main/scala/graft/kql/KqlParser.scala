@@ -1115,7 +1115,9 @@ object KqlParser {
               Seq(("__distinct_cnt", None))).drop("__distinct_cnt")
           } else df.select(keys: _*).distinct()
         } else {
-          val aggs = parseNamedAggList()
+          streamingAggs = df.isStreaming
+          val aggs =
+            try parseNamedAggList() finally { streamingAggs = false }
           val meta = lastAggListMeta
           val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
           if (df.isStreaming)
@@ -2593,6 +2595,13 @@ object KqlParser {
     private var lastAggDistinctKey: Option[Column] = None
     private var lastAggListMeta: Seq[(String, Option[Column])] = Nil
 
+    // true while parsing a STREAMING summarize's aggregate list: the
+    // dcount family then maps to approx_count_distinct (Kusto's own
+    // semantics — its dcount is HLL-based; the exact countDistinct mapping
+    // is the batch oracle-friendly deviation) because Spark cannot stream
+    // an exact distinct aggregation at all
+    private var streamingAggs: Boolean = false
+
     /** Streaming `summarize` — KQL text over a Structured Stream gains the
       * event-store's central idiom, `summarize agg() by bin(_ts, Δ)`: a
       * whole-group-expression `bin(ts, Δ)` lowers to a Spark event-time
@@ -2796,11 +2805,21 @@ object KqlParser {
         case "minif" => min(when(args(1), args.head))
         case "max" => max(args.head)
         case "maxif" => max(when(args(1), args.head))
+        // Kusto's dcount IS approximate (HLL-based; the exact countDistinct
+        // mapping is this engine's batch oracle-friendly deviation). On a
+        // STREAM the exact form is also UNSUPPORTED by Spark (distinct
+        // aggregations cannot stream), so the streaming summarize maps the
+        // family to approx_count_distinct (rsd 0.01, the hll_if
+        // convention) — closer to Kusto AND the only form that runs
         case "dcount" =>
-          lastAggDistinctKey = Some(args.head); countDistinct(args.head)
+          lastAggDistinctKey = Some(args.head)
+          if (streamingAggs) approx_count_distinct(args.head, 0.01)
+          else countDistinct(args.head)
         case "dcountif" =>
           val k = when(args(1), args.head)
-          lastAggDistinctKey = Some(k); countDistinct(k)
+          lastAggDistinctKey = Some(k)
+          if (streamingAggs) approx_count_distinct(k, 0.01)
+          else countDistinct(k)
         case "hll" => approx_count_distinct(args.head)
         // mergeable DataSketches sketch (binary) — feeds hll_merge columns
         // and `evaluate dcount_intersect`; `hll` above keeps its historical
@@ -2887,9 +2906,21 @@ object KqlParser {
         case "binary_all_xor" => bit_xor(args.head)
         case "count_distinctif" =>
           val k = when(args(1), args.head)
-          lastAggDistinctKey = Some(k); countDistinct(k)
+          lastAggDistinctKey = Some(k)
+          // count_distinct is Kusto's EXACT variant: on a stream it cannot
+          // run (Spark limitation) — refuse toward dcount rather than
+          // silently approximating an operator whose whole contract is
+          // exactness
+          require(!streamingAggs, "count_distinctif over a stream: exact " +
+            "distinct aggregation cannot stream — use dcountif " +
+            "(approximate, the Kusto semantics)")
+          countDistinct(k)
         case "count_distinct" =>
-          lastAggDistinctKey = Some(args.head); countDistinct(args.head)
+          lastAggDistinctKey = Some(args.head)
+          require(!streamingAggs, "count_distinct over a stream: exact " +
+            "distinct aggregation cannot stream — use dcount " +
+            "(approximate, the Kusto semantics)")
+          countDistinct(args.head)
         // rsd 0.01 (not Spark's 0.05 default): HLL++ stays in exact sparse
         // mode far longer — the q_dcount_hll convention
         case "hll_if" => approx_count_distinct(when(args(1), args.head), 0.01)

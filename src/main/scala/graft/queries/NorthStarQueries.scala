@@ -1888,6 +1888,39 @@ object NorthStarQueries {
              |FROM events WHERE event_type <> 'scroll'
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // STREAMING dcount through KQL text: Kusto's dcount is HLL-based
+    // (approximate) by definition — on a stream the parser maps it to
+    // approx_count_distinct (rsd 0.01; Spark cannot stream the exact
+    // countDistinct this engine's BATCH mapping uses as its documented
+    // oracle-friendly deviation), composed with the same windowed
+    // lowering + watermark. The row's verdict: every streamed per-bucket
+    // estimate lands within 5% of the exact batch distinct count (at this
+    // cardinality HLL++ sparse mode is typically exact), alongside the
+    // exact counts themselves so the oracle has substance.
+    QueryDef("q_kql_streaming_dcount",
+      (s, d) => {
+        val stream = graft.streaming.StreamingIngest.loadStream(s, d, "events")
+        val kql = KqlParser.parse(
+          """set streaming_watermark = 30m;
+            |events
+            || summarize ud = dcount(user_id) by b = bin(ts, 1d), event_type""".stripMargin,
+          { case "events" => stream
+            case other => throw new IllegalArgumentException(other) })
+        val sunk = graft.streaming.StreamingIngest
+          .runBoundedAggregation(s, "q_kql_streaming_dcount_sink", kql)
+        val exact = T(s, d, "events")
+          .summarize(Seq(date_trunc("day", col("ts")).as("b"),
+            col("event_type")), countDistinct(col("user_id")).as("ex"))
+        sunk.join(exact, Seq("b", "event_type"))
+          .project(col("b"), col("event_type"),
+            (abs(col("ud") - col("ex")) * 100 <= col("ex") * 5).as("ok"),
+            col("ex"))
+          .sortBy(col("b"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS b, event_type, true AS ok,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // STREAMING image near-dup: an incoming image stream checked against a
     // static corpus with NO state store — the pigeonhole trick (hamming ≤ 6
     // over 64 bits ⇒ at least one of 8 8-bit chunks matches exactly) gives

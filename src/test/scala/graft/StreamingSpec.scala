@@ -156,6 +156,40 @@ class StreamingSpec extends SparkSpec {
       assert(gotD == Set(("2024-01-01 10:00:00", "click"),
         ("2024-01-01 10:00:00", "view")), gotD.toString)
     } finally qD.stop()
+    // dcount over a stream maps to approx_count_distinct — Kusto's OWN
+    // semantics (its dcount is HLL-based; the exact countDistinct mapping
+    // is the batch oracle-friendly deviation) and the only form Spark can
+    // stream at all. HLL++ at rsd 0.01 is exact at this cardinality.
+    val mem3 = MemoryStream[Ev]
+    val kqlDc = graft.kql.KqlParser.parse(
+      """set streaming_watermark = 1m;
+        |events
+        || summarize u = dcount(event_id) by b = bin(ts, 1h)""".stripMargin,
+      { case "events" => mem3.toDF()
+        case other => throw new IllegalArgumentException(other) })
+    val qDc = kqlDc.writeStream.format("memory").queryName("kql_winsum_dc")
+      .outputMode("append").start()
+    try {
+      mem3.addData(ev("2024-01-01 10:10:00", 1), ev("2024-01-01 10:20:00", 2),
+        ev("2024-01-01 10:30:00", 3), ev("2024-01-01 10:40:00", 3))
+      qDc.processAllAvailable()
+      mem3.addData(ev("2024-01-01 13:00:00", 9))
+      qDc.processAllAvailable()
+      val gotDc = spark.table("kql_winsum_dc")
+        .select(col("b").cast("string"), col("u"))
+        .as[(String, Long)].collect().toSet
+      assert(gotDc == Set(("2024-01-01 10:00:00", 3L)), gotDc.toString)
+    } finally qDc.stop()
+    // count_distinct is Kusto's EXACT variant — on a stream it refuses
+    // toward dcount instead of silently approximating
+    val e3 = intercept[IllegalArgumentException] {
+      graft.kql.KqlParser.parse(
+        """events
+          || summarize u = count_distinct(event_id) by b = bin(ts, 1h)""".stripMargin,
+        { case "events" => mem3.toDF()
+          case other => throw new IllegalArgumentException(other) })
+    }
+    assert(e3.getMessage.contains("cannot stream"), e3.getMessage)
   }
 
   test("flatMapGroupsWithState sessionizer carries open sessions across batches") {
