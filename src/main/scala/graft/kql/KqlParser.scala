@@ -906,11 +906,26 @@ object KqlParser {
     private def parseShufflePartitionOp(df: DataFrame, op: String, key: String): DataFrame =
       op match {
         case "summarize" =>
-          val aggs = parseNamedAggList()
+          streamingAggs = df.isStreaming
+          val aggs =
+            try parseNamedAggList() finally { streamingAggs = false }
           val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
+          val byBins = lastProjBins
           val keyInBy = by.exists(_.toString == key)
           val groups = if (keyInBy) by else col(key) +: by
-          val out = expandArgStar(df.summarize(groups, aggs: _*), aggs)
+          // a STREAMING leg routes through the same windowed lowering as
+          // the main summarize (bin → event-time window, watermark honored
+          // or loudly refused) — the shuffle-hint path must not be the one
+          // backdoor where an explicit watermark silently drops (the
+          // bare-`summarize by` class); bin indexes shift by the prepended
+          // partition key
+          val out = expandArgStar(
+            if (df.isStreaming)
+              streamingSummarize(df, groups,
+                if (keyInBy) byBins
+                else byBins.map { case (i, v) => (i + 1, v) },
+                aggs, lastAggListMeta)
+            else df.summarize(groups, aggs: _*), aggs)
           if (keyInBy) out else out.projectAway(key)
         case "top" =>
           val n = parseInt()

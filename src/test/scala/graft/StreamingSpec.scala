@@ -180,6 +180,33 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long)].collect().toSet
       assert(gotDc == Set(("2024-01-01 10:00:00", 3L)), gotDc.toString)
     } finally qDc.stop()
+    // the shuffle-hint partition leg routes through the SAME lowering —
+    // not a backdoor where the watermark silently drops
+    val mem4 = MemoryStream[Ev]
+    val kqlP = graft.kql.KqlParser.parse(
+      """set streaming_watermark = 1m;
+        |events
+        || partition hint.strategy=shuffle by event_type (
+        |    summarize n = count() by b = bin(ts, 1h) )""".stripMargin,
+      { case "events" => mem4.toDF()
+        case other => throw new IllegalArgumentException(other) })
+    assert(kqlP.isStreaming)
+    val qP = kqlP.writeStream.format("memory").queryName("kql_winsum_part")
+      .outputMode("append").start()
+    try {
+      mem4.addData(ev("2024-01-01 10:10:00", 1, "click", 1.0),
+        ev("2024-01-01 10:20:00", 2, "view", 1.0))
+      qP.processAllAvailable()
+      mem4.addData(ev("2024-01-01 13:00:00", 4, "click", 1.0))
+      qP.processAllAvailable()
+      // Kusto drops the partition key unless the by-list names it: the
+      // finalized bucket emits (b, n) per key — two keys, same bucket
+      val gotP = spark.table("kql_winsum_part")
+        .select(col("b").cast("string"), col("n"))
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(gotP == Seq(("2024-01-01 10:00:00", 1L),
+        ("2024-01-01 10:00:00", 1L)), gotP.toString)
+    } finally qP.stop()
     // count_distinct is Kusto's EXACT variant — on a stream it refuses
     // toward dcount instead of silently approximating
     val e3 = intercept[IllegalArgumentException] {
