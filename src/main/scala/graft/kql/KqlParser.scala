@@ -2430,6 +2430,16 @@ object KqlParser {
         // `make-series [name =] agg(...) [default = lit], ... on ts step Δ [by keys]`
         // Emits the regular grid as ROWS (one per key × bin), like the typed
         // makeSeries combinator; KQL's packed-array form is the rows pivoted.
+        // STREAMS refused at parse time with the alternative named: the
+        // regular-grid fill joins the bin spine AFTER the aggregation,
+        // which Structured Streaming disallows — the streaming idiom is
+        // the watermarked windowed summarize (gaps filled batch-side),
+        // loud here instead of an opaque mid-plan Spark error
+        require(!df.isStreaming,
+          "make-series over a stream: the regular-grid fill joins after " +
+            "the aggregation, which Structured Streaming disallows — use " +
+            "`summarize ... by bin(ts, Δ)` with `set streaming_watermark` " +
+            "and fill the grid batch-side")
         val aggs = Seq.newBuilder[Column]
         val fills = Seq.newBuilder[Column]
         def oneSeries(): Unit = {

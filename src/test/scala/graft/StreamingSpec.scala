@@ -217,6 +217,15 @@ class StreamingSpec extends SparkSpec {
           case other => throw new IllegalArgumentException(other) })
     }
     assert(e3.getMessage.contains("cannot stream"), e3.getMessage)
+    // make-series cannot stream (grid fill joins after the aggregation):
+    // refused at parse time naming the windowed-summarize alternative
+    val e4 = intercept[IllegalArgumentException] {
+      graft.kql.KqlParser.parse(
+        "events | make-series n = count() default = 0 on ts step 1h",
+        { case "events" => mem3.toDF()
+          case other => throw new IllegalArgumentException(other) })
+    }
+    assert(e4.getMessage.contains("make-series over a stream"), e4.getMessage)
   }
 
   test("flatMapGroupsWithState sessionizer carries open sessions across batches") {
