@@ -905,26 +905,48 @@ object KqlParser {
       * involvement). Row-local operators pass through unchanged. */
     private def parseShufflePartitionOp(df: DataFrame, op: String, key: String): DataFrame =
       op match {
+        case "summarize" if atIdent("by") =>
+          // bare `summarize by k1, k2` (distinct over keys) — same form the
+          // main path supports; the partition key joins the key set (Kusto
+          // drops it from the output unless the by-list names it)
+          pos += 1
+          val keys = parseProjList()
+          val keyBins = lastProjBins
+          val keyInBy = keys.exists(_.toString == key)
+          val groups = if (keyInBy) keys else col(key) +: keys
+          val outD =
+            if (df.isStreaming) {
+              val one = count(lit(1)).as("__distinct_cnt")
+              streamingSummarize(df, groups,
+                if (keyInBy) keyBins
+                else keyBins.map { case (i, v) => (i + 1, v) },
+                Seq(one), Seq(("__distinct_cnt", None))).drop("__distinct_cnt")
+            } else df.select(groups: _*).distinct()
+          if (keyInBy) outD else outD.projectAway(key)
         case "summarize" =>
-          streamingAggs = df.isStreaming
-          val aggs =
-            try parseNamedAggList() finally { streamingAggs = false }
-          val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
-          val byBins = lastProjBins
+          val aggs = parseAggListFor(df)
+          val meta = lastAggListMeta
+          // byBins only when THIS summarize parsed a by-list: lastProjBins
+          // otherwise still holds an EARLIER op's capture (a project's bin
+          // column), and shifting/consuming it here would crash or refuse
+          // on a bin this summarize never grouped by
+          val (by, byBins) =
+            if (atIdent("by")) { pos += 1; (parseProjList(), lastProjBins) }
+            else (Nil,
+              Map.empty[Int, (Option[String], org.apache.spark.sql.Column, Long)])
           val keyInBy = by.exists(_.toString == key)
           val groups = if (keyInBy) by else col(key) +: by
           // a STREAMING leg routes through the same windowed lowering as
           // the main summarize (bin → event-time window, watermark honored
           // or loudly refused) — the shuffle-hint path must not be the one
-          // backdoor where an explicit watermark silently drops (the
-          // bare-`summarize by` class); bin indexes shift by the prepended
-          // partition key
+          // backdoor where an explicit watermark silently drops; bin
+          // indexes shift by the prepended partition key
           val out = expandArgStar(
             if (df.isStreaming)
               streamingSummarize(df, groups,
                 if (keyInBy) byBins
                 else byBins.map { case (i, v) => (i + 1, v) },
-                aggs, lastAggListMeta)
+                aggs, meta)
             else df.summarize(groups, aggs: _*), aggs)
           if (keyInBy) out else out.projectAway(key)
         case "top" =>
@@ -1130,14 +1152,17 @@ object KqlParser {
               Seq(("__distinct_cnt", None))).drop("__distinct_cnt")
           } else df.select(keys: _*).distinct()
         } else {
-          streamingAggs = df.isStreaming
-          val aggs =
-            try parseNamedAggList() finally { streamingAggs = false }
+          val aggs = parseAggListFor(df)
           val meta = lastAggListMeta
-          val by = if (atIdent("by")) { pos += 1; parseProjList() } else Nil
+          // bins only from THIS summarize's by-list (see the shuffle-leg
+          // note: a stale capture from an earlier op must not be consumed)
+          val (by, byBins) =
+            if (atIdent("by")) { pos += 1; (parseProjList(), lastProjBins) }
+            else (Nil,
+              Map.empty[Int, (Option[String], org.apache.spark.sql.Column, Long)])
           if (df.isStreaming)
             expandArgStar(
-              streamingSummarize(df, by, lastProjBins, aggs, meta), aggs)
+              streamingSummarize(df, by, byBins, aggs, meta), aggs)
           else expandArgStar(leanOrPlainSummarize(df, by, aggs, meta), aggs)
         }
       case "sort" | "order" =>
@@ -2626,6 +2651,15 @@ object KqlParser {
     // is the batch oracle-friendly deviation) because Spark cannot stream
     // an exact distinct aggregation at all
     private var streamingAggs: Boolean = false
+
+    /** Parse a summarize aggregate list with the streaming flag scoped to
+      * exactly this parse — one place owns the set/reset, so no summarize
+      * call site can leak the flag (or forget it and silently produce an
+      * exact countDistinct that dies mid-plan on a stream). */
+    private def parseAggListFor(df: DataFrame): Seq[Column] = {
+      streamingAggs = df.isStreaming
+      try parseNamedAggList() finally { streamingAggs = false }
+    }
 
     /** Streaming `summarize` — KQL text over a Structured Stream gains the
       * event-store's central idiom, `summarize agg() by bin(_ts, Δ)`: a

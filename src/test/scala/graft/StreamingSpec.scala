@@ -217,6 +217,47 @@ class StreamingSpec extends SparkSpec {
           case other => throw new IllegalArgumentException(other) })
     }
     assert(e3.getMessage.contains("cannot stream"), e3.getMessage)
+    // a shuffle-leg summarize with NO by-list after an upstream binned
+    // project must not consume the project's stale bin capture: with a
+    // watermark set it refuses on the missing time axis (the guard), and
+    // without one it parses as a plain global aggregate per key
+    val eStale = intercept[IllegalArgumentException] {
+      graft.kql.KqlParser.parse(
+        """set streaming_watermark = 1m;
+          |events
+          || project b = bin(ts, 1h), event_type, value
+          || partition hint.strategy=shuffle by event_type ( summarize n = count() )""".stripMargin,
+        { case "events" => mem4.toDF()
+          case other => throw new IllegalArgumentException(other) })
+    }
+    assert(eStale.getMessage.contains("time axis"), eStale.getMessage)
+    // bare `summarize by ...` inside a shuffle leg: the distinct form
+    // parses (it previously failed at `by`) and routes through the same
+    // lowering — finalized distinct keys per partition key
+    val mem5 = MemoryStream[Ev]
+    val kqlB = graft.kql.KqlParser.parse(
+      """set streaming_watermark = 1m;
+        |events
+        || partition hint.strategy=shuffle by event_type (
+        |    summarize by b = bin(ts, 1h) )""".stripMargin,
+      { case "events" => mem5.toDF()
+        case other => throw new IllegalArgumentException(other) })
+    assert(kqlB.isStreaming)
+    val qB = kqlB.writeStream.format("memory").queryName("kql_winsum_bareby")
+      .outputMode("append").start()
+    try {
+      mem5.addData(ev("2024-01-01 10:10:00", 1, "click", 1.0),
+        ev("2024-01-01 10:20:00", 2, "view", 1.0))
+      qB.processAllAvailable()
+      mem5.addData(ev("2024-01-01 13:00:00", 4, "click", 1.0))
+      qB.processAllAvailable()
+      val gotB = spark.table("kql_winsum_bareby")
+        .select(col("b").cast("string")).as[String].collect().toSeq.sorted
+      // key dropped (not named in the by-list): one finalized bucket per
+      // (event_type, b) pair — click and view both in the 10:00 bucket
+      assert(gotB == Seq("2024-01-01 10:00:00", "2024-01-01 10:00:00"),
+        gotB.toString)
+    } finally qB.stop()
     // make-series cannot stream (grid fill joins after the aggregation):
     // refused at parse time naming the windowed-summarize alternative
     val e4 = intercept[IllegalArgumentException] {
