@@ -903,52 +903,50 @@ object KqlParser {
       * it, and so does this; `top` becomes a per-key window row_number cut
       * (one hash exchange on the key, per-partition heaps, no driver
       * involvement). Row-local operators pass through unchanged. */
-    private def parseShufflePartitionOp(df: DataFrame, op: String, key: String): DataFrame =
+    private def parseShufflePartitionOp(df: DataFrame, op: String, key: String): DataFrame = {
+      // same input-column context as parseStdOp — column_ifexists()/
+      // pack_all() inside a leg's by-list must resolve against the leg's
+      // input, not a stale/empty set
+      curCols = df.columns.toSet
+      curColsSeq = df.columns.toSeq
       op match {
-        case "summarize" if atIdent("by") =>
-          // bare `summarize by k1, k2` (distinct over keys) — same form the
-          // main path supports; the partition key joins the key set (Kusto
-          // drops it from the output unless the by-list names it)
-          pos += 1
-          val keys = parseProjList()
-          val keyBins = lastProjBins
-          val keyInBy = keys.exists(_.toString == key)
-          val groups = if (keyInBy) keys else col(key) +: keys
-          val outD =
-            if (df.isStreaming) {
-              val one = count(lit(1)).as("__distinct_cnt")
-              streamingSummarize(df, groups,
-                if (keyInBy) keyBins
-                else keyBins.map { case (i, v) => (i + 1, v) },
-                Seq(one), Seq(("__distinct_cnt", None))).drop("__distinct_cnt")
-            } else df.select(groups: _*).distinct()
-          if (keyInBy) outD else outD.projectAway(key)
         case "summarize" =>
-          val aggs = parseAggListFor(df)
-          val meta = lastAggListMeta
-          // byBins only when THIS summarize parsed a by-list: lastProjBins
-          // otherwise still holds an EARLIER op's capture (a project's bin
-          // column), and shifting/consuming it here would crash or refuse
-          // on a bin this summarize never grouped by
-          val (by, byBins) =
-            if (atIdent("by")) { pos += 1; (parseProjList(), lastProjBins) }
-            else (Nil,
-              Map.empty[Int, (Option[String], org.apache.spark.sql.Column, Long)])
-          val keyInBy = by.exists(_.toString == key)
-          val groups = if (keyInBy) by else col(key) +: by
-          // a STREAMING leg routes through the same windowed lowering as
-          // the main summarize (bin → event-time window, watermark honored
-          // or loudly refused) — the shuffle-hint path must not be the one
-          // backdoor where an explicit watermark silently drops; bin
-          // indexes shift by the prepended partition key
-          val out = expandArgStar(
-            if (df.isStreaming)
-              streamingSummarize(df, groups,
-                if (keyInBy) byBins
-                else byBins.map { case (i, v) => (i + 1, v) },
-                aggs, meta)
-            else df.summarize(groups, aggs: _*), aggs)
-          if (keyInBy) out else out.projectAway(key)
+          // hint.* accepted-and-ignored, same as the main-path summarize —
+          // a hinted summarize must not parse differently inside a leg
+          while (atIdent("hint")) {
+            pos += 1; eatPunct("."); ident(); eatPunct("="); val _ = next()
+          }
+          if (atIdent("by")) {
+            // bare `summarize by k1, k2` (distinct over keys) — same form
+            // the main path supports; the partition key joins the key set
+            // (Kusto drops it from the output unless the by-list names it)
+            pos += 1
+            val (keys, keyBins) = (parseProjList(), lastProjBins)
+            val keyInBy = keys.exists(_.toString == key)
+            val groups = if (keyInBy) keys else col(key) +: keys
+            val outD =
+              if (df.isStreaming) distinctViaStreamingSummarize(df, groups,
+                if (keyInBy) keyBins else shiftBins(keyBins))
+              else df.select(groups: _*).distinct()
+            if (keyInBy) outD else outD.projectAway(key)
+          } else {
+            val aggs = parseAggListFor(df)
+            val meta = lastAggListMeta
+            val (by, byBins) = parseByWithBins()
+            val keyInBy = by.exists(_.toString == key)
+            val groups = if (keyInBy) by else col(key) +: by
+            // a STREAMING leg routes through the same windowed lowering as
+            // the main summarize (bin → event-time window, watermark
+            // honored or loudly refused) — the shuffle-hint path must not
+            // be the one backdoor where an explicit watermark silently
+            // drops; bin indexes shift by the prepended partition key
+            val out = expandArgStar(
+              if (df.isStreaming)
+                streamingSummarize(df, groups,
+                  if (keyInBy) byBins else shiftBins(byBins), aggs, meta)
+              else df.summarize(groups, aggs: _*), aggs)
+            if (keyInBy) out else out.projectAway(key)
+          }
         case "top" =>
           val n = parseInt()
           eatIdent("by")
@@ -963,6 +961,35 @@ object KqlParser {
           s"operator '$other' is not supported inside partition " +
             "hint.strategy=shuffle (supported: row-local operators, summarize, top, count)")
       }
+    }
+
+    /** Parse an optional `by <proj-list>` and snapshot its bin captures —
+      * the ONLY sanctioned reader of [[lastProjBins]] besides the two
+      * bare-by branches (which read immediately after their own
+      * parseProjList): binding the snapshot to the parse that produced it
+      * is what prevents a stale capture from an EARLIER operator (a binned
+      * project upstream) being consumed by a by-less summarize. */
+    private def parseByWithBins()
+        : (Seq[Column], Map[Int, (Option[String], Column, Long)]) =
+      if (atIdent("by")) { pos += 1; (parseProjList(), lastProjBins) }
+      else (Nil, Map.empty)
+
+    /** Shift bin-capture indexes by one for the prepended partition key. */
+    private def shiftBins(bins: Map[Int, (Option[String], Column, Long)])
+        : Map[Int, (Option[String], Column, Long)] =
+      bins.map { case (i, v) => (i + 1, v) }
+
+    /** The bare-`summarize by` (distinct over keys) form on a STREAM —
+      * a grouped aggregation with no aggregates, routed through
+      * [[streamingSummarize]] via a dropped count so bins lower to
+      * event-time windows and the watermark applies; shared by the main
+      * and shuffle-leg paths so the two cannot drift. */
+    private def distinctViaStreamingSummarize(df: DataFrame,
+        groups: Seq[Column],
+        bins: Map[Int, (Option[String], Column, Long)]): DataFrame =
+      streamingSummarize(df, groups, bins,
+        Seq(count(lit(1)).as("__distinct_cnt")),
+        Seq(("__distinct_cnt", None))).drop("__distinct_cnt")
 
     // input columns of the operator currently being parsed — consulted by
     // column_ifexists(), which resolves at parse time against the operator
@@ -1140,26 +1167,20 @@ object KqlParser {
         // bare `summarize by a, b` — group keys only (distinct over the keys)
         if (atIdent("by")) {
           pos += 1
-          val keys = parseProjList()
-          if (df.isStreaming) {
-            // the distinct-over-keys form is a grouped aggregation with no
-            // aggregates: route through the SAME streaming lowering as the
-            // agg form (bin → event-time window, watermark honored or
-            // loudly refused) instead of an unbounded derived-column
-            // distinct that silently drops an explicit watermark
-            val one = count(lit(1)).as("__distinct_cnt")
-            streamingSummarize(df, keys, lastProjBins, Seq(one),
-              Seq(("__distinct_cnt", None))).drop("__distinct_cnt")
-          } else df.select(keys: _*).distinct()
+          val (keys, keyBins) = (parseProjList(), lastProjBins)
+          // the distinct-over-keys form is a grouped aggregation with no
+          // aggregates: on a stream it routes through the SAME lowering as
+          // the agg form (bin → event-time window, watermark honored or
+          // loudly refused) instead of an unbounded derived-column
+          // distinct that silently drops an explicit watermark
+          if (df.isStreaming) distinctViaStreamingSummarize(df, keys, keyBins)
+          else df.select(keys: _*).distinct()
         } else {
           val aggs = parseAggListFor(df)
           val meta = lastAggListMeta
-          // bins only from THIS summarize's by-list (see the shuffle-leg
-          // note: a stale capture from an earlier op must not be consumed)
-          val (by, byBins) =
-            if (atIdent("by")) { pos += 1; (parseProjList(), lastProjBins) }
-            else (Nil,
-              Map.empty[Int, (Option[String], org.apache.spark.sql.Column, Long)])
+          // bins only from THIS summarize's by-list (parseByWithBins — a
+          // stale capture from an earlier op must not be consumed)
+          val (by, byBins) = parseByWithBins()
           if (df.isStreaming)
             expandArgStar(
               streamingSummarize(df, by, byBins, aggs, meta), aggs)

@@ -217,20 +217,45 @@ class StreamingSpec extends SparkSpec {
           case other => throw new IllegalArgumentException(other) })
     }
     assert(e3.getMessage.contains("cannot stream"), e3.getMessage)
-    // a shuffle-leg summarize with NO by-list after an upstream binned
-    // project must not consume the project's stale bin capture: with a
-    // watermark set it refuses on the missing time axis (the guard), and
-    // without one it parses as a plain global aggregate per key
+    // a by-less summarize right after a binned PROJECT (the project runs
+    // in the SAME parser, so its bin capture is the live stale state) must
+    // not consume that capture: pre-guard this crashed with an index error
+    // shifting the phantom bin past the lone partition-key group; now the
+    // watermark refuses on the genuinely missing time axis
     val eStale = intercept[IllegalArgumentException] {
       graft.kql.KqlParser.parse(
         """set streaming_watermark = 1m;
           |events
-          || project b = bin(ts, 1h), event_type, value
-          || partition hint.strategy=shuffle by event_type ( summarize n = count() )""".stripMargin,
+          || partition hint.strategy=shuffle by event_type (
+          |    project b = bin(ts, 1h), value | summarize n = count() )""".stripMargin,
         { case "events" => mem4.toDF()
           case other => throw new IllegalArgumentException(other) })
     }
     assert(eStale.getMessage.contains("time axis"), eStale.getMessage)
+    // same stale-capture shape on the MAIN path (no partition wrapper)
+    val eStale2 = intercept[IllegalArgumentException] {
+      graft.kql.KqlParser.parse(
+        """set streaming_watermark = 1m;
+          |events
+          || project b = bin(ts, 1h), value
+          || summarize n = count()""".stripMargin,
+        { case "events" => mem4.toDF()
+          case other => throw new IllegalArgumentException(other) })
+    }
+    assert(eStale2.getMessage.contains("time axis"), eStale2.getMessage)
+    // hint.* inside a leg's summarize parses (accepted-and-ignored, the
+    // main-path convention) — batch form, values per partition key
+    val hinted = graft.kql.KqlParser.parse(
+      """events
+        || partition hint.strategy=shuffle by event_type (
+        |    summarize hint.shufflekey=value n = count() by b = bin(ts, 1h) )""".stripMargin,
+      { case "events" => Seq(ev("2024-01-01 10:10:00", 1, "click", 1.0),
+          ev("2024-01-01 10:20:00", 2, "view", 1.0)).toDF()
+        case other => throw new IllegalArgumentException(other) })
+      .select(col("b").cast("string"), col("n"))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(hinted == Seq(("2024-01-01 10:00:00", 1L),
+      ("2024-01-01 10:00:00", 1L)), hinted.toString)
     // bare `summarize by ...` inside a shuffle leg: the distinct form
     // parses (it previously failed at `by`) and routes through the same
     // lowering — finalized distinct keys per partition key
