@@ -296,8 +296,23 @@ object Sampling {
     val numbered = graft.kql.Kql.serializedRowFns(filtered,
       Seq(source, md5(id.cast("string")), id),
       Seq(graft.kql.Kql.RowNumber(rn)))
-    val offsets = numbered.groupBy(source.as("__ri_src"))
-      .agg(min(col(rn)).as("__ri_base"))
+    // Per-source base offsets from plain COUNTS over the PRE-numbered frame:
+    // the numbering above orders by (source, ...) first, so every source's
+    // rows are contiguous and source s's first global row number is exactly
+    // 1 + Σ counts of sources that sort before s. Computing min(rn) per
+    // source instead (the pre-r18 form) made the whole range+sort numbering
+    // subtree a SECOND consumer — a full re-sort/re-window pass of the
+    // corpus for a #sources-row table (guide §2.4: remove shuffles
+    // outright). The cumulative window runs over #sources rows only — the
+    // scalar-count posture, never data-sized.
+    val counts = filtered.groupBy(source.as("__ri_src"))
+      .agg(count(lit(1)).as("__ri_n"))
+    val offsets = counts
+      .withColumn("__ri_base",
+        lit(1L) + coalesce(
+          sum(col("__ri_n")).over(Window.orderBy(col("__ri_src"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__ri_src"), col("__ri_base"))
     val timed = numbered
       .join(broadcast(offsets), source === col("__ri_src"))
       .withColumn(vt, expr(

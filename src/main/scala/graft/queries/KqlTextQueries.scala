@@ -2994,13 +2994,21 @@ object KqlTextQueries {
     // oracle is the plain all-pairs distance join — if bucketing missed a
     // pair, this row reddens.
     QueryDef("q_kql_spatial_join",
+      // `pts` is MATERIALIZED: without the barrier Catalyst inlines the
+      // geohash column chain into every consumer — the probe leg's pushed
+      // explode-guard (`size(ks) > 0`) alone re-evaluated the whole
+      // 4-character encode chain per row, and the build leg recomputed it
+      // again (plans/r18/q_kql_spatial_join_before.txt nodes 2/4/11). The
+      // barrier computes gh ONCE over the filtered points and both join
+      // legs read the cached frame (guide §1.2: don't recompute what a
+      // shared intermediate answers; the q_kql_materialize device).
       (s, d) => run(s, d,
-        """let pts = events
+        """let pts = materialize(events
           || where event_id % 29 == 0
           || extend lat = 40.0 + todouble(event_id % 97) / 80.0,
           |    lng = -73.5 + todouble(event_id % 89) / 60.0
           || extend gh = geo_point_to_geohash(lng, lat, 4)
-          || project event_id, lat, lng, gh;
+          || project event_id, lat, lng, gh);
           |pts
           || extend ks = array_concat(pack_array(gh), geo_geohash_neighbors(gh))
           || mv-expand k = ks to typeof(string)

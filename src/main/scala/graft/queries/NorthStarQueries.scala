@@ -2628,27 +2628,35 @@ object NorthStarQueries {
         // sfDir) via pipeCache: the self-join would otherwise re-run the
         // shingle HOF + the df aggregate on both sides, and a per-invocation
         // persist would stack copies across bench passes (the simhash
-        // persist-barrier lesson).
+        // persist-barrier lesson). The per-doc shingle-set size `l` rides
+        // the exploded rows (one int per row) instead of a separate `lens`
+        // frame: the denominators come out of the self-join's group keys,
+        // which removes TWO more full-corpus scans re-running the shingle
+        // HOF (the plan's nodes 34/40 pre-change) plus their two joins —
+        // at 100 TB the HOF over the whole corpus is the dominant cost and
+        // must run exactly once (guide §1.2/§2.3: don't recompute what a
+        // carried column can answer).
         val exf = {
           evictStale(s)
           pipeCache.getOrElseUpdate(cacheKey(s, d, "contexf"), {
-            val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-              .select(col("doc_id"), xxhash64(col("s")).as("s"))
+            val ex = docs
+              .select(col("doc_id"), size(col("sh")).as("l"),
+                explode(col("sh")).as("s"))
+              .select(col("doc_id"), col("l"), xxhash64(col("s")).as("s"))
             val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
               .where(col("df").between(2, 50)).select("s")
             ex.join(keep, Seq("s"), "left_semi")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           })
         }
-        val inter = exf.as("a")
+        exf.as("a")
           .join(exf.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          // la/lb are functionally dependent on the doc ids, so grouping by
+          // them changes no group — it just carries the denominators through
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.l").as("la"), col("b.l").as("lb"))
           .agg(count(lit(1)).as("c"))
-        val lens = docs.select(col("doc_id"), size(col("sh")).as("l"))
-        inter
-          .join(lens.select(col("doc_id").as("id_a"), col("l").as("la")), "id_a")
-          .join(lens.select(col("doc_id").as("id_b"), col("l").as("lb")), "id_b")
           .select(col("id_a"), col("id_b"),
             (col("c").cast("double") / col("la")).as("c_ab"),
             (col("c").cast("double") / col("lb")).as("c_ba"))
