@@ -20,10 +20,20 @@ object Dedup {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Exact dedup: keep one deterministic representative per content hash (min id).
-    * One shuffle on the digest; map-side partial aggregation shrinks it first. */
+    * One shuffle on the digest; map-side partial aggregation shrinks it first.
+    *
+    * Implemented as `min(struct(id, rest...))` per digest, NOT a row_number
+    * window: the struct compares on id first (asc, like the window's orderBy),
+    * so the surviving row is identical — but the hash aggregate combines
+    * map-side (every input partition forwards ONE candidate per digest instead
+    * of every duplicate) and skips the window's per-partition sort. On a
+    * duplicate-heavy crawl corpus that is the difference between shuffling the
+    * corpus and shuffling its distinct contents (guide §2.3). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val rest = df.columns.filterNot(_ == idCol).toSeq
+    df.groupBy(contentHash(col(textCol)).as("__ch"))
+      .agg(min(struct((idCol +: rest).map(col): _*)).as("__r"))
+      .select(df.columns.toIndexedSeq.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Exact-duplicate groups: digest → group size + representative id. */

@@ -191,12 +191,23 @@ object Tables {
   }
 
   /** Deterministic keyed dedup: one row per key, tie-broken by the full remaining
-    * row ordering (KQL `take_any` made reproducible). */
+    * row ordering (KQL `take_any` made reproducible).
+    *
+    * Implemented as `min(struct(rest...))` per key, NOT a row_number window:
+    * struct ordering is lexicographic by field in the same (asc, nulls-first)
+    * order the window's orderBy used, so the surviving row is identical — but
+    * the hash aggregate combines map-side (each input partition forwards ONE
+    * candidate row per key instead of every duplicate) and needs no sort. At
+    * merge-dedup scale (every resubmitted batch doubles the rows) that halves
+    * the shuffle and removes a full per-partition sort pass (guide §2.3
+    * "aggregate before you shuffle"). */
   def dedupRows(df: DataFrame, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rest = df.columns.filterNot(keys.contains).map(col).toSeq
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(rest: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val rest = df.columns.filterNot(keys.contains).toSeq
+    if (rest.isEmpty) df.dropDuplicates(keys)
+    else df.groupBy(keys.map(col): _*)
+      .agg(min(struct(rest.map(col): _*)).as("__r"))
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (keys.contains(c)) col(c) else col("__r").getField(c).as(c)): _*)
   }
 
   // ------------------------------------------------------------------
