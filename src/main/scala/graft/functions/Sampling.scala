@@ -303,16 +303,17 @@ object Sampling {
     // source instead (the pre-r18 form) made the whole range+sort numbering
     // subtree a SECOND consumer — a full re-sort/re-window pass of the
     // corpus for a #sources-row table (guide §2.4: remove shuffles
-    // outright). The cumulative window runs over #sources rows only — the
-    // scalar-count posture, never data-sized.
+    // outright). The prefix sum over the #ratios-bounded counts table rides
+    // the broadcast b<a self-join (the serializedRowFns stats idiom), not a
+    // global window, so no SinglePartition exchange enters the plan.
     val counts = filtered.groupBy(source.as("__ri_src"))
       .agg(count(lit(1)).as("__ri_n"))
-    val offsets = counts
-      .withColumn("__ri_base",
-        lit(1L) + coalesce(
-          sum(col("__ri_n")).over(Window.orderBy(col("__ri_src"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__ri_src"), col("__ri_base"))
+    val ca = counts.alias("a")
+    val cb = counts.alias("b")
+    val offsets = ca
+      .join(broadcast(cb), col("b.__ri_src") < col("a.__ri_src"), "left_outer")
+      .groupBy(col("a.__ri_src").as("__ri_src"))
+      .agg((lit(1L) + coalesce(sum(col("b.__ri_n")), lit(0L))).as("__ri_base"))
     val timed = numbered
       .join(broadcast(offsets), source === col("__ri_src"))
       .withColumn(vt, expr(
