@@ -129,11 +129,18 @@ object Dsir {
         round((log((col("tt") + 0.5) / (col("ttot") + aB))
           - log((col("r") + 0.5) / (col("rtot") + aB))) * 1e6)
           .cast("long").as("lrq"))
-    // scoring: per-(doc,bucket) integer counts x the broadcast model
-    val scores = feats.groupBy("id", "b").agg(count(lit(1)).as("n"))
+    // scoring: ONE per-doc aggregation — each feature occurrence picks up
+    // its bucket's quantized ratio through the broadcast join and the
+    // per-doc score is the direct integer sum (Σ_occurrences lrq(b) ≡
+    // Σ_b n_b·lrq(b), bit-identical). The former per-(doc,bucket) count
+    // pass was a second full shuffle keyed (id, b); a doc's features sit
+    // in one partition of the persisted stream, so partial aggregation
+    // already collapses the per-doc shuffle to ~one row per doc (guide
+    // §2.3/§2.4).
+    val scores = feats
       .join(broadcast(lr), Seq("b"))
-      .groupBy("id").agg(sum(col("n") * col("lrq")).as("s"),
-        sum(col("n")).as("nf"))
+      .groupBy("id").agg(sum(col("lrq")).as("s"),
+        count(lit(1)).as("nf"))
     scores.select(col("id"), col("nf").as("n_feats"),
       col("s").as("logw_micro"),
       (col("s").cast("double") / 1e6).as("logw"),

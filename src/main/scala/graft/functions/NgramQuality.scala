@@ -95,16 +95,23 @@ object NgramQuality {
     val feats = corpus.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .select(col("id"), explode(Dsir.featureBuckets(col("__t"), buckets)).as("b"))
-    val perDoc = feats.groupBy("id", "b").agg(count(lit(1)).as("__n"))
     // wq0 is constant across the weights table; a left-join miss needs it,
     // so it ships separately as a one-row broadcast
     val w0 = weights.agg(first(col("wq0")).as("wq0"))
-    val scores = perDoc
+    // ONE aggregation keyed by doc: each feature OCCURRENCE picks up its
+    // bucket weight through the broadcast join and the per-doc logit is the
+    // direct integer sum — Σ_occurrences w(b) ≡ Σ_b n_b·w(b), same exact
+    // integers. The former per-(doc, bucket) count pass added a second
+    // full shuffle (keyed (id, b)) before the per-doc one; a doc's features
+    // sit in one scan partition, so partial aggregation already collapses
+    // this shuffle to ~one row per doc (guide §2.3 "aggregate before you
+    // shuffle", §2.4 "remove shuffles outright").
+    val scores = feats
       .join(broadcast(weights.select(col("b"), col("wq"))), Seq("b"), "left")
       .crossJoin(broadcast(w0))
       .groupBy("id").agg(
-        sum(col("__n") * coalesce(col("wq"), col("wq0"))).as("__s"),
-        sum(col("__n")).as("__nf"))
+        sum(coalesce(col("wq"), col("wq0"))).as("__s"),
+        count(lit(1)).as("__nf"))
     scores.crossJoin(broadcast(prior))
       .select(col("id"), col("__nf").as("n_feats"),
         (col("__s") + col("pq")).as("logit_micro"),

@@ -415,8 +415,43 @@ object Similarity {
     * whose probes all landed on it, where flat assignment gives every
     * non-null vector ≥ 1 cid. Returns (non-empty supers, compacted group id
     * per centroid). */
+  /** Memo for [[superGroups]]: the grouping is a PURE function of the
+    * centroid matrix (deterministic k-means, strided sampling), yet every
+    * query (re)construction re-paid the O(sampleCap·√k·dim·iters)
+    * driver-side k-means (~0.2 s at k≈10⁴) — per bench sample, per serve
+    * path. Model-derivation caching, the ivfModelCache posture: content
+    * key = (geometry + full content hash), hits verified element-exact so
+    * a hash collision can never serve the wrong grouping; bounded FIFO. */
+  private val superGroupsCache = new java.util.LinkedHashMap[
+      (Int, Int, Int, Int, Int),
+      (Array[Array[Float]], (Array[Array[Float]], Array[Int]))](16, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (Int, Int, Int, Int, Int),
+        (Array[Array[Float]], (Array[Array[Float]], Array[Int]))]): Boolean =
+      size() > 8
+  }
+
   private[graft] def superGroups(centroids: Array[Array[Float]],
       kmIters: Int = 5, sampleCap: Int = 4096)
+      : (Array[Array[Float]], Array[Int]) = {
+    val key = (centroids.length, if (centroids.isEmpty) 0 else centroids.head.length,
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]]),
+      kmIters, sampleCap)
+    superGroupsCache.synchronized {
+      val hit = superGroupsCache.get(key)
+      if (hit != null && hit._1.length == centroids.length &&
+          hit._1.indices.forall(i => java.util.Arrays.equals(hit._1(i), centroids(i))))
+        return hit._2
+    }
+    val computed = superGroupsUncached(centroids, kmIters, sampleCap)
+    superGroupsCache.synchronized {
+      superGroupsCache.put(key, (centroids, computed))
+    }
+    computed
+  }
+
+  private def superGroupsUncached(centroids: Array[Array[Float]],
+      kmIters: Int, sampleCap: Int)
       : (Array[Array[Float]], Array[Int]) = {
     require(sampleCap >= 1, "superGroups: sampleCap must be >= 1")
     val k2 = math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
