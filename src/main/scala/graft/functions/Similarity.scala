@@ -884,9 +884,51 @@ object Similarity {
     * [[recoverIndex]] repairs, then serving resumes. */
   def readIndexModels(spark: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    requireCleanIndex(org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration), dir, "readIndexModels")
-    readIndexModelsRaw(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    requireCleanIndex(fs, dir, "readIndexModels")
+    // Open-once serving: every serve construction was re-collecting the
+    // centroid and codebook tables as two Spark jobs (~0.3-0.4 s of
+    // driver-side open per request). The models are cached per (session,
+    // dir) behind a freshness validator of (manifest bytes, centroids/
+    // codebooks dir mtimes): ops that CHANGE models rewrite the manifest
+    // and swap/extend those dirs (writeIndex, rebuild, split), so they
+    // miss; append/compact/delete/merge leave models untouched and hit.
+    // The under-lock merge validation reads through readIndexModelsRaw
+    // and never sees this cache.
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a tree the validator cannot even stat (missing manifest/model dirs)
+    // bypasses the cache entirely so the raw path raises its CONTRACTUAL
+    // loud error (IllegalArgumentException with the diff), not an FS one
+    val validator =
+      try Some((readUtf8(fs, manifestPath(dir)),
+        fs.getFileStatus(p(s"$dir/centroids")).getModificationTime,
+        fs.getFileStatus(p(s"$dir/codebooks")).getModificationTime))
+      catch { case _: java.io.IOException => None }
+    val key = (System.identityHashCode(spark), dir)
+    validator match {
+      case None => readIndexModelsRaw(spark, dir)
+      case Some(v) =>
+        modelOpenCache.synchronized {
+          val hit = modelOpenCache.get(key)
+          if (hit != null && hit._1 == v) return hit._2
+        }
+        val models = readIndexModelsRaw(spark, dir)
+        modelOpenCache.synchronized {
+          modelOpenCache.put(key, (v, models))
+        }
+        models
+    }
+  }
+
+  private val modelOpenCache = new java.util.LinkedHashMap[
+      (Int, String),
+      ((String, Long, Long), (Array[Array[Float]], Array[Array[Array[Float]]]))](
+      16, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (Int, String),
+        ((String, Long, Long), (Array[Array[Float]], Array[Array[Array[Float]]]))])
+        : Boolean = size() > 16
   }
 
   /** [[readIndexModels]] WITHOUT the maintenance-leftover guard — for the

@@ -112,14 +112,25 @@ object Tables {
     * Parquet bloom filters on the requested columns serve `has`/equality term
     * lookups — the cheap public stand-in for the reserved `IndexType::FullText`
     * slot (segment_metadata.proto:40). */
+  /** Expected distinct values for segment bloom filters. parquet-mr sizes
+    * an un-hinted bloom at `parquet.bloom.filter.max.bytes` (1 MiB) and
+    * only shrinks it at file close — every (file, column) pays a 1 MiB
+    * candidate-bits allocation, which at one file per day bucket dominated
+    * the whole append job (measured: the 30-bucket fixture append spends
+    * ~0.5 s/write, mostly writer open/close). Term-lookup columns here are
+    * low-cardinality by declaration (event types, tags); 100k NDV at 1%
+    * fpp is ~120 KiB — still generous, 8× cheaper to allocate. Callers
+    * with genuinely high-NDV bloom columns can raise it per append. */
   def appendSegment(df: DataFrame, path: String, tsCol: String = "_ts",
-                    bloomCols: Seq[String] = Nil): Unit = {
+                    bloomCols: Seq[String] = Nil,
+                    bloomExpectedNdv: Long = 100000L): Unit = {
     val writer = prepareIngest(df, tsCol)
       .withColumn("ts_bucket", date_format(col(tsCol), "yyyy-MM-dd"))
       .sortWithinPartitions(col("ts_bucket"), col(tsCol))
       .write.mode("append")
     bloomCols.foldLeft(writer) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomExpectedNdv.toString)
     }.partitionBy("ts_bucket").parquet(path)
   }
 

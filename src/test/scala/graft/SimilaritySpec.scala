@@ -2147,4 +2147,34 @@ class SimilaritySpec extends SparkSpec {
       cents.take(64), 2)
     assert(litPlan.count() == emb.count() * 2)
   }
+
+  test("open-index model cache never serves stale models across a model rewrite") {
+    // readIndexModels memoizes the opened models per (session, dir) behind a
+    // (manifest bytes, model-dir mtimes) validator — an overwrite that
+    // RETRAINS (different seed => different centroids) must miss the cache
+    // and surface the new models, while a second open of an untouched tree
+    // hits it (same arrays back, no re-read).
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("corpus_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_mc").toString
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2, seed = 42L)
+    val first = Similarity.readIndexModels(spark, dir)
+    val again = Similarity.readIndexModels(spark, dir)
+    assert(again._1 eq first._1,
+      "untouched tree must hit the model cache (same centroid arrays back)")
+    // retrain in place with a different seed: manifest + model dirs rewritten
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Similarity.writeIndex(corpus, dir, "corpus_id", "embedding", 64,
+      nCentroids = 8, iters = 2, seed = 7L)
+    val retrained = Similarity.readIndexModels(spark, dir)
+    assert(!(retrained._1 eq first._1),
+      "model rewrite must invalidate the open-index cache")
+    assert(retrained._1.length == 8)
+    // and the refreshed models must match what a raw (uncached) read sees
+    assert(retrained._1.map(_.toSeq).toSeq ==
+      Similarity.readIndexModels(spark, dir)._1.map(_.toSeq).toSeq)
+  }
 }
