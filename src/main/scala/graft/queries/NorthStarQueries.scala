@@ -2645,7 +2645,15 @@ object NorthStarQueries {
               .select(col("doc_id"), col("l"), xxhash64(col("s")).as("s"))
             val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
               .where(col("df").between(2, 50)).select("s")
+            // hash-distribute by the join key BEFORE the persist: the cache
+            // otherwise inherits the scan's single partition (one parquet
+            // split), which ran the whole a×b join + pair aggregate as ONE
+            // task (JobProbe: a 1.05 s single-task stage with 31 idle
+            // cores). InMemoryRelation preserves outputPartitioning, so
+            // both self-join legs read the cache already partitioned on
+            // `s` — parallel AND exchange-free (guide §2.4).
             ex.join(keep, Seq("s"), "left_semi")
+              .repartition(s.sparkContext.defaultParallelism, col("s"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           })
         }

@@ -339,9 +339,17 @@ object Queries {
         // doubles every input row — the dominant cost at scale
         .project(col("event_type"), col("user_id")).distinct()
         .summarize(Seq(col("event_type")),
-          // rsd 0.01 (HLL++ precision 14): the default 5% rsd leaves zero margin
-          // against the 5% assert — observed breaching it at sf0.1 group sizes
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          // DataSketches HLL at lgK 14 — the same 2^14-register geometry as
+          // HLL++ precision 14 (rsd ≈ 0.8%, ample margin against the 5%
+          // assert; exact in sparse mode at fixture cardinalities), but the
+          // sketch update/merge kernel measures ~8x cheaper than Spark's
+          // HLL++ at rsd 0.01 (1.2-1.4 s vs 0.16 s on the fixture shape —
+          // HllProbe), whose fixed-width 22 KiB aggregation buffers dominate
+          // every stage they pass through. Same mergeable-HLL operator
+          // semantics; the estimate itself never leaves the plan (only
+          // within_5pct does).
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+            .as("approx_users"),
           count(lit(1)).as("exact_users"))
         .project(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /
@@ -1042,7 +1050,12 @@ object Queries {
           substring(col("h"), 1, 8), substring(col("h"), 9, 4),
           substring(col("h"), 13, 4), substring(col("h"), 17, 4),
           substring(col("h"), 21, 12)))
-        .where_(substring(col("guid"), 1, 1).isin("a", "b", "c"))
+        // filter on h's first hex digit (≡ guid's first char — the oracle's
+        // own formulation): filtering on the derived guid pushed the filter
+        // below the projection with the WHOLE md5+concat chain re-inlined
+        // per reference — 6 md5 evaluations per row (guide §4.4's
+        // duplicated-derived-column trap, with built-ins)
+        .where_(substring(col("h"), 1, 1).isin("a", "b", "c"))
         .project(col("o_orderkey"), col("guid"))
         .sortBy(col("o_orderkey")),
       Some("""SELECT o_orderkey,

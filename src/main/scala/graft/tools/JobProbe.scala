@@ -14,13 +14,17 @@ object JobProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    var b = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
+    // hypothesis testing: SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2" overlays confs
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b = b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Warmup.run(spark)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
