@@ -52,8 +52,29 @@ object Caching {
     try a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed)
     catch { case _: Throwable => false }
 
-  def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** `spread = true` widens a THIN frame before the persist: a barrier
+    * inherits its source's partitioning, and a scan-rooted barrier over a
+    * single input split holds ONE cached partition — every downstream
+    * consumer then runs single-task (measured: q_simhash_pairs'
+    * chunk-explode + self-join leg 0.58 s on one core with 31 idle; the
+    * same shape at 100 TB is a thin coalesced intermediate starving a
+    * wide cluster). Round-robin is deterministic under retries
+    * (sort-before-repartition); callers opting in are relational
+    * consumers (joins/aggs) or re-sort explicitly, so row order is free.
+    * OPT-IN because it is wrong for small/cheap barriers: spreading a
+    * model-sized frame (per-bucket counts, waterfill seeds) turns every
+    * downstream 1-task job into a #cores-task job and measured as a
+    * regression (q_dsir_weights 0.40 → 1.29 s under a blanket spread).
+    * Post-shuffle barriers are already wide and pass through either way. */
+  def materialize(df: DataFrame, spread: Boolean = false): DataFrame = {
+    val par = try df.sparkSession.sparkContext.defaultParallelism
+      catch { case _: Throwable => 0 }
+    val wide =
+      if (spread && !df.isStreaming && par > 0 &&
+          (try df.rdd.getNumPartitions < par catch { case _: Throwable => false }))
+        df.repartition(par)
+      else df
+    val p = wide.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
       // dead sessions' entries can never be read again — drop them first
       // (their unpersist is a no-op on a stopped context, caught by drop)

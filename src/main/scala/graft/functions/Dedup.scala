@@ -329,10 +329,14 @@ object Dedup {
     // every chunk-key expression below (9× per row, per join side) —
     // observed 396s vs 12s at sf0.1. (Bounded-registry persist; a bare
     // persist leaked one CacheManager entry per distinct plan.)
+    // spread = true: the signature barrier is scan-rooted (one input split
+    // = one cached partition) and its consumers — the chunk-key explode
+    // and both self-join legs — otherwise run single-task (JobProbe:
+    // 0.58 s one-core stage with 31 idle)
     val sigs = Caching.materialize(df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), transform(col("__toks"), t => portableHash60(t)).as("__h"))
-      .select(col("id"), simHashFromHashes(col("__h")).as("sim")))
+      .select(col("id"), simHashFromHashes(col("__h")).as("sim")), spread = true)
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(i => i * 64 / chunks)
     val chunkKeys = (0 until chunks).map { c =>

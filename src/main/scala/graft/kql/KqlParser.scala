@@ -332,22 +332,12 @@ object KqlParser {
           // re-inlining) and cannot accumulate one CacheManager entry per
           // parse (ContextCleaner never reaps Dataset caches — r13 ADVICE).
           pos += 2
-          val bound = parseQuery()
-          // widen a THIN bound pipeline before the persist: a materialized
-          // frame inherits its source's partitioning (a single parquet
-          // split = ONE cached partition), and every downstream consumer
-          // of the cache then runs single-task — q_kql_spatial_join's
-          // 3M-pair haversine stage measured 0.65 s on one core with 31
-          // idle. Kusto's materialize() promises evaluate-once, not row
-          // order; the round-robin spread is deterministic under retries
-          // (sort-before-repartition). Wide frames pass through untouched.
-          val spread =
-            if (!bound.isStreaming && bound.rdd.getNumPartitions <
-                bound.sparkSession.sparkContext.defaultParallelism)
-              bound.repartition(
-                bound.sparkSession.sparkContext.defaultParallelism)
-            else bound
-          bindings(name) = graft.functions.Caching.materialize(spread)
+          // spread = true: a thin bound pipeline (single-split source)
+          // otherwise leaves ONE cached partition and every consumer runs
+          // single-task — the q_kql_spatial_join 3M-pair haversine stage
+          // measured 0.65 s on one core with 31 idle
+          bindings(name) =
+            graft.functions.Caching.materialize(parseQuery(), spread = true)
           eatPunct(")")
         }
         else if (!parseLetScalar(name)) bindings(name) = parseQuery()

@@ -2818,11 +2818,19 @@ object NorthStarQueries {
       (s, d) => {
         val docs = T(s, d, "documents")
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        val withLines = docs.select(col("doc_id"),
-          concat(
-            transform(sequence(lit(0), floor((size(col("toks")) - 1) / 10.0).cast("int")),
-              i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))),
-            array(concat(lit("subscribe to "), col("source")))).as("lines"))
+        // materialized + spread: the lines construction (split + slice +
+        // concat per 10-token group) is consumed by BOTH the
+        // boilerplate-df leg and the final cleaned-output leg —
+        // un-barriered it re-ran per leg, single-task (one parquet split;
+        // JobProbe: 0.38 s one-core stage). The barrier computes it once
+        // and spreads it cluster-wide.
+        val withLines = graft.functions.Caching.materialize(
+          docs.select(col("doc_id"),
+            concat(
+              transform(sequence(lit(0), floor((size(col("toks")) - 1) / 10.0).cast("int")),
+                i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))),
+              array(concat(lit("subscribe to "), col("source")))).as("lines")),
+          spread = true)
         val ln = withLines.select(col("doc_id"), explode(col("lines")).as("line"))
         val boiler = ln.groupBy(lower(trim(col("line"))).as("norm"))
           .agg(countDistinct(col("doc_id")).as("df")).where(col("df") >= 20)

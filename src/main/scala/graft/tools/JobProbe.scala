@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * region instead of a guess. Usage: JobProbe <query> [sfDir] [runs]. */
 object JobProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,15 +45,17 @@ object JobProbe {
           f"execRun=${run / 1e3}%7.2fs  ${info.name.take(90)}")
       }
     })
-    (1 to runs).foreach { i =>
-      lines.clear()
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let listener events drain
-      println(f"[$name] run$i total=$dt%.2fs")
-      lines.forEach(l => println(l))
+    names.foreach { name =>
+      (1 to runs).foreach { i =>
+        lines.clear()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let listener events drain
+        println(f"[$name] run$i total=$dt%.2fs")
+        if (i == runs) lines.forEach(l => println(l))
+      }
     }
     spark.stop()
   }
