@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Mergeable quantile sketches — the KQL `tdigest` / `tdigest_merge` /
@@ -105,5 +107,75 @@ object QuantileSketch {
         // 100.0 * long is an exact integral double; one correctly-rounded
         // division — replayable bit-for-bit by the oracle
         st => (lit(100.0) * st.getField("cum")) / total)), 1)
+  }
+
+  /** Typed partial state for the exact weighted percentile: the group's
+    * (x, w) pairs in growable PRIMITIVE arrays, concatenated on merge. Same
+    * O(1)-plan-size posture as the sketch aggregates; unlike them this one
+    * is exact and therefore holds the whole group — the documented
+    * collect-per-group bound of the weighted-percentile surface (for
+    * billion-row groups pre-aggregate per distinct x first). */
+  final case class WpPairs(var xs: Array[Double], var ws: Array[Long], var n: Int)
+
+  /** Exact weighted percentiles, ALL requested ps from ONE buffer: smallest
+    * x whose cumulative weight, in x-ascending order, reaches p·Σw — the
+    * same inverse-CDF definition and the same IEEE arithmetic
+    * (cum.toDouble >= Σw.toDouble · p) as the previous HOF formulation, so
+    * results are bit-identical. Replaces per-percentile
+    * collect_list + sort_array + interpreted per-element fold (measured
+    * ~0.6 s of one-core Catalyst eval on a 100k-row fixture) with one
+    * primitive-array buffer, one JVM sort and one cumulative pass. Rows
+    * with null x or null w are skipped (Kusto: nulls are ignored and
+    * weights are positive integers). */
+  final class WeightedPercentilesAgg(ps: Array[Double])
+      extends Aggregator[(java.lang.Double, java.lang.Long), WpPairs, Seq[Option[Double]]] {
+    def zero: WpPairs = WpPairs(new Array[Double](8), new Array[Long](8), 0)
+    def reduce(b: WpPairs, in: (java.lang.Double, java.lang.Long)): WpPairs = {
+      if (in != null && in._1 != null && in._2 != null) {
+        if (b.n == b.xs.length) {
+          b.xs = java.util.Arrays.copyOf(b.xs, b.n * 2)
+          b.ws = java.util.Arrays.copyOf(b.ws, b.n * 2)
+        }
+        b.xs(b.n) = in._1; b.ws(b.n) = in._2; b.n += 1
+      }
+      b
+    }
+    def merge(a: WpPairs, b: WpPairs): WpPairs = {
+      val xs = new Array[Double](a.n + b.n); val ws = new Array[Long](a.n + b.n)
+      System.arraycopy(a.xs, 0, xs, 0, a.n); System.arraycopy(b.xs, 0, xs, a.n, b.n)
+      System.arraycopy(a.ws, 0, ws, 0, a.n); System.arraycopy(b.ws, 0, ws, a.n, b.n)
+      WpPairs(xs, ws, a.n + b.n)
+    }
+    def finish(b: WpPairs): Seq[Option[Double]] = {
+      if (b.n == 0) return ps.map(_ => Option.empty[Double]).toIndexedSeq
+      val idx = Array.range(0, b.n).map(Integer.valueOf)
+      java.util.Arrays.sort(idx, (i: Integer, j: Integer) =>
+        java.lang.Double.compare(b.xs(i), b.xs(j)))
+      var total = 0L
+      var i = 0; while (i < b.n) { total += b.ws(i); i += 1 }
+      ps.toIndexedSeq.map { p =>
+        val target = total.toDouble * p
+        var cum = 0L; var k = 0; var res = Option.empty[Double]
+        while (k < b.n && res.isEmpty) {
+          cum += b.ws(idx(k))
+          if (cum.toDouble >= target) res = Some(b.xs(idx(k)))
+          k += 1
+        }
+        res
+      }
+    }
+    def bufferEncoder: Encoder[WpPairs] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Option[Double]]] = ExpressionEncoder()
+  }
+
+  /** Aggregate: exact weighted percentiles of `x` with integral weights
+    * `w`, returned as array<double> aligned with `ps` (fractions in [0,1]).
+    * Callers wanting several percentiles of one (x, w) MUST make one call —
+    * the group's pairs are then buffered and sorted once. */
+  def weightedPercentiles(x: Column, w: Column, ps: Seq[Double]): Column = {
+    require(ps.nonEmpty, "weightedPercentiles: need at least one percentile")
+    udaf(new WeightedPercentilesAgg(ps.toArray),
+      ExpressionEncoder[(java.lang.Double, java.lang.Long)]())
+      .apply(x.cast("double"), w.cast("long"))
   }
 }

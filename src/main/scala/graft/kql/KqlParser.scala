@@ -2945,20 +2945,25 @@ object KqlParser {
           array(args.tail.map(p =>
             percentile(args.head, lit(litDouble(p) / 100.0))): _*)
         case "percentilesw_array" =>
-          array(args.drop(2).map(p =>
-            weightedPercentile(args.head, args(1), litDouble(p) / 100.0)): _*)
+          weightedPercentiles(args.head, args(1),
+            args.drop(2).map(p => litDouble(p) / 100.0))
         case "percentilew" =>
-          weightedPercentile(args.head, args(1), litDouble(args(2)) / 100.0)
+          element_at(weightedPercentiles(args.head, args(1),
+            Seq(litDouble(args(2)) / 100.0)), 1)
         case "percentilesw" =>
           // percentilesw(x, w, p1, p2, ...): multi-output weighted form —
-          // expands to percentilew_<col>_<p> columns like percentiles
+          // expands to percentilew_<col>_<p> columns like percentiles.
+          // ONE aggregate call serves every requested percentile (the
+          // element_at projections all reference the same agg expression,
+          // so the group's pairs are buffered and sorted once)
           val base = args.head
           val baseName = base.toString.replaceAll("[^A-Za-z0-9_]", "")
           lastAggExpands = true
-          struct(args.drop(2).map(litDouble).map { p =>
+          val pcts = args.drop(2).map(litDouble)
+          val agg = weightedPercentiles(base, args(1), pcts.map(_ / 100.0))
+          struct(pcts.zipWithIndex.map { case (p, i) =>
             val suffix = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
-            weightedPercentile(base, args(1), p / 100.0)
-              .as(s"percentilew_${baseName}_$suffix")
+            element_at(agg, i + 1).as(s"percentilew_${baseName}_$suffix")
           }: _*)
         case "make_bag" | "make_bag_if" =>
           // merge dynamic bags (map<string,string>, the pack_all convention).
@@ -2966,7 +2971,16 @@ object KqlParser {
           // entry list first-wins makes the result deterministic and the
           // oracle replayable (documented deviation)
           val m = if (fname == "make_bag_if") when(args(1), args.head) else args.head
-          val entries = sort_array(flatten(collect_list(map_entries(m))))
+          // collect_SET, not list: first-wins over the sorted entries only
+          // ever reads each DISTINCT (key, value) pair's minimum, and
+          // duplicate occurrences never change a min — so set semantics is
+          // exactly sufficient, the dedup happens MAP-SIDE in the partial
+          // aggregate (state and shuffle bounded by distinct pairs, not
+          // rows), and the interpreted first-wins fold below runs over
+          // dozens of entries instead of the group's row count (measured:
+          // the fold dominated q_kql_agg_misc at ~0.9 s for 60 groups ×
+          // 1.6k rows)
+          val entries = sort_array(flatten(collect_set(map_entries(m))))
           aggregate(entries, map().cast("map<string,string>"), (acc, e) =>
             when(map_contains_key(acc, e.getField("key")), acc)
               .otherwise(map_concat(acc, map(e.getField("key"), e.getField("value")))))
@@ -3054,30 +3068,14 @@ object KqlParser {
     }
 
     /** percentilew/percentilesw body — EXACT weighted percentile: the
-      * smallest x whose cumulative weight, in x-ascending order, reaches p of
-      * the group's total weight. collect-sort-scan per group (group state =
-      * the group's pairs; for billion-row groups pre-aggregate per distinct x
-      * first). Integral weights keep every comparison exact. */
-    private def weightedPercentile(xc: Column, wc: Column, pw: Double): Column = {
-      val pairs = sort_array(collect_list(struct(
-        xc.cast("double").as("x"), wc.cast("long").as("w"))))
-      val total = aggregate(pairs, lit(0L), (a, e) => a + e.getField("w"))
-      val target = total.cast("double") * lit(pw)
-      // target is itself an aggregate-HOF over pairs: bind it as a lambda
-      // VARIABLE — an expression referenced inside a HOF lambda body is
-      // re-evaluated per element (the SeriesFunctions.bound lesson;
-      // unbound this scan is O(n²) per group)
-      element_at(transform(array(target), t =>
-        aggregate(pairs,
-          struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
-          (st, e) => {
-            val cum = st.getField("cum") + e.getField("w")
-            val v = when(st.getField("v").isNotNull, st.getField("v"))
-              .otherwise(when(cum.cast("double") >= t, e.getField("x")))
-            struct(cum.as("cum"), v.as("v"))
-          },
-          st => st.getField("v"))), 1)
-    }
+      * smallest x whose cumulative weight, in x-ascending order, reaches p
+      * of the group's total weight (same definition and IEEE arithmetic as
+      * the previous HOF formulation — results bit-identical). One typed
+      * primitive-array buffer serves every requested percentile; see
+      * QuantileSketch.WeightedPercentilesAgg for the cost model and the
+      * collect-per-group bound. */
+    private def weightedPercentiles(xc: Column, wc: Column, ps: Seq[Double]): Column =
+      graft.functions.QuantileSketch.weightedPercentiles(xc, wc, ps)
 
     private def parseSortList(): Seq[Column] = {
       def one(): Column = {
