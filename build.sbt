@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout goes straight to the console, NOT through
+// sbt's logger: the bench contract is ONE machine-readable JSON line as the
+// final program output, and the logger's "[info] " prefix broke the
+// consumer's parse in every round (BENCH_r*.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

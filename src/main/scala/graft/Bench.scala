@@ -73,6 +73,14 @@ object Bench {
     (0 until 3).foreach { p =>
       val rotated = names.drop(p * third) ++ names.take(p * third)
       rotated.foreach(runOne)
+      // Pass hygiene (r18 verdict): drop every per-invocation materialize
+      // barrier this pass cached, so the next pass's samples recompute the
+      // intermediates COLD — min-of-3 must not time a pass-2 warm read of a
+      // barrier pass 1 built. Per-corpus session artifacts (sig tables, CC
+      // labels, rank/index builds) stay, by the disclosed serve-path
+      // convention: they re-persist only through their memo, and they are
+      // priced separately in the BuildCosts ledger (BENCH_NOTES).
+      graft.functions.Caching.clearSession(spark)
       System.gc()
     }
     // Tie-break: the min is trusted when a second sample lands within 2x of
@@ -124,9 +132,14 @@ object Bench {
     // driver captures only the last 2000 bytes of stdout (BENCH_r03 "tail"),
     // so the full 115-query line can never survive — the compact line (total +
     // the slowest queries, 3-decimal) fits inside that window with room for
-    // the build tool's trailing success line.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the build tool's trailing success line. The file is written PER CORE
+    // COUNT (r18 verdict item 2: the driver's consecutive 32- and 8-core
+    // runs overwrote each other, losing the 32-core full map); the legacy
+    // name stays as a copy for consumers that hard-code it.
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_LOCAL_c$cpus.json"), bytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"), bytes)
     val slowest = times.sortBy(-_._2).take(20)
       .map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${times.size},"timing":"min_of_3_rotated+retry","load_avg_1m":$loadAvg%.2f,"load_per_core":$loadPerCore%.3f,"queries":$slowest,"queries_file":"BENCH_LOCAL.json","errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""

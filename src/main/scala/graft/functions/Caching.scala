@@ -66,6 +66,40 @@ object Caching {
     * downstream 1-task job into a #cores-task job and measured as a
     * regression (q_dsir_weights 0.40 → 1.29 s under a blanket spread).
     * Post-shuffle barriers are already wide and pass through either way. */
+  /** Bench pass hygiene (r18 verdict item 3): unpersist and drop every
+    * registry barrier owned by `spark`, so the next bench pass recomputes
+    * per-invocation intermediates COLD — min-of-N samples must not time
+    * pass-2/3 warm reads of a barrier pass 1 computed. Safe because every
+    * registry entry is re-persisted by its query's next construction
+    * (materialize() runs per invocation); OWNED persists (the per-corpus
+    * artifact caches — sig tables, CC labels, rank tables — that serve
+    * many queries per session and re-persist only via their memo) are
+    * deliberately untouched: dropping those would leave their memoized
+    * frames permanently uncached and mis-price every serve-path row. */
+  def clearSession(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    entries.dequeueAll(_.sparkSession eq spark).foreach(drop)
+  }
+
+  /** [[materialize]] with the spread decision derived from the PLAN: a
+    * binding whose plan aggregates (or limits) is bounded by its group
+    * cardinality — model-sized — and spreading it only adds an exchange
+    * plus #cores-task jobs over a handful of rows (measured:
+    * q_kql_materialize 0.19 → 0.23 s under the unconditional spread;
+    * q_dsir_weights 0.40 → 1.29 s under the blanket form). A scan-rooted
+    * binding is data-sized: it inherits the source's split count, and a
+    * thin source starves every consumer (the q_kql_spatial_join 3M-pair
+    * haversine stage measured single-task) — those spread. */
+  def materializeAuto(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit}
+    val bounded =
+      try df.queryExecution.analyzed.exists {
+        case _: Aggregate => true
+        case _: GlobalLimit => true
+        case _ => false
+      } catch { case _: Throwable => false }
+    materialize(df, spread = !bounded)
+  }
+
   def materialize(df: DataFrame, spread: Boolean = false): DataFrame = {
     val par = try df.sparkSession.sparkContext.defaultParallelism
       catch { case _: Throwable => 0 }

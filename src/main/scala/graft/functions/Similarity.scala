@@ -263,10 +263,44 @@ object Similarity {
     * holds it by construction (corpus/query ids are keys). */
   def assignProbes(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], nProbe: Int): DataFrame =
-    if (centroids.length >= centroidTableThreshold)
-      assignProbesTable(df, idCol, vecCol, centroidTable(df, centroids), nProbe)
+    if (centroids.length >= centroidTableThreshold) {
+      // well-formed driver matrix (every row non-null, uniform dim) →
+      // the exact bound-PRUNED kernel: √k super dots + surviving members
+      // per row instead of k dots + a k-row typed-aggregate reduce per row
+      // (set-parity proven in SimilaritySpec). Ragged/null-row models keep
+      // the broadcast-table plan, as does a genuinely tabular model source
+      // (assignProbesTable called directly).
+      val uniform = centroids(0) != null &&
+        centroids.forall(c => c != null && c.length == centroids(0).length)
+      if (uniform) assignProbesPruned(df, idCol, vecCol, centroids, nProbe)
+      else assignProbesTable(df, idCol, vecCol, centroidTable(df, centroids), nProbe)
+    }
     else df.select(col(idCol),
       explode(ivfProbes(col(vecCol), centroids, nProbe)).as("__cid"))
+
+  /** Exact bound-pruned flat assignment (the r18-verdict big-k restructure):
+    * the centroid matrix plus its memoized [[superGroups]] geometry ride the
+    * plan ONCE per stage as a primitive-array reference object
+    * (graft.plans.IvfPrunedModel), and each row scores √k super centroids,
+    * prunes groups by exact Cauchy–Schwarz bounds, and exact-scores only the
+    * survivors — per-row cost ~(√k + surviving members) instead of k dots
+    * fed through a per-pair typed aggregate. SET-EXACT vs the flat table
+    * path (same score chain, tie-break, and null posture — the bounds only
+    * skip provably-beaten groups), unlike [[assignProbesHier]] whose
+    * restricted probing is recall-approximate. Replaces the crossJoin +
+    * TopKAgg plan: no k×n pair stream, no aggregate — one projection. */
+  private[graft] def assignProbesPruned(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    require(nProbe >= 1, "assignProbesPruned: nProbe must be >= 1")
+    val (supers, gid) = superGroups(centroids)
+    val model = graft.plans.IvfPruned.build(centroids, supers, gid)
+    val rows = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__av"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spreadWide(rows).select(col(idCol),
+      explode(ColumnBridge.column(graft.plans.IvfProbesPrunedExpr(
+        ColumnBridge.expression(col("__av")), model, nProbe))).as("__cid"))
+  }
 
   /** A trained centroid matrix as a (cid, vec) DataFrame — the driver-side
     * model lifted into data so the assignment plan stays k-independent. At
@@ -517,23 +551,23 @@ object Similarity {
     // groupProbe = √k still degenerates to EXACT flat assignment (scoring
     // covers every group regardless of how groups were trained).
     val (probeSupers, gid) = superGroups(centroids, kmIters, sampleCap)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ct = centroids.zipWithIndex.toIndexedSeq
-      .map { case (c, i) => (i, c.toSeq, gid(i)) }
-      .toDF("__ct_cid", "__ct_vec", "__ct_gid")
+    // FUSED ladder kernel (IvfPruned.evalHier): candidate set, score chain,
+    // and both tie-breaks replicate the explode → broadcast-member-join →
+    // TopKAgg ladder row-for-row (supers scored with the ivfProbes chain,
+    // ties to the lower gid; members v·c − |c|²/2, ties to the lower cid;
+    // min(nProbe, frontier) probes out) — the machinery it replaces was the
+    // cost: ~√k·nProbe joined-and-aggregated rows per input row through a
+    // typed aggregate, now one projection (guide §4: no typed reduce in the
+    // hot path). Degeneracy (groupProbe = #groups ⇒ exact flat) and sampled
+    // training contracts are asserted in SimilaritySpec.
+    val model = graft.plans.IvfPruned.build(centroids, probeSupers, gid)
     val rows = df.where(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("__av"))
-    val scored = spreadWide(rows)
-      .select(col(idCol), col("__av"),
-        explode(ivfProbes(col("__av"), probeSupers,
-          math.min(groupProbe, probeSupers.length))).as("__ct_gid"))
-      .join(broadcast(ct.select(col("__ct_cid"), col("__ct_vec"),
-        col("__ct_gid"), ctBias.as("__ct_bias"))), Seq("__ct_gid"))
-      .select(col(idCol),
-        (dot(col("__av"), col("__ct_vec")) - col("__ct_bias")).as("__s"),
-        col("__ct_cid").cast("long").as("__ct_cid"))
-    topProbes(scored, idCol, nProbe)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spreadWide(rows).select(col(idCol),
+      explode(ColumnBridge.column(graft.plans.IvfProbesHierExpr(
+        ColumnBridge.expression(col("__av")), model,
+        nProbe, math.min(groupProbe, probeSupers.length)))).as("__cid"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: near-dup

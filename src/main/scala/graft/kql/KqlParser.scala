@@ -332,12 +332,15 @@ object KqlParser {
           // re-inlining) and cannot accumulate one CacheManager entry per
           // parse (ContextCleaner never reaps Dataset caches — r13 ADVICE).
           pos += 2
-          // spread = true: a thin bound pipeline (single-split source)
-          // otherwise leaves ONE cached partition and every consumer runs
-          // single-task — the q_kql_spatial_join 3M-pair haversine stage
-          // measured 0.65 s on one core with 31 idle
+          // spread decision is PLAN-GATED (materializeAuto): a thin
+          // scan-rooted binding (single-split source) otherwise leaves ONE
+          // cached partition and every consumer runs single-task — the
+          // q_kql_spatial_join 3M-pair haversine stage measured 0.65 s on
+          // one core with 31 idle — while an aggregate-bounded (model-sized)
+          // binding must NOT pay the extra exchange (q_kql_materialize
+          // 0.19 → 0.23 s under the r18 unconditional spread)
           bindings(name) =
-            graft.functions.Caching.materialize(parseQuery(), spread = true)
+            graft.functions.Caching.materializeAuto(parseQuery())
           eatPunct(")")
         }
         else if (!parseLetScalar(name)) bindings(name) = parseQuery()

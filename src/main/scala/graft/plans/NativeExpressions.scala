@@ -568,3 +568,335 @@ case class IvfProbesExpr(first: Expression, second: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
   override def prettyName: String = "graft_ivf_probes"
 }
+
+/** Driver-built pruning model for [[IvfProbesPrunedExpr]]: the full centroid
+  * matrix plus its √k super-group geometry (Similarity.superGroups) with
+  * per-group Cauchy–Schwarz bounds. All fields are primitive arrays, so the
+  * model ships ONCE per stage inside the task binary as compact blocks —
+  * never the boxed per-task literal graph that made the literal kernel
+  * unshippable at large k. Contract (enforced by the builder): every
+  * centroid row non-null, all rows the same length. */
+case class IvfPrunedModel(cents: Array[Array[Float]], biases: Array[Double],
+    supers: Array[Array[Float]], radii: Array[Double],
+    minb: Array[Double], maxb: Array[Double], members: Array[Array[Int]],
+    sbiases: Array[Double]) {
+  // the expression's treeString embeds its args: print geometry, not arrays
+  override def toString: String =
+    s"IvfPrunedModel(k=${cents.length}, " +
+      s"dim=${if (cents.isEmpty) 0 else cents(0).length}, groups=${supers.length})"
+}
+
+/** Exact bound-pruned flat probe assignment — the large-k kernel behind
+  * Similarity.assignProbes. Scores replicate IvfProbes' chain exactly (dot
+  * accumulated in double left-to-right over min(len) skipping null vector
+  * elements; bias Σx²/2 left-to-right; ties to the lower centroid id), and
+  * the result is SET-EXACT vs the flat scan: per group g with super s_g,
+  * radius r_g = max|c−s_g| and bias range [minb_g, maxb_g], every member
+  * score lies in [v·s_g − |v|r_g − maxb_g, v·s_g + |v|r_g − minb_g]
+  * (Cauchy–Schwarz). With t = the nProbe-th largest group LOWER bound, at
+  * least nProbe centroids score ≥ t (each group is non-empty), so a group
+  * whose UPPER bound is < t cannot hold a top-nProbe centroid and its
+  * members are skipped without scoring. Per-row cost falls from k dots to
+  * √k super dots + the surviving groups' members. A small slack keeps the
+  * cut conservative under floating-point rounding (extra survivors are
+  * merely scored exactly; droppees are proven strictly beaten). Non-finite
+  * vectors (NaN/Inf elements) disable pruning for that row and take the
+  * full exact scan, preserving IvfProbes' NaN-largest comparator order. */
+object IvfPruned {
+  def build(cents: Array[Array[Float]], supers: Array[Array[Float]],
+      gid: Array[Int]): IvfPrunedModel = {
+    val k = cents.length
+    require(k > 0 && cents.forall(c => c != null && c.length == cents(0).length),
+      "IvfPruned: centroid rows must be non-null and uniform-length")
+    val g = supers.length
+    val biases = new Array[Double](k)
+    var i = 0
+    while (i < k) { // the exact bias chain of IvfProbes.biasesOf
+      val c = cents(i); var b = 0.0; var j = 0
+      while (j < c.length) { val x = c(j).toDouble; b += x * x; j += 1 }
+      biases(i) = b / 2.0
+      i += 1
+    }
+    val rad2 = new Array[Double](g)
+    val minb = Array.fill(g)(Double.PositiveInfinity)
+    val maxb = Array.fill(g)(Double.NegativeInfinity)
+    val counts = new Array[Int](g)
+    i = 0; while (i < k) { counts(gid(i)) += 1; i += 1 }
+    val members = Array.tabulate(g)(x => new Array[Int](counts(x)))
+    val fill = new Array[Int](g)
+    i = 0
+    while (i < k) {
+      val gi = gid(i)
+      members(gi)(fill(gi)) = i; fill(gi) += 1
+      val s = supers(gi); val c = cents(i)
+      var d2 = 0.0; var j = 0
+      val n = math.min(s.length, c.length)
+      while (j < n) { val dd = c(j).toDouble - s(j).toDouble; d2 += dd * dd; j += 1 }
+      if (d2 > rad2(gi)) rad2(gi) = d2
+      if (biases(i) < minb(gi)) minb(gi) = biases(i)
+      if (biases(i) > maxb(gi)) maxb(gi) = biases(i)
+      i += 1
+    }
+    val sbiases = new Array[Double](g)
+    i = 0
+    while (i < g) { // supers get the same bias chain (the hier ladder scores
+      val s = supers(i); var b = 0.0; var j = 0 // groups with ivfProbes)
+      while (j < s.length) { val x = s(j).toDouble; b += x * x; j += 1 }
+      sbiases(i) = b / 2.0
+      i += 1
+    }
+    IvfPrunedModel(cents, biases, supers, rad2.map(math.sqrt), minb, maxb,
+      members, sbiases)
+  }
+
+  /** Fused two-level (hierarchical) probe assignment — the kernel form of
+    * Similarity.assignProbesHier's ladder (explode top-groupProbe supers →
+    * broadcast member join → per-row top-nProbe): the CANDIDATE SET, score
+    * chain, and both tie-breaks replicate the ladder exactly (supers scored
+    * v·s − |s|²/2 with ties to the lower group id — the ivfProbes
+    * comparator; members scored v·c − |c|²/2 with ties to the lower cid),
+    * so the output is row-identical; only the explode + join + typed
+    * aggregate machinery is gone. Like the ladder, the result is
+    * recall-approximate vs flat (groupProbe = #groups degenerates to exact
+    * flat, asserted in SimilaritySpec). Emits min(nProbe, candidates)
+    * probes — the ladder's TopKAgg posture when a probed frontier holds
+    * fewer than nProbe centroids. */
+  def evalHier(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      m: IvfPrunedModel, nProbe: Int, groupProbe: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nv = vec.numElements()
+    def dotTo(c: Array[Float]): Double = {
+      val n = math.min(nv, c.length)
+      var s = 0.0; var p = 0
+      while (p < n) {
+        if (!vec.isNullAt(p)) s += vec.getFloat(p).toDouble * c(p).toDouble
+        p += 1
+      }
+      s
+    }
+    val g = m.supers.length
+    val ng = math.min(math.max(groupProbe, 0), g)
+    val sScores = new Array[Double](g)
+    var gi = 0
+    while (gi < g) { sScores(gi) = dotTo(m.supers(gi)) - m.sbiases(gi); gi += 1 }
+    // top-ng groups: IvfProbes' selection (Double.compare, strict >,
+    // ascending scan → ties to the lower gid)
+    val gTaken = new Array[Boolean](g)
+    val gSel = new Array[Int](ng)
+    var r = 0
+    var nc = 0
+    while (r < ng) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var i2 = 0
+      while (i2 < g) {
+        if (!gTaken(i2) &&
+            (best < 0 || java.lang.Double.compare(sScores(i2), bs) > 0)) {
+          best = i2; bs = sScores(i2)
+        }
+        i2 += 1
+      }
+      gTaken(best) = true
+      gSel(r) = best
+      nc += m.members(best).length
+      r += 1
+    }
+    val candIds = new Array[Int](nc)
+    val scores = new Array[Double](nc)
+    var w = 0
+    r = 0
+    while (r < ng) {
+      val mem = m.members(gSel(r)); var q = 0
+      while (q < mem.length) {
+        val ci = mem(q)
+        candIds(w) = ci
+        scores(w) = dotTo(m.cents(ci)) - m.biases(ci)
+        w += 1; q += 1
+      }
+      r += 1
+    }
+    val nOut = math.min(math.max(nProbe, 0), nc)
+    val out = new Array[Any](nOut)
+    val taken = new Array[Boolean](nc)
+    r = 0
+    while (r < nOut) {
+      var bi = -1
+      var bs = Double.NegativeInfinity
+      var bcid = Int.MaxValue
+      var i2 = 0
+      while (i2 < nc) {
+        if (!taken(i2)) {
+          val cmp = java.lang.Double.compare(scores(i2), bs)
+          if (bi < 0 || cmp > 0 || (cmp == 0 && candIds(i2) < bcid)) {
+            bi = i2; bs = scores(i2); bcid = candIds(i2)
+          }
+        }
+        i2 += 1
+      }
+      taken(bi) = true
+      out(r) = candIds(bi)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def eval(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      m: IvfPrunedModel, nProbe: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = m.cents.length
+    val nv = vec.numElements()
+    // |v| over non-null elements: valid for the bound even when a centroid
+    // is shorter (the dot truncates to the common prefix, whose norm is ≤
+    // the full vector norm)
+    var vn2 = 0.0
+    var j = 0
+    while (j < nv) {
+      if (!vec.isNullAt(j)) { val x = vec.getFloat(j).toDouble; vn2 += x * x }
+      j += 1
+    }
+    val vnorm = math.sqrt(vn2)
+    def dotTo(c: Array[Float]): Double = {
+      val n = math.min(nv, c.length)
+      var s = 0.0; var p = 0
+      while (p < n) {
+        if (!vec.isNullAt(p)) s += vec.getFloat(p).toDouble * c(p).toDouble
+        p += 1
+      }
+      s
+    }
+    val g = m.supers.length
+    var candIds: Array[Int] = null
+    if (java.lang.Double.isFinite(vnorm) && g >= 1 && nProbe >= 1 &&
+        nProbe < k) {
+      val lbs = new Array[Double](g)
+      val ubs = new Array[Double](g)
+      var ok = true
+      var gi = 0
+      while (gi < g && ok) {
+        val vs = dotTo(m.supers(gi))
+        if (java.lang.Double.isNaN(vs)) ok = false
+        else {
+          val rad = vnorm * m.radii(gi)
+          ubs(gi) = vs + rad - m.minb(gi)
+          lbs(gi) = vs - rad - m.maxb(gi)
+        }
+        gi += 1
+      }
+      if (ok) {
+        var t = Double.NegativeInfinity
+        if (g >= nProbe) {
+          val sorted = lbs.clone()
+          java.util.Arrays.sort(sorted)
+          t = sorted(g - nProbe)
+        }
+        // conservative under FP rounding: a borderline group survives and is
+        // scored exactly; only groups proven strictly beaten are dropped
+        val thr = t - 1e-6 * (1.0 + math.abs(t))
+        var nc = 0
+        gi = 0
+        while (gi < g) {
+          if (ubs(gi) >= thr) nc += m.members(gi).length
+          gi += 1
+        }
+        candIds = new Array[Int](nc)
+        var w = 0
+        gi = 0
+        while (gi < g) {
+          if (ubs(gi) >= thr) {
+            val mem = m.members(gi); var q = 0
+            while (q < mem.length) { candIds(w) = mem(q); w += 1; q += 1 }
+          }
+          gi += 1
+        }
+      }
+    }
+    if (candIds == null) candIds = Array.range(0, k) // exact full scan
+    val nc = candIds.length
+    val scores = new Array[Double](nc)
+    var q = 0
+    while (q < nc) {
+      val ci = candIds(q)
+      scores(q) = dotTo(m.cents(ci)) - m.biases(ci)
+      q += 1
+    }
+    // selection identical to IvfProbes.eval: Double.compare (NaN largest),
+    // ties to the LOWER centroid id — made explicit here because candidates
+    // are grouped, not in ascending-cid order
+    val nOut = math.min(math.max(nProbe, 0), k)
+    val out = new Array[Any](nOut)
+    val taken = new Array[Boolean](nc)
+    var r = 0
+    while (r < nOut) {
+      var bi = -1
+      var bs = Double.NegativeInfinity
+      var bcid = Int.MaxValue
+      var i2 = 0
+      while (i2 < nc) {
+        if (!taken(i2)) {
+          val cmp = java.lang.Double.compare(scores(i2), bs)
+          if (bi < 0 || cmp > 0 || (cmp == 0 && candIds(i2) < bcid)) {
+            bi = i2; bs = scores(i2); bcid = candIds(i2)
+          }
+        }
+        i2 += 1
+      }
+      taken(bi) = true
+      out(r) = candIds(bi)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** graft-internal (constructed programmatically by Similarity.assignProbes,
+  * never via the function registry — the model rides the expression as a
+  * reference object): exact bound-pruned probe assignment. Same output,
+  * null posture, and tie semantics as graft_ivf_probes over the same
+  * matrix (set-parity asserted in SimilaritySpec); only per-row WORK and
+  * per-task shipping change. */
+case class IvfProbesPrunedExpr(child: Expression, model: IvfPrunedModel,
+    nProbe: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_probes_pruned expects array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    IvfPruned.eval(v.asInstanceOf[ArrayData], model, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfPrunedModel", model,
+      "graft.plans.IvfPrunedModel")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.IvfPruned.eval($v, $m, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "graft_ivf_probes_pruned"
+}
+
+/** graft-internal (constructed programmatically by
+  * Similarity.assignProbesHier): the fused two-level ladder —
+  * [[IvfPruned.evalHier]]. */
+case class IvfProbesHierExpr(child: Expression, model: IvfPrunedModel,
+    nProbe: Int, groupProbe: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_probes_hier expects array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    IvfPruned.evalHier(v.asInstanceOf[ArrayData], model, nProbe, groupProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfPrunedModel", model,
+      "graft.plans.IvfPrunedModel")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.IvfPruned.evalHier($v, $m, $nProbe, $groupProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "graft_ivf_probes_hier"
+}

@@ -2624,11 +2624,13 @@ object NorthStarQueries {
             TA.shinglesOf(TA.tokens(lower(col("text"))), 3).as("sh"))
         // join on the 8-byte shingle hash, not the ~30-byte string (shuffle
         // volume + compare cost; the string oracle is collision-equivalent
-        // at 2^-64). The filtered explode is PERSISTED once per (session,
-        // sfDir) via pipeCache: the self-join would otherwise re-run the
-        // shingle HOF + the df aggregate on both sides, and a per-invocation
-        // persist would stack copies across bench passes (the simhash
-        // persist-barrier lesson). The per-doc shingle-set size `l` rides
+        // at 2^-64). The filtered explode goes through Caching.materialize
+        // — it is a SINGLE-consumer per-invocation barrier (both self-join
+        // legs of THIS query), not a per-corpus artifact, so it belongs in
+        // the registry the bench clears between passes (samples time it
+        // cold); the registry's plan-level dedupe keeps re-invocations from
+        // stacking cache copies (the simhash persist-barrier lesson). The
+        // per-doc shingle-set size `l` rides
         // the exploded rows (one int per row) instead of a separate `lens`
         // frame: the denominators come out of the self-join's group keys,
         // which removes TWO more full-corpus scans re-running the shingle
@@ -2638,24 +2640,22 @@ object NorthStarQueries {
         // carried column can answer).
         val exf = {
           evictStale(s)
-          pipeCache.getOrElseUpdate(cacheKey(s, d, "contexf"), {
-            val ex = docs
-              .select(col("doc_id"), size(col("sh")).as("l"),
-                explode(col("sh")).as("s"))
-              .select(col("doc_id"), col("l"), xxhash64(col("s")).as("s"))
-            val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
-              .where(col("df").between(2, 50)).select("s")
-            // hash-distribute by the join key BEFORE the persist: the cache
-            // otherwise inherits the scan's single partition (one parquet
-            // split), which ran the whole a×b join + pair aggregate as ONE
-            // task (JobProbe: a 1.05 s single-task stage with 31 idle
-            // cores). InMemoryRelation preserves outputPartitioning, so
-            // both self-join legs read the cache already partitioned on
-            // `s` — parallel AND exchange-free (guide §2.4).
+          val ex = docs
+            .select(col("doc_id"), size(col("sh")).as("l"),
+              explode(col("sh")).as("s"))
+            .select(col("doc_id"), col("l"), xxhash64(col("s")).as("s"))
+          val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
+            .where(col("df").between(2, 50)).select("s")
+          // hash-distribute by the join key BEFORE the persist: the cache
+          // otherwise inherits the scan's single partition (one parquet
+          // split), which ran the whole a×b join + pair aggregate as ONE
+          // task (JobProbe: a 1.05 s single-task stage with 31 idle
+          // cores). InMemoryRelation preserves outputPartitioning, so
+          // both self-join legs read the cache already partitioned on
+          // `s` — parallel AND exchange-free (guide §2.4).
+          graft.functions.Caching.materialize(
             ex.join(keep, Seq("s"), "left_semi")
-              .repartition(s.sparkContext.defaultParallelism, col("s"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          })
+              .repartition(s.sparkContext.defaultParallelism, col("s")))
         }
         exf.as("a")
           .join(exf.as("b"),

@@ -44,6 +44,10 @@ object Profile {
           planTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       (1 to runs).foreach { i =>
+        // -cold replicates Bench's pass hygiene: materialize barriers are
+        // dropped before each run so samples time the recompute, not a
+        // warm read of an earlier run's cache
+        if (args.contains("-cold")) graft.functions.Caching.clearSession(spark)
         spark.sparkContext.setJobDescription(s"$name run$i")
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)

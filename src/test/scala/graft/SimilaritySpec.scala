@@ -2054,6 +2054,37 @@ class SimilaritySpec extends SparkSpec {
       s"filtered serve lost dynamic partition pruning:\n$plan")
   }
 
+  test("bound-pruned assignment is set-exact vs the table path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val real = Similarity.ivfTrain(emb, "vec_id", "embedding", 64,
+      nCentroids = 16, iters = 2)
+    // the q_semantic_dedup_bigk shape: a small real model padded with far
+    // decoys (bounds must prune the decoy groups, never a real winner) PLUS
+    // adversarial exact ties — each real centroid duplicated verbatim at a
+    // higher cid, so the tie-break (lower cid) is exercised at every argmax
+    val decoys = Array.tabulate(3000, 64)((i, j) => 500f + ((i + j) % 5).toFloat)
+    val cents = real ++ decoys ++ real.map(_.clone())
+    assert(cents.length >= Similarity.centroidTableThreshold)
+    for (nProbe <- Seq(1, 2, 5)) {
+      val pruned = Similarity.assignProbesPruned(emb, "vec_id", "embedding",
+          cents, nProbe)
+        .as[(Long, Int)].collect().toSet
+      val tbl = Similarity.assignProbesTable(emb, "vec_id", "embedding",
+          Similarity.centroidTable(emb, cents), nProbe)
+        .as[(Long, Int)].collect().toSet
+      assert(pruned == tbl, s"nProbe=$nProbe: pruned != table " +
+        s"(only-pruned=${(pruned -- tbl).take(5)}, only-table=${(tbl -- pruned).take(5)})")
+    }
+    // null vectors produce no assignment rows (the shared posture)
+    import spark.implicits._
+    val withNull = Seq((1L, Array.fill(64)(0.5f)),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val out = Similarity.assignProbesPruned(withNull, "id", "v", cents, 1)
+      .as[(Long, Int)].collect()
+    assert(out.map(_._1).toSet == Set(1L))
+  }
+
   test("broadcast-table assignment matches the literal kernel exactly") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
