@@ -19,12 +19,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    // hypothesis testing (same overlay as JobProbe): SPARK_GRAFT_EXTRA_CONF
+    // ="k=v,k2=v2" — the driver never sets it, so driver runs measure the
+    // committed defaults
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder = builder.config(k, v)
+    })
+    val spark = builder
       // The suite compiles ~190 distinct plans per interleaved pass; the
       // default 100-entry codegen cache is fully evicted between a query's two
       // samples, so every sample re-pays Janino compilation (~1s on a 25-row

@@ -100,6 +100,24 @@ object Caching {
     materialize(df, spread = !bounded)
   }
 
+  /** Widen a THIN frame BEFORE an expensive downstream projection: the
+    * [[materialize]] `spread` flag widens the barrier's OUTPUT, but a heavy
+    * map-side expression (shingle/bigram explode, simhash fold) sits BELOW
+    * that exchange and still runs on the scan's split count — one task on a
+    * single-split source (JobProbe cold: the ngram-containment shingle pass
+    * 4.9 s + 3.5 s single-task with 31 idle cores). Callers repartition the
+    * NARROW source columns first, then project; wide inputs (the 100 TB
+    * case) pass through untouched. Round-robin is deterministic under
+    * retries (sort-before-repartition). */
+  def spreadThin(df: DataFrame): DataFrame = {
+    val par = try df.sparkSession.sparkContext.defaultParallelism
+      catch { case _: Throwable => 0 }
+    if (!df.isStreaming && par > 0 &&
+        (try df.rdd.getNumPartitions < par catch { case _: Throwable => false }))
+      df.repartition(par)
+    else df
+  }
+
   def materialize(df: DataFrame, spread: Boolean = false): DataFrame = {
     val par = try df.sparkSession.sparkContext.defaultParallelism
       catch { case _: Throwable => 0 }

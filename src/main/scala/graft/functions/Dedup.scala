@@ -329,14 +329,22 @@ object Dedup {
     // every chunk-key expression below (9× per row, per join side) —
     // observed 396s vs 12s at sf0.1. (Bounded-registry persist; a bare
     // persist leaked one CacheManager entry per distinct plan.)
-    // spread = true: the signature barrier is scan-rooted (one input split
-    // = one cached partition) and its consumers — the chunk-key explode
-    // and both self-join legs — otherwise run single-task (JobProbe:
-    // 0.58 s one-core stage with 31 idle)
-    val sigs = Caching.materialize(df.select(col(idCol).as("id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    // The INPUT is widened before the signature projection (not the barrier
+    // after it, the r18 form): the tokenize + per-token hash + simhash fold
+    // is the expensive stage, and a scan-rooted frame (one input split)
+    // would compute it all on one task BEFORE any output-side spread could
+    // help — measured cold (bench now clears barriers between passes, so
+    // this stage is paid per sample): output-spread 1.15–1.55 s vs
+    // input-spread ~0.9–1.0 s. The barrier itself then inherits the wide
+    // partitioning, so the chunk-explode and both self-join legs read it
+    // 32-wide with no further exchange. At 100 TB inputs arrive wide and
+    // the repartition is skipped (same guard as Caching.materialize).
+    val wide = Caching.spreadThin(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")))
+    val sigs = Caching.materialize(wide
+      .select(col("id"), TextAnalysis.tokens(lower(col("__t"))).as("__toks"))
       .select(col("id"), transform(col("__toks"), t => portableHash60(t)).as("__h"))
-      .select(col("id"), simHashFromHashes(col("__h")).as("sim")), spread = true)
+      .select(col("id"), simHashFromHashes(col("__h")).as("sim")))
     val chunks = maxHamming + 1
     val bounds = (0 to chunks).map(i => i * 64 / chunks)
     val chunkKeys = (0 until chunks).map { c =>

@@ -2459,8 +2459,12 @@ object NorthStarQueries {
         // occurrence stream is exploded and shuffled exactly ONCE; both
         // consumers below (model build + scoring join) read the cached
         // aggregate (Caching.materialize — the bounded-registry persist).
-        // Totals fall out of length(t) — no third pass.
-        val bg = graft.functions.Caching.materialize(docs.select(col("doc_id"),
+        // Totals fall out of length(t) — no third pass. The thin source is
+        // widened BEFORE the bigram explode (spreadThin): the interpreted
+        // transform/sequence chain otherwise runs on the scan's one split
+        // (JobProbe cold: a 2.3 s single-task job with 31 idle cores).
+        val wideDocs = graft.functions.Caching.spreadThin(docs)
+        val bg = graft.functions.Caching.materialize(wideDocs.select(col("doc_id"),
             explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
           .groupBy("doc_id", "b").agg(count(lit(1)).as("c")))
         val common = bg.groupBy("b").agg(sum("c").as("tc"))
@@ -2497,9 +2501,11 @@ object NorthStarQueries {
     QueryDef("q_tfidf_keywords",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val tf = graft.functions.Caching.materialize(T(s, d, "documents")
-          .select(col("doc_id"), explode(TA.tokens(lower(col("text")))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+        val tf = graft.functions.Caching.materialize(
+          graft.functions.Caching.spreadThin(
+              T(s, d, "documents").select(col("doc_id"), col("text")))
+            .select(col("doc_id"), explode(TA.tokens(lower(col("text")))).as("tok"))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("tok").asc)
@@ -2619,9 +2625,6 @@ object NorthStarQueries {
     // counts rare shared shingles only; denominators are the full sets)
     QueryDef("q_ngram_containment",
       (s, d) => {
-        val docs = T(s, d, "documents")
-          .project(col("doc_id"),
-            TA.shinglesOf(TA.tokens(lower(col("text"))), 3).as("sh"))
         // join on the 8-byte shingle hash, not the ~30-byte string (shuffle
         // volume + compare cost; the string oracle is collision-equivalent
         // at 2^-64). The filtered explode goes through Caching.materialize
@@ -2640,19 +2643,45 @@ object NorthStarQueries {
         // carried column can answer).
         val exf = {
           evictStale(s)
-          val ex = docs
+          // The shingle HOF pass is the dominant cold cost and must run
+          // exactly ONCE, 32-wide: un-barriered, the `keep` df-count pass
+          // and the semi-join's left side each re-ran the whole explode on
+          // the scan's single split (JobProbe cold: 4.9 s + 3.5 s
+          // single-task jobs with 31 idle cores — surfaced when the bench
+          // stopped letting pass-1 caches warm pass-2 samples). So: widen
+          // the thin source first (inputs at 100 TB arrive wide and skip
+          // the exchange), then materialize the exploded hash frame so
+          // every consumer reads the one cached pass.
+          // (widen the RAW text, then project: a repartition above the
+          // shingle projection would still evaluate the HOF below the
+          // exchange, on the scan's one task)
+          val src = graft.functions.Caching.spreadThin(
+            T(s, d, "documents").select(col("doc_id"), col("text")))
+          // the BARRIER sits between the shingle projection and the explode:
+          // InferFiltersFromGenerate guards the explode with
+          // size(sh) > 0 && isnotnull(sh), and with the projection in the
+          // same plan that guard is pushed to the scan with the WHOLE
+          // shingle chain re-inlined — twice per row, on the scan's one
+          // task (plan-verified; JobProbe: a 1.8 s single-task filter
+          // stage). Caching the sh arrays makes the guard a cheap test of
+          // cached values, and the explode recompute above the cache is an
+          // array scan, cheap enough for both consumers (keep + exf).
+          val mid = graft.functions.Caching.materialize(src
+            .select(col("doc_id"),
+              TA.shinglesOf(TA.tokens(lower(col("text"))), 3).as("sh")))
+          val ex = mid
             .select(col("doc_id"), size(col("sh")).as("l"),
               explode(col("sh")).as("s"))
             .select(col("doc_id"), col("l"), xxhash64(col("s")).as("s"))
           val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
             .where(col("df").between(2, 50)).select("s")
           // hash-distribute by the join key BEFORE the persist: the cache
-          // otherwise inherits the scan's single partition (one parquet
-          // split), which ran the whole a×b join + pair aggregate as ONE
-          // task (JobProbe: a 1.05 s single-task stage with 31 idle
-          // cores). InMemoryRelation preserves outputPartitioning, so
-          // both self-join legs read the cache already partitioned on
-          // `s` — parallel AND exchange-free (guide §2.4).
+          // otherwise inherits its source's partitioning, which ran the
+          // whole a×b join + pair aggregate as ONE task (JobProbe: a
+          // 1.05 s single-task stage with 31 idle cores). InMemoryRelation
+          // preserves outputPartitioning, so both self-join legs read the
+          // cache already partitioned on `s` — parallel AND exchange-free
+          // (guide §2.4).
           graft.functions.Caching.materialize(
             ex.join(keep, Seq("s"), "left_semi")
               .repartition(s.sparkContext.defaultParallelism, col("s")))
@@ -2816,21 +2845,21 @@ object NorthStarQueries {
     // the cleaned content is md5-proven byte-identical to the oracle's
     QueryDef("q_line_boilerplate",
       (s, d) => {
-        val docs = T(s, d, "documents")
+        // widened BEFORE the lines construction (spreadThin — the input-side
+        // form of the r18 output-spread): the split + slice + concat chain
+        // is the expensive stage and an output-side spread still ran it on
+        // the scan's one split. The barrier then computes it once, 32-wide,
+        // for BOTH the boilerplate-df leg and the final cleaned-output leg
+        // (un-barriered it re-ran per leg; JobProbe: one-core stages).
+        val docs = graft.functions.Caching.spreadThin(
+            T(s, d, "documents").select(col("doc_id"), col("source"), col("text")))
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-        // materialized + spread: the lines construction (split + slice +
-        // concat per 10-token group) is consumed by BOTH the
-        // boilerplate-df leg and the final cleaned-output leg —
-        // un-barriered it re-ran per leg, single-task (one parquet split;
-        // JobProbe: 0.38 s one-core stage). The barrier computes it once
-        // and spreads it cluster-wide.
         val withLines = graft.functions.Caching.materialize(
           docs.select(col("doc_id"),
             concat(
               transform(sequence(lit(0), floor((size(col("toks")) - 1) / 10.0).cast("int")),
                 i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10)))),
-              array(concat(lit("subscribe to "), col("source")))).as("lines")),
-          spread = true)
+              array(concat(lit("subscribe to "), col("source")))).as("lines")))
         val ln = withLines.select(col("doc_id"), explode(col("lines")).as("line"))
         val boiler = ln.groupBy(lower(trim(col("line"))).as("norm"))
           .agg(countDistinct(col("doc_id")).as("df")).where(col("df") >= 20)

@@ -233,7 +233,30 @@ object Tables {
   def compact(spark: SparkSession, path: String, outPath: String,
               tsCol: String = "_ts", dedupCol: String = "_dedup"): Unit = {
     val df = spark.read.parquet(path)
+    // cluster by the partition column with a PINNED partition count before
+    // the partitionBy write, like appendSegment: the dedup aggregate's
+    // post-shuffle partitioning is neither bucket-clustered nor pinned, so
+    // AQE coalesced the whole write to ONE task that opened every bucket's
+    // writer serially (measured: all compacted files named part-00000; a
+    // 0.45 s single-task write stage with 31 cores idle). The count is
+    // bounded by the DESTINATION's real bucket count — known driver-side
+    // from the segment tree's partition directories, no data pass — so a
+    // small compaction never pays defaultParallelism near-empty write
+    // tasks (the c8-beats-c32 overhead signature from the r18 scaling
+    // run). The per-partition sort restores appendSegment's fully
+    // time-sorted files (row-group min/max BRIN posture) which the dedup
+    // aggregate otherwise destroys on rewrite.
+    val nBuckets =
+      try {
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .count(_.getPath.getName.startsWith("ts_bucket="))
+      } catch { case _: Throwable => 0 }
+    val par = spark.sparkContext.defaultParallelism
+    val n = if (nBuckets >= 1) math.min(nBuckets, par) else par
     dedupRows(df, Seq(tsCol, dedupCol))
+      .repartition(n, col("ts_bucket"))
+      .sortWithinPartitions(col("ts_bucket"), col(tsCol))
       .write.mode("overwrite").partitionBy("ts_bucket").parquet(outPath)
   }
 

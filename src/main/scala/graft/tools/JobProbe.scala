@@ -48,6 +48,8 @@ object JobProbe {
     names.foreach { name =>
       (1 to runs).foreach { i =>
         lines.clear()
+        // -cold replicates Bench's pass hygiene (see Profile.scala)
+        if (args.contains("-cold")) graft.functions.Caching.clearSession(spark)
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
